@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.wheel.{RollupBuilder, Tier, WheelCatalog}
+import Q._
+
+/** Core surface the reference literally executes (SURVEY.md §2.1):
+  * parquet scan, projection, half-open temporal range filter, ungrouped
+  * SUM (and the "All" multi-aggregate), per-tier rollups, and the
+  * wheel-index range query. */
+object Core {
+
+  /** Epoch-ms of a timestamp column, truncated like the reference's
+    * µs→ms conversion (/root/reference/src/main.rs:133–135). */
+  private def tms(c: org.apache.spark.sql.Column) = unix_millis(c)
+
+  /** `ts ∈ [a, b)` — half-open, the reference's range shape
+    * (/root/reference/src/main.rs:254–255). */
+  private def inRange(c: org.apache.spark.sql.Column, a: Long, b: Long) =
+    tms(c) >= lit(a) && tms(c) < lit(b)
+
+  private def rollup(s: SparkSession, dir: String, tier: Tier): DataFrame = {
+    val ev = t(s, dir, "events")
+    ev.groupBy(RollupBuilder.slotMs(col("ts"), tier).as("slot_ms"))
+      .agg(round(sum(col("value")), 2).as("sum_value"), count(lit(1)).as("n"))
+      .orderBy(col("slot_ms"))
+  }
+
+  val queries: Map[String, Fn] = Map(
+    "q_scan_project" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    "q_filter_pred" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") > lit(25.0) && col("l_returnflag") === lit("A"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_returnflag"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    // Flagship: the reference's one benchmark query (README.md:5–8 there):
+    // SELECT SUM(value) over a fixed half-open time range.
+    "q_time_range_sum" -> ((s, dir) =>
+      t(s, dir, "events")
+        .filter(inRange(col("ts"), R1Start, R1End))
+        .agg(round(sum(col("value")), 2).as("sum_value"))),
+
+    // µWheel "All" aggregator over the same range (SURVEY.md §2.2).
+    "q_time_range_multi" -> ((s, dir) =>
+      t(s, dir, "events")
+        .filter(inRange(col("ts"), R1Start, R1End))
+        .agg(
+          round(sum(col("value")), 2).as("sum_value"),
+          round(min(col("value")), 4).as("min_value"),
+          round(max(col("value")), 4).as("max_value"),
+          round(avg(col("value")), 4).as("avg_value"),
+          count(lit(1)).as("n"))),
+
+    "q_rollup_minute" -> ((s, dir) => rollup(s, dir, Tier.Minute)),
+    "q_rollup_hour" -> ((s, dir) => rollup(s, dir, Tier.Hour)),
+    "q_rollup_day" -> ((s, dir) => rollup(s, dir, Tier.Day)),
+
+    // Index path (SURVEY.md §3.2): answered from the cached WheelIndex —
+    // range decomposition + partial combines, no scan, no Spark job.
+    "q_wheel_query" -> ((s, dir) => {
+      val idx = WheelCatalog.cached(s"$dir/events.parquet")(t(s, dir, "events"))
+      val raw = idx.querySum(R2Start, R2End)
+      s.range(1).select(round(lit(raw), 2).as("sum_value"))
+    }))
+
+  private def rangeSumSql(a: Long, b: Long): String =
+    s"SELECT ROUND(SUM(value), 2) AS sum_value FROM events " +
+      s"WHERE epoch_ms(ts) >= $a AND epoch_ms(ts) < $b"
+
+  private def rollupSql(tierMs: Long): String =
+    s"SELECT (epoch_ms(ts) // $tierMs) * $tierMs AS slot_ms, " +
+      "ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n " +
+      "FROM events GROUP BY 1 ORDER BY 1"
+
+  val oracle: Map[String, String] = Map(
+    "q_scan_project" ->
+      ("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem " +
+        "ORDER BY l_orderkey, l_linenumber"),
+    "q_filter_pred" ->
+      ("SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem " +
+        "WHERE l_quantity > 25.0 AND l_returnflag = 'A' " +
+        "ORDER BY l_orderkey, l_linenumber"),
+    "q_time_range_sum" -> rangeSumSql(R1Start, R1End),
+    "q_time_range_multi" ->
+      (s"SELECT ROUND(SUM(value), 2) AS sum_value, ROUND(MIN(value), 4) AS min_value, " +
+        "ROUND(MAX(value), 4) AS max_value, ROUND(AVG(value), 4) AS avg_value, " +
+        s"COUNT(*) AS n FROM events WHERE epoch_ms(ts) >= $R1Start AND epoch_ms(ts) < $R1End"),
+    "q_rollup_minute" -> rollupSql(60000L),
+    "q_rollup_hour" -> rollupSql(3600000L),
+    "q_rollup_day" -> rollupSql(86400000L),
+    "q_wheel_query" -> rangeSumSql(R2Start, R2End))
+}

@@ -1,0 +1,48 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Shared plumbing for the declared query inventory (SURVEY.md §2.6).
+  *
+  * Every query is `(SparkSession, sfDir) => DataFrame` and obeys the
+  * determinism rules of SURVEY.md §5.3: total ORDER BY, ROUND around
+  * floating aggregates, explicit casts, UTC, half-open time ranges
+  * (the reference uses `>= start AND < end` everywhere —
+  * /root/reference/src/main.rs:252–256).
+  */
+object Q {
+  type Fn = (SparkSession, String) => DataFrame
+
+  /** Load a TESTDATA table (TESTDATA.md: `{dir}/{name}.parquet`).
+    *
+    * `events.ts` is parquet TIMESTAMP(NANOS) (FIXTURES.md), which Spark 4
+    * refuses outright ([PARQUET_TYPE_ILLEGAL]); we read it as a nanos long
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and floor-truncate to a µs
+    * TimestampType column — the same ns→µs→ms truncation chain DuckDB's
+    * `epoch_ms` applies, so oracle predicates agree at boundaries. */
+  def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    if (name == "events") {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(path)
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    } else s.read.parquet(path)
+  }
+
+  // Epoch-ms anchors into the events table's span [2024-01-01, 2024-01-31)
+  // (FIXTURES.md). All minute-aligned, half-open.
+  val Jan1: Long = 1704067200000L // 2024-01-01T00:00:00Z
+  val Minute = 60000L
+  val Hour = 3600000L
+  val Day = 86400000L
+
+  /** Flagship fixed range: [2024-01-05, 2024-01-12) (FIXTURES.md). */
+  val R1Start: Long = Jan1 + 4 * Day
+  val R1End: Long = Jan1 + 11 * Day
+
+  /** Wheel-path range exercising minute+hour+day runs:
+    * [2024-01-03T07:26, 2024-01-28T18:43). */
+  val R2Start: Long = Jan1 + 2 * Day + 7 * Hour + 26 * Minute
+  val R2End: Long = Jan1 + 27 * Day + 18 * Hour + 43 * Minute
+}

@@ -1,0 +1,60 @@
+package graft.wheel
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.functions._
+
+/** Builds the per-tier pre-aggregated rollup tables — the Spark-native
+  * equivalent of the reference's wheel build (`insert` loop + single
+  * `advance`, /root/reference/src/main.rs:105–144).
+  *
+  * Each tier is a DataFrame `(slot_ms: Long, sum_v, cnt, min_v, max_v)` —
+  * the "All" aggregate partial (sum/count/min/max; avg derived at lower).
+  * The minute tier aggregates the source once; hour and day tiers are
+  * derived FROM the minute tier (re-aggregation of partials, not a rescan),
+  * mirroring the wheel's tick roll-up (seconds→minutes→hours→days,
+  * /root/reference/src/main.rs:140) and guaranteeing tier consistency.
+  *
+  * 100 TB posture: the rollups' cardinality is bounded by TIME, not data
+  * volume (44 640 minutes per month regardless of row count —
+  * /root/reference/src/main.rs:141–143 prints exactly this). The minute
+  * aggregation is a single map-side-combine shuffle over the source; every
+  * further tier re-aggregates the tiny minute table. Partials are
+  * associative, so per-date-partition builds can be merged incrementally.
+  */
+object RollupBuilder {
+
+  /** Epoch-ms slot key for a timestamp column at a tier width. Integer
+    * division on `unix_millis` (floor for the post-1970 domain) keeps the
+    * whole expression inside whole-stage codegen. */
+  def slotMs(ts: org.apache.spark.sql.Column, tier: Tier): org.apache.spark.sql.Column =
+    (F.unix_millis(ts).divide(lit(tier.ms)).cast("long") * lit(tier.ms)).cast("long")
+
+  /** One pass over the source → finest-tier partials. */
+  def minuteRollup(events: DataFrame, tsCol: String, valueCol: String): DataFrame =
+    events
+      .select(slotMs(col(tsCol), Tier.Minute).as("slot_ms"), col(valueCol).as("v"))
+      .groupBy("slot_ms")
+      .agg(
+        sum(col("v")).as("sum_v"),
+        count(col("v")).as("cnt"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"))
+
+  /** Derive a coarser tier from a finer one by combining partials. */
+  def coarsen(finer: DataFrame, tier: Tier): DataFrame =
+    finer
+      .groupBy(((col("slot_ms").divide(lit(tier.ms))).cast("long") * lit(tier.ms)).as("slot_ms"))
+      .agg(
+        sum(col("sum_v")).as("sum_v"),
+        sum(col("cnt")).as("cnt"),
+        min(col("min_v")).as("min_v"),
+        max(col("max_v")).as("max_v"))
+
+  /** All retained tiers, finest built from source, coarser from finer. */
+  def buildAll(events: DataFrame, tsCol: String, valueCol: String): Map[Tier, DataFrame] = {
+    val minute = minuteRollup(events, tsCol, valueCol)
+    val hour = coarsen(minute, Tier.Hour)
+    val day = coarsen(hour, Tier.Day)
+    Map(Tier.Minute -> minute, Tier.Hour -> hour, Tier.Day -> day)
+  }
+}

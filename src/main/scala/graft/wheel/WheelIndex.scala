@@ -1,0 +1,144 @@
+package graft.wheel
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The "All" aggregate over a time range: sum/count/min/max (+ avg at
+  * lower), mirroring µWheel's `All` aggregator family (uwheel 0.1.2's
+  * shipped aggregators; only `F64SumAggregator` is exercised at
+  * /root/reference/src/main.rs:15, but the family is the capability). */
+final case class AllAggregate(sum: Double, count: Long, min: Double, max: Double) {
+  def combine(o: AllAggregate): AllAggregate =
+    if (count == 0) o
+    else if (o.count == 0) this
+    else AllAggregate(sum + o.sum, count + o.count, math.min(min, o.min), math.max(max, o.max))
+  def avg: Double = if (count == 0) Double.NaN else sum / count
+}
+object AllAggregate {
+  val identity: AllAggregate = AllAggregate(0.0, 0L, Double.PositiveInfinity, Double.NegativeInfinity)
+  def lift(v: Double): AllAggregate = AllAggregate(v, 1L, v, v)
+}
+
+/** Driver-local hierarchical aggregate index over one (timestamp, value)
+  * pair — the Spark-native analogue of µWheel's `ReaderWheel`
+  * (/root/reference/src/main.rs:67, 205–225).
+  *
+  * One dense primitive-array block per retained tier, anchored at
+  * `baseMs` (the watermark floor). A range query decomposes `[start, end)`
+  * into tier runs ([[Decompose]]) and combines the pre-aggregated slot
+  * partials — O(runs·slots-in-run) array reads, microsecond-scale, no scan
+  * and no Spark job. This is safe at any source data volume because the
+  * arrays are bounded by TIME (one month of minutes = 44 640 slots,
+  * /root/reference/src/main.rs:141–143), never by row count.
+  *
+  * For cluster-resident querying (no driver collect) the same decomposition
+  * drives [[WheelIndex.queryDistributed]] over the rollup DataFrames.
+  */
+final class WheelIndex private (
+    val baseMs: Long,       // inclusive, day-aligned floor of the data span
+    val horizonMs: Long,    // exclusive, day-aligned ceil (the watermark)
+    tiers: Map[Tier, WheelIndex.TierBlock]) extends Serializable {
+
+  import WheelIndex.TierBlock
+
+  /** Total combine over a minute-aligned half-open range. */
+  def query(startMs: Long, endMs: Long): AllAggregate = {
+    require(startMs <= endMs, s"bad range [$startMs, $endMs)")
+    if (startMs == endMs) AllAggregate.identity
+    else Decompose(startMs, endMs).foldLeft(AllAggregate.identity) { (acc, run) =>
+      acc.combine(combineRun(run))
+    }
+  }
+
+  def querySum(startMs: Long, endMs: Long): Double = query(startMs, endMs).sum
+
+  private def combineRun(run: Run): AllAggregate = {
+    val block = tiers(run.tier)
+    var acc = AllAggregate.identity
+    var slot = run.startMs
+    while (slot < run.endMs) {
+      val i = ((slot - baseMs) / run.tier.ms).toInt
+      if (i >= 0 && i < block.count.length && block.count(i) > 0) {
+        acc =
+          if (acc.count == 0) AllAggregate(block.sum(i), block.count(i), block.min(i), block.max(i))
+          else AllAggregate(
+            acc.sum + block.sum(i), acc.count + block.count(i),
+            math.min(acc.min, block.min(i)), math.max(acc.max, block.max(i)))
+      }
+      slot += run.tier.ms
+    }
+    acc
+  }
+
+  /** The combine plan, analogous to `explain_combine_range`
+    * (/root/reference/src/main.rs:219). */
+  def explain(startMs: Long, endMs: Long): String = Decompose.explain(startMs, endMs)
+
+  /** Approximate retained-index footprint, analogous to `size_bytes()`
+    * (/root/reference/src/main.rs:144): 4 primitive arrays × 8 bytes. */
+  def sizeBytes: Long =
+    tiers.valuesIterator.map(b => b.sum.length.toLong * 8 * 4).sum
+
+  def slotCounts: Map[Tier, Int] = tiers.map { case (t, b) => t -> b.sum.length }
+}
+
+object WheelIndex {
+
+  private[wheel] final case class TierBlock(
+      sum: Array[Double], count: Array[Long], min: Array[Double], max: Array[Double])
+
+  /** Build from a source DataFrame: one Spark aggregation to minute
+    * partials (bounded by time span, always driver-collectable), then
+    * local roll-up into hour/day blocks — the `insert`+`advance` build
+    * (/root/reference/src/main.rs:105–144) as a batch job. */
+  def build(events: DataFrame, tsCol: String, valueCol: String): WheelIndex = {
+    val minuteRows = RollupBuilder.minuteRollup(events, tsCol, valueCol)
+      .select("slot_ms", "sum_v", "cnt", "min_v", "max_v")
+      .collect()
+    require(minuteRows.nonEmpty, "cannot index an empty source")
+    val slots = minuteRows.map(_.getLong(0))
+    val base = slots.min / Tier.Day.ms * Tier.Day.ms
+    val horizon = (slots.max / Tier.Day.ms + 1) * Tier.Day.ms
+
+    def alloc(tier: Tier): TierBlock = {
+      val n = ((horizon - base) / tier.ms).toInt
+      TierBlock(new Array[Double](n), new Array[Long](n),
+        Array.fill(n)(Double.PositiveInfinity), Array.fill(n)(Double.NegativeInfinity))
+    }
+    val blocks = Tier.all.map(t => t -> alloc(t)).toMap
+    minuteRows.foreach { r =>
+      val (slot, s, c, mn, mx) =
+        (r.getLong(0), r.getDouble(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+      Tier.all.foreach { tier =>
+        val b = blocks(tier)
+        val i = ((slot - base) / tier.ms).toInt
+        b.sum(i) += s
+        b.count(i) += c
+        b.min(i) = math.min(b.min(i), mn)
+        b.max(i) = math.max(b.max(i), mx)
+      }
+    }
+    new WheelIndex(base, horizon, blocks)
+  }
+
+  /** Cluster-scale query path: the same decomposition, answered by
+    * filtering + unioning the (tiny, time-bounded) rollup DataFrames —
+    * one small Spark job, no driver-resident state. */
+  def queryDistributed(
+      rollups: Map[Tier, DataFrame], startMs: Long, endMs: Long): DataFrame = {
+    val runs = Decompose(startMs, endMs)
+    val spark = rollups(Tier.Minute).sparkSession
+    val parts = runs.map { run =>
+      rollups(run.tier)
+        .filter(col("slot_ms") >= lit(run.startMs) && col("slot_ms") < lit(run.endMs))
+        .select(col("sum_v"), col("cnt"), col("min_v"), col("max_v"))
+    }
+    val all = parts.reduceOption(_.union(_)).getOrElse(
+      spark.emptyDataFrame.select(
+        lit(0.0).as("sum_v"), lit(0L).as("cnt"),
+        lit(Double.PositiveInfinity).as("min_v"), lit(Double.NegativeInfinity).as("max_v")))
+    all.agg(
+      sum(col("sum_v")).as("sum_v"), sum(col("cnt")).as("cnt"),
+      min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"))
+  }
+}
