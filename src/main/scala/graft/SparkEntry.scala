@@ -18,7 +18,12 @@ object SparkEntry {
     Core.queries("q_time_range_sum")(spark, "/root/testdata/sf0.001")
 
   private val groups: Seq[(Map[String, Q.Fn], Map[String, String])] = Seq(
-    (Core.queries, Core.oracle))
+    (Core.queries, Core.oracle),
+    (Aggregates.queries, Aggregates.oracle),
+    (Joins.queries, Joins.oracle),
+    (Windows.queries, Windows.oracle),
+    (SetOps.queries, SetOps.oracle),
+    (Scalars.queries, Scalars.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2.6. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

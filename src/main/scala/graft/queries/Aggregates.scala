@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Column
+import Q._
+
+/** Grouped / distinct / multi-dimensional aggregation surface
+  * (SURVEY.md §2.3 "Aggregations" row; DataFusion reaches these via
+  * `ctx.sql`, /root/reference/src/main.rs:266 — here they are Spark
+  * built-ins exercised through oracle-checked queries).
+  *
+  * Float determinism (SURVEY.md §5.3 / §7.8 risk #1): large money sums are
+  * computed as `SUM(CAST(x AS DECIMAL(18,2)))` then cast to DOUBLE —
+  * decimal summation is exact integer arithmetic in both Spark and DuckDB,
+  * so the result is bit-identical regardless of summation order. Plain
+  * `ROUND(SUM(double),2)` is only used where the sum is small enough that
+  * double accumulation error cannot reach the rounding boundary.
+  */
+object Aggregates {
+
+  /** Order-insensitive exact money sum: identical bits in Spark & DuckDB. */
+  private def moneySum(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+  private def moneySumSql(e: String): String =
+    s"CAST(SUM(CAST($e AS DECIMAL(18,2))) AS DOUBLE)"
+
+  val queries: Map[String, Fn] = Map(
+    // TPC-H Q1 shape — hash agg with partial/final split.
+    "q_agg_group" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).cast("double").as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("sum_base"),
+          // exact decimal-domain multiply: money data is 2-decimal, so the
+          // product is an exact 4-decimal value — per-row double rounding
+          // would tie at .xx5 where Spark (HALF_UP) and DuckDB (HALF_EVEN)
+          // disagree.
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1.0).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")))
+            .cast("double").as("sum_disc"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    "q_agg_distinct" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n"))
+        .orderBy(col("event_type"))),
+
+    "q_agg_rollup" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
+
+    "q_agg_cube" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
+
+    "q_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_gs")
+      s.sql(
+        s"""SELECT o_orderstatus, o_orderpriority, COUNT(1) AS n,
+           |       ${moneySumSql("o_totalprice")} AS total
+           |FROM orders_gs
+           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+           |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+           |""".stripMargin)
+    }),
+
+    // HLL sketch distinct — approximate, no oracle (bounds checked in
+    // ScalaTest); maps µWheel-style sketch aggregation to Spark's
+    // built-in HyperLogLog++.
+    "q_approx_distinct" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .orderBy(col("event_type"))))
+
+  val oracle: Map[String, String] = Map(
+    "q_agg_group" ->
+      ("SELECT l_returnflag, l_linestatus, CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty, " +
+        s"${moneySumSql("l_extendedprice")} AS sum_base, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(CAST(1.0 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc, " +
+        "ROUND(AVG(l_quantity), 4) AS avg_qty, COUNT(1) AS n " +
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus " +
+        "ORDER BY l_returnflag, l_linestatus"),
+    "q_agg_distinct" ->
+      ("SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(1) AS n " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+    "q_agg_rollup" ->
+      ("SELECT o_orderstatus, o_orderpriority, COUNT(1) AS n, " +
+        s"${moneySumSql("o_totalprice")} AS total " +
+        "FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority) " +
+        "ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"),
+    "q_agg_cube" ->
+      ("SELECT o_orderstatus, o_orderpriority, COUNT(1) AS n, " +
+        s"${moneySumSql("o_totalprice")} AS total " +
+        "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority) " +
+        "ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"),
+    "q_grouping_sets" ->
+      ("SELECT o_orderstatus, o_orderpriority, COUNT(1) AS n, " +
+        s"${moneySumSql("o_totalprice")} AS total " +
+        "FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ()) " +
+        "ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"))
+}

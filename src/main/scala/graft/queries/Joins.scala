@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Column
+import Q._
+
+/** Join surface (SURVEY.md §2.3 "Joins" row): equi hash join, broadcast,
+  * outer, semi/anti, and a non-equi range (theta) join.
+  *
+  * Scale posture: small dimensions (region/nation/bucket tables) are
+  * explicitly `broadcast()` so the plan has no shuffle for them; the big
+  * fact-fact joins shuffle on their keys once, which is the right plan at
+  * any scale. The range join keeps its build side tiny (5 literal rows)
+  * so the broadcast nested-loop join cost is O(rows·buckets). */
+object Joins {
+
+  private def moneySum(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+  private def moneySumSql(e: String): String =
+    s"CAST(SUM(CAST($e AS DECIMAL(18,2))) AS DOUBLE)"
+
+  /** Quantity buckets for the range join: half-open [lo, hi). */
+  private val buckets = Seq((0, 0.0, 10.0), (1, 10.0, 20.0), (2, 20.0, 30.0),
+    (3, 30.0, 40.0), (4, 40.0, 60.0))
+  private val bucketsSqlValues =
+    buckets.map { case (b, lo, hi) => s"($b, $lo, $hi)" }.mkString(", ")
+
+  val queries: Map[String, Fn] = Map(
+    "q_join_inner" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    "q_join_broadcast" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"), "inner")
+        .select(col("n_nationkey"), col("n_name"), col("r_name"))
+        .orderBy(col("n_nationkey"))
+    }),
+
+    "q_join_left" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          coalesce(moneySum(col("o_totalprice")), lit(0.0)).as("total"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q_join_semi" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Anti against the P-status slice so the result is non-empty (every
+    // customer has SOME order in this data — a 0-row anti would be a
+    // vacuous check).
+    "q_join_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_orderstatus") === "P")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Theta/range join: lineitem rows land in half-open quantity buckets.
+    // The 5-row bucket dim is broadcast → BroadcastNestedLoopJoin, the
+    // only sane physical plan for a non-equi condition at scale.
+    "q_join_range" -> ((s, dir) => {
+      import s.implicits._
+      val b = broadcast(buckets.toDF("bucket", "lo", "hi"))
+      val l = t(s, dir, "lineitem")
+      l.join(b, l("l_quantity") >= b("lo") && l("l_quantity") < b("hi"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).cast("double").as("sum_qty"))
+        .orderBy(col("bucket"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q_join_inner" ->
+      ("SELECT c_mktsegment, COUNT(1) AS n, " +
+        s"${moneySumSql("o_totalprice")} AS total " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    "q_join_broadcast" ->
+      ("SELECT n_nationkey, n_name, r_name FROM nation " +
+        "JOIN region ON n_regionkey = r_regionkey ORDER BY n_nationkey"),
+    "q_join_left" ->
+      ("SELECT c_custkey, COUNT(o_orderkey) AS n_orders, " +
+        s"COALESCE(${moneySumSql("o_totalprice")}, 0.0) AS total " +
+        "FROM customer LEFT JOIN orders ON c_custkey = o_custkey " +
+        "GROUP BY c_custkey ORDER BY c_custkey"),
+    "q_join_semi" ->
+      ("SELECT c_custkey, c_name FROM customer " +
+        "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) " +
+        "ORDER BY c_custkey"),
+    "q_join_anti" ->
+      ("SELECT c_custkey, c_name FROM customer " +
+        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+        "AND o_orderstatus = 'P') ORDER BY c_custkey"),
+    "q_join_range" ->
+      (s"SELECT b.bucket, COUNT(1) AS n, CAST(SUM(l.l_quantity) AS DOUBLE) AS sum_qty " +
+        s"FROM lineitem l JOIN (VALUES $bucketsSqlValues) AS b(bucket, lo, hi) " +
+        "ON l.l_quantity >= b.lo AND l.l_quantity < b.hi " +
+        "GROUP BY b.bucket ORDER BY b.bucket"))
+}

@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Scalar-function surface (SURVEY.md §2.3 "Scalar functions" row):
+  * string, date, math, JSON-extraction and array operations — all
+  * codegen'd Spark built-ins, no UDFs.
+  *
+  * Oracle parity notes: integer-ish results are cast BIGINT on both
+  * sides (Spark `length`/`year` are INT, DuckDB's are BIGINT); libm-ish
+  * functions (sqrt/ln) are rounded to 4 decimals. */
+object Scalars {
+
+  val queries: Map[String, Fn] = Map(
+    "q_scalar_string" -> ((s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up_name"),
+        substring(col("p_name"), 1, 5).as("pfx"),
+        concat(col("p_brand"), lit("-"), col("p_type")).as("brandtype"),
+        length(col("p_name")).cast("long").as("len"))
+        .orderBy(col("p_partkey"))),
+
+    "q_scalar_date" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("d"),
+        unix_millis(date_trunc("month", col("o_orderdate"))).as("month_ms"))
+        .orderBy(col("o_orderkey"))),
+
+    "q_scalar_math" -> ((s, dir) =>
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        round(sqrt(col("l_quantity")), 4).as("sqrt_qty"),
+        round(log(col("l_extendedprice")), 4).as("ln_price"),
+        round(abs(col("l_discount") - lit(0.05)), 4).as("abs_disc"),
+        // exact decimal-domain multiply (2-decimal money data): avoids
+        // HALF_UP-vs-HALF_EVEN ties at .xx5 between Spark and DuckDB.
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1.0).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")))
+          .cast("double").as("disc_price"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    "q_json_extract" -> ((s, dir) =>
+      t(s, dir, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy(col("event_id"))),
+
+    "q_array_ops" -> ((s, dir) =>
+      t(s, dir, "embeddings").select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        round(element_at(col("embedding"), 1).cast("double"), 4).as("first_val"),
+        col("label"))
+        .orderBy(col("vec_id"))))
+
+  val oracle: Map[String, String] = Map(
+    "q_scalar_string" ->
+      ("SELECT p_partkey, UPPER(p_name) AS up_name, SUBSTRING(p_name, 1, 5) AS pfx, " +
+        "p_brand || '-' || p_type AS brandtype, CAST(LENGTH(p_name) AS BIGINT) AS len " +
+        "FROM part ORDER BY p_partkey"),
+    "q_scalar_date" ->
+      ("SELECT o_orderkey, CAST(YEAR(o_orderdate) AS BIGINT) AS y, " +
+        "CAST(MONTH(o_orderdate) AS BIGINT) AS m, " +
+        "CAST(DAYOFMONTH(o_orderdate) AS BIGINT) AS d, " +
+        "epoch_ms(date_trunc('month', o_orderdate)) AS month_ms " +
+        "FROM orders ORDER BY o_orderkey"),
+    "q_scalar_math" ->
+      ("SELECT l_orderkey, l_linenumber, ROUND(SQRT(l_quantity), 4) AS sqrt_qty, " +
+        "ROUND(LN(l_extendedprice), 4) AS ln_price, " +
+        "ROUND(ABS(l_discount - 0.05), 4) AS abs_disc, " +
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(CAST(1.0 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS disc_price " +
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber"),
+    "q_json_extract" ->
+      ("SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k " +
+        "FROM events ORDER BY event_id"),
+    "q_array_ops" ->
+      ("SELECT vec_id, CAST(LEN(embedding) AS BIGINT) AS dim, " +
+        "ROUND(CAST(embedding[1] AS DOUBLE), 4) AS first_val, label " +
+        "FROM embeddings ORDER BY vec_id"))
+}

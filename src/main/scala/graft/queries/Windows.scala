@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Window-function surface (SURVEY.md §2.3 "Window functions" row):
+  * ranking, frame aggregation, analytic lag/lead, and top-k.
+  *
+  * Determinism: every window ORDER BY carries a unique tiebreak key, and
+  * `events.ts` is compared as epoch-ms on both engines (Spark truncates
+  * the parquet ns timestamps to µs; ms is the common grid — FIXTURES.md). */
+object Windows {
+
+  val queries: Map[String, Fn] = Map(
+    "q_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    "q_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .withColumn("running", round(sum(col("o_totalprice")).over(w), 2))
+        .select(col("o_custkey"), col("o_orderkey"), col("running"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    "q_window_lag" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_millis(col("ts")), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("prev_value", round(lag(col("value"), 1).over(w), 4))
+        .withColumn("next_value", round(lead(col("value"), 1).over(w), 4))
+        .select(col("user_id"), col("event_id"), col("prev_value"), col("next_value"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // Sort + limit: Spark plans TakeOrderedAndProject (no full sort of
+    // the losing rows on a cluster).
+    "q_topk" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .limit(20)))
+
+  val oracle: Map[String, String] = Map(
+    "q_window_rank" ->
+      ("SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (" +
+        "SELECT o_custkey, o_orderkey, o_totalprice, " +
+        "ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn " +
+        "FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn"),
+    "q_window_running" ->
+      ("SELECT o_custkey, o_orderkey, ROUND(SUM(o_totalprice) OVER (" +
+        "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running " +
+        "FROM orders ORDER BY o_custkey, o_orderkey"),
+    "q_window_lag" ->
+      ("SELECT user_id, event_id, " +
+        "ROUND(LAG(value, 1) OVER w, 4) AS prev_value, " +
+        "ROUND(LEAD(value, 1) OVER w, 4) AS next_value " +
+        "FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) " +
+        "ORDER BY user_id, event_id"),
+    "q_topk" ->
+      ("SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem " +
+        "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20"))
+}
