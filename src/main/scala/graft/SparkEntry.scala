@@ -23,7 +23,10 @@ object SparkEntry {
     (Joins.queries, Joins.oracle),
     (Windows.queries, Windows.oracle),
     (SetOps.queries, SetOps.oracle),
-    (Scalars.queries, Scalars.oracle))
+    (Scalars.queries, Scalars.oracle),
+    (Text.queries, Text.oracle),
+    (Similarity.queries, Similarity.oracle),
+    (Multimodal.queries, Multimodal.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2.6. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,106 @@
+package graft.functions
+
+/** Deterministic text hashing/sketching primitives for the LLM-pipeline
+  * operators (dedup, near-dup, fingerprinting). Pure JVM — used inside
+  * Spark UDFs where no built-in expression expresses the semantics
+  * (SURVEY.md §2.6 `q_minhash_dedup`; the aggregator-framework extension
+  * point of SURVEY.md §2.2).
+  *
+  * All constants are fixed so signatures are reproducible across runs,
+  * partitions, and executors.
+  */
+object TextHash extends Serializable {
+
+  /** FNV-1a 64-bit — tiny, allocation-free, stable across JVMs. */
+  def fnv1a(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i).toLong
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  val MinHashPerms = 32
+  val ShingleSize = 3
+  val Bands = 8
+  val RowsPerBand: Int = MinHashPerms / Bands
+
+  // Deterministic permutation multipliers (odd) and offsets, seed 42.
+  private val perms: Array[(Long, Long)] = {
+    val r = new scala.util.Random(42)
+    Array.fill(MinHashPerms)((r.nextLong() | 1L, r.nextLong()))
+  }
+
+  /** Word shingles of size [[ShingleSize]] (whole text if shorter). */
+  def shingles(text: String): Array[String] = {
+    val words = text.split(' ')
+    if (words.length <= ShingleSize) Array(words.mkString(" "))
+    else words.sliding(ShingleSize).map(_.mkString(" ")).toArray
+  }
+
+  /** MinHash signature: per permutation, min over shingle hashes. */
+  def minHashSignature(text: String): Array[Long] = {
+    val base = shingles(text).map(fnv1a)
+    perms.map { case (a, b) =>
+      var m = Long.MaxValue
+      var i = 0
+      while (i < base.length) {
+        val v = a * base(i) + b
+        if (v < m) m = v
+        i += 1
+      }
+      m
+    }
+  }
+
+  /** LSH band keys: hash of each [[RowsPerBand]]-slot signature chunk.
+    * Two docs sharing any band key are candidate near-duplicates. */
+  def bandKeys(sig: Array[Long]): Array[Long] = {
+    Array.tabulate(Bands) { b =>
+      var h = 0xcbf29ce484222325L ^ b.toLong
+      var i = b * RowsPerBand
+      while (i < (b + 1) * RowsPerBand) {
+        h ^= sig(i)
+        h *= 0x100000001b3L
+        i += 1
+      }
+      h
+    }
+  }
+
+  /** Exact word-shingle Jaccard (test oracle for the MinHash estimate). */
+  def jaccard(a: String, b: String): Double = {
+    val sa = shingles(a).toSet
+    val sb = shingles(b).toSet
+    if (sa.isEmpty && sb.isEmpty) 1.0
+    else sa.intersect(sb).size.toDouble / sa.union(sb).size.toDouble
+  }
+
+  /** 64-bit SimHash over word hashes (bit-vote). */
+  def simHash(text: String): Long = {
+    val votes = new Array[Int](64)
+    text.split(' ').foreach { w =>
+      val h = fnv1a(w)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+        i += 1
+      }
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) {
+      if (votes(i) > 0) out |= 1L << i
+      i += 1
+    }
+    out
+  }
+
+  /** 16-bit chunks of a simhash — pigeonhole banding: hamming distance
+    * ≤ 3 ⇒ at least one of the 4 chunks is identical. */
+  def simHashChunks(h: Long): Array[Long] =
+    Array.tabulate(4)(i => ((h >>> (i * 16)) & 0xffffL) | (i.toLong << 32))
+}

@@ -1,0 +1,219 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.TextHash
+import Q._
+
+/** Text-analysis + deduplication surface for LLM training-data pipelines
+  * (builder prompt; SURVEY.md §2.6 `q_dedup_exact`, `q_text_stats`,
+  * `q_minhash_dedup`): exact dedup, fingerprinting, token counting,
+  * quality scoring, language-ID, n-gram Jaccard, MinHash-LSH and SimHash
+  * near-dup candidate generation.
+  *
+  * Determinism notes: per-row ratio columns are a SINGLE double division
+  * of exact integers — bit-identical across engines, no rounding needed.
+  * Averages over integer columns are emitted as `CAST(SUM AS DOUBLE)/n`
+  * (exact integer sum, one division) instead of `ROUND(AVG(..))`, which
+  * ties at representable halves (e.g. a 64-doc group) where Spark and
+  * DuckDB round differently.
+  *
+  * Scale posture: every operator is a hash-shuffle on a derived key
+  * (text hash, band key, simhash chunk) — the standard LSH bucket-join
+  * shape that scales linearly; no pairwise O(n²) work outside buckets,
+  * and oversized buckets are capped (`MaxBucket`) as in production LSH. */
+object Text {
+
+  private val words = array_distinct(split(col("text"), " "))
+
+  /** Candidate-pair emission from one LSH bucket: all sorted id pairs.
+    * Buckets larger than MaxBucket are dropped (pathological bucket guard —
+    * standard LSH practice; keeps worst-case work linear). */
+  private val MaxBucket = 1000
+  private val pairsUdf = udf((ids: Seq[Long]) => {
+    val sorted = ids.distinct.sorted
+    if (sorted.length < 2 || sorted.length > MaxBucket) Seq.empty[(Long, Long)]
+    else for { i <- sorted.indices; j <- (i + 1) until sorted.length }
+      yield (sorted(i), sorted(j))
+  })
+
+  private val minhashBandsUdf =
+    udf((text: String) => TextHash.bandKeys(TextHash.minHashSignature(text)))
+  private val simhashUdf = udf((text: String) => TextHash.simHash(text))
+  private val simhashChunksUdf = udf((h: Long) => TextHash.simHashChunks(h))
+
+  val queries: Map[String, Fn] = Map(
+    // Exact dedup: hash-groupBy on content hash. Emits ALL groups (count
+    // and representative), so the query is non-vacuous at every sf; dup
+    // groups are the n_dups > 1 rows.
+    "q_dedup_exact" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(md5(col("text")).as("text_hash"))
+        .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("min_doc"))
+        .orderBy(col("text_hash"))),
+
+    "q_text_stats" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("n_words", size(split(col("text"), " ")).cast("long"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          (sum(col("n_words")).cast("double") / count(lit(1))).as("avg_words"),
+          (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
+        .orderBy(col("lang"))),
+
+    // Token counting: whitespace tokens + a BPE-ish regex lexer
+    // (letter runs | digit runs | single punctuation).
+    "q_token_count" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+          .cast("long").as("re_tokens"))
+        .orderBy(col("doc_id"))),
+
+    // Quality scoring: length / stopword-ratio / word-length features and
+    // a weighted score. Single-division doubles — engine-exact.
+    "q_quality_score" -> ((s, dir) => {
+      val nWords = size(split(col("text"), " ")).cast("long")
+      val nChars = length(col("text")).cast("long")
+      val noSpace = length(regexp_replace(col("text"), " ", "")).cast("long")
+      val stopHits = size(expr(
+        "filter(split(text, ' '), w -> w = 'the' OR w = 'a' OR w = 'of')")).cast("long")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        nWords.as("n_words"),
+        nChars.as("n_chars_m"),
+        (noSpace.cast("double") / nWords).as("avg_wlen"),
+        (stopHits.cast("double") / nWords).as("stop_ratio"),
+        ((stopHits.cast("double") / nWords) * lit(0.5) +
+          (noSpace.cast("double") / nWords) * lit(0.1)).as("score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Document fingerprint: content-defined canonical form (sorted
+    // distinct word set) → md5. Near-dup docs with permuted words get
+    // the same fingerprint; robust to word order, not to edits.
+    "q_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        md5(concat_ws(" ", array_sort(words))).as("fp"))
+        .orderBy(col("doc_id"))),
+
+    // Word-set Jaccard between adjacent doc ids — the exact-similarity
+    // primitive under MinHash (oracle-checkable shape).
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), words.as("w"))
+      val a = d.as("a")
+      val b = d.as("b")
+      a.join(b, col("b.doc_id") === col("a.doc_id") + 1)
+        .select(
+          col("a.doc_id").as("doc_a"),
+          col("b.doc_id").as("doc_b"),
+          (size(array_intersect(col("a.w"), col("b.w"))).cast("double") /
+            size(array_union(col("a.w"), col("b.w")))).as("jac"))
+        .orderBy(col("doc_a"))
+    }),
+
+    // Language-ID: char-bigram profiles learned per lang from the table
+    // itself (top-K discriminative grams), then nearest-profile scoring.
+    // No oracle (the classifier is our own operator); ScalaTest checks
+    // determinism + schema. On this synthetic same-vocab corpus accuracy
+    // is near chance — the operator is the capability, data is the limit.
+    "q_lang_id" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val grams = docs.select(col("lang"), col("doc_id"),
+        explode(expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
+          .as("gram"))
+      val topK = 30
+      val w = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("gram"))
+      val profiles = grams.groupBy(col("lang"), col("gram")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= topK)
+        .select(col("lang"), col("gram"))
+        .collect().groupBy(_.getString(0)).view
+        .mapValues(_.map(_.getString(1)).toSeq.sorted).toMap
+      val langs = profiles.keys.toSeq.sorted
+      val docGrams = expr(
+        "array_distinct(transform(sequence(1, length(text) - 1), i -> substring(text, i, 2)))")
+      val scored = langs.foldLeft(docs.select(col("doc_id"), col("lang"), docGrams.as("g"))) {
+        (df, l) =>
+          df.withColumn(s"score_$l",
+            size(array_intersect(col("g"), lit(profiles(l).toArray))))
+      }
+      val best = langs.map(l => struct(col(s"score_$l").as("s"), lit(l).as("l")))
+      scored
+        .withColumn("pred", greatest(best: _*).getField("l"))
+        .select(col("doc_id"), col("pred"),
+          (col("pred") === col("lang")).as("hit"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // MinHash + LSH banding: shingle(3-word) → 32-perm signature → 8
+    // band keys → hash-shuffle on band key → pairs within buckets →
+    // distinct. The candidate set provably contains all exact dups.
+    // Verified against exact Jaccard in ScalaTest (no SQL oracle).
+    "q_minhash_dedup" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(minhashBandsUdf(col("text"))).as(Seq("band", "key")))
+        .groupBy(col("band"), col("key"))
+        .agg(collect_list(col("doc_id")).as("ids"))
+        .select(explode(pairsUdf(col("ids"))).as("p"))
+        .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"))
+        .distinct()
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // SimHash near-dup: 64-bit signature, 16-bit pigeonhole chunks
+    // (hamming ≤ 3 ⇒ some chunk equal), verify hamming via bit_count.
+    "q_simhash_dedup" -> ((s, dir) => {
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"), simhashUdf(col("text")).as("sh"))
+      val cands = sh
+        .select(col("doc_id"), explode(simhashChunksUdf(col("sh"))).as("chunk"))
+        .groupBy(col("chunk"))
+        .agg(collect_list(col("doc_id")).as("ids"))
+        .select(explode(pairsUdf(col("ids"))).as("p"))
+        .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"))
+        .distinct()
+      val a = sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a")
+      val b = sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b")
+      cands.join(a, "doc_a").join(b, "doc_b")
+        .withColumn("hd", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+        .filter(col("hd") <= 3)
+        .select(col("doc_a"), col("doc_b"), col("hd"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      ("SELECT md5(text) AS text_hash, COUNT(1) AS n_dups, MIN(doc_id) AS min_doc " +
+        "FROM documents GROUP BY md5(text) ORDER BY text_hash"),
+    "q_text_stats" ->
+      ("SELECT lang, COUNT(1) AS n_docs, " +
+        "CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(1) AS avg_words, " +
+        "CAST(SUM(n_chars) AS DOUBLE) / COUNT(1) AS avg_chars " +
+        "FROM documents GROUP BY lang ORDER BY lang"),
+    "q_token_count" ->
+      ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens, " +
+        "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens " +
+        "FROM documents ORDER BY doc_id"),
+    "q_quality_score" ->
+      ("SELECT doc_id, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words, " +
+        "CAST(LENGTH(text) AS BIGINT) AS n_chars_m, " +
+        "CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS avg_wlen, " +
+        "CAST(len(list_filter(string_split(text, ' '), w -> w = 'the' OR w = 'a' OR w = 'of')) AS DOUBLE) " +
+        "  / len(string_split(text, ' ')) AS stop_ratio, " +
+        "(CAST(len(list_filter(string_split(text, ' '), w -> w = 'the' OR w = 'a' OR w = 'of')) AS DOUBLE) " +
+        "  / len(string_split(text, ' '))) * 0.5 + " +
+        "(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' '))) * 0.1 AS score " +
+        "FROM documents ORDER BY doc_id"),
+    "q_fingerprint" ->
+      ("SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp " +
+        "FROM documents ORDER BY doc_id"),
+    "q_ngram_jaccard" ->
+      ("WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS w FROM documents) " +
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) / " +
+        "len(list_distinct(list_concat(a.w, b.w))) AS jac " +
+        "FROM d a JOIN d b ON b.doc_id = a.doc_id + 1 ORDER BY doc_a"))
+}

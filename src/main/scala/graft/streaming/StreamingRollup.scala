@@ -1,0 +1,38 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.wheel.Tier
+
+/** Structured-Streaming ingest into the wheel's rollup schema — the
+  * streaming equivalent of the reference's `insert` + watermark `advance`
+  * lifecycle (/root/reference/src/main.rs:128–140; SURVEY.md §2.5):
+  *
+  *   - event-time watermark ⇔ µWheel's low watermark: rows later than the
+  *     delay are dropped, exactly µWheel's below-watermark policy;
+  *   - per-minute tumbling windows ⇔ the finest retained tier; finalized
+  *     windows roll up to hour/day via [[graft.wheel.RollupBuilder.coarsen]]
+  *     on the sink table, mirroring tick roll-up.
+  *
+  * Batch and streaming builds produce the same schema
+  * `(slot_ms, sum_v, cnt, min_v, max_v)`, asserted in StreamingRollupSpec. */
+object StreamingRollup {
+
+  /** Minute-tier streaming rollup. `events` must be a streaming Dataset
+    * with an event-time column. */
+  def minuteRollup(events: DataFrame, tsCol: String, valueCol: String,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), "1 minute").as("w"))
+      .agg(
+        sum(col(valueCol)).as("sum_v"),
+        count(col(valueCol)).as("cnt"),
+        min(col(valueCol)).as("min_v"),
+        max(col(valueCol)).as("max_v"))
+      .select(unix_millis(col("w.start")).as("slot_ms"),
+        col("sum_v"), col("cnt"), col("min_v"), col("max_v"))
+
+  /** Slot width sanity: streaming windows are exactly the finest tier. */
+  val SlotMs: Long = Tier.Minute.ms
+}

@@ -1,0 +1,73 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.functions.TextHash
+
+/** Internal checks for the no-oracle text operators: MinHash candidates
+  * vs exact Jaccard / exact dups, SimHash behavior, lang-id determinism
+  * (SURVEY.md §2.6 notes on q_minhash_dedup & co). */
+class TextSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("minhash candidates contain every exact-duplicate pair (sf0.1)") {
+    val dir = TestSpark.Sf01 // only sf0.1 has exact dups (8 rows)
+    val docs = Q.t(spark, dir, "documents")
+    val dupPairs = docs.groupBy(col("text"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .collect()
+      .flatMap { r =>
+        val ids = r.getSeq[Long](1)
+        for { i <- ids.indices; j <- (i + 1) until ids.length } yield (ids(i), ids(j))
+      }.toSet
+    assert(dupPairs.nonEmpty, "fixture should contain exact dups at sf0.1")
+    val cands = Text.queries("q_minhash_dedup")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dupPairs.subsetOf(cands),
+      s"missing ${dupPairs.diff(cands)} from ${cands.size} candidates")
+    // and the exact-dup pairs really have Jaccard 1.0
+    val texts = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    dupPairs.foreach { case (a, b) =>
+      assert(TextHash.jaccard(texts(a), texts(b)) == 1.0)
+    }
+  }
+
+  test("minhash signature estimates Jaccard (same doc = 1, disjoint = 0)") {
+    val a = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val b = "x1 x2 x3 x4 x5 x6 x7 x8"
+    assert(TextHash.minHashSignature(a).sameElements(TextHash.minHashSignature(a)))
+    val sa = TextHash.minHashSignature(a)
+    val sb = TextHash.minHashSignature(b)
+    val agree = sa.zip(sb).count { case (x, y) => x == y }
+    assert(agree <= 2, s"disjoint docs should rarely agree, got $agree/32")
+  }
+
+  test("simhash: identical texts collide, pair query finds them (sf0.1)") {
+    val got = Text.queries("q_simhash_dedup")(spark, TestSpark.Sf01).collect()
+    assert(got.nonEmpty)
+    // hd=0 pairs must include the exact dups
+    assert(got.exists(_.getLong(2) == 0L))
+    assert(got.forall(_.getLong(2) <= 3L))
+  }
+
+  test("lang_id is deterministic and total") {
+    val r1 = Text.queries("q_lang_id")(spark, TestSpark.Sf0001).collect()
+    val r2 = Text.queries("q_lang_id")(spark, TestSpark.Sf0001).collect()
+    assert(r1.length == 500)
+    assert(r1.map(_.toString).toSeq == r2.map(_.toString).toSeq)
+    val langs = Set("de", "en", "es", "fr", "zh")
+    assert(r1.forall(r => langs.contains(r.getString(1))))
+  }
+
+  test("token/quality expressions match a local computation") {
+    val row = Q.t(spark, TestSpark.Sf0001, "documents")
+      .orderBy(col("doc_id")).limit(1).collect()(0)
+    val text = row.getString(row.fieldIndex("text"))
+    val got = Text.queries("q_token_count")(spark, TestSpark.Sf0001)
+      .filter(col("doc_id") === row.getLong(0)).collect()(0)
+    assert(got.getLong(1) == text.split(' ').length.toLong)
+  }
+}

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.wheel.RollupBuilder
+
+/** Streaming-vs-batch rollup parity and the late-data drop policy
+  * (SURVEY.md §2.5 / §7.6 M5; internal only — the driver oracle is
+  * batch-only). */
+class StreamingRollupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val T0 = 1704067200000L // 2024-01-01T00:00:00Z
+
+  private def ts(offsetMs: Long) = new Timestamp(T0 + offsetMs)
+
+  test("streaming minute rollup equals batch rollup on the same data") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Double)]
+    val streamDf = mem.toDF().toDF("ts", "value")
+    val q = StreamingRollup.minuteRollup(streamDf, "ts", "value")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("rollup_parity_sink").start()
+    try {
+      val data = Seq(
+        (ts(0), 1.5), (ts(10_000), 2.5),           // minute 0
+        (ts(61_000), 4.0),                         // minute 1
+        (ts(3_600_000), 8.0), (ts(3_661_000), 1.0) // hour 1
+      )
+      mem.addData(data)
+      q.processAllAvailable()
+      val streamed = spark.table("rollup_parity_sink")
+        .orderBy("slot_ms").collect().map(_.toString).toSeq
+      val batch = RollupBuilder
+        .minuteRollup(data.toDF("ts", "value"), "ts", "value")
+        .orderBy("slot_ms").collect().map(_.toString).toSeq
+      assert(streamed == batch)
+      assert(streamed.size == 4)
+    } finally q.stop()
+  }
+
+  test("rows below the watermark are dropped (µWheel late-data policy)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Double)]
+    val streamDf = mem.toDF().toDF("ts", "value")
+    val q = StreamingRollup.minuteRollup(streamDf, "ts", "value", "0 seconds")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("rollup_late_sink").start()
+    try {
+      mem.addData(Seq((ts(3_600_000), 5.0))) // watermark advances to T0+1h
+      q.processAllAvailable()
+      mem.addData(Seq((ts(0), 99.0)))        // one hour late → dropped
+      q.processAllAvailable()
+      val slots = spark.table("rollup_late_sink")
+        .select("slot_ms").collect().map(_.getLong(0)).toSet
+      assert(slots == Set(T0 + 3_600_000L), s"late row leaked: $slots")
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,116 @@
+package graft.wheel
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.queries.Q
+
+/** Dual-execution + property tests for the wheel index (SURVEY.md §5.2):
+  * the reference compares index vs full scan by eye
+  * (/root/reference/src/main.rs:214–224, 275–276); here it is asserted. */
+class WheelSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val events = Q.t(spark, TestSpark.Sf0001, "events")
+  private lazy val idx = WheelIndex.build(events, "ts", "value")
+
+  private val Jan1 = Q.Jan1
+  private val SpanMinutes = 30 * 24 * 60 // events cover [2024-01-01, 2024-01-31)
+
+  private def scanSum(a: Long, b: Long): Double = {
+    val r = events
+      .filter(unix_millis(col("ts")) >= a && unix_millis(col("ts")) < b)
+      .agg(sum(col("value"))).collect()(0)
+    if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+  }
+
+  private def assertClose(x: Double, y: Double): Unit =
+    assert(math.abs(x - y) <= 1e-6 * math.max(1.0, math.max(math.abs(x), math.abs(y))),
+      s"$x vs $y")
+
+  test("decompose covers [a,b) exactly with disjoint aligned runs") {
+    val gen = for {
+      a <- Gen.choose(0L, SpanMinutes.toLong - 1)
+      len <- Gen.choose(1L, SpanMinutes.toLong - a)
+    } yield (Jan1 + a * 60000L, Jan1 + (a + len) * 60000L)
+    val prop = Prop.forAll(gen) { case (a, b) =>
+      val runs = Decompose(a, b)
+      val contiguous = runs.sliding(2).forall {
+        case Seq(x, y) => x.endMs == y.startMs
+        case _ => true
+      }
+      runs.head.startMs == a && runs.last.endMs == b && contiguous &&
+        runs.forall(r => r.startMs % r.tier.ms == 0 && r.endMs % r.tier.ms == 0) &&
+        runs.map(_.slots).sum <= (b - a) / 60000L
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("decompose uses coarse tiers: full day is a single day run") {
+    val runs = Decompose(Jan1, Jan1 + 86400000L)
+    assert(runs == Seq(Run(Tier.Day, Jan1, Jan1 + 86400000L)))
+  }
+
+  test("wheel query equals full scan on random minute-aligned ranges") {
+    val r = new scala.util.Random(42)
+    (1 to 50).foreach { _ =>
+      val a = r.nextInt(SpanMinutes - 1)
+      val len = 1 + r.nextInt(SpanMinutes - a - 1)
+      val lo = Jan1 + a * 60000L
+      val hi = lo + len * 60000L
+      assertClose(idx.querySum(lo, hi), scanSum(lo, hi))
+    }
+  }
+
+  test("range additivity: query(a,b) + query(b,c) == query(a,c)") {
+    val a = Jan1
+    val b = Jan1 + 86400000L * 7 + 3600000L * 5
+    val c = Jan1 + 86400000L * 20 + 60000L * 17
+    assertClose(idx.querySum(a, b) + idx.querySum(b, c), idx.querySum(a, c))
+  }
+
+  test("empty range is identity; count matches scan") {
+    assert(idx.querySum(Jan1, Jan1) == 0.0)
+    val all = idx.query(Jan1, Jan1 + 31L * 86400000L)
+    assert(all.count == events.count())
+  }
+
+  test("All aggregate (min/max/avg) matches scan aggregates") {
+    val lo = Jan1 + 3 * 86400000L
+    val hi = Jan1 + 11 * 86400000L
+    val got = idx.query(lo, hi)
+    val want = events
+      .filter(unix_millis(col("ts")) >= lo && unix_millis(col("ts")) < hi)
+      .agg(min(col("value")), max(col("value")), count(lit(1)), avg(col("value")))
+      .collect()(0)
+    assert(got.min == want.getDouble(0))
+    assert(got.max == want.getDouble(1))
+    assert(got.count == want.getLong(2))
+    assertClose(got.avg, want.getDouble(3))
+  }
+
+  test("distributed rollup query path agrees with driver-local index") {
+    val rollups = RollupBuilder.buildAll(events, "ts", "value")
+    val lo = Jan1 + 2 * 86400000L + 7 * 3600000L + 26 * 60000L
+    val hi = Jan1 + 27 * 86400000L + 18 * 3600000L + 43 * 60000L
+    val row = WheelIndex.queryDistributed(rollups, lo, hi).collect()(0)
+    val local = idx.query(lo, hi)
+    assertClose(row.getDouble(0), local.sum)
+    assert(row.getLong(1) == local.count)
+    assert(row.getDouble(2) == local.min)
+    assert(row.getDouble(3) == local.max)
+  }
+
+  test("explain names the tier decomposition") {
+    val s = idx.explain(Jan1 + 60000L, Jan1 + 2 * 86400000L + 3600000L + 120000L)
+    assert(s.contains("minute") && s.contains("hour") && s.contains("day"))
+    assert(s.contains("runs"))
+  }
+
+  test("index footprint is time-bounded, not row-bounded") {
+    // 30 days: 43 200 min + 720 h + 30 d slots × 4 arrays × 8 B ≈ 1.4 MB
+    assert(idx.sizeBytes < 2 * 1024 * 1024)
+    assert(idx.slotCounts(Tier.Minute) == 30 * 24 * 60)
+  }
+}
