@@ -1,5 +1,22 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.queries.Q
+import graft.wheel.WheelCatalog
+
+/** Benchmark main (driver contract): runs every declared query once at
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
+  *
+  * Queries are executed with a `noop` write — the full plan runs
+  * (scan → shuffle → sink) with no output cost; `.count()` would let
+  * Catalyst prune the work down to row counting.
+  *
+  * Also reproduces the reference's headline comparison (QPS of repeated
+  * index-path range queries vs full scans, /root/reference/src/main.rs:
+  * 205–235 & 260–288): `wheel_vs_scan` reports per-query latency of the
+  * cached WheelIndex vs an equivalent filter+sum DataFrame over random
+  * minute-aligned ranges — the ≥10× bar of BASELINE.md. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +24,64 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val wheelScan = wheelVsScan(spark, sfDir)
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""wheel_vs_scan":$wheelScan,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Reference-style repeated-range-query comparison. Returns a JSON
+    * object string. Wheel path: cached driver-local index (µs-scale, no
+    * Spark job). Scan path: filter+sum DataFrame per range. */
+  private def wheelVsScan(spark: SparkSession, sfDir: String): String = {
+    val idx = WheelCatalog.cached(s"$sfDir/events.parquet")(Q.t(spark, sfDir, "events"))
+    val events = Q.t(spark, sfDir, "events").select(
+      unix_millis(col("ts")).as("tms"), col("value")).cache()
+    events.count() // materialize the cache; the scan path still runs a full Spark job per query
+    val rng = new scala.util.Random(42)
+    val spanMin = 30 * 24 * 60
+    val ranges = Seq.fill(1000) {
+      val a = rng.nextInt(spanMin - 1)
+      val len = 1 + rng.nextInt(spanMin - a - 1)
+      (Q.Jan1 + a * 60000L, Q.Jan1 + (a + len) * 60000L)
+    }
+
+    // wheel path: all 1000 ranges
+    val w0 = System.nanoTime()
+    var acc = 0.0
+    ranges.foreach { case (a, b) => acc += idx.querySum(a, b) }
+    val wheelUs = (System.nanoTime() - w0) / 1e3 / ranges.size
+
+    // scan path: 20 ranges (a full Spark job each — the reference's
+    // DataFusion path, /root/reference/src/main.rs:260–288)
+    val scanRanges = ranges.take(20)
+    val s0 = System.nanoTime()
+    scanRanges.foreach { case (a, b) =>
+      events.filter(col("tms") >= a && col("tms") < b)
+        .agg(sum(col("value"))).collect()
+    }
+    val scanUs = (System.nanoTime() - s0) / 1e3 / scanRanges.size
+    events.unpersist()
+    if (acc.isNaN) System.err.println("unexpected NaN")
+    f"""{"wheel_us_per_query":$wheelUs%.2f,"scan_us_per_query":$scanUs%.2f,""" +
+      f""""speedup":${scanUs / wheelUs}%.1f}"""
   }
 }

@@ -25,14 +25,24 @@ object VectorFunctions {
     when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot(a, b) / (na * nb))
   }
 
-  /** Plain-Scala cosine, the test oracle for the DataFrame expression. */
-  def cosineLocal(a: Array[Double], b: Array[Double]): Double = {
-    var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-    while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-    // same op order as the Column expression (sqrt(na)*sqrt(nb)), so the
-    // test comparison is bit-exact, not just tolerance-close
-    if (na == 0.0 || nb == 0.0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+  /** Plain-Scala dot, mirroring [[DotProduct]]'s loop order exactly. */
+  def dotLocal(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { d += a(i) * b(i); i += 1 }
+    d
   }
+
+  /** Plain-Scala normalize, mirroring the `transform(v, _ / nrm)` plan. */
+  def normalizeLocal(a: Array[Double]): Array[Double] = {
+    val nrm = math.sqrt(dotLocal(a, a))
+    if (nrm == 0.0) a else a.map(_ / nrm)
+  }
+
+  /** Plain-Scala cosine via normalize-then-dot — the exact op order of
+    * the Similarity query plans, so test comparisons are bit-exact. */
+  def cosineLocal(a: Array[Double], b: Array[Double]): Double =
+    dotLocal(normalizeLocal(a), normalizeLocal(b))
 
   /** Deterministic random hyperplanes for sign-LSH: `n` planes × `dim`,
     * fixed seed — identical on driver and executors. */

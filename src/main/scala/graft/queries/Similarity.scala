@@ -9,8 +9,9 @@ import Q._
   * "approximate-nearest-neighbor over an embedding column"):
   * brute-force cosine top-k as the exactness baseline, an all-pairs
   * near-duplicate join, and a sign-LSH bucketed variant as the scale
-  * path. Cosine is pure higher-order-function expressions
-  * (`zip_with`/`aggregate`) — codegen, no UDF in the scoring loop.
+  * path. Scoring = normalize once per vector, then the native codegen
+  * [[graft.functions.DotProduct]] per pair — no boxing in the hot loop
+  * (the higher-order-function formulation was ~20× slower).
   *
   * None of these carry a SQL oracle (float-order sensitivity — SURVEY.md
   * §2.6); ScalaTest verifies them against a plain-Scala brute force.
@@ -30,8 +31,22 @@ object Similarity {
   private val LshTables = 8
   private val LshPlanesPerTable = 6
 
-  private def embeddings(s: org.apache.spark.sql.SparkSession, dir: String) =
-    t(s, dir, "embeddings").select(col("vec_id"), asDouble(col("embedding")).as("v"))
+  /** Vectors L2-normalized ONCE per row (norms are not recomputed per
+    * pair), so pair similarity is a single codegen [[graft.functions
+    * .DotProduct]] — the hot-path shape that survives a 100× scale-up. */
+  private def embeddings(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    graft.functions.DotProduct.register(s)
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("raw"))
+      .withColumn("nrm", sqrt(call_function("graft_dot", col("raw"), col("raw"))))
+      .withColumn("v", when(col("nrm") === 0.0, col("raw"))
+        .otherwise(transform(col("raw"), _ / col("nrm"))))
+      .select(col("vec_id"), col("v"))
+  }
+
+  /** Cosine of two pre-normalized vectors = codegen dot product. */
+  private def sim(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    call_function("graft_dot", a, b)
 
   val queries: Map[String, Fn] = Map(
     // Brute-force cosine top-k: broadcast the bounded query set, stream
@@ -44,7 +59,7 @@ object Similarity {
         .orderBy(col("sim").desc, col("vec_id"))
       all.crossJoin(q)
         .filter(col("vec_id") =!= col("query_id"))
-        .withColumn("sim", cosine(col("qv"), col("v")))
+        .withColumn("sim", sim(col("qv"), col("v")))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= TopK)
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -61,7 +76,7 @@ object Similarity {
         .withColumnRenamed("vec_id", "vec_b").withColumnRenamed("v", "vb")
       a.crossJoin(b)
         .filter(col("vec_a") < col("vec_b"))
-        .withColumn("sim", cosine(col("va"), col("vb")))
+        .withColumn("sim", sim(col("va"), col("vb")))
         .filter(col("sim") > NearDupThreshold)
         .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("sim"))
         .orderBy(col("vec_a"), col("vec_b"))
@@ -95,7 +110,7 @@ object Similarity {
       all.join(q, "bucket")
         .filter(col("vec_id") =!= col("query_id"))
         .dropDuplicates("query_id", "vec_id")
-        .withColumn("sim", cosine(col("qv"), col("v")))
+        .withColumn("sim", sim(col("qv"), col("v")))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= TopK)
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
