@@ -5,12 +5,18 @@ import org.apache.spark.sql.functions._
 import graft.queries.Q
 import graft.wheel.WheelCatalog
 
-/** Benchmark main (driver contract): runs every declared query once at
+/** Benchmark main (driver contract): runs every declared query at
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
   *
   * Queries are executed with a `noop` write — the full plan runs
   * (scan → shuffle → sink) with no output cost; `.count()` would let
   * Catalyst prune the work down to row counting.
+  *
+  * Each query runs twice and the SECOND (warm) time is reported — the
+  * reference's methodology: it benches per-query latency over 1 000
+  * repeated queries in a warm process (/root/reference/src/main.rs:
+  * 31–32, 260–288), never JVM/JIT cold-start. `cold_total_sec` reports
+  * the first-pass total for transparency.
   *
   * Also reproduces the reference's headline comparison (QPS of repeated
   * index-path range queries vs full scans, /root/reference/src/main.rs:
@@ -29,22 +35,27 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    def runAll(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        name -> (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+
+    val cold = runAll()
+    val results = runAll()
 
     val wheelScan = wheelVsScan(spark, sfDir)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val coldTotal = cold.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""wheel_vs_scan":$wheelScan,"sf":"$sfDir"}""")
+      s""""cold_total_sec":$coldTotal,"wheel_vs_scan":$wheelScan,"sf":"$sfDir"}""")
     spark.stop()
   }
 

