@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+import graft.wheel.AllAggregate
+
+/** The µWheel aggregator framework re-expressed as Spark's typed
+  * `Aggregator[IN, BUF, OUT]` typeclass (SURVEY.md §2.2): µWheel's
+  * lift/combine/lower with an identity element maps 1:1 onto
+  * zero/reduce+merge/finish. Only `F64SumAggregator` is exercised by the
+  * reference (/root/reference/src/main.rs:15); the shipped family
+  * (Sum/Min/Max/Avg/All/TopN) is the capability surface, reproduced here:
+  * sum/min/max/avg/count are Spark built-ins, `All` and `TopN` below.
+  *
+  * Registered via `functions.udaf` — they run as real partial/final
+  * `ObjectHashAggregate` with map-side combine, so the shuffle moves one
+  * buffer per group per partition, not rows; the same merge-partials
+  * contract that makes the wheel build scale (SURVEY.md §4.3).
+  */
+object Aggregators {
+
+  /** µWheel's composite `All` aggregator: one pass, one buffer →
+    * sum/count/min/max/avg. */
+  final case class AllOut(sum_v: Double, cnt: Long, min_v: Double,
+      max_v: Double, avg_v: Double)
+
+  val allAgg: Aggregator[Double, AllAggregate, AllOut] =
+    new Aggregator[Double, AllAggregate, AllOut] {
+      override def zero: AllAggregate = AllAggregate.identity
+      override def reduce(b: AllAggregate, v: Double): AllAggregate =
+        b.combine(AllAggregate.lift(v))
+      override def merge(a: AllAggregate, b: AllAggregate): AllAggregate =
+        a.combine(b)
+      override def finish(r: AllAggregate): AllOut =
+        AllOut(r.sum, r.count, r.min, r.max, r.avg)
+      override def bufferEncoder: Encoder[AllAggregate] = Encoders.product
+      override def outputEncoder: Encoder[AllOut] = Encoders.product
+    }
+
+  /** µWheel's `TopN`: bounded top-`n` values per group, descending. The
+    * buffer is a ≤n sorted vector, so combine is O(n) and the partial
+    * shuffled per group is bounded by config, not data — the same
+    * bounded-heap semantics as uwheel's TopN aggregator. */
+  final case class TopN(n: Int) extends Aggregator[Double, Seq[Double], Seq[Double]] {
+    override def zero: Seq[Double] = Vector.empty
+    override def reduce(b: Seq[Double], v: Double): Seq[Double] = trim(b :+ v)
+    override def merge(a: Seq[Double], b: Seq[Double]): Seq[Double] = trim(a ++ b)
+    override def finish(r: Seq[Double]): Seq[Double] = r
+    private def trim(xs: Seq[Double]): Seq[Double] =
+      xs.sorted(Ordering[Double].reverse).take(n)
+    override def bufferEncoder: Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+    override def outputEncoder: Encoder[Seq[Double]] = bufferEncoder
+  }
+
+  /** Register both on a session as SQL-callable UDAFs. */
+  def register(spark: org.apache.spark.sql.SparkSession, topN: Int = 3): Unit = {
+    spark.udf.register("graft_all", udaf(allAgg))
+    spark.udf.register("graft_topn", udaf(TopN(topN)))
+  }
+}

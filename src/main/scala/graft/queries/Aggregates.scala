@@ -79,7 +79,39 @@ object Aggregates {
       t(s, dir, "events")
         .groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id")).as("approx_users"))
-        .orderBy(col("event_type"))))
+        .orderBy(col("event_type"))),
+
+    // µWheel's composite `All` aggregator as a typed Aggregator UDAF
+    // (SURVEY.md §2.2 / §7.5): one buffer carries sum/count/min/max
+    // through partial+final ObjectHashAggregate; avg derived at finish
+    // (lower). Oracle = the equivalent multi-aggregate SQL.
+    "q_agg_all_udaf" -> ((s, dir) => {
+      graft.functions.Aggregators.register(s)
+      t(s, dir, "events")
+        .filter(unix_millis(col("ts")) >= lit(Q.R1Start) &&
+          unix_millis(col("ts")) < lit(Q.R1End))
+        .agg(expr("graft_all(value)").as("r"))
+        .select(
+          round(col("r.sum_v"), 2).as("sum_value"),
+          col("r.cnt").as("n"),
+          round(col("r.min_v"), 4).as("min_value"),
+          round(col("r.max_v"), 4).as("max_value"),
+          round(col("r.avg_v"), 4).as("avg_value"))
+    }),
+
+    // µWheel's `TopN` aggregator (SURVEY.md §2.2 / §7.5): bounded-heap
+    // buffer, so the per-group shuffle payload is O(n), never O(rows).
+    // Oracle = ROW_NUMBER window ≤ n (value-identical under price ties).
+    "q_topn_udaf" -> ((s, dir) => {
+      graft.functions.Aggregators.register(s)
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(expr("graft_topn(o_totalprice)").as("tops"))
+        .select(col("o_custkey"), posexplode(col("tops")))
+        .select(col("o_custkey"), (col("pos") + 1).cast("long").as("rk"),
+          col("col").as("price"))
+        .orderBy(col("o_custkey"), col("rk"))
+    }))
 
   val oracle: Map[String, String] = Map(
     "q_agg_group" ->
@@ -107,5 +139,15 @@ object Aggregates {
       ("SELECT o_orderstatus, o_orderpriority, COUNT(1) AS n, " +
         s"${moneySumSql("o_totalprice")} AS total " +
         "FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ()) " +
-        "ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"))
+        "ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"),
+    "q_agg_all_udaf" ->
+      (s"SELECT ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n, " +
+        "ROUND(MIN(value), 4) AS min_value, ROUND(MAX(value), 4) AS max_value, " +
+        "ROUND(AVG(value), 4) AS avg_value " +
+        s"FROM events WHERE epoch_ms(ts) >= ${Q.R1Start} AND epoch_ms(ts) < ${Q.R1End}"),
+    "q_topn_udaf" ->
+      ("SELECT o_custkey, CAST(rn AS BIGINT) AS rk, o_totalprice AS price FROM (" +
+        "SELECT o_custkey, o_totalprice, ROW_NUMBER() OVER (" +
+        "PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rn FROM orders) " +
+        "WHERE rn <= 3 ORDER BY o_custkey, rk"))
 }

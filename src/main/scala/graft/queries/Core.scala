@@ -67,6 +67,21 @@ object Core {
       val idx = WheelCatalog.cached(s"$dir/events.parquet")(t(s, dir, "events"))
       val raw = idx.querySum(R2Start, R2End)
       s.range(1).select(round(lit(raw), 2).as("sum_value"))
+    }),
+
+    // Auto-accelerated SQL (SURVEY.md §4.2 v2 stretch): plain SQL text,
+    // but a registered graft.plans.WheelSumRewrite optimizer rule
+    // replaces the scan+filter+agg subtree with the wheel answer — the
+    // reference selects its index path by hand (src/main.rs:67–68); here
+    // Catalyst selects it. Plan-level rewrite asserted in ScalaTest.
+    "q_wheel_sql" -> ((s, dir) => {
+      graft.plans.WheelAcceleration.register(
+        s, s"$dir/events.parquet", t(s, dir, "events"))
+      t(s, dir, "events").createOrReplaceTempView("events_wheel")
+      s.sql(
+        s"""SELECT ROUND(SUM(value), 2) AS sum_value FROM events_wheel
+           |WHERE unix_millis(ts) >= $R3Start AND unix_millis(ts) < $R3End
+           |""".stripMargin)
     }))
 
   private def rangeSumSql(a: Long, b: Long): String =
@@ -94,5 +109,6 @@ object Core {
     "q_rollup_minute" -> rollupSql(60000L),
     "q_rollup_hour" -> rollupSql(3600000L),
     "q_rollup_day" -> rollupSql(86400000L),
-    "q_wheel_query" -> rangeSumSql(R2Start, R2End))
+    "q_wheel_query" -> rangeSumSql(R2Start, R2End),
+    "q_wheel_sql" -> rangeSumSql(R3Start, R3End))
 }

@@ -45,4 +45,9 @@ object Q {
     * [2024-01-03T07:26, 2024-01-28T18:43). */
   val R2Start: Long = Jan1 + 2 * Day + 7 * Hour + 26 * Minute
   val R2End: Long = Jan1 + 27 * Day + 18 * Hour + 43 * Minute
+
+  /** Auto-rewrite (optimizer-rule) demo range:
+    * [2024-01-02T00:15, 2024-01-20T11:04). */
+  val R3Start: Long = Jan1 + 1 * Day + 15 * Minute
+  val R3End: Long = Jan1 + 19 * Day + 11 * Hour + 4 * Minute
 }

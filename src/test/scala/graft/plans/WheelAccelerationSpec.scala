@@ -1,0 +1,92 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.queries.Q
+
+/** The Catalyst auto-rewrite (SURVEY.md §4.2 v2 stretch): a registered
+  * wheel index transparently answers scan+filter+ungrouped-agg SQL. */
+class WheelAccelerationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.Sf0001
+  private val path = s"$dir/events.parquet"
+
+  private def events = Q.t(spark, dir, "events")
+
+  private def rangeSql(a: Long, b: Long, select: String) = {
+    events.createOrReplaceTempView("events_accel")
+    spark.sql(s"SELECT $select FROM events_accel " +
+      s"WHERE unix_millis(ts) >= $a AND unix_millis(ts) < $b")
+  }
+
+  private def register(): Unit =
+    WheelAcceleration.register(spark, path, events)
+
+  test("minute-aligned range SUM is rewritten to a LocalRelation") {
+    register()
+    val df = rangeSql(Q.R1Start, Q.R1End, "ROUND(SUM(value), 2) AS s")
+    assert(df.queryExecution.optimizedPlan.collect {
+      case l: LocalRelation => l
+    }.nonEmpty, df.queryExecution.optimizedPlan.treeString)
+    assert(df.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+  }
+
+  test("rewritten result equals the full-scan result (sum/min/max/avg/count)") {
+    register()
+    val accel = rangeSql(Q.R2Start, Q.R2End,
+      "SUM(value) AS s, MIN(value) AS mn, MAX(value) AS mx, " +
+        "AVG(value) AS av, COUNT(*) AS n").collect()(0)
+    val scan = events
+      .filter(unix_millis(col("ts")) >= Q.R2Start && unix_millis(col("ts")) < Q.R2End)
+      .agg(sum("value"), min("value"), max("value"), avg("value"), count(lit(1)))
+      .collect()(0)
+    assert(accel.getLong(4) == scan.getLong(4))
+    assert(math.abs(accel.getDouble(0) - scan.getDouble(0)) < 1e-6)
+    assert(accel.getDouble(1) == scan.getDouble(1))
+    assert(accel.getDouble(2) == scan.getDouble(2))
+    assert(math.abs(accel.getDouble(3) - scan.getDouble(3)) < 1e-9)
+  }
+
+  test("unaligned or extra-predicate queries are NOT rewritten") {
+    register()
+    val unaligned = rangeSql(Q.R1Start + 1, Q.R1End, "SUM(value) AS s")
+    assert(unaligned.queryExecution.optimizedPlan.collect {
+      case l: LocalRelation => l
+    }.isEmpty)
+
+    events.createOrReplaceTempView("events_accel")
+    val extraPred = spark.sql(
+      s"SELECT SUM(value) AS s FROM events_accel WHERE unix_millis(ts) >= ${Q.R1Start} " +
+        s"AND unix_millis(ts) < ${Q.R1End} AND event_type = 'click'")
+    assert(extraPred.queryExecution.optimizedPlan.collect {
+      case l: LocalRelation => l
+    }.isEmpty, extraPred.queryExecution.optimizedPlan.treeString)
+    // and it still executes correctly through the normal path
+    assert(extraPred.collect().length == 1)
+  }
+
+  test("grouped aggregates are NOT rewritten") {
+    register()
+    val grouped = spark.sql(
+      s"SELECT event_type, SUM(value) AS s FROM events_accel " +
+        s"WHERE unix_millis(ts) >= ${Q.R1Start} AND unix_millis(ts) < ${Q.R1End} " +
+        "GROUP BY event_type")
+    assert(grouped.queryExecution.optimizedPlan.collect {
+      case l: LocalRelation => l
+    }.isEmpty)
+  }
+
+  test("empty aligned range returns count 0 and null sum") {
+    register()
+    val a = Q.Jan1
+    val df = rangeSql(a, a, "SUM(value) AS s, COUNT(*) AS n")
+    assert(df.queryExecution.optimizedPlan.collect {
+      case l: LocalRelation => l
+    }.nonEmpty)
+    val row = df.collect()(0)
+    assert(row.isNullAt(0) && row.getLong(1) == 0L)
+  }
+}
