@@ -38,6 +38,9 @@ object Bench {
 
     def runAll(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        // q_wheel_sql registers transparent wheel acceleration; reset so
+        // scan-path queries keep measuring the scan path on later passes.
+        graft.plans.WheelAcceleration.clear()
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>

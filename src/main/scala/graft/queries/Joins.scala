@@ -84,6 +84,29 @@ object Joins {
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n"), sum(col("l_quantity")).cast("double").as("sum_qty"))
         .orderBy(col("bucket"))
+    }),
+
+    // As-of join (no native Spark operator — SURVEY.md §2.3 joins row):
+    // each event matches the user's most recent order at-or-before the
+    // event time. Implemented as the scalable union trick: tag + union
+    // both sides, ONE shuffle on the key, and a running
+    // last(ignoreNulls) over (key, time, tag) — O(n log n) within
+    // partitions, no quadratic inequality-join blowup, which is the
+    // formulation that survives 100 TB. Ties at equal time sort the
+    // order row first (tag 0 < 1) = at-or-before. Oracle: DuckDB's
+    // native ASOF JOIN. Time-interleaving correctness is additionally
+    // unit-tested on synthetic data (JoinsSpec).
+    "q_join_asof" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(
+        col("user_id"), unix_millis(col("ts")).as("t"), col("event_id"))
+      // o_orderdate is TIMESTAMP_NTZ; session TZ is pinned UTC, so the
+      // cast to TIMESTAMP is the same instant.
+      val odateMs = unix_millis(col("o_orderdate").cast("timestamp"))
+      val or = t(s, dir, "orders").select(
+        col("o_custkey").as("user_id"), odateMs.as("t"), odateMs.as("asof_ms"))
+      graft.operators.AsOfJoin(ev, or, "user_id", "t", Seq("asof_ms"))
+        .select(col("event_id"), col("user_id"), col("asof_ms"))
+        .orderBy(col("event_id"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -112,5 +135,10 @@ object Joins {
       (s"SELECT b.bucket, COUNT(1) AS n, CAST(SUM(l.l_quantity) AS DOUBLE) AS sum_qty " +
         s"FROM lineitem l JOIN (VALUES $bucketsSqlValues) AS b(bucket, lo, hi) " +
         "ON l.l_quantity >= b.lo AND l.l_quantity < b.hi " +
-        "GROUP BY b.bucket ORDER BY b.bucket"))
+        "GROUP BY b.bucket ORDER BY b.bucket"),
+    "q_join_asof" ->
+      ("SELECT e.event_id, e.user_id, epoch_ms(o.o_orderdate) AS asof_ms " +
+        "FROM events e ASOF JOIN orders o " +
+        "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate " +
+        "ORDER BY e.event_id"))
 }

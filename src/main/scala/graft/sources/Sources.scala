@@ -1,0 +1,44 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink surface (SURVEY.md §2.3 "Sources/sinks" row: the
+  * reference's engine registers parquet and, via its SQL dependency, can
+  * read CSV/JSON/memory tables — /root/reference/src/main.rs:42–46 plus
+  * the dependency surface).
+  *
+  * Spark-first mapping with one deliberate policy: **readers take an
+  * explicit schema** — `inferSchema` on CSV/JSON is an extra full pass
+  * over the data and a schema-drift hazard; at 100 TB it is simply
+  * wrong. Parquet carries its own schema in the footer.
+  */
+object Sources {
+
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Headered CSV with a caller-supplied schema (no inference pass). */
+  def csv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("header", "true").csv(path)
+
+  /** JSON-lines with a caller-supplied schema (no inference pass). */
+  def json(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** In-memory rows as a table — the analogue of a registered memory
+    * table; used by specs and examples. */
+  def memory(spark: SparkSession, rows: Seq[org.apache.spark.sql.Row],
+      schema: StructType): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, math.max(1, rows.size / 1000)), schema)
+
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+}

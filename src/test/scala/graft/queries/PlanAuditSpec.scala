@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, TestSpark}
+
+/** Physical-plan audits: the 100 TB-posture properties (filter pushdown,
+  * column pruning, broadcast choice, whole-stage codegen, partial
+  * aggregation) asserted on the actual executed plans, not claimed in
+  * prose. A regression that silently de-optimizes a plan fails here even
+  * though results stay correct. */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.Sf0001
+
+  /** Final (post-AQE) executed plan: collect() first so
+    * AdaptiveSparkPlanExec prints the finalized plan, codegen stages
+    * included. */
+  private def plan(name: String): String = {
+    // other suites may have registered wheel acceleration; audit each
+    // query's own execution path (q_wheel_sql re-registers itself)
+    graft.plans.WheelAcceleration.clear()
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q_filter_pred pushes its predicates into the parquet scan") {
+    val p = plan("q_filter_pred")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity)"), p)
+    assert(p.contains("GreaterThan(l_quantity,25.0)"), p)
+  }
+
+  test("q_scan_project prunes the scan to exactly the selected columns") {
+    val p = plan("q_scan_project")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"), p)
+  }
+
+  test("q_join_broadcast plans a broadcast hash join (no shuffle for the dim)") {
+    val p = plan("q_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_join_range broadcasts the 5-row bucket side (BNLJ, not cartesian shuffle)") {
+    val p = plan("q_join_range")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_time_range_sum splits into partial + final aggregation") {
+    val p = plan("q_time_range_sum")
+    assert(p.contains("partial_"), p) // map-side combine before the exchange
+    assert(p.contains("*("), p) // codegen stage markers
+  }
+
+  test("q_agg_group keeps the whole pipeline inside whole-stage codegen") {
+    val p = plan("q_agg_group")
+    assert(p.contains("*("), p) // codegen stage markers
+    assert(p.contains("partial_"), p)
+  }
+
+  test("q_wheel_query runs NO scan at all (index path)") {
+    val p = plan("q_wheel_query")
+    assert(!p.contains("FileScan"), p)
+  }
+
+  test("q_wheel_sql is rewritten to a LocalTableScan (index path behind SQL)") {
+    val p = plan("q_wheel_sql")
+    assert(p.contains("LocalTableScan"), p)
+    assert(!p.contains("FileScan"), p)
+  }
+
+  test("q_sim_topk broadcasts the bounded query set against the full corpus") {
+    val p = plan("q_sim_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+}
