@@ -35,4 +35,28 @@ object StreamingRollup {
 
   /** Slot width sanity: streaming windows are exactly the finest tier. */
   val SlotMs: Long = Tier.Minute.ms
+
+  /** Sliding-window aggregate (µWheel's window API supports sliding
+    * windows — SURVEY.md §2.5): overlapping `size`/`slide` windows,
+    * same partial schema keyed by window start. */
+  def slidingRollup(events: DataFrame, tsCol: String, valueCol: String,
+      size: String, slide: String, watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), size, slide).as("w"))
+      .agg(sum(col(valueCol)).as("sum_v"), count(col(valueCol)).as("cnt"))
+      .select(unix_millis(col("w.start")).as("slot_ms"), col("sum_v"), col("cnt"))
+
+  /** Session-window aggregate (SURVEY.md §2.5): per-key sessions closed
+    * after `gap` of event-time inactivity. */
+  def sessionRollup(events: DataFrame, tsCol: String, keyCol: String,
+      valueCol: String, gap: String, watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap).as("w"))
+      .agg(sum(col(valueCol)).as("sum_v"), count(col(valueCol)).as("cnt"))
+      .select(col(keyCol),
+        unix_millis(col("w.start")).as("session_start_ms"),
+        unix_millis(col("w.end")).as("session_end_ms"),
+        col("sum_v"), col("cnt"))
 }

@@ -43,6 +43,50 @@ class StreamingRollupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sliding windows overlap: one event lands in size/slide windows") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Double)]
+    val q = StreamingRollup
+      .slidingRollup(mem.toDF().toDF("ts", "value"), "ts", "value",
+        "2 minutes", "1 minute")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("rollup_sliding_sink").start()
+    try {
+      mem.addData(Seq((ts(90_000), 5.0))) // minute 1.5 → windows [0,2) and [1,3)
+      q.processAllAvailable()
+      val rows = spark.table("rollup_sliding_sink")
+        .orderBy("slot_ms").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+      assert(rows == Seq((T0, 5.0, 1L), (T0 + 60_000L, 5.0, 1L)))
+    } finally q.stop()
+  }
+
+  test("session windows close after the inactivity gap, per key") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val q = StreamingRollup
+      .sessionRollup(mem.toDF().toDF("ts", "user_id", "value"),
+        "ts", "user_id", "value", "5 minutes")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("rollup_session_sink").start()
+    try {
+      mem.addData(Seq(
+        (ts(0), 1L, 1.0), (ts(60_000), 1L, 2.0),   // user 1, one session
+        (ts(3_600_000), 1L, 4.0),                  // user 1, > gap later → new session
+        (ts(30_000), 2L, 8.0)))                    // user 2
+      q.processAllAvailable()
+      val rows = spark.table("rollup_session_sink")
+        .orderBy("user_id", "session_start_ms").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getLong(4))).toSeq
+      assert(rows == Seq(
+        (1L, T0, 3.0, 2L),
+        (1L, T0 + 3_600_000L, 4.0, 1L),
+        (2L, T0 + 30_000L, 8.0, 1L)))
+    } finally q.stop()
+  }
+
   test("rows below the watermark are dropped (µWheel late-data policy)") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
