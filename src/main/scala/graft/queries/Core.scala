@@ -61,6 +61,16 @@ object Core {
     "q_rollup_hour" -> ((s, dir) => rollup(s, dir, Tier.Hour)),
     "q_rollup_day" -> ((s, dir) => rollup(s, dir, Tier.Day)),
 
+    // Per-key wheel tier (SURVEY.md §7.8 #6): the wheel generalized to
+    // GROUP BY dimension × time slot; cardinality |keys| × slots, still
+    // time-bounded per key.
+    "q_rollup_keyed" -> ((s, dir) =>
+      RollupBuilder.keyedRollup(
+        t(s, dir, "events"), "event_type", "ts", "value", Tier.Hour)
+        .select(col("event_type"), col("slot_ms"),
+          round(col("sum_v"), 2).as("sum_value"), col("cnt").as("n"))
+        .orderBy(col("event_type"), col("slot_ms"))),
+
     // Index path (SURVEY.md §3.2): answered from the cached WheelIndex —
     // range decomposition + partial combines, no scan, no Spark job.
     "q_wheel_query" -> ((s, dir) => {
@@ -109,6 +119,10 @@ object Core {
     "q_rollup_minute" -> rollupSql(60000L),
     "q_rollup_hour" -> rollupSql(3600000L),
     "q_rollup_day" -> rollupSql(86400000L),
+    "q_rollup_keyed" ->
+      ("SELECT event_type, (epoch_ms(ts) // 3600000) * 3600000 AS slot_ms, " +
+        "ROUND(SUM(value), 2) AS sum_value, COUNT(value) AS n " +
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
     "q_wheel_query" -> rangeSumSql(R2Start, R2End),
     "q_wheel_sql" -> rangeSumSql(R3Start, R3End))
 }

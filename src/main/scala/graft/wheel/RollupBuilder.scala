@@ -57,4 +57,30 @@ object RollupBuilder {
     val day = coarsen(hour, Tier.Day)
     Map(Tier.Minute -> minute, Tier.Hour -> hour, Tier.Day -> day)
   }
+
+  /** Per-key wheel: rollup keyed by (dimension, slot) — how the
+    * single-measure wheel generalizes to `GROUP BY dim` queries
+    * (SURVEY.md §7.8 #6). Cardinality is bounded by |keys| × time slots,
+    * still independent of row count; one map-side-combined shuffle. */
+  def keyedRollup(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, tier: Tier): DataFrame =
+    events
+      .select(col(keyCol), slotMs(col(tsCol), tier).as("slot_ms"), col(valueCol).as("v"))
+      .groupBy(col(keyCol), col("slot_ms"))
+      .agg(
+        sum(col("v")).as("sum_v"),
+        count(col("v")).as("cnt"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"))
+
+  /** Coarsen a keyed rollup, preserving the key. */
+  def coarsenKeyed(finer: DataFrame, keyCol: String, tier: Tier): DataFrame =
+    finer
+      .groupBy(col(keyCol),
+        ((col("slot_ms").divide(lit(tier.ms))).cast("long") * lit(tier.ms)).as("slot_ms"))
+      .agg(
+        sum(col("sum_v")).as("sum_v"),
+        sum(col("cnt")).as("cnt"),
+        min(col("min_v")).as("min_v"),
+        max(col("max_v")).as("max_v"))
 }
