@@ -55,6 +55,30 @@ object Aggregators {
     override def outputEncoder: Encoder[Seq[Double]] = bufferEncoder
   }
 
+  /** Bounded id-collect for LSH bucket materialization: the buffer keeps
+    * at most `cap + 1` ids, so a pathological mega-bucket (e.g. a million
+    * identical boilerplate docs hashing to one band key — common in crawl
+    * data) costs O(cap) memory instead of OOMing the aggregation buffer.
+    * A result of length `cap + 1` is the overflow marker: the bucket had
+    * MORE than `cap` members and downstream pair-emission drops it (the
+    * standard oversized-bucket guard), without ever materializing it.
+    * Partial buffers are capped too, so per-group shuffled state is
+    * ≤ cap+1 longs regardless of data volume. */
+  final case class BoundedCollect(cap: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+    private val limit = cap + 1
+    override def zero: Seq[Long] = Vector.empty
+    override def reduce(b: Seq[Long], v: Long): Seq[Long] =
+      if (b.length >= limit) b else b :+ v
+    override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+      if (a.length >= limit) a
+      else if (b.length >= limit) b
+      else (a ++ b).take(limit)
+    override def finish(r: Seq[Long]): Seq[Long] = r
+    override def bufferEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+    override def outputEncoder: Encoder[Seq[Long]] = bufferEncoder
+  }
+
   /** Register both on a session as SQL-callable UDAFs. */
   def register(spark: org.apache.spark.sql.SparkSession, topN: Int = 3): Unit = {
     spark.udf.register("graft_all", udaf(allAgg))

@@ -7,19 +7,20 @@ import Q._
 
 /** Similarity search over the embeddings table (builder prompt:
   * "approximate-nearest-neighbor over an embedding column"):
-  * brute-force cosine top-k as the exactness baseline, an all-pairs
-  * near-duplicate join, and a sign-LSH bucketed variant as the scale
-  * path. Scoring = normalize once per vector, then the native codegen
-  * [[graft.functions.DotProduct]] per pair — no boxing in the hot loop
-  * (the higher-order-function formulation was ~20× slower).
+  * brute-force cosine top-k as the exactness baseline, LSH-candidate
+  * near-duplicate pairs with exact verification, and a sign-LSH bucketed
+  * ANN as the scale path. Scoring = normalize once per vector, then the
+  * native codegen [[graft.functions.DotProduct]] per pair — no boxing in
+  * the hot loop (the higher-order-function formulation was ~20× slower).
   *
   * None of these carry a SQL oracle (float-order sensitivity — SURVEY.md
   * §2.6); ScalaTest verifies them against a plain-Scala brute force.
   *
-  * Scale posture: the query set and the LSH bucket map are broadcast;
-  * candidates stream. Brute-force top-k is O(Q·N) with Q bounded — the
-  * honest baseline; the LSH variant prunes N to a bucket, which is the
-  * 100 TB path (per-bucket shuffles, no cross join of the full table). */
+  * Scale posture: the query set is broadcast and candidates stream;
+  * near-dup and ANN both go through bucket hash-shuffles with
+  * bounded-memory bucket collection — no cross join of the full table
+  * anywhere (asserted in PlanAuditSpec). Brute-force top-k is O(Q·N)
+  * with Q bounded — the honest exactness baseline. */
 object Similarity {
 
   private val NumQueries = 50
@@ -30,6 +31,33 @@ object Similarity {
   // bucket selectivity, L buys recall.
   private val LshTables = 8
   private val LshPlanesPerTable = 6
+  // Near-dup banding runs wider/shallower (more tables, fewer planes):
+  // at the declared τ=0.4 (θ≈66°) a pair collides in one of 16 4-plane
+  // tables with p ≈ 1-(1-0.63⁴)¹⁶ ≈ 0.94; true near-dups (θ→0) are
+  // found with probability ≈ 1. Deterministic planes ⇒ deterministic
+  // recall on a fixed fixture (asserted in SimilaritySpec).
+  private val DupTables = 16
+  private val DupPlanesPerTable = 4
+
+  /** Multi-table sign-LSH bucket ids (one per table) for a normalized
+    * vector — shared by the ANN and near-dup paths. Each bucket id is
+    * namespaced by table id so the equi-join key spans all tables. */
+  private def bucketsUdfFor(tables: Int, planesPerTable: Int) = {
+    val planes = hyperplanes(tables * planesPerTable, 64)
+    udf((v: Seq[Double]) =>
+      Array.tabulate(tables) { l =>
+        var bucket = 0L
+        var p = 0
+        while (p < planesPerTable) {
+          val plane = planes(l * planesPerTable + p)
+          var d = 0.0; var i = 0
+          while (i < plane.length && i < v.length) { d += plane(i) * v(i); i += 1 }
+          if (d >= 0) bucket |= 1L << p
+          p += 1
+        }
+        bucket | (l.toLong << 16) // table id disambiguates bucket space
+      })
+  }
 
   /** Vectors L2-normalized ONCE per row (norms are not recomputed per
     * pair), so pair similarity is a single codegen [[graft.functions
@@ -67,15 +95,27 @@ object Similarity {
         .orderBy(col("query_id"), col("rk"))
     }),
 
-    // Embedding-cosine near-duplicate pairs (a < b upper triangle).
-    // Brute force is the correctness baseline; q_ann_lsh is the scale path.
+    // Embedding-cosine near-duplicate pairs (a < b upper triangle):
+    // LSH-candidate generation (bucket hash-shuffle, bounded-memory
+    // collect, within-bucket pairs) + EXACT cosine verification of each
+    // candidate — precision 1 by construction, recall set by the LSH
+    // params (≈1 for true near-dups; measured and asserted on the
+    // fixture in SimilaritySpec against plain-Scala brute force, which
+    // stays test-only). No cross join anywhere in the plan — the shape
+    // that survives 100 TB; the old O(n²) crossJoin is gone.
     "q_embed_neardup" -> ((s, dir) => {
-      val a = embeddings(s, dir)
-        .withColumnRenamed("vec_id", "vec_a").withColumnRenamed("v", "va")
-      val b = embeddings(s, dir)
-        .withColumnRenamed("vec_id", "vec_b").withColumnRenamed("v", "vb")
-      a.crossJoin(b)
-        .filter(col("vec_a") < col("vec_b"))
+      val all = embeddings(s, dir)
+      val buckets = bucketsUdfFor(DupTables, DupPlanesPerTable)
+      val cands = all
+        .select(col("vec_id"), explode(buckets(col("v"))).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(Text.boundedIds(col("vec_id")).as("ids"))
+        .select(explode(Text.pairsUdf(col("ids"))).as("p"))
+        .select(col("p._1").as("vec_a"), col("p._2").as("vec_b"))
+        .distinct()
+      val a = all.withColumnRenamed("vec_id", "vec_a").withColumnRenamed("v", "va")
+      val b = all.withColumnRenamed("vec_id", "vec_b").withColumnRenamed("v", "vb")
+      cands.join(a, "vec_a").join(b, "vec_b")
         .withColumn("sim", sim(col("va"), col("vb")))
         .filter(col("sim") > NearDupThreshold)
         .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("sim"))
@@ -87,20 +127,7 @@ object Similarity {
     // join; dedupe across tables, rank by true cosine. Recall vs
     // q_sim_topk is checked in ScalaTest.
     "q_ann_lsh" -> ((s, dir) => {
-      val planes = hyperplanes(LshTables * LshPlanesPerTable, 64)
-      val bucketsUdf = udf((v: Seq[Double]) =>
-        Array.tabulate(LshTables) { l =>
-          var bucket = 0L
-          var p = 0
-          while (p < LshPlanesPerTable) {
-            val plane = planes(l * LshPlanesPerTable + p)
-            var d = 0.0; var i = 0
-            while (i < plane.length && i < v.length) { d += plane(i) * v(i); i += 1 }
-            if (d >= 0) bucket |= 1L << p
-            p += 1
-          }
-          bucket | (l.toLong << 16) // table id disambiguates bucket space
-        })
+      val bucketsUdf = bucketsUdfFor(LshTables, LshPlanesPerTable)
       val all = embeddings(s, dir)
         .select(col("vec_id"), col("v"), explode(bucketsUdf(col("v"))).as("bucket"))
       val q = broadcast(all.filter(col("vec_id") < NumQueries)

@@ -28,9 +28,14 @@ object Text {
 
   /** Candidate-pair emission from one LSH bucket: all sorted id pairs.
     * Buckets larger than MaxBucket are dropped (pathological bucket guard —
-    * standard LSH practice; keeps worst-case work linear). */
+    * standard LSH practice; keeps worst-case work linear). Oversized
+    * buckets arrive already truncated to MaxBucket+1 ids by
+    * [[graft.functions.Aggregators.BoundedCollect]] — the guard fires on
+    * the overflow marker without the full bucket ever existing in memory. */
   private val MaxBucket = 1000
-  private val pairsUdf = udf((ids: Seq[Long]) => {
+  private[queries] val boundedIds =
+    udaf(graft.functions.Aggregators.BoundedCollect(MaxBucket))
+  private[queries] val pairsUdf = udf((ids: Seq[Long]) => {
     val sorted = ids.distinct.sorted
     if (sorted.length < 2 || sorted.length > MaxBucket) Seq.empty[(Long, Long)]
     else for { i <- sorted.indices; j <- (i + 1) until sorted.length }
@@ -149,10 +154,15 @@ object Text {
         explode(bigramsUdf(col("tp"))).as("gram"))
       val topK = 30
       val w = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("gram"))
-      // ONE profile-learning job; the ≤ langs×topK result is collected
+      // ONE profile-learning job over a DETERMINISTIC 20% sample
+      // (doc_id % 5 — reproducible across runs/partitionings, unlike
+      // df.sample), so the full explode subtree executes exactly once,
+      // in the scoring job; the ≤ langs×topK profile is collected
       // (bounded by config, not data volume) and re-broadcast as a
-      // literal table so the scoring job doesn't recompute the subtree.
-      val profileRows = grams.groupBy(col("lang"), col("gram")).agg(count(lit(1)).as("cnt"))
+      // literal table. Profile quality is insensitive to the sample:
+      // top-K char bigrams per language stabilize within tens of docs.
+      val profileRows = grams.filter(col("doc_id") % 5 === 0)
+        .groupBy(col("lang"), col("gram")).agg(count(lit(1)).as("cnt"))
         .withColumn("rk", row_number().over(w)).filter(col("rk") <= topK)
         .select(col("lang").as("plang"), col("gram"))
         .collect()
@@ -174,13 +184,14 @@ object Text {
 
     // MinHash + LSH banding: shingle(3-word) → 32-perm signature → 8
     // band keys → hash-shuffle on band key → pairs within buckets →
-    // distinct. The candidate set provably contains all exact dups.
-    // Verified against exact Jaccard in ScalaTest (no SQL oracle).
+    // distinct. The candidate set provably contains all exact dups (in
+    // buckets ≤ MaxBucket; larger buckets are dropped, bounded-memory,
+    // by BoundedCollect). Verified against exact Jaccard in ScalaTest.
     "q_minhash_dedup" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), posexplode(minhashBandsUdf(col("text"))).as(Seq("band", "key")))
         .groupBy(col("band"), col("key"))
-        .agg(collect_list(col("doc_id")).as("ids"))
+        .agg(boundedIds(col("doc_id")).as("ids"))
         .select(explode(pairsUdf(col("ids"))).as("p"))
         .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"))
         .distinct()
@@ -194,7 +205,7 @@ object Text {
       val cands = sh
         .select(col("doc_id"), explode(simhashChunksUdf(col("sh"))).as("chunk"))
         .groupBy(col("chunk"))
-        .agg(collect_list(col("doc_id")).as("ids"))
+        .agg(boundedIds(col("doc_id")).as("ids"))
         .select(explode(pairsUdf(col("ids"))).as("p"))
         .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"))
         .distinct()

@@ -74,4 +74,10 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("q_sim_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
+
+  test("q_embed_neardup runs no cartesian product (LSH candidates + verify)") {
+    val p = plan("q_embed_neardup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
