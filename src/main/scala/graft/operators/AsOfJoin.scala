@@ -37,8 +37,13 @@ object AsOfJoin {
     val leftSide = left.select(
       (leftCols.map(col) :+ lit(1).as("__tag") :+
         lit(null).cast(pType).as("__p")): _*)
+    // `__p` as the final sort key makes the pick among right rows tied on
+    // (key, time) deterministic (struct ordering is total): last() then
+    // always selects the greatest payload, across any run/partitioning.
+    // Left rows are unaffected — `__tag` already orders them after every
+    // tied right row.
     val w = Window.partitionBy(col(key))
-      .orderBy(col(time), col("__tag"))
+      .orderBy(col(time), col("__tag"), col("__p"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val out: Seq[Column] =
       leftCols.map(col) ++ payload.map(p => col("__asof").getField(p).as(p))

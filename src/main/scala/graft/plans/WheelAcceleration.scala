@@ -43,22 +43,57 @@ import graft.wheel.{AllAggregate, WheelIndex}
   */
 object WheelAcceleration {
 
-  private final case class Reg(tsCol: String, valueCol: String, idx: WheelIndex)
+  private final case class Reg(tsCol: String, valueCol: String,
+      idx: WheelIndex, fingerprint: String, hadoopConf: org.apache.hadoop.conf.Configuration)
 
   /** Registered indexes keyed by the source file's URI path. */
   private val registry = new ConcurrentHashMap[String, Reg]()
 
+  /** Source-data fingerprint: sorted (name, length, mtime) of every file
+    * under `path`. Captured at registration; [[WheelSumRewrite]] bails on
+    * any mismatch, so an overwritten/appended source silently falls back
+    * to the (correct) scan path instead of serving stale index constants. */
+  private def fingerprint(path: String, conf: org.apache.hadoop.conf.Configuration): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) "absent"
+    else {
+      val it = fs.listFiles(p, true)
+      val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val f = it.next()
+        parts += s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}"
+      }
+      parts.sorted.mkString("|")
+    }
+  }
+
   /** Build (via [[graft.wheel.WheelCatalog]]-style one-time work) and
     * register an index for `path`, and enable the rewrite rule on the
-    * session. `events` must be the same reading pipeline queries use. */
+    * session. `events` must be the same reading pipeline queries use.
+    *
+    * The registration captures the source files' fingerprint; if the
+    * data at `path` later changes, the rewrite rule stops firing (scan
+    * path, still correct). Re-`register` after a data change to rebuild
+    * — or `unregister(path)` to drop acceleration explicitly. */
   def register(spark: SparkSession, path: String, events: => DataFrame,
       tsCol: String = "ts", valueCol: String = "value"): WheelIndex = {
-    val reg = registry.computeIfAbsent(normalize(path),
-      _ => Reg(tsCol, valueCol,
-        graft.wheel.WheelCatalog.cached(path, tsCol, valueCol)(events)))
+    val conf = spark.sessionState.newHadoopConf()
+    val fp = fingerprint(path, conf)
+    // The catalog key embeds the fingerprint, so re-registering after a
+    // data change rebuilds instead of serving the stale cached index.
+    val reg = registry.compute(normalize(path), (_, old) =>
+      if (old != null && old.fingerprint == fp) old
+      else Reg(tsCol, valueCol,
+        graft.wheel.WheelCatalog.cached(s"$path@$fp", tsCol, valueCol)(events),
+        fp, conf))
     enable(spark)
     reg.idx
   }
+
+  /** Drop the registered index for `path` (the rewrite rule stops firing
+    * for it; queries fall back to the scan path). */
+  def unregister(path: String): Unit = registry.remove(normalize(path))
 
   def clear(): Unit = registry.clear()
 
@@ -73,8 +108,20 @@ object WheelAcceleration {
   private def normalize(p: String): String =
     new java.net.URI(p).getPath match { case null => p; case s => s }
 
+  /** Registration for `path`, validated against the CURRENT source
+    * fingerprint — None (rule bails, scan path) if the files changed
+    * since registration. The staleness check is one FS metadata listing
+    * per candidate plan, driver-side. */
   private[plans] def lookup(path: String): Option[(String, String, WheelIndex)] =
-    Option(registry.get(normalize(path))).map(r => (r.tsCol, r.valueCol, r.idx))
+    Option(registry.get(normalize(path))).flatMap { r =>
+      if (fingerprint(path, r.hadoopConf) == r.fingerprint)
+        Some((r.tsCol, r.valueCol, r.idx))
+      else {
+        System.err.println(s"[graft] wheel index for $path is stale (source " +
+          "files changed); skipping rewrite — re-register to rebuild")
+        None
+      }
+    }
 }
 
 /** Config-time injection: `--conf spark.sql.extensions=graft.plans.GraftExtensions`. */

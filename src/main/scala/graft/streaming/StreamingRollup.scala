@@ -15,7 +15,8 @@ import graft.wheel.Tier
   *     on the sink table, mirroring tick roll-up.
   *
   * Batch and streaming builds produce the same schema
-  * `(slot_ms, sum_v, cnt, min_v, max_v)`, asserted in StreamingRollupSpec. */
+  * `(slot_ms, sum_v, cnt, min_v, max_v, rows)`, asserted in
+  * StreamingRollupSpec. */
 object StreamingRollup {
 
   /** Minute-tier streaming rollup. `events` must be a streaming Dataset
@@ -29,9 +30,10 @@ object StreamingRollup {
         sum(col(valueCol)).as("sum_v"),
         count(col(valueCol)).as("cnt"),
         min(col(valueCol)).as("min_v"),
-        max(col(valueCol)).as("max_v"))
+        max(col(valueCol)).as("max_v"),
+        count(lit(1)).as("rows"))
       .select(unix_millis(col("w.start")).as("slot_ms"),
-        col("sum_v"), col("cnt"), col("min_v"), col("max_v"))
+        col("sum_v"), col("cnt"), col("min_v"), col("max_v"), col("rows"))
 
   /** Slot width sanity: streaming windows are exactly the finest tier. */
   val SlotMs: Long = Tier.Minute.ms

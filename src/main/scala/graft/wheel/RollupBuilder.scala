@@ -29,7 +29,10 @@ object RollupBuilder {
   def slotMs(ts: org.apache.spark.sql.Column, tier: Tier): org.apache.spark.sql.Column =
     (F.unix_millis(ts).divide(lit(tier.ms)).cast("long") * lit(tier.ms)).cast("long")
 
-  /** One pass over the source → finest-tier partials. */
+  /** One pass over the source → finest-tier partials. `rows` (count of
+    * ALL rows, NULL measures included) rides along so COUNT(*) is
+    * answerable exactly and the never-null-measure contract is checkable
+    * at index build (`cnt == rows` ⇔ no NULLs). */
   def minuteRollup(events: DataFrame, tsCol: String, valueCol: String): DataFrame =
     events
       .select(slotMs(col(tsCol), Tier.Minute).as("slot_ms"), col(valueCol).as("v"))
@@ -38,7 +41,8 @@ object RollupBuilder {
         sum(col("v")).as("sum_v"),
         count(col("v")).as("cnt"),
         min(col("v")).as("min_v"),
-        max(col("v")).as("max_v"))
+        max(col("v")).as("max_v"),
+        count(lit(1)).as("rows"))
 
   /** Derive a coarser tier from a finer one by combining partials. */
   def coarsen(finer: DataFrame, tier: Tier): DataFrame =
@@ -48,7 +52,8 @@ object RollupBuilder {
         sum(col("sum_v")).as("sum_v"),
         sum(col("cnt")).as("cnt"),
         min(col("min_v")).as("min_v"),
-        max(col("max_v")).as("max_v"))
+        max(col("max_v")).as("max_v"),
+        sum(col("rows")).as("rows"))
 
   /** All retained tiers, finest built from source, coarser from finer. */
   def buildAll(events: DataFrame, tsCol: String, valueCol: String): Map[Tier, DataFrame] = {

@@ -21,6 +21,20 @@ object Tier {
   val finest: Tier = Minute
 }
 
+/** Per-tier retention — the analogue of the reference's
+  * `RetentionPolicy` (/root/reference/src/main.rs:90–97): `Keep` retains
+  * every slot since the index base; `KeepN(n)` retains only the last `n`
+  * slots before the horizon (a bounded sliding-window store — older
+  * slots are evicted and queries over them must come from a coarser
+  * retained tier or fail). */
+sealed trait Retention extends Serializable
+object Retention {
+  case object Keep extends Retention
+  final case class KeepN(slots: Int) extends Retention {
+    require(slots > 0, "retention must keep at least one slot")
+  }
+}
+
 /** One maximal run of consecutive slots in a single tier.
   * `[startMs, endMs)` half-open, aligned to `tier.ms`. */
 final case class Run(tier: Tier, startMs: Long, endMs: Long) {
@@ -45,7 +59,12 @@ final case class Run(tier: Tier, startMs: Long, endMs: Long) {
   * the hierarchical cover.
   */
 object Decompose {
-  def apply(startMs: Long, endMs: Long, tiers: Seq[Tier] = Tier.all): Seq[Run] = {
+  /** `usable(tier, slotStart)` gates tier availability per slot — the
+    * retention hook: an evicted fine-tier slot is unusable, and a range
+    * over it either decomposes through a coarser retained tier (when
+    * aligned) or fails with a clear eviction error. Default: all usable. */
+  def apply(startMs: Long, endMs: Long, tiers: Seq[Tier] = Tier.all,
+      usable: (Tier, Long) => Boolean = (_, _) => true): Seq[Run] = {
     require(startMs % Tier.finest.ms == 0 && endMs % Tier.finest.ms == 0,
       s"range [$startMs,$endMs) must be ${Tier.finest.name}-aligned; " +
         "sub-minute residue is the caller's scan-fallback responsibility")
@@ -54,9 +73,11 @@ object Decompose {
     var cur = startMs
     while (cur < endMs) {
       val tier = ordered
-        .find(t => cur % t.ms == 0 && cur + t.ms <= endMs)
+        .find(t => cur % t.ms == 0 && cur + t.ms <= endMs && usable(t, cur))
         .getOrElse(throw new IllegalStateException(
-          s"no tier step fits at $cur in [$startMs,$endMs)"))
+          s"no retained tier step fits at $cur in [$startMs,$endMs) — " +
+            "the range touches evicted slots (Retention.KeepN) not covered " +
+            "by a coarser retained tier"))
       val stepEnd = cur + tier.ms
       runs.lastOption match {
         case Some(prev) if prev.tier == tier && prev.endMs == cur =>

@@ -37,18 +37,59 @@ object AllAggregate {
 final class WheelIndex private (
     val baseMs: Long,       // inclusive, day-aligned floor of the data span
     val horizonMs: Long,    // exclusive, day-aligned ceil (the watermark)
-    tiers: Map[Tier, WheelIndex.TierBlock]) extends Serializable {
+    tiers: Map[Tier, WheelIndex.TierBlock],
+    retention: Map[Tier, Retention],
+    // Sub-minute residue fallback: a driver-side scan of the source for
+    // the unaligned edges of a range (SURVEY.md §7.3's promised scan
+    // fallback). Not serialized — a deserialized index answers aligned
+    // ranges only.
+    @transient private val residueScan: Option[(Long, Long) => AllAggregate])
+  extends Serializable {
 
   import WheelIndex.TierBlock
 
-  /** Total combine over a minute-aligned half-open range. */
+  /** First retained slot start for a tier ([[Retention.KeepN]] evicts
+    * everything earlier — the reference's bounded-retention mode,
+    * /root/reference/src/main.rs:90–97). */
+  def retainedStartMs(tier: Tier): Long = retention.getOrElse(tier, Retention.Keep) match {
+    case Retention.Keep => baseMs
+    case Retention.KeepN(n) => math.max(baseMs, horizonMs - n.toLong * tier.ms)
+  }
+
+  private def usable(tier: Tier, slotStart: Long): Boolean =
+    slotStart >= retainedStartMs(tier)
+
+  /** Total combine over a half-open range. Minute-aligned ranges are
+    * answered purely from the index (µs, no Spark job); unaligned ranges
+    * combine the aligned interior from the index with source scans of the
+    * sub-minute residue edges (one bounded Spark job per edge) — or throw
+    * if the index was built without a residue fallback. */
   def query(startMs: Long, endMs: Long): AllAggregate = {
     require(startMs <= endMs, s"bad range [$startMs, $endMs)")
     if (startMs == endMs) AllAggregate.identity
-    else Decompose(startMs, endMs).foldLeft(AllAggregate.identity) { (acc, run) =>
-      acc.combine(combineRun(run))
+    else {
+      val m = Tier.finest.ms
+      val aStart = ((startMs + m - 1) / m) * m // ceil to next minute
+      val aEnd = (endMs / m) * m               // floor to minute
+      if (aStart == startMs && aEnd == endMs) queryAligned(startMs, endMs)
+      else Option(residueScan).flatten match {
+        case None => throw new IllegalArgumentException(
+          s"range [$startMs, $endMs) is not ${Tier.finest.name}-aligned and " +
+            "this index has no residue scan fallback; align the range or " +
+            "build the index from its source DataFrame")
+        case Some(scan) =>
+          if (aStart >= aEnd) scan(startMs, endMs) // range within one slot
+          else scan(startMs, aStart)
+            .combine(queryAligned(aStart, aEnd))
+            .combine(scan(aEnd, endMs))
+      }
     }
   }
+
+  private def queryAligned(startMs: Long, endMs: Long): AllAggregate =
+    Decompose(startMs, endMs, usable = usable).foldLeft(AllAggregate.identity) {
+      (acc, run) => acc.combine(combineRun(run))
+    }
 
   def querySum(startMs: Long, endMs: Long): Double = query(startMs, endMs).sum
 
@@ -90,12 +131,27 @@ object WheelIndex {
   /** Build from a source DataFrame: one Spark aggregation to minute
     * partials (bounded by time span, always driver-collectable), then
     * local roll-up into hour/day blocks — the `insert`+`advance` build
-    * (/root/reference/src/main.rs:105–144) as a batch job. */
-  def build(events: DataFrame, tsCol: String, valueCol: String): WheelIndex = {
+    * (/root/reference/src/main.rs:105–144) as a batch job.
+    *
+    * The source DataFrame is retained (driver-side only) as the
+    * sub-minute residue scan fallback, and per-tier [[Retention]] evicts
+    * old fine-tier slots at build time. */
+  def build(events: DataFrame, tsCol: String, valueCol: String,
+      retention: Map[Tier, Retention] = Map.empty): WheelIndex = {
     val minuteRows = RollupBuilder.minuteRollup(events, tsCol, valueCol)
-      .select("slot_ms", "sum_v", "cnt", "min_v", "max_v")
+      .select("slot_ms", "sum_v", "cnt", "min_v", "max_v", "rows")
       .collect()
     require(minuteRows.nonEmpty, "cannot index an empty source")
+    // Never-null-measure contract, asserted rather than documented:
+    // WheelSumRewrite folds COUNT(*) to the indexed count, which is
+    // COUNT(value) — a NULL in the measure column would silently diverge
+    // from scan results, so registration fails instead.
+    minuteRows.find(r => r.getLong(2) != r.getLong(5)).foreach { r =>
+      throw new IllegalArgumentException(
+        s"measure column '$valueCol' has NULLs (slot ${r.getLong(0)}: " +
+          s"${r.getLong(5)} rows, ${r.getLong(2)} non-null values); the wheel " +
+          "index requires a never-null measure for COUNT(*) folding")
+    }
     val slots = minuteRows.map(_.getLong(0))
     val base = slots.min / Tier.Day.ms * Tier.Day.ms
     val horizon = (slots.max / Tier.Day.ms + 1) * Tier.Day.ms
@@ -118,7 +174,32 @@ object WheelIndex {
         b.max(i) = math.max(b.max(i), mx)
       }
     }
-    new WheelIndex(base, horizon, blocks)
+    // Evict: zero fine-tier slots older than the retained span so the
+    // memory really holds only KeepN slots of signal (the arrays keep
+    // their time-bounded allocation; evicted slots read as absent).
+    retention.foreach {
+      case (tier, Retention.KeepN(n)) =>
+        val b = blocks(tier)
+        val keepFromMs = math.max(base, horizon - n.toLong * tier.ms)
+        val keepFrom = ((keepFromMs - base) / tier.ms).toInt
+        var i = 0
+        while (i < keepFrom && i < b.sum.length) {
+          b.sum(i) = 0.0; b.count(i) = 0L
+          b.min(i) = Double.PositiveInfinity; b.max(i) = Double.NegativeInfinity
+          i += 1
+        }
+      case _ => ()
+    }
+    val scanFallback: (Long, Long) => AllAggregate = { (a, b) =>
+      val r = events
+        .filter(unix_millis(col(tsCol)) >= a && unix_millis(col(tsCol)) < b)
+        .agg(sum(col(valueCol).cast("double")), count(col(valueCol)),
+          min(col(valueCol).cast("double")), max(col(valueCol).cast("double")))
+        .collect()(0)
+      if (r.getLong(1) == 0L) AllAggregate.identity
+      else AllAggregate(r.getDouble(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+    }
+    new WheelIndex(base, horizon, blocks, retention, Some(scanFallback))
   }
 
   /** Cluster-scale query path: the same decomposition, answered by

@@ -35,6 +35,18 @@ class AsOfJoinSpec extends AnyFunSuite {
       (4, Some(3.0)), (5, None), (6, Some(9.0))))
   }
 
+  test("right rows tied on (key, time) resolve to the greatest payload, deterministically") {
+    import spark.implicits._
+    val quotes = Seq(
+      ("A", 10L, 1.0), ("A", 10L, 5.0), ("A", 10L, 3.0)).toDF("sym", "t", "px")
+    val trades = Seq(("A", 10L, 1), ("A", 11L, 2)).toDF("sym", "t", "id")
+    (1 to 3).foreach { _ =>
+      val got = AsOfJoin(trades, quotes, "sym", "t", Seq("px"))
+        .orderBy("id").collect().map(_.getDouble(3)).toSeq
+      assert(got == Seq(5.0, 5.0), got)
+    }
+  }
+
   test("multi-column payload travels as one struct") {
     import spark.implicits._
     val right = Seq((1L, 10L, "x", 7.0)).toDF("k", "t", "tag_v", "num_v")

@@ -79,6 +79,47 @@ class WheelAccelerationSpec extends AnyFunSuite {
     }.isEmpty)
   }
 
+  test("stale source fingerprint disables the rewrite; fresh data wins") {
+    import spark.implicits._
+    // absolute: the rule resolves scan paths to absolute URIs
+    val p = new java.io.File(
+      "target/test-fixtures/accel/events_stale.parquet").getAbsolutePath
+    def write(v: Double): Unit = Seq(
+      (new java.sql.Timestamp(Q.Jan1), v),
+      (new java.sql.Timestamp(Q.Jan1 + 60000L), v))
+      .toDF("ts", "value").write.mode("overwrite").parquet(p)
+    def q() = {
+      spark.read.parquet(p).createOrReplaceTempView("ev_stale")
+      spark.sql("SELECT SUM(value) AS s FROM ev_stale " +
+        s"WHERE unix_millis(ts) >= ${Q.Jan1} AND unix_millis(ts) < ${Q.Jan1 + 120000L}")
+    }
+    def rewritten(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect { case l: LocalRelation => l }.nonEmpty
+
+    write(1.0)
+    WheelAcceleration.register(spark, p, spark.read.parquet(p))
+    val fresh = q()
+    assert(rewritten(fresh))
+    assert(fresh.collect()(0).getDouble(0) == 2.0)
+
+    Thread.sleep(10) // ensure a distinguishable mtime
+    write(5.0)
+    val stale = q()
+    assert(!rewritten(stale), "stale index must not serve plan-time constants")
+    assert(stale.collect()(0).getDouble(0) == 10.0) // scan path, fresh data
+
+    // re-register rebuilds against the new fingerprint
+    WheelAcceleration.register(spark, p, spark.read.parquet(p))
+    val rebuilt = q()
+    assert(rewritten(rebuilt))
+    assert(rebuilt.collect()(0).getDouble(0) == 10.0)
+
+    // unregister drops acceleration even with unchanged data
+    WheelAcceleration.unregister(p)
+    assert(!rewritten(q()))
+    register() // restore the shared fixture registration for other tests
+  }
+
   test("empty aligned range returns count 0 and null sum") {
     register()
     val a = Q.Jan1

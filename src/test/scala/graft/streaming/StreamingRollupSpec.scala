@@ -87,6 +87,55 @@ class StreamingRollupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("out-of-order ingest converges to the batch rollup (write-ahead parity)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // The reference stages future-dated inserts in a write-ahead buffer
+    // and applies them as the clock advances (src/main.rs:102, 128–140);
+    // the streaming analogue: rows arriving in ANY order within the
+    // watermark delay land in their correct slots, so the final state
+    // equals the batch rollup over the same multiset of rows.
+    val mem = MemoryStream[(Timestamp, Double)]
+    val q = StreamingRollup.minuteRollup(mem.toDF().toDF("ts", "value"), "ts", "value")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("rollup_ooo_sink").start()
+    try {
+      val batches = Seq(
+        Seq((ts(10 * 60_000), 7.0)),               // future-dated first
+        Seq((ts(2 * 60_000), 1.0), (ts(60_000), 2.0)), // then earlier, out of order
+        Seq((ts(3 * 60_000), 4.0), (ts(10 * 60_000 + 30_000), 3.0)))
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      val streamed = spark.table("rollup_ooo_sink")
+        .orderBy("slot_ms").collect().map(_.toString).toSeq
+      val batch = RollupBuilder
+        .minuteRollup(batches.flatten.toDF("ts", "value"), "ts", "value")
+        .orderBy("slot_ms").collect().map(_.toString).toSeq
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("future-dated rows stage until the watermark reaches them (append mode)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Double)]
+    val q = StreamingRollup.minuteRollup(mem.toDF().toDF("ts", "value"), "ts", "value")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("rollup_stage_sink").start()
+    try {
+      mem.addData(Seq((ts(10 * 60_000), 7.0))) // ahead of the watermark
+      q.processAllAvailable()
+      assert(spark.table("rollup_stage_sink").isEmpty,
+        "future-dated slot emitted before the watermark reached it")
+      mem.addData(Seq((ts(25 * 60_000), 1.0))) // advances watermark to min 15
+      q.processAllAvailable()
+      val emitted = spark.table("rollup_stage_sink")
+        .select("slot_ms", "sum_v").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(emitted == Seq((T0 + 10 * 60_000L, 7.0)),
+        s"staged slot should emit exactly once finalized: $emitted")
+    } finally q.stop()
+  }
+
   test("rows below the watermark are dropped (µWheel late-data policy)") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -102,6 +102,51 @@ class WheelSpec extends AnyFunSuite {
     assert(row.getDouble(3) == local.max)
   }
 
+  test("unaligned ranges fall back to residue scans and equal full scan") {
+    val r = new scala.util.Random(7)
+    val spanMs = SpanMinutes.toLong * 60000L
+    (1 to 6).foreach { _ =>
+      val a = Jan1 + (r.nextDouble() * (spanMs - 4L * 86400000L)).toLong
+      val len = 1L + (r.nextDouble() * 3L * 86400000L).toLong
+      val b = a + len
+      assertClose(idx.querySum(a, b), scanSum(a, b))
+    }
+    // entirely inside one minute slot (no aligned interior at all)
+    val a = Jan1 + 5 * 86400000L + 12 * 60000L + 13_250L
+    assertClose(idx.querySum(a, a + 7_000L), scanSum(a, a + 7_000L))
+  }
+
+  test("KeepN eviction: old fine slots gone, coarser tiers still answer") {
+    val bounded = WheelIndex.build(events, "ts", "value",
+      Map(Tier.Minute -> Retention.KeepN(24 * 60))) // last day of minutes
+    // recent sub-hour range: needs the minute tier, which is retained there
+    val lo = bounded.horizonMs - 86400000L + 3600000L + 60000L
+    val hi = lo + 17 * 60000L
+    assertClose(bounded.querySum(lo, hi), scanSum(lo, hi))
+    // old sub-hour range: minute slots evicted, no coarser tier aligns
+    intercept[IllegalStateException] {
+      bounded.querySum(Jan1 + 60000L, Jan1 + 120000L)
+    }
+    // old but hour/day-aligned: answered exactly from retained coarse tiers
+    assertClose(bounded.querySum(Jan1, Jan1 + 86400000L), scanSum(Jan1, Jan1 + 86400000L))
+    assertClose(bounded.querySum(Jan1 + 3600000L, Jan1 + 7200000L),
+      scanSum(Jan1 + 3600000L, Jan1 + 7200000L))
+    assert(bounded.retainedStartMs(Tier.Minute) == bounded.horizonMs - 86400000L)
+    assert(bounded.retainedStartMs(Tier.Day) == bounded.baseMs)
+  }
+
+  test("build fails fast on a NULL measure (COUNT(*) folding contract)") {
+    import spark.implicits._
+    val df = Seq(
+      (new java.sql.Timestamp(Jan1), Some(1.0)),
+      (new java.sql.Timestamp(Jan1 + 1000L), Option.empty[Double]))
+      .toDF("ts", "value")
+    val e = intercept[IllegalArgumentException] {
+      WheelIndex.build(df, "ts", "value")
+    }
+    assert(e.getMessage.contains("NULL"), e.getMessage)
+  }
+
   test("explain names the tier decomposition") {
     val s = idx.explain(Jan1 + 60000L, Jan1 + 2 * 86400000L + 3600000L + 120000L)
     assert(s.contains("minute") && s.contains("hour") && s.contains("day"))
