@@ -27,6 +27,10 @@ import graft.wheel.{AllAggregate, WheelIndex}
   * plan-optimization time (µs-scale, driver-local, no job, no scan —
   * the µWheel `combine_range_and_lower` fast path,
   * /root/reference/src/main.rs:212, behind an unchanged SQL interface).
+  * A second pattern handles `GROUP BY (tsMs div w) * w` time-slot
+  * rollups over the same sources: one LocalRelation row per non-empty
+  * slot (time-bounded cardinality), partial edge slots combined from
+  * clipped minute runs.
   *
   * Semantics guarded before rewriting (bail = leave the plan untouched):
   *  - the filter is EXACTLY a half-open `[a, b)` minute-aligned range on
@@ -135,8 +139,13 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
   private val MinuteMs = 60000L
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case agg @ Aggregate(groupings, aggExprs, child, _) if groupings.isEmpty =>
-      rewrite(agg, aggExprs, child).getOrElse(agg)
+    case agg @ Aggregate(groupings, aggExprs, child, _) =>
+      // Any internal surprise (evicted retention span, odd shapes) must
+      // leave the plan untouched, never fail optimization.
+      scala.util.Try {
+        if (groupings.isEmpty) rewrite(agg, aggExprs, child)
+        else rewriteGrouped(agg, groupings, aggExprs, child)
+      }.toOption.flatten.getOrElse(agg)
   }
 
   private def rewrite(
@@ -149,8 +158,93 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     (a, b) <- rangeMs(cond, tsCol)
     if a % MinuteMs == 0 && b % MinuteMs == 0 && a <= b
     all = idx.query(a, b)
-    rewritten <- foldAggregates(aggExprs, valueCol, all)
+    rewritten <- foldRow(aggExprs, valueCol, all, None)
   } yield LocalRelation(agg.output, Seq(InternalRow.fromSeq(rewritten)))
+
+  /** GROUP BY time-slot over a registered source — answered from the
+    * index as one [[LocalRelation]] row per non-empty slot (time-bounded
+    * cardinality), the grouped analogue of the ungrouped fast path. The
+    * single grouping expression must be `(tsMs div w) * w` with `w` a
+    * positive multiple of the finest tier; any filter must be exactly
+    * the half-open range shape (no filter = the index's full span).
+    * Partial edge slots (range not aligned to `w`) combine clipped
+    * minute runs, so results match the scan bit-for-bit. */
+  private def rewriteGrouped(
+      agg: Aggregate,
+      groupings: Seq[Expression],
+      aggExprs: Seq[NamedExpression],
+      child: LogicalPlan): Option[LogicalPlan] = {
+    if (groupings.size != 1) return None
+    val groupKey = groupings.head
+    for {
+      path <- sourcePath(child)
+      (tsCol, valueCol, idx) <- WheelAcceleration.lookup(path)
+      gExpr <- resolveGrouping(child, groupKey)
+      w <- slotWidth(gExpr, tsCol)
+      (a, b) <- findFilter(child) match {
+        case Some((cond, _)) => rangeMs(cond, tsCol)
+        case None => Some((idx.baseMs, idx.horizonMs))
+      }
+      if a % MinuteMs == 0 && b % MinuteMs == 0 && a < b
+      rows <- {
+        val first = math.floorDiv(a, w) * w
+        val slotRows = Seq.newBuilder[InternalRow]
+        var ok = true
+        var s0 = first
+        while (ok && s0 < b) {
+          val all = idx.query(math.max(a, s0), math.min(b, s0 + w))
+          if (all.count > 0L) {
+            foldRow(aggExprs, valueCol, all,
+              Some((groupKey, gExpr, Literal(s0, LongType)))) match {
+              case Some(vals) => slotRows += InternalRow.fromSeq(vals)
+              case None => ok = false
+            }
+          }
+          s0 += w
+        }
+        if (ok) Some(slotRows.result()) else None
+      }
+    } yield LocalRelation(agg.output, rows)
+  }
+
+  /** The grouping expression itself, or — when the optimizer's
+    * `PullOutGroupingExpressions` replaced it with a
+    * `_groupingexpression` attribute — the aliased expression found in
+    * the Project below the aggregate. */
+  private def resolveGrouping(p: LogicalPlan, g: Expression): Option[Expression] =
+    g match {
+      case a: AttributeReference =>
+        def find(pl: LogicalPlan): Option[Expression] = pl match {
+          case Project(exprs, ch) =>
+            exprs.collectFirst { case al @ Alias(e, _) if al.exprId == a.exprId => e }
+              .orElse(find(ch))
+          case SubqueryAlias(_, ch) => find(ch)
+          case Filter(_, ch) => find(ch)
+          case _ => None
+        }
+        find(p)
+      case e => Some(e)
+    }
+
+  /** Slot width of a `(tsMs div w) * w` bucketing expression (modulo
+    * casts), when `w` is a positive multiple of the finest tier. */
+  private def slotWidth(e: Expression, tsCol: String): Option[Long] = e match {
+    case Cast(inner, LongType, _, _) => slotWidth(inner, tsCol)
+    case Multiply(IntegralDivide(ts, l1, _), l2, _) if isTsMs(ts, tsCol) =>
+      for {
+        w1 <- wideLit(l1)
+        w2 <- wideLit(l2)
+        if w1 == w2 && w1 > 0 && w1 % MinuteMs == 0
+      } yield w1
+    case _ => None
+  }
+
+  private def wideLit(e: Expression): Option[Long] = e match {
+    case Literal(v: Long, LongType) => Some(v)
+    case Literal(v: Int, IntegerType) => Some(v.toLong)
+    case Cast(inner, LongType, _, _) => wideLit(inner)
+    case _ => None
+  }
 
   /** The single Filter under the aggregate, reachable through
     * projection-only nodes (column pruning inserts Projects between the
@@ -163,10 +257,11 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  /** Leaf file-source path, requiring a projection-only path down to a
-    * single file relation. */
+  /** Leaf file-source path, reachable through projection/filter-only
+    * nodes down to a single file relation. */
   private def sourcePath(plan: LogicalPlan): Option[String] = plan match {
     case Project(_, c) => sourcePath(c)
+    case Filter(_, c) => sourcePath(c)
     case SubqueryAlias(_, c) => sourcePath(c)
     case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
       fs.location.rootPaths.toList match {
@@ -174,6 +269,19 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
         case _ => None
       }
     case _ => None
+  }
+
+  /** Epoch-ms expression over the registered ts column, in the shapes
+    * our read pipeline produces (see [[rangeMs]]). */
+  private def isTsMs(e: Expression, tsCol: String): Boolean = e match {
+    case UnixMillis(a: AttributeReference) => a.name == tsCol
+    case UnixMillis(MicrosToTimestamp(d: IntegralDivide)) =>
+      (d.left, d.right) match {
+        case (a: AttributeReference, Literal(1000L, LongType)) => a.name == tsCol
+        case (a: AttributeReference, Literal(1000, IntegerType)) => a.name == tsCol
+        case _ => false
+      }
+    case _ => false
   }
 
   /** Extract the half-open `[a, b)` epoch-ms range if the filter is
@@ -186,16 +294,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     * a raw nanos-long column (graft.queries.Q.t's TIMESTAMP(NANOS)
     * rebuild), or a bare ts column compared to a µs timestamp literal. */
   private def rangeMs(cond: Expression, tsCol: String): Option[(Long, Long)] = {
-    def isTsMs(e: Expression): Boolean = e match {
-      case UnixMillis(a: AttributeReference) => a.name == tsCol
-      case UnixMillis(MicrosToTimestamp(d: IntegralDivide)) =>
-        (d.left, d.right) match {
-          case (a: AttributeReference, Literal(1000L, LongType)) => a.name == tsCol
-          case (a: AttributeReference, Literal(1000, IntegerType)) => a.name == tsCol
-          case _ => false
-        }
-      case _ => false
-    }
+    def isTs(e: Expression): Boolean = isTsMs(e, tsCol)
     def msLit(e: Expression): Option[Long] = e match {
       case Literal(v: Long, LongType) => Some(v)
       case Literal(v: Int, IntegerType) => Some(v.toLong)
@@ -206,15 +305,15 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       case _ => None
     }
     def lower(e: Expression): Option[Long] = e match {
-      case GreaterThanOrEqual(l, r) if isTsMs(l) => msLit(r)
+      case GreaterThanOrEqual(l, r) if isTs(l) => msLit(r)
       case GreaterThanOrEqual(a: AttributeReference, r) if a.name == tsCol => usLit(r)
-      case LessThanOrEqual(r, l) if isTsMs(l) => msLit(r)
+      case LessThanOrEqual(r, l) if isTs(l) => msLit(r)
       case _ => None
     }
     def upper(e: Expression): Option[Long] = e match {
-      case LessThan(l, r) if isTsMs(l) => msLit(r)
+      case LessThan(l, r) if isTs(l) => msLit(r)
       case LessThan(a: AttributeReference, r) if a.name == tsCol => usLit(r)
-      case GreaterThan(r, l) if isTsMs(l) => msLit(r)
+      case GreaterThan(r, l) if isTs(l) => msLit(r)
       case _ => None
     }
     def conjuncts(e: Expression): Seq[Expression] = e match {
@@ -232,14 +331,16 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     else None
   }
 
-  /** Replace every aggregate call with its index-computed literal, then
+  /** Replace every aggregate call with its index-computed literal (and,
+    * for grouped rewrites, the grouping key with the slot literal), then
     * constant-fold whatever scalar expression wrapped it (ROUND, casts,
     * arithmetic). Returns None if ANY aggregate is outside the supported
     * family — the plan is then left for normal execution. */
-  private def foldAggregates(
+  private def foldRow(
       aggExprs: Seq[NamedExpression],
       valueCol: String,
-      all: AllAggregate): Option[Seq[Any]] = {
+      all: AllAggregate,
+      groupSubst: Option[(Expression, Expression, Literal)]): Option[Seq[Any]] = {
     val empty = all.count == 0L
     def isValue(e: Expression): Boolean = e match {
       case a: AttributeReference => a.name == valueCol
@@ -263,7 +364,13 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       }
     }
     val folded = aggExprs.map { ne =>
-      val replaced = ne.transform { case e: AggregateExpression => lit(e) }
+      val substituted = groupSubst match {
+        case Some((gKey, gExpr, slotLit)) => ne.transform {
+          case e if e.semanticEquals(gKey) || e.semanticEquals(gExpr) => slotLit
+        }
+        case None => ne
+      }
+      val replaced = substituted.transform { case e: AggregateExpression => lit(e) }
       if (!supported) return None
       if (replaced.exists(_.isInstanceOf[Attribute])) return None
       replaced.asInstanceOf[Expression].eval(InternalRow.empty)

@@ -68,7 +68,7 @@ class WheelAccelerationSpec extends AnyFunSuite {
     assert(extraPred.collect().length == 1)
   }
 
-  test("grouped aggregates are NOT rewritten") {
+  test("grouped aggregates over a NON-slot key are NOT rewritten") {
     register()
     val grouped = spark.sql(
       s"SELECT event_type, SUM(value) AS s FROM events_accel " +
@@ -77,6 +77,52 @@ class WheelAccelerationSpec extends AnyFunSuite {
     assert(grouped.queryExecution.optimizedPlan.collect {
       case l: LocalRelation => l
     }.isEmpty)
+  }
+
+  test("GROUP BY time-slot IS rewritten and matches the scan result") {
+    register()
+    events.createOrReplaceTempView("events_accel")
+    val w = 3600000L
+    def slotSql(a: Long, b: Long) = spark.sql(
+      s"SELECT (unix_millis(ts) div $w) * $w AS slot_ms, " +
+        "ROUND(SUM(value), 2) AS s, COUNT(*) AS n, " +
+        // floats rounded per the determinism rules (SURVEY §5.3): partial
+        // combine order differs between index and scan in the last ulp
+        "MIN(value) AS mn, ROUND(AVG(value), 4) AS av FROM events_accel " +
+        s"WHERE unix_millis(ts) >= $a AND unix_millis(ts) < $b " +
+        "GROUP BY 1 ORDER BY 1")
+
+    def scanRows(a: Long, b: Long) = {
+      WheelAcceleration.clear()
+      val rows = slotSql(a, b).collect().map(_.toString).toSeq
+      register()
+      rows
+    }
+
+    // hour-aligned range
+    val aligned = slotSql(Q.R1Start, Q.R1End)
+    assert(aligned.queryExecution.optimizedPlan.collect {
+      case l: LocalRelation => l
+    }.nonEmpty, aligned.queryExecution.optimizedPlan.treeString)
+    assert(!aligned.queryExecution.executedPlan.toString.contains("FileScan"))
+    assert(aligned.collect().map(_.toString).toSeq == scanRows(Q.R1Start, Q.R1End))
+
+    // minute-aligned but NOT hour-aligned: partial edge slots must match
+    val a2 = Q.R1Start + 7 * 60000L
+    val b2 = Q.R1End - 11 * 60000L
+    val ragged = slotSql(a2, b2)
+    assert(ragged.queryExecution.optimizedPlan.collect {
+      case l: LocalRelation => l
+    }.nonEmpty)
+    assert(ragged.collect().map(_.toString).toSeq == scanRows(a2, b2))
+
+    // full-span (no filter) grouped rollup also comes from the index
+    val full = spark.sql(
+      s"SELECT (unix_millis(ts) div $w) * $w AS slot_ms, SUM(value) AS s " +
+        "FROM events_accel GROUP BY 1 ORDER BY 1")
+    assert(full.queryExecution.optimizedPlan.collect {
+      case l: LocalRelation => l
+    }.nonEmpty, full.queryExecution.optimizedPlan.treeString)
   }
 
   test("stale source fingerprint disables the rewrite; fresh data wins") {

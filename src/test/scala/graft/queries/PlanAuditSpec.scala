@@ -75,6 +75,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q_wheel_grouped runs NO scan (grouped index path behind SQL)") {
+    val p = plan("q_wheel_grouped")
+    assert(p.contains("LocalTableScan"), p)
+    assert(!p.contains("FileScan"), p)
+  }
+
   test("q_embed_neardup runs no cartesian product (LSH candidates + verify)") {
     val p = plan("q_embed_neardup")
     assert(!p.contains("CartesianProduct"), p)
