@@ -12,19 +12,25 @@ import graft.wheel.WheelCatalog
   * (scan → shuffle → sink) with no output cost; `.count()` would let
   * Catalyst prune the work down to row counting.
   *
-  * Each query runs three times and the per-query MINIMUM is reported —
-  * the reference's methodology benches per-query latency over 1 000
-  * repeated queries in a warm process (/root/reference/src/main.rs:
-  * 31–32, 260–288), never JVM/JIT cold-start; the minimum additionally
-  * suppresses virtualized-host noise (observed ±40% run-to-run on an
-  * idle box). `cold_total_sec` reports the first-pass total.
+  * Each query runs three times; the per-query MINIMUM is reported as
+  * `queries`/`total` — the reference's methodology benches per-query
+  * latency over 1 000 repeated queries in a warm process
+  * (/root/reference/src/main.rs:31–32, 260–288), never JVM/JIT
+  * cold-start; the minimum additionally suppresses virtualized-host
+  * noise (observed ±40% run-to-run on an idle box). `cold_total_sec`
+  * reports the first-pass total. A query that throws is excluded from
+  * timings, lands in `failed`, and the process exits nonzero — a broken
+  * query can never make the bench look faster.
   *
   * Also reproduces the reference's headline comparison (QPS of repeated
   * index-path range queries vs full scans, /root/reference/src/main.rs:
-  * 205–235 & 260–288): `wheel_vs_scan` reports per-query latency of the
-  * cached WheelIndex vs an equivalent filter+sum DataFrame over random
-  * minute-aligned ranges — the ≥10× bar of BASELINE.md. */
+  * 205–235 & 260–288) over TWO workload blocks — minute-granularity
+  * ranges and true hour-granularity ranges (fixing, not replicating,
+  * the reference's hours-as-minutes bug at src/main.rs:193–195) — with
+  * min/p50/p99/p99.9/max latency percentiles per path, mirroring the
+  * reference's HdrHistogram table (src/main.rs:290–304). */
 object Bench {
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -34,7 +40,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: repeated UDF re-registration warnings flood stderr
+    // across 3×52 query runs and can drown the single JSON result line.
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
 
     def runAll(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -44,6 +54,7 @@ object Bench {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
+          failed += name
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         name -> (System.nanoTime() - t0) / 1e9
@@ -61,45 +72,85 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val coldTotal = cold.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""cold_total_sec":$coldTotal,"wheel_vs_scan":$wheelScan,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""cold_total_sec":$coldTotal,"failed":$failedJson,""" +
+      s""""wheel_vs_scan":$wheelScan,"sf":"$sfDir"}"""
+    println(json)
+    // Mirror to a file: harness log prefixes/noise can mangle the stdout
+    // line; the file is always clean.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
+  }
+
+  /** min/p50/p99/p99.9/max summary of µs latency samples, as JSON —
+    * the reference's HdrHistogram row (src/main.rs:290–304). */
+  private def percentilesJson(samplesUs: Seq[Double]): String = {
+    val s = samplesUs.sorted
+    def pct(p: Double): Double = s(math.min(s.size - 1, (p * s.size).toInt))
+    f"""{"min_us":${s.head}%.2f,"p50_us":${pct(0.50)}%.2f,""" +
+      f""""p99_us":${pct(0.99)}%.2f,"p999_us":${pct(0.999)}%.2f,""" +
+      f""""max_us":${s.last}%.2f,"mean_us":${s.sum / s.size}%.2f}"""
   }
 
   /** Reference-style repeated-range-query comparison. Returns a JSON
-    * object string. Wheel path: cached driver-local index (µs-scale, no
-    * Spark job). Scan path: filter+sum DataFrame per range. */
+    * object string with minute- and hour-granularity blocks. Wheel path:
+    * cached driver-local index (µs-scale, no Spark job). Scan path:
+    * filter+sum DataFrame per range (a full Spark job each — the
+    * reference's DataFusion path, /root/reference/src/main.rs:260–288). */
   private def wheelVsScan(spark: SparkSession, sfDir: String): String = {
     val idx = WheelCatalog.cached(s"$sfDir/events.parquet")(Q.t(spark, sfDir, "events"))
     val events = Q.t(spark, sfDir, "events").select(
       unix_millis(col("ts")).as("tms"), col("value")).cache()
     events.count() // materialize the cache; the scan path still runs a full Spark job per query
+
+    def block(ranges: Seq[(Long, Long)], scanCount: Int): String = {
+      // wheel path: every range, individually timed
+      val wheelUs = ranges.map { case (a, b) =>
+        val t0 = System.nanoTime()
+        val s = idx.querySum(a, b)
+        if (s.isNaN) System.err.println("unexpected NaN")
+        (System.nanoTime() - t0) / 1e3
+      }
+      // scan path: a bounded prefix (full Spark job per range)
+      val scanUs = ranges.take(scanCount).map { case (a, b) =>
+        val t0 = System.nanoTime()
+        events.filter(col("tms") >= a && col("tms") < b)
+          .agg(sum(col("value"))).collect()
+        (System.nanoTime() - t0) / 1e3
+      }
+      val wheelMean = wheelUs.sum / wheelUs.size
+      val scanMean = scanUs.sum / scanUs.size
+      f"""{"wheel_us_per_query":$wheelMean%.2f,"scan_us_per_query":$scanMean%.2f,""" +
+        f""""speedup":${scanMean / wheelMean}%.1f,""" +
+        s""""wheel_percentiles_us":${percentilesJson(wheelUs)},""" +
+        s""""scan_percentiles_us":${percentilesJson(scanUs)}}"""
+    }
+
     val rng = new scala.util.Random(42)
     val spanMin = 30 * 24 * 60
-    val ranges = Seq.fill(1000) {
+    val minuteRanges = Seq.fill(1000) {
       val a = rng.nextInt(spanMin - 1)
       val len = 1 + rng.nextInt(spanMin - a - 1)
       (Q.Jan1 + a * 60000L, Q.Jan1 + (a + len) * 60000L)
     }
-
-    // wheel path: all 1000 ranges
-    val w0 = System.nanoTime()
-    var acc = 0.0
-    ranges.foreach { case (a, b) => acc += idx.querySum(a, b) }
-    val wheelUs = (System.nanoTime() - w0) / 1e3 / ranges.size
-
-    // scan path: 20 ranges (a full Spark job each — the reference's
-    // DataFusion path, /root/reference/src/main.rs:260–288)
-    val scanRanges = ranges.take(20)
-    val s0 = System.nanoTime()
-    scanRanges.foreach { case (a, b) =>
-      events.filter(col("tms") >= a && col("tms") < b)
-        .agg(sum(col("value"))).collect()
+    // TRUE hour-aligned ranges — the reference's second block intends
+    // these but adds the offsets as minutes (src/main.rs:193–195); we
+    // generate what it meant to measure.
+    val spanHours = 30 * 24
+    val hourRanges = Seq.fill(1000) {
+      val a = rng.nextInt(spanHours - 1)
+      val len = 1 + rng.nextInt(spanHours - a - 1)
+      (Q.Jan1 + a * 3600000L, Q.Jan1 + (a + len) * 3600000L)
     }
-    val scanUs = (System.nanoTime() - s0) / 1e3 / scanRanges.size
+
+    val out = s"""{"minute_ranges":${block(minuteRanges, 20)},""" +
+      s""""hour_ranges":${block(hourRanges, 20)}}"""
     events.unpersist()
-    if (acc.isNaN) System.err.println("unexpected NaN")
-    f"""{"wheel_us_per_query":$wheelUs%.2f,"scan_us_per_query":$scanUs%.2f,""" +
-      f""""speedup":${scanUs / wheelUs}%.1f}"""
+    out
   }
 }

@@ -36,8 +36,14 @@ object Similarity {
   // tables with p ≈ 1-(1-0.63⁴)¹⁶ ≈ 0.94; true near-dups (θ→0) are
   // found with probability ≈ 1. Deterministic planes ⇒ deterministic
   // recall on a fixed fixture (asserted in SimilaritySpec).
+  // Planes-per-table ADAPTS to corpus size (k ≈ log₂(n / target-bucket))
+  // so expected bucket size stays ~DupTargetBucket as n grows — bucket
+  // count scales with data instead of buckets growing linearly and
+  // tripping the MaxBucket guard en masse at 100×. Borderline-τ recall
+  // decays with k (inherent to LSH); true near-dup recall stays ≈ 1.
   private val DupTables = 16
   private val DupPlanesPerTable = 4
+  private val DupTargetBucket = 500
 
   /** Multi-table sign-LSH bucket ids (one per table) for a normalized
     * vector — shared by the ANN and near-dup paths. Each bucket id is
@@ -55,7 +61,7 @@ object Similarity {
           if (d >= 0) bucket |= 1L << p
           p += 1
         }
-        bucket | (l.toLong << 16) // table id disambiguates bucket space
+        bucket | (l.toLong << 48) // table id (high bits) disambiguates bucket space
       })
   }
 
@@ -105,7 +111,10 @@ object Similarity {
     // that survives 100 TB; the old O(n²) crossJoin is gone.
     "q_embed_neardup" -> ((s, dir) => {
       val all = embeddings(s, dir)
-      val buckets = bucketsUdfFor(DupTables, DupPlanesPerTable)
+      val n = math.max(1L, all.count())
+      val planesPerTable = math.max(DupPlanesPerTable,
+        math.ceil(math.log(n.toDouble / DupTargetBucket) / math.log(2)).toInt)
+      val buckets = bucketsUdfFor(DupTables, planesPerTable)
       val cands = all
         .select(col("vec_id"), explode(buckets(col("v"))).as("bucket"))
         .groupBy(col("bucket"))
