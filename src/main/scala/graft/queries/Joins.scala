@@ -19,6 +19,16 @@ object Joins {
   private def moneySumSql(e: String): String =
     s"CAST(SUM(CAST($e AS DECIMAL(18,2))) AS DOUBLE)"
 
+  /** Revenue terms (price × discount factor) carry 4 true decimal
+    * digits; DECIMAL(18,4) recovers the exact value from the double
+    * product on both engines (never lands on a rounding boundary, so
+    * HALF_UP-vs-HALF_EVEN differences can't bite), and the decimal sum
+    * is addition-order-exact. */
+  private def revenueSum(c: Column): Column =
+    sum(c.cast("decimal(18,4)")).cast("double")
+  private def revenueSumSql(e: String): String =
+    s"CAST(SUM(CAST($e AS DECIMAL(18,4))) AS DOUBLE)"
+
   /** Quantity buckets for the range join: half-open [lo, hi). */
   private val buckets = Seq((0, 0.0, 10.0), (1, 10.0, 20.0), (2, 20.0, 30.0),
     (3, 30.0, 40.0), (4, 40.0, 60.0))
@@ -107,6 +117,51 @@ object Joins {
       graft.operators.AsOfJoin(ev, or, "user_id", "t", Seq("asof_ms"))
         .select(col("event_id"), col("user_id"), col("asof_ms"))
         .orderBy(col("event_id"))
+    }),
+
+    // TPC-H Q3 shape (round 2): 3-way customer⋈orders⋈lineitem with a
+    // selective dim filter, grouped revenue, top-50. Catalyst plans
+    // customer as the small build side and shuffles the fact-fact join
+    // once on the order key — the canonical analytics plan at any
+    // scale. Revenue terms are cast to DECIMAL before summation, so
+    // the result is addition-order-exact (engine-portable).
+    "q_join_multi" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "AUTOMOBILE")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(revenueSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(50)
+        .select(col("l_orderkey"), col("revenue"), col("o_orderdate"),
+          col("o_orderpriority"))
+    }),
+
+    // TPC-H Q5 shape (round 2): 6-way join across region→nation→
+    // customer→orders→lineitem→supplier with the classic co-nation
+    // constraint. region/nation/supplier broadcast; the two fact joins
+    // shuffle on their keys.
+    "q_join_5way" -> ((s, dir) => {
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier")
+      broadcast(r).join(n, col("n_regionkey") === col("r_regionkey"))
+        .join(c, col("c_nationkey") === col("n_nationkey"))
+        .join(o, col("o_custkey") === col("c_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup),
+          col("s_suppkey") === col("l_suppkey") &&
+            col("s_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(revenueSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -140,5 +195,24 @@ object Joins {
       ("SELECT e.event_id, e.user_id, epoch_ms(o.o_orderdate) AS asof_ms " +
         "FROM events e ASOF JOIN orders o " +
         "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate " +
-        "ORDER BY e.event_id"))
+        "ORDER BY e.event_id"),
+    "q_join_multi" ->
+      ("SELECT l_orderkey, " +
+        s"${revenueSumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue, " +
+        "o_orderdate, o_orderpriority " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey " +
+        "JOIN lineitem ON o_orderkey = l_orderkey " +
+        "WHERE c_mktsegment = 'AUTOMOBILE' " +
+        "GROUP BY l_orderkey, o_orderdate, o_orderpriority " +
+        "ORDER BY revenue DESC, l_orderkey LIMIT 50"),
+    "q_join_5way" ->
+      ("SELECT n_name, " +
+        s"${revenueSumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue " +
+        "FROM region JOIN nation ON n_regionkey = r_regionkey " +
+        "JOIN customer ON c_nationkey = n_nationkey " +
+        "JOIN orders ON o_custkey = c_custkey " +
+        "JOIN lineitem ON l_orderkey = o_orderkey " +
+        "JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey " +
+        "WHERE r_name = 'ASIA' " +
+        "GROUP BY n_name ORDER BY revenue DESC, n_name"))
 }

@@ -81,6 +81,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("FileScan"), p)
   }
 
+  test("q_join_multi builds on the filtered customer side, shuffles facts once") {
+    val p = plan("q_join_multi")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the mktsegment filter must reach the customer scan
+    assert(p.contains("EqualTo(c_mktsegment,AUTOMOBILE)"), p) // pushed to the scan
+  }
+
+  test("q_join_5way broadcasts every dimension (no dim shuffles)") {
+    val p = plan("q_join_5way")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("EqualTo(r_name,ASIA)"), p) // pushed to the scan
+  }
+
   test("q_embed_neardup runs no cartesian product (LSH candidates + verify)") {
     val p = plan("q_embed_neardup")
     assert(!p.contains("CartesianProduct"), p)
