@@ -1,0 +1,117 @@
+package graft.streaming
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
+import org.apache.spark.sql.Row
+
+import graft.wheel.{AllAggregate, Decompose, Retention, Tier}
+
+/** A LIVE wheel index fed by Structured Streaming — the full µWheel
+  * lifecycle (insert → advance → query, /root/reference/src/main.rs:
+  * 105–144) as a streaming pipeline instead of a batch build:
+  *
+  *   - the streaming minute rollup ([[StreamingRollup.minuteRollup]])
+  *     holds per-minute partials in Spark's aggregation state, with the
+  *     event-time watermark playing µWheel's low watermark (late rows
+  *     dropped, future rows staged until their slot finalizes);
+  *   - each micro-batch's UPDATED slots (update output mode emits only
+  *     deltas) upsert into a driver-resident slot map, so the index is
+  *     queryable while the stream runs — µWheel's reader/writer split;
+  *   - queries decompose exactly like the batch [[graft.wheel
+  *     .WheelIndex]] (coarse tiers combined lazily from retained minute
+  *     partials); optional minute retention evicts slots older than
+  *     `keepMinutes` behind the stream's high watermark.
+  *
+  * Scale posture: the driver state is bounded by TIME (one month of
+  * minutes = 44 640 slots) and by retention, never by row count; each
+  * micro-batch ships only changed slots (≤ distinct minutes touched per
+  * batch). The heavy lifting — per-event aggregation — happens in
+  * Spark's distributed streaming state store, not on the driver. */
+final class LiveWheel(keepMinutes: Option[Int] = None) extends Serializable {
+
+  private final case class Slot(sum: Double, cnt: Long, min: Double, max: Double)
+
+  /** minute slot_ms → latest partial; concurrent because the streaming
+    * thread upserts while readers query. */
+  private val minutes = new ConcurrentHashMap[Long, Slot]()
+  @volatile private var highWatermarkMs: Long = Long.MinValue
+
+  /** Upsert one micro-batch of updated minute partials (update-mode
+    * delta rows from [[StreamingRollup.minuteRollup]]'s schema). */
+  private[streaming] def merge(rows: Array[Row]): Unit = {
+    rows.foreach { r =>
+      val slot = r.getLong(r.fieldIndex("slot_ms"))
+      minutes.put(slot, Slot(
+        r.getDouble(r.fieldIndex("sum_v")), r.getLong(r.fieldIndex("cnt")),
+        r.getDouble(r.fieldIndex("min_v")), r.getDouble(r.fieldIndex("max_v"))))
+      if (slot > highWatermarkMs) highWatermarkMs = slot
+    }
+    keepMinutes.foreach { n =>
+      val floor = highWatermarkMs - n.toLong * Tier.Minute.ms
+      val it = minutes.keySet.iterator()
+      while (it.hasNext) if (it.next() < floor) it.remove()
+    }
+  }
+
+  /** Latest slot seen (the stream's progress clock, epoch ms). */
+  def watermarkMs: Long = highWatermarkMs
+
+  def retainedSlots: Int = minutes.size
+
+  /** Combine over a minute-aligned half-open range, same decomposition
+    * as the batch index; coarse-tier runs combine their member minute
+    * partials lazily (bounded by time, µs-scale). */
+  def query(startMs: Long, endMs: Long): AllAggregate = {
+    require(startMs <= endMs, s"bad range [$startMs, $endMs)")
+    var acc = AllAggregate.identity
+    if (startMs == endMs) return acc
+    Decompose(startMs, endMs).foreach { run =>
+      var slot = run.startMs
+      while (slot < run.endMs) {
+        val s = minutes.get(slot)
+        if (s != null && s.cnt > 0)
+          acc = acc.combine(AllAggregate(s.sum, s.cnt, s.min, s.max))
+        slot += Tier.Minute.ms
+      }
+    }
+    acc
+  }
+
+  def querySum(startMs: Long, endMs: Long): Double = query(startMs, endMs).sum
+}
+
+object StreamingWheel {
+
+  /** Wire a streaming events DataFrame into a [[LiveWheel]]. Returns the
+    * un-started writer (callers pick trigger/checkpoint and `.start()`)
+    * plus the live index it feeds.
+    *
+    * `retention` mirrors the batch index's [[Retention]] for the minute
+    * tier ([[Retention.KeepN]] = a bounded sliding-window store — the
+    * reference's non-Keep `WheelMode`). */
+  def writer(events: DataFrame, tsCol: String, valueCol: String,
+      watermarkDelay: String = "10 minutes",
+      retention: Retention = Retention.Keep): (DataStreamWriter[Row], LiveWheel) = {
+    val live = new LiveWheel(retention match {
+      case Retention.Keep => None
+      case Retention.KeepN(n) => Some(n)
+    })
+    val w = StreamingRollup.minuteRollup(events, tsCol, valueCol, watermarkDelay)
+      .writeStream
+      .outputMode("update") // deltas only: changed slots per micro-batch
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        live.merge(batch.collect()) // bounded: ≤ minutes touched per batch
+      }
+    (w, live)
+  }
+
+  /** Convenience: start immediately with the default trigger. */
+  def start(events: DataFrame, tsCol: String, valueCol: String,
+      watermarkDelay: String = "10 minutes",
+      retention: Retention = Retention.Keep): (StreamingQuery, LiveWheel) = {
+    val (w, live) = writer(events, tsCol, valueCol, watermarkDelay, retention)
+    (w.start(), live)
+  }
+}

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.wheel.Retention
+
+/** The live streaming-fed wheel (µWheel's insert→advance→query loop,
+  * /root/reference/src/main.rs:105–144, as Structured Streaming):
+  * in-flight queryability, batch parity, late-row drop, and bounded
+  * sliding-window retention. */
+class StreamingWheelSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val T0 = 1704067200000L // 2024-01-01T00:00:00Z
+  private def ts(offsetMs: Long) = new Timestamp(T0 + offsetMs)
+  private val Min = 60000L
+
+  test("live wheel answers range queries while the stream runs; parity with arrival") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Double)]
+    val (q, live) = StreamingWheel.start(
+      mem.toDF().toDF("ts", "value"), "ts", "value")
+    try {
+      mem.addData(Seq((ts(0), 1.5), (ts(10_000), 2.5), (ts(Min), 4.0)))
+      q.processAllAvailable()
+      assert(live.querySum(T0, T0 + Min) == 4.0)       // minute 0
+      assert(live.querySum(T0, T0 + 2 * Min) == 8.0)   // minutes 0–1
+      assert(live.query(T0, T0 + 2 * Min).count == 3L)
+
+      // a second batch UPDATES minute 1 and adds minute 2: the live view
+      // must reflect the re-aggregated totals, not appended duplicates
+      mem.addData(Seq((ts(Min + 5_000), 6.0), (ts(2 * Min), 10.0)))
+      q.processAllAvailable()
+      assert(live.querySum(T0 + Min, T0 + 2 * Min) == 10.0) // 4 + 6
+      assert(live.querySum(T0, T0 + 3 * Min) == 24.0)
+      val all = live.query(T0, T0 + 3 * Min)
+      assert(all.count == 5L && all.min == 1.5 && all.max == 10.0)
+    } finally q.stop()
+  }
+
+  test("late rows below the watermark never reach the live wheel") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Double)]
+    val (q, live) = StreamingWheel.start(
+      mem.toDF().toDF("ts", "value"), "ts", "value", "0 seconds")
+    try {
+      mem.addData(Seq((ts(3_600_000), 5.0))) // advance watermark to T0+1h
+      q.processAllAvailable()
+      mem.addData(Seq((ts(0), 99.0)))        // an hour late → dropped
+      q.processAllAvailable()
+      assert(live.querySum(T0, T0 + Min) == 0.0, "late row leaked into the index")
+      assert(live.querySum(T0 + 3_600_000L, T0 + 3_600_000L + Min) == 5.0)
+    } finally q.stop()
+  }
+
+  test("KeepN retention keeps the live state a bounded sliding window") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Double)]
+    val (q, live) = StreamingWheel.start(
+      mem.toDF().toDF("ts", "value"), "ts", "value", "0 seconds",
+      Retention.KeepN(10)) // keep only the last 10 minutes
+    try {
+      mem.addData((0 until 30).map(i => (ts(i * Min), 1.0)))
+      q.processAllAvailable()
+      assert(live.retainedSlots <= 11, s"evicted slots linger: ${live.retainedSlots}")
+      // recent window answers; evicted span reads as absent
+      assert(live.querySum(T0 + 25 * Min, T0 + 30 * Min) == 5.0)
+      assert(live.querySum(T0, T0 + 5 * Min) == 0.0)
+    } finally q.stop()
+  }
+}
