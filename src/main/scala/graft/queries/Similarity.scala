@@ -152,7 +152,100 @@ object Similarity {
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           round(col("sim"), 4).as("sim"), col("rk").cast("long").as("rk"))
         .orderBy(col("query_id"), col("rk"))
-    }))
+    }),
+
+    // IVF ANN (learned coarse quantizer; see ivfQuery below).
+    "q_ann_ivf" -> ((s, dir) => ivfQuery(s, dir)))
+
+  // IVF: learned coarse quantizer (vs LSH's random hyperplanes) — the
+  // other standard ANN scale path the builder prompt names. Cells ≈ √n
+  // keeps cell size ≈ √n; probing the nprobe nearest cells per query
+  // bounds candidates to nprobe·√n — sub-linear per query, and on
+  // clustered real-world embeddings the learned cells beat random
+  // planes at equal candidate budget.
+  private val IvfSampleCap = 4096
+  private val IvfIters = 10
+  private val IvfNProbe = 4
+
+  /** Driver-side spherical k-means on a bounded sample — deterministic
+    * (seeded init, fixed iteration count, stable argmax ties) so the
+    * quantizer is reproducible across runs and executors. */
+  private def trainCentroids(sample: Array[Array[Double]], c: Int): Array[Array[Double]] = {
+    val dim = sample.head.length
+    val rnd = new scala.util.Random(11)
+    var centroids = Array.tabulate(c)(i =>
+      sample(rnd.nextInt(sample.length)).clone())
+    (1 to IvfIters).foreach { _ =>
+      val sums = Array.fill(c)(new Array[Double](dim))
+      val counts = new Array[Int](c)
+      sample.foreach { v =>
+        val cell = nearestCell(centroids, v)
+        counts(cell) += 1
+        var i = 0
+        while (i < dim) { sums(cell)(i) += v(i); i += 1 }
+      }
+      centroids = Array.tabulate(c) { j =>
+        if (counts(j) == 0) centroids(j)
+        else graft.functions.VectorFunctions.normalizeLocal(sums(j))
+      }
+    }
+    centroids
+  }
+
+  /** Argmax dot (cosine on normalized input), first-wins on ties. */
+  private def nearestCell(centroids: Array[Array[Double]], v: Seq[Double]): Int = {
+    var best = 0; var bestDot = Double.NegativeInfinity
+    var j = 0
+    while (j < centroids.length) {
+      var d = 0.0; var i = 0
+      val cj = centroids(j)
+      while (i < cj.length && i < v.length) { d += cj(i) * v(i); i += 1 }
+      if (d > bestDot) { bestDot = d; best = j }
+      j += 1
+    }
+    best
+  }
+
+  private def topCells(centroids: Array[Array[Double]], v: Seq[Double], k: Int): Array[Int] = {
+    val scored = Array.tabulate(centroids.length) { j =>
+      var d = 0.0; var i = 0
+      val cj = centroids(j)
+      while (i < cj.length && i < v.length) { d += cj(i) * v(i); i += 1 }
+      (j, d)
+    }
+    scored.sortBy { case (j, d) => (-d, j) }.take(k).map(_._1)
+  }
+
+  /** IVF ANN as a query: train on a bounded sample, assign corpus cells,
+    * probe nprobe cells per (broadcast) query, exact-score candidates.
+    * Registered alongside q_ann_lsh; recall checked in SimilaritySpec.
+    * (At production scale the trainer would draw a uniform reservoir
+    * sample and size cells from the true corpus count; the id-prefix
+    * sample here is exact on the fixtures, which fit under the cap.) */
+  private val ivfQuery: Fn = (s, dir) => {
+    val all = embeddings(s, dir)
+    val sample = all.filter(col("vec_id") < IvfSampleCap)
+      .collect().map(_.getSeq[Double](1).toArray)
+    val n = math.max(1, sample.length)
+    val c = math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val centroids = trainCentroids(sample, c)
+    val cellUdf = udf((v: Seq[Double]) => nearestCell(centroids, v))
+    val probeUdf = udf((v: Seq[Double]) => topCells(centroids, v, IvfNProbe))
+    val corpus = all.withColumn("cell", cellUdf(col("v")))
+    val q = broadcast(all.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        explode(probeUdf(col("v"))).as("cell")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    corpus.join(q, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", sim(col("qv"), col("v")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("sim"), 4).as("sim"), col("rk").cast("long").as("rk"))
+      .orderBy(col("query_id"), col("rk"))
+  }
 
   /** No SQL oracles: float-order-sensitive ranking (SURVEY.md §2.6). */
   val oracle: Map[String, String] = Map.empty

@@ -91,6 +91,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(annPairs.intersect(exactPairs).nonEmpty)
   }
 
+  test("q_ann_ivf scores exactly and recalls most exact top-k neighbors") {
+    val ivf = SparkEntryQueries("q_ann_ivf")
+    val exact = SparkEntryQueries("q_sim_topk")
+    // every IVF hit's similarity must be the true cosine (rounded)
+    ivf.foreach { case (q, n, sim, _) =>
+      val truth = math.rint(VectorFunctions.cosineLocal(vecs(q), vecs(n)) * 1e4) / 1e4
+      assert(math.abs(sim - truth) < 1e-9, s"($q,$n)")
+    }
+    assert(ivf.map(_._1).distinct.size == 50) // every query answered
+    // learned cells + 4-probe: recall vs exact top-k is deterministic on
+    // the fixed fixture; require a solid floor
+    val ivfPairs = ivf.map(r => (r._1, r._2)).toSet
+    val exactPairs = exact.map(r => (r._1, r._2)).toSet
+    val recall = ivfPairs.intersect(exactPairs).size.toDouble / exactPairs.size
+    assert(recall >= 0.5, s"IVF recall $recall")
+  }
+
   /** (query_id, neighbor_id, sim, rank) rows. */
   private def SparkEntryQueries(name: String): Seq[(Long, Long, Double, Long)] =
     Similarity.queries(name)(spark, dir).collect().toSeq
