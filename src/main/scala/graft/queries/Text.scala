@@ -53,6 +53,17 @@ object Text {
   private val simhashUdf = udf((text: String) => TextHash.simHash(text))
   private val simhashChunksUdf = udf((h: Long) => TextHash.simHashChunks(h))
 
+  /** MinHash-LSH candidate pairs (doc_a < doc_b, distinct) — shared by
+    * `q_minhash_dedup` and the component clustering on top of it. */
+  private def minhashPairs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    t(s, dir, "documents")
+      .select(col("doc_id"), posexplode(minhashBandsUdf(col("text"))).as(Seq("band", "key")))
+      .groupBy(col("band"), col("key"))
+      .agg(boundedIds(col("doc_id")).as("ids"))
+      .select(explode(pairsUdf(col("ids"))).as("p"))
+      .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"))
+      .distinct()
+
   val queries: Map[String, Fn] = Map(
     // Exact dedup: hash-groupBy on content hash. Emits ALL groups (count
     // and representative), so the query is non-vacuous at every sf; dup
@@ -188,14 +199,43 @@ object Text {
     // buckets ≤ MaxBucket; larger buckets are dropped, bounded-memory,
     // by BoundedCollect). Verified against exact Jaccard in ScalaTest.
     "q_minhash_dedup" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"), posexplode(minhashBandsUdf(col("text"))).as(Seq("band", "key")))
-        .groupBy(col("band"), col("key"))
-        .agg(boundedIds(col("doc_id")).as("ids"))
-        .select(explode(pairsUdf(col("ids"))).as("p"))
-        .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"))
-        .distinct()
-        .orderBy(col("doc_a"), col("doc_b"))),
+      minhashPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))),
+
+    // Near-dup CLUSTERS: connected components over the MinHash candidate
+    // graph, then one canonical doc per component (min doc_id) — the
+    // "keep one per duplicate cluster" step of a real dedup pipeline.
+    // Distributed min-label propagation: each round pushes the smallest
+    // known component label across edges (join + min-agg = 2 bounded
+    // shuffles/round), converging in O(cluster diameter) rounds — dup
+    // clusters are shallow, and the row cap guards pathological chains.
+    // Every doc appears (non-dup docs are singleton clusters).
+    "q_dedup_clusters" -> ((s, dir) => {
+      val pairs = // the LSH candidate pairs, as an undirected edge list
+        minhashPairs(s, dir).select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      var labels = t(s, dir, "documents")
+        .select(col("doc_id"), col("doc_id").as("label"))
+      val MaxRounds = 8
+      var round = 0
+      var converged = false
+      while (round < MaxRounds && !converged) {
+        val prop = edges.join(labels, edges("src") === labels("doc_id"))
+          .select(col("dst").as("doc_id"), col("label"))
+        val next = labels.union(prop)
+          .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
+          .localCheckpoint(true) // truncate lineage; also materializes for the convergence check
+        val changed = next.as("n")
+          .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
+          .filter(col("n.label") =!= col("o.label")).limit(1).count()
+        labels = next
+        converged = changed == 0L
+        round += 1
+      }
+      labels
+        .withColumn("is_canonical", col("doc_id") === col("label"))
+        .select(col("doc_id"), col("label").as("cluster_id"), col("is_canonical"))
+        .orderBy(col("doc_id"))
+    }),
 
     // SimHash near-dup: 64-bit signature, 16-bit pigeonhole chunks
     // (hamming ≤ 3 ⇒ some chunk equal), verify hamming via bit_count.

@@ -96,6 +96,53 @@ class TextSpec extends AnyFunSuite {
     assert(agg.merge(small, agg.zero).length == 7)
   }
 
+  test("q_dedup_clusters matches a local union-find over the same pair graph (sf0.1)") {
+    val dir = TestSpark.Sf01
+    val pairs = Text.queries("q_minhash_dedup")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val got = Text.queries("q_dedup_clusters")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val docCount = Q.t(spark, dir, "documents").count()
+    assert(got.length == docCount, "every doc must be assigned a cluster")
+    got.foreach { case (id, cluster, canonical) =>
+      assert(cluster == find(id), s"doc $id: got $cluster want ${find(id)}")
+      assert(canonical == (cluster == id))
+    }
+  }
+
+  test("q_dedup_clusters resolves a known synthetic cluster structure") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.{Row, types => T}
+    // texts: {0,1,2} identical, {3,4} identical, {5} unique →
+    // clusters 0,0,0,3,3,5
+    val rows = Seq(
+      Row(0L, "alpha beta gamma delta epsilon zeta"),
+      Row(1L, "alpha beta gamma delta epsilon zeta"),
+      Row(2L, "alpha beta gamma delta epsilon zeta"),
+      Row(3L, "one two three four five six seven"),
+      Row(4L, "one two three four five six seven"),
+      Row(5L, "completely different text with other words entirely"))
+    val schema = T.StructType(Seq(
+      T.StructField("doc_id", T.LongType, nullable = false),
+      T.StructField("text", T.StringType, nullable = false)))
+    val tmp = "target/test-fixtures/clusters"
+    spark.createDataFrame(rows.asJava, schema)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Text.queries("q_dedup_clusters")(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 3L), (4L, 3L), (5L, 5L)))
+  }
+
   test("token/quality expressions match a local computation") {
     val row = Q.t(spark, TestSpark.Sf0001, "documents")
       .orderBy(col("doc_id")).limit(1).collect()(0)
