@@ -103,4 +103,59 @@ object TextHash extends Serializable {
     * ≤ 3 ⇒ at least one of the 4 chunks is identical. */
   def simHashChunks(h: Long): Array[Long] =
     Array.tabulate(4)(i => ((h >>> (i * 16)) & 0xffffL) | (i.toLong << 32))
+
+  // Winnowing (rolling-hash document fingerprinting, Schleimer/Wilkerson/
+  // Aiken "Winnowing: Local Algorithms for Document Fingerprinting",
+  // SIGMOD 2003 — public algorithm): k-gram Rabin-Karp rolling hashes,
+  // one fingerprint per w-window (rightmost minimum). Guarantee: any
+  // shared substring of length ≥ w + k - 1 contributes at least one
+  // shared fingerprint, so near-identical documents overlap heavily.
+  val WinnowK = 8
+  val WinnowW = 6
+  private val RkBase = 1000003L
+  private val RkBasePowK: Long = {
+    var p = 1L
+    (1 until WinnowK).foreach(_ => p *= RkBase)
+    p
+  }
+
+  /** Rolling Rabin-Karp hashes of all k-grams (mod 2⁶⁴), O(n). */
+  def rollingHashes(s: String, k: Int = WinnowK): Array[Long] = {
+    if (s == null || s.length < k) return Array.empty
+    val out = new Array[Long](s.length - k + 1)
+    var h = 0L
+    var i = 0
+    while (i < k) { h = h * RkBase + s.charAt(i); i += 1 }
+    out(0) = h
+    while (i < s.length) {
+      h = (h - s.charAt(i - k) * RkBasePowK) * RkBase + s.charAt(i)
+      out(i - k + 1) = h
+      i += 1
+    }
+    out
+  }
+
+  /** Winnowed fingerprint set: per sliding window of [[WinnowW]] hashes,
+    * the RIGHTMOST minimum (the paper's robust-winnowing tie rule);
+    * consecutive duplicate picks collapse. Sorted distinct output so the
+    * set is canonical. */
+  def winnow(s: String, k: Int = WinnowK, w: Int = WinnowW): Array[Long] = {
+    val hs = rollingHashes(s, k)
+    if (hs.isEmpty) return Array.empty
+    if (hs.length <= w) return Array(hs.min).distinct
+    val picks = scala.collection.mutable.LinkedHashSet.empty[Long]
+    var start = 0
+    while (start + w <= hs.length) {
+      var best = start
+      var i = start
+      while (i < start + w) {
+        // unsigned compare; >= keeps the rightmost minimum
+        if (java.lang.Long.compareUnsigned(hs(i), hs(best)) <= 0) best = i
+        i += 1
+      }
+      picks += hs(best)
+      start += 1
+    }
+    picks.toArray.sorted
+  }
 }

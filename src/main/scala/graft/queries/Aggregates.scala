@@ -81,6 +81,21 @@ object Aggregates {
         .agg(approx_count_distinct(col("user_id")).as("approx_users"))
         .orderBy(col("event_type"))),
 
+    // Mergeable quantile sketch (round 2) — the other standard sketch
+    // aggregate a 100 TB pipeline leans on; Spark's percentile_approx
+    // (GK-style) runs as partial+final like any hash agg. Approximate →
+    // no oracle; error bounds vs exact percentiles in ScalaTest.
+    "q_approx_quantile" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(percentile_approx(col("value"),
+          array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("q"))
+        .select(col("event_type"),
+          col("q").getItem(0).as("p50"),
+          col("q").getItem(1).as("p95"),
+          col("q").getItem(2).as("p99"))
+        .orderBy(col("event_type"))),
+
     // µWheel's composite `All` aggregator as a typed Aggregator UDAF
     // (SURVEY.md §2.2 / §7.5): one buffer carries sum/count/min/max
     // through partial+final ObjectHashAggregate; avg derived at finish

@@ -201,6 +201,22 @@ object Text {
     "q_minhash_dedup" -> ((s, dir) =>
       minhashPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))),
 
+    // Winnowing fingerprints (rolling hash — Schleimer et al. 2003):
+    // k-gram Rabin-Karp rolling hashes, rightmost-min per window. The
+    // per-doc fingerprint SET is the dedup/plagiarism primitive; the
+    // query emits its size and an order-insensitive checksum (xor), both
+    // deterministic. Properties (shared-substring guarantee, shift
+    // invariance) are asserted in ScalaTest.
+    "q_winnow_fp" -> ((s, dir) => {
+      val winnowUdf = udf((text: String) => TextHash.winnow(text))
+      t(s, dir, "documents")
+        .select(col("doc_id"), winnowUdf(col("text")).as("fps"))
+        .select(col("doc_id"),
+          size(col("fps")).cast("long").as("n_fp"),
+          aggregate(col("fps"), lit(0L), (acc, x) => acc.bitwiseXOR(x)).as("fp_xor"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Near-dup CLUSTERS: connected components over the MinHash candidate
     // graph, then one canonical doc per component (min doc_id) — the
     // "keep one per duplicate cluster" step of a real dedup pipeline.

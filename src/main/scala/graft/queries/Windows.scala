@@ -49,7 +49,33 @@ object Windows {
       t(s, dir, "lineitem")
         .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
-        .limit(20)))
+        .limit(20)),
+
+    // Batch sessionization (round 2) — the batch analogue of the
+    // streaming session window: per user, a new session starts after a
+    // >6h event-time gap; gap-flag via LAG, session number via running
+    // sum, then per-session aggregates. One shuffle on user_id serves
+    // both window passes and the final group-by. Tie-safety: rows tied
+    // on ts get gap 0 against each other whichever way the engine
+    // orders them, and the default RANGE cumsum frame includes peers,
+    // so session assignment is engine-deterministic.
+    "q_sessionize" -> ((s, dir) => {
+      val gapMs = 6L * 3600000L
+      val tms = unix_millis(col("ts"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tms"))
+      t(s, dir, "events")
+        .select(col("user_id"), tms.as("tms"), col("value"))
+        .withColumn("new_s",
+          when(lag(col("tms"), 1).over(w).isNull ||
+            col("tms") - lag(col("tms"), 1).over(w) > gapMs, 1).otherwise(0))
+        .withColumn("session_no", sum(col("new_s")).over(w)) // RANGE frame: peers included
+        .groupBy(col("user_id"), col("session_no"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("tms")).as("start_ms"),
+          max(col("tms")).as("end_ms"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("user_id"), col("session_no"))
+    }))
 
   val oracle: Map[String, String] = Map(
     "q_window_rank" ->
@@ -71,5 +97,17 @@ object Windows {
         "ORDER BY user_id, event_id"),
     "q_topk" ->
       ("SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem " +
-        "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20"))
+        "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20"),
+    "q_sessionize" ->
+      ("WITH g AS (SELECT user_id, epoch_ms(ts) AS tms, value, " +
+        "CASE WHEN LAG(epoch_ms(ts)) OVER w IS NULL " +
+        "OR epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w > 21600000 " +
+        "THEN 1 ELSE 0 END AS new_s FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts))), " +
+        "s AS (SELECT user_id, tms, value, " +
+        "CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY tms) AS BIGINT) AS session_no " +
+        "FROM g) " +
+        "SELECT user_id, session_no, COUNT(1) AS n_events, MIN(tms) AS start_ms, " +
+        "MAX(tms) AS end_ms, ROUND(SUM(value), 2) AS sum_value " +
+        "FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no"))
 }

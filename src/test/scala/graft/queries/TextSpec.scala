@@ -143,6 +143,35 @@ class TextSpec extends AnyFunSuite {
     assert(got == Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 3L), (4L, 3L), (5L, 5L)))
   }
 
+  test("winnowing: shared-substring guarantee, shift invariance, determinism") {
+    import graft.functions.TextHash._
+    val s = "the quick brown fox jumps over the lazy dog again and again"
+    assert(winnow(s).toSeq == winnow(s).toSeq) // deterministic
+    // guarantee: a shared substring of length >= w + k - 1 produces at
+    // least one shared fingerprint (Schleimer et al. theorem)
+    val shared = "a very distinctive shared passage of text"
+    assert(shared.length >= WinnowW + WinnowK - 1)
+    val a = winnow("prefix one two three " + shared + " suffix alpha").toSet
+    val b = winnow("totally different lead-in words " + shared + " and tail").toSet
+    assert(a.intersect(b).nonEmpty, "shared substring produced no shared fingerprint")
+    // shift invariance: a long prefix shifts positions but fingerprints
+    // are position-free, so most survive
+    val base = winnow(s).toSet
+    val shifted = winnow("zzzz yyyy xxxx wwww " + s).toSet
+    assert(base.intersect(shifted).size.toDouble / base.size > 0.7)
+    // short strings still fingerprint (single k-gram / sub-window)
+    assert(winnow("tiny").isEmpty || winnow("tiny").length == 1)
+    assert(winnow("exactly8!").nonEmpty)
+  }
+
+  test("q_winnow_fp emits one deterministic fingerprint row per doc") {
+    val r1 = Text.queries("q_winnow_fp")(spark, TestSpark.Sf0001).collect()
+    val r2 = Text.queries("q_winnow_fp")(spark, TestSpark.Sf0001).collect()
+    assert(r1.length == 500)
+    assert(r1.map(_.toString).toSeq == r2.map(_.toString).toSeq)
+    assert(r1.forall(_.getLong(1) > 0), "every fixture doc is long enough to fingerprint")
+  }
+
   test("token/quality expressions match a local computation") {
     val row = Q.t(spark, TestSpark.Sf0001, "documents")
       .orderBy(col("doc_id")).limit(1).collect()(0)
