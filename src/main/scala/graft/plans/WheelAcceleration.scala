@@ -97,9 +97,43 @@ object WheelAcceleration {
 
   /** Drop the registered index for `path` (the rewrite rule stops firing
     * for it; queries fall back to the scan path). */
-  def unregister(path: String): Unit = registry.remove(normalize(path))
+  def unregister(path: String): Unit = {
+    registry.remove(normalize(path))
+    keyedRegistry.remove(normalize(path))
+  }
 
-  def clear(): Unit = registry.clear()
+  def clear(): Unit = {
+    registry.clear()
+    keyedRegistry.clear()
+  }
+
+  private[plans] final case class KeyedReg(keyCol: String, tsCol: String, valueCol: String,
+      idx: graft.wheel.KeyedWheelIndex, fingerprint: String,
+      hadoopConf: org.apache.hadoop.conf.Configuration)
+
+  private val keyedRegistry = new ConcurrentHashMap[String, KeyedReg]()
+
+  /** Register a PER-KEY index for `path` (GROUP BY keyCol × time-slot
+    * rewrites). Same fingerprint/staleness discipline as [[register]]. */
+  def registerKeyed(spark: SparkSession, path: String, events: => DataFrame,
+      keyCol: String, tsCol: String = "ts", valueCol: String = "value"): graft.wheel.KeyedWheelIndex = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fp = fingerprint(path, conf)
+    val reg = keyedRegistry.compute(normalize(path), (_, old) =>
+      if (old != null && old.fingerprint == fp && old.keyCol == keyCol) old
+      else KeyedReg(keyCol, tsCol, valueCol,
+        graft.wheel.KeyedWheelIndex.build(events, keyCol, tsCol, valueCol), fp, conf))
+    enable(spark)
+    reg.idx
+  }
+
+  private[plans] def lookupKeyed(path: String): Option[KeyedReg] =
+    Option(keyedRegistry.get(normalize(path))).filter { r =>
+      val ok = fingerprint(path, r.hadoopConf) == r.fingerprint
+      if (!ok) System.err.println(s"[graft] keyed wheel index for $path is stale; " +
+        "skipping rewrite — re-register to rebuild")
+      ok
+    }
 
   /** Idempotently add the rule to an already-built session (the
     * config-time path is `spark.sql.extensions=graft.plans.GraftExtensions`). */
@@ -158,7 +192,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     (a, b) <- rangeMs(cond, tsCol)
     if a % MinuteMs == 0 && b % MinuteMs == 0 && a <= b
     all = idx.query(a, b)
-    rewritten <- foldRow(aggExprs, valueCol, all, None)
+    rewritten <- foldRow(aggExprs, valueCol, all, Seq.empty)
   } yield LocalRelation(agg.output, Seq(InternalRow.fromSeq(rewritten)))
 
   /** GROUP BY time-slot over a registered source — answered from the
@@ -173,9 +207,17 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       agg: Aggregate,
       groupings: Seq[Expression],
       aggExprs: Seq[NamedExpression],
+      child: LogicalPlan): Option[LogicalPlan] = groupings.size match {
+    case 1 => rewriteSlotGrouped(agg, groupings.head, aggExprs, child)
+    case 2 => rewriteKeyedGrouped(agg, groupings, aggExprs, child)
+    case _ => None
+  }
+
+  private def rewriteSlotGrouped(
+      agg: Aggregate,
+      groupKey: Expression,
+      aggExprs: Seq[NamedExpression],
       child: LogicalPlan): Option[LogicalPlan] = {
-    if (groupings.size != 1) return None
-    val groupKey = groupings.head
     for {
       path <- sourcePath(child)
       (tsCol, valueCol, idx) <- WheelAcceleration.lookup(path)
@@ -187,15 +229,14 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       }
       if a % MinuteMs == 0 && b % MinuteMs == 0 && a < b
       rows <- {
-        val first = math.floorDiv(a, w) * w
         val slotRows = Seq.newBuilder[InternalRow]
         var ok = true
-        var s0 = first
+        var s0 = math.floorDiv(a, w) * w
         while (ok && s0 < b) {
           val all = idx.query(math.max(a, s0), math.min(b, s0 + w))
           if (all.count > 0L) {
             foldRow(aggExprs, valueCol, all,
-              Some((groupKey, gExpr, Literal(s0, LongType)))) match {
+              Seq((Seq(groupKey, gExpr), Literal(s0, LongType)))) match {
               case Some(vals) => slotRows += InternalRow.fromSeq(vals)
               case None => ok = false
             }
@@ -203,6 +244,58 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
           s0 += w
         }
         if (ok) Some(slotRows.result()) else None
+      }
+    } yield LocalRelation(agg.output, rows)
+  }
+
+  /** GROUP BY (dimension key, time-slot) over a source with a registered
+    * KEYED index: one LocalRelation row per (key, non-empty slot) —
+    * cardinality bounded by |keys| × slots. The key grouping must be a
+    * bare reference to the registered dimension column; the slot
+    * grouping is the same `(tsMs div w) * w` shape, in either order. */
+  private def rewriteKeyedGrouped(
+      agg: Aggregate,
+      groupings: Seq[Expression],
+      aggExprs: Seq[NamedExpression],
+      child: LogicalPlan): Option[LogicalPlan] = {
+    for {
+      path <- sourcePath(child)
+      reg <- WheelAcceleration.lookupKeyed(path)
+      // identify which grouping is the key and which the slot bucketing
+      keyAttrOpt = groupings.collectFirst {
+        case a: AttributeReference if a.name == reg.keyCol => a
+      }
+      keyAttr <- keyAttrOpt
+      slotGroup <- groupings.find {
+        case a: AttributeReference => a.name != reg.keyCol
+        case _ => true
+      }
+      gExpr <- resolveGrouping(child, slotGroup)
+      w <- slotWidth(gExpr, reg.tsCol)
+      (a, b) <- findFilter(child) match {
+        case Some((cond, _)) => rangeMs(cond, reg.tsCol)
+        case None => Some((reg.idx.baseMs, reg.idx.horizonMs))
+      }
+      if a % MinuteMs == 0 && b % MinuteMs == 0 && a < b
+      rows <- {
+        val out = Seq.newBuilder[InternalRow]
+        var ok = true
+        reg.idx.keys.foreach { key =>
+          var s0 = math.floorDiv(a, w) * w
+          while (ok && s0 < b) {
+            val all = reg.idx.query(key, math.max(a, s0), math.min(b, s0 + w))
+            if (all.count > 0L) {
+              foldRow(aggExprs, reg.valueCol, all, Seq(
+                (Seq(keyAttr), Literal.create(key, reg.idx.keyType)),
+                (Seq(slotGroup, gExpr), Literal(s0, LongType)))) match {
+                case Some(vals) => out += InternalRow.fromSeq(vals)
+                case None => ok = false
+              }
+            }
+            s0 += w
+          }
+        }
+        if (ok) Some(out.result()) else None
       }
     } yield LocalRelation(agg.output, rows)
   }
@@ -340,7 +433,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       aggExprs: Seq[NamedExpression],
       valueCol: String,
       all: AllAggregate,
-      groupSubst: Option[(Expression, Expression, Literal)]): Option[Seq[Any]] = {
+      groupSubst: Seq[(Seq[Expression], Literal)]): Option[Seq[Any]] = {
     val empty = all.count == 0L
     def isValue(e: Expression): Boolean = e match {
       case a: AttributeReference => a.name == valueCol
@@ -364,12 +457,12 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       }
     }
     val folded = aggExprs.map { ne =>
-      val substituted = groupSubst match {
-        case Some((gKey, gExpr, slotLit)) => ne.transform {
-          case e if e.semanticEquals(gKey) || e.semanticEquals(gExpr) => slotLit
+      val substituted =
+        if (groupSubst.isEmpty) ne
+        else ne.transform {
+          case e if groupSubst.exists(_._1.exists(e.semanticEquals)) =>
+            groupSubst.find(_._1.exists(e.semanticEquals)).get._2
         }
-        case None => ne
-      }
       val replaced = substituted.transform { case e: AggregateExpression => lit(e) }
       if (!supported) return None
       if (replaced.exists(_.isInstanceOf[Attribute])) return None

@@ -107,6 +107,21 @@ object Core {
            |ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n FROM events_wheel
            |WHERE unix_millis(ts) >= $R1Start AND unix_millis(ts) < $R1End
            |GROUP BY 1 ORDER BY 1""".stripMargin)
+    }),
+
+    // Keyed index path (round 2): GROUP BY dimension × hour-slot over a
+    // range, answered from the registered PER-KEY wheel — cardinality
+    // |keys| × slots, no scan, no job. The per-key generalization of
+    // q_wheel_grouped.
+    "q_wheel_keyed" -> ((s, dir) => {
+      graft.plans.WheelAcceleration.registerKeyed(
+        s, s"$dir/events.parquet", t(s, dir, "events"), "event_type")
+      t(s, dir, "events").createOrReplaceTempView("events_wheel")
+      s.sql(
+        s"""SELECT event_type, (unix_millis(ts) div ${Tier.Hour.ms}) * ${Tier.Hour.ms} AS slot_ms,
+           |ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n FROM events_wheel
+           |WHERE unix_millis(ts) >= $R1Start AND unix_millis(ts) < $R1End
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     }))
 
   private def rangeSumSql(a: Long, b: Long): String =
@@ -144,5 +159,10 @@ object Core {
       (s"SELECT (epoch_ms(ts) // ${Tier.Hour.ms}) * ${Tier.Hour.ms} AS slot_ms, " +
         "ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n " +
         s"FROM events WHERE epoch_ms(ts) >= $R1Start AND epoch_ms(ts) < $R1End " +
-        "GROUP BY 1 ORDER BY 1"))
+        "GROUP BY 1 ORDER BY 1"),
+    "q_wheel_keyed" ->
+      (s"SELECT event_type, (epoch_ms(ts) // ${Tier.Hour.ms}) * ${Tier.Hour.ms} AS slot_ms, " +
+        "ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n " +
+        s"FROM events WHERE epoch_ms(ts) >= $R1Start AND epoch_ms(ts) < $R1End " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"))
 }

@@ -76,7 +76,8 @@ object RollupBuilder {
         sum(col("v")).as("sum_v"),
         count(col("v")).as("cnt"),
         min(col("v")).as("min_v"),
-        max(col("v")).as("max_v"))
+        max(col("v")).as("max_v"),
+        count(lit(1)).as("rows"))
 
   /** Coarsen a keyed rollup, preserving the key. */
   def coarsenKeyed(finer: DataFrame, keyCol: String, tier: Tier): DataFrame =
@@ -87,5 +88,6 @@ object RollupBuilder {
         sum(col("sum_v")).as("sum_v"),
         sum(col("cnt")).as("cnt"),
         min(col("min_v")).as("min_v"),
-        max(col("max_v")).as("max_v"))
+        max(col("max_v")).as("max_v"),
+        sum(col("rows")).as("rows"))
 }

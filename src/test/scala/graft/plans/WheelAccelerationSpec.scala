@@ -125,6 +125,54 @@ class WheelAccelerationSpec extends AnyFunSuite {
     }.nonEmpty, full.queryExecution.optimizedPlan.treeString)
   }
 
+  test("GROUP BY (key, time-slot) IS rewritten from the keyed index and matches scan") {
+    register()
+    WheelAcceleration.registerKeyed(spark, path, events, "event_type")
+    events.createOrReplaceTempView("events_accel")
+    val w = 3600000L
+    def keyedSql(a: Long, b: Long) = spark.sql(
+      s"SELECT event_type, (unix_millis(ts) div $w) * $w AS slot_ms, " +
+        "ROUND(SUM(value), 2) AS s, COUNT(*) AS n FROM events_accel " +
+        s"WHERE unix_millis(ts) >= $a AND unix_millis(ts) < $b " +
+        "GROUP BY 1, 2 ORDER BY 1, 2")
+    val accel = keyedSql(Q.R1Start, Q.R1End)
+    assert(accel.queryExecution.optimizedPlan.collect {
+      case l: LocalRelation => l
+    }.nonEmpty, accel.queryExecution.optimizedPlan.treeString)
+    assert(!accel.queryExecution.executedPlan.toString.contains("FileScan"))
+    val got = accel.collect().map(_.toString).toSeq
+    WheelAcceleration.clear()
+    val scan = keyedSql(Q.R1Start, Q.R1End).collect().map(_.toString).toSeq
+    register()
+    assert(got == scan)
+
+    // ragged (minute-aligned, not hour-aligned) edges also match
+    WheelAcceleration.registerKeyed(spark, path, events, "event_type")
+    val a2 = Q.R1Start + 23 * 60000L
+    val b2 = Q.R1End - 41 * 60000L
+    val ragged = keyedSql(a2, b2)
+    assert(ragged.queryExecution.optimizedPlan.collect {
+      case l: LocalRelation => l
+    }.nonEmpty)
+    val gotRagged = ragged.collect().map(_.toString).toSeq
+    WheelAcceleration.clear()
+    val scanRagged = keyedSql(a2, b2).collect().map(_.toString).toSeq
+    register()
+    assert(gotRagged == scanRagged)
+
+    // grouping by a NON-registered key column must not rewrite
+    WheelAcceleration.registerKeyed(spark, path, events, "event_type")
+    val other = spark.sql(
+      s"SELECT user_id, (unix_millis(ts) div $w) * $w AS slot_ms, SUM(value) AS s " +
+        s"FROM events_accel WHERE unix_millis(ts) >= ${Q.R1Start} " +
+        s"AND unix_millis(ts) < ${Q.R1End} GROUP BY 1, 2")
+    assert(other.queryExecution.optimizedPlan.collect {
+      case l: LocalRelation => l
+    }.isEmpty)
+    WheelAcceleration.clear()
+    register()
+  }
+
   test("stale source fingerprint disables the rewrite; fresh data wins") {
     import spark.implicits._
     // absolute: the rule resolves scan paths to absolute URIs

@@ -81,6 +81,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("FileScan"), p)
   }
 
+  test("q_wheel_keyed runs NO scan (keyed index path behind SQL)") {
+    val p = plan("q_wheel_keyed")
+    assert(p.contains("LocalTableScan"), p)
+    assert(!p.contains("FileScan"), p)
+  }
+
   test("q_join_multi builds on the filtered customer side, shuffles facts once") {
     val p = plan("q_join_multi")
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
