@@ -19,11 +19,40 @@ class MultimodalSpec extends AnyFunSuite {
     out1.foreach { r =>
       assert(r.getLong(1) == docs(r.getLong(0)), s"doc ${r.getLong(0)} byte count")
       assert(r.getInt(2) >= 64 && r.getInt(3) >= 64 && r.getInt(4) >= 1)
+      // resize plan: fits the 224 max edge, preserves aspect within
+      // integer truncation
+      val (w, h, rw, rh) = (r.getInt(2), r.getInt(3), r.getInt(5), r.getInt(6))
+      assert(math.max(rw, rh) <= 224)
+      if (math.max(w, h) <= 224) assert((rw, rh) == (w, h))
+      else {
+        // integer truncation skews the ratio by at most ~1/min(rw, rh)
+        val rel = math.abs(rw.toDouble / rh - w.toDouble / h) / (w.toDouble / h)
+        assert(rel <= 1.0 / math.min(rw, rh) + 0.01, s"($w,$h)->($rw,$rh) rel=$rel")
+      }
     }
   }
 
   test("local stub decode is stable for same payload") {
     val p = "same bytes".getBytes("UTF-8")
     assert(Multimodal.fakeDecode(p) == Multimodal.fakeDecode(p.clone()))
+  }
+
+  test("resizePlan clamps the max edge and keeps small media unchanged") {
+    assert(Multimodal.resizePlan(100, 50) == (100, 50))
+    assert(Multimodal.resizePlan(448, 224) == (224, 112))
+    assert(Multimodal.resizePlan(224, 448) == (112, 224))
+    assert(Multimodal.resizePlan(1000, 10)._1 == 224)
+  }
+
+  test("q_multimodal_frames samples an even stride of chunk digests") {
+    val rows = Multimodal.queries("q_multimodal_frames")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.keySet.size == 500) // every doc contributes ≥1 frame
+    byDoc.values.foreach { fs =>
+      assert(fs.length <= 5)
+      assert(fs.forall(r => r.getLong(2) >= 1 && r.getLong(2) <= 256))
+      assert(fs.map(_.getLong(1)).distinct.length == fs.length)
+    }
   }
 }
