@@ -36,6 +36,27 @@ object Sources {
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** Hive-style partitioned parquet layout (`col=value/` directories) —
+    * THE layout that makes 100 TB queryable: a filter on the partition
+    * column prunes whole directories at planning time (PartitionFilters
+    * in the scan, asserted in SourcesSpec), so a day query over a year
+    * of data reads 1/365th of the files. */
+  def writePartitionedParquet(df: DataFrame, path: String, partitionCols: String*): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** Bucketed + sorted managed table: rows are hash-bucketed by
+    * `bucketCol` at WRITE time, so an equi-join (or aggregation) of two
+    * tables bucketed the same way needs NO shuffle at read time — the
+    * co-located-join layout for repeated big fact⋈fact joins
+    * (SourcesSpec asserts the exchange-free plan). */
+  def writeBucketedTable(df: DataFrame, table: String, bucketCol: String,
+      numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 

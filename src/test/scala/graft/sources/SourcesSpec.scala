@@ -41,4 +41,42 @@ class SourcesSpec extends AnyFunSuite {
     val mem = Sources.memory(spark, df.collect().toSeq, df.schema)
     assert(rowsOf(mem) == rowsOf(df))
   }
+
+  test("partitioned parquet prunes partitions at plan time") {
+    val dir = Files.createTempDirectory("graft-part").toString
+    val events = Q.t(spark, TestSpark.Sf0001, "events")
+      .select(col("event_id"), col("user_id"), col("value"),
+        to_date(col("ts")).as("dt"))
+    Sources.writePartitionedParquet(events, dir, "dt")
+    val pruned = spark.read.parquet(dir).filter(col("dt") === "2024-01-05")
+    pruned.collect()
+    val plan = pruned.queryExecution.executedPlan.toString
+    // the dt predicate must land in PartitionFilters (directory pruning),
+    // NOT PushedFilters (row-group filtering after listing everything)
+    assert(plan.contains("PartitionFilters: [isnotnull(dt"), plan)
+    assert(plan.contains("(dt"), plan)
+    val expected = Q.t(spark, TestSpark.Sf0001, "events")
+      .filter(to_date(col("ts")) === "2024-01-05").count()
+    assert(pruned.count() == expected)
+  }
+
+  test("co-bucketed tables join with no shuffle exchange") {
+    // managed tables land in the default warehouse dir (spark-warehouse/,
+    // gitignored); the shared session's warehouse conf is static
+    val events = Q.t(spark, TestSpark.Sf0001, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_a")
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_b")
+    Sources.writeBucketedTable(events, "graft_bkt_a", "user_id", 8)
+    Sources.writeBucketedTable(events
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n")), "graft_bkt_b", "user_id", 8)
+    val joined = spark.table("graft_bkt_a")
+      .join(spark.table("graft_bkt_b"), "user_id")
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$plan")
+    // sanity: the join actually ran over the bucketed files
+    assert(joined.count() == events.count())
+  }
 }
