@@ -65,8 +65,16 @@ class SourcesSpec extends AnyFunSuite {
     // gitignored); the shared session's warehouse conf is static
     val events = Q.t(spark, TestSpark.Sf0001, "events")
       .select(col("event_id"), col("user_id"), col("value"))
-    spark.sql("DROP TABLE IF EXISTS graft_bkt_a")
-    spark.sql("DROP TABLE IF EXISTS graft_bkt_b")
+    // the in-memory catalog forgets tables across JVMs but their
+    // warehouse directories persist — clear both catalog AND location
+    Seq("graft_bkt_a", "graft_bkt_b").foreach { tbl =>
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new java.io.File(s"spark-warehouse/$tbl")
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
     Sources.writeBucketedTable(events, "graft_bkt_a", "user_id", 8)
     Sources.writeBucketedTable(events
       .groupBy(col("user_id")).agg(count(lit(1)).as("n")), "graft_bkt_b", "user_id", 8)
