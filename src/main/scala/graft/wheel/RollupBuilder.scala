@@ -63,6 +63,21 @@ object RollupBuilder {
     Map(Tier.Minute -> minute, Tier.Hour -> hour, Tier.Day -> day)
   }
 
+  /** Merge two same-tier rollups into one (partials are associative and
+    * commutative) — the incremental-build primitive: roll up each new
+    * date partition / micro-batch separately, then merge into the
+    * standing rollup instead of rescanning history. Exactness is
+    * asserted in WheelSpec (merge of disjoint halves == full build). */
+  def merge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy("slot_ms")
+      .agg(
+        sum(col("sum_v")).as("sum_v"),
+        sum(col("cnt")).as("cnt"),
+        min(col("min_v")).as("min_v"),
+        max(col("max_v")).as("max_v"),
+        sum(col("rows")).as("rows"))
+
   /** Per-key wheel: rollup keyed by (dimension, slot) — how the
     * single-measure wheel generalizes to `GROUP BY dim` queries
     * (SURVEY.md §7.8 #6). Cardinality is bounded by |keys| × time slots,

@@ -147,6 +147,19 @@ class WheelSpec extends AnyFunSuite {
     assert(e.getMessage.contains("NULL"), e.getMessage)
   }
 
+  test("incremental merge of disjoint partition rollups equals the full build") {
+    val mid = Jan1 + 15 * 86400000L
+    val firstHalf = events.filter(unix_millis(col("ts")) < mid)
+    val secondHalf = events.filter(unix_millis(col("ts")) >= mid)
+    val merged = RollupBuilder.merge(
+      RollupBuilder.minuteRollup(firstHalf, "ts", "value"),
+      RollupBuilder.minuteRollup(secondHalf, "ts", "value"))
+      .orderBy("slot_ms").collect().map(_.toString).toSeq
+    val full = RollupBuilder.minuteRollup(events, "ts", "value")
+      .orderBy("slot_ms").collect().map(_.toString).toSeq
+    assert(merged == full)
+  }
+
   test("explain names the tier decomposition") {
     val s = idx.explain(Jan1 + 60000L, Jan1 + 2 * 86400000L + 3600000L + 120000L)
     assert(s.contains("minute") && s.contains("hour") && s.contains("day"))
