@@ -87,13 +87,14 @@ object Bench {
     if (failed.nonEmpty) sys.exit(1)
   }
 
-  /** min/p50/p99/p99.9/max summary of µs latency samples, as JSON —
-    * the reference's HdrHistogram row (src/main.rs:290–304). */
+  /** min/p50/p99/p99.9/p99.99/max summary of µs latency samples, as JSON
+    * — the reference's HdrHistogram row (src/main.rs:290–304). */
   private def percentilesJson(samplesUs: Seq[Double]): String = {
     val s = samplesUs.sorted
     def pct(p: Double): Double = s(math.min(s.size - 1, (p * s.size).toInt))
     f"""{"min_us":${s.head}%.2f,"p50_us":${pct(0.50)}%.2f,""" +
       f""""p99_us":${pct(0.99)}%.2f,"p999_us":${pct(0.999)}%.2f,""" +
+      f""""p9999_us":${pct(0.9999)}%.2f,""" +
       f""""max_us":${s.last}%.2f,"mean_us":${s.sum / s.size}%.2f}"""
   }
 
@@ -103,7 +104,16 @@ object Bench {
     * filter+sum DataFrame per range (a full Spark job each — the
     * reference's DataFusion path, /root/reference/src/main.rs:260–288). */
   private def wheelVsScan(spark: SparkSession, sfDir: String): String = {
+    // time a FRESH one-off index build (the reference prints "Prepared
+    // wheel in …" + human_bytes(size_bytes()), src/main.rs:48–50,
+    // 141–144); the catalog may already hold one from the query passes,
+    // so build directly for an honest number, then use the cached copy.
+    val b0 = System.nanoTime()
+    graft.wheel.WheelIndex.build(Q.t(spark, sfDir, "events"), "ts", "value")
+    val buildSec = (System.nanoTime() - b0) / 1e9
     val idx = WheelCatalog.cached(s"$sfDir/events.parquet")(Q.t(spark, sfDir, "events"))
+    val slotCounts = idx.slotCounts.map { case (t, n) => s""""${t.name}":$n""" }
+      .mkString("{", ",", "}")
     val events = Q.t(spark, sfDir, "events").select(
       unix_millis(col("ts")).as("tms"), col("value")).cache()
     events.count() // materialize the cache; the scan path still runs a full Spark job per query
@@ -133,7 +143,7 @@ object Bench {
 
     val rng = new scala.util.Random(42)
     val spanMin = 30 * 24 * 60
-    val minuteRanges = Seq.fill(1000) {
+    val minuteRanges = Seq.fill(10000) {
       val a = rng.nextInt(spanMin - 1)
       val len = 1 + rng.nextInt(spanMin - a - 1)
       (Q.Jan1 + a * 60000L, Q.Jan1 + (a + len) * 60000L)
@@ -142,13 +152,15 @@ object Bench {
     // these but adds the offsets as minutes (src/main.rs:193–195); we
     // generate what it meant to measure.
     val spanHours = 30 * 24
-    val hourRanges = Seq.fill(1000) {
+    val hourRanges = Seq.fill(10000) {
       val a = rng.nextInt(spanHours - 1)
       val len = 1 + rng.nextInt(spanHours - a - 1)
       (Q.Jan1 + a * 3600000L, Q.Jan1 + (a + len) * 3600000L)
     }
 
-    val out = s"""{"minute_ranges":${block(minuteRanges, 20)},""" +
+    val out = f"""{"build_sec":$buildSec%.3f,"index_bytes":${idx.sizeBytes},""" +
+      s""""slot_counts":$slotCounts,""" +
+      s""""minute_ranges":${block(minuteRanges, 20)},""" +
       s""""hour_ranges":${block(hourRanges, 20)}}"""
     events.unpersist()
     out
