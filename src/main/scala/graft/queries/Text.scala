@@ -201,6 +201,42 @@ object Text {
     "q_minhash_dedup" -> ((s, dir) =>
       minhashPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))),
 
+    // Vocabulary stats: global top-50 tokens by frequency — the corpus
+    // coverage/vocab primitive of a training-data pipeline. explode →
+    // hash-agg with map-side combine → bounded TakeOrdered; determinism
+    // via the (count desc, token) tiebreak.
+    "q_vocab_topk" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok"))
+        .limit(50)),
+
+    // TF-IDF top terms: per document (bounded demo set: doc_id < 20),
+    // the 3 highest tf·idf terms. df is computed over the WHOLE corpus
+    // (one agg), tf only for the target docs; ranking uses the ROUNDED
+    // score so cross-engine double ulps can't reorder near-ties.
+    "q_tfidf_top" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = docs.count()
+      val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val df = toks.groupBy(col("tok"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val tf = toks.filter(col("doc_id") < 20)
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("tok"))
+      tf.join(df, "tok")
+        .withColumn("score",
+          round(col("tf") * log(lit(n).cast("double") / col("df")), 4))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("tok"), col("tf"), col("df"), col("score"))
+        .orderBy(col("doc_id"), col("rk"))
+    }),
+
     // Winnowing fingerprints (rolling hash — Schleimer et al. 2003):
     // k-gram Rabin-Karp rolling hashes, rightmost-min per window. The
     // per-doc fingerprint SET is the dedup/plagiarism primitive; the
@@ -306,5 +342,22 @@ object Text {
         "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
         "CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) / " +
         "len(list_distinct(list_concat(a.w, b.w))) AS jac " +
-        "FROM d a JOIN d b ON b.doc_id = a.doc_id + 1 ORDER BY doc_a"))
+        "FROM d a JOIN d b ON b.doc_id = a.doc_id + 1 ORDER BY doc_a"),
+    "q_vocab_topk" ->
+      ("SELECT tok, COUNT(1) AS n FROM " +
+        "(SELECT unnest(string_split(text, ' ')) AS tok FROM documents) " +
+        "GROUP BY tok ORDER BY n DESC, tok LIMIT 50"),
+    "q_tfidf_top" ->
+      ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+        "df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok), " +
+        "tf AS (SELECT doc_id, tok, COUNT(1) AS tf FROM toks WHERE doc_id < 20 GROUP BY doc_id, tok), " +
+        "n AS (SELECT COUNT(1) AS n FROM documents), " +
+        "scored AS (SELECT tf.doc_id, tf.tok, tf.tf, df.df, " +
+        "ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 4) AS score " +
+        "FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n), " +
+        "ranked AS (SELECT doc_id, tok, tf, df, score, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS BIGINT) AS rk " +
+        "FROM scored) " +
+        "SELECT doc_id, rk, tok, tf, df, score FROM ranked WHERE rk <= 3 " +
+        "ORDER BY doc_id, rk"))
 }
