@@ -96,6 +96,33 @@ object Aggregates {
           col("q").getItem(2).as("p99"))
         .orderBy(col("event_type"))),
 
+    // Pivot (round 2): day × event_type count matrix with an explicit
+    // column list — the explicit list keeps the plan a single pass (no
+    // values-discovery job) and the output schema stable at any scale.
+    "q_pivot" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(graft.wheel.RollupBuilder
+          .slotMs(col("ts"), graft.wheel.Tier.Day).as("day_ms"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("day_ms"))),
+
+    // Statistical aggregates (round 2): per-type dispersion + linear
+    // association. ROUND(…,4) absorbs the cross-engine ulp differences
+    // of the streaming variance formulations.
+    "q_stats_agg" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          round(stddev_samp(col("value")), 4).as("sd"),
+          round(var_samp(col("value")), 4).as("variance"),
+          // skewness deliberately omitted from the surface: Spark uses the
+          // population formula, DuckDB the bias-corrected sample one —
+          // systematically different values, not a rounding matter
+          round(corr(col("value"), unix_millis(col("ts")).cast("double")), 4).as("corr_vt"))
+        .orderBy(col("event_type"))),
+
     // µWheel's composite `All` aggregator as a typed Aggregator UDAF
     // (SURVEY.md §2.2 / §7.5): one buffer carries sum/count/min/max
     // through partial+final ObjectHashAggregate; avg derived at finish
@@ -164,5 +191,18 @@ object Aggregates {
       ("SELECT o_custkey, CAST(rn AS BIGINT) AS rk, o_totalprice AS price FROM (" +
         "SELECT o_custkey, o_totalprice, ROW_NUMBER() OVER (" +
         "PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rn FROM orders) " +
-        "WHERE rn <= 3 ORDER BY o_custkey, rk"))
+        "WHERE rn <= 3 ORDER BY o_custkey, rk"),
+    "q_pivot" ->
+      ("SELECT (epoch_ms(ts) // 86400000) * 86400000 AS day_ms, " +
+        "COUNT(1) FILTER (WHERE event_type = 'click') AS click, " +
+        "COUNT(1) FILTER (WHERE event_type = 'error') AS error, " +
+        "COUNT(1) FILTER (WHERE event_type = 'purchase') AS purchase, " +
+        "COUNT(1) FILTER (WHERE event_type = 'signup') AS signup, " +
+        "COUNT(1) FILTER (WHERE event_type = 'view') AS \"view\" " +
+        "FROM events GROUP BY 1 ORDER BY 1"),
+    "q_stats_agg" ->
+      ("SELECT event_type, ROUND(stddev_samp(value), 4) AS sd, " +
+        "ROUND(var_samp(value), 4) AS variance, " +
+        "ROUND(corr(value, CAST(epoch_ms(ts) AS DOUBLE)), 4) AS corr_vt " +
+        "FROM events GROUP BY event_type ORDER BY event_type"))
 }
