@@ -107,4 +107,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q_vocab_topk bounds the sort: TakeOrdered, not a global sort") {
+    val p = plan("q_vocab_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_count"), p) // map-side combine under the explode
+  }
+
+  test("q_tfidf_top broadcasts the bounded tf side against the corpus df") {
+    val p = plan("q_tfidf_top")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_pivot is a single aggregate pass (no Expand, no values job)") {
+    val p = plan("q_pivot")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("Expand"), p)
+  }
 }
