@@ -222,7 +222,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       path <- sourcePath(child)
       (tsCol, valueCol, idx) <- WheelAcceleration.lookup(path)
       gExpr <- resolveGrouping(child, groupKey)
-      w <- slotWidth(gExpr, tsCol)
+      (w, slotType) <- slotWidth(gExpr, tsCol)
       (a, b) <- findFilter(child) match {
         case Some((cond, _)) => rangeMs(cond, tsCol)
         case None => Some((idx.baseMs, idx.horizonMs))
@@ -236,7 +236,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
           val all = idx.query(math.max(a, s0), math.min(b, s0 + w))
           if (all.count > 0L) {
             foldRow(aggExprs, valueCol, all,
-              Seq((Seq(groupKey, gExpr), Literal(s0, LongType)))) match {
+              Seq((Seq(groupKey, gExpr), slotLiteral(s0, slotType)))) match {
               case Some(vals) => slotRows += InternalRow.fromSeq(vals)
               case None => ok = false
             }
@@ -271,7 +271,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
         case _ => true
       }
       gExpr <- resolveGrouping(child, slotGroup)
-      w <- slotWidth(gExpr, reg.tsCol)
+      (w, slotType) <- slotWidth(gExpr, reg.tsCol)
       (a, b) <- findFilter(child) match {
         case Some((cond, _)) => rangeMs(cond, reg.tsCol)
         case None => Some((reg.idx.baseMs, reg.idx.horizonMs))
@@ -287,7 +287,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
             if (all.count > 0L) {
               foldRow(aggExprs, reg.valueCol, all, Seq(
                 (Seq(keyAttr), Literal.create(key, reg.idx.keyType)),
-                (Seq(slotGroup, gExpr), Literal(s0, LongType)))) match {
+                (Seq(slotGroup, gExpr), slotLiteral(s0, slotType)))) match {
                 case Some(vals) => out += InternalRow.fromSeq(vals)
                 case None => ok = false
               }
@@ -319,17 +319,50 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       case e => Some(e)
     }
 
-  /** Slot width of a `(tsMs div w) * w` bucketing expression (modulo
-    * casts), when `w` is a positive multiple of the finest tier. */
-  private def slotWidth(e: Expression, tsCol: String): Option[Long] = e match {
-    case Cast(inner, LongType, _, _) => slotWidth(inner, tsCol)
+  /** Slot width + output type of a time-bucketing grouping expression:
+    * either `(tsMs div w) * w` (long epoch-ms slots) or
+    * `date_trunc('minute'|'hour'|'day'|'week', ts)` (timestamp slots),
+    * when the width is a positive multiple of the finest tier. */
+  private def slotWidth(e: Expression, tsCol: String): Option[(Long, DataType)] = e match {
+    case Cast(inner, LongType, _, _) =>
+      slotWidth(inner, tsCol).map { case (w, _) => (w, LongType) }
     case Multiply(IntegralDivide(ts, l1, _), l2, _) if isTsMs(ts, tsCol) =>
       for {
         w1 <- wideLit(l1)
         w2 <- wideLit(l2)
         if w1 == w2 && w1 > 0 && w1 % MinuteMs == 0
-      } yield w1
+      } yield (w1, LongType)
+    // date_trunc truncates in the SESSION time zone; epoch-ms slot
+    // arithmetic is only equivalent in UTC (a zone with a fractional
+    // offset shifts even hour boundaries), so require UTC explicitly.
+    case TruncTimestamp(Literal(fmt, StringType), ts, tz)
+        if isTsCol(ts, tsCol) &&
+          tz.forall(z => Set("UTC", "Etc/UTC", "GMT", "Z", "+00:00").contains(z)) =>
+      Option(fmt).map(_.toString.toLowerCase(java.util.Locale.ROOT)).collect {
+        case "minute" => (MinuteMs, TimestampType)
+        case "hour" => (3600000L, TimestampType)
+        case "day" | "dd" => (86400000L, TimestampType)
+      }
     case _ => None
+  }
+
+  /** The registered ts column itself — bare, or through our read
+    * pipeline's nanos-long → µs-timestamp rebuild. */
+  private def isTsCol(e: Expression, tsCol: String): Boolean = e match {
+    case a: AttributeReference => a.name == tsCol
+    case MicrosToTimestamp(d: IntegralDivide) => (d.left, d.right) match {
+      case (a: AttributeReference, Literal(1000L, LongType)) => a.name == tsCol
+      case (a: AttributeReference, Literal(1000, IntegerType)) => a.name == tsCol
+      case _ => false
+    }
+    case _ => false
+  }
+
+  /** The grouping-output literal for a slot: epoch-ms long, or µs
+    * timestamp when the grouping was a date_trunc. */
+  private def slotLiteral(s0: Long, dt: DataType): Literal = dt match {
+    case TimestampType => Literal(s0 * 1000L, TimestampType)
+    case _ => Literal(s0, LongType)
   }
 
   private def wideLit(e: Expression): Option[Long] = e match {

@@ -125,6 +125,24 @@ class WheelAccelerationSpec extends AnyFunSuite {
     }.nonEmpty, full.queryExecution.optimizedPlan.treeString)
   }
 
+  test("GROUP BY date_trunc('hour', ts) IS rewritten and matches the scan") {
+    register()
+    events.createOrReplaceTempView("events_accel")
+    def truncSql() = spark.sql(
+      "SELECT date_trunc('hour', ts) AS h, ROUND(SUM(value), 2) AS s, COUNT(*) AS n " +
+        s"FROM events_accel WHERE unix_millis(ts) >= ${Q.R1Start} " +
+        s"AND unix_millis(ts) < ${Q.R1End} GROUP BY 1 ORDER BY 1")
+    val accel = truncSql()
+    assert(accel.queryExecution.optimizedPlan.collect {
+      case l: LocalRelation => l
+    }.nonEmpty, accel.queryExecution.optimizedPlan.treeString)
+    val got = accel.collect().map(_.toString).toSeq
+    WheelAcceleration.clear()
+    val scan = truncSql().collect().map(_.toString).toSeq
+    register()
+    assert(got == scan)
+  }
+
   test("GROUP BY (key, time-slot) IS rewritten from the keyed index and matches scan") {
     register()
     WheelAcceleration.registerKeyed(spark, path, events, "event_type")
