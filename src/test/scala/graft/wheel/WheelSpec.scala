@@ -160,6 +160,27 @@ class WheelSpec extends AnyFunSuite {
     assert(merged == full)
   }
 
+  test("serialized index still answers aligned ranges; unaligned explains itself") {
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(idx); oos.close()
+      bos.toByteArray
+    }
+    val revived = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bytes)).readObject().asInstanceOf[WheelIndex]
+    val lo = Jan1 + 2 * 86400000L
+    val hi = Jan1 + 9 * 86400000L + 3600000L + 17 * 60000L
+    assertClose(revived.querySum(lo, hi), idx.querySum(lo, hi))
+    // the residue-scan fallback is driver-state (@transient): a revived
+    // index must fail unaligned queries with the documented message,
+    // not a NullPointerException
+    val e = intercept[IllegalArgumentException] {
+      revived.querySum(lo + 1, hi)
+    }
+    assert(e.getMessage.contains("residue"), e.getMessage)
+  }
+
   test("explain names the tier decomposition") {
     val s = idx.explain(Jan1 + 60000L, Jan1 + 2 * 86400000L + 3600000L + 120000L)
     assert(s.contains("minute") && s.contains("hour") && s.contains("day"))
