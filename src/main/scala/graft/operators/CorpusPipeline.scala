@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus cleaning — the composition a real training-data
+  * pipeline runs over raw documents, built entirely from the operators
+  * this library already exposes piecewise (quality scoring, exact
+  * dedup, language filtering):
+  *
+  *   1. structural quality gates (word count, average word length);
+  *   2. language allowlist;
+  *   3. exact dedup keeping the lowest doc_id per content hash.
+  *
+  * Each document gets a single `drop_reason` (null = kept, first
+  * failing gate wins, in the order above), so the output is an
+  * auditable ledger rather than a silent filter; [[stats]] aggregates
+  * it into the per-reason counts every pipeline run should log.
+  *
+  * Scale posture: gates are codegen expressions (one pass); dedup is a
+  * window rank over the content hash — one hash-shuffle, no driver
+  * state, no collect. */
+object CorpusPipeline {
+
+  final case class Config(
+      minWords: Int = 5,
+      maxAvgWordLen: Double = 20.0,
+      langs: Set[String] = Set.empty) // empty = all languages pass
+
+  /** Annotate every document with its fate; keeps all input columns. */
+  def annotate(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    val nWords = size(split(col("text"), " ")).cast("long")
+    val avgWlen = length(regexp_replace(col("text"), " ", "")).cast("double") / nWords
+    val langOk =
+      if (cfg.langs.isEmpty) lit(true)
+      else col("lang").isin(cfg.langs.toSeq.sorted: _*)
+    val w = Window.partitionBy(col("__hash")).orderBy(col("doc_id"))
+    docs
+      .withColumn("__hash", md5(col("text")))
+      .withColumn("__dup_rank", row_number().over(w))
+      .withColumn("drop_reason",
+        when(nWords < cfg.minWords, "too_short")
+          .when(avgWlen > cfg.maxAvgWordLen, "gibberish_word_len")
+          .when(!langOk, "lang_filtered")
+          .when(col("__dup_rank") > 1, "exact_duplicate")
+          .otherwise(lit(null).cast("string")))
+      .drop("__hash", "__dup_rank")
+  }
+
+  /** Only the surviving documents (original schema). */
+  def clean(docs: DataFrame, cfg: Config = Config()): DataFrame =
+    annotate(docs, cfg).filter(col("drop_reason").isNull).drop("drop_reason")
+
+  /** Per-reason ledger: (reason, n) with `kept` for survivors. */
+  def stats(annotated: DataFrame): DataFrame =
+    annotated
+      .groupBy(coalesce(col("drop_reason"), lit("kept")).as("reason"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("reason"))
+}
