@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus cleaning — the composition a real training-data
@@ -28,24 +27,31 @@ object CorpusPipeline {
       maxAvgWordLen: Double = 20.0,
       langs: Set[String] = Set.empty) // empty = all languages pass
 
-  /** Annotate every document with its fate; keeps all input columns. */
+  /** Annotate every document with its fate; keeps all input columns.
+    *
+    * Dedup keeper selection is a min-aggregate + join, NOT a window
+    * rank: a mega-duplicate (a million copies of one boilerplate text)
+    * hits the aggregate as map-side-combined partials across all tasks,
+    * where a `row_number` window would sort the whole hot hash in a
+    * single task. */
   def annotate(docs: DataFrame, cfg: Config = Config()): DataFrame = {
     val nWords = size(split(col("text"), " ")).cast("long")
     val avgWlen = length(regexp_replace(col("text"), " ", "")).cast("double") / nWords
     val langOk =
       if (cfg.langs.isEmpty) lit(true)
       else col("lang").isin(cfg.langs.toSeq.sorted: _*)
-    val w = Window.partitionBy(col("__hash")).orderBy(col("doc_id"))
-    docs
-      .withColumn("__hash", md5(col("text")))
-      .withColumn("__dup_rank", row_number().over(w))
+    val hashed = docs.withColumn("__hash", md5(col("text")))
+    val keepers = hashed.groupBy(col("__hash"))
+      .agg(min(col("doc_id")).as("__keeper"))
+    hashed.join(keepers, "__hash")
       .withColumn("drop_reason",
         when(nWords < cfg.minWords, "too_short")
           .when(avgWlen > cfg.maxAvgWordLen, "gibberish_word_len")
           .when(!langOk, "lang_filtered")
-          .when(col("__dup_rank") > 1, "exact_duplicate")
+          .when(col("doc_id") =!= col("__keeper"), "exact_duplicate")
           .otherwise(lit(null).cast("string")))
-      .drop("__hash", "__dup_rank")
+      .drop("__hash", "__keeper")
+      .select(docs.columns.map(col) :+ col("drop_reason"): _*)
   }
 
   /** Only the surviving documents (original schema). */

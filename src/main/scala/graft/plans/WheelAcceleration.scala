@@ -128,12 +128,8 @@ object WheelAcceleration {
   }
 
   private[plans] def lookupKeyed(path: String): Option[KeyedReg] =
-    Option(keyedRegistry.get(normalize(path))).filter { r =>
-      val ok = fingerprint(path, r.hadoopConf) == r.fingerprint
-      if (!ok) System.err.println(s"[graft] keyed wheel index for $path is stale; " +
-        "skipping rewrite — re-register to rebuild")
-      ok
-    }
+    Option(keyedRegistry.get(normalize(path)))
+      .filter(r => fresh(path, r.fingerprint, r.hadoopConf))
 
   /** Idempotently add the rule to an already-built session (the
     * config-time path is `spark.sql.extensions=graft.plans.GraftExtensions`). */
@@ -146,19 +142,39 @@ object WheelAcceleration {
   private def normalize(p: String): String =
     new java.net.URI(p).getPath match { case null => p; case s => s }
 
+  /** Staleness checks list the source files — a metadata op, but at a
+    * 100k-file table that's too expensive per optimizer invocation, so
+    * verdicts are cached for a short TTL (`graft.wheel.fingerprint.ttlMs`
+    * system property; default 5 s, 0 = check every plan). The TTL bounds
+    * the stale-read window to seconds, vs. silently-forever without the
+    * check; deployments preferring strict freshness set 0. */
+  private def fingerprintTtlMs: Long =
+    sys.props.get("graft.wheel.fingerprint.ttlMs").map(_.toLong).getOrElse(5000L)
+  private final case class FpCheck(atMs: Long, ok: Boolean)
+  private val fpCache = new ConcurrentHashMap[(String, String), FpCheck]()
+
+  private def fresh(path: String, expected: String,
+      conf: org.apache.hadoop.conf.Configuration): Boolean = {
+    val key = (normalize(path), expected)
+    val now = System.currentTimeMillis()
+    val cached = fpCache.get(key)
+    if (cached != null && now - cached.atMs < fingerprintTtlMs) cached.ok
+    else {
+      val ok = fingerprint(path, conf) == expected
+      fpCache.put(key, FpCheck(now, ok))
+      if (!ok) System.err.println(s"[graft] wheel index for $path is stale " +
+        "(source files changed); skipping rewrite — re-register to rebuild")
+      ok
+    }
+  }
+
   /** Registration for `path`, validated against the CURRENT source
     * fingerprint — None (rule bails, scan path) if the files changed
-    * since registration. The staleness check is one FS metadata listing
-    * per candidate plan, driver-side. */
+    * since registration. */
   private[plans] def lookup(path: String): Option[(String, String, WheelIndex)] =
     Option(registry.get(normalize(path))).flatMap { r =>
-      if (fingerprint(path, r.hadoopConf) == r.fingerprint)
-        Some((r.tsCol, r.valueCol, r.idx))
-      else {
-        System.err.println(s"[graft] wheel index for $path is stale (source " +
-          "files changed); skipping rewrite — re-register to rebuild")
-        None
-      }
+      if (fresh(path, r.fingerprint, r.hadoopConf)) Some((r.tsCol, r.valueCol, r.idx))
+      else None
     }
 }
 

@@ -193,6 +193,8 @@ class WheelAccelerationSpec extends AnyFunSuite {
 
   test("stale source fingerprint disables the rewrite; fresh data wins") {
     import spark.implicits._
+    // strict freshness for this test: check the fingerprint every plan
+    System.setProperty("graft.wheel.fingerprint.ttlMs", "0")
     // absolute: the rule resolves scan paths to absolute URIs
     val p = new java.io.File(
       "target/test-fixtures/accel/events_stale.parquet").getAbsolutePath
