@@ -31,7 +31,7 @@ import graft.wheel.{AllAggregate, Decompose, Retention, Tier}
   * Spark's distributed streaming state store, not on the driver. */
 final class LiveWheel(keepMinutes: Option[Int] = None) extends Serializable {
 
-  private final case class Slot(sum: Double, cnt: Long, min: Double, max: Double)
+  import LiveWheel.Slot
 
   /** minute slot_ms → latest partial; concurrent because the streaming
     * thread upserts while readers query. */
@@ -80,6 +80,10 @@ final class LiveWheel(keepMinutes: Option[Int] = None) extends Serializable {
   }
 
   def querySum(startMs: Long, endMs: Long): Double = query(startMs, endMs).sum
+}
+
+object LiveWheel {
+  private[streaming] final case class Slot(sum: Double, cnt: Long, min: Double, max: Double)
 }
 
 object StreamingWheel {
