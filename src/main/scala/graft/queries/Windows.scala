@@ -51,6 +51,27 @@ object Windows {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
         .limit(20)),
 
+    // 7-day moving average over daily totals (round 2): RANGE window
+    // frame over the time axis. The window input is the already-
+    // aggregated DAILY table (time-bounded rows), so the global-order
+    // window is over ~30 rows, not raw events — the correct layering at
+    // any scale. Exact decimal daily sums + one final division keep the
+    // result engine-portable.
+    "q_moving_avg" -> ((s, dir) => {
+      val day = 86400000L
+      val daily = t(s, dir, "events")
+        .groupBy(graft.wheel.RollupBuilder
+          .slotMs(col("ts"), graft.wheel.Tier.Day).as("day_ms"))
+        .agg(sum(col("value").cast("decimal(18,2)")).as("day_sum"))
+      val w = Window.orderBy(col("day_ms")).rangeBetween(-6L * day, 0L)
+      daily.select(
+        col("day_ms"),
+        round(col("day_sum").cast("double"), 2).as("day_total"),
+        round(sum(col("day_sum")).over(w).cast("double") /
+          count(lit(1)).over(w), 2).as("ma7"))
+        .orderBy(col("day_ms"))
+    }),
+
     // Batch sessionization (round 2) — the batch analogue of the
     // streaming session window: per user, a new session starts after a
     // >6h event-time gap; gap-flag via LAG, session number via running
@@ -98,6 +119,13 @@ object Windows {
     "q_topk" ->
       ("SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem " +
         "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20"),
+    "q_moving_avg" ->
+      ("WITH daily AS (SELECT (epoch_ms(ts) // 86400000) * 86400000 AS day_ms, " +
+        "SUM(CAST(value AS DECIMAL(18,2))) AS day_sum FROM events GROUP BY 1) " +
+        "SELECT day_ms, ROUND(CAST(day_sum AS DOUBLE), 2) AS day_total, " +
+        "ROUND(CAST(SUM(day_sum) OVER w AS DOUBLE) / COUNT(1) OVER w, 2) AS ma7 " +
+        "FROM daily WINDOW w AS (ORDER BY day_ms " +
+        "RANGE BETWEEN 518400000 PRECEDING AND CURRENT ROW) ORDER BY day_ms"),
     "q_sessionize" ->
       ("WITH g AS (SELECT user_id, epoch_ms(ts) AS tms, value, " +
         "CASE WHEN LAG(epoch_ms(ts)) OVER w IS NULL " +
