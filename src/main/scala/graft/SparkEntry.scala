@@ -22,6 +22,7 @@ object SparkEntry {
     (Aggregates.queries, Aggregates.oracle),
     (Joins.queries, Joins.oracle),
     (Windows.queries, Windows.oracle),
+    (Subqueries.queries, Subqueries.oracle),
     (SetOps.queries, SetOps.oracle),
     (Scalars.queries, Scalars.oracle),
     (Text.queries, Text.oracle),

@@ -123,6 +123,63 @@ object Aggregates {
           round(corr(col("value"), unix_millis(col("ts")).cast("double")), 4).as("corr_vt"))
         .orderBy(col("event_type"))),
 
+    // Conditional aggregation (round 3): FILTER/CASE-guarded aggregates
+    // in one hash-agg pass — the "segmented metrics without N scans"
+    // primitive. Exact-decimal conditional money sum keeps it
+    // engine-portable at any row count.
+    "q_cond_agg" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          count(when(col("value") > 100.0, 1)).as("n_big"),
+          sum(when(col("value") > 100.0, col("value")).otherwise(0.0)
+            .cast("decimal(18,4)")).cast("double").as("sum_big"),
+          count(when(get_json_object(col("props"), "$.k").cast("int") > 50, 1))
+            .as("n_k_high"))
+        .orderBy(col("event_type"))),
+
+    // Ordered string aggregation (round 3): per-region sorted
+    // comma-joined nation list. Spark has no ordered string_agg — the
+    // deterministic spelling is collect_set → array_sort → array_join,
+    // which shuffles a bounded set per group (25 nations), never an
+    // unordered concatenation.
+    "q_string_agg" -> ((s, dir) =>
+      t(s, dir, "nation")
+        .groupBy(col("n_regionkey"))
+        .agg(
+          array_join(array_sort(collect_set(col("n_name"))), ",").as("nations"),
+          count(lit(1)).as("n"))
+        .orderBy(col("n_regionkey"))),
+
+    // Fixed-width histogram (round 3): floor-binning is plain arithmetic
+    // (no width_bucket dialect dependence), one codegen hash agg; bin
+    // cardinality is bounded by the value domain, not row count.
+    "q_histogram" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy((floor(col("value") / 25.0) * 25).cast("long").as("bin_lo"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("bin_lo"))),
+
+    // Mergeable HLL sketches (round 3): Spark's Datasketches HLL surface
+    // — per-type sketches built in one pass, then UNIONED into a global
+    // estimate without touching raw data again. Sketch mergeability is
+    // THE 100 TB cardinality pattern (partial sketches per partition /
+    // day, cheap re-aggregation to any rollup). Approximate → no oracle;
+    // ScalaTest bounds the estimates against exact counts.
+    "q_hll_sketch" -> ((s, dir) => {
+      val perType = t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+      val overall = perType
+        .agg(hll_union_agg(col("sk"), lit(false)).as("sk"))
+        .select(lit("_all").as("event_type"), col("sk"))
+      perType.select(col("event_type"), col("sk"))
+        .union(overall)
+        .select(col("event_type"), hll_sketch_estimate(col("sk")).as("est_users"))
+        .orderBy(col("event_type"))
+    }),
+
     // µWheel's composite `All` aggregator as a typed Aggregator UDAF
     // (SURVEY.md §2.2 / §7.5): one buffer carries sum/count/min/max
     // through partial+final ObjectHashAggregate; avg derived at finish
@@ -182,6 +239,18 @@ object Aggregates {
         s"${moneySumSql("o_totalprice")} AS total " +
         "FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ()) " +
         "ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"),
+    "q_cond_agg" ->
+      ("SELECT event_type, COUNT(1) AS n, " +
+        "COUNT(CASE WHEN value > 100.0 THEN 1 END) AS n_big, " +
+        "CAST(SUM(CAST(CASE WHEN value > 100.0 THEN value ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE) AS sum_big, " +
+        "COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) > 50 THEN 1 END) AS n_k_high " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+    "q_string_agg" ->
+      ("SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations, " +
+        "COUNT(1) AS n FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"),
+    "q_histogram" ->
+      ("SELECT CAST(FLOOR(value / 25.0) * 25 AS BIGINT) AS bin_lo, COUNT(1) AS n " +
+        "FROM events GROUP BY 1 ORDER BY 1"),
     "q_agg_all_udaf" ->
       (s"SELECT ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n, " +
         "ROUND(MIN(value), 4) AS min_value, ROUND(MAX(value), 4) AS max_value, " +

@@ -94,6 +94,23 @@ object Core {
            |""".stripMargin)
     }),
 
+    // Full "All"-aggregate index path (round 3): one SQL statement
+    // carrying SUM + MIN + MAX + AVG + COUNT(*) over a range, ALL folded
+    // from the same index lookup by the rewrite rule (the µWheel All
+    // aggregator surfaced through plain SQL). Exercises every branch of
+    // WheelSumRewrite.foldRow; oracle = the same SQL in DuckDB.
+    "q_wheel_multi" -> ((s, dir) => {
+      graft.plans.WheelAcceleration.register(
+        s, s"$dir/events.parquet", t(s, dir, "events"))
+      t(s, dir, "events").createOrReplaceTempView("events_wheel")
+      s.sql(
+        s"""SELECT ROUND(SUM(value), 2) AS sum_value, ROUND(MIN(value), 4) AS min_value,
+           |ROUND(MAX(value), 4) AS max_value, ROUND(AVG(value), 4) AS avg_value,
+           |COUNT(*) AS n FROM events_wheel
+           |WHERE unix_millis(ts) >= $R2Start AND unix_millis(ts) < $R2End
+           |""".stripMargin)
+    }),
+
     // Grouped index path (round 2, VERDICT r1 #7): GROUP BY hour-slot
     // over a range, answered from the registered wheel as one
     // LocalRelation row per non-empty slot — time-bounded cardinality,
@@ -155,6 +172,10 @@ object Core {
         "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
     "q_wheel_query" -> rangeSumSql(R2Start, R2End),
     "q_wheel_sql" -> rangeSumSql(R3Start, R3End),
+    "q_wheel_multi" ->
+      (s"SELECT ROUND(SUM(value), 2) AS sum_value, ROUND(MIN(value), 4) AS min_value, " +
+        "ROUND(MAX(value), 4) AS max_value, ROUND(AVG(value), 4) AS avg_value, " +
+        s"COUNT(*) AS n FROM events WHERE epoch_ms(ts) >= $R2Start AND epoch_ms(ts) < $R2End"),
     "q_wheel_grouped" ->
       (s"SELECT (epoch_ms(ts) // ${Tier.Hour.ms}) * ${Tier.Hour.ms} AS slot_ms, " +
         "ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n " +

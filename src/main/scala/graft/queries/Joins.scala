@@ -119,6 +119,36 @@ object Joins {
         .orderBy(col("event_id"))
     }),
 
+    // Time-interval join (round 3), the scale-safe spelling: count the
+    // clicks each purchase saw from the same user in the preceding 10
+    // minutes. A naive interval join is a BNLJ (quadratic blowup); here
+    // clicks land in fixed 10-minute buckets and each purchase probes
+    // its own + the previous bucket — the interval condition becomes an
+    // EQUI-join on (user, bucket) plus a residual filter. A click's own
+    // bucket is unique, so no pair can match twice (no dedup pass).
+    // This bucketing transform is how interval joins survive 100 TB.
+    "q_join_interval" -> ((s, dir) => {
+      val win = 600000L // 10 minutes
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("tms"), col("event_type"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("tms").as("p_t"))
+      val probes = purchases.select(col("p_id"), col("user_id"), col("p_t"),
+        explode(array(
+          floor(col("p_t") / win).cast("long") - 1,
+          floor(col("p_t") / win).cast("long"))).as("bkt"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("tms").as("c_t"),
+          floor(col("tms") / win).cast("long").as("bkt"))
+      val counts = probes.join(clicks, Seq("user_id", "bkt"))
+        .filter(col("c_t") >= col("p_t") - win && col("c_t") < col("p_t"))
+        .groupBy(col("p_id")).agg(count(lit(1)).as("n_clicks"))
+      purchases.join(counts, Seq("p_id"), "left")
+        .select(col("p_id").as("event_id"), col("user_id"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
+        .orderBy(col("event_id"))
+    }),
+
     // TPC-H Q3 shape (round 2): 3-way customer⋈orders⋈lineitem with a
     // selective dim filter, grouped revenue, top-50. Catalyst plans
     // customer as the small build side and shuffles the fact-fact join
@@ -196,6 +226,14 @@ object Joins {
         "FROM events e ASOF JOIN orders o " +
         "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate " +
         "ORDER BY e.event_id"),
+    "q_join_interval" ->
+      ("SELECT p.event_id, p.user_id, COUNT(c.c_t) AS n_clicks FROM " +
+        "(SELECT event_id, user_id, epoch_ms(ts) AS p_t FROM events " +
+        " WHERE event_type = 'purchase') p LEFT JOIN " +
+        "(SELECT user_id, epoch_ms(ts) AS c_t FROM events " +
+        " WHERE event_type = 'click') c " +
+        "ON c.user_id = p.user_id AND c.c_t >= p.p_t - 600000 AND c.c_t < p.p_t " +
+        "GROUP BY p.event_id, p.user_id ORDER BY p.event_id"),
     "q_join_multi" ->
       ("SELECT l_orderkey, " +
         s"${revenueSumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue, " +

@@ -63,7 +63,22 @@ object Scalars {
         size(col("embedding")).cast("long").as("dim"),
         round(element_at(col("embedding"), 1).cast("double"), 4).as("first_val"),
         col("label"))
-        .orderBy(col("vec_id"))))
+        .orderBy(col("vec_id"))),
+
+    // Wide→long unpivot (round 3): Spark's native `unpivot` operator
+    // (a Generate, one pass, no join) over three measure columns; the
+    // oracle spells the same relation as UNION ALL, the portable form.
+    "q_unpivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "val")
+        // val in the sort: synthetic lineitem has duplicate
+        // (orderkey, linenumber) keys, so (key, metric) is not total
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"), col("val"))))
 
   val oracle: Map[String, String] = Map(
     "q_scalar_string" ->
@@ -89,5 +104,12 @@ object Scalars {
     "q_array_ops" ->
       ("SELECT vec_id, CAST(LEN(embedding) AS BIGINT) AS dim, " +
         "ROUND(CAST(embedding[1] AS DOUBLE), 4) AS first_val, label " +
-        "FROM embeddings ORDER BY vec_id"))
+        "FROM embeddings ORDER BY vec_id"),
+    "q_unpivot" ->
+      ("SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val FROM lineitem " +
+        "UNION ALL " +
+        "SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS metric, l_extendedprice AS val FROM lineitem " +
+        "UNION ALL " +
+        "SELECT l_orderkey, l_linenumber, 'l_discount' AS metric, l_discount AS val FROM lineitem " +
+        "ORDER BY l_orderkey, l_linenumber, metric, val"))
 }

@@ -67,15 +67,27 @@ object Similarity {
 
   /** Vectors L2-normalized ONCE per row (norms are not recomputed per
     * pair), so pair similarity is a single codegen [[graft.functions
-    * .DotProduct]] — the hot-path shape that survives a 100× scale-up. */
+    * .DotProduct]] — the hot-path shape that survives a 100× scale-up.
+    *
+    * The normalized table is persisted per (session, dir) and shared by
+    * all four similarity queries: each of them references it 2–4 times
+    * (candidate generation + both verify sides), and without the persist
+    * every reference re-scans parquet and re-normalizes. At production
+    * scale this materialize-normalized-once step is a written table the
+    * whole pipeline reads; persist() is its single-process analogue. */
+  private val normCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String),
+      org.apache.spark.sql.DataFrame]()
   private def embeddings(s: org.apache.spark.sql.SparkSession, dir: String) = {
     graft.functions.DotProduct.register(s)
-    t(s, dir, "embeddings")
-      .select(col("vec_id"), asDouble(col("embedding")).as("raw"))
-      .withColumn("nrm", sqrt(call_function("graft_dot", col("raw"), col("raw"))))
-      .withColumn("v", when(col("nrm") === 0.0, col("raw"))
-        .otherwise(transform(col("raw"), _ / col("nrm"))))
-      .select(col("vec_id"), col("v"))
+    normCache.computeIfAbsent((s, dir), _ =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("raw"))
+        .withColumn("nrm", sqrt(call_function("graft_dot", col("raw"), col("raw"))))
+        .withColumn("v", when(col("nrm") === 0.0, col("raw"))
+          .otherwise(transform(col("raw"), _ / col("nrm"))))
+        .select(col("vec_id"), col("v"))
+        .persist())
   }
 
   /** Cosine of two pre-normalized vectors = codegen dot product. */

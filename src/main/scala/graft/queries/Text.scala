@@ -147,49 +147,66 @@ object Text {
       // — the standard langid trick; keeps work O(#docs), independent of
       // document length, so the operator survives a 100× scale-up.
       //
-      // Scoring is explode → broadcast-join the tiny profile table →
-      // hash-agg argmax: every stage is codegen hash work, no per-row
-      // array_intersect string scans. Score(doc, lang) = #distinct
-      // doc-bigrams in lang's top-K profile; ties and zero-score docs
-      // resolve to the lexicographically largest lang.
-      //
-      // Bigram extraction is a tight Scala UDF: the declarative
-      // `transform(sequence(..), i -> substring(tp, i, 2))` evaluates the
-      // lambda interpreted per element with an O(n) UTF-8 substring scan
-      // each — measured ~5× slower than this loop.
+      // Two bounded jobs: (1) learn top-K bigram profiles per language
+      // from a DETERMINISTIC 20% sample (doc_id % 5 — reproducible
+      // across runs/partitionings, unlike df.sample; top-K char bigrams
+      // stabilize within tens of docs). (2) score every doc in a SINGLE
+      // scan: the ≤ langs×topK profile collapses to a broadcast
+      // gram→lang-bitmask map, and a tight UDF counts distinct profile
+      // hits per language and argmaxes by (count, lang) — no explode, no
+      // join, no aggregation over #docs×#grams rows (the round-2
+      // explode+join formulation cost 3 shuffles of 2.5M rows at sf0.1
+      // and was the slowest query in the suite). Ties and zero-hit docs
+      // resolve to the lexicographically largest language, exactly as
+      // the relational argmax did.
       val prefixLen = 512
+      val topK = 30
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
           substring(col("text"), 1, prefixLen).as("tp"))
-      val grams = docs.select(col("lang"), col("doc_id"),
-        explode(bigramsUdf(col("tp"))).as("gram"))
-      val topK = 30
       val w = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("gram"))
-      // ONE profile-learning job over a DETERMINISTIC 20% sample
-      // (doc_id % 5 — reproducible across runs/partitionings, unlike
-      // df.sample), so the full explode subtree executes exactly once,
-      // in the scoring job; the ≤ langs×topK profile is collected
-      // (bounded by config, not data volume) and re-broadcast as a
-      // literal table. Profile quality is insensitive to the sample:
-      // top-K char bigrams per language stabilize within tens of docs.
-      val profileRows = grams.filter(col("doc_id") % 5 === 0)
+      val profileRows = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("lang"), explode(bigramsUdf(col("tp"))).as("gram"))
         .groupBy(col("lang"), col("gram")).agg(count(lit(1)).as("cnt"))
         .withColumn("rk", row_number().over(w)).filter(col("rk") <= topK)
-        .select(col("lang").as("plang"), col("gram"))
+        .select(col("lang"), col("gram"))
         .collect()
-      val langMax = profileRows.map(_.getString(0)).max
-      import s.implicits._
-      val profiles = profileRows.map(r => (r.getString(0), r.getString(1))).toSeq
-        .toDF("plang", "gram")
-      val perLang = grams.join(broadcast(profiles), "gram")
-        .groupBy(col("doc_id"), col("plang"))
-        .agg(countDistinct(col("gram")).as("cnt"))
-      val best = perLang.groupBy(col("doc_id"))
-        .agg(max_by(col("plang"), struct(col("cnt"), col("plang"))).as("pred"))
-      docs.join(best, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("pred"), lit(langMax)).as("pred"),
-          (coalesce(col("pred"), lit(langMax)) === col("lang")).as("hit"))
+      val langs: Array[String] = profileRows.map(_.getString(0)).distinct.sorted
+      require(langs.length <= 64, s"lang-bitmask scorer supports ≤64 languages, got ${langs.length}")
+      val gramMask: Map[String, Long] = profileRows
+        .groupBy(_.getString(1))
+        .map { case (g, rows) =>
+          g -> rows.foldLeft(0L)((m, r) => m | (1L << langs.indexOf(r.getString(0))))
+        }
+      val scoreUdf = udf((tp: String) => {
+        val counts = new Array[Int](langs.length)
+        if (tp != null && tp.length >= 2) {
+          val seen = new java.util.HashSet[String]()
+          var i = 0
+          while (i < tp.length - 1) {
+            val g = tp.substring(i, i + 2)
+            if (seen.add(g)) gramMask.get(g).foreach { m =>
+              var mm = m; var j = 0
+              while (mm != 0L) {
+                if ((mm & 1L) != 0L) counts(j) += 1
+                mm >>>= 1; j += 1
+              }
+            }
+            i += 1
+          }
+        }
+        // argmax by (count, lang); all-zero docs land on the largest
+        // lang — identical to the relational max_by + coalesce fallback.
+        var best = 0
+        var j = 1
+        while (j < langs.length) {
+          if (counts(j) >= counts(best)) best = j // langs sorted asc: ties → larger lang
+          j += 1
+        }
+        langs(best)
+      })
+      docs.withColumn("pred", scoreUdf(col("tp")))
+        .select(col("doc_id"), col("pred"), (col("pred") === col("lang")).as("hit"))
         .orderBy(col("doc_id"))
     }),
 
@@ -264,7 +281,11 @@ object Text {
     "q_dedup_clusters" -> ((s, dir) => {
       val pairs = // the LSH candidate pairs, as an undirected edge list
         minhashPairs(s, dir).select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      // Materialize the edge list ONCE: the propagation loop joins it
+      // every round, and without this the whole minhash/banding pipeline
+      // re-executes per round (measured ~2× on the full query).
       val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint(true)
       var labels = t(s, dir, "documents")
         .select(col("doc_id"), col("doc_id").as("label"))
       val MaxRounds = 8

@@ -43,6 +43,39 @@ object Windows {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // Distribution ranking functions (round 3): NTILE buckets +
+    // PERCENT_RANK / CUME_DIST. Both are exact small-integer ratios
+    // ((rank-1)/(n-1), peers/n) — ROUND(…,4) only guards the division
+    // ulp. Unique (price, orderkey) ordering keeps ranks deterministic.
+    "q_window_ntile" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("pct_rank", round(percent_rank().over(w), 4))
+        .withColumn("cume", round(cume_dist().over(w), 4))
+        .select(col("o_custkey"), col("o_orderkey"), col("quartile"),
+          col("pct_rank"), col("cume"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // Value-navigation functions over a whole-partition frame (round 3):
+    // first/last/nth order value per customer by order date. The frame
+    // must be explicitly unbounded-both-ways — last_value over the
+    // default frame is the running current row, a classic trap.
+    "q_window_firstlast" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders")
+        .withColumn("first_price", first_value(col("o_totalprice")).over(w))
+        .withColumn("last_price", last_value(col("o_totalprice")).over(w))
+        .withColumn("second_price", nth_value(col("o_totalprice"), 2).over(w))
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("first_price"), col("last_price"), col("second_price"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     // Sort + limit: Spark plans TakeOrderedAndProject (no full sort of
     // the losing rows on a cluster).
     "q_topk" -> ((s, dir) =>
@@ -116,6 +149,23 @@ object Windows {
         "FROM events " +
         "WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) " +
         "ORDER BY user_id, event_id"),
+    "q_window_ntile" ->
+      ("SELECT o_custkey, o_orderkey, " +
+        "CAST(NTILE(4) OVER w AS BIGINT) AS quartile, " +
+        "ROUND(PERCENT_RANK() OVER w, 4) AS pct_rank, " +
+        "ROUND(CUME_DIST() OVER w, 4) AS cume " +
+        "FROM orders " +
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) " +
+        "ORDER BY o_custkey, o_orderkey"),
+    "q_window_firstlast" ->
+      ("SELECT o_custkey, o_orderkey, " +
+        "FIRST_VALUE(o_totalprice) OVER w AS first_price, " +
+        "LAST_VALUE(o_totalprice) OVER w AS last_price, " +
+        "NTH_VALUE(o_totalprice, 2) OVER w AS second_price " +
+        "FROM orders " +
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
+        "ORDER BY o_custkey, o_orderkey"),
     "q_topk" ->
       ("SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem " +
         "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20"),

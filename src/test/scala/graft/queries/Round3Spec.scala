@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Round-3 additions: internal checks for the new operators beyond the
+  * DuckDB oracle — HLL sketch error bounds (approximate → no oracle),
+  * bucketed-interval-join parity against the naive BNLJ formulation,
+  * and decorrelation smoke for the subquery family. */
+class Round3Spec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.Sf0001
+
+  test("q_hll_sketch estimates within 5% of exact; union covers the max part") {
+    val est = Aggregates.queries("q_hll_sketch")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Q.t(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      val e = est(k)
+      assert(math.abs(e - n) <= math.max(2L, (0.05 * n).toLong),
+        s"$k: sketch $e vs exact $n")
+    }
+    // the merged sketch can never estimate below (much less than) the
+    // largest per-type cardinality it unioned
+    assert(est("_all") >= (exact.values.max * 0.95).toLong)
+  }
+
+  test("q_join_interval matches the naive interval-join formulation") {
+    val fast = Joins.queries("q_join_interval")(spark, dir).collect()
+    val ev = Q.t(spark, dir, "events").select(col("event_id"), col("user_id"),
+      unix_millis(col("ts")).as("tms"), col("event_type"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("u"), col("tms").as("p_t"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("tms").as("c_t"))
+    val naive = p.join(c, col("cu") === col("u") &&
+        col("c_t") >= col("p_t") - 600000L && col("c_t") < col("p_t"), "left")
+      .groupBy(col("p_id"), col("u"))
+      .agg(count(col("c_t")).as("n_clicks"))
+      .orderBy(col("p_id"))
+      .collect()
+    assert(fast.length == naive.length && fast.length > 0)
+    fast.zip(naive).foreach { case (f, n) =>
+      assert(f.getLong(0) == n.getLong(0) && f.getLong(2) == n.getLong(2),
+        s"mismatch: fast=$f naive=$n")
+    }
+    // and some purchase must actually have preceding clicks, or the
+    // parity check is vacuous
+    assert(fast.exists(_.getLong(2) > 0))
+  }
+
+  test("subquery family decorrelates and returns plausible slices") {
+    val scalar = Subqueries.queries("q_subquery_scalar")(spark, dir).collect()
+    assert(scalar.nonEmpty && scalar.length < 1500) // a strict subset of orders
+    val in = Subqueries.queries("q_subquery_in")(spark, dir).count()
+    val exists = Subqueries.queries("q_subquery_exists")(spark, dir).count()
+    assert(in > 0 && exists > 0)
+    val corr = Subqueries.queries("q_subquery_corr")(spark, dir).count()
+    // above-own-order-average lineitems: non-empty, under half of all rows
+    assert(corr > 0 && corr < 6000)
+  }
+
+  test("q_unpivot emits one row per (row, measure)") {
+    val n = Scalars.queries("q_unpivot")(spark, dir).count()
+    assert(n == 3 * 6000)
+  }
+}
