@@ -79,6 +79,29 @@ object Aggregators {
     override def outputEncoder: Encoder[Seq[Long]] = bufferEncoder
   }
 
+  /** [[BoundedCollect]] generalized to (id, vector) payloads, for LSH
+    * buckets that are verified IN PLACE (dot products inside the bucket,
+    * emitting only above-threshold pairs) instead of exploding candidate
+    * id pairs for a join-back — the pair-explosion shuffle is O(bucket²)
+    * rows while this ships each vector once per table. Same overflow
+    * contract: a result of length `cap + 1` marks an oversized bucket
+    * for the downstream guard, with ≤ cap+1 vectors ever buffered. */
+  final case class BoundedCollectVec(cap: Int)
+      extends Aggregator[(Long, Seq[Double]), Seq[(Long, Seq[Double])], Seq[(Long, Seq[Double])]] {
+    private val limit = cap + 1
+    override def zero: Seq[(Long, Seq[Double])] = Vector.empty
+    override def reduce(b: Seq[(Long, Seq[Double])], v: (Long, Seq[Double])): Seq[(Long, Seq[Double])] =
+      if (b.length >= limit) b else b :+ v
+    override def merge(a: Seq[(Long, Seq[Double])], b: Seq[(Long, Seq[Double])]): Seq[(Long, Seq[Double])] =
+      if (a.length >= limit) a
+      else if (b.length >= limit) b
+      else (a ++ b).take(limit)
+    override def finish(r: Seq[(Long, Seq[Double])]): Seq[(Long, Seq[Double])] = r
+    override def bufferEncoder: Encoder[Seq[(Long, Seq[Double])]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Seq[Double])]]()
+    override def outputEncoder: Encoder[Seq[(Long, Seq[Double])]] = bufferEncoder
+  }
+
   /** Register both on a session as SQL-callable UDAFs. */
   def register(spark: org.apache.spark.sql.SparkSession, topN: Int = 3): Unit = {
     spark.udf.register("graft_all", udaf(allAgg))

@@ -44,6 +44,11 @@ object Similarity {
   private val DupTables = 16
   private val DupPlanesPerTable = 4
   private val DupTargetBucket = 500
+  /** Oversized-bucket guard for in-bucket verification (same cap as the
+    * text LSH path); BoundedCollectVec truncates at MaxBucket+1. */
+  private val MaxBucket = 1000
+  private val boundedVecs =
+    org.apache.spark.sql.functions.udaf(graft.functions.Aggregators.BoundedCollectVec(MaxBucket))
 
   /** Multi-table sign-LSH bucket ids (one per table) for a normalized
     * vector — shared by the ANN and near-dup paths. Each bucket id is
@@ -114,32 +119,63 @@ object Similarity {
     }),
 
     // Embedding-cosine near-duplicate pairs (a < b upper triangle):
-    // LSH-candidate generation (bucket hash-shuffle, bounded-memory
-    // collect, within-bucket pairs) + EXACT cosine verification of each
-    // candidate — precision 1 by construction, recall set by the LSH
-    // params (≈1 for true near-dups; measured and asserted on the
-    // fixture in SimilaritySpec against plain-Scala brute force, which
-    // stays test-only). No cross join anywhere in the plan — the shape
-    // that survives 100 TB; the old O(n²) crossJoin is gone.
+    // LSH bucketing (hash-shuffle on bucket key, bounded-memory collect)
+    // with EXACT cosine verification INSIDE each bucket — only
+    // above-threshold pairs are ever emitted, so the post-bucket shuffle
+    // carries true near-dups (tiny) instead of O(bucket²) candidate id
+    // pairs that round 2 exploded, distinct-ed and joined back (~2M rows
+    // at sf0.1 = 1000 candidates/vector — the dominant cost). Precision
+    // 1 by construction, recall set by the LSH params (≈1 for true
+    // near-dups; measured on the fixture in SimilaritySpec against
+    // plain-Scala brute force). Oversized buckets are dropped by the
+    // BoundedCollectVec overflow marker without ever materializing — and
+    // no cross join anywhere (asserted in PlanAuditSpec).
     "q_embed_neardup" -> ((s, dir) => {
       val all = embeddings(s, dir)
       val n = math.max(1L, all.count())
       val planesPerTable = math.max(DupPlanesPerTable,
         math.ceil(math.log(n.toDouble / DupTargetBucket) / math.log(2)).toInt)
       val buckets = bucketsUdfFor(DupTables, planesPerTable)
-      val cands = all
-        .select(col("vec_id"), explode(buckets(col("v"))).as("bucket"))
+      val tau = NearDupThreshold
+      val inBucketPairs = udf((items: Seq[org.apache.spark.sql.Row]) => {
+        val m = items.length
+        if (m < 2 || m > MaxBucket) Seq.empty[(Long, Long, Double)]
+        else {
+          val ids = new Array[Long](m)
+          val vecs = new Array[Array[Double]](m)
+          var i = 0
+          while (i < m) {
+            val r = items(i)
+            ids(i) = r.getLong(0); vecs(i) = r.getSeq[Double](1).toArray
+            i += 1
+          }
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          i = 0
+          while (i < m) {
+            var j = i + 1
+            while (j < m) {
+              val a = vecs(i); val b = vecs(j)
+              var d = 0.0; var k = 0
+              while (k < a.length && k < b.length) { d += a(k) * b(k); k += 1 }
+              if (d > tau) {
+                val (x, y) = if (ids(i) < ids(j)) (ids(i), ids(j)) else (ids(j), ids(i))
+                out += ((x, y, d))
+              }
+              j += 1
+            }
+            i += 1
+          }
+          out.toSeq
+        }
+      })
+      all.select(col("vec_id"), col("v"), explode(buckets(col("v"))).as("bucket"))
         .groupBy(col("bucket"))
-        .agg(Text.boundedIds(col("vec_id")).as("ids"))
-        .select(explode(Text.pairsUdf(col("ids"))).as("p"))
-        .select(col("p._1").as("vec_a"), col("p._2").as("vec_b"))
-        .distinct()
-      val a = all.withColumnRenamed("vec_id", "vec_a").withColumnRenamed("v", "va")
-      val b = all.withColumnRenamed("vec_id", "vec_b").withColumnRenamed("v", "vb")
-      cands.join(a, "vec_a").join(b, "vec_b")
-        .withColumn("sim", sim(col("va"), col("vb")))
-        .filter(col("sim") > NearDupThreshold)
-        .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("sim"))
+        .agg(boundedVecs(col("vec_id"), col("v")).as("items"))
+        .select(explode(inBucketPairs(col("items"))).as("p"))
+        // the same pair surfaces from every table whose bucket holds it,
+        // with a bit-identical dot (fixed summation order) — max = dedupe
+        .groupBy(col("p._1").as("vec_a"), col("p._2").as("vec_b"))
+        .agg(round(max(col("p._3")), 4).as("sim"))
         .orderBy(col("vec_a"), col("vec_b"))
     }),
 
