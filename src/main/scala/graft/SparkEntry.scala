@@ -26,6 +26,7 @@ object SparkEntry {
     (SetOps.queries, SetOps.oracle),
     (Scalars.queries, Scalars.oracle),
     (Text.queries, Text.oracle),
+    (Pipeline.queries, Pipeline.oracle),
     (Similarity.queries, Similarity.oracle),
     (Multimodal.queries, Multimodal.oracle))
 

@@ -161,6 +161,28 @@ object Aggregates {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("bin_lo"))),
 
+    // Exact interpolated percentiles (round 3): the non-sketch
+    // counterpart of q_approx_quantile — Spark's `percentile` and
+    // DuckDB's `quantile_cont` both take the linear-interpolation
+    // definition, so the median/IQR are oracle-comparable under ROUND.
+    "q_median" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5)"), 4).as("median"),
+          round(expr("percentile(value, 0.75) - percentile(value, 0.25)"), 4).as("iqr"))
+        .orderBy(col("event_type"))),
+
+    // Hour-of-day seasonality profile (round 3): 24-row diurnal rollup —
+    // the temporal-feature pass of an events pipeline. hour() on a UTC
+    // session matches DuckDB's hour(); exact-decimal sums as everywhere.
+    "q_time_features" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(hour(col("ts")).cast("long").as("h"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy(col("h"))),
+
     // Mergeable HLL sketches (round 3): Spark's Datasketches HLL surface
     // — per-type sketches built in one pass, then UNIONED into a global
     // estimate without touching raw data again. Sketch mergeability is
@@ -239,6 +261,14 @@ object Aggregates {
         s"${moneySumSql("o_totalprice")} AS total " +
         "FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ()) " +
         "ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"),
+    "q_median" ->
+      ("SELECT event_type, ROUND(quantile_cont(value, 0.5), 4) AS median, " +
+        "ROUND(quantile_cont(value, 0.75) - quantile_cont(value, 0.25), 4) AS iqr " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+    "q_time_features" ->
+      ("SELECT CAST(hour(ts) AS BIGINT) AS h, COUNT(1) AS n, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
+        "FROM events GROUP BY 1 ORDER BY 1"),
     "q_cond_agg" ->
       ("SELECT event_type, COUNT(1) AS n, " +
         "COUNT(CASE WHEN value > 100.0 THEN 1 END) AS n_big, " +

@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Training-data pipeline operators beyond analysis/dedup (builder
+  * prompt: "the operations a large-scale training-data pipeline would
+  * need"): deterministic sampling, train/val/test split assignment,
+  * text normalization, and keep-policy duplicate resolution.
+  *
+  * Sampling/splitting hash md5(doc_id) — content-independent, stable
+  * across runs, engines and cluster layouts (never `rand()`/`sample`,
+  * which are partitioning-dependent), and the md5 hex prefix is
+  * identical in Spark and DuckDB so every operator here is
+  * oracle-checkable. At 100 TB each is a single narrow codegen pass /
+  * one hash shuffle — no driver state anywhere. */
+object Pipeline {
+
+  /** First two md5 hex chars of the doc id — a uniform deterministic
+    * 0..255 bucket. */
+  private val idBucket = substring(md5(col("doc_id").cast("string")), 1, 2)
+  private val idBucketSql = "substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)"
+
+  val queries: Map[String, Fn] = Map(
+    // Deterministic ~10% corpus sample: md5 prefix threshold. Stable
+    // under re-partitioning, appends and re-runs — the property that
+    // matters when a 100 TB sample must be reproducible months later.
+    "q_sample_hash" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .filter(idBucket < "1a")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))),
+
+    // Train/val/test split assignment (~80/10/10) from the same hash —
+    // disjoint, exhaustive, content-independent; emitted as a column so
+    // downstream stages filter by split with predicate pushdown.
+    "q_split_assign" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("split",
+          when(idBucket < "cc", "train")
+            .when(idBucket < "e6", "val")
+            .otherwise("test"))
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))),
+
+    // Text normalization: lowercase → strip non-alphanumerics →
+    // collapse runs of spaces → trim. Pure codegen string expressions,
+    // one narrow pass; emits before/after sizes + a bounded preview so
+    // the row stays slim at any document length.
+    "q_regex_clean" -> ((s, dir) => {
+      val cleaned = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("len_raw"),
+          length(cleaned).cast("long").as("len_clean"),
+          substring(cleaned, 1, 40).as("preview"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Keep-policy duplicate resolution: within each exact-dup group,
+    // keep the doc from the lexicographically-largest source (tie →
+    // smallest doc_id) — the "prefer the better mirror" policy of a real
+    // crawl dedup, vs q_dedup_exact's plain min-id canonical. One
+    // window over the text-hash shuffle; emits every group with its
+    // keeper and size.
+    "q_dedup_keep" -> ((s, dir) => {
+      val w = Window.partitionBy(col("text_hash"))
+        .orderBy(col("source").desc, col("doc_id"))
+      t(s, dir, "documents")
+        .select(md5(col("text")).as("text_hash"), col("doc_id"), col("source"))
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n_dups", count(lit(1)).over(Window.partitionBy(col("text_hash"))))
+        .filter(col("rk") === 1)
+        .select(col("text_hash"), col("doc_id").as("keeper"),
+          col("source"), col("n_dups"))
+        .orderBy(col("text_hash"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q_sample_hash" ->
+      (s"SELECT doc_id, lang, source FROM documents WHERE $idBucketSql < '1a' " +
+        "ORDER BY doc_id"),
+    "q_split_assign" ->
+      (s"SELECT doc_id, CASE WHEN $idBucketSql < 'cc' THEN 'train' " +
+        s"WHEN $idBucketSql < 'e6' THEN 'val' ELSE 'test' END AS split " +
+        "FROM documents ORDER BY doc_id"),
+    "q_regex_clean" ->
+      ("SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS len_raw, " +
+        "CAST(LENGTH(TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS len_clean, " +
+        "SUBSTRING(TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), 1, 40) AS preview " +
+        "FROM documents ORDER BY doc_id"),
+    "q_dedup_keep" ->
+      ("SELECT text_hash, doc_id AS keeper, source, n_dups FROM (" +
+        "SELECT md5(text) AS text_hash, doc_id, source, " +
+        "ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY source DESC, doc_id) AS rk, " +
+        "COUNT(1) OVER (PARTITION BY md5(text)) AS n_dups FROM documents) " +
+        "WHERE rk = 1 ORDER BY text_hash"))
+}

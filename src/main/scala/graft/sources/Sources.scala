@@ -57,6 +57,15 @@ object Sources {
       .format("parquet")
       .saveAsTable(table)
 
+  /** ORC — the other columnar format Spark ships natively (predicate
+    * pushdown + column pruning work the same as parquet); round-trip
+    * asserted in SourcesSpec. */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 

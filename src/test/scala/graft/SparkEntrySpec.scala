@@ -13,7 +13,8 @@ class SparkEntrySpec extends AnyFunSuite {
       graft.queries.Joins.queries, graft.queries.Windows.queries,
       graft.queries.Subqueries.queries,
       graft.queries.SetOps.queries, graft.queries.Scalars.queries,
-      graft.queries.Text.queries, graft.queries.Similarity.queries,
+      graft.queries.Text.queries, graft.queries.Pipeline.queries,
+      graft.queries.Similarity.queries,
       graft.queries.Multimodal.queries)
     assert(SparkEntry.queries.size == groups.map(_.size).sum,
       "a duplicate key across query groups is shadowing an operator")

@@ -65,6 +65,28 @@ class Round3Spec extends AnyFunSuite {
     assert(corr > 0 && corr < 6000)
   }
 
+  test("hash sample and split are deterministic, disjoint and exhaustive") {
+    val docs = Q.t(spark, dir, "documents").count()
+    val s1 = Pipeline.queries("q_sample_hash")(spark, dir).collect().map(_.getLong(0))
+    val s2 = Pipeline.queries("q_sample_hash")(spark, dir).collect().map(_.getLong(0))
+    assert(s1.sameElements(s2))
+    // ~10% target (26/256); loose bounds for a 500-doc corpus
+    assert(s1.length > docs * 0.04 && s1.length < docs * 0.2)
+    val split = Pipeline.queries("q_split_assign")(spark, dir).collect()
+    assert(split.length == docs) // exhaustive: every doc gets exactly one split
+    val byKind = split.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(byKind.keySet == Set("train", "val", "test"))
+    assert(byKind("train") > docs * 0.6)
+  }
+
+  test("q_dedup_keep keeps exactly one doc per exact-dup group") {
+    val keep = Pipeline.queries("q_dedup_keep")(spark, dir).collect()
+    val groups = Q.t(spark, dir, "documents")
+      .groupBy(md5(col("text"))).count().count()
+    assert(keep.length == groups)
+    assert(keep.map(_.getString(0)).distinct.length == keep.length)
+  }
+
   test("q_unpivot emits one row per (row, measure)") {
     val n = Scalars.queries("q_unpivot")(spark, dir).count()
     assert(n == 3 * 6000)

@@ -36,6 +36,18 @@ class SourcesSpec extends AnyFunSuite {
     assert(rowsOf(back) == rowsOf(df))
   }
 
+  test("orc round-trips and pushes filters into the scan") {
+    val dir = Files.createTempDirectory("graft-orc").toString
+    val df = sample
+    Sources.writeOrc(df, dir)
+    val back = Sources.orc(spark, dir)
+    assert(rowsOf(back) == rowsOf(df))
+    val filtered = Sources.orc(spark, dir).filter(col("value") > 100.0)
+    filtered.collect()
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(value), GreaterThan(value,100.0)]"), plan)
+  }
+
   test("memory table matches its source rows") {
     val df = sample
     val mem = Sources.memory(spark, df.collect().toSeq, df.schema)
