@@ -202,6 +202,20 @@ object Aggregates {
         .orderBy(col("event_type"))
     }),
 
+    // Heavy hitters via Spark's approx_top_k sketch (round 3): the
+    // streaming-mergeable frequent-items counterpart of q_vocab_topk's
+    // exact TakeOrdered — at 100 TB the sketch's bounded state
+    // (maxItemsTracked) replaces a full vocab shuffle. Approximate →
+    // no oracle; ScalaTest pins it against exact counts (the tracked
+    // budget makes it exact on the fixtures).
+    "q_heavy_hitters" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .agg(expr("approx_top_k(tok, 10, 10000)").as("top"))
+        .select(explode(col("top")).as("e"))
+        .select(col("e.item").as("tok"), col("e.count").cast("long").as("n"))
+        .orderBy(col("n").desc, col("tok"))),
+
     // µWheel's composite `All` aggregator as a typed Aggregator UDAF
     // (SURVEY.md §2.2 / §7.5): one buffer carries sum/count/min/max
     // through partial+final ObjectHashAggregate; avg derived at finish

@@ -94,6 +94,21 @@ object Core {
            |""".stripMargin)
     }),
 
+    // Cluster-path index query (round 3): the same range decomposition,
+    // answered by filtering + unioning the TIME-BOUNDED per-tier rollup
+    // DataFrames — no driver-resident index, no full scan; the shape
+    // that serves a 100 TB deployment where even minute partials stay
+    // distributed. One small Spark job over ≤ (runs × slots) rollup rows.
+    "q_wheel_distributed" -> ((s, dir) => {
+      val rollups = RollupBuilder.buildAll(t(s, dir, "events"), "ts", "value")
+      graft.wheel.WheelIndex.queryDistributed(rollups, R3Start, R3End)
+        .select(
+          round(col("sum_v"), 2).as("sum_value"),
+          col("cnt").as("n"),
+          round(col("min_v"), 4).as("min_value"),
+          round(col("max_v"), 4).as("max_value"))
+    }),
+
     // Full "All"-aggregate index path (round 3): one SQL statement
     // carrying SUM + MIN + MAX + AVG + COUNT(*) over a range, ALL folded
     // from the same index lookup by the rewrite rule (the µWheel All
@@ -172,6 +187,10 @@ object Core {
         "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
     "q_wheel_query" -> rangeSumSql(R2Start, R2End),
     "q_wheel_sql" -> rangeSumSql(R3Start, R3End),
+    "q_wheel_distributed" ->
+      (s"SELECT ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n, " +
+        "ROUND(MIN(value), 4) AS min_value, ROUND(MAX(value), 4) AS max_value " +
+        s"FROM events WHERE epoch_ms(ts) >= $R3Start AND epoch_ms(ts) < $R3End"),
     "q_wheel_multi" ->
       (s"SELECT ROUND(SUM(value), 2) AS sum_value, ROUND(MIN(value), 4) AS min_value, " +
         "ROUND(MAX(value), 4) AS max_value, ROUND(AVG(value), 4) AS avg_value, " +

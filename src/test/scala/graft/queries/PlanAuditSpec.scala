@@ -70,6 +70,32 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("FileScan"), p)
   }
 
+  test("q_wheel_multi folds the full All family to a LocalTableScan") {
+    val p = plan("q_wheel_multi")
+    assert(p.contains("LocalTableScan"), p)
+    assert(!p.contains("FileScan"), p)
+  }
+
+  test("q_subquery family decorrelates: no cartesian anywhere") {
+    Seq("q_subquery_scalar", "q_subquery_in", "q_subquery_exists", "q_subquery_corr")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+      }
+  }
+
+  test("q_join_interval is an equi-join (no BNLJ for the interval condition)") {
+    val p = plan("q_join_interval")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("hashpartitioning") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_sample_hash pushes nothing but stays a single narrow codegen pass") {
+    val p = plan("q_sample_hash")
+    assert(!p.contains("Exchange hashpartitioning"), p) // filter+sort only, no shuffle agg
+  }
+
   test("q_sim_topk broadcasts the bounded query set against the full corpus") {
     val p = plan("q_sim_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)

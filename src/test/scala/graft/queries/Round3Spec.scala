@@ -65,6 +65,31 @@ class Round3Spec extends AnyFunSuite {
     assert(corr > 0 && corr < 6000)
   }
 
+  test("q_heavy_hitters matches exact token counts within its tracked budget") {
+    val hh = Aggregates.queries("q_heavy_hitters")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(hh.length == 10)
+    val exact = Q.t(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every reported count is the true count (budget >> vocab ⇒ exact),
+    // and the reported set contains the true top-5
+    hh.foreach { case (tok, n) => assert(exact(tok) == n, s"$tok: $n vs ${exact(tok)}") }
+    val top5 = exact.toSeq.sortBy { case (t, n) => (-n, t) }.take(5).map(_._1).toSet
+    assert(top5.subsetOf(hh.map(_._1).toSet))
+  }
+
+  test("q_wheel_distributed matches the scan-path answer with no driver index") {
+    val r = Core.queries("q_wheel_distributed")(spark, dir).collect()
+    assert(r.length == 1)
+    val ev = Q.t(spark, dir, "events")
+      .filter(unix_millis(col("ts")) >= Q.R3Start && unix_millis(col("ts")) < Q.R3End)
+      .agg(round(sum(col("value")), 2), count(lit(1))).collect()(0)
+    assert(r(0).getDouble(0) == ev.getDouble(0))
+    assert(r(0).getLong(1) == ev.getLong(1))
+  }
+
   test("hash sample and split are deterministic, disjoint and exhaustive") {
     val docs = Q.t(spark, dir, "documents").count()
     val s1 = Pipeline.queries("q_sample_hash")(spark, dir).collect().map(_.getLong(0))
