@@ -79,6 +79,19 @@ object Core {
       s.range(1).select(round(lit(raw), 2).as("sum_value"))
     }),
 
+    // Unaligned-range index path (round 3): the range has sub-minute
+    // residue at both edges, so WheelIndex.query combines the aligned
+    // interior from the index with two bounded edge scans (SURVEY.md
+    // §7.3's promised fallback — previously ScalaTest-only, now
+    // oracle-checked end-to-end against DuckDB on the same range).
+    "q_wheel_residue" -> ((s, dir) => {
+      val idx = WheelCatalog.cached(s"$dir/events.parquet")(t(s, dir, "events"))
+      val r = idx.query(RuStart, RuEnd)
+      s.range(1).select(
+        round(lit(r.sum), 2).as("sum_value"),
+        lit(r.count).as("n"))
+    }),
+
     // Auto-accelerated SQL (SURVEY.md §4.2 v2 stretch): plain SQL text,
     // but a registered graft.plans.WheelSumRewrite optimizer rule
     // replaces the scan+filter+agg subtree with the wheel answer — the
@@ -187,6 +200,9 @@ object Core {
         "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
     "q_wheel_query" -> rangeSumSql(R2Start, R2End),
     "q_wheel_sql" -> rangeSumSql(R3Start, R3End),
+    "q_wheel_residue" ->
+      (s"SELECT ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n FROM events " +
+        s"WHERE epoch_ms(ts) >= $RuStart AND epoch_ms(ts) < $RuEnd"),
     "q_wheel_distributed" ->
       (s"SELECT ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n, " +
         "ROUND(MIN(value), 4) AS min_value, ROUND(MAX(value), 4) AS max_value " +

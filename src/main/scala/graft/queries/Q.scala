@@ -50,4 +50,9 @@ object Q {
     * [2024-01-02T00:15, 2024-01-20T11:04). */
   val R3Start: Long = Jan1 + 1 * Day + 15 * Minute
   val R3End: Long = Jan1 + 19 * Day + 11 * Hour + 4 * Minute
+
+  /** UNALIGNED range (sub-minute residue at both edges) for the
+    * index + edge-scan fallback path: [R2Start+23s, R2End−41s). */
+  val RuStart: Long = R2Start + 23000L
+  val RuEnd: Long = R2End - 41000L
 }

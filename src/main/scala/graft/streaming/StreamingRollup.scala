@@ -38,6 +38,23 @@ object StreamingRollup {
   /** Slot width sanity: streaming windows are exactly the finest tier. */
   val SlotMs: Long = Tier.Minute.ms
 
+  /** Keyed minute-tier streaming rollup — the streaming counterpart of
+    * [[graft.wheel.RollupBuilder.keyedRollup]] (GROUP BY dim × slot);
+    * feeds [[KeyedLiveWheel]]. */
+  def keyedMinuteRollup(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(col(keyCol), window(col(tsCol), "1 minute").as("w"))
+      .agg(
+        sum(col(valueCol)).as("sum_v"),
+        count(col(valueCol)).as("cnt"),
+        min(col(valueCol)).as("min_v"),
+        max(col(valueCol)).as("max_v"),
+        count(lit(1)).as("rows"))
+      .select(col(keyCol).as("key"), unix_millis(col("w.start")).as("slot_ms"),
+        col("sum_v"), col("cnt"), col("min_v"), col("max_v"), col("rows"))
+
   /** Sliding-window aggregate (µWheel's window API supports sliding
     * windows — SURVEY.md §2.5): overlapping `size`/`slide` windows,
     * same partial schema keyed by window start. */

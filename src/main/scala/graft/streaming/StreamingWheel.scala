@@ -86,6 +86,65 @@ object LiveWheel {
   private[streaming] final case class Slot(sum: Double, cnt: Long, min: Double, max: Double)
 }
 
+/** [[LiveWheel]] generalized over a dimension key — the streaming
+  * counterpart of [[graft.wheel.KeyedWheelIndex]]: one live minute-slot
+  * map per observed key, fed by [[StreamingRollup.keyedMinuteRollup]]'s
+  * update-mode deltas. Driver state is bounded by |keys| × retained
+  * minutes (the keyed analogue of the time-bounded contract); the
+  * per-event aggregation still happens in Spark's distributed streaming
+  * state store. */
+final class KeyedLiveWheel(keepMinutes: Option[Int] = None) extends Serializable {
+
+  import LiveWheel.Slot
+
+  private val perKey = new ConcurrentHashMap[String, ConcurrentHashMap[Long, Slot]]()
+  @volatile private var highWatermarkMs: Long = Long.MinValue
+
+  private[streaming] def merge(rows: Array[Row]): Unit = {
+    rows.foreach { r =>
+      val key = r.getString(r.fieldIndex("key"))
+      val slot = r.getLong(r.fieldIndex("slot_ms"))
+      val m = perKey.computeIfAbsent(key, _ => new ConcurrentHashMap[Long, Slot]())
+      m.put(slot, Slot(
+        r.getDouble(r.fieldIndex("sum_v")), r.getLong(r.fieldIndex("cnt")),
+        r.getDouble(r.fieldIndex("min_v")), r.getDouble(r.fieldIndex("max_v"))))
+      if (slot > highWatermarkMs) highWatermarkMs = slot
+    }
+    keepMinutes.foreach { n =>
+      val floor = highWatermarkMs - n.toLong * Tier.Minute.ms
+      perKey.values().forEach { m =>
+        val it = m.keySet.iterator()
+        while (it.hasNext) if (it.next() < floor) it.remove()
+      }
+    }
+  }
+
+  def watermarkMs: Long = highWatermarkMs
+  def keys: Set[String] = { // snapshot
+    val b = Set.newBuilder[String]
+    perKey.keySet().forEach(k => b += k)
+    b.result()
+  }
+
+  /** Combine over a minute-aligned half-open range for one key. */
+  def query(key: String, startMs: Long, endMs: Long): AllAggregate = {
+    require(startMs <= endMs, s"bad range [$startMs, $endMs)")
+    var acc = AllAggregate.identity
+    val m = perKey.get(key)
+    if (m == null || startMs == endMs) return acc
+    Decompose(startMs, endMs).foreach { run =>
+      var slot = run.startMs
+      while (slot < run.endMs) {
+        val s = m.get(slot)
+        if (s != null && s.cnt > 0)
+          acc = acc.combine(AllAggregate(s.sum, s.cnt, s.min, s.max))
+        slot += Tier.Minute.ms
+      }
+    }
+    acc
+  }
+}
+
 object StreamingWheel {
 
   /** Wire a streaming events DataFrame into a [[LiveWheel]]. Returns the
@@ -117,5 +176,23 @@ object StreamingWheel {
       retention: Retention = Retention.Keep): (StreamingQuery, LiveWheel) = {
     val (w, live) = writer(events, tsCol, valueCol, watermarkDelay, retention)
     (w.start(), live)
+  }
+
+  /** Keyed variant: wire a streaming events DataFrame into a
+    * [[KeyedLiveWheel]] (GROUP BY dim × minute-slot live index). */
+  def keyedWriter(events: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+      watermarkDelay: String = "10 minutes",
+      retention: Retention = Retention.Keep): (DataStreamWriter[Row], KeyedLiveWheel) = {
+    val live = new KeyedLiveWheel(retention match {
+      case Retention.Keep => None
+      case Retention.KeepN(n) => Some(n)
+    })
+    val w = StreamingRollup.keyedMinuteRollup(events, keyCol, tsCol, valueCol, watermarkDelay)
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        live.merge(batch.collect()) // bounded: ≤ (keys × minutes) touched per batch
+      }
+    (w, live)
   }
 }

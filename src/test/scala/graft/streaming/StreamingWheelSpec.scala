@@ -41,6 +41,29 @@ class StreamingWheelSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("keyed live wheel tracks per-key slots independently") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp, Double)]
+    val (w, live) = StreamingWheel.keyedWriter(
+      mem.toDF().toDF("k", "ts", "value"), "k", "ts", "value")
+    val q = w.start()
+    try {
+      mem.addData(Seq(("click", ts(0), 1.0), ("view", ts(0), 10.0),
+        ("click", ts(Min), 2.0)))
+      q.processAllAvailable()
+      assert(live.keys == Set("click", "view"))
+      assert(live.query("click", T0, T0 + 2 * Min).sum == 3.0)
+      assert(live.query("view", T0, T0 + 2 * Min).sum == 10.0)
+      assert(live.query("purchase", T0, T0 + 2 * Min).count == 0L)
+      // an update batch re-aggregates, never double-counts
+      mem.addData(Seq(("view", ts(10_000), 5.0)))
+      q.processAllAvailable()
+      assert(live.query("view", T0, T0 + Min).sum == 15.0)
+      assert(live.query("view", T0, T0 + Min).count == 2L)
+    } finally q.stop()
+  }
+
   test("late rows below the watermark never reach the live wheel") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
