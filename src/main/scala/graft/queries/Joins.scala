@@ -83,6 +83,22 @@ object Joins {
         .orderBy(col("c_custkey"))
     }),
 
+    // Full outer join (round 3): per-customer F-order vs P-order counts,
+    // either side may be absent — COALESCE recovers the key and zeroes.
+    "q_join_full" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val f = o.filter(col("o_orderstatus") === "F")
+        .groupBy(col("o_custkey").as("ck_f")).agg(count(lit(1)).as("n_f"))
+      val p = o.filter(col("o_orderstatus") === "P")
+        .groupBy(col("o_custkey").as("ck_p")).agg(count(lit(1)).as("n_p"))
+      f.join(p, col("ck_f") === col("ck_p"), "full")
+        .select(
+          coalesce(col("ck_f"), col("ck_p")).as("custkey"),
+          coalesce(col("n_f"), lit(0L)).as("n_f"),
+          coalesce(col("n_p"), lit(0L)).as("n_p"))
+        .orderBy(col("custkey"))
+    }),
+
     // Theta/range join: lineitem rows land in half-open quantity buckets.
     // The 5-row bucket dim is broadcast → BroadcastNestedLoopJoin, the
     // only sane physical plan for a non-equi condition at scale.
@@ -216,6 +232,14 @@ object Joins {
       ("SELECT c_custkey, c_name FROM customer " +
         "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
         "AND o_orderstatus = 'P') ORDER BY c_custkey"),
+    "q_join_full" ->
+      ("SELECT COALESCE(f.ck_f, p.ck_p) AS custkey, " +
+        "COALESCE(f.n_f, 0) AS n_f, COALESCE(p.n_p, 0) AS n_p FROM " +
+        "(SELECT o_custkey AS ck_f, COUNT(1) AS n_f FROM orders " +
+        " WHERE o_orderstatus = 'F' GROUP BY o_custkey) f FULL OUTER JOIN " +
+        "(SELECT o_custkey AS ck_p, COUNT(1) AS n_p FROM orders " +
+        " WHERE o_orderstatus = 'P' GROUP BY o_custkey) p " +
+        "ON f.ck_f = p.ck_p ORDER BY custkey"),
     "q_join_range" ->
       (s"SELECT b.bucket, COUNT(1) AS n, CAST(SUM(l.l_quantity) AS DOUBLE) AS sum_qty " +
         s"FROM lineitem l JOIN (VALUES $bucketsSqlValues) AS b(bucket, lo, hi) " +

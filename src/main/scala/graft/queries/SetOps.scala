@@ -33,6 +33,16 @@ object SetOps {
       val withF = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
         .select(col("o_custkey").as("custkey"))
       all.except(withF).orderBy(col("custkey"))
+    }),
+
+    // BAG semantics (round 3): EXCEPT ALL keeps multiplicity — per user,
+    // max(0, #clicks − #views) rows survive. Identical rows are
+    // interchangeable, so the single-column ORDER BY is total.
+    "q_except_all" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click").select(col("user_id"))
+      val views = ev.filter(col("event_type") === "view").select(col("user_id"))
+      clicks.exceptAll(views).orderBy(col("user_id"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -50,5 +60,10 @@ object SetOps {
       ("SELECT c_custkey AS custkey FROM customer " +
         "EXCEPT " +
         "SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F' " +
-        "ORDER BY custkey"))
+        "ORDER BY custkey"),
+    "q_except_all" ->
+      ("SELECT user_id FROM events WHERE event_type = 'click' " +
+        "EXCEPT ALL " +
+        "SELECT user_id FROM events WHERE event_type = 'view' " +
+        "ORDER BY user_id"))
 }
