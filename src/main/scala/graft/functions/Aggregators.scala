@@ -79,6 +79,34 @@ object Aggregators {
     override def outputEncoder: Encoder[Seq[Long]] = bufferEncoder
   }
 
+  /** Bounded top-k (id, score) heap per group with id-dedupe — fuses the
+    * ANN pipeline's `dropDuplicates(query, id)` + window-rank (two
+    * shuffles) into ONE ObjectHashAggregate: candidates arrive multiple
+    * times (once per colliding LSH table / probed cell) with identical
+    * scores; the buffer keeps the k best DISTINCT ids by
+    * (score desc, id asc). Buffer ≤ k entries — map-side partials ship
+    * k rows per group per partition, the distributed top-k shape. */
+  final case class TopKPairs(k: Int)
+      extends Aggregator[(Long, Double), Seq[(Long, Double)], Seq[(Long, Double)]] {
+    private def better(a: (Long, Double), b: (Long, Double)): Boolean =
+      a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+    private def insert(buf: Seq[(Long, Double)], v: (Long, Double)): Seq[(Long, Double)] =
+      if (buf.exists(_._1 == v._1)) buf // same candidate from another table: same score
+      else {
+        val (front, back) = buf.span(better(_, v))
+        (front ++ (v +: back)).take(k)
+      }
+    override def zero: Seq[(Long, Double)] = Vector.empty
+    override def reduce(b: Seq[(Long, Double)], v: (Long, Double)): Seq[(Long, Double)] =
+      insert(b, v)
+    override def merge(a: Seq[(Long, Double)], b: Seq[(Long, Double)]): Seq[(Long, Double)] =
+      b.foldLeft(a)(insert)
+    override def finish(r: Seq[(Long, Double)]): Seq[(Long, Double)] = r
+    override def bufferEncoder: Encoder[Seq[(Long, Double)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Double)]]()
+    override def outputEncoder: Encoder[Seq[(Long, Double)]] = bufferEncoder
+  }
+
   /** [[BoundedCollect]] generalized to (id, vector) payloads, for LSH
     * buckets that are verified IN PLACE (dot products inside the bucket,
     * emitting only above-threshold pairs) instead of exploding candidate

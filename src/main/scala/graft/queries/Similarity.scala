@@ -49,6 +49,9 @@ object Similarity {
   private val MaxBucket = 1000
   private val boundedVecs =
     org.apache.spark.sql.functions.udaf(graft.functions.Aggregators.BoundedCollectVec(MaxBucket))
+  /** One-shuffle top-k with cross-table dedupe (see TopKPairs). */
+  private val topKPairs =
+    org.apache.spark.sql.functions.udaf(graft.functions.Aggregators.TopKPairs(TopK))
 
   /** Multi-table sign-LSH bucket ids (one per table) for a normalized
     * vector — shared by the ANN and near-dup paths. Each bucket id is
@@ -181,7 +184,10 @@ object Similarity {
 
     // Multi-table sign-LSH ANN: every vector gets L bucket keys (one per
     // table); candidates = equi-join on bucket key instead of a cross
-    // join; dedupe across tables, rank by true cosine. Recall vs
+    // join; then ONE TopKPairs aggregation replaces the round-2
+    // dropDuplicates + window-rank pair of shuffles — the bounded heap
+    // dedupes across tables (identical score per duplicate) and keeps
+    // the k best, shipping k rows per query per partition. Recall vs
     // q_sim_topk is checked in ScalaTest.
     "q_ann_lsh" -> ((s, dir) => {
       val bucketsUdf = bucketsUdfFor(LshTables, LshPlanesPerTable)
@@ -189,16 +195,14 @@ object Similarity {
         .select(col("vec_id"), col("v"), explode(bucketsUdf(col("v"))).as("bucket"))
       val q = broadcast(all.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket")))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("sim").desc, col("vec_id"))
       all.join(q, "bucket")
         .filter(col("vec_id") =!= col("query_id"))
-        .dropDuplicates("query_id", "vec_id")
         .withColumn("sim", sim(col("qv"), col("v")))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= TopK)
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          round(col("sim"), 4).as("sim"), col("rk").cast("long").as("rk"))
+        .groupBy(col("query_id"))
+        .agg(topKPairs(col("vec_id"), col("sim")).as("tops"))
+        .select(col("query_id"), posexplode(col("tops")))
+        .select(col("query_id"), col("col._1").as("neighbor_id"),
+          round(col("col._2"), 4).as("sim"), (col("pos") + 1).cast("long").as("rk"))
         .orderBy(col("query_id"), col("rk"))
     }),
 
@@ -283,15 +287,14 @@ object Similarity {
     val q = broadcast(all.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         explode(probeUdf(col("v"))).as("cell")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
     corpus.join(q, "cell")
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("sim", sim(col("qv"), col("v")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= TopK)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(col("sim"), 4).as("sim"), col("rk").cast("long").as("rk"))
+      .groupBy(col("query_id"))
+      .agg(topKPairs(col("vec_id"), col("sim")).as("tops"))
+      .select(col("query_id"), posexplode(col("tops")))
+      .select(col("query_id"), col("col._1").as("neighbor_id"),
+        round(col("col._2"), 4).as("sim"), (col("pos") + 1).cast("long").as("rk"))
       .orderBy(col("query_id"), col("rk"))
   }
 

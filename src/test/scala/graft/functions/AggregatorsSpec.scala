@@ -45,6 +45,19 @@ class AggregatorsSpec extends AnyFunSuite {
     got.zip(expected).foreach { case (g, e) => assert(g == e, s"$g != $e") }
   }
 
+  test("TopKPairs dedupes ids, ranks by (score desc, id), stays bounded") {
+    val t = Aggregators.TopKPairs(3)
+    var b = t.zero
+    Seq((7L, 0.9), (2L, 0.5), (7L, 0.9), (9L, 0.7), (1L, 0.5), (4L, 0.3))
+      .foreach(v => b = t.reduce(b, v))
+    assert(b == Seq((7L, 0.9), (9L, 0.7), (1L, 0.5))) // dup 7 ignored; tie 0.5 → smaller id
+    // merge is order-insensitive and keeps the bound
+    val other = Seq((3L, 0.95), (7L, 0.9))
+    assert(t.merge(b, other) == t.merge(other, b))
+    assert(t.merge(b, other) == Seq((3L, 0.95), (7L, 0.9), (9L, 0.7)))
+    assert(t.merge(b, other).length <= 3)
+  }
+
   test("TopN merge is bounded and order-insensitive") {
     val t = Aggregators.TopN(3)
     val a = Seq(5.0, 3.0, 1.0)
