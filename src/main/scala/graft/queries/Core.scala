@@ -79,6 +79,19 @@ object Core {
       s.range(1).select(round(lit(raw), 2).as("sum_value"))
     }),
 
+    // DISTINCT-COUNT index path (round 3): "distinct users in [a,b)"
+    // answered from the per-slot HLL sketch wheel — the µWheel
+    // aggregator framework generalized beyond sum/min/max/count to a
+    // mergeable sketch (SURVEY.md §2.2's lift/combine/lower with HLL
+    // union as combine). Build = ONE distributed hll_sketch_agg pass;
+    // query = µs driver-side union along the usual decomposition.
+    // Approximate → no oracle; parity vs exact distinct in WheelSpec.
+    "q_wheel_distinct" -> ((s, dir) => {
+      val idx = WheelCatalog.cachedDistinct(s"$dir/events.parquet")(t(s, dir, "events"))
+      val est = idx.queryDistinct(R1Start, R1End)
+      s.range(1).select(round(lit(est), 1).as("est_users"))
+    }),
+
     // Unaligned-range index path (round 3): the range has sub-minute
     // residue at both edges, so WheelIndex.query combines the aligned
     // interior from the index with two bounded edge scans (SURVEY.md

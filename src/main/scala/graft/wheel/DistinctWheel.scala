@@ -1,0 +1,103 @@
+package graft.wheel
+
+import org.apache.datasketches.hll.{HllSketch, TgtHllType, Union}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** A hierarchical DISTINCT-COUNT index: the wheel generalized from the
+  * `All` aggregate to a mergeable HLL sketch per slot — time-indexed
+  * cardinality ("distinct users in [a, b)") answered by unioning
+  * pre-built per-slot sketches along the same [[Decompose]] runs the
+  * sum wheel uses, in µs on the driver, no scan, no Spark job.
+  *
+  * µWheel's aggregator framework is explicitly generic over mergeable
+  * aggregates (lift/combine/lower — SURVEY.md §2.2); HLL union is
+  * associative+commutative, so the identical tier roll-up applies: the
+  * minute tier is built by ONE distributed `hll_sketch_agg` pass
+  * (Datasketches, the same library Spark's built-in uses), hour/day
+  * tiers are driver-side unions of the time-bounded minute sketches.
+  *
+  * Scale posture: driver state is (slots × ~2 KB sketch), bounded by
+  * TIME like every wheel tier; the one build pass is a map-side-combined
+  * hash aggregation over the source — the sketches, not rows, ship. */
+final class DistinctWheel private (
+    val baseMs: Long,
+    val horizonMs: Long,
+    tiers: Map[Tier, Array[Array[Byte]]]) extends Serializable {
+
+  private def unionRun(u: Union, run: Run): Unit = {
+    val block = tiers(run.tier)
+    var slot = run.startMs
+    while (slot < run.endMs) {
+      val i = ((slot - baseMs) / run.tier.ms).toInt
+      if (i >= 0 && i < block.length && block(i) != null)
+        u.update(HllSketch.heapify(block(i)))
+      slot += run.tier.ms
+    }
+  }
+
+  /** Estimated distinct count over a minute-aligned half-open range. */
+  def queryDistinct(startMs: Long, endMs: Long): Double = {
+    require(startMs <= endMs, s"bad range [$startMs, $endMs)")
+    require(startMs % Tier.finest.ms == 0 && endMs % Tier.finest.ms == 0,
+      s"range [$startMs, $endMs) must be ${Tier.finest.name}-aligned")
+    val u = new Union(DistinctWheel.LgK)
+    Decompose(startMs, endMs).foreach(run => unionRun(u, run))
+    u.getResult(TgtHllType.HLL_8).getEstimate
+  }
+
+  def sizeBytes: Long =
+    tiers.valuesIterator.flatMap(_.iterator).map(b => if (b == null) 0L else b.length.toLong).sum
+
+  def slotCounts: Map[Tier, Int] = tiers.map { case (t, b) => t -> b.length }
+}
+
+object DistinctWheel {
+
+  /** Spark's hll_sketch_agg default lgConfigK — kept identical so our
+    * estimates line up with the built-in's on the same data. */
+  val LgK = 12
+
+  /** One distributed sketch-per-minute pass, then driver-side tier
+    * roll-up by union (time-bounded work). */
+  def build(events: DataFrame, tsCol: String, keyCol: String): DistinctWheel = {
+    val rows = events
+      .select(RollupBuilder.slotMs(col(tsCol), Tier.Minute).as("slot_ms"), col(keyCol).as("k"))
+      .groupBy("slot_ms")
+      .agg(hll_sketch_agg(col("k"), lit(LgK)).as("sk"))
+      .collect()
+    require(rows.nonEmpty, "cannot index an empty source")
+    val slots = rows.map(_.getLong(0))
+    val base = slots.min / Tier.Day.ms * Tier.Day.ms
+    val horizon = (slots.max / Tier.Day.ms + 1) * Tier.Day.ms
+
+    val minute = new Array[Array[Byte]](((horizon - base) / Tier.Minute.ms).toInt)
+    rows.foreach { r =>
+      minute(((r.getLong(0) - base) / Tier.Minute.ms).toInt) = r.getAs[Array[Byte]](1)
+    }
+    def coarsen(finer: Array[Array[Byte]], finerTier: Tier, tier: Tier): Array[Array[Byte]] = {
+      val out = new Array[Array[Byte]](((horizon - base) / tier.ms).toInt)
+      val ratio = (tier.ms / finerTier.ms).toInt
+      var i = 0
+      while (i < out.length) {
+        var j = i * ratio
+        var u: Union = null
+        val end = math.min((i + 1) * ratio, finer.length)
+        while (j < end) {
+          if (finer(j) != null) {
+            if (u == null) u = new Union(LgK)
+            u.update(HllSketch.heapify(finer(j)))
+          }
+          j += 1
+        }
+        if (u != null) out(i) = u.getResult(TgtHllType.HLL_8).toCompactByteArray
+        i += 1
+      }
+      out
+    }
+    val hour = coarsen(minute, Tier.Minute, Tier.Hour)
+    val day = coarsen(hour, Tier.Hour, Tier.Day)
+    new DistinctWheel(base, horizon,
+      Map(Tier.Minute -> minute, Tier.Hour -> hour, Tier.Day -> day))
+  }
+}

@@ -17,5 +17,13 @@ object WheelCatalog {
     cache.computeIfAbsent((key, tsCol, valueCol),
       _ => WheelIndex.build(events, tsCol, valueCol))
 
-  def clear(): Unit = cache.clear()
+  def clear(): Unit = { cache.clear(); distinctCache.clear() }
+
+  private val distinctCache = new ConcurrentHashMap[(String, String, String), DistinctWheel]()
+
+  /** Build-once cache for the HLL [[DistinctWheel]], same lifecycle. */
+  def cachedDistinct(key: String, tsCol: String = "ts", keyCol: String = "user_id")(
+      events: => DataFrame): DistinctWheel =
+    distinctCache.computeIfAbsent((key, tsCol, keyCol),
+      _ => DistinctWheel.build(events, tsCol, keyCol))
 }
