@@ -111,7 +111,7 @@ object Bench {
     val b0 = System.nanoTime()
     graft.wheel.WheelIndex.build(Q.t(spark, sfDir, "events"), "ts", "value")
     val buildSec = (System.nanoTime() - b0) / 1e9
-    val idx = WheelCatalog.cached(s"$sfDir/events.parquet")(Q.t(spark, sfDir, "events"))
+    val idx = WheelCatalog.cached(spark, s"$sfDir/events.parquet")(Q.t(spark, sfDir, "events"))
     val slotCounts = idx.slotCounts.map { case (t, n) => s""""${t.name}":$n""" }
       .mkString("{", ",", "}")
     val events = Q.t(spark, sfDir, "events").select(

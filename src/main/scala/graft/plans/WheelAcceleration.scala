@@ -89,7 +89,7 @@ object WheelAcceleration {
     val reg = registry.compute(normalize(path), (_, old) =>
       if (old != null && old.fingerprint == fp) old
       else Reg(tsCol, valueCol,
-        graft.wheel.WheelCatalog.cached(s"$path@$fp", tsCol, valueCol)(events),
+        graft.wheel.WheelCatalog.cached(spark, s"$path@$fp", tsCol, valueCol)(events),
         fp, conf))
     enable(spark)
     reg.idx

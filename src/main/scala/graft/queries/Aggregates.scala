@@ -141,14 +141,15 @@ object Aggregates {
 
     // Ordered string aggregation (round 3): per-region sorted
     // comma-joined nation list. Spark has no ordered string_agg — the
-    // deterministic spelling is collect_set → array_sort → array_join,
-    // which shuffles a bounded set per group (25 nations), never an
-    // unordered concatenation.
+    // deterministic spelling is collect_list → array_sort → array_join.
+    // collect_list (bag), NOT collect_set: DuckDB's string_agg keeps
+    // duplicates, and a set here would silently diverge the moment two
+    // rows in a group share a name.
     "q_string_agg" -> ((s, dir) =>
       t(s, dir, "nation")
         .groupBy(col("n_regionkey"))
         .agg(
-          array_join(array_sort(collect_set(col("n_name"))), ",").as("nations"),
+          array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
           count(lit(1)).as("n"))
         .orderBy(col("n_regionkey"))),
 
@@ -205,16 +206,21 @@ object Aggregates {
     // Heavy hitters via Spark's approx_top_k sketch (round 3): the
     // streaming-mergeable frequent-items counterpart of q_vocab_topk's
     // exact TakeOrdered — at 100 TB the sketch's bounded state
-    // (maxItemsTracked) replaces a full vocab shuffle. Approximate →
-    // no oracle; ScalaTest pins it against exact counts (the tracked
+    // (maxItemsTracked) replaces a full vocab shuffle. The sketch
+    // returns 5× headroom and the final 10 are re-ranked by the
+    // deterministic (count desc, token) key, so ties at the rank-10
+    // boundary can't flip membership run-to-run (approx_top_k's own
+    // order among equal counts follows partial-merge order). Approximate
+    // → no oracle; ScalaTest pins it against exact counts (the tracked
     // budget makes it exact on the fixtures).
     "q_heavy_hitters" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(explode(split(col("text"), " ")).as("tok"))
-        .agg(expr("approx_top_k(tok, 10, 10000)").as("top"))
+        .agg(expr("approx_top_k(tok, 50, 10000)").as("top"))
         .select(explode(col("top")).as("e"))
         .select(col("e.item").as("tok"), col("e.count").cast("long").as("n"))
-        .orderBy(col("n").desc, col("tok"))),
+        .orderBy(col("n").desc, col("tok"))
+        .limit(10)),
 
     // µWheel's composite `All` aggregator as a typed Aggregator UDAF
     // (SURVEY.md §2.2 / §7.5): one buffer carries sum/count/min/max

@@ -74,7 +74,7 @@ object Core {
     // Index path (SURVEY.md §3.2): answered from the cached WheelIndex —
     // range decomposition + partial combines, no scan, no Spark job.
     "q_wheel_query" -> ((s, dir) => {
-      val idx = WheelCatalog.cached(s"$dir/events.parquet")(t(s, dir, "events"))
+      val idx = WheelCatalog.cached(s, s"$dir/events.parquet")(t(s, dir, "events"))
       val raw = idx.querySum(R2Start, R2End)
       s.range(1).select(round(lit(raw), 2).as("sum_value"))
     }),
@@ -87,7 +87,7 @@ object Core {
     // query = µs driver-side union along the usual decomposition.
     // Approximate → no oracle; parity vs exact distinct in WheelSpec.
     "q_wheel_distinct" -> ((s, dir) => {
-      val idx = WheelCatalog.cachedDistinct(s"$dir/events.parquet")(t(s, dir, "events"))
+      val idx = WheelCatalog.cachedDistinct(s, s"$dir/events.parquet")(t(s, dir, "events"))
       val est = idx.queryDistinct(R1Start, R1End)
       s.range(1).select(round(lit(est), 1).as("est_users"))
     }),
@@ -98,7 +98,7 @@ object Core {
     // §7.3's promised fallback — previously ScalaTest-only, now
     // oracle-checked end-to-end against DuckDB on the same range).
     "q_wheel_residue" -> ((s, dir) => {
-      val idx = WheelCatalog.cached(s"$dir/events.parquet")(t(s, dir, "events"))
+      val idx = WheelCatalog.cached(s, s"$dir/events.parquet")(t(s, dir, "events"))
       val r = idx.query(RuStart, RuEnd)
       s.range(1).select(
         round(lit(r.sum), 2).as("sum_value"),

@@ -88,6 +88,10 @@ object Similarity {
       org.apache.spark.sql.DataFrame]()
   private def embeddings(s: org.apache.spark.sql.SparkSession, dir: String) = {
     graft.functions.DotProduct.register(s)
+    // drop entries pinned to stopped sessions (same sweep discipline as
+    // WheelCatalog); a session-scoped persist of a static table needs no
+    // data-change fingerprint — re-running in a fresh session rebuilds
+    normCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     normCache.computeIfAbsent((s, dir), _ =>
       t(s, dir, "embeddings")
         .select(col("vec_id"), asDouble(col("embedding")).as("raw"))

@@ -116,6 +116,9 @@ final class KeyedLiveWheel(keepMinutes: Option[Int] = None) extends Serializable
         val it = m.keySet.iterator()
         while (it.hasNext) if (it.next() < floor) it.remove()
       }
+      // fully-evicted keys leave entirely, keeping driver state (and
+      // keys()) at the documented |live keys| × retained-minutes bound
+      perKey.entrySet().removeIf(e => e.getValue.isEmpty)
     }
   }
 

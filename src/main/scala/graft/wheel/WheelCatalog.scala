@@ -8,22 +8,42 @@ import org.apache.spark.sql.DataFrame
   * the wheel is built one time, then serves thousands of range queries at
   * microsecond latency with no further Spark jobs. */
 object WheelCatalog {
-  private val cache = new ConcurrentHashMap[(String, String, String), WheelIndex]()
+  // Keyed by session identity as well as the logical source key: a
+  // WheelIndex built from session A retains A's DataFrame as its
+  // residue-scan fallback, so serving it to session B after A stops
+  // would make unaligned queries fail (aligned ones never noticed).
+  private val cache =
+    new ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String, String, String), WheelIndex]()
 
   /** Build (or return the cached) index for a logical source key. The
     * source DataFrame thunk is only evaluated on a cache miss. */
-  def cached(key: String, tsCol: String = "ts", valueCol: String = "value")(
-      events: => DataFrame): WheelIndex =
-    cache.computeIfAbsent((key, tsCol, valueCol),
+  def cached(spark: org.apache.spark.sql.SparkSession, key: String,
+      tsCol: String = "ts", valueCol: String = "value")(
+      events: => DataFrame): WheelIndex = {
+    sweepStopped()
+    cache.computeIfAbsent((spark, key, tsCol, valueCol),
       _ => WheelIndex.build(events, tsCol, valueCol))
+  }
 
   def clear(): Unit = { cache.clear(); distinctCache.clear() }
 
-  private val distinctCache = new ConcurrentHashMap[(String, String, String), DistinctWheel]()
+  /** Drop entries owned by stopped sessions so they (and their pinned
+    * DataFrames) can be collected — both maps stay bounded by the live
+    * sessions' working sets. */
+  private def sweepStopped(): Unit = {
+    cache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    distinctCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+  }
+
+  private val distinctCache =
+    new ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String, String, String), DistinctWheel]()
 
   /** Build-once cache for the HLL [[DistinctWheel]], same lifecycle. */
-  def cachedDistinct(key: String, tsCol: String = "ts", keyCol: String = "user_id")(
-      events: => DataFrame): DistinctWheel =
-    distinctCache.computeIfAbsent((key, tsCol, keyCol),
+  def cachedDistinct(spark: org.apache.spark.sql.SparkSession, key: String,
+      tsCol: String = "ts", keyCol: String = "user_id")(
+      events: => DataFrame): DistinctWheel = {
+    sweepStopped()
+    distinctCache.computeIfAbsent((spark, key, tsCol, keyCol),
       _ => DistinctWheel.build(events, tsCol, keyCol))
+  }
 }
