@@ -166,6 +166,10 @@ object Aggregates {
     // counterpart of q_approx_quantile — Spark's `percentile` and
     // DuckDB's `quantile_cont` both take the linear-interpolation
     // definition, so the median/IQR are oracle-comparable under ROUND.
+    // Scale note: exact percentile buffers the per-group value multiset
+    // (state grows with distinct values), so this is the declared
+    // exactness BASELINE; q_approx_quantile's mergeable sketch is the
+    // bounded-state path a 100 TB pipeline runs.
     "q_median" -> ((s, dir) =>
       t(s, dir, "events")
         .groupBy(col("event_type"))
