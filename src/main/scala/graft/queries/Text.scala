@@ -310,6 +310,49 @@ object Text {
         .orderBy(col("doc_id"))
     }),
 
+    // Test-set decontamination (round 3): corpus documents sharing any
+    // K-token shingle with the held-out set (doc_id < 10 stands in for
+    // the benchmark/test corpus). Both sides explode to shingles, then
+    // ONE equi-join on the shingle string — the standard n-gram-overlap
+    // decontamination pass, linear in corpus size, no pairwise doc
+    // comparison anywhere. Emits each contaminated doc with its hit
+    // stats; exact-duplicate docs of a test doc are guaranteed hits.
+    "q_contamination" -> ((s, dir) => {
+      val K = 4 // short shingles suit the synthetic word-soup corpus; real pipelines run 8-13
+      val toks = split(col("text"), " ")
+      val shingles = transform(
+        sequence(lit(1), greatest(size(toks) - (K - 1), lit(0))),
+        i => concat_ws(" ", slice(toks, i, lit(K))))
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), explode(shingles).as("sh"))
+      val test = d.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("test_doc"), col("sh")).distinct()
+      val corpus = d.filter(col("doc_id") >= 10).distinct()
+      corpus.join(test, "sh")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingle_hits"),
+          countDistinct(col("test_doc")).as("n_test_docs"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Unigram log-probability quality score (round 3): a self-trained
+    // unigram LM over the corpus scores each doc by its mean token
+    // -log p — the classic cheap perplexity proxy for quality filtering.
+    // One vocab aggregation + one broadcast-scalar join + one per-doc
+    // aggregation; every stage linear and shuffle-bounded.
+    "q_logprob_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      val total = lit(vocab.agg(sum(col("cnt"))).collect()(0).getLong(0).toDouble)
+      toks.join(vocab, "tok")
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_toks"),
+          round(-sum(log(col("cnt") / total)) / count(lit(1)), 4).as("avg_neg_logp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // SimHash near-dup: 64-bit signature, 16-bit pigeonhole chunks
     // (hamming ≤ 3 ⇒ some chunk equal), verify hamming via bit_count.
     "q_simhash_dedup" -> ((s, dir) => {
@@ -364,6 +407,24 @@ object Text {
         "CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) / " +
         "len(list_distinct(list_concat(a.w, b.w))) AS jac " +
         "FROM d a JOIN d b ON b.doc_id = a.doc_id + 1 ORDER BY doc_a"),
+    "q_contamination" ->
+      ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "s AS (SELECT doc_id, unnest([array_to_string(toks[i:i+3], ' ') " +
+        "      for i in range(1, greatest(len(toks) - 2, 1))]) AS sh FROM d), " +
+        "test AS (SELECT DISTINCT doc_id AS test_doc, sh FROM s WHERE doc_id < 10), " +
+        "corpus AS (SELECT DISTINCT doc_id, sh FROM s WHERE doc_id >= 10) " +
+        "SELECT c.doc_id, COUNT(1) AS n_shingle_hits, " +
+        "COUNT(DISTINCT t.test_doc) AS n_test_docs " +
+        "FROM corpus c JOIN test t ON c.sh = t.sh " +
+        "GROUP BY c.doc_id ORDER BY c.doc_id"),
+    "q_logprob_score" ->
+      ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+        "vocab AS (SELECT tok, COUNT(1) AS cnt FROM toks GROUP BY tok), " +
+        "total AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n FROM vocab) " +
+        "SELECT t.doc_id, COUNT(1) AS n_toks, " +
+        "ROUND(-SUM(ln(v.cnt / total.n)) / COUNT(1), 4) AS avg_neg_logp " +
+        "FROM toks t JOIN vocab v ON t.tok = v.tok CROSS JOIN total " +
+        "GROUP BY t.doc_id ORDER BY t.doc_id"),
     "q_vocab_topk" ->
       ("SELECT tok, COUNT(1) AS n FROM " +
         "(SELECT unnest(string_split(text, ' ')) AS tok FROM documents) " +
