@@ -65,6 +65,31 @@ object Scalars {
         col("label"))
         .orderBy(col("vec_id"))),
 
+    // Date arithmetic (round 3): day difference, offset, month spans —
+    // the remaining scalar-date family. DuckDB's datediff takes the
+    // part first and (start, end); Spark's datediff is (end, start).
+    "q_date_arith" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("long").as("days_since"),
+        // ISO string, not DATE: pandas reads Spark DATE as date and
+        // DuckDB DATE as datetime — value compare would mismatch on type
+        date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd").as("due_date"),
+        // cast to date first: months_between on raw timestamps folds the
+        // time-of-day into the fraction, which no portable SQL reproduces
+        round(months_between(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")), 2).as("months_since"))
+        .orderBy(col("o_orderkey"))),
+
+    // Edit distance (round 3): Levenshtein on a bounded prefix — the
+    // fuzzy-match primitive (typo-tolerant dedup, canonicalization).
+    // Bounded input keeps the O(n·m) per-row cost constant.
+    "q_edit_distance" -> ((s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        levenshtein(substring(col("p_name"), 1, 12), lit("promo brushed")).cast("long").as("dist"),
+        levenshtein(col("p_brand"), lit("Brand#33")).cast("long").as("brand_dist"))
+        .orderBy(col("p_partkey"))),
+
     // Wide→long unpivot (round 3): Spark's native `unpivot` operator
     // (a Generate, one pass, no join) over three measure columns; the
     // oracle spells the same relation as UNION ALL, the portable form.
@@ -105,6 +130,20 @@ object Scalars {
       ("SELECT vec_id, CAST(LEN(embedding) AS BIGINT) AS dim, " +
         "ROUND(CAST(embedding[1] AS DOUBLE), 4) AS first_val, label " +
         "FROM embeddings ORDER BY vec_id"),
+    "q_date_arith" ->
+      ("SELECT o_orderkey, " +
+        "CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS days_since, " +
+        "strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date, " +
+        // Spark months_between(d, 1995-01-01) = whole-month diff +
+        // (dom-1)/31 (the dom==1 case lands on 0 either way)
+        "ROUND(datediff('month', DATE '1995-01-01', CAST(o_orderdate AS DATE)) + " +
+        " (dayofmonth(o_orderdate) - 1) / 31.0, 2) AS months_since " +
+        "FROM orders ORDER BY o_orderkey"),
+    "q_edit_distance" ->
+      ("SELECT p_partkey, " +
+        "CAST(levenshtein(SUBSTRING(p_name, 1, 12), 'promo brushed') AS BIGINT) AS dist, " +
+        "CAST(levenshtein(p_brand, 'Brand#33') AS BIGINT) AS brand_dist " +
+        "FROM part ORDER BY p_partkey"),
     "q_unpivot" ->
       ("SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val FROM lineitem " +
         "UNION ALL " +

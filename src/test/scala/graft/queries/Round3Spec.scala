@@ -103,6 +103,22 @@ class Round3Spec extends AnyFunSuite {
     // interiors, so coarse-tier roll-up correctness is covered by its
     // exact-parity assertion (HLL union is register-wise max — tier
     // grouping cannot change the union result)
+
+    // seeded random minute-aligned ranges (mirrors WheelSpec's
+    // ScalaCheck-style decomposition coverage)
+    val rng = new scala.util.Random(7)
+    val spanMin = ((idx.horizonMs - idx.baseMs) / 60000L).toInt
+    (1 to 15).foreach { _ =>
+      val a0 = rng.nextInt(spanMin - 1)
+      val len = 1 + rng.nextInt(spanMin - a0 - 1)
+      val (a, b) = (idx.baseMs + a0 * 60000L, idx.baseMs + (a0 + len) * 60000L)
+      val est = idx.queryDistinct(a, b)
+      val exact = Q.t(spark, dir, "events")
+        .filter(unix_millis(col("ts")) >= a && unix_millis(col("ts")) < b)
+        .select(countDistinct(col("user_id"))).collect()(0).getLong(0)
+      assert(math.abs(est - exact) <= math.max(2.0, 0.05 * exact),
+        s"[$a,$b): est $est vs exact $exact")
+    }
   }
 
   test("q_wheel_distributed matches the scan-path answer with no driver index") {
