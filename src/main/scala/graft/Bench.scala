@@ -162,10 +162,40 @@ object Bench {
       (Q.Jan1 + a * 3600000L, Q.Jan1 + (a + len) * 3600000L)
     }
 
+    // DISTINCT-COUNT wheel block: the same repeated-range comparison for
+    // the HLL sketch wheel (distinct users in [a,b)) vs per-range
+    // countDistinct scan jobs — the sketch-index generalization's
+    // headline number.
+    val db0 = System.nanoTime()
+    val dIdx = graft.wheel.DistinctWheel.build(Q.t(spark, sfDir, "events"), "ts", "user_id")
+    val dBuildSec = (System.nanoTime() - db0) / 1e9
+    val dEvents = Q.t(spark, sfDir, "events").select(
+      unix_millis(col("ts")).as("tms"), col("user_id")).cache()
+    dEvents.count()
+    val dWheelUs = minuteRanges.take(2000).map { case (a, b) =>
+      val t0 = System.nanoTime()
+      dIdx.queryDistinct(a, b)
+      (System.nanoTime() - t0) / 1e3
+    }
+    val dScanUs = minuteRanges.take(10).map { case (a, b) =>
+      val t0 = System.nanoTime()
+      dEvents.filter(col("tms") >= a && col("tms") < b)
+        .agg(countDistinct(col("user_id"))).collect()
+      (System.nanoTime() - t0) / 1e3
+    }
+    dEvents.unpersist()
+    val distinctBlock =
+      f"""{"build_sec":$dBuildSec%.3f,"index_bytes":${dIdx.sizeBytes},""" +
+        f""""wheel_us_per_query":${dWheelUs.sum / dWheelUs.size}%.2f,""" +
+        f""""scan_us_per_query":${dScanUs.sum / dScanUs.size}%.2f,""" +
+        f""""speedup":${(dScanUs.sum / dScanUs.size) / (dWheelUs.sum / dWheelUs.size)}%.1f,""" +
+        s""""wheel_percentiles_us":${percentilesJson(dWheelUs)}}"""
+
     val out = f"""{"build_sec":$buildSec%.3f,"index_bytes":${idx.sizeBytes},""" +
       s""""slot_counts":$slotCounts,""" +
       s""""minute_ranges":${block(minuteRanges, 20)},""" +
-      s""""hour_ranges":${block(hourRanges, 20)}}"""
+      s""""hour_ranges":${block(hourRanges, 20)},""" +
+      s""""distinct_wheel":$distinctBlock}"""
     events.unpersist()
     out
   }
