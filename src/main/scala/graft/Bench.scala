@@ -61,10 +61,13 @@ object Bench {
       }
 
     val passes = Seq.fill(3)(runAll())
-    val cold = passes.head
+    // failed queries are excluded from EVERY timing figure (their
+    // recorded elapsed is time-to-throw, not query time); the process
+    // still exits nonzero below
+    val cold = passes.head.filterNot { case (name, _) => failed.contains(name) }
     val results = passes.transpose.map { timings =>
       timings.head._1 -> timings.map(_._2).min
-    }
+    }.filterNot { case (name, _) => failed.contains(name) }
 
     val wheelScan = wheelVsScan(spark, sfDir)
 
@@ -122,19 +125,21 @@ object Bench {
       unix_millis(col("ts")).as("tms"), col("value")).cache()
     events.count() // materialize the cache; the scan path still runs a full Spark job per query
 
-    def block(ranges: Seq[(Long, Long)], scanCount: Int): String = {
-      // wheel path: every range, individually timed
-      val wheelUs = ranges.map { case (a, b) =>
+    /** ONE timing harness for every wheel-vs-scan comparison (sum and
+      * distinct blocks share methodology by construction): per-range
+      * wheel closure timed over `wheelCount` ranges, scan closure (a
+      * full Spark job each) over a bounded `scanCount` prefix. */
+    def block(ranges: Seq[(Long, Long)], scanCount: Int,
+        wheelQ: (Long, Long) => Unit, scanQ: (Long, Long) => Unit,
+        wheelCount: Int = Int.MaxValue): String = {
+      val wheelUs = ranges.take(wheelCount).map { case (a, b) =>
         val t0 = System.nanoTime()
-        val s = idx.querySum(a, b)
-        if (s.isNaN) System.err.println("unexpected NaN")
+        wheelQ(a, b)
         (System.nanoTime() - t0) / 1e3
       }
-      // scan path: a bounded prefix (full Spark job per range)
       val scanUs = ranges.take(scanCount).map { case (a, b) =>
         val t0 = System.nanoTime()
-        events.filter(col("tms") >= a && col("tms") < b)
-          .agg(sum(col("value"))).collect()
+        scanQ(a, b)
         (System.nanoTime() - t0) / 1e3
       }
       val wheelMean = wheelUs.sum / wheelUs.size
@@ -143,6 +148,14 @@ object Bench {
         f""""speedup":${scanMean / wheelMean}%.1f,""" +
         s""""wheel_percentiles_us":${percentilesJson(wheelUs)},""" +
         s""""scan_percentiles_us":${percentilesJson(scanUs)}}"""
+    }
+
+    val sumWheel: (Long, Long) => Unit = { (a, b) =>
+      if (idx.querySum(a, b).isNaN) System.err.println("unexpected NaN")
+    }
+    val sumScan: (Long, Long) => Unit = { (a, b) =>
+      events.filter(col("tms") >= a && col("tms") < b)
+        .agg(sum(col("value"))).collect(); ()
     }
 
     val rng = new scala.util.Random(42)
@@ -162,8 +175,8 @@ object Bench {
       (Q.Jan1 + a * 3600000L, Q.Jan1 + (a + len) * 3600000L)
     }
 
-    // DISTINCT-COUNT wheel block: the same repeated-range comparison for
-    // the HLL sketch wheel (distinct users in [a,b)) vs per-range
+    // DISTINCT-COUNT wheel block: the same harness, same methodology,
+    // for the HLL sketch wheel (distinct users in [a,b)) vs per-range
     // countDistinct scan jobs — the sketch-index generalization's
     // headline number.
     val db0 = System.nanoTime()
@@ -172,29 +185,21 @@ object Bench {
     val dEvents = Q.t(spark, sfDir, "events").select(
       unix_millis(col("ts")).as("tms"), col("user_id")).cache()
     dEvents.count()
-    val dWheelUs = minuteRanges.take(2000).map { case (a, b) =>
-      val t0 = System.nanoTime()
-      dIdx.queryDistinct(a, b)
-      (System.nanoTime() - t0) / 1e3
-    }
-    val dScanUs = minuteRanges.take(10).map { case (a, b) =>
-      val t0 = System.nanoTime()
-      dEvents.filter(col("tms") >= a && col("tms") < b)
-        .agg(countDistinct(col("user_id"))).collect()
-      (System.nanoTime() - t0) / 1e3
-    }
-    dEvents.unpersist()
     val distinctBlock =
       f"""{"build_sec":$dBuildSec%.3f,"index_bytes":${dIdx.sizeBytes},""" +
-        f""""wheel_us_per_query":${dWheelUs.sum / dWheelUs.size}%.2f,""" +
-        f""""scan_us_per_query":${dScanUs.sum / dScanUs.size}%.2f,""" +
-        f""""speedup":${(dScanUs.sum / dScanUs.size) / (dWheelUs.sum / dWheelUs.size)}%.1f,""" +
-        s""""wheel_percentiles_us":${percentilesJson(dWheelUs)}}"""
+        block(minuteRanges, 10,
+          (a, b) => { dIdx.queryDistinct(a, b); () },
+          (a, b) => {
+            dEvents.filter(col("tms") >= a && col("tms") < b)
+              .agg(countDistinct(col("user_id"))).collect(); ()
+          },
+          wheelCount = 2000).drop(1) // merge into the same JSON object
+    dEvents.unpersist()
 
     val out = f"""{"build_sec":$buildSec%.3f,"index_bytes":${idx.sizeBytes},""" +
       s""""slot_counts":$slotCounts,""" +
-      s""""minute_ranges":${block(minuteRanges, 20)},""" +
-      s""""hour_ranges":${block(hourRanges, 20)},""" +
+      s""""minute_ranges":${block(minuteRanges, 20, sumWheel, sumScan)},""" +
+      s""""hour_ranges":${block(hourRanges, 20, sumWheel, sumScan)},""" +
       s""""distinct_wheel":$distinctBlock}"""
     events.unpersist()
     out

@@ -321,9 +321,13 @@ object Text {
       val K = 4 // short shingles suit the synthetic word-soup corpus; real pipelines run 8-13
       val toks = split(col("text"), " ")
       val shingles = transform(
-        sequence(lit(1), greatest(size(toks) - (K - 1), lit(0))),
+        sequence(lit(1), size(toks) - (K - 1)),
         i => concat_ws(" ", slice(toks, i, lit(K))))
+      // docs shorter than K tokens have no shingles; filtering them out
+      // BEFORE the transform matters — sequence(1, n) with n < 1 counts
+      // DOWNWARD, handing slice a zero/negative start (runtime error)
       val d = t(s, dir, "documents")
+        .filter(size(toks) >= K)
         .select(col("doc_id"), explode(shingles).as("sh"))
       val test = d.filter(col("doc_id") < 10)
         .select(col("doc_id").as("test_doc"), col("sh")).distinct()
@@ -338,18 +342,23 @@ object Text {
     // Unigram log-probability quality score (round 3): a self-trained
     // unigram LM over the corpus scores each doc by its mean token
     // -log p — the classic cheap perplexity proxy for quality filtering.
-    // One vocab aggregation + one broadcast-scalar join + one per-doc
-    // aggregation; every stage linear and shuffle-bounded.
+    // One vocab aggregation + one token join + one per-doc aggregation;
+    // the corpus token total comes from a NARROW one-row aggregate over
+    // per-doc word counts (no second explode pass, no eager driver job)
+    // broadcast-cross-joined into the scorer. Every stage linear.
     "q_logprob_score" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-      val total = lit(vocab.agg(sum(col("cnt"))).collect()(0).getLong(0).toDouble)
+      val total = docs.agg(
+        sum(size(split(col("text"), " "))).cast("double").as("total_n"))
       toks.join(vocab, "tok")
+        .crossJoin(broadcast(total))
         .groupBy(col("doc_id"))
         .agg(
           count(lit(1)).as("n_toks"),
-          round(-sum(log(col("cnt") / total)) / count(lit(1)), 4).as("avg_neg_logp"))
+          round(-sum(log(col("cnt") / col("total_n"))) / count(lit(1)), 4)
+            .as("avg_neg_logp"))
         .orderBy(col("doc_id"))
     }),
 

@@ -153,6 +153,20 @@ class Round3Spec extends AnyFunSuite {
     assert(keep.map(_.getString(0)).distinct.length == keep.length)
   }
 
+  test("q_contamination survives documents shorter than the shingle length") {
+    import spark.implicits._
+    val tmp = "target/test-fixtures/contamination-short"
+    Seq(
+      (0L, "alpha beta gamma delta epsilon"), // test doc (id < 10)
+      (10L, "a b"),                           // 2 tokens: zero shingles, must not crash
+      (11L, "x"),                             // 1 token
+      (12L, "alpha beta gamma delta epsilon zeta")) // contains a test shingle
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = Text.queries("q_contamination")(spark, tmp).collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(12L)) // only the real overlap
+  }
+
   test("q_unpivot emits one row per (row, measure)") {
     val n = Scalars.queries("q_unpivot")(spark, dir).count()
     assert(n == 3 * 6000)
