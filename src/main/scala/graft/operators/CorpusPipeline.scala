@@ -6,11 +6,13 @@ import org.apache.spark.sql.functions._
 /** End-to-end corpus cleaning — the composition a real training-data
   * pipeline runs over raw documents, built entirely from the operators
   * this library already exposes piecewise (quality scoring, exact
-  * dedup, language filtering):
+  * dedup, language filtering, decontamination):
   *
   *   1. structural quality gates (word count, average word length);
   *   2. language allowlist;
-  *   3. exact dedup keeping the lowest doc_id per content hash.
+  *   3. exact dedup keeping the lowest doc_id per content hash;
+  *   4. (optional) test-set decontamination — drop docs sharing any
+  *      K-token shingle with a held-out set.
   *
   * Each document gets a single `drop_reason` (null = kept, first
   * failing gate wins, in the order above), so the output is an
@@ -57,6 +59,31 @@ object CorpusPipeline {
   /** Only the surviving documents (original schema). */
   def clean(docs: DataFrame, cfg: Config = Config()): DataFrame =
     annotate(docs, cfg).filter(col("drop_reason").isNull).drop("drop_reason")
+
+  /** Decontamination gate: annotate docs sharing any `k`-token shingle
+    * with `testSet` as `"contaminated"` (docs already carrying a
+    * drop_reason keep their earlier, higher-priority reason). Shingle
+    * explode on both sides + ONE left-semi-shaped join — linear, no
+    * doc-pair work, the same shape as the declared `q_contamination`. */
+  def decontaminate(annotated: DataFrame, testSet: DataFrame, k: Int = 8): DataFrame = {
+    def shingled(df: DataFrame) = {
+      val toks = split(col("text"), " ")
+      df.filter(size(toks) >= k)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(toks) - (k - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(k))))).as("__sh"))
+    }
+    val testShingles = shingled(testSet).select(col("__sh")).distinct()
+    val contaminated = shingled(annotated)
+      .join(testShingles, "__sh")
+      .select(col("doc_id")).distinct()
+      .withColumn("__contam", lit(true))
+    annotated.join(contaminated, Seq("doc_id"), "left")
+      .withColumn("drop_reason",
+        coalesce(col("drop_reason"),
+          when(col("__contam"), "contaminated").cast("string")))
+      .drop("__contam")
+  }
 
   /** Per-reason ledger: (reason, n) with `kept` for survivors. */
   def stats(annotated: DataFrame): DataFrame =

@@ -35,6 +35,25 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(cleaned.collect().map(_.getLong(0)).toSeq == Seq(0L))
   }
 
+  test("decontamination flags shingle overlap without disturbing earlier fates") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta", "en"),  // contaminated (shares 4-shingle)
+      (1L, "one two three four five six", "en"),          // kept
+      (2L, "tiny", "en"),                                 // too_short (higher priority)
+      (3L, "a b", "en"))                                  // too_short; < k tokens, must not crash
+      .toDF("doc_id", "text", "lang")
+    val testSet = Seq((100L, "xx alpha beta gamma delta yy", "en"))
+      .toDF("doc_id", "text", "lang")
+    val annotated = CorpusPipeline.annotate(docs,
+      CorpusPipeline.Config(minWords = 5))
+    val out = CorpusPipeline.decontaminate(annotated, testSet, k = 4)
+    val fates = out.orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(3)).getOrElse("kept")).toMap
+    assert(fates == Map(0L -> "contaminated", 1L -> "kept",
+      2L -> "too_short", 3L -> "too_short"))
+  }
+
   test("on the fixture corpus: every doc gets exactly one fate; dedup keeps min id") {
     val docs = Q.t(spark, TestSpark.Sf01, "documents")
     val annotated = CorpusPipeline.annotate(docs)
