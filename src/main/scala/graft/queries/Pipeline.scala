@@ -59,6 +59,41 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // Sequence packing (round 3): concat-then-chunk assignment of docs
+    // to fixed-size context windows — each doc's bin is its running
+    // token offset divided by the window size, the deterministic
+    // "greedy pack in corpus order" every training-data pipeline runs
+    // before tokenization. One window pass over exact integers.
+    // (The single-sequence cumsum is the DECLARED oracle shape; at
+    // 100 TB the same assignment runs per shard — doc_id div shardSize
+    // as the partition key — giving identical packing per shard.)
+    "q_pack_sequences" -> ((s, dir) => {
+      val ctx = 2048L
+      val w = Window.orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"))
+        .withColumn("end_off", sum(col("n_toks")).over(w))
+        .select(col("doc_id"), col("n_toks"),
+          ((col("end_off") - col("n_toks")) / ctx).cast("long").as("bin"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Stratified sample (round 3): the first 20 docs PER LANGUAGE by
+    // md5-hash order — balanced, content-independent, reproducible
+    // class sampling (vs q_sample_hash's global uniform rate). One
+    // window over the lang shuffle.
+    "q_stratified_sample" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 20)
+        .select(col("lang"), col("rk"), col("doc_id"))
+        .orderBy(col("lang"), col("rk"))
+    }),
+
     // Keep-policy duplicate resolution: within each exact-dup group,
     // keep the doc from the lexicographically-largest source (tie →
     // smallest doc_id) — the "prefer the better mirror" policy of a real
@@ -91,6 +126,17 @@ object Pipeline {
         "CAST(LENGTH(TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS len_clean, " +
         "SUBSTRING(TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), 1, 40) AS preview " +
         "FROM documents ORDER BY doc_id"),
+    "q_pack_sequences" ->
+      ("SELECT doc_id, n_toks, CAST(FLOOR((end_off - n_toks) / 2048) AS BIGINT) AS bin FROM (" +
+        "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks, " +
+        "SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (" +
+        "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off " +
+        "FROM documents) ORDER BY doc_id"),
+    "q_stratified_sample" ->
+      ("SELECT lang, rk, doc_id FROM (" +
+        "SELECT lang, doc_id, CAST(ROW_NUMBER() OVER (PARTITION BY lang " +
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk " +
+        "FROM documents) WHERE rk <= 20 ORDER BY lang, rk"),
     "q_dedup_keep" ->
       ("SELECT text_hash, doc_id AS keeper, source, n_dups FROM (" +
         "SELECT md5(text) AS text_hash, doc_id, source, " +
