@@ -94,6 +94,17 @@ object Pipeline {
         .orderBy(col("lang"), col("rk"))
     }),
 
+    // JSONL export shape (round 3): one compact JSON record per doc —
+    // the canonical training-data interchange format. to_json(struct)
+    // is codegen'd and byte-identical to DuckDB's json_object for
+    // integer/string fields (no spaces, field order as written).
+    "q_jsonl_export" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), to_json(struct(
+          col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          substring(col("text"), 1, 40).as("text_head"))).as("record"))
+        .orderBy(col("doc_id"))),
+
     // Keep-policy duplicate resolution: within each exact-dup group,
     // keep the doc from the lexicographically-largest source (tie →
     // smallest doc_id) — the "prefer the better mirror" policy of a real
@@ -137,6 +148,11 @@ object Pipeline {
         "SELECT lang, doc_id, CAST(ROW_NUMBER() OVER (PARTITION BY lang " +
         "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk " +
         "FROM documents) WHERE rk <= 20 ORDER BY lang, rk"),
+    "q_jsonl_export" ->
+      ("SELECT doc_id, CAST(json_object('doc_id', doc_id, 'lang', lang, " +
+        "'source', source, 'n_chars', n_chars, " +
+        "'text_head', substring(text, 1, 40)) AS VARCHAR) AS record " +
+        "FROM documents ORDER BY doc_id"),
     "q_dedup_keep" ->
       ("SELECT text_hash, doc_id AS keeper, source, n_dups FROM (" +
         "SELECT md5(text) AS text_hash, doc_id, source, " +

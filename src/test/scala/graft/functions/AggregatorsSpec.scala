@@ -58,6 +58,48 @@ class AggregatorsSpec extends AnyFunSuite {
     assert(t.merge(b, other).length <= 3)
   }
 
+  test("TopKPairs merge laws hold on random inputs (ScalaCheck)") {
+    import org.scalacheck.Prop.forAll
+    import org.scalacheck.{Gen, Test}
+    val t = Aggregators.TopKPairs(3)
+    // contract: a candidate id has ONE true score (duplicates arrive
+    // from different LSH tables with identical scores) — derive the
+    // score from the id; coarse values force cross-id ties
+    val pair = Gen.choose(0L, 20L).map(id => (id, (id % 7).toDouble / 10.0))
+    val pairs = Gen.listOf(pair)
+    def fold(xs: Seq[(Long, Double)]) = xs.foldLeft(t.zero)(t.reduce)
+    val prop = forAll(pairs, pairs) { (a, b) =>
+      val m = t.merge(fold(a), fold(b))
+      // commutative, bounded, sorted by (score desc, id), distinct ids,
+      // and equal to folding everything sequentially
+      m == t.merge(fold(b), fold(a)) &&
+        m.length <= 3 &&
+        m == m.sortBy { case (id, s) => (-s, id) } &&
+        m.map(_._1).distinct.length == m.length &&
+        m == fold(a ++ b)
+    }
+    val res = Test.check(Test.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("BoundedCollect merge never exceeds cap+1 and keeps the overflow marker (ScalaCheck)") {
+    import org.scalacheck.Prop.forAll
+    import org.scalacheck.{Gen, Test}
+    val cap = 5
+    val t = Aggregators.BoundedCollect(cap)
+    val ids = Gen.listOf(Gen.choose(0L, 100L))
+    def fold(xs: Seq[Long]) = xs.foldLeft(t.zero)(t.reduce)
+    val prop = forAll(ids, ids) { (a, b) =>
+      val m = t.merge(fold(a), fold(b))
+      m.length <= cap + 1 &&
+        // overflow marker iff the true union count exceeds the cap
+        ((a.length + b.length > cap) == (m.length == cap + 1) ||
+          a.length + b.length <= cap + 1)
+    }
+    val res = Test.check(Test.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("TopN merge is bounded and order-insensitive") {
     val t = Aggregators.TopN(3)
     val a = Seq(5.0, 3.0, 1.0)
