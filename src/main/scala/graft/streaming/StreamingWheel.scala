@@ -86,6 +86,40 @@ object LiveWheel {
   private[streaming] final case class Slot(sum: Double, cnt: Long, min: Double, max: Double)
 }
 
+/** A LIVE distinct-count wheel: per-minute HLL sketches maintained by
+  * the stream (hll_sketch_agg in Spark's streaming state), upserted
+  * into a driver-resident slot map per micro-batch, queried by
+  * register-max union along the same decomposition as the batch
+  * [[graft.wheel.DistinctWheel]]. Driver state = slots × ~2 KB sketch,
+  * time-bounded. */
+final class LiveDistinctWheel extends Serializable {
+
+  private val minutes = new ConcurrentHashMap[Long, Array[Byte]]()
+
+  private[streaming] def merge(rows: Array[Row]): Unit =
+    rows.foreach { r =>
+      minutes.put(r.getLong(r.fieldIndex("slot_ms")),
+        r.getAs[Array[Byte]](r.fieldIndex("sk")))
+    }
+
+  def retainedSlots: Int = minutes.size
+
+  /** Estimated distinct keys over a minute-aligned half-open range. */
+  def queryDistinct(startMs: Long, endMs: Long): Double = {
+    require(startMs <= endMs, s"bad range [$startMs, $endMs)")
+    val u = new org.apache.datasketches.hll.Union(graft.wheel.DistinctWheel.LgK)
+    Decompose(startMs, endMs).foreach { run =>
+      var slot = run.startMs
+      while (slot < run.endMs) {
+        val sk = minutes.get(slot)
+        if (sk != null) u.update(org.apache.datasketches.hll.HllSketch.heapify(sk))
+        slot += Tier.Minute.ms
+      }
+    }
+    u.getResult(org.apache.datasketches.hll.TgtHllType.HLL_8).getEstimate
+  }
+}
+
 /** [[LiveWheel]] generalized over a dimension key — the streaming
   * counterpart of [[graft.wheel.KeyedWheelIndex]]: one live minute-slot
   * map per observed key, fed by [[StreamingRollup.keyedMinuteRollup]]'s
@@ -179,6 +213,25 @@ object StreamingWheel {
       retention: Retention = Retention.Keep): (StreamingQuery, LiveWheel) = {
     val (w, live) = writer(events, tsCol, valueCol, watermarkDelay, retention)
     (w.start(), live)
+  }
+
+  /** Distinct-count variant: per-minute hll_sketch_agg in streaming
+    * state feeding a [[LiveDistinctWheel]]. */
+  def distinctWriter(events: DataFrame, tsCol: String, keyCol: String,
+      watermarkDelay: String = "10 minutes"): (DataStreamWriter[Row], LiveDistinctWheel) = {
+    import org.apache.spark.sql.functions._
+    val live = new LiveDistinctWheel
+    val w = events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), "1 minute").as("w"))
+      .agg(hll_sketch_agg(col(keyCol), lit(graft.wheel.DistinctWheel.LgK)).as("sk"))
+      .select(unix_millis(col("w.start")).as("slot_ms"), col("sk"))
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        live.merge(batch.collect())
+      }
+    (w, live)
   }
 
   /** Keyed variant: wire a streaming events DataFrame into a

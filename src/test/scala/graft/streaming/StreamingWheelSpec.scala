@@ -64,6 +64,26 @@ class StreamingWheelSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("live distinct wheel estimates per-range cardinality while streaming") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val (w, live) = StreamingWheel.distinctWriter(
+      mem.toDF().toDF("ts", "user_id"), "ts", "user_id")
+    val q = w.start()
+    try {
+      mem.addData(Seq((ts(0), 1L), (ts(1000), 2L), (ts(2000), 1L), (ts(Min), 3L)))
+      q.processAllAvailable()
+      assert(math.round(live.queryDistinct(T0, T0 + Min)) == 2L)      // users {1,2}
+      assert(math.round(live.queryDistinct(T0, T0 + 2 * Min)) == 3L)  // {1,2,3}
+      // re-aggregation on update, cross-slot union dedupes user 1
+      mem.addData(Seq((ts(Min + 500), 1L)))
+      q.processAllAvailable()
+      assert(math.round(live.queryDistinct(T0 + Min, T0 + 2 * Min)) == 2L) // {3,1}
+      assert(math.round(live.queryDistinct(T0, T0 + 2 * Min)) == 3L)       // still {1,2,3}
+    } finally q.stop()
+  }
+
   test("late rows below the watermark never reach the live wheel") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
