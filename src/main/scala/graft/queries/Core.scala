@@ -61,6 +61,16 @@ object Core {
     "q_rollup_hour" -> ((s, dir) => rollup(s, dir, Tier.Hour)),
     "q_rollup_day" -> ((s, dir) => rollup(s, dir, Tier.Day)),
 
+    // Week tier (round 3): date_trunc-based — weeks are NOT fixed-width
+    // multiples of the epoch (ISO weeks anchor Monday), so this tier
+    // uses calendar truncation rather than the div-multiply slot key;
+    // both engines take ISO Monday weeks in UTC.
+    "q_rollup_week" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(unix_millis(date_trunc("week", col("ts"))).as("week_ms"))
+        .agg(round(sum(col("value")), 2).as("sum_value"), count(lit(1)).as("n"))
+        .orderBy(col("week_ms"))),
+
     // Per-key wheel tier (SURVEY.md §7.8 #6): the wheel generalized to
     // GROUP BY dimension × time slot; cardinality |keys| × slots, still
     // time-bounded per key.
@@ -207,6 +217,10 @@ object Core {
     "q_rollup_minute" -> rollupSql(60000L),
     "q_rollup_hour" -> rollupSql(3600000L),
     "q_rollup_day" -> rollupSql(86400000L),
+    "q_rollup_week" ->
+      ("SELECT epoch_ms(date_trunc('week', ts)) AS week_ms, " +
+        "ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n " +
+        "FROM events GROUP BY 1 ORDER BY 1"),
     "q_rollup_keyed" ->
       ("SELECT event_type, (epoch_ms(ts) // 3600000) * 3600000 AS slot_ms, " +
         "ROUND(SUM(value), 2) AS sum_value, COUNT(value) AS n " +

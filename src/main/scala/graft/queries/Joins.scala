@@ -83,6 +83,18 @@ object Joins {
         .orderBy(col("c_custkey"))
     }),
 
+    // Explicit cross join (round 3): the one join type deliberately
+    // absent everywhere else — declared ONLY over two bounded dimension
+    // tables (5 × 25 rows), the sole shape where a cartesian product is
+    // a legitimate plan at any scale.
+    "q_join_cross" -> ((s, dir) => {
+      val r = t(s, dir, "region").select(col("r_regionkey"), col("r_name"))
+      val n = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      r.crossJoin(n)
+        .select(col("r_regionkey"), col("n_nationkey"), col("r_name"), col("n_name"))
+        .orderBy(col("r_regionkey"), col("n_nationkey"))
+    }),
+
     // Full outer join (round 3): per-customer F-order vs P-order counts,
     // either side may be absent — COALESCE recovers the key and zeroes.
     "q_join_full" -> ((s, dir) => {
@@ -232,6 +244,9 @@ object Joins {
       ("SELECT c_custkey, c_name FROM customer " +
         "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
         "AND o_orderstatus = 'P') ORDER BY c_custkey"),
+    "q_join_cross" ->
+      ("SELECT r_regionkey, n_nationkey, r_name, n_name " +
+        "FROM region CROSS JOIN nation ORDER BY r_regionkey, n_nationkey"),
     "q_join_full" ->
       ("SELECT COALESCE(f.ck_f, p.ck_p) AS custkey, " +
         "COALESCE(f.n_f, 0) AS n_f, COALESCE(p.n_p, 0) AS n_p FROM " +
