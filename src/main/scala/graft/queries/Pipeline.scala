@@ -17,10 +17,15 @@ import Q._
   * one hash shuffle — no driver state anywhere. */
 object Pipeline {
 
-  /** First two md5 hex chars of the doc id — a uniform deterministic
-    * 0..255 bucket. */
-  private val idBucket = substring(md5(col("doc_id").cast("string")), 1, 2)
-  private val idBucketSql = "substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)"
+  /** THE deterministic doc-id hash (md5 of the decimal string) — every
+    * sampling/splitting operator derives from this one definition so a
+    * future scheme change (salting, different hash) lands everywhere. */
+  private val idHash = md5(col("doc_id").cast("string"))
+  private val idHashSql = "md5(CAST(doc_id AS VARCHAR))"
+
+  /** First two hex chars of [[idHash]] — a uniform 0..255 bucket. */
+  private val idBucket = substring(idHash, 1, 2)
+  private val idBucketSql = s"substring($idHashSql, 1, 2)"
 
   val queries: Map[String, Fn] = Map(
     // Deterministic ~10% corpus sample: md5 prefix threshold. Stable
@@ -86,7 +91,7 @@ object Pipeline {
     // window over the lang shuffle.
     "q_stratified_sample" -> ((s, dir) => {
       val w = Window.partitionBy(col("lang"))
-        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        .orderBy(idHash, col("doc_id"))
       t(s, dir, "documents")
         .withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= 20)
@@ -97,7 +102,10 @@ object Pipeline {
     // JSONL export shape (round 3): one compact JSON record per doc —
     // the canonical training-data interchange format. to_json(struct)
     // is codegen'd and byte-identical to DuckDB's json_object for
-    // integer/string fields (no spaces, field order as written).
+    // integer/string fields (no spaces, field order as written) —
+    // PROVIDED no field is NULL: Spark drops null fields while DuckDB
+    // emits "key":null. The documents fixture is null-free; a nullable
+    // source needs coalesce() around each field to keep the oracle.
     "q_jsonl_export" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), to_json(struct(
@@ -146,7 +154,7 @@ object Pipeline {
     "q_stratified_sample" ->
       ("SELECT lang, rk, doc_id FROM (" +
         "SELECT lang, doc_id, CAST(ROW_NUMBER() OVER (PARTITION BY lang " +
-        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk " +
+        s"ORDER BY $idHashSql, doc_id) AS BIGINT) AS rk " +
         "FROM documents) WHERE rk <= 20 ORDER BY lang, rk"),
     "q_jsonl_export" ->
       ("SELECT doc_id, CAST(json_object('doc_id', doc_id, 'lang', lang, " +

@@ -55,6 +55,17 @@ object StreamingRollup {
       .select(col(keyCol).as("key"), unix_millis(col("w.start")).as("slot_ms"),
         col("sum_v"), col("cnt"), col("min_v"), col("max_v"), col("rows"))
 
+  /** Minute-tier streaming HLL sketch rollup — the distinct-count
+    * analogue of [[minuteRollup]] (same slotting/watermark contract);
+    * feeds [[graft.streaming.LiveDistinctWheel]]. */
+  def distinctMinuteRollup(events: DataFrame, tsCol: String, keyCol: String,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), "1 minute").as("w"))
+      .agg(hll_sketch_agg(col(keyCol), lit(graft.wheel.DistinctWheel.LgK)).as("sk"))
+      .select(unix_millis(col("w.start")).as("slot_ms"), col("sk"))
+
   /** Sliding-window aggregate (µWheel's window API supports sliding
     * windows — SURVEY.md §2.5): overlapping `size`/`slide` windows,
     * same partial schema keyed by window start. */

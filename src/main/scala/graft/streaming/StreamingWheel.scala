@@ -48,11 +48,7 @@ final class LiveWheel(keepMinutes: Option[Int] = None) extends Serializable {
         r.getDouble(r.fieldIndex("min_v")), r.getDouble(r.fieldIndex("max_v"))))
       if (slot > highWatermarkMs) highWatermarkMs = slot
     }
-    keepMinutes.foreach { n =>
-      val floor = highWatermarkMs - n.toLong * Tier.Minute.ms
-      val it = minutes.keySet.iterator()
-      while (it.hasNext) if (it.next() < floor) it.remove()
-    }
+    keepMinutes.foreach(n => LiveWheel.evictBefore(minutes, highWatermarkMs, n))
   }
 
   /** Latest slot seen (the stream's progress clock, epoch ms). */
@@ -64,17 +60,11 @@ final class LiveWheel(keepMinutes: Option[Int] = None) extends Serializable {
     * as the batch index; coarse-tier runs combine their member minute
     * partials lazily (bounded by time, µs-scale). */
   def query(startMs: Long, endMs: Long): AllAggregate = {
-    require(startMs <= endMs, s"bad range [$startMs, $endMs)")
     var acc = AllAggregate.identity
-    if (startMs == endMs) return acc
-    Decompose(startMs, endMs).foreach { run =>
-      var slot = run.startMs
-      while (slot < run.endMs) {
-        val s = minutes.get(slot)
-        if (s != null && s.cnt > 0)
-          acc = acc.combine(AllAggregate(s.sum, s.cnt, s.min, s.max))
-        slot += Tier.Minute.ms
-      }
+    LiveWheel.foreachMinuteSlot(startMs, endMs) { slot =>
+      val s = minutes.get(slot)
+      if (s != null && s.cnt > 0)
+        acc = acc.combine(AllAggregate(s.sum, s.cnt, s.min, s.max))
     }
     acc
   }
@@ -84,6 +74,27 @@ final class LiveWheel(keepMinutes: Option[Int] = None) extends Serializable {
 
 object LiveWheel {
   private[streaming] final case class Slot(sum: Double, cnt: Long, min: Double, max: Double)
+
+  /** The one decompose-then-walk-minute-slots skeleton every live wheel
+    * queries through (the live indexes retain only the minute tier, so
+    * coarse runs expand to their member minutes here). */
+  private[streaming] def foreachMinuteSlot(startMs: Long, endMs: Long)(f: Long => Unit): Unit = {
+    require(startMs <= endMs, s"bad range [$startMs, $endMs)")
+    if (startMs == endMs) return
+    Decompose(startMs, endMs).foreach { run =>
+      var slot = run.startMs
+      while (slot < run.endMs) { f(slot); slot += Tier.Minute.ms }
+    }
+  }
+
+  /** Shared eviction: drop slots older than `keepMinutes` behind the
+    * high watermark. */
+  private[streaming] def evictBefore(m: java.util.concurrent.ConcurrentHashMap[Long, _],
+      highWatermarkMs: Long, keepMinutes: Int): Unit = {
+    val floor = highWatermarkMs - keepMinutes.toLong * Tier.Minute.ms
+    val it = m.keySet.iterator()
+    while (it.hasNext) if (it.next() < floor) it.remove()
+  }
 }
 
 /** A LIVE distinct-count wheel: per-minute HLL sketches maintained by
@@ -91,30 +102,32 @@ object LiveWheel {
   * into a driver-resident slot map per micro-batch, queried by
   * register-max union along the same decomposition as the batch
   * [[graft.wheel.DistinctWheel]]. Driver state = slots × ~2 KB sketch,
-  * time-bounded. */
-final class LiveDistinctWheel extends Serializable {
+  * time-bounded — and, with `keepMinutes`, bounded by retention like
+  * the sum/keyed live wheels (a long-lived stream would otherwise
+  * accumulate ~90 MB of sketches per month). */
+final class LiveDistinctWheel(keepMinutes: Option[Int] = None) extends Serializable {
 
   private val minutes = new ConcurrentHashMap[Long, Array[Byte]]()
+  @volatile private var highWatermarkMs: Long = Long.MinValue
 
-  private[streaming] def merge(rows: Array[Row]): Unit =
+  private[streaming] def merge(rows: Array[Row]): Unit = {
     rows.foreach { r =>
-      minutes.put(r.getLong(r.fieldIndex("slot_ms")),
-        r.getAs[Array[Byte]](r.fieldIndex("sk")))
+      val slot = r.getLong(r.fieldIndex("slot_ms"))
+      minutes.put(slot, r.getAs[Array[Byte]](r.fieldIndex("sk")))
+      if (slot > highWatermarkMs) highWatermarkMs = slot
     }
+    keepMinutes.foreach(n => LiveWheel.evictBefore(minutes, highWatermarkMs, n))
+  }
 
+  def watermarkMs: Long = highWatermarkMs
   def retainedSlots: Int = minutes.size
 
   /** Estimated distinct keys over a minute-aligned half-open range. */
   def queryDistinct(startMs: Long, endMs: Long): Double = {
-    require(startMs <= endMs, s"bad range [$startMs, $endMs)")
     val u = new org.apache.datasketches.hll.Union(graft.wheel.DistinctWheel.LgK)
-    Decompose(startMs, endMs).foreach { run =>
-      var slot = run.startMs
-      while (slot < run.endMs) {
-        val sk = minutes.get(slot)
-        if (sk != null) u.update(org.apache.datasketches.hll.HllSketch.heapify(sk))
-        slot += Tier.Minute.ms
-      }
+    LiveWheel.foreachMinuteSlot(startMs, endMs) { slot =>
+      val sk = minutes.get(slot)
+      if (sk != null) u.update(org.apache.datasketches.hll.HllSketch.heapify(sk))
     }
     u.getResult(org.apache.datasketches.hll.TgtHllType.HLL_8).getEstimate
   }
@@ -145,11 +158,7 @@ final class KeyedLiveWheel(keepMinutes: Option[Int] = None) extends Serializable
       if (slot > highWatermarkMs) highWatermarkMs = slot
     }
     keepMinutes.foreach { n =>
-      val floor = highWatermarkMs - n.toLong * Tier.Minute.ms
-      perKey.values().forEach { m =>
-        val it = m.keySet.iterator()
-        while (it.hasNext) if (it.next() < floor) it.remove()
-      }
+      perKey.values().forEach(m => LiveWheel.evictBefore(m, highWatermarkMs, n))
       // fully-evicted keys leave entirely, keeping driver state (and
       // keys()) at the documented |live keys| × retained-minutes bound
       perKey.entrySet().removeIf(e => e.getValue.isEmpty)
@@ -165,18 +174,13 @@ final class KeyedLiveWheel(keepMinutes: Option[Int] = None) extends Serializable
 
   /** Combine over a minute-aligned half-open range for one key. */
   def query(key: String, startMs: Long, endMs: Long): AllAggregate = {
-    require(startMs <= endMs, s"bad range [$startMs, $endMs)")
     var acc = AllAggregate.identity
     val m = perKey.get(key)
-    if (m == null || startMs == endMs) return acc
-    Decompose(startMs, endMs).foreach { run =>
-      var slot = run.startMs
-      while (slot < run.endMs) {
-        val s = m.get(slot)
-        if (s != null && s.cnt > 0)
-          acc = acc.combine(AllAggregate(s.sum, s.cnt, s.min, s.max))
-        slot += Tier.Minute.ms
-      }
+    if (m == null) { require(startMs <= endMs); return acc }
+    LiveWheel.foreachMinuteSlot(startMs, endMs) { slot =>
+      val s = m.get(slot)
+      if (s != null && s.cnt > 0)
+        acc = acc.combine(AllAggregate(s.sum, s.cnt, s.min, s.max))
     }
     acc
   }
@@ -216,16 +220,16 @@ object StreamingWheel {
   }
 
   /** Distinct-count variant: per-minute hll_sketch_agg in streaming
-    * state feeding a [[LiveDistinctWheel]]. */
+    * state ([[StreamingRollup.distinctMinuteRollup]]) feeding a
+    * [[LiveDistinctWheel]]; same Retention contract as [[writer]]. */
   def distinctWriter(events: DataFrame, tsCol: String, keyCol: String,
-      watermarkDelay: String = "10 minutes"): (DataStreamWriter[Row], LiveDistinctWheel) = {
-    import org.apache.spark.sql.functions._
-    val live = new LiveDistinctWheel
-    val w = events
-      .withWatermark(tsCol, watermarkDelay)
-      .groupBy(window(col(tsCol), "1 minute").as("w"))
-      .agg(hll_sketch_agg(col(keyCol), lit(graft.wheel.DistinctWheel.LgK)).as("sk"))
-      .select(unix_millis(col("w.start")).as("slot_ms"), col("sk"))
+      watermarkDelay: String = "10 minutes",
+      retention: Retention = Retention.Keep): (DataStreamWriter[Row], LiveDistinctWheel) = {
+    val live = new LiveDistinctWheel(retention match {
+      case Retention.Keep => None
+      case Retention.KeepN(n) => Some(n)
+    })
+    val w = StreamingRollup.distinctMinuteRollup(events, tsCol, keyCol, watermarkDelay)
       .writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) =>
