@@ -339,6 +339,28 @@ object Text {
         .orderBy(col("doc_id"))
     }),
 
+    // Repeated-n-gram ratio (round 3): share of a doc's 3-gram mass
+    // taken by its single most-repeated 3-gram — the boilerplate/
+    // template detector of Gopher-style quality rules (high ratio =
+    // repetitive filler). Exact-integer counts, one division.
+    "q_repetition" -> ((s, dir) => {
+      val K = 3
+      val toks = split(col("text"), " ")
+      val shingles = transform(
+        sequence(lit(1), size(toks) - (K - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(K))))
+      t(s, dir, "documents")
+        .filter(size(toks) >= K)
+        .select(col("doc_id"), explode(shingles).as("sh"))
+        .groupBy(col("doc_id"), col("sh"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("max_rep"),
+          sum(col("c")).as("n_grams"),
+          (max(col("c")).cast("double") / sum(col("c"))).as("rep_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Unigram log-probability quality score (round 3): a self-trained
     // unigram LM over the corpus scores each doc by its mean token
     // -log p — the classic cheap perplexity proxy for quality filtering.
@@ -426,6 +448,15 @@ object Text {
         "COUNT(DISTINCT t.test_doc) AS n_test_docs " +
         "FROM corpus c JOIN test t ON c.sh = t.sh " +
         "GROUP BY c.doc_id ORDER BY c.doc_id"),
+    "q_repetition" ->
+      ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents " +
+        "WHERE len(string_split(text, ' ')) >= 3), " +
+        "s AS (SELECT doc_id, unnest([array_to_string(toks[i:i+2], ' ') " +
+        "      for i in range(1, len(toks) - 1)]) AS sh FROM d), " +
+        "c AS (SELECT doc_id, sh, COUNT(1) AS c FROM s GROUP BY doc_id, sh) " +
+        "SELECT doc_id, MAX(c) AS max_rep, SUM(c) AS n_grams, " +
+        "CAST(MAX(c) AS DOUBLE) / SUM(c) AS rep_ratio " +
+        "FROM c GROUP BY doc_id ORDER BY doc_id"),
     "q_logprob_score" ->
       ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
         "vocab AS (SELECT tok, COUNT(1) AS cnt FROM toks GROUP BY tok), " +
