@@ -123,6 +123,17 @@ object Aggregates {
           round(corr(col("value"), unix_millis(col("ts")).cast("double")), 4).as("corr_vt"))
         .orderBy(col("event_type"))),
 
+    // Boolean aggregates (round 3): bool_and/bool_or — universal and
+    // existential predicates folded per group in one hash-agg pass.
+    "q_bool_agg" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          bool_and(col("value") > 0.0).as("all_positive"),
+          bool_or(col("value") > 300.0).as("any_huge"),
+          bool_and(get_json_object(col("props"), "$.k").isNotNull).as("all_have_k"))
+        .orderBy(col("event_type"))),
+
     // Conditional aggregation (round 3): FILTER/CASE-guarded aggregates
     // in one hash-agg pass — the "segmented metrics without N scans"
     // primitive. Exact-decimal conditional money sum keeps it
@@ -293,6 +304,11 @@ object Aggregates {
       ("SELECT CAST(hour(ts) AS BIGINT) AS h, COUNT(1) AS n, " +
         "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
         "FROM events GROUP BY 1 ORDER BY 1"),
+    "q_bool_agg" ->
+      ("SELECT event_type, bool_and(value > 0.0) AS all_positive, " +
+        "bool_or(value > 300.0) AS any_huge, " +
+        "bool_and(json_extract_string(props, '$.k') IS NOT NULL) AS all_have_k " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
     "q_cond_agg" ->
       ("SELECT event_type, COUNT(1) AS n, " +
         "COUNT(CASE WHEN value > 100.0 THEN 1 END) AS n_big, " +

@@ -95,6 +95,23 @@ object Joins {
         .orderBy(col("r_regionkey"), col("n_nationkey"))
     }),
 
+    // Null-safe equality join (round 3): <=> matches NULL keys to each
+    // other (vs = which drops them) — here two per-bucket aggregates
+    // whose bucket key is NULL for low values join 1:1 including the
+    // NULL bucket. Aggregated sides keep the null-match cardinality 1.
+    "q_join_nullsafe" -> ((s, dir) => {
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      val bucket = when(k > 50, k / lit(10)).cast("long") // NULL for k <= 50
+      def side(tpe: String, n: String) = t(s, dir, "events")
+        .filter(col("event_type") === tpe)
+        .groupBy(bucket.as("bkt")).agg(count(lit(1)).as(n))
+      val a = side("click", "n_click")
+      val b = side("view", "n_view")
+      a.join(b, a("bkt") <=> b("bkt"), "inner")
+        .select(a("bkt").as("bkt"), col("n_click"), col("n_view"))
+        .orderBy(col("bkt").asc_nulls_first)
+    }),
+
     // Full outer join (round 3): per-customer F-order vs P-order counts,
     // either side may be absent — COALESCE recovers the key and zeroes.
     "q_join_full" -> ((s, dir) => {
@@ -247,6 +264,15 @@ object Joins {
     "q_join_cross" ->
       ("SELECT r_regionkey, n_nationkey, r_name, n_name " +
         "FROM region CROSS JOIN nation ORDER BY r_regionkey, n_nationkey"),
+    "q_join_nullsafe" ->
+      ("WITH a AS (SELECT CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50 " +
+        "THEN CAST(FLOOR(CAST(json_extract_string(props, '$.k') AS BIGINT) / 10.0) AS BIGINT) END AS bkt, " +
+        "COUNT(1) AS n_click FROM events WHERE event_type = 'click' GROUP BY 1), " +
+        "b AS (SELECT CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50 " +
+        "THEN CAST(FLOOR(CAST(json_extract_string(props, '$.k') AS BIGINT) / 10.0) AS BIGINT) END AS bkt, " +
+        "COUNT(1) AS n_view FROM events WHERE event_type = 'view' GROUP BY 1) " +
+        "SELECT a.bkt, a.n_click, b.n_view FROM a JOIN b " +
+        "ON a.bkt IS NOT DISTINCT FROM b.bkt ORDER BY a.bkt ASC NULLS FIRST"),
     "q_join_full" ->
       ("SELECT COALESCE(f.ck_f, p.ck_p) AS custkey, " +
         "COALESCE(f.n_f, 0) AS n_f, COALESCE(p.n_p, 0) AS n_p FROM " +
