@@ -15,6 +15,13 @@ run / fork := true
 // sbt logger: the logger prefixes every line with "[info] ", which breaks
 // any consumer parsing Bench's single JSON result line from stdout.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Suppress sbt's trailing "[success] Total time: …" line: it prints AFTER
+// the forked Bench's JSON result line, so a consumer that parses the last
+// stdout line sees the sbt banner instead of the JSON (BENCH_r03.json
+// recorded exactly this: the raw JSON in the tail, then "[success] …",
+// parsed: null).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

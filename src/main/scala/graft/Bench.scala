@@ -77,10 +77,11 @@ object Bench {
     val coldTotal = cold.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // n_queries rides along so cross-round totals can be normalized —
-    // the declared inventory grows every round (66 in r2, 91 in r3), so
+    // the declared inventory grows every round (66 in r2, 103 in r3), so
     // a raw total comparison penalizes added coverage.
+    val meanSec = if (results.nonEmpty) total / results.size else 0.0
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""n_queries":${results.size},"mean_query_sec":${total / results.size},""" +
+      s""""n_queries":${results.size},"mean_query_sec":$meanSec,""" +
       s""""cold_total_sec":$coldTotal,"failed":$failedJson,""" +
       s""""wheel_vs_scan":$wheelScan,"sf":"$sfDir"}"""
     println(json)

@@ -454,7 +454,7 @@ object Text {
         "s AS (SELECT doc_id, unnest([array_to_string(toks[i:i+2], ' ') " +
         "      for i in range(1, len(toks) - 1)]) AS sh FROM d), " +
         "c AS (SELECT doc_id, sh, COUNT(1) AS c FROM s GROUP BY doc_id, sh) " +
-        "SELECT doc_id, MAX(c) AS max_rep, SUM(c) AS n_grams, " +
+        "SELECT doc_id, MAX(c) AS max_rep, CAST(SUM(c) AS BIGINT) AS n_grams, " +
         "CAST(MAX(c) AS DOUBLE) / SUM(c) AS rep_ratio " +
         "FROM c GROUP BY doc_id ORDER BY doc_id"),
     "q_logprob_score" ->
