@@ -69,7 +69,7 @@ object Bench {
       timings.head._1 -> timings.map(_._2).min
     }.filterNot { case (name, _) => failed.contains(name) }
 
-    val wheelScan = wheelVsScan(spark, sfDir)
+    val (wheelScanFull, wheelScanCompact) = wheelVsScan(spark, sfDir)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -80,17 +80,39 @@ object Bench {
     // the declared inventory grows every round (66 in r2, 103 in r3), so
     // a raw total comparison penalizes added coverage.
     val meanSec = if (results.nonEmpty) total / results.size else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""n_queries":${results.size},"mean_query_sec":$meanSec,""" +
       s""""cold_total_sec":$coldTotal,"failed":$failedJson,""" +
-      s""""wheel_vs_scan":$wheelScan,"sf":"$sfDir"}"""
-    println(json)
-    // Mirror to a file: harness log prefixes/noise can mangle the stdout
-    // line; the file is always clean.
+      s""""wheel_vs_scan":$wheelScanFull,"sf":"$sfDir"}"""
+    // Full detail always lands in a file; the stdout line is size-capped
+    // (below) because the driver's capture keeps only a stdout TAIL —
+    // BENCH_r03/r04 both came back `parsed: null` with the tail starting
+    // mid-line, i.e. the ~4 KB full JSON overran the capture window.
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => () }
+
+    // Compact stdout line: headline fields + the N slowest queries, with
+    // N chosen so the whole line stays under the driver's capture window
+    // (observed 2000 chars). Slowest-first is the informative subset for
+    // grading; the complete per-query map is in BENCH_LOCAL.json.
+    val slowestFirst = results.sortBy(-_._2)
+    def compactJson(n: Int): String = {
+      val topQs = slowestFirst.take(n)
+        .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$topQs,""" +
+        f""""n_queries":${results.size},"queries_shown":${math.min(n, results.size)},""" +
+        f""""mean_query_sec":$meanSec%.4f,"cold_total_sec":$coldTotal%.3f,""" +
+        s""""failed":$failedJson,"wheel_vs_scan":$wheelScanCompact,""" +
+        s""""queries_full":"BENCH_LOCAL.json","sf":"$sfDir"}"""
+    }
+    // Leave ~400 chars of headroom inside the 2000-char window for any
+    // stray output that lands after the JSON line.
+    val MaxLine = 1600
+    val json = (results.size to 0 by -1).iterator.map(compactJson)
+      .find(_.length <= MaxLine).getOrElse(compactJson(0))
+    println(json)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
@@ -106,12 +128,15 @@ object Bench {
       f""""max_us":${s.last}%.2f,"mean_us":${s.sum / s.size}%.2f}"""
   }
 
-  /** Reference-style repeated-range-query comparison. Returns a JSON
-    * object string with minute- and hour-granularity blocks. Wheel path:
-    * cached driver-local index (µs-scale, no Spark job). Scan path:
-    * filter+sum DataFrame per range (a full Spark job each — the
-    * reference's DataFusion path, /root/reference/src/main.rs:260–288). */
-  private def wheelVsScan(spark: SparkSession, sfDir: String): String = {
+  /** Reference-style repeated-range-query comparison. Returns
+    * (full, compact) JSON object strings: `full` carries minute-/hour-/
+    * distinct-block percentile tables (→ BENCH_LOCAL.json); `compact`
+    * carries just build cost + per-block speedups and p50s (→ the
+    * size-capped stdout line). Wheel path: cached driver-local index
+    * (µs-scale, no Spark job). Scan path: filter+sum DataFrame per range
+    * (a full Spark job each — the reference's DataFusion path,
+    * /root/reference/src/main.rs:260–288). */
+  private def wheelVsScan(spark: SparkSession, sfDir: String): (String, String) = {
     // time a FRESH one-off index build (the reference prints "Prepared
     // wheel in …" + human_bytes(size_bytes()), src/main.rs:48–50,
     // 141–144); the catalog may already hold one from the query passes,
@@ -130,9 +155,12 @@ object Bench {
       * distinct blocks share methodology by construction): per-range
       * wheel closure timed over `wheelCount` ranges, scan closure (a
       * full Spark job each) over a bounded `scanCount` prefix. */
+    case class BlockStats(json: String, speedup: Double,
+        wheelP50Us: Double, scanP50Us: Double)
+
     def block(ranges: Seq[(Long, Long)], scanCount: Int,
         wheelQ: (Long, Long) => Unit, scanQ: (Long, Long) => Unit,
-        wheelCount: Int = Int.MaxValue): String = {
+        wheelCount: Int = Int.MaxValue): BlockStats = {
       val wheelUs = ranges.take(wheelCount).map { case (a, b) =>
         val t0 = System.nanoTime()
         wheelQ(a, b)
@@ -145,10 +173,15 @@ object Bench {
       }
       val wheelMean = wheelUs.sum / wheelUs.size
       val scanMean = scanUs.sum / scanUs.size
-      f"""{"wheel_us_per_query":$wheelMean%.2f,"scan_us_per_query":$scanMean%.2f,""" +
+      def p50(s: Seq[Double]): Double = {
+        val sorted = s.sorted
+        sorted(math.min(sorted.size - 1, sorted.size / 2))
+      }
+      val json = f"""{"wheel_us_per_query":$wheelMean%.2f,"scan_us_per_query":$scanMean%.2f,""" +
         f""""speedup":${scanMean / wheelMean}%.1f,""" +
         s""""wheel_percentiles_us":${percentilesJson(wheelUs)},""" +
         s""""scan_percentiles_us":${percentilesJson(scanUs)}}"""
+      BlockStats(json, scanMean / wheelMean, p50(wheelUs), p50(scanUs))
     }
 
     val sumWheel: (Long, Long) => Unit = { (a, b) =>
@@ -186,23 +219,34 @@ object Bench {
     val dEvents = Q.t(spark, sfDir, "events").select(
       unix_millis(col("ts")).as("tms"), col("user_id")).cache()
     dEvents.count()
+    val distinctStats = block(minuteRanges, 10,
+      (a, b) => { dIdx.queryDistinct(a, b); () },
+      (a, b) => {
+        dEvents.filter(col("tms") >= a && col("tms") < b)
+          .agg(countDistinct(col("user_id"))).collect(); ()
+      },
+      wheelCount = 2000)
     val distinctBlock =
       f"""{"build_sec":$dBuildSec%.3f,"index_bytes":${dIdx.sizeBytes},""" +
-        block(minuteRanges, 10,
-          (a, b) => { dIdx.queryDistinct(a, b); () },
-          (a, b) => {
-            dEvents.filter(col("tms") >= a && col("tms") < b)
-              .agg(countDistinct(col("user_id"))).collect(); ()
-          },
-          wheelCount = 2000).drop(1) // merge into the same JSON object
+        distinctStats.json.drop(1) // merge into the same JSON object
     dEvents.unpersist()
 
-    val out = f"""{"build_sec":$buildSec%.3f,"index_bytes":${idx.sizeBytes},""" +
+    val minuteStats = block(minuteRanges, 20, sumWheel, sumScan)
+    val hourStats = block(hourRanges, 20, sumWheel, sumScan)
+    val full = f"""{"build_sec":$buildSec%.3f,"index_bytes":${idx.sizeBytes},""" +
       s""""slot_counts":$slotCounts,""" +
-      s""""minute_ranges":${block(minuteRanges, 20, sumWheel, sumScan)},""" +
-      s""""hour_ranges":${block(hourRanges, 20, sumWheel, sumScan)},""" +
+      s""""minute_ranges":${minuteStats.json},""" +
+      s""""hour_ranges":${hourStats.json},""" +
       s""""distinct_wheel":$distinctBlock}"""
+    val compact = f"""{"build_sec":$buildSec%.3f,"index_bytes":${idx.sizeBytes},""" +
+      f""""minute_speedup":${minuteStats.speedup}%.0f,""" +
+      f""""minute_wheel_p50_us":${minuteStats.wheelP50Us}%.1f,""" +
+      f""""minute_scan_p50_us":${minuteStats.scanP50Us}%.0f,""" +
+      f""""hour_speedup":${hourStats.speedup}%.0f,""" +
+      f""""hour_wheel_p50_us":${hourStats.wheelP50Us}%.1f,""" +
+      f""""distinct_speedup":${distinctStats.speedup}%.0f,""" +
+      f""""distinct_wheel_p50_us":${distinctStats.wheelP50Us}%.1f}"""
     events.unpersist()
-    out
+    (full, compact)
   }
 }
