@@ -331,8 +331,15 @@ object Text {
         .select(col("doc_id"), explode(shingles).as("sh"))
       val test = d.filter(col("doc_id") < 10)
         .select(col("doc_id").as("test_doc"), col("sh")).distinct()
-      val corpus = d.filter(col("doc_id") >= 10).distinct()
-      corpus.join(test, "sh")
+      // Broadcast the (tiny) held-out shingle set and join the corpus
+      // grams BEFORE any distinct: the map-side broadcast join drops
+      // ~everything, so the distinct shuffle only carries actual hits
+      // instead of every corpus 3-gram (which at 100 TB is a shuffle
+      // ~3× the input). Join-then-distinct ≡ distinct-then-join here:
+      // both produce one row per distinct (doc_id, sh, test_doc).
+      d.filter(col("doc_id") >= 10)
+        .join(broadcast(test), "sh")
+        .select(col("doc_id"), col("sh"), col("test_doc")).distinct()
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_shingle_hits"),
           countDistinct(col("test_doc")).as("n_test_docs"))
@@ -343,21 +350,38 @@ object Text {
     // taken by its single most-repeated 3-gram — the boilerplate/
     // template detector of Gopher-style quality rules (high ratio =
     // repetitive filler). Exact-integer counts, one division.
+    //
+    // Round 5: per-doc LOCAL counting (UDF over the token array)
+    // replaces explode→groupBy(doc,gram)→groupBy(doc). The n-gram
+    // multiset of ONE doc never needs to leave its row: counting it
+    // in-place turns two full shuffles of ~3×|corpus| exploded gram
+    // rows into a pure map stage (the only remaining shuffle is the
+    // oracle-protocol ORDER BY over one output row per doc). A UDF is
+    // justified here by the shuffle elimination — measured 3.3 s →
+    // ~1 s at sf0.1, and the win grows with scale.
     "q_repetition" -> ((s, dir) => {
       val K = 3
       val toks = split(col("text"), " ")
-      val shingles = transform(
-        sequence(lit(1), size(toks) - (K - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(K))))
+      val repStats = udf { toks: Seq[String] =>
+        val counts = new java.util.HashMap[String, Int]()
+        var i = 0
+        val n = toks.length - (K - 1)
+        while (i < n) {
+          counts.merge(toks(i) + " " + toks(i + 1) + " " + toks(i + 2),
+            1, (a, b) => a + b)
+          i += 1
+        }
+        var maxRep = 0
+        counts.forEach((_, c) => if (c > maxRep) maxRep = c)
+        (maxRep.toLong, math.max(n, 0).toLong)
+      }
       t(s, dir, "documents")
         .filter(size(toks) >= K)
-        .select(col("doc_id"), explode(shingles).as("sh"))
-        .groupBy(col("doc_id"), col("sh"))
-        .agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"))
-        .agg(max(col("c")).as("max_rep"),
-          sum(col("c")).as("n_grams"),
-          (max(col("c")).cast("double") / sum(col("c"))).as("rep_ratio"))
+        .select(col("doc_id"), repStats(toks).as("st"))
+        .select(col("doc_id"),
+          col("st._1").as("max_rep"),
+          col("st._2").as("n_grams"),
+          (col("st._1").cast("double") / col("st._2")).as("rep_ratio"))
         .orderBy(col("doc_id"))
     }),
 
