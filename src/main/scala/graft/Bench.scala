@@ -77,7 +77,8 @@ object Bench {
     val coldTotal = cold.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // n_queries rides along so cross-round totals can be normalized —
-    // the declared inventory grows every round (66 in r2, 103 in r3), so
+    // the declared inventory grows every round (66 in r2, 103 in r3,
+    // 109 in r5), so
     // a raw total comparison penalizes added coverage.
     val meanSec = if (results.nonEmpty) total / results.size else 0.0
     val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
@@ -231,13 +232,32 @@ object Bench {
         distinctStats.json.drop(1) // merge into the same JSON object
     dEvents.unpersist()
 
+    // QUANTILE wheel block (round 5): p99-over-range from the KLL
+    // sketch wheel vs a percentile_approx scan job per range — the
+    // third sketch-index generalization's headline number.
+    val qb0 = System.nanoTime()
+    val qIdx = graft.wheel.QuantileWheel.build(Q.t(spark, sfDir, "events"), "ts", "value")
+    val qBuildSec = (System.nanoTime() - qb0) / 1e9
+    val quantileStats = block(minuteRanges, 10,
+      (a, b) => { qIdx.queryQuantile(a, b, 0.99); () },
+      (a, b) => {
+        events.filter(col("tms") >= a && col("tms") < b)
+          .agg(percentile_approx(col("value"), lit(0.99), lit(10000)))
+          .collect(); ()
+      },
+      wheelCount = 2000)
+    val quantileBlock =
+      f"""{"build_sec":$qBuildSec%.3f,"index_bytes":${qIdx.sizeBytes},""" +
+        quantileStats.json.drop(1)
+
     val minuteStats = block(minuteRanges, 20, sumWheel, sumScan)
     val hourStats = block(hourRanges, 20, sumWheel, sumScan)
     val full = f"""{"build_sec":$buildSec%.3f,"index_bytes":${idx.sizeBytes},""" +
       s""""slot_counts":$slotCounts,""" +
       s""""minute_ranges":${minuteStats.json},""" +
       s""""hour_ranges":${hourStats.json},""" +
-      s""""distinct_wheel":$distinctBlock}"""
+      s""""distinct_wheel":$distinctBlock,""" +
+      s""""quantile_wheel":$quantileBlock}"""
     val compact = f"""{"build_sec":$buildSec%.3f,"index_bytes":${idx.sizeBytes},""" +
       f""""minute_speedup":${minuteStats.speedup}%.0f,""" +
       f""""minute_wheel_p50_us":${minuteStats.wheelP50Us}%.1f,""" +
@@ -245,7 +265,9 @@ object Bench {
       f""""hour_speedup":${hourStats.speedup}%.0f,""" +
       f""""hour_wheel_p50_us":${hourStats.wheelP50Us}%.1f,""" +
       f""""distinct_speedup":${distinctStats.speedup}%.0f,""" +
-      f""""distinct_wheel_p50_us":${distinctStats.wheelP50Us}%.1f}"""
+      f""""distinct_wheel_p50_us":${distinctStats.wheelP50Us}%.1f,""" +
+      f""""quantile_speedup":${quantileStats.speedup}%.0f,""" +
+      f""""quantile_wheel_p50_us":${quantileStats.wheelP50Us}%.1f}"""
     events.unpersist()
     (full, compact)
   }

@@ -134,6 +134,25 @@ object Aggregates {
           bool_and(get_json_object(col("props"), "$.k").isNotNull).as("all_have_k"))
         .orderBy(col("event_type"))),
 
+    // Argmin/argmax (round 5): "the row that achieved the extreme" in
+    // one hash-agg pass — no self-join, no window. Ties on the raw
+    // price are broken by folding the (unique) order key into an exact
+    // integer rank: cents × 10^7 + key preserves price order and makes
+    // the comparand total, so Spark's max_by and DuckDB's arg_max pick
+    // the identical row on any engine and any combine order.
+    "q_argminmax" -> ((s, dir) => {
+      val rank = round(col("o_totalprice") * 100).cast("long") *
+        lit(10000000L) + col("o_orderkey")
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          max_by(col("o_orderkey"), rank).as("max_order"),
+          min_by(col("o_orderkey"), rank).as("min_order"),
+          max(col("o_totalprice")).as("max_price"),
+          min(col("o_totalprice")).as("min_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // Conditional aggregation (round 3): FILTER/CASE-guarded aggregates
     // in one hash-agg pass — the "segmented metrics without N scans"
     // primitive. Exact-decimal conditional money sum keeps it
@@ -309,6 +328,12 @@ object Aggregates {
         "bool_or(value > 300.0) AS any_huge, " +
         "bool_and(json_extract_string(props, '$.k') IS NOT NULL) AS all_have_k " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
+    "q_argminmax" ->
+      ("SELECT o_orderpriority, " +
+        "arg_max(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey) AS max_order, " +
+        "arg_min(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey) AS min_order, " +
+        "MAX(o_totalprice) AS max_price, MIN(o_totalprice) AS min_price " +
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     "q_cond_agg" ->
       ("SELECT event_type, COUNT(1) AS n, " +
         "COUNT(CASE WHEN value > 100.0 THEN 1 END) AS n_big, " +

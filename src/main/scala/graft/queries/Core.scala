@@ -102,6 +102,25 @@ object Core {
       s.range(1).select(round(lit(est), 1).as("est_users"))
     }),
 
+    // QUANTILE index path (round 5): "p50/p95/p99 of value in [a,b)"
+    // answered from the per-slot KLL sketch wheel — the third
+    // aggregator-framework instantiation (Sum/All partials → HLL →
+    // KLL; SURVEY.md §2.2's lift/combine/lower with KLL merge as
+    // combine). Build = map-side local sketches + ONE sketch-merge
+    // shuffle; query = µs driver-side merge along the usual
+    // decomposition, all three ranks from one pass. Approximate → no
+    // oracle; rank-error parity vs exact percentiles in
+    // QuantileWheelSpec.
+    "q_wheel_quantile" -> ((s, dir) => {
+      val idx = WheelCatalog.cachedQuantile(s, s"$dir/events.parquet")(t(s, dir, "events"))
+      val Seq(p50, p95, p99) =
+        idx.queryQuantiles(R1Start, R1End, Seq(0.5, 0.95, 0.99))
+      s.range(1).select(
+        round(lit(p50), 4).as("p50"),
+        round(lit(p95), 4).as("p95"),
+        round(lit(p99), 4).as("p99"))
+    }),
+
     // Unaligned-range index path (round 3): the range has sub-minute
     // residue at both edges, so WheelIndex.query combines the aligned
     // interior from the index with two bounded edge scans (SURVEY.md
@@ -190,6 +209,31 @@ object Core {
            |ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n FROM events_wheel
            |WHERE unix_millis(ts) >= $R1Start AND unix_millis(ts) < $R1End
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    }),
+
+    // TopN from the keyed wheel (round 5): completes the µWheel
+    // aggregator family the reference crate ships (Sum/Min/Max/Avg/
+    // All/TopN — /root/reference/src/main.rs:15 imports the framework;
+    // SURVEY §2.2 lists the family): "top 3 keys by summed value over
+    // [a,b)" answered entirely from the driver-local keyed index — one
+    // µs slot-walk per key, no Spark job, no scan. EXACT, because the
+    // keyed wheel retains full per-key partials per slot (uwheel's
+    // TopN aggregator is likewise built over per-key partials), unlike
+    // sketch-based top-k (q_heavy_hitters) which trades exactness for
+    // unbounded key domains.
+    "q_wheel_topn" -> ((s, dir) => {
+      val idx = graft.plans.WheelAcceleration.registerKeyed(
+        s, s"$dir/events.parquet", t(s, dir, "events"), "event_type")
+      val rows = idx.keys.map { k =>
+        val a = idx.query(k, R2Start, R2End)
+        (k.toString, a.sum, a.count)
+      }.filter(_._3 > 0)
+      import s.implicits._
+      rows.toDF("event_type", "raw_sum", "n")
+        .select(col("event_type"), round(col("raw_sum"), 2).as("sum_value"),
+          col("n"))
+        .orderBy(col("sum_value").desc, col("event_type"))
+        .limit(3)
     }))
 
   private def rangeSumSql(a: Long, b: Long): String =
@@ -247,5 +291,9 @@ object Core {
       (s"SELECT event_type, (epoch_ms(ts) // ${Tier.Hour.ms}) * ${Tier.Hour.ms} AS slot_ms, " +
         "ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n " +
         s"FROM events WHERE epoch_ms(ts) >= $R1Start AND epoch_ms(ts) < $R1End " +
-        "GROUP BY 1, 2 ORDER BY 1, 2"))
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
+    "q_wheel_topn" ->
+      ("SELECT event_type, ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n " +
+        s"FROM events WHERE epoch_ms(ts) >= $R2Start AND epoch_ms(ts) < $R2End " +
+        "GROUP BY event_type ORDER BY sum_value DESC, event_type LIMIT 3"))
 }

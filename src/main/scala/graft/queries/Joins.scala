@@ -95,6 +95,25 @@ object Joins {
         .orderBy(col("r_regionkey"), col("n_nationkey"))
     }),
 
+    // Salted skew join (round 5): the explicit remedy when one join key
+    // is hot enough to drag a whole shuffle partition. The big side's
+    // key gains a deterministic salt in [0,8); the 25-row dim side is
+    // replicated 8×. Results are provably identical to the plain join —
+    // the oracle IS the plain join — which is the point: the rewrite is
+    // a pure physical-plan transformation a user can drop in when AQE's
+    // skew handling can't reach (hash-join builds, aggregations).
+    "q_join_salted" -> ((s, dir) => {
+      val big = t(s, dir, "customer")
+      val small = t(s, dir, "nation")
+        .withColumnRenamed("n_nationkey", "c_nationkey")
+      graft.operators.SaltedJoin(big, small, "c_nationkey", buckets = 8,
+          saltBy = Seq("c_custkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          revenueSum(col("c_acctbal")).as("total_bal"))
+        .orderBy(col("n_name"))
+    }),
+
     // Null-safe equality join (round 3): <=> matches NULL keys to each
     // other (vs = which drops them) — here two per-bucket aggregates
     // whose bucket key is NULL for low values join 1:1 including the
@@ -264,6 +283,10 @@ object Joins {
     "q_join_cross" ->
       ("SELECT r_regionkey, n_nationkey, r_name, n_name " +
         "FROM region CROSS JOIN nation ORDER BY r_regionkey, n_nationkey"),
+    "q_join_salted" ->
+      (s"SELECT n_name, COUNT(1) AS n_cust, ${revenueSumSql("c_acctbal")} AS total_bal " +
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+        "GROUP BY n_name ORDER BY n_name"),
     "q_join_nullsafe" ->
       ("WITH a AS (SELECT CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50 " +
         "THEN CAST(FLOOR(CAST(json_extract_string(props, '$.k') AS BIGINT) / 10.0) AS BIGINT) END AS bkt, " +

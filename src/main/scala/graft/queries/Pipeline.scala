@@ -27,6 +27,33 @@ object Pipeline {
   private val idBucket = substring(idHash, 1, 2)
   private val idBucketSql = s"substring($idHashSql, 1, 2)"
 
+  /** Synthetic "crawled page" built deterministically from existing
+    * columns, identically in Spark and DuckDB — the corpus is plain
+    * word-soup, so the HTML/PII/URL operators wrap it in the noisy
+    * envelope they exist to clean. Only the wrapper is synthetic; the
+    * operators are the real transformations. */
+  private val did = col("doc_id").cast("string")
+  private val didSql = "CAST(doc_id AS VARCHAR)"
+  private val pageUrl = concat(lit("https://"), col("source"),
+    lit(".example.com/"), col("lang"), lit("/doc/"), did,
+    lit("?u=u"), did, lit("&s=1"))
+  private val pageUrlSql = "'https://' || source || '.example.com/' || lang || " +
+    s"'/doc/' || $didSql || '?u=u' || $didSql || '&s=1'"
+  private val page = concat(lit("<html><p id=\"x\">"), col("text"),
+    lit("</p><a href=\""), pageUrl, lit("\">link</a> contact: user"), did,
+    lit("@mail.example.org or +1-555-000-"),
+    lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+    lit("</html>"))
+  private val pageSql = "'<html><p id=\"x\">' || text || '</p><a href=\"' || " +
+    pageUrlSql + " || '\">link</a> contact: user' || " + didSql +
+    " || '@mail.example.org or +1-555-000-' || " +
+    s"lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '</html>'"
+
+  /** RE2-safe PII patterns (no backreferences/lookaround) so the Java
+    * and RE2 engines find byte-identical matches. */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
   val queries: Map[String, Fn] = Map(
     // Deterministic ~10% corpus sample: md5 prefix threshold. Stable
     // under re-partitioning, appends and re-runs — the property that
@@ -113,6 +140,55 @@ object Pipeline {
           substring(col("text"), 1, 40).as("text_head"))).as("record"))
         .orderBy(col("doc_id"))),
 
+    // HTML boilerplate stripping (round 5): the first step of every
+    // web-crawl pipeline. The corpus is plain text, so both engines
+    // deterministically wrap each doc in the same synthetic page
+    // ([[page]]/[[pageSql]]) — the operator under test is the tag-strip
+    // + whitespace-collapse chain, pure codegen regexp over one narrow
+    // pass, no shuffle but the output ORDER BY.
+    "q_html_strip" -> ((s, dir) => {
+      val clean = trim(regexp_replace(
+        regexp_replace(page, "<[^>]+>", " "), " +", " "))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          length(page).cast("long").as("len_raw"),
+          length(clean).cast("long").as("len_clean"),
+          substring(clean, 1, 40).as("preview"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // PII redaction (round 5): replace emails/phones with placeholder
+    // tokens and count what was found — the compliance scrub every
+    // training corpus goes through. Patterns are RE2-safe so Spark
+    // (Java regex) and DuckDB (RE2) find the identical matches; the
+    // md5 of the redacted page makes the oracle verify the full text
+    // without hauling it through the compare.
+    "q_pii_redact" -> ((s, dir) => {
+      val redacted = regexp_replace(
+        regexp_replace(page, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(regexp_extract_all(page, lit(EmailRe), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(page, lit(PhoneRe), lit(0)))
+            .cast("long").as("n_phones"),
+          md5(redacted).as("redacted_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // URL parsing (round 5): split each doc's synthetic URL into
+    // host / path / one query param — dedup-by-canonical-URL and
+    // domain-level filtering both start here. Spark side uses the
+    // native parse_url (codegen'd); the oracle re-derives the same
+    // pieces with anchored regexps.
+    "q_url_parse" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          parse_url(pageUrl, lit("HOST")).as("host"),
+          parse_url(pageUrl, lit("PATH")).as("path"),
+          parse_url(pageUrl, lit("QUERY"), lit("u")).as("u_param"))
+        .orderBy(col("doc_id"))),
+
     // Keep-policy duplicate resolution: within each exact-dup group,
     // keep the doc from the lexicographically-largest source (tie →
     // smallest doc_id) — the "prefer the better mirror" policy of a real
@@ -166,5 +242,25 @@ object Pipeline {
         "SELECT md5(text) AS text_hash, doc_id, source, " +
         "ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY source DESC, doc_id) AS rk, " +
         "COUNT(1) OVER (PARTITION BY md5(text)) AS n_dups FROM documents) " +
-        "WHERE rk = 1 ORDER BY text_hash"))
+        "WHERE rk = 1 ORDER BY text_hash"),
+    "q_html_strip" ->
+      (s"WITH p AS (SELECT doc_id, $pageSql AS page FROM documents), " +
+        "c AS (SELECT doc_id, page, TRIM(regexp_replace(regexp_replace(" +
+        "page, '<[^>]+>', ' ', 'g'), ' +', ' ', 'g')) AS clean FROM p) " +
+        "SELECT doc_id, CAST(LENGTH(page) AS BIGINT) AS len_raw, " +
+        "CAST(LENGTH(clean) AS BIGINT) AS len_clean, " +
+        "SUBSTRING(clean, 1, 40) AS preview FROM c ORDER BY doc_id"),
+    "q_pii_redact" ->
+      (s"WITH p AS (SELECT doc_id, $pageSql AS page FROM documents) " +
+        s"SELECT doc_id, CAST(len(regexp_extract_all(page, '$EmailRe')) AS BIGINT) AS n_emails, " +
+        s"CAST(len(regexp_extract_all(page, '$PhoneRe')) AS BIGINT) AS n_phones, " +
+        s"md5(regexp_replace(regexp_replace(page, '$EmailRe', '<EMAIL>', 'g'), " +
+        s"'$PhoneRe', '<PHONE>', 'g')) AS redacted_md5 " +
+        "FROM p ORDER BY doc_id"),
+    "q_url_parse" ->
+      (s"WITH u AS (SELECT doc_id, $pageUrlSql AS url FROM documents) " +
+        "SELECT doc_id, regexp_extract(url, '^https://([^/]+)', 1) AS host, " +
+        "regexp_extract(url, '^https://[^/?]+(/[^?]*)', 1) AS path, " +
+        "regexp_extract(url, '[?&]u=([^&]*)', 1) AS u_param " +
+        "FROM u ORDER BY doc_id"))
 }

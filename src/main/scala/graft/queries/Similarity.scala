@@ -86,12 +86,17 @@ object Similarity {
   private val normCache =
     new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String),
       org.apache.spark.sql.DataFrame]()
+  graft.wheel.SessionSweeper.addSweep(() =>
+    normCache.keySet.removeIf(k => k._1.sparkContext.isStopped))
   private def embeddings(s: org.apache.spark.sql.SparkSession, dir: String) = {
     graft.functions.DotProduct.register(s)
     // drop entries pinned to stopped sessions (same sweep discipline as
-    // WheelCatalog); a session-scoped persist of a static table needs no
-    // data-change fingerprint — re-running in a fresh session rebuilds
+    // WheelCatalog), and ALSO when any tracked session stops (the
+    // SessionSweeper hook above) — a session-scoped persist of a static
+    // table needs no data-change fingerprint; re-running in a fresh
+    // session rebuilds
     normCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    graft.wheel.SessionSweeper.track(s)
     normCache.computeIfAbsent((s, dir), _ =>
       t(s, dir, "embeddings")
         .select(col("vec_id"), asDouble(col("embedding")).as("raw"))

@@ -385,6 +385,36 @@ object Text {
         .orderBy(col("doc_id"))
     }),
 
+    // Chunk-level exact dedup (round 5): the C4/RefinedWeb move —
+    // dedup below document granularity, where boilerplate actually
+    // repeats. Docs split into fixed 10-token chunks; a chunk is
+    // "kept" iff it is the corpus-first occurrence (min (doc_id, pos)
+    // over its hash). Emits per-doc chunk counts + dup share. The one
+    // shuffle partitions by md5(chunk) — 16 opaque bytes instead of
+    // the chunk text, which at 100 TB is the difference between
+    // shuffling the corpus and shuffling a fingerprint of it (the
+    // oracle partitions by the same md5, so parity is exact).
+    "q_chunk_dedup" -> ((s, dir) => {
+      val W = 10
+      val toks = split(col("text"), " ")
+      val chunks = transform(sequence(lit(1), size(toks), lit(W)),
+        i => struct(i.as("idx"),
+          md5(concat_ws(" ", slice(toks, i, lit(W)))).as("h")))
+      val w = Window.partitionBy(col("h"))
+        .orderBy(col("doc_id"), col("idx"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(chunks).as("c"))
+        .select(col("doc_id"), col("c.idx").as("idx"), col("c.h").as("h"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_first"))
+        .select(col("doc_id"), col("n_chunks"), col("n_first"),
+          round(lit(1.0) - col("n_first").cast("double") / col("n_chunks"), 4)
+            .as("dup_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Unigram log-probability quality score (round 3): a self-trained
     // unigram LM over the corpus scores each doc by its mean token
     // -log p — the classic cheap perplexity proxy for quality filtering.
@@ -481,6 +511,16 @@ object Text {
         "SELECT doc_id, MAX(c) AS max_rep, CAST(SUM(c) AS BIGINT) AS n_grams, " +
         "CAST(MAX(c) AS DOUBLE) / SUM(c) AS rep_ratio " +
         "FROM c GROUP BY doc_id ORDER BY doc_id"),
+    "q_chunk_dedup" ->
+      ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "c AS (SELECT doc_id, unnest([{'idx': i, 'h': md5(array_to_string(toks[i:i+9], ' '))} " +
+        "      for i in range(1, len(toks) + 1, 10)]) AS u FROM d), " +
+        "f AS (SELECT doc_id, u.idx AS idx, u.h AS h FROM c), " +
+        "r AS (SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, idx) AS rn FROM f) " +
+        "SELECT doc_id, COUNT(1) AS n_chunks, " +
+        "CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_first, " +
+        "ROUND(1.0 - CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(1), 4) AS dup_ratio " +
+        "FROM r GROUP BY doc_id ORDER BY doc_id"),
     "q_logprob_score" ->
       ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
         "vocab AS (SELECT tok, COUNT(1) AS cnt FROM toks GROUP BY tok), " +

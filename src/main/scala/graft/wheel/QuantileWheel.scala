@@ -1,0 +1,151 @@
+package graft.wheel
+
+import org.apache.datasketches.kll.KllDoublesSketch
+import org.apache.datasketches.memory.Memory
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** A hierarchical QUANTILE index: the wheel generalized to a mergeable
+  * KLL sketch per slot — time-indexed percentiles ("p99 of value in
+  * [a, b)") answered by merging pre-built per-slot sketches along the
+  * same [[Decompose]] runs the sum wheel uses, in µs on the driver, no
+  * scan, no Spark job.
+  *
+  * Third instantiation of µWheel's lift/combine/lower aggregator
+  * framework here (SURVEY.md §2.2): Sum/All partials → HLL sketches
+  * ([[DistinctWheel]]) → KLL quantile sketches. KLL merge is
+  * associative and rank-error-bounded (~1.65% at k=200), so the
+  * identical tier roll-up applies.
+  *
+  * Build is TWO distributed stages, both scale-correct:
+  *   1. `mapPartitions`: one local KLL per (partition, minute-slot) —
+  *      the map-side combine; rows never leave their partition.
+  *   2. `groupBy(slot).agg(kllMerge)`: merges the per-partition
+  *      sketches (one shuffle of ~|partitions| × |slots-touched|
+  *      SKETCHES, not rows).
+  * Driver state after collect is slots × ~1.5 KB, bounded by TIME.
+  *
+  * No DuckDB oracle (approximate); rank-error parity vs exact
+  * percentiles is asserted in QuantileWheelSpec. */
+final class QuantileWheel private (
+    val baseMs: Long,
+    val horizonMs: Long,
+    tiers: Map[Tier, Array[Array[Byte]]]) extends Serializable {
+
+  private def mergeRun(acc: KllDoublesSketch, run: Run): Unit = {
+    val block = tiers(run.tier)
+    var slot = run.startMs
+    while (slot < run.endMs) {
+      val i = ((slot - baseMs) / run.tier.ms).toInt
+      if (i >= 0 && i < block.length && block(i) != null)
+        acc.merge(KllDoublesSketch.heapify(Memory.wrap(block(i))))
+      slot += run.tier.ms
+    }
+  }
+
+  /** Estimated quantiles (inclusive rank semantics) over a
+    * minute-aligned half-open range; one merge pass serves all ranks.
+    * NaN per rank when the range holds no data. */
+  def queryQuantiles(startMs: Long, endMs: Long, qs: Seq[Double]): Seq[Double] = {
+    require(startMs <= endMs, s"bad range [$startMs, $endMs)")
+    require(startMs % Tier.finest.ms == 0 && endMs % Tier.finest.ms == 0,
+      s"range [$startMs, $endMs) must be ${Tier.finest.name}-aligned")
+    val acc = KllDoublesSketch.newHeapInstance(QuantileWheel.K)
+    Decompose(startMs, endMs).foreach(run => mergeRun(acc, run))
+    if (acc.isEmpty) qs.map(_ => Double.NaN)
+    else qs.map(q => acc.getQuantile(q))
+  }
+
+  def queryQuantile(startMs: Long, endMs: Long, q: Double): Double =
+    queryQuantiles(startMs, endMs, Seq(q)).head
+
+  def sizeBytes: Long =
+    tiers.valuesIterator.flatMap(_.iterator)
+      .map(b => if (b == null) 0L else b.length.toLong).sum
+
+  def slotCounts: Map[Tier, Int] = tiers.map { case (t, b) => t -> b.length }
+}
+
+object QuantileWheel {
+
+  /** KLL k=200 — the library default: ~1.65% one-sided rank error at
+    * 99% confidence, ~1.5 KB per serialized sketch. */
+  val K = 200
+
+  /** Merges serialized KLL sketches — operates on BYTES so the buffer
+    * encoder is plain BinaryType (no object serialization surprises);
+    * inputs are already per-partition partials, so deserialization cost
+    * is per-sketch, never per-event row. */
+  private object KllMergeAgg
+      extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+    def zero: Array[Byte] = KllDoublesSketch.newHeapInstance(K).toByteArray
+    def reduce(buf: Array[Byte], in: Array[Byte]): Array[Byte] = merge(buf, in)
+    def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      val s = KllDoublesSketch.heapify(Memory.wrap(a))
+      s.merge(KllDoublesSketch.heapify(Memory.wrap(b)))
+      s.toByteArray
+    }
+    def finish(buf: Array[Byte]): Array[Byte] = buf
+    def bufferEncoder = Encoders.BINARY
+    def outputEncoder = Encoders.BINARY
+  }
+
+  def build(events: DataFrame, tsCol: String, valueCol: String): QuantileWheel = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val slotted = events
+      .select(RollupBuilder.slotMs(col(tsCol), Tier.Minute).as("slot_ms"),
+        col(valueCol).cast("double").as("v"))
+      .as[(Long, Double)]
+    // stage 1: map-side combine — one local sketch per slot per partition
+    val partials = slotted.mapPartitions { it =>
+      val m = new java.util.HashMap[Long, KllDoublesSketch]()
+      it.foreach { case (slot, v) =>
+        m.computeIfAbsent(slot, _ => KllDoublesSketch.newHeapInstance(K))
+          .update(v)
+      }
+      import scala.jdk.CollectionConverters._
+      m.entrySet().iterator().asScala
+        .map(e => (e.getKey.longValue(), e.getValue.toByteArray))
+    }
+    // stage 2: one shuffle of sketches, merged per slot
+    val rows = partials.toDF("slot_ms", "sk")
+      .groupBy("slot_ms")
+      .agg(udaf(KllMergeAgg).apply(col("sk")).as("sk"))
+      .collect()
+    require(rows.nonEmpty, "cannot index an empty source")
+    val slots = rows.map(_.getLong(0))
+    val base = slots.min / Tier.Day.ms * Tier.Day.ms
+    val horizon = (slots.max / Tier.Day.ms + 1) * Tier.Day.ms
+
+    val minute = new Array[Array[Byte]](((horizon - base) / Tier.Minute.ms).toInt)
+    rows.foreach { r =>
+      minute(((r.getLong(0) - base) / Tier.Minute.ms).toInt) = r.getAs[Array[Byte]](1)
+    }
+    def coarsen(finer: Array[Array[Byte]], finerTier: Tier, tier: Tier): Array[Array[Byte]] = {
+      val out = new Array[Array[Byte]](((horizon - base) / tier.ms).toInt)
+      val ratio = (tier.ms / finerTier.ms).toInt
+      var i = 0
+      while (i < out.length) {
+        var j = i * ratio
+        var acc: KllDoublesSketch = null
+        val end = math.min((i + 1) * ratio, finer.length)
+        while (j < end) {
+          if (finer(j) != null) {
+            if (acc == null) acc = KllDoublesSketch.newHeapInstance(K)
+            acc.merge(KllDoublesSketch.heapify(Memory.wrap(finer(j))))
+          }
+          j += 1
+        }
+        if (acc != null) out(i) = acc.toByteArray
+        i += 1
+      }
+      out
+    }
+    val hour = coarsen(minute, Tier.Minute, Tier.Hour)
+    val day = coarsen(hour, Tier.Hour, Tier.Day)
+    new QuantileWheel(base, horizon,
+      Map(Tier.Minute -> minute, Tier.Hour -> hour, Tier.Day -> day))
+  }
+}

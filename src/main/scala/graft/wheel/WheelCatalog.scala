@@ -15,34 +15,56 @@ object WheelCatalog {
   private val cache =
     new ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String, String, String), WheelIndex]()
 
+  // Sweep when any tracked session stops (not just on the next call) —
+  // otherwise a stopped session's pinned DataFrames are retained until
+  // some future cached() happens to run.
+  SessionSweeper.addSweep(() => sweepStopped())
+
   /** Build (or return the cached) index for a logical source key. The
     * source DataFrame thunk is only evaluated on a cache miss. */
   def cached(spark: org.apache.spark.sql.SparkSession, key: String,
       tsCol: String = "ts", valueCol: String = "value")(
       events: => DataFrame): WheelIndex = {
     sweepStopped()
+    SessionSweeper.track(spark)
     cache.computeIfAbsent((spark, key, tsCol, valueCol),
       _ => WheelIndex.build(events, tsCol, valueCol))
   }
 
-  def clear(): Unit = { cache.clear(); distinctCache.clear() }
+  def clear(): Unit =
+    { cache.clear(); distinctCache.clear(); quantileCache.clear() }
 
   /** Drop entries owned by stopped sessions so they (and their pinned
-    * DataFrames) can be collected — both maps stay bounded by the live
+    * DataFrames) can be collected — the maps stay bounded by the live
     * sessions' working sets. */
   private def sweepStopped(): Unit = {
     cache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     distinctCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    quantileCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
   }
 
   private val distinctCache =
     new ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String, String, String), DistinctWheel]()
+
+  private val quantileCache =
+    new ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String, String, String), QuantileWheel]()
+
+  /** Build-once cache for the KLL [[QuantileWheel]], same lifecycle. */
+  def cachedQuantile(spark: org.apache.spark.sql.SparkSession, key: String,
+      tsCol: String = "ts", valueCol: String = "value")(
+      events: => DataFrame): QuantileWheel = {
+    sweepStopped()
+    SessionSweeper.track(spark)
+    quantileCache.computeIfAbsent((spark, key, tsCol, valueCol),
+      _ => QuantileWheel.build(events, tsCol, valueCol))
+  }
 
   /** Build-once cache for the HLL [[DistinctWheel]], same lifecycle. */
   def cachedDistinct(spark: org.apache.spark.sql.SparkSession, key: String,
       tsCol: String = "ts", keyCol: String = "user_id")(
       events: => DataFrame): DistinctWheel = {
     sweepStopped()
+    SessionSweeper.track(spark)
     distinctCache.computeIfAbsent((spark, key, tsCol, keyCol),
       _ => DistinctWheel.build(events, tsCol, keyCol))
   }

@@ -151,4 +151,49 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_"), p)
     assert(!p.contains("Expand"), p)
   }
+
+  test("q_repetition is shuffle-free except the output sort (local gram counting)") {
+    val p = plan("q_repetition")
+    // the per-doc UDF removed both gram shuffles: no hash-partitioned
+    // exchange may appear — only the range partitioning of the ORDER BY
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Generate explode"), p) // no gram explode at all
+  }
+
+  test("q_contamination broadcasts the held-out shingles before any distinct") {
+    val p = plan("q_contamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the corpus side must reach the broadcast join un-aggregated: the
+    // only hash aggregates allowed are AFTER the join (hit dedup + per-
+    // doc counts), which AQE sizes from the tiny post-join side
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_chunk_dedup shuffles md5 fingerprints, not chunk text") {
+    val p = plan("q_chunk_dedup")
+    // the window's partition key is the md5 column; the chunk text must
+    // be gone from every post-explode projection (pruned before the
+    // exchange) — assert the plan never carries a raw chunk column
+    assert(p.contains("md5"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_join_salted spreads the key space: salted exchange, dim replicated") {
+    val p = plan("q_join_salted")
+    // salt widens the dim side 8x then equi-joins — never a BNLJ/cartesian
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_wheel_topn runs NO scan at all (keyed index, driver-side top-k)") {
+    val p = plan("q_wheel_topn")
+    assert(!p.contains("FileScan"), p)
+  }
+
+  test("q_html_strip and q_pii_redact are single narrow codegen passes") {
+    Seq("q_html_strip", "q_pii_redact", "q_url_parse").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"), s"$q:\n$p")
+      assert(p.contains("*("), s"$q:\n$p") // inside whole-stage codegen
+    }
+  }
 }

@@ -1,0 +1,145 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Round-5 additions: cross-formulation parity for the rewritten hot
+  * queries (local-count q_repetition, broadcast-first q_contamination)
+  * and property checks for the new cleaning/dedup/argmax operators
+  * beyond their DuckDB oracles. */
+class Round5Spec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.Sf0001
+
+  test("q_repetition local counting matches the explode formulation") {
+    val fast = Text.queries("q_repetition")(spark, dir).collect()
+    val K = 3
+    val toks = split(col("text"), " ")
+    val shingles = transform(
+      sequence(lit(1), size(toks) - (K - 1)),
+      i => concat_ws(" ", slice(toks, i, lit(K))))
+    val slow = Q.t(spark, dir, "documents")
+      .filter(size(toks) >= K)
+      .select(col("doc_id"), explode(shingles).as("sh"))
+      .groupBy(col("doc_id"), col("sh"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("max_rep"),
+        sum(col("c")).as("n_grams"),
+        (max(col("c")).cast("double") / sum(col("c"))).as("rep_ratio"))
+      .orderBy(col("doc_id"))
+      .collect()
+    assert(fast.length === slow.length)
+    fast.zip(slow).foreach { case (f, sl) => assert(f === sl) }
+  }
+
+  test("q_contamination broadcast-first matches distinct-then-join") {
+    val fast = Text.queries("q_contamination")(spark, dir).collect()
+    val K = 4
+    val toks = split(col("text"), " ")
+    val shingles = transform(
+      sequence(lit(1), size(toks) - (K - 1)),
+      i => concat_ws(" ", slice(toks, i, lit(K))))
+    val d = Q.t(spark, dir, "documents")
+      .filter(size(toks) >= K)
+      .select(col("doc_id"), explode(shingles).as("sh"))
+    val test0 = d.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("test_doc"), col("sh")).distinct()
+    val slow = d.filter(col("doc_id") >= 10).distinct()
+      .join(test0, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingle_hits"),
+        countDistinct(col("test_doc")).as("n_test_docs"))
+      .orderBy(col("doc_id"))
+      .collect()
+    assert(fast.length === slow.length)
+    fast.zip(slow).foreach { case (f, sl) => assert(f === sl) }
+  }
+
+  test("q_chunk_dedup totals: chunk counts cover every token window and " +
+      "corpus-wide firsts equal distinct chunk hashes") {
+    val rows = Text.queries("q_chunk_dedup")(spark, dir).collect()
+    val W = 10
+    val toks = split(col("text"), " ")
+    val expectedChunks = Q.t(spark, dir, "documents")
+      .select((ceil(size(toks).cast("double") / W)).cast("long").as("nc"))
+      .agg(sum(col("nc"))).collect()(0).getLong(0)
+    assert(rows.map(_.getLong(1)).sum === expectedChunks)
+    // exactly one "first" per distinct chunk hash across the corpus
+    val distinctHashes = Q.t(spark, dir, "documents")
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(toks), lit(W)),
+        i => md5(concat_ws(" ", slice(toks, i, lit(W)))))).as("h"))
+      .select(col("h")).distinct().count()
+    assert(rows.map(_.getLong(2)).sum === distinctHashes)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= r.getLong(1))
+    }
+  }
+
+  test("q_argminmax picks rows achieving the group extremes") {
+    val byPrio = Round5Spec.collectMap(
+      Aggregates.queries("q_argminmax")(spark, dir))
+    val orders = Q.t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .collect()
+      .groupBy(_.getString(1))
+    byPrio.foreach { case (prio, (maxOrder, minOrder, maxPrice, minPrice)) =>
+      val group = orders(prio)
+      assert(group.map(_.getDouble(2)).max === maxPrice)
+      assert(group.map(_.getDouble(2)).min === minPrice)
+      val maxRow = group.find(_.getLong(0) == maxOrder).get
+      val minRow = group.find(_.getLong(0) == minOrder).get
+      assert(maxRow.getDouble(2) === maxPrice)
+      assert(minRow.getDouble(2) === minPrice)
+    }
+  }
+
+  test("q_pii_redact finds the one planted email+phone per page and " +
+      "the redacted text no longer matches the patterns") {
+    val rows = Pipeline.queries("q_pii_redact")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) === 1L, s"emails in doc ${r.getLong(0)}")
+      assert(r.getLong(2) === 1L, s"phones in doc ${r.getLong(0)}")
+    }
+    // md5 of redacted text differs from raw page md5 (something changed)
+    assert(rows.map(_.getString(3)).distinct.length === rows.length)
+  }
+
+  test("q_html_strip removes every tag and never grows the text") {
+    val rows = Pipeline.queries("q_html_strip")(spark, dir).collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) < r.getLong(1),
+        s"clean not shorter for doc ${r.getLong(0)}")
+      assert(!r.getString(3).contains("<") && !r.getString(3).contains(">"))
+    }
+  }
+
+  test("q_join_salted equals the unsalted join") {
+    val salted = Joins.queries("q_join_salted")(spark, dir).collect()
+    val plain = Q.t(spark, dir, "customer")
+      .join(Q.t(spark, dir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("c_acctbal").cast("decimal(18,4)")).cast("double").as("total_bal"))
+      .orderBy(col("n_name"))
+      .collect()
+    assert(salted.length === plain.length)
+    salted.zip(plain).foreach { case (s0, p0) => assert(s0 === p0) }
+  }
+}
+
+object Round5Spec {
+  import org.apache.spark.sql.DataFrame
+
+  /** q_argminmax rows keyed by priority. */
+  private def collectMap(df: DataFrame): Map[String, (Long, Long, Double, Double)] =
+    df.collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    }.toMap
+}
