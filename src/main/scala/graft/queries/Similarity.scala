@@ -216,7 +216,74 @@ object Similarity {
     }),
 
     // IVF ANN (learned coarse quantizer; see ivfQuery below).
-    "q_ann_ivf" -> ((s, dir) => ivfQuery(s, dir)))
+    "q_ann_ivf" -> ((s, dir) => ivfQuery(s, dir)),
+
+    // k-NN GRAPH (round 5): every vector's top-k neighbors — the
+    // SemDeDup / semantic-clustering primitive, where the "query set"
+    // is the whole corpus (vs q_ann_lsh's bounded 50). A naive self
+    // equi-join on bucket is O(bucket²) ROWS through the shuffle; here
+    // candidates never leave their bucket: the per-bucket UDF emits
+    // each member's top-k within the bucket (work O(m²) dots with
+    // m ≤ MaxBucket enforced by BoundedCollectVec's overflow marker,
+    // output m×k rows), then ONE TopKPairs aggregation per source
+    // merges across the L tables (duplicate candidates carry
+    // bit-identical scores, so the bounded heap dedupes them). Two
+    // bounded shuffles, no O(n²) anywhere. Recall is the LSH recall —
+    // planted near-duplicates are found with probability ≈ 1
+    // (SimilaritySpec).
+    "q_knn_graph" -> ((s, dir) => {
+      val bucketsUdf = bucketsUdfFor(LshTables, LshPlanesPerTable)
+      val inBucketTopK = udf((items: Seq[org.apache.spark.sql.Row]) => {
+        val m = items.length
+        if (m < 2 || m > MaxBucket) Seq.empty[(Long, Long, Double)]
+        else {
+          val ids = new Array[Long](m)
+          val vecs = new Array[Array[Double]](m)
+          var i = 0
+          while (i < m) {
+            val r = items(i)
+            ids(i) = r.getLong(0); vecs(i) = r.getSeq[Double](1).toArray
+            i += 1
+          }
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          i = 0
+          while (i < m) {
+            val sims = new Array[(Long, Double)](m - 1)
+            var j = 0; var w = 0
+            while (j < m) {
+              if (j != i) {
+                val a = vecs(i); val b = vecs(j)
+                var d = 0.0; var k = 0
+                while (k < a.length && k < b.length) { d += a(k) * b(k); k += 1 }
+                sims(w) = (ids(j), d); w += 1
+              }
+              j += 1
+            }
+            // stable top-k: score desc, id asc — matches TopKPairs order
+            java.util.Arrays.sort(sims, Ordering.by[(Long, Double), (Double, Long)] {
+              case (id, d) => (-d, id)
+            })
+            var r = 0
+            while (r < TopK && r < sims.length) {
+              out += ((ids(i), sims(r)._1, sims(r)._2)); r += 1
+            }
+            i += 1
+          }
+          out.toSeq
+        }
+      })
+      embeddings(s, dir)
+        .select(col("vec_id"), col("v"), explode(bucketsUdf(col("v"))).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(boundedVecs(col("vec_id"), col("v")).as("items"))
+        .select(explode(inBucketTopK(col("items"))).as("p"))
+        .groupBy(col("p._1").as("vec_id"))
+        .agg(topKPairs(col("p._2"), col("p._3")).as("tops"))
+        .select(col("vec_id"), posexplode(col("tops")))
+        .select(col("vec_id"), col("col._1").as("neighbor_id"),
+          round(col("col._2"), 4).as("sim"), (col("pos") + 1).cast("long").as("rk"))
+        .orderBy(col("vec_id"), col("rk"))
+    }))
 
   // IVF: learned coarse quantizer (vs LSH's random hyperplanes) — the
   // other standard ANN scale path the builder prompt names. Cells ≈ √n

@@ -133,6 +133,53 @@ final class LiveDistinctWheel(keepMinutes: Option[Int] = None) extends Serializa
   }
 }
 
+/** A LIVE quantile wheel: per-minute KLL sketches accumulated across
+  * micro-batches. Unlike the sum/distinct variants there is no built-in
+  * streaming KLL aggregate, so this path keeps NO Spark streaming state
+  * at all: each micro-batch is reduced to its per-slot partial sketches
+  * by the SAME two-stage aggregation the batch build uses
+  * ([[graft.wheel.QuantileWheel.slotSketches]]), and the driver MERGES
+  * (not replaces) each partial into its slot — KLL merge is associative,
+  * so cross-batch accumulation is exact w.r.t. the sketch. Late rows
+  * therefore always land in their slot (no watermark cutoff on this
+  * path); retention is the usual KeepN eviction. */
+final class LiveQuantileWheel(keepMinutes: Option[Int] = None) extends Serializable {
+
+  private val minutes = new ConcurrentHashMap[Long, Array[Byte]]()
+  @volatile private var highWatermarkMs: Long = Long.MinValue
+
+  private[streaming] def merge(rows: Array[Row]): Unit = {
+    rows.foreach { r =>
+      val slot = r.getLong(r.fieldIndex("slot_ms"))
+      val sk = r.getAs[Array[Byte]](r.fieldIndex("sk"))
+      minutes.merge(slot, sk,
+        (a, b) => graft.wheel.QuantileWheel.mergeBytes(a, b))
+      if (slot > highWatermarkMs) highWatermarkMs = slot
+    }
+    keepMinutes.foreach(n => LiveWheel.evictBefore(minutes, highWatermarkMs, n))
+  }
+
+  def watermarkMs: Long = highWatermarkMs
+  def retainedSlots: Int = minutes.size
+
+  /** Estimated quantiles over a minute-aligned half-open range; NaN per
+    * rank when the range holds no data. */
+  def queryQuantiles(startMs: Long, endMs: Long, qs: Seq[Double]): Seq[Double] = {
+    val acc = org.apache.datasketches.kll.KllDoublesSketch
+      .newHeapInstance(graft.wheel.QuantileWheel.K)
+    LiveWheel.foreachMinuteSlot(startMs, endMs) { slot =>
+      val sk = minutes.get(slot)
+      if (sk != null)
+        acc.merge(org.apache.datasketches.kll.KllDoublesSketch.heapify(
+          org.apache.datasketches.memory.Memory.wrap(sk)))
+    }
+    if (acc.isEmpty) qs.map(_ => Double.NaN) else qs.map(acc.getQuantile)
+  }
+
+  def queryQuantile(startMs: Long, endMs: Long, q: Double): Double =
+    queryQuantiles(startMs, endMs, Seq(q)).head
+}
+
 /** [[LiveWheel]] generalized over a dimension key — the streaming
   * counterpart of [[graft.wheel.KeyedWheelIndex]]: one live minute-slot
   * map per observed key, fed by [[StreamingRollup.keyedMinuteRollup]]'s
@@ -234,6 +281,26 @@ object StreamingWheel {
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         live.merge(batch.collect())
+      }
+    (w, live)
+  }
+
+  /** Quantile variant: per-micro-batch partial KLL sketches (the batch
+    * build's own two-stage aggregation, no streaming state) MERGED into
+    * a [[LiveQuantileWheel]]'s slots — see its scaladoc for why this
+    * path is stateless and watermark-free. */
+  def quantileWriter(events: DataFrame, tsCol: String, valueCol: String,
+      retention: Retention = Retention.Keep): (DataStreamWriter[Row], LiveQuantileWheel) = {
+    val live = new LiveQuantileWheel(retention match {
+      case Retention.Keep => None
+      case Retention.KeepN(n) => Some(n)
+    })
+    val w = events
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        live.merge(graft.wheel.QuantileWheel
+          .slotSketches(batch, tsCol, valueCol).collect())
       }
     (w, live)
   }

@@ -91,7 +91,17 @@ object QuantileWheel {
     def outputEncoder = Encoders.BINARY
   }
 
-  def build(events: DataFrame, tsCol: String, valueCol: String): QuantileWheel = {
+  /** Merge two serialized KLL sketches (associative; used by the batch
+    * build's shuffle aggregator and the live wheel's cross-batch slot
+    * accumulation). */
+  def mergeBytes(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    KllMergeAgg.merge(a, b)
+
+  /** Per-minute-slot partial sketches for one DataFrame — both build
+    * stages (map-side local sketches, one sketch-merge shuffle) with no
+    * collect, so batch build and the streaming per-micro-batch path
+    * share the exact same aggregation. Schema: (slot_ms long, sk binary). */
+  def slotSketches(events: DataFrame, tsCol: String, valueCol: String): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     val slotted = events
@@ -110,10 +120,13 @@ object QuantileWheel {
         .map(e => (e.getKey.longValue(), e.getValue.toByteArray))
     }
     // stage 2: one shuffle of sketches, merged per slot
-    val rows = partials.toDF("slot_ms", "sk")
+    partials.toDF("slot_ms", "sk")
       .groupBy("slot_ms")
       .agg(udaf(KllMergeAgg).apply(col("sk")).as("sk"))
-      .collect()
+  }
+
+  def build(events: DataFrame, tsCol: String, valueCol: String): QuantileWheel = {
+    val rows = slotSketches(events, tsCol, valueCol).collect()
     require(rows.nonEmpty, "cannot index an empty source")
     val slots = rows.map(_.getLong(0))
     val base = slots.min / Tier.Day.ms * Tier.Day.ms

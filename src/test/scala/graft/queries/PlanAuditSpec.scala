@@ -189,6 +189,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("FileScan"), p)
   }
 
+  test("q_knn_graph is join-free: candidates never leave their bucket") {
+    val p = plan("q_knn_graph")
+    // two bounded aggregations, no join operator of any kind — the
+    // O(bucket²) candidate work happens inside the bucket UDF
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_html_strip and q_pii_redact are single narrow codegen passes") {
     Seq("q_html_strip", "q_pii_redact", "q_url_parse").foreach { q =>
       val p = plan(q)

@@ -108,6 +108,66 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall $recall")
   }
 
+  test("q_knn_graph: exact scores, bounded degree, sane corpus coverage") {
+    val knn = SparkEntryQueries("q_knn_graph")
+    // every edge's similarity is the true cosine (rounded)
+    knn.foreach { case (src, n, sim, _) =>
+      val truth = math.rint(VectorFunctions.cosineLocal(vecs(src), vecs(n)) * 1e4) / 1e4
+      assert(math.abs(sim - truth) < 1e-9, s"($src,$n)")
+    }
+    // at most k neighbors per node, ranks contiguous, sims non-increasing
+    knn.groupBy(_._1).foreach { case (src, rows) =>
+      assert(rows.size <= 3, s"node $src has ${rows.size} neighbors")
+      val byRank = rows.sortBy(_._4)
+      assert(byRank.map(_._4) == (1L to rows.size).toSeq)
+      byRank.map(_._3).sliding(2).foreach {
+        case Seq(a, b) => assert(a >= b); case _ => ()
+      }
+    }
+    // the graph must cover most of the corpus (every vector collides
+    // with SOMETHING in 8 tables of 6 planes on 500 vectors)
+    assert(knn.map(_._1).distinct.size >= vecs.size * 9 / 10,
+      s"only ${knn.map(_._1).distinct.size} of ${vecs.size} nodes have edges")
+    // and overlap the exact graph: each node's true #1 neighbor is the
+    // hardest recall target; require solid aggregate overlap with the
+    // exact top-3 graph
+    val exactPairs = vecs.keys.toSeq.flatMap { src =>
+      vecs.toSeq.filter(_._1 != src)
+        .map { case (id, v) => (id, VectorFunctions.cosineLocal(vecs(src), v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(3).map(p => (src, p._1))
+    }.toSet
+    val knnPairs = knn.map(r => (r._1, r._2)).toSet
+    val recall = knnPairs.intersect(exactPairs).size.toDouble / exactPairs.size
+    assert(recall >= 0.2, s"knn-graph recall@3 $recall")
+  }
+
+  test("q_knn_graph finds every planted near-duplicate as the #1 neighbor") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.{Row, types => T}
+    val r = new scala.util.Random(321)
+    val base = Array.fill(100)(Array.fill(64)(r.nextGaussian().toFloat))
+    val planted = (0 until 5).map { i =>
+      base(i).map(x => x + (r.nextGaussian() * 1e-3).toFloat)
+    }
+    val rows = (base ++ planted).zipWithIndex.map { case (v, i) =>
+      Row(i.toLong, v.toSeq)
+    }
+    val schema = T.StructType(Seq(
+      T.StructField("vec_id", T.LongType, nullable = false),
+      T.StructField("embedding", T.ArrayType(T.FloatType), nullable = false)))
+    val tmp = "target/test-fixtures/planted-knn"
+    spark.createDataFrame(rows.toSeq.asJava, schema)
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val knn = Similarity.queries("q_knn_graph")(spark, tmp).collect()
+      .map(r2 => (r2.getLong(0), r2.getLong(1), r2.getDouble(2), r2.getLong(3)))
+    (0 until 5).foreach { i =>
+      val copy = 100L + i
+      val top = knn.filter(r2 => r2._1 == copy && r2._4 == 1L)
+      assert(top.nonEmpty && top.head._2 == i.toLong && top.head._3 > 0.99,
+        s"planted copy $copy: ${top.toSeq}")
+    }
+  }
+
   /** (query_id, neighbor_id, sim, rank) rows. */
   private def SparkEntryQueries(name: String): Seq[(Long, Long, Double, Long)] =
     Similarity.queries(name)(spark, dir).collect().toSeq

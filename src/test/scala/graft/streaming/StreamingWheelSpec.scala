@@ -100,6 +100,35 @@ class StreamingWheelSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("live quantile wheel: cross-batch accumulation, rank parity, retention") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Double)]
+    val (w, live) = StreamingWheel.quantileWriter(
+      mem.toDF().toDF("ts", "value"), "ts", "value", Retention.KeepN(100))
+    val q = w.start()
+    try {
+      // 200 values across two minutes, split over two micro-batches so
+      // slot 0 accumulates across batches (merge, not replace)
+      val batch1 = (0 until 100).map(i => (ts(i % 2 * Min), i.toDouble))
+      val batch2 = (100 until 200).map(i => (ts(i % 2 * Min), i.toDouble))
+      mem.addData(batch1)
+      q.processAllAvailable()
+      mem.addData(batch2)
+      q.processAllAvailable()
+      // n=200 < k=200 ⇒ the sketch is exact: check true order statistics
+      val both = live.queryQuantiles(T0, T0 + 2 * Min, Seq(0.5, 1.0))
+      assert(both(1) == 199.0, s"max ${both(1)}")
+      assert(math.abs(both(0) - 99.0) <= 1.0, s"p50 ${both(0)}")
+      // single-slot query sees only that minute's (even) values
+      val evens = live.queryQuantile(T0, T0 + Min, 1.0)
+      assert(evens == 198.0, s"slot-0 max $evens")
+      // empty range → NaN
+      assert(live.queryQuantile(T0 + 10 * Min, T0 + 11 * Min, 0.5).isNaN)
+      assert(live.retainedSlots == 2)
+    } finally q.stop()
+  }
+
   test("KeepN retention keeps the live state a bounded sliding window") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
