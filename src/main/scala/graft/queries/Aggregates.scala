@@ -137,12 +137,15 @@ object Aggregates {
     // Argmin/argmax (round 5): "the row that achieved the extreme" in
     // one hash-agg pass — no self-join, no window. Ties on the raw
     // price are broken by folding the (unique) order key into an exact
-    // integer rank: cents × 10^7 + key preserves price order and makes
+    // integer rank: cents × 10^10 + key preserves price order and makes
     // the comparand total, so Spark's max_by and DuckDB's arg_max pick
-    // the identical row on any engine and any combine order.
+    // the identical row on any engine and any combine order. Headroom:
+    // TPC-H prices cap near 5.6e7 cents and orderkeys stay below 10^10
+    // through SF ~1600, so the packed rank (< 5.6e17) fits a BIGINT
+    // with price order intact at any scale this engine targets.
     "q_argminmax" -> ((s, dir) => {
       val rank = round(col("o_totalprice") * 100).cast("long") *
-        lit(10000000L) + col("o_orderkey")
+        lit(10000000000L) + col("o_orderkey")
       t(s, dir, "orders")
         .groupBy(col("o_orderpriority"))
         .agg(
@@ -330,8 +333,8 @@ object Aggregates {
         "FROM events GROUP BY event_type ORDER BY event_type"),
     "q_argminmax" ->
       ("SELECT o_orderpriority, " +
-        "arg_max(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey) AS max_order, " +
-        "arg_min(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey) AS min_order, " +
+        "arg_max(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 10000000000 + o_orderkey) AS max_order, " +
+        "arg_min(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 10000000000 + o_orderkey) AS min_order, " +
         "MAX(o_totalprice) AS max_price, MIN(o_totalprice) AS min_price " +
         "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     "q_cond_agg" ->

@@ -246,26 +246,42 @@ object Similarity {
             i += 1
           }
           val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          // bounded k-insertion (score desc, id asc — TopKPairs' order):
+          // O(m·k) per member with primitive arrays, vs sorting m-1
+          // boxed tuples per member (O(m log m) + allocation) — this is
+          // the hottest loop of the query at full buckets
+          val bestId = new Array[Long](TopK)
+          val bestSim = new Array[Double](TopK)
           i = 0
           while (i < m) {
-            val sims = new Array[(Long, Double)](m - 1)
-            var j = 0; var w = 0
+            var filled = 0
+            var j = 0
             while (j < m) {
               if (j != i) {
                 val a = vecs(i); val b = vecs(j)
                 var d = 0.0; var k = 0
                 while (k < a.length && k < b.length) { d += a(k) * b(k); k += 1 }
-                sims(w) = (ids(j), d); w += 1
+                val id = ids(j)
+                // find insertion point among the current best
+                var pos = filled
+                while (pos > 0 && (bestSim(pos - 1) < d ||
+                    (bestSim(pos - 1) == d && bestId(pos - 1) > id))) pos -= 1
+                if (pos < TopK) {
+                  val last = math.min(filled, TopK - 1)
+                  var s = last
+                  while (s > pos) {
+                    bestSim(s) = bestSim(s - 1); bestId(s) = bestId(s - 1)
+                    s -= 1
+                  }
+                  bestSim(pos) = d; bestId(pos) = id
+                  if (filled < TopK) filled += 1
+                }
               }
               j += 1
             }
-            // stable top-k: score desc, id asc — matches TopKPairs order
-            java.util.Arrays.sort(sims, Ordering.by[(Long, Double), (Double, Long)] {
-              case (id, d) => (-d, id)
-            })
             var r = 0
-            while (r < TopK && r < sims.length) {
-              out += ((ids(i), sims(r)._1, sims(r)._2)); r += 1
+            while (r < filled) {
+              out += ((ids(i), bestId(r), bestSim(r))); r += 1
             }
             i += 1
           }

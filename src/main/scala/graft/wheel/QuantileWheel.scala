@@ -104,7 +104,13 @@ object QuantileWheel {
   def slotSketches(events: DataFrame, tsCol: String, valueCol: String): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
+    // NULL ts/measure rows are EXCLUDED (SQL aggregate semantics — the
+    // same convention hll_sketch_agg applies in DistinctWheel). Unlike
+    // the sum wheel, no COUNT(*) folding depends on the measure being
+    // never-null, so skipping is correct here; without the filter the
+    // tuple decode below would crash mid-job on the first null.
     val slotted = events
+      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
       .select(RollupBuilder.slotMs(col(tsCol), Tier.Minute).as("slot_ms"),
         col(valueCol).cast("double").as("v"))
       .as[(Long, Double)]

@@ -171,10 +171,17 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("q_chunk_dedup shuffles md5 fingerprints, not chunk text") {
     val p = plan("q_chunk_dedup")
-    // the window's partition key is the md5 column; the chunk text must
-    // be gone from every post-explode projection (pruned before the
-    // exchange) — assert the plan never carries a raw chunk column
-    assert(p.contains("md5"), p)
+    // the window shuffle must partition on the md5-derived column `h` —
+    // a regression that hashes on reconstructed chunk text (or carries
+    // it through the exchange) changes the partitioning expression
+    assert(p.contains("hashpartitioning(h#"), p)
+    // the chunk text is built and hashed INSIDE the explode projection;
+    // no concat of token slices may survive past that exchange. The
+    // plan prints top-down (root first, upstream below), so everything
+    // printed BEFORE the h-exchange line is downstream of it and must
+    // not rebuild chunk text
+    val hExchange = p.indexOf("hashpartitioning(h#")
+    assert(!p.substring(0, hExchange).contains("concat_ws"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
