@@ -102,6 +102,19 @@ object Core {
       s.range(1).select(round(lit(est), 1).as("est_users"))
     }),
 
+    // BOUNDED-RETENTION index path (round 5): KeepN on the minute tier
+    // = a sliding-window store (the reference's non-Keep RetentionPolicy
+    // / WheelMode, main.rs:88–97) — previously ScalaTest-only, now
+    // oracle-checked end-to-end: the queried week is entirely OUTSIDE
+    // the retained minute window, so the answer decomposes through the
+    // retained day/hour tiers and must still equal the full scan.
+    "q_wheel_retained" -> ((s, dir) => {
+      val idx = graft.wheel.WheelIndex.build(t(s, dir, "events"), "ts", "value",
+        Map(graft.wheel.Tier.Minute -> graft.wheel.Retention.KeepN(24 * 60)))
+      val v = idx.querySum(R1Start, R1End)
+      s.range(1).select(round(lit(v), 2).as("sum_value"))
+    }),
+
     // QUANTILE index path (round 5): "p50/p95/p99 of value in [a,b)"
     // answered from the per-slot KLL sketch wheel — the third
     // aggregator-framework instantiation (Sum/All partials → HLL →
@@ -292,6 +305,7 @@ object Core {
         "ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n " +
         s"FROM events WHERE epoch_ms(ts) >= $R1Start AND epoch_ms(ts) < $R1End " +
         "GROUP BY 1, 2 ORDER BY 1, 2"),
+    "q_wheel_retained" -> rangeSumSql(R1Start, R1End),
     "q_wheel_topn" ->
       ("SELECT event_type, ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n " +
         s"FROM events WHERE epoch_ms(ts) >= $R2Start AND epoch_ms(ts) < $R2End " +

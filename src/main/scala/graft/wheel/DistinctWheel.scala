@@ -23,7 +23,20 @@ import org.apache.spark.sql.functions._
 final class DistinctWheel private (
     val baseMs: Long,
     val horizonMs: Long,
-    tiers: Map[Tier, Array[Array[Byte]]]) extends Serializable {
+    tiers: Map[Tier, Array[Array[Byte]]],
+    retention: Map[Tier, Retention]) extends Serializable {
+
+  /** First retained slot start per tier — same bounded-retention
+    * contract as the sum wheel (reference RetentionPolicy,
+    * /root/reference/src/main.rs:90–97). */
+  def retainedStartMs(tier: Tier): Long =
+    retention.getOrElse(tier, Retention.Keep) match {
+      case Retention.Keep => baseMs
+      case Retention.KeepN(n) => math.max(baseMs, horizonMs - n.toLong * tier.ms)
+    }
+
+  private def usable(tier: Tier, slotStart: Long): Boolean =
+    slotStart >= retainedStartMs(tier)
 
   private def unionRun(u: Union, run: Run): Unit = {
     val block = tiers(run.tier)
@@ -42,7 +55,7 @@ final class DistinctWheel private (
     require(startMs % Tier.finest.ms == 0 && endMs % Tier.finest.ms == 0,
       s"range [$startMs, $endMs) must be ${Tier.finest.name}-aligned")
     val u = new Union(DistinctWheel.LgK)
-    Decompose(startMs, endMs).foreach(run => unionRun(u, run))
+    Decompose(startMs, endMs, usable = usable).foreach(run => unionRun(u, run))
     u.getResult(TgtHllType.HLL_8).getEstimate
   }
 
@@ -59,8 +72,12 @@ object DistinctWheel {
   val LgK = 12
 
   /** One distributed sketch-per-minute pass, then driver-side tier
-    * roll-up by union (time-bounded work). */
-  def build(events: DataFrame, tsCol: String, keyCol: String): DistinctWheel = {
+    * roll-up by union (time-bounded work). Per-tier [[Retention]]
+    * evicts old fine-tier slots at build time (AFTER coarser tiers are
+    * rolled up, so aligned historical ranges still answer through the
+    * retained coarse tiers — same semantics as the sum wheel). */
+  def build(events: DataFrame, tsCol: String, keyCol: String,
+      retention: Map[Tier, Retention] = Map.empty): DistinctWheel = {
     val rows = events
       .select(RollupBuilder.slotMs(col(tsCol), Tier.Minute).as("slot_ms"), col(keyCol).as("k"))
       .groupBy("slot_ms")
@@ -97,7 +114,17 @@ object DistinctWheel {
     }
     val hour = coarsen(minute, Tier.Minute, Tier.Hour)
     val day = coarsen(hour, Tier.Hour, Tier.Day)
-    new DistinctWheel(base, horizon,
-      Map(Tier.Minute -> minute, Tier.Hour -> hour, Tier.Day -> day))
+    val blocks = Map[Tier, Array[Array[Byte]]](Tier.Minute -> minute, Tier.Hour -> hour, Tier.Day -> day)
+    // build-time eviction: slots before the tier's retained start are
+    // nulled (coarser tiers above already rolled them up)
+    val wheel = new DistinctWheel(base, horizon, blocks, retention)
+    blocks.foreach { case (tier, block) =>
+      val first = wheel.retainedStartMs(tier)
+      var i = 0
+      while (i < block.length && base + i.toLong * tier.ms < first) {
+        block(i) = null; i += 1
+      }
+    }
+    wheel
   }
 }

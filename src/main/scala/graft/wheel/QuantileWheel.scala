@@ -31,7 +31,20 @@ import org.apache.spark.sql.functions._
 final class QuantileWheel private (
     val baseMs: Long,
     val horizonMs: Long,
-    tiers: Map[Tier, Array[Array[Byte]]]) extends Serializable {
+    tiers: Map[Tier, Array[Array[Byte]]],
+    retention: Map[Tier, Retention]) extends Serializable {
+
+  /** First retained slot start per tier — same bounded-retention
+    * contract as the sum wheel (reference RetentionPolicy,
+    * /root/reference/src/main.rs:90–97). */
+  def retainedStartMs(tier: Tier): Long =
+    retention.getOrElse(tier, Retention.Keep) match {
+      case Retention.Keep => baseMs
+      case Retention.KeepN(n) => math.max(baseMs, horizonMs - n.toLong * tier.ms)
+    }
+
+  private def usable(tier: Tier, slotStart: Long): Boolean =
+    slotStart >= retainedStartMs(tier)
 
   private def mergeRun(acc: KllDoublesSketch, run: Run): Unit = {
     val block = tiers(run.tier)
@@ -52,7 +65,7 @@ final class QuantileWheel private (
     require(startMs % Tier.finest.ms == 0 && endMs % Tier.finest.ms == 0,
       s"range [$startMs, $endMs) must be ${Tier.finest.name}-aligned")
     val acc = KllDoublesSketch.newHeapInstance(QuantileWheel.K)
-    Decompose(startMs, endMs).foreach(run => mergeRun(acc, run))
+    Decompose(startMs, endMs, usable = usable).foreach(run => mergeRun(acc, run))
     if (acc.isEmpty) qs.map(_ => Double.NaN)
     else qs.map(q => acc.getQuantile(q))
   }
@@ -131,7 +144,11 @@ object QuantileWheel {
       .agg(udaf(KllMergeAgg).apply(col("sk")).as("sk"))
   }
 
-  def build(events: DataFrame, tsCol: String, valueCol: String): QuantileWheel = {
+  /** Per-tier [[Retention]] evicts old fine-tier slots at build time
+    * (after coarser tiers roll up — aligned historical ranges still
+    * answer through retained coarse tiers, like the sum wheel). */
+  def build(events: DataFrame, tsCol: String, valueCol: String,
+      retention: Map[Tier, Retention] = Map.empty): QuantileWheel = {
     val rows = slotSketches(events, tsCol, valueCol).collect()
     require(rows.nonEmpty, "cannot index an empty source")
     val slots = rows.map(_.getLong(0))
@@ -164,7 +181,15 @@ object QuantileWheel {
     }
     val hour = coarsen(minute, Tier.Minute, Tier.Hour)
     val day = coarsen(hour, Tier.Hour, Tier.Day)
-    new QuantileWheel(base, horizon,
-      Map(Tier.Minute -> minute, Tier.Hour -> hour, Tier.Day -> day))
+    val blocks = Map[Tier, Array[Array[Byte]]](Tier.Minute -> minute, Tier.Hour -> hour, Tier.Day -> day)
+    val wheel = new QuantileWheel(base, horizon, blocks, retention)
+    blocks.foreach { case (tier, block) =>
+      val first = wheel.retainedStartMs(tier)
+      var i = 0
+      while (i < block.length && base + i.toLong * tier.ms < first) {
+        block(i) = null; i += 1
+      }
+    }
+    wheel
   }
 }

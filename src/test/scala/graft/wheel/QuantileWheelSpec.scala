@@ -54,6 +54,43 @@ class QuantileWheelSpec extends AnyFunSuite {
     }
   }
 
+  test("KeepN retention: coarse tiers answer history, evicted minutes throw") {
+    val bounded = QuantileWheel.build(
+      queries.Q.t(spark, dir, "events"), "ts", "value",
+      Map(Tier.Minute -> Retention.KeepN(24 * 60)))
+    // historical day-aligned range: decomposes through the retained day
+    // tier — identical merge inputs to the unbounded wheel
+    val day = (queries.Q.Jan1, queries.Q.Jan1 + 86400000L)
+    assert(bounded.queryQuantile(day._1, day._2, 0.5) ==
+      idx.queryQuantile(day._1, day._2, 0.5))
+    // historical minute-granularity range: slots evicted, no cover
+    intercept[IllegalStateException] {
+      bounded.queryQuantile(queries.Q.Jan1 + 60000L, queries.Q.Jan1 + 120000L, 0.5)
+    }
+    // recent minute-offset range: inside the retained window, still
+    // answers (half a day wide so the sparse sf0.001 fixture has data)
+    val lo = bounded.horizonMs - 86400000L + 60000L
+    assert(!bounded.queryQuantile(lo, lo + 720 * 60000L, 0.5).isNaN)
+    assert(bounded.retainedStartMs(Tier.Minute) == bounded.horizonMs - 86400000L)
+    assert(bounded.retainedStartMs(Tier.Day) == bounded.baseMs)
+  }
+
+  test("DistinctWheel KeepN retention mirrors the same contract") {
+    val bounded = DistinctWheel.build(
+      queries.Q.t(spark, dir, "events"), "ts", "user_id",
+      Map(Tier.Minute -> Retention.KeepN(24 * 60)))
+    val full = DistinctWheel.build(
+      queries.Q.t(spark, dir, "events"), "ts", "user_id")
+    val day = (queries.Q.Jan1, queries.Q.Jan1 + 86400000L)
+    assert(bounded.queryDistinct(day._1, day._2) ==
+      full.queryDistinct(day._1, day._2))
+    intercept[IllegalStateException] {
+      bounded.queryDistinct(queries.Q.Jan1 + 60000L, queries.Q.Jan1 + 120000L)
+    }
+    val lo = bounded.horizonMs - 86400000L + 60000L
+    assert(bounded.queryDistinct(lo, lo + 10 * 60000L) >= 0.0)
+  }
+
   test("quantiles are monotone in the rank") {
     val qs = Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
     val est = idx.queryQuantiles(queries.Q.Jan1,
