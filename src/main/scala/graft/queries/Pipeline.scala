@@ -140,6 +140,31 @@ object Pipeline {
           substring(col("text"), 1, 40).as("text_head"))).as("record"))
         .orderBy(col("doc_id"))),
 
+    // End-to-end corpus assembly (round 5): the composite "build the
+    // training manifest" statement — structural quality gates, exact
+    // dedup (keep the min-id doc per text hash), deterministic split
+    // assignment and token counts in ONE pipeline: a filter + one
+    // window over the text-hash shuffle + codegen projections. This is
+    // the integration shape CorpusPipeline ships as an operator,
+    // declared here as an oracle-checked query.
+    "q_corpus_assembly" -> ((s, dir) => {
+      val nToks = size(split(col("text"), " ")).cast("long")
+      val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      t(s, dir, "documents")
+        .filter(col("lang").isin("en", "de", "fr"))
+        .withColumn("n_toks", nToks)
+        .filter(col("n_toks") >= 20 && col("n_toks") <= 1000)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .withColumn("split",
+          when(idBucket < "cc", "train")
+            .when(idBucket < "e6", "val")
+            .otherwise("test"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_toks"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // HTML boilerplate stripping (round 5): the first step of every
     // web-crawl pipeline. The corpus is plain text, so both engines
     // deterministically wrap each doc in the same synthetic page
@@ -243,6 +268,16 @@ object Pipeline {
         "ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY source DESC, doc_id) AS rk, " +
         "COUNT(1) OVER (PARTITION BY md5(text)) AS n_dups FROM documents) " +
         "WHERE rk = 1 ORDER BY text_hash"),
+    "q_corpus_assembly" ->
+      ("WITH gated AS (SELECT doc_id, lang, source, text, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks " +
+        "FROM documents WHERE lang IN ('en', 'de', 'fr') " +
+        "AND len(string_split(text, ' ')) BETWEEN 20 AND 1000), " +
+        "deduped AS (SELECT *, ROW_NUMBER() OVER (" +
+        "PARTITION BY md5(text) ORDER BY doc_id) AS rk FROM gated) " +
+        s"SELECT doc_id, lang, source, n_toks, CASE WHEN $idBucketSql < 'cc' THEN 'train' " +
+        s"WHEN $idBucketSql < 'e6' THEN 'val' ELSE 'test' END AS split " +
+        "FROM deduped WHERE rk = 1 ORDER BY doc_id"),
     "q_html_strip" ->
       (s"WITH p AS (SELECT doc_id, $pageSql AS page FROM documents), " +
         "c AS (SELECT doc_id, page, TRIM(regexp_replace(regexp_replace(" +

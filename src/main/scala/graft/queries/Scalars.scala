@@ -12,7 +12,7 @@ import Q._
   * functions (sqrt/ln) are rounded to 4 decimals. */
 object Scalars {
 
-  val queries: Map[String, Fn] = Map(
+  private val base: Map[String, Fn] = Map(
     "q_scalar_string" -> ((s, dir) =>
       t(s, dir, "part").select(
         col("p_partkey"),
@@ -105,7 +105,61 @@ object Scalars {
         // (orderkey, linenumber) keys, so (key, metric) is not total
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"), col("val"))))
 
+  /** Round-5 extras appended to the scalar family. */
+  private val round5: Map[String, Fn] = Map(
+    // Error-safe arithmetic: try_divide returns NULL on a zero divisor
+    // (DuckDB's division already yields NULL there, so the semantics
+    // line up engine-to-engine) — the messy-data guard that keeps a
+    // 100 TB job from dying on one bad row. SUM skips the NULLs on
+    // both engines; the null count is pinned explicitly.
+    "q_try_arith" -> ((s, dir) => {
+      val k = get_json_object(col("props"), "$.k").cast("int")
+      val ratio = try_divide(col("value"), (k - lit(50)).cast("double"))
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(ratio.isNull, 1L).otherwise(0L)).as("n_div_null"),
+          round(sum(ratio), 4).as("sum_ratio"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Nested-type aggregation: per region, a sorted JSON array of
+    // {nation, customer count} structs — arrays-of-structs through two
+    // hash aggregations and out as canonical JSON (the manifest/feed
+    // shape). array_sort on structs orders by the first field (the
+    // nation name) — the same order the oracle's list(... ORDER BY)
+    // pins; to_json(struct) is byte-compatible with DuckDB's
+    // struct-to-json for null-free fields.
+    "q_nested_agg" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("r_name"))
+        .agg(to_json(array_sort(collect_list(
+          struct(col("n_name").as("nation"), col("n"))))).as("nations"))
+        .orderBy(col("r_name"))
+    }))
+
+  val queries: Map[String, Fn] = base ++ round5
+
   val oracle: Map[String, String] = Map(
+    "q_try_arith" ->
+      ("SELECT event_type, COUNT(1) AS n, " +
+        "CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) = 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_div_null, " +
+        "ROUND(SUM(value / CAST(CAST(json_extract_string(props, '$.k') AS INT) - 50 AS DOUBLE)), 4) AS sum_ratio " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+    "q_nested_agg" ->
+      ("WITH per_n AS (SELECT r_name, n_name, COUNT(1) AS n FROM customer " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name, n_name) " +
+        "SELECT r_name, CAST(to_json(list(struct_pack(nation := n_name, n := n) " +
+        "ORDER BY n_name)) AS VARCHAR) AS nations " +
+        "FROM per_n GROUP BY r_name ORDER BY r_name"),
     "q_scalar_string" ->
       ("SELECT p_partkey, UPPER(p_name) AS up_name, SUBSTRING(p_name, 1, 5) AS pfx, " +
         "p_brand || '-' || p_type AS brandtype, CAST(LENGTH(p_name) AS BIGINT) AS len " +

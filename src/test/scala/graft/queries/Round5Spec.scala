@@ -123,6 +123,52 @@ class Round5Spec extends AnyFunSuite {
     }
   }
 
+  test("q_corpus_assembly: gates hold, one winner per text hash, splits valid") {
+    val rows = Pipeline.queries("q_corpus_assembly")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(Set("en", "de", "fr")(r.getString(1)))
+      val n = r.getLong(3)
+      assert(n >= 20 && n <= 1000, s"doc ${r.getLong(0)}: $n tokens")
+      assert(Set("train", "val", "test")(r.getString(4)))
+    }
+    val gated = Q.t(spark, dir, "documents")
+      .filter(col("lang").isin("en", "de", "fr"))
+      .filter(size(split(col("text"), " ")).between(20, 1000))
+    val expected = gated.select(md5(col("text"))).distinct().count()
+    assert(rows.length.toLong === expected,
+      "one manifest row per distinct surviving text")
+  }
+
+  test("q_try_arith: zero divisors become NULL, sums skip them") {
+    val rows = Scalars.queries("q_try_arith")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val exact = Q.t(spark, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .filter(col("k") === 50)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("nz"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(2) === exact.getOrElse(r.getString(0), 0L),
+        s"${r.getString(0)}: null-division count")
+      assert(!r.getDouble(3).isNaN && !r.getDouble(3).isInfinite)
+    }
+  }
+
+  test("q_nested_agg emits sorted, well-formed JSON nation arrays") {
+    val rows = Scalars.queries("q_nested_agg")(spark, dir).collect()
+    assert(rows.length === 5) // one per region
+    rows.foreach { r =>
+      val json = r.getString(1)
+      assert(json.startsWith("[{\"nation\":\"") && json.endsWith("}]"), json)
+      val nations = "\"nation\":\"([^\"]+)\"".r
+        .findAllMatchIn(json).map(_.group(1)).toSeq
+      assert(nations == nations.sorted, s"unsorted: $nations")
+      assert(nations.distinct.size == nations.size)
+    }
+  }
+
   test("q_join_salted equals the unsalted join") {
     val salted = Joins.queries("q_join_salted")(spark, dir).collect()
     val plain = Q.t(spark, dir, "customer")
