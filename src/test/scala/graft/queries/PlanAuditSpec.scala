@@ -196,6 +196,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("FileScan"), p)
   }
 
+  test("q_corpus_assembly is join-free: gates + one window + projections") {
+    val p = plan("q_corpus_assembly")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("*("), p) // gates and projections inside codegen
+  }
+
+  test("q_try_arith splits partial+final aggregation inside codegen") {
+    val p = plan("q_try_arith")
+    assert(p.contains("partial_"), p)
+    assert(p.contains("*("), p)
+  }
+
+  test("q_nested_agg broadcasts both dimension tables") {
+    val p = plan("q_nested_agg")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("q_knn_graph is join-free: candidates never leave their bucket") {
     val p = plan("q_knn_graph")
     // two bounded aggregations, no join operator of any kind — the
