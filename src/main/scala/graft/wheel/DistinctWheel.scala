@@ -30,10 +30,7 @@ final class DistinctWheel private (
     * contract as the sum wheel (reference RetentionPolicy,
     * /root/reference/src/main.rs:90–97). */
   def retainedStartMs(tier: Tier): Long =
-    retention.getOrElse(tier, Retention.Keep) match {
-      case Retention.Keep => baseMs
-      case Retention.KeepN(n) => math.max(baseMs, horizonMs - n.toLong * tier.ms)
-    }
+    Retention.startMs(retention, tier, baseMs, horizonMs)
 
   private def usable(tier: Tier, slotStart: Long): Boolean =
     slotStart >= retainedStartMs(tier)
@@ -84,47 +81,19 @@ object DistinctWheel {
       .agg(hll_sketch_agg(col("k"), lit(LgK)).as("sk"))
       .collect()
     require(rows.nonEmpty, "cannot index an empty source")
-    val slots = rows.map(_.getLong(0))
-    val base = slots.min / Tier.Day.ms * Tier.Day.ms
-    val horizon = (slots.max / Tier.Day.ms + 1) * Tier.Day.ms
-
-    val minute = new Array[Array[Byte]](((horizon - base) / Tier.Minute.ms).toInt)
-    rows.foreach { r =>
-      minute(((r.getLong(0) - base) / Tier.Minute.ms).toInt) = r.getAs[Array[Byte]](1)
+    val (base, horizon) = SketchBlocks.span(rows.map(_.getLong(0)))
+    val minute = SketchBlocks.minuteBlock(rows, base, horizon)
+    def unionAll(group: Seq[Array[Byte]]): Array[Byte] = {
+      val u = new Union(LgK)
+      group.foreach(b => u.update(HllSketch.heapify(b)))
+      u.getResult(TgtHllType.HLL_8).toCompactByteArray
     }
-    def coarsen(finer: Array[Array[Byte]], finerTier: Tier, tier: Tier): Array[Array[Byte]] = {
-      val out = new Array[Array[Byte]](((horizon - base) / tier.ms).toInt)
-      val ratio = (tier.ms / finerTier.ms).toInt
-      var i = 0
-      while (i < out.length) {
-        var j = i * ratio
-        var u: Union = null
-        val end = math.min((i + 1) * ratio, finer.length)
-        while (j < end) {
-          if (finer(j) != null) {
-            if (u == null) u = new Union(LgK)
-            u.update(HllSketch.heapify(finer(j)))
-          }
-          j += 1
-        }
-        if (u != null) out(i) = u.getResult(TgtHllType.HLL_8).toCompactByteArray
-        i += 1
-      }
-      out
-    }
-    val hour = coarsen(minute, Tier.Minute, Tier.Hour)
-    val day = coarsen(hour, Tier.Hour, Tier.Day)
-    val blocks = Map[Tier, Array[Array[Byte]]](Tier.Minute -> minute, Tier.Hour -> hour, Tier.Day -> day)
-    // build-time eviction: slots before the tier's retained start are
-    // nulled (coarser tiers above already rolled them up)
+    val hour = SketchBlocks.coarsen(minute, base, horizon, Tier.Minute, Tier.Hour)(unionAll)
+    val day = SketchBlocks.coarsen(hour, base, horizon, Tier.Hour, Tier.Day)(unionAll)
+    val blocks = Map[Tier, Array[Array[Byte]]](
+      Tier.Minute -> minute, Tier.Hour -> hour, Tier.Day -> day)
     val wheel = new DistinctWheel(base, horizon, blocks, retention)
-    blocks.foreach { case (tier, block) =>
-      val first = wheel.retainedStartMs(tier)
-      var i = 0
-      while (i < block.length && base + i.toLong * tier.ms < first) {
-        block(i) = null; i += 1
-      }
-    }
+    SketchBlocks.evict(blocks, base, wheel.retainedStartMs)
     wheel
   }
 }

@@ -33,6 +33,16 @@ object Retention {
   final case class KeepN(slots: Int) extends Retention {
     require(slots > 0, "retention must keep at least one slot")
   }
+
+  /** First retained slot start for `tier` in a wheel spanning
+    * [baseMs, horizonMs) — THE retention boundary, shared by every
+    * wheel flavor (sum/All, HLL distinct, KLL quantile). */
+  def startMs(retention: Map[Tier, Retention], tier: Tier,
+      baseMs: Long, horizonMs: Long): Long =
+    retention.getOrElse(tier, Keep) match {
+      case Keep => baseMs
+      case KeepN(n) => math.max(baseMs, horizonMs - n.toLong * tier.ms)
+    }
 }
 
 /** One maximal run of consecutive slots in a single tier.

@@ -51,10 +51,8 @@ final class WheelIndex private (
   /** First retained slot start for a tier ([[Retention.KeepN]] evicts
     * everything earlier — the reference's bounded-retention mode,
     * /root/reference/src/main.rs:90–97). */
-  def retainedStartMs(tier: Tier): Long = retention.getOrElse(tier, Retention.Keep) match {
-    case Retention.Keep => baseMs
-    case Retention.KeepN(n) => math.max(baseMs, horizonMs - n.toLong * tier.ms)
-  }
+  def retainedStartMs(tier: Tier): Long =
+    Retention.startMs(retention, tier, baseMs, horizonMs)
 
   private def usable(tier: Tier, slotStart: Long): Boolean =
     slotStart >= retainedStartMs(tier)
