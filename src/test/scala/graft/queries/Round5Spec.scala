@@ -182,6 +182,50 @@ class Round5Spec extends AnyFunSuite {
     assert(salted.length === plain.length)
     salted.zip(plain).foreach { case (s0, p0) => assert(s0 === p0) }
   }
+
+  test("q_join_bloom equals the plain (unfiltered, broadcast-free) join") {
+    val bloomed = Joins.queries("q_join_bloom")(spark, dir).collect()
+    val o = Q.t(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val plain = Q.t(spark, dir, "lineitem")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy(col("l_returnflag"))
+      .collect()
+    assert(bloomed.length === plain.length)
+    bloomed.zip(plain).foreach { case (b, p) => assert(b === p) }
+  }
+
+  test("q_bm25 scores satisfy the BM25 formula against independent corpus stats") {
+    val rows = Text.queries("q_bm25")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // independent N / avgdl from the raw table
+    val lens = Q.t(spark, dir, "documents")
+      .select(size(split(col("text"), " ")).cast("long").as("len"))
+      .collect().map(_.getLong(0))
+    val n = lens.length.toDouble
+    val avgdl = lens.sum.toDouble / n
+    rows.groupBy(_.getLong(0)).foreach { case (_, perDoc) =>
+      // ranks are 1..k and scores non-increasing in rank order
+      val byRk = perDoc.sortBy(_.getLong(1))
+      assert(byRk.map(_.getLong(1)).toSeq === (1L to byRk.length))
+      assert(byRk.map(_.getDouble(6)).toList.sliding(2).forall {
+        case List(a, b) => a >= b; case _ => true
+      })
+      byRk.foreach { r =>
+        val tf = r.getLong(3).toDouble
+        val df = r.getLong(4).toDouble
+        val len = r.getLong(5).toDouble
+        val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        val expected = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * len / avgdl))
+        assert(math.abs(r.getDouble(6) - expected) < 1e-4 + 1e-9,
+          s"doc ${r.getLong(0)} tok ${r.getString(2)}")
+      }
+    }
+  }
 }
 
 object Round5Spec {

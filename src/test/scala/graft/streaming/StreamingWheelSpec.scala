@@ -61,6 +61,11 @@ class StreamingWheelSpec extends AnyFunSuite {
       q.processAllAvailable()
       assert(live.query("view", T0, T0 + Min).sum == 15.0)
       assert(live.query("view", T0, T0 + Min).count == 2L)
+      // live TopN (the uwheel TopN aggregator on the streaming path):
+      // ranked by range sum, deterministic tie-break by key
+      assert(live.topN(T0, T0 + 2 * Min, 2) ==
+        Seq("view" -> 15.0, "click" -> 3.0))
+      assert(live.topN(T0 + Min, T0 + 2 * Min, 5) == Seq("click" -> 2.0))
     } finally q.stop()
   }
 
