@@ -77,9 +77,8 @@ object Bench {
     val coldTotal = cold.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // n_queries rides along so cross-round totals can be normalized —
-    // the declared inventory grows every round (66 in r2, 103 in r3,
-    // 109 in r5), so
-    // a raw total comparison penalizes added coverage.
+    // the declared inventory grows every round (66 in r2, 103 in r3/r4,
+    // 120 in r5), so a raw total comparison penalizes added coverage.
     val meanSec = if (results.nonEmpty) total / results.size else 0.0
     val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""n_queries":${results.size},"mean_query_sec":$meanSec,""" +
@@ -250,6 +249,28 @@ object Bench {
       f"""{"build_sec":$qBuildSec%.3f,"index_bytes":${qIdx.sizeBytes},""" +
         quantileStats.json.drop(1)
 
+    // FREQUENT-ITEMS wheel block (round 5): top-5-keys-over-range from
+    // the Misra-Gries sketch wheel vs a groupBy-count-orderBy-limit
+    // scan job per range — the fourth sketch-index generalization.
+    val fb0 = System.nanoTime()
+    val fIdx = graft.wheel.FrequencyWheel.build(Q.t(spark, sfDir, "events"), "ts", "user_id")
+    val fBuildSec = (System.nanoTime() - fb0) / 1e9
+    val fEvents = Q.t(spark, sfDir, "events").select(
+      unix_millis(col("ts")).as("tms"), col("user_id")).cache()
+    fEvents.count()
+    val freqStats = block(minuteRanges, 10,
+      (a, b) => { fIdx.topK(a, b, 5); () },
+      (a, b) => {
+        fEvents.filter(col("tms") >= a && col("tms") < b)
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("user_id")).limit(5).collect(); ()
+      },
+      wheelCount = 2000)
+    val freqBlock =
+      f"""{"build_sec":$fBuildSec%.3f,"index_bytes":${fIdx.sizeBytes},""" +
+        freqStats.json.drop(1)
+    fEvents.unpersist()
+
     val minuteStats = block(minuteRanges, 20, sumWheel, sumScan)
     val hourStats = block(hourRanges, 20, sumWheel, sumScan)
     val full = f"""{"build_sec":$buildSec%.3f,"index_bytes":${idx.sizeBytes},""" +
@@ -257,7 +278,8 @@ object Bench {
       s""""minute_ranges":${minuteStats.json},""" +
       s""""hour_ranges":${hourStats.json},""" +
       s""""distinct_wheel":$distinctBlock,""" +
-      s""""quantile_wheel":$quantileBlock}"""
+      s""""quantile_wheel":$quantileBlock,""" +
+      s""""frequency_wheel":$freqBlock}"""
     val compact = f"""{"build_sec":$buildSec%.3f,"index_bytes":${idx.sizeBytes},""" +
       f""""minute_speedup":${minuteStats.speedup}%.0f,""" +
       f""""minute_wheel_p50_us":${minuteStats.wheelP50Us}%.1f,""" +
@@ -267,7 +289,9 @@ object Bench {
       f""""distinct_speedup":${distinctStats.speedup}%.0f,""" +
       f""""distinct_wheel_p50_us":${distinctStats.wheelP50Us}%.1f,""" +
       f""""quantile_speedup":${quantileStats.speedup}%.0f,""" +
-      f""""quantile_wheel_p50_us":${quantileStats.wheelP50Us}%.1f}"""
+      f""""quantile_wheel_p50_us":${quantileStats.wheelP50Us}%.1f,""" +
+      f""""freq_speedup":${freqStats.speedup}%.0f,""" +
+      f""""freq_wheel_p50_us":${freqStats.wheelP50Us}%.1f}"""
     events.unpersist()
     (full, compact)
   }

@@ -134,6 +134,24 @@ object Core {
         round(lit(p99), 4).as("p99"))
     }),
 
+    // FREQUENT-ITEMS index path (round 5): "top-5 users by event count
+    // in [a,b)" answered from the per-slot Misra-Gries sketch wheel —
+    // the FOURTH aggregator-framework instantiation (Sum/All → HLL →
+    // KLL → frequent-items). Unlike the exact KeyedWheelIndex (state
+    // |keys| × slots), per-slot state is capped by the counter budget
+    // regardless of key cardinality — the 100 TB-safe shape for
+    // unbounded keys. In the exact regime (distinct keys fit the
+    // budget — all test SFs) the estimates ARE the exact counts, so
+    // this query is oracle-checked; the approximate regime's
+    // NO_FALSE_NEGATIVES bounds are covered in FrequencyWheelSpec.
+    "q_wheel_freq" -> ((s, dir) => {
+      import s.implicits._
+      val idx = WheelCatalog.cachedFrequency(s, s"$dir/events.parquet")(t(s, dir, "events"))
+      idx.topK(R1Start, R1End, 5)
+        .map { case (key, est, _, _) => (key, est) }
+        .toDF("user_id", "n")
+    }),
+
     // Unaligned-range index path (round 3): the range has sub-minute
     // residue at both edges, so WheelIndex.query combines the aligned
     // interior from the index with two bounded edge scans (SURVEY.md
@@ -284,6 +302,10 @@ object Core {
         "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
     "q_wheel_query" -> rangeSumSql(R2Start, R2End),
     "q_wheel_sql" -> rangeSumSql(R3Start, R3End),
+    "q_wheel_freq" ->
+      (s"SELECT user_id, COUNT(1) AS n FROM events " +
+        s"WHERE epoch_ms(ts) >= $R1Start AND epoch_ms(ts) < $R1End " +
+        "GROUP BY user_id ORDER BY n DESC, user_id LIMIT 5"),
     "q_wheel_residue" ->
       (s"SELECT ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n FROM events " +
         s"WHERE epoch_ms(ts) >= $RuStart AND epoch_ms(ts) < $RuEnd"),

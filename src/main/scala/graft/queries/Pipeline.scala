@@ -112,6 +112,27 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // Token-budget-balanced mixture (round 5): the data-MIXING stage of
+    // corpus assembly (Pile/Dolma-style reweighting) — every language
+    // contributes the same token budget, set by the smallest language's
+    // total, taken in deterministic doc_id order via a per-lang
+    // cumulative token sum. One tiny aggregate for the budget scalar +
+    // one window over the lang shuffle — linear, no driver state beyond
+    // the scalar. (Equal-share policy; any target vector is the same
+    // plan with per-lang literals.)
+    "q_data_mixture" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val budget = docs.groupBy(col("lang")).agg(sum(col("n_tokens")).as("tot"))
+        .agg(min(col("tot"))).head().getLong(0)
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      docs.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .filter(col("cum_tokens") <= budget)
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Stratified sample (round 3): the first 20 docs PER LANGUAGE by
     // md5-hash order — balanced, content-independent, reproducible
     // class sampling (vs q_sample_hash's global uniform rate). One
@@ -252,6 +273,15 @@ object Pipeline {
         "SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (" +
         "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off " +
         "FROM documents) ORDER BY doc_id"),
+    "q_data_mixture" ->
+      ("WITH d AS (SELECT doc_id, lang, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents), " +
+        "caps AS (SELECT MIN(tot) AS budget FROM " +
+        "(SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM d GROUP BY lang)), " +
+        "c AS (SELECT doc_id, lang, n_tokens, CAST(SUM(n_tokens) OVER (" +
+        "PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS cum_tokens FROM d) " +
+        "SELECT doc_id, lang, n_tokens, cum_tokens FROM c CROSS JOIN caps " +
+        "WHERE cum_tokens <= budget ORDER BY doc_id"),
     "q_stratified_sample" ->
       ("SELECT lang, rk, doc_id FROM (" +
         "SELECT lang, doc_id, CAST(ROW_NUMBER() OVER (PARTITION BY lang " +

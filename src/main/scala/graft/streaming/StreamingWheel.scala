@@ -180,6 +180,60 @@ final class LiveQuantileWheel(keepMinutes: Option[Int] = None) extends Serializa
     queryQuantiles(startMs, endMs, Seq(q)).head
 }
 
+/** A LIVE frequent-items wheel: per-minute Misra-Gries sketches
+  * accumulated across micro-batches. Same stateless pattern as the KLL
+  * live wheel (there is no built-in streaming frequency aggregate):
+  * each micro-batch reduces through the batch build's own two-stage
+  * [[graft.wheel.FrequencyWheel.slotSketches]] aggregation and the
+  * driver MERGES partials into slots — Misra-Gries merge is
+  * associative, so cross-batch accumulation matches a single-shot
+  * build. Late rows always land (no watermark cutoff on this path);
+  * KeepN retention as usual. */
+final class LiveFrequencyWheel(keepMinutes: Option[Int] = None) extends Serializable {
+
+  private val minutes = new ConcurrentHashMap[Long, Array[Byte]]()
+  @volatile private var highWatermarkMs: Long = Long.MinValue
+
+  private[streaming] def merge(rows: Array[Row]): Unit = {
+    rows.foreach { r =>
+      val slot = r.getLong(r.fieldIndex("slot_ms"))
+      val sk = r.getAs[Array[Byte]](r.fieldIndex("sk"))
+      minutes.merge(slot, sk,
+        (a, b) => graft.wheel.FrequencyWheel.mergeBytes(a, b))
+      if (slot > highWatermarkMs) highWatermarkMs = slot
+    }
+    keepMinutes.foreach(n => LiveWheel.evictBefore(minutes, highWatermarkMs, n))
+  }
+
+  def watermarkMs: Long = highWatermarkMs
+  def retainedSlots: Int = minutes.size
+
+  private def merged(startMs: Long, endMs: Long) = {
+    val acc = new org.apache.datasketches.frequencies.LongsSketch(
+      graft.wheel.FrequencyWheel.MaxMapSize)
+    LiveWheel.foreachMinuteSlot(startMs, endMs) { slot =>
+      val sk = minutes.get(slot)
+      if (sk != null) acc.merge(org.apache.datasketches.frequencies.LongsSketch
+        .getInstance(org.apache.datasketches.memory.Memory.wrap(sk)))
+    }
+    acc
+  }
+
+  /** Estimated count of one key over a minute-aligned half-open range. */
+  def estimate(key: Long, startMs: Long, endMs: Long): Long =
+    merged(startMs, endMs).getEstimate(key)
+
+  /** Top-k keys by estimated count (estimate desc, key asc — the batch
+    * wheel's order). */
+  def topK(startMs: Long, endMs: Long, k: Int): Seq[(Long, Long)] =
+    merged(startMs, endMs)
+      .getFrequentItems(org.apache.datasketches.frequencies.ErrorType.NO_FALSE_NEGATIVES)
+      .toSeq
+      .map(r => (r.getItem, r.getEstimate))
+      .sortBy { case (key, est) => (-est, key) }
+      .take(k)
+}
+
 /** [[LiveWheel]] generalized over a dimension key — the streaming
   * counterpart of [[graft.wheel.KeyedWheelIndex]]: one live minute-slot
   * map per observed key, fed by [[StreamingRollup.keyedMinuteRollup]]'s
@@ -314,6 +368,26 @@ object StreamingWheel {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         live.merge(graft.wheel.QuantileWheel
           .slotSketches(batch, tsCol, valueCol).collect())
+      }
+    (w, live)
+  }
+
+  /** Frequent-items variant: per-micro-batch partial Misra-Gries
+    * sketches (the batch build's two-stage aggregation, no streaming
+    * state) MERGED into a [[LiveFrequencyWheel]]'s slots — same
+    * stateless, watermark-free contract as [[quantileWriter]]. */
+  def frequencyWriter(events: DataFrame, tsCol: String, keyCol: String,
+      retention: Retention = Retention.Keep): (DataStreamWriter[Row], LiveFrequencyWheel) = {
+    val live = new LiveFrequencyWheel(retention match {
+      case Retention.Keep => None
+      case Retention.KeepN(n) => Some(n)
+    })
+    val w = events
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        live.merge(graft.wheel.FrequencyWheel
+          .slotSketches(batch, tsCol, keyCol).collect())
       }
     (w, live)
   }

@@ -1,0 +1,175 @@
+package graft.wheel
+
+import org.apache.datasketches.frequencies.{ErrorType, LongsSketch}
+import org.apache.datasketches.memory.Memory
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** A hierarchical FREQUENT-ITEMS index: the wheel generalized to a
+  * Misra-Gries frequency sketch (DataSketches `LongsSketch`) per slot —
+  * "top-k keys by count in [a, b)" and "approx count of key x in
+  * [a, b)" answered by merging pre-built per-slot sketches along the
+  * same [[Decompose]] runs as the sum wheel, in µs on the driver, no
+  * scan, no Spark job.
+  *
+  * Fourth instantiation of µWheel's lift/combine/lower aggregator
+  * framework (SURVEY.md §2.2): Sum/All → HLL ([[DistinctWheel]]) →
+  * KLL ([[QuantileWheel]]) → frequent-items. Misra-Gries merge is
+  * associative with additive error bounds, so the identical tier
+  * roll-up applies ([[SketchBlocks]]).
+  *
+  * Why it earns its place next to the EXACT [[KeyedWheelIndex]]: the
+  * keyed wheel's state is |keys| × slots — unbounded when the key is
+  * high-cardinality (user ids at 100 TB). This sketch caps per-slot
+  * state at [[FrequencyWheel.MaxMapSize]] counters REGARDLESS of key
+  * cardinality, trading exactness for `NO_FALSE_NEGATIVES` bounds
+  * (every true heavy hitter is returned; estimates carry lb/ub). While
+  * the live key count fits the map, counts are EXACT and the bounds
+  * collapse (maximumError = 0) — the sf0.01 oracle regime.
+  *
+  * Build is the same two scale-correct stages as the KLL wheel: one
+  * local sketch per (partition, minute-slot) via `mapPartitions`, then
+  * ONE shuffle of sketches merged per slot. */
+final class FrequencyWheel private (
+    val baseMs: Long,
+    val horizonMs: Long,
+    tiers: Map[Tier, Array[Array[Byte]]],
+    retention: Map[Tier, Retention]) extends Serializable {
+
+  /** Same bounded-retention contract as the sum/HLL/KLL wheels
+    * (reference RetentionPolicy, /root/reference/src/main.rs:90–97). */
+  def retainedStartMs(tier: Tier): Long =
+    Retention.startMs(retention, tier, baseMs, horizonMs)
+
+  private def usable(tier: Tier, slotStart: Long): Boolean =
+    slotStart >= retainedStartMs(tier)
+
+  /** Merged sketch over a minute-aligned half-open range. */
+  private def merged(startMs: Long, endMs: Long): LongsSketch = {
+    require(startMs <= endMs, s"bad range [$startMs, $endMs)")
+    require(startMs % Tier.finest.ms == 0 && endMs % Tier.finest.ms == 0,
+      s"range [$startMs, $endMs) must be ${Tier.finest.name}-aligned")
+    val acc = new LongsSketch(FrequencyWheel.MaxMapSize)
+    Decompose(startMs, endMs, usable = usable).foreach { run =>
+      val block = tiers(run.tier)
+      var slot = run.startMs
+      while (slot < run.endMs) {
+        val i = ((slot - baseMs) / run.tier.ms).toInt
+        if (i >= 0 && i < block.length && block(i) != null)
+          acc.merge(LongsSketch.getInstance(Memory.wrap(block(i))))
+        slot += run.tier.ms
+      }
+    }
+    acc
+  }
+
+  /** Estimated count (with NO_FALSE_NEGATIVES lower/upper bounds) of
+    * one key over a minute-aligned half-open range. */
+  def estimate(key: Long, startMs: Long, endMs: Long): (Long, Long, Long) = {
+    val s = merged(startMs, endMs)
+    (s.getEstimate(key), s.getLowerBound(key), s.getUpperBound(key))
+  }
+
+  /** Top-k keys by estimated count over a range; deterministic order
+    * (estimate desc, key asc). Each row: (key, estimate, lb, ub).
+    * NO_FALSE_NEGATIVES: every key whose true count exceeds the error
+    * threshold is present in the candidate set. */
+  def topK(startMs: Long, endMs: Long, k: Int): Seq[(Long, Long, Long, Long)] =
+    merged(startMs, endMs)
+      .getFrequentItems(ErrorType.NO_FALSE_NEGATIVES)
+      .toSeq
+      .map(r => (r.getItem, r.getEstimate, r.getLowerBound, r.getUpperBound))
+      .sortBy { case (key, est, _, _) => (-est, key) }
+      .take(k)
+
+  /** Residual error bound of the merged range sketch: 0 ⇒ every
+    * estimate in this range is exact. */
+  def maximumError(startMs: Long, endMs: Long): Long =
+    merged(startMs, endMs).getMaximumError
+
+  def sizeBytes: Long =
+    tiers.valuesIterator.flatMap(_.iterator)
+      .map(b => if (b == null) 0L else b.length.toLong).sum
+
+  def slotCounts: Map[Tier, Int] = tiers.map { case (t, b) => t -> b.length }
+}
+
+object FrequencyWheel {
+
+  /** Counter budget per sketch (power of 2). Error ≤ 3.5·n/MaxMapSize
+    * per the Misra-Gries bound; EXACT while distinct keys per sketch
+    * stay ≤ 0.75·MaxMapSize. ~16 B/counter ⇒ ≤64 KB per full slot —
+    * per-slot state bounded by the BUDGET, never by key cardinality. */
+  val MaxMapSize = 4096
+
+  /** Merges serialized LongsSketches — BYTES in/out so the shuffle
+    * buffer is plain BinaryType (same convention as the KLL wheel). */
+  private object FreqMergeAgg
+      extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+    def zero: Array[Byte] = new LongsSketch(MaxMapSize).toByteArray
+    def reduce(buf: Array[Byte], in: Array[Byte]): Array[Byte] = merge(buf, in)
+    def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      val s = LongsSketch.getInstance(Memory.wrap(a))
+      s.merge(LongsSketch.getInstance(Memory.wrap(b)))
+      s.toByteArray
+    }
+    def finish(buf: Array[Byte]): Array[Byte] = buf
+    def bufferEncoder = Encoders.BINARY
+    def outputEncoder = Encoders.BINARY
+  }
+
+  /** Merge two serialized sketches (associative; shared by the batch
+    * shuffle aggregator and the live wheel's cross-batch accumulation). */
+  def mergeBytes(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    FreqMergeAgg.merge(a, b)
+
+  /** Per-minute-slot partial sketches — both build stages with no
+    * collect, shared verbatim by the streaming per-micro-batch path.
+    * Schema: (slot_ms long, sk binary). NULL ts/key rows are excluded
+    * (SQL aggregate convention, like the HLL/KLL wheels). */
+  def slotSketches(events: DataFrame, tsCol: String, keyCol: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val slotted = events
+      .filter(col(tsCol).isNotNull && col(keyCol).isNotNull)
+      .select(RollupBuilder.slotMs(col(tsCol), Tier.Minute).as("slot_ms"),
+        col(keyCol).cast("long").as("k"))
+      .as[(Long, Long)]
+    val partials = slotted.mapPartitions { it =>
+      val m = new java.util.HashMap[Long, LongsSketch]()
+      it.foreach { case (slot, k) =>
+        m.computeIfAbsent(slot, _ => new LongsSketch(MaxMapSize)).update(k)
+      }
+      import scala.jdk.CollectionConverters._
+      m.entrySet().iterator().asScala
+        .map(e => (e.getKey.longValue(), e.getValue.toByteArray))
+    }
+    partials.toDF("slot_ms", "sk")
+      .groupBy("slot_ms")
+      .agg(udaf(FreqMergeAgg).apply(col("sk")).as("sk"))
+  }
+
+  /** Per-tier [[Retention]] evicts old fine-tier slots at build time,
+    * after coarser tiers roll up — identical contract to the other
+    * sketch wheels. */
+  def build(events: DataFrame, tsCol: String, keyCol: String,
+      retention: Map[Tier, Retention] = Map.empty): FrequencyWheel = {
+    val rows = slotSketches(events, tsCol, keyCol).collect()
+    require(rows.nonEmpty, "cannot index an empty source")
+    val (base, horizon) = SketchBlocks.span(rows.map(_.getLong(0)))
+    val minute = SketchBlocks.minuteBlock(rows, base, horizon)
+    def mergeAll(group: Seq[Array[Byte]]): Array[Byte] = {
+      val acc = new LongsSketch(MaxMapSize)
+      group.foreach(b => acc.merge(LongsSketch.getInstance(Memory.wrap(b))))
+      acc.toByteArray
+    }
+    val hour = SketchBlocks.coarsen(minute, base, horizon, Tier.Minute, Tier.Hour)(mergeAll)
+    val day = SketchBlocks.coarsen(hour, base, horizon, Tier.Hour, Tier.Day)(mergeAll)
+    val blocks = Map[Tier, Array[Array[Byte]]](
+      Tier.Minute -> minute, Tier.Hour -> hour, Tier.Day -> day)
+    val wheel = new FrequencyWheel(base, horizon, blocks, retention)
+    SketchBlocks.evict(blocks, base, wheel.retainedStartMs)
+    wheel
+  }
+}

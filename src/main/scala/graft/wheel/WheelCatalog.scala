@@ -32,7 +32,8 @@ object WheelCatalog {
   }
 
   def clear(): Unit =
-    { cache.clear(); distinctCache.clear(); quantileCache.clear() }
+    { cache.clear(); distinctCache.clear(); quantileCache.clear()
+      frequencyCache.clear() }
 
   /** Drop entries owned by stopped sessions so they (and their pinned
     * DataFrames) can be collected — the maps stay bounded by the live
@@ -41,6 +42,7 @@ object WheelCatalog {
     cache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     distinctCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     quantileCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    frequencyCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
   }
 
   private val distinctCache =
@@ -57,6 +59,20 @@ object WheelCatalog {
     SessionSweeper.track(spark)
     quantileCache.computeIfAbsent((spark, key, tsCol, valueCol),
       _ => QuantileWheel.build(events, tsCol, valueCol))
+  }
+
+  private val frequencyCache =
+    new ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String, String, String), FrequencyWheel]()
+
+  /** Build-once cache for the Misra-Gries [[FrequencyWheel]], same
+    * lifecycle. */
+  def cachedFrequency(spark: org.apache.spark.sql.SparkSession, key: String,
+      tsCol: String = "ts", keyCol: String = "user_id")(
+      events: => DataFrame): FrequencyWheel = {
+    sweepStopped()
+    SessionSweeper.track(spark)
+    frequencyCache.computeIfAbsent((spark, key, tsCol, keyCol),
+      _ => FrequencyWheel.build(events, tsCol, keyCol))
   }
 
   /** Build-once cache for the HLL [[DistinctWheel]], same lifecycle. */

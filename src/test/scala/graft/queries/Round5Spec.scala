@@ -199,6 +199,34 @@ class Round5Spec extends AnyFunSuite {
     bloomed.zip(plain).foreach { case (b, p) => assert(b === p) }
   }
 
+  test("q_data_mixture: prefix-closed per lang, shares within one doc of the budget") {
+    val rows = Pipeline.queries("q_data_mixture")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val totals = Q.t(spark, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("tot"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val budget = totals.values.min
+    val byLang = rows.groupBy(_.getString(1))
+    assert(byLang.keySet == totals.keySet, "every language contributes")
+    byLang.foreach { case (lang, docs) =>
+      val share = docs.map(_.getLong(2)).sum
+      assert(share <= budget, s"$lang over budget: $share > $budget")
+      // greedy prefix: the next doc (if any) would overflow the budget
+      val kept = docs.map(_.getLong(0)).toSet
+      val next = Q.t(spark, dir, "documents").filter(col("lang") === lang)
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+        .collect().sortBy(_.getLong(0))
+        .find(r => !kept(r.getLong(0)))
+      next.foreach(r => assert(share + r.getLong(1) > budget,
+        s"$lang: doc ${r.getLong(0)} was skipped but fits"))
+      // prefix-closed: kept ids are exactly the smallest ids of the lang
+      val allIds = Q.t(spark, dir, "documents").filter(col("lang") === lang)
+        .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+      assert(allIds.take(kept.size).toSet == kept, s"$lang not prefix-closed")
+    }
+  }
+
   test("q_bm25 scores satisfy the BM25 formula against independent corpus stats") {
     val rows = Text.queries("q_bm25")(spark, dir).collect()
     assert(rows.nonEmpty)

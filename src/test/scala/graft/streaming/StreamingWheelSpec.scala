@@ -134,6 +134,30 @@ class StreamingWheelSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("live frequency wheel: cross-batch accumulation, exact-regime topK") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val (w, live) = StreamingWheel.frequencyWriter(
+      mem.toDF().toDF("ts", "user_id"), "ts", "user_id", Retention.KeepN(100))
+    val q = w.start()
+    try {
+      // user 7 is hot in minute 0 across two micro-batches (merge, not
+      // replace); user 9 only in minute 1
+      mem.addData(Seq((ts(0), 7L), (ts(0), 7L), (ts(0), 5L), (ts(Min), 9L)))
+      q.processAllAvailable()
+      mem.addData(Seq((ts(0), 7L), (ts(Min), 9L), (ts(Min), 7L)))
+      q.processAllAvailable()
+      assert(live.estimate(7L, T0, T0 + Min) == 3L)
+      assert(live.estimate(7L, T0, T0 + 2 * Min) == 4L)
+      assert(live.topK(T0, T0 + 2 * Min, 2) == Seq(7L -> 4L, 9L -> 2L))
+      // single-slot query sees only that minute
+      assert(live.topK(T0 + Min, T0 + 2 * Min, 3) == Seq(9L -> 2L, 7L -> 1L))
+      assert(live.topK(T0 + 10 * Min, T0 + 11 * Min, 3).isEmpty)
+      assert(live.retainedSlots == 2)
+    } finally q.stop()
+  }
+
   test("KeepN retention keeps the live state a bounded sliding window") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
