@@ -89,7 +89,61 @@ final class WheelIndex private (
       (acc, run) => acc.combine(combineRun(run))
     }
 
-  def querySum(startMs: Long, endMs: Long): Double = query(startMs, endMs).sum
+  /** Minute-tier prefix sums — the µWheel paper's INVERTIBLE-aggregate
+    * optimization: sum and count have inverses, so any aligned range is
+    * answered by TWO array reads (`p[j] - p[i]`, O(1)) instead of an
+    * O(slots-in-cover) tier walk. Built lazily in one O(minutes) pass;
+    * only usable while the minute tier retains the full span (KeepN
+    * eviction zeroes old minutes, which would silently drop history the
+    * coarse tiers still hold — those queries take the tier walk).
+    * Last-ulp note: the prefix difference is an IEEE-754 reordering of
+    * the same addends the tier walk combines; both are equally valid
+    * float orderings of the exact per-minute partials. */
+  @transient private lazy val minutePrefix: (Array[Double], Array[Long]) = {
+    val b = tiers(Tier.Minute)
+    val n = b.sum.length
+    val ps = new Array[Double](n + 1)
+    val pc = new Array[Long](n + 1)
+    var i = 0
+    while (i < n) {
+      ps(i + 1) = ps(i) + b.sum(i)
+      pc(i + 1) = pc(i) + b.count(i)
+      i += 1
+    }
+    (ps, pc)
+  }
+
+  private def prefixUsable(startMs: Long, endMs: Long): Boolean =
+    startMs % Tier.finest.ms == 0 && endMs % Tier.finest.ms == 0 &&
+      retainedStartMs(Tier.Minute) == baseMs
+
+  /** Slot index of `ms` clamped into the block span. */
+  private def clampIdx(ms: Long, n: Int): Int =
+    math.min(math.max((ms - baseMs) / Tier.finest.ms, 0L), n.toLong).toInt
+
+  /** O(1) on aligned ranges via [[minutePrefix]]; falls back to the
+    * decomposed tier walk (and the residue scan for unaligned edges)
+    * otherwise. Empty range → 0.0 (identity), matching `query().sum`. */
+  def querySum(startMs: Long, endMs: Long): Double = {
+    require(startMs <= endMs, s"bad range [$startMs, $endMs)")
+    if (prefixUsable(startMs, endMs)) {
+      val (ps, _) = minutePrefix
+      val i = clampIdx(startMs, ps.length - 1)
+      val j = clampIdx(endMs, ps.length - 1)
+      if (j <= i) 0.0 else ps(j) - ps(i)
+    } else query(startMs, endMs).sum
+  }
+
+  /** O(1) row count over an aligned range (same prefix machinery). */
+  def queryCount(startMs: Long, endMs: Long): Long = {
+    require(startMs <= endMs, s"bad range [$startMs, $endMs)")
+    if (prefixUsable(startMs, endMs)) {
+      val (_, pc) = minutePrefix
+      val i = clampIdx(startMs, pc.length - 1)
+      val j = clampIdx(endMs, pc.length - 1)
+      if (j <= i) 0L else pc(j) - pc(i)
+    } else query(startMs, endMs).count
+  }
 
   private def combineRun(run: Run): AllAggregate = {
     val block = tiers(run.tier)

@@ -63,6 +63,35 @@ class WheelSpec extends AnyFunSuite {
     }
   }
 
+  test("prefix fast path equals the tier walk on random aligned ranges") {
+    val r = new scala.util.Random(7)
+    (1 to 200).foreach { _ =>
+      val a = r.nextInt(SpanMinutes - 1)
+      val len = 1 + r.nextInt(SpanMinutes - a - 1)
+      val lo = Jan1 + a * 60000L
+      val hi = lo + len * 60000L
+      // querySum/queryCount take the O(1) prefix path (minute tier fully
+      // retained); query() always tier-walks — the two are reorderings
+      // of the same exact per-minute partials
+      val walk = idx.query(lo, hi)
+      assertClose(idx.querySum(lo, hi), walk.sum)
+      assert(idx.queryCount(lo, hi) == walk.count)
+    }
+    // ranges clamped past the span
+    assert(idx.queryCount(Jan1 - 86400000L, idx.horizonMs + 86400000L) ==
+      idx.query(Jan1, idx.horizonMs).count)
+  }
+
+  test("prefix path is bypassed under minute retention (falls back to tiers)") {
+    val bounded = WheelIndex.build(events, "ts", "value",
+      Map(Tier.Minute -> Retention.KeepN(24 * 60)))
+    // historical day-aligned range: minutes evicted, coarse tiers answer
+    val lo = Jan1
+    val hi = Jan1 + 86400000L
+    assertClose(bounded.querySum(lo, hi), idx.querySum(lo, hi))
+    assert(bounded.queryCount(lo, hi) == idx.queryCount(lo, hi))
+  }
+
   test("range additivity: query(a,b) + query(b,c) == query(a,c)") {
     val a = Jan1
     val b = Jan1 + 86400000L * 7 + 3600000L * 5
