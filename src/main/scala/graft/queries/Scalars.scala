@@ -65,6 +65,34 @@ object Scalars {
         col("label"))
         .orderBy(col("vec_id"))),
 
+    // Malformed-record quarantine (round 5): schema-on-read over a JSON
+    // column where some records are broken — count and exclude them
+    // instead of failing the job (the PERMISSIVE-parse contract every
+    // 100 TB ingest needs; one bad crawl record must not kill a stage).
+    // Like the cleaning family, both engines deterministically corrupt
+    // the same rows (doc_id % 7 == 0 → truncated JSON), so the operator
+    // under test is the parse-or-null semantics: Spark's from_json
+    // yields null fields on malformed input exactly where DuckDB's
+    // ->> extraction yields NULL on json-invalid text.
+    "q_json_malformed" -> ((s, dir) => {
+      val lenTok = size(split(col("text"), " "))
+      val js = when(col("doc_id") % 7 === 0,
+          concat(lit("{\"id\":"), col("doc_id"), lit(",\"len\":")))
+        .otherwise(concat(
+          lit("{\"id\":"), col("doc_id"),
+          lit(",\"len\":"), lenTok, lit("}")))
+      t(s, dir, "documents")
+        .select(col("lang"),
+          from_json(js, org.apache.spark.sql.types.StructType.fromDDL(
+            "id BIGINT, len BIGINT")).as("p"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("p.len").isNull, 1L).otherwise(0L)).as("n_malformed"),
+          sum(coalesce(col("p.len"), lit(0L))).as("parsed_len"))
+        .orderBy(col("lang"))
+    }),
+
     // Date arithmetic (round 3): day difference, offset, month spans —
     // the remaining scalar-date family. DuckDB's datediff takes the
     // part first and (start, end); Spark's datediff is (end, start).
@@ -180,6 +208,19 @@ object Scalars {
     "q_json_extract" ->
       ("SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k " +
         "FROM events ORDER BY event_id"),
+    "q_json_malformed" ->
+      ("WITH j AS (SELECT lang, CASE WHEN doc_id % 7 = 0 " +
+        "THEN '{\"id\":' || doc_id || ',\"len\":' " +
+        "ELSE '{\"id\":' || doc_id || ',\"len\":' || len(string_split(text, ' ')) || '}' " +
+        "END AS js FROM documents), " +
+        // ->> ERRORS on malformed json in DuckDB (vs from_json's null),
+        // so the valid gate must come first
+        "p AS (SELECT lang, CASE WHEN json_valid(js) " +
+        "THEN CAST(js->>'$.len' AS BIGINT) END AS len FROM j) " +
+        "SELECT lang, COUNT(1) AS n_docs, " +
+        "CAST(SUM(CASE WHEN len IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_malformed, " +
+        "CAST(SUM(COALESCE(len, 0)) AS BIGINT) AS parsed_len " +
+        "FROM p GROUP BY lang ORDER BY lang"),
     "q_array_ops" ->
       ("SELECT vec_id, CAST(LEN(embedding) AS BIGINT) AS dim, " +
         "ROUND(CAST(embedding[1] AS DOUBLE), 4) AS first_val, label " +
