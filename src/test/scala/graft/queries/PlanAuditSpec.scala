@@ -232,6 +232,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("UDF(knownnotnull(l_orderkey"), p)
   }
 
+  test("q_data_mixture is join-free: budget scalar + one lang window") {
+    val p = plan("q_data_mixture")
+    // the token budget arrives as a driver scalar (no join against a
+    // caps table); the only shuffles are the lang window + output sort
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("q_json_malformed is one aggregation pass over the scan") {
+    val p = plan("q_json_malformed")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_"), p) // map-side combine before the lang shuffle
+  }
+
   test("q_html_strip and q_pii_redact are single narrow codegen passes") {
     Seq("q_html_strip", "q_pii_redact", "q_url_parse").foreach { q =>
       val p = plan(q)
