@@ -112,6 +112,31 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // Unicode NFC normalization (round 5): the canonicalization pass a
+    // real corpus pipeline runs before hashing/dedup — visually
+    // identical strings with different codepoint sequences (composed é
+    // vs e + combining acute) must collide. Spark has no built-in
+    // normalizer, so this is a java.text.Normalizer UDF; the oracle is
+    // DuckDB's nfc_normalize (both implement Unicode NFC, so outputs —
+    // and their md5 digests — agree byte-for-byte). Like the cleaning
+    // family, both engines plant the same synthetic decomposed/composed
+    // suffix per doc; the operator under test is the normalization.
+    "q_unicode_norm" -> ((s, dir) => {
+      val nfc = udf((t: String) =>
+        java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC))
+      val dirty = concat(substring(col("text"), 1, 20),
+        when(col("doc_id") % 3 === 0, lit(" cafe\u0301")) // decomposed e + U+0301
+          .otherwise(lit(" caf\u00e9")))                // composed é (already NFC)
+      t(s, dir, "documents")
+        .select(col("doc_id"), dirty.as("dirty"))
+        .select(col("doc_id"),
+          (col("dirty") =!= nfc(col("dirty"))).as("changed"),
+          length(col("dirty")).cast("long").as("n_dirty"),
+          length(nfc(col("dirty"))).cast("long").as("n_norm"),
+          md5(nfc(col("dirty")).cast("binary")).as("digest"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Token-budget-balanced mixture (round 5): the data-MIXING stage of
     // corpus assembly (Pile/Dolma-style reweighting) — every language
     // contributes the same token budget, set by the smallest language's
@@ -273,6 +298,14 @@ object Pipeline {
         "SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (" +
         "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off " +
         "FROM documents) ORDER BY doc_id"),
+    "q_unicode_norm" ->
+      ("WITH d AS (SELECT doc_id, substr(text, 1, 20) || CASE WHEN doc_id % 3 = 0 " +
+        "THEN ' cafe' || chr(769) ELSE ' caf' || chr(233) END AS dirty FROM documents) " +
+        "SELECT doc_id, dirty != nfc_normalize(dirty) AS changed, " +
+        "CAST(length(dirty) AS BIGINT) AS n_dirty, " +
+        "CAST(length(nfc_normalize(dirty)) AS BIGINT) AS n_norm, " +
+        "md5(nfc_normalize(dirty)) AS digest " +
+        "FROM d ORDER BY doc_id"),
     "q_data_mixture" ->
       ("WITH d AS (SELECT doc_id, lang, " +
         "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents), " +
