@@ -229,6 +229,25 @@ object Bench {
     val distinctBlock =
       f"""{"build_sec":$dBuildSec%.3f,"index_bytes":${dIdx.sizeBytes},""" +
         distinctStats.json.drop(1) // merge into the same JSON object
+
+    // FREQUENT-ITEMS wheel block (round 5): top-5-keys-over-range from
+    // the Misra-Gries sketch wheel vs a groupBy-count-orderBy-limit
+    // scan job per range — the fourth sketch-index generalization. The
+    // scan side reuses dEvents (the same (tms, user_id) projection).
+    val fb0 = System.nanoTime()
+    val fIdx = graft.wheel.FrequencyWheel.build(Q.t(spark, sfDir, "events"), "ts", "user_id")
+    val fBuildSec = (System.nanoTime() - fb0) / 1e9
+    val freqStats = block(minuteRanges, 10,
+      (a, b) => { fIdx.topK(a, b, 5); () },
+      (a, b) => {
+        dEvents.filter(col("tms") >= a && col("tms") < b)
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("user_id")).limit(5).collect(); ()
+      },
+      wheelCount = 2000)
+    val freqBlock =
+      f"""{"build_sec":$fBuildSec%.3f,"index_bytes":${fIdx.sizeBytes},""" +
+        freqStats.json.drop(1)
     dEvents.unpersist()
 
     // QUANTILE wheel block (round 5): p99-over-range from the KLL
@@ -248,28 +267,6 @@ object Bench {
     val quantileBlock =
       f"""{"build_sec":$qBuildSec%.3f,"index_bytes":${qIdx.sizeBytes},""" +
         quantileStats.json.drop(1)
-
-    // FREQUENT-ITEMS wheel block (round 5): top-5-keys-over-range from
-    // the Misra-Gries sketch wheel vs a groupBy-count-orderBy-limit
-    // scan job per range — the fourth sketch-index generalization.
-    val fb0 = System.nanoTime()
-    val fIdx = graft.wheel.FrequencyWheel.build(Q.t(spark, sfDir, "events"), "ts", "user_id")
-    val fBuildSec = (System.nanoTime() - fb0) / 1e9
-    val fEvents = Q.t(spark, sfDir, "events").select(
-      unix_millis(col("ts")).as("tms"), col("user_id")).cache()
-    fEvents.count()
-    val freqStats = block(minuteRanges, 10,
-      (a, b) => { fIdx.topK(a, b, 5); () },
-      (a, b) => {
-        fEvents.filter(col("tms") >= a && col("tms") < b)
-          .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
-          .orderBy(col("n").desc, col("user_id")).limit(5).collect(); ()
-      },
-      wheelCount = 2000)
-    val freqBlock =
-      f"""{"build_sec":$fBuildSec%.3f,"index_bytes":${fIdx.sizeBytes},""" +
-        freqStats.json.drop(1)
-    fEvents.unpersist()
 
     val minuteStats = block(minuteRanges, 20, sumWheel, sumScan)
     val hourStats = block(hourRanges, 20, sumWheel, sumScan)

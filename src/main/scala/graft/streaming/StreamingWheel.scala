@@ -97,23 +97,30 @@ object LiveWheel {
   }
 }
 
-/** A LIVE distinct-count wheel: per-minute HLL sketches maintained by
-  * the stream (hll_sketch_agg in Spark's streaming state), upserted
-  * into a driver-resident slot map per micro-batch, queried by
-  * register-max union along the same decomposition as the batch
-  * [[graft.wheel.DistinctWheel]]. Driver state = slots × ~2 KB sketch,
-  * time-bounded — and, with `keepMinutes`, bounded by retention like
-  * the sum/keyed live wheels (a long-lived stream would otherwise
-  * accumulate ~90 MB of sketches per month). */
-final class LiveDistinctWheel(keepMinutes: Option[Int] = None) extends Serializable {
+/** Shared slot-map skeleton of the LIVE sketch wheels (HLL / KLL /
+  * Misra-Gries): per-minute serialized sketches upserted per
+  * micro-batch, high-watermark tracking, KeepN eviction — the one
+  * place the live-side mechanics live, mirroring how
+  * [[graft.wheel.SketchBlocks]] owns them on the batch side.
+  * Subclasses supply only how an incoming per-batch sketch lands on
+  * its slot: REPLACE when the stream's aggregation state already holds
+  * the cumulative sketch (HLL via hll_sketch_agg), MERGE when each
+  * micro-batch contributes a partial (KLL / frequent-items — no
+  * streaming state, so late rows always land; no watermark cutoff). */
+sealed abstract class LiveSketchWheel(keepMinutes: Option[Int])
+    extends Serializable {
 
-  private val minutes = new ConcurrentHashMap[Long, Array[Byte]]()
+  protected val minutes = new ConcurrentHashMap[Long, Array[Byte]]()
   @volatile private var highWatermarkMs: Long = Long.MinValue
+
+  /** How an incoming slot sketch lands on an existing one. */
+  protected def land(existing: Array[Byte], incoming: Array[Byte]): Array[Byte]
 
   private[streaming] def merge(rows: Array[Row]): Unit = {
     rows.foreach { r =>
       val slot = r.getLong(r.fieldIndex("slot_ms"))
-      minutes.put(slot, r.getAs[Array[Byte]](r.fieldIndex("sk")))
+      val sk = r.getAs[Array[Byte]](r.fieldIndex("sk"))
+      minutes.merge(slot, sk, (a, b) => land(a, b))
       if (slot > highWatermarkMs) highWatermarkMs = slot
     }
     keepMinutes.foreach(n => LiveWheel.evictBefore(minutes, highWatermarkMs, n))
@@ -121,6 +128,22 @@ final class LiveDistinctWheel(keepMinutes: Option[Int] = None) extends Serializa
 
   def watermarkMs: Long = highWatermarkMs
   def retainedSlots: Int = minutes.size
+}
+
+/** A LIVE distinct-count wheel: per-minute HLL sketches maintained by
+  * the stream (hll_sketch_agg in Spark's streaming state), queried by
+  * register-max union along the same decomposition as the batch
+  * [[graft.wheel.DistinctWheel]]. Driver state = slots × ~2 KB sketch,
+  * time-bounded — and, with `keepMinutes`, bounded by retention like
+  * the sum/keyed live wheels (a long-lived stream would otherwise
+  * accumulate ~90 MB of sketches per month). */
+final class LiveDistinctWheel(keepMinutes: Option[Int] = None)
+    extends LiveSketchWheel(keepMinutes) {
+
+  // the streaming state already holds the cumulative per-slot sketch;
+  // each update-mode delta row supersedes the previous one
+  protected def land(existing: Array[Byte], incoming: Array[Byte]): Array[Byte] =
+    incoming
 
   /** Estimated distinct keys over a minute-aligned half-open range. */
   def queryDistinct(startMs: Long, endMs: Long): Double = {
@@ -134,33 +157,17 @@ final class LiveDistinctWheel(keepMinutes: Option[Int] = None) extends Serializa
 }
 
 /** A LIVE quantile wheel: per-minute KLL sketches accumulated across
-  * micro-batches. Unlike the sum/distinct variants there is no built-in
-  * streaming KLL aggregate, so this path keeps NO Spark streaming state
-  * at all: each micro-batch is reduced to its per-slot partial sketches
-  * by the SAME two-stage aggregation the batch build uses
-  * ([[graft.wheel.QuantileWheel.slotSketches]]), and the driver MERGES
-  * (not replaces) each partial into its slot — KLL merge is associative,
-  * so cross-batch accumulation is exact w.r.t. the sketch. Late rows
-  * therefore always land in their slot (no watermark cutoff on this
-  * path); retention is the usual KeepN eviction. */
-final class LiveQuantileWheel(keepMinutes: Option[Int] = None) extends Serializable {
+  * micro-batches. There is no built-in streaming KLL aggregate, so this
+  * path keeps NO Spark streaming state: each micro-batch reduces to its
+  * per-slot partial sketches via the batch build's own two-stage
+  * aggregation ([[graft.wheel.QuantileWheel.slotSketches]]) and the
+  * driver MERGES each partial into its slot — KLL merge is associative,
+  * so cross-batch accumulation is exact w.r.t. the sketch. */
+final class LiveQuantileWheel(keepMinutes: Option[Int] = None)
+    extends LiveSketchWheel(keepMinutes) {
 
-  private val minutes = new ConcurrentHashMap[Long, Array[Byte]]()
-  @volatile private var highWatermarkMs: Long = Long.MinValue
-
-  private[streaming] def merge(rows: Array[Row]): Unit = {
-    rows.foreach { r =>
-      val slot = r.getLong(r.fieldIndex("slot_ms"))
-      val sk = r.getAs[Array[Byte]](r.fieldIndex("sk"))
-      minutes.merge(slot, sk,
-        (a, b) => graft.wheel.QuantileWheel.mergeBytes(a, b))
-      if (slot > highWatermarkMs) highWatermarkMs = slot
-    }
-    keepMinutes.foreach(n => LiveWheel.evictBefore(minutes, highWatermarkMs, n))
-  }
-
-  def watermarkMs: Long = highWatermarkMs
-  def retainedSlots: Int = minutes.size
+  protected def land(existing: Array[Byte], incoming: Array[Byte]): Array[Byte] =
+    graft.wheel.QuantileWheel.mergeBytes(existing, incoming)
 
   /** Estimated quantiles over a minute-aligned half-open range; NaN per
     * rank when the range holds no data. */
@@ -181,32 +188,14 @@ final class LiveQuantileWheel(keepMinutes: Option[Int] = None) extends Serializa
 }
 
 /** A LIVE frequent-items wheel: per-minute Misra-Gries sketches
-  * accumulated across micro-batches. Same stateless pattern as the KLL
-  * live wheel (there is no built-in streaming frequency aggregate):
-  * each micro-batch reduces through the batch build's own two-stage
-  * [[graft.wheel.FrequencyWheel.slotSketches]] aggregation and the
-  * driver MERGES partials into slots — Misra-Gries merge is
-  * associative, so cross-batch accumulation matches a single-shot
-  * build. Late rows always land (no watermark cutoff on this path);
-  * KeepN retention as usual. */
-final class LiveFrequencyWheel(keepMinutes: Option[Int] = None) extends Serializable {
+  * accumulated across micro-batches — the same stateless pattern as
+  * the KLL live wheel ([[graft.wheel.FrequencyWheel.slotSketches]] per
+  * batch, associative driver merge). */
+final class LiveFrequencyWheel(keepMinutes: Option[Int] = None)
+    extends LiveSketchWheel(keepMinutes) {
 
-  private val minutes = new ConcurrentHashMap[Long, Array[Byte]]()
-  @volatile private var highWatermarkMs: Long = Long.MinValue
-
-  private[streaming] def merge(rows: Array[Row]): Unit = {
-    rows.foreach { r =>
-      val slot = r.getLong(r.fieldIndex("slot_ms"))
-      val sk = r.getAs[Array[Byte]](r.fieldIndex("sk"))
-      minutes.merge(slot, sk,
-        (a, b) => graft.wheel.FrequencyWheel.mergeBytes(a, b))
-      if (slot > highWatermarkMs) highWatermarkMs = slot
-    }
-    keepMinutes.foreach(n => LiveWheel.evictBefore(minutes, highWatermarkMs, n))
-  }
-
-  def watermarkMs: Long = highWatermarkMs
-  def retainedSlots: Int = minutes.size
+  protected def land(existing: Array[Byte], incoming: Array[Byte]): Array[Byte] =
+    graft.wheel.FrequencyWheel.mergeBytes(existing, incoming)
 
   private def merged(startMs: Long, endMs: Long) = {
     val acc = new org.apache.datasketches.frequencies.LongsSketch(

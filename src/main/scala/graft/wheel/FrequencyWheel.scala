@@ -131,6 +131,16 @@ object FrequencyWheel {
   def slotSketches(events: DataFrame, tsCol: String, keyCol: String): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
+    // Long-key contract, asserted rather than documented: a string key
+    // would cast to null (crashing the tuple decode mid-job), a double
+    // key would silently truncate 7.2 and 7.9 onto the same counter —
+    // fail fast with the actual type instead. (String keys want an
+    // ItemsSketch variant; this wheel is the long-key instantiation.)
+    val keyType = events.schema(keyCol).dataType
+    require(Seq("byte", "short", "integer", "long")
+        .contains(keyType.typeName),
+      s"FrequencyWheel key column '$keyCol' must be an integral type, " +
+        s"got ${keyType.typeName}")
     val slotted = events
       .filter(col(tsCol).isNotNull && col(keyCol).isNotNull)
       .select(RollupBuilder.slotMs(col(tsCol), Tier.Minute).as("slot_ms"),

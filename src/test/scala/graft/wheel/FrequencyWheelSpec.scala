@@ -116,6 +116,13 @@ class FrequencyWheelSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("non-integral key column fails fast at build") {
+    val e = intercept[IllegalArgumentException] {
+      FrequencyWheel.build(queries.Q.t(spark, dir, "events"), "ts", "event_type")
+    }
+    assert(e.getMessage.contains("integral"), e.getMessage)
+  }
+
   test("misaligned range rejected; empty range is empty") {
     intercept[IllegalArgumentException] {
       idx.topK(queries.Q.Jan1 + 1, queries.Q.Jan1 + 60001, 5)
