@@ -129,6 +129,27 @@ object Windows {
           max(col("tms")).as("end_ms"),
           round(sum(col("value")), 2).as("sum_value"))
         .orderBy(col("user_id"), col("session_no"))
+    }),
+
+    // Per-event trailing-window features (round 5): for every event,
+    // the count/sum of the SAME USER's activity in the preceding hour —
+    // the event-time RANGE frame (not ROWS) that powers feature
+    // engineering for ML at scale. The frame is value-based
+    // ([tms-3600000, tms-1]), so rows tied on tms exclude each other
+    // identically in both engines regardless of their physical order;
+    // one shuffle on user_id serves the whole pass. Decimal-domain sum
+    // keeps the frame aggregate addition-order-exact.
+    "q_trailing_features" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tms"))
+        .rangeBetween(-3600000L, -1L)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("tms"), col("value"))
+        .select(col("event_id"), col("user_id"),
+          count(col("value")).over(w).as("n_prev_hour"),
+          coalesce(sum(col("value").cast("decimal(18,2)")).over(w)
+            .cast("double"), lit(0.0)).as("sum_prev_hour"))
+        .orderBy(col("event_id"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -187,5 +208,12 @@ object Windows {
         "FROM g) " +
         "SELECT user_id, session_no, COUNT(1) AS n_events, MIN(tms) AS start_ms, " +
         "MAX(tms) AS end_ms, ROUND(SUM(value), 2) AS sum_value " +
-        "FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no"))
+        "FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no"),
+    "q_trailing_features" ->
+      ("SELECT event_id, user_id, COUNT(value) OVER w AS n_prev_hour, " +
+        "COALESCE(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE), 0.0) AS sum_prev_hour " +
+        "FROM (SELECT event_id, user_id, epoch_ms(ts) AS tms, value FROM events) " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY tms " +
+        "RANGE BETWEEN 3600000 PRECEDING AND 1 PRECEDING) " +
+        "ORDER BY event_id"))
 }
