@@ -134,6 +134,28 @@ object Core {
         round(lit(p99), 4).as("p99"))
     }),
 
+    // COHORT index path (round 5): set ALGEBRA across time ranges from
+    // the per-slot Theta sketch wheel — the FIFTH aggregator-framework
+    // instantiation and the set-operations upgrade of the HLL wheel
+    // (HLL unions merge but cannot intersect; Theta composes under
+    // union/intersection/A-not-B). Answers the retention/churn shape —
+    // "of the users active in week A, how many returned in week B?" —
+    // in µs, no scan. Exact while retained entries stay under the
+    // nominal 4096 (every test SF ⇒ oracle-checked); error bounds
+    // beyond are covered in CohortWheelSpec.
+    "q_wheel_cohort" -> ((s, dir) => {
+      import s.implicits._
+      val idx = WheelCatalog.cachedCohort(s, s"$dir/events.parquet")(t(s, dir, "events"))
+      val a = (R1Start, R1End)
+      val b = (R1End, R1End + 7 * Day)
+      Seq((
+        idx.distinct(a._1, a._2).round,
+        idx.distinct(b._1, b._2).round,
+        idx.intersectCount(a, b).round,
+        idx.diffCount(a, b).round))
+        .toDF("n_a", "n_b", "n_retained", "n_churned")
+    }),
+
     // FREQUENT-ITEMS index path (round 5): "top-5 users by event count
     // in [a,b)" answered from the per-slot Misra-Gries sketch wheel —
     // the FOURTH aggregator-framework instantiation (Sum/All → HLL →
@@ -302,6 +324,14 @@ object Core {
         "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
     "q_wheel_query" -> rangeSumSql(R2Start, R2End),
     "q_wheel_sql" -> rangeSumSql(R3Start, R3End),
+    "q_wheel_cohort" ->
+      (s"WITH a AS (SELECT DISTINCT user_id FROM events " +
+        s"WHERE epoch_ms(ts) >= $R1Start AND epoch_ms(ts) < $R1End), " +
+        s"b AS (SELECT DISTINCT user_id FROM events " +
+        s"WHERE epoch_ms(ts) >= $R1End AND epoch_ms(ts) < ${R1End + 7 * Day}) " +
+        "SELECT (SELECT COUNT(1) FROM a) AS n_a, (SELECT COUNT(1) FROM b) AS n_b, " +
+        "(SELECT COUNT(1) FROM a WHERE user_id IN (SELECT user_id FROM b)) AS n_retained, " +
+        "(SELECT COUNT(1) FROM a WHERE user_id NOT IN (SELECT user_id FROM b)) AS n_churned"),
     "q_wheel_freq" ->
       (s"SELECT user_id, COUNT(1) AS n FROM events " +
         s"WHERE epoch_ms(ts) >= $R1Start AND epoch_ms(ts) < $R1End " +

@@ -33,7 +33,7 @@ object WheelCatalog {
 
   def clear(): Unit =
     { cache.clear(); distinctCache.clear(); quantileCache.clear()
-      frequencyCache.clear() }
+      frequencyCache.clear(); cohortCache.clear() }
 
   /** Drop entries owned by stopped sessions so they (and their pinned
     * DataFrames) can be collected — the maps stay bounded by the live
@@ -43,6 +43,7 @@ object WheelCatalog {
     distinctCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     quantileCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     frequencyCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    cohortCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
   }
 
   private val distinctCache =
@@ -59,6 +60,19 @@ object WheelCatalog {
     SessionSweeper.track(spark)
     quantileCache.computeIfAbsent((spark, key, tsCol, valueCol),
       _ => QuantileWheel.build(events, tsCol, valueCol))
+  }
+
+  private val cohortCache =
+    new ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String, String, String), CohortWheel]()
+
+  /** Build-once cache for the Theta [[CohortWheel]], same lifecycle. */
+  def cachedCohort(spark: org.apache.spark.sql.SparkSession, key: String,
+      tsCol: String = "ts", keyCol: String = "user_id")(
+      events: => DataFrame): CohortWheel = {
+    sweepStopped()
+    SessionSweeper.track(spark)
+    cohortCache.computeIfAbsent((spark, key, tsCol, keyCol),
+      _ => CohortWheel.build(events, tsCol, keyCol))
   }
 
   private val frequencyCache =
