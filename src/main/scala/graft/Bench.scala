@@ -78,7 +78,7 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // n_queries rides along so cross-round totals can be normalized —
     // the declared inventory grows every round (66 in r2, 103 in r3/r4,
-    // 124 in r5), so a raw total comparison penalizes added coverage.
+    // 125 in r5), so a raw total comparison penalizes added coverage.
     val meanSec = if (results.nonEmpty) total / results.size else 0.0
     val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""n_queries":${results.size},"mean_query_sec":$meanSec,""" +

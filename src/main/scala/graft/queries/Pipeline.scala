@@ -112,6 +112,24 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // URL/domain blocklist filter (round 5): the C4-style "drop every
+    // doc from a blocked domain" gate, shaped for scale — the blocklist
+    // is a TABLE (at production size it's millions of hosts, far past
+    // isin-literal folding), broadcast and anti-joined so the corpus
+    // never shuffles. Hosts derive from the cleaning family's synthetic
+    // page URL; the blocklist blocks 3 of the 20 sources.
+    "q_blocklist_filter" -> ((s, dir) => {
+      import s.implicits._
+      val blocklist = broadcast(Seq("src1", "src7", "src13")
+        .map(b => s"$b.example.com").toDF("blocked_host"))
+      t(s, dir, "documents")
+        .withColumn("host", concat(col("source"), lit(".example.com")))
+        .join(blocklist, col("host") === col("blocked_host"), "left_anti")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("source"))
+    }),
+
     // Unicode NFC normalization (round 5): the canonicalization pass a
     // real corpus pipeline runs before hashing/dedup — visually
     // identical strings with different codepoint sequences (composed é
@@ -298,6 +316,12 @@ object Pipeline {
         "SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (" +
         "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off " +
         "FROM documents) ORDER BY doc_id"),
+    "q_blocklist_filter" ->
+      ("WITH bl AS (SELECT unnest(['src1.example.com', 'src7.example.com', " +
+        "'src13.example.com']) AS blocked_host) " +
+        "SELECT source, COUNT(1) AS n_docs FROM documents " +
+        "WHERE source || '.example.com' NOT IN (SELECT blocked_host FROM bl) " +
+        "GROUP BY source ORDER BY source"),
     "q_unicode_norm" ->
       ("WITH d AS (SELECT doc_id, substr(text, 1, 20) || CASE WHEN doc_id % 3 = 0 " +
         "THEN ' cafe' || chr(769) ELSE ' caf' || chr(233) END AS dirty FROM documents) " +

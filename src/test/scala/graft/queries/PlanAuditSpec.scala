@@ -232,6 +232,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("UDF(knownnotnull(l_orderkey"), p)
   }
 
+  test("q_blocklist_filter anti-joins a broadcast blocklist (corpus never shuffles for it)") {
+    val p = plan("q_blocklist_filter")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q_data_mixture is join-free: budget scalar + one lang window") {
     val p = plan("q_data_mixture")
     // the token budget arrives as a driver scalar (no join against a
