@@ -223,6 +223,39 @@ final class LiveFrequencyWheel(keepMinutes: Option[Int] = None)
       .take(k)
 }
 
+/** A LIVE cohort wheel: per-minute Theta sketches accumulated across
+  * micro-batches (union is associative — same stateless pattern as the
+  * KLL/Misra-Gries live wheels), giving set ALGEBRA over ranges of a
+  * running stream: live retention/churn between two windows. */
+final class LiveCohortWheel(keepMinutes: Option[Int] = None)
+    extends LiveSketchWheel(keepMinutes) {
+
+  protected def land(existing: Array[Byte], incoming: Array[Byte]): Array[Byte] =
+    graft.wheel.CohortWheel.mergeBytes(existing, incoming)
+
+  /** The distinct-key SET of a minute-aligned half-open range. */
+  def rangeSketch(startMs: Long, endMs: Long): org.apache.datasketches.theta.CompactSketch = {
+    val u = org.apache.datasketches.theta.SetOperation.builder().buildUnion()
+    LiveWheel.foreachMinuteSlot(startMs, endMs) { slot =>
+      val sk = minutes.get(slot)
+      if (sk != null) u.union(org.apache.datasketches.theta.CompactSketch
+        .heapify(org.apache.datasketches.memory.Memory.wrap(sk)))
+    }
+    u.getResult
+  }
+
+  def distinct(startMs: Long, endMs: Long): Double =
+    rangeSketch(startMs, endMs).getEstimate
+
+  /** Estimated |A ∩ B| between two ranges of the live stream. */
+  def intersectCount(a: (Long, Long), b: (Long, Long)): Double = {
+    val i = org.apache.datasketches.theta.SetOperation.builder().buildIntersection()
+    i.intersect(rangeSketch(a._1, a._2))
+    i.intersect(rangeSketch(b._1, b._2))
+    i.getResult.getEstimate
+  }
+}
+
 /** [[LiveWheel]] generalized over a dimension key — the streaming
   * counterpart of [[graft.wheel.KeyedWheelIndex]]: one live minute-slot
   * map per observed key, fed by [[StreamingRollup.keyedMinuteRollup]]'s
@@ -376,6 +409,26 @@ object StreamingWheel {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         live.merge(graft.wheel.FrequencyWheel
+          .slotSketches(batch, tsCol, keyCol).collect())
+      }
+    (w, live)
+  }
+
+  /** Cohort variant: per-micro-batch partial Theta sketches (the batch
+    * build's two-stage aggregation, no streaming state) unioned into a
+    * [[LiveCohortWheel]]'s slots — same stateless contract as
+    * [[quantileWriter]]/[[frequencyWriter]]. */
+  def cohortWriter(events: DataFrame, tsCol: String, keyCol: String,
+      retention: Retention = Retention.Keep): (DataStreamWriter[Row], LiveCohortWheel) = {
+    val live = new LiveCohortWheel(retention match {
+      case Retention.Keep => None
+      case Retention.KeepN(n) => Some(n)
+    })
+    val w = events
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        live.merge(graft.wheel.CohortWheel
           .slotSketches(batch, tsCol, keyCol).collect())
       }
     (w, live)

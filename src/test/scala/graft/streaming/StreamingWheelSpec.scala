@@ -158,6 +158,29 @@ class StreamingWheelSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("live cohort wheel: cross-batch union, live retention between windows") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val (w, live) = StreamingWheel.cohortWriter(
+      mem.toDF().toDF("ts", "user_id"), "ts", "user_id")
+    val q = w.start()
+    try {
+      // window A (minute 0): users 1,2,3; window B (minute 1): 2,3,4 —
+      // across two micro-batches so slot sketches accumulate by union
+      mem.addData(Seq((ts(0), 1L), (ts(0), 2L), (ts(Min), 2L)))
+      q.processAllAvailable()
+      mem.addData(Seq((ts(0), 3L), (ts(Min), 3L), (ts(Min), 4L)))
+      q.processAllAvailable()
+      assert(live.distinct(T0, T0 + Min).round == 3L)
+      assert(live.distinct(T0 + Min, T0 + 2 * Min).round == 3L)
+      // retention: users 2 and 3 appear in both windows
+      assert(live.intersectCount(
+        (T0, T0 + Min), (T0 + Min, T0 + 2 * Min)).round == 2L)
+      assert(live.retainedSlots == 2)
+    } finally q.stop()
+  }
+
   test("KeepN retention keeps the live state a bounded sliding window") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
