@@ -146,13 +146,15 @@ object Core {
     "q_wheel_cohort" -> ((s, dir) => {
       import s.implicits._
       val idx = WheelCatalog.cachedCohort(s, s"$dir/events.parquet")(t(s, dir, "events"))
-      val a = (R1Start, R1End)
-      val b = (R1End, R1End + 7 * Day)
+      // each range's sketch materializes ONCE; all four numbers derive
+      // from the two sketches
+      val sa = idx.rangeSketch(R1Start, R1End)
+      val sb = idx.rangeSketch(R1End, R1End + 7 * Day)
       Seq((
-        idx.distinct(a._1, a._2).round,
-        idx.distinct(b._1, b._2).round,
-        idx.intersectCount(a, b).round,
-        idx.diffCount(a, b).round))
+        sa.getEstimate.round,
+        sb.getEstimate.round,
+        graft.wheel.CohortWheel.intersectCount(sa, sb).round,
+        graft.wheel.CohortWheel.diffCount(sa, sb).round))
         .toDF("n_a", "n_b", "n_retained", "n_churned")
     }),
 

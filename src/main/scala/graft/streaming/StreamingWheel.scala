@@ -248,12 +248,9 @@ final class LiveCohortWheel(keepMinutes: Option[Int] = None)
     rangeSketch(startMs, endMs).getEstimate
 
   /** Estimated |A ∩ B| between two ranges of the live stream. */
-  def intersectCount(a: (Long, Long), b: (Long, Long)): Double = {
-    val i = org.apache.datasketches.theta.SetOperation.builder().buildIntersection()
-    i.intersect(rangeSketch(a._1, a._2))
-    i.intersect(rangeSketch(b._1, b._2))
-    i.getResult.getEstimate
-  }
+  def intersectCount(a: (Long, Long), b: (Long, Long)): Double =
+    graft.wheel.CohortWheel.intersectCount(
+      rangeSketch(a._1, a._2), rangeSketch(b._1, b._2))
 }
 
 /** [[LiveWheel]] generalized over a dimension key — the streaming

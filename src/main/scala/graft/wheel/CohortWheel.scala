@@ -1,7 +1,7 @@
 package graft.wheel
 
 import org.apache.datasketches.memory.Memory
-import org.apache.datasketches.theta.{CompactSketch, SetOperation, Sketch, UpdateSketch}
+import org.apache.datasketches.theta.{CompactSketch, SetOperation, UpdateSketch}
 import org.apache.spark.sql.{DataFrame, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
@@ -59,19 +59,16 @@ final class CohortWheel private (
   def distinct(startMs: Long, endMs: Long): Double =
     rangeSketch(startMs, endMs).getEstimate
 
-  /** Estimated |A ∩ B| — keys active in BOTH ranges (retention). */
-  def intersectCount(a: (Long, Long), b: (Long, Long)): Double = {
-    val i = SetOperation.builder().buildIntersection()
-    i.intersect(rangeSketch(a._1, a._2))
-    i.intersect(rangeSketch(b._1, b._2))
-    i.getResult.getEstimate
-  }
+  /** Estimated |A ∩ B| — keys active in BOTH ranges (retention).
+    * Callers holding the sketches already (e.g. deriving several
+    * numbers from the same two ranges) should use the companion's
+    * sketch-level ops instead of re-materializing ranges per call. */
+  def intersectCount(a: (Long, Long), b: (Long, Long)): Double =
+    CohortWheel.intersectCount(rangeSketch(a._1, a._2), rangeSketch(b._1, b._2))
 
   /** Estimated |A \ B| — keys active in A but gone in B (churn). */
   def diffCount(a: (Long, Long), b: (Long, Long)): Double =
-    SetOperation.builder().buildANotB()
-      .aNotB(rangeSketch(a._1, a._2), rangeSketch(b._1, b._2))
-      .getEstimate
+    CohortWheel.diffCount(rangeSketch(a._1, a._2), rangeSketch(b._1, b._2))
 
   def sizeBytes: Long =
     tiers.valuesIterator.flatMap(_.iterator)
@@ -81,6 +78,18 @@ final class CohortWheel private (
 }
 
 object CohortWheel {
+
+  /** |A ∩ B| of two materialized range sketches. */
+  def intersectCount(a: CompactSketch, b: CompactSketch): Double = {
+    val i = SetOperation.builder().buildIntersection()
+    i.intersect(a)
+    i.intersect(b)
+    i.getResult.getEstimate
+  }
+
+  /** |A \ B| of two materialized range sketches. */
+  def diffCount(a: CompactSketch, b: CompactSketch): Double =
+    SetOperation.builder().buildANotB().aNotB(a, b).getEstimate
 
   /** Merges serialized compact Theta sketches by union — BYTES in/out,
     * the family's shuffle-buffer convention. */
@@ -107,52 +116,27 @@ object CohortWheel {
 
   /** Per-minute-slot compact Theta sketches — both build stages, no
     * collect (shared by batch build and any streaming feed). Schema:
-    * (slot_ms long, sk binary). Long-key contract enforced like
-    * [[FrequencyWheel]]'s. */
-  def slotSketches(events: DataFrame, tsCol: String, keyCol: String): DataFrame = {
-    val spark = events.sparkSession
-    import spark.implicits._
-    val keyType = events.schema(keyCol).dataType
-    require(Seq("byte", "short", "integer", "long")
-        .contains(keyType.typeName),
-      s"CohortWheel key column '$keyCol' must be an integral type, " +
-        s"got ${keyType.typeName}")
-    val slotted = events
-      .filter(col(tsCol).isNotNull && col(keyCol).isNotNull)
-      .select(RollupBuilder.slotMs(col(tsCol), Tier.Minute).as("slot_ms"),
-        col(keyCol).cast("long").as("k"))
-      .as[(Long, Long)]
-    val partials = slotted.mapPartitions { it =>
-      val m = new java.util.HashMap[Long, UpdateSketch]()
-      it.foreach { case (slot, k) =>
-        m.computeIfAbsent(slot, _ => UpdateSketch.builder().build()).update(k)
-      }
-      import scala.jdk.CollectionConverters._
-      m.entrySet().iterator().asScala
-        .map(e => (e.getKey.longValue(), e.getValue.compact().toByteArray))
-    }
-    partials.toDF("slot_ms", "sk")
-      .groupBy("slot_ms")
-      .agg(udaf(ThetaUnionAgg).apply(col("sk")).as("sk"))
-  }
+    * (slot_ms long, sk binary). Long-key contract enforced by the
+    * shared family build. */
+  def slotSketches(events: DataFrame, tsCol: String, keyCol: String): DataFrame =
+    SketchBlocks.longKeySlotSketches[UpdateSketch](events, tsCol, keyCol,
+      "CohortWheel",
+      () => UpdateSketch.builder().build(),
+      (s, k) => { s.update(k); () },
+      _.compact().toByteArray,
+      ThetaUnionAgg)
 
   /** Per-tier [[Retention]] evicts old fine-tier slots at build time —
     * identical contract to the other sketch wheels. */
   def build(events: DataFrame, tsCol: String, keyCol: String,
       retention: Map[Tier, Retention] = Map.empty): CohortWheel = {
-    val rows = slotSketches(events, tsCol, keyCol).collect()
-    require(rows.nonEmpty, "cannot index an empty source")
-    val (base, horizon) = SketchBlocks.span(rows.map(_.getLong(0)))
-    val minute = SketchBlocks.minuteBlock(rows, base, horizon)
     def mergeAll(group: Seq[Array[Byte]]): Array[Byte] = {
       val u = SetOperation.builder().buildUnion()
       group.foreach(b => u.union(CompactSketch.heapify(Memory.wrap(b))))
       u.getResult.toByteArray
     }
-    val hour = SketchBlocks.coarsen(minute, base, horizon, Tier.Minute, Tier.Hour)(mergeAll)
-    val day = SketchBlocks.coarsen(hour, base, horizon, Tier.Hour, Tier.Day)(mergeAll)
-    val blocks = Map[Tier, Array[Array[Byte]]](
-      Tier.Minute -> minute, Tier.Hour -> hour, Tier.Day -> day)
+    val (base, horizon, blocks) = SketchBlocks.buildTiers(
+      slotSketches(events, tsCol, keyCol).collect())(mergeAll)
     val wheel = new CohortWheel(base, horizon, blocks, retention)
     SketchBlocks.evict(blocks, base, wheel.retainedStartMs)
     wheel

@@ -128,56 +128,26 @@ object FrequencyWheel {
     * collect, shared verbatim by the streaming per-micro-batch path.
     * Schema: (slot_ms long, sk binary). NULL ts/key rows are excluded
     * (SQL aggregate convention, like the HLL/KLL wheels). */
-  def slotSketches(events: DataFrame, tsCol: String, keyCol: String): DataFrame = {
-    val spark = events.sparkSession
-    import spark.implicits._
-    // Long-key contract, asserted rather than documented: a string key
-    // would cast to null (crashing the tuple decode mid-job), a double
-    // key would silently truncate 7.2 and 7.9 onto the same counter —
-    // fail fast with the actual type instead. (String keys want an
-    // ItemsSketch variant; this wheel is the long-key instantiation.)
-    val keyType = events.schema(keyCol).dataType
-    require(Seq("byte", "short", "integer", "long")
-        .contains(keyType.typeName),
-      s"FrequencyWheel key column '$keyCol' must be an integral type, " +
-        s"got ${keyType.typeName}")
-    val slotted = events
-      .filter(col(tsCol).isNotNull && col(keyCol).isNotNull)
-      .select(RollupBuilder.slotMs(col(tsCol), Tier.Minute).as("slot_ms"),
-        col(keyCol).cast("long").as("k"))
-      .as[(Long, Long)]
-    val partials = slotted.mapPartitions { it =>
-      val m = new java.util.HashMap[Long, LongsSketch]()
-      it.foreach { case (slot, k) =>
-        m.computeIfAbsent(slot, _ => new LongsSketch(MaxMapSize)).update(k)
-      }
-      import scala.jdk.CollectionConverters._
-      m.entrySet().iterator().asScala
-        .map(e => (e.getKey.longValue(), e.getValue.toByteArray))
-    }
-    partials.toDF("slot_ms", "sk")
-      .groupBy("slot_ms")
-      .agg(udaf(FreqMergeAgg).apply(col("sk")).as("sk"))
-  }
+  def slotSketches(events: DataFrame, tsCol: String, keyCol: String): DataFrame =
+    SketchBlocks.longKeySlotSketches[LongsSketch](events, tsCol, keyCol,
+      "FrequencyWheel",
+      () => new LongsSketch(MaxMapSize),
+      (s, k) => s.update(k),
+      _.toByteArray,
+      FreqMergeAgg)
 
   /** Per-tier [[Retention]] evicts old fine-tier slots at build time,
     * after coarser tiers roll up — identical contract to the other
     * sketch wheels. */
   def build(events: DataFrame, tsCol: String, keyCol: String,
       retention: Map[Tier, Retention] = Map.empty): FrequencyWheel = {
-    val rows = slotSketches(events, tsCol, keyCol).collect()
-    require(rows.nonEmpty, "cannot index an empty source")
-    val (base, horizon) = SketchBlocks.span(rows.map(_.getLong(0)))
-    val minute = SketchBlocks.minuteBlock(rows, base, horizon)
     def mergeAll(group: Seq[Array[Byte]]): Array[Byte] = {
       val acc = new LongsSketch(MaxMapSize)
       group.foreach(b => acc.merge(LongsSketch.getInstance(Memory.wrap(b))))
       acc.toByteArray
     }
-    val hour = SketchBlocks.coarsen(minute, base, horizon, Tier.Minute, Tier.Hour)(mergeAll)
-    val day = SketchBlocks.coarsen(hour, base, horizon, Tier.Hour, Tier.Day)(mergeAll)
-    val blocks = Map[Tier, Array[Array[Byte]]](
-      Tier.Minute -> minute, Tier.Hour -> hour, Tier.Day -> day)
+    val (base, horizon, blocks) = SketchBlocks.buildTiers(
+      slotSketches(events, tsCol, keyCol).collect())(mergeAll)
     val wheel = new FrequencyWheel(base, horizon, blocks, retention)
     SketchBlocks.evict(blocks, base, wheel.retainedStartMs)
     wheel

@@ -1,12 +1,69 @@
 package graft.wheel
 
-import org.apache.spark.sql.Row
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
 
-/** Shared layout / roll-up / eviction helpers for the byte-serialized
-  * sketch wheels ([[DistinctWheel]]'s HLL, [[QuantileWheel]]'s KLL) —
-  * the tier mechanics are identical, only the merge operation differs,
-  * so it is the one thing callers pass in. */
+/** Shared layout / roll-up / eviction / build helpers for the
+  * byte-serialized sketch wheels (HLL distinct, KLL quantile,
+  * Misra-Gries frequency, Theta cohort) — the tier mechanics and the
+  * two-stage long-key build are identical across the family; only the
+  * sketch operations differ, so they are the things callers pass in. */
 private[wheel] object SketchBlocks {
+
+  /** The family's two-stage LONG-KEY slot-sketch build (map-side local
+    * sketches via mapPartitions, ONE shuffle of serialized sketches
+    * merged per slot) — shared by [[FrequencyWheel]] and [[CohortWheel]].
+    * Enforces the integral-key contract: a string key would cast to
+    * null and crash the tuple decode mid-job, a double key would
+    * silently truncate distinct values together. */
+  def longKeySlotSketches[S](events: DataFrame, tsCol: String, keyCol: String,
+      wheelName: String,
+      newSketch: () => S,
+      update: (S, Long) => Unit,
+      serialize: S => Array[Byte],
+      merge: Aggregator[Array[Byte], Array[Byte], Array[Byte]]): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val keyType = events.schema(keyCol).dataType
+    require(Seq("byte", "short", "integer", "long")
+        .contains(keyType.typeName),
+      s"$wheelName key column '$keyCol' must be an integral type, " +
+        s"got ${keyType.typeName}")
+    val slotted = events
+      .filter(col(tsCol).isNotNull && col(keyCol).isNotNull)
+      .select(RollupBuilder.slotMs(col(tsCol), Tier.Minute).as("slot_ms"),
+        col(keyCol).cast("long").as("k"))
+      .as[(Long, Long)]
+    val partials = slotted.mapPartitions { it =>
+      val m = new java.util.HashMap[Long, S]()
+      it.foreach { case (slot, k) =>
+        var s = m.get(slot)
+        if (s == null) { s = newSketch(); m.put(slot, s) }
+        update(s, k)
+      }
+      import scala.jdk.CollectionConverters._
+      m.entrySet().iterator().asScala
+        .map(e => (e.getKey.longValue(), serialize(e.getValue)))
+    }
+    partials.toDF("slot_ms", "sk")
+      .groupBy("slot_ms")
+      .agg(udaf(merge).apply(col("sk")).as("sk"))
+  }
+
+  /** The family's span/minute-block/coarsen sequence: collected
+    * (slot_ms, sketch) rows → per-tier dense blocks. Callers wrap the
+    * result in their wheel and run [[evict]]. */
+  def buildTiers(rows: Array[Row])(mergeAll: Seq[Array[Byte]] => Array[Byte])
+      : (Long, Long, Map[Tier, Array[Array[Byte]]]) = {
+    require(rows.nonEmpty, "cannot index an empty source")
+    val (base, horizon) = span(rows.map(_.getLong(0)))
+    val minute = minuteBlock(rows, base, horizon)
+    val hour = coarsen(minute, base, horizon, Tier.Minute, Tier.Hour)(mergeAll)
+    val day = coarsen(hour, base, horizon, Tier.Hour, Tier.Day)(mergeAll)
+    (base, horizon, Map[Tier, Array[Array[Byte]]](
+      Tier.Minute -> minute, Tier.Hour -> hour, Tier.Day -> day))
+  }
 
   /** Day-aligned [base, horizon) covering the observed minute slots. */
   def span(slots: Array[Long]): (Long, Long) =
