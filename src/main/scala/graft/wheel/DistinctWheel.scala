@@ -80,18 +80,12 @@ object DistinctWheel {
       .groupBy("slot_ms")
       .agg(hll_sketch_agg(col("k"), lit(LgK)).as("sk"))
       .collect()
-    require(rows.nonEmpty, "cannot index an empty source")
-    val (base, horizon) = SketchBlocks.span(rows.map(_.getLong(0)))
-    val minute = SketchBlocks.minuteBlock(rows, base, horizon)
     def unionAll(group: Seq[Array[Byte]]): Array[Byte] = {
       val u = new Union(LgK)
       group.foreach(b => u.update(HllSketch.heapify(b)))
       u.getResult(TgtHllType.HLL_8).toCompactByteArray
     }
-    val hour = SketchBlocks.coarsen(minute, base, horizon, Tier.Minute, Tier.Hour)(unionAll)
-    val day = SketchBlocks.coarsen(hour, base, horizon, Tier.Hour, Tier.Day)(unionAll)
-    val blocks = Map[Tier, Array[Array[Byte]]](
-      Tier.Minute -> minute, Tier.Hour -> hour, Tier.Day -> day)
+    val (base, horizon, blocks) = SketchBlocks.buildTiers(rows)(unionAll)
     val wheel = new DistinctWheel(base, horizon, blocks, retention)
     SketchBlocks.evict(blocks, base, wheel.retainedStartMs)
     wheel

@@ -146,19 +146,13 @@ object QuantileWheel {
     * answer through retained coarse tiers, like the sum wheel). */
   def build(events: DataFrame, tsCol: String, valueCol: String,
       retention: Map[Tier, Retention] = Map.empty): QuantileWheel = {
-    val rows = slotSketches(events, tsCol, valueCol).collect()
-    require(rows.nonEmpty, "cannot index an empty source")
-    val (base, horizon) = SketchBlocks.span(rows.map(_.getLong(0)))
-    val minute = SketchBlocks.minuteBlock(rows, base, horizon)
     def mergeAll(group: Seq[Array[Byte]]): Array[Byte] = {
       val acc = KllDoublesSketch.newHeapInstance(K)
       group.foreach(b => acc.merge(KllDoublesSketch.heapify(Memory.wrap(b))))
       acc.toByteArray
     }
-    val hour = SketchBlocks.coarsen(minute, base, horizon, Tier.Minute, Tier.Hour)(mergeAll)
-    val day = SketchBlocks.coarsen(hour, base, horizon, Tier.Hour, Tier.Day)(mergeAll)
-    val blocks = Map[Tier, Array[Array[Byte]]](
-      Tier.Minute -> minute, Tier.Hour -> hour, Tier.Day -> day)
+    val (base, horizon, blocks) = SketchBlocks.buildTiers(
+      slotSketches(events, tsCol, valueCol).collect())(mergeAll)
     val wheel = new QuantileWheel(base, horizon, blocks, retention)
     SketchBlocks.evict(blocks, base, wheel.retainedStartMs)
     wheel
