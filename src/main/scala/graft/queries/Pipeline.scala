@@ -316,11 +316,16 @@ object Pipeline {
         "SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (" +
         "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off " +
         "FROM documents) ORDER BY doc_id"),
+    // NOT EXISTS, not NOT IN: the Spark side is a left_anti join, which
+    // KEEPS a null-host row, while NULL NOT IN (...) would drop it — the
+    // anti-join formulation matches the null semantics by construction
+    // (ADVICE r5; moot on the null-free fixture, load-bearing beyond it).
     "q_blocklist_filter" ->
       ("WITH bl AS (SELECT unnest(['src1.example.com', 'src7.example.com', " +
         "'src13.example.com']) AS blocked_host) " +
-        "SELECT source, COUNT(1) AS n_docs FROM documents " +
-        "WHERE source || '.example.com' NOT IN (SELECT blocked_host FROM bl) " +
+        "SELECT source, COUNT(1) AS n_docs FROM documents d " +
+        "WHERE NOT EXISTS (SELECT 1 FROM bl " +
+        "WHERE bl.blocked_host = d.source || '.example.com') " +
         "GROUP BY source ORDER BY source"),
     "q_unicode_norm" ->
       ("WITH d AS (SELECT doc_id, substr(text, 1, 20) || CASE WHEN doc_id % 3 = 0 " +

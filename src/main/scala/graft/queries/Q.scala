@@ -55,4 +55,14 @@ object Q {
     * index + edge-scan fallback path: [R2Start+23s, R2End−41s). */
   val RuStart: Long = R2Start + 23000L
   val RuEnd: Long = R2End - 41000L
+
+  /** SMALL range for the sketch wheels' exact regimes:
+    * [2024-01-10T00:00, 2024-01-10T10:00) — ≤150 rows at the verify SF
+    * (under the KLL k=200 exact buffer), non-empty at every SF. */
+  val RqStart: Long = Jan1 + 9 * Day
+  val RqEnd: Long = RqStart + 10 * Hour
+
+  /** Sliding-series day: every minute of 2024-01-10. */
+  val RsStart: Long = Jan1 + 9 * Day
+  val RsEnd: Long = RsStart + Day
 }

@@ -96,9 +96,13 @@ final class WheelIndex private (
     * only usable while the minute tier retains the full span (KeepN
     * eviction zeroes old minutes, which would silently drop history the
     * coarse tiers still hold — those queries take the tier walk).
-    * Last-ulp note: the prefix difference is an IEEE-754 reordering of
-    * the same addends the tier walk combines; both are equally valid
-    * float orderings of the exact per-minute partials. */
+    * Last-ulp note: the prefix difference is NOT a mere reordering of
+    * the tier walk's addends — subtracting two accumulated prefix sums
+    * cancels, so the absolute error is bounded by an ulp of the
+    * FULL-SPAN running total, not of the range sum; a short range late
+    * in a large-magnitude span can differ from the walk by more than a
+    * reordering would. Harmless for the rounded oracle surface; callers
+    * needing walk-identical floats should use [[query]]. */
   @transient private lazy val minutePrefix: (Array[Double], Array[Long]) = {
     val b = tiers(Tier.Minute)
     val n = b.sum.length
@@ -143,6 +147,40 @@ final class WheelIndex private (
       val j = clampIdx(endMs, pc.length - 1)
       if (j <= i) 0L else pc(j) - pc(i)
     } else query(startMs, endMs).count
+  }
+
+  /** Sliding-window SERIES: the trailing-`windowMs` sum/count ending at
+    * every non-empty minute slot of `[seriesStartMs, seriesEndMs)` —
+    * µWheel's sliding-window query surface (uwheel 0.1.2's window API;
+    * slide = one finest-tier slot) answered in ONE O(minutes) pass over
+    * the invertible-aggregate prefix arrays ([[minutePrefix]]): two
+    * array reads per emitted point instead of a tier walk per point.
+    *
+    * Emits rows only for slots whose OWN minute holds data, matching a
+    * RANGE-frame window function over the minute rollup (which likewise
+    * only emits rollup rows that exist). Windows reaching before the
+    * index base clamp to the base — the same truncation the rollup
+    * window applies. Falls back to per-point [[query]] walks when the
+    * prefix path is unavailable (minute-tier KeepN retention). */
+  def slidingSeries(seriesStartMs: Long, seriesEndMs: Long, windowMs: Long)
+      : Seq[(Long, Double, Long)] = {
+    val m = Tier.finest.ms
+    require(seriesStartMs % m == 0 && seriesEndMs % m == 0 &&
+        windowMs % m == 0 && windowMs >= m,
+      s"series [$seriesStartMs, $seriesEndMs) and window $windowMs must be " +
+        s"${Tier.finest.name}-aligned")
+    val out = Seq.newBuilder[(Long, Double, Long)]
+    var slot = math.max(seriesStartMs, baseMs)
+    val stop = math.min(seriesEndMs, horizonMs)
+    while (slot < stop) {
+      val end = slot + m
+      if (queryCount(slot, end) > 0L) {
+        val wStart = math.max(baseMs, end - windowMs)
+        out += ((slot, querySum(wStart, end), queryCount(wStart, end)))
+      }
+      slot += m
+    }
+    out.result()
   }
 
   private def combineRun(run: Run): AllAggregate = {

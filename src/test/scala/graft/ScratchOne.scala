@@ -20,8 +20,10 @@ object ScratchOne {
     val spark = TestSpark.spark
     fn(spark, sfDir)
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+    // Verify.q escapes control chars too — keep the one-query loop's JSON
+    // byte-compatible with the full Verify dump (ADVICE r5).
     val oj = SparkEntry.oracleSql.get(name).map { sql =>
-      "{\"" + name + "\": \"" + sql.replace("\\", "\\\\").replace("\"", "\\\"") + "\"}"
+      "{" + Verify.q(name) + ": " + Verify.q(sql) + "}"
     }.getOrElse("{}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/oracle_sql.json"), oj)

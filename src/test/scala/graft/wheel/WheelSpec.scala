@@ -210,6 +210,35 @@ class WheelSpec extends AnyFunSuite {
     assert(e.getMessage.contains("residue"), e.getMessage)
   }
 
+  test("sliding series equals per-range queries and clamps at the base") {
+    val windowMs = 3600000L
+    // first day: early windows reach before the base and must clamp
+    val series = idx.slidingSeries(Jan1, Jan1 + 86400000L, windowMs)
+    assert(series.nonEmpty)
+    series.foreach { case (slot, s, n) =>
+      val end = slot + 60000L
+      val wStart = math.max(idx.baseMs, end - windowMs)
+      val want = idx.query(wStart, end)
+      assertClose(s, want.sum)
+      assert(n == want.count)
+    }
+    // exactly the non-empty minutes of the day, in order
+    val expectSlots = (0 until 1440).map(i => Jan1 + i * 60000L)
+      .filter(sl => idx.queryCount(sl, sl + 60000L) > 0L)
+    assert(series.map(_._1) == expectSlots)
+  }
+
+  test("sliding series under minute retention takes the walk path and agrees") {
+    val bounded = WheelIndex.build(events, "ts", "value",
+      Map(Tier.Minute -> Retention.KeepN(24 * 60)))
+    // start 1h into the retained day so every trailing window stays retained
+    val dayStart = bounded.horizonMs - 86400000L + 3600000L
+    val s1 = bounded.slidingSeries(dayStart, bounded.horizonMs, 3600000L)
+    val s2 = idx.slidingSeries(dayStart, idx.horizonMs, 3600000L)
+    assert(s1.map(x => (x._1, x._3)) == s2.map(x => (x._1, x._3)))
+    s1.zip(s2).foreach { case ((_, a, _), (_, b, _)) => assertClose(a, b) }
+  }
+
   test("explain names the tier decomposition") {
     val s = idx.explain(Jan1 + 60000L, Jan1 + 2 * 86400000L + 3600000L + 120000L)
     assert(s.contains("minute") && s.contains("hour") && s.contains("day"))
