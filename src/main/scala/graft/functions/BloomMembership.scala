@@ -43,14 +43,23 @@ case class BloomMightContain(child: Expression, bloom: BloomFilter)
 }
 
 object BloomMightContain {
-  private val FnName = "graft_bloom_contains"
+  private val FnPrefix = "graft_bloom_contains"
+  private val nextId = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Column API: registers a builder capturing `bloom` on the session's
     * function registry (the filter is a runtime object, not SQL text),
-    * then plans the codegen expression via `call_function`. */
+    * then plans the codegen expression via `call_function`.
+    *
+    * The registered name is UNIQUE PER CALL: a fixed shared name would
+    * let two bloom joins built concurrently on one session race the
+    * registry slot and silently plan one join with the other's filter
+    * (it only worked because Dataset analysis is eager and
+    * single-threaded). Registry growth is bounded by the number of
+    * bloom joins built on the session — one tiny builder entry each. */
   def mightContain(spark: SparkSession, bloom: BloomFilter, key: Column): Column = {
+    val fnName = s"${FnPrefix}_${nextId.incrementAndGet()}"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName, exprs => BloomMightContain(exprs.head, bloom), "scala_udf")
-    org.apache.spark.sql.functions.call_function(FnName, key)
+      fnName, exprs => BloomMightContain(exprs.head, bloom), "scala_udf")
+    org.apache.spark.sql.functions.call_function(fnName, key)
   }
 }

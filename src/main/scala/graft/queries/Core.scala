@@ -292,6 +292,17 @@ object Core {
     // covered by QuantileWheelSpec's rank-error assertions.
     "q_wheel_quantile_exact" -> ((s, dir) => {
       val idx = WheelCatalog.cachedQuantile(s, s"$dir/events.parquet")(t(s, dir, "events"))
+      // Regime guard (ADVICE r6): the oracle-exactness claim silently
+      // depends on the range holding ≤ K rows (the KLL buffer). At a
+      // larger SF the sketch would flip approximate and the oracle diff
+      // would fail cryptically — fail loudly AT THE QUERY instead, via
+      // an O(1) count from the sum wheel.
+      val n = WheelCatalog.cached(s, s"$dir/events.parquet")(t(s, dir, "events"))
+        .queryCount(RqStart, RqEnd)
+      require(n <= graft.wheel.QuantileWheel.K,
+        s"q_wheel_quantile_exact range holds $n rows > KLL k=" +
+          s"${graft.wheel.QuantileWheel.K}: the sketch is no longer in its " +
+          "exact regime at this SF; shrink the range or drop the oracle")
       val Seq(p25, p50, p90) =
         idx.queryQuantiles(RqStart, RqEnd, Seq(0.25, 0.5, 0.9))
       s.range(1).select(
@@ -308,8 +319,16 @@ object Core {
     // declared-approximate q_wheel_distinct.
     "q_wheel_distinct_exact" -> ((s, dir) => {
       val idx = WheelCatalog.cachedCohort(s, s"$dir/events.parquet")(t(s, dir, "events"))
-      val n = idx.distinct(R1Start, R1End).round
-      s.range(1).select(lit(n).as("n_users"))
+      val sk = idx.rangeSketch(R1Start, R1End)
+      // Regime guard (ADVICE r6): exactness holds only while the Theta
+      // sketch retains every hash (below the nominal 4096). A larger SF
+      // would flip it into estimation mode and fail the oracle diff with
+      // no indication why — fail loudly at the query instead.
+      require(!sk.isEstimationMode,
+        "q_wheel_distinct_exact's Theta sketch is in estimation mode at " +
+          "this SF: the exact-regime oracle claim no longer holds; " +
+          "narrow the range or drop the oracle")
+      s.range(1).select(lit(sk.getEstimate.round).as("n_users"))
     }),
 
     // TopN from the keyed wheel (round 5): completes the µWheel

@@ -75,6 +75,12 @@ final class CohortWheel private (
       .map(b => if (b == null) 0L else b.length.toLong).sum
 
   def slotCounts: Map[Tier, Int] = tiers.map { case (t, b) => t -> b.length }
+
+  /** Tier occupancy + combine plan — the family-wide introspection
+    * surface (VERDICT r6 #3), same shape as `WheelIndex.explain`. */
+  def explain(startMs: Long, endMs: Long): String =
+    WheelExplain.render("CohortWheel(Theta)", baseMs, horizonMs, sizeBytes,
+      WheelExplain.tierLines(tiers, retainedStartMs), startMs, endMs, usable)
 }
 
 object CohortWheel {

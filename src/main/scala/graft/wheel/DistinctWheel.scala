@@ -60,6 +60,12 @@ final class DistinctWheel private (
     tiers.valuesIterator.flatMap(_.iterator).map(b => if (b == null) 0L else b.length.toLong).sum
 
   def slotCounts: Map[Tier, Int] = tiers.map { case (t, b) => t -> b.length }
+
+  /** Tier occupancy + combine plan — the family-wide introspection
+    * surface (VERDICT r6 #3), same shape as `WheelIndex.explain`. */
+  def explain(startMs: Long, endMs: Long): String =
+    WheelExplain.render("DistinctWheel(HLL)", baseMs, horizonMs, sizeBytes,
+      WheelExplain.tierLines(tiers, retainedStartMs), startMs, endMs, usable)
 }
 
 object DistinctWheel {

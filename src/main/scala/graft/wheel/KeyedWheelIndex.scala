@@ -47,6 +47,34 @@ final class KeyedWheelIndex private (
     import scala.jdk.CollectionConverters._
     slots.values().asScala.map(_.size).sum
   }
+
+  /** Approximate retained footprint, the keyed analogue of the sum
+    * wheel's `size_bytes()` (/root/reference/src/main.rs:144): per
+    * (key, slot) entry one boxed Long slot key + one 4-field
+    * AllAggregate + HashMap node (~72 B together), plus ~48 B of
+    * per-key outer-map overhead. An estimate (JVM object layout), but
+    * a faithful one: it scales with |keys| × slots, the quantity the
+    * build ceiling bounds. */
+  def sizeBytes: Long = {
+    val keyCount = slots.size.toLong
+    sizeSlots.toLong * 72L + keyCount * 48L
+  }
+
+  /** Introspection parity with the rest of the index family (VERDICT
+    * r6 #3): the keyed wheel is minute-tier-only (no coarser roll-up —
+    * per-key aggregates re-roll cheaply at query time), so its combine
+    * plan is a per-key minute walk, not a tier decomposition. */
+  def explain(startMs: Long, endMs: Long): String = {
+    require(startMs % Tier.Minute.ms == 0 && endMs % Tier.Minute.ms == 0,
+      s"keyed index answers minute-aligned ranges, got [$startMs, $endMs)")
+    def fmt(ms: Long) = java.time.Instant.ofEpochMilli(ms).toString
+    val probes = (endMs - startMs) / Tier.Minute.ms
+    s"KeyedWheelIndex(key=$keyCol)[${fmt(baseMs)}, ${fmt(horizonMs)}) " +
+      s"sizeBytes=$sizeBytes\n" +
+      s"  tier minute: ${slots.size} keys, $sizeSlots (key, slot) entries\n" +
+      s"  combine [${fmt(startMs)}, ${fmt(endMs)}) -> " +
+      s"$probes minute probes per key"
+  }
 }
 
 object KeyedWheelIndex {

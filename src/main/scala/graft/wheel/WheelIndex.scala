@@ -158,10 +158,16 @@ final class WheelIndex private (
     *
     * Emits rows only for slots whose OWN minute holds data, matching a
     * RANGE-frame window function over the minute rollup (which likewise
-    * only emits rollup rows that exist). Windows reaching before the
-    * index base clamp to the base — the same truncation the rollup
-    * window applies. Falls back to per-point [[query]] walks when the
-    * prefix path is unavailable (minute-tier KeepN retention). */
+    * only emits rollup rows that exist). Series points and trailing
+    * windows clamp to the RETAINED minute span: windows reaching before
+    * the index base truncate at the base (the same truncation the
+    * rollup window applies), and under minute-tier KeepN retention both
+    * the series start and each window start clamp to
+    * `retainedStartMs(Minute)` — evicted minutes contribute nothing
+    * (a 1-minute probe cannot decompose through a coarser tier, so
+    * without the clamp they would throw from [[Decompose]]). Inside the
+    * retained span the per-point [[query]] walk replaces the prefix
+    * fast path, which KeepN disables. */
   def slidingSeries(seriesStartMs: Long, seriesEndMs: Long, windowMs: Long)
       : Seq[(Long, Double, Long)] = {
     val m = Tier.finest.ms
@@ -169,13 +175,14 @@ final class WheelIndex private (
         windowMs % m == 0 && windowMs >= m,
       s"series [$seriesStartMs, $seriesEndMs) and window $windowMs must be " +
         s"${Tier.finest.name}-aligned")
+    val floor = math.max(baseMs, retainedStartMs(Tier.Minute))
     val out = Seq.newBuilder[(Long, Double, Long)]
-    var slot = math.max(seriesStartMs, baseMs)
+    var slot = math.max(seriesStartMs, floor)
     val stop = math.min(seriesEndMs, horizonMs)
     while (slot < stop) {
       val end = slot + m
       if (queryCount(slot, end) > 0L) {
-        val wStart = math.max(baseMs, end - windowMs)
+        val wStart = math.max(floor, end - windowMs)
         out += ((slot, querySum(wStart, end), queryCount(wStart, end)))
       }
       slot += m
@@ -201,9 +208,15 @@ final class WheelIndex private (
     acc
   }
 
-  /** The combine plan, analogous to `explain_combine_range`
-    * (/root/reference/src/main.rs:219). */
-  def explain(startMs: Long, endMs: Long): String = Decompose.explain(startMs, endMs)
+  /** The combine plan plus tier occupancy, analogous to
+    * `explain_combine_range` + `size_bytes` (/root/reference/src/main.rs:
+    * 219, 144); retention-aware — the plan shown is the one [[query]]
+    * actually takes over evicted tiers. */
+  def explain(startMs: Long, endMs: Long): String =
+    WheelExplain.render("WheelIndex(All)", baseMs, horizonMs, sizeBytes,
+      Tier.all.flatMap(t => tiers.get(t).map(b => WheelExplain.TierLine(
+        t, b.count.length, b.count.count(_ > 0L), retainedStartMs(t)))),
+      startMs, endMs, usable)
 
   /** Approximate retained-index footprint, analogous to `size_bytes()`
     * (/root/reference/src/main.rs:144): 4 primitive arrays × 8 bytes. */

@@ -238,6 +238,33 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(filterLine.exists(_.contains("*(")), s"bloom filter not in codegen stage:\n$p")
   }
 
+  test("two bloom predicates on one session keep their own filters (no registry race)") {
+    // ADVICE r6: under a FIXED registered name, building a second bloom
+    // Column before the first query analyzed would overwrite the registry
+    // slot and silently plan the first query with the second bloom. The
+    // per-instance name makes both Columns resolve their own filter even
+    // when constructed before either query plans.
+    import spark.implicits._
+    val df = (1L to 100L).toDF("k")
+    val bloomEven = df.filter(org.apache.spark.sql.functions.col("k") % 2 === 0)
+      .stat.bloomFilter("k", 1000L, 0.001)
+    val bloomSmall = df.filter(org.apache.spark.sql.functions.col("k") <= 10)
+      .stat.bloomFilter("k", 1000L, 0.001)
+    // build BOTH Columns before either query is analyzed — the race shape
+    val kCol = org.apache.spark.sql.functions.col("k")
+    val cEven = graft.functions.BloomMightContain.mightContain(spark, bloomEven, kCol)
+    val cSmall = graft.functions.BloomMightContain.mightContain(spark, bloomSmall, kCol)
+    val gotEven = df.filter(cEven).orderBy("k").as[Long].collect().toSeq
+    val gotSmall = df.filter(cSmall).orderBy("k").as[Long].collect().toSeq
+    // blooms are deterministic: the exact expected sets (false positives
+    // included) come from probing the filters directly
+    val expectEven = (1L to 100L).filter(bloomEven.mightContainLong)
+    val expectSmall = (1L to 100L).filter(bloomSmall.mightContainLong)
+    assert(expectEven != expectSmall, "test fixture failed to discriminate")
+    assert(gotEven == expectEven)
+    assert(gotSmall == expectSmall)
+  }
+
   test("q_blocklist_filter anti-joins a broadcast blocklist (corpus never shuffles for it)") {
     val p = plan("q_blocklist_filter")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)

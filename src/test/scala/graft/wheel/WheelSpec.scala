@@ -71,8 +71,11 @@ class WheelSpec extends AnyFunSuite {
       val lo = Jan1 + a * 60000L
       val hi = lo + len * 60000L
       // querySum/queryCount take the O(1) prefix path (minute tier fully
-      // retained); query() always tier-walks — the two are reorderings
-      // of the same exact per-minute partials
+      // retained); query() always tier-walks. The prefix DIFFERENCE is
+      // not a reordering of the walk's addends — subtracting accumulated
+      // prefixes carries cancellation error bounded by an ulp of the
+      // FULL-SPAN running total (WheelIndex.minutePrefix), which is what
+      // assertClose absorbs; counts are integers and must match exactly
       val walk = idx.query(lo, hi)
       assertClose(idx.querySum(lo, hi), walk.sum)
       assert(idx.queryCount(lo, hi) == walk.count)
@@ -239,10 +242,79 @@ class WheelSpec extends AnyFunSuite {
     s1.zip(s2).foreach { case ((_, a, _), (_, b, _)) => assertClose(a, b) }
   }
 
+  test("slidingSeries clamps to the retained minute span under KeepN (no throw)") {
+    // ADVICE r6: a full-span series request on a KeepN wheel used to hit
+    // evicted minute slots and throw from Decompose; series points and
+    // window starts now clamp to retainedStartMs(Minute) — evicted
+    // minutes contribute nothing, retained points answer exactly.
+    val bounded = WheelIndex.build(events, "ts", "value",
+      Map(Tier.Minute -> Retention.KeepN(24 * 60)))
+    val floor = bounded.retainedStartMs(Tier.Minute)
+    val s = bounded.slidingSeries(Jan1, bounded.horizonMs, 3600000L)
+    assert(s.nonEmpty && s.forall(_._1 >= floor), "evicted slots leaked")
+    // every emitted point equals the clamped-window per-point query,
+    // including the first hour whose windows truncate at the floor
+    s.take(90).foreach { case (slot, sumV, n) =>
+      val a = bounded.query(math.max(floor, slot + 60000L - 3600000L), slot + 60000L)
+      assertClose(sumV, a.sum)
+      assert(n == a.count)
+    }
+  }
+
   test("explain names the tier decomposition") {
     val s = idx.explain(Jan1 + 60000L, Jan1 + 2 * 86400000L + 3600000L + 120000L)
     assert(s.contains("minute") && s.contains("hour") && s.contains("day"))
     assert(s.contains("runs"))
+  }
+
+  test("explain + sizeBytes parity across the whole index family") {
+    // VERDICT r6 #3: a user debugging a slow keyed or sketch query must
+    // see the same tier breakdown the sum wheel prints — decomposition,
+    // per-tier slot/occupancy counts, and the footprint, for all six
+    // index types.
+    val range = (Jan1 + 60000L, Jan1 + 2 * 86400000L + 3600000L + 120000L)
+    // the mixed-tier cover for this range: minutes → hours → days → hour
+    val runLines = Seq("minute[", "hour[", "day[")
+    val dw = DistinctWheel.build(events, "ts", "user_id")
+    val qw = QuantileWheel.build(events, "ts", "value")
+    val fw = FrequencyWheel.build(events, "ts", "user_id")
+    val cw = CohortWheel.build(events, "ts", "user_id")
+    val fam: Seq[(String, String, Long)] = Seq(
+      ("WheelIndex(All)", idx.explain(range._1, range._2), idx.sizeBytes),
+      ("DistinctWheel(HLL)", dw.explain(range._1, range._2), dw.sizeBytes),
+      ("QuantileWheel(KLL)", qw.explain(range._1, range._2), qw.sizeBytes),
+      ("FrequencyWheel(MisraGries)", fw.explain(range._1, range._2), fw.sizeBytes),
+      ("CohortWheel(Theta)", cw.explain(range._1, range._2), cw.sizeBytes))
+    fam.foreach { case (kind, s, bytes) =>
+      assert(s.startsWith(kind), s"$kind explain header:\n$s")
+      assert(s.contains("sizeBytes=") && bytes > 0L, s"$kind footprint:\n$s")
+      Tier.all.foreach(t => assert(s.contains(s"tier ${t.name}:"),
+        s"$kind missing ${t.name} occupancy line:\n$s"))
+      assert(s.contains("non-empty"), s"$kind occupancy:\n$s")
+      runLines.foreach(r => assert(s.contains(r),
+        s"$kind combine plan missing $r run:\n$s"))
+      assert(s.contains("runs,"), s"$kind combine summary:\n$s")
+    }
+    // the keyed wheel: minute-tier-only, so its plan is a per-key walk
+    val keyed = KeyedWheelIndex.build(events, "event_type", "ts", "value")
+    val ks = keyed.explain(Jan1, Jan1 + 86400000L)
+    assert(ks.startsWith("KeyedWheelIndex(key=event_type)"), ks)
+    assert(ks.contains("sizeBytes=") && keyed.sizeBytes > 0L, ks)
+    assert(ks.contains("tier minute:") && ks.contains("(key, slot) entries"), ks)
+    assert(ks.contains("1440 minute probes per key"), ks)
+    // footprint tracks |keys| x slots: it must exceed the raw entry count
+    assert(keyed.sizeBytes > keyed.sizeSlots.toLong, ks)
+  }
+
+  test("explain is retention-aware: evicted minutes route through coarse tiers") {
+    val bounded = WheelIndex.build(events, "ts", "value",
+      Map(Tier.Minute -> Retention.KeepN(24 * 60)))
+    // a historical day: its minutes are evicted, so the printed plan
+    // must take the day tier, exactly like query() does
+    val s = bounded.explain(Jan1, Jan1 + 86400000L)
+    assert(s.contains("1 runs, 1 slot combines"), s)
+    assert(s.contains("day["), s)
+    assert(!s.contains("minute["), s)
   }
 
   test("index footprint is time-bounded, not row-bounded") {
