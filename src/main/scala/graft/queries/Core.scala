@@ -291,20 +291,30 @@ object Core {
     // bounds to a driver-verified row. The approximate regime stays
     // covered by QuantileWheelSpec's rank-error assertions.
     "q_wheel_quantile_exact" -> ((s, dir) => {
-      val idx = WheelCatalog.cachedQuantile(s, s"$dir/events.parquet")(t(s, dir, "events"))
-      // Regime guard (ADVICE r6): the oracle-exactness claim silently
-      // depends on the range holding ≤ K rows (the KLL buffer). At a
-      // larger SF the sketch would flip approximate and the oracle diff
-      // would fail cryptically — fail loudly AT THE QUERY instead, via
-      // an O(1) count from the sum wheel.
+      // Regime ROUTING (ADVICE r6, upgraded from a fail-loud guard):
+      // the exactness claim depends on the range holding ≤ K rows (the
+      // KLL buffer retains every item until then). Rather than failing
+      // when a larger SF flips the regime — the sf0.1 bench runs this
+      // query too — the route is decided by an O(1) count from the sum
+      // wheel's prefix arrays: IN regime, the sketch wheel answers
+      // (µs, the index path under test); beyond it, a bounded range
+      // scan answers with percentile_disc (same inclusive-rank
+      // semantics as the sketch's exact mode and DuckDB's
+      // quantile_disc). The query is exact at EVERY SF either way.
       val n = WheelCatalog.cached(s, s"$dir/events.parquet")(t(s, dir, "events"))
         .queryCount(RqStart, RqEnd)
-      require(n <= graft.wheel.QuantileWheel.K,
-        s"q_wheel_quantile_exact range holds $n rows > KLL k=" +
-          s"${graft.wheel.QuantileWheel.K}: the sketch is no longer in its " +
-          "exact regime at this SF; shrink the range or drop the oracle")
       val Seq(p25, p50, p90) =
-        idx.queryQuantiles(RqStart, RqEnd, Seq(0.25, 0.5, 0.9))
+        if (n <= graft.wheel.QuantileWheel.K)
+          WheelCatalog.cachedQuantile(s, s"$dir/events.parquet")(t(s, dir, "events"))
+            .queryQuantiles(RqStart, RqEnd, Seq(0.25, 0.5, 0.9))
+        else
+          t(s, dir, "events")
+            .filter(inRange(col("ts"), RqStart, RqEnd))
+            .select(
+              expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY value)"),
+              expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)"),
+              expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)"))
+            .collect()(0).toSeq.map(_.asInstanceOf[Double])
       s.range(1).select(
         round(lit(p25), 4).as("p25"),
         round(lit(p50), 4).as("p50"),
@@ -320,15 +330,43 @@ object Core {
     "q_wheel_distinct_exact" -> ((s, dir) => {
       val idx = WheelCatalog.cachedCohort(s, s"$dir/events.parquet")(t(s, dir, "events"))
       val sk = idx.rangeSketch(R1Start, R1End)
-      // Regime guard (ADVICE r6): exactness holds only while the Theta
-      // sketch retains every hash (below the nominal 4096). A larger SF
-      // would flip it into estimation mode and fail the oracle diff with
-      // no indication why — fail loudly at the query instead.
-      require(!sk.isEstimationMode,
-        "q_wheel_distinct_exact's Theta sketch is in estimation mode at " +
-          "this SF: the exact-regime oracle claim no longer holds; " +
-          "narrow the range or drop the oracle")
-      s.range(1).select(lit(sk.getEstimate.round).as("n_users"))
+      // Regime ROUTING (ADVICE r6, upgraded from a fail-loud guard):
+      // exactness holds while the Theta sketch retains every hash
+      // (below the nominal 4096 — true through sf0.1's 1 500 users).
+      // Past it the sketch flips to estimation mode and the route
+      // falls back to a bounded range-scan COUNT(DISTINCT), keeping
+      // the query exact at every SF instead of failing the bench.
+      val n =
+        if (!sk.isEstimationMode) sk.getEstimate.round
+        else t(s, dir, "events")
+          .filter(inRange(col("ts"), R1Start, R1End))
+          .agg(countDistinct(col("user_id"))).collect()(0).getLong(0)
+      s.range(1).select(lit(n).as("n_users"))
+    }),
+
+    // MULTI-MEASURE build (round 7, VERDICT r6 #4): three lineitem
+    // measures indexed over l_shipdate in ONE aggregation job + ONE
+    // slot walk (WheelIndex.buildMulti) — the reference builds one
+    // RwWheel per measure column (main.rs:78), costing N scans for N
+    // measures; here build cost is ~independent of N (Bench's wheel
+    // block reports build_1_sec vs build_3_sec). Measures are the
+    // small-magnitude columns (quantity/discount/tax, not
+    // extendedprice) so double-sum rounding stays far inside ROUND(,2)
+    // at any SF this engine targets.
+    "q_wheel_multi_measure" -> ((s, dir) => {
+      // l_shipdate is parquet TIMESTAMP_NTZ; the UTC session makes the
+      // cast a pure type tag change (same instant DuckDB's epoch_ms
+      // sees). Build-once lifecycle like every wheel query (the build
+      // cost comparison lives in Bench's multi_measure block).
+      val idxs = WheelCatalog.cachedMulti(s, s"$dir/lineitem.parquet",
+        "l_ship_ts", Seq("l_quantity", "l_discount", "l_tax"))(
+        t(s, dir, "lineitem")
+          .withColumn("l_ship_ts", col("l_shipdate").cast("timestamp")))
+      s.range(1).select(
+        round(lit(idxs("l_quantity").querySum(LiMStart, LiMEnd)), 2).as("sum_qty"),
+        round(lit(idxs("l_discount").querySum(LiMStart, LiMEnd)), 2).as("sum_disc"),
+        round(lit(idxs("l_tax").querySum(LiMStart, LiMEnd)), 2).as("sum_tax"),
+        lit(idxs("l_quantity").queryCount(LiMStart, LiMEnd)).as("n"))
     }),
 
     // TopN from the keyed wheel (round 5): completes the µWheel
@@ -445,5 +483,10 @@ object Core {
     "q_wheel_topn" ->
       ("SELECT event_type, ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n " +
         s"FROM events WHERE epoch_ms(ts) >= $R2Start AND epoch_ms(ts) < $R2End " +
-        "GROUP BY event_type ORDER BY sum_value DESC, event_type LIMIT 3"))
+        "GROUP BY event_type ORDER BY sum_value DESC, event_type LIMIT 3"),
+    "q_wheel_multi_measure" ->
+      ("SELECT ROUND(SUM(l_quantity), 2) AS sum_qty, " +
+        "ROUND(SUM(l_discount), 2) AS sum_disc, " +
+        "ROUND(SUM(l_tax), 2) AS sum_tax, COUNT(*) AS n FROM lineitem " +
+        s"WHERE epoch_ms(l_shipdate) >= $LiMStart AND epoch_ms(l_shipdate) < $LiMEnd"))
 }

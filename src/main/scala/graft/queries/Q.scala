@@ -65,4 +65,9 @@ object Q {
   /** Sliding-series day: every minute of 2024-01-10. */
   val RsStart: Long = Jan1 + 9 * Day
   val RsEnd: Long = RsStart + Day
+
+  /** lineitem shipdate range for the multi-measure wheel (TPC-H ship
+    * dates span 1992–1998): [1994-01-01, 1996-07-01), day-aligned. */
+  val LiMStart: Long = 757382400000L  // 1994-01-01T00:00:00Z
+  val LiMEnd: Long = 836179200000L    // 1996-07-01T00:00:00Z
 }

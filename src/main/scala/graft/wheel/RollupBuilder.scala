@@ -44,6 +44,26 @@ object RollupBuilder {
         max(col("v")).as("max_v"),
         count(lit(1)).as("rows"))
 
+  /** N-measure variant of [[minuteRollup]]: ONE pass over the source
+    * computes every measure's sum/count/min/max per minute slot —
+    * columns `sum_<c>/cnt_<c>/min_<c>/max_<c>` per measure plus the
+    * shared `rows`. This is the build shape that generalizes the
+    * reference's one-`RwWheel`-per-measure model (/root/reference/src/
+    * main.rs:78): N measures share one aggregation job instead of
+    * costing N source scans. */
+  def minuteRollupMulti(events: DataFrame, tsCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty, "need at least one measure column")
+    val aggs = valueCols.flatMap { c =>
+      Seq(sum(col(c)).as(s"sum_$c"), count(col(c)).as(s"cnt_$c"),
+        min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))
+    } :+ count(lit(1)).as("rows")
+    events
+      .select(slotMs(col(tsCol), Tier.Minute).as("slot_ms") +: valueCols.map(col): _*)
+      .groupBy("slot_ms")
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Derive a coarser tier from a finer one by combining partials. */
   def coarsen(finer: DataFrame, tier: Tier): DataFrame =
     finer

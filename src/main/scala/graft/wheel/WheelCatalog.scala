@@ -33,7 +33,22 @@ object WheelCatalog {
 
   def clear(): Unit =
     { cache.clear(); distinctCache.clear(); quantileCache.clear()
-      frequencyCache.clear(); cohortCache.clear() }
+      frequencyCache.clear(); cohortCache.clear(); multiCache.clear() }
+
+  private val multiCache =
+    new ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String, String, String), Map[String, WheelIndex]]()
+
+  /** Build-once cache for a MULTI-MEASURE wheel set ([[WheelIndex
+    * .buildMulti]]) — same build-once/query-many lifecycle; the cache
+    * key folds the ordered measure list. */
+  def cachedMulti(spark: org.apache.spark.sql.SparkSession, key: String,
+      tsCol: String, valueCols: Seq[String])(
+      events: => DataFrame): Map[String, WheelIndex] = {
+    sweepStopped()
+    SessionSweeper.track(spark)
+    multiCache.computeIfAbsent((spark, key, tsCol, valueCols.mkString(",")),
+      _ => WheelIndex.buildMulti(events, tsCol, valueCols))
+  }
 
   /** Drop entries owned by stopped sessions so they (and their pinned
     * DataFrames) can be collected — the maps stay bounded by the live
@@ -44,6 +59,7 @@ object WheelCatalog {
     quantileCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     frequencyCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     cohortCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    multiCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
   }
 
   private val distinctCache =

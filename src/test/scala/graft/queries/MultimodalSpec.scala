@@ -8,7 +8,25 @@ class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = TestSpark.Sf0001
 
-  test("decode stub pass: schema, totality, determinism, byte counts") {
+  test("GB1 codec: round-trip, bad magic rejected, truncation rejected") {
+    val payload = "some media bytes".getBytes("UTF-8")
+    val container = Multimodal.GB1.encode(payload)
+    val d = Multimodal.GB1.decode(container)
+    assert(d.payload.toSeq == payload.toSeq)
+    val (w, h, f) = Multimodal.GB1.geometry(payload.length)
+    assert((d.width, d.height, d.nFrames) == (w, h, f))
+    // the decoder PARSES — flipping a header byte changes what it reads
+    val tampered = container.clone()
+    tampered(7) = (tampered(7) + 1).toByte // low byte of big-endian width
+    assert(Multimodal.GB1.decode(tampered).width == d.width + 1)
+    val badMagic = container.clone()
+    badMagic(0) = 'X'.toByte
+    intercept[IllegalArgumentException](Multimodal.GB1.decode(badMagic))
+    intercept[IllegalArgumentException](
+      Multimodal.GB1.decode(container.take(Multimodal.GB1.HeaderLen - 1)))
+  }
+
+  test("decode pass: schema, totality, determinism, byte counts") {
     val out1 = Multimodal.queries("q_multimodal_decode")(spark, dir).collect()
     val out2 = Multimodal.queries("q_multimodal_decode")(spark, dir).collect()
     assert(out1.length == 500)
@@ -32,9 +50,14 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
-  test("local stub decode is stable for same payload") {
-    val p = "same bytes".getBytes("UTF-8")
-    assert(Multimodal.fakeDecode(p) == Multimodal.fakeDecode(p.clone()))
+  test("decoded digest matches the payload bytes (not recomputed from text)") {
+    import spark.implicits._
+    val rows = Multimodal.queries("q_multimodal_decode")(spark, dir)
+      .select("doc_id", "payload_md5").as[(Long, String)].collect().toMap
+    val expected = Q.t(spark, dir, "documents")
+      .select(col("doc_id"), md5(encode(col("text"), "UTF-8")).as("m"))
+      .as[(Long, String)].collect().toMap
+    assert(rows == expected)
   }
 
   test("resizePlan clamps the max edge and keeps small media unchanged") {

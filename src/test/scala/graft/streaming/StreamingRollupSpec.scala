@@ -62,6 +62,44 @@ class StreamingRollupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sliding rollup equals the batch sliding window, out-of-order row in both overlaps") {
+    // VERDICT r6 #5: session + tumbling streaming parity existed;
+    // sliding was the untested half of SURVEY §2.5's window(ts, size,
+    // slide) row. Full parity vs the batch groupBy(window(size, slide))
+    // over the same multiset, with an out-of-order row (arriving after
+    // a later-stamped one, within the watermark delay) that must land
+    // in BOTH overlapping windows.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Double)]
+    val q = StreamingRollup
+      .slidingRollup(mem.toDF().toDF("ts", "value"), "ts", "value",
+        "2 minutes", "1 minute")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("rollup_sliding_parity_sink").start()
+    try {
+      val batches = Seq(
+        Seq((ts(5 * 60_000), 1.0)),                // later-stamped row first
+        Seq((ts(90_000), 5.0), (ts(30_000), 2.0)), // out of order, within delay
+        Seq((ts(2 * 60_000 + 10_000), 3.0)))
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      def norm(rows: Array[org.apache.spark.sql.Row]) =
+        rows.map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+      val streamed = norm(spark.table("rollup_sliding_parity_sink")
+        .orderBy("slot_ms").collect())
+      val batch = norm(batches.flatten.toDF("ts", "value")
+        .groupBy(window(col("ts"), "2 minutes", "1 minute").as("w"))
+        .agg(sum(col("value")).as("sum_v"), count(col("value")).as("cnt"))
+        .select(unix_millis(col("w.start")).as("slot_ms"), col("sum_v"), col("cnt"))
+        .orderBy("slot_ms").collect())
+      assert(streamed == batch)
+      // the out-of-order 90 s row sits in [0, 2) AND [1, 3)
+      val bySlot = streamed.map(x => (x._1, (x._2, x._3))).toMap
+      assert(bySlot(T0) == ((7.0, 2L)), s"window [0,2): $streamed")         // 2.0 + 5.0
+      assert(bySlot(T0 + 60_000L) == ((8.0, 2L)), s"window [1,3): $streamed") // 5.0 + 3.0
+    } finally q.stop()
+  }
+
   test("session windows close after the inactivity gap, per key") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -317,6 +317,53 @@ class WheelSpec extends AnyFunSuite {
     assert(!s.contains("minute["), s)
   }
 
+  test("multi-measure build: per-measure wheels equal the single-measure builds") {
+    // VERDICT r6 #4: N measures share ONE aggregation job and ONE slot
+    // walk; the resulting indexes must be indistinguishable from N
+    // separate builds — same sums/counts/extremes on aligned ranges AND
+    // the same residue-scan fallback on unaligned ones.
+    val li = Q.t(spark, graft.TestSpark.Sf0001, "lineitem")
+      .withColumn("l_ship_ts", col("l_shipdate").cast("timestamp"))
+    val measures = Seq("l_quantity", "l_discount", "l_tax")
+    val multi = WheelIndex.buildMulti(li, "l_ship_ts", measures)
+    assert(multi.keySet == measures.toSet)
+    val singles = measures.map(c => c -> WheelIndex.build(li, "l_ship_ts", c)).toMap
+    val base = multi("l_quantity").baseMs
+    val horizon = multi("l_quantity").horizonMs
+    val r = new scala.util.Random(11)
+    val spanDays = ((horizon - base) / 86400000L).toInt
+    (1 to 20).foreach { _ =>
+      val a = r.nextInt(spanDays - 1)
+      val len = 1 + r.nextInt(spanDays - a - 1)
+      val (lo, hi) = (base + a * 86400000L, base + (a + len) * 86400000L)
+      measures.foreach { c =>
+        val m = multi(c).query(lo, hi)
+        val s = singles(c).query(lo, hi)
+        assertClose(m.sum, s.sum)
+        assert(m.count == s.count)
+        assertClose(m.min, s.min)
+        assertClose(m.max, s.max)
+      }
+    }
+    // unaligned range exercises the per-measure residue-scan fallback
+    val (ua, ub) = (base + 86400000L + 23000L, base + 5 * 86400000L - 41000L)
+    measures.foreach { c =>
+      assertClose(multi(c).query(ua, ub).sum, singles(c).query(ua, ub).sum)
+    }
+  }
+
+  test("multi-measure build rejects a NULL-bearing measure") {
+    import spark.implicits._
+    val df = Seq(
+      (new java.sql.Timestamp(Jan1), Some(1.0), 2.0),
+      (new java.sql.Timestamp(Jan1 + 60000L), None, 4.0))
+      .toDF("ts", "a", "b")
+    val e = intercept[IllegalArgumentException] {
+      WheelIndex.buildMulti(df, "ts", Seq("a", "b"))
+    }
+    assert(e.getMessage.contains("'a' has NULLs"), e.getMessage)
+  }
+
   test("index footprint is time-bounded, not row-bounded") {
     // 30 days: 43 200 min + 720 h + 30 d slots × 4 arrays × 8 B ≈ 1.4 MB
     assert(idx.sizeBytes < 2 * 1024 * 1024)
