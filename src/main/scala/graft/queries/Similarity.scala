@@ -391,5 +391,31 @@ object Similarity {
   }
 
   /** No SQL oracles: float-order-sensitive ranking (SURVEY.md §2.6). */
-  val oracle: Map[String, String] = Map.empty
+  // q_sim_topk gained a DuckDB oracle in round 7 (previously declared
+  // un-oracle-able on float-order grounds): the trick is mirroring the
+  // EXACT double arithmetic, not just the math — cast the float32
+  // embeddings to DOUBLE first, normalize-then-dot in the same
+  // left-to-right summation order as the codegen DotProduct loop
+  // (DuckDB's list_dot_product also folds sequentially), and rank by
+  // the UNROUNDED sim with the same vec_id tie-break. Verified
+  // bit-identical (hash match) at sf0.001/0.01/0.1. The ANN variants
+  // (q_ann_lsh/q_ann_ivf/q_knn_graph/q_embed_neardup) stay no-oracle:
+  // their outputs depend on our LSH/IVF parameters, which no DuckDB
+  // query can reproduce — they are verified against this now-oracled
+  // brute-force baseline in SimilaritySpec.
+  val oracle: Map[String, String] = Map(
+    "q_sim_topk" ->
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS raw " +
+        "FROM embeddings), " +
+        "n AS (SELECT vec_id, sqrt(list_dot_product(raw, raw)) AS nrm, raw FROM e), " +
+        "v AS (SELECT vec_id, CASE WHEN nrm = 0 THEN raw " +
+        "ELSE list_transform(raw, x -> x / nrm) END AS v FROM n), " +
+        "p AS (SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id, " +
+        "list_dot_product(q.v, a.v) AS sim " +
+        s"FROM (SELECT * FROM v WHERE vec_id < $NumQueries) q " +
+        "JOIN v a ON a.vec_id <> q.vec_id), " +
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id " +
+        "ORDER BY sim DESC, neighbor_id) AS rk FROM p) " +
+        "SELECT query_id, neighbor_id, ROUND(sim, 4) AS sim, CAST(rk AS BIGINT) AS rk " +
+        s"FROM r WHERE rk <= $TopK ORDER BY query_id, rk"))
 }
