@@ -3,11 +3,15 @@ package graft.wheel
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.types.DataType
 
-/** Driver-local PER-KEY wheel: minute partials keyed by a dimension
+/** Driver-local PER-KEY wheel: tiered partials keyed by a dimension
   * column — the single-measure [[WheelIndex]] generalized to
   * `GROUP BY dim` queries (SURVEY.md §7.8 #6). Backing state is the
-  * keyed minute rollup, whose cardinality is |keys| × time slots —
-  * bounded by dimension cardinality and TIME, never by row count; build
+  * keyed minute rollup plus per-key hour/day roll-ups (round 7 —
+  * previously minute-only, so an hour-aligned range walked 60× more
+  * slots per key than the tiered wheels; queries now take the same
+  * [[Decompose]] cover as the rest of the family). Cardinality is
+  * |keys| × time slots — bounded by dimension cardinality and TIME,
+  * never by row count (the coarser tiers add < 2% on top); build
   * refuses dimensions too wide to be driver-resident (that regime
   * belongs to the distributed rollup DataFrames, not a local index).
   *
@@ -18,8 +22,8 @@ final class KeyedWheelIndex private (
     val keyType: DataType,
     val baseMs: Long,
     val horizonMs: Long,
-    // key -> minute slot -> partial (driver-only; never serialized)
-    slots: java.util.HashMap[Any, java.util.HashMap[Long, AllAggregate]]) {
+    // key -> tier -> slot -> partial (driver-only; never serialized)
+    slots: java.util.HashMap[Any, Map[Tier, java.util.HashMap[Long, AllAggregate]]]) {
 
   /** Keys in deterministic (string) order — drives rewrite output order. */
   def keys: Seq[Any] = {
@@ -27,53 +31,63 @@ final class KeyedWheelIndex private (
     slots.keySet().asScala.toSeq.sortBy(_.toString)
   }
 
-  /** Combine for one key over a minute-aligned half-open range. */
+  /** Combine for one key over a minute-aligned half-open range — the
+    * same coarse-first [[Decompose]] cover the single-measure wheel
+    * takes (a full day costs 1 probe, not 1 440). */
   def query(key: Any, startMs: Long, endMs: Long): AllAggregate = {
     require(startMs % Tier.Minute.ms == 0 && endMs % Tier.Minute.ms == 0,
       s"keyed index answers minute-aligned ranges, got [$startMs, $endMs)")
-    val m = slots.get(key)
+    val tiers = slots.get(key)
     var acc = AllAggregate.identity
-    if (m == null) return acc
-    var slot = startMs
-    while (slot < endMs) {
-      val s = m.get(slot)
-      if (s != null) acc = acc.combine(s)
-      slot += Tier.Minute.ms
+    if (tiers == null) return acc
+    Decompose(startMs, endMs).foreach { run =>
+      val m = tiers(run.tier)
+      var slot = run.startMs
+      while (slot < run.endMs) {
+        val s = m.get(slot)
+        if (s != null) acc = acc.combine(s)
+        slot += run.tier.ms
+      }
     }
     acc
   }
 
+  /** (key, slot) entries in the finest tier (the dominant state). */
   def sizeSlots: Int = {
     import scala.jdk.CollectionConverters._
-    slots.values().asScala.map(_.size).sum
+    slots.values().asScala.map(_(Tier.Minute).size).sum
+  }
+
+  private def allEntries: Int = {
+    import scala.jdk.CollectionConverters._
+    slots.values().asScala.map(_.valuesIterator.map(_.size).sum).sum
   }
 
   /** Approximate retained footprint, the keyed analogue of the sum
     * wheel's `size_bytes()` (/root/reference/src/main.rs:144): per
-    * (key, slot) entry one boxed Long slot key + one 4-field
+    * (key, tier, slot) entry one boxed Long slot key + one 4-field
     * AllAggregate + HashMap node (~72 B together), plus ~48 B of
     * per-key outer-map overhead. An estimate (JVM object layout), but
     * a faithful one: it scales with |keys| × slots, the quantity the
     * build ceiling bounds. */
   def sizeBytes: Long = {
     val keyCount = slots.size.toLong
-    sizeSlots.toLong * 72L + keyCount * 48L
+    allEntries.toLong * 72L + keyCount * 48L
   }
 
   /** Introspection parity with the rest of the index family (VERDICT
-    * r6 #3): the keyed wheel is minute-tier-only (no coarser roll-up —
-    * per-key aggregates re-roll cheaply at query time), so its combine
-    * plan is a per-key minute walk, not a tier decomposition. */
+    * r6 #3): per-tier key-summed occupancy plus the same combine plan
+    * every other wheel prints. */
   def explain(startMs: Long, endMs: Long): String = {
-    require(startMs % Tier.Minute.ms == 0 && endMs % Tier.Minute.ms == 0,
-      s"keyed index answers minute-aligned ranges, got [$startMs, $endMs)")
-    def fmt(ms: Long) = java.time.Instant.ofEpochMilli(ms).toString
-    val probes = (endMs - startMs) / Tier.Minute.ms
-    s"KeyedWheelIndex(key=$keyCol)[${fmt(baseMs)}, ${fmt(horizonMs)}) " +
-      s"sizeBytes=$sizeBytes\n" +
-      s"  tier minute: ${slots.size} keys, $sizeSlots (key, slot) entries\n" +
-      s"  combine [${fmt(startMs)}, ${fmt(endMs)}) -> " +
-      s"$probes minute probes per key"
+    import scala.jdk.CollectionConverters._
+    val tierLines = Tier.all.map { t =>
+      val nonEmpty = slots.values().asScala.map(_(t).size).sum
+      val total = ((horizonMs - baseMs) / t.ms).toInt
+      WheelExplain.TierLine(t, total, nonEmpty, baseMs)
+    }
+    s"KeyedWheelIndex(key=$keyCol, keys=${slots.size})" +
+      WheelExplain.render("", baseMs, horizonMs, sizeBytes, tierLines,
+        startMs, endMs, (_, _) => true)
   }
 }
 
@@ -96,7 +110,7 @@ object KeyedWheelIndex {
         s"measure column '$valueCol' has NULLs (key ${r.get(0)}, slot " +
           s"${r.getLong(1)}); COUNT(*) folding requires a never-null measure")
     }
-    val slots = new java.util.HashMap[Any, java.util.HashMap[Long, AllAggregate]]()
+    val slots = new java.util.HashMap[Any, Map[Tier, java.util.HashMap[Long, AllAggregate]]]()
     var lo = Long.MaxValue
     var hi = Long.MinValue
     rows.foreach { r =>
@@ -104,8 +118,16 @@ object KeyedWheelIndex {
       val slot = r.getLong(1)
       if (slot < lo) lo = slot
       if (slot > hi) hi = slot
-      slots.computeIfAbsent(key, _ => new java.util.HashMap[Long, AllAggregate]())
-        .put(slot, AllAggregate(r.getDouble(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
+      val tiers = slots.computeIfAbsent(key, _ =>
+        Tier.all.map(t => t -> new java.util.HashMap[Long, AllAggregate]()).toMap)
+      // every tier fills from the same row in one pass — per-key tier
+      // roll-up by slot-key truncation, exactly the dense wheel's build
+      // walk with maps instead of arrays (keys are sparse per slot)
+      val partial = AllAggregate(r.getDouble(2), r.getLong(3), r.getDouble(4), r.getDouble(5))
+      Tier.all.foreach { t =>
+        val coarse = slot / t.ms * t.ms
+        tiers(t).merge(coarse, partial, (a, b) => a.combine(b))
+      }
     }
     val keyType = events.schema(keyCol).dataType
     new KeyedWheelIndex(keyCol, keyType,

@@ -295,15 +295,45 @@ class WheelSpec extends AnyFunSuite {
         s"$kind combine plan missing $r run:\n$s"))
       assert(s.contains("runs,"), s"$kind combine summary:\n$s")
     }
-    // the keyed wheel: minute-tier-only, so its plan is a per-key walk
+    // the keyed wheel (round 7: tiered like the rest of the family)
     val keyed = KeyedWheelIndex.build(events, "event_type", "ts", "value")
     val ks = keyed.explain(Jan1, Jan1 + 86400000L)
-    assert(ks.startsWith("KeyedWheelIndex(key=event_type)"), ks)
+    assert(ks.startsWith("KeyedWheelIndex(key=event_type"), ks)
     assert(ks.contains("sizeBytes=") && keyed.sizeBytes > 0L, ks)
-    assert(ks.contains("tier minute:") && ks.contains("(key, slot) entries"), ks)
-    assert(ks.contains("1440 minute probes per key"), ks)
+    Tier.all.foreach(t => assert(ks.contains(s"tier ${t.name}:"),
+      s"keyed missing ${t.name} occupancy line:\n$ks"))
+    // a full day decomposes to ONE day probe per key, not 1 440 minutes
+    assert(ks.contains("1 runs, 1 slot combines") && ks.contains("day["), ks)
     // footprint tracks |keys| x slots: it must exceed the raw entry count
     assert(keyed.sizeBytes > keyed.sizeSlots.toLong, ks)
+  }
+
+  test("keyed wheel tier decomposition equals the per-key scan") {
+    // round 7: the keyed wheel gained hour/day tiers — every range must
+    // still answer exactly what a per-key scan answers, through any mix
+    // of tier runs.
+    val keyed = KeyedWheelIndex.build(events, "event_type", "ts", "value")
+    val r = new scala.util.Random(5)
+    (1 to 10).foreach { _ =>
+      val a = r.nextInt(SpanMinutes - 1)
+      val len = 1 + r.nextInt(SpanMinutes - a - 1)
+      val (lo, hi) = (Jan1 + a * 60000L, Jan1 + (a + len) * 60000L)
+      keyed.keys.foreach { k =>
+        val exp = events
+          .filter(col("event_type") === k &&
+            unix_millis(col("ts")) >= lo && unix_millis(col("ts")) < hi)
+          .agg(sum(col("value")), count(col("value")),
+            min(col("value")), max(col("value"))).collect()(0)
+        val got = keyed.query(k, lo, hi)
+        if (exp.isNullAt(0)) assert(got.count == 0L, s"$k [$lo,$hi)")
+        else {
+          assertClose(got.sum, exp.getDouble(0))
+          assert(got.count == exp.getLong(1), s"$k [$lo,$hi)")
+          assertClose(got.min, exp.getDouble(2))
+          assertClose(got.max, exp.getDouble(3))
+        }
+      }
+    }
   }
 
   test("explain is retention-aware: evicted minutes route through coarse tiers") {
