@@ -38,6 +38,13 @@ class StreamingWheelSpec extends AnyFunSuite {
       assert(live.querySum(T0, T0 + 3 * Min) == 24.0)
       val all = live.query(T0, T0 + 3 * Min)
       assert(all.count == 5L && all.min == 1.5 && all.max == 10.0)
+
+      // introspection parity with the batch family (round 7): watermark,
+      // retained-slot occupancy, footprint, and the expanded combine plan
+      val ex = live.explain(T0, T0 + 3 * Min)
+      assert(ex.startsWith("LiveWheel(All) watermark=2024-01-01T00:02:00Z"), ex)
+      assert(ex.contains("3 slots retained") && ex.contains("sizeBytes=144"), ex)
+      assert(ex.contains("3 minute probes"), ex)
     } finally q.stop()
   }
 
@@ -66,6 +73,11 @@ class StreamingWheelSpec extends AnyFunSuite {
       assert(live.topN(T0, T0 + 2 * Min, 2) ==
         Seq("view" -> 15.0, "click" -> 3.0))
       assert(live.topN(T0 + Min, T0 + 2 * Min, 5) == Seq("click" -> 2.0))
+      // introspection parity (round 7)
+      val ex = live.explain(T0, T0 + 2 * Min)
+      assert(ex.startsWith("KeyedLiveWheel(keys=2)"), ex)
+      assert(ex.contains("sizeBytes=") && live.sizeBytes > 0L, ex)
+      assert(ex.contains("2 minute probes"), ex)
     } finally q.stop()
   }
 
@@ -86,6 +98,11 @@ class StreamingWheelSpec extends AnyFunSuite {
       q.processAllAvailable()
       assert(math.round(live.queryDistinct(T0 + Min, T0 + 2 * Min)) == 2L) // {3,1}
       assert(math.round(live.queryDistinct(T0, T0 + 2 * Min)) == 3L)       // still {1,2,3}
+      // introspection parity (round 7): the sketch footprint is the
+      // EXACT serialized byte total, not an estimate
+      val ex = live.explain(T0, T0 + 2 * Min)
+      assert(ex.startsWith("LiveDistinctWheel(HLL) watermark="), ex)
+      assert(ex.contains("2 slots retained") && live.sizeBytes > 0L, ex)
     } finally q.stop()
   }
 
