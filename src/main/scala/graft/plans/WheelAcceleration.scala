@@ -47,8 +47,8 @@ import graft.wheel.{AllAggregate, WheelIndex}
   */
 object WheelAcceleration {
 
-  private final case class Reg(tsCol: String, valueCol: String,
-      idx: WheelIndex, fingerprint: String, hadoopConf: org.apache.hadoop.conf.Configuration)
+  private final case class Reg(tsCol: String, wheels: Map[String, WheelIndex],
+      fingerprint: String, hadoopConf: org.apache.hadoop.conf.Configuration)
 
   /** Registered indexes keyed by the source file's URI path. */
   private val registry = new ConcurrentHashMap[String, Reg]()
@@ -87,12 +87,32 @@ object WheelAcceleration {
     // The catalog key embeds the fingerprint, so re-registering after a
     // data change rebuilds instead of serving the stale cached index.
     val reg = registry.compute(normalize(path), (_, old) =>
-      if (old != null && old.fingerprint == fp) old
-      else Reg(tsCol, valueCol,
-        graft.wheel.WheelCatalog.cached(spark, s"$path@$fp", tsCol, valueCol)(events),
+      if (old != null && old.fingerprint == fp && old.wheels.contains(valueCol)) old
+      else Reg(tsCol, Map(valueCol ->
+        graft.wheel.WheelCatalog.cached(spark, s"$path@$fp", tsCol, valueCol)(events)),
         fp, conf))
     enable(spark)
-    reg.idx
+    reg.wheels(valueCol)
+  }
+
+  /** MULTI-MEASURE registration (round 7): one [[WheelIndex.buildMulti]]
+    * pass indexes every listed measure column, and the rewrite rule then
+    * folds SQL statements aggregating ANY MIX of them — e.g.
+    * `SELECT SUM(l_quantity), AVG(l_tax) FROM …` — from the per-measure
+    * wheels, at plan time. Same fingerprint/staleness discipline as
+    * [[register]]. */
+  def registerMulti(spark: SparkSession, path: String, events: => DataFrame,
+      tsCol: String, valueCols: Seq[String]): Map[String, WheelIndex] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fp = fingerprint(path, conf)
+    val reg = registry.compute(normalize(path), (_, old) =>
+      if (old != null && old.fingerprint == fp &&
+          valueCols.forall(old.wheels.contains)) old
+      else Reg(tsCol,
+        graft.wheel.WheelCatalog.cachedMulti(spark, s"$path@$fp", tsCol, valueCols)(events),
+        fp, conf))
+    enable(spark)
+    reg.wheels
   }
 
   /** Drop the registered index for `path` (the rewrite rule stops firing
@@ -171,9 +191,9 @@ object WheelAcceleration {
   /** Registration for `path`, validated against the CURRENT source
     * fingerprint — None (rule bails, scan path) if the files changed
     * since registration. */
-  private[plans] def lookup(path: String): Option[(String, String, WheelIndex)] =
+  private[plans] def lookup(path: String): Option[(String, Map[String, WheelIndex])] =
     Option(registry.get(normalize(path))).flatMap { r =>
-      if (fresh(path, r.fingerprint, r.hadoopConf)) Some((r.tsCol, r.valueCol, r.idx))
+      if (fresh(path, r.fingerprint, r.hadoopConf)) Some((r.tsCol, r.wheels))
       else None
     }
 }
@@ -191,11 +211,18 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg @ Aggregate(groupings, aggExprs, child, _) =>
       // Any internal surprise (evicted retention span, odd shapes) must
-      // leave the plan untouched, never fail optimization.
-      scala.util.Try {
+      // leave the plan untouched, never fail optimization. With
+      // -Dgraft.wheel.rewrite.debug=true the swallowed exception is
+      // printed, so "why didn't acceleration fire" is diagnosable.
+      val attempt = scala.util.Try {
         if (groupings.isEmpty) rewrite(agg, aggExprs, child)
         else rewriteGrouped(agg, groupings, aggExprs, child)
-      }.toOption.flatten.getOrElse(agg)
+      }
+      attempt.failed.foreach { e =>
+        if (sys.props.get("graft.wheel.rewrite.debug").contains("true"))
+          System.err.println(s"[graft] wheel rewrite bailed on exception: $e")
+      }
+      attempt.toOption.flatten.getOrElse(agg)
   }
 
   private def rewrite(
@@ -204,11 +231,13 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       child: LogicalPlan): Option[LogicalPlan] = for {
     (cond, below) <- findFilter(child)
     path <- sourcePath(below)
-    (tsCol, valueCol, idx) <- WheelAcceleration.lookup(path)
+    (tsCol, wheels) <- WheelAcceleration.lookup(path)
     (a, b) <- rangeMs(cond, tsCol)
     if a % MinuteMs == 0 && b % MinuteMs == 0 && a <= b
-    all = idx.query(a, b)
-    rewritten <- foldRow(aggExprs, valueCol, all, Seq.empty)
+    // one µs-scale index lookup per registered measure; foldRow then
+    // resolves each aggregate against ITS measure's partials
+    alls = wheels.map { case (c, i) => c -> i.query(a, b) }
+    rewritten <- foldRow(aggExprs, alls, Seq.empty)
   } yield LocalRelation(agg.output, Seq(InternalRow.fromSeq(rewritten)))
 
   /** GROUP BY time-slot over a registered source — answered from the
@@ -236,12 +265,14 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       child: LogicalPlan): Option[LogicalPlan] = {
     for {
       path <- sourcePath(child)
-      (tsCol, valueCol, idx) <- WheelAcceleration.lookup(path)
+      (tsCol, wheels) <- WheelAcceleration.lookup(path)
       gExpr <- resolveGrouping(child, groupKey)
       (w, slotType) <- slotWidth(gExpr, tsCol)
       (a, b) <- findFilter(child) match {
         case Some((cond, _)) => rangeMs(cond, tsCol)
-        case None => Some((idx.baseMs, idx.horizonMs))
+        case None =>
+          val any = wheels.valuesIterator.next()
+          Some((any.baseMs, any.horizonMs))
       }
       if a % MinuteMs == 0 && b % MinuteMs == 0 && a < b
       rows <- {
@@ -249,9 +280,12 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
         var ok = true
         var s0 = math.floorDiv(a, w) * w
         while (ok && s0 < b) {
-          val all = idx.query(math.max(a, s0), math.min(b, s0 + w))
-          if (all.count > 0L) {
-            foldRow(aggExprs, valueCol, all,
+          val alls = wheels.map { case (c, i) =>
+            c -> i.query(math.max(a, s0), math.min(b, s0 + w)) }
+          // every wheel in a registration shares one build, so the
+          // per-slot row counts agree — any measure decides emptiness
+          if (alls.valuesIterator.next().count > 0L) {
+            foldRow(aggExprs, alls,
               Seq((Seq(groupKey, gExpr), slotLiteral(s0, slotType)))) match {
               case Some(vals) => slotRows += InternalRow.fromSeq(vals)
               case None => ok = false
@@ -301,7 +335,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
           while (ok && s0 < b) {
             val all = reg.idx.query(key, math.max(a, s0), math.min(b, s0 + w))
             if (all.count > 0L) {
-              foldRow(aggExprs, reg.valueCol, all, Seq(
+              foldRow(aggExprs, Map(reg.valueCol -> all), Seq(
                 (Seq(keyAttr), Literal.create(key, reg.idx.keyType)),
                 (Seq(slotGroup, gExpr), slotLiteral(s0, slotType)))) match {
                 case Some(vals) => out += InternalRow.fromSeq(vals)
@@ -444,6 +478,10 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     }
     def usLit(e: Expression): Option[Long] = e match {
       case Literal(v: Long, TimestampType) if v % 1000 == 0 => Some(v / 1000)
+      // NTZ µs literal: the naive wall value IS the UTC instant under
+      // the build's normalizeTs cast (UTC sessions; same reading
+      // DuckDB's epoch_ms takes on naive timestamps)
+      case Literal(v: Long, TimestampNTZType) if v % 1000 == 0 => Some(v / 1000)
       case _ => None
     }
     def lower(e: Expression): Option[Long] = e match {
@@ -480,30 +518,35 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     * family — the plan is then left for normal execution. */
   private def foldRow(
       aggExprs: Seq[NamedExpression],
-      valueCol: String,
-      all: AllAggregate,
+      alls: Map[String, AllAggregate],
       groupSubst: Seq[(Seq[Expression], Literal)]): Option[Seq[Any]] = {
-    val empty = all.count == 0L
-    def isValue(e: Expression): Boolean = e match {
-      case a: AttributeReference => a.name == valueCol
-      case _ => false
+    // Resolve an aggregate's input column to ITS registered measure's
+    // partials (multi-measure registrations fold mixed-measure
+    // statements; single-measure ones carry a one-entry map).
+    def measure(e: Expression): Option[AllAggregate] = e match {
+      case a: AttributeReference => alls.get(a.name)
+      case _ => None
     }
+    // never-null-measure contract ⇒ every wheel counts the same rows
+    val anyAll = alls.valuesIterator.next()
     var supported = true
     def lit(e: AggregateExpression): Expression = {
       if (e.isDistinct || e.filter.nonEmpty) { supported = false; return e }
-      e.aggregateFunction match {
-        case Sum(c, _) if isValue(c) =>
-          Literal(if (empty) null else all.sum, DoubleType)
-        case Min(c) if isValue(c) =>
-          Literal(if (empty) null else all.min, DoubleType)
-        case Max(c) if isValue(c) =>
-          Literal(if (empty) null else all.max, DoubleType)
-        case Average(c, _) if isValue(c) =>
-          Literal(if (empty) null else all.avg, DoubleType)
-        case Count(cs) if cs.forall(c => isValue(c) || c.foldable) =>
-          Literal(all.count, LongType)
-        case _ => supported = false; e
+      def folded(c: Expression)(f: AllAggregate => Any): Option[Expression] =
+        measure(c).map { all =>
+          Literal(if (all.count == 0L) null else f(all), DoubleType)
+        }
+      val r: Option[Expression] = e.aggregateFunction match {
+        case Sum(c, _) => folded(c)(_.sum)
+        case Min(c) => folded(c)(_.min)
+        case Max(c) => folded(c)(_.max)
+        case Average(c, _) => folded(c)(_.avg)
+        case Count(cs) if cs.forall(c => measure(c).isDefined || c.foldable) =>
+          Some(Literal(
+            cs.flatMap(measure).headOption.getOrElse(anyAll).count, LongType))
+        case _ => None
       }
+      r.getOrElse { supported = false; e }
     }
     val folded = aggExprs.map { ne =>
       val substituted =

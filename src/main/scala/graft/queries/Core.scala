@@ -354,19 +354,40 @@ object Core {
     // extendedprice) so double-sum rounding stays far inside ROUND(,2)
     // at any SF this engine targets.
     "q_wheel_multi_measure" -> ((s, dir) => {
-      // l_shipdate is parquet TIMESTAMP_NTZ; the UTC session makes the
-      // cast a pure type tag change (same instant DuckDB's epoch_ms
-      // sees). Build-once lifecycle like every wheel query (the build
-      // cost comparison lives in Bench's multi_measure block).
+      // l_shipdate is parquet TIMESTAMP_NTZ — the build normalizes it
+      // (RollupBuilder.normalizeTs; pure type-tag change on a UTC
+      // session). Build-once lifecycle like every wheel query (the
+      // build cost comparison lives in Bench's multi_measure block).
       val idxs = WheelCatalog.cachedMulti(s, s"$dir/lineitem.parquet",
-        "l_ship_ts", Seq("l_quantity", "l_discount", "l_tax"))(
-        t(s, dir, "lineitem")
-          .withColumn("l_ship_ts", col("l_shipdate").cast("timestamp")))
+        "l_shipdate", Seq("l_quantity", "l_discount", "l_tax"))(
+        t(s, dir, "lineitem"))
       s.range(1).select(
         round(lit(idxs("l_quantity").querySum(LiMStart, LiMEnd)), 2).as("sum_qty"),
         round(lit(idxs("l_discount").querySum(LiMStart, LiMEnd)), 2).as("sum_disc"),
         round(lit(idxs("l_tax").querySum(LiMStart, LiMEnd)), 2).as("sum_tax"),
         lit(idxs("l_quantity").queryCount(LiMStart, LiMEnd)).as("n"))
+    }),
+
+    // MULTI-MEASURE SQL auto-rewrite (round 7): plain SQL aggregating a
+    // MIX of measure columns over a shipdate range, folded at plan time
+    // from the per-measure wheels of ONE registerMulti build — the
+    // multi-measure generalization of q_wheel_sql/q_wheel_multi (the
+    // reference would hand-query one RwWheel per measure, main.rs:78).
+    // The filter is the natural NTZ-literal form; FileScan-free plan
+    // asserted in PlanAuditSpec.
+    "q_wheel_multi_measure_sql" -> ((s, dir) => {
+      graft.plans.WheelAcceleration.registerMulti(
+        s, s"$dir/lineitem.parquet", t(s, dir, "lineitem"),
+        "l_shipdate", Seq("l_quantity", "l_discount", "l_tax"))
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_wheel")
+      s.sql(
+        """SELECT ROUND(SUM(l_quantity), 2) AS sum_qty,
+          |ROUND(AVG(l_discount), 4) AS avg_disc,
+          |ROUND(MAX(l_tax), 4) AS max_tax, COUNT(*) AS n
+          |FROM lineitem_wheel
+          |WHERE l_shipdate >= TIMESTAMP_NTZ '1994-01-01 00:00:00'
+          |AND l_shipdate < TIMESTAMP_NTZ '1996-07-01 00:00:00'
+          |""".stripMargin)
     }),
 
     // TopN from the keyed wheel (round 5): completes the µWheel
@@ -488,5 +509,10 @@ object Core {
       ("SELECT ROUND(SUM(l_quantity), 2) AS sum_qty, " +
         "ROUND(SUM(l_discount), 2) AS sum_disc, " +
         "ROUND(SUM(l_tax), 2) AS sum_tax, COUNT(*) AS n FROM lineitem " +
+        s"WHERE epoch_ms(l_shipdate) >= $LiMStart AND epoch_ms(l_shipdate) < $LiMEnd"),
+    "q_wheel_multi_measure_sql" ->
+      ("SELECT ROUND(SUM(l_quantity), 2) AS sum_qty, " +
+        "ROUND(AVG(l_discount), 4) AS avg_disc, " +
+        "ROUND(MAX(l_tax), 4) AS max_tax, COUNT(*) AS n FROM lineitem " +
         s"WHERE epoch_ms(l_shipdate) >= $LiMStart AND epoch_ms(l_shipdate) < $LiMEnd"))
 }

@@ -29,6 +29,18 @@ object RollupBuilder {
   def slotMs(ts: org.apache.spark.sql.Column, tier: Tier): org.apache.spark.sql.Column =
     (F.unix_millis(ts).divide(lit(tier.ms)).cast("long") * lit(tier.ms)).cast("long")
 
+  /** `unix_millis` rejects TIMESTAMP_NTZ outright; on a UTC session the
+    * cast to TIMESTAMP is a pure type-tag change (same instant DuckDB's
+    * `epoch_ms` reads off the naive value), so wheel builds accept NTZ
+    * sources (e.g. parquet `timestamp[ms]` like lineitem's l_shipdate)
+    * by normalizing the column up front. */
+  def normalizeTs(events: DataFrame, tsCol: String): DataFrame =
+    events.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        events.withColumn(tsCol, col(tsCol).cast("timestamp"))
+      case _ => events
+    }
+
   /** One pass over the source → finest-tier partials. `rows` (count of
     * ALL rows, NULL measures included) rides along so COUNT(*) is
     * answerable exactly and the never-null-measure contract is checkable

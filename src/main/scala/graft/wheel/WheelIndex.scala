@@ -84,10 +84,20 @@ final class WheelIndex private (
     }
   }
 
-  private def queryAligned(startMs: Long, endMs: Long): AllAggregate =
-    Decompose(startMs, endMs, usable = usable).foldLeft(AllAggregate.identity) {
+  private def queryAligned(startMs: Long, endMs: Long): AllAggregate = {
+    // Clamp to the index span: slots before base / after horizon never
+    // held data, so they contribute identity (the prefix fast path and
+    // slidingSeries already clamp — round 7 aligns the tier walk, which
+    // previously threw from Decompose on pre-base starts). KeepN
+    // eviction INSIDE the span still fails loudly: those slots held
+    // data that is gone, which must not read as zero.
+    val s = math.max(startMs, baseMs)
+    val e = math.min(endMs, horizonMs)
+    if (s >= e) AllAggregate.identity
+    else Decompose(s, e, usable = usable).foldLeft(AllAggregate.identity) {
       (acc, run) => acc.combine(combineRun(run))
     }
+  }
 
   /** Minute-tier prefix sums — the µWheel paper's INVERTIBLE-aggregate
     * optimization: sum and count have inverses, so any aligned range is
@@ -239,8 +249,9 @@ object WheelIndex {
     * The source DataFrame is retained (driver-side only) as the
     * sub-minute residue scan fallback, and per-tier [[Retention]] evicts
     * old fine-tier slots at build time. */
-  def build(events: DataFrame, tsCol: String, valueCol: String,
+  def build(rawEvents: DataFrame, tsCol: String, valueCol: String,
       retention: Map[Tier, Retention] = Map.empty): WheelIndex = {
+    val events = RollupBuilder.normalizeTs(rawEvents, tsCol)
     val minuteRows = RollupBuilder.minuteRollup(events, tsCol, valueCol)
       .select("slot_ms", "sum_v", "cnt", "min_v", "max_v", "rows")
       .collect()
@@ -317,9 +328,10 @@ object WheelIndex {
     * Returns one independent [[WheelIndex]] per measure — same query
     * surface, same retention contract, same per-measure residue-scan
     * fallback as the single-measure [[build]]. */
-  def buildMulti(events: DataFrame, tsCol: String, valueCols: Seq[String],
+  def buildMulti(rawEvents: DataFrame, tsCol: String, valueCols: Seq[String],
       retention: Map[Tier, Retention] = Map.empty): Map[String, WheelIndex] = {
     require(valueCols.nonEmpty, "need at least one measure column")
+    val events = RollupBuilder.normalizeTs(rawEvents, tsCol)
     val rows = RollupBuilder.minuteRollupMulti(events, tsCol, valueCols)
       .collect()
     require(rows.nonEmpty, "cannot index an empty source")

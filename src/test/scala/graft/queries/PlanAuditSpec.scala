@@ -238,6 +238,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(filterLine.exists(_.contains("*(")), s"bloom filter not in codegen stage:\n$p")
   }
 
+  test("q_wheel_multi_measure_sql folds to a LocalTableScan (no file read)") {
+    val p = plan("q_wheel_multi_measure_sql")
+    assert(p.contains("LocalTableScan"), p)
+    assert(!p.contains("FileScan"), p)
+  }
+
   test("two bloom predicates on one session keep their own filters (no registry race)") {
     // ADVICE r6: under a FIXED registered name, building a second bloom
     // Column before the first query analyzed would overwrite the registry

@@ -85,6 +85,17 @@ class WheelSpec extends AnyFunSuite {
       idx.query(Jan1, idx.horizonMs).count)
   }
 
+  test("tier walk clamps past the span (parity with the prefix path)") {
+    // round 7: query() used to throw from Decompose on pre-base starts
+    // (caught by the multi-measure SQL rewrite, whose ranges are user
+    // SQL, not fixture-derived); outside-span slots are identity
+    val wide = idx.query(Jan1 - 86400000L, idx.horizonMs + 86400000L)
+    val full = idx.query(Jan1, idx.horizonMs)
+    assert(wide.count == full.count)
+    assertClose(wide.sum, full.sum)
+    assert(idx.query(Jan1 - 2 * 86400000L, Jan1 - 86400000L).count == 0L)
+  }
+
   test("prefix path is bypassed under minute retention (falls back to tiers)") {
     val bounded = WheelIndex.build(events, "ts", "value",
       Map(Tier.Minute -> Retention.KeepN(24 * 60)))
