@@ -232,7 +232,12 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     (cond, below) <- findFilter(child)
     path <- sourcePath(below)
     (tsCol, wheels) <- WheelAcceleration.lookup(path)
-    (a, b) <- rangeMs(cond, tsCol)
+    (aOpt, bOpt) <- rangeMs(cond, tsCol)
+    // a missing bound defaults to the index span (minute-aligned by
+    // construction): lower-only = landmark window, upper-only = prefix
+    any = wheels.valuesIterator.next()
+    a = aOpt.getOrElse(any.baseMs)
+    b = bOpt.getOrElse(any.horizonMs)
     if a % MinuteMs == 0 && b % MinuteMs == 0 && a <= b
     // one µs-scale index lookup per registered measure; foldRow then
     // resolves each aggregate against ITS measure's partials
@@ -268,12 +273,13 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       (tsCol, wheels) <- WheelAcceleration.lookup(path)
       gExpr <- resolveGrouping(child, groupKey)
       (w, slotType) <- slotWidth(gExpr, tsCol)
-      (a, b) <- findFilter(child) match {
+      (aOpt, bOpt) <- findFilter(child) match {
         case Some((cond, _)) => rangeMs(cond, tsCol)
-        case None =>
-          val any = wheels.valuesIterator.next()
-          Some((any.baseMs, any.horizonMs))
+        case None => Some((None, None))
       }
+      any = wheels.valuesIterator.next()
+      a = aOpt.getOrElse(any.baseMs)
+      b = bOpt.getOrElse(any.horizonMs)
       if a % MinuteMs == 0 && b % MinuteMs == 0 && a < b
       rows <- {
         val slotRows = Seq.newBuilder[InternalRow]
@@ -322,10 +328,12 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       }
       gExpr <- resolveGrouping(child, slotGroup)
       (w, slotType) <- slotWidth(gExpr, reg.tsCol)
-      (a, b) <- findFilter(child) match {
+      (aOpt, bOpt) <- findFilter(child) match {
         case Some((cond, _)) => rangeMs(cond, reg.tsCol)
-        case None => Some((reg.idx.baseMs, reg.idx.horizonMs))
+        case None => Some((None, None))
       }
+      a = aOpt.getOrElse(reg.idx.baseMs)
+      b = bOpt.getOrElse(reg.idx.horizonMs)
       if a % MinuteMs == 0 && b % MinuteMs == 0 && a < b
       rows <- {
         val out = Seq.newBuilder[InternalRow]
@@ -460,16 +468,25 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  /** Extract the half-open `[a, b)` epoch-ms range if the filter is
-    * exactly a lower + an upper bound on the registered ts column (plus
-    * any IsNotNull(ts) conjuncts the optimizer infers from them).
+  /** Extract the (possibly half-bounded) epoch-ms range if the filter is
+    * exactly a lower and/or an upper bound on the registered ts column
+    * (plus any IsNotNull(ts) conjuncts the optimizer infers from them).
+    * A missing bound is None — the caller fills it with the index span
+    * (a lower-only filter IS uwheel's landmark window `[t, watermark)`).
     *
-    * The epoch-ms expression is accepted in the shapes our read pipeline
-    * produces after predicate pushdown: `unix_millis(ts)` over a
-    * timestamp column, `unix_millis(timestamp_micros(ts div 1000))` over
-    * a raw nanos-long column (graft.queries.Q.t's TIMESTAMP(NANOS)
-    * rebuild), or a bare ts column compared to a µs timestamp literal. */
-  private def rangeMs(cond: Expression, tsCol: String): Option[(Long, Long)] = {
+    * The ts side is accepted in the shapes our read pipeline produces
+    * after predicate pushdown: `unix_millis(ts)` over a timestamp column
+    * or over the nanos-long µs rebuild (compared to a ms long literal),
+    * or the ts column itself — bare or µs-rebuilt — compared to a µs
+    * timestamp literal. The literal side only needs to be a timestamp
+    * AFTER constant folding, so `TIMESTAMP '…'`, `DATE '…'`, `'2022-01-05'`
+    * (string promotion) and `to_timestamp('…')` all qualify: this rule
+    * runs in the user-provided batch, after folding collapsed their casts.
+    * Closed upper bounds (`<=`, `BETWEEN`) are deliberately NOT accepted:
+    * data carries µs precision and the wheel is ms-granular, so `ts <= b`
+    * can't be answered exactly as `ts < b + 1ms`. */
+  private def rangeMs(
+      cond: Expression, tsCol: String): Option[(Option[Long], Option[Long])] = {
     def isTs(e: Expression): Boolean = isTsMs(e, tsCol)
     def msLit(e: Expression): Option[Long] = e match {
       case Literal(v: Long, LongType) => Some(v)
@@ -486,14 +503,16 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     }
     def lower(e: Expression): Option[Long] = e match {
       case GreaterThanOrEqual(l, r) if isTs(l) => msLit(r)
-      case GreaterThanOrEqual(a: AttributeReference, r) if a.name == tsCol => usLit(r)
+      case GreaterThanOrEqual(l, r) if isTsCol(l, tsCol) => usLit(r)
       case LessThanOrEqual(r, l) if isTs(l) => msLit(r)
+      case LessThanOrEqual(r, l) if isTsCol(l, tsCol) => usLit(r)
       case _ => None
     }
     def upper(e: Expression): Option[Long] = e match {
       case LessThan(l, r) if isTs(l) => msLit(r)
-      case LessThan(a: AttributeReference, r) if a.name == tsCol => usLit(r)
+      case LessThan(l, r) if isTsCol(l, tsCol) => usLit(r)
       case GreaterThan(r, l) if isTs(l) => msLit(r)
+      case GreaterThan(r, l) if isTsCol(l, tsCol) => usLit(r)
       case _ => None
     }
     def conjuncts(e: Expression): Seq[Expression] = e match {
@@ -506,8 +525,9 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     }
     val lowers = cs.flatMap(c => lower(c))
     val uppers = cs.flatMap(c => upper(c))
-    if (lowers.size == 1 && uppers.size == 1 && cs.size == 2)
-      Some((lowers.head, uppers.head))
+    if (lowers.size + uppers.size == cs.size && lowers.size <= 1 &&
+        uppers.size <= 1 && cs.nonEmpty)
+      Some((lowers.headOption, uppers.headOption))
     else None
   }
 

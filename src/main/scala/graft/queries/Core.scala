@@ -390,6 +390,26 @@ object Core {
           |""".stripMargin)
     }),
 
+    // LANDMARK WINDOW via auto-rewrite (round 7): uwheel's landmark
+    // shape — "everything since T", no upper bound (the uwheel crate's
+    // landmark_window; the reference's ranges are always two-sided,
+    // main.rs:254–255) — written as the NATURAL SQL predicate
+    // `ts >= TIMESTAMP '…'` (no unix_millis spelling): constant folding
+    // collapses the literal before WheelSumRewrite runs, the one-sided
+    // range defaults its upper bound to the index horizon, and the
+    // whole scan+filter+agg folds to one LocalRelation row. Scan-free
+    // plan asserted in PlanAuditSpec.
+    "q_wheel_landmark" -> ((s, dir) => {
+      graft.plans.WheelAcceleration.register(
+        s, s"$dir/events.parquet", t(s, dir, "events"))
+      t(s, dir, "events").createOrReplaceTempView("events_wheel")
+      s.sql(
+        """SELECT ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n
+          |FROM events_wheel
+          |WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+          |""".stripMargin)
+    }),
+
     // TopN from the keyed wheel (round 5): completes the µWheel
     // aggregator family the reference crate ships (Sum/Min/Max/Avg/
     // All/TopN — /root/reference/src/main.rs:15 imports the framework;
@@ -514,5 +534,8 @@ object Core {
       ("SELECT ROUND(SUM(l_quantity), 2) AS sum_qty, " +
         "ROUND(AVG(l_discount), 4) AS avg_disc, " +
         "ROUND(MAX(l_tax), 4) AS max_tax, COUNT(*) AS n FROM lineitem " +
-        s"WHERE epoch_ms(l_shipdate) >= $LiMStart AND epoch_ms(l_shipdate) < $LiMEnd"))
+        s"WHERE epoch_ms(l_shipdate) >= $LiMStart AND epoch_ms(l_shipdate) < $LiMEnd"),
+    "q_wheel_landmark" ->
+      (s"SELECT ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n " +
+        s"FROM events WHERE epoch_ms(ts) >= $RlStart"))
 }

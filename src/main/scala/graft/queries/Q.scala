@@ -66,6 +66,10 @@ object Q {
   val RsStart: Long = Jan1 + 9 * Day
   val RsEnd: Long = RsStart + Day
 
+  /** Landmark-window anchor (lower bound only — "everything since
+    * 2024-01-20"): the wheel answers [RlStart, horizon). */
+  val RlStart: Long = Jan1 + 19 * Day
+
   /** lineitem shipdate range for the multi-measure wheel (TPC-H ship
     * dates span 1992–1998): [1994-01-01, 1996-07-01), day-aligned. */
   val LiMStart: Long = 757382400000L  // 1994-01-01T00:00:00Z

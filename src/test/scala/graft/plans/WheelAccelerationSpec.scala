@@ -234,6 +234,50 @@ class WheelAccelerationSpec extends AnyFunSuite {
     register() // restore the shared fixture registration for other tests
   }
 
+  test("natural timestamp/date/string literal predicates fold (round 7)") {
+    register()
+    events.createOrReplaceTempView("events_accel")
+    def check(sql: String): Unit = {
+      val df = spark.sql(sql)
+      assert(df.queryExecution.optimizedPlan.collect {
+        case l: LocalRelation => l
+      }.nonEmpty, s"$sql\n${df.queryExecution.optimizedPlan.treeString}")
+      val got = df.collect().map(_.toString).toSeq
+      WheelAcceleration.clear()
+      val scan = spark.sql(sql).collect().map(_.toString).toSeq
+      register()
+      assert(got == scan, sql)
+    }
+    // constant folding collapses every literal spelling to a µs timestamp
+    // literal before the rule runs — TIMESTAMP / DATE / bare string /
+    // to_timestamp all reach rangeMs in the same shape
+    check("SELECT ROUND(SUM(value), 2) AS s FROM events_accel " +
+      "WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-06 00:00:00'")
+    check("SELECT ROUND(SUM(value), 2) AS s FROM events_accel " +
+      "WHERE ts >= DATE '2024-01-05' AND ts < DATE '2024-01-06'")
+    check("SELECT ROUND(SUM(value), 2) AS s, COUNT(*) AS n FROM events_accel " +
+      "WHERE ts >= '2024-01-03' AND ts < '2024-01-05'")
+    check("SELECT ROUND(SUM(value), 2) AS s FROM events_accel " +
+      "WHERE ts >= to_timestamp('2024-01-05') AND ts < to_timestamp('2024-01-06')")
+    // one-sided: lower-only (landmark window) and upper-only (prefix)
+    check("SELECT ROUND(SUM(value), 2) AS s, COUNT(*) AS n FROM events_accel " +
+      "WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'")
+    check("SELECT ROUND(SUM(value), 2) AS s, COUNT(*) AS n FROM events_accel " +
+      "WHERE ts < TIMESTAMP '2024-01-04 00:00:00'")
+    // grouped landmark: one-sided bound through the grouped path
+    check("SELECT date_trunc('hour', ts) AS h, ROUND(SUM(value), 2) AS s " +
+      "FROM events_accel WHERE ts >= TIMESTAMP '2024-01-28 00:00:00' " +
+      "GROUP BY 1 ORDER BY 1")
+    // closed upper bound (BETWEEN) must NOT fold: data is µs-precision,
+    // the wheel ms-granular — `ts <= b` has no exact ms-range answer
+    val between = spark.sql(
+      "SELECT SUM(value) AS s FROM events_accel WHERE ts BETWEEN " +
+        "TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-05 23:59:00'")
+    assert(between.queryExecution.optimizedPlan.collect {
+      case l: LocalRelation => l
+    }.isEmpty)
+  }
+
   test("empty aligned range returns count 0 and null sum") {
     register()
     val a = Q.Jan1

@@ -76,6 +76,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("FileScan"), p)
   }
 
+  test("q_wheel_landmark folds the one-sided natural predicate to a LocalTableScan") {
+    val p = plan("q_wheel_landmark")
+    assert(p.contains("LocalTableScan"), p)
+    assert(!p.contains("FileScan"), p)
+  }
+
   test("q_subquery family decorrelates: no cartesian anywhere") {
     Seq("q_subquery_scalar", "q_subquery_in", "q_subquery_exists", "q_subquery_corr")
       .foreach { q =>
