@@ -292,7 +292,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
           // per-slot row counts agree — any measure decides emptiness
           if (alls.valuesIterator.next().count > 0L) {
             foldRow(aggExprs, alls,
-              Seq((Seq(groupKey, gExpr), slotLiteral(s0, slotType)))) match {
+              Seq((Seq(groupKey, gExpr), slotLiteral(s0, w, slotType)))) match {
               case Some(vals) => slotRows += InternalRow.fromSeq(vals)
               case None => ok = false
             }
@@ -345,7 +345,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
             if (all.count > 0L) {
               foldRow(aggExprs, Map(reg.valueCol -> all), Seq(
                 (Seq(keyAttr), Literal.create(key, reg.idx.keyType)),
-                (Seq(slotGroup, gExpr), slotLiteral(s0, slotType)))) match {
+                (Seq(slotGroup, gExpr), slotLiteral(s0, w, slotType)))) match {
                 case Some(vals) => out += InternalRow.fromSeq(vals)
                 case None => ok = false
               }
@@ -401,7 +401,86 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
         case "hour" => (3600000L, TimestampType)
         case "day" | "dd" => (86400000L, TimestampType)
       }
+    case s: CreateNamedStruct => windowSlot(s, tsCol)
     case _ => None
+  }
+
+  /** Spark's own `GROUP BY window(ts, w)` — the TimeWindowing analyzer
+    * rule turns a TUMBLING window (size == slide, zero start offset)
+    * into a single named_struct grouping:
+    *
+    * {{{ named_struct('start', ptc(t − floorMod(t − 0, slideUs) − 0),
+    *                  'end',   ptc(… + slideUs)) }}}
+    *
+    * with `t = ptc(ts)` in µs and floorMod spelled as the CASE-WHEN the
+    * analyzer emits (`CASE WHEN m < 0 THEN m + slide ELSE m END`). Each
+    * piece is verified structurally (the repeated subtrees with
+    * `semanticEquals`), so only the exact tumbling-bucketing semantics
+    * fold — anything else keeps the scan path. Sliding windows
+    * (slide < size) go through Expand, never a single Aggregate
+    * grouping, so they cannot reach this matcher. Returns the slot
+    * width in ms and the struct type for the slot literal. */
+  private def windowSlot(
+      struct: CreateNamedStruct, tsCol: String): Option[(Long, DataType)] = {
+    def strip(e: Expression): Expression = e match {
+      case KnownNullable(x) => strip(x)
+      case KnownNotNull(x) => strip(x)
+      case Subtract(x, Literal(0L, LongType), _) => strip(x)
+      case _ => e
+    }
+    def usLong(e: Expression): Option[Long] = e match {
+      case Literal(v: Long, LongType) => Some(v)
+      case Literal(v: Int, IntegerType) => Some(v.toLong)
+      case _ => None
+    }
+    // t − floorMod(t − start, slide): returns (slideUs, startUs)
+    def bucketOf(e: Expression): Option[(Long, Long)] = strip(e) match {
+      case Subtract(tUs, CaseWhen(Seq((LessThan(m1, z), Add(m2, s1, _))), Some(m3)), _)
+          if usLong(z).contains(0L) && m1.semanticEquals(m3) && m2.semanticEquals(m3) =>
+        strip(m3) match {
+          case Remainder(off, s2, _) =>
+            for {
+              slide <- usLong(s1)
+              slide2 <- usLong(s2)
+              if slide == slide2 && slide > 0
+              start <- strip(off) match {
+                case x if x.semanticEquals(strip(tUs)) => Some(0L)
+                case Subtract(x, st, _) if x.semanticEquals(strip(tUs)) => usLong(st)
+                case _ => None
+              }
+            } yield (slide, start)
+          case _ => None
+        }
+      case _ => None
+    }
+    struct.children match {
+      case Seq(Literal(n1, StringType), sE, Literal(n2, StringType), eE)
+          if n1.toString == "start" && n2.toString == "end" =>
+        (strip(sE), strip(eE)) match {
+          case (PreciseTimestampConversion(sU, _, _),
+                PreciseTimestampConversion(eU, _, _)) =>
+            for {
+              (slideUs, startUs) <- bucketOf(sU)
+              endInner <- (strip(eU) match {
+                case Add(x, s, _)
+                    if usLong(s).contains(slideUs) && x.semanticEquals(sU) =>
+                  Some(x)
+                case _ => None
+              })
+              _ = endInner // end = start + slide, verified above
+              // the ts inside must be the registered column, and the
+              // buckets must land on our minute-aligned slot grid
+              if sU.references.size == 1 &&
+                sU.collectFirst {
+                  case PreciseTimestampConversion(t, _, LongType)
+                      if isTsCol(t, tsCol) => true
+                }.contains(true)
+              if startUs == 0L && slideUs % (MinuteMs * 1000L) == 0L
+            } yield (slideUs / 1000L, struct.dataType)
+          case _ => None
+        }
+      case _ => None
+    }
   }
 
   /** The registered ts column itself — bare, or through our read
@@ -416,9 +495,12 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  /** The grouping-output literal for a slot: epoch-ms long, or µs
-    * timestamp when the grouping was a date_trunc. */
-  private def slotLiteral(s0: Long, dt: DataType): Literal = dt match {
+  /** The grouping-output literal for a slot: epoch-ms long, µs
+    * timestamp when the grouping was a date_trunc, or the
+    * `window(ts, …)` start/end struct. */
+  private def slotLiteral(s0: Long, w: Long, dt: DataType): Literal = dt match {
+    case st: StructType =>
+      Literal(InternalRow(s0 * 1000L, (s0 + w) * 1000L), st)
     case TimestampType => Literal(s0 * 1000L, TimestampType)
     case _ => Literal(s0, LongType)
   }
@@ -519,14 +601,20 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       case And(x, y) => conjuncts(x) ++ conjuncts(y)
       case other => Seq(other)
     }
+    // drop the IsNotNull conjuncts the optimizer infers from the range
+    // bounds — over the bare column, the raw nanos column (same name,
+    // pre-rebuild), or the µs-rebuilt expression (TimeWindowing adds
+    // that last one under GROUP BY window(ts, …))
     val cs = conjuncts(cond).filterNot {
       case IsNotNull(a: AttributeReference) => a.name == tsCol
+      case IsNotNull(e) => isTsCol(e, tsCol)
       case _ => false
     }
     val lowers = cs.flatMap(c => lower(c))
     val uppers = cs.flatMap(c => upper(c))
+    // all-notnull filter (cs empty) = no range constraint = full span
     if (lowers.size + uppers.size == cs.size && lowers.size <= 1 &&
-        uppers.size <= 1 && cs.nonEmpty)
+        uppers.size <= 1)
       Some((lowers.headOption, uppers.headOption))
     else None
   }

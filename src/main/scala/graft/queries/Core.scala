@@ -410,6 +410,30 @@ object Core {
           |""".stripMargin)
     }),
 
+    // NATIVE window() GROUPING via auto-rewrite (round 7): Spark's own
+    // tumbling-window idiom — GROUP BY window(ts, '1 hour') — folded
+    // from the wheel. The TimeWindowing analyzer rule expands window()
+    // into a named_struct(start, end) grouping; WheelSumRewrite matches
+    // that exact bucketing structurally (floorMod CASE verified subtree
+    // by subtree) and answers one LocalRelation row per non-empty slot,
+    // struct column included. Sliding windows (slide < size) expand via
+    // Expand and correctly keep the scan path. Scan-free plan asserted
+    // in PlanAuditSpec; all shapes value-checked in
+    // WheelAccelerationSpec.
+    "q_wheel_window_sql" -> ((s, dir) => {
+      graft.plans.WheelAcceleration.register(
+        s, s"$dir/events.parquet", t(s, dir, "events"))
+      t(s, dir, "events").createOrReplaceTempView("events_wheel")
+      s.sql(
+        """SELECT unix_millis(window.start) AS ws_ms, unix_millis(window.end) AS we_ms,
+          |ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n
+          |FROM events_wheel
+          |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+          |AND ts < TIMESTAMP '2024-01-12 00:00:00'
+          |GROUP BY window(ts, '1 hour') ORDER BY 1
+          |""".stripMargin)
+    }),
+
     // TopN from the keyed wheel (round 5): completes the µWheel
     // aggregator family the reference crate ships (Sum/Min/Max/Avg/
     // All/TopN — /root/reference/src/main.rs:15 imports the framework;
@@ -537,5 +561,11 @@ object Core {
         s"WHERE epoch_ms(l_shipdate) >= $LiMStart AND epoch_ms(l_shipdate) < $LiMEnd"),
     "q_wheel_landmark" ->
       (s"SELECT ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n " +
-        s"FROM events WHERE epoch_ms(ts) >= $RlStart"))
+        s"FROM events WHERE epoch_ms(ts) >= $RlStart"),
+    "q_wheel_window_sql" ->
+      (s"SELECT (epoch_ms(ts) // 3600000) * 3600000 AS ws_ms, " +
+        "(epoch_ms(ts) // 3600000) * 3600000 + 3600000 AS we_ms, " +
+        "ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n FROM events " +
+        s"WHERE epoch_ms(ts) >= $R1Start AND epoch_ms(ts) < $R1End " +
+        "GROUP BY 1, 2 ORDER BY 1"))
 }

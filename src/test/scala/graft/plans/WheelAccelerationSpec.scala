@@ -278,6 +278,57 @@ class WheelAccelerationSpec extends AnyFunSuite {
     }.isEmpty)
   }
 
+  test("GROUP BY window(ts, …) folds tumbling windows; sliding keeps the scan (round 7)") {
+    register()
+    events.createOrReplaceTempView("events_accel")
+    def run(sql: String): (Boolean, Seq[String]) = {
+      val df = spark.sql(sql)
+      val hit = df.queryExecution.optimizedPlan.collect {
+        case l: LocalRelation => l
+      }.nonEmpty
+      val got = df.collect().map(_.toString).toSeq
+      WheelAcceleration.clear()
+      val want = spark.sql(sql).collect().map(_.toString).toSeq
+      register()
+      assert(got == want, sql)
+      (hit, got)
+    }
+    // hour tumbling over a natural range: folds, struct column included
+    val (h1, r1) = run(
+      "SELECT window(ts, '1 hour') AS w, ROUND(SUM(value), 2) AS s, COUNT(*) AS n " +
+        "FROM events_accel WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' " +
+        "AND ts < TIMESTAMP '2024-01-06 00:00:00' GROUP BY 1 ORDER BY 1")
+    assert(h1 && r1.nonEmpty)
+    // full span (filter is only the inferred isnotnull), struct fields projected
+    val (h2, _) = run(
+      "SELECT window.start AS ws, window.end AS we, ROUND(SUM(value), 2) AS s " +
+        "FROM events_accel GROUP BY window(ts, '1 day') ORDER BY 1")
+    assert(h2)
+    // non-tier width that is still a minute multiple
+    val (h3, _) = run(
+      "SELECT window(ts, '15 minutes') AS w, COUNT(*) AS n FROM events_accel " +
+        "WHERE ts >= '2024-01-10' AND ts < '2024-01-11' GROUP BY 1 ORDER BY 1")
+    assert(h3)
+    // keyed: (dimension, window) from the keyed index
+    WheelAcceleration.registerKeyed(spark, path, events, "event_type")
+    val (h4, _) = run(
+      "SELECT event_type, window(ts, '1 hour') AS w, ROUND(SUM(value), 2) AS s " +
+        "FROM events_accel WHERE ts >= '2024-01-05' AND ts < '2024-01-06' " +
+        "GROUP BY 1, 2 ORDER BY 1, 2")
+    assert(h4)
+    // sliding windows expand rows via Expand — must NOT fold, still correct
+    val (h5, _) = run(
+      "SELECT window(ts, '1 hour', '30 minutes') AS w, COUNT(*) AS n " +
+        "FROM events_accel WHERE ts >= '2024-01-05' AND ts < '2024-01-06' " +
+        "GROUP BY 1 ORDER BY 1")
+    assert(!h5)
+    // sub-minute window width has no wheel grid — must NOT fold
+    val (h6, _) = run(
+      "SELECT window(ts, '90 seconds') AS w, COUNT(*) AS n FROM events_accel " +
+        "WHERE ts >= '2024-01-05' AND ts < '2024-01-06' GROUP BY 1 ORDER BY 1")
+    assert(!h6)
+  }
+
   test("empty aligned range returns count 0 and null sum") {
     register()
     val a = Q.Jan1

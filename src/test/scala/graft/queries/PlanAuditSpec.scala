@@ -82,6 +82,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("FileScan"), p)
   }
 
+  test("q_wheel_window_sql folds GROUP BY window(ts) to a LocalTableScan") {
+    val p = plan("q_wheel_window_sql")
+    assert(p.contains("LocalTableScan"), p)
+    assert(!p.contains("FileScan"), p)
+  }
+
   test("q_subquery family decorrelates: no cartesian anywhere") {
     Seq("q_subquery_scalar", "q_subquery_in", "q_subquery_exists", "q_subquery_corr")
       .foreach { q =>
