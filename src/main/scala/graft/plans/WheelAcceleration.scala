@@ -115,6 +115,40 @@ object WheelAcceleration {
     reg.wheels
   }
 
+  /** PERSISTED registration (round 7): serve the index from a saved
+    * copy at `indexDir` when it provably matches the current source —
+    * [[graft.wheel.PersistentWheel]] records the source fingerprint at
+    * save time, and a load is O(slots) (one tiny parquet read, NO
+    * source scan: the piece that matters when the source is 100 TB and
+    * the build's scan+shuffle is the cost). When `indexDir` is absent,
+    * torn, or recorded against different source files / columns, the
+    * index is rebuilt from `events` and re-saved for the next caller.
+    * Same registry, fingerprint and rewrite discipline as
+    * [[register]]/[[registerMulti]]. */
+  def registerPersisted(spark: SparkSession, path: String, indexDir: String,
+      events: => DataFrame, tsCol: String = "ts",
+      valueCols: Seq[String] = Seq("value")): Map[String, WheelIndex] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fp = fingerprint(path, conf)
+    val reg = registry.compute(normalize(path), (_, old) =>
+      if (old != null && old.fingerprint == fp && old.tsCol == tsCol &&
+          valueCols.forall(old.wheels.contains)) old
+      else {
+        val saved = graft.wheel.PersistentWheel.peek(spark, indexDir)
+          .filter(m => m.sourceFingerprint == fp && m.tsCol == tsCol &&
+            valueCols.forall(m.valueCols.contains))
+        val wheels = saved match {
+          case Some(_) =>
+            graft.wheel.PersistentWheel.load(spark, indexDir, Some(events))._2
+          case None =>
+            graft.wheel.PersistentWheel.save(spark, indexDir, events, tsCol, valueCols, fp)
+        }
+        Reg(tsCol, wheels, fp, conf)
+      })
+    enable(spark)
+    reg.wheels
+  }
+
   /** Drop the registered index for `path` (the rewrite rule stops firing
     * for it; queries fall back to the scan path). */
   def unregister(path: String): Unit = {

@@ -304,16 +304,8 @@ object WheelIndex {
         }
       case _ => ()
     }
-    val scanFallback: (Long, Long) => AllAggregate = { (a, b) =>
-      val r = events
-        .filter(unix_millis(col(tsCol)) >= a && unix_millis(col(tsCol)) < b)
-        .agg(sum(col(valueCol).cast("double")), count(col(valueCol)),
-          min(col(valueCol).cast("double")), max(col(valueCol).cast("double")))
-        .collect()(0)
-      if (r.getLong(1) == 0L) AllAggregate.identity
-      else AllAggregate(r.getDouble(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
-    }
-    new WheelIndex(base, horizon, blocks, retention, Some(scanFallback))
+    new WheelIndex(base, horizon, blocks, retention,
+      Some(scanFallback(events, tsCol, valueCol)))
   }
 
   /** MULTI-MEASURE build (VERDICT r6 #4): index N measure columns in
@@ -332,11 +324,39 @@ object WheelIndex {
       retention: Map[Tier, Retention] = Map.empty): Map[String, WheelIndex] = {
     require(valueCols.nonEmpty, "need at least one measure column")
     val events = RollupBuilder.normalizeTs(rawEvents, tsCol)
-    val rows = RollupBuilder.minuteRollupMulti(events, tsCol, valueCols)
-      .collect()
+    val partials = RollupBuilder.minuteRollupMulti(events, tsCol, valueCols)
+    val rows = partials.collect()
+    def fi(name: String): Int = partials.schema.fieldIndex(name)
+    fromMultiPartials(rows, fi, valueCols, retention,
+      c => Some(scanFallback(events, tsCol, c)))
+  }
+
+  /** The sub-minute residue fallback a source-built index carries: one
+    * bounded driver-side aggregation of the source for each unaligned
+    * range edge. */
+  private[wheel] def scanFallback(events: DataFrame, tsCol: String,
+      valueCol: String): (Long, Long) => AllAggregate = { (a, b) =>
+    val r = events
+      .filter(unix_millis(col(tsCol)) >= a && unix_millis(col(tsCol)) < b)
+      .agg(sum(col(valueCol).cast("double")), count(col(valueCol)),
+        min(col(valueCol).cast("double")), max(col(valueCol).cast("double")))
+      .collect()(0)
+    if (r.getLong(1) == 0L) AllAggregate.identity
+    else AllAggregate(r.getDouble(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+  }
+
+  /** Fill per-measure tier blocks from collected MINUTE-PARTIAL rows
+    * (the [[RollupBuilder.minuteRollupMulti]] shape) — the shared core of
+    * [[buildMulti]] (rows fresh off an aggregation job) and
+    * [[PersistentWheel.load]] (rows re-read from a persisted partials
+    * file). One walk over the rows fills every measure's blocks. */
+  private[wheel] def fromMultiPartials(
+      rows: Array[org.apache.spark.sql.Row],
+      fi: String => Int,
+      valueCols: Seq[String],
+      retention: Map[Tier, Retention],
+      residueFor: String => Option[(Long, Long) => AllAggregate]): Map[String, WheelIndex] = {
     require(rows.nonEmpty, "cannot index an empty source")
-    val schema = RollupBuilder.minuteRollupMulti(events, tsCol, valueCols).schema
-    def fi(name: String): Int = schema.fieldIndex(name)
     val rowsIdx = fi("rows")
     // same never-null-measure contract as the single-measure build,
     // checked per measure before any allocation
@@ -396,16 +416,7 @@ object WheelIndex {
           }
         case _ => ()
       }
-      val scanFallback: (Long, Long) => AllAggregate = { (a, b) =>
-        val r = events
-          .filter(unix_millis(col(tsCol)) >= a && unix_millis(col(tsCol)) < b)
-          .agg(sum(col(valueCol).cast("double")), count(col(valueCol)),
-            min(col(valueCol).cast("double")), max(col(valueCol).cast("double")))
-          .collect()(0)
-        if (r.getLong(1) == 0L) AllAggregate.identity
-        else AllAggregate(r.getDouble(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
-      }
-      valueCol -> new WheelIndex(base, horizon, blocks, retention, Some(scanFallback))
+      valueCol -> new WheelIndex(base, horizon, blocks, retention, residueFor(valueCol))
     }.toMap
   }
 
