@@ -149,6 +149,27 @@ object WheelAcceleration {
     reg.wheels
   }
 
+  /** Register an ALREADY-BUILT index for `path`, fingerprinting the
+    * source as it stands right now — the refresh primitive behind
+    * [[graft.streaming.WheelIngest]]'s live registration: the ingest
+    * sink rebuilds the (O(slots), driver-local) index from its
+    * accumulated partials after each committed micro-batch and swaps it
+    * in here. Callers must ensure the index reflects exactly the files
+    * currently at `path`; anything racing a concurrent writer is caught
+    * by the usual fingerprint check and falls back to the scan. */
+  def registerPrebuilt(spark: SparkSession, path: String, tsCol: String,
+      wheels: Map[String, WheelIndex]): Unit = {
+    require(wheels.nonEmpty, "need at least one measure wheel")
+    val conf = spark.sessionState.newHadoopConf()
+    val fp = fingerprint(path, conf)
+    registry.put(normalize(path), Reg(tsCol, wheels, fp, conf))
+    // the fingerprint verdict cache may hold a recent STALE verdict for
+    // this path from plans run mid-ingest; drop it so the fresh
+    // registration folds immediately rather than after the TTL
+    fpCache.keySet.removeIf(_._1 == normalize(path))
+    enable(spark)
+  }
+
   /** Drop the registered index for `path` (the rewrite rule stops firing
     * for it; queries fall back to the scan path). */
   def unregister(path: String): Unit = {

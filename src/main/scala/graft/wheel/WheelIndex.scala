@@ -334,7 +334,7 @@ object WheelIndex {
   /** The sub-minute residue fallback a source-built index carries: one
     * bounded driver-side aggregation of the source for each unaligned
     * range edge. */
-  private[wheel] def scanFallback(events: DataFrame, tsCol: String,
+  private[graft] def scanFallback(events: DataFrame, tsCol: String,
       valueCol: String): (Long, Long) => AllAggregate = { (a, b) =>
     val r = events
       .filter(unix_millis(col(tsCol)) >= a && unix_millis(col(tsCol)) < b)
@@ -350,7 +350,7 @@ object WheelIndex {
     * [[buildMulti]] (rows fresh off an aggregation job) and
     * [[PersistentWheel.load]] (rows re-read from a persisted partials
     * file). One walk over the rows fills every measure's blocks. */
-  private[wheel] def fromMultiPartials(
+  private[graft] def fromMultiPartials(
       rows: Array[org.apache.spark.sql.Row],
       fi: String => Int,
       valueCols: Seq[String],

@@ -1,0 +1,126 @@
+package graft.streaming
+
+import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.plans.WheelAcceleration
+import graft.queries.Q
+
+/** Live ingest + query (WheelIngest): each committed micro-batch both
+  * lands in the parquet table AND refreshes the registered wheel, so
+  * plain SQL keeps folding to plan-time constants that include the
+  * just-ingested rows — µWheel's concurrent insert/advance + query
+  * lifecycle (reference main.rs:105–144 / 205–225) on Structured
+  * Streaming. */
+class WheelIngestSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def fixture(name: String): String = {
+    val f = new java.io.File(s"target/test-fixtures/wheel-ingest/$name")
+    org.apache.commons.io.FileUtils.deleteQuietly(f)
+    f.getAbsolutePath
+  }
+
+  private val Min = 60000L
+
+  private def rangeSql(path: String, a: Long, b: Long) = {
+    // per-query read, the normal SQL-over-files pattern: both the fold
+    // and the scan fallback see the newest committed files
+    spark.read.parquet(path).createOrReplaceTempView("live_events")
+    spark.sql("SELECT SUM(value) AS s, COUNT(*) AS n FROM live_events " +
+      s"WHERE unix_millis(ts) >= $a AND unix_millis(ts) < $b")
+  }
+
+  private def folded(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.optimizedPlan.collect { case l: LocalRelation => l }.nonEmpty
+
+  test("SQL folds from the live index after every micro-batch, out-of-order included") {
+    import spark.implicits._
+    System.setProperty("graft.wheel.fingerprint.ttlMs", "0")
+    val path = fixture("live/events.parquet")
+    val ckpt = fixture("live/ckpt")
+    val t0 = Q.Jan1
+
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Double)]
+    val q = WheelIngest.start(mem.toDF().toDF("ts", "value"), path, ckpt)
+    try {
+      mem.addData((new java.sql.Timestamp(t0), 1.0),
+        (new java.sql.Timestamp(t0 + Min), 2.0))
+      q.processAllAvailable()
+      val first = rangeSql(path, t0, t0 + 3 * Min)
+      assert(folded(first), first.queryExecution.optimizedPlan.treeString)
+      val r1 = first.collect()(0)
+      assert(r1.getDouble(0) == 3.0 && r1.getLong(1) == 2L)
+
+      // second batch: a new minute AND an out-of-order row landing in
+      // the first batch's minute — the accumulator merges by slot, so
+      // late data is first-class, not an error
+      mem.addData((new java.sql.Timestamp(t0 + 2 * Min), 4.0),
+        (new java.sql.Timestamp(t0 + 1), 10.0))
+      q.processAllAvailable()
+      val second = rangeSql(path, t0, t0 + 3 * Min)
+      assert(folded(second))
+      val r2 = second.collect()(0)
+      assert(r2.getDouble(0) == 17.0 && r2.getLong(1) == 4L)
+
+      // grouped folding works off the same live registration
+      spark.read.parquet(path).createOrReplaceTempView("live_events")
+      val grouped = spark.sql(
+        s"SELECT (unix_millis(ts) div $Min) * $Min AS slot_ms, SUM(value) AS s " +
+          s"FROM live_events WHERE unix_millis(ts) >= $t0 " +
+          s"AND unix_millis(ts) < ${t0 + 3 * Min} GROUP BY 1 ORDER BY 1")
+      assert(folded(grouped))
+      assert(grouped.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+        Seq((t0, 11.0), (t0 + Min, 2.0), (t0 + 2 * Min, 4.0)))
+
+      // an unaligned range takes the residue fallback over the CURRENT
+      // files — no fold, still correct
+      val unaligned = rangeSql(path, t0, t0 + 2 * Min + 1)
+      assert(!folded(unaligned))
+      assert(unaligned.collect()(0).getDouble(0) == 17.0)
+    } finally {
+      q.stop()
+      WheelAcceleration.unregister(path)
+    }
+  }
+
+  test("a restarted ingest bootstraps the accumulated history from the table") {
+    import spark.implicits._
+    System.setProperty("graft.wheel.fingerprint.ttlMs", "0")
+    val path = fixture("restart/events.parquet")
+    val t0 = Q.Jan1
+
+    implicit val sc = spark.sqlContext
+    val mem1 = MemoryStream[(java.sql.Timestamp, Double)]
+    val q1 = WheelIngest.start(mem1.toDF().toDF("ts", "value"), path, fixture("restart/ckpt1"))
+    try {
+      mem1.addData((new java.sql.Timestamp(t0), 1.0),
+        (new java.sql.Timestamp(t0 + Min), 2.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    WheelAcceleration.unregister(path)
+
+    // a NEW ingest over the same table must serve [history + new rows]
+    val mem2 = MemoryStream[(java.sql.Timestamp, Double)]
+    val q2 = WheelIngest.start(mem2.toDF().toDF("ts", "value"), path, fixture("restart/ckpt2"))
+    try {
+      // bootstrap alone already serves the history
+      val boot = rangeSql(path, t0, t0 + 3 * Min)
+      assert(folded(boot))
+      assert(boot.collect()(0).getDouble(0) == 3.0)
+
+      mem2.addData((new java.sql.Timestamp(t0 + 2 * Min), 4.0))
+      q2.processAllAvailable()
+      val after = rangeSql(path, t0, t0 + 3 * Min)
+      assert(folded(after))
+      val r = after.collect()(0)
+      assert(r.getDouble(0) == 7.0 && r.getLong(1) == 3L)
+    } finally {
+      q2.stop()
+      WheelAcceleration.unregister(path)
+    }
+  }
+}
