@@ -327,7 +327,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       path <- sourcePath(child)
       (tsCol, wheels) <- WheelAcceleration.lookup(path)
       gExpr <- resolveGrouping(child, groupKey)
-      (w, slotType) <- slotWidth(gExpr, tsCol)
+      (w, off, slotType) <- slotWidth(gExpr, tsCol)
       (aOpt, bOpt) <- findFilter(child) match {
         case Some((cond, _)) => rangeMs(cond, tsCol)
         case None => Some((None, None))
@@ -339,7 +339,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       rows <- {
         val slotRows = Seq.newBuilder[InternalRow]
         var ok = true
-        var s0 = math.floorDiv(a, w) * w
+        var s0 = math.floorDiv(a - off, w) * w + off
         while (ok && s0 < b) {
           val alls = wheels.map { case (c, i) =>
             c -> i.query(math.max(a, s0), math.min(b, s0 + w)) }
@@ -382,7 +382,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
         case _ => true
       }
       gExpr <- resolveGrouping(child, slotGroup)
-      (w, slotType) <- slotWidth(gExpr, reg.tsCol)
+      (w, off, slotType) <- slotWidth(gExpr, reg.tsCol)
       (aOpt, bOpt) <- findFilter(child) match {
         case Some((cond, _)) => rangeMs(cond, reg.tsCol)
         case None => Some((None, None))
@@ -394,7 +394,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
         val out = Seq.newBuilder[InternalRow]
         var ok = true
         reg.idx.keys.foreach { key =>
-          var s0 = math.floorDiv(a, w) * w
+          var s0 = math.floorDiv(a - off, w) * w + off
           while (ok && s0 < b) {
             val all = reg.idx.query(key, math.max(a, s0), math.min(b, s0 + w))
             if (all.count > 0L) {
@@ -432,19 +432,24 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       case e => Some(e)
     }
 
-  /** Slot width + output type of a time-bucketing grouping expression:
-    * either `(tsMs div w) * w` (long epoch-ms slots) or
-    * `date_trunc('minute'|'hour'|'day'|'week', ts)` (timestamp slots),
-    * when the width is a positive multiple of the finest tier. */
-  private def slotWidth(e: Expression, tsCol: String): Option[(Long, DataType)] = e match {
+  /** Slot width + GRID OFFSET + output type of a time-bucketing
+    * grouping expression: `(tsMs div w) * w` (long epoch-ms slots,
+    * offset 0), `date_trunc('minute'|'hour'|'day'|'week', ts)`
+    * (timestamp slots; week slots sit at Monday boundaries — epoch-day
+    * zero is a Thursday, so the grid is offset by 4 days), or Spark's
+    * `window(ts, …)` struct ([[windowSlot]], offset = `startTime`) —
+    * accepted when the width is a positive multiple of the finest tier
+    * and the offset keeps slot edges on the minute grid. Slots start at
+    * `offset + k*w`. */
+  private def slotWidth(e: Expression, tsCol: String): Option[(Long, Long, DataType)] = e match {
     case Cast(inner, LongType, _, _) =>
-      slotWidth(inner, tsCol).map { case (w, _) => (w, LongType) }
+      slotWidth(inner, tsCol).map { case (w, off, _) => (w, off, LongType) }
     case Multiply(IntegralDivide(ts, l1, _), l2, _) if isTsMs(ts, tsCol) =>
       for {
         w1 <- wideLit(l1)
         w2 <- wideLit(l2)
         if w1 == w2 && w1 > 0 && w1 % MinuteMs == 0
-      } yield (w1, LongType)
+      } yield (w1, 0L, LongType)
     // date_trunc truncates in the SESSION time zone; epoch-ms slot
     // arithmetic is only equivalent in UTC (a zone with a fractional
     // offset shifts even hour boundaries), so require UTC explicitly.
@@ -452,9 +457,12 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
         if isTsCol(ts, tsCol) &&
           tz.forall(z => Set("UTC", "Etc/UTC", "GMT", "Z", "+00:00").contains(z)) =>
       Option(fmt).map(_.toString.toLowerCase(java.util.Locale.ROOT)).collect {
-        case "minute" => (MinuteMs, TimestampType)
-        case "hour" => (3600000L, TimestampType)
-        case "day" | "dd" => (86400000L, TimestampType)
+        case "minute" => (MinuteMs, 0L, TimestampType)
+        case "hour" => (3600000L, 0L, TimestampType)
+        case "day" | "dd" => (86400000L, 0L, TimestampType)
+        // ISO weeks start Monday; 1970-01-01 is Thursday, so Monday
+        // boundaries are epoch-ms ≡ 4 days (mod 7 days)
+        case "week" => (7L * 86400000L, 4L * 86400000L, TimestampType)
       }
     case s: CreateNamedStruct => windowSlot(s, tsCol)
     case _ => None
@@ -474,9 +482,10 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     * fold — anything else keeps the scan path. Sliding windows
     * (slide < size) go through Expand, never a single Aggregate
     * grouping, so they cannot reach this matcher. Returns the slot
-    * width in ms and the struct type for the slot literal. */
+    * width in ms, the grid offset (`startTime`, normalized into
+    * `[0, w)`), and the struct type for the slot literal. */
   private def windowSlot(
-      struct: CreateNamedStruct, tsCol: String): Option[(Long, DataType)] = {
+      struct: CreateNamedStruct, tsCol: String): Option[(Long, Long, DataType)] = {
     def strip(e: Expression): Expression = e match {
       case KnownNullable(x) => strip(x)
       case KnownNotNull(x) => strip(x)
@@ -524,14 +533,19 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
               })
               _ = endInner // end = start + slide, verified above
               // the ts inside must be the registered column, and the
-              // buckets must land on our minute-aligned slot grid
+              // buckets must land on our minute-aligned slot grid: both
+              // the width AND the startTime offset must be whole minutes
+              // (a '30 seconds' startTime shifts edges off the grid)
               if sU.references.size == 1 &&
                 sU.collectFirst {
                   case PreciseTimestampConversion(t, _, LongType)
                       if isTsCol(t, tsCol) => true
                 }.contains(true)
-              if startUs == 0L && slideUs % (MinuteMs * 1000L) == 0L
-            } yield (slideUs / 1000L, struct.dataType)
+              if startUs % (MinuteMs * 1000L) == 0L &&
+                slideUs % (MinuteMs * 1000L) == 0L
+              w = slideUs / 1000L
+              off = math.floorMod(startUs / 1000L, w)
+            } yield (w, off, struct.dataType)
           case _ => None
         }
       case _ => None

@@ -329,6 +329,48 @@ class WheelAccelerationSpec extends AnyFunSuite {
     assert(!h6)
   }
 
+  test("window() startTime offsets and date_trunc('week') fold on the offset grid (round 7)") {
+    register()
+    events.createOrReplaceTempView("events_accel")
+    def run(sql: String): (Boolean, Seq[String]) = {
+      val df = spark.sql(sql)
+      val hit = df.queryExecution.optimizedPlan.collect {
+        case l: LocalRelation => l
+      }.nonEmpty
+      val got = df.collect().map(_.toString).toSeq
+      WheelAcceleration.clear()
+      val want = spark.sql(sql).collect().map(_.toString).toSeq
+      register()
+      assert(got == want, sql)
+      (hit, got)
+    }
+    // whole-minute startTime: bucket edges stay on the wheel grid, so
+    // hours-shifted-by-15-minutes folds — and edge slots clip exactly
+    val (h1, r1) = run(
+      "SELECT window(ts, '1 hour', '1 hour', '15 minutes') AS w, " +
+        "ROUND(SUM(value), 2) AS s, COUNT(*) AS n FROM events_accel " +
+        "WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' " +
+        "AND ts < TIMESTAMP '2024-01-06 00:00:00' GROUP BY 1 ORDER BY 1")
+    assert(h1 && r1.nonEmpty)
+    // a sub-minute startTime shifts edges OFF the grid — must not fold
+    val (h2, _) = run(
+      "SELECT window(ts, '1 hour', '1 hour', '30 seconds') AS w, COUNT(*) AS n " +
+        "FROM events_accel WHERE ts >= '2024-01-05' AND ts < '2024-01-06' " +
+        "GROUP BY 1 ORDER BY 1")
+    assert(!h2)
+    // ISO weeks: Monday boundaries = epoch-ms ≡ 4 days (mod 7 days)
+    val (h3, r3) = run(
+      "SELECT date_trunc('week', ts) AS wk, ROUND(SUM(value), 2) AS s, COUNT(*) AS n " +
+        "FROM events_accel GROUP BY 1 ORDER BY 1")
+    assert(h3 && r3.nonEmpty)
+    // week + range filter; range edges are mid-week so both edge weeks clip
+    val (h4, _) = run(
+      "SELECT date_trunc('week', ts) AS wk, ROUND(SUM(value), 2) AS s " +
+        "FROM events_accel WHERE ts >= TIMESTAMP '2024-01-03 00:00:00' " +
+        "AND ts < TIMESTAMP '2024-01-25 00:00:00' GROUP BY 1 ORDER BY 1")
+    assert(h4)
+  }
+
   test("empty aligned range returns count 0 and null sum") {
     register()
     val a = Q.Jan1
