@@ -294,6 +294,26 @@ object Bench {
       f"""{"build_1_sec":$mmBuild1%.3f,"build_3_sec":$mmBuild3%.3f,""" +
         f""""three_over_one_ratio":${mmBuild3 / mmBuild1}%.2f}"""
 
+    // PERSISTED-INDEX cost (round 7): a load fills the tier arrays from
+    // the few-MB partials parquet with NO source scan, so it should cost
+    // a fraction of the build (whose source aggregation dominates) — and
+    // that fraction is the whole point at 100 TB, where the build's scan
+    // grows with the data and the load stays O(slots). save = one
+    // aggregation job + a tiny write + a verifying load.
+    val pDir = s"${sys.props("java.io.tmpdir")}/graft_bench_pwheel"
+    val pPath = new org.apache.hadoop.fs.Path(pDir)
+    pPath.getFileSystem(spark.sessionState.newHadoopConf()).delete(pPath, true)
+    val ps0 = System.nanoTime()
+    graft.wheel.PersistentWheel.save(
+      spark, pDir, Q.t(spark, sfDir, "events"), "ts", Seq("value"), "bench")
+    val saveSec = (System.nanoTime() - ps0) / 1e9
+    val pl0 = System.nanoTime()
+    graft.wheel.PersistentWheel.load(spark, pDir)
+    val loadSec = (System.nanoTime() - pl0) / 1e9
+    val persistedBlock =
+      f"""{"save_sec":$saveSec%.3f,"load_sec":$loadSec%.3f,""" +
+        f""""load_over_build_ratio":${loadSec / buildSec}%.3f}"""
+
     val full = f"""{"build_sec":$buildSec%.3f,"index_bytes":${idx.sizeBytes},""" +
       s""""slot_counts":$slotCounts,""" +
       s""""minute_ranges":${minuteStats.json},""" +
@@ -301,7 +321,8 @@ object Bench {
       s""""distinct_wheel":$distinctBlock,""" +
       s""""quantile_wheel":$quantileBlock,""" +
       s""""frequency_wheel":$freqBlock,""" +
-      s""""multi_measure":$multiMeasureBlock}"""
+      s""""multi_measure":$multiMeasureBlock,""" +
+      s""""persisted":$persistedBlock}"""
     val compact = f"""{"build_sec":$buildSec%.3f,"index_bytes":${idx.sizeBytes},""" +
       f""""minute_speedup":${minuteStats.speedup}%.0f,""" +
       f""""minute_wheel_p50_us":${minuteStats.wheelP50Us}%.1f,""" +
