@@ -33,12 +33,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object PersistentWheel {
 
-  final case class Meta(version: Int, tsCol: String, valueCols: Seq[String],
-      sourceFingerprint: String)
+  /** `kind` names the wheel family the slots encode ("sum" for the
+    * All-aggregate wheel; each sketch wheel and the keyed wheel write
+    * their own) — a load validates it, so a directory saved by one
+    * family can never be silently reinterpreted by another. */
+  final case class Meta(version: Int, kind: String, tsCol: String,
+      valueCols: Seq[String], sourceFingerprint: String)
 
   private val Version = 1
   private val MetaFile = "meta.graft"
   private val SlotsDir = "slots.parquet"
+  private[wheel] val SumKind = "sum"
 
   /** Compute the minute partials for `valueCols`, write them (and the
     * metadata sidecar) under `indexDir`, then return the index LOADED
@@ -50,15 +55,39 @@ object PersistentWheel {
       tsCol: String, valueCols: Seq[String],
       sourceFingerprint: String): Map[String, WheelIndex] = {
     require(valueCols.nonEmpty, "need at least one measure column")
-    require(valueCols.forall(c => !c.contains(",")),
-      "measure column names must not contain ','")
     val normalized = RollupBuilder.normalizeTs(events, tsCol)
-    RollupBuilder.minuteRollupMulti(normalized, tsCol, valueCols)
-      // time-bounded cardinality: one file keeps the load a single read
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$indexDir/$SlotsDir")
-    writeMeta(spark, indexDir, Meta(Version, tsCol, valueCols, sourceFingerprint))
+    saveSlots(spark, indexDir, SumKind,
+      RollupBuilder.minuteRollupMulti(normalized, tsCol, valueCols),
+      tsCol, valueCols, sourceFingerprint)
     load(spark, indexDir, Some(events))._2
+  }
+
+  /** Generic persist for any wheel family: write the (time-bounded)
+    * minute-slot DataFrame as one tiny parquet plus the `kind`-stamped
+    * metadata sidecar. Every family's save funnels through here, so the
+    * layout and staleness contract stay uniform. */
+  private[wheel] def saveSlots(spark: SparkSession, indexDir: String,
+      kind: String, slots: DataFrame, tsCol: String, valueCols: Seq[String],
+      sourceFingerprint: String): Unit = {
+    require(valueCols.nonEmpty, "need at least one column name")
+    require(valueCols.forall(c => !c.contains(",")),
+      "column names must not contain ','")
+    // time-bounded cardinality: one file keeps the load a single read
+    slots.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/$SlotsDir")
+    writeMeta(spark, indexDir,
+      Meta(Version, kind, tsCol, valueCols, sourceFingerprint))
+  }
+
+  /** Generic restore: validate version + `kind`, then hand back the
+    * metadata and the collected slot rows for the family's own fill. */
+  private[wheel] def loadSlots(spark: SparkSession, indexDir: String,
+      kind: String): (Meta, Array[org.apache.spark.sql.Row]) = {
+    val meta = readMeta(spark, indexDir)
+    require(meta.version == Version,
+      s"persisted wheel at $indexDir has version ${meta.version}; this build reads $Version")
+    require(meta.kind == kind,
+      s"persisted wheel at $indexDir is a '${meta.kind}' wheel, not '$kind'")
+    (meta, spark.read.parquet(s"$indexDir/$SlotsDir").collect())
   }
 
   /** Load a persisted index: read the sidecar, collect the (tiny)
