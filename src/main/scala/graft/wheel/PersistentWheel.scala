@@ -126,6 +126,7 @@ object PersistentWheel {
     val out = fs.create(p, true)
     try out.write(
       (s"version=${meta.version}\n" +
+        s"kind=${meta.kind}\n" +
         s"tsCol=${meta.tsCol}\n" +
         s"valueCols=${meta.valueCols.mkString(",")}\n" +
         s"fingerprint=${meta.sourceFingerprint}\n").getBytes(UTF_8))
@@ -148,7 +149,10 @@ object PersistentWheel {
       val i = line.indexOf('=')
       line.substring(0, i) -> line.substring(i + 1)
     }.toMap
-    Meta(fields("version").toInt, fields("tsCol"),
-      fields("valueCols").split(",").toSeq, fields("fingerprint"))
+    // pre-kind sidecars (written before the field existed) are all sum
+    // wheels — default rather than throw so old saved dirs keep loading
+    Meta(fields("version").toInt, fields.getOrElse("kind", SumKind),
+      fields("tsCol"), fields("valueCols").split(",").toSeq,
+      fields("fingerprint"))
   }
 }
