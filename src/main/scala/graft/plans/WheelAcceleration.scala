@@ -327,7 +327,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       path <- sourcePath(child)
       (tsCol, wheels) <- WheelAcceleration.lookup(path)
       gExpr <- resolveGrouping(child, groupKey)
-      (w, off, slotType) <- slotWidth(gExpr, tsCol)
+      grid <- slotGrid(gExpr, tsCol)
       (aOpt, bOpt) <- findFilter(child) match {
         case Some((cond, _)) => rangeMs(cond, tsCol)
         case None => Some((None, None))
@@ -339,20 +339,21 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       rows <- {
         val slotRows = Seq.newBuilder[InternalRow]
         var ok = true
-        var s0 = math.floorDiv(a - off, w) * w + off
-        while (ok && s0 < b) {
+        val it = grid.starts(a, b)
+        while (ok && it.hasNext) {
+          val s0 = it.next()
+          val s1 = grid.end(s0)
           val alls = wheels.map { case (c, i) =>
-            c -> i.query(math.max(a, s0), math.min(b, s0 + w)) }
+            c -> i.query(math.max(a, s0), math.min(b, s1)) }
           // every wheel in a registration shares one build, so the
           // per-slot row counts agree — any measure decides emptiness
           if (alls.valuesIterator.next().count > 0L) {
             foldRow(aggExprs, alls,
-              Seq((Seq(groupKey, gExpr), slotLiteral(s0, w, slotType)))) match {
+              Seq((Seq(groupKey, gExpr), slotLiteral(s0, s1, grid.slotType)))) match {
               case Some(vals) => slotRows += InternalRow.fromSeq(vals)
               case None => ok = false
             }
           }
-          s0 += w
         }
         if (ok) Some(slotRows.result()) else None
       }
@@ -382,7 +383,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
         case _ => true
       }
       gExpr <- resolveGrouping(child, slotGroup)
-      (w, off, slotType) <- slotWidth(gExpr, reg.tsCol)
+      grid <- slotGrid(gExpr, reg.tsCol)
       (aOpt, bOpt) <- findFilter(child) match {
         case Some((cond, _)) => rangeMs(cond, reg.tsCol)
         case None => Some((None, None))
@@ -394,18 +395,19 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
         val out = Seq.newBuilder[InternalRow]
         var ok = true
         reg.idx.keys.foreach { key =>
-          var s0 = math.floorDiv(a - off, w) * w + off
-          while (ok && s0 < b) {
-            val all = reg.idx.query(key, math.max(a, s0), math.min(b, s0 + w))
+          val it = grid.starts(a, b)
+          while (ok && it.hasNext) {
+            val s0 = it.next()
+            val s1 = grid.end(s0)
+            val all = reg.idx.query(key, math.max(a, s0), math.min(b, s1))
             if (all.count > 0L) {
               foldRow(aggExprs, Map(reg.valueCol -> all), Seq(
                 (Seq(keyAttr), Literal.create(key, reg.idx.keyType)),
-                (Seq(slotGroup, gExpr), slotLiteral(s0, w, slotType)))) match {
+                (Seq(slotGroup, gExpr), slotLiteral(s0, s1, grid.slotType)))) match {
                 case Some(vals) => out += InternalRow.fromSeq(vals)
                 case None => ok = false
               }
             }
-            s0 += w
           }
         }
         if (ok) Some(out.result()) else None
@@ -432,37 +434,85 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       case e => Some(e)
     }
 
-  /** Slot width + GRID OFFSET + output type of a time-bucketing
-    * grouping expression: `(tsMs div w) * w` (long epoch-ms slots,
-    * offset 0), `date_trunc('minute'|'hour'|'day'|'week', ts)`
-    * (timestamp slots; week slots sit at Monday boundaries — epoch-day
-    * zero is a Thursday, so the grid is offset by 4 days), or Spark's
-    * `window(ts, …)` struct ([[windowSlot]], offset = `startTime`) —
-    * accepted when the width is a positive multiple of the finest tier
-    * and the offset keeps slot edges on the minute grid. Slots start at
-    * `offset + k*w`. */
-  private def slotWidth(e: Expression, tsCol: String): Option[(Long, Long, DataType)] = e match {
+  /** A time-bucketing grid the grouped rewrite can walk: every slot is
+    * a half-open `[start, end)` run of whole minutes, enumerable over
+    * any query range. Fixed grids (div-multiply keys, fixed-width
+    * date_trunc tiers, `window()` buckets) step by a constant width;
+    * calendar grids (month/quarter/year) step by java.time UTC
+    * boundaries — variable width, but every boundary is day-aligned so
+    * the same clipped index combines answer them exactly. */
+  private sealed trait SlotGrid {
+    def slotType: DataType
+    /** Starts of every slot intersecting `[a, b)`, ascending; the first
+      * may begin before `a` (callers clip). */
+    def starts(a: Long, b: Long): Iterator[Long]
+    /** End of the slot starting at `s0` (= next slot's start). */
+    def end(s0: Long): Long
+  }
+
+  private final case class FixedGrid(w: Long, off: Long, slotType: DataType)
+      extends SlotGrid {
+    def starts(a: Long, b: Long): Iterator[Long] =
+      Iterator.iterate(math.floorDiv(a - off, w) * w + off)(_ + w).takeWhile(_ < b)
+    def end(s0: Long): Long = s0 + w
+  }
+
+  /** Calendar-boundary grid (UTC): month / quarter / year slots. */
+  private final case class CalendarGrid(months: Int, slotType: DataType)
+      extends SlotGrid {
+    private def date(ms: Long): java.time.LocalDate =
+      java.time.Instant.ofEpochMilli(ms).atZone(java.time.ZoneOffset.UTC).toLocalDate
+    private def ms(d: java.time.LocalDate): Long =
+      d.atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+    private def floor(t: Long): Long = {
+      val d = date(t)
+      val m0 = (d.getMonthValue - 1) / months * months + 1
+      ms(java.time.LocalDate.of(d.getYear, m0, 1))
+    }
+    def starts(a: Long, b: Long): Iterator[Long] =
+      Iterator.iterate(floor(a))(s0 => end(s0)).takeWhile(_ < b)
+    def end(s0: Long): Long = ms(date(s0).plusMonths(months.toLong))
+  }
+
+  /** The grid of a time-bucketing grouping expression: `(tsMs div w) *
+    * w` (long epoch-ms slots), `date_trunc(unit, ts)` (timestamp slots
+    * — fixed-width through week, calendar-stepped for month/quarter/
+    * year; week slots sit at Monday boundaries, epoch-day zero is a
+    * Thursday, so that grid is offset by 4 days), or Spark's
+    * `window(ts, …)` struct ([[windowSlot]], offset = `startTime`).
+    * Fixed widths must be positive multiples of the finest tier with
+    * minute-aligned offsets; calendar boundaries are day-aligned by
+    * construction. */
+  private def slotGrid(e: Expression, tsCol: String): Option[SlotGrid] = e match {
     case Cast(inner, LongType, _, _) =>
-      slotWidth(inner, tsCol).map { case (w, off, _) => (w, off, LongType) }
+      slotGrid(inner, tsCol).collect {
+        case FixedGrid(w, off, _) => FixedGrid(w, off, LongType)
+        case CalendarGrid(m, _) => CalendarGrid(m, LongType)
+      }
     case Multiply(IntegralDivide(ts, l1, _), l2, _) if isTsMs(ts, tsCol) =>
       for {
         w1 <- wideLit(l1)
         w2 <- wideLit(l2)
         if w1 == w2 && w1 > 0 && w1 % MinuteMs == 0
-      } yield (w1, 0L, LongType)
+      } yield FixedGrid(w1, 0L, LongType)
     // date_trunc truncates in the SESSION time zone; epoch-ms slot
     // arithmetic is only equivalent in UTC (a zone with a fractional
     // offset shifts even hour boundaries), so require UTC explicitly.
+    // (TIMESTAMP_NTZ inputs carry no zone at all — the naive value IS
+    // the epoch-ms domain under the build's UTC normalizeTs cast.)
     case TruncTimestamp(Literal(fmt, StringType), ts, tz)
         if isTsCol(ts, tsCol) &&
-          tz.forall(z => Set("UTC", "Etc/UTC", "GMT", "Z", "+00:00").contains(z)) =>
+          (ts.dataType == TimestampNTZType || tz.forall(isUtcZone)) =>
       Option(fmt).map(_.toString.toLowerCase(java.util.Locale.ROOT)).collect {
-        case "minute" => (MinuteMs, 0L, TimestampType)
-        case "hour" => (3600000L, 0L, TimestampType)
-        case "day" | "dd" => (86400000L, 0L, TimestampType)
+        case "minute" => FixedGrid(MinuteMs, 0L, e.dataType)
+        case "hour" => FixedGrid(3600000L, 0L, e.dataType)
+        case "day" | "dd" => FixedGrid(86400000L, 0L, e.dataType)
         // ISO weeks start Monday; 1970-01-01 is Thursday, so Monday
         // boundaries are epoch-ms ≡ 4 days (mod 7 days)
-        case "week" => (7L * 86400000L, 4L * 86400000L, TimestampType)
+        case "week" => FixedGrid(7L * 86400000L, 4L * 86400000L, e.dataType)
+        case "month" | "mon" | "mm" => CalendarGrid(1, e.dataType)
+        case "quarter" => CalendarGrid(3, e.dataType)
+        case "year" | "yyyy" | "yy" => CalendarGrid(12, e.dataType)
       }
     case s: CreateNamedStruct => windowSlot(s, tsCol)
     case _ => None
@@ -485,7 +535,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     * width in ms, the grid offset (`startTime`, normalized into
     * `[0, w)`), and the struct type for the slot literal. */
   private def windowSlot(
-      struct: CreateNamedStruct, tsCol: String): Option[(Long, Long, DataType)] = {
+      struct: CreateNamedStruct, tsCol: String): Option[SlotGrid] = {
     def strip(e: Expression): Expression = e match {
       case KnownNullable(x) => strip(x)
       case KnownNotNull(x) => strip(x)
@@ -545,17 +595,26 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
                 slideUs % (MinuteMs * 1000L) == 0L
               w = slideUs / 1000L
               off = math.floorMod(startUs / 1000L, w)
-            } yield (w, off, struct.dataType)
+            } yield FixedGrid(w, off, struct.dataType)
           case _ => None
         }
       case _ => None
     }
   }
 
-  /** The registered ts column itself — bare, or through our read
-    * pipeline's nanos-long → µs-timestamp rebuild. */
+  private def isUtcZone(z: String): Boolean =
+    Set("UTC", "Etc/UTC", "GMT", "Z", "+00:00").contains(z)
+
+  /** The registered ts column itself — bare, through our read
+    * pipeline's nanos-long → µs-timestamp rebuild, or through the
+    * NTZ→timestamp cast the analyzer inserts (e.g. inside date_trunc
+    * over an NTZ column) — value-identity ONLY under a UTC zone, which
+    * is also the reading the build's normalizeTs applies. */
   private def isTsCol(e: Expression, tsCol: String): Boolean = e match {
     case a: AttributeReference => a.name == tsCol
+    case Cast(a: AttributeReference, TimestampType, tz, _)
+        if a.dataType == TimestampNTZType && tz.forall(isUtcZone) =>
+      a.name == tsCol
     case MicrosToTimestamp(d: IntegralDivide) => (d.left, d.right) match {
       case (a: AttributeReference, Literal(1000L, LongType)) => a.name == tsCol
       case (a: AttributeReference, Literal(1000, IntegerType)) => a.name == tsCol
@@ -564,13 +623,13 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  /** The grouping-output literal for a slot: epoch-ms long, µs
-    * timestamp when the grouping was a date_trunc, or the
-    * `window(ts, …)` start/end struct. */
-  private def slotLiteral(s0: Long, w: Long, dt: DataType): Literal = dt match {
+  /** The grouping-output literal for the slot `[s0, s1)`: epoch-ms
+    * long, µs timestamp (tz or ntz) when the grouping was a
+    * date_trunc, or the `window(ts, …)` start/end struct. */
+  private def slotLiteral(s0: Long, s1: Long, dt: DataType): Literal = dt match {
     case st: StructType =>
-      Literal(InternalRow(s0 * 1000L, (s0 + w) * 1000L), st)
-    case TimestampType => Literal(s0 * 1000L, TimestampType)
+      Literal(InternalRow(s0 * 1000L, s1 * 1000L), st)
+    case TimestampType | TimestampNTZType => Literal(s0 * 1000L, dt)
     case _ => Literal(s0, LongType)
   }
 

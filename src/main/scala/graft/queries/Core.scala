@@ -71,6 +71,19 @@ object Core {
         .agg(round(sum(col("value")), 2).as("sum_value"), count(lit(1)).as("n"))
         .orderBy(col("week_ms"))),
 
+    // Calendar MONTH tier (round 8, VERDICT r7 #5): the single most
+    // common reporting grouping. Months are variable-width, so like
+    // q_rollup_week this uses calendar truncation, over lineitem's
+    // 7-year shipdate span (~84 months; events spans one month only).
+    // l_shipdate is TIMESTAMP_NTZ — cast to a UTC timestamp (pure tag
+    // change on a UTC session) before unix_millis.
+    "q_rollup_month" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(unix_millis(date_trunc("month",
+          col("l_shipdate").cast("timestamp"))).as("month_ms"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("month_ms"))),
+
     // Per-key wheel tier (SURVEY.md §7.8 #6): the wheel generalized to
     // GROUP BY dimension × time slot; cardinality |keys| × slots, still
     // time-bounded per key.
@@ -457,6 +470,29 @@ object Core {
           |""".stripMargin)
     }),
 
+    // CALENDAR-GRID fold (round 8, VERDICT r7 #5): GROUP BY
+    // date_trunc('month', ts) answered from the wheel. Months are NOT
+    // fixed-width, so the rewrite walks java.time UTC month boundaries
+    // (WheelSumRewrite.CalendarGrid) and combines day-tier runs per
+    // slot — the day tier already covers any month span. The range is
+    // deliberately NOT month-aligned: both edge months are partial and
+    // must combine clipped runs to match the scan bit-for-bit.
+    // Quarter/year grids are value-checked in WheelAccelerationSpec.
+    "q_wheel_month_sql" -> ((s, dir) => {
+      graft.plans.WheelAcceleration.registerMulti(
+        s, s"$dir/lineitem.parquet", t(s, dir, "lineitem"),
+        "l_shipdate", Seq("l_quantity", "l_discount", "l_tax"))
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_wheel")
+      s.sql(
+        """SELECT unix_millis(CAST(date_trunc('month', l_shipdate) AS TIMESTAMP)) AS month_ms,
+          |ROUND(SUM(l_quantity), 2) AS sum_qty, ROUND(AVG(l_discount), 4) AS avg_disc,
+          |COUNT(*) AS n FROM lineitem_wheel
+          |WHERE l_shipdate >= TIMESTAMP_NTZ '1994-02-15 00:00:00'
+          |AND l_shipdate < TIMESTAMP_NTZ '1996-05-10 00:00:00'
+          |GROUP BY date_trunc('month', l_shipdate) ORDER BY 1
+          |""".stripMargin)
+    }),
+
     // TopN from the keyed wheel (round 5): completes the µWheel
     // aggregator family the reference crate ships (Sum/Min/Max/Avg/
     // All/TopN — /root/reference/src/main.rs:15 imports the framework;
@@ -511,6 +547,16 @@ object Core {
       ("SELECT epoch_ms(date_trunc('week', ts)) AS week_ms, " +
         "ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n " +
         "FROM events GROUP BY 1 ORDER BY 1"),
+    "q_rollup_month" ->
+      ("SELECT epoch_ms(date_trunc('month', l_shipdate)) AS month_ms, " +
+        "ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n " +
+        "FROM lineitem GROUP BY 1 ORDER BY 1"),
+    "q_wheel_month_sql" ->
+      ("SELECT epoch_ms(date_trunc('month', l_shipdate)) AS month_ms, " +
+        "ROUND(SUM(l_quantity), 2) AS sum_qty, ROUND(AVG(l_discount), 4) AS avg_disc, " +
+        "COUNT(*) AS n FROM lineitem " +
+        s"WHERE epoch_ms(l_shipdate) >= $LiUStart AND epoch_ms(l_shipdate) < $LiUEnd " +
+        "GROUP BY 1 ORDER BY 1"),
     "q_rollup_keyed" ->
       ("SELECT event_type, (epoch_ms(ts) // 3600000) * 3600000 AS slot_ms, " +
         "ROUND(SUM(value), 2) AS sum_value, COUNT(value) AS n " +

@@ -74,4 +74,10 @@ object Q {
     * dates span 1992–1998): [1994-01-01, 1996-07-01), day-aligned. */
   val LiMStart: Long = 757382400000L  // 1994-01-01T00:00:00Z
   val LiMEnd: Long = 836179200000L    // 1996-07-01T00:00:00Z
+
+  /** UNALIGNED-to-month lineitem range for the calendar-grid fold —
+    * both edge months are partial, so the rewrite must clip the first
+    * and last slots: [1994-02-15, 1996-05-10), day-aligned. */
+  val LiUStart: Long = 761270400000L  // 1994-02-15T00:00:00Z
+  val LiUEnd: Long = 831686400000L    // 1996-05-10T00:00:00Z
 }

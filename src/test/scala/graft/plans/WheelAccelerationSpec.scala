@@ -278,6 +278,56 @@ class WheelAccelerationSpec extends AnyFunSuite {
     }.isEmpty)
   }
 
+  test("date_trunc month/quarter/year fold via the calendar grid, edge slots clipped (round 8)") {
+    val liPath = s"$dir/lineitem.parquet"
+    def lineitem = Q.t(spark, dir, "lineitem")
+    def registerLi(): Unit = WheelAcceleration.registerMulti(
+      spark, liPath, lineitem, "l_shipdate", Seq("l_quantity"))
+    registerLi()
+    lineitem.createOrReplaceTempView("lineitem_accel")
+    // deliberately unaligned to every calendar unit: the first and last
+    // slots are partial and must combine clipped day runs
+    def truncSql(unit: String) = spark.sql(
+      s"SELECT date_trunc('$unit', l_shipdate) AS slot, " +
+        "ROUND(SUM(l_quantity), 2) AS s, COUNT(*) AS n FROM lineitem_accel " +
+        "WHERE l_shipdate >= TIMESTAMP_NTZ '1995-03-17 00:00:00' " +
+        "AND l_shipdate < TIMESTAMP_NTZ '1997-02-11 00:00:00' " +
+        "GROUP BY 1 ORDER BY 1")
+    for (unit <- Seq("month", "quarter", "year")) {
+      val accel = truncSql(unit)
+      assert(accel.queryExecution.optimizedPlan.collect {
+        case l: LocalRelation => l
+      }.nonEmpty, s"$unit:\n${accel.queryExecution.optimizedPlan.treeString}")
+      val got = accel.collect().map(_.toString).toSeq
+      WheelAcceleration.clear()
+      val scan = truncSql(unit).collect().map(_.toString).toSeq
+      registerLi()
+      assert(got == scan, unit)
+      assert(got.nonEmpty, unit)
+    }
+    WheelAcceleration.unregister(liPath)
+  }
+
+  test("keyed GROUP BY (key, date_trunc('month', ts)) folds with clipped edges (round 8)") {
+    WheelAcceleration.registerKeyed(spark, path, events, "event_type")
+    events.createOrReplaceTempView("events_accel")
+    // mid-month range: the single January slot is clipped on BOTH edges
+    def sqlFor() = spark.sql(
+      "SELECT event_type, date_trunc('month', ts) AS m, " +
+        "ROUND(SUM(value), 2) AS s, COUNT(*) AS n FROM events_accel " +
+        s"WHERE unix_millis(ts) >= ${Q.R1Start} AND unix_millis(ts) < ${Q.R1End} " +
+        "GROUP BY 1, 2 ORDER BY 1, 2")
+    val accel = sqlFor()
+    assert(accel.queryExecution.optimizedPlan.collect {
+      case l: LocalRelation => l
+    }.nonEmpty, accel.queryExecution.optimizedPlan.treeString)
+    val got = accel.collect().map(_.toString).toSeq
+    WheelAcceleration.clear()
+    val scan = sqlFor().collect().map(_.toString).toSeq
+    assert(got == scan)
+    assert(got.nonEmpty)
+  }
+
   test("GROUP BY window(ts, …) folds tumbling windows; sliding keeps the scan (round 7)") {
     register()
     events.createOrReplaceTempView("events_accel")

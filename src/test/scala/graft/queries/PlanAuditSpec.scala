@@ -256,6 +256,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("FileScan"), p)
   }
 
+  test("q_wheel_month_sql folds the calendar-month grouping to a LocalTableScan") {
+    val p = plan("q_wheel_month_sql")
+    assert(p.contains("LocalTableScan"), p)
+    assert(!p.contains("FileScan"), p)
+  }
+
   test("two bloom predicates on one session keep their own filters (no registry race)") {
     // ADVICE r6: under a FIXED registered name, building a second bloom
     // Column before the first query analyzed would overwrite the registry
