@@ -18,6 +18,13 @@ import graft.wheel.{RollupBuilder, WheelIndex}
   *     registry — so plain SQL over `path` keeps folding to plan-time
   *     constants that INCLUDE the just-ingested rows.
   *
+  * N measures ride one ingest (round 8): the accumulator holds one
+  * sum/cnt/min/max block per measure per minute slot, fed by the same
+  * single batch aggregation ([[RollupBuilder.minuteRollupMulti]]) the
+  * batch side uses — mixed-measure SQL statements fold from the live
+  * registration exactly as they do from a [[WheelAcceleration
+  * .registerMulti]] batch build.
+  *
   * Freshness never trades against correctness: the registration is
   * refreshed only AFTER the batch's files are committed and merged, and
   * the registry serves an index only while its recorded source
@@ -31,8 +38,9 @@ import graft.wheel.{RollupBuilder, WheelIndex}
   * Scale posture: the per-batch work added on top of the parquet write
   * is one map-side-combined aggregation of the BATCH (not the table) to
   * minute partials, a driver merge bounded by minutes-in-batch, and an
-  * O(total slots) array rebuild — all independent of accumulated data
-  * volume, the same time-bounded guarantee the batch index relies on.
+  * O(total slots × measures) array rebuild — all independent of
+  * accumulated data volume, the same time-bounded guarantee the batch
+  * index relies on.
   *
   * Restart/replay: on [[start]] the accumulator bootstraps from the
   * parquet already at `path` (one time-bounded aggregation of the
@@ -42,41 +50,67 @@ import graft.wheel.{RollupBuilder, WheelIndex}
   */
 object WheelIngest {
 
-  def start(stream: DataFrame, path: String, checkpoint: String,
-      tsCol: String = "ts", valueCol: String = "value"): StreamingQuery = {
-    val spark = stream.sparkSession
+  /** Per-slot accumulator state: one (sum, cnt, min, max) block per
+    * measure, plus the shared all-rows count. */
+  private final case class Slot(sums: Array[Double], cnts: Array[Long],
+      mins: Array[Double], maxs: Array[Double], rows: Long) {
+    def merge(o: Slot): Slot = Slot(
+      Array.tabulate(sums.length)(i => sums(i) + o.sums(i)),
+      Array.tabulate(cnts.length)(i => cnts(i) + o.cnts(i)),
+      Array.tabulate(mins.length)(i => math.min(mins(i), o.mins(i))),
+      Array.tabulate(maxs.length)(i => math.max(maxs(i), o.maxs(i))),
+      rows + o.rows)
+  }
 
-    // one accumulator per ingest: minute slot -> (sum, cnt, min, max)
-    val acc = new java.util.concurrent.ConcurrentHashMap[Long, (Double, Long, Double, Double)]()
+  def start(stream: DataFrame, path: String, checkpoint: String,
+      tsCol: String = "ts",
+      valueCols: Seq[String] = Seq("value")): StreamingQuery = {
+    require(valueCols.nonEmpty, "need at least one measure column")
+    val spark = stream.sparkSession
+    val n = valueCols.size
+
+    // one accumulator per ingest: minute slot -> per-measure blocks
+    val acc = new java.util.concurrent.ConcurrentHashMap[Long, Slot]()
     @volatile var lastMergedBatch = -1L
 
+    // minuteRollupMulti shape: slot_ms, (sum/cnt/min/max)×measure, rows
+    val partialCols =
+      "slot_ms" +: valueCols.flatMap(c =>
+        Seq(s"sum_$c", s"cnt_$c", s"min_$c", s"max_$c")) :+ "rows"
+    val fi: String => Int = partialCols.zipWithIndex.toMap
+
     def mergeRows(rows: Array[Row]): Unit = rows.foreach { r =>
-      // minuteRollup shape: slot_ms, sum_v, cnt, min_v, max_v, rows
-      require(r.getLong(2) == r.getLong(5),
-        s"measure column '$valueCol' has NULLs in ingested batch (slot " +
-          s"${r.getLong(0)}); the wheel index requires a never-null measure")
-      val (slot, s, c, mn, mx) =
-        (r.getLong(0), r.getDouble(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
-      acc.merge(slot, (s, c, mn, mx), (a, b) =>
-        (a._1 + b._1, a._2 + b._2, math.min(a._3, b._3), math.max(a._4, b._4)))
+      val all = r.getLong(fi("rows"))
+      valueCols.zipWithIndex.foreach { case (c, i) =>
+        require(r.getLong(2 + 4 * i) == all,
+          s"measure column '$c' has NULLs in ingested batch (slot " +
+            s"${r.getLong(0)}); the wheel index requires a never-null measure")
+      }
+      val slot = Slot(
+        Array.tabulate(n)(i => r.getDouble(1 + 4 * i)),
+        Array.tabulate(n)(i => r.getLong(2 + 4 * i)),
+        Array.tabulate(n)(i => r.getDouble(3 + 4 * i)),
+        Array.tabulate(n)(i => r.getDouble(4 + 4 * i)),
+        all)
+      acc.merge(r.getLong(0), slot, (a, b) => a.merge(b))
     }
 
     def refresh(): Unit = if (!acc.isEmpty) {
-      val fi = Map("slot_ms" -> 0, s"sum_$valueCol" -> 1, s"cnt_$valueCol" -> 2,
-        s"min_$valueCol" -> 3, s"max_$valueCol" -> 4, "rows" -> 5)
-      val rows = acc.entrySet().iterator()
+      val it = acc.entrySet().iterator()
       val buf = Array.newBuilder[Row]
-      while (rows.hasNext) {
-        val e = rows.next()
-        val (s, c, mn, mx) = e.getValue
-        buf += Row(e.getKey.longValue(), s, c, mn, mx, c)
+      while (it.hasNext) {
+        val e = it.next()
+        val s = e.getValue
+        val vals = Seq.tabulate(n)(i =>
+          Seq[Any](s.sums(i), s.cnts(i), s.mins(i), s.maxs(i))).flatten
+        buf += Row.fromSeq(e.getKey.longValue() +: vals :+ s.rows)
       }
       val wheels = WheelIndex.fromMultiPartials(
-        buf.result(), fi, Seq(valueCol), Map.empty,
+        buf.result(), fi, valueCols, Map.empty,
         // residue over the CURRENT files: re-read per call, so the
         // fallback always scans what is on disk now
-        _ => Some((a, b) => WheelIndex.scanFallback(
-          spark.read.parquet(path), tsCol, valueCol)(a, b)))
+        c => Some((a, b) => WheelIndex.scanFallback(
+          spark.read.parquet(path), tsCol, c)(a, b)))
       WheelAcceleration.registerPrebuilt(spark, path, tsCol, wheels)
     }
 
@@ -87,9 +121,9 @@ object WheelIngest {
       .getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(new org.apache.hadoop.fs.Path(path)) &&
         fs.listStatus(new org.apache.hadoop.fs.Path(path)).nonEmpty) {
-      mergeRows(RollupBuilder.minuteRollup(
-        RollupBuilder.normalizeTs(spark.read.parquet(path), tsCol), tsCol, valueCol)
-        .select("slot_ms", "sum_v", "cnt", "min_v", "max_v", "rows").collect())
+      mergeRows(RollupBuilder.minuteRollupMulti(
+        RollupBuilder.normalizeTs(spark.read.parquet(path), tsCol), tsCol, valueCols)
+        .select(partialCols.head, partialCols.tail: _*).collect())
       refresh()
     }
 
@@ -103,9 +137,9 @@ object WheelIngest {
           batch.write.mode("append").parquet(path)
           // (2) fold the batch's partials (aggregation of the BATCH only)
           if (batchId > lastMergedBatch) {
-            mergeRows(RollupBuilder.minuteRollup(
-              RollupBuilder.normalizeTs(batch, tsCol), tsCol, valueCol)
-              .select("slot_ms", "sum_v", "cnt", "min_v", "max_v", "rows").collect())
+            mergeRows(RollupBuilder.minuteRollupMulti(
+              RollupBuilder.normalizeTs(batch, tsCol), tsCol, valueCols)
+              .select(partialCols.head, partialCols.tail: _*).collect())
             lastMergedBatch = batchId
           }
           // (3) swap in the rebuilt index, fingerprinting the files as

@@ -87,6 +87,47 @@ class WheelIngestSpec extends AnyFunSuite {
     }
   }
 
+  test("a 2-measure ingest folds mixed-measure SQL from the live registration (round 8)") {
+    import spark.implicits._
+    System.setProperty("graft.wheel.fingerprint.ttlMs", "0")
+    val path = fixture("multi/events.parquet")
+    val ckpt = fixture("multi/ckpt")
+    val t0 = Q.Jan1
+
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Double, Double)]
+    val q = WheelIngest.start(mem.toDF().toDF("ts", "value", "qty"), path, ckpt,
+      valueCols = Seq("value", "qty"))
+    def mixedSql() = {
+      spark.read.parquet(path).createOrReplaceTempView("live_events")
+      spark.sql("SELECT SUM(value) AS s, AVG(qty) AS aq, MAX(qty) AS mq, " +
+        s"COUNT(*) AS n FROM live_events WHERE unix_millis(ts) >= $t0 " +
+        s"AND unix_millis(ts) < ${t0 + 3 * Min}")
+    }
+    try {
+      mem.addData((new java.sql.Timestamp(t0), 1.0, 10.0),
+        (new java.sql.Timestamp(t0 + Min), 2.0, 20.0))
+      q.processAllAvailable()
+      val first = mixedSql()
+      assert(folded(first), first.queryExecution.optimizedPlan.treeString)
+      val r1 = first.collect()(0)
+      assert(r1.getDouble(0) == 3.0 && r1.getDouble(1) == 15.0 &&
+        r1.getDouble(2) == 20.0 && r1.getLong(3) == 2L)
+
+      // the next batch must advance BOTH measures' wheels
+      mem.addData((new java.sql.Timestamp(t0 + 2 * Min), 4.0, 40.0))
+      q.processAllAvailable()
+      val second = mixedSql()
+      assert(folded(second))
+      val r2 = second.collect()(0)
+      assert(r2.getDouble(0) == 7.0 && r2.getDouble(1) == 70.0 / 3 &&
+        r2.getDouble(2) == 40.0 && r2.getLong(3) == 3L)
+    } finally {
+      q.stop()
+      WheelAcceleration.unregister(path)
+    }
+  }
+
   test("a restarted ingest bootstraps the accumulated history from the table") {
     import spark.implicits._
     System.setProperty("graft.wheel.fingerprint.ttlMs", "0")
