@@ -202,6 +202,37 @@ object WheelAcceleration {
     reg.idx
   }
 
+  /** PERSISTED keyed registration (round 8): the per-key index served
+    * from a saved copy at `indexDir` when its recorded source
+    * fingerprint, key and measure columns match — an O(|keys| × slots)
+    * load with NO source scan — and rebuilt+re-saved otherwise. The
+    * keyed analogue of [[registerPersisted]]. */
+  def registerPersistedKeyed(spark: SparkSession, path: String,
+      indexDir: String, events: => DataFrame, keyCol: String,
+      tsCol: String = "ts", valueCol: String = "value"): graft.wheel.KeyedWheelIndex = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fp = fingerprint(path, conf)
+    val reg = keyedRegistry.compute(normalize(path), (_, old) =>
+      if (old != null && old.fingerprint == fp && old.keyCol == keyCol &&
+          old.valueCol == valueCol) old
+      else {
+        val saved = graft.wheel.PersistentWheel.peek(spark, indexDir)
+          .filter(m => m.kind == graft.wheel.PersistentWheel.KeyedKind &&
+            m.sourceFingerprint == fp && m.tsCol == tsCol &&
+            m.valueCols == Seq(keyCol, valueCol))
+        val idx = saved match {
+          case Some(_) =>
+            graft.wheel.PersistentWheel.loadKeyed(spark, indexDir)._2
+          case None =>
+            graft.wheel.PersistentWheel.saveKeyed(
+              spark, indexDir, events, keyCol, tsCol, valueCol, fp)
+        }
+        KeyedReg(keyCol, tsCol, valueCol, idx, fp, conf)
+      })
+    enable(spark)
+    reg.idx
+  }
+
   private[plans] def lookupKeyed(path: String): Option[KeyedReg] =
     Option(keyedRegistry.get(normalize(path)))
       .filter(r => fresh(path, r.fingerprint, r.hadoopConf))

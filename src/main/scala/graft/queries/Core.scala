@@ -240,6 +240,27 @@ object Core {
            |""".stripMargin)
     }),
 
+    // PERSISTED KEYED index path (round 8, VERDICT r7 #4): the generic
+    // kind-tagged sidecar proven on a second family — the per-key wheel
+    // saved as its keyed minute rollup (|keys| × slots rows, bounded by
+    // dimension cardinality and TIME) and registered from disk with NO
+    // source scan when the fingerprint matches. The grouped SQL then
+    // folds per (key, hour-slot) exactly as q_wheel_keyed; the R3 range
+    // is minute- but not hour-aligned, so edge slots clip. Save→load
+    // parity and cross-family kind rejection in PersistentWheelSpec.
+    "q_wheel_persisted_keyed" -> ((s, dir) => {
+      val idxDir = s"${sys.props("java.io.tmpdir")}/graft_pkwheel_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.plans.WheelAcceleration.registerPersistedKeyed(
+        s, s"$dir/events.parquet", idxDir, t(s, dir, "events"), "event_type")
+      t(s, dir, "events").createOrReplaceTempView("events_wheel")
+      s.sql(
+        s"""SELECT event_type, (unix_millis(ts) div ${Tier.Hour.ms}) * ${Tier.Hour.ms} AS slot_ms,
+           |ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n FROM events_wheel
+           |WHERE unix_millis(ts) >= $R3Start AND unix_millis(ts) < $R3End
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    }),
+
     // Cluster-path index query (round 3): the same range decomposition,
     // answered by filtering + unioning the TIME-BOUNDED per-tier rollup
     // DataFrames — no driver-resident index, no full scan; the shape
@@ -640,5 +661,10 @@ object Core {
     "q_wheel_persisted" ->
       (s"SELECT ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n, " +
         "ROUND(MIN(value), 4) AS min_value, ROUND(MAX(value), 4) AS max_value " +
-        s"FROM events WHERE epoch_ms(ts) >= $R3Start AND epoch_ms(ts) < $R3End"))
+        s"FROM events WHERE epoch_ms(ts) >= $R3Start AND epoch_ms(ts) < $R3End"),
+    "q_wheel_persisted_keyed" ->
+      (s"SELECT event_type, (epoch_ms(ts) // ${Tier.Hour.ms}) * ${Tier.Hour.ms} AS slot_ms, " +
+        "ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n " +
+        s"FROM events WHERE epoch_ms(ts) >= $R3Start AND epoch_ms(ts) < $R3End " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"))
 }

@@ -80,12 +80,26 @@ object DistinctWheel {
     * rolled up, so aligned historical ranges still answer through the
     * retained coarse tiers — same semantics as the sum wheel). */
   def build(events: DataFrame, tsCol: String, keyCol: String,
-      retention: Map[Tier, Retention] = Map.empty): DistinctWheel = {
-    val rows = events
+      retention: Map[Tier, Retention] = Map.empty): DistinctWheel =
+    fromMinuteSketches(minuteSketches(events, tsCol, keyCol).collect(), retention)
+
+  /** The distributed half of [[build]]: per-minute HLL sketches as a
+    * `(slot_ms, sk)` DataFrame — also the family's persisted-slot
+    * payload ([[PersistentWheel.saveDistinct]]): sketches are the
+    * mergeable partials, so a saved minute tier rebuilds every coarser
+    * tier on load, exactly like the sum wheel's minute partials. */
+  private[wheel] def minuteSketches(events: DataFrame, tsCol: String,
+      keyCol: String): DataFrame =
+    events
       .select(RollupBuilder.slotMs(col(tsCol), Tier.Minute).as("slot_ms"), col(keyCol).as("k"))
       .groupBy("slot_ms")
       .agg(hll_sketch_agg(col("k"), lit(LgK)).as("sk"))
-      .collect()
+
+  /** Driver-side tier roll-up from collected `(slot_ms, sk)` rows —
+    * shared by [[build]] (rows fresh off the aggregation) and
+    * [[PersistentWheel.loadDistinct]] (rows re-read from disk). */
+  private[wheel] def fromMinuteSketches(rows: Array[org.apache.spark.sql.Row],
+      retention: Map[Tier, Retention]): DistinctWheel = {
     def unionAll(group: Seq[Array[Byte]]): Array[Byte] = {
       val u = new Union(LgK)
       group.foreach(b => u.update(HllSketch.heapify(b)))

@@ -98,9 +98,22 @@ object KeyedWheelIndex {
 
   def build(events: DataFrame, keyCol: String, tsCol: String,
       valueCol: String): KeyedWheelIndex = {
-    val df = RollupBuilder.keyedRollup(events, keyCol, tsCol, valueCol, Tier.Minute)
+    val df = partials(events, keyCol, tsCol, valueCol)
+    fromPartialRows(df.collect(), keyCol, df.schema(keyCol).dataType, valueCol)
+  }
+
+  /** The distributed half of [[build]]: the keyed minute rollup in the
+    * canonical column order — also the persisted-slot payload
+    * ([[PersistentWheel.saveKeyed]]). */
+  private[wheel] def partials(events: DataFrame, keyCol: String,
+      tsCol: String, valueCol: String): DataFrame =
+    RollupBuilder.keyedRollup(events, keyCol, tsCol, valueCol, Tier.Minute)
       .select(keyCol, "slot_ms", "sum_v", "cnt", "min_v", "max_v", "rows")
-    val rows = df.collect()
+
+  /** Driver-side fill from collected [[partials]] rows — shared by
+    * [[build]] and [[PersistentWheel.loadKeyed]]. */
+  private[wheel] def fromPartialRows(rows: Array[org.apache.spark.sql.Row],
+      keyCol: String, keyType: DataType, valueCol: String): KeyedWheelIndex = {
     require(rows.nonEmpty, "cannot index an empty source")
     require(rows.length <= MaxRows,
       s"keyed rollup has ${rows.length} (key, slot) rows — too wide for a " +
@@ -129,7 +142,6 @@ object KeyedWheelIndex {
         tiers(t).merge(coarse, partial, (a, b) => a.combine(b))
       }
     }
-    val keyType = events.schema(keyCol).dataType
     new KeyedWheelIndex(keyCol, keyType,
       lo / Tier.Day.ms * Tier.Day.ms, (hi / Tier.Day.ms + 1) * Tier.Day.ms, slots)
   }

@@ -43,7 +43,9 @@ object PersistentWheel {
   private val Version = 1
   private val MetaFile = "meta.graft"
   private val SlotsDir = "slots.parquet"
-  private[wheel] val SumKind = "sum"
+  val SumKind = "sum"
+  val KeyedKind = "keyed"
+  val HllKind = "hll"
 
   /** Compute the minute partials for `valueCols`, write them (and the
     * metadata sidecar) under `indexDir`, then return the index LOADED
@@ -79,15 +81,16 @@ object PersistentWheel {
   }
 
   /** Generic restore: validate version + `kind`, then hand back the
-    * metadata and the collected slot rows for the family's own fill. */
+    * metadata and the (uncollected) slot DataFrame for the family's
+    * own fill — families need both the rows and the slot schema. */
   private[wheel] def loadSlots(spark: SparkSession, indexDir: String,
-      kind: String): (Meta, Array[org.apache.spark.sql.Row]) = {
+      kind: String): (Meta, DataFrame) = {
     val meta = readMeta(spark, indexDir)
     require(meta.version == Version,
       s"persisted wheel at $indexDir has version ${meta.version}; this build reads $Version")
     require(meta.kind == kind,
       s"persisted wheel at $indexDir is a '${meta.kind}' wheel, not '$kind'")
-    (meta, spark.read.parquet(s"$indexDir/$SlotsDir").collect())
+    (meta, spark.read.parquet(s"$indexDir/$SlotsDir"))
   }
 
   /** Load a persisted index: read the sidecar, collect the (tiny)
@@ -99,16 +102,61 @@ object PersistentWheel {
     * [[Meta.sourceFingerprint]]. */
   def load(spark: SparkSession, indexDir: String,
       residueSource: Option[DataFrame] = None): (Meta, Map[String, WheelIndex]) = {
-    val meta = readMeta(spark, indexDir)
-    require(meta.version == Version,
-      s"persisted wheel at $indexDir has version ${meta.version}; this build reads $Version")
-    val partials = spark.read.parquet(s"$indexDir/$SlotsDir")
+    val (meta, partials) = loadSlots(spark, indexDir, SumKind)
     val normalizedResidue =
       residueSource.map(src => RollupBuilder.normalizeTs(src, meta.tsCol))
     val wheels = WheelIndex.fromMultiPartials(
       partials.collect(), partials.schema.fieldIndex, meta.valueCols, Map.empty,
       c => normalizedResidue.map(src => WheelIndex.scanFallback(src, meta.tsCol, c)))
     (meta, wheels)
+  }
+
+  /** KEYED-family persist (round 8): the keyed minute rollup —
+    * |keys| × minute-slots rows, bounded by dimension cardinality and
+    * TIME — saved under the `keyed` kind with `valueCols` recording
+    * `(keyCol, valueCol)` in that order. Same save-then-reload round
+    * trip as [[save]]. */
+  def saveKeyed(spark: SparkSession, indexDir: String, events: DataFrame,
+      keyCol: String, tsCol: String, valueCol: String,
+      sourceFingerprint: String): KeyedWheelIndex = {
+    val normalized = RollupBuilder.normalizeTs(events, tsCol)
+    saveSlots(spark, indexDir, KeyedKind,
+      KeyedWheelIndex.partials(normalized, keyCol, tsCol, valueCol),
+      tsCol, Seq(keyCol, valueCol), sourceFingerprint)
+    loadKeyed(spark, indexDir)._2
+  }
+
+  /** Restore a keyed wheel: O(|keys| × slots) fill, no source scan.
+    * The key's type comes back from the slot parquet's own schema. */
+  def loadKeyed(spark: SparkSession, indexDir: String): (Meta, KeyedWheelIndex) = {
+    val (meta, df) = loadSlots(spark, indexDir, KeyedKind)
+    val Seq(keyCol, valueCol) = meta.valueCols
+    val ordered =
+      df.select(keyCol, "slot_ms", "sum_v", "cnt", "min_v", "max_v", "rows")
+    (meta, KeyedWheelIndex.fromPartialRows(
+      ordered.collect(), keyCol, ordered.schema(keyCol).dataType, valueCol))
+  }
+
+  /** HLL-family persist (round 8): the per-minute distinct sketches —
+    * mergeable partials, so the coarser tiers rebuild on load exactly
+    * like the sum wheel's — saved under the `hll` kind with
+    * `valueCols` recording the counted key column. */
+  def saveDistinct(spark: SparkSession, indexDir: String, events: DataFrame,
+      tsCol: String, keyCol: String,
+      sourceFingerprint: String): DistinctWheel = {
+    val normalized = RollupBuilder.normalizeTs(events, tsCol)
+    saveSlots(spark, indexDir, HllKind,
+      DistinctWheel.minuteSketches(normalized, tsCol, keyCol),
+      tsCol, Seq(keyCol), sourceFingerprint)
+    loadDistinct(spark, indexDir)._2
+  }
+
+  /** Restore a distinct-count wheel: union the (time-bounded) saved
+    * minute sketches up the tiers, no source scan. */
+  def loadDistinct(spark: SparkSession, indexDir: String): (Meta, DistinctWheel) = {
+    val (meta, df) = loadSlots(spark, indexDir, HllKind)
+    (meta, DistinctWheel.fromMinuteSketches(
+      df.select("slot_ms", "sk").collect(), Map.empty))
   }
 
   /** The persisted metadata, or None when `indexDir` holds no readable

@@ -129,6 +129,133 @@ class PersistentWheelSpec extends AnyFunSuite {
     WheelAcceleration.clear()
   }
 
+  test("keyed save -> load parity: loaded keyed index answers exactly like a fresh build (round 8)") {
+    val idxDir = fixtureDir("keyed-roundtrip")
+    val fresh = KeyedWheelIndex.build(events, "event_type", "ts", "value")
+    val saved = PersistentWheel.saveKeyed(
+      spark, idxDir, events, "event_type", "ts", "value", "fp-keyed")
+    val (meta, loaded) = PersistentWheel.loadKeyed(spark, idxDir)
+    assert(meta.kind == PersistentWheel.KeyedKind)
+    assert(meta.valueCols == Seq("event_type", "value"))
+    for (idx <- Seq(saved, loaded)) {
+      assert(idx.keys == fresh.keys)
+      assert(idx.keyType == fresh.keyType)
+      for {
+        key <- fresh.keys
+        (a, b) <- Seq((Q.R1Start, Q.R1End), (Q.R2Start, Q.R2End))
+      } assert(idx.query(key, a, b) == fresh.query(key, a, b), s"$key [$a,$b)")
+    }
+  }
+
+  test("HLL save -> load parity: loaded distinct wheel estimates exactly match (round 8)") {
+    val idxDir = fixtureDir("hll-roundtrip")
+    val fresh = DistinctWheel.build(events, "ts", "user_id")
+    val saved = PersistentWheel.saveDistinct(
+      spark, idxDir, events, "ts", "user_id", "fp-hll")
+    val (meta, loaded) = PersistentWheel.loadDistinct(spark, idxDir)
+    assert(meta.kind == PersistentWheel.HllKind)
+    assert(meta.valueCols == Seq("user_id"))
+    for (idx <- Seq(saved, loaded)) {
+      assert(idx.baseMs == fresh.baseMs && idx.horizonMs == fresh.horizonMs)
+      // HLL union is register-wise max — order-insensitive — so the
+      // round-tripped sketches must estimate EXACTLY, not approximately
+      for ((a, b) <- Seq((Q.R1Start, Q.R1End), (Q.R2Start, Q.R2End),
+          (fresh.baseMs, fresh.horizonMs)))
+        assert(idx.queryDistinct(a, b) == fresh.queryDistinct(a, b), s"[$a,$b)")
+    }
+  }
+
+  test("a directory saved by one family is refused by every other (kind gate)") {
+    val sumDir = fixtureDir("kind/sum")
+    val keyedDir = fixtureDir("kind/keyed")
+    PersistentWheel.save(spark, sumDir, events, "ts", Seq("value"), "fp-k1")
+    PersistentWheel.saveKeyed(
+      spark, keyedDir, events, "event_type", "ts", "value", "fp-k2")
+    intercept[IllegalArgumentException] {
+      PersistentWheel.loadKeyed(spark, sumDir)
+    }
+    intercept[IllegalArgumentException] {
+      PersistentWheel.load(spark, keyedDir)
+    }
+    intercept[IllegalArgumentException] {
+      PersistentWheel.loadDistinct(spark, sumDir)
+    }
+  }
+
+  test("a pre-kind sidecar (no kind= line) still loads as a sum wheel") {
+    val idxDir = fixtureDir("prekind")
+    PersistentWheel.save(spark, idxDir, events, "ts", Seq("value"), "fp-old")
+    // rewrite the sidecar WITHOUT the kind line — the exact bytes a
+    // pre-r8 save produced
+    val metaPath = new java.io.File(s"$idxDir/meta.graft")
+    val old = new String(
+      java.nio.file.Files.readAllBytes(metaPath.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val stripped = old.linesIterator.filterNot(_.startsWith("kind=")).mkString("\n") + "\n"
+    java.nio.file.Files.write(metaPath.toPath,
+      stripped.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // the Hadoop local FS checksums sidecar files; the direct rewrite
+    // above invalidates it, which is not the back-compat shape under
+    // test (an old save has a MATCHING crc for its kind-less bytes)
+    new java.io.File(s"$idxDir/.meta.graft.crc").delete()
+    val meta = PersistentWheel.peek(spark, idxDir).get
+    assert(meta.kind == PersistentWheel.SumKind)
+    val (_, wheels) = PersistentWheel.load(spark, idxDir)
+    assert(wheels("value").query(Q.R1Start, Q.R1End).count > 0L)
+  }
+
+  test("registerPersistedKeyed serves the DISK copy when the fingerprint matches (round 8)") {
+    import spark.implicits._
+    System.setProperty("graft.wheel.fingerprint.ttlMs", "0")
+    val src = fixtureDir("srvk/events.parquet")
+    val idxDir = fixtureDir("srvk/index")
+    Seq((new java.sql.Timestamp(Q.Jan1), 1.5, "a"),
+      (new java.sql.Timestamp(Q.Jan1 + 60000L), 2.5, "b"))
+      .toDF("ts", "value", "k").write.mode("overwrite").parquet(src)
+    def q() = {
+      spark.read.parquet(src).createOrReplaceTempView("ev_persk")
+      spark.sql("SELECT k, (unix_millis(ts) div 60000) * 60000 AS slot_ms, " +
+        "SUM(value) AS s, COUNT(*) AS n FROM ev_persk " +
+        s"WHERE unix_millis(ts) >= ${Q.Jan1} AND unix_millis(ts) < ${Q.Jan1 + 120000L} " +
+        "GROUP BY 1, 2 ORDER BY 1, 2")
+    }
+    def folded(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect { case l: LocalRelation => l }.nonEmpty
+
+    // first call: nothing persisted yet -> build + save
+    WheelAcceleration.registerPersistedKeyed(
+      spark, src, idxDir, spark.read.parquet(src), "k")
+    val first = q()
+    assert(folded(first), first.queryExecution.optimizedPlan.treeString)
+    assert(first.collect().map(r => (r.getString(0), r.getDouble(2))).toSeq ==
+      Seq(("a", 1.5), ("b", 2.5)))
+
+    // tamper the persisted keyed partials (double every sum); source
+    // unchanged -> the next registration MUST serve the tampered disk
+    // copy — only the load path can produce that answer
+    val slotsPath = s"$idxDir/slots.parquet"
+    val slots = spark.read.parquet(slotsPath).collect()
+    val schema = spark.read.parquet(slotsPath).schema
+    val doubled = slots.map { r =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq.zipWithIndex.map {
+        case (v: Double, i) if schema(i).name == "sum_v" => v * 2
+        case (v, _) => v
+      })
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(doubled.toIndexedSeq), schema)
+      .coalesce(1).write.mode("overwrite").parquet(slotsPath)
+
+    WheelAcceleration.clear()
+    WheelAcceleration.registerPersistedKeyed(
+      spark, src, idxDir, spark.read.parquet(src), "k")
+    val served = q()
+    assert(folded(served))
+    assert(served.collect().map(r => (r.getString(0), r.getDouble(2))).toSeq ==
+      Seq(("a", 3.0), ("b", 5.0)), "must come from the disk copy")
+    WheelAcceleration.clear()
+  }
+
   test("SQL range aggregates fold from a persisted registration of the events fixture") {
     val idxDir = fixtureDir("events-sql")
     WheelAcceleration.registerPersisted(spark, eventsPath, idxDir, events)
