@@ -135,14 +135,19 @@ object CohortWheel {
   /** Per-tier [[Retention]] evicts old fine-tier slots at build time —
     * identical contract to the other sketch wheels. */
   def build(events: DataFrame, tsCol: String, keyCol: String,
-      retention: Map[Tier, Retention] = Map.empty): CohortWheel = {
+      retention: Map[Tier, Retention] = Map.empty): CohortWheel =
+    fromMinuteSketches(slotSketches(events, tsCol, keyCol).collect(), retention)
+
+  /** Driver-side tier roll-up from collected `(slot_ms, sk)` rows —
+    * shared by [[build]] and [[PersistentWheel.loadCohort]]. */
+  private[wheel] def fromMinuteSketches(rows: Array[org.apache.spark.sql.Row],
+      retention: Map[Tier, Retention]): CohortWheel = {
     def mergeAll(group: Seq[Array[Byte]]): Array[Byte] = {
       val u = SetOperation.builder().buildUnion()
       group.foreach(b => u.union(CompactSketch.heapify(Memory.wrap(b))))
       u.getResult.toByteArray
     }
-    val (base, horizon, blocks) = SketchBlocks.buildTiers(
-      slotSketches(events, tsCol, keyCol).collect())(mergeAll)
+    val (base, horizon, blocks) = SketchBlocks.buildTiers(rows)(mergeAll)
     val wheel = new CohortWheel(base, horizon, blocks, retention)
     SketchBlocks.evict(blocks, base, wheel.retainedStartMs)
     wheel

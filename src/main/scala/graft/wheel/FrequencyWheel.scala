@@ -147,14 +147,19 @@ object FrequencyWheel {
     * after coarser tiers roll up — identical contract to the other
     * sketch wheels. */
   def build(events: DataFrame, tsCol: String, keyCol: String,
-      retention: Map[Tier, Retention] = Map.empty): FrequencyWheel = {
+      retention: Map[Tier, Retention] = Map.empty): FrequencyWheel =
+    fromMinuteSketches(slotSketches(events, tsCol, keyCol).collect(), retention)
+
+  /** Driver-side tier roll-up from collected `(slot_ms, sk)` rows —
+    * shared by [[build]] and [[PersistentWheel.loadFrequency]]. */
+  private[wheel] def fromMinuteSketches(rows: Array[org.apache.spark.sql.Row],
+      retention: Map[Tier, Retention]): FrequencyWheel = {
     def mergeAll(group: Seq[Array[Byte]]): Array[Byte] = {
       val acc = new LongsSketch(MaxMapSize)
       group.foreach(b => acc.merge(LongsSketch.getInstance(Memory.wrap(b))))
       acc.toByteArray
     }
-    val (base, horizon, blocks) = SketchBlocks.buildTiers(
-      slotSketches(events, tsCol, keyCol).collect())(mergeAll)
+    val (base, horizon, blocks) = SketchBlocks.buildTiers(rows)(mergeAll)
     val wheel = new FrequencyWheel(base, horizon, blocks, retention)
     SketchBlocks.evict(blocks, base, wheel.retainedStartMs)
     wheel

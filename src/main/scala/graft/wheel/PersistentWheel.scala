@@ -46,6 +46,9 @@ object PersistentWheel {
   val SumKind = "sum"
   val KeyedKind = "keyed"
   val HllKind = "hll"
+  val KllKind = "kll"
+  val ThetaKind = "theta"
+  val MgKind = "mg"
 
   /** Compute the minute partials for `valueCols`, write them (and the
     * metadata sidecar) under `indexDir`, then return the index LOADED
@@ -156,6 +159,54 @@ object PersistentWheel {
   def loadDistinct(spark: SparkSession, indexDir: String): (Meta, DistinctWheel) = {
     val (meta, df) = loadSlots(spark, indexDir, HllKind)
     (meta, DistinctWheel.fromMinuteSketches(
+      df.select("slot_ms", "sk").collect(), Map.empty))
+  }
+
+  /** KLL / Theta / Misra-Gries persists (round 8): every sketch wheel's
+    * slot payload is already a serialized mergeable sketch per minute
+    * (`(slot_ms, sk)`), so the whole family shares one save/load shape:
+    * the saved minute sketches rebuild the coarser tiers on load via
+    * each family's own merge — no source scan, same staleness contract.
+    * `valueCols` records the sketched column. */
+  def saveQuantile(spark: SparkSession, indexDir: String, events: DataFrame,
+      tsCol: String, valueCol: String, sourceFingerprint: String): QuantileWheel = {
+    saveSlots(spark, indexDir, KllKind,
+      QuantileWheel.slotSketches(RollupBuilder.normalizeTs(events, tsCol), tsCol, valueCol),
+      tsCol, Seq(valueCol), sourceFingerprint)
+    loadQuantile(spark, indexDir)._2
+  }
+
+  def loadQuantile(spark: SparkSession, indexDir: String): (Meta, QuantileWheel) = {
+    val (meta, df) = loadSlots(spark, indexDir, KllKind)
+    (meta, QuantileWheel.fromMinuteSketches(
+      df.select("slot_ms", "sk").collect(), Map.empty))
+  }
+
+  def saveCohort(spark: SparkSession, indexDir: String, events: DataFrame,
+      tsCol: String, keyCol: String, sourceFingerprint: String): CohortWheel = {
+    saveSlots(spark, indexDir, ThetaKind,
+      CohortWheel.slotSketches(RollupBuilder.normalizeTs(events, tsCol), tsCol, keyCol),
+      tsCol, Seq(keyCol), sourceFingerprint)
+    loadCohort(spark, indexDir)._2
+  }
+
+  def loadCohort(spark: SparkSession, indexDir: String): (Meta, CohortWheel) = {
+    val (meta, df) = loadSlots(spark, indexDir, ThetaKind)
+    (meta, CohortWheel.fromMinuteSketches(
+      df.select("slot_ms", "sk").collect(), Map.empty))
+  }
+
+  def saveFrequency(spark: SparkSession, indexDir: String, events: DataFrame,
+      tsCol: String, keyCol: String, sourceFingerprint: String): FrequencyWheel = {
+    saveSlots(spark, indexDir, MgKind,
+      FrequencyWheel.slotSketches(RollupBuilder.normalizeTs(events, tsCol), tsCol, keyCol),
+      tsCol, Seq(keyCol), sourceFingerprint)
+    loadFrequency(spark, indexDir)._2
+  }
+
+  def loadFrequency(spark: SparkSession, indexDir: String): (Meta, FrequencyWheel) = {
+    val (meta, df) = loadSlots(spark, indexDir, MgKind)
+    (meta, FrequencyWheel.fromMinuteSketches(
       df.select("slot_ms", "sk").collect(), Map.empty))
   }
 

@@ -151,14 +151,19 @@ object QuantileWheel {
     * (after coarser tiers roll up — aligned historical ranges still
     * answer through retained coarse tiers, like the sum wheel). */
   def build(events: DataFrame, tsCol: String, valueCol: String,
-      retention: Map[Tier, Retention] = Map.empty): QuantileWheel = {
+      retention: Map[Tier, Retention] = Map.empty): QuantileWheel =
+    fromMinuteSketches(slotSketches(events, tsCol, valueCol).collect(), retention)
+
+  /** Driver-side tier roll-up from collected `(slot_ms, sk)` rows —
+    * shared by [[build]] and [[PersistentWheel.loadQuantile]]. */
+  private[wheel] def fromMinuteSketches(rows: Array[org.apache.spark.sql.Row],
+      retention: Map[Tier, Retention]): QuantileWheel = {
     def mergeAll(group: Seq[Array[Byte]]): Array[Byte] = {
       val acc = KllDoublesSketch.newHeapInstance(K)
       group.foreach(b => acc.merge(KllDoublesSketch.heapify(Memory.wrap(b))))
       acc.toByteArray
     }
-    val (base, horizon, blocks) = SketchBlocks.buildTiers(
-      slotSketches(events, tsCol, valueCol).collect())(mergeAll)
+    val (base, horizon, blocks) = SketchBlocks.buildTiers(rows)(mergeAll)
     val wheel = new QuantileWheel(base, horizon, blocks, retention)
     SketchBlocks.evict(blocks, base, wheel.retainedStartMs)
     wheel
