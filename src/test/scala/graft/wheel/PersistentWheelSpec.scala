@@ -237,9 +237,17 @@ class PersistentWheelSpec extends AnyFunSuite {
     val qApiDir = fixtureDir("kll-api")
     val viaApi = PersistentWheel.saveQuantile(spark, qApiDir, events, "ts", "value", "fp-api")
     assert(PersistentWheel.peek(spark, qApiDir).get.kind == PersistentWheel.KllKind)
-    assert(viaApi.queryQuantiles(Q.R1Start, Q.R1End, Seq(0.5)) ==
-      PersistentWheel.loadQuantile(spark, qApiDir)._2
-        .queryQuantiles(Q.R1Start, Q.R1End, Seq(0.5)))
+    // KLL tier roll-up at load time is randomized (see the comment above the
+    // kll round-trip): the wheel returned by saveQuantile and a second load of
+    // the same directory legitimately retain different items, so compare
+    // within the sketch's normalized rank error — never exactly.
+    val apiGot = viaApi.queryQuantiles(Q.R1Start, Q.R1End, Seq(0.5))
+    val apiWant = PersistentWheel.loadQuantile(spark, qApiDir)._2
+      .queryQuantiles(Q.R1Start, Q.R1End, Seq(0.5))
+    apiGot.zip(apiWant).foreach { case (g, w) =>
+      assert(math.abs(g - w) <= 0.35 * math.max(math.abs(w), 1.0),
+        s"saveQuantile vs loadQuantile p50: $apiGot vs $apiWant")
+    }
 
     // cross-family kind gate holds inside the sketch family too
     intercept[IllegalArgumentException] {
