@@ -195,7 +195,8 @@ object WheelAcceleration {
     val conf = spark.sessionState.newHadoopConf()
     val fp = fingerprint(path, conf)
     val reg = keyedRegistry.compute(normalize(path), (_, old) =>
-      if (old != null && old.fingerprint == fp && old.keyCol == keyCol) old
+      if (old != null && old.fingerprint == fp && old.keyCol == keyCol &&
+          old.tsCol == tsCol && old.valueCol == valueCol) old
       else KeyedReg(keyCol, tsCol, valueCol,
         graft.wheel.KeyedWheelIndex.build(events, keyCol, tsCol, valueCol), fp, conf))
     enable(spark)
@@ -214,7 +215,7 @@ object WheelAcceleration {
     val fp = fingerprint(path, conf)
     val reg = keyedRegistry.compute(normalize(path), (_, old) =>
       if (old != null && old.fingerprint == fp && old.keyCol == keyCol &&
-          old.valueCol == valueCol) old
+          old.tsCol == tsCol && old.valueCol == valueCol) old
       else {
         val saved = graft.wheel.PersistentWheel.peek(spark, indexDir)
           .filter(m => m.kind == graft.wheel.PersistentWheel.KeyedKind &&
@@ -380,7 +381,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
           // per-slot row counts agree — any measure decides emptiness
           if (alls.valuesIterator.next().count > 0L) {
             foldRow(aggExprs, alls,
-              Seq((Seq(groupKey, gExpr), slotLiteral(s0, s1, grid.slotType)))) match {
+              Seq((Seq(groupKey, gExpr), slotLiteral(grid, s0, s1)))) match {
               case Some(vals) => slotRows += InternalRow.fromSeq(vals)
               case None => ok = false
             }
@@ -434,7 +435,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
             if (all.count > 0L) {
               foldRow(aggExprs, Map(reg.valueCol -> all), Seq(
                 (Seq(keyAttr), Literal.create(key, reg.idx.keyType)),
-                (Seq(slotGroup, gExpr), slotLiteral(s0, s1, grid.slotType)))) match {
+                (Seq(slotGroup, gExpr), slotLiteral(grid, s0, s1)))) match {
                 case Some(vals) => out += InternalRow.fromSeq(vals)
                 case None => ok = false
               }
@@ -505,6 +506,16 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     def end(s0: Long): Long = ms(date(s0).plusMonths(months.toLong))
   }
 
+  /** `CAST(<timestamp-slotted grid> AS BIGINT)`: Spark's timestamp→long
+    * cast yields epoch-SECONDS, not the epoch-ms the inner grid walks in,
+    * so the emitted group key divides by 1000 (exact — every slot start
+    * is minute-aligned). */
+  private final case class SecondsKeyGrid(inner: SlotGrid) extends SlotGrid {
+    def slotType: DataType = LongType
+    def starts(a: Long, b: Long): Iterator[Long] = inner.starts(a, b)
+    def end(s0: Long): Long = inner.end(s0)
+  }
+
   /** The grid of a time-bucketing grouping expression: `(tsMs div w) *
     * w` (long epoch-ms slots), `date_trunc(unit, ts)` (timestamp slots
     * — fixed-width through week, calendar-stepped for month/quarter/
@@ -515,10 +526,16 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     * minute-aligned offsets; calendar boundaries are day-aligned by
     * construction. */
   private def slotGrid(e: Expression, tsCol: String): Option[SlotGrid] = e match {
+    // Long-typed keys over a grid: a no-op re-cast of the div-multiply
+    // shape keeps its epoch-ms keys; casting a timestamp-typed grid
+    // (date_trunc tiers) switches the key domain to epoch-seconds
+    // (Spark's timestamp→long semantics), handled by SecondsKeyGrid.
+    // NTZ-typed grids don't fold here (CAST(ntz AS BIGINT) is not
+    // value-equivalent across zones).
     case Cast(inner, LongType, _, _) =>
       slotGrid(inner, tsCol).collect {
-        case FixedGrid(w, off, _) => FixedGrid(w, off, LongType)
-        case CalendarGrid(m, _) => CalendarGrid(m, LongType)
+        case g if g.slotType == LongType => g
+        case g if g.slotType == TimestampType => SecondsKeyGrid(g)
       }
     case Multiply(IntegralDivide(ts, l1, _), l2, _) if isTsMs(ts, tsCol) =>
       for {
@@ -529,11 +546,14 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     // date_trunc truncates in the SESSION time zone; epoch-ms slot
     // arithmetic is only equivalent in UTC (a zone with a fractional
     // offset shifts even hour boundaries), so require UTC explicitly.
-    // (TIMESTAMP_NTZ inputs carry no zone at all — the naive value IS
-    // the epoch-ms domain under the build's UTC normalizeTs cast.)
+    // TIMESTAMP_NTZ inputs carry no zone in the expression, but the
+    // registered index was built via normalizeTs, whose NTZ→timestamp
+    // cast reads naive values in the SESSION zone — so the NTZ branch
+    // is only sound when the session zone is UTC too.
     case TruncTimestamp(Literal(fmt, StringType), ts, tz)
         if isTsCol(ts, tsCol) &&
-          (ts.dataType == TimestampNTZType || tz.forall(isUtcZone)) =>
+          (if (ts.dataType == TimestampNTZType) isUtcZone(sessionZone)
+           else tz.forall(isUtcZone)) =>
       Option(fmt).map(_.toString.toLowerCase(java.util.Locale.ROOT)).collect {
         case "minute" => FixedGrid(MinuteMs, 0L, e.dataType)
         case "hour" => FixedGrid(3600000L, 0L, e.dataType)
@@ -636,6 +656,10 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
   private def isUtcZone(z: String): Boolean =
     Set("UTC", "Etc/UTC", "GMT", "Z", "+00:00").contains(z)
 
+  /** The optimizer runs with the querying session's SQLConf active. */
+  private def sessionZone: String =
+    org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
+
   /** The registered ts column itself — bare, through our read
     * pipeline's nanos-long → µs-timestamp rebuild, or through the
     * NTZ→timestamp cast the analyzer inserts (e.g. inside date_trunc
@@ -656,13 +680,20 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
 
   /** The grouping-output literal for the slot `[s0, s1)`: epoch-ms
     * long, µs timestamp (tz or ntz) when the grouping was a
-    * date_trunc, or the `window(ts, …)` start/end struct. */
-  private def slotLiteral(s0: Long, s1: Long, dt: DataType): Literal = dt match {
-    case st: StructType =>
-      Literal(InternalRow(s0 * 1000L, s1 * 1000L), st)
-    case TimestampType | TimestampNTZType => Literal(s0 * 1000L, dt)
-    case _ => Literal(s0, LongType)
-  }
+    * date_trunc, epoch-seconds long when the grouping cast a
+    * timestamp grid to BIGINT, or the `window(ts, …)` start/end
+    * struct. */
+  private def slotLiteral(grid: SlotGrid, s0: Long, s1: Long): Literal =
+    grid match {
+      case SecondsKeyGrid(_) => Literal(s0 / 1000L, LongType)
+      case g => g.slotType match {
+        case st: StructType =>
+          Literal(InternalRow(s0 * 1000L, s1 * 1000L), st)
+        case dt @ (TimestampType | TimestampNTZType) =>
+          Literal(s0 * 1000L, dt)
+        case _ => Literal(s0, LongType)
+      }
+    }
 
   private def wideLit(e: Expression): Option[Long] = e match {
     case Literal(v: Long, LongType) => Some(v)

@@ -133,6 +133,9 @@ object PersistentWheel {
     * The key's type comes back from the slot parquet's own schema. */
   def loadKeyed(spark: SparkSession, indexDir: String): (Meta, KeyedWheelIndex) = {
     val (meta, df) = loadSlots(spark, indexDir, KeyedKind)
+    require(meta.valueCols.length == 2,
+      s"keyed sidecar at $indexDir must record exactly (keyCol, valueCol); " +
+        s"found ${meta.valueCols.mkString("[", ", ", "]")}")
     val Seq(keyCol, valueCol) = meta.valueCols
     val ordered =
       df.select(keyCol, "slot_ms", "sum_v", "cnt", "min_v", "max_v", "rows")

@@ -143,6 +143,55 @@ class WheelAccelerationSpec extends AnyFunSuite {
     assert(got == scan)
   }
 
+  test("GROUP BY CAST(date_trunc AS BIGINT) folds to epoch-SECOND keys matching the scan (round 9)") {
+    register()
+    events.createOrReplaceTempView("events_accel")
+    // Spark's timestamp→long cast is epoch-seconds; the rewrite must
+    // emit s0/1000 keys, not the grid's epoch-ms slot starts
+    def castSql() = spark.sql(
+      "SELECT CAST(date_trunc('hour', ts) AS BIGINT) AS h_s, " +
+        "ROUND(SUM(value), 2) AS s, COUNT(*) AS n " +
+        s"FROM events_accel WHERE unix_millis(ts) >= ${Q.R1Start} " +
+        s"AND unix_millis(ts) < ${Q.R1End} GROUP BY 1 ORDER BY 1")
+    val accel = castSql()
+    assert(accel.queryExecution.optimizedPlan.collect {
+      case l: LocalRelation => l
+    }.nonEmpty, accel.queryExecution.optimizedPlan.treeString)
+    val got = accel.collect().map(_.toString).toSeq
+    WheelAcceleration.clear()
+    val scan = castSql().collect().map(_.toString).toSeq
+    register()
+    assert(got == scan)
+    assert(got.nonEmpty)
+  }
+
+  test("non-UTC session zone disables the NTZ date_trunc fold (round 9)") {
+    val liPath = s"$dir/lineitem.parquet"
+    def lineitem = Q.t(spark, dir, "lineitem")
+    WheelAcceleration.registerMulti(
+      spark, liPath, lineitem, "l_shipdate", Seq("l_quantity"))
+    lineitem.createOrReplaceTempView("lineitem_accel")
+    def truncSql() = spark.sql(
+      "SELECT date_trunc('month', l_shipdate) AS slot, " +
+        "ROUND(SUM(l_quantity), 2) AS s FROM lineitem_accel " +
+        "WHERE l_shipdate >= TIMESTAMP_NTZ '1995-03-01 00:00:00' " +
+        "AND l_shipdate < TIMESTAMP_NTZ '1996-03-01 00:00:00' " +
+        "GROUP BY 1 ORDER BY 1")
+    // UTC session: folds
+    assert(truncSql().queryExecution.optimizedPlan.collect {
+      case l: LocalRelation => l
+    }.nonEmpty)
+    // non-UTC session: the index's NTZ build read naive values as UTC;
+    // a non-UTC session's date_trunc/filters would disagree — must bail
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+    try {
+      assert(truncSql().queryExecution.optimizedPlan.collect {
+        case l: LocalRelation => l
+      }.isEmpty, "NTZ fold must be gated on a UTC session zone")
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+    WheelAcceleration.unregister(liPath)
+  }
+
   test("GROUP BY (key, time-slot) IS rewritten from the keyed index and matches scan") {
     register()
     WheelAcceleration.registerKeyed(spark, path, events, "event_type")
