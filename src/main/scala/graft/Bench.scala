@@ -271,25 +271,27 @@ object Bench {
     val minuteStats = block(minuteRanges, 20, sumWheel, sumScan)
     val hourStats = block(hourRanges, 20, sumWheel, sumScan)
 
-    // MULTI-MEASURE build cost (VERDICT r6 #4): N measures share one
-    // aggregation job + one slot walk, so 3 measures should cost ~1
-    // measure (both numbers reported; the ratio is the claim). Measured
-    // on the events table (time-bounded 43 200-slot arrays) with
-    // aliased measures — the fixture has one numeric column, and the
-    // aggregation still computes 4 real aggregates per measure, so the
-    // SHARED term under test (the source scan + shuffle) is what
-    // dominates. The lineitem variant (q_wheel_multi_measure) spans 7
-    // years of minute slots, whose ~120 MB-per-measure driver array
-    // allocation swings ±10× with GC timing and would swamp this
-    // measurement (observed 0.8 s vs 7.9 s for identical work).
+    // MULTI-MEASURE build cost (VERDICT r6 #4, min-of-N per VERDICT r8
+    // #3): N measures share one aggregation job + one slot walk, so 3
+    // measures should cost ~1 measure (both numbers reported; the ratio
+    // is the claim). Measured on the events table (time-bounded
+    // 43 200-slot arrays) with aliased measures — the fixture has one
+    // numeric column, and the aggregation still computes 4 real
+    // aggregates per measure, so the SHARED term under test (the source
+    // scan + shuffle) is what dominates. Single-run builds produced
+    // ratios of 0.58/1.28/2.47 on identical code under host CPU steal;
+    // min-of-3 (the same methodology as every timing block above) keeps
+    // the floor, which is the signal.
     val ev3 = Q.t(spark, sfDir, "events")
       .withColumn("v2", col("value")).withColumn("v3", col("value"))
-    val mm10 = System.nanoTime()
-    graft.wheel.WheelIndex.buildMulti(ev3, "ts", Seq("value"))
-    val mmBuild1 = (System.nanoTime() - mm10) / 1e9
-    val mm30 = System.nanoTime()
-    graft.wheel.WheelIndex.buildMulti(ev3, "ts", Seq("value", "v2", "v3"))
-    val mmBuild3 = (System.nanoTime() - mm30) / 1e9
+    def minBuildSec(cols: Seq[String]): Double =
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        graft.wheel.WheelIndex.buildMulti(ev3, "ts", cols)
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    val mmBuild1 = minBuildSec(Seq("value"))
+    val mmBuild3 = minBuildSec(Seq("value", "v2", "v3"))
     val multiMeasureBlock =
       f"""{"build_1_sec":$mmBuild1%.3f,"build_3_sec":$mmBuild3%.3f,""" +
         f""""three_over_one_ratio":${mmBuild3 / mmBuild1}%.2f}"""

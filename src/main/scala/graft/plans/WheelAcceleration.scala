@@ -56,21 +56,18 @@ object WheelAcceleration {
   /** Source-data fingerprint: sorted (name, length, mtime) of every file
     * under `path`. Captured at registration; [[WheelSumRewrite]] bails on
     * any mismatch, so an overwritten/appended source silently falls back
-    * to the (correct) scan path instead of serving stale index constants. */
-  private def fingerprint(path: String, conf: org.apache.hadoop.conf.Configuration): String = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(conf)
-    if (!fs.exists(p)) "absent"
-    else {
-      val it = fs.listFiles(p, true)
-      val parts = scala.collection.mutable.ArrayBuffer.empty[String]
-      while (it.hasNext) {
-        val f = it.next()
-        parts += s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}"
-      }
-      parts.sorted.mkString("|")
-    }
-  }
+    * to the (correct) scan path instead of serving stale index constants.
+    *
+    * The format is a '|'-joined token list, one token per file — shared
+    * with [[graft.streaming.WheelIngest]]'s restart bootstrap, which
+    * diffs a persisted fingerprint against the current listing to
+    * aggregate only the uncovered tail files. */
+  private[graft] def sourceFingerprint(
+      path: String, conf: org.apache.hadoop.conf.Configuration): String =
+    fingerprint(path, conf)
+
+  private def fingerprint(path: String, conf: org.apache.hadoop.conf.Configuration): String =
+    graft.wheel.SourceFingerprint.of(path, conf)
 
   /** Build (via [[graft.wheel.WheelCatalog]]-style one-time work) and
     * register an index for `path`, and enable the rewrite rule on the
@@ -141,7 +138,8 @@ object WheelAcceleration {
           case Some(_) =>
             graft.wheel.PersistentWheel.load(spark, indexDir, Some(events))._2
           case None =>
-            graft.wheel.PersistentWheel.save(spark, indexDir, events, tsCol, valueCols, fp)
+            graft.wheel.PersistentWheel.save(
+              spark, indexDir, events, tsCol, valueCols, fp, path)
         }
         Reg(tsCol, wheels, fp, conf)
       })
@@ -226,7 +224,7 @@ object WheelAcceleration {
             graft.wheel.PersistentWheel.loadKeyed(spark, indexDir)._2
           case None =>
             graft.wheel.PersistentWheel.saveKeyed(
-              spark, indexDir, events, keyCol, tsCol, valueCol, fp)
+              spark, indexDir, events, keyCol, tsCol, valueCol, fp, path)
         }
         KeyedReg(keyCol, tsCol, valueCol, idx, fp, conf)
       })
@@ -325,12 +323,135 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     any = wheels.valuesIterator.next()
     a = aOpt.getOrElse(any.baseMs)
     b = bOpt.getOrElse(any.horizonMs)
-    if a % MinuteMs == 0 && b % MinuteMs == 0 && a <= b
-    // one µs-scale index lookup per registered measure; foldRow then
-    // resolves each aggregate against ITS measure's partials
-    alls = wheels.map { case (c, i) => c -> i.query(a, b) }
-    rewritten <- foldRow(aggExprs, alls, Seq.empty)
-  } yield LocalRelation(agg.output, Seq(InternalRow.fromSeq(rewritten)))
+    if a <= b
+    result <-
+      if (a % MinuteMs == 0 && b % MinuteMs == 0) {
+        // one µs-scale index lookup per registered measure; foldRow
+        // then resolves each aggregate against ITS measure's partials
+        val alls = wheels.map { case (c, i) => c -> i.query(a, b) }
+        foldRow(aggExprs, alls, Seq.empty)
+          .map(r => LocalRelation(agg.output, Seq(InternalRow.fromSeq(r))))
+      } else rewriteResidue(agg, aggExprs, below, tsCol, wheels, a, b)
+  } yield result
+
+  /** HYBRID fold for an UNALIGNED range (round 9, VERDICT r8 #6): the
+    * wheel is minute-granular, so `[a, b)` with sub-minute edges cannot
+    * fold to a constant — but its whole-minute interior
+    * `[ceil(a), floor(b))` can. The Aggregate is rewritten to merge-form
+    * aggregates over a union of
+    *
+    *  - ONE pre-aggregated partials row (sum/min/max per measure + row
+    *    count) computed from the index at plan time, and
+    *  - a parquet scan of ONLY the sub-minute edges — together under
+    *    two minutes of data, expressed as direct `ts >= lit AND ts <
+    *    lit` bounds so the parquet reader can row-group-prune
+    *    (PushedFilters), the term that matters when the table is 100 TB
+    *    and the edges are kilobytes.
+    *
+    * Merge forms: SUM→SUM(sum), MIN→MIN(min), MAX→MAX(max),
+    * COUNT→coalesce(SUM(rows), 0), AVG→SUM(sum)/SUM(rows) — `rows`
+    * stands in for every per-measure count because registered measures
+    * are never-null (the same contract [[foldRow]] relies on). Bails
+    * (keeping the full scan) on any unsupported aggregate, a missing
+    * measure, a non-timestamp ts column, or an interior shorter than
+    * one slot. */
+  private def rewriteResidue(
+      agg: Aggregate, aggExprs: Seq[NamedExpression], below: LogicalPlan,
+      tsCol: String, wheels: Map[String, WheelIndex],
+      a: Long, b: Long): Option[LogicalPlan] = {
+    val aCeil = ((a + MinuteMs - 1) / MinuteMs) * MinuteMs
+    val bFloor = (b / MinuteMs) * MinuteMs
+    if (aCeil >= bFloor) return None // no whole-minute interior to fold
+    val tsAttr = below.output.find(_.name == tsCol) match {
+      case Some(t) if t.dataType == TimestampType ||
+        t.dataType == TimestampNTZType => t
+      case _ => return None
+    }
+    val measures = wheels.keys.toSeq.sorted
+    val measureAttr = measures.flatMap(c =>
+      below.output.find(o => o.name == c && o.dataType == DoubleType)
+        .map(c -> _)).toMap
+    if (measureAttr.size != measures.size) return None
+
+    // union leg 1: the interior, folded from the index to one row
+    val sumAttrs = measures.map(c => c ->
+      AttributeReference(s"__graft_sum_$c", DoubleType, nullable = false)()).toMap
+    val minAttrs = measures.map(c => c ->
+      AttributeReference(s"__graft_min_$c", DoubleType, nullable = false)()).toMap
+    val maxAttrs = measures.map(c => c ->
+      AttributeReference(s"__graft_max_$c", DoubleType, nullable = false)()).toMap
+    val rowsAttr = AttributeReference("__graft_rows", LongType, nullable = false)()
+    val partialAttrs: Seq[AttributeReference] =
+      measures.flatMap(c => Seq(sumAttrs(c), minAttrs(c), maxAttrs(c))) :+ rowsAttr
+    val alls = wheels.map { case (c, i) => c -> i.query(aCeil, bFloor) }
+    val anyAll = alls.valuesIterator.next()
+    val interiorRows =
+      if (anyAll.count == 0L) Seq.empty
+      else Seq(InternalRow.fromSeq(measures.flatMap { c =>
+        val al = alls(c); Seq[Any](al.sum, al.min, al.max)
+      } :+ anyAll.count))
+    val interior = LocalRelation(partialAttrs, interiorRows)
+
+    // union leg 2: the sub-minute edges as a (prunable) scan
+    def usLit(ms: Long) = Literal(ms * 1000L, tsAttr.dataType)
+    def edge(lo: Long, hi: Long): Option[Expression] =
+      if (lo >= hi) None
+      else Some(And(GreaterThanOrEqual(tsAttr, usLit(lo)),
+        LessThan(tsAttr, usLit(hi))))
+    val edgeCond = (edge(a, aCeil), edge(bFloor, b)) match {
+      case (Some(l), Some(h)) => Or(l, h)
+      case (Some(l), None) => l
+      case (None, Some(h)) => h
+      case _ => return None // both edges empty = aligned, handled above
+    }
+    val edgeLeg = Project(
+      measures.flatMap { c =>
+        val at = measureAttr(c)
+        Seq(Alias(at, s"__graft_sum_$c")(), Alias(at, s"__graft_min_$c")(),
+          Alias(at, s"__graft_max_$c")())
+      } :+ Alias(Literal(1L, LongType), "__graft_rows")(),
+      Filter(edgeCond, below))
+
+    // the original aggregates in merge form over the partials
+    var supported = true
+    def merged(e: AggregateExpression): Expression = {
+      if (e.isDistinct || e.filter.nonEmpty) { supported = false; return e }
+      def m(c: Expression): Option[String] = c match {
+        case at: AttributeReference if wheels.contains(at.name) => Some(at.name)
+        case _ => None
+      }
+      def ae(f: AggregateFunction) =
+        AggregateExpression(f, Complete, isDistinct = false)
+      val sumRows = ae(Sum(rowsAttr))
+      val r: Option[Expression] = e.aggregateFunction match {
+        case Sum(c, _) => m(c).map(n => ae(Sum(sumAttrs(n))))
+        case Min(c) => m(c).map(n => ae(Min(minAttrs(n))))
+        case Max(c) => m(c).map(n => ae(Max(maxAttrs(n))))
+        case Average(c, _) =>
+          m(c).map(n => Divide(ae(Sum(sumAttrs(n))), Cast(sumRows, DoubleType)))
+        case Count(cs) if cs.forall(c => m(c).isDefined || c.foldable) =>
+          Some(Coalesce(Seq(sumRows, Literal(0L, LongType))))
+        case _ => None
+      }
+      r.getOrElse { supported = false; e }
+    }
+    // transformUp, NOT transformDown: the merge forms for AVG/COUNT
+    // nest fresh AggregateExpressions inside Divide/Coalesce, and a
+    // top-down transform would descend into the replacement and reject
+    // its partial-column references as unknown measures
+    val newAggExprs = aggExprs.map(_.transformUp {
+      case e: AggregateExpression => merged(e)
+    }.asInstanceOf[NamedExpression])
+    if (!supported) return None
+    // any surviving reference outside the partial columns (a bare
+    // column in the select list, a grouping leak) disqualifies
+    val allowed = partialAttrs.map(_.exprId).toSet
+    if (newAggExprs.exists(_.exists {
+      case at: Attribute => !allowed.contains(at.exprId)
+      case _ => false
+    })) return None
+    Some(Aggregate(Nil, newAggExprs, Union(Seq(interior, edgeLeg))))
+  }
 
   /** GROUP BY time-slot over a registered source — answered from the
     * index as one [[LocalRelation]] row per non-empty slot (time-bounded
@@ -666,7 +787,13 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     * over an NTZ column) — value-identity ONLY under a UTC zone, which
     * is also the reading the build's normalizeTs applies. */
   private def isTsCol(e: Expression, tsCol: String): Boolean = e match {
-    case a: AttributeReference => a.name == tsCol
+    // a bare NTZ column only folds under a UTC session: the build's
+    // normalizeTs read its naive values in the session zone, so any
+    // other zone shifts the index's epoch-ms domain (same guard as the
+    // date_trunc grids)
+    case a: AttributeReference =>
+      a.name == tsCol &&
+        (a.dataType != TimestampNTZType || isUtcZone(sessionZone))
     case Cast(a: AttributeReference, TimestampType, tz, _)
         if a.dataType == TimestampNTZType && tz.forall(isUtcZone) =>
       a.name == tsCol
@@ -728,15 +855,12 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
   }
 
   /** Epoch-ms expression over the registered ts column, in the shapes
-    * our read pipeline produces (see [[rangeMs]]). */
+    * our read pipeline produces (see [[rangeMs]]): `unix_millis` over
+    * any [[isTsCol]] spelling — bare attribute, the UTC-guarded
+    * NTZ→timestamp cast the analyzer inserts over naive parquet
+    * columns, or the nanos-long µs rebuild. */
   private def isTsMs(e: Expression, tsCol: String): Boolean = e match {
-    case UnixMillis(a: AttributeReference) => a.name == tsCol
-    case UnixMillis(MicrosToTimestamp(d: IntegralDivide)) =>
-      (d.left, d.right) match {
-        case (a: AttributeReference, Literal(1000L, LongType)) => a.name == tsCol
-        case (a: AttributeReference, Literal(1000, IntegerType)) => a.name == tsCol
-        case _ => false
-      }
+    case UnixMillis(inner) => isTsCol(inner, tsCol)
     case _ => false
   }
 

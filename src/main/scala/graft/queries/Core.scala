@@ -217,6 +217,24 @@ object Core {
            |""".stripMargin)
     }),
 
+    // HYBRID residue fold (round 9, VERDICT r8 #6): the same plain-SQL
+    // surface with an UNALIGNED range — sub-minute residue at both
+    // edges. The rewrite folds the whole-minute interior to one
+    // pre-aggregated row at plan time and leaves ONLY the two sub-minute
+    // edge windows as a parquet scan with directly-pushable ts bounds
+    // (under two minutes of data regardless of table size). The SQL
+    // sibling of q_wheel_residue's programmatic index.query path.
+    "q_wheel_residue_sql" -> ((s, dir) => {
+      graft.plans.WheelAcceleration.register(
+        s, s"$dir/events.parquet", t(s, dir, "events"))
+      t(s, dir, "events").createOrReplaceTempView("events_wheel")
+      s.sql(
+        s"""SELECT ROUND(SUM(value), 2) AS sum_value, ROUND(AVG(value), 4) AS avg_value,
+           |COUNT(*) AS n FROM events_wheel
+           |WHERE unix_millis(ts) >= $RuStart AND unix_millis(ts) < $RuEnd
+           |""".stripMargin)
+    }),
+
     // PERSISTED index path (round 7): the registration is served from a
     // saved copy — minute partials parquet + fingerprint sidecar
     // (graft.wheel.PersistentWheel) — loaded in O(slots) with NO source
@@ -514,6 +532,28 @@ object Core {
           |""".stripMargin)
     }),
 
+    // QUARTER-grid fold (round 9, VERDICT r8 #5): same CalendarGrid
+    // machinery with a 3-month step (CalendarGrid(3)), exercised with a
+    // different aggregate mix (SUM/MAX/COUNT) over the same one
+    // registerMulti build — the registry serves both this and
+    // q_wheel_month_sql from one index. The range is NOT
+    // quarter-aligned (Feb 15 / May 10), so both edge quarters are
+    // partial and must combine clipped day-tier runs.
+    "q_wheel_quarter_sql" -> ((s, dir) => {
+      graft.plans.WheelAcceleration.registerMulti(
+        s, s"$dir/lineitem.parquet", t(s, dir, "lineitem"),
+        "l_shipdate", Seq("l_quantity", "l_discount", "l_tax"))
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_wheel")
+      s.sql(
+        """SELECT unix_millis(CAST(date_trunc('quarter', l_shipdate) AS TIMESTAMP)) AS quarter_ms,
+          |ROUND(SUM(l_tax), 2) AS sum_tax, ROUND(MAX(l_quantity), 2) AS max_qty,
+          |COUNT(*) AS n FROM lineitem_wheel
+          |WHERE l_shipdate >= TIMESTAMP_NTZ '1994-02-15 00:00:00'
+          |AND l_shipdate < TIMESTAMP_NTZ '1996-05-10 00:00:00'
+          |GROUP BY date_trunc('quarter', l_shipdate) ORDER BY 1
+          |""".stripMargin)
+    }),
+
     // TopN from the keyed wheel (round 5): completes the µWheel
     // aggregator family the reference crate ships (Sum/Min/Max/Avg/
     // All/TopN — /root/reference/src/main.rs:15 imports the framework;
@@ -578,6 +618,12 @@ object Core {
         "COUNT(*) AS n FROM lineitem " +
         s"WHERE epoch_ms(l_shipdate) >= $LiUStart AND epoch_ms(l_shipdate) < $LiUEnd " +
         "GROUP BY 1 ORDER BY 1"),
+    "q_wheel_quarter_sql" ->
+      ("SELECT epoch_ms(date_trunc('quarter', l_shipdate)) AS quarter_ms, " +
+        "ROUND(SUM(l_tax), 2) AS sum_tax, ROUND(MAX(l_quantity), 2) AS max_qty, " +
+        "COUNT(*) AS n FROM lineitem " +
+        s"WHERE epoch_ms(l_shipdate) >= $LiUStart AND epoch_ms(l_shipdate) < $LiUEnd " +
+        "GROUP BY 1 ORDER BY 1"),
     "q_rollup_keyed" ->
       ("SELECT event_type, (epoch_ms(ts) // 3600000) * 3600000 AS slot_ms, " +
         "ROUND(SUM(value), 2) AS sum_value, COUNT(value) AS n " +
@@ -598,6 +644,10 @@ object Core {
         "GROUP BY user_id ORDER BY n DESC, user_id LIMIT 5"),
     "q_wheel_residue" ->
       (s"SELECT ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n FROM events " +
+        s"WHERE epoch_ms(ts) >= $RuStart AND epoch_ms(ts) < $RuEnd"),
+    "q_wheel_residue_sql" ->
+      (s"SELECT ROUND(SUM(value), 2) AS sum_value, ROUND(AVG(value), 4) AS avg_value, " +
+        s"COUNT(*) AS n FROM events " +
         s"WHERE epoch_ms(ts) >= $RuStart AND epoch_ms(ts) < $RuEnd"),
     "q_wheel_distributed" ->
       (s"SELECT ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n, " +

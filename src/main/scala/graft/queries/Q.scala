@@ -15,18 +15,34 @@ object Q {
 
   /** Load a TESTDATA table (TESTDATA.md: `{dir}/{name}.parquet`).
     *
-    * `events.ts` is parquet TIMESTAMP(NANOS) (FIXTURES.md), which Spark 4
-    * refuses outright ([PARQUET_TYPE_ILLEGAL]); we read it as a nanos long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and floor-truncate to a µs
-    * TimestampType column — the same ns→µs→ms truncation chain DuckDB's
-    * `epoch_ms` applies, so oracle predicates agree at boundaries. */
+    * `events.ts` has shipped in two physical spellings across driver
+    * testdata generations, so the read adapts to the file's own schema:
+    *
+    *  - parquet TIMESTAMP(NANOS), which Spark 4 refuses outright
+    *    ([PARQUET_TYPE_ILLEGAL]): read as a nanos long
+    *    (`spark.sql.legacy.parquet.nanosAsLong`) and floor-truncate to
+    *    a µs TimestampType column — the same ns→µs→ms truncation chain
+    *    DuckDB's `epoch_ms` applies, so oracle predicates agree at
+    *    boundaries;
+    *  - parquet timestamp[µs] with no zone (Spark TIMESTAMP_NTZ): cast
+    *    to TimestampType, value-identity under the UTC session zone
+    *    every entry point pins (and the zone DuckDB's `epoch_ms` uses).
+    *
+    * Either way queries downstream see one canonical `ts`:
+    * µs-precision TimestampType, UTC reading. */
   def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     val path = s"$dir/$name.parquet"
     if (name == "events") {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(path)
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      val df = s.read.parquet(path)
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case _ => df
+      }
     } else s.read.parquet(path)
   }
 

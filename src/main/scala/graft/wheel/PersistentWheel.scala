@@ -36,9 +36,14 @@ object PersistentWheel {
   /** `kind` names the wheel family the slots encode ("sum" for the
     * All-aggregate wheel; each sketch wheel and the keyed wheel write
     * their own) — a load validates it, so a directory saved by one
-    * family can never be silently reinterpreted by another. */
+    * family can never be silently reinterpreted by another.
+    * `sourcePath` (round 9) records WHICH source the fingerprint was
+    * taken of, making the dir self-describing for [[inventory]]/[[gc]];
+    * empty on sidecars written before the field existed (those are kept
+    * by gc — no recorded source to judge staleness against). */
   final case class Meta(version: Int, kind: String, tsCol: String,
-      valueCols: Seq[String], sourceFingerprint: String)
+      valueCols: Seq[String], sourceFingerprint: String,
+      sourcePath: String = "")
 
   private val Version = 1
   private val MetaFile = "meta.graft"
@@ -58,12 +63,12 @@ object PersistentWheel {
     * a single tiny file. */
   def save(spark: SparkSession, indexDir: String, events: DataFrame,
       tsCol: String, valueCols: Seq[String],
-      sourceFingerprint: String): Map[String, WheelIndex] = {
+      sourceFingerprint: String, sourcePath: String = ""): Map[String, WheelIndex] = {
     require(valueCols.nonEmpty, "need at least one measure column")
     val normalized = RollupBuilder.normalizeTs(events, tsCol)
     saveSlots(spark, indexDir, SumKind,
       RollupBuilder.minuteRollupMulti(normalized, tsCol, valueCols),
-      tsCol, valueCols, sourceFingerprint)
+      tsCol, valueCols, sourceFingerprint, sourcePath)
     load(spark, indexDir, Some(events))._2
   }
 
@@ -73,14 +78,14 @@ object PersistentWheel {
     * layout and staleness contract stay uniform. */
   private[wheel] def saveSlots(spark: SparkSession, indexDir: String,
       kind: String, slots: DataFrame, tsCol: String, valueCols: Seq[String],
-      sourceFingerprint: String): Unit = {
+      sourceFingerprint: String, sourcePath: String): Unit = {
     require(valueCols.nonEmpty, "need at least one column name")
     require(valueCols.forall(c => !c.contains(",")),
       "column names must not contain ','")
     // time-bounded cardinality: one file keeps the load a single read
     slots.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/$SlotsDir")
     writeMeta(spark, indexDir,
-      Meta(Version, kind, tsCol, valueCols, sourceFingerprint))
+      Meta(Version, kind, tsCol, valueCols, sourceFingerprint, sourcePath))
   }
 
   /** Generic restore: validate version + `kind`, then hand back the
@@ -121,11 +126,11 @@ object PersistentWheel {
     * trip as [[save]]. */
   def saveKeyed(spark: SparkSession, indexDir: String, events: DataFrame,
       keyCol: String, tsCol: String, valueCol: String,
-      sourceFingerprint: String): KeyedWheelIndex = {
+      sourceFingerprint: String, sourcePath: String = ""): KeyedWheelIndex = {
     val normalized = RollupBuilder.normalizeTs(events, tsCol)
     saveSlots(spark, indexDir, KeyedKind,
       KeyedWheelIndex.partials(normalized, keyCol, tsCol, valueCol),
-      tsCol, Seq(keyCol, valueCol), sourceFingerprint)
+      tsCol, Seq(keyCol, valueCol), sourceFingerprint, sourcePath)
     loadKeyed(spark, indexDir)._2
   }
 
@@ -149,11 +154,11 @@ object PersistentWheel {
     * `valueCols` recording the counted key column. */
   def saveDistinct(spark: SparkSession, indexDir: String, events: DataFrame,
       tsCol: String, keyCol: String,
-      sourceFingerprint: String): DistinctWheel = {
+      sourceFingerprint: String, sourcePath: String = ""): DistinctWheel = {
     val normalized = RollupBuilder.normalizeTs(events, tsCol)
     saveSlots(spark, indexDir, HllKind,
       DistinctWheel.minuteSketches(normalized, tsCol, keyCol),
-      tsCol, Seq(keyCol), sourceFingerprint)
+      tsCol, Seq(keyCol), sourceFingerprint, sourcePath)
     loadDistinct(spark, indexDir)._2
   }
 
@@ -172,10 +177,11 @@ object PersistentWheel {
     * each family's own merge — no source scan, same staleness contract.
     * `valueCols` records the sketched column. */
   def saveQuantile(spark: SparkSession, indexDir: String, events: DataFrame,
-      tsCol: String, valueCol: String, sourceFingerprint: String): QuantileWheel = {
+      tsCol: String, valueCol: String, sourceFingerprint: String,
+      sourcePath: String = ""): QuantileWheel = {
     saveSlots(spark, indexDir, KllKind,
       QuantileWheel.slotSketches(RollupBuilder.normalizeTs(events, tsCol), tsCol, valueCol),
-      tsCol, Seq(valueCol), sourceFingerprint)
+      tsCol, Seq(valueCol), sourceFingerprint, sourcePath)
     loadQuantile(spark, indexDir)._2
   }
 
@@ -186,10 +192,11 @@ object PersistentWheel {
   }
 
   def saveCohort(spark: SparkSession, indexDir: String, events: DataFrame,
-      tsCol: String, keyCol: String, sourceFingerprint: String): CohortWheel = {
+      tsCol: String, keyCol: String, sourceFingerprint: String,
+      sourcePath: String = ""): CohortWheel = {
     saveSlots(spark, indexDir, ThetaKind,
       CohortWheel.slotSketches(RollupBuilder.normalizeTs(events, tsCol), tsCol, keyCol),
-      tsCol, Seq(keyCol), sourceFingerprint)
+      tsCol, Seq(keyCol), sourceFingerprint, sourcePath)
     loadCohort(spark, indexDir)._2
   }
 
@@ -200,10 +207,11 @@ object PersistentWheel {
   }
 
   def saveFrequency(spark: SparkSession, indexDir: String, events: DataFrame,
-      tsCol: String, keyCol: String, sourceFingerprint: String): FrequencyWheel = {
+      tsCol: String, keyCol: String, sourceFingerprint: String,
+      sourcePath: String = ""): FrequencyWheel = {
     saveSlots(spark, indexDir, MgKind,
       FrequencyWheel.slotSketches(RollupBuilder.normalizeTs(events, tsCol), tsCol, keyCol),
-      tsCol, Seq(keyCol), sourceFingerprint)
+      tsCol, Seq(keyCol), sourceFingerprint, sourcePath)
     loadFrequency(spark, indexDir)._2
   }
 
@@ -213,11 +221,79 @@ object PersistentWheel {
       df.select("slot_ms", "sk").collect(), Map.empty))
   }
 
+  /** Persist ALREADY-AGGREGATED sum-family minute partials (round 9:
+    * the live-ingest checkpoint path — [[graft.streaming.WheelIngest]]
+    * holds the table's partials in its accumulator, so writing them
+    * directly costs O(slots), no source aggregation). The DataFrame
+    * must carry `minuteRollupMulti`'s exact schema for `valueCols`;
+    * the resulting directory is indistinguishable from a [[save]] and
+    * loads through every sum-family path (`load`, `registerPersisted`,
+    * the ingest bootstrap). */
+  def savePartials(spark: SparkSession, indexDir: String, partials: DataFrame,
+      tsCol: String, valueCols: Seq[String], sourceFingerprint: String,
+      sourcePath: String = ""): Unit =
+    saveSlots(spark, indexDir, SumKind, partials, tsCol, valueCols,
+      sourceFingerprint, sourcePath)
+
+  /** The sum-family partials exactly as persisted (validated sidecar +
+    * uncollected slot DataFrame) — for consumers that want the rows
+    * rather than a built index (the ingest restart bootstrap). */
+  def loadPartials(spark: SparkSession, indexDir: String): (Meta, DataFrame) =
+    loadSlots(spark, indexDir, SumKind)
+
   /** The persisted metadata, or None when `indexDir` holds no readable
     * saved wheel (absent, foreign, or torn) — the "must rebuild"
     * signal. */
   def peek(spark: SparkSession, indexDir: String): Option[Meta] =
     scala.util.Try(readMeta(spark, indexDir)).toOption
+
+  /** One warehouse entry: a subdirectory holding a persisted wheel.
+    * `stale` is `Some(true)` when the recorded source provably changed
+    * (or vanished) since the save, `Some(false)` when it provably did
+    * not, and `None` when the sidecar predates source-path recording —
+    * unknowable, so [[gc]] keeps it. */
+  final case class InventoryEntry(dir: String, meta: Meta,
+      stale: Option[Boolean])
+
+  /** Inventory of a WAREHOUSE of persisted indexes (round 9, VERDICT r8
+    * #7): every immediate subdirectory of `warehouseDir` with a
+    * readable sidecar, each judged for staleness against its own
+    * recorded source. Subdirectories without a sidecar (foreign data,
+    * torn saves) are not listed — [[gc]] never touches what it cannot
+    * prove it owns. O(dirs) sidecar reads; no slot parquet is opened. */
+  def inventory(spark: SparkSession, warehouseDir: String): Seq[InventoryEntry] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(warehouseDir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.filter(_.isDirectory).flatMap { d =>
+      val dir = d.getPath.toString
+      peek(spark, dir).map { m =>
+        val stale =
+          if (m.sourcePath.isEmpty) None
+          else Some(SourceFingerprint.of(m.sourcePath, conf) != m.sourceFingerprint)
+        InventoryEntry(dir, m, stale)
+      }
+    }.sortBy(_.dir)
+  }
+
+  /** Drop every provably-stale index dir under `warehouseDir` (the
+    * long-lived-deployment hygiene pass: saved indexes whose source has
+    * since changed are dead weight — a registration would reject their
+    * fingerprint and rebuild anyway). Returns (kept, dropped). Entries
+    * whose staleness is unknowable (pre-round-9 sidecars with no
+    * recorded source) are kept; `dryRun` reports without deleting. */
+  def gc(spark: SparkSession, warehouseDir: String,
+      dryRun: Boolean = false): (Seq[InventoryEntry], Seq[InventoryEntry]) = {
+    val (dropped, kept) = inventory(spark, warehouseDir)
+      .partition(_.stale.contains(true))
+    if (!dryRun) {
+      val fs = new Path(warehouseDir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      dropped.foreach(e => fs.delete(new Path(e.dir), true))
+    }
+    (kept, dropped)
+  }
 
   // Line-based sidecar rather than JSON: every field is a plain token
   // except the fingerprint, which is the last line and may contain any
@@ -231,6 +307,7 @@ object PersistentWheel {
         s"kind=${meta.kind}\n" +
         s"tsCol=${meta.tsCol}\n" +
         s"valueCols=${meta.valueCols.mkString(",")}\n" +
+        s"sourcePath=${meta.sourcePath}\n" +
         s"fingerprint=${meta.sourceFingerprint}\n").getBytes(UTF_8))
     finally out.close()
   }
@@ -251,10 +328,10 @@ object PersistentWheel {
       val i = line.indexOf('=')
       line.substring(0, i) -> line.substring(i + 1)
     }.toMap
-    // pre-kind sidecars (written before the field existed) are all sum
-    // wheels — default rather than throw so old saved dirs keep loading
+    // pre-kind / pre-sourcePath sidecars (written before those fields
+    // existed) default rather than throw so old saved dirs keep loading
     Meta(fields("version").toInt, fields.getOrElse("kind", SumKind),
       fields("tsCol"), fields("valueCols").split(",").toSeq,
-      fields("fingerprint"))
+      fields("fingerprint"), fields.getOrElse("sourcePath", ""))
   }
 }

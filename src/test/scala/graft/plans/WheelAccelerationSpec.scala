@@ -50,13 +50,59 @@ class WheelAccelerationSpec extends AnyFunSuite {
     assert(math.abs(accel.getDouble(3) - scan.getDouble(3)) < 1e-9)
   }
 
-  test("unaligned or extra-predicate queries are NOT rewritten") {
+  test("unaligned range folds HYBRID: interior from the index, edges as a bounded scan (round 9)") {
     register()
-    val unaligned = rangeSql(Q.R1Start + 1, Q.R1End, "SUM(value) AS s")
-    assert(unaligned.queryExecution.optimizedPlan.collect {
-      case l: LocalRelation => l
-    }.isEmpty)
+    // both edges sub-minute: the optimized plan must carry BOTH a
+    // LocalRelation (the folded interior row) and a Filter whose scan
+    // is bounded to the two sub-minute edge windows
+    val unaligned = rangeSql(Q.RuStart, Q.RuEnd,
+      "SUM(value) AS s, MIN(value) AS mn, MAX(value) AS mx, " +
+        "AVG(value) AS av, COUNT(*) AS n")
+    val plan = unaligned.queryExecution.optimizedPlan
+    assert(plan.collect { case l: LocalRelation => l }.nonEmpty, plan.treeString)
+    val filters = plan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f }
+    assert(filters.nonEmpty, plan.treeString)
+    // the edge filter compares ts directly to timestamp literals (the
+    // pushable shape), not unix_millis — that's what lets parquet prune
+    assert(filters.exists(_.condition.exists {
+      case l: org.apache.spark.sql.catalyst.expressions.Literal =>
+        l.dataType.typeName.startsWith("timestamp")
+      case _ => false
+    }), plan.treeString)
 
+    val scan = events
+      .filter(unix_millis(col("ts")) >= Q.RuStart && unix_millis(col("ts")) < Q.RuEnd)
+      .agg(sum("value"), min("value"), max("value"), avg("value"), count(lit(1)))
+      .collect()(0)
+    val accel = unaligned.collect()(0)
+    assert(accel.getLong(4) == scan.getLong(4))
+    assert(math.abs(accel.getDouble(0) - scan.getDouble(0)) < 1e-6)
+    assert(accel.getDouble(1) == scan.getDouble(1))
+    assert(accel.getDouble(2) == scan.getDouble(2))
+    assert(math.abs(accel.getDouble(3) - scan.getDouble(3)) < 1e-9)
+
+    // one-sided sub-minute edge (aligned lower, unaligned upper)
+    val oneSided = rangeSql(Q.R1Start, Q.R1End + 31000L, "SUM(value) AS s, COUNT(*) AS n")
+    assert(oneSided.queryExecution.optimizedPlan.collect {
+      case l: LocalRelation => l }.nonEmpty)
+    val oneScan = events
+      .filter(unix_millis(col("ts")) >= Q.R1Start &&
+        unix_millis(col("ts")) < Q.R1End + 31000L)
+      .agg(sum("value"), count(lit(1))).collect()(0)
+    val oneAccel = oneSided.collect()(0)
+    assert(oneAccel.getLong(1) == oneScan.getLong(1))
+    assert(math.abs(oneAccel.getDouble(0) - oneScan.getDouble(0)) < 1e-6)
+
+    // a range INSIDE one minute has no whole-minute interior: no fold,
+    // plain scan (nothing to accelerate)
+    val tiny = rangeSql(Q.R1Start + 1000L, Q.R1Start + 42000L, "SUM(value) AS s")
+    assert(tiny.queryExecution.optimizedPlan.collect {
+      case l: LocalRelation => l }.isEmpty)
+  }
+
+  test("extra-predicate queries are NOT rewritten") {
+    register()
     events.createOrReplaceTempView("events_accel")
     val extraPred = spark.sql(
       s"SELECT SUM(value) AS s FROM events_accel WHERE unix_millis(ts) >= ${Q.R1Start} " +

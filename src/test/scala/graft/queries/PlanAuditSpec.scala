@@ -262,6 +262,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("FileScan"), p)
   }
 
+  test("q_wheel_quarter_sql folds the calendar-quarter grouping to a LocalTableScan") {
+    val p = plan("q_wheel_quarter_sql")
+    assert(p.contains("LocalTableScan"), p)
+    assert(!p.contains("FileScan"), p)
+  }
+
+  test("q_wheel_residue_sql folds hybrid: interior LocalTableScan + edge-bounded FileScan") {
+    val p = plan("q_wheel_residue_sql")
+    // the interior folded at plan time...
+    assert(p.contains("LocalTableScan"), p)
+    // ...a scan remains for the sub-minute edges, with ts bounds pushed
+    // where the parquet reader can row-group-prune them
+    assert(p.contains("FileScan"), p)
+    assert(p.contains("PushedFilters: [Or(And(GreaterThanOrEqual(ts,"), p)
+  }
+
   test("two bloom predicates on one session keep their own filters (no registry race)") {
     // ADVICE r6: under a FIXED registered name, building a second bloom
     // Column before the first query analyzed would overwrite the registry

@@ -76,10 +76,11 @@ class WheelIngestSpec extends AnyFunSuite {
       assert(grouped.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
         Seq((t0, 11.0), (t0 + Min, 2.0), (t0 + 2 * Min, 4.0)))
 
-      // an unaligned range takes the residue fallback over the CURRENT
-      // files — no fold, still correct
+      // an unaligned range folds HYBRID (round 9): whole-minute interior
+      // from the live index, the sub-minute edge from a bounded scan of
+      // the CURRENT files — still correct
       val unaligned = rangeSql(path, t0, t0 + 2 * Min + 1)
-      assert(!folded(unaligned))
+      assert(folded(unaligned), unaligned.queryExecution.optimizedPlan.treeString)
       assert(unaligned.collect()(0).getDouble(0) == 17.0)
     } finally {
       q.stop()
@@ -163,5 +164,93 @@ class WheelIngestSpec extends AnyFunSuite {
       q2.stop()
       WheelAcceleration.unregister(path)
     }
+  }
+
+  test("a persisted ingest restarts by aggregating ONLY the tail files (round 9)") {
+    import spark.implicits._
+    System.setProperty("graft.wheel.fingerprint.ttlMs", "0")
+    val path = fixture("persist/events.parquet")
+    val persistDir = fixture("persist/index")
+    val t0 = Q.Jan1
+
+    implicit val sc = spark.sqlContext
+    val mem1 = MemoryStream[(java.sql.Timestamp, Double)]
+    val q1 = WheelIngest.start(mem1.toDF().toDF("ts", "value"), path,
+      fixture("persist/ckpt1"), persistDir = Some(persistDir))
+    try {
+      mem1.addData((new java.sql.Timestamp(t0), 1.0),
+        (new java.sql.Timestamp(t0 + Min), 2.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    WheelAcceleration.unregister(path)
+
+    // downtime writes: rows landing in the table while no ingest runs —
+    // the restart must pick them up WITHOUT re-reading the history
+    val preFiles = listDataFiles(path)
+    Seq((new java.sql.Timestamp(t0 + 2 * Min), 4.0))
+      .toDF("ts", "value").write.mode("append").parquet(path)
+    val tailFiles = listDataFiles(path) -- preFiles
+
+    val mem2 = MemoryStream[(java.sql.Timestamp, Double)]
+    val q2 = WheelIngest.start(mem2.toDF().toDF("ts", "value"), path,
+      fixture("persist/ckpt2"), persistDir = Some(persistDir))
+    try {
+      // the bootstrap proved coverage and read ONLY the downtime files
+      val report = WheelIngest.lastBootstrap.get
+      assert(report.coveredFiles > 0, report)
+      assert(report.tailFiles.toSet == tailFiles, report)
+
+      // and the served answer still spans [history + downtime rows]
+      val boot = rangeSql(path, t0, t0 + 3 * Min)
+      assert(folded(boot))
+      val r0 = boot.collect()(0)
+      assert(r0.getDouble(0) == 7.0 && r0.getLong(1) == 3L)
+
+      // live batches keep extending the restarted index
+      mem2.addData((new java.sql.Timestamp(t0 + 2 * Min), 8.0))
+      q2.processAllAvailable()
+      val after = rangeSql(path, t0, t0 + 3 * Min)
+      assert(folded(after))
+      val r = after.collect()(0)
+      assert(r.getDouble(0) == 15.0 && r.getLong(1) == 4L)
+    } finally {
+      q2.stop()
+      WheelAcceleration.unregister(path)
+    }
+
+    // no usable checkpoint (absent dir) → the start falls back to the
+    // full-history aggregation: the fast path never trades correctness
+    val meta = graft.wheel.PersistentWheel.peek(spark, persistDir).get
+    assert(meta.valueCols == Seq("value"))
+    val mem3 = MemoryStream[(java.sql.Timestamp, Double)]
+    val q3 = WheelIngest.start(mem3.toDF().toDF("ts", "value"), path,
+      fixture("persist/ckpt3"), valueCols = Seq("value"),
+      persistDir = Some(fixture("persist/absent-index")))
+    try {
+      val report = WheelIngest.lastBootstrap.get
+      assert(report.coveredFiles == 0, report)
+      assert(report.tailFiles.toSet == listDataFiles(path), report)
+      val boot = rangeSql(path, t0, t0 + 3 * Min)
+      assert(folded(boot))
+      val r = boot.collect()(0)
+      assert(r.getDouble(0) == 15.0 && r.getLong(1) == 4L)
+    } finally {
+      q3.stop()
+      WheelAcceleration.unregister(path)
+    }
+  }
+
+  /** Basenames of the table's data files (committer markers excluded). */
+  private def listDataFiles(path: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val it = fs.listFiles(p, true)
+    val buf = scala.collection.mutable.Set.empty[String]
+    while (it.hasNext) {
+      val f = it.next()
+      val n = f.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) buf += f.getPath.toString
+    }
+    buf.toSet
   }
 }

@@ -182,7 +182,7 @@ class PersistentWheelSpec extends AnyFunSuite {
       PersistentWheel.saveSlots(spark, idxDir, kind,
         spark.createDataFrame(
           spark.sparkContext.parallelize(collected.toIndexedSeq), slots.schema),
-        "ts", Seq("c"), "fp-" + name)
+        "ts", Seq("c"), "fp-" + name, sourcePath = "")
       assert(PersistentWheel.peek(spark, idxDir).get.kind == kind)
       // the core fidelity claim, family-independent: every persisted
       // minute sketch comes back BYTE-identical
