@@ -554,6 +554,24 @@ object Core {
           |""".stripMargin)
     }),
 
+    // YEAR-grid fold (round 9): CalendarGrid(12) with a year-unaligned
+    // range — the coarsest calendar tier, completing the declared
+    // month/quarter/year family over the one registerMulti build.
+    "q_wheel_year_sql" -> ((s, dir) => {
+      graft.plans.WheelAcceleration.registerMulti(
+        s, s"$dir/lineitem.parquet", t(s, dir, "lineitem"),
+        "l_shipdate", Seq("l_quantity", "l_discount", "l_tax"))
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_wheel")
+      s.sql(
+        """SELECT unix_millis(CAST(date_trunc('year', l_shipdate) AS TIMESTAMP)) AS year_ms,
+          |ROUND(SUM(l_discount), 2) AS sum_disc, ROUND(MIN(l_quantity), 2) AS min_qty,
+          |COUNT(*) AS n FROM lineitem_wheel
+          |WHERE l_shipdate >= TIMESTAMP_NTZ '1994-02-15 00:00:00'
+          |AND l_shipdate < TIMESTAMP_NTZ '1996-05-10 00:00:00'
+          |GROUP BY date_trunc('year', l_shipdate) ORDER BY 1
+          |""".stripMargin)
+    }),
+
     // TopN from the keyed wheel (round 5): completes the µWheel
     // aggregator family the reference crate ships (Sum/Min/Max/Avg/
     // All/TopN — /root/reference/src/main.rs:15 imports the framework;
@@ -621,6 +639,12 @@ object Core {
     "q_wheel_quarter_sql" ->
       ("SELECT epoch_ms(date_trunc('quarter', l_shipdate)) AS quarter_ms, " +
         "ROUND(SUM(l_tax), 2) AS sum_tax, ROUND(MAX(l_quantity), 2) AS max_qty, " +
+        "COUNT(*) AS n FROM lineitem " +
+        s"WHERE epoch_ms(l_shipdate) >= $LiUStart AND epoch_ms(l_shipdate) < $LiUEnd " +
+        "GROUP BY 1 ORDER BY 1"),
+    "q_wheel_year_sql" ->
+      ("SELECT epoch_ms(date_trunc('year', l_shipdate)) AS year_ms, " +
+        "ROUND(SUM(l_discount), 2) AS sum_disc, ROUND(MIN(l_quantity), 2) AS min_qty, " +
         "COUNT(*) AS n FROM lineitem " +
         s"WHERE epoch_ms(l_shipdate) >= $LiUStart AND epoch_ms(l_shipdate) < $LiUEnd " +
         "GROUP BY 1 ORDER BY 1"),

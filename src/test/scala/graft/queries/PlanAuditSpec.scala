@@ -268,6 +268,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("FileScan"), p)
   }
 
+  test("q_wheel_year_sql folds the calendar-year grouping to a LocalTableScan") {
+    val p = plan("q_wheel_year_sql")
+    assert(p.contains("LocalTableScan"), p)
+    assert(!p.contains("FileScan"), p)
+  }
+
   test("q_wheel_residue_sql folds hybrid: interior LocalTableScan + edge-bounded FileScan") {
     val p = plan("q_wheel_residue_sql")
     // the interior folded at plan time...

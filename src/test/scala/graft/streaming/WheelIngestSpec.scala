@@ -240,6 +240,40 @@ class WheelIngestSpec extends AnyFunSuite {
     }
   }
 
+  test("the ingest checkpoint doubles as a batch registerPersisted dir (interop)") {
+    import spark.implicits._
+    System.setProperty("graft.wheel.fingerprint.ttlMs", "0")
+    val path = fixture("interop/events.parquet")
+    val persistDir = fixture("interop/index")
+    val t0 = Q.Jan1
+
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Double)]
+    val q = WheelIngest.start(mem.toDF().toDF("ts", "value"), path,
+      fixture("interop/ckpt"), persistDir = Some(persistDir))
+    try {
+      mem.addData((new java.sql.Timestamp(t0), 1.0),
+        (new java.sql.Timestamp(t0 + Min), 2.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    WheelAcceleration.unregister(path)
+
+    // a BATCH session registers from the ingest's checkpoint: the
+    // fingerprint matches the files the last persist covered, so this
+    // is a pure O(slots) load — no source aggregation — and SQL folds
+    val wheels = WheelAcceleration.registerPersisted(
+      spark, path, persistDir, spark.read.parquet(path))
+    assert(wheels.contains("value"))
+    val meta = graft.wheel.PersistentWheel.peek(spark, persistDir).get
+    assert(meta.sourcePath == path)
+    try {
+      val df = rangeSql(path, t0, t0 + 2 * Min)
+      assert(folded(df), df.queryExecution.optimizedPlan.treeString)
+      val r = df.collect()(0)
+      assert(r.getDouble(0) == 3.0 && r.getLong(1) == 2L)
+    } finally WheelAcceleration.unregister(path)
+  }
+
   /** Basenames of the table's data files (committer markers excluded). */
   private def listDataFiles(path: String): Set[String] = {
     val p = new org.apache.hadoop.fs.Path(path)
