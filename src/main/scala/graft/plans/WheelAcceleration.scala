@@ -355,13 +355,30 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     * (keeping the full scan) on any unsupported aggregate, a missing
     * measure, a non-timestamp ts column, or an interior shorter than
     * one slot. */
-  private def rewriteResidue(
-      agg: Aggregate, aggExprs: Seq[NamedExpression], below: LogicalPlan,
-      tsCol: String, wheels: Map[String, WheelIndex],
-      a: Long, b: Long): Option[LogicalPlan] = {
-    val aCeil = ((a + MinuteMs - 1) / MinuteMs) * MinuteMs
-    val bFloor = (b / MinuteMs) * MinuteMs
-    if (aCeil >= bFloor) return None // no whole-minute interior to fold
+  /** Shared scaffolding for the hybrid residue folds (ungrouped and
+    * grouped): the partial-column attributes the union legs agree on,
+    * the edge-window Filter with directly-pushable ts bounds, and the
+    * raw-row→partials projection list. None when the source misses the
+    * typed ts/measure columns or the range is fully aligned. */
+  private final case class ResidueParts(
+      measures: Seq[String],
+      sumAttrs: Map[String, AttributeReference],
+      minAttrs: Map[String, AttributeReference],
+      maxAttrs: Map[String, AttributeReference],
+      rowsAttr: AttributeReference,
+      edgePartials: Seq[NamedExpression],
+      edgeFilter: Filter) {
+    def partialAttrs: Seq[AttributeReference] =
+      measures.flatMap(c => Seq(sumAttrs(c), minAttrs(c), maxAttrs(c))) :+ rowsAttr
+    def partialsRow(alls: Map[String, AllAggregate], count: Long): Seq[Any] =
+      measures.flatMap { c =>
+        val al = alls(c); Seq[Any](al.sum, al.min, al.max)
+      } :+ count
+  }
+
+  private def residueParts(below: LogicalPlan, tsCol: String,
+      wheels: Map[String, WheelIndex], a: Long, b: Long,
+      aCeil: Long, bFloor: Long): Option[ResidueParts] = {
     val tsAttr = below.output.find(_.name == tsCol) match {
       case Some(t) if t.dataType == TimestampType ||
         t.dataType == TimestampNTZType => t
@@ -372,27 +389,6 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       below.output.find(o => o.name == c && o.dataType == DoubleType)
         .map(c -> _)).toMap
     if (measureAttr.size != measures.size) return None
-
-    // union leg 1: the interior, folded from the index to one row
-    val sumAttrs = measures.map(c => c ->
-      AttributeReference(s"__graft_sum_$c", DoubleType, nullable = false)()).toMap
-    val minAttrs = measures.map(c => c ->
-      AttributeReference(s"__graft_min_$c", DoubleType, nullable = false)()).toMap
-    val maxAttrs = measures.map(c => c ->
-      AttributeReference(s"__graft_max_$c", DoubleType, nullable = false)()).toMap
-    val rowsAttr = AttributeReference("__graft_rows", LongType, nullable = false)()
-    val partialAttrs: Seq[AttributeReference] =
-      measures.flatMap(c => Seq(sumAttrs(c), minAttrs(c), maxAttrs(c))) :+ rowsAttr
-    val alls = wheels.map { case (c, i) => c -> i.query(aCeil, bFloor) }
-    val anyAll = alls.valuesIterator.next()
-    val interiorRows =
-      if (anyAll.count == 0L) Seq.empty
-      else Seq(InternalRow.fromSeq(measures.flatMap { c =>
-        val al = alls(c); Seq[Any](al.sum, al.min, al.max)
-      } :+ anyAll.count))
-    val interior = LocalRelation(partialAttrs, interiorRows)
-
-    // union leg 2: the sub-minute edges as a (prunable) scan
     def usLit(ms: Long) = Literal(ms * 1000L, tsAttr.dataType)
     def edge(lo: Long, hi: Long): Option[Expression] =
       if (lo >= hi) None
@@ -402,17 +398,36 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       case (Some(l), Some(h)) => Or(l, h)
       case (Some(l), None) => l
       case (None, Some(h)) => h
-      case _ => return None // both edges empty = aligned, handled above
+      case _ => return None // both edges empty = aligned, not a hybrid
     }
-    val edgeLeg = Project(
+    Some(ResidueParts(
+      measures,
+      measures.map(c => c ->
+        AttributeReference(s"__graft_sum_$c", DoubleType, nullable = false)()).toMap,
+      measures.map(c => c ->
+        AttributeReference(s"__graft_min_$c", DoubleType, nullable = false)()).toMap,
+      measures.map(c => c ->
+        AttributeReference(s"__graft_max_$c", DoubleType, nullable = false)()).toMap,
+      AttributeReference("__graft_rows", LongType, nullable = false)(),
       measures.flatMap { c =>
         val at = measureAttr(c)
         Seq(Alias(at, s"__graft_sum_$c")(), Alias(at, s"__graft_min_$c")(),
           Alias(at, s"__graft_max_$c")())
       } :+ Alias(Literal(1L, LongType), "__graft_rows")(),
-      Filter(edgeCond, below))
+      Filter(edgeCond, below)))
+  }
 
-    // the original aggregates in merge form over the partials
+  /** The original result expressions rewritten to merge form over the
+    * partial columns: SUM→SUM(sum), MIN→MIN(min), MAX→MAX(max),
+    * COUNT→coalesce(SUM(rows), 0), AVG→SUM(sum)/SUM(rows) — `rows`
+    * stands in for every per-measure count because registered measures
+    * are never-null (the same contract [[foldRow]] relies on).
+    * `groupSubst` replaces grouping spellings with the union's slot
+    * attribute (grouped path). None on any unsupported aggregate or a
+    * surviving reference outside the union's columns. */
+  private def mergeAggExprs(parts: ResidueParts,
+      wheels: Map[String, WheelIndex], aggExprs: Seq[NamedExpression],
+      groupSubst: Seq[(Seq[Expression], Attribute)]): Option[Seq[NamedExpression]] = {
     var supported = true
     def merged(e: AggregateExpression): Expression = {
       if (e.isDistinct || e.filter.nonEmpty) { supported = false; return e }
@@ -422,35 +437,112 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       }
       def ae(f: AggregateFunction) =
         AggregateExpression(f, Complete, isDistinct = false)
-      val sumRows = ae(Sum(rowsAttr))
+      val sumRows = ae(Sum(parts.rowsAttr))
       val r: Option[Expression] = e.aggregateFunction match {
-        case Sum(c, _) => m(c).map(n => ae(Sum(sumAttrs(n))))
-        case Min(c) => m(c).map(n => ae(Min(minAttrs(n))))
-        case Max(c) => m(c).map(n => ae(Max(maxAttrs(n))))
+        case Sum(c, _) => m(c).map(n => ae(Sum(parts.sumAttrs(n))))
+        case Min(c) => m(c).map(n => ae(Min(parts.minAttrs(n))))
+        case Max(c) => m(c).map(n => ae(Max(parts.maxAttrs(n))))
         case Average(c, _) =>
-          m(c).map(n => Divide(ae(Sum(sumAttrs(n))), Cast(sumRows, DoubleType)))
+          m(c).map(n => Divide(ae(Sum(parts.sumAttrs(n))), Cast(sumRows, DoubleType)))
         case Count(cs) if cs.forall(c => m(c).isDefined || c.foldable) =>
           Some(Coalesce(Seq(sumRows, Literal(0L, LongType))))
         case _ => None
       }
       r.getOrElse { supported = false; e }
     }
-    // transformUp, NOT transformDown: the merge forms for AVG/COUNT
-    // nest fresh AggregateExpressions inside Divide/Coalesce, and a
-    // top-down transform would descend into the replacement and reject
-    // its partial-column references as unknown measures
-    val newAggExprs = aggExprs.map(_.transformUp {
-      case e: AggregateExpression => merged(e)
-    }.asInstanceOf[NamedExpression])
+    val newAggExprs = aggExprs.map { ne =>
+      val substituted =
+        if (groupSubst.isEmpty) ne
+        else ne.transform {
+          case e if groupSubst.exists(_._1.exists(e.semanticEquals)) =>
+            groupSubst.find(_._1.exists(e.semanticEquals)).get._2
+        }
+      // transformUp, NOT transformDown: the merge forms for AVG/COUNT
+      // nest fresh AggregateExpressions inside Divide/Coalesce, and a
+      // top-down transform would descend into the replacement and
+      // reject its partial-column references as unknown measures
+      val out = substituted.transformUp {
+        case e: AggregateExpression => merged(e)
+      }.asInstanceOf[NamedExpression]
+      // a bare-attribute output replaced by the slot attr must keep the
+      // ORIGINAL exprId — the parent plan (Sort, Project) references it
+      if (out.exprId == ne.exprId) out else Alias(out, ne.name)(ne.exprId)
+    }
     if (!supported) return None
-    // any surviving reference outside the partial columns (a bare
+    // any surviving reference outside the union's columns (a bare
     // column in the select list, a grouping leak) disqualifies
-    val allowed = partialAttrs.map(_.exprId).toSet
+    val allowed =
+      parts.partialAttrs.map(_.exprId).toSet ++ groupSubst.map(_._2.exprId)
     if (newAggExprs.exists(_.exists {
       case at: Attribute => !allowed.contains(at.exprId)
       case _ => false
     })) return None
-    Some(Aggregate(Nil, newAggExprs, Union(Seq(interior, edgeLeg))))
+    Some(newAggExprs)
+  }
+
+  private def rewriteResidue(
+      agg: Aggregate, aggExprs: Seq[NamedExpression], below: LogicalPlan,
+      tsCol: String, wheels: Map[String, WheelIndex],
+      a: Long, b: Long): Option[LogicalPlan] = {
+    val aCeil = ((a + MinuteMs - 1) / MinuteMs) * MinuteMs
+    val bFloor = (b / MinuteMs) * MinuteMs
+    if (aCeil >= bFloor) return None // no whole-minute interior to fold
+    for {
+      parts <- residueParts(below, tsCol, wheels, a, b, aCeil, bFloor)
+      newAggExprs <- mergeAggExprs(parts, wheels, aggExprs, Seq.empty)
+    } yield {
+      // union leg 1: the interior, folded from the index to one row
+      val alls = wheels.map { case (c, i) => c -> i.query(aCeil, bFloor) }
+      val anyAll = alls.valuesIterator.next()
+      val interiorRows =
+        if (anyAll.count == 0L) Seq.empty
+        else Seq(InternalRow.fromSeq(parts.partialsRow(alls, anyAll.count)))
+      val interior = LocalRelation(parts.partialAttrs, interiorRows)
+      // union leg 2: the sub-minute edges as a (prunable) scan
+      val edgeLeg = Project(parts.edgePartials, parts.edgeFilter)
+      Aggregate(Nil, newAggExprs, Union(Seq(interior, edgeLeg)))
+    }
+  }
+
+  /** Grouped hybrid (round 9): `GROUP BY time-slot` with sub-minute
+    * range edges. Interior slots fold to one partials row each (clipped
+    * to `[ceil(a), floor(b))`); the edge rows re-derive their slot key
+    * by evaluating the ORIGINAL grouping expression over the raw rows,
+    * so the final group-by merges each boundary slot's folded interior
+    * with its scanned sub-minute residue — bit-exact, with the scan
+    * bounded to under two minutes of data. */
+  private def rewriteGroupedResidue(
+      agg: Aggregate, groupKey: Expression, gExpr: Expression,
+      grid: SlotGrid, aggExprs: Seq[NamedExpression], below: LogicalPlan,
+      tsCol: String, wheels: Map[String, WheelIndex],
+      a: Long, b: Long): Option[LogicalPlan] = {
+    val aCeil = ((a + MinuteMs - 1) / MinuteMs) * MinuteMs
+    val bFloor = (b / MinuteMs) * MinuteMs
+    if (aCeil >= bFloor) return None
+    for {
+      parts <- residueParts(below, tsCol, wheels, a, b, aCeil, bFloor)
+      slotAttr = AttributeReference(
+        "__graft_slot", gExpr.dataType, nullable = gExpr.nullable)()
+      newAggExprs <- mergeAggExprs(parts, wheels, aggExprs,
+        Seq((Seq(groupKey, gExpr), slotAttr)))
+    } yield {
+      val rows = Seq.newBuilder[InternalRow]
+      val it = grid.starts(aCeil, bFloor)
+      while (it.hasNext) {
+        val s0 = it.next()
+        val s1 = grid.end(s0)
+        val alls = wheels.map { case (c, i) =>
+          c -> i.query(math.max(aCeil, s0), math.min(bFloor, s1)) }
+        val anyAll = alls.valuesIterator.next()
+        if (anyAll.count > 0L)
+          rows += InternalRow.fromSeq(
+            slotLiteral(grid, s0, s1).value +: parts.partialsRow(alls, anyAll.count))
+      }
+      val interior = LocalRelation(slotAttr +: parts.partialAttrs, rows.result())
+      val edgeLeg = Project(
+        Alias(gExpr, "__graft_slot")() +: parts.edgePartials, parts.edgeFilter)
+      Aggregate(Seq(slotAttr), newAggExprs, Union(Seq(interior, edgeLeg)))
+    }
   }
 
   /** GROUP BY time-slot over a registered source — answered from the
@@ -481,36 +573,41 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       (tsCol, wheels) <- WheelAcceleration.lookup(path)
       gExpr <- resolveGrouping(child, groupKey)
       grid <- slotGrid(gExpr, tsCol)
-      (aOpt, bOpt) <- findFilter(child) match {
+      filterOpt = findFilter(child)
+      (aOpt, bOpt) <- filterOpt match {
         case Some((cond, _)) => rangeMs(cond, tsCol)
         case None => Some((None, None))
       }
       any = wheels.valuesIterator.next()
       a = aOpt.getOrElse(any.baseMs)
       b = bOpt.getOrElse(any.horizonMs)
-      if a % MinuteMs == 0 && b % MinuteMs == 0 && a < b
-      rows <- {
-        val slotRows = Seq.newBuilder[InternalRow]
-        var ok = true
-        val it = grid.starts(a, b)
-        while (ok && it.hasNext) {
-          val s0 = it.next()
-          val s1 = grid.end(s0)
-          val alls = wheels.map { case (c, i) =>
-            c -> i.query(math.max(a, s0), math.min(b, s1)) }
-          // every wheel in a registration shares one build, so the
-          // per-slot row counts agree — any measure decides emptiness
-          if (alls.valuesIterator.next().count > 0L) {
-            foldRow(aggExprs, alls,
-              Seq((Seq(groupKey, gExpr), slotLiteral(grid, s0, s1)))) match {
-              case Some(vals) => slotRows += InternalRow.fromSeq(vals)
-              case None => ok = false
+      if a < b
+      result <-
+        if (a % MinuteMs == 0 && b % MinuteMs == 0) {
+          val slotRows = Seq.newBuilder[InternalRow]
+          var ok = true
+          val it = grid.starts(a, b)
+          while (ok && it.hasNext) {
+            val s0 = it.next()
+            val s1 = grid.end(s0)
+            val alls = wheels.map { case (c, i) =>
+              c -> i.query(math.max(a, s0), math.min(b, s1)) }
+            // every wheel in a registration shares one build, so the
+            // per-slot row counts agree — any measure decides emptiness
+            if (alls.valuesIterator.next().count > 0L) {
+              foldRow(aggExprs, alls,
+                Seq((Seq(groupKey, gExpr), slotLiteral(grid, s0, s1)))) match {
+                case Some(vals) => slotRows += InternalRow.fromSeq(vals)
+                case None => ok = false
+              }
             }
           }
+          if (ok) Some(LocalRelation(agg.output, slotRows.result())) else None
+        } else filterOpt.flatMap { case (_, below) =>
+          rewriteGroupedResidue(agg, groupKey, gExpr, grid, aggExprs,
+            below, tsCol, wheels, a, b)
         }
-        if (ok) Some(slotRows.result()) else None
-      }
-    } yield LocalRelation(agg.output, rows)
+    } yield result
   }
 
   /** GROUP BY (dimension key, time-slot) over a source with a registered

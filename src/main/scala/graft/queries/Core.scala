@@ -532,6 +532,24 @@ object Core {
           |""".stripMargin)
     }),
 
+    // GROUPED hybrid residue fold (round 9, VERDICT r8 #6): an hourly
+    // rollup over a range with sub-minute edges. Interior slots fold
+    // from the index; the edge rows re-derive their slot keys from the
+    // raw rows through a scan bounded to under two minutes of data, and
+    // the final group-by merges both contributions of the boundary
+    // slots. The grouped sibling of q_wheel_residue_sql.
+    "q_wheel_rollup_residue_sql" -> ((s, dir) => {
+      graft.plans.WheelAcceleration.register(
+        s, s"$dir/events.parquet", t(s, dir, "events"))
+      t(s, dir, "events").createOrReplaceTempView("events_wheel")
+      s.sql(
+        s"""SELECT (unix_millis(ts) div 3600000) * 3600000 AS slot_ms,
+           |ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n FROM events_wheel
+           |WHERE unix_millis(ts) >= $RuStart AND unix_millis(ts) < $RuEnd
+           |GROUP BY 1 ORDER BY 1
+           |""".stripMargin)
+    }),
+
     // QUARTER-grid fold (round 9, VERDICT r8 #5): same CalendarGrid
     // machinery with a 3-month step (CalendarGrid(3)), exercised with a
     // different aggregate mix (SUM/MAX/COUNT) over the same one
@@ -673,6 +691,11 @@ object Core {
       (s"SELECT ROUND(SUM(value), 2) AS sum_value, ROUND(AVG(value), 4) AS avg_value, " +
         s"COUNT(*) AS n FROM events " +
         s"WHERE epoch_ms(ts) >= $RuStart AND epoch_ms(ts) < $RuEnd"),
+    "q_wheel_rollup_residue_sql" ->
+      ("SELECT (epoch_ms(ts) // 3600000) * 3600000 AS slot_ms, " +
+        "ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n FROM events " +
+        s"WHERE epoch_ms(ts) >= $RuStart AND epoch_ms(ts) < $RuEnd " +
+        "GROUP BY 1 ORDER BY 1"),
     "q_wheel_distributed" ->
       (s"SELECT ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n, " +
         "ROUND(MIN(value), 4) AS min_value, ROUND(MAX(value), 4) AS max_value " +

@@ -71,8 +71,11 @@ class WheelAccelerationSpec extends AnyFunSuite {
       case _ => false
     }), plan.treeString)
 
+    // the expected side carries an extra (vacuous) conjunct so the
+    // rewrite CANNOT fire on it — a genuine scan, not index-vs-index
     val scan = events
-      .filter(unix_millis(col("ts")) >= Q.RuStart && unix_millis(col("ts")) < Q.RuEnd)
+      .filter(unix_millis(col("ts")) >= Q.RuStart && unix_millis(col("ts")) < Q.RuEnd &&
+        col("event_id") >= -1L)
       .agg(sum("value"), min("value"), max("value"), avg("value"), count(lit(1)))
       .collect()(0)
     val accel = unaligned.collect()(0)
@@ -88,7 +91,7 @@ class WheelAccelerationSpec extends AnyFunSuite {
       case l: LocalRelation => l }.nonEmpty)
     val oneScan = events
       .filter(unix_millis(col("ts")) >= Q.R1Start &&
-        unix_millis(col("ts")) < Q.R1End + 31000L)
+        unix_millis(col("ts")) < Q.R1End + 31000L && col("event_id") >= -1L)
       .agg(sum("value"), count(lit(1))).collect()(0)
     val oneAccel = oneSided.collect()(0)
     assert(oneAccel.getLong(1) == oneScan.getLong(1))
@@ -99,6 +102,54 @@ class WheelAccelerationSpec extends AnyFunSuite {
     val tiny = rangeSql(Q.R1Start + 1000L, Q.R1Start + 42000L, "SUM(value) AS s")
     assert(tiny.queryExecution.optimizedPlan.collect {
       case l: LocalRelation => l }.isEmpty)
+  }
+
+  test("grouped rollup with sub-minute edges folds hybrid and matches the scan (round 9)") {
+    register()
+    val a = Q.R1Start + 23000L
+    val b = Q.R1End - 41000L
+    events.createOrReplaceTempView("events_accel")
+    def groupedSql(trailing: String) = spark.sql(
+      s"SELECT (unix_millis(ts) div 3600000) * 3600000 AS slot_ms, " +
+        s"SUM(value) AS s, AVG(value) AS av, COUNT(*) AS n FROM events_accel " +
+        s"WHERE unix_millis(ts) >= $a AND unix_millis(ts) < $b $trailing " +
+        s"GROUP BY 1 ORDER BY 1")
+    val hybrid = groupedSql("")
+    val plan = hybrid.queryExecution.optimizedPlan
+    assert(plan.collect { case l: LocalRelation => l }.nonEmpty, plan.treeString)
+    assert(plan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f }.nonEmpty,
+      plan.treeString)
+
+    // expected side: extra vacuous conjunct disables the rewrite
+    val scan = groupedSql("AND event_id >= -1")
+    assert(scan.queryExecution.optimizedPlan.collect {
+      case l: LocalRelation => l }.isEmpty)
+    val hv = hybrid.collect().map(r =>
+      (r.getLong(0), math.round(r.getDouble(1) * 100), math.round(r.getDouble(2) * 1e6),
+        r.getLong(3))).toSeq
+    val sv = scan.collect().map(r =>
+      (r.getLong(0), math.round(r.getDouble(1) * 100), math.round(r.getDouble(2) * 1e6),
+        r.getLong(3))).toSeq
+    assert(hv == sv)
+
+    // date_trunc grouping with sub-minute edges folds hybrid too
+    val dtHybrid = spark.sql(
+      s"SELECT date_trunc('day', ts) AS d, SUM(value) AS s, COUNT(*) AS n " +
+        s"FROM events_accel WHERE unix_millis(ts) >= $a AND unix_millis(ts) < $b " +
+        s"GROUP BY 1 ORDER BY 1")
+    assert(dtHybrid.queryExecution.optimizedPlan.collect {
+      case l: LocalRelation => l }.nonEmpty,
+      dtHybrid.queryExecution.optimizedPlan.treeString)
+    val dtScan = spark.sql(
+      s"SELECT date_trunc('day', ts) AS d, SUM(value) AS s, COUNT(*) AS n " +
+        s"FROM events_accel WHERE unix_millis(ts) >= $a AND unix_millis(ts) < $b " +
+        s"AND event_id >= -1 GROUP BY 1 ORDER BY 1")
+    val dh = dtHybrid.collect().map(r =>
+      (r.getTimestamp(0), math.round(r.getDouble(1) * 100), r.getLong(2))).toSeq
+    val ds = dtScan.collect().map(r =>
+      (r.getTimestamp(0), math.round(r.getDouble(1) * 100), r.getLong(2))).toSeq
+    assert(dh == ds)
   }
 
   test("extra-predicate queries are NOT rewritten") {
