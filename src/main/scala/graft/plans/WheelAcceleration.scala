@@ -377,14 +377,14 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
   }
 
   private def residueParts(below: LogicalPlan, tsCol: String,
-      wheels: Map[String, WheelIndex], a: Long, b: Long,
+      measureCols: Seq[String], a: Long, b: Long,
       aCeil: Long, bFloor: Long): Option[ResidueParts] = {
     val tsAttr = below.output.find(_.name == tsCol) match {
       case Some(t) if t.dataType == TimestampType ||
         t.dataType == TimestampNTZType => t
       case _ => return None
     }
-    val measures = wheels.keys.toSeq.sorted
+    val measures = measureCols.sorted
     val measureAttr = measures.flatMap(c =>
       below.output.find(o => o.name == c && o.dataType == DoubleType)
         .map(c -> _)).toMap
@@ -426,13 +426,13 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     * attribute (grouped path). None on any unsupported aggregate or a
     * surviving reference outside the union's columns. */
   private def mergeAggExprs(parts: ResidueParts,
-      wheels: Map[String, WheelIndex], aggExprs: Seq[NamedExpression],
+      measureNames: Set[String], aggExprs: Seq[NamedExpression],
       groupSubst: Seq[(Seq[Expression], Attribute)]): Option[Seq[NamedExpression]] = {
     var supported = true
     def merged(e: AggregateExpression): Expression = {
       if (e.isDistinct || e.filter.nonEmpty) { supported = false; return e }
       def m(c: Expression): Option[String] = c match {
-        case at: AttributeReference if wheels.contains(at.name) => Some(at.name)
+        case at: AttributeReference if measureNames.contains(at.name) => Some(at.name)
         case _ => None
       }
       def ae(f: AggregateFunction) =
@@ -480,6 +480,39 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     Some(newAggExprs)
   }
 
+  /** Rebase `e` onto `below`'s output by inlining every Alias defined
+    * in the projection nodes between `child` and `below` — the grouping
+    * expression the analyzer produced may reference intermediate
+    * aliases (e.g. a reading pipeline's `ts := cast(ts_ntz)` projection,
+    * or TimeWindowing's window struct), while the hybrid edge leg
+    * evaluates it directly over `below`'s raw rows. None when the
+    * result still references anything outside `below`'s output. */
+  private def rebaseOnto(child: LogicalPlan, below: LogicalPlan,
+      e: Expression): Option[Expression] = {
+    def aliases(p: LogicalPlan): Map[ExprId, Expression] =
+      if (p eq below) Map.empty
+      else p match {
+        case Project(exprs, ch) =>
+          exprs.collect { case a: Alias => a.exprId -> a.child }.toMap ++ aliases(ch)
+        case SubqueryAlias(_, ch) => aliases(ch)
+        case Filter(_, ch) => aliases(ch)
+        case _ => Map.empty
+      }
+    val defs = aliases(child)
+    var cur = e
+    var rounds = 0
+    var changed = true
+    while (changed && rounds < 10) { // alias chains are shallow; bound anyway
+      val next = cur.transformUp {
+        case at: AttributeReference if defs.contains(at.exprId) => defs(at.exprId)
+      }
+      changed = !next.fastEquals(cur)
+      cur = next
+      rounds += 1
+    }
+    if (cur.references.subsetOf(below.outputSet)) Some(cur) else None
+  }
+
   private def rewriteResidue(
       agg: Aggregate, aggExprs: Seq[NamedExpression], below: LogicalPlan,
       tsCol: String, wheels: Map[String, WheelIndex],
@@ -488,8 +521,8 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     val bFloor = (b / MinuteMs) * MinuteMs
     if (aCeil >= bFloor) return None // no whole-minute interior to fold
     for {
-      parts <- residueParts(below, tsCol, wheels, a, b, aCeil, bFloor)
-      newAggExprs <- mergeAggExprs(parts, wheels, aggExprs, Seq.empty)
+      parts <- residueParts(below, tsCol, wheels.keys.toSeq, a, b, aCeil, bFloor)
+      newAggExprs <- mergeAggExprs(parts, wheels.keySet, aggExprs, Seq.empty)
     } yield {
       // union leg 1: the interior, folded from the index to one row
       val alls = wheels.map { case (c, i) => c -> i.query(aCeil, bFloor) }
@@ -513,17 +546,18 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     * bounded to under two minutes of data. */
   private def rewriteGroupedResidue(
       agg: Aggregate, groupKey: Expression, gExpr: Expression,
-      grid: SlotGrid, aggExprs: Seq[NamedExpression], below: LogicalPlan,
-      tsCol: String, wheels: Map[String, WheelIndex],
+      grid: SlotGrid, aggExprs: Seq[NamedExpression], child: LogicalPlan,
+      below: LogicalPlan, tsCol: String, wheels: Map[String, WheelIndex],
       a: Long, b: Long): Option[LogicalPlan] = {
     val aCeil = ((a + MinuteMs - 1) / MinuteMs) * MinuteMs
     val bFloor = (b / MinuteMs) * MinuteMs
     if (aCeil >= bFloor) return None
     for {
-      parts <- residueParts(below, tsCol, wheels, a, b, aCeil, bFloor)
+      parts <- residueParts(below, tsCol, wheels.keys.toSeq, a, b, aCeil, bFloor)
+      gEval <- rebaseOnto(child, below, gExpr)
       slotAttr = AttributeReference(
         "__graft_slot", gExpr.dataType, nullable = gExpr.nullable)()
-      newAggExprs <- mergeAggExprs(parts, wheels, aggExprs,
+      newAggExprs <- mergeAggExprs(parts, wheels.keySet, aggExprs,
         Seq((Seq(groupKey, gExpr), slotAttr)))
     } yield {
       val rows = Seq.newBuilder[InternalRow]
@@ -540,7 +574,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       }
       val interior = LocalRelation(slotAttr +: parts.partialAttrs, rows.result())
       val edgeLeg = Project(
-        Alias(gExpr, "__graft_slot")() +: parts.edgePartials, parts.edgeFilter)
+        Alias(gEval, "__graft_slot")() +: parts.edgePartials, parts.edgeFilter)
       Aggregate(Seq(slotAttr), newAggExprs, Union(Seq(interior, edgeLeg)))
     }
   }
@@ -605,7 +639,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
           if (ok) Some(LocalRelation(agg.output, slotRows.result())) else None
         } else filterOpt.flatMap { case (_, below) =>
           rewriteGroupedResidue(agg, groupKey, gExpr, grid, aggExprs,
-            below, tsCol, wheels, a, b)
+            child, below, tsCol, wheels, a, b)
         }
     } yield result
   }
@@ -634,35 +668,92 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       }
       gExpr <- resolveGrouping(child, slotGroup)
       grid <- slotGrid(gExpr, reg.tsCol)
-      (aOpt, bOpt) <- findFilter(child) match {
+      filterOpt = findFilter(child)
+      (aOpt, bOpt) <- filterOpt match {
         case Some((cond, _)) => rangeMs(cond, reg.tsCol)
         case None => Some((None, None))
       }
       a = aOpt.getOrElse(reg.idx.baseMs)
       b = bOpt.getOrElse(reg.idx.horizonMs)
-      if a % MinuteMs == 0 && b % MinuteMs == 0 && a < b
-      rows <- {
-        val out = Seq.newBuilder[InternalRow]
-        var ok = true
-        reg.idx.keys.foreach { key =>
-          val it = grid.starts(a, b)
-          while (ok && it.hasNext) {
-            val s0 = it.next()
-            val s1 = grid.end(s0)
-            val all = reg.idx.query(key, math.max(a, s0), math.min(b, s1))
-            if (all.count > 0L) {
-              foldRow(aggExprs, Map(reg.valueCol -> all), Seq(
-                (Seq(keyAttr), Literal.create(key, reg.idx.keyType)),
-                (Seq(slotGroup, gExpr), slotLiteral(grid, s0, s1)))) match {
-                case Some(vals) => out += InternalRow.fromSeq(vals)
-                case None => ok = false
+      if a < b
+      result <-
+        if (a % MinuteMs == 0 && b % MinuteMs == 0) {
+          val out = Seq.newBuilder[InternalRow]
+          var ok = true
+          reg.idx.keys.foreach { key =>
+            val it = grid.starts(a, b)
+            while (ok && it.hasNext) {
+              val s0 = it.next()
+              val s1 = grid.end(s0)
+              val all = reg.idx.query(key, math.max(a, s0), math.min(b, s1))
+              if (all.count > 0L) {
+                foldRow(aggExprs, Map(reg.valueCol -> all), Seq(
+                  (Seq(keyAttr), Literal.create(key, reg.idx.keyType)),
+                  (Seq(slotGroup, gExpr), slotLiteral(grid, s0, s1)))) match {
+                  case Some(vals) => out += InternalRow.fromSeq(vals)
+                  case None => ok = false
+                }
               }
             }
           }
+          if (ok) Some(LocalRelation(agg.output, out.result())) else None
+        } else filterOpt.flatMap { case (_, below) =>
+          rewriteKeyedGroupedResidue(agg, keyAttr, slotGroup, gExpr, grid,
+            aggExprs, child, below, reg, a, b)
         }
-        if (ok) Some(out.result()) else None
+    } yield result
+  }
+
+  /** Keyed grouped hybrid (round 9): `GROUP BY (key, time-slot)` with
+    * sub-minute range edges — the keyed analogue of
+    * [[rewriteGroupedResidue]]. Interior (key, slot) partials come from
+    * the keyed index; edge rows carry their raw key and re-derived slot
+    * key through the bounded edge scan; the rewritten group-by merges
+    * both contributions per (key, slot). */
+  private def rewriteKeyedGroupedResidue(
+      agg: Aggregate, keyAttr: AttributeReference, slotGroup: Expression,
+      gExpr: Expression, grid: SlotGrid, aggExprs: Seq[NamedExpression],
+      child: LogicalPlan, below: LogicalPlan, reg: WheelAcceleration.KeyedReg,
+      a: Long, b: Long): Option[LogicalPlan] = {
+    val aCeil = ((a + MinuteMs - 1) / MinuteMs) * MinuteMs
+    val bFloor = (b / MinuteMs) * MinuteMs
+    if (aCeil >= bFloor) return None
+    val keyRaw = below.output.find(o =>
+      o.name == reg.keyCol && o.dataType == reg.idx.keyType) match {
+      case Some(k) => k
+      case None => return None
+    }
+    for {
+      parts <- residueParts(below, reg.tsCol, Seq(reg.valueCol),
+        a, b, aCeil, bFloor)
+      gEval <- rebaseOnto(child, below, gExpr)
+      keyOutAttr = AttributeReference(
+        "__graft_key", reg.idx.keyType, nullable = keyRaw.nullable)()
+      slotAttr = AttributeReference(
+        "__graft_slot", gExpr.dataType, nullable = gExpr.nullable)()
+      newAggExprs <- mergeAggExprs(parts, Set(reg.valueCol), aggExprs,
+        Seq((Seq(keyAttr), keyOutAttr), (Seq(slotGroup, gExpr), slotAttr)))
+    } yield {
+      val rows = Seq.newBuilder[InternalRow]
+      reg.idx.keys.foreach { key =>
+        val keyVal = Literal.create(key, reg.idx.keyType).value
+        val it = grid.starts(aCeil, bFloor)
+        while (it.hasNext) {
+          val s0 = it.next()
+          val s1 = grid.end(s0)
+          val all = reg.idx.query(key, math.max(aCeil, s0), math.min(bFloor, s1))
+          if (all.count > 0L)
+            rows += InternalRow.fromSeq(keyVal +: slotLiteral(grid, s0, s1).value +:
+              parts.partialsRow(Map(reg.valueCol -> all), all.count))
+        }
       }
-    } yield LocalRelation(agg.output, rows)
+      val interior =
+        LocalRelation(keyOutAttr +: slotAttr +: parts.partialAttrs, rows.result())
+      val edgeLeg = Project(
+        Alias(keyRaw, "__graft_key")() +: Alias(gEval, "__graft_slot")() +:
+          parts.edgePartials, parts.edgeFilter)
+      Aggregate(Seq(keyOutAttr, slotAttr), newAggExprs, Union(Seq(interior, edgeLeg)))
+    }
   }
 
   /** The grouping expression itself, or — when the optimizer's

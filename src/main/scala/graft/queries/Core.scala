@@ -550,6 +550,22 @@ object Core {
            |""".stripMargin)
     }),
 
+    // KEYED grouped hybrid (round 9): GROUP BY (event_type, hour-slot)
+    // over the same unaligned range — per-(key, slot) interior partials
+    // from the keyed index, edge rows carry their raw key through the
+    // bounded edge scan.
+    "q_wheel_keyed_residue_sql" -> ((s, dir) => {
+      graft.plans.WheelAcceleration.registerKeyed(
+        s, s"$dir/events.parquet", t(s, dir, "events"), "event_type")
+      t(s, dir, "events").createOrReplaceTempView("events_wheel")
+      s.sql(
+        s"""SELECT event_type, (unix_millis(ts) div 3600000) * 3600000 AS slot_ms,
+           |ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n FROM events_wheel
+           |WHERE unix_millis(ts) >= $RuStart AND unix_millis(ts) < $RuEnd
+           |GROUP BY 1, 2 ORDER BY 1, 2
+           |""".stripMargin)
+    }),
+
     // QUARTER-grid fold (round 9, VERDICT r8 #5): same CalendarGrid
     // machinery with a 3-month step (CalendarGrid(3)), exercised with a
     // different aggregate mix (SUM/MAX/COUNT) over the same one
@@ -696,6 +712,11 @@ object Core {
         "ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n FROM events " +
         s"WHERE epoch_ms(ts) >= $RuStart AND epoch_ms(ts) < $RuEnd " +
         "GROUP BY 1 ORDER BY 1"),
+    "q_wheel_keyed_residue_sql" ->
+      ("SELECT event_type, (epoch_ms(ts) // 3600000) * 3600000 AS slot_ms, " +
+        "ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n FROM events " +
+        s"WHERE epoch_ms(ts) >= $RuStart AND epoch_ms(ts) < $RuEnd " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
     "q_wheel_distributed" ->
       (s"SELECT ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n, " +
         "ROUND(MIN(value), 4) AS min_value, ROUND(MAX(value), 4) AS max_value " +

@@ -104,6 +104,33 @@ class WheelAccelerationSpec extends AnyFunSuite {
       case l: LocalRelation => l }.isEmpty)
   }
 
+  test("keyed GROUP BY (key, slot) with sub-minute edges folds hybrid and matches scan (round 9)") {
+    register()
+    WheelAcceleration.registerKeyed(spark, path, events, "event_type")
+    events.createOrReplaceTempView("events_accel")
+    val w = 3600000L
+    val a = Q.R1Start + 23000L
+    val b = Q.R1End - 41000L
+    def keyedSql() = spark.sql(
+      s"SELECT event_type, (unix_millis(ts) div $w) * $w AS slot_ms, " +
+        "ROUND(SUM(value), 2) AS s, ROUND(AVG(value), 4) AS av, COUNT(*) AS n " +
+        s"FROM events_accel WHERE unix_millis(ts) >= $a AND unix_millis(ts) < $b " +
+        "GROUP BY 1, 2 ORDER BY 1, 2")
+    val hybrid = keyedSql()
+    val plan = hybrid.queryExecution.optimizedPlan
+    assert(plan.collect { case l: LocalRelation => l }.nonEmpty, plan.treeString)
+    assert(plan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f }.nonEmpty,
+      plan.treeString)
+    val got = hybrid.collect().map(_.toString).toSeq
+    WheelAcceleration.clear()
+    val scan = keyedSql()
+    assert(scan.queryExecution.optimizedPlan.collect {
+      case l: LocalRelation => l }.isEmpty)
+    assert(got == scan.collect().map(_.toString).toSeq)
+    register()
+  }
+
   test("grouped rollup with sub-minute edges folds hybrid and matches the scan (round 9)") {
     register()
     val a = Q.R1Start + 23000L
@@ -150,6 +177,23 @@ class WheelAccelerationSpec extends AnyFunSuite {
     val ds = dtScan.collect().map(r =>
       (r.getTimestamp(0), math.round(r.getDouble(1) * 100), r.getLong(2))).toSeq
     assert(dh == ds)
+
+    // Spark's native window() grouping (struct slot keys) rides the
+    // same hybrid: struct-typed interior literals + edge rows whose
+    // analyzer-generated bucketing expression re-derives the struct
+    val winHybrid = spark.sql(
+      s"SELECT unix_millis(window.start) AS ws, ROUND(SUM(value), 2) AS s, COUNT(*) AS n " +
+        s"FROM events_accel WHERE unix_millis(ts) >= $a AND unix_millis(ts) < $b " +
+        s"GROUP BY window(ts, '1 hour') ORDER BY 1")
+    assert(winHybrid.queryExecution.optimizedPlan.collect {
+      case l: LocalRelation => l }.nonEmpty,
+      winHybrid.queryExecution.optimizedPlan.treeString)
+    val winScan = spark.sql(
+      s"SELECT unix_millis(window.start) AS ws, ROUND(SUM(value), 2) AS s, COUNT(*) AS n " +
+        s"FROM events_accel WHERE unix_millis(ts) >= $a AND unix_millis(ts) < $b " +
+        s"AND event_id >= -1 GROUP BY window(ts, '1 hour') ORDER BY 1")
+    assert(winHybrid.collect().map(_.toString).toSeq ==
+      winScan.collect().map(_.toString).toSeq)
   }
 
   test("extra-predicate queries are NOT rewritten") {
