@@ -284,6 +284,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters: [Or(And(GreaterThanOrEqual(ts,"), p)
   }
 
+  test("q_wheel_rollup_residue_sql folds grouped hybrid with a pushed edge filter") {
+    val p = plan("q_wheel_rollup_residue_sql")
+    assert(p.contains("LocalTableScan"), p)
+    assert(p.contains("FileScan"), p)
+    assert(p.contains("PushedFilters: [Or(And(GreaterThanOrEqual(ts,"), p)
+  }
+
+  test("q_wheel_keyed_residue_sql folds keyed grouped hybrid with a pushed edge filter") {
+    val p = plan("q_wheel_keyed_residue_sql")
+    assert(p.contains("LocalTableScan"), p)
+    assert(p.contains("FileScan"), p)
+    assert(p.contains("PushedFilters: [Or(And(GreaterThanOrEqual(ts,"), p)
+  }
+
   test("two bloom predicates on one session keep their own filters (no registry race)") {
     // ADVICE r6: under a FIXED registered name, building a second bloom
     // Column before the first query analyzed would overwrite the registry
