@@ -168,6 +168,20 @@ object WheelAcceleration {
     enable(spark)
   }
 
+  /** Keyed analogue of [[registerPrebuilt]]: swap an ALREADY-BUILT
+    * keyed index in for `path`, fingerprinting the source as it stands
+    * right now — the refresh primitive behind
+    * [[graft.streaming.WheelIngest]]'s live KEYED registration. */
+  def registerPrebuiltKeyed(spark: SparkSession, path: String,
+      keyCol: String, tsCol: String, valueCol: String,
+      idx: graft.wheel.KeyedWheelIndex): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fp = fingerprint(path, conf)
+    keyedRegistry.put(normalize(path), KeyedReg(keyCol, tsCol, valueCol, idx, fp, conf))
+    fpCache.keySet.removeIf(_._1 == normalize(path))
+    enable(spark)
+  }
+
   /** Drop the registered index for `path` (the rewrite rule stops firing
     * for it; queries fall back to the scan path). */
   def unregister(path: String): Unit = {

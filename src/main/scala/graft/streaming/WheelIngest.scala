@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.plans.WheelAcceleration
-import graft.wheel.{PersistentWheel, RollupBuilder, WheelIndex}
+import graft.wheel.{KeyedWheelIndex, PersistentWheel, RollupBuilder, WheelIndex}
 
 /** Live ingest + query — the µWheel deployment story (the reference's
   * wheel is fed by an ingestion loop and queried concurrently,
@@ -80,10 +80,20 @@ object WheelIngest {
       rows + o.rows)
   }
 
+  /** `keyCol` (round 9) additionally maintains a live KEYED wheel over
+    * `valueCols.head`: each batch's keyed minute partials merge into a
+    * per-(key, slot) accumulator and refresh the keyed registration, so
+    * `GROUP BY (key, time-slot)` SQL over `path` folds live exactly
+    * like the unkeyed shapes. State is |keys| × minutes — the same
+    * dimension-bounded contract as the batch keyed index, enforced by
+    * its build guard. The keyed bootstrap aggregates the table history
+    * (keyed partials are not persisted; only the unkeyed family rides
+    * `persistDir`). */
   def start(stream: DataFrame, path: String, checkpoint: String,
       tsCol: String = "ts",
       valueCols: Seq[String] = Seq("value"),
-      persistDir: Option[String] = None): StreamingQuery = {
+      persistDir: Option[String] = None,
+      keyCol: Option[String] = None): StreamingQuery = {
     require(valueCols.nonEmpty, "need at least one measure column")
     val spark = stream.sparkSession
     val n = valueCols.size
@@ -136,6 +146,41 @@ object WheelIngest {
           spark.read.parquet(path), tsCol, c)(a, b)))
       WheelAcceleration.registerPrebuilt(spark, path, tsCol, wheels)
     }
+
+    // live KEYED accumulator: (key, minute slot) -> single-measure block
+    final case class KSlot(sum: Double, cnt: Long, min: Double, max: Double,
+        rows: Long) {
+      def merge(o: KSlot): KSlot = KSlot(sum + o.sum, cnt + o.cnt,
+        math.min(min, o.min), math.max(max, o.max), rows + o.rows)
+    }
+    val keyedAcc = new java.util.concurrent.ConcurrentHashMap[(Any, Long), KSlot]()
+    val keyedValue = valueCols.head
+    val keyType = keyCol.map(k => stream.schema(k).dataType)
+    def mergeKeyedRows(rows: Array[Row]): Unit = rows.foreach { r =>
+      // partials order: key, slot_ms, sum_v, cnt, min_v, max_v, rows
+      val slot = KSlot(r.getDouble(2), r.getLong(3), r.getDouble(4),
+        r.getDouble(5), r.getLong(6))
+      keyedAcc.merge((r.get(0), r.getLong(1)), slot, (a, b) => a.merge(b))
+    }
+    def refreshKeyed(): Unit = keyCol.foreach { k =>
+      if (!keyedAcc.isEmpty) {
+        val it = keyedAcc.entrySet().iterator()
+        val buf = Array.newBuilder[Row]
+        while (it.hasNext) {
+          val e = it.next()
+          val ((key, slotMs), s) = (e.getKey, e.getValue)
+          buf += Row(key, slotMs, s.sum, s.cnt, s.min, s.max, s.rows)
+        }
+        val idx = KeyedWheelIndex.fromPartialRows(
+          buf.result(), k, keyType.get, keyedValue)
+        WheelAcceleration.registerPrebuiltKeyed(
+          spark, path, k, tsCol, keyedValue, idx)
+      }
+    }
+    def keyedPartials(src: DataFrame): Array[Row] =
+      KeyedWheelIndex.partials(
+        RollupBuilder.normalizeTs(src, tsCol), keyCol.get, tsCol, keyedValue)
+        .collect()
 
     val hadoopConf = spark.sessionState.newHadoopConf()
 
@@ -210,7 +255,11 @@ object WheelIngest {
         aggregate(spark.read.parquet(path))
         lastBootstrap = Some(BootstrapReport(0, current.map(_._2)))
       }
+      // the keyed family bootstraps from the table history (keyed
+      // partials are not persisted; |keys| x minutes aggregation)
+      keyCol.foreach(_ => mergeKeyedRows(keyedPartials(spark.read.parquet(path))))
       refresh()
+      refreshKeyed()
       persistAccumulator()
     } else lastBootstrap = Some(BootstrapReport(0, Seq.empty))
 
@@ -227,11 +276,13 @@ object WheelIngest {
             mergeRows(RollupBuilder.minuteRollupMulti(
               RollupBuilder.normalizeTs(batch, tsCol), tsCol, valueCols)
               .select(partialCols.head, partialCols.tail: _*).collect())
+            keyCol.foreach(_ => mergeKeyedRows(keyedPartials(batch)))
             lastMergedBatch = batchId
           }
           // (3) swap in the rebuilt index, fingerprinting the files as
           // committed — queries planned from here fold WITH this batch
           refresh()
+          refreshKeyed()
           // (4) checkpoint the partials (O(slots), time-bounded): the
           // next restart bootstraps from here instead of re-scanning
           persistAccumulator()

@@ -105,14 +105,14 @@ object KeyedWheelIndex {
   /** The distributed half of [[build]]: the keyed minute rollup in the
     * canonical column order — also the persisted-slot payload
     * ([[PersistentWheel.saveKeyed]]). */
-  private[wheel] def partials(events: DataFrame, keyCol: String,
+  private[graft] def partials(events: DataFrame, keyCol: String,
       tsCol: String, valueCol: String): DataFrame =
     RollupBuilder.keyedRollup(events, keyCol, tsCol, valueCol, Tier.Minute)
       .select(keyCol, "slot_ms", "sum_v", "cnt", "min_v", "max_v", "rows")
 
   /** Driver-side fill from collected [[partials]] rows — shared by
     * [[build]] and [[PersistentWheel.loadKeyed]]. */
-  private[wheel] def fromPartialRows(rows: Array[org.apache.spark.sql.Row],
+  private[graft] def fromPartialRows(rows: Array[org.apache.spark.sql.Row],
       keyCol: String, keyType: DataType, valueCol: String): KeyedWheelIndex = {
     require(rows.nonEmpty, "cannot index an empty source")
     require(rows.length <= MaxRows,

@@ -196,6 +196,31 @@ class WheelAccelerationSpec extends AnyFunSuite {
       winScan.collect().map(_.toString).toSeq)
   }
 
+  test("hybrid fold equals the scan on random UNALIGNED ranges (round 9)") {
+    register()
+    events.createOrReplaceTempView("events_accel")
+    val rnd = new scala.util.Random(4242)
+    val spanSec = 29 * 24 * 3600
+    (1 to 12).foreach { i =>
+      // second-precision endpoints: most ranges unaligned at both ends,
+      // some aligned by chance, some shorter than a minute (no fold)
+      val aSec = rnd.nextInt(spanSec - 60)
+      val lenSec = 1 + (if (i % 4 == 0) rnd.nextInt(90) else rnd.nextInt(spanSec - aSec))
+      val a = Q.Jan1 + aSec * 1000L
+      val b = a + lenSec * 1000L
+      def q(extra: String) = spark.sql(
+        s"SELECT SUM(value) AS s, COUNT(*) AS n FROM events_accel " +
+          s"WHERE unix_millis(ts) >= $a AND unix_millis(ts) < $b $extra")
+      val hybrid = q("").collect()(0)
+      val scan = q("AND event_id >= -1").collect()(0)
+      assert(hybrid.getLong(1) == scan.getLong(1), s"[$a,$b) count")
+      if (!scan.isNullAt(0))
+        assert(math.abs(hybrid.getDouble(0) - scan.getDouble(0)) <=
+          1e-6 * math.max(1.0, math.abs(scan.getDouble(0))), s"[$a,$b) sum")
+      else assert(hybrid.isNullAt(0), s"[$a,$b) null sum")
+    }
+  }
+
   test("extra-predicate queries are NOT rewritten") {
     register()
     events.createOrReplaceTempView("events_accel")

@@ -274,6 +274,70 @@ class WheelIngestSpec extends AnyFunSuite {
     } finally WheelAcceleration.unregister(path)
   }
 
+  test("a keyed ingest folds GROUP BY (key, slot) SQL live, incl. restart (round 9)") {
+    import spark.implicits._
+    System.setProperty("graft.wheel.fingerprint.ttlMs", "0")
+    val path = fixture("keyed/events.parquet")
+    val t0 = Q.Jan1
+
+    def keyedSql() = {
+      spark.read.parquet(path).createOrReplaceTempView("live_events")
+      spark.sql(
+        s"SELECT event_type, (unix_millis(ts) div $Min) * $Min AS slot_ms, " +
+          s"SUM(value) AS s, COUNT(*) AS n FROM live_events " +
+          s"WHERE unix_millis(ts) >= $t0 AND unix_millis(ts) < ${t0 + 3 * Min} " +
+          s"GROUP BY 1, 2 ORDER BY 1, 2")
+    }
+
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val q = WheelIngest.start(mem.toDF().toDF("ts", "event_type", "value"),
+      path, fixture("keyed/ckpt"), keyCol = Some("event_type"))
+    try {
+      mem.addData((new java.sql.Timestamp(t0), "click", 1.0),
+        (new java.sql.Timestamp(t0 + Min), "view", 2.0))
+      q.processAllAvailable()
+      val first = keyedSql()
+      assert(folded(first), first.queryExecution.optimizedPlan.treeString)
+      assert(first.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq ==
+        Seq(("click", t0, 1.0, 1L), ("view", t0 + Min, 2.0, 1L)))
+
+      // a second batch extends an existing key AND adds a new one
+      mem.addData((new java.sql.Timestamp(t0 + Min + 1), "click", 4.0),
+        (new java.sql.Timestamp(t0 + 2 * Min), "purchase", 8.0))
+      q.processAllAvailable()
+      val second = keyedSql()
+      assert(folded(second))
+      assert(second.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq ==
+        Seq(("click", t0, 1.0, 1L), ("click", t0 + Min, 4.0, 1L),
+          ("purchase", t0 + 2 * Min, 8.0, 1L), ("view", t0 + Min, 2.0, 1L)))
+
+      // the UNKEYED live registration still serves ungrouped folds
+      val ungrouped = rangeSql(path, t0, t0 + 3 * Min)
+      assert(folded(ungrouped))
+      val r = ungrouped.collect()(0)
+      assert(r.getDouble(0) == 15.0 && r.getLong(1) == 4L)
+    } finally {
+      q.stop()
+      WheelAcceleration.unregister(path)
+    }
+
+    // restart: the keyed bootstrap re-aggregates the table history
+    val mem2 = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val q2 = WheelIngest.start(mem2.toDF().toDF("ts", "event_type", "value"),
+      path, fixture("keyed/ckpt2"), keyCol = Some("event_type"))
+    try {
+      val boot = keyedSql()
+      assert(folded(boot), boot.queryExecution.optimizedPlan.treeString)
+      assert(boot.collect().length == 4)
+    } finally {
+      q2.stop()
+      WheelAcceleration.unregister(path)
+    }
+  }
+
   /** Basenames of the table's data files (committer markers excluded). */
   private def listDataFiles(path: String): Set[String] = {
     val p = new org.apache.hadoop.fs.Path(path)
