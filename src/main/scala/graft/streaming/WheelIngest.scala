@@ -63,8 +63,10 @@ object WheelIngest {
 
   /** What the most recent [[start]] bootstrap did — exposed for tests
     * and operability (`tailFiles` is what the bootstrap aggregated;
-    * `coveredFiles` came from the persisted partials). */
-  final case class BootstrapReport(coveredFiles: Int, tailFiles: Seq[String])
+    * `coveredFiles` came from the persisted partials; the `keyed*`
+    * fields mirror them for the keyed family's own sidecar). */
+  final case class BootstrapReport(coveredFiles: Int, tailFiles: Seq[String],
+      keyedCoveredFiles: Int = 0, keyedTailFiles: Seq[String] = Seq.empty)
 
   @volatile private[streaming] var lastBootstrap: Option[BootstrapReport] = None
 
@@ -203,6 +205,32 @@ object WheelIngest {
         PersistentWheel.savePartials(spark, d, df, tsCol, valueCols,
           WheelAcceleration.sourceFingerprint(path, hadoopConf), path)
       }
+      // keyed family: its own index dir NESTED under the checkpoint
+      // (single-family sidecar contract), same fingerprint stamp
+      keyCol.foreach { k =>
+        if (!keyedAcc.isEmpty) {
+          val keyedSchema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(k, keyType.get, nullable = true),
+            StructField("slot_ms", LongType, nullable = false),
+            StructField("sum_v", DoubleType, nullable = false),
+            StructField("cnt", LongType, nullable = false),
+            StructField("min_v", DoubleType, nullable = false),
+            StructField("max_v", DoubleType, nullable = false),
+            StructField("rows", LongType, nullable = false)))
+          val it = keyedAcc.entrySet().iterator()
+          val buf = Array.newBuilder[Row]
+          while (it.hasNext) {
+            val e = it.next()
+            val ((key, slotMs), ks) = (e.getKey, e.getValue)
+            buf += Row(key, slotMs, ks.sum, ks.cnt, ks.min, ks.max, ks.rows)
+          }
+          val df = spark.createDataFrame(
+            java.util.Arrays.asList(buf.result(): _*), keyedSchema)
+          PersistentWheel.savePartialsKeyed(spark, s"$d/keyed", df, tsCol,
+            k, keyedValue,
+            WheelAcceleration.sourceFingerprint(path, hadoopConf), path)
+        }
+      }
     }
 
     // Bootstrap: fold the pre-existing table history into the
@@ -255,9 +283,34 @@ object WheelIngest {
         aggregate(spark.read.parquet(path))
         lastBootstrap = Some(BootstrapReport(0, current.map(_._2)))
       }
-      // the keyed family bootstraps from the table history (keyed
-      // partials are not persisted; |keys| x minutes aggregation)
-      keyCol.foreach(_ => mergeKeyedRows(keyedPartials(spark.read.parquet(path))))
+      // keyed family: same coverage diff against ITS sidecar (nested
+      // under the checkpoint dir) — tail-only when provably covered,
+      // full |keys| x minutes aggregation otherwise
+      keyCol.foreach { k =>
+        val keyedDir = persistDir.map(d => s"$d/keyed")
+        val kCovered: Set[String] = keyedDir
+          .flatMap(d => PersistentWheel.peek(spark, d))
+          .filter(m => m.kind == PersistentWheel.KeyedKind &&
+            m.tsCol == tsCol && m.valueCols == Seq(k, keyedValue))
+          .map(_.sourceFingerprint.split('|').toSet.filter(t =>
+            t.nonEmpty && isDataName(t)))
+          .getOrElse(Set.empty)
+        if (kCovered.nonEmpty && kCovered.subsetOf(currentTokens)) {
+          val (_, persisted) = PersistentWheel.loadPartialsKeyed(spark, keyedDir.get)
+          mergeKeyedRows(persisted
+            .select(k, "slot_ms", "sum_v", "cnt", "min_v", "max_v", "rows")
+            .collect())
+          val tail = current.collect { case (tok, p) if !kCovered(tok) => p }
+          if (tail.nonEmpty)
+            mergeKeyedRows(keyedPartials(spark.read.parquet(tail: _*)))
+          lastBootstrap = lastBootstrap.map(_.copy(
+            keyedCoveredFiles = kCovered.size, keyedTailFiles = tail))
+        } else {
+          mergeKeyedRows(keyedPartials(spark.read.parquet(path)))
+          lastBootstrap = lastBootstrap.map(_.copy(
+            keyedCoveredFiles = 0, keyedTailFiles = current.map(_._2)))
+        }
+      }
       refresh()
       refreshKeyed()
       persistAccumulator()

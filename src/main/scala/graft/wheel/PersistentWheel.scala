@@ -241,6 +241,25 @@ object PersistentWheel {
   def loadPartials(spark: SparkSession, indexDir: String): (Meta, DataFrame) =
     loadSlots(spark, indexDir, SumKind)
 
+  /** Keyed-family analogue of [[savePartials]]/[[loadPartials]]: persist
+    * and restore ALREADY-AGGREGATED keyed minute partials (the live
+    * keyed ingest's checkpoint). The DataFrame must carry
+    * [[KeyedWheelIndex.partials]]'s schema; `valueCols` records
+    * `(keyCol, valueCol)`. */
+  def savePartialsKeyed(spark: SparkSession, indexDir: String,
+      partials: DataFrame, tsCol: String, keyCol: String, valueCol: String,
+      sourceFingerprint: String, sourcePath: String = ""): Unit =
+    saveSlots(spark, indexDir, KeyedKind, partials, tsCol,
+      Seq(keyCol, valueCol), sourceFingerprint, sourcePath)
+
+  def loadPartialsKeyed(spark: SparkSession, indexDir: String): (Meta, DataFrame) = {
+    val (meta, df) = loadSlots(spark, indexDir, KeyedKind)
+    require(meta.valueCols.length == 2,
+      s"keyed sidecar at $indexDir must record exactly (keyCol, valueCol); " +
+        s"found ${meta.valueCols.mkString("[", ", ", "]")}")
+    (meta, df)
+  }
+
   /** The persisted metadata, or None when `indexDir` holds no readable
     * saved wheel (absent, foreign, or torn) — the "must rebuild"
     * signal. */

@@ -338,6 +338,63 @@ class WheelIngestSpec extends AnyFunSuite {
     }
   }
 
+  test("a persisted KEYED ingest also restarts tail-only (round 9)") {
+    import spark.implicits._
+    System.setProperty("graft.wheel.fingerprint.ttlMs", "0")
+    val path = fixture("keyed-persist/events.parquet")
+    val persistDir = fixture("keyed-persist/index")
+    val t0 = Q.Jan1
+
+    implicit val sc = spark.sqlContext
+    val mem1 = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val q1 = WheelIngest.start(mem1.toDF().toDF("ts", "event_type", "value"),
+      path, fixture("keyed-persist/ckpt1"),
+      persistDir = Some(persistDir), keyCol = Some("event_type"))
+    try {
+      mem1.addData((new java.sql.Timestamp(t0), "click", 1.0),
+        (new java.sql.Timestamp(t0 + Min), "view", 2.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    WheelAcceleration.unregister(path)
+    // both sidecars exist: the sum family at the top, keyed nested
+    assert(graft.wheel.PersistentWheel.peek(spark, persistDir).get.kind ==
+      graft.wheel.PersistentWheel.SumKind)
+    assert(graft.wheel.PersistentWheel.peek(spark, s"$persistDir/keyed").get.kind ==
+      graft.wheel.PersistentWheel.KeyedKind)
+
+    // downtime write, then restart: BOTH families read only the tail
+    val preFiles = listDataFiles(path)
+    Seq((new java.sql.Timestamp(t0 + 2 * Min), "click", 4.0))
+      .toDF("ts", "event_type", "value").write.mode("append").parquet(path)
+    val tailFiles = listDataFiles(path) -- preFiles
+
+    val mem2 = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val q2 = WheelIngest.start(mem2.toDF().toDF("ts", "event_type", "value"),
+      path, fixture("keyed-persist/ckpt2"),
+      persistDir = Some(persistDir), keyCol = Some("event_type"))
+    try {
+      val report = WheelIngest.lastBootstrap.get
+      assert(report.coveredFiles > 0 && report.keyedCoveredFiles > 0, report)
+      assert(report.tailFiles.toSet == tailFiles, report)
+      assert(report.keyedTailFiles.toSet == tailFiles, report)
+
+      spark.read.parquet(path).createOrReplaceTempView("live_events")
+      val keyed = spark.sql(
+        s"SELECT event_type, (unix_millis(ts) div $Min) * $Min AS slot_ms, " +
+          s"SUM(value) AS s FROM live_events " +
+          s"WHERE unix_millis(ts) >= $t0 AND unix_millis(ts) < ${t0 + 3 * Min} " +
+          s"GROUP BY 1, 2 ORDER BY 1, 2")
+      assert(folded(keyed), keyed.queryExecution.optimizedPlan.treeString)
+      assert(keyed.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ==
+        Seq(("click", t0, 1.0), ("click", t0 + 2 * Min, 4.0),
+          ("view", t0 + Min, 2.0)))
+    } finally {
+      q2.stop()
+      WheelAcceleration.unregister(path)
+    }
+  }
+
   /** Basenames of the table's data files (committer markers excluded). */
   private def listDataFiles(path: String): Set[String] = {
     val p = new org.apache.hadoop.fs.Path(path)
