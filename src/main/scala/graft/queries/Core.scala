@@ -509,6 +509,30 @@ object Core {
           |""".stripMargin)
     }),
 
+    // SLIDING window() SQL fold (round 10, VERDICT r9 #1): the most
+    // common reporting shape after tumbling windows — GROUP BY
+    // window(ts, '1 hour', '1 minute') — folded from the wheel. The
+    // TimeWindowing analyzer expands each row into its 60 overlapping
+    // windows through an Expand (no membership filter when slide
+    // divides size); WheelSumRewrite.rewriteSlidingWindow verifies all
+    // 60 projections structurally (same slide/start/size, offsets
+    // exactly {0..59}·slide) and replaces Aggregate+Expand with one
+    // LocalRelation row per non-empty window — the same O(windows)
+    // walk q_wheel_sliding proves through the API path, now behind the
+    // unchanged SQL spelling. Scan-free plan asserted in PlanAuditSpec.
+    "q_wheel_sliding_sql" -> ((s, dir) => {
+      graft.plans.WheelAcceleration.register(
+        s, s"$dir/events.parquet", t(s, dir, "events"))
+      t(s, dir, "events").createOrReplaceTempView("events_wheel")
+      s.sql(
+        s"""SELECT unix_millis(window.start) AS ws_ms, unix_millis(window.end) AS we_ms,
+           |ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n
+           |FROM events_wheel
+           |WHERE unix_millis(ts) >= $RsStart AND unix_millis(ts) < $RsEnd
+           |GROUP BY window(ts, '1 hour', '1 minute') ORDER BY 1
+           |""".stripMargin)
+    }),
+
     // CALENDAR-GRID fold (round 8, VERDICT r7 #5): GROUP BY
     // date_trunc('month', ts) answered from the wheel. Months are NOT
     // fixed-width, so the rewrite walks java.time UTC month boundaries
@@ -770,6 +794,19 @@ object Core {
     "q_wheel_landmark" ->
       (s"SELECT ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n " +
         s"FROM events WHERE epoch_ms(ts) >= $RlStart"),
+    "q_wheel_sliding_sql" ->
+      // every 1-minute-slid 1-hour window holding data: the window grid
+      // joined to the minute rollup reproduces Spark's Expand semantics
+      // (a window appears iff ≥1 row of the filtered range falls in it,
+      // contributions clipped to the range)
+      ("WITH m AS (SELECT (epoch_ms(ts) // 60000) * 60000 AS slot_ms, " +
+        "SUM(value) AS sv, COUNT(*) AS cn FROM events " +
+        s"WHERE epoch_ms(ts) >= $RsStart AND epoch_ms(ts) < $RsEnd GROUP BY 1), " +
+        s"g AS (SELECT range AS ws FROM range(${RsStart - 3540000L}, $RsEnd, 60000)), " +
+        "j AS (SELECT g.ws, m.sv, m.cn FROM g JOIN m " +
+        "ON m.slot_ms >= g.ws AND m.slot_ms < g.ws + 3600000) " +
+        "SELECT ws AS ws_ms, ws + 3600000 AS we_ms, ROUND(SUM(sv), 2) AS sum_value, " +
+        "CAST(SUM(cn) AS BIGINT) AS n FROM j GROUP BY 1, 2 ORDER BY 1"),
     "q_wheel_window_sql" ->
       (s"SELECT (epoch_ms(ts) // 3600000) * 3600000 AS ws_ms, " +
         "(epoch_ms(ts) // 3600000) * 3600000 + 3600000 AS we_ms, " +

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.plans.WheelAcceleration
-import graft.wheel.{KeyedWheelIndex, PersistentWheel, RollupBuilder, WheelIndex}
+import graft.wheel.{KeyedWheelIndex, PersistentWheel, RollupBuilder, SourceFingerprint, WheelIndex}
 
 /** Live ingest + query — the µWheel deployment story (the reference's
   * wheel is fed by an ingestion loop and queried concurrently,
@@ -28,47 +28,62 @@ import graft.wheel.{KeyedWheelIndex, PersistentWheel, RollupBuilder, WheelIndex}
   * Freshness never trades against correctness: the registration is
   * refreshed only AFTER the batch's files are committed and merged, and
   * the registry serves an index only while its recorded source
-  * fingerprint matches the files on disk. A query planned in the window
-  * between file commit and refresh sees a fingerprint mismatch and takes
-  * the (correct) scan path; after the refresh it folds again. Readers
-  * should create their DataFrame per query (`spark.read.parquet(path)`)
-  * — the normal SQL-over-files pattern — so the scan fallback also sees
-  * the newest files.
+  * fingerprint matches the files on disk. The recorded fingerprint is
+  * built from the COVERED-file set — the files provably folded into the
+  * accumulator (the bootstrap listing plus each batch's before/after
+  * listing delta), NOT a fresh listing taken at registration time — so
+  * a file appended by a foreign writer while the ingest runs fails the
+  * freshness check and takes the (correct) scan path instead of being
+  * silently claimed as indexed (ADVICE r9). Readers should create
+  * their DataFrame per query (`spark.read.parquet(path)`) — the normal
+  * SQL-over-files pattern — so the scan fallback also sees the newest
+  * files.
   *
   * Scale posture: the per-batch work added on top of the parquet write
   * is one map-side-combined aggregation of the BATCH (not the table) to
-  * minute partials, a driver merge bounded by minutes-in-batch, and an
-  * O(total slots × measures) array rebuild — all independent of
-  * accumulated data volume, the same time-bounded guarantee the batch
-  * index relies on.
+  * minute partials, a driver merge bounded by minutes-in-batch, two
+  * file listings (metadata ops), and an O(total slots × measures) array
+  * rebuild — all independent of accumulated data volume, the same
+  * time-bounded guarantee the batch index relies on.
   *
   * Restart/replay: on [[start]] the accumulator bootstraps from the
   * parquet already at `path`, and a re-delivered micro-batch (same
-  * `batchId` after a checkpoint recovery) is appended by the idempotent
-  * parquet sink semantics but merged into the accumulator only once.
+  * `batchId` after a checkpoint recovery) is appended by the parquet
+  * sink but merged into the accumulator only once — its files are then
+  * NOT in the covered set, so folds stop (scan path, correct) until the
+  * next restart re-aggregates them.
   *
   * With `persistDir` set (round 9, VERDICT r8 #4), the bootstrap is no
   * longer a full-table aggregation: after every committed batch the
   * accumulator's partials — O(slots), time-bounded — are written
   * through [[graft.wheel.PersistentWheel.savePartials]] together with
-  * the table's post-commit file fingerprint. On restart, if that
-  * fingerprint names a SUBSET of the files now on disk, the persisted
-  * partials are merged as-is and only the uncovered TAIL files are
-  * aggregated — a 100 TB table restarts by scanning megabytes, not the
-  * table. Any mismatch (changed file, foreign dir, different schema)
-  * falls back to the full-history aggregation, so the fast path can
-  * never trade correctness.
+  * the covered-file fingerprint. On restart, if that fingerprint names
+  * a SUBSET of the files now on disk, the persisted partials are merged
+  * as-is and only the uncovered TAIL files are aggregated — a 100 TB
+  * table restarts by scanning megabytes, not the table. Any mismatch
+  * (changed file, foreign dir, different schema) — and any FAILURE to
+  * read the persisted partials (torn checkpoint) — falls back to the
+  * full-history aggregation, so the fast path can never trade
+  * correctness.
   */
 object WheelIngest {
 
-  /** What the most recent [[start]] bootstrap did — exposed for tests
+  /** What a [[start]] bootstrap did — exposed per table path for tests
     * and operability (`tailFiles` is what the bootstrap aggregated;
     * `coveredFiles` came from the persisted partials; the `keyed*`
     * fields mirror them for the keyed family's own sidecar). */
   final case class BootstrapReport(coveredFiles: Int, tailFiles: Seq[String],
       keyedCoveredFiles: Int = 0, keyedTailFiles: Seq[String] = Seq.empty)
 
-  @volatile private[streaming] var lastBootstrap: Option[BootstrapReport] = None
+  // keyed per table path (ADVICE r9: a shared single slot let two
+  // concurrently started ingests clobber each other's reports); each
+  // report is built complete and published once
+  private val bootstraps =
+    new java.util.concurrent.ConcurrentHashMap[String, BootstrapReport]()
+
+  /** The most recent bootstrap report for `path`'s ingest. */
+  def lastBootstrap(path: String): Option[BootstrapReport] =
+    Option(bootstraps.get(path))
 
   /** Per-slot accumulator state: one (sum, cnt, min, max) block per
     * measure, plus the shared all-rows count. */
@@ -88,9 +103,12 @@ object WheelIngest {
     * `GROUP BY (key, time-slot)` SQL over `path` folds live exactly
     * like the unkeyed shapes. State is |keys| × minutes — the same
     * dimension-bounded contract as the batch keyed index, enforced by
-    * its build guard. The keyed bootstrap aggregates the table history
-    * (keyed partials are not persisted; only the unkeyed family rides
-    * `persistDir`). */
+    * its build guard. With `persistDir` set the keyed family
+    * checkpoints through its own sidecar NESTED under the checkpoint
+    * dir (`persistDir/keyed`), stamped with the same covered-file
+    * fingerprint, and restarts tail-only exactly like the unkeyed
+    * family (full |keys| × minutes re-aggregation only when coverage
+    * cannot be proven). */
   def start(stream: DataFrame, path: String, checkpoint: String,
       tsCol: String = "ts",
       valueCols: Seq[String] = Seq("value"),
@@ -103,6 +121,15 @@ object WheelIngest {
     // one accumulator per ingest: minute slot -> per-measure blocks
     val acc = new java.util.concurrent.ConcurrentHashMap[Long, Slot]()
     @volatile var lastMergedBatch = -1L
+
+    // the files PROVABLY folded into the accumulator, as fingerprint
+    // tokens: initialized to the bootstrap listing (every file there is
+    // aggregated — via persisted partials or the tail scan), extended
+    // by each committed batch's listing delta. This set — not a fresh
+    // listing — is what registrations and checkpoints are stamped with.
+    val coveredTokens = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    def coveredFingerprint(): String =
+      coveredTokens.toArray(new Array[String](0)).sorted.mkString("|")
 
     // minuteRollupMulti shape: slot_ms, (sum/cnt/min/max)×measure, rows
     val partialCols =
@@ -146,7 +173,8 @@ object WheelIngest {
         // fallback always scans what is on disk now
         c => Some((a, b) => WheelIndex.scanFallback(
           spark.read.parquet(path), tsCol, c)(a, b)))
-      WheelAcceleration.registerPrebuilt(spark, path, tsCol, wheels)
+      WheelAcceleration.registerPrebuilt(spark, path, tsCol, wheels,
+        Some(coveredFingerprint()))
     }
 
     // live KEYED accumulator: (key, minute slot) -> single-measure block
@@ -164,19 +192,22 @@ object WheelIngest {
         r.getDouble(5), r.getLong(6))
       keyedAcc.merge((r.get(0), r.getLong(1)), slot, (a, b) => a.merge(b))
     }
+    def keyedSnapshotRows(): Array[Row] = {
+      val it = keyedAcc.entrySet().iterator()
+      val buf = Array.newBuilder[Row]
+      while (it.hasNext) {
+        val e = it.next()
+        val ((key, slotMs), s) = (e.getKey, e.getValue)
+        buf += Row(key, slotMs, s.sum, s.cnt, s.min, s.max, s.rows)
+      }
+      buf.result()
+    }
     def refreshKeyed(): Unit = keyCol.foreach { k =>
       if (!keyedAcc.isEmpty) {
-        val it = keyedAcc.entrySet().iterator()
-        val buf = Array.newBuilder[Row]
-        while (it.hasNext) {
-          val e = it.next()
-          val ((key, slotMs), s) = (e.getKey, e.getValue)
-          buf += Row(key, slotMs, s.sum, s.cnt, s.min, s.max, s.rows)
-        }
         val idx = KeyedWheelIndex.fromPartialRows(
-          buf.result(), k, keyType.get, keyedValue)
+          keyedSnapshotRows(), k, keyType.get, keyedValue)
         WheelAcceleration.registerPrebuiltKeyed(
-          spark, path, k, tsCol, keyedValue, idx)
+          spark, path, k, tsCol, keyedValue, idx, Some(coveredFingerprint()))
       }
     }
     def keyedPartials(src: DataFrame): Array[Row] =
@@ -187,8 +218,9 @@ object WheelIngest {
     val hadoopConf = spark.sessionState.newHadoopConf()
 
     // accumulator → PersistentWheel dir: O(slots) rows stamped with the
-    // table's CURRENT file fingerprint, so the next start() can prove
-    // exactly which files these partials cover
+    // COVERED-file fingerprint (what the accumulator provably holds),
+    // so the next start() can prove exactly which files these partials
+    // cover — a foreign file appended mid-batch is never claimed
     import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
     val partialSchema = StructType(
       StructField("slot_ms", LongType, nullable = false) +:
@@ -199,38 +231,55 @@ object WheelIngest {
           StructField(s"max_$c", DoubleType, nullable = false))) :+
         StructField("rows", LongType, nullable = false))
     def persistAccumulator(): Unit = persistDir.foreach { d =>
+      val fp = coveredFingerprint()
       if (!acc.isEmpty) {
         val df = spark.createDataFrame(
           java.util.Arrays.asList(snapshotRows(): _*), partialSchema)
-        PersistentWheel.savePartials(spark, d, df, tsCol, valueCols,
-          WheelAcceleration.sourceFingerprint(path, hadoopConf), path)
+        PersistentWheel.savePartials(spark, d, df, tsCol, valueCols, fp, path)
       }
       // keyed family: its own index dir NESTED under the checkpoint
       // (single-family sidecar contract), same fingerprint stamp
       keyCol.foreach { k =>
         if (!keyedAcc.isEmpty) {
-          val keyedSchema = org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField(k, keyType.get, nullable = true),
+          val keyedSchema = StructType(Seq(
+            StructField(k, keyType.get, nullable = true),
             StructField("slot_ms", LongType, nullable = false),
             StructField("sum_v", DoubleType, nullable = false),
             StructField("cnt", LongType, nullable = false),
             StructField("min_v", DoubleType, nullable = false),
             StructField("max_v", DoubleType, nullable = false),
             StructField("rows", LongType, nullable = false)))
-          val it = keyedAcc.entrySet().iterator()
-          val buf = Array.newBuilder[Row]
-          while (it.hasNext) {
-            val e = it.next()
-            val ((key, slotMs), ks) = (e.getKey, e.getValue)
-            buf += Row(key, slotMs, ks.sum, ks.cnt, ks.min, ks.max, ks.rows)
-          }
           val df = spark.createDataFrame(
-            java.util.Arrays.asList(buf.result(): _*), keyedSchema)
+            java.util.Arrays.asList(keyedSnapshotRows(): _*), keyedSchema)
           PersistentWheel.savePartialsKeyed(spark, s"$d/keyed", df, tsCol,
-            k, keyedValue,
-            WheelAcceleration.sourceFingerprint(path, hadoopConf), path)
+            k, keyedValue, fp, path)
         }
       }
+    }
+
+    // Listing of the table's data files as (fingerprint token, full
+    // path) — the same token dialect SourceFingerprint speaks, so the
+    // coverage diff and the registry's wholesale check agree.
+    val fsPath = new org.apache.hadoop.fs.Path(path)
+    val fs = fsPath.getFileSystem(hadoopConf)
+    def listTokens(): Seq[(String, String)] =
+      if (!fs.exists(fsPath)) Seq.empty
+      else {
+        val root = fs.makeQualified(fsPath).toString
+        val it = fs.listFiles(fsPath, true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        while (it.hasNext) {
+          val f = it.next()
+          SourceFingerprint.dataToken(root, f)
+            .foreach(t => buf += ((t, f.getPath.toString)))
+        }
+        buf.toSeq
+      }
+    // a persisted token's relative-path half (strip ":len:mtime")
+    def tokenRel(tok: String): String = {
+      val j = tok.lastIndexOf(':')
+      val i = if (j < 0) -1 else tok.lastIndexOf(':', j - 1)
+      if (i > 0) tok.substring(0, i) else tok
     }
 
     // Bootstrap: fold the pre-existing table history into the
@@ -238,54 +287,49 @@ object WheelIngest {
     // post-restart batches. With a persisted checkpoint whose recorded
     // fingerprint names a SUBSET of the files now on disk, merge the
     // persisted partials directly and aggregate ONLY the uncovered tail
-    // files; otherwise aggregate the whole table once. Job-commit
-    // markers (`_…`/`.…`) are excluded from the coverage diff — the
-    // parquet committer rewrites `_SUCCESS` on every append, and Spark
-    // never reads them as data.
-    val fsPath = new org.apache.hadoop.fs.Path(path)
-    val fs = fsPath.getFileSystem(hadoopConf)
-    def isDataName(name: String): Boolean =
-      !(name.startsWith("_") || name.startsWith("."))
-    val current: Seq[(String, String)] = // (fingerprint token, full path)
-      if (!fs.exists(fsPath)) Seq.empty
-      else {
-        val it = fs.listFiles(fsPath, true)
-        val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-        while (it.hasNext) {
-          val f = it.next()
-          if (isDataName(f.getPath.getName))
-            buf += ((s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}",
-              f.getPath.toString))
-        }
-        buf.toSeq
-      }
+    // files; otherwise — including a checkpoint that proves coverage
+    // but fails to READ (torn slots parquet) — aggregate the whole
+    // table once. The fast path can never trade correctness.
+    val current = listTokens()
+    val currentTokens = current.map(_._1).toSet
+    // every bootstrap file ends up folded (persisted-covered or tail
+    // scan, or the full aggregation) — all of them are covered
+    currentTokens.foreach(coveredTokens.add)
     if (current.nonEmpty) {
+      var report = BootstrapReport(0, Seq.empty)
+      def aggregate(src: DataFrame): Unit =
+        mergeRows(RollupBuilder.minuteRollupMulti(
+          RollupBuilder.normalizeTs(src, tsCol), tsCol, valueCols)
+          .select(partialCols.head, partialCols.tail: _*).collect())
       val covered: Set[String] = persistDir
         .flatMap(d => PersistentWheel.peek(spark, d))
         .filter(m => m.kind == PersistentWheel.SumKind &&
           m.tsCol == tsCol && m.valueCols == valueCols)
         .map(_.sourceFingerprint.split('|').toSet.filter(t =>
-          t.nonEmpty && isDataName(t)))
+          SourceFingerprint.isDataToken(tokenRel(t))))
         .getOrElse(Set.empty)
-      val currentTokens = current.map(_._1).toSet
-      def aggregate(src: DataFrame): Unit =
-        mergeRows(RollupBuilder.minuteRollupMulti(
-          RollupBuilder.normalizeTs(src, tsCol), tsCol, valueCols)
-          .select(partialCols.head, partialCols.tail: _*).collect())
-      if (covered.nonEmpty && covered.subsetOf(currentTokens)) {
-        val (_, persisted) = PersistentWheel.loadPartials(spark, persistDir.get)
-        mergeRows(persisted
-          .select(partialCols.head, partialCols.tail: _*).collect())
-        val tail = current.collect { case (tok, p) if !covered(tok) => p }
-        if (tail.nonEmpty) aggregate(spark.read.parquet(tail: _*))
-        lastBootstrap = Some(BootstrapReport(covered.size, tail))
-      } else {
-        aggregate(spark.read.parquet(path))
-        lastBootstrap = Some(BootstrapReport(0, current.map(_._2)))
+      // torn checkpoints throw from loadPartials — collect inside the
+      // Try so a failure leaves the accumulator untouched for the
+      // full-aggregation fallback
+      val persistedRows: Option[Array[Row]] =
+        if (covered.nonEmpty && covered.subsetOf(currentTokens))
+          scala.util.Try(
+            PersistentWheel.loadPartials(spark, persistDir.get)._2
+              .select(partialCols.head, partialCols.tail: _*).collect()).toOption
+        else None
+      persistedRows match {
+        case Some(rows) =>
+          mergeRows(rows)
+          val tail = current.collect { case (tok, p) if !covered(tok) => p }
+          if (tail.nonEmpty) aggregate(spark.read.parquet(tail: _*))
+          report = BootstrapReport(covered.size, tail)
+        case None =>
+          aggregate(spark.read.parquet(path))
+          report = BootstrapReport(0, current.map(_._2))
       }
       // keyed family: same coverage diff against ITS sidecar (nested
-      // under the checkpoint dir) — tail-only when provably covered,
-      // full |keys| x minutes aggregation otherwise
+      // under the checkpoint dir) — tail-only when provably covered
+      // AND readable, full |keys| × minutes aggregation otherwise
       keyCol.foreach { k =>
         val keyedDir = persistDir.map(d => s"$d/keyed")
         val kCovered: Set[String] = keyedDir
@@ -293,28 +337,34 @@ object WheelIngest {
           .filter(m => m.kind == PersistentWheel.KeyedKind &&
             m.tsCol == tsCol && m.valueCols == Seq(k, keyedValue))
           .map(_.sourceFingerprint.split('|').toSet.filter(t =>
-            t.nonEmpty && isDataName(t)))
+            SourceFingerprint.isDataToken(tokenRel(t))))
           .getOrElse(Set.empty)
-        if (kCovered.nonEmpty && kCovered.subsetOf(currentTokens)) {
-          val (_, persisted) = PersistentWheel.loadPartialsKeyed(spark, keyedDir.get)
-          mergeKeyedRows(persisted
-            .select(k, "slot_ms", "sum_v", "cnt", "min_v", "max_v", "rows")
-            .collect())
-          val tail = current.collect { case (tok, p) if !kCovered(tok) => p }
-          if (tail.nonEmpty)
-            mergeKeyedRows(keyedPartials(spark.read.parquet(tail: _*)))
-          lastBootstrap = lastBootstrap.map(_.copy(
-            keyedCoveredFiles = kCovered.size, keyedTailFiles = tail))
-        } else {
-          mergeKeyedRows(keyedPartials(spark.read.parquet(path)))
-          lastBootstrap = lastBootstrap.map(_.copy(
-            keyedCoveredFiles = 0, keyedTailFiles = current.map(_._2)))
+        val kPersisted: Option[Array[Row]] =
+          if (kCovered.nonEmpty && kCovered.subsetOf(currentTokens))
+            scala.util.Try(
+              PersistentWheel.loadPartialsKeyed(spark, keyedDir.get)._2
+                .select(k, "slot_ms", "sum_v", "cnt", "min_v", "max_v", "rows")
+                .collect()).toOption
+          else None
+        kPersisted match {
+          case Some(rows) =>
+            mergeKeyedRows(rows)
+            val tail = current.collect { case (tok, p) if !kCovered(tok) => p }
+            if (tail.nonEmpty)
+              mergeKeyedRows(keyedPartials(spark.read.parquet(tail: _*)))
+            report = report.copy(
+              keyedCoveredFiles = kCovered.size, keyedTailFiles = tail)
+          case None =>
+            mergeKeyedRows(keyedPartials(spark.read.parquet(path)))
+            report = report.copy(
+              keyedCoveredFiles = 0, keyedTailFiles = current.map(_._2))
         }
       }
+      bootstraps.put(path, report)
       refresh()
       refreshKeyed()
       persistAccumulator()
-    } else lastBootstrap = Some(BootstrapReport(0, Seq.empty))
+    } else bootstraps.put(path, BootstrapReport(0, Seq.empty))
 
     stream.writeStream
       .option("checkpointLocation", checkpoint)
@@ -322,8 +372,13 @@ object WheelIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.persist()
         try {
+          // listing delta around the append attributes the files this
+          // batch's write created — those, and only those, join the
+          // covered set once the batch is merged below
+          val before = listTokens().map(_._1).toSet
           // (1) durable first: the table is the source of truth
           batch.write.mode("append").parquet(path)
+          val delta = listTokens().map(_._1).toSet -- before
           // (2) fold the batch's partials (aggregation of the BATCH only)
           if (batchId > lastMergedBatch) {
             mergeRows(RollupBuilder.minuteRollupMulti(
@@ -331,9 +386,10 @@ object WheelIngest {
               .select(partialCols.head, partialCols.tail: _*).collect())
             keyCol.foreach(_ => mergeKeyedRows(keyedPartials(batch)))
             lastMergedBatch = batchId
+            delta.foreach(coveredTokens.add)
           }
-          // (3) swap in the rebuilt index, fingerprinting the files as
-          // committed — queries planned from here fold WITH this batch
+          // (3) swap in the rebuilt index, stamped with the covered
+          // set — queries planned from here fold WITH this batch
           refresh()
           refreshKeyed()
           // (4) checkpoint the partials (O(slots), time-bounded): the

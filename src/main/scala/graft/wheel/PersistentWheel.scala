@@ -40,10 +40,18 @@ object PersistentWheel {
     * `sourcePath` (round 9) records WHICH source the fingerprint was
     * taken of, making the dir self-describing for [[inventory]]/[[gc]];
     * empty on sidecars written before the field existed (those are kept
-    * by gc — no recorded source to judge staleness against). */
+    * by gc — no recorded source to judge staleness against).
+    * `slotsFingerprint` (round 10, ADVICE r9) binds the sidecar to the
+    * exact slots parquet it was written with: [[saveSlots]] overwrites
+    * the slots first and the sidecar second, so a crash between the two
+    * leaves NEW slots under the PREVIOUS sidecar — without the binding,
+    * a restart would merge those partials AND re-aggregate the same
+    * files as tail, double-counting. [[loadSlots]] validates it and
+    * fails loudly on mismatch (consumers fall back to a full rebuild);
+    * empty on pre-round-10 sidecars (validation skipped). */
   final case class Meta(version: Int, kind: String, tsCol: String,
       valueCols: Seq[String], sourceFingerprint: String,
-      sourcePath: String = "")
+      sourcePath: String = "", slotsFingerprint: String = "")
 
   private val Version = 1
   private val MetaFile = "meta.graft"
@@ -84,8 +92,14 @@ object PersistentWheel {
       "column names must not contain ','")
     // time-bounded cardinality: one file keeps the load a single read
     slots.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/$SlotsDir")
+    // fingerprint the slots JUST written and bind the sidecar to them:
+    // a crash before the sidecar lands leaves old-meta + new-slots,
+    // which loadSlots then rejects instead of silently double-counting
+    val slotsFp = SourceFingerprint.of(
+      s"$indexDir/$SlotsDir", spark.sessionState.newHadoopConf())
     writeMeta(spark, indexDir,
-      Meta(Version, kind, tsCol, valueCols, sourceFingerprint, sourcePath))
+      Meta(Version, kind, tsCol, valueCols, sourceFingerprint, sourcePath,
+        slotsFp))
   }
 
   /** Generic restore: validate version + `kind`, then hand back the
@@ -98,6 +112,14 @@ object PersistentWheel {
       s"persisted wheel at $indexDir has version ${meta.version}; this build reads $Version")
     require(meta.kind == kind,
       s"persisted wheel at $indexDir is a '${meta.kind}' wheel, not '$kind'")
+    if (meta.slotsFingerprint.nonEmpty) {
+      val now = SourceFingerprint.of(
+        s"$indexDir/$SlotsDir", spark.sessionState.newHadoopConf())
+      require(now == meta.slotsFingerprint,
+        s"persisted wheel at $indexDir is torn: the slots parquet does not " +
+          "match the sidecar's recorded slots fingerprint (crash between " +
+          "slots overwrite and sidecar write?) — rebuild from source")
+    }
     (meta, spark.read.parquet(s"$indexDir/$SlotsDir"))
   }
 
@@ -327,6 +349,7 @@ object PersistentWheel {
         s"tsCol=${meta.tsCol}\n" +
         s"valueCols=${meta.valueCols.mkString(",")}\n" +
         s"sourcePath=${meta.sourcePath}\n" +
+        s"slotsFingerprint=${meta.slotsFingerprint}\n" +
         s"fingerprint=${meta.sourceFingerprint}\n").getBytes(UTF_8))
     finally out.close()
   }
@@ -347,10 +370,12 @@ object PersistentWheel {
       val i = line.indexOf('=')
       line.substring(0, i) -> line.substring(i + 1)
     }.toMap
-    // pre-kind / pre-sourcePath sidecars (written before those fields
-    // existed) default rather than throw so old saved dirs keep loading
+    // pre-kind / pre-sourcePath / pre-slotsFingerprint sidecars (written
+    // before those fields existed) default rather than throw so old
+    // saved dirs keep loading
     Meta(fields("version").toInt, fields.getOrElse("kind", SumKind),
       fields("tsCol"), fields("valueCols").split(",").toSeq,
-      fields("fingerprint"), fields.getOrElse("sourcePath", ""))
+      fields("fingerprint"), fields.getOrElse("sourcePath", ""),
+      fields.getOrElse("slotsFingerprint", ""))
   }
 }

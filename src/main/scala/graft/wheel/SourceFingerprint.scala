@@ -4,7 +4,20 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 
 /** Source-data fingerprint shared by every index-staleness check:
-  * sorted `name:length:mtime` of each file under a path, '|'-joined.
+  * sorted `relativePath:length:mtime` of each DATA file under a path,
+  * '|'-joined.
+  *
+  * Tokens carry the path RELATIVE to the fingerprinted root (not just
+  * the basename), so two files in different subdirectories of a
+  * partitioned layout with equal name/length/mtime never collapse to
+  * one token — a collapse would let [[graft.streaming.WheelIngest]]'s
+  * restart diff silently drop one of them from both the covered set
+  * and the tail. Job-commit markers (any path segment starting with
+  * `_` or `.`: `_SUCCESS`, `_temporary/…`, hidden files) are excluded:
+  * Spark never reads them as data, the parquet committer rewrites
+  * `_SUCCESS` on every append, and any real data change always touches
+  * data tokens — so excluding markers makes the fingerprint stable
+  * across marker churn without weakening the staleness check.
   *
   * One format, three consumers — in-memory registrations
   * ([[graft.plans.WheelAcceleration]]) compare it wholesale before
@@ -15,6 +28,32 @@ import org.apache.hadoop.fs.Path
   * share it without a dependency cycle. */
 object SourceFingerprint {
 
+  /** True when every segment of the relative path names a data
+    * file/dir (no `_`/`.` prefix) — the same files Spark's readers
+    * consider data. */
+  def isDataToken(relPath: String): Boolean =
+    relPath.nonEmpty &&
+      !relPath.split('/').exists(s => s.startsWith("_") || s.startsWith("."))
+
+  /** The path of `f` relative to the qualified root (basename when `f`
+    * IS the root — fingerprinting a single file). */
+  def relPath(rootQualified: String, f: org.apache.hadoop.fs.FileStatus): String = {
+    val s = f.getPath.toString
+    if (s.startsWith(rootQualified + "/")) s.substring(rootQualified.length + 1)
+    else f.getPath.getName
+  }
+
+  /** The `relativePath:length:mtime` token for a listed file, or None
+    * for a commit marker; shared with
+    * [[graft.streaming.WheelIngest]]'s own listing so its coverage
+    * diff speaks the same dialect. */
+  def dataToken(rootQualified: String,
+      f: org.apache.hadoop.fs.FileStatus): Option[String] = {
+    val rel = relPath(rootQualified, f)
+    if (isDataToken(rel)) Some(s"$rel:${f.getLen}:${f.getModificationTime}")
+    else None
+  }
+
   /** "absent" when the path does not exist — never equal to any real
     * listing, so staleness checks fail closed. */
   def of(path: String, conf: Configuration): String = {
@@ -22,12 +61,10 @@ object SourceFingerprint {
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) "absent"
     else {
+      val root = fs.makeQualified(p).toString
       val it = fs.listFiles(p, true)
       val parts = scala.collection.mutable.ArrayBuffer.empty[String]
-      while (it.hasNext) {
-        val f = it.next()
-        parts += s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}"
-      }
+      while (it.hasNext) dataToken(root, it.next()).foreach(parts += _)
       parts.sorted.mkString("|")
     }
   }

@@ -581,17 +581,84 @@ class WheelAccelerationSpec extends AnyFunSuite {
         "FROM events_accel WHERE ts >= '2024-01-05' AND ts < '2024-01-06' " +
         "GROUP BY 1, 2 ORDER BY 1, 2")
     assert(h4)
-    // sliding windows expand rows via Expand — must NOT fold, still correct
-    val (h5, _) = run(
+    // sliding windows fold through the Expand matcher (round 10)
+    val (h5, r5) = run(
       "SELECT window(ts, '1 hour', '30 minutes') AS w, COUNT(*) AS n " +
         "FROM events_accel WHERE ts >= '2024-01-05' AND ts < '2024-01-06' " +
         "GROUP BY 1 ORDER BY 1")
-    assert(!h5)
+    assert(h5 && r5.nonEmpty)
     // sub-minute window width has no wheel grid — must NOT fold
     val (h6, _) = run(
       "SELECT window(ts, '90 seconds') AS w, COUNT(*) AS n FROM events_accel " +
         "WHERE ts >= '2024-01-05' AND ts < '2024-01-06' GROUP BY 1 ORDER BY 1")
     assert(!h6)
+  }
+
+  test("sliding window() SQL folds: mixed aggregates, offsets, and every bail shape (round 10)") {
+    register()
+    events.createOrReplaceTempView("events_accel")
+    def run(sql: String): (Boolean, Seq[String]) = {
+      val df = spark.sql(sql)
+      val hit = df.queryExecution.optimizedPlan.collect {
+        case l: LocalRelation => l
+      }.nonEmpty
+      val got = df.collect().map(_.toString).toSeq
+      WheelAcceleration.clear()
+      val want = spark.sql(sql).collect().map(_.toString).toSeq
+      register()
+      assert(got == want, sql)
+      (hit, got)
+    }
+    // the headline shape: 1h windows sliding by 1 minute, full agg mix
+    val (s1, r1) = run(
+      "SELECT window.start AS ws, window.end AS we, ROUND(SUM(value), 2) AS s, " +
+        "ROUND(AVG(value), 4) AS a, ROUND(MIN(value), 4) AS mn, " +
+        "ROUND(MAX(value), 4) AS mx, COUNT(*) AS n " +
+        "FROM events_accel WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' " +
+        "AND ts < TIMESTAMP '2024-01-05 06:00:00' " +
+        "GROUP BY window(ts, '1 hour', '1 minute') ORDER BY 1")
+    assert(s1 && r1.nonEmpty)
+    // range edges mid-window: the first/last windows clip to [a, b)
+    // exactly like the scan's pre-Expand filter
+    val (s2, r2) = run(
+      "SELECT window(ts, '30 minutes', '10 minutes') AS w, " +
+        "ROUND(SUM(value), 2) AS s, COUNT(*) AS n " +
+        "FROM events_accel WHERE ts >= TIMESTAMP '2024-01-05 00:07:00' " +
+        "AND ts < TIMESTAMP '2024-01-05 02:03:00' GROUP BY 1 ORDER BY 1")
+    assert(s2 && r2.nonEmpty)
+    // a startTime offset shifts the slide grid; still folds
+    val (s3, r3) = run(
+      "SELECT window(ts, '1 hour', '15 minutes', '5 minutes') AS w, COUNT(*) AS n " +
+        "FROM events_accel WHERE ts >= '2024-01-05' AND ts < '2024-01-06' " +
+        "GROUP BY 1 ORDER BY 1")
+    assert(s3 && r3.nonEmpty)
+    // full span: no range filter at all, bounds default to the index
+    val (s4, r4) = run(
+      "SELECT window(ts, '2 hours', '1 hour') AS w, ROUND(SUM(value), 2) AS s " +
+        "FROM events_accel GROUP BY 1 ORDER BY 1")
+    assert(s4 && r4.nonEmpty)
+    // BAIL: slide does not divide size — TimeWindowing adds the
+    // membership filter above the Expand; the enumeration contract
+    // fails and the scan answers (still correct)
+    val (b1, _) = run(
+      "SELECT window(ts, '25 minutes', '10 minutes') AS w, COUNT(*) AS n " +
+        "FROM events_accel WHERE ts >= '2024-01-05' AND ts < '2024-01-06' " +
+        "GROUP BY 1 ORDER BY 1")
+    assert(!b1)
+    // BAIL: sub-minute range edges — an edge row belongs to MULTIPLE
+    // windows, so no hybrid is possible; keep the scan
+    val (b2, _) = run(
+      "SELECT window(ts, '1 hour', '20 minutes') AS w, COUNT(*) AS n " +
+        "FROM events_accel WHERE unix_millis(ts) >= " +
+        s"${Q.Jan1 + 30 * 1000} AND unix_millis(ts) < ${Q.Jan1 + 86400000} " +
+        "GROUP BY 1 ORDER BY 1")
+    assert(!b2)
+    // BAIL: sub-minute slide has no wheel grid
+    val (b3, _) = run(
+      "SELECT window(ts, '10 minutes', '30 seconds') AS w, COUNT(*) AS n " +
+        "FROM events_accel WHERE ts >= '2024-01-05' AND ts < '2024-01-06' " +
+        "GROUP BY 1 ORDER BY 1")
+    assert(!b3)
   }
 
   test("window() startTime offsets and date_trunc('week') fold on the offset grid (round 7)") {

@@ -88,6 +88,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("FileScan"), p)
   }
 
+  test("q_wheel_sliding_sql folds the sliding window() Expand to a LocalTableScan (round 10)") {
+    val p = plan("q_wheel_sliding_sql")
+    assert(p.contains("LocalTableScan"), p)
+    assert(!p.contains("FileScan"), p)
+    // the Expand itself must be gone — the fold replaced the whole
+    // row-multiplying subtree, not just its leaf
+    assert(!p.contains("Expand"), p)
+  }
+
   test("q_subquery family decorrelates: no cartesian anywhere") {
     Seq("q_subquery_scalar", "q_subquery_in", "q_subquery_exists", "q_subquery_corr")
       .foreach { q =>

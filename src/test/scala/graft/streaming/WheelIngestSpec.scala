@@ -196,7 +196,7 @@ class WheelIngestSpec extends AnyFunSuite {
       fixture("persist/ckpt2"), persistDir = Some(persistDir))
     try {
       // the bootstrap proved coverage and read ONLY the downtime files
-      val report = WheelIngest.lastBootstrap.get
+      val report = WheelIngest.lastBootstrap(path).get
       assert(report.coveredFiles > 0, report)
       assert(report.tailFiles.toSet == tailFiles, report)
 
@@ -227,7 +227,7 @@ class WheelIngestSpec extends AnyFunSuite {
       fixture("persist/ckpt3"), valueCols = Seq("value"),
       persistDir = Some(fixture("persist/absent-index")))
     try {
-      val report = WheelIngest.lastBootstrap.get
+      val report = WheelIngest.lastBootstrap(path).get
       assert(report.coveredFiles == 0, report)
       assert(report.tailFiles.toSet == listDataFiles(path), report)
       val boot = rangeSql(path, t0, t0 + 3 * Min)
@@ -373,7 +373,7 @@ class WheelIngestSpec extends AnyFunSuite {
       path, fixture("keyed-persist/ckpt2"),
       persistDir = Some(persistDir), keyCol = Some("event_type"))
     try {
-      val report = WheelIngest.lastBootstrap.get
+      val report = WheelIngest.lastBootstrap(path).get
       assert(report.coveredFiles > 0 && report.keyedCoveredFiles > 0, report)
       assert(report.tailFiles.toSet == tailFiles, report)
       assert(report.keyedTailFiles.toSet == tailFiles, report)
@@ -389,6 +389,97 @@ class WheelIngestSpec extends AnyFunSuite {
         (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ==
         Seq(("click", t0, 1.0), ("click", t0 + 2 * Min, 4.0),
           ("view", t0 + Min, 2.0)))
+    } finally {
+      q2.stop()
+      WheelAcceleration.unregister(path)
+    }
+  }
+
+  test("a TORN ingest checkpoint falls back to the full-history aggregation (round 10)") {
+    import spark.implicits._
+    System.setProperty("graft.wheel.fingerprint.ttlMs", "0")
+    val path = fixture("torn/events.parquet")
+    val persistDir = fixture("torn/index")
+    val t0 = Q.Jan1
+
+    implicit val sc = spark.sqlContext
+    val mem1 = MemoryStream[(java.sql.Timestamp, Double)]
+    val q1 = WheelIngest.start(mem1.toDF().toDF("ts", "value"), path,
+      fixture("torn/ckpt1"), persistDir = Some(persistDir))
+    try {
+      mem1.addData((new java.sql.Timestamp(t0), 1.0),
+        (new java.sql.Timestamp(t0 + Min), 2.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    WheelAcceleration.unregister(path)
+
+    // tear the checkpoint: wipe the slots parquet but leave the sidecar
+    // (the crash window between slots overwrite and sidecar write) —
+    // the coverage PROOF still validates, but the partials cannot load
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(s"$persistDir/slots.parquet"))
+
+    val mem2 = MemoryStream[(java.sql.Timestamp, Double)]
+    val q2 = WheelIngest.start(mem2.toDF().toDF("ts", "value"), path,
+      fixture("torn/ckpt2"), persistDir = Some(persistDir))
+    try {
+      // the bootstrap fell back: nothing counted as covered, the whole
+      // table re-aggregated — and the served answer is still right
+      val report = WheelIngest.lastBootstrap(path).get
+      assert(report.coveredFiles == 0, report)
+      assert(report.tailFiles.toSet == listDataFiles(path), report)
+      val boot = rangeSql(path, t0, t0 + 3 * Min)
+      assert(folded(boot))
+      val r = boot.collect()(0)
+      assert(r.getDouble(0) == 3.0 && r.getLong(1) == 2L)
+    } finally {
+      q2.stop()
+      WheelAcceleration.unregister(path)
+    }
+  }
+
+  test("a file appended by a FOREIGN writer mid-ingest is never claimed covered (round 10)") {
+    import spark.implicits._
+    System.setProperty("graft.wheel.fingerprint.ttlMs", "0")
+    val path = fixture("foreign/events.parquet")
+    val persistDir = fixture("foreign/index")
+    val t0 = Q.Jan1
+
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Double)]
+    val q = WheelIngest.start(mem.toDF().toDF("ts", "value"), path,
+      fixture("foreign/ckpt"), persistDir = Some(persistDir))
+    try {
+      mem.addData((new java.sql.Timestamp(t0), 1.0))
+      q.processAllAvailable()
+      // a foreign writer appends rows the accumulator never folded
+      Seq((new java.sql.Timestamp(t0 + Min), 100.0))
+        .toDF("ts", "value").write.mode("append").parquet(path)
+
+      // the live registration's fingerprint is the COVERED set, which
+      // excludes the foreign file → freshness fails → scan path → the
+      // answer INCLUDES the foreign rows (correct, not fast)
+      val df = rangeSql(path, t0, t0 + 3 * Min)
+      assert(!folded(df), df.queryExecution.optimizedPlan.treeString)
+      val r = df.collect()(0)
+      assert(r.getDouble(0) == 101.0 && r.getLong(1) == 2L)
+    } finally {
+      q.stop()
+      WheelAcceleration.unregister(path)
+    }
+
+    // restart: the persisted fingerprint likewise excludes the foreign
+    // file, so it lands in the TAIL and is aggregated — never skipped
+    val mem2 = MemoryStream[(java.sql.Timestamp, Double)]
+    val q2 = WheelIngest.start(mem2.toDF().toDF("ts", "value"), path,
+      fixture("foreign/ckpt2"), persistDir = Some(persistDir))
+    try {
+      val report = WheelIngest.lastBootstrap(path).get
+      assert(report.coveredFiles > 0 && report.tailFiles.nonEmpty, report)
+      val boot = rangeSql(path, t0, t0 + 3 * Min)
+      assert(folded(boot), boot.queryExecution.optimizedPlan.treeString)
+      val r = boot.collect()(0)
+      assert(r.getDouble(0) == 101.0 && r.getLong(1) == 2L)
     } finally {
       q2.stop()
       WheelAcceleration.unregister(path)

@@ -73,10 +73,13 @@ class PersistentWheelSpec extends AnyFunSuite {
     val first = q()
     assert(folded(first) && first.collect()(0).getDouble(0) == 4.0)
 
-    // tamper the persisted partials (double every sum; counts untouched);
-    // the source and its fingerprint are unchanged, so the next
-    // registration MUST serve the tampered disk copy — the only way that
-    // answer appears is the load path, never a rebuild
+    // tamper the persisted partials (double every sum; counts untouched)
+    // through savePartials, so the sidecar's slots binding stays
+    // CONSISTENT (a raw slots overwrite is a torn save and correctly
+    // rebuilds — covered by its own test below); the source and its
+    // fingerprint are unchanged, so the next registration MUST serve
+    // the tampered disk copy — the only way that answer appears is the
+    // load path, never a rebuild
     val slots = spark.read.parquet(s"$idxDir/slots.parquet").collect()
     val schema = spark.read.parquet(s"$idxDir/slots.parquet").schema
     val doubled = slots.map { r =>
@@ -85,9 +88,11 @@ class PersistentWheelSpec extends AnyFunSuite {
         case (v, _) => v
       })
     }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(doubled.toIndexedSeq), schema)
-      .coalesce(1).write.mode("overwrite").parquet(s"$idxDir/slots.parquet")
+    val meta0 = PersistentWheel.peek(spark, idxDir).get
+    PersistentWheel.savePartials(spark, idxDir,
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(doubled.toIndexedSeq), schema),
+      meta0.tsCol, meta0.valueCols, meta0.sourceFingerprint, meta0.sourcePath)
 
     WheelAcceleration.clear()
     WheelAcceleration.registerPersisted(spark, src, idxDir, spark.read.parquet(src))
@@ -95,6 +100,51 @@ class PersistentWheelSpec extends AnyFunSuite {
     assert(folded(served))
     assert(served.collect()(0).getDouble(0) == 8.0, "must come from the disk copy")
     assert(served.collect()(0).getLong(1) == 2L)
+    WheelAcceleration.clear()
+  }
+
+  test("a TORN save (slots rewritten, sidecar stale) is rejected and rebuilt (round 10)") {
+    import spark.implicits._
+    System.setProperty("graft.wheel.fingerprint.ttlMs", "0")
+    val src = fixtureDir("torn/events.parquet")
+    val idxDir = fixtureDir("torn/index")
+    Seq((new java.sql.Timestamp(Q.Jan1), 1.5),
+      (new java.sql.Timestamp(Q.Jan1 + 60000L), 2.5))
+      .toDF("ts", "value").write.mode("overwrite").parquet(src)
+    WheelAcceleration.registerPersisted(spark, src, idxDir, spark.read.parquet(src))
+    WheelAcceleration.clear()
+
+    // simulate the crash window: the slots parquet is overwritten (with
+    // doubled sums) but the sidecar never lands — the sidecar's
+    // slotsFingerprint still describes the PREVIOUS slots
+    val slotsPath = s"$idxDir/slots.parquet"
+    val slots = spark.read.parquet(slotsPath).collect()
+    val schema = spark.read.parquet(slotsPath).schema
+    val doubled = slots.map { r =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq.zipWithIndex.map {
+        case (v: Double, i) if schema(i).name == "sum_value" => v * 2
+        case (v, _) => v
+      })
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(doubled.toIndexedSeq), schema)
+      .coalesce(1).write.mode("overwrite").parquet(slotsPath)
+
+    // a direct load fails loudly instead of serving the torn partials
+    intercept[IllegalArgumentException] {
+      PersistentWheel.load(spark, idxDir)
+    }
+
+    // the registration path falls back to a source rebuild: the answer
+    // is the TRUE sum (4.0), never the torn disk copy's 8.0
+    WheelAcceleration.registerPersisted(spark, src, idxDir, spark.read.parquet(src))
+    spark.read.parquet(src).createOrReplaceTempView("ev_torn")
+    val served = spark.sql("SELECT SUM(value) AS s FROM ev_torn " +
+      s"WHERE unix_millis(ts) >= ${Q.Jan1} AND unix_millis(ts) < ${Q.Jan1 + 120000L}")
+    assert(served.collect()(0).getDouble(0) == 4.0, "must rebuild, not serve torn slots")
+    // ...and the rebuild re-saved a CONSISTENT copy
+    assert(PersistentWheel.load(spark, idxDir)._2("value")
+      .query(Q.Jan1, Q.Jan1 + 120000L).sum == 4.0)
     WheelAcceleration.clear()
   }
 
@@ -320,9 +370,10 @@ class PersistentWheelSpec extends AnyFunSuite {
     assert(first.collect().map(r => (r.getString(0), r.getDouble(2))).toSeq ==
       Seq(("a", 1.5), ("b", 2.5)))
 
-    // tamper the persisted keyed partials (double every sum); source
-    // unchanged -> the next registration MUST serve the tampered disk
-    // copy — only the load path can produce that answer
+    // tamper the persisted keyed partials (double every sum) through
+    // savePartialsKeyed — consistent sidecar binding, see the unkeyed
+    // sibling; source unchanged -> the next registration MUST serve
+    // the tampered disk copy — only the load path can produce that
     val slotsPath = s"$idxDir/slots.parquet"
     val slots = spark.read.parquet(slotsPath).collect()
     val schema = spark.read.parquet(slotsPath).schema
@@ -332,9 +383,12 @@ class PersistentWheelSpec extends AnyFunSuite {
         case (v, _) => v
       })
     }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(doubled.toIndexedSeq), schema)
-      .coalesce(1).write.mode("overwrite").parquet(slotsPath)
+    val kMeta0 = PersistentWheel.peek(spark, idxDir).get
+    PersistentWheel.savePartialsKeyed(spark, idxDir,
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(doubled.toIndexedSeq), schema),
+      kMeta0.tsCol, kMeta0.valueCols.head, kMeta0.valueCols(1),
+      kMeta0.sourceFingerprint, kMeta0.sourcePath)
 
     WheelAcceleration.clear()
     WheelAcceleration.registerPersistedKeyed(
