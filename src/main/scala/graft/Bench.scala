@@ -292,9 +292,27 @@ object Bench {
       }.min
     val mmBuild1 = minBuildSec(Seq("value"))
     val mmBuild3 = minBuildSec(Seq("value", "v2", "v3"))
+    // the NOISE-FREE invariant (round 10, VERDICT r9 #4): job count is
+    // a scheduler fact — buildMulti(3) runs the SAME number of jobs as
+    // one single-measure build (one shared aggregation), while three
+    // separate builds run 3x. Identical integers on every run, immune
+    // to CPU steal; the wall-clock ratio above stays reported but is
+    // stated as a range in SURVEY.
+    val mmJobs1 = graft.wheel.JobMetrics.measure(spark) {
+      graft.wheel.WheelIndex.buildMulti(ev3, "ts", Seq("value"))
+    }
+    val mmJobsMulti = graft.wheel.JobMetrics.measure(spark) {
+      graft.wheel.WheelIndex.buildMulti(ev3, "ts", Seq("value", "v2", "v3"))
+    }
+    val mmJobsSingles = graft.wheel.JobMetrics.measure(spark) {
+      Seq("value", "v2", "v3").foreach(c =>
+        graft.wheel.WheelIndex.build(ev3, "ts", c))
+    }
     val multiMeasureBlock =
       f"""{"build_1_sec":$mmBuild1%.3f,"build_3_sec":$mmBuild3%.3f,""" +
-        f""""three_over_one_ratio":${mmBuild3 / mmBuild1}%.2f}"""
+        f""""three_over_one_ratio":${mmBuild3 / mmBuild1}%.2f,""" +
+        s""""jobs_build_1":${mmJobs1.jobs},"jobs_build_multi3":${mmJobsMulti.jobs},""" +
+        s""""jobs_three_single_builds":${mmJobsSingles.jobs}}"""
 
     // PERSISTED-INDEX cost (round 7): a load fills the tier arrays from
     // the few-MB partials parquet with NO source scan, so it should cost

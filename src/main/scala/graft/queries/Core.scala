@@ -590,6 +590,30 @@ object Core {
            |""".stripMargin)
     }),
 
+    // KEYED MULTI-MEASURE fold (round 10, VERDICT r9 #5): GROUP BY
+    // (dimension, month-slot) aggregating a MIX of measures, folded
+    // from ONE KeyedWheelIndex.buildMulti pass (one keyedRollupMulti
+    // aggregation job indexes every listed measure per key — the keyed
+    // mirror of registerMulti). l_returnflag is a 3-value dimension, so
+    // |keys| x slots stays tiny; the range reuses the month query's
+    // non-aligned edges so both edge months clip.
+    "q_wheel_keyed_multi_sql" -> ((s, dir) => {
+      graft.plans.WheelAcceleration.registerKeyedMulti(
+        s, s"$dir/lineitem.parquet", t(s, dir, "lineitem"),
+        "l_returnflag", "l_shipdate", Seq("l_quantity", "l_tax"))
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_wheel")
+      s.sql(
+        """SELECT l_returnflag,
+          |unix_millis(CAST(date_trunc('month', l_shipdate) AS TIMESTAMP)) AS month_ms,
+          |ROUND(SUM(l_quantity), 2) AS sum_qty, ROUND(AVG(l_tax), 4) AS avg_tax,
+          |ROUND(MAX(l_quantity), 2) AS max_qty, COUNT(*) AS n
+          |FROM lineitem_wheel
+          |WHERE l_shipdate >= TIMESTAMP_NTZ '1994-02-15 00:00:00'
+          |AND l_shipdate < TIMESTAMP_NTZ '1996-05-10 00:00:00'
+          |GROUP BY 1, 2 ORDER BY 1, 2
+          |""".stripMargin)
+    }),
+
     // QUARTER-grid fold (round 9, VERDICT r8 #5): same CalendarGrid
     // machinery with a 3-month step (CalendarGrid(3)), exercised with a
     // different aggregate mix (SUM/MAX/COUNT) over the same one
@@ -694,6 +718,12 @@ object Core {
         "COUNT(*) AS n FROM lineitem " +
         s"WHERE epoch_ms(l_shipdate) >= $LiUStart AND epoch_ms(l_shipdate) < $LiUEnd " +
         "GROUP BY 1 ORDER BY 1"),
+    "q_wheel_keyed_multi_sql" ->
+      ("SELECT l_returnflag, epoch_ms(date_trunc('month', l_shipdate)) AS month_ms, " +
+        "ROUND(SUM(l_quantity), 2) AS sum_qty, ROUND(AVG(l_tax), 4) AS avg_tax, " +
+        "ROUND(MAX(l_quantity), 2) AS max_qty, COUNT(*) AS n FROM lineitem " +
+        s"WHERE epoch_ms(l_shipdate) >= $LiUStart AND epoch_ms(l_shipdate) < $LiUEnd " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
     "q_wheel_quarter_sql" ->
       ("SELECT epoch_ms(date_trunc('quarter', l_shipdate)) AS quarter_ms, " +
         "ROUND(SUM(l_tax), 2) AS sum_tax, ROUND(MAX(l_quantity), 2) AS max_qty, " +

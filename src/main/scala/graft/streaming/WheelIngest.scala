@@ -85,6 +85,26 @@ object WheelIngest {
   def lastBootstrap(path: String): Option[BootstrapReport] =
     Option(bootstraps.get(path))
 
+  /** Late-data accounting (round 10, VERDICT r9 #8): per-batch and
+    * cumulative counts of rows arriving BELOW the lateness horizon —
+    * `ts` in a minute slot older than `maxSeenSlot − latenessHorizonMs`
+    * as of the batch's start. The wheel merges such rows correctly by
+    * slot (late data is first-class, never dropped), but an operator
+    * watching skew wants to SEE it: a climbing `lateRows` means
+    * upstream is delivering history, and scan-path readers with their
+    * own watermarking may be dropping what the wheel kept. Computed
+    * from the batch's already-collected minute partials — no extra
+    * job, no `observe` pass over the raw rows. */
+  final case class IngestStats(batches: Long, rows: Long, lateRows: Long,
+      lastBatchRows: Long, lastBatchLateRows: Long, watermarkMs: Option[Long])
+
+  private val stats =
+    new java.util.concurrent.ConcurrentHashMap[String, IngestStats]()
+
+  /** The running late-data stats for `path`'s ingest (None before the
+    * first committed batch, or when `latenessHorizonMs` is unset). */
+  def ingestStats(path: String): Option[IngestStats] = Option(stats.get(path))
+
   /** Per-slot accumulator state: one (sum, cnt, min, max) block per
     * measure, plus the shared all-rows count. */
   private final case class Slot(sums: Array[Double], cnts: Array[Long],
@@ -97,26 +117,35 @@ object WheelIngest {
       rows + o.rows)
   }
 
-  /** `keyCol` (round 9) additionally maintains a live KEYED wheel over
-    * `valueCols.head`: each batch's keyed minute partials merge into a
-    * per-(key, slot) accumulator and refresh the keyed registration, so
-    * `GROUP BY (key, time-slot)` SQL over `path` folds live exactly
-    * like the unkeyed shapes. State is |keys| × minutes — the same
+  /** `keyCol` (round 9) additionally maintains live KEYED wheels over
+    * EVERY `valueCols` measure (N measures since round 10): each
+    * batch's keyed minute partials — one keyedRollupMulti aggregation
+    * shared by all measures — merge into a per-(key, slot) accumulator
+    * and refresh the keyed registration, so `GROUP BY (key, time-slot)`
+    * SQL over `path` folds live for any measure mix exactly like the
+    * unkeyed shapes. State is |keys| × minutes × measures — the same
     * dimension-bounded contract as the batch keyed index, enforced by
     * its build guard. With `persistDir` set the keyed family
     * checkpoints through its own sidecar NESTED under the checkpoint
-    * dir (`persistDir/keyed`), stamped with the same covered-file
-    * fingerprint, and restarts tail-only exactly like the unkeyed
-    * family (full |keys| × minutes re-aggregation only when coverage
-    * cannot be proven). */
+    * dir (`persistDir/keyed`, kind `keyedmulti`), stamped with the same
+    * covered-file fingerprint, and restarts tail-only exactly like the
+    * unkeyed family (full |keys| × minutes re-aggregation only when
+    * coverage cannot be proven). */
   def start(stream: DataFrame, path: String, checkpoint: String,
       tsCol: String = "ts",
       valueCols: Seq[String] = Seq("value"),
       persistDir: Option[String] = None,
-      keyCol: Option[String] = None): StreamingQuery = {
+      keyCol: Option[String] = None,
+      latenessHorizonMs: Option[Long] = None): StreamingQuery = {
     require(valueCols.nonEmpty, "need at least one measure column")
+    require(latenessHorizonMs.forall(_ > 0), "lateness horizon must be positive")
     val spark = stream.sparkSession
     val n = valueCols.size
+
+    // late-data accounting state: the newest minute slot the
+    // accumulator has seen (bootstrap included), advanced after every
+    // merge — the reference point the lateness horizon hangs off
+    @volatile var maxSeenSlotMs = Long.MinValue
 
     // one accumulator per ingest: minute slot -> per-measure blocks
     val acc = new java.util.concurrent.ConcurrentHashMap[Long, Slot]()
@@ -151,6 +180,7 @@ object WheelIngest {
         Array.tabulate(n)(i => r.getDouble(4 + 4 * i)),
         all)
       acc.merge(r.getLong(0), slot, (a, b) => a.merge(b))
+      if (r.getLong(0) > maxSeenSlotMs) maxSeenSlotMs = r.getLong(0)
     }
 
     def snapshotRows(): Array[Row] = {
@@ -177,19 +207,28 @@ object WheelIngest {
         Some(coveredFingerprint()))
     }
 
-    // live KEYED accumulator: (key, minute slot) -> single-measure block
-    final case class KSlot(sum: Double, cnt: Long, min: Double, max: Double,
-        rows: Long) {
-      def merge(o: KSlot): KSlot = KSlot(sum + o.sum, cnt + o.cnt,
-        math.min(min, o.min), math.max(max, o.max), rows + o.rows)
-    }
-    val keyedAcc = new java.util.concurrent.ConcurrentHashMap[(Any, Long), KSlot]()
-    val keyedValue = valueCols.head
+    // live KEYED accumulator (N measures since round 10): (key, minute
+    // slot) -> the same per-measure Slot blocks the unkeyed family uses
+    val keyedAcc = new java.util.concurrent.ConcurrentHashMap[(Any, Long), Slot]()
     val keyType = keyCol.map(k => stream.schema(k).dataType)
+    // keyedRollupMulti shape: key, slot_ms, blocks×measure, rows
+    val keyedPartialCols: Seq[String] = keyCol.toSeq.flatMap(k =>
+      k +: "slot_ms" +: valueCols.flatMap(c =>
+        Seq(s"sum_$c", s"cnt_$c", s"min_$c", s"max_$c")) :+ "rows")
+    val kfi: String => Int = keyedPartialCols.zipWithIndex.toMap
     def mergeKeyedRows(rows: Array[Row]): Unit = rows.foreach { r =>
-      // partials order: key, slot_ms, sum_v, cnt, min_v, max_v, rows
-      val slot = KSlot(r.getDouble(2), r.getLong(3), r.getDouble(4),
-        r.getDouble(5), r.getLong(6))
+      val all = r.getLong(kfi("rows"))
+      valueCols.zipWithIndex.foreach { case (c, i) =>
+        require(r.getLong(3 + 4 * i) == all,
+          s"measure column '$c' has NULLs in ingested batch (key ${r.get(0)}, " +
+            s"slot ${r.getLong(1)}); the wheel index requires a never-null measure")
+      }
+      val slot = Slot(
+        Array.tabulate(n)(i => r.getDouble(2 + 4 * i)),
+        Array.tabulate(n)(i => r.getLong(3 + 4 * i)),
+        Array.tabulate(n)(i => r.getDouble(4 + 4 * i)),
+        Array.tabulate(n)(i => r.getDouble(5 + 4 * i)),
+        all)
       keyedAcc.merge((r.get(0), r.getLong(1)), slot, (a, b) => a.merge(b))
     }
     def keyedSnapshotRows(): Array[Row] = {
@@ -198,21 +237,25 @@ object WheelIngest {
       while (it.hasNext) {
         val e = it.next()
         val ((key, slotMs), s) = (e.getKey, e.getValue)
-        buf += Row(key, slotMs, s.sum, s.cnt, s.min, s.max, s.rows)
+        val vals = Seq.tabulate(n)(i =>
+          Seq[Any](s.sums(i), s.cnts(i), s.mins(i), s.maxs(i))).flatten
+        buf += Row.fromSeq(key +: slotMs +: vals :+ s.rows)
       }
       buf.result()
     }
     def refreshKeyed(): Unit = keyCol.foreach { k =>
       if (!keyedAcc.isEmpty) {
-        val idx = KeyedWheelIndex.fromPartialRows(
-          keyedSnapshotRows(), k, keyType.get, keyedValue)
+        val wheels = KeyedWheelIndex.fromMultiPartialRows(
+          keyedSnapshotRows(), kfi, k, keyType.get, valueCols)
         WheelAcceleration.registerPrebuiltKeyed(
-          spark, path, k, tsCol, keyedValue, idx, Some(coveredFingerprint()))
+          spark, path, k, tsCol, wheels, Some(coveredFingerprint()))
       }
     }
     def keyedPartials(src: DataFrame): Array[Row] =
-      KeyedWheelIndex.partials(
-        RollupBuilder.normalizeTs(src, tsCol), keyCol.get, tsCol, keyedValue)
+      RollupBuilder.keyedRollupMulti(
+        RollupBuilder.normalizeTs(src, tsCol), keyCol.get, tsCol, valueCols,
+        graft.wheel.Tier.Minute)
+        .select(keyedPartialCols.head, keyedPartialCols.tail: _*)
         .collect()
 
     val hadoopConf = spark.sessionState.newHadoopConf()
@@ -238,21 +281,24 @@ object WheelIngest {
         PersistentWheel.savePartials(spark, d, df, tsCol, valueCols, fp, path)
       }
       // keyed family: its own index dir NESTED under the checkpoint
-      // (single-family sidecar contract), same fingerprint stamp
+      // (single-family sidecar contract), same fingerprint stamp; the
+      // payload is the N-measure keyedRollupMulti shape under its own
+      // sidecar kind (keyedmulti)
       keyCol.foreach { k =>
         if (!keyedAcc.isEmpty) {
-          val keyedSchema = StructType(Seq(
-            StructField(k, keyType.get, nullable = true),
-            StructField("slot_ms", LongType, nullable = false),
-            StructField("sum_v", DoubleType, nullable = false),
-            StructField("cnt", LongType, nullable = false),
-            StructField("min_v", DoubleType, nullable = false),
-            StructField("max_v", DoubleType, nullable = false),
-            StructField("rows", LongType, nullable = false)))
+          val keyedSchema = StructType(
+            StructField(k, keyType.get, nullable = true) +:
+              StructField("slot_ms", LongType, nullable = false) +:
+              valueCols.flatMap(c => Seq(
+                StructField(s"sum_$c", DoubleType, nullable = false),
+                StructField(s"cnt_$c", LongType, nullable = false),
+                StructField(s"min_$c", DoubleType, nullable = false),
+                StructField(s"max_$c", DoubleType, nullable = false))) :+
+              StructField("rows", LongType, nullable = false))
           val df = spark.createDataFrame(
             java.util.Arrays.asList(keyedSnapshotRows(): _*), keyedSchema)
-          PersistentWheel.savePartialsKeyed(spark, s"$d/keyed", df, tsCol,
-            k, keyedValue, fp, path)
+          PersistentWheel.savePartialsKeyedMulti(spark, s"$d/keyed", df, tsCol,
+            k, valueCols, fp, path)
         }
       }
     }
@@ -334,16 +380,16 @@ object WheelIngest {
         val keyedDir = persistDir.map(d => s"$d/keyed")
         val kCovered: Set[String] = keyedDir
           .flatMap(d => PersistentWheel.peek(spark, d))
-          .filter(m => m.kind == PersistentWheel.KeyedKind &&
-            m.tsCol == tsCol && m.valueCols == Seq(k, keyedValue))
+          .filter(m => m.kind == PersistentWheel.KeyedMultiKind &&
+            m.tsCol == tsCol && m.valueCols == k +: valueCols)
           .map(_.sourceFingerprint.split('|').toSet.filter(t =>
             SourceFingerprint.isDataToken(tokenRel(t))))
           .getOrElse(Set.empty)
         val kPersisted: Option[Array[Row]] =
           if (kCovered.nonEmpty && kCovered.subsetOf(currentTokens))
             scala.util.Try(
-              PersistentWheel.loadPartialsKeyed(spark, keyedDir.get)._2
-                .select(k, "slot_ms", "sum_v", "cnt", "min_v", "max_v", "rows")
+              PersistentWheel.loadPartialsKeyedMulti(spark, keyedDir.get)._2
+                .select(keyedPartialCols.head, keyedPartialCols.tail: _*)
                 .collect()).toOption
           else None
         kPersisted match {
@@ -381,9 +427,24 @@ object WheelIngest {
           val delta = listTokens().map(_._1).toSet -- before
           // (2) fold the batch's partials (aggregation of the BATCH only)
           if (batchId > lastMergedBatch) {
-            mergeRows(RollupBuilder.minuteRollupMulti(
+            val partials = RollupBuilder.minuteRollupMulti(
               RollupBuilder.normalizeTs(batch, tsCol), tsCol, valueCols)
-              .select(partialCols.head, partialCols.tail: _*).collect())
+              .select(partialCols.head, partialCols.tail: _*).collect()
+            // late-data accounting BEFORE the merge advances the max
+            // slot: rows below (maxSeenSlot − horizon) as of batch start
+            latenessHorizonMs.foreach { h =>
+              val wm = if (maxSeenSlotMs == Long.MinValue) None
+                else Some(maxSeenSlotMs - h)
+              val batchRows = partials.iterator.map(_.getLong(fi("rows"))).sum
+              val late = wm.map(w => partials.iterator
+                .filter(_.getLong(0) < w).map(_.getLong(fi("rows"))).sum)
+                .getOrElse(0L)
+              stats.compute(path, (_, old) =>
+                if (old == null) IngestStats(1L, batchRows, late, batchRows, late, wm)
+                else IngestStats(old.batches + 1, old.rows + batchRows,
+                  old.lateRows + late, batchRows, late, wm))
+            }
+            mergeRows(partials)
             keyCol.foreach(_ => mergeKeyedRows(keyedPartials(batch)))
             lastMergedBatch = batchId
             delta.foreach(coveredTokens.add)

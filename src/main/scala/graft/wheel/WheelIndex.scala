@@ -148,6 +148,42 @@ final class WheelIndex private (
     } else query(startMs, endMs).sum
   }
 
+  /** True while the minute tier retains the FULL span — the soundness
+    * precondition for reading minute state directly ([[minuteEntries]]/
+    * [[minuteAt]]): KeepN eviction zeroes old minutes that coarser
+    * tiers still hold, which must not read as empty. */
+  private[graft] def minuteTierComplete: Boolean =
+    retainedStartMs(Tier.Minute) == baseMs
+
+  /** The retained minute partial at `slotMs` (identity when empty or
+    * outside the span) — O(1) array read. */
+  private[graft] def minuteAt(slotMs: Long): AllAggregate = {
+    val b = tiers(Tier.Minute)
+    val i = ((slotMs - baseMs) / Tier.Minute.ms).toInt
+    if (slotMs < baseMs || i >= b.count.length || b.count(i) == 0L) AllAggregate.identity
+    else AllAggregate(b.sum(i), b.count(i), b.min(i), b.max(i))
+  }
+
+  /** Non-empty minute slots of `[a, b)` with their partials — the feed
+    * for the rewrite's ABOVE-CAP distributed fallback
+    * ([[graft.plans.WheelSumRewrite]]): instead of folding every
+    * (grid-cell) to a constant in the optimizer, the minute state ships
+    * as a LocalRelation and Spark aggregates it distributed. One
+    * O(minutes-in-range) pass, O(1) per slot; callers must check
+    * [[minuteTierComplete]]. */
+  private[graft] def minuteEntries(a: Long, b: Long): Iterator[(Long, AllAggregate)] = {
+    val m = Tier.Minute.ms
+    val block = tiers(Tier.Minute)
+    val lo = math.max(a, baseMs)
+    val hi = math.min(b, horizonMs)
+    Iterator.iterate(lo)(_ + m).takeWhile(_ < hi).flatMap { slot =>
+      val i = ((slot - baseMs) / m).toInt
+      if (i >= 0 && i < block.count.length && block.count(i) > 0L)
+        Some(slot -> AllAggregate(block.sum(i), block.count(i), block.min(i), block.max(i)))
+      else None
+    }
+  }
+
   /** O(1) row count over an aligned range (same prefix machinery). */
   def queryCount(startMs: Long, endMs: Long): Long = {
     require(startMs <= endMs, s"bad range [$startMs, $endMs)")

@@ -661,6 +661,129 @@ class WheelAccelerationSpec extends AnyFunSuite {
     assert(!b3)
   }
 
+  test("above the fold cap, grouped/keyed rewrites go DISTRIBUTED: partials LocalRelation + real Aggregate (round 10)") {
+    register()
+    WheelAcceleration.registerKeyed(spark, path, events, "event_type")
+    events.createOrReplaceTempView("events_accel")
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Union}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    def shape(df: org.apache.spark.sql.DataFrame): (Boolean, Boolean, Boolean) = {
+      val p = df.queryExecution.optimizedPlan
+      (p.collect { case l: LocalRelation => l }.nonEmpty,
+        p.collect { case a: Aggregate => a }.nonEmpty,
+        p.collect { case r: LogicalRelation => r }.nonEmpty)
+    }
+    def check(sql: String, expectFile: Boolean): Unit = {
+      // cap of 3: every shape below exceeds it, forcing the
+      // minute-state fallback instead of the per-cell plan-time fold
+      System.setProperty("graft.wheel.rewrite.maxFoldRows", "3")
+      val df = spark.sql(sql)
+      val (local, agg, file) = shape(df)
+      assert(local && agg, s"$sql:\n${df.queryExecution.optimizedPlan.treeString}")
+      assert(file == expectFile, s"$sql:\n${df.queryExecution.optimizedPlan.treeString}")
+      val got = df.collect().map(_.toString).toSeq
+      // same statement, default cap: per-cell fold (pure LocalRelation)
+      System.clearProperty("graft.wheel.rewrite.maxFoldRows")
+      val cellFold = spark.sql(sql).collect().map(_.toString).toSeq
+      // and the scan truth with no registration at all
+      WheelAcceleration.clear()
+      val want = spark.sql(sql).collect().map(_.toString).toSeq
+      register()
+      WheelAcceleration.registerKeyed(spark, path, events, "event_type")
+      assert(got == want, sql)
+      assert(cellFold == want, sql)
+      assert(got.nonEmpty, sql)
+    }
+    try {
+      // unkeyed grouped, long slot keys: 24h of hour cells > 3
+      check(
+        "SELECT (unix_millis(ts) div 3600000) * 3600000 AS slot_ms, " +
+          "ROUND(SUM(value), 2) AS s, ROUND(AVG(value), 4) AS a, COUNT(*) AS n " +
+          "FROM events_accel WHERE unix_millis(ts) >= " +
+          s"${Q.Jan1} AND unix_millis(ts) < ${Q.Jan1 + 86400000} " +
+          "GROUP BY 1 ORDER BY 1", expectFile = false)
+      // unkeyed grouped, timestamp slot keys (date_trunc grid)
+      check(
+        "SELECT date_trunc('hour', ts) AS h, ROUND(SUM(value), 2) AS s " +
+          "FROM events_accel WHERE unix_millis(ts) >= " +
+          s"${Q.Jan1} AND unix_millis(ts) < ${Q.Jan1 + 86400000} " +
+          "GROUP BY 1 ORDER BY 1", expectFile = false)
+      // keyed grouped: |keys| x 24 hour cells > 3
+      check(
+        "SELECT event_type, (unix_millis(ts) div 3600000) * 3600000 AS slot_ms, " +
+          "ROUND(SUM(value), 2) AS s, COUNT(*) AS n " +
+          "FROM events_accel WHERE unix_millis(ts) >= " +
+          s"${Q.Jan1} AND unix_millis(ts) < ${Q.Jan1 + 86400000} " +
+          "GROUP BY 1, 2 ORDER BY 1, 2", expectFile = false)
+      // grouped HYBRID above cap: minute-state interior + the bounded
+      // edge-scan leg (the file relation is the sub-minute edge window)
+      check(
+        "SELECT (unix_millis(ts) div 3600000) * 3600000 AS slot_ms, " +
+          "ROUND(SUM(value), 2) AS s, COUNT(*) AS n " +
+          "FROM events_accel WHERE unix_millis(ts) >= " +
+          s"${Q.Jan1 + 7000} AND unix_millis(ts) < ${Q.Jan1 + 86400000 - 11000} " +
+          "GROUP BY 1 ORDER BY 1", expectFile = true)
+      // keyed HYBRID above cap
+      check(
+        "SELECT event_type, (unix_millis(ts) div 3600000) * 3600000 AS slot_ms, " +
+          "ROUND(SUM(value), 2) AS s, COUNT(*) AS n " +
+          "FROM events_accel WHERE unix_millis(ts) >= " +
+          s"${Q.Jan1 + 7000} AND unix_millis(ts) < ${Q.Jan1 + 86400000 - 11000} " +
+          "GROUP BY 1, 2 ORDER BY 1, 2", expectFile = true)
+    } finally System.clearProperty("graft.wheel.rewrite.maxFoldRows")
+  }
+
+  test("registerKeyedMulti folds mixed-measure keyed SQL, aligned and hybrid (round 10)") {
+    import spark.implicits._
+    System.setProperty("graft.wheel.fingerprint.ttlMs", "0")
+    val src = new java.io.File("target/test-fixtures/accel/keyed-multi.parquet")
+      .getAbsolutePath
+    val Min = 60000L
+    val t0 = Q.Jan1
+    Seq(
+      (new java.sql.Timestamp(t0), "a", 1.0, 10.0),
+      (new java.sql.Timestamp(t0 + 30000), "a", 2.0, 5.0),
+      (new java.sql.Timestamp(t0 + Min), "b", 3.0, 7.0),
+      (new java.sql.Timestamp(t0 + 61 * Min), "a", 4.0, 2.0),
+      (new java.sql.Timestamp(t0 + 62 * Min + 30500), "b", 5.0, 9.0))
+      .toDF("ts", "k", "value", "qty").write.mode("overwrite").parquet(src)
+    def reg(): Unit = {
+      val wheels = WheelAcceleration.registerKeyedMulti(
+        spark, src, spark.read.parquet(src), "k", "ts", Seq("value", "qty"))
+      assert(wheels.keySet == Set("value", "qty"))
+    }
+    def run(sql: String, expectFold: Boolean): Unit = {
+      reg()
+      spark.read.parquet(src).createOrReplaceTempView("km")
+      val df = spark.sql(sql)
+      val hit = df.queryExecution.optimizedPlan.collect {
+        case l: LocalRelation => l
+      }.nonEmpty
+      assert(hit == expectFold, s"$sql:\n${df.queryExecution.optimizedPlan.treeString}")
+      val got = df.collect().map(_.toString).toSeq
+      WheelAcceleration.clear()
+      val want = spark.sql(sql).collect().map(_.toString).toSeq
+      assert(got == want, sql)
+      assert(got.nonEmpty, sql)
+    }
+    try {
+      // aligned: mixed measures over (key, hour slot)
+      run(
+        "SELECT k, (unix_millis(ts) div 3600000) * 3600000 AS slot_ms, " +
+          "ROUND(SUM(value), 2) AS s, ROUND(AVG(qty), 4) AS aq, " +
+          "ROUND(MAX(qty), 4) AS mq, COUNT(*) AS n FROM km " +
+          s"WHERE unix_millis(ts) >= $t0 AND unix_millis(ts) < ${t0 + 7200000} " +
+          "GROUP BY 1, 2 ORDER BY 1, 2", expectFold = true)
+      // hybrid: sub-minute edges, both measures through the edge leg
+      run(
+        "SELECT k, (unix_millis(ts) div 3600000) * 3600000 AS slot_ms, " +
+          "ROUND(SUM(value), 2) AS s, ROUND(SUM(qty), 2) AS sq, COUNT(*) AS n " +
+          s"FROM km WHERE unix_millis(ts) >= ${t0 + 10000} " +
+          s"AND unix_millis(ts) < ${t0 + 7200000 - 15000} " +
+          "GROUP BY 1, 2 ORDER BY 1, 2", expectFold = true)
+    } finally WheelAcceleration.clear()
+  }
+
   test("window() startTime offsets and date_trunc('week') fold on the offset grid (round 7)") {
     register()
     events.createOrReplaceTempView("events_accel")

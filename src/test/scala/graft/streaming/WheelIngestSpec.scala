@@ -360,7 +360,7 @@ class WheelIngestSpec extends AnyFunSuite {
     assert(graft.wheel.PersistentWheel.peek(spark, persistDir).get.kind ==
       graft.wheel.PersistentWheel.SumKind)
     assert(graft.wheel.PersistentWheel.peek(spark, s"$persistDir/keyed").get.kind ==
-      graft.wheel.PersistentWheel.KeyedKind)
+      graft.wheel.PersistentWheel.KeyedMultiKind)
 
     // downtime write, then restart: BOTH families read only the tail
     val preFiles = listDataFiles(path)
@@ -391,6 +391,52 @@ class WheelIngestSpec extends AnyFunSuite {
           ("view", t0 + Min, 2.0)))
     } finally {
       q2.stop()
+      WheelAcceleration.unregister(path)
+    }
+  }
+
+  test("a 2-measure KEYED ingest folds mixed-measure GROUP BY (key, slot) live (round 10)") {
+    import spark.implicits._
+    System.setProperty("graft.wheel.fingerprint.ttlMs", "0")
+    val path = fixture("keyed-multi/events.parquet")
+    val t0 = Q.Jan1
+
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double, Double)]
+    val q = WheelIngest.start(
+      mem.toDF().toDF("ts", "event_type", "value", "qty"),
+      path, fixture("keyed-multi/ckpt"),
+      valueCols = Seq("value", "qty"), keyCol = Some("event_type"))
+    def mixedKeyedSql() = {
+      spark.read.parquet(path).createOrReplaceTempView("live_events")
+      spark.sql(
+        s"SELECT event_type, (unix_millis(ts) div $Min) * $Min AS slot_ms, " +
+          "SUM(value) AS s, AVG(qty) AS aq, MAX(qty) AS mq, COUNT(*) AS n " +
+          s"FROM live_events WHERE unix_millis(ts) >= $t0 " +
+          s"AND unix_millis(ts) < ${t0 + 3 * Min} GROUP BY 1, 2 ORDER BY 1, 2")
+    }
+    try {
+      mem.addData((new java.sql.Timestamp(t0), "click", 1.0, 10.0),
+        (new java.sql.Timestamp(t0 + Min), "view", 2.0, 20.0))
+      q.processAllAvailable()
+      val first = mixedKeyedSql()
+      assert(folded(first), first.queryExecution.optimizedPlan.treeString)
+      assert(first.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getLong(5))).toSeq ==
+        Seq(("click", t0, 1.0, 10.0, 10.0, 1L),
+          ("view", t0 + Min, 2.0, 20.0, 20.0, 1L)))
+
+      // a second batch extends a key's minute with BOTH measures live
+      mem.addData((new java.sql.Timestamp(t0 + 1000), "click", 4.0, 30.0))
+      q.processAllAvailable()
+      val second = mixedKeyedSql()
+      assert(folded(second))
+      assert(second.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getLong(5))).toSeq ==
+        Seq(("click", t0, 5.0, 20.0, 30.0, 2L),
+          ("view", t0 + Min, 2.0, 20.0, 20.0, 1L)))
+    } finally {
+      q.stop()
       WheelAcceleration.unregister(path)
     }
   }
@@ -482,6 +528,49 @@ class WheelIngestSpec extends AnyFunSuite {
       assert(r.getDouble(0) == 101.0 && r.getLong(1) == 2L)
     } finally {
       q2.stop()
+      WheelAcceleration.unregister(path)
+    }
+  }
+
+  test("late rows below the lateness horizon are merged AND counted (round 10)") {
+    import spark.implicits._
+    System.setProperty("graft.wheel.fingerprint.ttlMs", "0")
+    val path = fixture("late/events.parquet")
+    val t0 = Q.Jan1
+    val Hour = 3600000L
+
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Double)]
+    val q = WheelIngest.start(mem.toDF().toDF("ts", "value"), path,
+      fixture("late/ckpt"), latenessHorizonMs = Some(Hour))
+    try {
+      // batch 0: no history yet -> nothing can be late
+      mem.addData((new java.sql.Timestamp(t0 + 2 * Hour), 1.0))
+      q.processAllAvailable()
+      val s0 = WheelIngest.ingestStats(path).get
+      assert(s0.batches == 1L && s0.rows == 1L && s0.lateRows == 0L, s0)
+      assert(s0.watermarkMs.isEmpty, s0)
+
+      // batch 1: one on-time row, two rows >1h older than the max seen
+      // slot (t0+2h) — merged by slot as always, but now VISIBLE
+      mem.addData(
+        (new java.sql.Timestamp(t0 + 2 * Hour + Min), 2.0),
+        (new java.sql.Timestamp(t0), 10.0),
+        (new java.sql.Timestamp(t0 + Min), 20.0))
+      q.processAllAvailable()
+      val s1 = WheelIngest.ingestStats(path).get
+      assert(s1.batches == 2L && s1.rows == 4L, s1)
+      assert(s1.lastBatchRows == 3L && s1.lastBatchLateRows == 2L, s1)
+      assert(s1.lateRows == 2L, s1)
+      assert(s1.watermarkMs.contains(t0 + Hour), s1)
+
+      // the late rows ARE in the served answer (never dropped)
+      val df = rangeSql(path, t0, t0 + 3 * Hour)
+      assert(folded(df))
+      val r = df.collect()(0)
+      assert(r.getDouble(0) == 33.0 && r.getLong(1) == 4L)
+    } finally {
+      q.stop()
       WheelAcceleration.unregister(path)
     }
   }

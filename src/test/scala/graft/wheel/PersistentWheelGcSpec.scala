@@ -88,4 +88,44 @@ class PersistentWheelGcSpec extends AnyFunSuite {
     assert(PersistentWheel.inventory(spark, fixture("missing")).isEmpty)
     assert(PersistentWheel.gc(spark, fixture("missing")) == ((Seq.empty, Seq.empty)))
   }
+
+  test("inventory descends into an ingest checkpoint's nested keyed sidecar (round 10)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val warehouse = fixture("warehouse-ckpt")
+    val tablePath = s"${fixture("ckpt-src")}/events.parquet"
+    val persistDir = s"$warehouse/ingest-ckpt"
+    val t0 = graft.queries.Q.Jan1
+
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val q = graft.streaming.WheelIngest.start(
+      mem.toDF().toDF("ts", "event_type", "value"), tablePath,
+      fixture("ckpt-ckpt"), persistDir = Some(persistDir),
+      keyCol = Some("event_type"))
+    try {
+      mem.addData((new java.sql.Timestamp(t0), "click", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    graft.plans.WheelAcceleration.unregister(tablePath)
+
+    // both family sidecars listed: the sum checkpoint AND its nested
+    // keyed sidecar; both fresh (source unchanged since the persist)
+    val inv = PersistentWheel.inventory(spark, warehouse)
+    assert(inv.map(e => new java.io.File(e.dir).getName).sorted ==
+      Seq("ingest-ckpt", "keyed"), inv)
+    assert(inv.forall(_.stale.contains(false)), inv)
+    assert(inv.find(_.dir.endsWith("keyed")).get.meta.kind ==
+      PersistentWheel.KeyedMultiKind)
+
+    // append to the TABLE -> both entries go stale, gc sweeps the
+    // whole checkpoint (nested keyed goes with its parent)
+    Seq((new java.sql.Timestamp(t0 + 60000L), "view", 2.0))
+      .toDF("ts", "event_type", "value").write.mode("append").parquet(tablePath)
+    val inv2 = PersistentWheel.inventory(spark, warehouse)
+    assert(inv2.forall(_.stale.contains(true)), inv2)
+    val (_, dropped) = PersistentWheel.gc(spark, warehouse)
+    assert(dropped.size == 2, dropped)
+    assert(!new java.io.File(persistDir).exists())
+  }
 }

