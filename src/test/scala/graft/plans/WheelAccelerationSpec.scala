@@ -733,6 +733,41 @@ class WheelAccelerationSpec extends AnyFunSuite {
     } finally System.clearProperty("graft.wheel.rewrite.maxFoldRows")
   }
 
+  test("GROUP BY unix_millis(date_trunc(...)) epoch-ms keys fold (round 10)") {
+    register()
+    events.createOrReplaceTempView("events_accel")
+    def run(sql: String): (Boolean, Seq[String]) = {
+      val df = spark.sql(sql)
+      val hit = df.queryExecution.optimizedPlan.collect {
+        case l: LocalRelation => l
+      }.nonEmpty
+      val got = df.collect().map(_.toString).toSeq
+      WheelAcceleration.clear()
+      val want = spark.sql(sql).collect().map(_.toString).toSeq
+      register()
+      assert(got == want, sql)
+      (hit, got)
+    }
+    // fixed-width tier and calendar tier, both through the ms-key wrap
+    val (h1, r1) = run(
+      "SELECT unix_millis(date_trunc('day', ts)) AS d_ms, " +
+        "ROUND(SUM(value), 2) AS s, COUNT(*) AS n FROM events_accel " +
+        s"WHERE unix_millis(ts) >= ${Q.R1Start} AND unix_millis(ts) < ${Q.R1End} " +
+        "GROUP BY 1 ORDER BY 1")
+    assert(h1 && r1.nonEmpty)
+    val (h2, r2) = run(
+      "SELECT unix_millis(date_trunc('month', ts)) AS m_ms, " +
+        "ROUND(SUM(value), 2) AS s FROM events_accel GROUP BY 1 ORDER BY 1")
+    assert(h2 && r2.nonEmpty)
+    // unix_millis over the RAW column is per-ms grouping — no grid,
+    // must keep the scan
+    val (h3, _) = run(
+      "SELECT unix_millis(ts) AS ms, COUNT(*) AS n FROM events_accel " +
+        s"WHERE unix_millis(ts) >= ${Q.R1Start} AND unix_millis(ts) < ${Q.R1Start + 3600000} " +
+        "GROUP BY 1 ORDER BY 1 LIMIT 5")
+    assert(!h3)
+  }
+
   test("registerKeyedMulti folds mixed-measure keyed SQL, aligned and hybrid (round 10)") {
     import spark.implicits._
     System.setProperty("graft.wheel.fingerprint.ttlMs", "0")
