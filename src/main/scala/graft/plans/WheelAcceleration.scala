@@ -700,6 +700,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     case 1 => rewriteSlotGrouped(agg, groupings.head, aggExprs, child)
       .orElse(rewriteSlidingWindow(agg, groupings.head, aggExprs, child))
     case 2 => rewriteKeyedGrouped(agg, groupings, aggExprs, child)
+      .orElse(rewriteKeyedSlidingWindow(agg, groupings, aggExprs, child))
     case _ => None
   }
 
@@ -735,39 +736,12 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       case a: AttributeReference if a.dataType.isInstanceOf[StructType] => a
       case _ => return None
     }
-    // the Expand through projection-only nodes; any Filter between the
-    // aggregate and the Expand is the non-divisible-slide membership
-    // filter -> bail
-    def findExpand(p: LogicalPlan): Option[Expand] = p match {
-      case e: Expand => Some(e)
-      case Project(_, ch) => findExpand(ch)
-      case SubqueryAlias(_, ch) => findExpand(ch)
-      case _ => None
-    }
     for {
       expand <- findExpand(child)
-      idx = expand.output.indexWhere(_.exprId == winAttr.exprId)
-      if idx >= 0
       path <- sourcePath(expand.child)
       (tsCol, wheels) <- WheelAcceleration.lookup(path)
-      parsed = expand.projections.map(p => slidingStruct(p(idx), tsCol))
-      if parsed.forall(_.isDefined)
-      shapes = parsed.flatten
-      (slideUs, startUs, sizeUs) <- shapes.map(s => (s._1, s._2, s._4)).distinct match {
-        case Seq(one) => Some(one)
-        case _ => None
-      }
-      // exact-enumeration contract: slide divides size, one projection
-      // per overlap, offsets exactly {0, slide, ..., size - slide}
-      if sizeUs > 0 && slideUs > 0 && sizeUs % slideUs == 0
-      n = (sizeUs / slideUs).toInt
-      if shapes.size == n &&
-        shapes.map(_._3).toSet == (0 until n).map(_ * slideUs).toSet
-      // whole-minute grid, expressed in ms
-      if slideUs % (MinuteMs * 1000L) == 0 && sizeUs % (MinuteMs * 1000L) == 0 &&
-        startUs % (MinuteMs * 1000L) == 0
-      filterOpt = findFilter(expand.child)
-      (aOpt, bOpt) <- filterOpt match {
+      (slideMs, offMs, sizeMs) <- slidingGridOf(expand, winAttr, tsCol)
+      (aOpt, bOpt) <- findFilter(expand.child) match {
         case Some((cond, _)) => rangeMs(cond, tsCol)
         case None => Some((None, None))
       }
@@ -775,17 +749,16 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       a = aOpt.getOrElse(any.baseMs)
       b = bOpt.getOrElse(any.horizonMs)
       if a < b && a % MinuteMs == 0 && b % MinuteMs == 0
+      // same plan-time ceiling as the grouped folds: each window is a
+      // tier-walk query inside the optimizer
+      if (b - a) / slideMs + sizeMs / slideMs <= maxFoldRows
       result <- {
-        val slideMs = slideUs / 1000L
-        val sizeMs = sizeUs / 1000L
-        val off = math.floorMod(startUs / 1000L, slideMs)
         val winType = winAttr.dataType.asInstanceOf[StructType]
         val out = Seq.newBuilder[InternalRow]
         var ok = true
-        // first window whose end reaches past a, on the slide grid
-        var ws = math.floorDiv(a - sizeMs - off, slideMs) * slideMs + off
-        while (ws + sizeMs <= a) ws += slideMs
-        while (ok && ws < b) {
+        val it = slidingStarts(a, b, slideMs, offMs, sizeMs)
+        while (ok && it.hasNext) {
+          val ws = it.next()
           val alls = wheels.map { case (c, i) =>
             c -> i.query(math.max(a, ws), math.min(b, ws + sizeMs)) }
           if (alls.valuesIterator.next().count > 0L) {
@@ -795,11 +768,113 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
               case None => ok = false
             }
           }
-          ws += slideMs
         }
         if (ok) Some(LocalRelation(agg.output, out.result())) else None
       }
     } yield result
+  }
+
+  /** KEYED sliding fold: `GROUP BY key, window(ts, size, slide)` over a
+    * source with a registered keyed index — the keyed spelling of
+    * [[rewriteSlidingWindow]], one row per (key, non-empty window). */
+  private def rewriteKeyedSlidingWindow(
+      agg: Aggregate, groupings: Seq[Expression],
+      aggExprs: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] = {
+    val winAttrOpt = groupings.collectFirst {
+      case a: AttributeReference if a.dataType.isInstanceOf[StructType] => a
+    }
+    for {
+      winAttr <- winAttrOpt
+      expand <- findExpand(child)
+      path <- sourcePath(expand.child)
+      reg <- WheelAcceleration.lookupKeyed(path)
+      keyAttr <- groupings.collectFirst {
+        case a: AttributeReference if a.name == reg.keyCol => a
+      }
+      if groupings.size == 2 && !(winAttr eq keyAttr)
+      (slideMs, offMs, sizeMs) <- slidingGridOf(expand, winAttr, reg.tsCol)
+      (aOpt, bOpt) <- findFilter(expand.child) match {
+        case Some((cond, _)) => rangeMs(cond, reg.tsCol)
+        case None => Some((None, None))
+      }
+      a = aOpt.getOrElse(reg.any.baseMs)
+      b = bOpt.getOrElse(reg.any.horizonMs)
+      if a < b && a % MinuteMs == 0 && b % MinuteMs == 0
+      if reg.any.keys.size.toLong * ((b - a) / slideMs + sizeMs / slideMs) <= maxFoldRows
+      result <- {
+        val winType = winAttr.dataType.asInstanceOf[StructType]
+        val out = Seq.newBuilder[InternalRow]
+        var ok = true
+        reg.any.keys.foreach { key =>
+          val keyLit = Literal.create(key, reg.any.keyType)
+          val it = slidingStarts(a, b, slideMs, offMs, sizeMs)
+          while (ok && it.hasNext) {
+            val ws = it.next()
+            val alls = reg.wheels.map { case (c, i) =>
+              c -> i.query(key, math.max(a, ws), math.min(b, ws + sizeMs)) }
+            if (alls.valuesIterator.next().count > 0L) {
+              foldRow(aggExprs, alls, Seq(
+                (Seq(keyAttr), keyLit),
+                (Seq(winAttr),
+                  Literal(InternalRow(ws * 1000L, (ws + sizeMs) * 1000L), winType)))) match {
+                case Some(vals) => out += InternalRow.fromSeq(vals)
+                case None => ok = false
+              }
+            }
+          }
+        }
+        if (ok) Some(LocalRelation(agg.output, out.result())) else None
+      }
+    } yield result
+  }
+
+  /** The Expand through projection-only nodes; any Filter between the
+    * aggregate and the Expand is the non-divisible-slide membership
+    * filter — its semantics are not the exact enumeration, so callers
+    * bail by construction (Filter is not traversed). */
+  private def findExpand(p: LogicalPlan): Option[Expand] = p match {
+    case e: Expand => Some(e)
+    case Project(_, ch) => findExpand(ch)
+    case SubqueryAlias(_, ch) => findExpand(ch)
+    case _ => None
+  }
+
+  /** Verify `expand`'s projections are the exact sliding-window
+    * enumeration for `winAttr` and return (slideMs, offMs, sizeMs):
+    * same (slide, startTime, size) in every projection, one projection
+    * per overlap with offsets exactly {0, slide, …, size−slide}
+    * (requires slide | size — otherwise TimeWindowing adds a
+    * membership filter and we never get here), whole-minute grid, the
+    * registered ts column inside. */
+  private def slidingGridOf(expand: Expand, winAttr: AttributeReference,
+      tsCol: String): Option[(Long, Long, Long)] = {
+    val idx = expand.output.indexWhere(_.exprId == winAttr.exprId)
+    if (idx < 0) return None
+    val parsed = expand.projections.map(p => slidingStruct(p(idx), tsCol))
+    if (!parsed.forall(_.isDefined)) return None
+    val shapes = parsed.flatten
+    shapes.map(s => (s._1, s._2, s._4)).distinct match {
+      case Seq((slideUs, startUs, sizeUs))
+          if sizeUs > 0 && slideUs > 0 && sizeUs % slideUs == 0 &&
+            shapes.size == (sizeUs / slideUs).toInt &&
+            shapes.map(_._3).toSet ==
+              (0 until (sizeUs / slideUs).toInt).map(_ * slideUs).toSet &&
+            slideUs % (MinuteMs * 1000L) == 0 &&
+            sizeUs % (MinuteMs * 1000L) == 0 &&
+            startUs % (MinuteMs * 1000L) == 0 =>
+        val slideMs = slideUs / 1000L
+        Some((slideMs, math.floorMod(startUs / 1000L, slideMs), sizeUs / 1000L))
+      case _ => None
+    }
+  }
+
+  /** Starts of every sliding window intersecting `[a, b)`: the first
+    * grid point whose window end reaches past `a`, stepping by slide. */
+  private def slidingStarts(a: Long, b: Long, slideMs: Long, offMs: Long,
+      sizeMs: Long): Iterator[Long] = {
+    var ws0 = math.floorDiv(a - sizeMs - offMs, slideMs) * slideMs + offMs
+    while (ws0 + sizeMs <= a) ws0 += slideMs
+    Iterator.iterate(ws0)(_ + slideMs).takeWhile(_ < b)
   }
 
   /** One Expand projection's window struct, parsed to

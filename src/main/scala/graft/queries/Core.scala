@@ -533,6 +533,24 @@ object Core {
            |""".stripMargin)
     }),
 
+    // KEYED sliding window() fold (round 10): the same sliding spelling
+    // per dimension key — GROUP BY event_type, window(ts, '1 hour',
+    // '1 minute') — one LocalRelation row per (key, non-empty window)
+    // from the registered keyed wheel. Same Expand verification as the
+    // unkeyed fold; same |keys| x windows plan-time cap.
+    "q_wheel_sliding_keyed_sql" -> ((s, dir) => {
+      graft.plans.WheelAcceleration.registerKeyed(
+        s, s"$dir/events.parquet", t(s, dir, "events"), "event_type")
+      t(s, dir, "events").createOrReplaceTempView("events_wheel")
+      s.sql(
+        s"""SELECT event_type, unix_millis(window.start) AS ws_ms,
+           |ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n
+           |FROM events_wheel
+           |WHERE unix_millis(ts) >= $RsStart AND unix_millis(ts) < $RsEnd
+           |GROUP BY event_type, window(ts, '1 hour', '1 minute') ORDER BY 1, 2
+           |""".stripMargin)
+    }),
+
     // CALENDAR-GRID fold (round 8, VERDICT r7 #5): GROUP BY
     // date_trunc('month', ts) answered from the wheel. Months are NOT
     // fixed-width, so the rewrite walks java.time UTC month boundaries
@@ -837,6 +855,15 @@ object Core {
         "ON m.slot_ms >= g.ws AND m.slot_ms < g.ws + 3600000) " +
         "SELECT ws AS ws_ms, ws + 3600000 AS we_ms, ROUND(SUM(sv), 2) AS sum_value, " +
         "CAST(SUM(cn) AS BIGINT) AS n FROM j GROUP BY 1, 2 ORDER BY 1"),
+    "q_wheel_sliding_keyed_sql" ->
+      ("WITH m AS (SELECT event_type, (epoch_ms(ts) // 60000) * 60000 AS slot_ms, " +
+        "SUM(value) AS sv, COUNT(*) AS cn FROM events " +
+        s"WHERE epoch_ms(ts) >= $RsStart AND epoch_ms(ts) < $RsEnd GROUP BY 1, 2), " +
+        s"g AS (SELECT range AS ws FROM range(${RsStart - 3540000L}, $RsEnd, 60000)), " +
+        "j AS (SELECT m.event_type, g.ws, m.sv, m.cn FROM g JOIN m " +
+        "ON m.slot_ms >= g.ws AND m.slot_ms < g.ws + 3600000) " +
+        "SELECT event_type, ws AS ws_ms, ROUND(SUM(sv), 2) AS sum_value, " +
+        "CAST(SUM(cn) AS BIGINT) AS n FROM j GROUP BY 1, 2 ORDER BY 1, 2"),
     "q_wheel_window_sql" ->
       (s"SELECT (epoch_ms(ts) // 3600000) * 3600000 AS ws_ms, " +
         "(epoch_ms(ts) // 3600000) * 3600000 + 3600000 AS we_ms, " +

@@ -659,6 +659,25 @@ class WheelAccelerationSpec extends AnyFunSuite {
         "FROM events_accel WHERE ts >= '2024-01-05' AND ts < '2024-01-06' " +
         "GROUP BY 1 ORDER BY 1")
     assert(!b3)
+    // BAIL: above the plan-time window cap -> scan, still correct
+    System.setProperty("graft.wheel.rewrite.maxFoldRows", "3")
+    try {
+      val (b4, _) = run(
+        "SELECT window(ts, '1 hour', '30 minutes') AS w, COUNT(*) AS n " +
+          "FROM events_accel WHERE ts >= '2024-01-05' AND ts < '2024-01-06' " +
+          "GROUP BY 1 ORDER BY 1")
+      assert(!b4)
+    } finally System.clearProperty("graft.wheel.rewrite.maxFoldRows")
+
+    // KEYED sliding (round 10): per-(key, window) rows from the keyed
+    // wheel, same Expand verification
+    WheelAcceleration.registerKeyed(spark, path, events, "event_type")
+    val (k1, rk1) = run(
+      "SELECT event_type, window(ts, '1 hour', '20 minutes') AS w, " +
+        "ROUND(SUM(value), 2) AS s, COUNT(*) AS n " +
+        "FROM events_accel WHERE ts >= '2024-01-05' AND ts < '2024-01-06' " +
+        "GROUP BY 1, 2 ORDER BY 1, 2")
+    assert(k1 && rk1.nonEmpty)
   }
 
   test("above the fold cap, grouped/keyed rewrites go DISTRIBUTED: partials LocalRelation + real Aggregate (round 10)") {

@@ -103,6 +103,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Expand"), p)
   }
 
+  test("q_wheel_sliding_keyed_sql folds the keyed sliding Expand to a LocalTableScan (round 10)") {
+    val p = plan("q_wheel_sliding_keyed_sql")
+    assert(p.contains("LocalTableScan"), p)
+    assert(!p.contains("FileScan"), p)
+    assert(!p.contains("Expand"), p)
+  }
+
   test("q_subquery family decorrelates: no cartesian anywhere") {
     Seq("q_subquery_scalar", "q_subquery_in", "q_subquery_exists", "q_subquery_corr")
       .foreach { q =>
