@@ -724,11 +724,12 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     * [[WheelIndex.slidingSeries]] proves via the API path, behind the
     * unchanged SQL spelling. A window's contribution clips to the
     * pushed `[a, b)` range exactly as the scan's pre-Expand filter
-    * does. Bails (keeping the scan) on: a non-divisible slide (a
-    * membership Filter sits above the Expand — its semantics are not
-    * this enumeration), sub-minute range edges (an edge row belongs to
-    * MULTIPLE windows, so the hybrid union's single-slot edge
-    * re-derivation cannot express it), or any unsupported aggregate. */
+    * does; sub-minute range edges go HYBRID through
+    * [[slidingResidue]] (an edge row belongs to MULTIPLE windows, so
+    * the edge leg re-enumerates them through the original Expand).
+    * Bails (keeping the scan) on a non-divisible slide (a membership
+    * Filter sits above the Expand — its semantics are not this
+    * enumeration) or any unsupported aggregate. */
   private def rewriteSlidingWindow(
       agg: Aggregate, groupKey: Expression, aggExprs: Seq[NamedExpression],
       child: LogicalPlan): Option[LogicalPlan] = {
@@ -748,29 +749,31 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       any = wheels.valuesIterator.next()
       a = aOpt.getOrElse(any.baseMs)
       b = bOpt.getOrElse(any.horizonMs)
-      if a < b && a % MinuteMs == 0 && b % MinuteMs == 0
+      if a < b
       // same plan-time ceiling as the grouped folds: each window is a
       // tier-walk query inside the optimizer
       if (b - a) / slideMs + sizeMs / slideMs <= maxFoldRows
-      result <- {
-        val winType = winAttr.dataType.asInstanceOf[StructType]
-        val out = Seq.newBuilder[InternalRow]
-        var ok = true
-        val it = slidingStarts(a, b, slideMs, offMs, sizeMs)
-        while (ok && it.hasNext) {
-          val ws = it.next()
-          val alls = wheels.map { case (c, i) =>
-            c -> i.query(math.max(a, ws), math.min(b, ws + sizeMs)) }
-          if (alls.valuesIterator.next().count > 0L) {
-            foldRow(aggExprs, alls, Seq((Seq(winAttr),
-              Literal(InternalRow(ws * 1000L, (ws + sizeMs) * 1000L), winType)))) match {
-              case Some(vals) => out += InternalRow.fromSeq(vals)
-              case None => ok = false
+      result <-
+        if (a % MinuteMs == 0 && b % MinuteMs == 0) {
+          val winType = winAttr.dataType.asInstanceOf[StructType]
+          val out = Seq.newBuilder[InternalRow]
+          var ok = true
+          val it = slidingStarts(a, b, slideMs, offMs, sizeMs)
+          while (ok && it.hasNext) {
+            val ws = it.next()
+            val alls = wheels.map { case (c, i) =>
+              c -> i.query(math.max(a, ws), math.min(b, ws + sizeMs)) }
+            if (alls.valuesIterator.next().count > 0L) {
+              foldRow(aggExprs, alls, Seq((Seq(winAttr),
+                Literal(InternalRow(ws * 1000L, (ws + sizeMs) * 1000L), winType)))) match {
+                case Some(vals) => out += InternalRow.fromSeq(vals)
+                case None => ok = false
+              }
             }
           }
-        }
-        if (ok) Some(LocalRelation(agg.output, out.result())) else None
-      }
+          if (ok) Some(LocalRelation(agg.output, out.result())) else None
+        } else slidingResidue(agg, winAttr, expand, aggExprs, tsCol, wheels,
+          slideMs, offMs, sizeMs, a, b, None)
     } yield result
   }
 
@@ -799,33 +802,122 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       }
       a = aOpt.getOrElse(reg.any.baseMs)
       b = bOpt.getOrElse(reg.any.horizonMs)
-      if a < b && a % MinuteMs == 0 && b % MinuteMs == 0
+      if a < b
       if reg.any.keys.size.toLong * ((b - a) / slideMs + sizeMs / slideMs) <= maxFoldRows
-      result <- {
-        val winType = winAttr.dataType.asInstanceOf[StructType]
-        val out = Seq.newBuilder[InternalRow]
-        var ok = true
-        reg.any.keys.foreach { key =>
-          val keyLit = Literal.create(key, reg.any.keyType)
-          val it = slidingStarts(a, b, slideMs, offMs, sizeMs)
-          while (ok && it.hasNext) {
-            val ws = it.next()
-            val alls = reg.wheels.map { case (c, i) =>
-              c -> i.query(key, math.max(a, ws), math.min(b, ws + sizeMs)) }
-            if (alls.valuesIterator.next().count > 0L) {
-              foldRow(aggExprs, alls, Seq(
-                (Seq(keyAttr), keyLit),
-                (Seq(winAttr),
-                  Literal(InternalRow(ws * 1000L, (ws + sizeMs) * 1000L), winType)))) match {
-                case Some(vals) => out += InternalRow.fromSeq(vals)
-                case None => ok = false
+      result <-
+        if (a % MinuteMs == 0 && b % MinuteMs == 0) {
+          val winType = winAttr.dataType.asInstanceOf[StructType]
+          val out = Seq.newBuilder[InternalRow]
+          var ok = true
+          reg.any.keys.foreach { key =>
+            val keyLit = Literal.create(key, reg.any.keyType)
+            val it = slidingStarts(a, b, slideMs, offMs, sizeMs)
+            while (ok && it.hasNext) {
+              val ws = it.next()
+              val alls = reg.wheels.map { case (c, i) =>
+                c -> i.query(key, math.max(a, ws), math.min(b, ws + sizeMs)) }
+              if (alls.valuesIterator.next().count > 0L) {
+                foldRow(aggExprs, alls, Seq(
+                  (Seq(keyAttr), keyLit),
+                  (Seq(winAttr),
+                    Literal(InternalRow(ws * 1000L, (ws + sizeMs) * 1000L), winType)))) match {
+                  case Some(vals) => out += InternalRow.fromSeq(vals)
+                  case None => ok = false
+                }
               }
             }
           }
-        }
-        if (ok) Some(LocalRelation(agg.output, out.result())) else None
-      }
+          if (ok) Some(LocalRelation(agg.output, out.result())) else None
+        } else slidingResidue(agg, winAttr, expand, aggExprs, reg.tsCol,
+          Map.empty, slideMs, offMs, sizeMs, a, b, Some((keyAttr, reg)))
     } yield result
+  }
+
+  /** Sliding HYBRID residue (round 10): sub-minute range edges for the
+    * sliding folds. The whole-minute interior folds per window from the
+    * (keyed) index; the sub-minute edge rows go through the ORIGINAL
+    * Expand re-rooted onto a bounded two-edge scan — each edge row
+    * re-enumerates exactly the windows the scan would have given it —
+    * and the final merge-form group-by combines both legs per
+    * (key, window). Windows touching only the edges materialize from
+    * the edge leg alone. Measures are restricted to those the Expand
+    * still carries (column pruning may have dropped unused ones). */
+  private def slidingResidue(
+      agg: Aggregate, winAttr: AttributeReference, expand: Expand,
+      aggExprs: Seq[NamedExpression], tsCol: String,
+      wheels: Map[String, WheelIndex], slideMs: Long, offMs: Long,
+      sizeMs: Long, a: Long, b: Long,
+      keyed: Option[(AttributeReference, WheelAcceleration.KeyedReg)]): Option[LogicalPlan] = {
+    val aCeil = Math.floorDiv(a + MinuteMs - 1, MinuteMs) * MinuteMs
+    val bFloor = Math.floorDiv(b, MinuteMs) * MinuteMs
+    if (aCeil >= bFloor) return None
+    // root the edge window BELOW the pushed range filter (on the raw
+    // column, before any reading-pipeline cast projection), so the
+    // parquet reader can row-group-prune it — the same depth the
+    // grouped residues use; the chain between the Expand and that
+    // point (range filter, cast projections) is preserved above it
+    val innerBelow = findFilter(expand.child).map(_._2).getOrElse(expand.child)
+    val allMeasures = keyed.map(_._2.wheels.keys.toSeq).getOrElse(wheels.keys.toSeq)
+    // the edge leg projects partials over the Expand's output — only
+    // measures that survived column pruning are referencable there
+    val measures = allMeasures.filter(c => expand.output.exists(_.name == c))
+    if (measures.isEmpty) return None
+    for {
+      parts <- residueParts(innerBelow, tsCol, measures, a, b, aCeil, bFloor)
+      slotAttr = AttributeReference(
+        "__graft_slot", winAttr.dataType, nullable = winAttr.nullable)()
+      keyOut = keyed.map { case (kA, reg) =>
+        AttributeReference("__graft_key", reg.any.keyType,
+          nullable = kA.nullable)()
+      }
+      subst = keyed.map(k =>
+        Seq((Seq[Expression](k._1), keyOut.get.asInstanceOf[Attribute]))).getOrElse(Seq.empty) ++
+        Seq((Seq[Expression](winAttr), slotAttr.asInstanceOf[Attribute]))
+      newAggExprs <- mergeAggExprs(parts.cols, measures.toSet, aggExprs, subst)
+    } yield {
+      val rows = Seq.newBuilder[InternalRow]
+      def slotVal(ws: Long) = InternalRow(ws * 1000L, (ws + sizeMs) * 1000L)
+      keyed match {
+        case None =>
+          val it = slidingStarts(aCeil, bFloor, slideMs, offMs, sizeMs)
+          while (it.hasNext) {
+            val ws = it.next()
+            val alls = measures.map(c => c -> wheels(c).query(
+              math.max(aCeil, ws), math.min(bFloor, ws + sizeMs))).toMap
+            val anyAll = alls.valuesIterator.next()
+            if (anyAll.count > 0L)
+              rows += InternalRow.fromSeq(
+                slotVal(ws) +: parts.partialsRow(alls, anyAll.count))
+          }
+        case Some((_, reg)) =>
+          reg.any.keys.foreach { key =>
+            val kv = Literal.create(key, reg.any.keyType).value
+            val it = slidingStarts(aCeil, bFloor, slideMs, offMs, sizeMs)
+            while (it.hasNext) {
+              val ws = it.next()
+              val alls = measures.map(c => c -> reg.wheels(c).query(key,
+                math.max(aCeil, ws), math.min(bFloor, ws + sizeMs))).toMap
+              val anyAll = alls.valuesIterator.next()
+              if (anyAll.count > 0L)
+                rows += InternalRow.fromSeq(
+                  kv +: slotVal(ws) +: parts.partialsRow(alls, anyAll.count))
+            }
+          }
+      }
+      val interior =
+        LocalRelation(keyOut.toSeq ++ (slotAttr +: parts.partialAttrs), rows.result())
+      val edgeChild =
+        if (innerBelow eq expand.child) parts.edgeFilter
+        else expand.child.transformUp {
+          case p if p eq innerBelow => parts.edgeFilter
+        }
+      val edgeExpand = expand.copy(child = edgeChild)
+      val keyProj = keyed.map { case (kA, _) => Alias(kA, "__graft_key")() }.toSeq
+      val edgeLeg = Project(
+        keyProj ++ (Alias(winAttr, "__graft_slot")() +: parts.edgePartials),
+        edgeExpand)
+      Aggregate(keyOut.toSeq :+ slotAttr, newAggExprs, Union(Seq(interior, edgeLeg)))
+    }
   }
 
   /** The Expand through projection-only nodes; any Filter between the

@@ -533,6 +533,26 @@ object Core {
            |""".stripMargin)
     }),
 
+    // SLIDING hybrid residue (round 10): the sliding spelling over a
+    // range with SUB-MINUTE edges. Interior windows fold from the
+    // index; the edge rows re-enumerate their windows through the
+    // ORIGINAL Expand re-rooted onto a bounded two-edge scan (an edge
+    // row belongs to up to size/slide windows — the Expand is exactly
+    // the machinery that enumerates them); the final merge-form
+    // group-by combines both legs per window.
+    "q_wheel_sliding_residue_sql" -> ((s, dir) => {
+      graft.plans.WheelAcceleration.register(
+        s, s"$dir/events.parquet", t(s, dir, "events"))
+      t(s, dir, "events").createOrReplaceTempView("events_wheel")
+      s.sql(
+        s"""SELECT unix_millis(window.start) AS ws_ms, unix_millis(window.end) AS we_ms,
+           |ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n
+           |FROM events_wheel
+           |WHERE unix_millis(ts) >= ${RsStart + 7000} AND unix_millis(ts) < ${RsEnd - 11000}
+           |GROUP BY window(ts, '1 hour', '1 minute') ORDER BY 1
+           |""".stripMargin)
+    }),
+
     // KEYED sliding window() fold (round 10): the same sliding spelling
     // per dimension key — GROUP BY event_type, window(ts, '1 hour',
     // '1 minute') — one LocalRelation row per (key, non-empty window)
@@ -855,6 +875,16 @@ object Core {
         "ON m.slot_ms >= g.ws AND m.slot_ms < g.ws + 3600000) " +
         "SELECT ws AS ws_ms, ws + 3600000 AS we_ms, ROUND(SUM(sv), 2) AS sum_value, " +
         "CAST(SUM(cn) AS BIGINT) AS n FROM j GROUP BY 1, 2 ORDER BY 1"),
+    "q_wheel_sliding_residue_sql" ->
+      // sub-minute edges: the minute rollup cannot express the clips,
+      // so the oracle joins RAW rows to the window grid directly
+      ("WITH g AS (SELECT range AS ws FROM " +
+        s"range(${RsStart - 3540000L}, ${RsEnd - 11000}, 60000)), " +
+        "j AS (SELECT g.ws, e.value FROM g JOIN events e " +
+        "ON epoch_ms(e.ts) >= g.ws AND epoch_ms(e.ts) < g.ws + 3600000 " +
+        s"AND epoch_ms(e.ts) >= ${RsStart + 7000} AND epoch_ms(e.ts) < ${RsEnd - 11000}) " +
+        "SELECT ws AS ws_ms, ws + 3600000 AS we_ms, ROUND(SUM(value), 2) AS sum_value, " +
+        "COUNT(*) AS n FROM j GROUP BY 1, 2 ORDER BY 1"),
     "q_wheel_sliding_keyed_sql" ->
       ("WITH m AS (SELECT event_type, (epoch_ms(ts) // 60000) * 60000 AS slot_ms, " +
         "SUM(value) AS sv, COUNT(*) AS cn FROM events " +

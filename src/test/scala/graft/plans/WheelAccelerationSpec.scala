@@ -645,14 +645,16 @@ class WheelAccelerationSpec extends AnyFunSuite {
         "FROM events_accel WHERE ts >= '2024-01-05' AND ts < '2024-01-06' " +
         "GROUP BY 1 ORDER BY 1")
     assert(!b1)
-    // BAIL: sub-minute range edges — an edge row belongs to MULTIPLE
-    // windows, so no hybrid is possible; keep the scan
-    val (b2, _) = run(
-      "SELECT window(ts, '1 hour', '20 minutes') AS w, COUNT(*) AS n " +
+    // sub-minute range edges go HYBRID (round 10): interior windows
+    // fold from the index, the edge rows re-enumerate their windows
+    // through the original Expand over a bounded two-edge scan
+    val (b2, r2b) = run(
+      "SELECT window(ts, '1 hour', '20 minutes') AS w, " +
+        "ROUND(SUM(value), 2) AS s, COUNT(*) AS n " +
         "FROM events_accel WHERE unix_millis(ts) >= " +
-        s"${Q.Jan1 + 30 * 1000} AND unix_millis(ts) < ${Q.Jan1 + 86400000} " +
+        s"${Q.Jan1 + 30 * 1000} AND unix_millis(ts) < ${Q.Jan1 + 86400000 - 7000} " +
         "GROUP BY 1 ORDER BY 1")
-    assert(!b2)
+    assert(b2 && r2b.nonEmpty)
     // BAIL: sub-minute slide has no wheel grid
     val (b3, _) = run(
       "SELECT window(ts, '10 minutes', '30 seconds') AS w, COUNT(*) AS n " +
@@ -678,6 +680,15 @@ class WheelAccelerationSpec extends AnyFunSuite {
         "FROM events_accel WHERE ts >= '2024-01-05' AND ts < '2024-01-06' " +
         "GROUP BY 1, 2 ORDER BY 1, 2")
     assert(k1 && rk1.nonEmpty)
+    // ...including the keyed sliding HYBRID over sub-minute edges
+    WheelAcceleration.registerKeyed(spark, path, events, "event_type")
+    val (k2, rk2) = run(
+      "SELECT event_type, window(ts, '30 minutes', '10 minutes') AS w, " +
+        "ROUND(SUM(value), 2) AS s, COUNT(*) AS n " +
+        "FROM events_accel WHERE unix_millis(ts) >= " +
+        s"${Q.Jan1 + 45 * 1000} AND unix_millis(ts) < ${Q.Jan1 + 14400000 - 9000} " +
+        "GROUP BY 1, 2 ORDER BY 1, 2")
+    assert(k2 && rk2.nonEmpty)
   }
 
   test("above the fold cap, grouped/keyed rewrites go DISTRIBUTED: partials LocalRelation + real Aggregate (round 10)") {

@@ -320,6 +320,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters: [Or(And(GreaterThanOrEqual(ts,"), p)
   }
 
+  test("q_wheel_sliding_residue_sql folds the sliding hybrid: edge Expand over a pushed filter") {
+    val p = plan("q_wheel_sliding_residue_sql")
+    // interior windows as a LocalRelation, edge rows through the
+    // re-rooted Expand over a bounded scan with directly-pushed bounds
+    assert(p.contains("LocalTableScan"), p)
+    assert(p.contains("Expand"), p)
+    assert(p.contains("FileScan"), p)
+    assert(p.contains("PushedFilters: [Or(And(GreaterThanOrEqual(ts,"), p)
+  }
+
   test("two bloom predicates on one session keep their own filters (no registry race)") {
     // ADVICE r6: under a FIXED registered name, building a second bloom
     // Column before the first query analyzed would overwrite the registry
