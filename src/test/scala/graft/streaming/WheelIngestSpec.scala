@@ -82,6 +82,20 @@ class WheelIngestSpec extends AnyFunSuite {
       val unaligned = rangeSql(path, t0, t0 + 2 * Min + 1)
       assert(folded(unaligned), unaligned.queryExecution.optimizedPlan.treeString)
       assert(unaligned.collect()(0).getDouble(0) == 17.0)
+
+      // the SLIDING window() spelling folds off the same live
+      // registration (round 10) — the rewrite surface is registry-wide,
+      // not batch-build-specific
+      spark.read.parquet(path).createOrReplaceTempView("live_events")
+      val sliding = spark.sql(
+        "SELECT unix_millis(window.start) AS ws, SUM(value) AS s, COUNT(*) AS n " +
+          s"FROM live_events WHERE unix_millis(ts) >= $t0 " +
+          s"AND unix_millis(ts) < ${t0 + 3 * Min} " +
+          "GROUP BY window(ts, '2 minutes', '1 minute') ORDER BY 1")
+      assert(folded(sliding), sliding.queryExecution.optimizedPlan.treeString)
+      assert(sliding.collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq ==
+        Seq((t0 - Min, 11.0, 2L), (t0, 13.0, 3L), (t0 + Min, 6.0, 2L),
+          (t0 + 2 * Min, 4.0, 1L)))
     } finally {
       q.stop()
       WheelAcceleration.unregister(path)
