@@ -546,6 +546,66 @@ class WheelIngestSpec extends AnyFunSuite {
     }
   }
 
+  test("a 2-measure KEYED ingest restarts tail-only through the keyedmulti sidecar (round 10)") {
+    import spark.implicits._
+    System.setProperty("graft.wheel.fingerprint.ttlMs", "0")
+    val path = fixture("keyed-multi-persist/events.parquet")
+    val persistDir = fixture("keyed-multi-persist/index")
+    val t0 = Q.Jan1
+
+    implicit val sc = spark.sqlContext
+    val mem1 = MemoryStream[(java.sql.Timestamp, String, Double, Double)]
+    val q1 = WheelIngest.start(
+      mem1.toDF().toDF("ts", "event_type", "value", "qty"),
+      path, fixture("keyed-multi-persist/ckpt1"),
+      valueCols = Seq("value", "qty"),
+      persistDir = Some(persistDir), keyCol = Some("event_type"))
+    try {
+      mem1.addData((new java.sql.Timestamp(t0), "click", 1.0, 10.0),
+        (new java.sql.Timestamp(t0 + Min), "view", 2.0, 20.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    WheelAcceleration.unregister(path)
+    val meta = graft.wheel.PersistentWheel.peek(spark, s"$persistDir/keyed").get
+    assert(meta.kind == graft.wheel.PersistentWheel.KeyedMultiKind)
+    assert(meta.valueCols == Seq("event_type", "value", "qty"))
+
+    // downtime write, then restart: the keyed family proves coverage
+    // and reads only the tail, with BOTH measures live after
+    val preFiles = listDataFiles(path)
+    Seq((new java.sql.Timestamp(t0 + 2 * Min), "click", 4.0, 40.0))
+      .toDF("ts", "event_type", "value", "qty")
+      .write.mode("append").parquet(path)
+    val tailFiles = listDataFiles(path) -- preFiles
+
+    val mem2 = MemoryStream[(java.sql.Timestamp, String, Double, Double)]
+    val q2 = WheelIngest.start(
+      mem2.toDF().toDF("ts", "event_type", "value", "qty"),
+      path, fixture("keyed-multi-persist/ckpt2"),
+      valueCols = Seq("value", "qty"),
+      persistDir = Some(persistDir), keyCol = Some("event_type"))
+    try {
+      val report = WheelIngest.lastBootstrap(path).get
+      assert(report.keyedCoveredFiles > 0, report)
+      assert(report.keyedTailFiles.toSet == tailFiles, report)
+
+      spark.read.parquet(path).createOrReplaceTempView("live_events")
+      val mixed = spark.sql(
+        s"SELECT event_type, (unix_millis(ts) div $Min) * $Min AS slot_ms, " +
+          "SUM(value) AS s, MAX(qty) AS mq, COUNT(*) AS n FROM live_events " +
+          s"WHERE unix_millis(ts) >= $t0 AND unix_millis(ts) < ${t0 + 3 * Min} " +
+          "GROUP BY 1, 2 ORDER BY 1, 2")
+      assert(folded(mixed), mixed.queryExecution.optimizedPlan.treeString)
+      assert(mixed.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3), r.getLong(4))).toSeq ==
+        Seq(("click", t0, 1.0, 10.0, 1L), ("click", t0 + 2 * Min, 4.0, 40.0, 1L),
+          ("view", t0 + Min, 2.0, 20.0, 1L)))
+    } finally {
+      q2.stop()
+      WheelAcceleration.unregister(path)
+    }
+  }
+
   test("late rows below the lateness horizon are merged AND counted (round 10)") {
     import spark.implicits._
     System.setProperty("graft.wheel.fingerprint.ttlMs", "0")
