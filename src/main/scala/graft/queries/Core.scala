@@ -533,6 +533,23 @@ object Core {
            |""".stripMargin)
     }),
 
+    // KEYED tumbling window() fold (round 10): Spark's native window
+    // idiom per dimension key — GROUP BY event_type, window(ts, '1
+    // hour') — struct slot keys from the keyed wheel (spec-proven
+    // since round 7, now driver-verified).
+    "q_wheel_window_keyed_sql" -> ((s, dir) => {
+      graft.plans.WheelAcceleration.registerKeyed(
+        s, s"$dir/events.parquet", t(s, dir, "events"), "event_type")
+      t(s, dir, "events").createOrReplaceTempView("events_wheel")
+      s.sql(
+        s"""SELECT event_type, unix_millis(window.start) AS ws_ms,
+           |ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n
+           |FROM events_wheel
+           |WHERE unix_millis(ts) >= $R1Start AND unix_millis(ts) < $R1End
+           |GROUP BY event_type, window(ts, '1 hour') ORDER BY 1, 2
+           |""".stripMargin)
+    }),
+
     // SLIDING hybrid residue (round 10): the sliding spelling over a
     // range with SUB-MINUTE edges. Interior windows fold from the
     // index; the edge rows re-enumerate their windows through the
@@ -875,6 +892,11 @@ object Core {
         "ON m.slot_ms >= g.ws AND m.slot_ms < g.ws + 3600000) " +
         "SELECT ws AS ws_ms, ws + 3600000 AS we_ms, ROUND(SUM(sv), 2) AS sum_value, " +
         "CAST(SUM(cn) AS BIGINT) AS n FROM j GROUP BY 1, 2 ORDER BY 1"),
+    "q_wheel_window_keyed_sql" ->
+      ("SELECT event_type, (epoch_ms(ts) // 3600000) * 3600000 AS ws_ms, " +
+        "ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n FROM events " +
+        s"WHERE epoch_ms(ts) >= $R1Start AND epoch_ms(ts) < $R1End " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
     "q_wheel_sliding_residue_sql" ->
       // sub-minute edges: the minute rollup cannot express the clips,
       // so the oracle joins RAW rows to the window grid directly
