@@ -846,6 +846,42 @@ class WheelAccelerationSpec extends AnyFunSuite {
           s"FROM km WHERE unix_millis(ts) >= ${t0 + 10000} " +
           s"AND unix_millis(ts) < ${t0 + 7200000 - 15000} " +
           "GROUP BY 1, 2 ORDER BY 1, 2", expectFold = true)
+
+      // ABOVE-CAP distributed fallback with MULTIPLE measures: the
+      // minute-state rows must align every measure's wheel per entry
+      // (keyed via minuteAt(key, slot); unkeyed via minuteAt(slot))
+      System.setProperty("graft.wheel.rewrite.maxFoldRows", "1")
+      try {
+        // keyed multi: distributed Aggregate, values still scan-exact
+        run(
+          "SELECT k, (unix_millis(ts) div 60000) * 60000 AS slot_ms, " +
+            "ROUND(SUM(value), 2) AS s, ROUND(AVG(qty), 4) AS aq, COUNT(*) AS n " +
+            s"FROM km WHERE unix_millis(ts) >= $t0 " +
+            s"AND unix_millis(ts) < ${t0 + 7200000} " +
+            "GROUP BY 1, 2 ORDER BY 1, 2", expectFold = true)
+        // unkeyed multi over the same fixture
+        WheelAcceleration.clear()
+        WheelAcceleration.registerMulti(
+          spark, src, spark.read.parquet(src), "ts", Seq("value", "qty"))
+        spark.read.parquet(src).createOrReplaceTempView("km")
+        val df = spark.sql(
+          "SELECT (unix_millis(ts) div 60000) * 60000 AS slot_ms, " +
+            "ROUND(SUM(value), 2) AS s, ROUND(MAX(qty), 4) AS mq, COUNT(*) AS n " +
+            s"FROM km WHERE unix_millis(ts) >= $t0 " +
+            s"AND unix_millis(ts) < ${t0 + 7200000} GROUP BY 1 ORDER BY 1")
+        assert(df.queryExecution.optimizedPlan.collect {
+          case l: LocalRelation => l
+        }.nonEmpty, df.queryExecution.optimizedPlan.treeString)
+        val got = df.collect().map(_.toString).toSeq
+        WheelAcceleration.clear()
+        val want = spark.sql(
+          "SELECT (unix_millis(ts) div 60000) * 60000 AS slot_ms, " +
+            "ROUND(SUM(value), 2) AS s, ROUND(MAX(qty), 4) AS mq, COUNT(*) AS n " +
+            s"FROM km WHERE unix_millis(ts) >= $t0 " +
+            s"AND unix_millis(ts) < ${t0 + 7200000} GROUP BY 1 ORDER BY 1")
+          .collect().map(_.toString).toSeq
+        assert(got == want && got.nonEmpty)
+      } finally System.clearProperty("graft.wheel.rewrite.maxFoldRows")
     } finally WheelAcceleration.clear()
   }
 
