@@ -882,6 +882,27 @@ class WheelAccelerationSpec extends AnyFunSuite {
           .collect().map(_.toString).toSeq
         assert(got == want && got.nonEmpty)
       } finally System.clearProperty("graft.wheel.rewrite.maxFoldRows")
+
+      // sliding HYBRID over a multi-measure registration when the query
+      // aggregates only ONE measure: column pruning drops the other
+      // from the Expand, and the edge/interior legs must follow suit
+      WheelAcceleration.clear()
+      WheelAcceleration.registerMulti(
+        spark, src, spark.read.parquet(src), "ts", Seq("value", "qty"))
+      spark.read.parquet(src).createOrReplaceTempView("km")
+      val sSql =
+        "SELECT unix_millis(window.start) AS ws, ROUND(SUM(value), 2) AS s, " +
+          s"COUNT(*) AS n FROM km WHERE unix_millis(ts) >= ${t0 + 10000} " +
+          s"AND unix_millis(ts) < ${t0 + 7200000 - 15000} " +
+          "GROUP BY window(ts, '10 minutes', '5 minutes') ORDER BY 1"
+      val sdf = spark.sql(sSql)
+      assert(sdf.queryExecution.optimizedPlan.collect {
+        case l: LocalRelation => l
+      }.nonEmpty, sdf.queryExecution.optimizedPlan.treeString)
+      val sGot = sdf.collect().map(_.toString).toSeq
+      WheelAcceleration.clear()
+      val sWant = spark.sql(sSql).collect().map(_.toString).toSeq
+      assert(sGot == sWant && sGot.nonEmpty)
     } finally WheelAcceleration.clear()
   }
 
