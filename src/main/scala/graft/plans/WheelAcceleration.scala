@@ -267,6 +267,39 @@ object WheelAcceleration {
     reg.wheels(valueCol)
   }
 
+  /** PERSISTED N-measure keyed registration (round 10): every listed
+    * measure's per-key wheel served from a `keyedmulti` dir when its
+    * recorded source fingerprint, key and measure columns match — an
+    * O(|keys| × slots × measures) load with NO source scan — and
+    * rebuilt+re-saved (one keyedRollupMulti job) otherwise. Because
+    * the live keyed ingest checkpoints in exactly this format, a batch
+    * session can register straight off `persistDir/keyed` — the keyed
+    * mirror of the unkeyed ingest-checkpoint interop. */
+  def registerPersistedKeyedMulti(spark: SparkSession, path: String,
+      indexDir: String, events: => DataFrame, keyCol: String,
+      tsCol: String, valueCols: Seq[String]): Map[String, graft.wheel.KeyedWheelIndex] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fp = fingerprint(path, conf)
+    val reg = keyedRegistry.compute(normalize(path), (_, old) =>
+      if (old != null && old.fingerprint == fp && old.keyCol == keyCol &&
+          old.tsCol == tsCol && valueCols.forall(old.wheels.contains)) old
+      else {
+        val saved = graft.wheel.PersistentWheel.peek(spark, indexDir)
+          .filter(m => m.kind == graft.wheel.PersistentWheel.KeyedMultiKind &&
+            m.sourceFingerprint == fp && m.tsCol == tsCol &&
+            m.valueCols == keyCol +: valueCols)
+        // torn saves rebuild, same as every persisted path
+        val wheels = saved.flatMap(_ => scala.util.Try(
+          graft.wheel.PersistentWheel.loadKeyedMulti(spark, indexDir)._2
+        ).toOption).getOrElse(
+          graft.wheel.PersistentWheel.saveKeyedMulti(
+            spark, indexDir, events, keyCol, tsCol, valueCols, fp, path))
+        KeyedReg(keyCol, tsCol, wheels, fp, conf)
+      })
+    enable(spark)
+    reg.wheels
+  }
+
   private[plans] def lookupKeyed(path: String): Option[KeyedReg] =
     Option(keyedRegistry.get(normalize(path)))
       .filter(r => fresh(path, r.fingerprint, r.hadoopConf))

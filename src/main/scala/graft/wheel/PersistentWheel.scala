@@ -305,6 +305,35 @@ object PersistentWheel {
     (meta, df)
   }
 
+  /** N-measure keyed persist with the build included: ONE
+    * keyedRollupMulti aggregation of the source, saved under the
+    * `keyedmulti` kind, returned as the loaded per-measure wheels —
+    * same save-then-reload round trip as [[save]]. */
+  def saveKeyedMulti(spark: SparkSession, indexDir: String, events: DataFrame,
+      keyCol: String, tsCol: String, valueCols: Seq[String],
+      sourceFingerprint: String,
+      sourcePath: String = ""): Map[String, KeyedWheelIndex] = {
+    val normalized = RollupBuilder.normalizeTs(events, tsCol)
+    savePartialsKeyedMulti(spark, indexDir,
+      RollupBuilder.keyedRollupMulti(normalized, keyCol, tsCol, valueCols, Tier.Minute),
+      tsCol, keyCol, valueCols, sourceFingerprint, sourcePath)
+    loadKeyedMulti(spark, indexDir)._2
+  }
+
+  /** Restore every measure's keyed wheel from a `keyedmulti` dir —
+    * O(|keys| × slots × measures) fill, no source scan. The key column
+    * and measure list come back from the sidecar itself, so the dir is
+    * self-describing (an ingest checkpoint's nested keyed sidecar
+    * loads here directly). */
+  def loadKeyedMulti(spark: SparkSession, indexDir: String): (Meta, Map[String, KeyedWheelIndex]) = {
+    val (meta, df) = loadPartialsKeyedMulti(spark, indexDir)
+    val keyCol = meta.valueCols.head
+    val valueCols = meta.valueCols.tail
+    (meta, KeyedWheelIndex.fromMultiPartialRows(
+      df.collect(), df.schema.fieldIndex, keyCol,
+      df.schema(keyCol).dataType, valueCols))
+  }
+
   /** The persisted metadata, or None when `indexDir` holds no readable
     * saved wheel (absent, foreign, or torn) — the "must rebuild"
     * signal. */

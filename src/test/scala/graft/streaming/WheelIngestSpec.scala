@@ -606,6 +606,65 @@ class WheelIngestSpec extends AnyFunSuite {
     }
   }
 
+  test("a keyed ingest checkpoint doubles as a batch registerPersistedKeyedMulti dir (round 10)") {
+    import spark.implicits._
+    System.setProperty("graft.wheel.fingerprint.ttlMs", "0")
+    val path = fixture("keyed-interop/events.parquet")
+    val persistDir = fixture("keyed-interop/index")
+    val t0 = Q.Jan1
+
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double, Double)]
+    val q = WheelIngest.start(
+      mem.toDF().toDF("ts", "event_type", "value", "qty"),
+      path, fixture("keyed-interop/ckpt"),
+      valueCols = Seq("value", "qty"),
+      persistDir = Some(persistDir), keyCol = Some("event_type"))
+    try {
+      mem.addData((new java.sql.Timestamp(t0), "click", 1.0, 10.0),
+        (new java.sql.Timestamp(t0 + Min), "view", 2.0, 20.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    WheelAcceleration.unregister(path)
+
+    // a BATCH session registers every measure's keyed wheel straight
+    // from the ingest's nested keyed sidecar: fingerprint matches the
+    // covered files, so this is a pure O(slots) load — and to PROVE the
+    // disk copy is what serves, tamper it consistently first
+    val (meta, persisted) =
+      graft.wheel.PersistentWheel.loadPartialsKeyedMulti(spark, s"$persistDir/keyed")
+    val schema = persisted.schema
+    val doubled = persisted.collect().map { r =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq.zipWithIndex.map {
+        case (v: Double, i) if schema(i).name == "sum_value" => v * 2
+        case (v, _) => v
+      })
+    }
+    graft.wheel.PersistentWheel.savePartialsKeyedMulti(spark, s"$persistDir/keyed",
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(doubled.toIndexedSeq), schema),
+      meta.tsCol, meta.valueCols.head, meta.valueCols.tail,
+      meta.sourceFingerprint, meta.sourcePath)
+
+    val wheels = WheelAcceleration.registerPersistedKeyedMulti(
+      spark, path, s"$persistDir/keyed", spark.read.parquet(path),
+      "event_type", "ts", Seq("value", "qty"))
+    assert(wheels.keySet == Set("value", "qty"))
+    try {
+      spark.read.parquet(path).createOrReplaceTempView("live_events")
+      val df = spark.sql(
+        s"SELECT event_type, (unix_millis(ts) div $Min) * $Min AS slot_ms, " +
+          "SUM(value) AS s, MAX(qty) AS mq FROM live_events " +
+          s"WHERE unix_millis(ts) >= $t0 AND unix_millis(ts) < ${t0 + 2 * Min} " +
+          "GROUP BY 1, 2 ORDER BY 1, 2")
+      assert(folded(df), df.queryExecution.optimizedPlan.treeString)
+      // doubled sums (disk copy!), untouched qty
+      assert(df.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq ==
+        Seq(("click", t0, 2.0, 10.0), ("view", t0 + Min, 4.0, 20.0)))
+    } finally WheelAcceleration.unregister(path)
+  }
+
   test("late rows below the lateness horizon are merged AND counted (round 10)") {
     import spark.implicits._
     System.setProperty("graft.wheel.fingerprint.ttlMs", "0")
