@@ -113,6 +113,31 @@ object Windows {
     // on ts get gap 0 against each other whichever way the engine
     // orders them, and the default RANGE cumsum frame includes peers,
     // so session assignment is engine-deterministic.
+    // Engine-native session windows (round 10): GROUP BY
+    // session_window(ts, gap) — Spark's dynamic-size window that closes
+    // after 6h of event-time inactivity, the built-in spelling of
+    // q_sessionize's hand-rolled gaps-and-islands. Session end is the
+    // last event's ts + gap and EXCLUSIVE: an event arriving exactly
+    // `gap` after the previous one opens a NEW session (windows
+    // [t, t+gap) and [t+gap, …) do not overlap), which the oracle
+    // mirrors with a `diff >= gap` island break. One shuffle on
+    // user_id; Spark merges overlapping per-event windows in the
+    // MergingSessions aggregation path — no self-join, no driver-side
+    // work, scale-safe at any row count. Decimal-domain sum keeps the
+    // per-session aggregate addition-order-exact across engines.
+    "q_session_window_sql" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "6 hours"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2)
+            .as("sum_value"))
+        .select(col("user_id"),
+          unix_millis(col("session_window.start")).as("start_ms"),
+          unix_millis(col("session_window.end")).as("end_ms"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("start_ms"))
+    }),
+
     "q_sessionize" -> ((s, dir) => {
       val gapMs = 6L * 3600000L
       val tms = unix_millis(col("ts"))
@@ -197,6 +222,18 @@ object Windows {
         "ROUND(CAST(SUM(day_sum) OVER w AS DOUBLE) / COUNT(1) OVER w, 2) AS ma7 " +
         "FROM daily WINDOW w AS (ORDER BY day_ms " +
         "RANGE BETWEEN 518400000 PRECEDING AND CURRENT ROW) ORDER BY day_ms"),
+    "q_session_window_sql" ->
+      ("WITH g AS (SELECT user_id, epoch_ms(ts) AS tms, value, " +
+        "CASE WHEN LAG(epoch_ms(ts)) OVER w IS NULL " +
+        "OR epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w >= 21600000 " +
+        "THEN 1 ELSE 0 END AS new_s FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts))), " +
+        "s AS (SELECT user_id, tms, value, " +
+        "SUM(new_s) OVER (PARTITION BY user_id ORDER BY tms) AS sid FROM g) " +
+        "SELECT user_id, MIN(tms) AS start_ms, MAX(tms) + 21600000 AS end_ms, " +
+        "COUNT(1) AS n_events, " +
+        "ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value " +
+        "FROM s GROUP BY user_id, sid ORDER BY user_id, start_ms"),
     "q_sessionize" ->
       ("WITH g AS (SELECT user_id, epoch_ms(ts) AS tms, value, " +
         "CASE WHEN LAG(epoch_ms(ts)) OVER w IS NULL " +
