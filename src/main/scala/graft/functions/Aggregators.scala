@@ -22,9 +22,10 @@ import graft.wheel.AllAggregate
 object Aggregators {
 
   /** µWheel's composite `All` aggregator: one pass, one buffer →
-    * sum/count/min/max/avg. */
+    * sum/count/min/max/avg/stddev (the buffer carries the second moment
+    * since round 10, so population stddev lowers for free). */
   final case class AllOut(sum_v: Double, cnt: Long, min_v: Double,
-      max_v: Double, avg_v: Double)
+      max_v: Double, avg_v: Double, sd_pop: Double)
 
   val allAgg: Aggregator[Double, AllAggregate, AllOut] =
     new Aggregator[Double, AllAggregate, AllOut] {
@@ -34,7 +35,7 @@ object Aggregators {
       override def merge(a: AllAggregate, b: AllAggregate): AllAggregate =
         a.combine(b)
       override def finish(r: AllAggregate): AllOut =
-        AllOut(r.sum, r.count, r.min, r.max, r.avg)
+        AllOut(r.sum, r.count, r.min, r.max, r.avg, r.stddevPop)
       override def bufferEncoder: Encoder[AllAggregate] = Encoders.product
       override def outputEncoder: Encoder[AllOut] = Encoders.product
     }

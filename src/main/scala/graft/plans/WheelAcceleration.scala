@@ -459,12 +459,14 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       sumAttrs: Map[String, AttributeReference],
       minAttrs: Map[String, AttributeReference],
       maxAttrs: Map[String, AttributeReference],
+      sumsqAttrs: Map[String, AttributeReference],
       rowsAttr: AttributeReference) {
     def partialAttrs: Seq[AttributeReference] =
-      measures.flatMap(c => Seq(sumAttrs(c), minAttrs(c), maxAttrs(c))) :+ rowsAttr
+      measures.flatMap(c =>
+        Seq(sumAttrs(c), minAttrs(c), maxAttrs(c), sumsqAttrs(c))) :+ rowsAttr
     def partialsRow(alls: Map[String, AllAggregate], count: Long): Seq[Any] =
       measures.flatMap { c =>
-        val al = alls(c); Seq[Any](al.sum, al.min, al.max)
+        val al = alls(c); Seq[Any](al.sum, al.min, al.max, al.sumSq)
       } :+ count
   }
 
@@ -478,6 +480,8 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
         AttributeReference(s"__graft_min_$c", DoubleType, nullable = false)()).toMap,
       measures.map(c => c ->
         AttributeReference(s"__graft_max_$c", DoubleType, nullable = false)()).toMap,
+      measures.map(c => c ->
+        AttributeReference(s"__graft_sumsq_$c", DoubleType, nullable = false)()).toMap,
       AttributeReference("__graft_rows", LongType, nullable = false)())
   }
 
@@ -526,15 +530,19 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       measures.flatMap { c =>
         val at = measureAttr(c)
         Seq(Alias(at, s"__graft_sum_$c")(), Alias(at, s"__graft_min_$c")(),
-          Alias(at, s"__graft_max_$c")())
+          Alias(at, s"__graft_max_$c")(),
+          Alias(Multiply(at, at), s"__graft_sumsq_$c")())
       } :+ Alias(Literal(1L, LongType), "__graft_rows")(),
       Filter(edgeCond, below)))
   }
 
   /** The original result expressions rewritten to merge form over the
     * partial columns: SUM→SUM(sum), MIN→MIN(min), MAX→MAX(max),
-    * COUNT→coalesce(SUM(rows), 0), AVG→SUM(sum)/SUM(rows) — `rows`
-    * stands in for every per-measure count because registered measures
+    * COUNT→coalesce(SUM(rows), 0), AVG→SUM(sum)/SUM(rows), and the
+    * second-moment family VAR_POP/VAR_SAMP/STDDEV_POP/STDDEV_SAMP from
+    * (SUM(sumsq) − SUM(sum)²/n)/n (the algebraic variance the partials
+    * carry; clamped at 0, SAMP null below two rows) — `rows` stands in
+    * for every per-measure count because registered measures
     * are never-null (the same contract [[foldRow]] relies on).
     * `groupSubst` replaces grouping spellings with the union's slot
     * attribute (grouped path). None on any unsupported aggregate or a
@@ -560,9 +568,33 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
           m(c).map(n => Divide(ae(Sum(cols.sumAttrs(n))), Cast(sumRows, DoubleType)))
         case Count(cs) if cs.forall(c => m(c).isDefined || c.foldable) =>
           Some(Coalesce(Seq(sumRows, Literal(0L, LongType))))
+        // algebraic second moment: (Σx² − (Σx)²/n)/n over the summed
+        // partials, clamped at 0 (the subtraction can go an ulp
+        // negative on constant groups); SAMP divides by n−1 and is
+        // NULL below two rows — fold only the default
+        // nullOnDivideByZero=true spelling, matching that contract
+        case VariancePop(c, _) => m(c).map(n => varMerge(n, samp = false))
+        case StddevPop(c, _) => m(c).map(n => Sqrt(varMerge(n, samp = false)))
+        case VarianceSamp(c, true) => m(c).map(n => varMerge(n, samp = true))
+        case StddevSamp(c, true) => m(c).map(n => Sqrt(varMerge(n, samp = true)))
         case _ => None
       }
       r.getOrElse { supported = false; e }
+    }
+    def varMerge(n: String, samp: Boolean): Expression = {
+      def ae(f: AggregateFunction) =
+        AggregateExpression(f, Complete, isDistinct = false)
+      val s = ae(Sum(cols.sumAttrs(n)))
+      val q = ae(Sum(cols.sumsqAttrs(n)))
+      val rows = ae(Sum(cols.rowsAttr))
+      val cnt = Cast(rows, DoubleType)
+      val num = Subtract(q, Divide(Multiply(s, s), cnt))
+      val den = if (samp) Subtract(cnt, Literal(1.0, DoubleType)) else cnt
+      val v = Greatest(Seq(Divide(num, den), Literal(0.0, DoubleType)))
+      if (samp)
+        If(LessThanOrEqual(rows, Literal(1L, LongType)),
+          Literal(null, DoubleType), v)
+      else v
     }
     val newAggExprs = aggExprs.map { ne =>
       val substituted =
@@ -1737,6 +1769,15 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
         case Count(cs) if cs.forall(c => measure(c).isDefined || c.foldable) =>
           Some(Literal(
             cs.flatMap(measure).headOption.getOrElse(anyAll).count, LongType))
+        // second moment from the sumsq partial (round 10); SAMP is NULL
+        // below two rows, so only the default nullOnDivideByZero=true
+        // spelling folds
+        case VariancePop(c, _) => folded(c)(_.varPop)
+        case StddevPop(c, _) => folded(c)(_.stddevPop)
+        case VarianceSamp(c, true) => measure(c).map(all => Literal(
+          if (all.count < 2) null else all.varSamp, DoubleType))
+        case StddevSamp(c, true) => measure(c).map(all => Literal(
+          if (all.count < 2) null else all.stddevSamp, DoubleType))
         case _ => None
       }
       r.getOrElse { supported = false; e }

@@ -278,7 +278,8 @@ object Aggregates {
           col("r.cnt").as("n"),
           round(col("r.min_v"), 4).as("min_value"),
           round(col("r.max_v"), 4).as("max_value"),
-          round(col("r.avg_v"), 4).as("avg_value"))
+          round(col("r.avg_v"), 4).as("avg_value"),
+          round(col("r.sd_pop"), 4).as("sd_pop"))
     }),
 
     // µWheel's `TopN` aggregator (SURVEY.md §2.2 / §7.5): bounded-heap
@@ -356,7 +357,8 @@ object Aggregates {
     "q_agg_all_udaf" ->
       (s"SELECT ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n, " +
         "ROUND(MIN(value), 4) AS min_value, ROUND(MAX(value), 4) AS max_value, " +
-        "ROUND(AVG(value), 4) AS avg_value " +
+        "ROUND(AVG(value), 4) AS avg_value, " +
+        "ROUND(STDDEV_POP(value), 4) AS sd_pop " +
         s"FROM events WHERE epoch_ms(ts) >= ${Q.R1Start} AND epoch_ms(ts) < ${Q.R1End}"),
     "q_topn_udaf" ->
       ("SELECT o_custkey, CAST(rn AS BIGINT) AS rk, o_totalprice AS price FROM (" +

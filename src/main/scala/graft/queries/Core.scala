@@ -326,6 +326,25 @@ object Core {
            |GROUP BY 1 ORDER BY 1""".stripMargin)
     }),
 
+    // Second-moment fold (round 10): VARIANCE/STDDEV per hour slot
+    // answered from the wheel's sum-of-squares partial — the All
+    // aggregate extended with the remaining mergeable moment, so the
+    // fold family now covers every algebraic aggregate SQL spells
+    // directly ((Σx² − (Σx)²/n)/n at plan time; SAMP is NULL below two
+    // rows, matching both engines). Same scan-free grouped fold as
+    // q_wheel_grouped, proven in PlanAuditSpec.
+    "q_wheel_stddev_sql" -> ((s, dir) => {
+      graft.plans.WheelAcceleration.register(
+        s, s"$dir/events.parquet", t(s, dir, "events"))
+      t(s, dir, "events").createOrReplaceTempView("events_wheel")
+      s.sql(
+        s"""SELECT (unix_millis(ts) div ${Tier.Hour.ms}) * ${Tier.Hour.ms} AS slot_ms,
+           |ROUND(STDDEV_POP(value), 4) AS sd_pop, ROUND(VAR_POP(value), 4) AS var_pop,
+           |ROUND(STDDEV_SAMP(value), 4) AS sd_samp, COUNT(*) AS n FROM events_wheel
+           |WHERE unix_millis(ts) >= $R1Start AND unix_millis(ts) < $R1End
+           |GROUP BY 1 ORDER BY 1""".stripMargin)
+    }),
+
     // Keyed index path (round 2): GROUP BY dimension × hour-slot over a
     // range, answered from the registered PER-KEY wheel — cardinality
     // |keys| × slots, no scan, no job. The per-key generalization of
@@ -837,6 +856,12 @@ object Core {
     "q_wheel_grouped" ->
       (s"SELECT (epoch_ms(ts) // ${Tier.Hour.ms}) * ${Tier.Hour.ms} AS slot_ms, " +
         "ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n " +
+        s"FROM events WHERE epoch_ms(ts) >= $R1Start AND epoch_ms(ts) < $R1End " +
+        "GROUP BY 1 ORDER BY 1"),
+    "q_wheel_stddev_sql" ->
+      (s"SELECT (epoch_ms(ts) // ${Tier.Hour.ms}) * ${Tier.Hour.ms} AS slot_ms, " +
+        "ROUND(STDDEV_POP(value), 4) AS sd_pop, ROUND(VAR_POP(value), 4) AS var_pop, " +
+        "ROUND(STDDEV_SAMP(value), 4) AS sd_samp, COUNT(*) AS n " +
         s"FROM events WHERE epoch_ms(ts) >= $R1Start AND epoch_ms(ts) < $R1End " +
         "GROUP BY 1 ORDER BY 1"),
     "q_wheel_keyed" ->

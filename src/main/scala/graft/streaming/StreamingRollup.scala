@@ -15,7 +15,7 @@ import graft.wheel.Tier
   *     on the sink table, mirroring tick roll-up.
   *
   * Batch and streaming builds produce the same schema
-  * `(slot_ms, sum_v, cnt, min_v, max_v, rows)`, asserted in
+  * `(slot_ms, sum_v, cnt, min_v, max_v, rows, sumsq_v)`, asserted in
   * StreamingRollupSpec. */
 object StreamingRollup {
 
@@ -31,9 +31,11 @@ object StreamingRollup {
         count(col(valueCol)).as("cnt"),
         min(col(valueCol)).as("min_v"),
         max(col(valueCol)).as("max_v"),
-        count(lit(1)).as("rows"))
+        count(lit(1)).as("rows"),
+        sum(col(valueCol) * col(valueCol)).as("sumsq_v"))
       .select(unix_millis(col("w.start")).as("slot_ms"),
-        col("sum_v"), col("cnt"), col("min_v"), col("max_v"), col("rows"))
+        col("sum_v"), col("cnt"), col("min_v"), col("max_v"), col("rows"),
+        col("sumsq_v"))
 
   /** Slot width sanity: streaming windows are exactly the finest tier. */
   val SlotMs: Long = Tier.Minute.ms
@@ -51,9 +53,11 @@ object StreamingRollup {
         count(col(valueCol)).as("cnt"),
         min(col(valueCol)).as("min_v"),
         max(col(valueCol)).as("max_v"),
-        count(lit(1)).as("rows"))
+        count(lit(1)).as("rows"),
+        sum(col(valueCol) * col(valueCol)).as("sumsq_v"))
       .select(col(keyCol).as("key"), unix_millis(col("w.start")).as("slot_ms"),
-        col("sum_v"), col("cnt"), col("min_v"), col("max_v"), col("rows"))
+        col("sum_v"), col("cnt"), col("min_v"), col("max_v"), col("rows"),
+        col("sumsq_v"))
 
   /** Minute-tier streaming HLL sketch rollup — the distinct-count
     * analogue of [[minuteRollup]] (same slotting/watermark contract);

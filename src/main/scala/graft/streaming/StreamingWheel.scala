@@ -45,7 +45,8 @@ final class LiveWheel(keepMinutes: Option[Int] = None) extends Serializable {
       val slot = r.getLong(r.fieldIndex("slot_ms"))
       minutes.put(slot, Slot(
         r.getDouble(r.fieldIndex("sum_v")), r.getLong(r.fieldIndex("cnt")),
-        r.getDouble(r.fieldIndex("min_v")), r.getDouble(r.fieldIndex("max_v"))))
+        r.getDouble(r.fieldIndex("min_v")), r.getDouble(r.fieldIndex("max_v")),
+        r.getDouble(r.fieldIndex("sumsq_v"))))
       if (slot > highWatermarkMs) highWatermarkMs = slot
     }
     keepMinutes.foreach(n => LiveWheel.evictBefore(minutes, highWatermarkMs, n))
@@ -64,16 +65,16 @@ final class LiveWheel(keepMinutes: Option[Int] = None) extends Serializable {
     LiveWheel.foreachMinuteSlot(startMs, endMs) { slot =>
       val s = minutes.get(slot)
       if (s != null && s.cnt > 0)
-        acc = acc.combine(AllAggregate(s.sum, s.cnt, s.min, s.max))
+        acc = acc.combine(AllAggregate(s.sum, s.cnt, s.min, s.max, s.sumSq))
     }
     acc
   }
 
   def querySum(startMs: Long, endMs: Long): Double = query(startMs, endMs).sum
 
-  /** ~48 B per retained slot (4-field partial + map node) — the live
+  /** ~56 B per retained slot (5-field partial + map node) — the live
     * analogue of the batch wheels' footprint estimate. */
-  def sizeBytes: Long = minutes.size.toLong * 48L
+  def sizeBytes: Long = minutes.size.toLong * 56L
 
   /** Introspection parity with the batch family (VERDICT r6 #3). */
   def explain(startMs: Long, endMs: Long): String =
@@ -82,7 +83,8 @@ final class LiveWheel(keepMinutes: Option[Int] = None) extends Serializable {
 }
 
 object LiveWheel {
-  private[streaming] final case class Slot(sum: Double, cnt: Long, min: Double, max: Double)
+  private[streaming] final case class Slot(sum: Double, cnt: Long, min: Double,
+      max: Double, sumSq: Double)
 
   /** The one decompose-then-walk-minute-slots skeleton every live wheel
     * queries through (the live indexes retain only the minute tier, so
@@ -326,7 +328,8 @@ final class KeyedLiveWheel(keepMinutes: Option[Int] = None) extends Serializable
       val m = perKey.computeIfAbsent(key, _ => new ConcurrentHashMap[Long, Slot]())
       m.put(slot, Slot(
         r.getDouble(r.fieldIndex("sum_v")), r.getLong(r.fieldIndex("cnt")),
-        r.getDouble(r.fieldIndex("min_v")), r.getDouble(r.fieldIndex("max_v"))))
+        r.getDouble(r.fieldIndex("min_v")), r.getDouble(r.fieldIndex("max_v")),
+        r.getDouble(r.fieldIndex("sumsq_v"))))
       if (slot > highWatermarkMs) highWatermarkMs = slot
     }
     keepMinutes.foreach { n =>
@@ -380,7 +383,7 @@ final class KeyedLiveWheel(keepMinutes: Option[Int] = None) extends Serializable
     LiveWheel.foreachMinuteSlot(startMs, endMs) { slot =>
       val s = m.get(slot)
       if (s != null && s.cnt > 0)
-        acc = acc.combine(AllAggregate(s.sum, s.cnt, s.min, s.max))
+        acc = acc.combine(AllAggregate(s.sum, s.cnt, s.min, s.max, s.sumSq))
     }
     acc
   }

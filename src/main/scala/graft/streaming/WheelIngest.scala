@@ -105,15 +105,17 @@ object WheelIngest {
     * first committed batch, or when `latenessHorizonMs` is unset). */
   def ingestStats(path: String): Option[IngestStats] = Option(stats.get(path))
 
-  /** Per-slot accumulator state: one (sum, cnt, min, max) block per
-    * measure, plus the shared all-rows count. */
+  /** Per-slot accumulator state: one (sum, cnt, min, max, sumsq) block
+    * per measure, plus the shared all-rows count. */
   private final case class Slot(sums: Array[Double], cnts: Array[Long],
-      mins: Array[Double], maxs: Array[Double], rows: Long) {
+      mins: Array[Double], maxs: Array[Double], sumsqs: Array[Double],
+      rows: Long) {
     def merge(o: Slot): Slot = Slot(
       Array.tabulate(sums.length)(i => sums(i) + o.sums(i)),
       Array.tabulate(cnts.length)(i => cnts(i) + o.cnts(i)),
       Array.tabulate(mins.length)(i => math.min(mins(i), o.mins(i))),
       Array.tabulate(maxs.length)(i => math.max(maxs(i), o.maxs(i))),
+      Array.tabulate(sumsqs.length)(i => sumsqs(i) + o.sumsqs(i)),
       rows + o.rows)
   }
 
@@ -160,24 +162,25 @@ object WheelIngest {
     def coveredFingerprint(): String =
       coveredTokens.toArray(new Array[String](0)).sorted.mkString("|")
 
-    // minuteRollupMulti shape: slot_ms, (sum/cnt/min/max)×measure, rows
+    // minuteRollupMulti shape: slot_ms, (sum/cnt/min/max/sumsq)×measure, rows
     val partialCols =
       "slot_ms" +: valueCols.flatMap(c =>
-        Seq(s"sum_$c", s"cnt_$c", s"min_$c", s"max_$c")) :+ "rows"
+        Seq(s"sum_$c", s"cnt_$c", s"min_$c", s"max_$c", s"sumsq_$c")) :+ "rows"
     val fi: String => Int = partialCols.zipWithIndex.toMap
 
     def mergeRows(rows: Array[Row]): Unit = rows.foreach { r =>
       val all = r.getLong(fi("rows"))
       valueCols.zipWithIndex.foreach { case (c, i) =>
-        require(r.getLong(2 + 4 * i) == all,
+        require(r.getLong(2 + 5 * i) == all,
           s"measure column '$c' has NULLs in ingested batch (slot " +
             s"${r.getLong(0)}); the wheel index requires a never-null measure")
       }
       val slot = Slot(
-        Array.tabulate(n)(i => r.getDouble(1 + 4 * i)),
-        Array.tabulate(n)(i => r.getLong(2 + 4 * i)),
-        Array.tabulate(n)(i => r.getDouble(3 + 4 * i)),
-        Array.tabulate(n)(i => r.getDouble(4 + 4 * i)),
+        Array.tabulate(n)(i => r.getDouble(1 + 5 * i)),
+        Array.tabulate(n)(i => r.getLong(2 + 5 * i)),
+        Array.tabulate(n)(i => r.getDouble(3 + 5 * i)),
+        Array.tabulate(n)(i => r.getDouble(4 + 5 * i)),
+        Array.tabulate(n)(i => r.getDouble(5 + 5 * i)),
         all)
       acc.merge(r.getLong(0), slot, (a, b) => a.merge(b))
       if (r.getLong(0) > maxSeenSlotMs) maxSeenSlotMs = r.getLong(0)
@@ -190,7 +193,7 @@ object WheelIngest {
         val e = it.next()
         val s = e.getValue
         val vals = Seq.tabulate(n)(i =>
-          Seq[Any](s.sums(i), s.cnts(i), s.mins(i), s.maxs(i))).flatten
+          Seq[Any](s.sums(i), s.cnts(i), s.mins(i), s.maxs(i), s.sumsqs(i))).flatten
         buf += Row.fromSeq(e.getKey.longValue() +: vals :+ s.rows)
       }
       buf.result()
@@ -214,20 +217,21 @@ object WheelIngest {
     // keyedRollupMulti shape: key, slot_ms, blocks×measure, rows
     val keyedPartialCols: Seq[String] = keyCol.toSeq.flatMap(k =>
       k +: "slot_ms" +: valueCols.flatMap(c =>
-        Seq(s"sum_$c", s"cnt_$c", s"min_$c", s"max_$c")) :+ "rows")
+        Seq(s"sum_$c", s"cnt_$c", s"min_$c", s"max_$c", s"sumsq_$c")) :+ "rows")
     val kfi: String => Int = keyedPartialCols.zipWithIndex.toMap
     def mergeKeyedRows(rows: Array[Row]): Unit = rows.foreach { r =>
       val all = r.getLong(kfi("rows"))
       valueCols.zipWithIndex.foreach { case (c, i) =>
-        require(r.getLong(3 + 4 * i) == all,
+        require(r.getLong(3 + 5 * i) == all,
           s"measure column '$c' has NULLs in ingested batch (key ${r.get(0)}, " +
             s"slot ${r.getLong(1)}); the wheel index requires a never-null measure")
       }
       val slot = Slot(
-        Array.tabulate(n)(i => r.getDouble(2 + 4 * i)),
-        Array.tabulate(n)(i => r.getLong(3 + 4 * i)),
-        Array.tabulate(n)(i => r.getDouble(4 + 4 * i)),
-        Array.tabulate(n)(i => r.getDouble(5 + 4 * i)),
+        Array.tabulate(n)(i => r.getDouble(2 + 5 * i)),
+        Array.tabulate(n)(i => r.getLong(3 + 5 * i)),
+        Array.tabulate(n)(i => r.getDouble(4 + 5 * i)),
+        Array.tabulate(n)(i => r.getDouble(5 + 5 * i)),
+        Array.tabulate(n)(i => r.getDouble(6 + 5 * i)),
         all)
       keyedAcc.merge((r.get(0), r.getLong(1)), slot, (a, b) => a.merge(b))
     }
@@ -238,7 +242,7 @@ object WheelIngest {
         val e = it.next()
         val ((key, slotMs), s) = (e.getKey, e.getValue)
         val vals = Seq.tabulate(n)(i =>
-          Seq[Any](s.sums(i), s.cnts(i), s.mins(i), s.maxs(i))).flatten
+          Seq[Any](s.sums(i), s.cnts(i), s.mins(i), s.maxs(i), s.sumsqs(i))).flatten
         buf += Row.fromSeq(key +: slotMs +: vals :+ s.rows)
       }
       buf.result()
@@ -271,7 +275,8 @@ object WheelIngest {
           StructField(s"sum_$c", DoubleType, nullable = false),
           StructField(s"cnt_$c", LongType, nullable = false),
           StructField(s"min_$c", DoubleType, nullable = false),
-          StructField(s"max_$c", DoubleType, nullable = false))) :+
+          StructField(s"max_$c", DoubleType, nullable = false),
+          StructField(s"sumsq_$c", DoubleType, nullable = false))) :+
         StructField("rows", LongType, nullable = false))
     def persistAccumulator(): Unit = persistDir.foreach { d =>
       val fp = coveredFingerprint()
@@ -293,7 +298,8 @@ object WheelIngest {
                 StructField(s"sum_$c", DoubleType, nullable = false),
                 StructField(s"cnt_$c", LongType, nullable = false),
                 StructField(s"min_$c", DoubleType, nullable = false),
-                StructField(s"max_$c", DoubleType, nullable = false))) :+
+                StructField(s"max_$c", DoubleType, nullable = false),
+                StructField(s"sumsq_$c", DoubleType, nullable = false))) :+
               StructField("rows", LongType, nullable = false))
           val df = spark.createDataFrame(
             java.util.Arrays.asList(keyedSnapshotRows(): _*), keyedSchema)

@@ -91,7 +91,7 @@ final class KeyedWheelIndex private (
 
   /** Approximate retained footprint, the keyed analogue of the sum
     * wheel's `size_bytes()` (/root/reference/src/main.rs:144): per
-    * (key, tier, slot) entry one boxed Long slot key + one 4-field
+    * (key, tier, slot) entry one boxed Long slot key + one 5-field
     * AllAggregate + HashMap node (~72 B together), plus ~48 B of
     * per-key outer-map overhead. An estimate (JVM object layout), but
     * a faithful one: it scales with |keys| × slots, the quantity the
@@ -169,9 +169,11 @@ object KeyedWheelIndex {
       }
     }
     valueCols.map { c =>
-      val (sI, cI, mnI, mxI) = (fi(s"sum_$c"), fi(s"cnt_$c"), fi(s"min_$c"), fi(s"max_$c"))
+      val (sI, cI, mnI, mxI, sqI) = (fi(s"sum_$c"), fi(s"cnt_$c"),
+        fi(s"min_$c"), fi(s"max_$c"), fi(s"sumsq_$c"))
       c -> fromEntryRows(rows.iterator.map(r => (r.get(keyIdx), r.getLong(slotIdx),
-        AllAggregate(r.getDouble(sI), r.getLong(cI), r.getDouble(mnI), r.getDouble(mxI)))),
+        AllAggregate(r.getDouble(sI), r.getLong(cI), r.getDouble(mnI),
+          r.getDouble(mxI), r.getDouble(sqI)))),
         keyCol, keyType)
     }.toMap
   }
@@ -205,7 +207,7 @@ object KeyedWheelIndex {
   private[graft] def partials(events: DataFrame, keyCol: String,
       tsCol: String, valueCol: String): DataFrame =
     RollupBuilder.keyedRollup(events, keyCol, tsCol, valueCol, Tier.Minute)
-      .select(keyCol, "slot_ms", "sum_v", "cnt", "min_v", "max_v", "rows")
+      .select(keyCol, "slot_ms", "sum_v", "cnt", "min_v", "max_v", "rows", "sumsq_v")
 
   /** Driver-side fill from collected [[partials]] rows — shared by
     * [[build]] and [[PersistentWheel.loadKeyed]]. */
@@ -233,7 +235,8 @@ object KeyedWheelIndex {
       // every tier fills from the same row in one pass — per-key tier
       // roll-up by slot-key truncation, exactly the dense wheel's build
       // walk with maps instead of arrays (keys are sparse per slot)
-      val partial = AllAggregate(r.getDouble(2), r.getLong(3), r.getDouble(4), r.getDouble(5))
+      val partial = AllAggregate(r.getDouble(2), r.getLong(3), r.getDouble(4),
+        r.getDouble(5), r.getDouble(7))
       Tier.all.foreach { t =>
         val coarse = slot / t.ms * t.ms
         tiers(t).merge(coarse, partial, (a, b) => a.combine(b))

@@ -27,7 +27,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * {{{
   *   slots.parquet/   minuteRollupMulti partials (slot_ms, per-measure
-  *                    sum/cnt/min/max, rows)
+  *                    sum/cnt/min/max/sumsq, rows)
   *   meta.graft       version / tsCol / valueCols / source fingerprint
   * }}}
   */
@@ -53,7 +53,12 @@ object PersistentWheel {
       valueCols: Seq[String], sourceFingerprint: String,
       sourcePath: String = "", slotsFingerprint: String = "")
 
-  private val Version = 1
+  // Version 2 (round 10): partials carry the `sumsq` second-moment
+  // column (variance/stddev folds). v1 dirs lack it; the version gate
+  // makes every loader reject them, and every registration path already
+  // answers a failed load by rebuilding from source and re-saving —
+  // old warehouses upgrade themselves on first touch.
+  private val Version = 2
   private val MetaFile = "meta.graft"
   private val SlotsDir = "slots.parquet"
   val SumKind = "sum"
@@ -166,7 +171,7 @@ object PersistentWheel {
         s"found ${meta.valueCols.mkString("[", ", ", "]")}")
     val Seq(keyCol, valueCol) = meta.valueCols
     val ordered =
-      df.select(keyCol, "slot_ms", "sum_v", "cnt", "min_v", "max_v", "rows")
+      df.select(keyCol, "slot_ms", "sum_v", "cnt", "min_v", "max_v", "rows", "sumsq_v")
     (meta, KeyedWheelIndex.fromPartialRows(
       ordered.collect(), keyCol, ordered.schema(keyCol).dataType, valueCol))
   }

@@ -7,8 +7,9 @@ import org.apache.spark.sql.functions._
   * equivalent of the reference's wheel build (`insert` loop + single
   * `advance`, /root/reference/src/main.rs:105–144).
   *
-  * Each tier is a DataFrame `(slot_ms: Long, sum_v, cnt, min_v, max_v)` —
-  * the "All" aggregate partial (sum/count/min/max; avg derived at lower).
+  * Each tier is a DataFrame `(slot_ms: Long, sum_v, cnt, min_v, max_v,
+  * sumsq_v)` — the "All" aggregate partial (sum/count/min/max/sum-of-
+  * squares; avg and variance derived at lower).
   * The minute tier aggregates the source once; hour and day tiers are
   * derived FROM the minute tier (re-aggregation of partials, not a rescan),
   * mirroring the wheel's tick roll-up (seconds→minutes→hours→days,
@@ -59,7 +60,8 @@ object RollupBuilder {
         count(col("v")).as("cnt"),
         min(col("v")).as("min_v"),
         max(col("v")).as("max_v"),
-        count(lit(1)).as("rows"))
+        count(lit(1)).as("rows"),
+        sum(col("v") * col("v")).as("sumsq_v"))
 
   /** N-measure variant of [[minuteRollup]]: ONE pass over the source
     * computes every measure's sum/count/min/max per minute slot —
@@ -73,7 +75,8 @@ object RollupBuilder {
     require(valueCols.nonEmpty, "need at least one measure column")
     val aggs = valueCols.flatMap { c =>
       Seq(sum(col(c)).as(s"sum_$c"), count(col(c)).as(s"cnt_$c"),
-        min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))
+        min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+        sum(col(c) * col(c)).as(s"sumsq_$c"))
     } :+ count(lit(1)).as("rows")
     events
       .select(slotMs(col(tsCol), Tier.Minute).as("slot_ms") +: valueCols.map(col): _*)
@@ -90,7 +93,8 @@ object RollupBuilder {
         sum(col("cnt")).as("cnt"),
         min(col("min_v")).as("min_v"),
         max(col("max_v")).as("max_v"),
-        sum(col("rows")).as("rows"))
+        sum(col("rows")).as("rows"),
+        sum(col("sumsq_v")).as("sumsq_v"))
 
   /** All retained tiers, finest built from source, coarser from finer. */
   def buildAll(events: DataFrame, tsCol: String, valueCol: String): Map[Tier, DataFrame] = {
@@ -113,7 +117,8 @@ object RollupBuilder {
         sum(col("cnt")).as("cnt"),
         min(col("min_v")).as("min_v"),
         max(col("max_v")).as("max_v"),
-        sum(col("rows")).as("rows"))
+        sum(col("rows")).as("rows"),
+        sum(col("sumsq_v")).as("sumsq_v"))
 
   /** Per-key wheel: rollup keyed by (dimension, slot) — how the
     * single-measure wheel generalizes to `GROUP BY dim` queries
@@ -129,7 +134,8 @@ object RollupBuilder {
         count(col("v")).as("cnt"),
         min(col("v")).as("min_v"),
         max(col("v")).as("max_v"),
-        count(lit(1)).as("rows"))
+        count(lit(1)).as("rows"),
+        sum(col("v") * col("v")).as("sumsq_v"))
 
   /** N-measure variant of [[keyedRollup]] (round 10, VERDICT r9 #5):
     * ONE pass computes every measure's block per (key, slot) — the
@@ -141,7 +147,8 @@ object RollupBuilder {
     require(valueCols.nonEmpty, "need at least one measure column")
     val aggs = valueCols.flatMap { c =>
       Seq(sum(col(c)).as(s"sum_$c"), count(col(c)).as(s"cnt_$c"),
-        min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))
+        min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+        sum(col(c) * col(c)).as(s"sumsq_$c"))
     } :+ count(lit(1)).as("rows")
     events
       .select(col(keyCol) +: slotMs(col(tsCol), tier).as("slot_ms") +:
@@ -160,5 +167,6 @@ object RollupBuilder {
         sum(col("cnt")).as("cnt"),
         min(col("min_v")).as("min_v"),
         max(col("max_v")).as("max_v"),
-        sum(col("rows")).as("rows"))
+        sum(col("rows")).as("rows"),
+        sum(col("sumsq_v")).as("sumsq_v"))
 }

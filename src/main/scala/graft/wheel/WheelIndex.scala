@@ -3,20 +3,38 @@ package graft.wheel
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** The "All" aggregate over a time range: sum/count/min/max (+ avg at
-  * lower), mirroring µWheel's `All` aggregator family (uwheel 0.1.2's
-  * shipped aggregators; only `F64SumAggregator` is exercised at
-  * /root/reference/src/main.rs:15, but the family is the capability). */
-final case class AllAggregate(sum: Double, count: Long, min: Double, max: Double) {
+/** The "All" aggregate over a time range: sum/count/min/max/sum-of-squares
+  * (+ avg and variance at lower), mirroring µWheel's `All` aggregator
+  * family (uwheel 0.1.2's shipped aggregators; only `F64SumAggregator` is
+  * exercised at /root/reference/src/main.rs:15, but the family is the
+  * capability). `sumSq` (round 10) extends the family with the remaining
+  * mergeable second moment, so `var_pop`/`stddev` over any time range
+  * folds from the index exactly like sum/avg — variance is algebraic
+  * ((Σx² − (Σx)²/n)/n), so the partial stays a constant-width block. */
+final case class AllAggregate(sum: Double, count: Long, min: Double, max: Double, sumSq: Double) {
   def combine(o: AllAggregate): AllAggregate =
     if (count == 0) o
     else if (o.count == 0) this
-    else AllAggregate(sum + o.sum, count + o.count, math.min(min, o.min), math.max(max, o.max))
+    else AllAggregate(sum + o.sum, count + o.count, math.min(min, o.min),
+      math.max(max, o.max), sumSq + o.sumSq)
   def avg: Double = if (count == 0) Double.NaN else sum / count
+  /** Population variance; clamped at 0 (the algebraic form can go an ulp
+    * negative on constant slots). NaN on the empty partial. */
+  def varPop: Double =
+    if (count == 0) Double.NaN
+    else math.max(0.0, (sumSq - sum * sum / count) / count)
+  /** Sample variance; NaN below two rows (callers surface SQL NULL,
+    * matching Spark's and DuckDB's `var_samp` of a single row). */
+  def varSamp: Double =
+    if (count < 2) Double.NaN
+    else math.max(0.0, (sumSq - sum * sum / count) / (count - 1))
+  def stddevPop: Double = math.sqrt(varPop)
+  def stddevSamp: Double = math.sqrt(varSamp)
 }
 object AllAggregate {
-  val identity: AllAggregate = AllAggregate(0.0, 0L, Double.PositiveInfinity, Double.NegativeInfinity)
-  def lift(v: Double): AllAggregate = AllAggregate(v, 1L, v, v)
+  val identity: AllAggregate =
+    AllAggregate(0.0, 0L, Double.PositiveInfinity, Double.NegativeInfinity, 0.0)
+  def lift(v: Double): AllAggregate = AllAggregate(v, 1L, v, v, v * v)
 }
 
 /** Driver-local hierarchical aggregate index over one (timestamp, value)
@@ -161,7 +179,7 @@ final class WheelIndex private (
     val b = tiers(Tier.Minute)
     val i = ((slotMs - baseMs) / Tier.Minute.ms).toInt
     if (slotMs < baseMs || i >= b.count.length || b.count(i) == 0L) AllAggregate.identity
-    else AllAggregate(b.sum(i), b.count(i), b.min(i), b.max(i))
+    else AllAggregate(b.sum(i), b.count(i), b.min(i), b.max(i), b.sumSq(i))
   }
 
   /** Non-empty minute slots of `[a, b)` with their partials — the feed
@@ -179,7 +197,8 @@ final class WheelIndex private (
     Iterator.iterate(lo)(_ + m).takeWhile(_ < hi).flatMap { slot =>
       val i = ((slot - baseMs) / m).toInt
       if (i >= 0 && i < block.count.length && block.count(i) > 0L)
-        Some(slot -> AllAggregate(block.sum(i), block.count(i), block.min(i), block.max(i)))
+        Some(slot -> AllAggregate(block.sum(i), block.count(i), block.min(i),
+          block.max(i), block.sumSq(i)))
       else None
     }
   }
@@ -244,10 +263,12 @@ final class WheelIndex private (
       val i = ((slot - baseMs) / run.tier.ms).toInt
       if (i >= 0 && i < block.count.length && block.count(i) > 0) {
         acc =
-          if (acc.count == 0) AllAggregate(block.sum(i), block.count(i), block.min(i), block.max(i))
+          if (acc.count == 0) AllAggregate(block.sum(i), block.count(i),
+            block.min(i), block.max(i), block.sumSq(i))
           else AllAggregate(
             acc.sum + block.sum(i), acc.count + block.count(i),
-            math.min(acc.min, block.min(i)), math.max(acc.max, block.max(i)))
+            math.min(acc.min, block.min(i)), math.max(acc.max, block.max(i)),
+            acc.sumSq + block.sumSq(i))
       }
       slot += run.tier.ms
     }
@@ -265,9 +286,9 @@ final class WheelIndex private (
       startMs, endMs, usable)
 
   /** Approximate retained-index footprint, analogous to `size_bytes()`
-    * (/root/reference/src/main.rs:144): 4 primitive arrays × 8 bytes. */
+    * (/root/reference/src/main.rs:144): 5 primitive arrays × 8 bytes. */
   def sizeBytes: Long =
-    tiers.valuesIterator.map(b => b.sum.length.toLong * 8 * 4).sum
+    tiers.valuesIterator.map(b => b.sum.length.toLong * 8 * 5).sum
 
   def slotCounts: Map[Tier, Int] = tiers.map { case (t, b) => t -> b.sum.length }
 }
@@ -275,7 +296,8 @@ final class WheelIndex private (
 object WheelIndex {
 
   private[wheel] final case class TierBlock(
-      sum: Array[Double], count: Array[Long], min: Array[Double], max: Array[Double])
+      sum: Array[Double], count: Array[Long], min: Array[Double],
+      max: Array[Double], sumSq: Array[Double])
 
   /** Build from a source DataFrame: one Spark aggregation to minute
     * partials (bounded by time span, always driver-collectable), then
@@ -289,7 +311,7 @@ object WheelIndex {
       retention: Map[Tier, Retention] = Map.empty): WheelIndex = {
     val events = RollupBuilder.normalizeTs(rawEvents, tsCol)
     val minuteRows = RollupBuilder.minuteRollup(events, tsCol, valueCol)
-      .select("slot_ms", "sum_v", "cnt", "min_v", "max_v", "rows")
+      .select("slot_ms", "sum_v", "cnt", "min_v", "max_v", "rows", "sumsq_v")
       .collect()
     require(minuteRows.nonEmpty, "cannot index an empty source")
     // Never-null-measure contract, asserted rather than documented:
@@ -309,12 +331,14 @@ object WheelIndex {
     def alloc(tier: Tier): TierBlock = {
       val n = ((horizon - base) / tier.ms).toInt
       TierBlock(new Array[Double](n), new Array[Long](n),
-        Array.fill(n)(Double.PositiveInfinity), Array.fill(n)(Double.NegativeInfinity))
+        Array.fill(n)(Double.PositiveInfinity), Array.fill(n)(Double.NegativeInfinity),
+        new Array[Double](n))
     }
     val blocks = Tier.all.map(t => t -> alloc(t)).toMap
     minuteRows.foreach { r =>
-      val (slot, s, c, mn, mx) =
-        (r.getLong(0), r.getDouble(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+      val (slot, s, c, mn, mx, sq) =
+        (r.getLong(0), r.getDouble(1), r.getLong(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(6))
       Tier.all.foreach { tier =>
         val b = blocks(tier)
         val i = ((slot - base) / tier.ms).toInt
@@ -322,6 +346,7 @@ object WheelIndex {
         b.count(i) += c
         b.min(i) = math.min(b.min(i), mn)
         b.max(i) = math.max(b.max(i), mx)
+        b.sumSq(i) += sq
       }
     }
     // Evict: zero fine-tier slots older than the retained span so the
@@ -334,7 +359,7 @@ object WheelIndex {
         val keepFrom = ((keepFromMs - base) / tier.ms).toInt
         var i = 0
         while (i < keepFrom && i < b.sum.length) {
-          b.sum(i) = 0.0; b.count(i) = 0L
+          b.sum(i) = 0.0; b.count(i) = 0L; b.sumSq(i) = 0.0
           b.min(i) = Double.PositiveInfinity; b.max(i) = Double.NegativeInfinity
           i += 1
         }
@@ -372,13 +397,14 @@ object WheelIndex {
     * range edge. */
   private[graft] def scanFallback(events: DataFrame, tsCol: String,
       valueCol: String): (Long, Long) => AllAggregate = { (a, b) =>
+    val v = col(valueCol).cast("double")
     val r = events
       .filter(unix_millis(col(tsCol)) >= a && unix_millis(col(tsCol)) < b)
-      .agg(sum(col(valueCol).cast("double")), count(col(valueCol)),
-        min(col(valueCol).cast("double")), max(col(valueCol).cast("double")))
+      .agg(sum(v), count(v), min(v), max(v), sum(v * v))
       .collect()(0)
     if (r.getLong(1) == 0L) AllAggregate.identity
-    else AllAggregate(r.getDouble(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+    else AllAggregate(r.getDouble(0), r.getLong(1), r.getDouble(2),
+      r.getDouble(3), r.getDouble(4))
   }
 
   /** Fill per-measure tier blocks from collected MINUTE-PARTIAL rows
@@ -413,20 +439,22 @@ object WheelIndex {
     def alloc(tier: Tier): TierBlock = {
       val n = ((horizon - base) / tier.ms).toInt
       TierBlock(new Array[Double](n), new Array[Long](n),
-        Array.fill(n)(Double.PositiveInfinity), Array.fill(n)(Double.NegativeInfinity))
+        Array.fill(n)(Double.PositiveInfinity), Array.fill(n)(Double.NegativeInfinity),
+        new Array[Double](n))
     }
     val perMeasure = valueCols.map { c =>
       c -> (Tier.all.map(t => t -> alloc(t)).toMap,
-        fi(s"sum_$c"), fi(s"cnt_$c"), fi(s"min_$c"), fi(s"max_$c"))
+        fi(s"sum_$c"), fi(s"cnt_$c"), fi(s"min_$c"), fi(s"max_$c"), fi(s"sumsq_$c"))
     }
     // THE shared slot walk: every measure's blocks fill from one pass
     // over the collected rows
     rows.foreach { r =>
       val slot = r.getLong(fi("slot_ms"))
-      perMeasure.foreach { case (_, (blocks, sI, cI, mnI, mxI)) =>
+      perMeasure.foreach { case (_, (blocks, sI, cI, mnI, mxI, sqI)) =>
         if (!r.isNullAt(sI)) {
-          val (s, c, mn, mx) =
-            (r.getDouble(sI), r.getLong(cI), r.getDouble(mnI), r.getDouble(mxI))
+          val (s, c, mn, mx, sq) =
+            (r.getDouble(sI), r.getLong(cI), r.getDouble(mnI), r.getDouble(mxI),
+              r.getDouble(sqI))
           Tier.all.foreach { tier =>
             val b = blocks(tier)
             val i = ((slot - base) / tier.ms).toInt
@@ -434,11 +462,12 @@ object WheelIndex {
             b.count(i) += c
             b.min(i) = math.min(b.min(i), mn)
             b.max(i) = math.max(b.max(i), mx)
+            b.sumSq(i) += sq
           }
         }
       }
     }
-    perMeasure.map { case (valueCol, (blocks, _, _, _, _)) =>
+    perMeasure.map { case (valueCol, (blocks, _, _, _, _, _)) =>
       retention.foreach {
         case (tier, Retention.KeepN(n)) =>
           val b = blocks(tier)
@@ -446,7 +475,7 @@ object WheelIndex {
           val keepFrom = ((keepFromMs - base) / tier.ms).toInt
           var i = 0
           while (i < keepFrom && i < b.sum.length) {
-            b.sum(i) = 0.0; b.count(i) = 0L
+            b.sum(i) = 0.0; b.count(i) = 0L; b.sumSq(i) = 0.0
             b.min(i) = Double.PositiveInfinity; b.max(i) = Double.NegativeInfinity
             i += 1
           }
@@ -466,14 +495,16 @@ object WheelIndex {
     val parts = runs.map { run =>
       rollups(run.tier)
         .filter(col("slot_ms") >= lit(run.startMs) && col("slot_ms") < lit(run.endMs))
-        .select(col("sum_v"), col("cnt"), col("min_v"), col("max_v"))
+        .select(col("sum_v"), col("cnt"), col("min_v"), col("max_v"), col("sumsq_v"))
     }
     val all = parts.reduceOption(_.union(_)).getOrElse(
       spark.emptyDataFrame.select(
         lit(0.0).as("sum_v"), lit(0L).as("cnt"),
-        lit(Double.PositiveInfinity).as("min_v"), lit(Double.NegativeInfinity).as("max_v")))
+        lit(Double.PositiveInfinity).as("min_v"), lit(Double.NegativeInfinity).as("max_v"),
+        lit(0.0).as("sumsq_v")))
     all.agg(
       sum(col("sum_v")).as("sum_v"), sum(col("cnt")).as("cnt"),
-      min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"))
+      min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"),
+      sum(col("sumsq_v")).as("sumsq_v"))
   }
 }

@@ -958,4 +958,82 @@ class WheelAccelerationSpec extends AnyFunSuite {
     val row = df.collect()(0)
     assert(row.isNullAt(0) && row.getLong(1) == 0L)
   }
+
+  test("STDDEV/VARIANCE fold from the sumsq partial: grouped fold + hybrid edges (round 10)") {
+    register()
+    events.createOrReplaceTempView("events_accel")
+    val w = 3600000L
+    // aligned grouped fold: pure LocalRelation, every second-moment
+    // spelling computed from the partials at plan time
+    val df = spark.sql(
+      s"SELECT (unix_millis(ts) div $w) * $w AS slot_ms, " +
+        "STDDEV_POP(value) AS sp, VAR_POP(value) AS vp, " +
+        "STDDEV_SAMP(value) AS ss, VAR_SAMP(value) AS vs, COUNT(*) AS n " +
+        s"FROM events_accel WHERE unix_millis(ts) >= ${Q.R1Start} " +
+        s"AND unix_millis(ts) < ${Q.R1End} GROUP BY 1 ORDER BY 1")
+    val plan = df.queryExecution.optimizedPlan
+    assert(plan.collect { case l: LocalRelation => l }.nonEmpty, plan.treeString)
+    assert(!df.queryExecution.executedPlan.toString.contains("FileScan"))
+    val accel = df.collect()
+    val scan = events
+      .filter(unix_millis(col("ts")) >= Q.R1Start &&
+        unix_millis(col("ts")) < Q.R1End && col("event_id") >= -1L)
+      .groupBy(((unix_millis(col("ts")) / w).cast("long") * w).as("slot_ms"))
+      .agg(stddev_pop(col("value")), var_pop(col("value")),
+        stddev_samp(col("value")), var_samp(col("value")), count(lit(1)))
+      .orderBy("slot_ms").collect()
+    assert(accel.length == scan.length && accel.nonEmpty)
+    accel.zip(scan).foreach { case (a2, s2) =>
+      assert(a2.getLong(0) == s2.getLong(0))
+      (1 to 4).foreach { i =>
+        if (s2.isNullAt(i)) assert(a2.isNullAt(i), s"col $i: $a2 vs $s2")
+        else assert(math.abs(a2.getDouble(i) - s2.getDouble(i)) <
+          1e-7 * (1.0 + math.abs(s2.getDouble(i))), s"col $i: $a2 vs $s2")
+      }
+      assert(a2.getLong(5) == s2.getLong(5))
+    }
+
+    // sub-minute edges: the merge-form Aggregate reconstructs the same
+    // moments over the interior-partials + edge-rows union
+    val hybrid = rangeSql(Q.RuStart, Q.RuEnd,
+      "STDDEV_POP(value) AS sp, VAR_SAMP(value) AS vs, COUNT(*) AS n")
+    assert(hybrid.queryExecution.optimizedPlan.collect {
+      case l: LocalRelation => l }.nonEmpty,
+      hybrid.queryExecution.optimizedPlan.treeString)
+    val hAccel = hybrid.collect()(0)
+    val hScan = events
+      .filter(unix_millis(col("ts")) >= Q.RuStart &&
+        unix_millis(col("ts")) < Q.RuEnd && col("event_id") >= -1L)
+      .agg(stddev_pop(col("value")), var_samp(col("value")), count(lit(1)))
+      .collect()(0)
+    assert(hAccel.getLong(2) == hScan.getLong(2))
+    assert(math.abs(hAccel.getDouble(0) - hScan.getDouble(0)) <
+      1e-7 * (1.0 + math.abs(hScan.getDouble(0))))
+    assert(math.abs(hAccel.getDouble(1) - hScan.getDouble(1)) <
+      1e-7 * (1.0 + math.abs(hScan.getDouble(1))))
+  }
+
+  test("single-row range: VAR_POP folds to 0, STDDEV_SAMP folds to NULL (round 10)") {
+    val t0 = Q.R1Start
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stddev_one")
+      .toString + "/one.parquet"
+    spark.sql(
+      s"SELECT timestamp_millis(${t0 + 1000L}) AS ts, 5.0D AS value " +
+        s"UNION ALL SELECT timestamp_millis(${t0 + 60000L}), 7.0D " +
+        s"UNION ALL SELECT timestamp_millis(${t0 + 61000L}), 9.0D")
+      .write.mode("overwrite").parquet(tmp)
+    val src = spark.read.parquet(tmp)
+    WheelAcceleration.register(spark, tmp, src)
+    src.createOrReplaceTempView("one_accel")
+    val df = spark.sql(
+      "SELECT VAR_POP(value) AS vp, STDDEV_SAMP(value) AS ss, " +
+        "VAR_SAMP(value) AS vs, COUNT(*) AS n FROM one_accel " +
+        s"WHERE unix_millis(ts) >= $t0 AND unix_millis(ts) < ${t0 + 60000L}")
+    assert(df.queryExecution.optimizedPlan.collect {
+      case l: LocalRelation => l }.nonEmpty,
+      df.queryExecution.optimizedPlan.treeString)
+    val r = df.collect()(0)
+    assert(r.getDouble(0) == 0.0 && r.isNullAt(1) && r.isNullAt(2) &&
+      r.getLong(3) == 1L, r.toString)
+  }
 }

@@ -88,6 +88,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("FileScan"), p)
   }
 
+  test("q_wheel_stddev_sql folds the second moment to a LocalTableScan (round 10)") {
+    val p = plan("q_wheel_stddev_sql")
+    assert(p.contains("LocalTableScan"), p)
+    assert(!p.contains("FileScan"), p)
+  }
+
   test("q_wheel_keyed_multi_sql folds mixed measures per key to a LocalTableScan (round 10)") {
     val p = plan("q_wheel_keyed_multi_sql")
     assert(p.contains("LocalTableScan"), p)

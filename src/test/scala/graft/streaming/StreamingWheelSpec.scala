@@ -43,7 +43,7 @@ class StreamingWheelSpec extends AnyFunSuite {
       // retained-slot occupancy, footprint, and the expanded combine plan
       val ex = live.explain(T0, T0 + 3 * Min)
       assert(ex.startsWith("LiveWheel(All) watermark=2024-01-01T00:02:00Z"), ex)
-      assert(ex.contains("3 slots retained") && ex.contains("sizeBytes=144"), ex)
+      assert(ex.contains("3 slots retained") && ex.contains("sizeBytes=168"), ex)
       assert(ex.contains("3 minute probes"), ex)
     } finally q.stop()
   }

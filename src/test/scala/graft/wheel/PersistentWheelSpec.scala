@@ -344,6 +344,41 @@ class PersistentWheelSpec extends AnyFunSuite {
     assert(wheels("value").query(Q.R1Start, Q.R1End).count > 0L)
   }
 
+  test("a v1 sidecar (pre-sumsq slots) is rejected; registration rebuilds at v2 (round 10)") {
+    import spark.implicits._
+    System.setProperty("graft.wheel.fingerprint.ttlMs", "0")
+    val src = fixtureDir("v1compat/events.parquet")
+    val idxDir = fixtureDir("v1compat/index")
+    Seq((new java.sql.Timestamp(Q.Jan1), 1.5),
+      (new java.sql.Timestamp(Q.Jan1 + 60000L), 2.5))
+      .toDF("ts", "value").write.mode("overwrite").parquet(src)
+    val source = spark.read.parquet(src)
+    PersistentWheel.save(spark, idxDir, source, "ts", Seq("value"),
+      SourceFingerprint.of(src, spark.sessionState.newHadoopConf()), src)
+    // stamp the sidecar back to version=1 — the v1 slots lacked the
+    // sumsq column, so the version gate must reject the whole dir
+    val metaPath = new java.io.File(s"$idxDir/meta.graft")
+    val old = new String(
+      java.nio.file.Files.readAllBytes(metaPath.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val downgraded = old.linesIterator
+      .map(l => if (l.startsWith("version=")) "version=1" else l)
+      .mkString("\n") + "\n"
+    java.nio.file.Files.write(metaPath.toPath,
+      downgraded.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    new java.io.File(s"$idxDir/.meta.graft.crc").delete()
+    intercept[IllegalArgumentException] {
+      PersistentWheel.load(spark, idxDir)
+    }
+    // registration answers the failed load by rebuilding and re-saving
+    // at the current version — old warehouses upgrade on first touch
+    val wheels = WheelAcceleration.registerPersisted(
+      spark, src, idxDir, source, "ts", Seq("value"))
+    assert(wheels("value").query(Q.Jan1, Q.Jan1 + 120000L).sum == 4.0)
+    assert(PersistentWheel.peek(spark, idxDir).get.version == 2)
+    WheelAcceleration.clear()
+  }
+
   test("registerPersistedKeyed serves the DISK copy when the fingerprint matches (round 8)") {
     import spark.implicits._
     System.setProperty("graft.wheel.fingerprint.ttlMs", "0")
