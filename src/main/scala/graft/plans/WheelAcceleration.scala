@@ -803,10 +803,12 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       case _ => return None
     }
     for {
-      expand <- findExpand(child)
+      (expand, membership) <- findExpand(child)
       path <- sourcePath(expand.child)
       (tsCol, wheels) <- WheelAcceleration.lookup(path)
-      (slideMs, offMs, sizeMs) <- slidingGridOf(expand, winAttr, tsCol)
+      if membership.forall(f => isMembershipFilter(f.condition, winAttr, tsCol))
+      (slideMs, offMs, sizeMs) <- slidingGridOf(expand, winAttr, tsCol,
+        membership.nonEmpty)
       (aOpt, bOpt) <- findFilter(expand.child) match {
         case Some((cond, _)) => rangeMs(cond, tsCol)
         case None => Some((None, None))
@@ -837,8 +839,8 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
             }
           }
           if (ok) Some(LocalRelation(agg.output, out.result())) else None
-        } else slidingResidue(agg, winAttr, expand, aggExprs, tsCol, wheels,
-          slideMs, offMs, sizeMs, a, b, None)
+        } else slidingResidue(agg, winAttr, expand, membership, aggExprs,
+          tsCol, wheels, slideMs, offMs, sizeMs, a, b, None)
     } yield result
   }
 
@@ -853,14 +855,16 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     }
     for {
       winAttr <- winAttrOpt
-      expand <- findExpand(child)
+      (expand, membership) <- findExpand(child)
       path <- sourcePath(expand.child)
       reg <- WheelAcceleration.lookupKeyed(path)
       keyAttr <- groupings.collectFirst {
         case a: AttributeReference if a.name == reg.keyCol => a
       }
       if groupings.size == 2 && !(winAttr eq keyAttr)
-      (slideMs, offMs, sizeMs) <- slidingGridOf(expand, winAttr, reg.tsCol)
+      if membership.forall(f => isMembershipFilter(f.condition, winAttr, reg.tsCol))
+      (slideMs, offMs, sizeMs) <- slidingGridOf(expand, winAttr, reg.tsCol,
+        membership.nonEmpty)
       (aOpt, bOpt) <- findFilter(expand.child) match {
         case Some((cond, _)) => rangeMs(cond, reg.tsCol)
         case None => Some((None, None))
@@ -893,8 +897,9 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
             }
           }
           if (ok) Some(LocalRelation(agg.output, out.result())) else None
-        } else slidingResidue(agg, winAttr, expand, aggExprs, reg.tsCol,
-          Map.empty, slideMs, offMs, sizeMs, a, b, Some((keyAttr, reg)))
+        } else slidingResidue(agg, winAttr, expand, membership, aggExprs,
+          reg.tsCol, Map.empty, slideMs, offMs, sizeMs, a, b,
+          Some((keyAttr, reg)))
     } yield result
   }
 
@@ -909,6 +914,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     * still carries (column pruning may have dropped unused ones). */
   private def slidingResidue(
       agg: Aggregate, winAttr: AttributeReference, expand: Expand,
+      membership: Option[Filter],
       aggExprs: Seq[NamedExpression], tsCol: String,
       wheels: Map[String, WheelIndex], slideMs: Long, offMs: Long,
       sizeMs: Long, a: Long, b: Long,
@@ -977,34 +983,80 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
           case p if p eq innerBelow => parts.edgeFilter
         }
       val edgeExpand = expand.copy(child = edgeChild)
+      // non-divisible slides: the membership filter is part of the
+      // enumeration semantics — the edge rows re-expand through it too
+      val edgeTop: LogicalPlan =
+        membership.map(f => Filter(f.condition, edgeExpand)).getOrElse(edgeExpand)
       val keyProj = keyed.map { case (kA, _) => Alias(kA, "__graft_key")() }.toSeq
       val edgeLeg = Project(
         keyProj ++ (Alias(winAttr, "__graft_slot")() +: parts.edgePartials),
-        edgeExpand)
+        edgeTop)
       Aggregate(keyOut.toSeq :+ slotAttr, newAggExprs, Union(Seq(interior, edgeLeg)))
     }
   }
 
-  /** The Expand through projection-only nodes; any Filter between the
-    * aggregate and the Expand is the non-divisible-slide membership
-    * filter — its semantics are not the exact enumeration, so callers
-    * bail by construction (Filter is not traversed). */
-  private def findExpand(p: LogicalPlan): Option[Expand] = p match {
-    case e: Expand => Some(e)
+  /** The Expand through projection-only nodes, plus the single Filter
+    * above it when present — TimeWindowing emits a window-membership
+    * Filter for non-divisible slides (slide ∤ size: the Expand's
+    * ceil(size/slide) candidate windows over-enumerate and the filter
+    * keeps the containing ones). Callers validate the captured filter
+    * with [[isMembershipFilter]]; any other filter shape bails there.
+    * Two stacked filters are never the TimeWindowing shape. */
+  private def findExpand(p: LogicalPlan): Option[(Expand, Option[Filter])] = p match {
+    case e: Expand => Some((e, None))
+    case f @ Filter(_, ch) => findExpand(ch) match {
+      case Some((e, None)) => Some((e, Some(f)))
+      case _ => None
+    }
     case Project(_, ch) => findExpand(ch)
     case SubqueryAlias(_, ch) => findExpand(ch)
     case _ => None
   }
 
+  /** True iff `cond` is exactly TimeWindowing's membership predicate
+    * for `winAttr`: conjuncts of IsNotNull(win.start/end) plus ONE
+    * `ts >= win.start` and ONE `ts < win.end` (either operand order),
+    * the ts side the bare registered column. Anything else — a user
+    * predicate on the window, another column, a transformed ts — is
+    * not the enumeration semantics and keeps the scan. */
+  private def isMembershipFilter(cond: Expression,
+      winAttr: AttributeReference, tsCol: String): Boolean = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    def field(e: Expression, ord: Int): Boolean = e match {
+      case GetStructField(a: AttributeReference, o, _) =>
+        a.exprId == winAttr.exprId && o == ord
+      case _ => false
+    }
+    def ts(e: Expression): Boolean = e match {
+      case a: AttributeReference => a.name == tsCol
+      case _ => false
+    }
+    var ge = 0
+    var lt = 0
+    val ok = conjuncts(cond).forall {
+      case IsNotNull(e) if field(e, 0) || field(e, 1) => true
+      case GreaterThanOrEqual(t, sF) if ts(t) && field(sF, 0) => ge += 1; true
+      case LessThanOrEqual(sF, t) if ts(t) && field(sF, 0) => ge += 1; true
+      case LessThan(t, eF) if ts(t) && field(eF, 1) => lt += 1; true
+      case GreaterThan(eF, t) if ts(t) && field(eF, 1) => lt += 1; true
+      case _ => false
+    }
+    ok && ge == 1 && lt == 1
+  }
+
   /** Verify `expand`'s projections are the exact sliding-window
     * enumeration for `winAttr` and return (slideMs, offMs, sizeMs):
     * same (slide, startTime, size) in every projection, one projection
-    * per overlap with offsets exactly {0, slide, …, size−slide}
-    * (requires slide | size — otherwise TimeWindowing adds a
-    * membership filter and we never get here), whole-minute grid, the
-    * registered ts column inside. */
+    * per candidate with offsets exactly {0, slide, …}: size/slide
+    * projections when slide | size, ceil(size/slide) under the
+    * validated membership filter (non-divisible slides — the filter
+    * restores exact enumeration, so the same per-window fold applies);
+    * whole-minute grid, the registered ts column inside. */
   private def slidingGridOf(expand: Expand, winAttr: AttributeReference,
-      tsCol: String): Option[(Long, Long, Long)] = {
+      tsCol: String, membershipFiltered: Boolean): Option[(Long, Long, Long)] = {
     val idx = expand.output.indexWhere(_.exprId == winAttr.exprId)
     if (idx < 0) return None
     val parsed = expand.projections.map(p => slidingStruct(p(idx), tsCol))
@@ -1012,10 +1064,11 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     val shapes = parsed.flatten
     shapes.map(s => (s._1, s._2, s._4)).distinct match {
       case Seq((slideUs, startUs, sizeUs))
-          if sizeUs > 0 && slideUs > 0 && sizeUs % slideUs == 0 &&
-            shapes.size == (sizeUs / slideUs).toInt &&
+          if sizeUs > 0 && slideUs > 0 &&
+            (sizeUs % slideUs == 0 || membershipFiltered) &&
+            shapes.size == ((sizeUs + slideUs - 1) / slideUs).toInt &&
             shapes.map(_._3).toSet ==
-              (0 until (sizeUs / slideUs).toInt).map(_ * slideUs).toSet &&
+              (0 until shapes.size).map(_ * slideUs).toSet &&
             slideUs % (MinuteMs * 1000L) == 0 &&
             sizeUs % (MinuteMs * 1000L) == 0 &&
             startUs % (MinuteMs * 1000L) == 0 =>

@@ -552,6 +552,25 @@ object Core {
            |""".stripMargin)
     }),
 
+    // NON-DIVISIBLE slide (late round 10): slide ∤ size, so
+    // TimeWindowing over-enumerates ceil(size/slide) candidate windows
+    // per row and adds a membership filter above the Expand. The
+    // rewrite validates that exact filter shape and folds anyway — the
+    // per-window index query IS the membership semantics — where it
+    // previously kept the scan. 721 windows over the day, zero scan.
+    "q_wheel_sliding_nondiv_sql" -> ((s, dir) => {
+      graft.plans.WheelAcceleration.register(
+        s, s"$dir/events.parquet", t(s, dir, "events"))
+      t(s, dir, "events").createOrReplaceTempView("events_wheel")
+      s.sql(
+        s"""SELECT unix_millis(window.start) AS ws_ms, unix_millis(window.end) AS we_ms,
+           |ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n
+           |FROM events_wheel
+           |WHERE unix_millis(ts) >= $RsStart AND unix_millis(ts) < $RsEnd
+           |GROUP BY window(ts, '3 minutes', '2 minutes') ORDER BY 1
+           |""".stripMargin)
+    }),
+
     // KEYED tumbling window() fold (round 10): Spark's native window
     // idiom per dimension key — GROUP BY event_type, window(ts, '1
     // hour') — struct slot keys from the keyed wheel (spec-proven
@@ -916,6 +935,19 @@ object Core {
         "j AS (SELECT g.ws, m.sv, m.cn FROM g JOIN m " +
         "ON m.slot_ms >= g.ws AND m.slot_ms < g.ws + 3600000) " +
         "SELECT ws AS ws_ms, ws + 3600000 AS we_ms, ROUND(SUM(sv), 2) AS sum_value, " +
+        "CAST(SUM(cn) AS BIGINT) AS n FROM j GROUP BY 1, 2 ORDER BY 1"),
+    "q_wheel_sliding_nondiv_sql" ->
+      // 3-minute windows on a 2-minute slide grid: a window appears iff
+      // ≥1 in-range row falls in it; whole-minute slots make the
+      // minute-rollup join exact (grid start floored ONTO the slide
+      // grid — too-early windows simply match no slots)
+      ("WITH m AS (SELECT (epoch_ms(ts) // 60000) * 60000 AS slot_ms, " +
+        "SUM(value) AS sv, COUNT(*) AS cn FROM events " +
+        s"WHERE epoch_ms(ts) >= $RsStart AND epoch_ms(ts) < $RsEnd GROUP BY 1), " +
+        s"g AS (SELECT range AS ws FROM range(${(RsStart - 180000L) / 120000L * 120000L}, $RsEnd, 120000)), " +
+        "j AS (SELECT g.ws, m.sv, m.cn FROM g JOIN m " +
+        "ON m.slot_ms >= g.ws AND m.slot_ms < g.ws + 180000) " +
+        "SELECT ws AS ws_ms, ws + 180000 AS we_ms, ROUND(SUM(sv), 2) AS sum_value, " +
         "CAST(SUM(cn) AS BIGINT) AS n FROM j GROUP BY 1, 2 ORDER BY 1"),
     "q_wheel_window_keyed_sql" ->
       ("SELECT event_type, (epoch_ms(ts) // 3600000) * 3600000 AS ws_ms, " +

@@ -637,14 +637,25 @@ class WheelAccelerationSpec extends AnyFunSuite {
       "SELECT window(ts, '2 hours', '1 hour') AS w, ROUND(SUM(value), 2) AS s " +
         "FROM events_accel GROUP BY 1 ORDER BY 1")
     assert(s4 && r4.nonEmpty)
-    // BAIL: slide does not divide size — TimeWindowing adds the
-    // membership filter above the Expand; the enumeration contract
-    // fails and the scan answers (still correct)
-    val (b1, _) = run(
+    // NON-DIVISIBLE slide (late round 10): TimeWindowing adds the
+    // membership filter above the Expand; the validated filter restores
+    // exact enumeration (ceil(size/slide) candidates, only containing
+    // windows kept), so the same per-window fold applies
+    val (b1, r1b) = run(
       "SELECT window(ts, '25 minutes', '10 minutes') AS w, COUNT(*) AS n " +
         "FROM events_accel WHERE ts >= '2024-01-05' AND ts < '2024-01-06' " +
         "GROUP BY 1 ORDER BY 1")
-    assert(!b1)
+    assert(b1 && r1b.nonEmpty)
+    // ...and with sub-minute range edges the non-divisible shape goes
+    // HYBRID: the edge rows re-expand through the ORIGINAL membership
+    // filter, so each edge row lands only in its true windows
+    val (b1h, r1h) = run(
+      "SELECT window(ts, '25 minutes', '10 minutes') AS w, " +
+        "ROUND(SUM(value), 2) AS s, COUNT(*) AS n " +
+        "FROM events_accel WHERE unix_millis(ts) >= " +
+        s"${Q.Jan1 + 30 * 1000} AND unix_millis(ts) < ${Q.Jan1 + 86400000 - 7000} " +
+        "GROUP BY 1 ORDER BY 1")
+    assert(b1h && r1h.nonEmpty)
     // sub-minute range edges go HYBRID (round 10): interior windows
     // fold from the index, the edge rows re-enumerate their windows
     // through the original Expand over a bounded two-edge scan

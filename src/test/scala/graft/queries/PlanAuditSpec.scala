@@ -109,6 +109,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Expand"), p)
   }
 
+  test("q_wheel_sliding_nondiv_sql folds the membership-filtered Expand to a LocalTableScan (round 10)") {
+    val p = plan("q_wheel_sliding_nondiv_sql")
+    assert(p.contains("LocalTableScan"), p)
+    assert(!p.contains("FileScan"), p)
+    assert(!p.contains("Expand"), p)
+  }
+
   test("q_wheel_sliding_keyed_sql folds the keyed sliding Expand to a LocalTableScan (round 10)") {
     val p = plan("q_wheel_sliding_keyed_sql")
     assert(p.contains("LocalTableScan"), p)
