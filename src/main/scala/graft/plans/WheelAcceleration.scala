@@ -136,15 +136,96 @@ object WheelAcceleration {
             valueCols.forall(m.valueCols.contains))
         // a torn save (slots/sidecar mismatch) throws from load —
         // rebuild and re-save rather than fail the registration
-        val wheels = saved.flatMap(_ => scala.util.Try(
+        val loaded = saved.flatMap(_ => scala.util.Try(
           graft.wheel.PersistentWheel.load(spark, indexDir, Some(events))._2
-        ).toOption).getOrElse(
-          graft.wheel.PersistentWheel.save(
-            spark, indexDir, events, tsCol, valueCols, fp, path))
+        ).toOption)
+        loaded.foreach(_ =>
+          persistedOutcomes.put(normalize(path), FullReuse))
+        val wheels = loaded
+          .orElse(tailRefreshPersisted(
+            spark, path, indexDir, events, tsCol, valueCols, fp, conf))
+          .getOrElse {
+            persistedOutcomes.put(normalize(path), FullBuild)
+            graft.wheel.PersistentWheel.save(
+              spark, indexDir, events, tsCol, valueCols, fp, path)
+          }
         Reg(tsCol, wheels, fp, conf)
       })
     enable(spark)
     reg.wheels
+  }
+
+  /** What the latest [[registerPersisted]] call did for its path (late
+    * round 10): `FullReuse` — the sidecar's fingerprint matched and the
+    * saved partials loaded with NO source scan; `TailRefresh` — the
+    * saved partials' recorded files were a STRICT SUBSET of the files
+    * now on disk (append-only growth), so only the uncovered tail files
+    * were aggregated, merged into the saved partials and re-saved;
+    * `FullBuild` — anything else (first save, mutated/deleted files,
+    * different columns, torn dir). In-memory registry hits record
+    * nothing. */
+  sealed trait PersistedOutcome
+  case object FullReuse extends PersistedOutcome
+  final case class TailRefresh(coveredFiles: Int, tailFiles: Seq[String])
+    extends PersistedOutcome
+  case object FullBuild extends PersistedOutcome
+
+  private val persistedOutcomes =
+    new ConcurrentHashMap[String, PersistedOutcome]()
+
+  def lastPersistedOutcome(path: String): Option[PersistedOutcome] =
+    Option(persistedOutcomes.get(normalize(path)))
+
+  /** Append-only refresh of a persisted sum-family dir (late round 10):
+    * when the sidecar's recorded files are a strict subset of the files
+    * now at `path` — the daily-append table shape — aggregate ONLY the
+    * uncovered tail files, merge their minute partials into the saved
+    * ones ([[graft.wheel.RollupBuilder.mergeMulti]]) and re-save under
+    * the new fingerprint. At 100 TB this is the difference between
+    * scanning a day and scanning the table: the saved partials stand in
+    * for all covered history. None (→ full rebuild) when coverage
+    * cannot be proven, the dir records different columns, or anything
+    * fails to read; a writer racing the registration changes the
+    * listing away from `fp`, which the same-listing check catches. */
+  private def tailRefreshPersisted(spark: SparkSession, path: String,
+      indexDir: String, events: => DataFrame, tsCol: String,
+      valueCols: Seq[String], fp: String,
+      conf: org.apache.hadoop.conf.Configuration): Option[Map[String, WheelIndex]] = {
+    import graft.wheel.{PersistentWheel, RollupBuilder, SourceFingerprint}
+    PersistentWheel.peek(spark, indexDir).filter(m =>
+      m.kind == PersistentWheel.SumKind && m.tsCol == tsCol &&
+        m.valueCols == valueCols && m.sourceFingerprint.nonEmpty)
+      .flatMap { m =>
+        val current = SourceFingerprint.listTokens(path, conf)
+        val currentTokens = current.map(_._1).toSet
+        val covered = m.sourceFingerprint.split('|').toSet
+          .filter(t => SourceFingerprint.isDataToken(SourceFingerprint.tokenRel(t)))
+        val tail = current.collect { case (tok, p) if !covered(tok) => p }
+        if (current.map(_._1).sorted.mkString("|") != fp ||
+            covered.isEmpty || tail.isEmpty || !covered.subsetOf(currentTokens))
+          None
+        else scala.util.Try {
+          val partialCols = "slot_ms" +: valueCols.flatMap(c =>
+            Seq(s"sum_$c", s"cnt_$c", s"min_$c", s"max_$c", s"sumsq_$c")) :+ "rows"
+          // loadPartials validates version + slots fingerprint (torn
+          // dirs throw -> full rebuild)
+          val (_, persisted) = PersistentWheel.loadPartials(spark, indexDir)
+          val tailPartials = RollupBuilder.minuteRollupMulti(
+            RollupBuilder.normalizeTs(spark.read.parquet(tail: _*), tsCol),
+            tsCol, valueCols)
+          val merged = RollupBuilder.mergeMulti(
+            persisted.select(partialCols.head, partialCols.tail: _*)
+              .unionByName(tailPartials.select(partialCols.head, partialCols.tail: _*)),
+            valueCols)
+          PersistentWheel.savePartials(
+            spark, indexDir, merged, tsCol, valueCols, fp, path)
+          // reload what was just written: round-trip validation plus
+          // the residue fallback re-armed on the CURRENT source
+          val wheels = PersistentWheel.load(spark, indexDir, Some(events))._2
+          persistedOutcomes.put(normalize(path), TailRefresh(covered.size, tail))
+          wheels
+        }.toOption
+      }
   }
 
   /** Register an ALREADY-BUILT index for `path`, fingerprinting the

@@ -311,28 +311,11 @@ object WheelIngest {
 
     // Listing of the table's data files as (fingerprint token, full
     // path) — the same token dialect SourceFingerprint speaks, so the
-    // coverage diff and the registry's wholesale check agree.
-    val fsPath = new org.apache.hadoop.fs.Path(path)
-    val fs = fsPath.getFileSystem(hadoopConf)
+    // coverage diff and the registry's wholesale check agree (shared
+    // with the persisted tail refresh since late round 10).
     def listTokens(): Seq[(String, String)] =
-      if (!fs.exists(fsPath)) Seq.empty
-      else {
-        val root = fs.makeQualified(fsPath).toString
-        val it = fs.listFiles(fsPath, true)
-        val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-        while (it.hasNext) {
-          val f = it.next()
-          SourceFingerprint.dataToken(root, f)
-            .foreach(t => buf += ((t, f.getPath.toString)))
-        }
-        buf.toSeq
-      }
-    // a persisted token's relative-path half (strip ":len:mtime")
-    def tokenRel(tok: String): String = {
-      val j = tok.lastIndexOf(':')
-      val i = if (j < 0) -1 else tok.lastIndexOf(':', j - 1)
-      if (i > 0) tok.substring(0, i) else tok
-    }
+      SourceFingerprint.listTokens(path, hadoopConf)
+    def tokenRel(tok: String): String = SourceFingerprint.tokenRel(tok)
 
     // Bootstrap: fold the pre-existing table history into the
     // accumulator so a restarted ingest serves the full span, not just

@@ -120,6 +120,21 @@ object RollupBuilder {
         sum(col("rows")).as("rows"),
         sum(col("sumsq_v")).as("sumsq_v"))
 
+  /** N-measure variant of [[merge]] (late round 10): combine
+    * same-shape [[minuteRollupMulti]] partials by slot — the
+    * incremental-refresh primitive behind the persisted index's
+    * tail-only refresh (saved partials ∪ tail-file partials → one
+    * merged partial set, no history rescan). */
+  def mergeMulti(parts: DataFrame, valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty, "need at least one measure column")
+    val aggs = valueCols.flatMap { c =>
+      Seq(sum(col(s"sum_$c")).as(s"sum_$c"), sum(col(s"cnt_$c")).as(s"cnt_$c"),
+        min(col(s"min_$c")).as(s"min_$c"), max(col(s"max_$c")).as(s"max_$c"),
+        sum(col(s"sumsq_$c")).as(s"sumsq_$c"))
+    } :+ sum(col("rows")).as("rows")
+    parts.groupBy("slot_ms").agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Per-key wheel: rollup keyed by (dimension, slot) — how the
     * single-measure wheel generalizes to `GROUP BY dim` queries
     * (SURVEY.md §7.8 #6). Cardinality is bounded by |keys| × time slots,

@@ -54,18 +54,39 @@ object SourceFingerprint {
     else None
   }
 
+  /** The (token, full file path) listing behind [[of]] — consumers
+    * that DIFF coverage (ingest restarts, persisted tail refresh) need
+    * the real path next to each token so uncovered files can be
+    * aggregated directly. Empty when the path does not exist. */
+  def listTokens(path: String, conf: Configuration): Seq[(String, String)] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val root = fs.makeQualified(p).toString
+      val it = fs.listFiles(p, true)
+      val parts = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      while (it.hasNext) {
+        val f = it.next()
+        dataToken(root, f).foreach(t => parts += ((t, f.getPath.toString)))
+      }
+      parts.toSeq
+    }
+  }
+
+  /** A token's relative-path half (strips the trailing `:len:mtime`). */
+  def tokenRel(tok: String): String = {
+    val j = tok.lastIndexOf(':')
+    val i = if (j < 0) -1 else tok.lastIndexOf(':', j - 1)
+    if (i > 0) tok.substring(0, i) else tok
+  }
+
   /** "absent" when the path does not exist — never equal to any real
     * listing, so staleness checks fail closed. */
   def of(path: String, conf: Configuration): String = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) "absent"
-    else {
-      val root = fs.makeQualified(p).toString
-      val it = fs.listFiles(p, true)
-      val parts = scala.collection.mutable.ArrayBuffer.empty[String]
-      while (it.hasNext) dataToken(root, it.next()).foreach(parts += _)
-      parts.sorted.mkString("|")
-    }
+    else listTokens(path, conf).map(_._1).sorted.mkString("|")
   }
 }

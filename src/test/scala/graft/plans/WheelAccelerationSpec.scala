@@ -113,7 +113,8 @@ class WheelAccelerationSpec extends AnyFunSuite {
     val b = Q.R1End - 41000L
     def keyedSql() = spark.sql(
       s"SELECT event_type, (unix_millis(ts) div $w) * $w AS slot_ms, " +
-        "ROUND(SUM(value), 2) AS s, ROUND(AVG(value), 4) AS av, COUNT(*) AS n " +
+        "ROUND(SUM(value), 2) AS s, ROUND(AVG(value), 4) AS av, " +
+        "ROUND(STDDEV_POP(value), 4) AS sd, COUNT(*) AS n " +
         s"FROM events_accel WHERE unix_millis(ts) >= $a AND unix_millis(ts) < $b " +
         "GROUP BY 1, 2 ORDER BY 1, 2")
     val hybrid = keyedSql()

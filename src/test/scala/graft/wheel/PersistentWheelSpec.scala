@@ -344,6 +344,71 @@ class PersistentWheelSpec extends AnyFunSuite {
     assert(wheels("value").query(Q.R1Start, Q.R1End).count > 0L)
   }
 
+  test("append-only source growth refreshes the persisted index TAIL-ONLY (late round 10)") {
+    import spark.implicits._
+    System.setProperty("graft.wheel.fingerprint.ttlMs", "0")
+    val base = fixtureDir("tailr")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(base))
+    val src = s"$base/events.parquet"
+    val idxDir = s"$base/index"
+    Seq((new java.sql.Timestamp(Q.Jan1), 1.0),
+      (new java.sql.Timestamp(Q.Jan1 + 60000L), 2.0))
+      .toDF("ts", "value").write.mode("overwrite").parquet(src)
+    def source = spark.read.parquet(src)
+
+    // first touch: nothing persisted yet -> FullBuild
+    WheelAcceleration.clear()
+    val w1 = WheelAcceleration.registerPersisted(spark, src, idxDir, source)
+    assert(WheelAcceleration.lastPersistedOutcome(src)
+      .contains(WheelAcceleration.FullBuild))
+    assert(w1("value").query(Q.Jan1, Q.Jan1 + 120000L).sum == 3.0)
+
+    // unchanged source -> the disk copy serves, no source scan
+    WheelAcceleration.clear()
+    WheelAcceleration.registerPersisted(spark, src, idxDir, source)
+    assert(WheelAcceleration.lastPersistedOutcome(src)
+      .contains(WheelAcceleration.FullReuse))
+
+    // append-only growth -> TailRefresh aggregates ONLY the new files
+    val beforeNames = new java.io.File(src).listFiles
+      .map(_.getName).filterNot(_.startsWith("_")).toSet
+    Seq((new java.sql.Timestamp(Q.Jan1 + 120000L), 4.0))
+      .toDF("ts", "value").write.mode("append").parquet(src)
+    WheelAcceleration.clear()
+    val w3 = WheelAcceleration.registerPersisted(spark, src, idxDir, source)
+    WheelAcceleration.lastPersistedOutcome(src) match {
+      case Some(t: WheelAcceleration.TailRefresh) =>
+        assert(t.coveredFiles >= 1 && t.tailFiles.nonEmpty)
+        // the tail is exactly the appended files — no covered file is
+        // ever rescanned
+        assert(t.tailFiles.forall(p =>
+          !beforeNames.contains(new java.io.File(p).getName)), t.toString)
+      case o => fail(s"expected TailRefresh, got $o")
+    }
+    assert(w3("value").query(Q.Jan1, Q.Jan1 + 180000L).sum == 7.0)
+    assert(w3("value").query(Q.Jan1, Q.Jan1 + 180000L).count == 3L)
+
+    // the refreshed sidecar covers everything -> next touch is FullReuse
+    WheelAcceleration.clear()
+    WheelAcceleration.registerPersisted(spark, src, idxDir, source)
+    assert(WheelAcceleration.lastPersistedOutcome(src)
+      .contains(WheelAcceleration.FullReuse))
+
+    // mutated history (whole-dir overwrite) -> coverage unprovable ->
+    // FullBuild, correct values
+    Seq((new java.sql.Timestamp(Q.Jan1), 10.0))
+      .toDF("ts", "value").write.mode("overwrite").parquet(src)
+    WheelAcceleration.clear()
+    val w4 = WheelAcceleration.registerPersisted(spark, src, idxDir, source)
+    assert(WheelAcceleration.lastPersistedOutcome(src)
+      .contains(WheelAcceleration.FullBuild))
+    assert(w4("value").query(Q.Jan1, Q.Jan1 + 180000L).sum == 10.0)
+    WheelAcceleration.clear()
+  }
+
   test("a v1 sidecar (pre-sumsq slots) is rejected; registration rebuilds at v2 (round 10)") {
     import spark.implicits._
     System.setProperty("graft.wheel.fingerprint.ttlMs", "0")
