@@ -176,6 +176,12 @@ object WheelAcceleration {
   def lastPersistedOutcome(path: String): Option[PersistedOutcome] =
     Option(persistedOutcomes.get(normalize(path)))
 
+  /** The keyed-multi analogue of [[lastPersistedOutcome]] — tracked
+    * under its own key so a path's unkeyed and keyed registrations
+    * never clobber each other's reports. */
+  def lastPersistedKeyedOutcome(path: String): Option[PersistedOutcome] =
+    Option(persistedOutcomes.get(normalize(path) + "#keyed"))
+
   /** Append-only refresh of a persisted sum-family dir (late round 10):
     * when the sidecar's recorded files are a strict subset of the files
     * now at `path` — the daily-append table shape — aggregate ONLY the
@@ -370,15 +376,68 @@ object WheelAcceleration {
             m.sourceFingerprint == fp && m.tsCol == tsCol &&
             m.valueCols == keyCol +: valueCols)
         // torn saves rebuild, same as every persisted path
-        val wheels = saved.flatMap(_ => scala.util.Try(
+        val loaded = saved.flatMap(_ => scala.util.Try(
           graft.wheel.PersistentWheel.loadKeyedMulti(spark, indexDir)._2
-        ).toOption).getOrElse(
-          graft.wheel.PersistentWheel.saveKeyedMulti(
-            spark, indexDir, events, keyCol, tsCol, valueCols, fp, path))
+        ).toOption)
+        loaded.foreach(_ =>
+          persistedOutcomes.put(normalize(path) + "#keyed", FullReuse))
+        val wheels = loaded
+          .orElse(tailRefreshPersistedKeyedMulti(
+            spark, path, indexDir, keyCol, tsCol, valueCols, fp, conf))
+          .getOrElse {
+            persistedOutcomes.put(normalize(path) + "#keyed", FullBuild)
+            graft.wheel.PersistentWheel.saveKeyedMulti(
+              spark, indexDir, events, keyCol, tsCol, valueCols, fp, path)
+          }
         KeyedReg(keyCol, tsCol, wheels, fp, conf)
       })
     enable(spark)
     reg.wheels
+  }
+
+  /** Keyed-multi analogue of [[tailRefreshPersisted]] (late round 10):
+    * append-only growth of a `keyedmulti`-persisted source aggregates
+    * ONLY the uncovered tail files (one keyedRollupMulti job over the
+    * new files), merges them into the saved (key, slot) partials
+    * ([[graft.wheel.RollupBuilder.mergeKeyedMulti]]) and re-saves —
+    * same strict-subset coverage proof and same-listing race guard as
+    * the unkeyed path. */
+  private def tailRefreshPersistedKeyedMulti(spark: SparkSession,
+      path: String, indexDir: String, keyCol: String, tsCol: String,
+      valueCols: Seq[String], fp: String,
+      conf: org.apache.hadoop.conf.Configuration): Option[Map[String, graft.wheel.KeyedWheelIndex]] = {
+    import graft.wheel.{PersistentWheel, RollupBuilder, SourceFingerprint}
+    PersistentWheel.peek(spark, indexDir).filter(m =>
+      m.kind == PersistentWheel.KeyedMultiKind && m.tsCol == tsCol &&
+        m.valueCols == keyCol +: valueCols && m.sourceFingerprint.nonEmpty)
+      .flatMap { m =>
+        val current = SourceFingerprint.listTokens(path, conf)
+        val currentTokens = current.map(_._1).toSet
+        val covered = m.sourceFingerprint.split('|').toSet
+          .filter(t => SourceFingerprint.isDataToken(SourceFingerprint.tokenRel(t)))
+        val tail = current.collect { case (tok, p) if !covered(tok) => p }
+        if (current.map(_._1).sorted.mkString("|") != fp ||
+            covered.isEmpty || tail.isEmpty || !covered.subsetOf(currentTokens))
+          None
+        else scala.util.Try {
+          val keyedCols = keyCol +: "slot_ms" +: valueCols.flatMap(c =>
+            Seq(s"sum_$c", s"cnt_$c", s"min_$c", s"max_$c", s"sumsq_$c")) :+ "rows"
+          val (_, persisted) = PersistentWheel.loadPartialsKeyedMulti(spark, indexDir)
+          val tailPartials = RollupBuilder.keyedRollupMulti(
+            RollupBuilder.normalizeTs(spark.read.parquet(tail: _*), tsCol),
+            keyCol, tsCol, valueCols, graft.wheel.Tier.Minute)
+          val merged = RollupBuilder.mergeKeyedMulti(
+            persisted.select(keyedCols.head, keyedCols.tail: _*)
+              .unionByName(tailPartials.select(keyedCols.head, keyedCols.tail: _*)),
+            keyCol, valueCols)
+          PersistentWheel.savePartialsKeyedMulti(
+            spark, indexDir, merged, tsCol, keyCol, valueCols, fp, path)
+          val wheels = PersistentWheel.loadKeyedMulti(spark, indexDir)._2
+          persistedOutcomes.put(normalize(path) + "#keyed",
+            TailRefresh(covered.size, tail))
+          wheels
+        }.toOption
+      }
   }
 
   private[plans] def lookupKeyed(path: String): Option[KeyedReg] =
@@ -1723,6 +1782,29 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     * NTZ→timestamp cast the analyzer inserts (e.g. inside date_trunc
     * over an NTZ column) — value-identity ONLY under a UTC zone, which
     * is also the reading the build's normalizeTs applies. */
+  /** True when `e` is NULL exactly when the raw ts column is: a chain
+    * of null-propagating datetime/arithmetic nodes over the single ts
+    * reference, with non-null (and, for division, non-zero) literal
+    * operands — the shape of slot expressions whose inferred
+    * `IsNotNull` conjunct is therefore implied by any ts range bound
+    * and safe to ignore in [[rangeMs]]. Conservative: anything not in
+    * the list (CASE, nullif, a second column) refuses. */
+  private def nullIffTsNull(e: Expression, tsCol: String): Boolean = e match {
+    case a: AttributeReference => a.name == tsCol
+    case Cast(ch, _, _, _) => nullIffTsNull(ch, tsCol)
+    case UnixMillis(ch) => nullIffTsNull(ch, tsCol)
+    case UnixMicros(ch) => nullIffTsNull(ch, tsCol)
+    case PreciseTimestampConversion(ch, _, _) => nullIffTsNull(ch, tsCol)
+    case Multiply(l, Literal(v, _), _) if v != null => nullIffTsNull(l, tsCol)
+    case Multiply(Literal(v, _), r, _) if v != null => nullIffTsNull(r, tsCol)
+    case Add(l, Literal(v, _), _) if v != null => nullIffTsNull(l, tsCol)
+    case Subtract(l, Literal(v, _), _) if v != null => nullIffTsNull(l, tsCol)
+    case IntegralDivide(l, Literal(v: Long, _), _) if v != 0L => nullIffTsNull(l, tsCol)
+    case IntegralDivide(l, Literal(v: Int, _), _) if v != 0 => nullIffTsNull(l, tsCol)
+    case TruncTimestamp(Literal(v, _), ch, _) if v != null => nullIffTsNull(ch, tsCol)
+    case _ => false
+  }
+
   private def isTsCol(e: Expression, tsCol: String): Boolean = e match {
     // a bare NTZ column only folds under a UTC session: the build's
     // normalizeTs read its naive values in the session zone, so any
@@ -1855,10 +1937,15 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     // drop the IsNotNull conjuncts the optimizer infers from the range
     // bounds — over the bare column, the raw nanos column (same name,
     // pre-rebuild), or the µs-rebuilt expression (TimeWindowing adds
-    // that last one under GROUP BY window(ts, …))
+    // that last one under GROUP BY window(ts, …)) — and from GROUPING
+    // or JOIN keys over the slot arithmetic (InferFiltersFromConstraints
+    // adds IsNotNull(slot-expr) when a folded series feeds a join):
+    // any null-propagating arithmetic chain over the single ts
+    // reference is null exactly when ts is, which the range bounds
+    // already exclude
     val cs = conjuncts(cond).filterNot {
       case IsNotNull(a: AttributeReference) => a.name == tsCol
-      case IsNotNull(e) => isTsCol(e, tsCol)
+      case IsNotNull(e) => isTsCol(e, tsCol) || nullIffTsNull(e, tsCol)
       case _ => false
     }
     val lowers = cs.flatMap(c => lower(c))

@@ -345,6 +345,38 @@ object Core {
            |GROUP BY 1 ORDER BY 1""".stripMargin)
     }),
 
+    // Folded-series JOIN (late round 10): week-over-week hourly
+    // comparison as a self-join of two independently folded aggregates.
+    // The rewrite fires on EVERY matching Aggregate in the tree
+    // (transformUp), so both CTEs become LocalRelations at plan time
+    // and the join runs over two in-memory hourly series — an entire
+    // two-sided reporting query with ZERO file reads at any source
+    // volume. Plan proven FileScan-free in PlanAuditSpec.
+    "q_wheel_wow_sql" -> ((s, dir) => {
+      graft.plans.WheelAcceleration.register(
+        s, s"$dir/events.parquet", t(s, dir, "events"))
+      t(s, dir, "events").createOrReplaceTempView("events_wheel")
+      val wk = 7L * 86400000L
+      s.sql(
+        s"""WITH cur AS (
+           |  SELECT (unix_millis(ts) div ${Tier.Hour.ms}) * ${Tier.Hour.ms} AS slot_ms,
+           |         ROUND(SUM(value), 2) AS sum_value
+           |  FROM events_wheel
+           |  WHERE unix_millis(ts) >= ${R1Start + wk} AND unix_millis(ts) < ${R1End + wk}
+           |  GROUP BY 1),
+           |prev AS (
+           |  SELECT (unix_millis(ts) div ${Tier.Hour.ms}) * ${Tier.Hour.ms} AS slot_ms,
+           |         ROUND(SUM(value), 2) AS sum_value
+           |  FROM events_wheel
+           |  WHERE unix_millis(ts) >= $R1Start AND unix_millis(ts) < $R1End
+           |  GROUP BY 1)
+           |SELECT cur.slot_ms AS slot_ms, cur.sum_value AS cur_sum,
+           |       prev.sum_value AS prev_sum,
+           |       ROUND(cur.sum_value - prev.sum_value, 2) AS wow_delta
+           |FROM cur JOIN prev ON prev.slot_ms = cur.slot_ms - $wk
+           |ORDER BY 1""".stripMargin)
+    }),
+
     // Keyed index path (round 2): GROUP BY dimension × hour-slot over a
     // range, answered from the registered PER-KEY wheel — cardinality
     // |keys| × slots, no scan, no job. The per-key generalization of
@@ -883,6 +915,18 @@ object Core {
         "ROUND(STDDEV_SAMP(value), 4) AS sd_samp, COUNT(*) AS n " +
         s"FROM events WHERE epoch_ms(ts) >= $R1Start AND epoch_ms(ts) < $R1End " +
         "GROUP BY 1 ORDER BY 1"),
+    "q_wheel_wow_sql" ->
+      (s"WITH cur AS (SELECT (epoch_ms(ts) // ${Tier.Hour.ms}) * ${Tier.Hour.ms} AS slot_ms, " +
+        "ROUND(SUM(value), 2) AS sum_value FROM events " +
+        s"WHERE epoch_ms(ts) >= ${R1Start + 7L * 86400000L} AND epoch_ms(ts) < ${R1End + 7L * 86400000L} GROUP BY 1), " +
+        s"prev AS (SELECT (epoch_ms(ts) // ${Tier.Hour.ms}) * ${Tier.Hour.ms} AS slot_ms, " +
+        "ROUND(SUM(value), 2) AS sum_value FROM events " +
+        s"WHERE epoch_ms(ts) >= $R1Start AND epoch_ms(ts) < $R1End GROUP BY 1) " +
+        "SELECT cur.slot_ms AS slot_ms, cur.sum_value AS cur_sum, " +
+        "prev.sum_value AS prev_sum, " +
+        "ROUND(cur.sum_value - prev.sum_value, 2) AS wow_delta " +
+        s"FROM cur JOIN prev ON prev.slot_ms = cur.slot_ms - ${7L * 86400000L} " +
+        "ORDER BY 1"),
     "q_wheel_keyed" ->
       (s"SELECT event_type, (epoch_ms(ts) // ${Tier.Hour.ms}) * ${Tier.Hour.ms} AS slot_ms, " +
         "ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n " +

@@ -172,6 +172,21 @@ object RollupBuilder {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Keyed analogue of [[mergeMulti]] (late round 10): combine
+    * same-shape [[keyedRollupMulti]] partials by (key, slot) — the
+    * incremental-refresh primitive behind the keyed persisted index's
+    * tail-only refresh. */
+  def mergeKeyedMulti(parts: DataFrame, keyCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty, "need at least one measure column")
+    val aggs = valueCols.flatMap { c =>
+      Seq(sum(col(s"sum_$c")).as(s"sum_$c"), sum(col(s"cnt_$c")).as(s"cnt_$c"),
+        min(col(s"min_$c")).as(s"min_$c"), max(col(s"max_$c")).as(s"max_$c"),
+        sum(col(s"sumsq_$c")).as(s"sumsq_$c"))
+    } :+ sum(col("rows")).as("rows")
+    parts.groupBy(col(keyCol), col("slot_ms")).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Coarsen a keyed rollup, preserving the key. */
   def coarsenKeyed(finer: DataFrame, keyCol: String, tier: Tier): DataFrame =
     finer

@@ -611,10 +611,11 @@ class WheelAccelerationSpec extends AnyFunSuite {
       (hit, got)
     }
     // the headline shape: 1h windows sliding by 1 minute, full agg mix
+    // incl. the second moment (every fold path shares foldRow)
     val (s1, r1) = run(
       "SELECT window.start AS ws, window.end AS we, ROUND(SUM(value), 2) AS s, " +
         "ROUND(AVG(value), 4) AS a, ROUND(MIN(value), 4) AS mn, " +
-        "ROUND(MAX(value), 4) AS mx, COUNT(*) AS n " +
+        "ROUND(MAX(value), 4) AS mx, ROUND(STDDEV_POP(value), 4) AS sd, COUNT(*) AS n " +
         "FROM events_accel WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' " +
         "AND ts < TIMESTAMP '2024-01-05 06:00:00' " +
         "GROUP BY window(ts, '1 hour', '1 minute') ORDER BY 1")
@@ -969,6 +970,30 @@ class WheelAccelerationSpec extends AnyFunSuite {
     }.nonEmpty)
     val row = df.collect()(0)
     assert(row.isNullAt(0) && row.getLong(1) == 0L)
+  }
+
+  test("HAVING / ORDER BY / LIMIT compose over folded groups (round 10)") {
+    register()
+    events.createOrReplaceTempView("events_accel")
+    def sql() = spark.sql(
+      "SELECT (unix_millis(ts) div 3600000) * 3600000 AS slot_ms, " +
+        "ROUND(SUM(value), 2) AS s, COUNT(*) AS n FROM events_accel " +
+        s"WHERE unix_millis(ts) >= ${Q.R1Start} AND unix_millis(ts) < ${Q.R1End} " +
+        "GROUP BY 1 HAVING COUNT(*) >= 2 AND SUM(value) > 0 " +
+        "ORDER BY s DESC LIMIT 10")
+    val df = sql()
+    // the Aggregate under HAVING folds; the HAVING filter + sort + limit
+    // evaluate over the plan-time rows (often constant-folded away)
+    assert(df.queryExecution.optimizedPlan.collect {
+      case l: LocalRelation => l }.nonEmpty,
+      df.queryExecution.optimizedPlan.treeString)
+    assert(!df.queryExecution.executedPlan.toString.contains("FileScan"))
+    val got = df.collect().map(_.toString).toSeq
+    WheelAcceleration.clear()
+    val want = sql().collect().map(_.toString).toSeq
+    register()
+    assert(got == want)
+    assert(got.nonEmpty && got.size <= 10)
   }
 
   test("STDDEV/VARIANCE fold from the sumsq partial: grouped fold + hybrid edges (round 10)") {

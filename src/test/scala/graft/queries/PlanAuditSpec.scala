@@ -88,6 +88,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("FileScan"), p)
   }
 
+  test("q_wheel_wow_sql folds BOTH join sides to LocalTableScans (round 10)") {
+    val p = plan("q_wheel_wow_sql")
+    assert(p.contains("LocalTableScan"), p)
+    assert(!p.contains("FileScan"), p)
+  }
+
   test("q_wheel_stddev_sql folds the second moment to a LocalTableScan (round 10)") {
     val p = plan("q_wheel_stddev_sql")
     assert(p.contains("LocalTableScan"), p)

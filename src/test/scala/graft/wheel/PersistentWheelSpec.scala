@@ -409,6 +409,59 @@ class PersistentWheelSpec extends AnyFunSuite {
     WheelAcceleration.clear()
   }
 
+  test("keyed-multi persisted index refreshes TAIL-ONLY on append (late round 10)") {
+    import spark.implicits._
+    System.setProperty("graft.wheel.fingerprint.ttlMs", "0")
+    val base = fixtureDir("tailrk")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(base))
+    val src = s"$base/events.parquet"
+    val idxDir = s"$base/index"
+    Seq((new java.sql.Timestamp(Q.Jan1), 1.0, "a"),
+      (new java.sql.Timestamp(Q.Jan1 + 60000L), 2.0, "b"))
+      .toDF("ts", "value", "k").write.mode("overwrite").parquet(src)
+    def source = spark.read.parquet(src)
+
+    WheelAcceleration.clear()
+    WheelAcceleration.registerPersistedKeyedMulti(
+      spark, src, idxDir, source, "k", "ts", Seq("value"))
+    assert(WheelAcceleration.lastPersistedKeyedOutcome(src)
+      .contains(WheelAcceleration.FullBuild))
+
+    WheelAcceleration.clear()
+    WheelAcceleration.registerPersistedKeyedMulti(
+      spark, src, idxDir, source, "k", "ts", Seq("value"))
+    assert(WheelAcceleration.lastPersistedKeyedOutcome(src)
+      .contains(WheelAcceleration.FullReuse))
+
+    val beforeNames = new java.io.File(src).listFiles
+      .map(_.getName).filterNot(_.startsWith("_")).toSet
+    Seq((new java.sql.Timestamp(Q.Jan1 + 120000L), 4.0, "a"))
+      .toDF("ts", "value", "k").write.mode("append").parquet(src)
+    WheelAcceleration.clear()
+    val w = WheelAcceleration.registerPersistedKeyedMulti(
+      spark, src, idxDir, source, "k", "ts", Seq("value"))
+    WheelAcceleration.lastPersistedKeyedOutcome(src) match {
+      case Some(t: WheelAcceleration.TailRefresh) =>
+        assert(t.coveredFiles >= 1 && t.tailFiles.nonEmpty)
+        assert(t.tailFiles.forall(p =>
+          !beforeNames.contains(new java.io.File(p).getName)), t.toString)
+      case o => fail(s"expected keyed TailRefresh, got $o")
+    }
+    // per-key values include the appended row, history intact
+    assert(w("value").query("a", Q.Jan1, Q.Jan1 + 180000L).sum == 5.0)
+    assert(w("value").query("b", Q.Jan1, Q.Jan1 + 180000L).sum == 2.0)
+
+    WheelAcceleration.clear()
+    WheelAcceleration.registerPersistedKeyedMulti(
+      spark, src, idxDir, source, "k", "ts", Seq("value"))
+    assert(WheelAcceleration.lastPersistedKeyedOutcome(src)
+      .contains(WheelAcceleration.FullReuse))
+    WheelAcceleration.clear()
+  }
+
   test("a v1 sidecar (pre-sumsq slots) is rejected; registration rebuilds at v2 (round 10)") {
     import spark.implicits._
     System.setProperty("graft.wheel.fingerprint.ttlMs", "0")
