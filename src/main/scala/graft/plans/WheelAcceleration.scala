@@ -278,10 +278,14 @@ object WheelAcceleration {
   }
 
   /** Drop the registered index for `path` (the rewrite rule stops firing
-    * for it; queries fall back to the scan path). */
+    * for it; queries fall back to the scan path). Cached freshness
+    * verdicts go with it, so a later re-registration is judged on a
+    * fresh listing. */
   def unregister(path: String): Unit = {
     registry.remove(normalize(path))
     keyedRegistry.remove(normalize(path))
+    fpCache.keySet.removeIf(_._1 == normalize(path))
+    ()
   }
 
   def clear(): Unit = {

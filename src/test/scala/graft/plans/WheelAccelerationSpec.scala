@@ -972,6 +972,17 @@ class WheelAccelerationSpec extends AnyFunSuite {
     assert(row.isNullAt(0) && row.getLong(1) == 0L)
   }
 
+  test("unregister drops one path's acceleration; re-register restores it (round 10)") {
+    register()
+    def folded() = rangeSql(Q.R1Start, Q.R1End, "SUM(value) AS s")
+      .queryExecution.optimizedPlan.collect { case l: LocalRelation => l }.nonEmpty
+    assert(folded())
+    WheelAcceleration.unregister(path)
+    assert(!folded())
+    register()
+    assert(folded())
+  }
+
   test("HAVING / ORDER BY / LIMIT compose over folded groups (round 10)") {
     register()
     events.createOrReplaceTempView("events_accel")
