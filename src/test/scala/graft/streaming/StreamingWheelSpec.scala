@@ -38,6 +38,12 @@ class StreamingWheelSpec extends AnyFunSuite {
       assert(live.querySum(T0, T0 + 3 * Min) == 24.0)
       val all = live.query(T0, T0 + 3 * Min)
       assert(all.count == 5L && all.min == 1.5 && all.max == 10.0)
+      // the live slots carry the second moment too (round 10): the
+      // streamed variance equals a direct computation over the values
+      val vals = Seq(1.5, 2.5, 4.0, 6.0, 10.0)
+      val mean = vals.sum / vals.size
+      val expectVar = vals.map(v => (v - mean) * (v - mean)).sum / vals.size
+      assert(math.abs(all.varPop - expectVar) < 1e-9, all.toString)
 
       // introspection parity with the batch family (round 7): watermark,
       // retained-slot occupancy, footprint, and the expanded combine plan

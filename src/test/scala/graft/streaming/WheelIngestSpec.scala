@@ -69,12 +69,17 @@ class WheelIngestSpec extends AnyFunSuite {
       // grouped folding works off the same live registration
       spark.read.parquet(path).createOrReplaceTempView("live_events")
       val grouped = spark.sql(
-        s"SELECT (unix_millis(ts) div $Min) * $Min AS slot_ms, SUM(value) AS s " +
+        s"SELECT (unix_millis(ts) div $Min) * $Min AS slot_ms, SUM(value) AS s, " +
+          "STDDEV_POP(value) AS sd " +
           s"FROM live_events WHERE unix_millis(ts) >= $t0 " +
           s"AND unix_millis(ts) < ${t0 + 3 * Min} GROUP BY 1 ORDER BY 1")
       assert(folded(grouped))
-      assert(grouped.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
-        Seq((t0, 11.0), (t0 + Min, 2.0), (t0 + 2 * Min, 4.0)))
+      // the ingest accumulator carries the second moment too (round
+      // 10): minute 0 holds {1.0, 10.0} merged ACROSS batches (the
+      // late row), so its streamed stddev is exactly 4.5
+      assert(grouped.collect().map(r =>
+        (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq ==
+        Seq((t0, 11.0, 4.5), (t0 + Min, 2.0, 0.0), (t0 + 2 * Min, 4.0, 0.0)))
 
       // an unaligned range folds HYBRID (round 9): whole-minute interior
       // from the live index, the sub-minute edge from a bounded scan of
