@@ -51,6 +51,10 @@ class FoldSweepSpec extends AnyFunSuite {
       ("window(ts, '2 hours') AS g0, ", "GROUP BY window(ts, '2 hours')"),
       ("window(ts, '1 hour', '30 minutes') AS g0, ",
         "GROUP BY window(ts, '1 hour', '30 minutes')"),
+      // non-divisible slide: the membership-filtered Expand shape
+      ("window(ts, '3 minutes', '2 minutes') AS g0, ",
+        "GROUP BY window(ts, '3 minutes', '2 minutes')"),
+      ("date_trunc('quarter', ts) AS g0, ", "GROUP BY 1"),
       ("event_type AS g0, (unix_millis(ts) div 3600000) * 3600000 AS g1, ",
         "GROUP BY 1, 2"))
     val ranges = Seq(
