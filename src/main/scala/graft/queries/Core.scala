@@ -345,6 +345,33 @@ object Core {
            |GROUP BY 1 ORDER BY 1""".stripMargin)
     }),
 
+    // ABOVE-CAP distributed fallback, driver-proven (late round 10):
+    // the same grouped SQL as q_wheel_grouped but with the plan-time
+    // fold ceiling forced to 1, so the rewrite ships the index's
+    // minute STATE as a partials LocalRelation and a REAL distributed
+    // Aggregate groups it on executors — still scan-free (zero file
+    // reads), but the heavy grouping runs on the cluster instead of
+    // the driver's optimizer thread: the regime a year-of-minutes ×
+    // wide-dimension statement takes at 100 TB. Values must match
+    // DuckDB exactly like the folded spelling. The plan is pinned
+    // inside the sysprop window (optimizedPlan is a cached lazy val),
+    // so the ceiling override never leaks to other queries.
+    "q_wheel_grouped_distributed" -> ((s, dir) => {
+      graft.plans.WheelAcceleration.register(
+        s, s"$dir/events.parquet", t(s, dir, "events"))
+      t(s, dir, "events").createOrReplaceTempView("events_wheel")
+      System.setProperty("graft.wheel.rewrite.maxFoldRows", "1")
+      try {
+        val df = s.sql(
+          s"""SELECT (unix_millis(ts) div ${Tier.Hour.ms}) * ${Tier.Hour.ms} AS slot_ms,
+             |ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n FROM events_wheel
+             |WHERE unix_millis(ts) >= $R1Start AND unix_millis(ts) < $R1End
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
+        df.queryExecution.optimizedPlan
+        df
+      } finally System.clearProperty("graft.wheel.rewrite.maxFoldRows")
+    }),
+
     // Folded-series JOIN (late round 10): week-over-week hourly
     // comparison as a self-join of two independently folded aggregates.
     // The rewrite fires on EVERY matching Aggregate in the tree
@@ -913,6 +940,11 @@ object Core {
       (s"SELECT (epoch_ms(ts) // ${Tier.Hour.ms}) * ${Tier.Hour.ms} AS slot_ms, " +
         "ROUND(STDDEV_POP(value), 4) AS sd_pop, ROUND(VAR_POP(value), 4) AS var_pop, " +
         "ROUND(STDDEV_SAMP(value), 4) AS sd_samp, COUNT(*) AS n " +
+        s"FROM events WHERE epoch_ms(ts) >= $R1Start AND epoch_ms(ts) < $R1End " +
+        "GROUP BY 1 ORDER BY 1"),
+    "q_wheel_grouped_distributed" ->
+      (s"SELECT (epoch_ms(ts) // ${Tier.Hour.ms}) * ${Tier.Hour.ms} AS slot_ms, " +
+        "ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n " +
         s"FROM events WHERE epoch_ms(ts) >= $R1Start AND epoch_ms(ts) < $R1End " +
         "GROUP BY 1 ORDER BY 1"),
     "q_wheel_wow_sql" ->

@@ -88,6 +88,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("FileScan"), p)
   }
 
+  test("q_wheel_grouped_distributed is scan-free with a REAL aggregate over partials (round 10)") {
+    val p = plan("q_wheel_grouped_distributed")
+    assert(p.contains("LocalTableScan"), p)
+    assert(!p.contains("FileScan"), p)
+    // the distributed regime: grouping survives as a physical
+    // HashAggregate instead of folding to constants
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("q_wheel_wow_sql folds BOTH join sides to LocalTableScans (round 10)") {
     val p = plan("q_wheel_wow_sql")
     assert(p.contains("LocalTableScan"), p)
