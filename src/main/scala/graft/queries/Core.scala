@@ -354,13 +354,16 @@ object Core {
     // the driver's optimizer thread: the regime a year-of-minutes ×
     // wide-dimension statement takes at 100 TB. Values must match
     // DuckDB exactly like the folded spelling. The plan is pinned
-    // inside the sysprop window (optimizedPlan is a cached lazy val),
+    // inside the conf-override window (optimizedPlan is a cached lazy val),
     // so the ceiling override never leaks to other queries.
     "q_wheel_grouped_distributed" -> ((s, dir) => {
       graft.plans.WheelAcceleration.register(
         s, s"$dir/events.parquet", t(s, dir, "events"))
       t(s, dir, "events").createOrReplaceTempView("events_wheel")
-      System.setProperty("graft.wheel.rewrite.maxFoldRows", "1")
+      // ceiling pinned through THIS session's SQLConf (round 11,
+      // VERDICT r10 #4) — no JVM-global prop mutation, so a concurrent
+      // session folding the same shape is untouched
+      s.conf.set("spark.graft.wheel.rewrite.maxFoldRows", "1")
       try {
         val df = s.sql(
           s"""SELECT (unix_millis(ts) div ${Tier.Hour.ms}) * ${Tier.Hour.ms} AS slot_ms,
@@ -369,7 +372,7 @@ object Core {
              |GROUP BY 1 ORDER BY 1""".stripMargin)
         df.queryExecution.optimizedPlan
         df
-      } finally System.clearProperty("graft.wheel.rewrite.maxFoldRows")
+      } finally s.conf.unset("spark.graft.wheel.rewrite.maxFoldRows")
     }),
 
     // Folded-series JOIN (late round 10): week-over-week hourly

@@ -919,6 +919,37 @@ class WheelAccelerationSpec extends AnyFunSuite {
     } finally WheelAcceleration.clear()
   }
 
+  test("rewrite knobs are per-session SQLConf: two sessions hold different ceilings (round 11)") {
+    register()
+    val s2 = spark.newSession()
+    WheelAcceleration.enable(s2)
+    events.createOrReplaceTempView("events_accel")
+    Q.t(s2, dir, "events").createOrReplaceTempView("events_accel")
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val sql =
+      "SELECT (unix_millis(ts) div 3600000) * 3600000 AS slot_ms, " +
+        "ROUND(SUM(value), 2) AS s, COUNT(*) AS n FROM events_accel " +
+        s"WHERE unix_millis(ts) >= ${Q.Jan1} AND unix_millis(ts) < ${Q.Jan1 + 86400000} " +
+        "GROUP BY 1 ORDER BY 1"
+    // session 1 pins a ceiling of 3 (24 hour cells exceed it -> the
+    // distributed minute-state plan, a REAL Aggregate over partials);
+    // session 2 keeps the default cap and must still per-cell fold
+    // (pure LocalRelation, no Aggregate) IN THE SAME JVM — impossible
+    // under the old JVM-global sys.prop knob
+    spark.conf.set("spark.graft.wheel.rewrite.maxFoldRows", "3")
+    try {
+      val p1 = spark.sql(sql).queryExecution.optimizedPlan
+      assert(p1.collect { case l: LocalRelation => l }.nonEmpty, p1.treeString)
+      assert(p1.collect { case a: Aggregate => a }.nonEmpty, p1.treeString)
+      val p2 = s2.sql(sql).queryExecution.optimizedPlan
+      assert(p2.collect { case l: LocalRelation => l }.nonEmpty, p2.treeString)
+      assert(p2.collect { case a: Aggregate => a }.isEmpty, p2.treeString)
+      // both sessions agree on the values (and with each other)
+      assert(spark.sql(sql).collect().map(_.toString).toSeq ==
+        s2.sql(sql).collect().map(_.toString).toSeq)
+    } finally spark.conf.unset("spark.graft.wheel.rewrite.maxFoldRows")
+  }
+
   test("window() startTime offsets and date_trunc('week') fold on the offset grid (round 7)") {
     register()
     events.createOrReplaceTempView("events_accel")
