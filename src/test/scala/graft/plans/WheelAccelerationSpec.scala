@@ -919,6 +919,98 @@ class WheelAccelerationSpec extends AnyFunSuite {
     } finally WheelAcceleration.clear()
   }
 
+  test("approximate SQL spellings fold from the sketch wheels (round 11)") {
+    register()
+    WheelAcceleration.registerSketches(spark, path, events, "ts",
+      distinctCols = Seq("user_id"), quantileCols = Seq("value"),
+      freqCols = Seq("user_id"))
+    events.createOrReplaceTempView("events_accel")
+    def folded(df: org.apache.spark.sql.DataFrame): Boolean = {
+      val p = df.queryExecution.optimizedPlan
+      p.collect { case l: LocalRelation => l }.nonEmpty &&
+        p.collect {
+          case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+        }.isEmpty
+    }
+    // approx_count_distinct: folds to the Theta estimate — exact in this
+    // regime, so it must equal the true COUNT(DISTINCT)
+    val d = spark.sql(
+      "SELECT approx_count_distinct(user_id) AS n FROM events_accel " +
+        s"WHERE unix_millis(ts) >= ${Q.R1Start} AND unix_millis(ts) < ${Q.R1End}")
+    assert(folded(d), d.queryExecution.optimizedPlan.treeString)
+    val dExact = events
+      .filter(unix_millis(col("ts")) >= Q.R1Start && unix_millis(col("ts")) < Q.R1End)
+      .agg(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    assert(d.collect()(0).getLong(0) == dExact)
+
+    // percentile_approx: scalar and array spellings, exact below the KLL
+    // buffer — must equal percentile_disc over the scan
+    val q1 = spark.sql(
+      "SELECT percentile_approx(value, 0.5) AS p50, " +
+        "percentile_approx(value, array(0.25, 0.9)) AS ps FROM events_accel " +
+        s"WHERE unix_millis(ts) >= ${Q.RqStart} AND unix_millis(ts) < ${Q.RqEnd}")
+    assert(folded(q1), q1.queryExecution.optimizedPlan.treeString)
+    val disc = events
+      .filter(unix_millis(col("ts")) >= Q.RqStart && unix_millis(col("ts")) < Q.RqEnd)
+      .select(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)"),
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY value)"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)"))
+      .collect()(0)
+    val q1r = q1.collect()(0)
+    assert(q1r.getDouble(0) == disc.getDouble(0))
+    assert(q1r.getSeq[Double](1) == Seq(disc.getDouble(1), disc.getDouble(2)))
+
+    // approx_top_k: folds to the Misra-Gries top-k — exact in this
+    // regime, so items+counts must equal the true GROUP BY top-k
+    val tk = spark.sql(
+      "SELECT approx_top_k(user_id, 5) AS tk FROM events_accel " +
+        s"WHERE unix_millis(ts) >= ${Q.R1Start} AND unix_millis(ts) < ${Q.R1End}")
+    assert(folded(tk), tk.queryExecution.optimizedPlan.treeString)
+    val want = events
+      .filter(unix_millis(col("ts")) >= Q.R1Start && unix_millis(col("ts")) < Q.R1End)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("user_id"))
+      .limit(5).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val got = tk.collect()(0).getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got == want, s"got $got want $want")
+
+    // a MIXED statement folds both families from one Aggregate
+    val mixed = spark.sql(
+      "SELECT ROUND(SUM(value), 2) AS s, COUNT(*) AS n, " +
+        "approx_count_distinct(user_id) AS u FROM events_accel " +
+        s"WHERE unix_millis(ts) >= ${Q.R1Start} AND unix_millis(ts) < ${Q.R1End}")
+    assert(folded(mixed), mixed.queryExecution.optimizedPlan.treeString)
+    assert(mixed.collect()(0).getLong(2) == dExact)
+
+    // GROUPED: approx_count_distinct per hour slot folds per cell and
+    // matches the exact per-slot distinct
+    val g = spark.sql(
+      "SELECT (unix_millis(ts) div 3600000) * 3600000 AS slot_ms, " +
+        "approx_count_distinct(user_id) AS u FROM events_accel " +
+        s"WHERE unix_millis(ts) >= ${Q.RqStart} AND unix_millis(ts) < ${Q.RqEnd} " +
+        "GROUP BY 1 ORDER BY 1")
+    assert(folded(g), g.queryExecution.optimizedPlan.treeString)
+    val gWant = events
+      .filter(unix_millis(col("ts")) >= Q.RqStart && unix_millis(col("ts")) < Q.RqEnd)
+      .groupBy(((unix_millis(col("ts")).divide(lit(3600000L))).cast("long") * 3600000L).as("slot_ms"))
+      .agg(countDistinct(col("user_id")).as("u")).orderBy(col("slot_ms"))
+      .collect().map(_.toString).toSeq
+    assert(g.collect().map(_.toString).toSeq == gWant)
+
+    // the EXACT spellings never fold: COUNT(DISTINCT …) keeps the scan
+    val exactSpelling = spark.sql(
+      "SELECT COUNT(DISTINCT user_id) AS u FROM events_accel " +
+        s"WHERE unix_millis(ts) >= ${Q.R1Start} AND unix_millis(ts) < ${Q.R1End}")
+    assert(!folded(exactSpelling))
+    // an UNREGISTERED column keeps the scan (no wheel to answer it)
+    val unreg = spark.sql(
+      "SELECT approx_count_distinct(event_id) AS u FROM events_accel " +
+        s"WHERE unix_millis(ts) >= ${Q.R1Start} AND unix_millis(ts) < ${Q.R1End}")
+    assert(!folded(unreg))
+  }
+
   test("rewrite knobs are per-session SQLConf: two sessions hold different ceilings (round 11)") {
     register()
     val s2 = spark.newSession()

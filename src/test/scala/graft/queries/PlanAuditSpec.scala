@@ -109,6 +109,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("FileScan"), p)
   }
 
+  test("q_wheel_approx_distinct_sql folds approx_count_distinct to a LocalTableScan (round 11)") {
+    val p = plan("q_wheel_approx_distinct_sql")
+    assert(p.contains("LocalTableScan"), p)
+    assert(!p.contains("FileScan"), p)
+  }
+
+  test("q_wheel_approx_quantile_sql folds percentile_approx to a LocalTableScan (round 11)") {
+    val p = plan("q_wheel_approx_quantile_sql")
+    assert(p.contains("LocalTableScan"), p)
+    assert(!p.contains("FileScan"), p)
+  }
+
+  test("q_wheel_approx_topk_sql folds approx_top_k to a LocalTableScan (round 11)") {
+    val p = plan("q_wheel_approx_topk_sql")
+    assert(p.contains("LocalTableScan"), p)
+    assert(!p.contains("FileScan"), p)
+  }
+
   test("q_wheel_keyed_multi_sql folds mixed measures per key to a LocalTableScan (round 10)") {
     val p = plan("q_wheel_keyed_multi_sql")
     assert(p.contains("LocalTableScan"), p)
