@@ -674,14 +674,25 @@ class WheelAccelerationSpec extends AnyFunSuite {
         "FROM events_accel WHERE ts >= '2024-01-05' AND ts < '2024-01-06' " +
         "GROUP BY 1 ORDER BY 1")
     assert(!b3)
-    // BAIL: above the plan-time window cap -> scan, still correct
+    // above the plan-time window cap the ALIGNED shape still folds —
+    // DISTRIBUTED since round 11 (minute partials through the original
+    // Expand; values run-verified against the scan by run()); the
+    // dedicated round-11 test asserts the plan shape
     System.setProperty("graft.wheel.rewrite.maxFoldRows", "3")
     try {
-      val (b4, _) = run(
+      val (b4, r4b) = run(
         "SELECT window(ts, '1 hour', '30 minutes') AS w, COUNT(*) AS n " +
           "FROM events_accel WHERE ts >= '2024-01-05' AND ts < '2024-01-06' " +
           "GROUP BY 1 ORDER BY 1")
-      assert(!b4)
+      assert(b4 && r4b.nonEmpty)
+      // BAIL: above-cap with SUB-MINUTE edges keeps the scan (the
+      // hybrid's per-window interior walk is what the cap bounds)
+      val (b5, _) = run(
+        "SELECT window(ts, '1 hour', '30 minutes') AS w, COUNT(*) AS n " +
+          "FROM events_accel WHERE unix_millis(ts) >= " +
+          s"${Q.Jan1 + 30 * 1000} AND unix_millis(ts) < ${Q.Jan1 + 86400000 - 7000} " +
+          "GROUP BY 1 ORDER BY 1")
+      assert(!b5)
     } finally System.clearProperty("graft.wheel.rewrite.maxFoldRows")
 
     // KEYED sliding (round 10): per-(key, window) rows from the keyed
@@ -917,6 +928,61 @@ class WheelAccelerationSpec extends AnyFunSuite {
       val sWant = spark.sql(sSql).collect().map(_.toString).toSeq
       assert(sGot == sWant && sGot.nonEmpty)
     } finally WheelAcceleration.clear()
+  }
+
+  test("above the cap, sliding folds go DISTRIBUTED: minute partials through the original Expand (round 11)") {
+    register()
+    WheelAcceleration.registerKeyed(spark, path, events, "event_type")
+    events.createOrReplaceTempView("events_accel")
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    def check(sql: String): Unit = {
+      // cap of 3: every sliding shape below enumerates more windows,
+      // forcing the minute-partials Expand instead of the per-window
+      // plan-time fold — and instead of the pre-round-11 scan bail
+      spark.conf.set("spark.graft.wheel.rewrite.maxFoldRows", "3")
+      val df = spark.sql(sql)
+      val p = df.queryExecution.optimizedPlan
+      assert(p.collect { case l: LocalRelation => l }.nonEmpty, s"$sql:\n${p.treeString}")
+      assert(p.collect { case e: Expand => e }.nonEmpty, s"$sql:\n${p.treeString}")
+      assert(p.collect { case ag: Aggregate => ag }.nonEmpty, s"$sql:\n${p.treeString}")
+      assert(p.collect { case r: LogicalRelation => r }.isEmpty, s"$sql:\n${p.treeString}")
+      val got = df.collect().map(_.toString).toSeq
+      // default cap: the per-window plan-time fold
+      spark.conf.unset("spark.graft.wheel.rewrite.maxFoldRows")
+      val cellFold = spark.sql(sql).collect().map(_.toString).toSeq
+      // scan truth with no registration at all
+      WheelAcceleration.clear()
+      val want = spark.sql(sql).collect().map(_.toString).toSeq
+      register()
+      WheelAcceleration.registerKeyed(spark, path, events, "event_type")
+      assert(got == want, sql)
+      assert(cellFold == want, sql)
+      assert(got.nonEmpty, sql)
+    }
+    try {
+      // divisible slide (no membership filter): 1h windows on a 20-min grid
+      check(
+        "SELECT unix_millis(window.start) AS ws, ROUND(SUM(value), 2) AS s, " +
+          "ROUND(AVG(value), 4) AS av, COUNT(*) AS n " +
+          "FROM events_accel WHERE unix_millis(ts) >= " +
+          s"${Q.RsStart} AND unix_millis(ts) < ${Q.RsEnd} " +
+          "GROUP BY window(ts, '1 hour', '20 minutes') ORDER BY 1")
+      // NON-divisible slide: the membership filter must survive the
+      // re-rooting (the over-enumerated candidates need it)
+      check(
+        "SELECT unix_millis(window.start) AS ws, ROUND(SUM(value), 2) AS s, COUNT(*) AS n " +
+          "FROM events_accel WHERE unix_millis(ts) >= " +
+          s"${Q.RsStart} AND unix_millis(ts) < ${Q.RsEnd} " +
+          "GROUP BY window(ts, '3 minutes', '2 minutes') ORDER BY 1")
+      // KEYED sliding above |keys| x windows
+      check(
+        "SELECT event_type, unix_millis(window.start) AS ws, " +
+          "ROUND(SUM(value), 2) AS s, COUNT(*) AS n " +
+          "FROM events_accel WHERE unix_millis(ts) >= " +
+          s"${Q.RsStart} AND unix_millis(ts) < ${Q.RsEnd} " +
+          "GROUP BY event_type, window(ts, '1 hour', '20 minutes') ORDER BY 1, 2")
+    } finally spark.conf.unset("spark.graft.wheel.rewrite.maxFoldRows")
   }
 
   test("approximate SQL spellings fold from the sketch wheels (round 11)") {
