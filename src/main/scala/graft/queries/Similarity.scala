@@ -49,6 +49,68 @@ object Similarity {
   private val MaxBucket = 1000
   private val boundedVecs =
     org.apache.spark.sql.functions.udaf(graft.functions.Aggregators.BoundedCollectVec(MaxBucket))
+
+  /** In-bucket exact cosine verification with a PAIR budget (round 11,
+    * VERDICT r10 #5). Below [[Text.PairBudget]] candidate pairs the
+    * behavior is the unchanged exact all-pairs scan (every shipped
+    * verify SF). Above it — the dup-dense regime where nearly every
+    * pair verifies and output grows quadratically in cluster size —
+    * the bucket switches to SemDeDup-style PIVOT clustering: walk ids
+    * ascending, each still-unassigned pivot absorbs its ≥ τ neighbors
+    * and emits (pivot, member) star pairs. Output is linear in bucket
+    * size, dot-product work collapses to ~one pass per cluster on
+    * dup-dense buckets, and the star edges are exactly what
+    * keep-one-per-cluster dedup consumes (the component stays
+    * connected through its canonical pivot). Declared trade: non-star
+    * pair-level recall inside over-budget buckets. */
+  private[queries] def bucketNearDups(ids: Array[Long],
+      vecs: Array[Array[Double]], tau: Double): Seq[(Long, Long, Double)] = {
+    val m = ids.length
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var k = 0
+      while (k < a.length && k < b.length) { d += a(k) * b(k); k += 1 }
+      d
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    if (m.toLong * (m - 1) / 2 > Text.PairBudget) {
+      val order = Array.range(0, m).sortBy(ids(_))
+      val assigned = new Array[Boolean](m)
+      var oi = 0
+      while (oi < m) {
+        val p = order(oi)
+        if (!assigned(p)) {
+          var oj = oi + 1
+          while (oj < m) {
+            val q = order(oj)
+            if (!assigned(q)) {
+              val d = dot(vecs(p), vecs(q))
+              if (d > tau) {
+                assigned(q) = true
+                out += ((ids(p), ids(q), d)) // ids(p) < ids(q): ascending walk
+              }
+            }
+            oj += 1
+          }
+        }
+        oi += 1
+      }
+    } else {
+      var i = 0
+      while (i < m) {
+        var j = i + 1
+        while (j < m) {
+          val d = dot(vecs(i), vecs(j))
+          if (d > tau) {
+            val (x, y) = if (ids(i) < ids(j)) (ids(i), ids(j)) else (ids(j), ids(i))
+            out += ((x, y, d))
+          }
+          j += 1
+        }
+        i += 1
+      }
+    }
+    out.toSeq
+  }
   /** One-shuffle top-k with cross-table dedupe (see TopKPairs). */
   private val topKPairs =
     org.apache.spark.sql.functions.udaf(graft.functions.Aggregators.TopKPairs(TopK))
@@ -161,23 +223,7 @@ object Similarity {
             ids(i) = r.getLong(0); vecs(i) = r.getSeq[Double](1).toArray
             i += 1
           }
-          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-          i = 0
-          while (i < m) {
-            var j = i + 1
-            while (j < m) {
-              val a = vecs(i); val b = vecs(j)
-              var d = 0.0; var k = 0
-              while (k < a.length && k < b.length) { d += a(k) * b(k); k += 1 }
-              if (d > tau) {
-                val (x, y) = if (ids(i) < ids(j)) (ids(i), ids(j)) else (ids(j), ids(i))
-                out += ((x, y, d))
-              }
-              j += 1
-            }
-            i += 1
-          }
-          out.toSeq
+          bucketNearDups(ids, vecs, tau)
         }
       })
       all.select(col("vec_id"), col("v"), explode(buckets(col("v"))).as("bucket"))

@@ -33,14 +33,34 @@ object Text {
     * [[graft.functions.Aggregators.BoundedCollect]] — the guard fires on
     * the overflow marker without the full bucket ever existing in memory. */
   private val MaxBucket = 1000
-  private[queries] val boundedIds =
-    udaf(graft.functions.Aggregators.BoundedCollect(MaxBucket))
-  private[queries] val pairsUdf = udf((ids: Seq[Long]) => {
+
+  /** Per-bucket PAIR budget (round 11, VERDICT r10 #5): the sf1 soak
+    * showed in-bucket all-pairs emission quadratic in cluster size on a
+    * dup-dense corpus (every doc a 10-way near-dup). Below the budget
+    * behavior is EXACT all-pairs (unchanged — every shipped verify SF's
+    * buckets sit far under it); above it the bucket emits STAR pairs —
+    * every member against the bucket's min id — which is linear in
+    * bucket size and exactly the edge set SemDeDup-style
+    * keep-one-per-cluster dedup needs (the star keeps the component
+    * connected through its canonical representative). The declared
+    * trade: pair-level recall inside over-budget buckets (a non-star
+    * pair surfaces only if some bucket still holds it under budget). */
+  private[queries] val PairBudget = 2016L // = C(64,2): buckets ≤ 64 ids stay exact
+
+  /** The emission policy behind [[pairsUdf]], exposed for direct tests. */
+  private[queries] def bucketPairs(ids: Seq[Long]): Seq[(Long, Long)] = {
     val sorted = ids.distinct.sorted
     if (sorted.length < 2 || sorted.length > MaxBucket) Seq.empty[(Long, Long)]
-    else for { i <- sorted.indices; j <- (i + 1) until sorted.length }
+    else if (sorted.length.toLong * (sorted.length - 1) / 2 > PairBudget) {
+      val rep = sorted.head
+      sorted.tail.map(x => (rep, x))
+    } else for { i <- sorted.indices; j <- (i + 1) until sorted.length }
       yield (sorted(i), sorted(j))
-  })
+  }
+
+  private[queries] val boundedIds =
+    udaf(graft.functions.Aggregators.BoundedCollect(MaxBucket))
+  private[queries] val pairsUdf = udf((ids: Seq[Long]) => bucketPairs(ids))
 
   /** Char bigrams of a string, in order (lang-id feature extraction). */
   private val bigramsUdf = udf((s: String) => {

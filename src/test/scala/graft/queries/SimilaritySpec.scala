@@ -47,6 +47,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.85, s"recall $recall (${rows.size}/${brute.size})")
   }
 
+  test("bucketNearDups: over-budget dup-dense bucket emits linear star pairs (round 11)") {
+    def unit(axis: Int): Array[Double] = {
+      val v = new Array[Double](8); v(axis) = 1.0; v
+    }
+    // a planted 100-way dup cluster: C(100,2) = 4950 > PairBudget, so
+    // pivot mode emits 99 (min-id, member) pairs — linear, with one
+    // dot-product pass instead of 4950
+    val ids100 = (1L to 100L).toArray
+    val same = Array.fill(100)(unit(0))
+    val star = Similarity.bucketNearDups(ids100, same, 0.4)
+    assert(star.size == 99)
+    assert(star.forall { case (a, _, d) => a == 1L && d == 1.0 })
+    assert(star.map(_._2).toSet == (2L to 100L).toSet)
+    // two orthogonal 50-clusters in one over-budget bucket: each
+    // cluster's min id becomes its pivot; no cross-cluster pairs
+    val mixed = Array.tabulate(100)(i => unit(i % 2))
+    val ids = (1L to 100L).toArray
+    val out = Similarity.bucketNearDups(ids, mixed, 0.4)
+    assert(out.size == 98)
+    val byPivot = out.groupBy(_._1)
+    assert(byPivot.keySet == Set(1L, 2L)) // ids 1,2 are the two clusters' minima
+    assert(byPivot(1L).map(_._2).toSet == (3L to 99L by 2).toSet)
+    assert(byPivot(2L).map(_._2).toSet == (4L to 100L by 2).toSet)
+    // below the budget: exact all-pairs, unchanged
+    val small = Similarity.bucketNearDups((1L to 10L).toArray,
+      Array.fill(10)(unit(0)), 0.4)
+    assert(small.size == 45)
+    assert(small.forall(_._3 == 1.0))
+  }
+
   test("q_embed_neardup finds every planted near-duplicate pair") {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.{Row, types => T}

@@ -35,6 +35,29 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("pair budget: over-budget buckets emit linear STAR pairs; below stays exact all-pairs (round 11)") {
+    // below the budget: exact all-pairs, unchanged
+    assert(Text.bucketPairs(1L to 10L).size == 45)
+    assert(Text.bucketPairs(1L to 10L).toSet ==
+      (for { i <- 1L to 10L; j <- (i + 1) to 10L } yield (i, j)).toSet)
+    // boundary: C(64,2) = 2016 = PairBudget -> still exact
+    assert(Text.bucketPairs(1L to 64L).size == 2016)
+    // one past: 65 ids -> 64 star pairs, every member against min id —
+    // linear in cluster size (the sf1 quadratic-blowup fix), and the
+    // edge set keep-one-per-cluster dedup needs
+    val star = Text.bucketPairs(1L to 65L)
+    assert(star.size == 64)
+    assert(star.forall(_._1 == 1L))
+    assert(star.map(_._2).toSet == (2L to 65L).toSet)
+    // a planted 100-way dup cluster: 99 pairs, not C(100,2) = 4950
+    val hundred = Text.bucketPairs((1L to 100L).reverse)
+    assert(hundred.size == 99 && hundred.forall(_._1 == 1L))
+    // order/dup insensitivity and the MaxBucket drop guard still hold
+    assert(Text.bucketPairs(Seq(3L, 1L, 2L, 1L)).toSet ==
+      Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(Text.bucketPairs(1L to 1001L).isEmpty)
+  }
+
   test("minhash signature estimates Jaccard (same doc = 1, disjoint = 0)") {
     val a = "w1 w2 w3 w4 w5 w6 w7 w8"
     val b = "x1 x2 x3 x4 x5 x6 x7 x8"
