@@ -121,7 +121,13 @@ object WheelAcceleration {
     * torn, or recorded against different source files / columns, the
     * index is rebuilt from `events` and re-saved for the next caller.
     * Same registry, fingerprint and rewrite discipline as
-    * [[register]]/[[registerMulti]]. */
+    * [[register]]/[[registerMulti]]. CONTRACT for the append-only tail
+    * refresh (round 11, ADVICE r10): `events` must read `path` raw —
+    * no projections/renames/recasts (schema-checked against the raw
+    * read; a mismatch takes the full rebuild) and no row filters
+    * (schema-invisible, so on the caller's honor) — because the tail
+    * files are aggregated through a raw read restricted to the new
+    * files. */
   def registerPersisted(spark: SparkSession, path: String, indexDir: String,
       events: => DataFrame, tsCol: String = "ts",
       valueCols: Seq[String] = Seq("value")): Map[String, WheelIndex] = {
@@ -193,6 +199,27 @@ object WheelAcceleration {
     * cannot be proven, the dir records different columns, or anything
     * fails to read; a writer racing the registration changes the
     * listing away from `fp`, which the same-listing check catches. */
+  /** Guard for the tail-refresh paths (round 11, ADVICE r10): the tail
+    * files are aggregated through a RAW `spark.read.parquet` restricted
+    * to just the new files — at 100 TB filtering `events` by file name
+    * would scan the whole table — so a refresh is only sound when that
+    * raw read is pipeline-equivalent to the caller's `events`. Checked
+    * structurally: identical schemas after ts normalization, which
+    * catches projections, renames, recasts and derived columns (those
+    * throw here → the caller takes the full rebuild, which uses
+    * `events` itself). A pipeline that only FILTERS rows is
+    * schema-invisible and excluded by the registerPersisted* contract:
+    * `events` must carry every row of `path`. */
+  private def requireRawPipeline(spark: SparkSession, path: String,
+      tsCol: String, events: DataFrame): Unit = {
+    import graft.wheel.RollupBuilder.normalizeTs
+    val raw = normalizeTs(spark.read.parquet(path), tsCol).schema
+    val ev = normalizeTs(events, tsCol).schema
+    require(raw == ev,
+      s"tail refresh requires the events pipeline to read $path raw " +
+        s"(schemas differ: $ev vs $raw); rebuilding from events instead")
+  }
+
   private def tailRefreshPersisted(spark: SparkSession, path: String,
       indexDir: String, events: => DataFrame, tsCol: String,
       valueCols: Seq[String], fp: String,
@@ -211,6 +238,7 @@ object WheelAcceleration {
             covered.isEmpty || tail.isEmpty || !covered.subsetOf(currentTokens))
           None
         else scala.util.Try {
+          requireRawPipeline(spark, path, tsCol, events)
           val partialCols = "slot_ms" +: valueCols.flatMap(c =>
             Seq(s"sum_$c", s"cnt_$c", s"min_$c", s"max_$c", s"sumsq_$c")) :+ "rows"
           // loadPartials validates version + slots fingerprint (torn
@@ -477,7 +505,7 @@ object WheelAcceleration {
           persistedOutcomes.put(normalize(path) + "#keyed", FullReuse))
         val wheels = loaded
           .orElse(tailRefreshPersistedKeyedMulti(
-            spark, path, indexDir, keyCol, tsCol, valueCols, fp, conf))
+            spark, path, indexDir, events, keyCol, tsCol, valueCols, fp, conf))
           .getOrElse {
             persistedOutcomes.put(normalize(path) + "#keyed", FullBuild)
             graft.wheel.PersistentWheel.saveKeyedMulti(
@@ -497,8 +525,8 @@ object WheelAcceleration {
     * same strict-subset coverage proof and same-listing race guard as
     * the unkeyed path. */
   private def tailRefreshPersistedKeyedMulti(spark: SparkSession,
-      path: String, indexDir: String, keyCol: String, tsCol: String,
-      valueCols: Seq[String], fp: String,
+      path: String, indexDir: String, events: => DataFrame, keyCol: String,
+      tsCol: String, valueCols: Seq[String], fp: String,
       conf: org.apache.hadoop.conf.Configuration): Option[Map[String, graft.wheel.KeyedWheelIndex]] = {
     import graft.wheel.{PersistentWheel, RollupBuilder, SourceFingerprint}
     PersistentWheel.peek(spark, indexDir).filter(m =>
@@ -514,6 +542,7 @@ object WheelAcceleration {
             covered.isEmpty || tail.isEmpty || !covered.subsetOf(currentTokens))
           None
         else scala.util.Try {
+          requireRawPipeline(spark, path, tsCol, events)
           val keyedCols = keyCol +: "slot_ms" +: valueCols.flatMap(c =>
             Seq(s"sum_$c", s"cnt_$c", s"min_$c", s"max_$c", s"sumsq_$c")) :+ "rows"
           val (_, persisted) = PersistentWheel.loadPartialsKeyedMulti(spark, indexDir)
@@ -909,6 +938,24 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     if (cur.references.subsetOf(below.outputSet)) Some(cur) else None
   }
 
+  /** True when any output aggregate is a second-moment call — those
+    * need the interior-partials conditioning gate before any merge-form
+    * fold (round 11, ADVICE r10): the merge expression re-derives the
+    * variance algebraically from the shipped sum/sumsq partials, which
+    * cancels catastrophically when |mean| >> stddev. Each fold site
+    * checks the partials it is about to ship
+    * ([[AllAggregate.varWellConditioned]] — the per-group interior
+    * partial for the residues, each minute entry for the distributed
+    * fallbacks) and keeps the scan when any fails. */
+  private def hasSecondMoment(aggExprs: Seq[NamedExpression]): Boolean =
+    aggExprs.exists(_.exists {
+      case e: AggregateExpression => e.aggregateFunction match {
+        case _: VariancePop | _: StddevPop | _: VarianceSamp | _: StddevSamp => true
+        case _ => false
+      }
+      case _ => false
+    })
+
   private def rewriteResidue(
       agg: Aggregate, aggExprs: Seq[NamedExpression], below: LogicalPlan,
       tsCol: String, wheels: Map[String, WheelIndex],
@@ -922,9 +969,11 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     for {
       parts <- residueParts(below, tsCol, wheels.keys.toSeq, a, b, aCeil, bFloor)
       newAggExprs <- mergeAggExprs(parts.cols, wheels.keySet, aggExprs, Seq.empty)
+      alls = wheels.map { case (c, i) => c -> i.query(aCeil, bFloor) }
+      if !hasSecondMoment(aggExprs) ||
+        alls.valuesIterator.forall(_.varWellConditioned)
     } yield {
       // union leg 1: the interior, folded from the index to one row
-      val alls = wheels.map { case (c, i) => c -> i.query(aCeil, bFloor) }
       val anyAll = alls.valuesIterator.next()
       val interiorRows =
         if (anyAll.count == 0L) Seq.empty
@@ -961,42 +1010,53 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
         "__graft_slot", gExpr.dataType, nullable = gExpr.nullable)()
       newAggExprs <- mergeAggExprs(parts.cols, wheels.keySet, aggExprs,
         Seq((Seq(groupKey, gExpr), slotAttr)))
-    } yield {
-      val rows = Seq.newBuilder[InternalRow]
-      if (cellCount(grid, aCeil, bFloor, maxFoldRows) > maxFoldRows &&
-          wheels.valuesIterator.forall(_.minuteTierComplete)) {
-        // above the fold cap: ship the minute state (O(1) per entry)
-        // pre-keyed to its grid slot and let the final merge Aggregate
-        // combine it — same rows, built without per-cell tier walks
-        val measures = parts.measures
-        val anyIdx = wheels(measures.head)
-        anyIdx.minuteEntries(aCeil, bFloor).foreach { case (slotMs, anyAll) =>
-          val alls = measures.map {
-            case c if c == measures.head => c -> anyAll
-            case c => c -> wheels(c).minuteAt(slotMs)
-          }.toMap
-          val s0 = grid.floorOf(slotMs)
-          rows += InternalRow.fromSeq(slotLiteral(grid, s0, grid.end(s0)).value +:
-            parts.partialsRow(alls, anyAll.count))
+      plan <- {
+        val needCond = hasSecondMoment(aggExprs)
+        var conditioned = true
+        def check(alls: Iterable[AllAggregate]): Unit =
+          if (needCond && !alls.forall(_.varWellConditioned)) conditioned = false
+        val rows = Seq.newBuilder[InternalRow]
+        if (cellCount(grid, aCeil, bFloor, maxFoldRows) > maxFoldRows &&
+            wheels.valuesIterator.forall(_.minuteTierComplete)) {
+          // above the fold cap: ship the minute state (O(1) per entry)
+          // pre-keyed to its grid slot and let the final merge Aggregate
+          // combine it — same rows, built without per-cell tier walks
+          val measures = parts.measures
+          val anyIdx = wheels(measures.head)
+          anyIdx.minuteEntries(aCeil, bFloor).foreach { case (slotMs, anyAll) =>
+            val alls = measures.map {
+              case c if c == measures.head => c -> anyAll
+              case c => c -> wheels(c).minuteAt(slotMs)
+            }.toMap
+            check(alls.values)
+            val s0 = grid.floorOf(slotMs)
+            rows += InternalRow.fromSeq(slotLiteral(grid, s0, grid.end(s0)).value +:
+              parts.partialsRow(alls, anyAll.count))
+          }
+        } else {
+          val it = grid.starts(aCeil, bFloor)
+          while (it.hasNext) {
+            val s0 = it.next()
+            val s1 = grid.end(s0)
+            val alls = wheels.map { case (c, i) =>
+              c -> i.query(math.max(aCeil, s0), math.min(bFloor, s1)) }
+            val anyAll = alls.valuesIterator.next()
+            if (anyAll.count > 0L) {
+              check(alls.values)
+              rows += InternalRow.fromSeq(
+                slotLiteral(grid, s0, s1).value +: parts.partialsRow(alls, anyAll.count))
+            }
+          }
         }
-      } else {
-        val it = grid.starts(aCeil, bFloor)
-        while (it.hasNext) {
-          val s0 = it.next()
-          val s1 = grid.end(s0)
-          val alls = wheels.map { case (c, i) =>
-            c -> i.query(math.max(aCeil, s0), math.min(bFloor, s1)) }
-          val anyAll = alls.valuesIterator.next()
-          if (anyAll.count > 0L)
-            rows += InternalRow.fromSeq(
-              slotLiteral(grid, s0, s1).value +: parts.partialsRow(alls, anyAll.count))
+        if (!conditioned) None // ill-conditioned second moment: keep the scan
+        else {
+          val interior = LocalRelation(slotAttr +: parts.partialAttrs, rows.result())
+          val edgeLeg = Project(
+            Alias(gEval, "__graft_slot")() +: parts.edgePartials, parts.edgeFilter)
+          Some(Aggregate(Seq(slotAttr), newAggExprs, Union(Seq(interior, edgeLeg))))
         }
       }
-      val interior = LocalRelation(slotAttr +: parts.partialAttrs, rows.result())
-      val edgeLeg = Project(
-        Alias(gEval, "__graft_slot")() +: parts.edgePartials, parts.edgeFilter)
-      Aggregate(Seq(slotAttr), newAggExprs, Union(Seq(interior, edgeLeg)))
-    }
+    } yield plan
   }
 
   /** GROUP BY time-slot over a registered source — answered from the
@@ -1213,7 +1273,11 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
         Seq((Seq[Expression](k._1), keyOut.get.asInstanceOf[Attribute]))).getOrElse(Seq.empty) ++
         Seq((Seq[Expression](winAttr), slotAttr.asInstanceOf[Attribute]))
       newAggExprs <- mergeAggExprs(parts.cols, measures.toSet, aggExprs, subst)
-    } yield {
+      plan <- {
+      val needCond = hasSecondMoment(aggExprs)
+      var conditioned = true
+      def check(alls: Iterable[AllAggregate]): Unit =
+        if (needCond && !alls.forall(_.varWellConditioned)) conditioned = false
       val rows = Seq.newBuilder[InternalRow]
       def slotVal(ws: Long) = InternalRow(ws * 1000L, (ws + sizeMs) * 1000L)
       keyed match {
@@ -1224,9 +1288,11 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
             val alls = measures.map(c => c -> wheels(c).query(
               math.max(aCeil, ws), math.min(bFloor, ws + sizeMs))).toMap
             val anyAll = alls.valuesIterator.next()
-            if (anyAll.count > 0L)
+            if (anyAll.count > 0L) {
+              check(alls.values)
               rows += InternalRow.fromSeq(
                 slotVal(ws) +: parts.partialsRow(alls, anyAll.count))
+            }
           }
         case Some((_, reg)) =>
           reg.any.keys.foreach { key =>
@@ -1237,12 +1303,16 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
               val alls = measures.map(c => c -> reg.wheels(c).query(key,
                 math.max(aCeil, ws), math.min(bFloor, ws + sizeMs))).toMap
               val anyAll = alls.valuesIterator.next()
-              if (anyAll.count > 0L)
+              if (anyAll.count > 0L) {
+                check(alls.values)
                 rows += InternalRow.fromSeq(
                   kv +: slotVal(ws) +: parts.partialsRow(alls, anyAll.count))
+              }
             }
           }
       }
+      if (!conditioned) None // ill-conditioned second moment: keep the scan
+      else {
       val interior =
         LocalRelation(keyOut.toSeq ++ (slotAttr +: parts.partialAttrs), rows.result())
       val edgeChild =
@@ -1259,8 +1329,11 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       val edgeLeg = Project(
         keyProj ++ (Alias(winAttr, "__graft_slot")() +: parts.edgePartials),
         edgeTop)
-      Aggregate(keyOut.toSeq :+ slotAttr, newAggExprs, Union(Seq(interior, edgeLeg)))
-    }
+      Some(Aggregate(keyOut.toSeq :+ slotAttr, newAggExprs,
+        Union(Seq(interior, edgeLeg))))
+      }
+      }
+    } yield plan
   }
 
   /** ABOVE-CAP distributed fallback for the SLIDING folds (round 11,
@@ -1310,7 +1383,11 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     val subst = groupings.collect {
       case at: Attribute => (Seq[Expression](at), at)
     }
-    mergeAggExprs(cols, measures.toSet, aggExprs, subst).map { newAggExprs =>
+    mergeAggExprs(cols, measures.toSet, aggExprs, subst).flatMap { newAggExprs =>
+      val needCond = hasSecondMoment(aggExprs)
+      var conditioned = true
+      def check(alls: Iterable[AllAggregate]): Unit =
+        if (needCond && !alls.forall(_.varWellConditioned)) conditioned = false
       val rows = Seq.newBuilder[InternalRow]
       keyed match {
         case Some((_, reg)) =>
@@ -1324,6 +1401,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
               case (c, _) if c == anyMeasure => c -> anyAll
               case (c, i) => c -> i.minuteAt(key, slotMs)
             }
+            check(alls.values)
             rows += InternalRow.fromSeq(
               (slotMs * 1000L) +: kv +: cols.partialsRow(alls, anyAll.count))
           }
@@ -1334,18 +1412,22 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
               case c if c == measures.head => c -> anyAll
               case c => c -> wheels(c).minuteAt(slotMs)
             }.toMap
+            check(alls.values)
             rows += InternalRow.fromSeq(
               (slotMs * 1000L) +: cols.partialsRow(alls, anyAll.count))
           }
       }
-      val passThrough = tsAttr +: (keyAttr.toSeq ++ cols.partialAttrs)
-      val relation = LocalRelation(passThrough, rows.result())
-      val newExpand = Expand(
-        expand.projections.map(p => passThrough :+ p(winIdx)),
-        passThrough :+ winAttr, relation)
-      val topChild: LogicalPlan =
-        membership.map(f => Filter(f.condition, newExpand)).getOrElse(newExpand)
-      Aggregate(groupings, newAggExprs, topChild)
+      if (!conditioned) None // ill-conditioned second moment: keep the scan
+      else {
+        val passThrough = tsAttr +: (keyAttr.toSeq ++ cols.partialAttrs)
+        val relation = LocalRelation(passThrough, rows.result())
+        val newExpand = Expand(
+          expand.projections.map(p => passThrough :+ p(winIdx)),
+          passThrough :+ winAttr, relation)
+        val topChild: LogicalPlan =
+          membership.map(f => Filter(f.condition, newExpand)).getOrElse(newExpand)
+        Some(Aggregate(groupings, newAggExprs, topChild))
+      }
     }
   }
 
@@ -1575,7 +1657,11 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     val subst = keyed.map { case (keyAttr, _) =>
       Seq((Seq[Expression](keyAttr), keyOutAttr.get.asInstanceOf[Attribute]))
     }.getOrElse(Seq.empty) ++ slotSpellings.map(sp => (sp, slotAttr.asInstanceOf[Attribute]))
-    mergeAggExprs(cols, measures.toSet, aggExprs, subst).map { newAggExprs =>
+    mergeAggExprs(cols, measures.toSet, aggExprs, subst).flatMap { newAggExprs =>
+      val needCond = hasSecondMoment(aggExprs)
+      var conditioned = true
+      def check(alls: Iterable[AllAggregate]): Unit =
+        if (needCond && !alls.forall(_.varWellConditioned)) conditioned = false
       val rows = Seq.newBuilder[InternalRow]
       def slotVal(slotMs: Long): Any = {
         val s0 = grid.floorOf(slotMs)
@@ -1593,6 +1679,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
               case (c, _) if c == anyMeasure => c -> anyAll
               case (c, i) => c -> i.minuteAt(key, slotMs)
             }
+            check(alls.values)
             rows += InternalRow.fromSeq(kv +: slotVal(slotMs) +:
               cols.partialsRow(alls, anyAll.count))
           }
@@ -1603,13 +1690,17 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
               case c if c == measures.head => c -> anyAll
               case c => c -> wheels(c).minuteAt(slotMs)
             }.toMap
+            check(alls.values)
             rows += InternalRow.fromSeq(
               slotVal(slotMs) +: cols.partialsRow(alls, anyAll.count))
           }
       }
-      val relAttrs = keyOutAttr.toSeq ++ (slotAttr +: cols.partialAttrs)
-      val groupAttrs = keyOutAttr.toSeq :+ slotAttr
-      Aggregate(groupAttrs, newAggExprs, LocalRelation(relAttrs, rows.result()))
+      if (!conditioned) None // ill-conditioned second moment: keep the scan
+      else {
+        val relAttrs = keyOutAttr.toSeq ++ (slotAttr +: cols.partialAttrs)
+        val groupAttrs = keyOutAttr.toSeq :+ slotAttr
+        Some(Aggregate(groupAttrs, newAggExprs, LocalRelation(relAttrs, rows.result())))
+      }
     }
   }
 
@@ -1711,48 +1802,60 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
         "__graft_slot", gExpr.dataType, nullable = gExpr.nullable)()
       newAggExprs <- mergeAggExprs(parts.cols, reg.wheels.keySet, aggExprs,
         Seq((Seq(keyAttr), keyOutAttr), (Seq(slotGroup, gExpr), slotAttr)))
-    } yield {
-      val rows = Seq.newBuilder[InternalRow]
-      val anyIdx = reg.any
-      val anyMeasure = reg.wheels.find(_._2 eq anyIdx).get._1
-      if (anyIdx.keys.size.toLong * cellCount(grid, aCeil, bFloor, maxFoldRows) > maxFoldRows) {
-        // above the fold cap: minute state instead of per-cell walks,
-        // same merge Aggregate (see rewriteGroupedResidue)
-        val keyVals = new java.util.HashMap[Any, Any]()
-        anyIdx.minuteEntries(aCeil, bFloor).foreach { case (key, slotMs, anyAll) =>
-          val kv = keyVals.computeIfAbsent(key,
-            k => Literal.create(k, anyIdx.keyType).value)
-          val alls = reg.wheels.map {
-            case (c, _) if c == anyMeasure => c -> anyAll
-            case (c, i) => c -> i.minuteAt(key, slotMs)
+      plan <- {
+        val needCond = hasSecondMoment(aggExprs)
+        var conditioned = true
+        def check(alls: Iterable[AllAggregate]): Unit =
+          if (needCond && !alls.forall(_.varWellConditioned)) conditioned = false
+        val rows = Seq.newBuilder[InternalRow]
+        val anyIdx = reg.any
+        val anyMeasure = reg.wheels.find(_._2 eq anyIdx).get._1
+        if (anyIdx.keys.size.toLong * cellCount(grid, aCeil, bFloor, maxFoldRows) > maxFoldRows) {
+          // above the fold cap: minute state instead of per-cell walks,
+          // same merge Aggregate (see rewriteGroupedResidue)
+          val keyVals = new java.util.HashMap[Any, Any]()
+          anyIdx.minuteEntries(aCeil, bFloor).foreach { case (key, slotMs, anyAll) =>
+            val kv = keyVals.computeIfAbsent(key,
+              k => Literal.create(k, anyIdx.keyType).value)
+            val alls = reg.wheels.map {
+              case (c, _) if c == anyMeasure => c -> anyAll
+              case (c, i) => c -> i.minuteAt(key, slotMs)
+            }
+            check(alls.values)
+            val s0 = grid.floorOf(slotMs)
+            rows += InternalRow.fromSeq(kv +: slotLiteral(grid, s0, grid.end(s0)).value +:
+              parts.partialsRow(alls, anyAll.count))
           }
-          val s0 = grid.floorOf(slotMs)
-          rows += InternalRow.fromSeq(kv +: slotLiteral(grid, s0, grid.end(s0)).value +:
-            parts.partialsRow(alls, anyAll.count))
+        } else {
+          anyIdx.keys.foreach { key =>
+            val keyVal = Literal.create(key, anyIdx.keyType).value
+            val it = grid.starts(aCeil, bFloor)
+            while (it.hasNext) {
+              val s0 = it.next()
+              val s1 = grid.end(s0)
+              val alls = reg.wheels.map { case (c, i) =>
+                c -> i.query(key, math.max(aCeil, s0), math.min(bFloor, s1)) }
+              val anyAll = alls.valuesIterator.next()
+              if (anyAll.count > 0L) {
+                check(alls.values)
+                rows += InternalRow.fromSeq(keyVal +: slotLiteral(grid, s0, s1).value +:
+                  parts.partialsRow(alls, anyAll.count))
+              }
+            }
+          }
         }
-      } else {
-        anyIdx.keys.foreach { key =>
-          val keyVal = Literal.create(key, anyIdx.keyType).value
-          val it = grid.starts(aCeil, bFloor)
-          while (it.hasNext) {
-            val s0 = it.next()
-            val s1 = grid.end(s0)
-            val alls = reg.wheels.map { case (c, i) =>
-              c -> i.query(key, math.max(aCeil, s0), math.min(bFloor, s1)) }
-            val anyAll = alls.valuesIterator.next()
-            if (anyAll.count > 0L)
-              rows += InternalRow.fromSeq(keyVal +: slotLiteral(grid, s0, s1).value +:
-                parts.partialsRow(alls, anyAll.count))
-          }
+        if (!conditioned) None // ill-conditioned second moment: keep the scan
+        else {
+          val interior =
+            LocalRelation(keyOutAttr +: slotAttr +: parts.partialAttrs, rows.result())
+          val edgeLeg = Project(
+            Alias(keyRaw, "__graft_key")() +: Alias(gEval, "__graft_slot")() +:
+              parts.edgePartials, parts.edgeFilter)
+          Some(Aggregate(Seq(keyOutAttr, slotAttr), newAggExprs,
+            Union(Seq(interior, edgeLeg))))
         }
       }
-      val interior =
-        LocalRelation(keyOutAttr +: slotAttr +: parts.partialAttrs, rows.result())
-      val edgeLeg = Project(
-        Alias(keyRaw, "__graft_key")() +: Alias(gEval, "__graft_slot")() +:
-          parts.edgePartials, parts.edgeFilter)
-      Aggregate(Seq(keyOutAttr, slotAttr), newAggExprs, Union(Seq(interior, edgeLeg)))
-    }
+    } yield plan
   }
 
   /** The grouping expression itself, or — when the optimizer's
@@ -2226,13 +2329,22 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
             .map(al => Literal(al.count, LongType))
         // second moment from the sumsq partial (round 10); SAMP is NULL
         // below two rows, so only the default nullOnDivideByZero=true
-        // spelling folds
-        case VariancePop(c, _) => folded(c)(_.varPop)
-        case StddevPop(c, _) => folded(c)(_.stddevPop)
-        case VarianceSamp(c, true) => measure(c).map(all => Literal(
-          if (all.count < 2) null else all.varSamp, DoubleType))
-        case StddevSamp(c, true) => measure(c).map(all => Literal(
-          if (all.count < 2) null else all.stddevSamp, DoubleType))
+        // spelling folds. ILL-CONDITIONED ranges (|mean| >> stddev —
+        // the algebraic form cancels catastrophically where the scan's
+        // Welford path doesn't) refuse the fold and keep the scan
+        // (round 11, ADVICE r10: AllAggregate.varWellConditioned).
+        case VariancePop(c, _) =>
+          measure(c).filter(_.varWellConditioned).flatMap(_ => folded(c)(_.varPop))
+        case StddevPop(c, _) =>
+          measure(c).filter(_.varWellConditioned).flatMap(_ => folded(c)(_.stddevPop))
+        case VarianceSamp(c, true) => measure(c).flatMap(all =>
+          if (all.count < 2) Some(Literal(null, DoubleType))
+          else if (!all.varWellConditioned) None
+          else Some(Literal(all.varSamp, DoubleType)))
+        case StddevSamp(c, true) => measure(c).flatMap(all =>
+          if (all.count < 2) Some(Literal(null, DoubleType))
+          else if (!all.varWellConditioned) None
+          else Some(Literal(all.stddevSamp, DoubleType)))
         case f => sketch.flatMap(sk => sketchLit(f, sk, range._1, range._2))
       }
       r.getOrElse { supported = false; e }

@@ -19,10 +19,30 @@ final case class AllAggregate(sum: Double, count: Long, min: Double, max: Double
       math.max(max, o.max), sumSq + o.sumSq)
   def avg: Double = if (count == 0) Double.NaN else sum / count
   /** Population variance; clamped at 0 (the algebraic form can go an ulp
-    * negative on constant slots). NaN on the empty partial. */
+    * negative on constant slots). NaN on the empty partial.
+    *
+    * CONDITIONING LIMIT (round 11, ADVICE r10): the algebraic form
+    * cancels catastrophically when |mean| >> stddev — the
+    * `Σx² − (Σx)²/n` subtraction loses ~log₁₀(mean²/var) significant
+    * digits, where Spark's scan path (Welford central moments) loses
+    * none. Callers substituting this for a scan answer must gate on
+    * [[varWellConditioned]]; the SQL rewrite bails to the scan beyond
+    * it. */
   def varPop: Double =
     if (count == 0) Double.NaN
     else math.max(0.0, (sumSq - sum * sum / count) / count)
+
+  /** True while the algebraic second moment retains ≥ ~half the
+    * double's digits: variance ≥ 1e-8 × mean² (coefficient of variation
+    * ≥ 1e-4). At the boundary the fold's relative error is ~1e-8 —
+    * far inside any reporting rounding; beyond it the scan's Welford
+    * path is the only trustworthy answer. Counts below 2 are exact by
+    * algebra (the subtraction cancels bit-for-bit), so they pass. */
+  def varWellConditioned: Boolean =
+    count < 2 || {
+      val mean = sum / count
+      varPop * 1e8 >= mean * mean
+    }
   /** Sample variance; NaN below two rows (callers surface SQL NULL,
     * matching Spark's and DuckDB's `var_samp` of a single row). */
   def varSamp: Double =

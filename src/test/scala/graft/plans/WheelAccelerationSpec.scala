@@ -930,6 +930,51 @@ class WheelAccelerationSpec extends AnyFunSuite {
     } finally WheelAcceleration.clear()
   }
 
+  test("ill-conditioned VAR/STDDEV ranges keep the scan (round 11, ADVICE r10)") {
+    import spark.implicits._
+    val src = new java.io.File("target/test-fixtures/accel/illcond.parquet")
+      .getAbsolutePath
+    val t0 = Q.Jan1
+    // values ~1e8 with ~1e-2 spread: mean²/var ≈ 1e20 — the algebraic
+    // (Σx² − (Σx)²/n)/n form loses every variance digit in doubles,
+    // while Spark's scan (Welford central moments) keeps them; the fold
+    // must refuse instead of silently changing the answer
+    (0 until 300).map(i =>
+      (new java.sql.Timestamp(t0 + (i / 5) * 60000L), 1e8 + (i % 5) * 0.01))
+      .toDF("ts", "value").write.mode("overwrite").parquet(src)
+    WheelAcceleration.register(spark, src, spark.read.parquet(src))
+    spark.read.parquet(src).createOrReplaceTempView("illcond")
+    def folded(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect { case l: LocalRelation => l }.nonEmpty
+    try {
+      // ungrouped aligned: VAR bails to the scan...
+      val v = spark.sql("SELECT VAR_POP(value) AS v FROM illcond " +
+        s"WHERE unix_millis(ts) >= $t0 AND unix_millis(ts) < ${t0 + 3600000}")
+      assert(!folded(v), v.queryExecution.optimizedPlan.treeString)
+      // ...while first-moment aggregates over the same range still fold
+      val s = spark.sql("SELECT ROUND(SUM(value), 2) AS s, COUNT(*) AS n FROM illcond " +
+        s"WHERE unix_millis(ts) >= $t0 AND unix_millis(ts) < ${t0 + 3600000}")
+      assert(folded(s))
+      // grouped per-slot STDDEV bails too
+      val g = spark.sql("SELECT (unix_millis(ts) div 60000) * 60000 AS m, " +
+        "STDDEV_POP(value) AS sd FROM illcond " +
+        s"WHERE unix_millis(ts) >= $t0 AND unix_millis(ts) < ${t0 + 3600000} " +
+        "GROUP BY 1 ORDER BY 1")
+      assert(!folded(g), g.queryExecution.optimizedPlan.treeString)
+      // hybrid (sub-minute edges): the merge-form VAR is gated on the
+      // interior partials' conditioning — keeps the scan
+      val h = spark.sql("SELECT VAR_POP(value) AS v FROM illcond " +
+        s"WHERE unix_millis(ts) >= ${t0 + 7000} AND unix_millis(ts) < ${t0 + 3600000 - 9000}")
+      assert(!folded(h), h.queryExecution.optimizedPlan.treeString)
+      // sanity: a WELL-conditioned fixture still folds the second moment
+      register()
+      events.createOrReplaceTempView("events_accel")
+      val ok = spark.sql("SELECT VAR_POP(value) AS v FROM events_accel " +
+        s"WHERE unix_millis(ts) >= ${Q.R1Start} AND unix_millis(ts) < ${Q.R1End}")
+      assert(folded(ok))
+    } finally WheelAcceleration.unregister(src)
+  }
+
   test("above the cap, sliding folds go DISTRIBUTED: minute partials through the original Expand (round 11)") {
     register()
     WheelAcceleration.registerKeyed(spark, path, events, "event_type")
