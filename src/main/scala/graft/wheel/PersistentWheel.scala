@@ -42,16 +42,22 @@ object PersistentWheel {
     * empty on sidecars written before the field existed (those are kept
     * by gc — no recorded source to judge staleness against).
     * `slotsFingerprint` (round 10, ADVICE r9) binds the sidecar to the
-    * exact slots parquet it was written with: [[saveSlots]] overwrites
-    * the slots first and the sidecar second, so a crash between the two
-    * leaves NEW slots under the PREVIOUS sidecar — without the binding,
-    * a restart would merge those partials AND re-aggregate the same
-    * files as tail, double-counting. [[loadSlots]] validates it and
-    * fails loudly on mismatch (consumers fall back to a full rebuild);
-    * empty on pre-round-10 sidecars (validation skipped). */
+    * exact slots parquet it was written with; [[loadSlots]] validates it
+    * and fails loudly on mismatch (consumers fall back to a full
+    * rebuild); empty on pre-round-10 sidecars (validation skipped).
+    * `slotsDir` (round 11, VERDICT r10 #6) names WHICH slots payload
+    * the sidecar binds to: [[saveSlots]] writes each save's partials
+    * under a fresh `slots-<uuid>.parquet` and then atomically renames a
+    * new sidecar over `meta.graft`, so the sidecar always points at a
+    * COMPLETE payload — a crash mid-save leaves the PREVIOUS consistent
+    * index servable instead of forcing a rebuild (the round-10 torn
+    * detection remains as the backstop for manual tampering). Defaults
+    * to the legacy fixed `slots.parquet` so pre-round-11 dirs load
+    * unchanged. */
   final case class Meta(version: Int, kind: String, tsCol: String,
       valueCols: Seq[String], sourceFingerprint: String,
-      sourcePath: String = "", slotsFingerprint: String = "")
+      sourcePath: String = "", slotsFingerprint: String = "",
+      slotsDir: String = "slots.parquet")
 
   // Version 2 (round 10): partials carry the `sumsq` second-moment
   // column (variance/stddev folds). v1 dirs lack it; the version gate
@@ -89,23 +95,57 @@ object PersistentWheel {
   /** Generic persist for any wheel family: write the (time-bounded)
     * minute-slot DataFrame as one tiny parquet plus the `kind`-stamped
     * metadata sidecar. Every family's save funnels through here, so the
-    * layout and staleness contract stay uniform. */
+    * layout and staleness contract stay uniform.
+    *
+    * ATOMIC (round 11, VERDICT r10 #6): the partials land under a
+    * fresh uniquely-named `slots-<uuid>.parquet` — the previous payload
+    * is never touched — and the new sidecar (naming that payload via
+    * `slotsDir`) is staged to a temp file and RENAMED over `meta.graft`
+    * (an atomic pointer swap on HDFS and POSIX filesystems). A crash at
+    * ANY point leaves `meta.graft` pointing at a complete payload: the
+    * previous index stays servable, where the round-10 layout detected
+    * the tear but forced a full rebuild. Superseded payloads and stale
+    * temp files are swept best-effort after the swap (a crash before
+    * the sweep leaves harmless orphans for the next save). */
   private[wheel] def saveSlots(spark: SparkSession, indexDir: String,
       kind: String, slots: DataFrame, tsCol: String, valueCols: Seq[String],
       sourceFingerprint: String, sourcePath: String): Unit = {
     require(valueCols.nonEmpty, "need at least one column name")
     require(valueCols.forall(c => !c.contains(",")),
       "column names must not contain ','")
+    val conf = spark.sessionState.newHadoopConf()
+    val uuid = java.util.UUID.randomUUID().toString
+    val slotsName = s"slots-$uuid.parquet"
     // time-bounded cardinality: one file keeps the load a single read
-    slots.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/$SlotsDir")
-    // fingerprint the slots JUST written and bind the sidecar to them:
-    // a crash before the sidecar lands leaves old-meta + new-slots,
-    // which loadSlots then rejects instead of silently double-counting
-    val slotsFp = SourceFingerprint.of(
-      s"$indexDir/$SlotsDir", spark.sessionState.newHadoopConf())
-    writeMeta(spark, indexDir,
-      Meta(Version, kind, tsCol, valueCols, sourceFingerprint, sourcePath,
-        slotsFp))
+    slots.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/$slotsName")
+    // fingerprint the payload JUST written and bind the sidecar to it
+    // (tokens are RELATIVE paths, so the binding survives any later
+    // directory move); still the tamper backstop under the atomic swap
+    val slotsFp = SourceFingerprint.of(s"$indexDir/$slotsName", conf)
+    val metaBytes =
+      metaText(Meta(Version, kind, tsCol, valueCols, sourceFingerprint,
+        sourcePath, slotsFp, slotsName)).getBytes(UTF_8)
+    val metaPath = new Path(s"$indexDir/$MetaFile")
+    val tmpPath = new Path(s"$indexDir/.meta-$uuid.tmp")
+    val fs = metaPath.getFileSystem(conf)
+    val out = fs.create(tmpPath, true)
+    try out.write(metaBytes) finally out.close()
+    // the pointer swap: rename-with-overwrite is atomic on HDFS and
+    // local filesystems — readers see the old or the new sidecar,
+    // never a partial one
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(metaPath.toUri, conf)
+    fc.rename(tmpPath, metaPath, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // best-effort sweep of superseded payloads / stale temps
+    scala.util.Try {
+      fs.listStatus(new Path(indexDir)).foreach { s =>
+        val n = s.getPath.getName
+        val superseded =
+          (s.isDirectory && (n == SlotsDir || n.startsWith("slots-")) && n != slotsName) ||
+            (!s.isDirectory && n.startsWith(".meta-") && n.endsWith(".tmp"))
+        if (superseded) fs.delete(s.getPath, true)
+      }
+    }
+    ()
   }
 
   /** Generic restore: validate version + `kind`, then hand back the
@@ -120,13 +160,14 @@ object PersistentWheel {
       s"persisted wheel at $indexDir is a '${meta.kind}' wheel, not '$kind'")
     if (meta.slotsFingerprint.nonEmpty) {
       val now = SourceFingerprint.of(
-        s"$indexDir/$SlotsDir", spark.sessionState.newHadoopConf())
+        s"$indexDir/${meta.slotsDir}", spark.sessionState.newHadoopConf())
       require(now == meta.slotsFingerprint,
         s"persisted wheel at $indexDir is torn: the slots parquet does not " +
-          "match the sidecar's recorded slots fingerprint (crash between " +
-          "slots overwrite and sidecar write?) — rebuild from source")
+          "match the sidecar's recorded slots fingerprint (manual tamper, " +
+          "or a pre-round-11 crash between slots overwrite and sidecar " +
+          "write) — rebuild from source")
     }
-    (meta, spark.read.parquet(s"$indexDir/$SlotsDir"))
+    (meta, spark.read.parquet(s"$indexDir/${meta.slotsDir}"))
   }
 
   /** Load a persisted index: read the sidecar, collect the (tiny)
@@ -380,7 +421,8 @@ object PersistentWheel {
     else fs.listStatus(p).toSeq.filter(_.isDirectory).flatMap { d =>
       entryOf(d.getPath.toString).toSeq.flatMap { top =>
         val nested = fs.listStatus(d.getPath).toSeq
-          .filter(s => s.isDirectory && s.getPath.getName != SlotsDir)
+          .filter(s => s.isDirectory && s.getPath.getName != SlotsDir &&
+            !s.getPath.getName.startsWith("slots-"))
           .flatMap(s => entryOf(s.getPath.toString))
         top +: nested
       }
@@ -408,20 +450,15 @@ object PersistentWheel {
   // Line-based sidecar rather than JSON: every field is a plain token
   // except the fingerprint, which is the last line and may contain any
   // path character — parsing splits on the FIRST '=' only.
-  private def writeMeta(spark: SparkSession, indexDir: String, meta: Meta): Unit = {
-    val p = new Path(s"$indexDir/$MetaFile")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(p, true)
-    try out.write(
-      (s"version=${meta.version}\n" +
-        s"kind=${meta.kind}\n" +
-        s"tsCol=${meta.tsCol}\n" +
-        s"valueCols=${meta.valueCols.mkString(",")}\n" +
-        s"sourcePath=${meta.sourcePath}\n" +
-        s"slotsFingerprint=${meta.slotsFingerprint}\n" +
-        s"fingerprint=${meta.sourceFingerprint}\n").getBytes(UTF_8))
-    finally out.close()
-  }
+  private def metaText(meta: Meta): String =
+    s"version=${meta.version}\n" +
+      s"kind=${meta.kind}\n" +
+      s"tsCol=${meta.tsCol}\n" +
+      s"valueCols=${meta.valueCols.mkString(",")}\n" +
+      s"sourcePath=${meta.sourcePath}\n" +
+      s"slotsDir=${meta.slotsDir}\n" +
+      s"slotsFingerprint=${meta.slotsFingerprint}\n" +
+      s"fingerprint=${meta.sourceFingerprint}\n"
 
   private def readMeta(spark: SparkSession, indexDir: String): Meta = {
     val p = new Path(s"$indexDir/$MetaFile")
@@ -445,6 +482,7 @@ object PersistentWheel {
     Meta(fields("version").toInt, fields.getOrElse("kind", SumKind),
       fields("tsCol"), fields("valueCols").split(",").toSeq,
       fields("fingerprint"), fields.getOrElse("sourcePath", ""),
-      fields.getOrElse("slotsFingerprint", ""))
+      fields.getOrElse("slotsFingerprint", ""),
+      fields.getOrElse("slotsDir", SlotsDir))
   }
 }

@@ -478,11 +478,13 @@ class WheelIngestSpec extends AnyFunSuite {
     } finally q1.stop()
     WheelAcceleration.unregister(path)
 
-    // tear the checkpoint: wipe the slots parquet but leave the sidecar
-    // (the crash window between slots overwrite and sidecar write) —
-    // the coverage PROOF still validates, but the partials cannot load
-    org.apache.commons.io.FileUtils.deleteQuietly(
-      new java.io.File(s"$persistDir/slots.parquet"))
+    // tear the checkpoint: wipe the CURRENT slots payload (resolved via
+    // the sidecar — round 11's atomic save names it slots-<uuid>) but
+    // leave the sidecar — a disk-loss/tamper shape the atomic swap
+    // cannot prevent; the coverage PROOF still validates, but the
+    // partials cannot load
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      s"$persistDir/${graft.wheel.PersistentWheel.peek(spark, persistDir).get.slotsDir}"))
 
     val mem2 = MemoryStream[(java.sql.Timestamp, Double)]
     val q2 = WheelIngest.start(mem2.toDF().toDF("ts", "value"), path,

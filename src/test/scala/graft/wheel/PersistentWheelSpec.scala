@@ -21,6 +21,12 @@ class PersistentWheelSpec extends AnyFunSuite {
   private def fixtureDir(name: String): String =
     new java.io.File(s"target/test-fixtures/pwheel/$name").getAbsolutePath
 
+  /** The CURRENT slots payload path of a persisted dir — resolved
+    * through the sidecar, since round 11's atomic save names each
+    * payload `slots-<uuid>.parquet`. */
+  private def slotsDirOf(idxDir: String): String =
+    s"$idxDir/${PersistentWheel.peek(spark, idxDir).get.slotsDir}"
+
   test("save -> load round trip: loaded index answers exactly like a fresh build") {
     val idxDir = fixtureDir("roundtrip")
     val fresh = WheelIndex.buildMulti(events, "ts", Seq("value"))("value")
@@ -80,8 +86,8 @@ class PersistentWheelSpec extends AnyFunSuite {
     // fingerprint are unchanged, so the next registration MUST serve
     // the tampered disk copy — the only way that answer appears is the
     // load path, never a rebuild
-    val slots = spark.read.parquet(s"$idxDir/slots.parquet").collect()
-    val schema = spark.read.parquet(s"$idxDir/slots.parquet").schema
+    val slots = spark.read.parquet(slotsDirOf(idxDir)).collect()
+    val schema = spark.read.parquet(slotsDirOf(idxDir)).schema
     val doubled = slots.map { r =>
       org.apache.spark.sql.Row.fromSeq(r.toSeq.zipWithIndex.map {
         case (v: Double, i) if schema(i).name == "sum_value" => v * 2
@@ -103,6 +109,92 @@ class PersistentWheelSpec extends AnyFunSuite {
     WheelAcceleration.clear()
   }
 
+  test("tail refresh requires the raw reading pipeline; a transformed events pipeline full-rebuilds (round 11, ADVICE r10)") {
+    import spark.implicits._
+    System.setProperty("graft.wheel.fingerprint.ttlMs", "0")
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    def setup(name: String): (String, String) = {
+      val src = fixtureDir(s"$name/events.parquet")
+      val idxDir = fixtureDir(s"$name/index")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(src))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
+      // the source carries an EXTRA column the transformed pipeline
+      // projects away — the schema-visible divergence class
+      Seq((ts(Q.Jan1), 1.5, "a"), (ts(Q.Jan1 + 60000L), 2.5, "b"))
+        .toDF("ts", "value", "junk").write.mode("overwrite").parquet(src)
+      (src, idxDir)
+    }
+    def append(src: String): Unit =
+      Seq((ts(Q.Jan1 + 120000L), 4.0, "c"))
+        .toDF("ts", "value", "junk").write.mode("append").parquet(src)
+
+    // TRANSFORMED pipeline (projection): the append-only refresh must
+    // REFUSE (raw tail read ≠ the pipeline) and take the full rebuild,
+    // which uses the events pipeline itself
+    val (src1, idx1) = setup("pipe-proj")
+    def projected = spark.read.parquet(src1).select("ts", "value")
+    WheelAcceleration.registerPersisted(spark, src1, idx1, projected)
+    append(src1)
+    WheelAcceleration.clear()
+    WheelAcceleration.registerPersisted(spark, src1, idx1, projected)
+    assert(WheelAcceleration.lastPersistedOutcome(src1)
+      .contains(WheelAcceleration.FullBuild),
+      WheelAcceleration.lastPersistedOutcome(src1).toString)
+    assert(PersistentWheel.load(spark, idx1)._2("value")
+      .query(Q.Jan1, Q.Jan1 + 180000L).sum == 8.0)
+
+    // control: the RAW pipeline on the same shape tail-refreshes
+    val (src2, idx2) = setup("pipe-raw")
+    def raw = spark.read.parquet(src2)
+    WheelAcceleration.registerPersisted(spark, src2, idx2, raw)
+    append(src2)
+    WheelAcceleration.clear()
+    WheelAcceleration.registerPersisted(spark, src2, idx2, raw)
+    assert(WheelAcceleration.lastPersistedOutcome(src2).exists(
+      _.isInstanceOf[WheelAcceleration.TailRefresh]),
+      WheelAcceleration.lastPersistedOutcome(src2).toString)
+    assert(PersistentWheel.load(spark, idx2)._2("value")
+      .query(Q.Jan1, Q.Jan1 + 180000L).sum == 8.0)
+    WheelAcceleration.clear()
+  }
+
+  test("ATOMIC save: a crash mid-save leaves the PREVIOUS index servable (round 11)") {
+    import spark.implicits._
+    val src = fixtureDir("atomic/events.parquet")
+    val idxDir = fixtureDir("atomic/index")
+    Seq((new java.sql.Timestamp(Q.Jan1), 1.5),
+      (new java.sql.Timestamp(Q.Jan1 + 60000L), 2.5))
+      .toDF("ts", "value").write.mode("overwrite").parquet(src)
+    PersistentWheel.save(spark, idxDir, spark.read.parquet(src),
+      "ts", Seq("value"), sourceFingerprint = "fp-atomic")
+    val goodSlots = PersistentWheel.peek(spark, idxDir).get.slotsDir
+
+    // simulate the crash window: a NEW payload fully written and a
+    // staged sidecar that never renamed into place
+    val (_, partials) = PersistentWheel.loadPartials(spark, idxDir)
+    partials.withColumn("sum_value", col("sum_value") * 2)
+      .coalesce(1).write.parquet(s"$idxDir/slots-crashed.parquet")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$idxDir/.meta-crashed.tmp"),
+      "half-written".getBytes("UTF-8"))
+
+    // the sidecar still points at the OLD complete payload: the load
+    // serves it — no tear, no rebuild (the round-10 layout would have
+    // rejected the dir here and forced a rebuild)
+    val (meta, wheels) = PersistentWheel.load(spark, idxDir)
+    assert(meta.slotsDir == goodSlots)
+    assert(wheels("value").query(Q.Jan1, Q.Jan1 + 120000L).sum == 4.0)
+
+    // the next save swaps atomically and sweeps the orphans
+    PersistentWheel.save(spark, idxDir, spark.read.parquet(src),
+      "ts", Seq("value"), sourceFingerprint = "fp-atomic2")
+    val names = new java.io.File(idxDir).listFiles().map(_.getName).toSet
+    assert(names.count(_.startsWith("slots-")) == 1, names)
+    assert(!names.exists(n => n.startsWith(".meta-") && n.endsWith(".tmp")), names)
+    assert(PersistentWheel.load(spark, idxDir)._2("value")
+      .query(Q.Jan1, Q.Jan1 + 120000L).sum == 4.0)
+  }
+
   test("a TORN save (slots rewritten, sidecar stale) is rejected and rebuilt (round 10)") {
     import spark.implicits._
     System.setProperty("graft.wheel.fingerprint.ttlMs", "0")
@@ -114,10 +206,11 @@ class PersistentWheelSpec extends AnyFunSuite {
     WheelAcceleration.registerPersisted(spark, src, idxDir, spark.read.parquet(src))
     WheelAcceleration.clear()
 
-    // simulate the crash window: the slots parquet is overwritten (with
-    // doubled sums) but the sidecar never lands — the sidecar's
-    // slotsFingerprint still describes the PREVIOUS slots
-    val slotsPath = s"$idxDir/slots.parquet"
+    // simulate a manual tamper (or a pre-round-11 crash shape): the
+    // CURRENT slots payload is overwritten (with doubled sums) behind
+    // the sidecar's back — its slotsFingerprint still describes the
+    // previous bytes
+    val slotsPath = slotsDirOf(idxDir)
     val slots = spark.read.parquet(slotsPath).collect()
     val schema = spark.read.parquet(slotsPath).schema
     val doubled = slots.map { r =>
@@ -237,7 +330,7 @@ class PersistentWheelSpec extends AnyFunSuite {
       // the core fidelity claim, family-independent: every persisted
       // minute sketch comes back BYTE-identical
       val before = collected.map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
-      val after = spark.read.parquet(s"$idxDir/slots.parquet")
+      val after = spark.read.parquet(slotsDirOf(idxDir))
         .select("slot_ms", "sk").collect()
         .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
       assert(after.keySet == before.keySet, name)
@@ -527,7 +620,7 @@ class PersistentWheelSpec extends AnyFunSuite {
     // savePartialsKeyed — consistent sidecar binding, see the unkeyed
     // sibling; source unchanged -> the next registration MUST serve
     // the tampered disk copy — only the load path can produce that
-    val slotsPath = s"$idxDir/slots.parquet"
+    val slotsPath = slotsDirOf(idxDir)
     val slots = spark.read.parquet(slotsPath).collect()
     val schema = spark.read.parquet(slotsPath).schema
     val doubled = slots.map { r =>
