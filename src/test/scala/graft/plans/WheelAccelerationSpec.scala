@@ -930,6 +930,90 @@ class WheelAccelerationSpec extends AnyFunSuite {
     } finally WheelAcceleration.clear()
   }
 
+  test("lastBailReason reports why acceleration did not fire, per bail class (round 11)") {
+    import spark.implicits._
+    register()
+    events.createOrReplaceTempView("events_accel")
+    def planOnly(sql: String): Unit = {
+      spark.sql(sql).queryExecution.optimizedPlan; ()
+    }
+    def reason: String = WheelAcceleration.lastBailReason(path).getOrElse("")
+
+    // unsupported aggregate (no plan-time fold exists for it)
+    planOnly("SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p " +
+      s"FROM events_accel WHERE unix_millis(ts) >= ${Q.R1Start} " +
+      s"AND unix_millis(ts) < ${Q.R1End}")
+    assert(reason.contains("unsupported aggregate"), reason)
+
+    // deliberate exact-spelling refusal (COUNT(DISTINCT))
+    planOnly("SELECT SUM(value) AS s, COUNT(DISTINCT user_id) AS u " +
+      s"FROM events_accel WHERE unix_millis(ts) >= ${Q.R1Start} " +
+      s"AND unix_millis(ts) < ${Q.R1End}")
+    assert(reason.contains("DISTINCT") || reason.contains("unsupported"), reason)
+
+    // non-range filter shape (extra conjunct)
+    planOnly("SELECT SUM(value) AS s FROM events_accel " +
+      s"WHERE unix_millis(ts) >= ${Q.R1Start} AND unix_millis(ts) < ${Q.R1End} " +
+      "AND value > 0")
+    assert(reason.contains("half-open range"), reason)
+
+    // non-time-bucket grouping
+    planOnly("SELECT user_id, SUM(value) AS s FROM events_accel " +
+      s"WHERE unix_millis(ts) >= ${Q.R1Start} AND unix_millis(ts) < ${Q.R1End} " +
+      "GROUP BY 1")
+    assert(reason.contains("time-bucketing"), reason)
+
+    // above the window cap WITH sub-minute edges (the one sliding shape
+    // that still keeps the scan after round 11)
+    spark.conf.set("spark.graft.wheel.rewrite.maxFoldRows", "3")
+    try {
+      planOnly("SELECT COUNT(*) AS n FROM events_accel " +
+        s"WHERE unix_millis(ts) >= ${Q.RsStart + 7000} " +
+        s"AND unix_millis(ts) < ${Q.RsEnd - 9000} " +
+        "GROUP BY window(ts, '1 hour', '30 minutes')")
+      assert(reason.contains("window cap"), reason)
+    } finally spark.conf.unset("spark.graft.wheel.rewrite.maxFoldRows")
+
+    // ill-conditioned second moment
+    val illSrc = new java.io.File("target/test-fixtures/accel/illcond2.parquet")
+      .getAbsolutePath
+    (0 until 100).map(i =>
+      (new java.sql.Timestamp(Q.Jan1 + (i / 5) * 60000L), 1e8 + (i % 5) * 0.01))
+      .toDF("ts", "value").write.mode("overwrite").parquet(illSrc)
+    WheelAcceleration.register(spark, illSrc, spark.read.parquet(illSrc))
+    spark.read.parquet(illSrc).createOrReplaceTempView("illcond2")
+    try {
+      spark.sql("SELECT VAR_POP(value) AS v FROM illcond2 " +
+        s"WHERE unix_millis(ts) >= ${Q.Jan1} AND unix_millis(ts) < ${Q.Jan1 + 1200000}")
+        .queryExecution.optimizedPlan
+      assert(WheelAcceleration.lastBailReason(illSrc)
+        .exists(_.contains("ill-conditioned")),
+        WheelAcceleration.lastBailReason(illSrc).toString)
+    } finally WheelAcceleration.unregister(illSrc)
+
+    // stale fingerprint
+    val staleSrc = new java.io.File("target/test-fixtures/accel/stalebail.parquet")
+      .getAbsolutePath
+    System.setProperty("graft.wheel.fingerprint.ttlMs", "0")
+    try {
+      Seq((new java.sql.Timestamp(Q.Jan1), 1.0))
+        .toDF("ts", "value").write.mode("overwrite").parquet(staleSrc)
+      WheelAcceleration.register(spark, staleSrc, spark.read.parquet(staleSrc))
+      Seq((new java.sql.Timestamp(Q.Jan1), 2.0), (new java.sql.Timestamp(Q.Jan1 + 60000L), 3.0))
+        .toDF("ts", "value").write.mode("overwrite").parquet(staleSrc)
+      spark.read.parquet(staleSrc).createOrReplaceTempView("stalebail")
+      spark.sql("SELECT SUM(value) AS s FROM stalebail " +
+        s"WHERE unix_millis(ts) >= ${Q.Jan1} AND unix_millis(ts) < ${Q.Jan1 + 120000}")
+        .queryExecution.optimizedPlan
+      assert(WheelAcceleration.lastBailReason(staleSrc)
+        .exists(_.contains("stale fingerprint")),
+        WheelAcceleration.lastBailReason(staleSrc).toString)
+    } finally {
+      System.clearProperty("graft.wheel.fingerprint.ttlMs")
+      WheelAcceleration.unregister(staleSrc)
+    }
+  }
+
   test("ill-conditioned VAR/STDDEV ranges keep the scan (round 11, ADVICE r10)") {
     import spark.implicits._
     val src = new java.io.File("target/test-fixtures/accel/illcond.parquet")
