@@ -380,6 +380,30 @@ object WheelAcceleration {
     enable(spark)
   }
 
+  /** Register ALREADY-BUILT sketch wheels for `path` — the live-ingest
+    * refresh primitive for the approximate SQL spellings (round 11):
+    * [[graft.streaming.WheelIngest]] rebuilds the per-column wheels
+    * from its accumulated minute sketches after each committed batch
+    * and swaps them in here, so `approx_count_distinct` /
+    * `percentile_approx` / `approx_top_k` keep folding WITH the
+    * just-ingested rows. `coveredFingerprint` has the same
+    * foreign-writer semantics as [[registerPrebuilt]]. */
+  def registerPrebuiltSketches(spark: SparkSession, path: String,
+      tsCol: String,
+      distinct: Map[String, graft.wheel.CohortWheel] = Map.empty,
+      quantile: Map[String, graft.wheel.QuantileWheel] = Map.empty,
+      freq: Map[String, graft.wheel.FrequencyWheel] = Map.empty,
+      coveredFingerprint: Option[String] = None): Unit = {
+    require(distinct.nonEmpty || quantile.nonEmpty || freq.nonEmpty,
+      "need at least one sketch wheel")
+    val conf = spark.sessionState.newHadoopConf()
+    val fp = coveredFingerprint.getOrElse(fingerprint(path, conf))
+    sketchRegistry.put(normalize(path),
+      SketchReg(tsCol, distinct, quantile, freq, fp, conf))
+    fpCache.keySet.removeIf(_._1 == normalize(path))
+    enable(spark)
+  }
+
   /** Sketch registration for `path`, validated against the CURRENT
     * source fingerprint — None (scan path) if the files changed. */
   private[plans] def lookupSketch(path: String): Option[SketchReg] =

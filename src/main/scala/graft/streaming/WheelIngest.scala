@@ -105,6 +105,24 @@ object WheelIngest {
     * first committed batch, or when `latenessHorizonMs` is unset). */
   def ingestStats(path: String): Option[IngestStats] = Option(stats.get(path))
 
+  /** Which SKETCH wheels the ingest should maintain live (round 11):
+    * per listed column, the batch's per-minute sketches — Theta for
+    * `distinctCols`, KLL for `quantileCols`, Misra-Gries for
+    * `freqCols` — merge into an accumulator after every committed
+    * batch, and the rebuilt wheels refresh
+    * [[graft.plans.WheelAcceleration.registerPrebuiltSketches]], so
+    * the approximate SQL spellings (`approx_count_distinct` /
+    * `percentile_approx` / `approx_top_k`) fold mid-ingest exactly
+    * like the sum-family shapes. Sketch accumulators bootstrap from
+    * the table's full history on start (one slotSketches aggregation
+    * per family; they do not checkpoint — a restart re-aggregates,
+    * while the SUM family keeps its tail-only persisted bootstrap). */
+  final case class SketchSpec(distinctCols: Seq[String] = Nil,
+      quantileCols: Seq[String] = Nil, freqCols: Seq[String] = Nil) {
+    def isEmpty: Boolean =
+      distinctCols.isEmpty && quantileCols.isEmpty && freqCols.isEmpty
+  }
+
   /** Per-slot accumulator state: one (sum, cnt, min, max, sumsq) block
     * per measure, plus the shared all-rows count. */
   private final case class Slot(sums: Array[Double], cnts: Array[Long],
@@ -138,7 +156,8 @@ object WheelIngest {
       valueCols: Seq[String] = Seq("value"),
       persistDir: Option[String] = None,
       keyCol: Option[String] = None,
-      latenessHorizonMs: Option[Long] = None): StreamingQuery = {
+      latenessHorizonMs: Option[Long] = None,
+      sketches: SketchSpec = SketchSpec()): StreamingQuery = {
     require(valueCols.nonEmpty, "need at least one measure column")
     require(latenessHorizonMs.forall(_ > 0), "lateness horizon must be positive")
     val spark = stream.sparkSession
@@ -261,6 +280,52 @@ object WheelIngest {
         graft.wheel.Tier.Minute)
         .select(keyedPartialCols.head, keyedPartialCols.tail: _*)
         .collect()
+
+    // LIVE SKETCH accumulators (round 11): per (family, column) a
+    // minute-slot -> serialized-sketch map, merged by each family's
+    // associative mergeBytes — the same mergeable-partials contract the
+    // batch builds rely on, fed by the batch-only slotSketches jobs
+    import graft.wheel.{CohortWheel, FrequencyWheel, QuantileWheel}
+    type SketchAcc = java.util.concurrent.ConcurrentHashMap[Long, Array[Byte]]
+    val thetaAcc = sketches.distinctCols.map(c => c -> new SketchAcc()).toMap
+    val kllAcc = sketches.quantileCols.map(c => c -> new SketchAcc()).toMap
+    val mgAcc = sketches.freqCols.map(c => c -> new SketchAcc()).toMap
+    def mergeSketchRows(accM: SketchAcc, rows: Array[Row],
+        mergeF: (Array[Byte], Array[Byte]) => Array[Byte]): Unit =
+      rows.foreach(r => accM.merge(r.getLong(0), r.getAs[Array[Byte]](1),
+        (a, b) => mergeF(a, b)))
+    def aggregateSketches(src: DataFrame): Unit = if (!sketches.isEmpty) {
+      val norm = RollupBuilder.normalizeTs(src, tsCol)
+      sketches.distinctCols.foreach(c => mergeSketchRows(thetaAcc(c),
+        CohortWheel.slotSketches(norm, tsCol, c).collect(), CohortWheel.mergeBytes))
+      sketches.quantileCols.foreach(c => mergeSketchRows(kllAcc(c),
+        QuantileWheel.slotSketches(norm, tsCol, c).collect(), QuantileWheel.mergeBytes))
+      sketches.freqCols.foreach(c => mergeSketchRows(mgAcc(c),
+        FrequencyWheel.slotSketches(norm, tsCol, c).collect(), FrequencyWheel.mergeBytes))
+    }
+    def sketchSnapshot(accM: SketchAcc): Array[Row] = {
+      val it = accM.entrySet().iterator()
+      val buf = Array.newBuilder[Row]
+      while (it.hasNext) {
+        val e = it.next()
+        buf += Row(e.getKey.longValue(), e.getValue)
+      }
+      buf.result()
+    }
+    def refreshSketches(): Unit = if (!sketches.isEmpty) {
+      val distinct = sketches.distinctCols.filterNot(c => thetaAcc(c).isEmpty)
+        .map(c => c -> CohortWheel.fromMinuteSketches(
+          sketchSnapshot(thetaAcc(c)), Map.empty)).toMap
+      val quantile = sketches.quantileCols.filterNot(c => kllAcc(c).isEmpty)
+        .map(c => c -> QuantileWheel.fromMinuteSketches(
+          sketchSnapshot(kllAcc(c)), Map.empty)).toMap
+      val freq = sketches.freqCols.filterNot(c => mgAcc(c).isEmpty)
+        .map(c => c -> FrequencyWheel.fromMinuteSketches(
+          sketchSnapshot(mgAcc(c)), Map.empty)).toMap
+      if (distinct.nonEmpty || quantile.nonEmpty || freq.nonEmpty)
+        WheelAcceleration.registerPrebuiltSketches(spark, path, tsCol,
+          distinct, quantile, freq, Some(coveredFingerprint()))
+    }
 
     val hadoopConf = spark.sessionState.newHadoopConf()
 
@@ -395,9 +460,14 @@ object WheelIngest {
               keyedCoveredFiles = 0, keyedTailFiles = current.map(_._2))
         }
       }
+      // sketch families bootstrap from the full history (one
+      // slotSketches aggregation per family — no persisted checkpoint;
+      // the sum family's tail-only bootstrap is the fast path)
+      aggregateSketches(spark.read.parquet(path))
       bootstraps.put(path, report)
       refresh()
       refreshKeyed()
+      refreshSketches()
       persistAccumulator()
     } else bootstraps.put(path, BootstrapReport(0, Seq.empty))
 
@@ -435,6 +505,7 @@ object WheelIngest {
             }
             mergeRows(partials)
             keyCol.foreach(_ => mergeKeyedRows(keyedPartials(batch)))
+            aggregateSketches(batch)
             lastMergedBatch = batchId
             delta.foreach(coveredTokens.add)
           }
@@ -442,6 +513,7 @@ object WheelIngest {
           // set — queries planned from here fold WITH this batch
           refresh()
           refreshKeyed()
+          refreshSketches()
           // (4) checkpoint the partials (O(slots), time-bounded): the
           // next restart bootstraps from here instead of re-scanning
           persistAccumulator()

@@ -140,7 +140,7 @@ object CohortWheel {
 
   /** Driver-side tier roll-up from collected `(slot_ms, sk)` rows —
     * shared by [[build]] and [[PersistentWheel.loadCohort]]. */
-  private[wheel] def fromMinuteSketches(rows: Array[org.apache.spark.sql.Row],
+  private[graft] def fromMinuteSketches(rows: Array[org.apache.spark.sql.Row],
       retention: Map[Tier, Retention]): CohortWheel = {
     def mergeAll(group: Seq[Array[Byte]]): Array[Byte] = {
       val u = SetOperation.builder().buildUnion()

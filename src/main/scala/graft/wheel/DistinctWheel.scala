@@ -98,7 +98,7 @@ object DistinctWheel {
   /** Driver-side tier roll-up from collected `(slot_ms, sk)` rows —
     * shared by [[build]] (rows fresh off the aggregation) and
     * [[PersistentWheel.loadDistinct]] (rows re-read from disk). */
-  private[wheel] def fromMinuteSketches(rows: Array[org.apache.spark.sql.Row],
+  private[graft] def fromMinuteSketches(rows: Array[org.apache.spark.sql.Row],
       retention: Map[Tier, Retention]): DistinctWheel = {
     def unionAll(group: Seq[Array[Byte]]): Array[Byte] = {
       val u = new Union(LgK)

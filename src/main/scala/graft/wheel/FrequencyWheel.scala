@@ -152,7 +152,7 @@ object FrequencyWheel {
 
   /** Driver-side tier roll-up from collected `(slot_ms, sk)` rows —
     * shared by [[build]] and [[PersistentWheel.loadFrequency]]. */
-  private[wheel] def fromMinuteSketches(rows: Array[org.apache.spark.sql.Row],
+  private[graft] def fromMinuteSketches(rows: Array[org.apache.spark.sql.Row],
       retention: Map[Tier, Retention]): FrequencyWheel = {
     def mergeAll(group: Seq[Array[Byte]]): Array[Byte] = {
       val acc = new LongsSketch(MaxMapSize)

@@ -156,7 +156,7 @@ object QuantileWheel {
 
   /** Driver-side tier roll-up from collected `(slot_ms, sk)` rows —
     * shared by [[build]] and [[PersistentWheel.loadQuantile]]. */
-  private[wheel] def fromMinuteSketches(rows: Array[org.apache.spark.sql.Row],
+  private[graft] def fromMinuteSketches(rows: Array[org.apache.spark.sql.Row],
       retention: Map[Tier, Retention]): QuantileWheel = {
     def mergeAll(group: Seq[Array[Byte]]): Array[Byte] = {
       val acc = KllDoublesSketch.newHeapInstance(K)

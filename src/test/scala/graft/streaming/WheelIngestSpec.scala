@@ -460,6 +460,69 @@ class WheelIngestSpec extends AnyFunSuite {
     }
   }
 
+  test("approx SQL spellings fold LIVE from the sketch accumulators (round 11)") {
+    import spark.implicits._
+    System.setProperty("graft.wheel.fingerprint.ttlMs", "0")
+    val path = fixture("sketch/events.parquet")
+    val ckpt = fixture("sketch/ckpt")
+    val t0 = Q.Jan1
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Double, Long)]
+    val q = WheelIngest.start(mem.toDF().toDF("ts", "value", "user_id"),
+      path, ckpt,
+      sketches = WheelIngest.SketchSpec(
+        distinctCols = Seq("user_id"), quantileCols = Seq("value"),
+        freqCols = Seq("user_id")))
+    def sql(stmt: String) = {
+      spark.read.parquet(path).createOrReplaceTempView("live_sk")
+      spark.sql(stmt)
+    }
+    try {
+      mem.addData((ts(t0), 1.0, 101L), (ts(t0 + Min), 2.0, 102L))
+      q.processAllAvailable()
+      val d1 = sql("SELECT approx_count_distinct(user_id) AS u FROM live_sk " +
+        s"WHERE unix_millis(ts) >= $t0 AND unix_millis(ts) < ${t0 + 3 * Min}")
+      assert(folded(d1), d1.queryExecution.optimizedPlan.treeString)
+      assert(d1.collect()(0).getLong(0) == 2L)
+
+      // second batch: a repeat user and a new one — the next fold must
+      // reflect the just-ingested rows
+      mem.addData((ts(t0 + 2 * Min), 4.0, 101L),
+        (ts(t0 + 2 * Min + 1000), 10.0, 103L))
+      q.processAllAvailable()
+      val d2 = sql("SELECT approx_count_distinct(user_id) AS u FROM live_sk " +
+        s"WHERE unix_millis(ts) >= $t0 AND unix_millis(ts) < ${t0 + 3 * Min}")
+      assert(folded(d2))
+      assert(d2.collect()(0).getLong(0) == 3L)
+
+      // live Misra-Gries top-k: 101 appears twice across batches
+      val tk = sql("SELECT t.item AS user_id, t.count AS n " +
+        "FROM (SELECT explode(approx_top_k(user_id, 2)) AS t FROM live_sk " +
+        s"WHERE unix_millis(ts) >= $t0 AND unix_millis(ts) < ${t0 + 3 * Min}) " +
+        "ORDER BY n DESC, user_id")
+      assert(folded(tk), tk.queryExecution.optimizedPlan.treeString)
+      assert(tk.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+        Seq((101L, 2L), (102L, 1L)))
+
+      // live KLL median (exact regime) vs percentile_disc over the files
+      val p = sql("SELECT percentile_approx(value, 0.5) AS p50 FROM live_sk " +
+        s"WHERE unix_millis(ts) >= $t0 AND unix_millis(ts) < ${t0 + 3 * Min}")
+      assert(folded(p))
+      val disc = spark.read.parquet(path)
+        .filter(org.apache.spark.sql.functions.unix_millis(
+          org.apache.spark.sql.functions.col("ts")).between(t0, t0 + 3 * Min - 1))
+        .select(org.apache.spark.sql.functions.expr(
+          "percentile_disc(0.5) WITHIN GROUP (ORDER BY value)"))
+        .collect()(0).getDouble(0)
+      assert(p.collect()(0).getDouble(0) == disc)
+    } finally {
+      q.stop()
+      WheelAcceleration.unregister(path)
+    }
+  }
+
   test("a TORN ingest checkpoint falls back to the full-history aggregation (round 10)") {
     import spark.implicits._
     System.setProperty("graft.wheel.fingerprint.ttlMs", "0")
