@@ -64,11 +64,25 @@ class FoldSweepSpec extends AnyFunSuite {
 
     var folded = 0
     var total = 0
+    // the CAP dimension (round 11): the same full matrix under a
+    // forced plan-time ceiling of 3, so every above-cap fallback —
+    // grouped/keyed minute-state partials, the sliding re-rooted
+    // Expand — is equivalence-checked across all agg mixes and
+    // grouping spellings, not just its pointwise specs. Above-cap
+    // shapes that still produce a LocalRelation (the distributed
+    // plans) count as folded; the one declared scan shape (above-cap
+    // sliding with sub-minute edges) just has to stay correct.
+    val capKnob = "spark.graft.wheel.rewrite.maxFoldRows"
     for {
+      cap <- Seq(None, Some("3"))
       agg <- aggMixes
       (gSel, gBy) <- groupings
       (a, b) <- ranges
     } {
+      cap match {
+        case Some(c) => spark.conf.set(capKnob, c)
+        case None => spark.conf.unset(capKnob)
+      }
       val order =
         if (gSel.isEmpty) ""
         else if (gBy == "GROUP BY 1, 2") " ORDER BY 1, 2" else " ORDER BY 1"
@@ -102,9 +116,11 @@ class FoldSweepSpec extends AnyFunSuite {
     }
     // the sweep is about equivalence, but a silent bail-everything
     // regression must fail too: the aligned and minute-aligned ranges
-    // fold for every grouping here, and the hybrid folds for all but
-    // none — well over half the matrix
+    // fold for every grouping here (distributed plans included under
+    // the forced cap), and the hybrids fold for all but the above-cap
+    // sliding edges — well over half the matrix
     assert(folded * 2 >= total, s"only $folded/$total combinations folded")
+    spark.conf.unset(capKnob)
     WheelAcceleration.clear()
   }
 }
