@@ -21,6 +21,31 @@ class FoldSweepSpec extends AnyFunSuite {
   private val path = s"$dir/events.parquet"
   private def events = Q.t(spark, dir, "events")
 
+  private def foldsToLocal(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collect { case l: LocalRelation => l }.nonEmpty
+
+  /** Typed row compare with a relative tolerance on doubles (see the
+    * rounding note in the first sweep). */
+  private def assertSameRows(got: Array[org.apache.spark.sql.Row],
+      want: Array[org.apache.spark.sql.Row], sql: String): Unit = {
+    assert(got.length == want.length,
+      s"row-count divergence (${got.length} vs ${want.length}) for: $sql")
+    got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+      assert(g.length == w.length, s"arity divergence for: $sql")
+      (0 until g.length).foreach { j =>
+        (if (g.isNullAt(j)) null else g.get(j),
+          if (w.isNullAt(j)) null else w.get(j)) match {
+          case (null, null) => ()
+          case (x: java.lang.Double, y: java.lang.Double) =>
+            assert(math.abs(x - y) <= 1e-9 * (1.0 + math.abs(y)),
+              s"cell ($i,$j): $x vs $y for: $sql")
+          case (x, y) =>
+            assert(x == y, s"cell ($i,$j): $x vs $y for: $sql")
+        }
+      }
+    }
+  }
+
   test("every agg-mix × grouping × range combination matches the scan") {
     WheelAcceleration.register(spark, path, events)
     WheelAcceleration.registerKeyed(spark, path, events, "event_type")
@@ -97,22 +122,7 @@ class FoldSweepSpec extends AnyFunSuite {
       val want = spark.sql(sql).collect()
       WheelAcceleration.register(spark, path, events)
       WheelAcceleration.registerKeyed(spark, path, events, "event_type")
-      assert(got.length == want.length,
-        s"row-count divergence (${got.length} vs ${want.length}) for: $sql")
-      got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
-        assert(g.length == w.length, s"arity divergence for: $sql")
-        (0 until g.length).foreach { j =>
-          (if (g.isNullAt(j)) null else g.get(j),
-            if (w.isNullAt(j)) null else w.get(j)) match {
-            case (null, null) => ()
-            case (x: java.lang.Double, y: java.lang.Double) =>
-              assert(math.abs(x - y) <= 1e-9 * (1.0 + math.abs(y)),
-                s"cell ($i,$j): $x vs $y for: $sql")
-            case (x, y) =>
-              assert(x == y, s"cell ($i,$j): $x vs $y for: $sql")
-          }
-        }
-      }
+      assertSameRows(got, want, sql)
     }
     // the sweep is about equivalence, but a silent bail-everything
     // regression must fail too: the aligned and minute-aligned ranges
@@ -121,6 +131,89 @@ class FoldSweepSpec extends AnyFunSuite {
     // sliding edges — well over half the matrix
     assert(folded * 2 >= total, s"only $folded/$total combinations folded")
     spark.conf.unset(capKnob)
+    WheelAcceleration.clear()
+  }
+
+  /** The APPROX-SPELLING sweep (round 11): `approx_count_distinct` is
+    * folded sketch-for-sketch from the Theta wheel, so fold-vs-scan
+    * equality does NOT apply (the scan answers with Spark's HLL++
+    * estimate, the fold with the wheel's). The binding contract in the
+    * sketches' EXACT regime (this fixture: 15 distinct users, Theta
+    * nominal 4096) is fold == exact truth — so every folding shape is
+    * checked against the exact `COUNT(DISTINCT …)` spelling computed by
+    * a cleared-registry scan, across the same grouping/range matrix as
+    * the sum-family sweep (flat / minute / hour / day / date_trunc /
+    * tumbling / sliding window, each with a mixed sum-family tail). The
+    * two deliberate refusals are pinned too: the exact spelling never
+    * folds while registered, and the keyed grid bails (no per-key
+    * sketch wheels) with scan results unchanged. */
+  test("approx_count_distinct folds match exact truth across groupings") {
+    def registerAll(): Unit = {
+      WheelAcceleration.register(spark, path, events)
+      WheelAcceleration.registerKeyed(spark, path, events, "event_type")
+      WheelAcceleration.registerSketches(spark, path, events, "ts",
+        distinctCols = Seq("user_id"))
+    }
+    registerAll()
+    events.createOrReplaceTempView("ev_sweep_approx")
+
+    val groupings = Seq(
+      ("", ""),
+      ("(unix_millis(ts) div 60000) * 60000 AS g0, ", "GROUP BY 1"),
+      ("(unix_millis(ts) div 3600000) * 3600000 AS g0, ", "GROUP BY 1"),
+      ("(unix_millis(ts) div 86400000) * 86400000 AS g0, ", "GROUP BY 1"),
+      ("date_trunc('hour', ts) AS g0, ", "GROUP BY 1"),
+      ("window(ts, '2 hours') AS g0, ", "GROUP BY window(ts, '2 hours')"),
+      ("window(ts, '1 hour', '30 minutes') AS g0, ",
+        "GROUP BY window(ts, '1 hour', '30 minutes')"))
+    val ranges = Seq(
+      (Q.R1Start, Q.R1End),                   // day-aligned week
+      (Q.R1Start + 60000L, Q.R1End - 60000L)) // minute-aligned interior
+    for {
+      mixed <- Seq(false, true)
+      (gSel, gBy) <- groupings
+      (a, b) <- ranges
+    } {
+      val order = if (gSel.isEmpty) "" else " ORDER BY 1"
+      // the mixed form proves one statement resolves aggregates against
+      // BOTH families: the sketch wheel and the sum wheels
+      val approxAgg =
+        if (mixed) "approx_count_distinct(user_id) AS a1, COUNT(*) AS a2, SUM(value) AS a3"
+        else "approx_count_distinct(user_id) AS a1"
+      val exactAgg =
+        if (mixed) "COUNT(DISTINCT user_id) AS a1, COUNT(*) AS a2, SUM(value) AS a3"
+        else "COUNT(DISTINCT user_id) AS a1"
+      def q(agg: String) = s"SELECT $gSel$agg FROM ev_sweep_approx " +
+        s"WHERE unix_millis(ts) >= $a AND unix_millis(ts) < $b $gBy$order"
+      val acc = spark.sql(q(approxAgg))
+      assert(foldsToLocal(acc), s"approx fold did not fire for: ${q(approxAgg)}\n" +
+        acc.queryExecution.optimizedPlan.treeString)
+      val got = acc.collect()
+      WheelAcceleration.clear()
+      val want = spark.sql(q(exactAgg)).collect()
+      registerAll()
+      assertSameRows(got, want, q(approxAgg))
+    }
+
+    // refusal 1: the EXACT spelling never folds, even fully registered
+    val exactSql = "SELECT COUNT(DISTINCT user_id) AS a1 FROM ev_sweep_approx " +
+      s"WHERE unix_millis(ts) >= ${Q.R1Start} AND unix_millis(ts) < ${Q.R1End}"
+    assert(!foldsToLocal(spark.sql(exactSql)), s"exact spelling folded: $exactSql")
+
+    // refusal 2: the keyed grid has no per-key sketch wheels — the
+    // statement must keep the scan, and (guarding against a future
+    // wrong-fold that would answer per-key cells with the GLOBAL
+    // estimate) its rows must match the cleared-registry scan exactly
+    val keyedSql = "SELECT event_type AS g0, " +
+      "(unix_millis(ts) div 3600000) * 3600000 AS g1, " +
+      "approx_count_distinct(user_id) AS a1 FROM ev_sweep_approx " +
+      s"WHERE unix_millis(ts) >= ${Q.R1Start} AND unix_millis(ts) < ${Q.R1End} " +
+      "GROUP BY 1, 2 ORDER BY 1, 2"
+    val keyedAcc = spark.sql(keyedSql)
+    assert(!foldsToLocal(keyedAcc), s"keyed approx statement folded: $keyedSql")
+    val keyedGot = keyedAcc.collect()
+    WheelAcceleration.clear()
+    assertSameRows(keyedGot, spark.sql(keyedSql).collect(), keyedSql)
     WheelAcceleration.clear()
   }
 }
