@@ -2501,7 +2501,21 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     * scan. Ranges clamp to the indexed span (no data lives outside);
     * an empty clamp yields each function's empty-input value (0 /
     * NULL / empty array). None = not an approx spelling, or its input
-    * column has no registered wheel — caller bails to the scan. */
+    * column has no registered wheel — caller bails to the scan.
+    *
+    * ACCURACY GATE (late round 11): the approximate functions carry a
+    * requested tolerance (`rsd` / `accuracy` / `maxItemsTracked`), and
+    * sketch-for-sketch substitution is only honest while the wheel's
+    * guarantee is AT LEAST AS TIGHT as what the query asked for. In the
+    * sketches' exact regimes that holds trivially (the wheel answer is
+    * exact — tighter than any tolerance); in the estimation regime each
+    * case compares its wheel's bound against the request — Theta's
+    * realized 1-σ bound for THIS merged range vs `rsd` (itself a 1-σ
+    * figure), the KLL k=200 normalized rank error vs `1/accuracy`, the
+    * Misra-Gries counter budget vs the budget Spark would allocate for
+    * `maxItemsTracked` — and keeps the scan when the request is
+    * tighter, with the reason queryable via
+    * [[WheelAcceleration.lastBailReason]]. */
   private def sketchLit(f: AggregateFunction,
       sk: WheelAcceleration.SketchReg, a: Long, b: Long): Option[Expression] = {
     def inputCol(e: Expression): Option[String] = e match {
@@ -2513,64 +2527,111 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       val hi = math.min(b, span._2)
       if (lo < hi) Some((lo, hi)) else None
     }
+    def gateBail(msg: String): Option[Expression] = {
+      foldBailNote = msg
+      None
+    }
     f match {
       case hll: HyperLogLogPlusPlus =>
-        inputCol(hll.child).flatMap(sk.distinct.get).map { w =>
-          val n = clamp((w.baseMs, w.horizonMs))
-            .map { case (lo, hi) => math.round(w.distinct(lo, hi)) }
-            .getOrElse(0L)
-          Literal(n, LongType)
+        inputCol(hll.child).flatMap(sk.distinct.get).flatMap { w =>
+          clamp((w.baseMs, w.horizonMs)) match {
+            case None => Some(Literal(0L, LongType))
+            case Some((lo, hi)) =>
+              val cs = w.rangeSketch(lo, hi)
+              val est = cs.getEstimate
+              // realized 1-σ relative bound of the merged Theta sketch
+              // (0 in the exact regime)
+              val rse =
+                if (!cs.isEstimationMode || est <= 0) 0.0
+                else math.max(cs.getUpperBound(1) / est - 1.0,
+                  1.0 - cs.getLowerBound(1) / est)
+              if (rse <= hll.relativeSD + 1e-12)
+                Some(Literal(math.round(est), LongType))
+              else gateBail(f"approx_count_distinct requested rsd " +
+                f"${hll.relativeSD}%.4f but the Theta wheel's realized " +
+                f"bound over this range is $rse%.4f — scan kept")
+          }
         }
       case ap: ApproximatePercentile =>
         inputCol(ap.child).flatMap(sk.quantile.get).flatMap { w =>
-          val rng = clamp((w.baseMs, w.horizonMs))
-          // the percentage literal is foldable by construction (Spark
-          // requires it); scalar and array spellings both fold. NaN =
-          // empty sketch -> SQL NULL, matching percentile_approx over
-          // zero rows.
-          ap.percentageExpression.eval(InternalRow.empty) match {
+          // merged once; empty/out-of-span ranges fold to SQL NULL,
+          // matching percentile_approx over zero rows
+          val sketch = clamp((w.baseMs, w.horizonMs))
+            .map { case (lo, hi) => w.rangeSketch(lo, hi) }
+            .filter(!_.isEmpty)
+          val requestedEps = ap.accuracyExpression.eval(InternalRow.empty) match {
+            case i: java.lang.Integer => 1.0 / math.max(1, i.intValue())
+            case l: java.lang.Long => 1.0 / math.max(1L, l.longValue()).toDouble
+            case _ => 0.0 // unknown accuracy spelling: strictest reading
+          }
+          val wheelEps = org.apache.datasketches.kll.KllSketch
+            .getNormalizedRankError(graft.wheel.QuantileWheel.K, false)
+          if (sketch.exists(_.isEstimationMode) && requestedEps + 1e-12 < wheelEps)
+            gateBail(f"percentile_approx requested accuracy " +
+              f"${1.0 / math.max(requestedEps, 1e-300)}%.0f (rank error " +
+              f"$requestedEps%.6f) but the KLL wheel guarantees only " +
+              f"$wheelEps%.4f in its estimation regime — scan kept")
+          else ap.percentageExpression.eval(InternalRow.empty) match {
+            // the percentage literal is foldable by construction (Spark
+            // requires it); scalar and array spellings both fold
             case d: java.lang.Double =>
-              val v = rng.map { case (lo, hi) => w.queryQuantile(lo, hi, d) }
-              val out: Any = v match {
-                case Some(x) if !x.isNaN => x
-                case _ => null
-              }
-              Some(Literal(out, DoubleType))
+              Some(Literal(sketch.map(_.getQuantile(d): Any).orNull, DoubleType))
             case arr: org.apache.spark.sql.catalyst.util.ArrayData =>
-              val ps = arr.toDoubleArray().toSeq
-              val out: Any = rng
-                .map { case (lo, hi) => w.queryQuantiles(lo, hi, ps) }
-                .filter(_.forall(!_.isNaN))
-                .map(vs => new org.apache.spark.sql.catalyst.util.GenericArrayData(
-                  vs.toArray))
+              val out: Any = sketch
+                .map(s => arr.toDoubleArray().map(s.getQuantile(_): Any))
+                .map(vs => new org.apache.spark.sql.catalyst.util.GenericArrayData(vs))
                 .orNull
               Some(Literal(out, ap.dataType))
             case _ => None
           }
         }
       case tk: ApproxTopK =>
-        for {
-          c <- inputCol(tk.expr)
+        inputCol(tk.expr)
           // the MG wheel's key domain is long; other item types scan
-          if tk.expr.dataType == LongType
-          w <- sk.freq.get(c)
-          k <- tk.k.eval(InternalRow.empty) match {
-            case i: java.lang.Integer => Some(i.intValue())
-            case l: java.lang.Long => Some(l.intValue())
-            case _ => None
+          .filter(_ => tk.expr.dataType == LongType)
+          .flatMap(sk.freq.get).flatMap { w =>
+            val kOpt = tk.k.eval(InternalRow.empty) match {
+              case i: java.lang.Integer => Some(i.intValue())
+              case l: java.lang.Long => Some(l.intValue())
+              case _ => None
+            }
+            kOpt.flatMap { k =>
+              clamp((w.baseMs, w.horizonMs)) match {
+                case None => Some(Literal(
+                  new org.apache.spark.sql.catalyst.util.GenericArrayData(
+                    Array.empty[Any]), tk.dataType))
+                case Some((lo, hi)) =>
+                  val tracked = tk.maxItemsTracked.eval(InternalRow.empty) match {
+                    case i: java.lang.Integer => i.intValue()
+                    case l: java.lang.Long => l.intValue()
+                    case _ => ApproxTopK.DEFAULT_MAX_ITEMS_TRACKED
+                  }
+                  val trackedEff =
+                    if (tracked <= 0) ApproxTopK.DEFAULT_MAX_ITEMS_TRACKED
+                    else tracked
+                  val exact = w.maximumError(lo, hi) == 0L
+                  val budgetOk = graft.wheel.FrequencyWheel.MaxMapSize >=
+                    ApproxTopK.calMaxMapSize(trackedEff)
+                  if (!exact && !budgetOk)
+                    gateBail(s"approx_top_k tracks $trackedEff items " +
+                      s"(map size ${ApproxTopK.calMaxMapSize(trackedEff)}) " +
+                      s"but the Misra-Gries wheel's budget is " +
+                      s"${graft.wheel.FrequencyWheel.MaxMapSize} and this " +
+                      "range is past its exact regime — scan kept")
+                  else {
+                    // deterministic order: estimate desc, key asc
+                    // (FrequencyWheel.topK's contract) — ties at the
+                    // boundary resolve by key
+                    val rows: Array[Any] = w.topK(lo, hi, k)
+                      .map { case (key, est, _, _) => InternalRow(key, est): Any }
+                      .toArray
+                    Some(Literal(
+                      new org.apache.spark.sql.catalyst.util.GenericArrayData(rows),
+                      tk.dataType))
+                  }
+              }
+            }
           }
-        } yield {
-          // deterministic order: estimate desc, key asc (FrequencyWheel
-          // .topK's contract) — ties at the boundary resolve by key
-          val rows: Array[Any] = clamp((w.baseMs, w.horizonMs))
-            .map { case (lo, hi) => w.topK(lo, hi, k) }
-            .getOrElse(Seq.empty)
-            .map { case (key, est, _, _) => InternalRow(key, est): Any }
-            .toArray
-          Literal(
-            new org.apache.spark.sql.catalyst.util.GenericArrayData(rows),
-            tk.dataType)
-        }
       case _ => None
     }
   }

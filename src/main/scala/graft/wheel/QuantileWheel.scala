@@ -54,15 +54,26 @@ final class QuantileWheel private (
     }
   }
 
-  /** Estimated quantiles (inclusive rank semantics) over a
-    * minute-aligned half-open range; one merge pass serves all ranks.
-    * NaN per rank when the range holds no data. */
-  def queryQuantiles(startMs: Long, endMs: Long, qs: Seq[Double]): Seq[Double] = {
+  /** Merged sketch over a minute-aligned half-open range — the
+    * primitive `queryQuantiles` builds on, exposed so callers (the SQL
+    * fold's accuracy gate) can inspect `isEstimationMode`: while the
+    * merged sketch retains every item, quantiles are EXACT
+    * inclusive-rank answers; beyond, the k=200 normalized rank error
+    * applies. */
+  def rangeSketch(startMs: Long, endMs: Long): KllDoublesSketch = {
     require(startMs <= endMs, s"bad range [$startMs, $endMs)")
     require(startMs % Tier.finest.ms == 0 && endMs % Tier.finest.ms == 0,
       s"range [$startMs, $endMs) must be ${Tier.finest.name}-aligned")
     val acc = KllDoublesSketch.newHeapInstance(QuantileWheel.K)
     Decompose(startMs, endMs, usable = usable).foreach(run => mergeRun(acc, run))
+    acc
+  }
+
+  /** Estimated quantiles (inclusive rank semantics) over a
+    * minute-aligned half-open range; one merge pass serves all ranks.
+    * NaN per rank when the range holds no data. */
+  def queryQuantiles(startMs: Long, endMs: Long, qs: Seq[Double]): Seq[Double] = {
+    val acc = rangeSketch(startMs, endMs)
     if (acc.isEmpty) qs.map(_ => Double.NaN)
     else qs.map(q => acc.getQuantile(q))
   }

@@ -1402,4 +1402,64 @@ class WheelAccelerationSpec extends AnyFunSuite {
     assert(r.getDouble(0) == 0.0 && r.isNullAt(1) && r.isNullAt(2) &&
       r.getLong(3) == 1L, r.toString)
   }
+
+  test("approx folds gate on the requested tolerance in the estimation regime (late round 11)") {
+    val p = new java.io.File(
+      "target/test-fixtures/accel/events_accgate.parquet").getAbsolutePath
+    // 12,000 rows over 10 minutes with 12,000 distinct user_ids: past
+    // the Theta nominal (4096), the KLL retained buffer, and the MG
+    // exact budget (0.75·4096) — every sketch is in its ESTIMATION
+    // regime, where the gate actually decides
+    val n = 12000
+    spark.range(n).select(
+      expr(s"timestamp_millis(${Q.Jan1}L + (id % 10) * 60000)").as("ts"),
+      col("id").as("user_id"),
+      col("id").cast("double").as("value"))
+      .write.mode("overwrite").parquet(p)
+    val src = spark.read.parquet(p)
+    WheelAcceleration.registerSketches(spark, p, src, "ts",
+      distinctCols = Seq("user_id"), quantileCols = Seq("value"),
+      freqCols = Seq("user_id"))
+    src.createOrReplaceTempView("ev_accgate")
+    def q(select: String) = spark.sql(s"SELECT $select FROM ev_accgate " +
+      s"WHERE unix_millis(ts) >= ${Q.Jan1} AND unix_millis(ts) < ${Q.Jan1 + 600000L}")
+    def folds(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collect { case l: LocalRelation => l }.nonEmpty
+    def reason: String = WheelAcceleration.lastBailReason(p).getOrElse("")
+
+    // default rsd 0.05 is LOOSER than Theta's ~1.6% realized bound:
+    // folds, and the estimate honors the requested tolerance
+    val dLoose = q("approx_count_distinct(user_id) AS u")
+    assert(folds(dLoose), dLoose.queryExecution.optimizedPlan.treeString)
+    val est = dLoose.collect()(0).getLong(0)
+    assert(math.abs(est - n.toDouble) / n <= 0.05, s"estimate $est vs $n")
+    // rsd 0.005 is TIGHTER than the wheel's bound: scan kept, queryable
+    val dTight = q("approx_count_distinct(user_id, 0.005) AS u")
+    assert(!folds(dTight), dTight.queryExecution.optimizedPlan.treeString)
+    assert(reason.contains("rsd"), reason)
+
+    // percentile_approx's DEFAULT accuracy 10000 asks rank error 1e-4 —
+    // tighter than KLL k=200's 1.33% guarantee: scan kept
+    val pTight = q("percentile_approx(value, 0.5) AS p50")
+    assert(!folds(pTight), pTight.queryExecution.optimizedPlan.treeString)
+    assert(reason.contains("accuracy"), reason)
+    // accuracy 50 asks rank error 2% — looser: folds, and the answer is
+    // within the promised rank band of the true median
+    val pLoose = q("percentile_approx(value, 0.5, 50) AS p50")
+    assert(folds(pLoose), pLoose.queryExecution.optimizedPlan.treeString)
+    val med = pLoose.collect()(0).getDouble(0)
+    assert(math.abs(med - n / 2.0) <= 0.02 * n, s"median $med vs ${n / 2}")
+
+    // approx_top_k's DEFAULT tracks 10000 items (map 16384) — a bigger
+    // budget than the MG wheel's 4096, and the range is past the exact
+    // regime: scan kept
+    val tTight = q("approx_top_k(user_id, 3) AS tk")
+    assert(!folds(tTight), tTight.queryExecution.optimizedPlan.treeString)
+    assert(reason.contains("budget"), reason)
+    // maxItemsTracked 100 (map 256) fits under the wheel's budget: folds
+    val tLoose = q("approx_top_k(user_id, 3, 100) AS tk")
+    assert(folds(tLoose), tLoose.queryExecution.optimizedPlan.treeString)
+
+    WheelAcceleration.clear()
+  }
 }
