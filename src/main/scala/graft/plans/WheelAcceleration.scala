@@ -313,6 +313,7 @@ object WheelAcceleration {
     registry.remove(normalize(path))
     keyedRegistry.remove(normalize(path))
     sketchRegistry.remove(normalize(path))
+    keyedSketchRegistry.remove(normalize(path))
     bailReasons.remove(normalize(path))
     fpCache.keySet.removeIf(_._1 == normalize(path))
     ()
@@ -410,6 +411,71 @@ object WheelAcceleration {
     Option(sketchRegistry.get(normalize(path)))
       .filter(r => fresh(path, r.fingerprint, r.hadoopConf))
 
+  /** PER-DIMENSION-KEY sketch wheels for one source (late round 11):
+    * the keyed analogue of [[SketchReg]], serving the approximate
+    * spellings PER KEY inside `GROUP BY keyCol × time-slot` rewrites.
+    * Maps are column → (dimension value → wheel). */
+  private[plans] final case class KeyedSketchReg(keyCol: String, tsCol: String,
+      distinct: Map[String, Map[Any, graft.wheel.CohortWheel]],
+      quantile: Map[String, Map[Any, graft.wheel.QuantileWheel]],
+      freq: Map[String, Map[Any, graft.wheel.FrequencyWheel]],
+      fingerprint: String, hadoopConf: org.apache.hadoop.conf.Configuration) {
+    /** The unkeyed [[SketchReg]] view for ONE dimension value — every
+      * downstream fold / clamp / accuracy-gate path is the proven
+      * unkeyed one. Columns whose wheel map lacks this key simply drop
+      * out (their aggregates bail to the scan). */
+    def viewFor(key: Any): SketchReg = SketchReg(tsCol,
+      distinct.flatMap { case (c, m) => m.get(key).map(c -> _) },
+      quantile.flatMap { case (c, m) => m.get(key).map(c -> _) },
+      freq.flatMap { case (c, m) => m.get(key).map(c -> _) },
+      fingerprint, hadoopConf)
+  }
+
+  private val keyedSketchRegistry = new ConcurrentHashMap[String, KeyedSketchReg]()
+
+  /** KEYED sketch-wheel registration (late round 11): the keyed grid
+    * analogue of [[registerSketches]] — after it,
+    * `GROUP BY keyCol, time-bucket` statements aggregating
+    * `approx_count_distinct` / `percentile_approx` / `approx_top_k`
+    * fold per (key, cell) from per-dimension sketch wheels
+    * ([[graft.wheel.KeyedSketchWheels]]: one two-stage build job per
+    * family, driver-resident under a hard entry ceiling). Requires a
+    * [[registerKeyed]] registration on the same key and ts columns —
+    * the keyed rewrite's key enumeration and cell-emptiness checks run
+    * off the keyed SUM wheels. Same fingerprint/staleness discipline
+    * and the same per-key accuracy gate as the unkeyed folds. */
+  def registerKeyedSketches(spark: SparkSession, path: String,
+      events: => DataFrame, keyCol: String, tsCol: String = "ts",
+      distinctCols: Seq[String] = Nil, quantileCols: Seq[String] = Nil,
+      freqCols: Seq[String] = Nil): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fp = fingerprint(path, conf)
+    val key = s"$path@$fp"
+    keyedSketchRegistry.compute(normalize(path), (_, old) => {
+      val base =
+        if (old != null && old.fingerprint == fp && old.keyCol == keyCol &&
+          old.tsCol == tsCol) old
+        else KeyedSketchReg(keyCol, tsCol, Map.empty, Map.empty, Map.empty, fp, conf)
+      base.copy(
+        distinct = base.distinct ++ distinctCols.map(c =>
+          c -> graft.wheel.WheelCatalog.cachedKeyedCohort(
+            spark, key, keyCol, tsCol, c)(events)),
+        quantile = base.quantile ++ quantileCols.map(c =>
+          c -> graft.wheel.WheelCatalog.cachedKeyedQuantile(
+            spark, key, keyCol, tsCol, c)(events)),
+        freq = base.freq ++ freqCols.map(c =>
+          c -> graft.wheel.WheelCatalog.cachedKeyedFrequency(
+            spark, key, keyCol, tsCol, c)(events)))
+    })
+    fpCache.keySet.removeIf(_._1 == normalize(path))
+    enable(spark)
+  }
+
+  /** Keyed sketch registration for `path`, freshness-validated. */
+  private[plans] def lookupKeyedSketch(path: String): Option[KeyedSketchReg] =
+    Option(keyedSketchRegistry.get(normalize(path)))
+      .filter(r => fresh(path, r.fingerprint, r.hadoopConf))
+
   /** Why the most recent NON-FIRING rewrite attempt for `path` bailed
     * (round 11, VERDICT r10 #7): queryable fold diagnostics, replacing
     * the `-Dgraft.wheel.rewrite.debug` stderr archaeology. Recorded at
@@ -435,6 +501,7 @@ object WheelAcceleration {
     registry.clear()
     keyedRegistry.clear()
     sketchRegistry.clear()
+    keyedSketchRegistry.clear()
     // symmetry with unregister (ADVICE r10): a clear()+re-register inside
     // the TTL window must not act on a stale cached verdict, and the
     // outcome map must not grow unboundedly across distinct paths
@@ -1306,10 +1373,16 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
           else None
         } else if (a % MinuteMs == 0 && b % MinuteMs == 0) {
           val winType = winAttr.dataType.asInstanceOf[StructType]
+          // per-key sketch views (late round 11): keyed approx
+          // spellings fold per (key, window) through the same gate as
+          // the unkeyed path
+          val keyedSk = WheelAcceleration.lookupKeyedSketch(path)
+            .filter(r => r.tsCol == reg.tsCol && r.keyCol == reg.keyCol)
           val out = Seq.newBuilder[InternalRow]
           var ok = true
           reg.any.keys.foreach { key =>
             val keyLit = Literal.create(key, reg.any.keyType)
+            val skView = keyedSk.map(_.viewFor(key))
             val it = slidingStarts(a, b, slideMs, offMs, sizeMs)
             while (ok && it.hasNext) {
               val ws = it.next()
@@ -1319,7 +1392,8 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
                 foldRow(aggExprs, alls, Seq(
                   (Seq(keyAttr), keyLit),
                   (Seq(winAttr),
-                    Literal(InternalRow(ws * 1000L, (ws + sizeMs) * 1000L), winType)))) match {
+                    Literal(InternalRow(ws * 1000L, (ws + sizeMs) * 1000L), winType))),
+                  skView, (math.max(a, ws), math.min(b, ws + sizeMs))) match {
                   case Some(vals) => out += InternalRow.fromSeq(vals)
                   case None => ok = false
                 }
@@ -1848,9 +1922,15 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
             distributedGrouped(aggExprs, Map.empty, grid, gExpr,
               Seq(Seq(slotGroup, gExpr)), Some((keyAttr, reg)), a, b)
           else {
+          // per-key sketch views (late round 11): keyed approx
+          // spellings fold per (key, cell) through the same gate as
+          // the unkeyed grouped path
+          val keyedSk = WheelAcceleration.lookupKeyedSketch(path)
+            .filter(r => r.tsCol == reg.tsCol && r.keyCol == reg.keyCol)
           val out = Seq.newBuilder[InternalRow]
           var ok = true
           reg.any.keys.foreach { key =>
+            val skView = keyedSk.map(_.viewFor(key))
             val it = grid.starts(a, b)
             while (ok && it.hasNext) {
               val s0 = it.next()
@@ -1860,7 +1940,8 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
               if (alls.valuesIterator.next().count > 0L) {
                 foldRow(aggExprs, alls, Seq(
                   (Seq(keyAttr), Literal.create(key, reg.any.keyType)),
-                  (Seq(slotGroup, gExpr), slotLiteral(grid, s0, s1)))) match {
+                  (Seq(slotGroup, gExpr), slotLiteral(grid, s0, s1))),
+                  skView, (math.max(a, s0), math.min(b, s1))) match {
                   case Some(vals) => out += InternalRow.fromSeq(vals)
                   case None => ok = false
                 }

@@ -857,6 +857,31 @@ object Core {
            |""".stripMargin)
     }),
 
+    // KEYED approx-distinct SQL fold (late round 11): the sketch fold
+    // per (DIMENSION KEY, grid cell) — `GROUP BY event_type, day` with
+    // `approx_count_distinct(user_id)` answered from per-key Theta
+    // wheels (`registerKeyedSketches` → KeyedSketchWheels: one
+    // two-stage build job, driver-resident under a hard ceiling; the
+    // keyed rewrite hands each key its own unkeyed SketchReg view, so
+    // fold/clamp/accuracy-gate are the proven unkeyed paths).
+    // Oracle-exact per (key, cell) in the Theta exact regime.
+    "q_wheel_keyed_approx_distinct_sql" -> ((s, dir) => {
+      graft.plans.WheelAcceleration.registerKeyed(
+        s, s"$dir/events.parquet", t(s, dir, "events"), "event_type")
+      graft.plans.WheelAcceleration.registerKeyedSketches(
+        s, s"$dir/events.parquet", t(s, dir, "events"), "event_type", "ts",
+        distinctCols = Seq("user_id"))
+      t(s, dir, "events").createOrReplaceTempView("events_wheel")
+      s.sql(
+        s"""SELECT event_type,
+           |(unix_millis(ts) div ${24 * Hour}) * ${24 * Hour} AS slot_ms,
+           |approx_count_distinct(user_id) AS n_users, COUNT(*) AS n
+           |FROM events_wheel
+           |WHERE unix_millis(ts) >= $R1Start AND unix_millis(ts) < $R1End
+           |GROUP BY 1, 2 ORDER BY 1, 2
+           |""".stripMargin)
+    }),
+
     // APPROX-DISTINCT SQL fold (round 11, VERDICT r10 #1): the sketch
     // wheels reached from the UNCHANGED SQL interface. A user writing
     // `approx_count_distinct(user_id)` over a registered range gets the
@@ -1104,6 +1129,11 @@ object Core {
         "COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n FROM events " +
         s"WHERE epoch_ms(ts) >= $R1Start AND epoch_ms(ts) < $R1End " +
         "GROUP BY 1 ORDER BY 1"),
+    "q_wheel_keyed_approx_distinct_sql" ->
+      (s"SELECT event_type, (epoch_ms(ts) // ${24 * Hour}) * ${24 * Hour} AS slot_ms, " +
+        "COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n FROM events " +
+        s"WHERE epoch_ms(ts) >= $R1Start AND epoch_ms(ts) < $R1End " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
     "q_wheel_sliding_distributed" ->
       ("WITH m AS (SELECT (epoch_ms(ts) // 60000) * 60000 AS slot_ms, " +
         "SUM(value) AS sv, COUNT(*) AS cn FROM events " +

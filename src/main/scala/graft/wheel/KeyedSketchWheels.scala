@@ -1,0 +1,147 @@
+package graft.wheel
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import org.apache.datasketches.frequencies.LongsSketch
+import org.apache.datasketches.kll.KllDoublesSketch
+import org.apache.datasketches.theta.UpdateSketch
+
+/** PER-DIMENSION-KEY sketch wheels (late round 11): the sketch-wheel
+  * family (Theta distinct / KLL quantile / Misra-Gries frequency)
+  * generalized to `GROUP BY dim × time-slot` queries — the keyed
+  * analogue of [[KeyedWheelIndex]] serving the APPROXIMATE SQL
+  * spellings per dimension value (reference anchor: the aggregator
+  * framework generality, /root/reference/src/main.rs:15; SURVEY §2.2).
+  *
+  * Build is the family's two-stage scale-correct shape with the
+  * dimension riding the map key: one local sketch per (dim, minute)
+  * per partition via `mapPartitions`, ONE shuffle of serialized
+  * sketches merged per (dim, slot), then a bounded driver collect
+  * groups rows per dim and reuses each family's `fromMinuteSketches`
+  * tier roll-up — so a keyed sketch wheel IS a map of ordinary wheels,
+  * and every query / merge / accuracy-gate path downstream is the
+  * proven unkeyed one. */
+object KeyedSketchWheels {
+
+  /** Hard ceiling on collected (dim, minute-slot) sketch rows — keyed
+    * sketch state is driver-resident like [[KeyedWheelIndex]]
+    * (|dims| × slots × sketch bytes); wider dimensions belong to the
+    * distributed aggregation, not a local index. */
+  val MaxEntries = 200000
+
+  def buildCohort(events: DataFrame, dimCol: String, tsCol: String,
+      keyCol: String): Map[Any, CohortWheel] = {
+    requireIntegral(events, keyCol, "KeyedSketchWheels cohort")
+    perDim(events, dimCol, tsCol, keyCol, LongType,
+      () => UpdateSketch.builder().build(),
+      (s: UpdateSketch, v: Any) => s.update(v.asInstanceOf[java.lang.Long].longValue()),
+      (s: UpdateSketch) => s.compact().toByteArray,
+      CohortWheel.mergeBytes)
+      .map { case (dim, rows) =>
+        dim -> CohortWheel.fromMinuteSketches(rows, Map.empty)
+      }
+  }
+
+  def buildQuantile(events: DataFrame, dimCol: String, tsCol: String,
+      valueCol: String): Map[Any, QuantileWheel] =
+    perDim(events, dimCol, tsCol, valueCol, DoubleType,
+      () => KllDoublesSketch.newHeapInstance(QuantileWheel.K),
+      (s: KllDoublesSketch, v: Any) =>
+        s.update(v.asInstanceOf[java.lang.Double].doubleValue()),
+      (s: KllDoublesSketch) => s.toByteArray,
+      QuantileWheel.mergeBytes)
+      .map { case (dim, rows) =>
+        dim -> QuantileWheel.fromMinuteSketches(rows, Map.empty)
+      }
+
+  def buildFrequency(events: DataFrame, dimCol: String, tsCol: String,
+      keyCol: String): Map[Any, FrequencyWheel] = {
+    requireIntegral(events, keyCol, "KeyedSketchWheels frequency")
+    perDim(events, dimCol, tsCol, keyCol, LongType,
+      () => new LongsSketch(FrequencyWheel.MaxMapSize),
+      (s: LongsSketch, v: Any) => s.update(v.asInstanceOf[java.lang.Long].longValue()),
+      (s: LongsSketch) => s.toByteArray,
+      FrequencyWheel.mergeBytes)
+      .map { case (dim, rows) =>
+        dim -> FrequencyWheel.fromMinuteSketches(rows, Map.empty)
+      }
+  }
+
+  /** The integral-key contract of [[SketchBlocks.longKeySlotSketches]],
+    * repeated here because the keyed build casts inside `mapPartitions`
+    * (a string key would cast to null and crash mid-job; a double key
+    * would silently truncate distinct values together). */
+  private def requireIntegral(events: DataFrame, keyCol: String,
+      wheelName: String): Unit = {
+    val keyType = events.schema(keyCol).dataType
+    require(Seq("byte", "short", "integer", "long").contains(keyType.typeName),
+      s"$wheelName key column '$keyCol' must be an integral type, " +
+        s"got ${keyType.typeName}")
+  }
+
+  /** Wraps a family's associative bytes-merge as the stage-2 shuffle
+    * aggregator; a null buffer is the identity, so no family needs an
+    * empty-sketch zero here. Serializable because `f` is a static
+    * method reference on each wheel's companion. */
+  private final case class BytesMergeAgg(
+      f: (Array[Byte], Array[Byte]) => Array[Byte])
+      extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+    def zero: Array[Byte] = null
+    def reduce(buf: Array[Byte], in: Array[Byte]): Array[Byte] =
+      if (buf == null) in else f(buf, in)
+    def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+      if (a == null) b else if (b == null) a else f(a, b)
+    def finish(buf: Array[Byte]): Array[Byte] = buf
+    def bufferEncoder = Encoders.BINARY
+    def outputEncoder = Encoders.BINARY
+  }
+
+  /** The shared keyed two-stage build + bounded collect: returns the
+    * per-dim `(slot_ms, sk)` rows each family's `fromMinuteSketches`
+    * consumes. NULL dim/ts/measure rows are excluded (SQL aggregate
+    * semantics — same convention as the unkeyed slot sketches). */
+  private def perDim[S](events: DataFrame, dimCol: String, tsCol: String,
+      valCol: String, castTo: DataType,
+      newSketch: () => S, update: (S, Any) => Unit,
+      serialize: S => Array[Byte],
+      mergeBytes: (Array[Byte], Array[Byte]) => Array[Byte]): Map[Any, Array[Row]] = {
+    val slotted = RollupBuilder.normalizeTs(events, tsCol)
+      .filter(col(tsCol).isNotNull && col(valCol).isNotNull && col(dimCol).isNotNull)
+      .select(col(dimCol).as("g"),
+        RollupBuilder.slotMs(col(tsCol), Tier.Minute).as("slot_ms"),
+        col(valCol).cast(castTo).as("v"))
+    val outSchema = StructType(Seq(
+      StructField("g", slotted.schema("g").dataType),
+      StructField("slot_ms", LongType),
+      StructField("sk", BinaryType)))
+    // stage 1: map-side combine — one local sketch per (dim, slot)
+    // per partition; only serialized sketches reach the shuffle
+    val partials = slotted.mapPartitions { it =>
+      val m = new java.util.HashMap[(Any, Long), S]()
+      it.foreach { r =>
+        val k = (r.get(0), r.getLong(1))
+        var s = m.get(k)
+        if (s == null) { s = newSketch(); m.put(k, s) }
+        update(s, r.get(2))
+      }
+      import scala.jdk.CollectionConverters._
+      m.entrySet().iterator().asScala
+        .map(e => Row(e.getKey._1, e.getKey._2, serialize(e.getValue)))
+    }(Encoders.row(outSchema))
+    // stage 2: ONE shuffle of sketches, merged per (dim, slot)
+    val rows = partials.groupBy("g", "slot_ms")
+      .agg(udaf(BytesMergeAgg(mergeBytes)).apply(col("sk")).as("sk"))
+      .collect()
+    require(rows.nonEmpty, "cannot index an empty source")
+    require(rows.length <= MaxEntries,
+      s"keyed sketch rollup has ${rows.length} (dim, slot) rows — too " +
+        s"wide for a driver-local index (max $MaxEntries); use the " +
+        "distributed aggregation instead")
+    rows.groupBy(_.get(0)).map { case (dim, rs) =>
+      dim -> rs.map(r => Row(r.getLong(1), r.getAs[Array[Byte]](2)))
+    }
+  }
+}

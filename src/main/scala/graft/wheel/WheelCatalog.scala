@@ -33,7 +33,9 @@ object WheelCatalog {
 
   def clear(): Unit =
     { cache.clear(); distinctCache.clear(); quantileCache.clear()
-      frequencyCache.clear(); cohortCache.clear(); multiCache.clear() }
+      frequencyCache.clear(); cohortCache.clear(); multiCache.clear()
+      keyedCohortCache.clear(); keyedQuantileCache.clear()
+      keyedFrequencyCache.clear() }
 
   private val multiCache =
     new ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String, String, String), Map[String, WheelIndex]]()
@@ -60,6 +62,9 @@ object WheelCatalog {
     frequencyCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     cohortCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     multiCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    keyedCohortCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    keyedQuantileCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    keyedFrequencyCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
   }
 
   private val distinctCache =
@@ -103,6 +108,44 @@ object WheelCatalog {
     SessionSweeper.track(spark)
     frequencyCache.computeIfAbsent((spark, key, tsCol, keyCol),
       _ => FrequencyWheel.build(events, tsCol, keyCol))
+  }
+
+  // (session, source key, dimCol, tsCol, measure col) → per-dim wheels
+  private val keyedCohortCache =
+    new ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String, String, String, String), Map[Any, CohortWheel]]()
+  private val keyedQuantileCache =
+    new ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String, String, String, String), Map[Any, QuantileWheel]]()
+  private val keyedFrequencyCache =
+    new ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String, String, String, String), Map[Any, FrequencyWheel]]()
+
+  /** Build-once caches for the PER-DIMENSION-KEY sketch wheels
+    * ([[KeyedSketchWheels]]) — same lifecycle, the dimension column
+    * joining the cache key. */
+  def cachedKeyedCohort(spark: org.apache.spark.sql.SparkSession, key: String,
+      dimCol: String, tsCol: String, keyCol: String)(
+      events: => DataFrame): Map[Any, CohortWheel] = {
+    sweepStopped()
+    SessionSweeper.track(spark)
+    keyedCohortCache.computeIfAbsent((spark, key, dimCol, tsCol, keyCol),
+      _ => KeyedSketchWheels.buildCohort(events, dimCol, tsCol, keyCol))
+  }
+
+  def cachedKeyedQuantile(spark: org.apache.spark.sql.SparkSession, key: String,
+      dimCol: String, tsCol: String, valueCol: String)(
+      events: => DataFrame): Map[Any, QuantileWheel] = {
+    sweepStopped()
+    SessionSweeper.track(spark)
+    keyedQuantileCache.computeIfAbsent((spark, key, dimCol, tsCol, valueCol),
+      _ => KeyedSketchWheels.buildQuantile(events, dimCol, tsCol, valueCol))
+  }
+
+  def cachedKeyedFrequency(spark: org.apache.spark.sql.SparkSession, key: String,
+      dimCol: String, tsCol: String, keyCol: String)(
+      events: => DataFrame): Map[Any, FrequencyWheel] = {
+    sweepStopped()
+    SessionSweeper.track(spark)
+    keyedFrequencyCache.computeIfAbsent((spark, key, dimCol, tsCol, keyCol),
+      _ => KeyedSketchWheels.buildFrequency(events, dimCol, tsCol, keyCol))
   }
 
   /** Build-once cache for the HLL [[DistinctWheel]], same lifecycle. */

@@ -1403,6 +1403,78 @@ class WheelAccelerationSpec extends AnyFunSuite {
       r.getLong(3) == 1L, r.toString)
   }
 
+  test("keyed approx spellings fold per (key, cell) from keyed sketch wheels (late round 11)") {
+    WheelAcceleration.registerKeyed(spark, path, events, "event_type")
+    WheelAcceleration.registerKeyedSketches(spark, path, events, "event_type", "ts",
+      distinctCols = Seq("user_id"), quantileCols = Seq("value"),
+      freqCols = Seq("user_id"))
+    events.createOrReplaceTempView("events_accel")
+    def folds(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collect { case l: LocalRelation => l }.nonEmpty
+
+    // distinct per (key, day) — exact regime, must equal the true
+    // per-cell COUNT(DISTINCT); COUNT(*) proves the mixed statement
+    // resolves against both the keyed sum wheels and the sketch view
+    val d = spark.sql(
+      "SELECT event_type AS g0, (unix_millis(ts) div 86400000) * 86400000 AS g1, " +
+        "approx_count_distinct(user_id) AS u, COUNT(*) AS n FROM events_accel " +
+        s"WHERE unix_millis(ts) >= ${Q.R1Start} AND unix_millis(ts) < ${Q.R1End} " +
+        "GROUP BY 1, 2 ORDER BY 1, 2")
+    assert(folds(d), d.queryExecution.optimizedPlan.treeString)
+    val dWant = events
+      .filter(unix_millis(col("ts")) >= Q.R1Start && unix_millis(col("ts")) < Q.R1End)
+      .groupBy(col("event_type").as("g0"),
+        ((unix_millis(col("ts")).divide(lit(86400000L))).cast("long") * 86400000L).as("g1"))
+      .agg(countDistinct(col("user_id")).as("u"), count(lit(1)).as("n"))
+      .orderBy(col("g0"), col("g1"))
+      .collect().map(_.toString).toSeq
+    assert(d.collect().map(_.toString).toSeq == dWant)
+
+    // quantile per (key, hour) — exact below the KLL buffer, so the
+    // fold equals percentile_disc per cell
+    val q1 = spark.sql(
+      "SELECT event_type AS g0, (unix_millis(ts) div 3600000) * 3600000 AS g1, " +
+        "percentile_approx(value, 0.5) AS p50 FROM events_accel " +
+        s"WHERE unix_millis(ts) >= ${Q.RqStart} AND unix_millis(ts) < ${Q.RqEnd} " +
+        "GROUP BY 1, 2 ORDER BY 1, 2")
+    assert(folds(q1), q1.queryExecution.optimizedPlan.treeString)
+    val qWant = events
+      .filter(unix_millis(col("ts")) >= Q.RqStart && unix_millis(col("ts")) < Q.RqEnd)
+      .groupBy(col("event_type").as("g0"),
+        ((unix_millis(col("ts")).divide(lit(3600000L))).cast("long") * 3600000L).as("g1"))
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("p50"))
+      .orderBy(col("g0"), col("g1"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val qGot = q1.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(qGot.toSeq == qWant.toSeq)
+
+    // top-k per (key, day) — exact regime; explode and re-sort both
+    // sides so any tie-order difference between the wheel's contract
+    // and Spark's own sketch cannot flake the compare
+    val tk = spark.sql(
+      "SELECT g0, g1, t.item AS uid, t.count AS n FROM (" +
+        "SELECT event_type AS g0, (unix_millis(ts) div 86400000) * 86400000 AS g1, " +
+        "explode(approx_top_k(user_id, 3)) AS t FROM events_accel " +
+        s"WHERE unix_millis(ts) >= ${Q.R1Start} AND unix_millis(ts) < ${Q.R1End} " +
+        "GROUP BY 1, 2) ORDER BY g0, g1, n DESC, uid")
+    assert(folds(tk), tk.queryExecution.optimizedPlan.treeString)
+    val tWant = events
+      .filter(unix_millis(col("ts")) >= Q.R1Start && unix_millis(col("ts")) < Q.R1End)
+      .groupBy(col("event_type").as("g0"),
+        ((unix_millis(col("ts")).divide(lit(86400000L))).cast("long") * 86400000L).as("g1"),
+        col("user_id").as("uid"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("g0"), col("g1"))
+          .orderBy(col("n").desc, col("uid"))))
+      .filter(col("rk") <= 3).drop("rk")
+      .orderBy(col("g0"), col("g1"), col("n").desc, col("uid"))
+      .collect().map(_.toString).toSeq
+    assert(tk.collect().map(_.toString).toSeq == tWant)
+
+    WheelAcceleration.clear()
+  }
+
   test("approx folds gate on the requested tolerance in the estimation regime (late round 11)") {
     val p = new java.io.File(
       "target/test-fixtures/accel/events_accgate.parquet").getAbsolutePath

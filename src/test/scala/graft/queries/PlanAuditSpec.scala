@@ -133,6 +133,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("FileScan"), p)
   }
 
+  test("q_wheel_keyed_approx_distinct_sql folds per-(key, cell) approx distinct to a LocalTableScan (late round 11)") {
+    val p = plan("q_wheel_keyed_approx_distinct_sql")
+    assert(p.contains("LocalTableScan"), p)
+    assert(!p.contains("FileScan"), p)
+  }
+
   test("q_wheel_sliding_distributed is scan-free: partials through a REAL Expand + aggregate (round 11)") {
     val p = plan("q_wheel_sliding_distributed")
     assert(p.contains("LocalTableScan"), p)
