@@ -23,7 +23,9 @@ import org.apache.datasketches.theta.UpdateSketch
   * groups rows per dim and reuses each family's `fromMinuteSketches`
   * tier roll-up — so a keyed sketch wheel IS a map of ordinary wheels,
   * and every query / merge / accuracy-gate path downstream is the
-  * proven unkeyed one. */
+  * proven unkeyed one. The pre-collect `(dim, slot_ms, sk)` DataFrames
+  * are exposed per family as the [[PersistentWheel]] slot payload
+  * (mergeable partials, same layout discipline as the unkeyed family). */
 object KeyedSketchWheels {
 
   /** Hard ceiling on collected (dim, minute-slot) sketch rows — keyed
@@ -33,42 +35,67 @@ object KeyedSketchWheels {
   val MaxEntries = 200000
 
   def buildCohort(events: DataFrame, dimCol: String, tsCol: String,
-      keyCol: String): Map[Any, CohortWheel] = {
+      keyCol: String): Map[Any, CohortWheel] =
+    cohortFromSlotRows(boundedCollect(
+      cohortSlotSketches(events, dimCol, tsCol, keyCol)))
+
+  def buildQuantile(events: DataFrame, dimCol: String, tsCol: String,
+      valueCol: String): Map[Any, QuantileWheel] =
+    quantileFromSlotRows(boundedCollect(
+      quantileSlotSketches(events, dimCol, tsCol, valueCol)))
+
+  def buildFrequency(events: DataFrame, dimCol: String, tsCol: String,
+      keyCol: String): Map[Any, FrequencyWheel] =
+    frequencyFromSlotRows(boundedCollect(
+      frequencySlotSketches(events, dimCol, tsCol, keyCol)))
+
+  /** Per-(dim, minute) compact Theta sketches — the build's distributed
+    * half and the persisted slot payload. Schema: (dimCol, slot_ms, sk). */
+  private[graft] def cohortSlotSketches(events: DataFrame, dimCol: String,
+      tsCol: String, keyCol: String): DataFrame = {
     requireIntegral(events, keyCol, "KeyedSketchWheels cohort")
-    perDim(events, dimCol, tsCol, keyCol, LongType,
+    perDimSlots(events, dimCol, tsCol, keyCol, LongType,
       () => UpdateSketch.builder().build(),
       (s: UpdateSketch, v: Any) => s.update(v.asInstanceOf[java.lang.Long].longValue()),
       (s: UpdateSketch) => s.compact().toByteArray,
       CohortWheel.mergeBytes)
-      .map { case (dim, rows) =>
-        dim -> CohortWheel.fromMinuteSketches(rows, Map.empty)
-      }
   }
 
-  def buildQuantile(events: DataFrame, dimCol: String, tsCol: String,
-      valueCol: String): Map[Any, QuantileWheel] =
-    perDim(events, dimCol, tsCol, valueCol, DoubleType,
+  private[graft] def quantileSlotSketches(events: DataFrame, dimCol: String,
+      tsCol: String, valueCol: String): DataFrame =
+    perDimSlots(events, dimCol, tsCol, valueCol, DoubleType,
       () => KllDoublesSketch.newHeapInstance(QuantileWheel.K),
       (s: KllDoublesSketch, v: Any) =>
         s.update(v.asInstanceOf[java.lang.Double].doubleValue()),
       (s: KllDoublesSketch) => s.toByteArray,
       QuantileWheel.mergeBytes)
-      .map { case (dim, rows) =>
-        dim -> QuantileWheel.fromMinuteSketches(rows, Map.empty)
-      }
 
-  def buildFrequency(events: DataFrame, dimCol: String, tsCol: String,
-      keyCol: String): Map[Any, FrequencyWheel] = {
+  private[graft] def frequencySlotSketches(events: DataFrame, dimCol: String,
+      tsCol: String, keyCol: String): DataFrame = {
     requireIntegral(events, keyCol, "KeyedSketchWheels frequency")
-    perDim(events, dimCol, tsCol, keyCol, LongType,
+    perDimSlots(events, dimCol, tsCol, keyCol, LongType,
       () => new LongsSketch(FrequencyWheel.MaxMapSize),
       (s: LongsSketch, v: Any) => s.update(v.asInstanceOf[java.lang.Long].longValue()),
       (s: LongsSketch) => s.toByteArray,
       FrequencyWheel.mergeBytes)
-      .map { case (dim, rows) =>
-        dim -> FrequencyWheel.fromMinuteSketches(rows, Map.empty)
-      }
   }
+
+  /** Driver-side fill from collected `(dim, slot_ms, sk)` rows — shared
+    * by the builds and [[PersistentWheel]]'s keyed sketch loads. */
+  private[graft] def cohortFromSlotRows(rows: Array[Row]): Map[Any, CohortWheel] =
+    grouped(rows).map { case (dim, rs) =>
+      dim -> CohortWheel.fromMinuteSketches(rs, Map.empty)
+    }
+
+  private[graft] def quantileFromSlotRows(rows: Array[Row]): Map[Any, QuantileWheel] =
+    grouped(rows).map { case (dim, rs) =>
+      dim -> QuantileWheel.fromMinuteSketches(rs, Map.empty)
+    }
+
+  private[graft] def frequencyFromSlotRows(rows: Array[Row]): Map[Any, FrequencyWheel] =
+    grouped(rows).map { case (dim, rs) =>
+      dim -> FrequencyWheel.fromMinuteSketches(rs, Map.empty)
+    }
 
   /** The integral-key contract of [[SketchBlocks.longKeySlotSketches]],
     * repeated here because the keyed build casts inside `mapPartitions`
@@ -99,26 +126,24 @@ object KeyedSketchWheels {
     def outputEncoder = Encoders.BINARY
   }
 
-  /** The shared keyed two-stage build + bounded collect: returns the
-    * per-dim `(slot_ms, sk)` rows each family's `fromMinuteSketches`
-    * consumes. NULL dim/ts/measure rows are excluded (SQL aggregate
+  /** The shared keyed two-stage build: one local sketch per (dim, slot)
+    * per partition, ONE shuffle of serialized sketches merged per
+    * (dim, slot). NULL dim/ts/measure rows are excluded (SQL aggregate
     * semantics — same convention as the unkeyed slot sketches). */
-  private def perDim[S](events: DataFrame, dimCol: String, tsCol: String,
+  private def perDimSlots[S](events: DataFrame, dimCol: String, tsCol: String,
       valCol: String, castTo: DataType,
       newSketch: () => S, update: (S, Any) => Unit,
       serialize: S => Array[Byte],
-      mergeBytes: (Array[Byte], Array[Byte]) => Array[Byte]): Map[Any, Array[Row]] = {
+      mergeBytes: (Array[Byte], Array[Byte]) => Array[Byte]): DataFrame = {
     val slotted = RollupBuilder.normalizeTs(events, tsCol)
       .filter(col(tsCol).isNotNull && col(valCol).isNotNull && col(dimCol).isNotNull)
-      .select(col(dimCol).as("g"),
+      .select(col(dimCol),
         RollupBuilder.slotMs(col(tsCol), Tier.Minute).as("slot_ms"),
         col(valCol).cast(castTo).as("v"))
     val outSchema = StructType(Seq(
-      StructField("g", slotted.schema("g").dataType),
+      StructField(dimCol, slotted.schema(dimCol).dataType),
       StructField("slot_ms", LongType),
       StructField("sk", BinaryType)))
-    // stage 1: map-side combine — one local sketch per (dim, slot)
-    // per partition; only serialized sketches reach the shuffle
     val partials = slotted.mapPartitions { it =>
       val m = new java.util.HashMap[(Any, Long), S]()
       it.foreach { r =>
@@ -131,10 +156,16 @@ object KeyedSketchWheels {
       m.entrySet().iterator().asScala
         .map(e => Row(e.getKey._1, e.getKey._2, serialize(e.getValue)))
     }(Encoders.row(outSchema))
-    // stage 2: ONE shuffle of sketches, merged per (dim, slot)
-    val rows = partials.groupBy("g", "slot_ms")
+    partials.groupBy(col(dimCol), col("slot_ms"))
       .agg(udaf(BytesMergeAgg(mergeBytes)).apply(col("sk")).as("sk"))
-      .collect()
+  }
+
+  private def boundedCollect(slots: DataFrame): Array[Row] = slots.collect()
+
+  /** Group `(dim, slot_ms, sk)` rows into each family's per-dim
+    * `(slot_ms, sk)` input, enforcing the driver-resident ceiling —
+    * builds AND persisted loads both pass through here. */
+  private def grouped(rows: Array[Row]): Map[Any, Array[Row]] = {
     require(rows.nonEmpty, "cannot index an empty source")
     require(rows.length <= MaxEntries,
       s"keyed sketch rollup has ${rows.length} (dim, slot) rows — too " +

@@ -74,6 +74,9 @@ object PersistentWheel {
   val KllKind = "kll"
   val ThetaKind = "theta"
   val MgKind = "mg"
+  val KeyedThetaKind = "keyedtheta"
+  val KeyedKllKind = "keyedkll"
+  val KeyedMgKind = "keyedmg"
 
   /** Compute the minute partials for `valueCols`, write them (and the
     * metadata sidecar) under `indexDir`, then return the index LOADED
@@ -288,6 +291,65 @@ object PersistentWheel {
     val (meta, df) = loadSlots(spark, indexDir, MgKind)
     (meta, FrequencyWheel.fromMinuteSketches(
       df.select("slot_ms", "sk").collect(), Map.empty))
+  }
+
+  /** KEYED sketch persists (late round 11): the per-(dim, minute)
+    * serialized sketches of [[KeyedSketchWheels]] under the family's
+    * uniform layout — `valueCols` records (dimCol, sketched column),
+    * loads group the rows per dim and rebuild each dim's tiers via the
+    * family's own merge (no source scan), under the keyed build
+    * ceiling. Same atomic-save and staleness contract as every other
+    * kind. */
+  def saveKeyedCohort(spark: SparkSession, indexDir: String, events: DataFrame,
+      dimCol: String, tsCol: String, keyCol: String,
+      sourceFingerprint: String, sourcePath: String = ""): Map[Any, CohortWheel] = {
+    saveSlots(spark, indexDir, KeyedThetaKind,
+      KeyedSketchWheels.cohortSlotSketches(events, dimCol, tsCol, keyCol),
+      tsCol, Seq(dimCol, keyCol), sourceFingerprint, sourcePath)
+    loadKeyedCohort(spark, indexDir)._2
+  }
+
+  def loadKeyedCohort(spark: SparkSession, indexDir: String): (Meta, Map[Any, CohortWheel]) = {
+    val (meta, df) = loadSlots(spark, indexDir, KeyedThetaKind)
+    (meta, KeyedSketchWheels.cohortFromSlotRows(keyedSketchRows(meta, indexDir, df)))
+  }
+
+  def saveKeyedQuantile(spark: SparkSession, indexDir: String, events: DataFrame,
+      dimCol: String, tsCol: String, valueCol: String,
+      sourceFingerprint: String, sourcePath: String = ""): Map[Any, QuantileWheel] = {
+    saveSlots(spark, indexDir, KeyedKllKind,
+      KeyedSketchWheels.quantileSlotSketches(events, dimCol, tsCol, valueCol),
+      tsCol, Seq(dimCol, valueCol), sourceFingerprint, sourcePath)
+    loadKeyedQuantile(spark, indexDir)._2
+  }
+
+  def loadKeyedQuantile(spark: SparkSession, indexDir: String): (Meta, Map[Any, QuantileWheel]) = {
+    val (meta, df) = loadSlots(spark, indexDir, KeyedKllKind)
+    (meta, KeyedSketchWheels.quantileFromSlotRows(keyedSketchRows(meta, indexDir, df)))
+  }
+
+  def saveKeyedFrequency(spark: SparkSession, indexDir: String, events: DataFrame,
+      dimCol: String, tsCol: String, keyCol: String,
+      sourceFingerprint: String, sourcePath: String = ""): Map[Any, FrequencyWheel] = {
+    saveSlots(spark, indexDir, KeyedMgKind,
+      KeyedSketchWheels.frequencySlotSketches(events, dimCol, tsCol, keyCol),
+      tsCol, Seq(dimCol, keyCol), sourceFingerprint, sourcePath)
+    loadKeyedFrequency(spark, indexDir)._2
+  }
+
+  def loadKeyedFrequency(spark: SparkSession, indexDir: String): (Meta, Map[Any, FrequencyWheel]) = {
+    val (meta, df) = loadSlots(spark, indexDir, KeyedMgKind)
+    (meta, KeyedSketchWheels.frequencyFromSlotRows(keyedSketchRows(meta, indexDir, df)))
+  }
+
+  /** The `(dim, slot_ms, sk)` rows of a keyed sketch payload, with the
+    * dim column resolved from the sidecar's recorded (dimCol, column). */
+  private def keyedSketchRows(meta: Meta, indexDir: String,
+      df: DataFrame): Array[org.apache.spark.sql.Row] = {
+    require(meta.valueCols.length == 2,
+      s"keyed sketch sidecar at $indexDir must record exactly " +
+        s"(dimCol, column); found ${meta.valueCols.mkString("[", ", ", "]")}")
+    df.select(meta.valueCols.head, "slot_ms", "sk").collect()
   }
 
   /** Persist ALREADY-AGGREGATED sum-family minute partials (round 9:

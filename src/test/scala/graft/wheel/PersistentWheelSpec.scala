@@ -308,6 +308,57 @@ class PersistentWheelSpec extends AnyFunSuite {
     }
   }
 
+  test("keyed sketch save -> load parity: per-dim wheels persist (late round 11)") {
+    // Theta per dim: exact regime (15 users), Theta below the nominal
+    // retains every hash — loaded estimates must EXACTLY match a fresh
+    // independent build per (dim, range)
+    val cDir = fixtureDir("keyedtheta-roundtrip")
+    val cFresh = KeyedSketchWheels.buildCohort(events, "event_type", "ts", "user_id")
+    PersistentWheel.saveKeyedCohort(
+      spark, cDir, events, "event_type", "ts", "user_id", "fp-kc")
+    val (cMeta, cLoaded) = PersistentWheel.loadKeyedCohort(spark, cDir)
+    assert(cMeta.kind == PersistentWheel.KeyedThetaKind)
+    assert(cMeta.valueCols == Seq("event_type", "user_id"))
+    assert(cLoaded.keySet == cFresh.keySet && cLoaded.nonEmpty)
+    for (d <- cLoaded.keySet)
+      assert(cLoaded(d).distinct(Q.R1Start, Q.R1End) ==
+        cFresh(d).distinct(Q.R1Start, Q.R1End), s"dim $d")
+
+    // Misra-Gries per dim: merge is deterministic — loaded top-k equals
+    // the fresh build's per (dim, range)
+    val fDir = fixtureDir("keyedmg-roundtrip")
+    val fFresh = KeyedSketchWheels.buildFrequency(events, "event_type", "ts", "user_id")
+    PersistentWheel.saveKeyedFrequency(
+      spark, fDir, events, "event_type", "ts", "user_id", "fp-kf")
+    val (fMeta, fLoaded) = PersistentWheel.loadKeyedFrequency(spark, fDir)
+    assert(fMeta.kind == PersistentWheel.KeyedMgKind)
+    assert(fLoaded.keySet == fFresh.keySet)
+    for (d <- fLoaded.keySet)
+      assert(fLoaded(d).topK(Q.R1Start, Q.R1End, 3) ==
+        fFresh(d).topK(Q.R1Start, Q.R1End, 3), s"dim $d")
+
+    // KLL per dim: compaction is internally randomized, so independent
+    // aggregations may retain different items — assert the recorded
+    // sidecar shape and answer-level agreement within the documented
+    // rank-error envelope (the same claim the unkeyed KLL test makes)
+    val qDir = fixtureDir("keyedkll-roundtrip")
+    val qFresh = KeyedSketchWheels.buildQuantile(events, "event_type", "ts", "value")
+    PersistentWheel.saveKeyedQuantile(
+      spark, qDir, events, "event_type", "ts", "value", "fp-kq")
+    val (qMeta, qLoaded) = PersistentWheel.loadKeyedQuantile(spark, qDir)
+    assert(qMeta.kind == PersistentWheel.KeyedKllKind)
+    assert(qMeta.valueCols == Seq("event_type", "value"))
+    assert(qLoaded.keySet == qFresh.keySet)
+    for (d <- qLoaded.keySet) {
+      val got = qLoaded(d).queryQuantiles(Q.R1Start, Q.R1End, Seq(0.25, 0.5, 0.9))
+      val want = qFresh(d).queryQuantiles(Q.R1Start, Q.R1End, Seq(0.25, 0.5, 0.9))
+      got.zip(want).foreach { case (g, w) =>
+        assert(math.abs(g - w) <= 0.35 * math.max(math.abs(w), 1.0),
+          s"dim $d: $got vs $want")
+      }
+    }
+  }
+
   test("KLL / Theta / MG save -> load parity: every sketch family persists (round 8)") {
     // The persistence claim is BYTE fidelity: a wheel rolled up from a
     // set of minute sketches answers identically to one rolled up from
