@@ -471,6 +471,27 @@ object WheelAcceleration {
     enable(spark)
   }
 
+  /** Swap ALREADY-BUILT keyed sketch wheels in for `path` — the
+    * live-ingest refresh primitive for the KEYED approximate spellings
+    * (the keyed analogue of [[registerPrebuiltSketches]]).
+    * `coveredFingerprint` has the same foreign-writer semantics as
+    * [[registerPrebuilt]]. */
+  def registerPrebuiltKeyedSketches(spark: SparkSession, path: String,
+      keyCol: String, tsCol: String,
+      distinct: Map[String, Map[Any, graft.wheel.CohortWheel]] = Map.empty,
+      quantile: Map[String, Map[Any, graft.wheel.QuantileWheel]] = Map.empty,
+      freq: Map[String, Map[Any, graft.wheel.FrequencyWheel]] = Map.empty,
+      coveredFingerprint: Option[String] = None): Unit = {
+    require(distinct.nonEmpty || quantile.nonEmpty || freq.nonEmpty,
+      "need at least one keyed sketch wheel")
+    val conf = spark.sessionState.newHadoopConf()
+    val fp = coveredFingerprint.getOrElse(fingerprint(path, conf))
+    keyedSketchRegistry.put(normalize(path),
+      KeyedSketchReg(keyCol, tsCol, distinct, quantile, freq, fp, conf))
+    fpCache.keySet.removeIf(_._1 == normalize(path))
+    enable(spark)
+  }
+
   /** Keyed sketch registration for `path`, freshness-validated. */
   private[plans] def lookupKeyedSketch(path: String): Option[KeyedSketchReg] =
     Option(keyedSketchRegistry.get(normalize(path)))

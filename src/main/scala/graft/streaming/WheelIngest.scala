@@ -118,9 +118,21 @@ object WheelIngest {
     * per family; they do not checkpoint — a restart re-aggregates,
     * while the SUM family keeps its tail-only persisted bootstrap). */
   final case class SketchSpec(distinctCols: Seq[String] = Nil,
-      quantileCols: Seq[String] = Nil, freqCols: Seq[String] = Nil) {
+      quantileCols: Seq[String] = Nil, freqCols: Seq[String] = Nil,
+      // keyed variants (late round 11): per listed column the ingest
+      // additionally maintains PER-DIMENSION sketch wheels over the
+      // start() keyCol (required when any keyed list is non-empty), so
+      // the KEYED approximate spellings — approx aggregates under
+      // `GROUP BY keyCol, time-bucket` — fold mid-ingest too
+      keyedDistinctCols: Seq[String] = Nil,
+      keyedQuantileCols: Seq[String] = Nil,
+      keyedFreqCols: Seq[String] = Nil) {
     def isEmpty: Boolean =
-      distinctCols.isEmpty && quantileCols.isEmpty && freqCols.isEmpty
+      distinctCols.isEmpty && quantileCols.isEmpty && freqCols.isEmpty &&
+        !hasKeyed
+    private[streaming] def hasKeyed: Boolean =
+      keyedDistinctCols.nonEmpty || keyedQuantileCols.nonEmpty ||
+        keyedFreqCols.nonEmpty
   }
 
   /** Per-slot accumulator state: one (sum, cnt, min, max, sumsq) block
@@ -160,6 +172,9 @@ object WheelIngest {
       sketches: SketchSpec = SketchSpec()): StreamingQuery = {
     require(valueCols.nonEmpty, "need at least one measure column")
     require(latenessHorizonMs.forall(_ > 0), "lateness horizon must be positive")
+    require(!sketches.hasKeyed || keyCol.nonEmpty,
+      "keyed sketch columns need a keyCol — the dimension the per-key " +
+        "wheels are built over")
     val spark = stream.sparkSession
     val n = valueCols.size
 
@@ -294,6 +309,29 @@ object WheelIngest {
         mergeF: (Array[Byte], Array[Byte]) => Array[Byte]): Unit =
       rows.foreach(r => accM.merge(r.getLong(0), r.getAs[Array[Byte]](1),
         (a, b) => mergeF(a, b)))
+    // KEYED sketch accumulators (late round 11): (dim, slot) -> bytes,
+    // fed by KeyedSketchWheels' batch-only (dim, slot) sketch jobs
+    type KeyedSketchAcc =
+      java.util.concurrent.ConcurrentHashMap[(Any, Long), Array[Byte]]
+    val kThetaAcc = sketches.keyedDistinctCols.map(c => c -> new KeyedSketchAcc()).toMap
+    val kKllAcc = sketches.keyedQuantileCols.map(c => c -> new KeyedSketchAcc()).toMap
+    val kMgAcc = sketches.keyedFreqCols.map(c => c -> new KeyedSketchAcc()).toMap
+    def mergeKeyedSketchRows(accM: KeyedSketchAcc, rows: Array[Row],
+        mergeF: (Array[Byte], Array[Byte]) => Array[Byte]): Unit =
+      rows.foreach(r => accM.merge((r.get(0), r.getLong(1)),
+        r.getAs[Array[Byte]](2), (a, b) => mergeF(a, b)))
+    /** Per-dim `(slot_ms, sk)` rows — each family's fromMinuteSketches
+      * input, grouped from the flat (dim, slot) accumulator. */
+    def keyedSketchSnapshot(accM: KeyedSketchAcc): Map[Any, Array[Row]] = {
+      val buf = scala.collection.mutable.Map.empty[Any, scala.collection.mutable.ArrayBuffer[Row]]
+      val it = accM.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        buf.getOrElseUpdate(e.getKey._1, scala.collection.mutable.ArrayBuffer.empty) +=
+          Row(e.getKey._2, e.getValue)
+      }
+      buf.view.mapValues(_.toArray).toMap
+    }
     def aggregateSketches(src: DataFrame): Unit = if (!sketches.isEmpty) {
       val norm = RollupBuilder.normalizeTs(src, tsCol)
       sketches.distinctCols.foreach(c => mergeSketchRows(thetaAcc(c),
@@ -302,6 +340,17 @@ object WheelIngest {
         QuantileWheel.slotSketches(norm, tsCol, c).collect(), QuantileWheel.mergeBytes))
       sketches.freqCols.foreach(c => mergeSketchRows(mgAcc(c),
         FrequencyWheel.slotSketches(norm, tsCol, c).collect(), FrequencyWheel.mergeBytes))
+      keyCol.filter(_ => sketches.hasKeyed).foreach { dim =>
+        sketches.keyedDistinctCols.foreach(c => mergeKeyedSketchRows(kThetaAcc(c),
+          graft.wheel.KeyedSketchWheels.cohortSlotSketches(src, dim, tsCol, c)
+            .collect(), CohortWheel.mergeBytes))
+        sketches.keyedQuantileCols.foreach(c => mergeKeyedSketchRows(kKllAcc(c),
+          graft.wheel.KeyedSketchWheels.quantileSlotSketches(src, dim, tsCol, c)
+            .collect(), QuantileWheel.mergeBytes))
+        sketches.keyedFreqCols.foreach(c => mergeKeyedSketchRows(kMgAcc(c),
+          graft.wheel.KeyedSketchWheels.frequencySlotSketches(src, dim, tsCol, c)
+            .collect(), FrequencyWheel.mergeBytes))
+      }
     }
     def sketchSnapshot(accM: SketchAcc): Array[Row] = {
       val it = accM.entrySet().iterator()
@@ -325,6 +374,20 @@ object WheelIngest {
       if (distinct.nonEmpty || quantile.nonEmpty || freq.nonEmpty)
         WheelAcceleration.registerPrebuiltSketches(spark, path, tsCol,
           distinct, quantile, freq, Some(coveredFingerprint()))
+      keyCol.filter(_ => sketches.hasKeyed).foreach { dim =>
+        val kd = sketches.keyedDistinctCols.filterNot(c => kThetaAcc(c).isEmpty)
+          .map(c => c -> keyedSketchSnapshot(kThetaAcc(c)).map { case (k, rows) =>
+            k -> CohortWheel.fromMinuteSketches(rows, Map.empty) }).toMap
+        val kq = sketches.keyedQuantileCols.filterNot(c => kKllAcc(c).isEmpty)
+          .map(c => c -> keyedSketchSnapshot(kKllAcc(c)).map { case (k, rows) =>
+            k -> QuantileWheel.fromMinuteSketches(rows, Map.empty) }).toMap
+        val kf = sketches.keyedFreqCols.filterNot(c => kMgAcc(c).isEmpty)
+          .map(c => c -> keyedSketchSnapshot(kMgAcc(c)).map { case (k, rows) =>
+            k -> FrequencyWheel.fromMinuteSketches(rows, Map.empty) }).toMap
+        if (kd.nonEmpty || kq.nonEmpty || kf.nonEmpty)
+          WheelAcceleration.registerPrebuiltKeyedSketches(spark, path, dim,
+            tsCol, kd, kq, kf, Some(coveredFingerprint()))
+      }
     }
 
     val hadoopConf = spark.sessionState.newHadoopConf()

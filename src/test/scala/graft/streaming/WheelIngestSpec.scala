@@ -523,6 +523,57 @@ class WheelIngestSpec extends AnyFunSuite {
     }
   }
 
+  test("KEYED approx spellings fold LIVE from keyed sketch accumulators (late round 11)") {
+    import spark.implicits._
+    System.setProperty("graft.wheel.fingerprint.ttlMs", "0")
+    val path = fixture("keyedsketch/events.parquet")
+    val t0 = Q.Jan1
+
+    def keyedSql() = {
+      spark.read.parquet(path).createOrReplaceTempView("live_ksk")
+      spark.sql(
+        s"SELECT event_type AS g0, (unix_millis(ts) div $Min) * $Min AS g1, " +
+          "approx_count_distinct(user_id) AS u, COUNT(*) AS n FROM live_ksk " +
+          s"WHERE unix_millis(ts) >= $t0 AND unix_millis(ts) < ${t0 + 3 * Min} " +
+          "GROUP BY 1, 2 ORDER BY 1, 2")
+    }
+
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double, Long)]
+    val q = WheelIngest.start(
+      mem.toDF().toDF("ts", "event_type", "value", "user_id"),
+      path, fixture("keyedsketch/ckpt"), keyCol = Some("event_type"),
+      sketches = WheelIngest.SketchSpec(keyedDistinctCols = Seq("user_id")))
+    try {
+      mem.addData(
+        (new java.sql.Timestamp(t0), "click", 1.0, 101L),
+        (new java.sql.Timestamp(t0 + 1000), "click", 2.0, 102L),
+        (new java.sql.Timestamp(t0 + Min), "view", 3.0, 101L))
+      q.processAllAvailable()
+      val first = keyedSql()
+      assert(folded(first), first.queryExecution.optimizedPlan.treeString)
+      assert(first.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+        Seq(("click", t0, 2L, 2L), ("view", t0 + Min, 1L, 1L)))
+
+      // second batch: a repeat user for click (distinct unchanged) and
+      // a brand-new key — the next fold must reflect BOTH live
+      mem.addData(
+        (new java.sql.Timestamp(t0 + 2000), "click", 4.0, 101L),
+        (new java.sql.Timestamp(t0 + 2 * Min), "purchase", 8.0, 103L))
+      q.processAllAvailable()
+      val second = keyedSql()
+      assert(folded(second), second.queryExecution.optimizedPlan.treeString)
+      assert(second.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+        Seq(("click", t0, 2L, 3L), ("purchase", t0 + 2 * Min, 1L, 1L),
+          ("view", t0 + Min, 1L, 1L)))
+    } finally {
+      q.stop()
+      WheelAcceleration.unregister(path)
+    }
+  }
+
   test("a TORN ingest checkpoint falls back to the full-history aggregation (round 10)") {
     import spark.implicits._
     System.setProperty("graft.wheel.fingerprint.ttlMs", "0")
