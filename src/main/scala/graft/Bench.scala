@@ -71,8 +71,14 @@ object Bench {
     // lands in the first measured sample
     calibrationProbe()
 
+    // local-iteration filter (not set by the driver): run only the named
+    // queries, e.g. SPARK_GRAFT_ONLY=q_ann_ivf,q_embed_neardup
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def runAll(): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, fn) =>
         // q_wheel_sql registers transparent wheel acceleration; reset so
         // scan-path queries keep measuring the scan path on later passes.
         graft.plans.WheelAcceleration.clear()
@@ -97,7 +103,8 @@ object Bench {
       timings.head._1 -> timings.map(_._2).min
     }.filterNot { case (name, _) => failed.contains(name) }
 
-    val (wheelScanFull, wheelScanCompact) = wheelVsScan(spark, sfDir)
+    val (wheelScanFull, wheelScanCompact) =
+      if (only.isDefined) ("null", "null") else wheelVsScan(spark, sfDir)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -124,7 +131,8 @@ object Bench {
     // (below) because the driver's capture keeps only a stdout TAIL —
     // BENCH_r03/r04 both came back `parsed: null` with the tail starting
     // mid-line, i.e. the ~4 KB full JSON overran the capture window.
-    try java.nio.file.Files.write(
+    // a filtered run never overwrites the committed full-inventory file
+    if (only.isEmpty) try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_LOCAL.json"),
       fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => () }
@@ -184,8 +192,11 @@ object Bench {
     val idx = WheelCatalog.cached(spark, s"$sfDir/events.parquet")(Q.t(spark, sfDir, "events"))
     val slotCounts = idx.slotCounts.map { case (t, n) => s""""${t.name}":$n""" }
       .mkString("{", ",", "}")
-    val events = Q.t(spark, sfDir, "events").select(
-      unix_millis(col("ts")).as("tms"), col("value")).cache()
+    // fanOut before cache: the single-row-group events file would pin
+    // the cached layout (and so every scan-path job) to 1–2 cores,
+    // understating the scan baseline the wheel is compared against
+    val events = Q.fanOut(Q.t(spark, sfDir, "events").select(
+      unix_millis(col("ts")).as("tms"), col("value"))).cache()
     events.count() // materialize the cache; the scan path still runs a full Spark job per query
 
     /** ONE timing harness for every wheel-vs-scan comparison (sum and
@@ -253,8 +264,8 @@ object Bench {
     val db0 = System.nanoTime()
     val dIdx = graft.wheel.DistinctWheel.build(Q.t(spark, sfDir, "events"), "ts", "user_id")
     val dBuildSec = (System.nanoTime() - db0) / 1e9
-    val dEvents = Q.t(spark, sfDir, "events").select(
-      unix_millis(col("ts")).as("tms"), col("user_id")).cache()
+    val dEvents = Q.fanOut(Q.t(spark, sfDir, "events").select(
+      unix_millis(col("ts")).as("tms"), col("user_id"))).cache()
     dEvents.count()
     val distinctStats = block(minuteRanges, 10,
       (a, b) => { dIdx.queryDistinct(a, b); () },

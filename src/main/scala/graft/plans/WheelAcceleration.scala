@@ -511,6 +511,54 @@ object WheelAcceleration {
   def lastBailReason(path: String): Option[String] =
     Option(bailReasons.get(normalize(path)))
 
+  /** One-stop operator answer to "why isn't my query accelerated?"
+    * (round 11): what every registry holds for `path` — measures /
+    * sketch columns, indexed span, fingerprint freshness — plus
+    * [[lastBailReason]]. Human-readable, for logs and consoles; the
+    * programmatic per-field surface stays [[lastBailReason]] and the
+    * registration APIs themselves. Freshness is evaluated with the
+    * same TTL-cached check the rewrite uses, so the verdict shown is
+    * the verdict the next query would get. */
+  def accelerationStatus(path: String): String = {
+    val p = normalize(path)
+    def fmt(ms: Long) = java.time.Instant.ofEpochMilli(ms).toString
+    def freshness(fp: String, conf: org.apache.hadoop.conf.Configuration) =
+      if (fresh(path, fp, conf)) "fingerprint FRESH" else "fingerprint STALE (scan path until re-registered)"
+    val lines = Seq.newBuilder[String]
+    Option(registry.get(p)).foreach { r =>
+      val span = r.wheels.valuesIterator.nextOption()
+        .map(w => s" span [${fmt(w.baseMs)}, ${fmt(w.horizonMs)})").getOrElse("")
+      lines += s"  sum wheels: measures ${r.wheels.keys.toSeq.sorted.mkString("[", ", ", "]")}" +
+        s"$span, ts=${r.tsCol}, ${freshness(r.fingerprint, r.hadoopConf)}"
+    }
+    Option(keyedRegistry.get(p)).foreach { r =>
+      val a = r.any
+      lines += s"  keyed wheels: key=${r.keyCol}, measures ${r.wheels.keys.toSeq.sorted.mkString("[", ", ", "]")}" +
+        s" span [${fmt(a.baseMs)}, ${fmt(a.horizonMs)}), ts=${r.tsCol}, ${freshness(r.fingerprint, r.hadoopConf)}"
+    }
+    Option(sketchRegistry.get(p)).foreach { r =>
+      lines += s"  sketch wheels: distinct ${r.distinct.keys.toSeq.sorted.mkString("[", ", ", "]")}, " +
+        s"quantile ${r.quantile.keys.toSeq.sorted.mkString("[", ", ", "]")}, " +
+        s"freq ${r.freq.keys.toSeq.sorted.mkString("[", ", ", "]")}, ts=${r.tsCol}, " +
+        freshness(r.fingerprint, r.hadoopConf)
+    }
+    Option(keyedSketchRegistry.get(p)).foreach { r =>
+      lines += s"  keyed sketch wheels: key=${r.keyCol}, " +
+        s"distinct ${r.distinct.keys.toSeq.sorted.mkString("[", ", ", "]")}, " +
+        s"quantile ${r.quantile.keys.toSeq.sorted.mkString("[", ", ", "]")}, " +
+        s"freq ${r.freq.keys.toSeq.sorted.mkString("[", ", ", "]")}, ts=${r.tsCol}, " +
+        freshness(r.fingerprint, r.hadoopConf)
+    }
+    val regs = lines.result()
+    val head = s"wheel acceleration for $p:"
+    val body = if (regs.isEmpty) Seq("  nothing registered (scan path)") else regs
+    val bail = lastBailReason(path) match {
+      case Some(rsn) => Seq(s"  last non-firing rewrite: $rsn")
+      case None => Seq("  last non-firing rewrite: none recorded")
+    }
+    (head +: (body ++ bail)).mkString("\n")
+  }
+
   private val bailReasons = new ConcurrentHashMap[String, String]()
 
   private[plans] def recordBail(path: String, reason: String): Unit = {

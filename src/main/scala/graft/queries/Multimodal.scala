@@ -24,6 +24,7 @@ import Q._
   * not partition size. */
 object Multimodal {
 
+
   /** A minimal binary media container, deterministic by construction:
     *
     * {{{
@@ -141,7 +142,7 @@ object Multimodal {
     // Binary metadata over the payload column — pure built-ins, oracle-
     // checkable (byte length, fixed-size chunk count, modality tag).
     "q_multimodal_meta" -> ((s, dir) =>
-      withPayload(t(s, dir, "documents")).select(
+      withPayload(docs(s, dir)).select(
         col("doc_id"),
         octet_length(col("payload")).cast("long").as("n_bytes"),
         ((octet_length(col("payload")).cast("long") + 255L) / 256L).cast("long")
@@ -158,7 +159,7 @@ object Multimodal {
     // were derived from the payload length at encode, so DuckDB can
     // compute the expected values (and the digest) from the text.
     "q_multimodal_decode" -> ((s, dir) =>
-      extractFeatures(withContainer(t(s, dir, "documents")))
+      extractFeatures(withContainer(docs(s, dir)))
         .orderBy(col("doc_id"))),
 
     // Frame sampling (round 2): treat each document's content as a
@@ -169,7 +170,7 @@ object Multimodal {
     // isn't involved; char windows because DuckDB has no BLOB
     // slicing to oracle byte windows against).
     "q_multimodal_frames" -> ((s, dir) =>
-      t(s, dir, "documents")
+      docs(s, dir)
         .withColumn("n_chunks", ((length(col("text")).cast("long") + 255L) / 256L).cast("long"))
         .withColumn("stride", greatest(lit(1L), expr("n_chunks div 4")))
         .withColumn("frame_idx",

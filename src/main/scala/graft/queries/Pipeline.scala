@@ -17,6 +17,7 @@ import Q._
   * one hash shuffle — no driver state anywhere. */
 object Pipeline {
 
+
   /** THE deterministic doc-id hash (md5 of the decimal string) — every
     * sampling/splitting operator derives from this one definition so a
     * future scheme change (salting, different hash) lands everywhere. */
@@ -59,7 +60,7 @@ object Pipeline {
     // under re-partitioning, appends and re-runs — the property that
     // matters when a 100 TB sample must be reproducible months later.
     "q_sample_hash" -> ((s, dir) =>
-      t(s, dir, "documents")
+      docs(s, dir)
         .filter(idBucket < "1a")
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id"))),
@@ -68,7 +69,7 @@ object Pipeline {
     // disjoint, exhaustive, content-independent; emitted as a column so
     // downstream stages filter by split with predicate pushdown.
     "q_split_assign" -> ((s, dir) =>
-      t(s, dir, "documents")
+      docs(s, dir)
         .withColumn("split",
           when(idBucket < "cc", "train")
             .when(idBucket < "e6", "val")
@@ -83,7 +84,7 @@ object Pipeline {
     "q_regex_clean" -> ((s, dir) => {
       val cleaned = trim(regexp_replace(
         regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
-      t(s, dir, "documents")
+      docs(s, dir)
         .select(col("doc_id"),
           length(col("text")).cast("long").as("len_raw"),
           length(cleaned).cast("long").as("len_clean"),
@@ -103,7 +104,7 @@ object Pipeline {
       val ctx = 2048L
       val w = Window.orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      t(s, dir, "documents")
+      docs(s, dir)
         .select(col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("n_toks"))
         .withColumn("end_off", sum(col("n_toks")).over(w))
@@ -122,7 +123,7 @@ object Pipeline {
       import s.implicits._
       val blocklist = broadcast(Seq("src1", "src7", "src13")
         .map(b => s"$b.example.com").toDF("blocked_host"))
-      t(s, dir, "documents")
+      docs(s, dir)
         .withColumn("host", concat(col("source"), lit(".example.com")))
         .join(blocklist, col("host") === col("blocked_host"), "left_anti")
         .groupBy(col("source"))
@@ -145,7 +146,7 @@ object Pipeline {
       val dirty = concat(substring(col("text"), 1, 20),
         when(col("doc_id") % 3 === 0, lit(" cafe\u0301")) // decomposed e + U+0301
           .otherwise(lit(" caf\u00e9")))                // composed é (already NFC)
-      t(s, dir, "documents")
+      docs(s, dir)
         .select(col("doc_id"), dirty.as("dirty"))
         .select(col("doc_id"),
           (col("dirty") =!= nfc(col("dirty"))).as("changed"),
@@ -164,13 +165,13 @@ object Pipeline {
     // the scalar. (Equal-share policy; any target vector is the same
     // plan with per-lang literals.)
     "q_data_mixture" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val d0 = docs(s, dir)
         .select(col("doc_id"), col("lang"),
           size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      val budget = docs.groupBy(col("lang")).agg(sum(col("n_tokens")).as("tot"))
+      val budget = d0.groupBy(col("lang")).agg(sum(col("n_tokens")).as("tot"))
         .agg(min(col("tot"))).head().getLong(0)
       val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-      docs.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      d0.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
         .filter(col("cum_tokens") <= budget)
         .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_tokens"))
         .orderBy(col("doc_id"))
@@ -183,7 +184,7 @@ object Pipeline {
     "q_stratified_sample" -> ((s, dir) => {
       val w = Window.partitionBy(col("lang"))
         .orderBy(idHash, col("doc_id"))
-      t(s, dir, "documents")
+      docs(s, dir)
         .withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= 20)
         .select(col("lang"), col("rk"), col("doc_id"))
@@ -198,7 +199,7 @@ object Pipeline {
     // emits "key":null. The documents fixture is null-free; a nullable
     // source needs coalesce() around each field to keep the oracle.
     "q_jsonl_export" -> ((s, dir) =>
-      t(s, dir, "documents")
+      docs(s, dir)
         .select(col("doc_id"), to_json(struct(
           col("doc_id"), col("lang"), col("source"), col("n_chars"),
           substring(col("text"), 1, 40).as("text_head"))).as("record"))
@@ -214,7 +215,7 @@ object Pipeline {
     "q_corpus_assembly" -> ((s, dir) => {
       val nToks = size(split(col("text"), " ")).cast("long")
       val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
-      t(s, dir, "documents")
+      docs(s, dir)
         .filter(col("lang").isin("en", "de", "fr"))
         .withColumn("n_toks", nToks)
         .filter(col("n_toks") >= 20 && col("n_toks") <= 1000)
@@ -238,7 +239,7 @@ object Pipeline {
     "q_html_strip" -> ((s, dir) => {
       val clean = trim(regexp_replace(
         regexp_replace(page, "<[^>]+>", " "), " +", " "))
-      t(s, dir, "documents")
+      docs(s, dir)
         .select(col("doc_id"),
           length(page).cast("long").as("len_raw"),
           length(clean).cast("long").as("len_clean"),
@@ -255,7 +256,7 @@ object Pipeline {
     "q_pii_redact" -> ((s, dir) => {
       val redacted = regexp_replace(
         regexp_replace(page, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
-      t(s, dir, "documents")
+      docs(s, dir)
         .select(col("doc_id"),
           size(regexp_extract_all(page, lit(EmailRe), lit(0)))
             .cast("long").as("n_emails"),
@@ -271,7 +272,7 @@ object Pipeline {
     // native parse_url (codegen'd); the oracle re-derives the same
     // pieces with anchored regexps.
     "q_url_parse" -> ((s, dir) =>
-      t(s, dir, "documents")
+      docs(s, dir)
         .select(col("doc_id"),
           parse_url(pageUrl, lit("HOST")).as("host"),
           parse_url(pageUrl, lit("PATH")).as("path"),
@@ -287,7 +288,7 @@ object Pipeline {
     "q_dedup_keep" -> ((s, dir) => {
       val w = Window.partitionBy(col("text_hash"))
         .orderBy(col("source").desc, col("doc_id"))
-      t(s, dir, "documents")
+      docs(s, dir)
         .select(md5(col("text")).as("text_hash"), col("doc_id"), col("source"))
         .withColumn("rk", row_number().over(w))
         .withColumn("n_dups", count(lit(1)).over(Window.partitionBy(col("text_hash"))))

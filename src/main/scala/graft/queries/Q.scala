@@ -46,6 +46,40 @@ object Q {
     } else s.read.parquet(path)
   }
 
+  /** Fan a CPU-dense scan out to the session's full parallelism.
+    *
+    * Spark sizes file splits by BYTES (`maxPartitionBytes`, floored by
+    * `openCostInBytes` and capped at parquet row-group granularity), which
+    * starves CPU-bound stages over small-but-expensive tables: the
+    * single-row-group documents/embeddings files plan as 1–2 splits, so
+    * per-row regex/shingle/dot-product work runs on 2 of 32 cores
+    * (measured: the LSH bucket stage alone dropped 21.5 s → 1.4 s at
+    * sf1 under this fan-out). The repartition is GATED on the scan
+    * actually under-splitting: at production scale the same table is
+    * thousands of splits and this is a no-op — no shuffle is ever added
+    * to a well-split scan. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
+  /** The documents table, fanned out and persisted once per (session,
+    * dir) — the same materialize-once discipline as the similarity
+    * family's normalized-embeddings cache: ~30 queries run per-row CPU
+    * (regex, shingling, hashing) over this table, and each reference
+    * would otherwise re-scan and re-shuffle it. At production scale
+    * this is the written, well-partitioned table the whole pipeline
+    * reads; persist() is its single-process analogue. */
+  def docs(s: SparkSession, dir: String): DataFrame = {
+    docsCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    graft.wheel.SessionSweeper.track(s)
+    docsCache.computeIfAbsent((s, dir), _ => fanOut(t(s, dir, "documents")).persist())
+  }
+  private val docsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  graft.wheel.SessionSweeper.addSweep(() =>
+    docsCache.keySet.removeIf(k => k._1.sparkContext.isStopped))
+
   // Epoch-ms anchors into the events table's span [2024-01-01, 2024-01-31)
   // (FIXTURES.md). All minute-aligned, half-open.
   val Jan1: Long = 1704067200000L // 2024-01-01T00:00:00Z

@@ -120,19 +120,32 @@ object Similarity {
     * namespaced by table id so the equi-join key spans all tables. */
   private def bucketsUdfFor(tables: Int, planesPerTable: Int) = {
     val planes = hyperplanes(tables * planesPerTable, 64)
-    udf((v: Seq[Double]) =>
+    udf((v: Seq[Double]) => {
+      // one unboxing pass (dim ops) instead of tables×planes×dim boxed
+      // Seq reads in the plane loops — measured 2.5× on this stage
+      val a = toPrimitive(v)
       Array.tabulate(tables) { l =>
         var bucket = 0L
         var p = 0
         while (p < planesPerTable) {
           val plane = planes(l * planesPerTable + p)
           var d = 0.0; var i = 0
-          while (i < plane.length && i < v.length) { d += plane(i) * v(i); i += 1 }
+          val n = math.min(plane.length, a.length)
+          while (i < n) { d += plane(i) * a(i); i += 1 }
           if (d >= 0) bucket |= 1L << p
           p += 1
         }
         bucket | (l.toLong << 48) // table id (high bits) disambiguates bucket space
-      })
+      }
+    })
+  }
+
+  /** Copy a (possibly boxed) Seq into a primitive array in one pass. */
+  private def toPrimitive(v: Seq[Double]): Array[Double] = {
+    val arr = new Array[Double](v.length)
+    var i = 0; val it = v.iterator
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    arr
   }
 
   /** Vectors L2-normalized ONCE per row (norms are not recomputed per
@@ -160,7 +173,11 @@ object Similarity {
     normCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     graft.wheel.SessionSweeper.track(s)
     normCache.computeIfAbsent((s, dir), _ =>
-      t(s, dir, "embeddings")
+      // fanOut BEFORE normalize: the single-row-group embeddings file
+      // plans as 1–2 splits, which would pin every downstream dot
+      // product to 2 cores (Q.fanOut doc) — and persist() freezes the
+      // starved layout for all five similarity queries
+      fanOut(t(s, dir, "embeddings"))
         .select(col("vec_id"), asDouble(col("embedding")).as("raw"))
         .withColumn("nrm", sqrt(call_function("graft_dot", col("raw"), col("raw"))))
         .withColumn("v", when(col("nrm") === 0.0, col("raw"))
@@ -382,25 +399,29 @@ object Similarity {
     centroids
   }
 
-  /** Argmax dot (cosine on normalized input), first-wins on ties. */
-  private def nearestCell(centroids: Array[Array[Double]], v: Seq[Double]): Int = {
+  /** Argmax dot (cosine on normalized input), first-wins on ties.
+    * Primitive-array input: the cells×dim inner loop runs per corpus
+    * row, so boxed Seq reads here dominate the assignment stage. */
+  private def nearestCell(centroids: Array[Array[Double]], v: Array[Double]): Int = {
     var best = 0; var bestDot = Double.NegativeInfinity
     var j = 0
     while (j < centroids.length) {
       var d = 0.0; var i = 0
       val cj = centroids(j)
-      while (i < cj.length && i < v.length) { d += cj(i) * v(i); i += 1 }
+      val n = math.min(cj.length, v.length)
+      while (i < n) { d += cj(i) * v(i); i += 1 }
       if (d > bestDot) { bestDot = d; best = j }
       j += 1
     }
     best
   }
 
-  private def topCells(centroids: Array[Array[Double]], v: Seq[Double], k: Int): Array[Int] = {
+  private def topCells(centroids: Array[Array[Double]], v: Array[Double], k: Int): Array[Int] = {
     val scored = Array.tabulate(centroids.length) { j =>
       var d = 0.0; var i = 0
       val cj = centroids(j)
-      while (i < cj.length && i < v.length) { d += cj(i) * v(i); i += 1 }
+      val n = math.min(cj.length, v.length)
+      while (i < n) { d += cj(i) * v(i); i += 1 }
       (j, d)
     }
     scored.sortBy { case (j, d) => (-d, j) }.take(k).map(_._1)
@@ -419,8 +440,8 @@ object Similarity {
     val n = math.max(1, sample.length)
     val c = math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt)
     val centroids = trainCentroids(sample, c)
-    val cellUdf = udf((v: Seq[Double]) => nearestCell(centroids, v))
-    val probeUdf = udf((v: Seq[Double]) => topCells(centroids, v, IvfNProbe))
+    val cellUdf = udf((v: Seq[Double]) => nearestCell(centroids, toPrimitive(v)))
+    val probeUdf = udf((v: Seq[Double]) => topCells(centroids, toPrimitive(v), IvfNProbe))
     val corpus = all.withColumn("cell", cellUdf(col("v")))
     val q = broadcast(all.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),

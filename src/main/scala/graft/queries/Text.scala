@@ -24,6 +24,7 @@ import Q._
   * and oversized buckets are capped (`MaxBucket`) as in production LSH. */
 object Text {
 
+
   private val words = array_distinct(split(col("text"), " "))
 
   /** Candidate-pair emission from one LSH bucket: all sorted id pairs.
@@ -76,7 +77,7 @@ object Text {
   /** MinHash-LSH candidate pairs (doc_a < doc_b, distinct) — shared by
     * `q_minhash_dedup` and the component clustering on top of it. */
   private def minhashPairs(s: org.apache.spark.sql.SparkSession, dir: String) =
-    t(s, dir, "documents")
+    docs(s, dir)
       .select(col("doc_id"), posexplode(minhashBandsUdf(col("text"))).as(Seq("band", "key")))
       .groupBy(col("band"), col("key"))
       .agg(boundedIds(col("doc_id")).as("ids"))
@@ -89,13 +90,13 @@ object Text {
     // and representative), so the query is non-vacuous at every sf; dup
     // groups are the n_dups > 1 rows.
     "q_dedup_exact" -> ((s, dir) =>
-      t(s, dir, "documents")
+      docs(s, dir)
         .groupBy(md5(col("text")).as("text_hash"))
         .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("min_doc"))
         .orderBy(col("text_hash"))),
 
     "q_text_stats" -> ((s, dir) =>
-      t(s, dir, "documents")
+      docs(s, dir)
         .withColumn("n_words", size(split(col("text"), " ")).cast("long"))
         .groupBy(col("lang"))
         .agg(
@@ -107,7 +108,7 @@ object Text {
     // Token counting: whitespace tokens + a BPE-ish regex lexer
     // (letter runs | digit runs | single punctuation).
     "q_token_count" -> ((s, dir) =>
-      t(s, dir, "documents").select(
+      docs(s, dir).select(
         col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("ws_tokens"),
         size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
@@ -122,7 +123,7 @@ object Text {
       val noSpace = length(regexp_replace(col("text"), " ", "")).cast("long")
       val stopHits = size(expr(
         "filter(split(text, ' '), w -> w = 'the' OR w = 'a' OR w = 'of')")).cast("long")
-      t(s, dir, "documents").select(
+      docs(s, dir).select(
         col("doc_id"),
         nWords.as("n_words"),
         nChars.as("n_chars_m"),
@@ -137,7 +138,7 @@ object Text {
     // distinct word set) → md5. Near-dup docs with permuted words get
     // the same fingerprint; robust to word order, not to edits.
     "q_fingerprint" -> ((s, dir) =>
-      t(s, dir, "documents").select(
+      docs(s, dir).select(
         col("doc_id"),
         md5(concat_ws(" ", array_sort(words))).as("fp"))
         .orderBy(col("doc_id"))),
@@ -145,7 +146,7 @@ object Text {
     // Word-set Jaccard between adjacent doc ids — the exact-similarity
     // primitive under MinHash (oracle-checkable shape).
     "q_ngram_jaccard" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"), words.as("w"))
+      val d = docs(s, dir).select(col("doc_id"), words.as("w"))
       val a = d.as("a")
       val b = d.as("b")
       a.join(b, col("b.doc_id") === col("a.doc_id") + 1)
@@ -181,11 +182,11 @@ object Text {
       // the relational argmax did.
       val prefixLen = 512
       val topK = 30
-      val docs = t(s, dir, "documents")
+      val d0 = docs(s, dir)
         .select(col("doc_id"), col("lang"),
           substring(col("text"), 1, prefixLen).as("tp"))
       val w = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("gram"))
-      val profileRows = docs.filter(col("doc_id") % 5 === 0)
+      val profileRows = d0.filter(col("doc_id") % 5 === 0)
         .select(col("lang"), explode(bigramsUdf(col("tp"))).as("gram"))
         .groupBy(col("lang"), col("gram")).agg(count(lit(1)).as("cnt"))
         .withColumn("rk", row_number().over(w)).filter(col("rk") <= topK)
@@ -225,7 +226,7 @@ object Text {
         }
         langs(best)
       })
-      docs.withColumn("pred", scoreUdf(col("tp")))
+      d0.withColumn("pred", scoreUdf(col("tp")))
         .select(col("doc_id"), col("pred"), (col("pred") === col("lang")).as("hit"))
         .orderBy(col("doc_id"))
     }),
@@ -243,7 +244,7 @@ object Text {
     // hash-agg with map-side combine → bounded TakeOrdered; determinism
     // via the (count desc, token) tiebreak.
     "q_vocab_topk" -> ((s, dir) =>
-      t(s, dir, "documents")
+      docs(s, dir)
         .select(explode(split(col("text"), " ")).as("tok"))
         .groupBy(col("tok"))
         .agg(count(lit(1)).as("n"))
@@ -255,9 +256,9 @@ object Text {
     // (one agg), tf only for the target docs; ranking uses the ROUNDED
     // score so cross-engine double ulps can't reorder near-ties.
     "q_tfidf_top" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val n = docs.count()
-      val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val d0 = docs(s, dir)
+      val n = d0.count()
+      val toks = d0.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       val df = toks.groupBy(col("tok"))
         .agg(countDistinct(col("doc_id")).as("df"))
       val tf = toks.filter(col("doc_id") < 20)
@@ -282,7 +283,7 @@ object Text {
     // invariance) are asserted in ScalaTest.
     "q_winnow_fp" -> ((s, dir) => {
       val winnowUdf = udf((text: String) => TextHash.winnow(text))
-      t(s, dir, "documents")
+      docs(s, dir)
         .select(col("doc_id"), winnowUdf(col("text")).as("fps"))
         .select(col("doc_id"),
           size(col("fps")).cast("long").as("n_fp"),
@@ -306,7 +307,7 @@ object Text {
       // re-executes per round (measured ~2× on the full query).
       val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
         .localCheckpoint(true)
-      var labels = t(s, dir, "documents")
+      var labels = docs(s, dir)
         .select(col("doc_id"), col("doc_id").as("label"))
       val MaxRounds = 8
       var round = 0
@@ -346,7 +347,7 @@ object Text {
       // docs shorter than K tokens have no shingles; filtering them out
       // BEFORE the transform matters — sequence(1, n) with n < 1 counts
       // DOWNWARD, handing slice a zero/negative start (runtime error)
-      val d = t(s, dir, "documents")
+      val d = docs(s, dir)
         .filter(size(toks) >= K)
         .select(col("doc_id"), explode(shingles).as("sh"))
       val test = d.filter(col("doc_id") < 10)
@@ -395,7 +396,7 @@ object Text {
         counts.forEach((_, c) => if (c > maxRep) maxRep = c)
         (maxRep.toLong, math.max(n, 0).toLong)
       }
-      t(s, dir, "documents")
+      docs(s, dir)
         .filter(size(toks) >= K)
         .select(col("doc_id"), repStats(toks).as("st"))
         .select(col("doc_id"),
@@ -422,7 +423,7 @@ object Text {
           md5(concat_ws(" ", slice(toks, i, lit(W)))).as("h")))
       val w = Window.partitionBy(col("h"))
         .orderBy(col("doc_id"), col("idx"))
-      t(s, dir, "documents")
+      docs(s, dir)
         .select(col("doc_id"), explode(chunks).as("c"))
         .select(col("doc_id"), col("c.idx").as("idx"), col("c.h").as("h"))
         .withColumn("rn", row_number().over(w))
@@ -443,10 +444,10 @@ object Text {
     // per-doc word counts (no second explode pass, no eager driver job)
     // broadcast-cross-joined into the scorer. Every stage linear.
     "q_logprob_score" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val d0 = docs(s, dir)
+      val toks = d0.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-      val total = docs.agg(
+      val total = d0.agg(
         sum(size(split(col("text"), " "))).cast("double").as("total_n"))
       toks.join(vocab, "tok")
         .crossJoin(broadcast(total))
@@ -461,7 +462,7 @@ object Text {
     // SimHash near-dup: 64-bit signature, 16-bit pigeonhole chunks
     // (hamming ≤ 3 ⇒ some chunk equal), verify hamming via bit_count.
     "q_simhash_dedup" -> ((s, dir) => {
-      val sh = t(s, dir, "documents")
+      val sh = docs(s, dir)
         .select(col("doc_id"), simhashUdf(col("text")).as("sh"))
       val cands = sh
         .select(col("doc_id"), explode(simhashChunksUdf(col("sh"))).as("chunk"))
@@ -490,12 +491,12 @@ object Text {
     // token-for-token (constants folded identically — 2.2 is a
     // literal, not 1.2 + 1.0, which differs in the last ulp).
     "q_bm25" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val d0 = docs(s, dir)
+      val toks = d0.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       // doc length = size of the token array: a narrow per-row projection
       // (no explode, no shuffle) — measured ~40% faster end-to-end at
       // sf0.1 than deriving lengths from the exploded token table
-      val lens = docs.select(col("doc_id"),
+      val lens = d0.select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("len"))
       val stats = lens.agg(count(lit(1)).as("n"), sum(col("len")).as("tot")).head()
       val n = stats.getLong(0)

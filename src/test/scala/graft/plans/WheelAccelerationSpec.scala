@@ -1014,6 +1014,49 @@ class WheelAccelerationSpec extends AnyFunSuite {
     }
   }
 
+  test("accelerationStatus renders registrations, freshness and the last bail (round 11)") {
+    import spark.implicits._
+    val src = new java.io.File("target/test-fixtures/accel/status.parquet")
+      .getAbsolutePath
+    // nothing registered yet
+    WheelAcceleration.unregister(src)
+    val empty = WheelAcceleration.accelerationStatus(src)
+    assert(empty.contains("nothing registered"), empty)
+    assert(empty.contains("none recorded"), empty)
+
+    (0 until 10).map(i =>
+      (new java.sql.Timestamp(Q.Jan1 + i * 60000L), i.toDouble, i.toLong))
+      .toDF("ts", "value", "user_id").write.mode("overwrite").parquet(src)
+    WheelAcceleration.register(spark, src, spark.read.parquet(src))
+    WheelAcceleration.registerSketches(spark, src, spark.read.parquet(src),
+      distinctCols = Seq("user_id"))
+    try {
+      val st = WheelAcceleration.accelerationStatus(src)
+      assert(st.contains("sum wheels: measures [value]"), st)
+      assert(st.contains("sketch wheels: distinct [user_id]"), st)
+      assert(st.contains("fingerprint FRESH"), st)
+      assert(st.contains("span [2024-01-01T00:00:00Z"), st)
+
+      // a bailing query shows up in the same rendering
+      spark.read.parquet(src).createOrReplaceTempView("status_accel")
+      spark.sql("SELECT SUM(value) AS s FROM status_accel " +
+        s"WHERE unix_millis(ts) >= ${Q.Jan1} AND unix_millis(ts) < ${Q.Jan1 + 600000} " +
+        "AND value > 0").queryExecution.optimizedPlan
+      val st2 = WheelAcceleration.accelerationStatus(src)
+      assert(st2.contains("last non-firing rewrite: "), st2)
+      assert(!st2.contains("none recorded"), st2)
+
+      // stale source flips the rendered freshness verdict
+      System.setProperty("graft.wheel.fingerprint.ttlMs", "0")
+      try {
+        Seq((new java.sql.Timestamp(Q.Jan1), 1.0, 99L))
+          .toDF("ts", "value", "user_id").write.mode("overwrite").parquet(src)
+        val st3 = WheelAcceleration.accelerationStatus(src)
+        assert(st3.contains("fingerprint STALE"), st3)
+      } finally System.clearProperty("graft.wheel.fingerprint.ttlMs")
+    } finally WheelAcceleration.unregister(src)
+  }
+
   test("ill-conditioned VAR/STDDEV ranges keep the scan (round 11, ADVICE r10)") {
     import spark.implicits._
     val src = new java.io.File("target/test-fixtures/accel/illcond.parquet")
