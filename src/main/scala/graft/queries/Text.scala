@@ -85,6 +85,84 @@ object Text {
       .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"))
       .distinct()
 
+  /** Edge count under which connected components resolve as ONE driver
+    * union-find instead of the distributed propagation loop: 1 M edges
+    * collect to ~16 MB of longs and resolve in milliseconds, where the
+    * loop pays ~2 materializing multi-stage jobs PER ROUND regardless of
+    * edge count (measured: the fixed per-round cost, not the data, was
+    * q_dedup_clusters' wall at every shipped SF). */
+  private[queries] val CcEdgeBudget = 1000000L
+
+  /** Connected components over an undirected edge list (`src` < `dst`),
+    * labeled by component-minimum id — regime-routed (round 11), the
+    * same bounded-driver-work discipline as the sketch-wheel builds:
+    *
+    *  - `edges ≤ budget`: collect and run exact union-find (min-id
+    *    root, path compression) on the driver, then broadcast-join the
+    *    vertex→label map back onto `vertices` — exact at any diameter,
+    *    two jobs total;
+    *  - above budget: distributed min-label propagation — each round
+    *    pushes the smallest known label across edges (join + min-agg =
+    *    2 bounded shuffles/round), converging in O(cluster diameter)
+    *    rounds; dup clusters are shallow, and the round cap guards
+    *    pathological chains.
+    *
+    * Returns every vertex in `vertices` (singletons label themselves).
+    * Both regimes produce identical labels on converged inputs
+    * (asserted both ways in TextSpec). */
+  private[queries] def connectedComponents(pairs: org.apache.spark.sql.DataFrame,
+      vertices: org.apache.spark.sql.DataFrame,
+      budget: Long = CcEdgeBudget): org.apache.spark.sql.DataFrame = {
+    val s = pairs.sparkSession
+    // Materialize the edge list ONCE: both regimes reuse it (the
+    // propagation loop joins it every round, and without this the whole
+    // minhash/banding pipeline re-executes per round — measured ~2× on
+    // the full query). The count for regime routing rides the same
+    // materialized copy.
+    val undirected = pairs.toDF("src", "dst").localCheckpoint(true)
+    if (undirected.count() <= budget) {
+      val es = undirected.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val vertexLabels = es.iterator.flatMap(e => Iterator(e._1, e._2))
+        .toSet.iterator.map((v: Long) => (v, find(v))).toSeq
+      import s.implicits._
+      vertices.join(broadcast(vertexLabels.toDF("doc_id", "lbl")), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("label"))
+    } else {
+      val edges = undirected
+        .union(undirected.select(col("dst").as("src"), col("src").as("dst")))
+      var labels = vertices.select(col("doc_id"), col("doc_id").as("label"))
+      val MaxRounds = 8
+      var round = 0
+      var converged = false
+      while (round < MaxRounds && !converged) {
+        val prop = edges.join(labels, edges("src") === labels("doc_id"))
+          .select(col("dst").as("doc_id"), col("label"))
+        val next = labels.union(prop)
+          .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
+          .localCheckpoint(true) // truncate lineage; also materializes for the convergence check
+        val changed = next.as("n")
+          .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
+          .filter(col("n.label") =!= col("o.label")).limit(1).count()
+        labels = next
+        converged = changed == 0L
+        round += 1
+      }
+      labels
+    }
+  }
+
   val queries: Map[String, Fn] = Map(
     // Exact dedup: hash-groupBy on content hash. Emits ALL groups (count
     // and representative), so the query is non-vacuous at every sf; dup
@@ -302,30 +380,7 @@ object Text {
     "q_dedup_clusters" -> ((s, dir) => {
       val pairs = // the LSH candidate pairs, as an undirected edge list
         minhashPairs(s, dir).select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      // Materialize the edge list ONCE: the propagation loop joins it
-      // every round, and without this the whole minhash/banding pipeline
-      // re-executes per round (measured ~2× on the full query).
-      val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
-        .localCheckpoint(true)
-      var labels = docs(s, dir)
-        .select(col("doc_id"), col("doc_id").as("label"))
-      val MaxRounds = 8
-      var round = 0
-      var converged = false
-      while (round < MaxRounds && !converged) {
-        val prop = edges.join(labels, edges("src") === labels("doc_id"))
-          .select(col("dst").as("doc_id"), col("label"))
-        val next = labels.union(prop)
-          .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
-          .localCheckpoint(true) // truncate lineage; also materializes for the convergence check
-        val changed = next.as("n")
-          .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
-          .filter(col("n.label") =!= col("o.label")).limit(1).count()
-        labels = next
-        converged = changed == 0L
-        round += 1
-      }
-      labels
+      connectedComponents(pairs, docs(s, dir).select(col("doc_id")))
         .withColumn("is_canonical", col("doc_id") === col("label"))
         .select(col("doc_id"), col("label").as("cluster_id"), col("is_canonical"))
         .orderBy(col("doc_id"))

@@ -166,6 +166,23 @@ class TextSpec extends AnyFunSuite {
     assert(got == Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 3L), (4L, 3L), (5L, 5L)))
   }
 
+  test("connectedComponents: driver union-find and distributed propagation agree (round 11)") {
+    import spark.implicits._
+    // chain (tests transitivity across rounds), a pair, and a vertex
+    // with no edges (must label itself in both regimes)
+    val pairs = Seq((10L, 11L), (11L, 12L), (12L, 13L), (20L, 21L))
+      .toDF("src", "dst")
+    def verts = Seq(10L, 11L, 12L, 13L, 20L, 21L, 30L).toDF("doc_id")
+    val want = Seq((10L, 10L), (11L, 10L), (12L, 10L), (13L, 10L),
+      (20L, 20L), (21L, 20L), (30L, 30L))
+    val drv = Text.connectedComponents(pairs, verts, budget = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val dist = Text.connectedComponents(pairs, verts, budget = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(drv == want, s"driver regime: $drv")
+    assert(dist == want, s"distributed regime: $dist")
+  }
+
   test("winnowing: shared-substring guarantee, shift invariance, determinism") {
     import graft.functions.TextHash._
     val s = "the quick brown fox jumps over the lazy dog again and again"
