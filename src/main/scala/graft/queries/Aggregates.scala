@@ -255,7 +255,7 @@ object Aggregates {
     // rank-50 candidate boundary cannot clip a tie group). The
     // approximate regime's guarantees stay covered in ScalaTest.
     "q_heavy_hitters" -> ((s, dir) =>
-      t(s, dir, "documents")
+      docs(s, dir)
         .select(explode(split(col("text"), " ")).as("tok"))
         .agg(expr("approx_top_k(tok, 50, 10000)").as("top"))
         .select(explode(col("top")).as("e"))

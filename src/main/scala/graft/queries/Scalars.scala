@@ -81,7 +81,7 @@ object Scalars {
         .otherwise(concat(
           lit("{\"id\":"), col("doc_id"),
           lit(",\"len\":"), lenTok, lit("}")))
-      t(s, dir, "documents")
+      docs(s, dir)
         .select(col("lang"),
           from_json(js, org.apache.spark.sql.types.StructType.fromDDL(
             "id BIGINT, len BIGINT")).as("p"))

@@ -25,6 +25,19 @@ class PlanAuditSpec extends AnyFunSuite {
     df.queryExecution.executedPlan.toString
   }
 
+  test("fanOut gates on under-splitting: fans a starved scan, no-ops a well-split frame (round 11)") {
+    val p = spark.sparkContext.defaultParallelism
+    // single-row-group parquet plans as 1-2 splits -> fanned to p
+    val starved = Q.t(spark, dir, "documents")
+    assert(starved.rdd.getNumPartitions < p)
+    assert(Q.fanOut(starved).rdd.getNumPartitions == p)
+    // already at/above p -> the SAME plan back, no shuffle added
+    val wide = starved.repartition(p + 4)
+    val fanned = Q.fanOut(wide)
+    assert(fanned.rdd.getNumPartitions == p + 4)
+    assert(fanned.queryExecution.logical eq wide.queryExecution.logical)
+  }
+
   test("q_filter_pred pushes its predicates into the parquet scan") {
     val p = plan("q_filter_pred")
     assert(p.contains("PushedFilters: [IsNotNull(l_quantity)"), p)
