@@ -892,8 +892,17 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
   private def rewrite(
       agg: Aggregate,
       aggExprs: Seq[NamedExpression],
-      child: LogicalPlan): Option[LogicalPlan] = for {
-    (cond, below) <- findFilter(child)
+      child: LogicalPlan): Option[LogicalPlan] = {
+   // NO-PREDICATE full-span fold (round 11): `SELECT agg FROM t` with
+   // no WHERE folds as the [base, horizon) range — sound because every
+   // index build asserts the never-null-ts contract (WheelIndex.build/
+   // fromMultiPartials, WheelIngest.mergeRows), so the span provably
+   // covers every source row, and the fingerprint guards data changes.
+   // Restricted to SUM-registry wheels: the sketch builds carry no such
+   // assertion, so a sketch-only registration keeps requiring a range.
+   val filterOpt = findFilter(child)
+   val below = filterOpt.map(_._2).getOrElse(child)
+   for {
     path <- sourcePath(below)
     sumReg = WheelAcceleration.lookup(path)
     // sketch wheels (round 11): serve the approximate SQL spellings; a
@@ -903,8 +912,15 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       .orElse(WheelAcceleration.lookupSketch(path).map(_.tsCol))
     sketch = WheelAcceleration.lookupSketch(path).filter(_.tsCol == tsCol)
     wheels = sumReg.map(_._2).getOrElse(Map.empty[String, WheelIndex])
-    (aOpt, bOpt) <- bail(path, "filter is not a bare half-open range on " +
-      s"the registered ts column '$tsCol'")(rangeMs(cond, tsCol))
+    (aOpt, bOpt) <- filterOpt match {
+      case Some((cond, _)) =>
+        bail(path, "filter is not a bare half-open range on " +
+          s"the registered ts column '$tsCol'")(rangeMs(cond, tsCol))
+      case None =>
+        bail(path, "no time predicate: full-span folds need a sum-wheel " +
+          "registration (its build asserts the never-null-ts contract)")(
+          if (wheels.nonEmpty) Some((None, None)) else None)
+    }
     // a missing bound defaults to the index span (minute-aligned by
     // construction): lower-only = landmark window, upper-only = prefix
     (spanBase, spanHorizon) <- wheels.valuesIterator
@@ -929,7 +945,8 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
           rewriteResidue(agg, aggExprs, below, tsCol, wheels, a, b))
       else None
     }
-  } yield result
+   } yield result
+  }
 
   /** HYBRID fold for an UNALIGNED range (round 9, VERDICT r8 #6): the
     * wheel is minute-granular, so `[a, b)` with sub-minute edges cannot

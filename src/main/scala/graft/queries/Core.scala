@@ -217,6 +217,23 @@ object Core {
            |""".stripMargin)
     }),
 
+    // NO-PREDICATE full-span fold (round 11): the whole-table aggregate
+    // — no WHERE clause at all — folds as [base, horizon). Sound because
+    // every index build asserts the never-null-ts contract (a null
+    // timestamp belongs to no slot), so the indexed span provably covers
+    // every source row, and the fingerprint guards data changes. The
+    // most common reporting shape there is, answered at plan time with
+    // zero file reads at any source volume.
+    "q_wheel_total_sql" -> ((s, dir) => {
+      graft.plans.WheelAcceleration.register(
+        s, s"$dir/events.parquet", t(s, dir, "events"))
+      t(s, dir, "events").createOrReplaceTempView("events_wheel")
+      s.sql(
+        """SELECT ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n,
+          |ROUND(AVG(value), 4) AS avg_value, MIN(value) AS min_value,
+          |MAX(value) AS max_value FROM events_wheel""".stripMargin)
+    }),
+
     // HYBRID residue fold (round 9, VERDICT r8 #6): the same plain-SQL
     // surface with an UNALIGNED range — sub-minute residue at both
     // edges. The rewrite folds the whole-minute interior to one
@@ -1033,6 +1050,10 @@ object Core {
         "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
     "q_wheel_query" -> rangeSumSql(R2Start, R2End),
     "q_wheel_sql" -> rangeSumSql(R3Start, R3End),
+    "q_wheel_total_sql" ->
+      ("SELECT ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n, " +
+        "ROUND(AVG(value), 4) AS avg_value, MIN(value) AS min_value, " +
+        "MAX(value) AS max_value FROM events"),
     "q_wheel_cohort" ->
       (s"WITH a AS (SELECT DISTINCT user_id FROM events " +
         s"WHERE epoch_ms(ts) >= $R1Start AND epoch_ms(ts) < $R1End), " +

@@ -203,6 +203,12 @@ object WheelIngest {
     val fi: String => Int = partialCols.zipWithIndex.toMap
 
     def mergeRows(rows: Array[Row]): Unit = rows.foreach { r =>
+      // never-null-ts contract (round 11), same as the batch builds: a
+      // null timestamp belongs to no slot, and the no-predicate
+      // full-span fold relies on the live wheel covering every row
+      require(!r.isNullAt(fi("slot_ms")),
+        "ts column has NULLs in ingested batch; a time-bounded index " +
+          "cannot cover null timestamps")
       val all = r.getLong(fi("rows"))
       valueCols.zipWithIndex.foreach { case (c, i) =>
         require(r.getLong(2 + 5 * i) == all,

@@ -334,6 +334,15 @@ object WheelIndex {
       .select("slot_ms", "sum_v", "cnt", "min_v", "max_v", "rows", "sumsq_v")
       .collect()
     require(minuteRows.nonEmpty, "cannot index an empty source")
+    // Never-null-ts contract (round 11): a NULL timestamp belongs to no
+    // slot, so a time-bounded index cannot cover it — and the no-predicate
+    // full-span fold (WheelSumRewrite) relies on [base, horizon) covering
+    // EVERY source row. Fail the build loudly instead.
+    minuteRows.find(_.isNullAt(0)).foreach { r =>
+      throw new IllegalArgumentException(
+        s"ts column '$tsCol' has NULLs (${r.getLong(5)} rows in the null " +
+          "slot); a time-bounded index cannot cover null timestamps")
+    }
     // Never-null-measure contract, asserted rather than documented:
     // WheelSumRewrite folds COUNT(*) to the indexed count, which is
     // COUNT(value) — a NULL in the measure column would silently diverge
@@ -440,6 +449,13 @@ object WheelIndex {
       residueFor: String => Option[(Long, Long) => AllAggregate]): Map[String, WheelIndex] = {
     require(rows.nonEmpty, "cannot index an empty source")
     val rowsIdx = fi("rows")
+    // same never-null-ts contract as the single-measure build (round 11):
+    // the full-span fold needs [base, horizon) to cover every source row
+    rows.find(_.isNullAt(fi("slot_ms"))).foreach { r =>
+      throw new IllegalArgumentException(
+        s"ts column has NULLs (${r.getLong(rowsIdx)} rows in the null " +
+          "slot); a time-bounded index cannot cover null timestamps")
+    }
     // same never-null-measure contract as the single-measure build,
     // checked per measure before any allocation
     valueCols.foreach { c =>

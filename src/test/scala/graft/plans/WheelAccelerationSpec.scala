@@ -34,6 +34,62 @@ class WheelAccelerationSpec extends AnyFunSuite {
     assert(df.queryExecution.executedPlan.toString.contains("LocalTableScan"))
   }
 
+  test("a NO-PREDICATE whole-table aggregate folds as the full span (round 11)") {
+    import spark.implicits._
+    register()
+    events.createOrReplaceTempView("events_accel")
+    val df = spark.sql("SELECT ROUND(SUM(value), 2) AS s, COUNT(*) AS n, " +
+      "MIN(value) AS mn, MAX(value) AS mx FROM events_accel")
+    assert(df.queryExecution.optimizedPlan.collect {
+      case l: LocalRelation => l
+    }.nonEmpty, df.queryExecution.optimizedPlan.treeString)
+    val got = df.collect()(0)
+    val scan = events.agg(
+      round(sum("value"), 2), count(lit(1)), min("value"), max("value")).collect()(0)
+    assert(got.getDouble(0) == scan.getDouble(0))
+    assert(got.getLong(1) == scan.getLong(1))
+    assert(got.getDouble(2) == scan.getDouble(2))
+    assert(got.getDouble(3) == scan.getDouble(3))
+
+    // sketch-only registration: no-predicate folds bail (the sketch
+    // builds carry no never-null-ts assertion) with a queryable reason
+    val skSrc = new java.io.File("target/test-fixtures/accel/fullspan_sketch.parquet")
+      .getAbsolutePath
+    (0 until 30).map(i =>
+      (new java.sql.Timestamp(Q.Jan1 + i * 60000L), i.toDouble, (i % 7).toLong))
+      .toDF("ts", "value", "user_id").write.mode("overwrite").parquet(skSrc)
+    WheelAcceleration.registerSketches(spark, skSrc, spark.read.parquet(skSrc),
+      distinctCols = Seq("user_id"))
+    spark.read.parquet(skSrc).createOrReplaceTempView("fullspan_sketch")
+    try {
+      val sk = spark.sql(
+        "SELECT approx_count_distinct(user_id) AS u FROM fullspan_sketch")
+      assert(sk.queryExecution.optimizedPlan.collect {
+        case l: LocalRelation => l
+      }.isEmpty, sk.queryExecution.optimizedPlan.treeString)
+      assert(WheelAcceleration.lastBailReason(skSrc)
+        .exists(_.contains("no time predicate")),
+        WheelAcceleration.lastBailReason(skSrc).toString)
+    } finally WheelAcceleration.unregister(skSrc)
+  }
+
+  test("a null-ts source fails the index build loudly (never-null-ts contract, round 11)") {
+    import spark.implicits._
+    val src = new java.io.File("target/test-fixtures/accel/nullts.parquet")
+      .getAbsolutePath
+    Seq((Some(new java.sql.Timestamp(Q.Jan1)), 1.0),
+      (None: Option[java.sql.Timestamp], 2.0))
+      .toDF("ts", "value").write.mode("overwrite").parquet(src)
+    val e = intercept[IllegalArgumentException] {
+      graft.wheel.WheelIndex.build(spark.read.parquet(src), "ts", "value")
+    }
+    assert(e.getMessage.contains("null timestamps"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.wheel.WheelIndex.buildMulti(spark.read.parquet(src), "ts", Seq("value"))
+    }
+    assert(e2.getMessage.contains("null timestamps"), e2.getMessage)
+  }
+
   test("rewritten result equals the full-scan result (sum/min/max/avg/count)") {
     register()
     val accel = rangeSql(Q.R2Start, Q.R2End,

@@ -101,6 +101,27 @@ class WheelIngestSpec extends AnyFunSuite {
       assert(sliding.collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq ==
         Seq((t0 - Min, 11.0, 2L), (t0, 13.0, 3L), (t0 + Min, 6.0, 2L),
           (t0 + 2 * Min, 4.0, 1L)))
+
+      // the NO-PREDICATE full-span fold (round 11) holds MID-INGEST:
+      // the live span [base, horizon) covers exactly the committed
+      // batches (covered-file tokens), so `SELECT agg FROM t` with no
+      // WHERE folds to the running totals — and keeps up as the
+      // horizon advances with the next batch
+      spark.read.parquet(path).createOrReplaceTempView("live_events")
+      val total = spark.sql(
+        "SELECT SUM(value) AS s, COUNT(*) AS n FROM live_events")
+      assert(folded(total), total.queryExecution.optimizedPlan.treeString)
+      val rt = total.collect()(0)
+      assert(rt.getDouble(0) == 17.0 && rt.getLong(1) == 4L)
+
+      mem.addData((new java.sql.Timestamp(t0 + 10 * Min), 100.0))
+      q.processAllAvailable()
+      spark.read.parquet(path).createOrReplaceTempView("live_events")
+      val total2 = spark.sql(
+        "SELECT SUM(value) AS s, COUNT(*) AS n FROM live_events")
+      assert(folded(total2), total2.queryExecution.optimizedPlan.treeString)
+      val rt2 = total2.collect()(0)
+      assert(rt2.getDouble(0) == 117.0 && rt2.getLong(1) == 5L)
     } finally {
       q.stop()
       WheelAcceleration.unregister(path)
