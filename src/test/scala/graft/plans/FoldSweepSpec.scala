@@ -10,7 +10,8 @@ import graft.queries.Q
   * binding contract is that acceleration never changes an answer. The
   * per-shape specs prove it pointwise; this sweep crosses aggregate
   * mixes × grouping spellings × range shapes (aligned / minute /
-  * sub-minute hybrid) and asserts, for every combination, that the
+  * sub-minute hybrid / no-predicate full span) and asserts, for every
+  * combination, that the
   * registered plan and the cleared-registry scan return identical
   * rows. It also counts how many combinations actually folded, so a
   * regression that silently bails everything (correct but useless)
@@ -85,7 +86,8 @@ class FoldSweepSpec extends AnyFunSuite {
     val ranges = Seq(
       (Q.R1Start, Q.R1End),                   // day-aligned week
       (Q.R1Start + 60000L, Q.R1End - 60000L), // minute-aligned interior
-      (Q.R1Start + 30123L, Q.R1End - 7001L))  // sub-minute hybrid edges
+      (Q.R1Start + 30123L, Q.R1End - 7001L),  // sub-minute hybrid edges
+      (-1L, -1L))                             // NO PREDICATE: full span (round 11)
 
     var folded = 0
     var total = 0
@@ -111,8 +113,10 @@ class FoldSweepSpec extends AnyFunSuite {
       val order =
         if (gSel.isEmpty) ""
         else if (gBy == "GROUP BY 1, 2") " ORDER BY 1, 2" else " ORDER BY 1"
-      val sql = s"SELECT $gSel$agg FROM ev_sweep " +
-        s"WHERE unix_millis(ts) >= $a AND unix_millis(ts) < $b $gBy$order"
+      val where =
+        if (a < 0) "" // the no-predicate full-span shape
+        else s"WHERE unix_millis(ts) >= $a AND unix_millis(ts) < $b "
+      val sql = s"SELECT $gSel$agg FROM ev_sweep $where$gBy$order"
       total += 1
       val acc = spark.sql(sql)
       if (acc.queryExecution.optimizedPlan.collect {

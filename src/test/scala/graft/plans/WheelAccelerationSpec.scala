@@ -73,6 +73,79 @@ class WheelAccelerationSpec extends AnyFunSuite {
     } finally WheelAcceleration.unregister(skSrc)
   }
 
+  test("folds fire over a HIVE-PARTITIONED source layout (round 11)") {
+    import spark.implicits._
+    // how a 100 TB table actually ships: data files nested under
+    // partition directories, partition column in the schema, the read
+    // rooted at the table dir. The fingerprint is already relative-path
+    // aware; this pins the whole fold surface end-to-end on that layout.
+    val src = new java.io.File("target/test-fixtures/accel/partitioned.parquet")
+      .getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(src))
+    // the append step below must not ride a cached freshness verdict
+    System.setProperty("graft.wheel.fingerprint.ttlMs", "0")
+    (0 until 120).map(i =>
+      (new java.sql.Timestamp(Q.Jan1 + i * 60000L), i.toDouble,
+        f"2024-01-${1 + i / 60}%02d"))
+      .toDF("ts", "value", "dt")
+      .write.partitionBy("dt").parquet(src)
+    val part = spark.read.parquet(src)
+    WheelAcceleration.register(spark, src, part)
+    try {
+      part.createOrReplaceTempView("part_events")
+      val a = Q.Jan1 + 10 * 60000L
+      val b = Q.Jan1 + 70 * 60000L
+      val ranged = spark.sql("SELECT ROUND(SUM(value), 2) AS s, COUNT(*) AS n " +
+        s"FROM part_events WHERE unix_millis(ts) >= $a AND unix_millis(ts) < $b")
+      assert(ranged.queryExecution.optimizedPlan.collect {
+        case l: LocalRelation => l
+      }.nonEmpty, ranged.queryExecution.optimizedPlan.treeString)
+      val r = ranged.collect()(0)
+      assert(r.getDouble(0) == (10 until 70).map(_.toDouble).sum)
+      assert(r.getLong(1) == 60L)
+
+      // full-span no-predicate fold over the same partitioned root
+      val total = spark.sql(
+        "SELECT ROUND(SUM(value), 2) AS s, COUNT(*) AS n FROM part_events")
+      assert(total.queryExecution.optimizedPlan.collect {
+        case l: LocalRelation => l
+      }.nonEmpty, total.queryExecution.optimizedPlan.treeString)
+      val rt = total.collect()(0)
+      assert(rt.getDouble(0) == (0 until 120).map(_.toDouble).sum)
+      assert(rt.getLong(1) == 120L)
+
+      // a PARTITION-COLUMN filter is not a ts range: the fold correctly
+      // declines and Spark's own partition pruning serves the query
+      val pruned = spark.sql("SELECT ROUND(SUM(value), 2) AS s " +
+        "FROM part_events WHERE dt = '2024-01-01'")
+      assert(pruned.queryExecution.optimizedPlan.collect {
+        case l: LocalRelation => l
+      }.isEmpty)
+      assert(pruned.collect()(0).getDouble(0) == (0 until 60).map(_.toDouble).sum)
+
+      // appending a new partition dir invalidates the fingerprint: the
+      // fold stops serving stale totals instead of lying
+      (0 until 5).map(i =>
+        (new java.sql.Timestamp(Q.Jan1 + (200 + i) * 60000L), 1000.0, "2024-01-09"))
+        .toDF("ts", "value", "dt")
+        .write.mode("append").partitionBy("dt").parquet(src)
+      spark.read.parquet(src).createOrReplaceTempView("part_events")
+      val afterAppend = spark.sql(
+        "SELECT ROUND(SUM(value), 2) AS s, COUNT(*) AS n FROM part_events")
+      assert(afterAppend.queryExecution.optimizedPlan.collect {
+        case l: LocalRelation => l
+      }.isEmpty, afterAppend.queryExecution.optimizedPlan.treeString)
+      val ra = afterAppend.collect()(0)
+      assert(ra.getLong(1) == 125L)
+      assert(WheelAcceleration.lastBailReason(src)
+        .exists(_.toLowerCase.contains("stale")),
+        WheelAcceleration.lastBailReason(src).toString)
+    } finally {
+      System.clearProperty("graft.wheel.fingerprint.ttlMs")
+      WheelAcceleration.unregister(src)
+    }
+  }
+
   test("a null-ts source fails the index build loudly (never-null-ts contract, round 11)") {
     import spark.implicits._
     val src = new java.io.File("target/test-fixtures/accel/nullts.parquet")
