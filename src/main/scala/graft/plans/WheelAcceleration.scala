@@ -76,7 +76,12 @@ object WheelAcceleration {
     * The registration captures the source files' fingerprint; if the
     * data at `path` later changes, the rewrite rule stops firing (scan
     * path, still correct). Re-`register` after a data change to rebuild
-    * — or `unregister(path)` to drop acceleration explicitly. */
+    * — or `unregister(path)` to drop acceleration explicitly. When the
+    * change is a PROVABLE APPEND (the registered files all still listed
+    * unchanged, plus strictly new ones), the re-register aggregates
+    * only the tail files into the retained minute partials instead of
+    * re-scanning the source — the same economics as the persisted tail
+    * refresh, observable via [[lastRegisterOutcome]]. */
   def register(spark: SparkSession, path: String, events: => DataFrame,
       tsCol: String = "ts", valueCol: String = "value"): WheelIndex = {
     val conf = spark.sessionState.newHadoopConf()
@@ -85,9 +90,9 @@ object WheelAcceleration {
     // data change rebuilds instead of serving the stale cached index.
     val reg = registry.compute(normalize(path), (_, old) =>
       if (old != null && old.fingerprint == fp && old.wheels.contains(valueCol)) old
-      else Reg(tsCol, Map(valueCol ->
-        graft.wheel.WheelCatalog.cached(spark, s"$path@$fp", tsCol, valueCol)(events)),
-        fp, conf))
+      else refreshOrBuild(spark, path, old, events, tsCol, Seq(valueCol), fp,
+        conf, () => Map(valueCol ->
+          graft.wheel.WheelCatalog.cached(spark, s"$path@$fp", tsCol, valueCol)(events))))
     enable(spark)
     reg.wheels(valueCol)
   }
@@ -105,11 +110,125 @@ object WheelAcceleration {
     val reg = registry.compute(normalize(path), (_, old) =>
       if (old != null && old.fingerprint == fp &&
           valueCols.forall(old.wheels.contains)) old
-      else Reg(tsCol,
-        graft.wheel.WheelCatalog.cachedMulti(spark, s"$path@$fp", tsCol, valueCols)(events),
-        fp, conf))
+      else refreshOrBuild(spark, path, old, events, tsCol, valueCols, fp, conf,
+        () => graft.wheel.WheelCatalog.cachedMulti(
+          spark, s"$path@$fp", tsCol, valueCols)(events)))
     enable(spark)
     reg.wheels
+  }
+
+  /** Shared rebuild step of [[register]]/[[registerMulti]]: try the
+    * in-memory tail refresh first, fall back to `build` (a full
+    * catalog-cached build from `events`), and record which one happened
+    * for [[lastRegisterOutcome]]. */
+  private def refreshOrBuild(spark: SparkSession, path: String, old: Reg,
+      events: => DataFrame, tsCol: String, valueCols: Seq[String], fp: String,
+      conf: org.apache.hadoop.conf.Configuration,
+      build: () => Map[String, WheelIndex]): Reg = {
+    Option(old).flatMap(o =>
+      tailRefreshInMemory(spark, path, o, events, tsCol, valueCols, fp, conf)
+    ) match {
+      case Some((wheels, coveredN, tail)) =>
+        persistedOutcomes.put(normalize(path) + "#mem", TailRefresh(coveredN, tail))
+        Reg(tsCol, wheels, fp, conf)
+      case None =>
+        persistedOutcomes.put(normalize(path) + "#mem", FullBuild)
+        Reg(tsCol, build(), fp, conf)
+    }
+  }
+
+  /** Append-only refresh of an IN-MEMORY registration (round 11): when
+    * `path` grew by strictly new files since `old` was built — every
+    * token of the old fingerprint still listed unchanged, plus at least
+    * one new data file — the replacement wheels are built by
+    * aggregating ONLY the tail files and merging those minute partials
+    * with the old index's retained ones, driver-side and O(slots). The
+    * covered data is never re-read: the term that matters when the
+    * covered portion is 100 TB and the tail is one day. Bails to the
+    * full rebuild (None) for anything unprovable: mutated or deleted
+    * files, measures the old registration lacks, an incomplete minute
+    * tier (retention-rotated spans can't reproduce their partials), or
+    * an `events` pipeline that isn't the raw read of `path` (same
+    * contract as the persisted tail refresh — the tail is aggregated
+    * through a raw read, so a transformed pipeline must rebuild). */
+  private def tailRefreshInMemory(spark: SparkSession, path: String,
+      old: Reg, events: => DataFrame, tsCol: String, valueCols: Seq[String],
+      fp: String, conf: org.apache.hadoop.conf.Configuration)
+      : Option[(Map[String, WheelIndex], Int, Seq[String])] = {
+    import graft.wheel.{AllAggregate, RollupBuilder, SourceFingerprint}
+    val oldWheels = valueCols.flatMap(c => old.wheels.get(c).map(c -> _))
+    if (old.tsCol != tsCol || oldWheels.size != valueCols.size ||
+        oldWheels.exists(!_._2.minuteTierComplete)) None
+    else {
+      val current = SourceFingerprint.listTokens(path, conf)
+      val currentTokens = current.map(_._1).toSet
+      val covered = old.fingerprint.split('|').toSet
+        .filter(t => SourceFingerprint.isDataToken(SourceFingerprint.tokenRel(t)))
+      val tail = current.collect { case (tok, p) if !covered(tok) => p }
+      if (current.map(_._1).sorted.mkString("|") != fp || covered.isEmpty ||
+          tail.isEmpty || !covered.subsetOf(currentTokens)) None
+      else scala.util.Try {
+        requireRawPipeline(spark, path, tsCol, events)
+        val partials = RollupBuilder.minuteRollupMulti(
+          RollupBuilder.normalizeTs(spark.read.parquet(tail: _*), tsCol),
+          tsCol, valueCols)
+        val tailRows = partials.collect()
+        def tfi(name: String): Int = partials.schema.fieldIndex(name)
+        // driver-side merge of two bounded minute maps — the old
+        // index's retained partials and the tail's fresh ones
+        val merged = scala.collection.mutable.HashMap
+          .empty[Long, (Long, Array[AllAggregate])]
+        val head = oldWheels.head._2
+        head.minuteEntries(head.baseMs, head.horizonMs).foreach { case (slot, a0) =>
+          merged(slot) = (a0.count,
+            oldWheels.map { case (_, w) => w.minuteAt(slot) }.toArray)
+        }
+        tailRows.foreach { r =>
+          // same never-null-ts contract as the builds: a Try-swallowed
+          // failure here routes to the full rebuild, which throws loudly
+          require(!r.isNullAt(tfi("slot_ms")), "null ts in tail files")
+          val slot = r.getLong(tfi("slot_ms"))
+          val aggs = valueCols.map { c =>
+            AllAggregate(r.getDouble(tfi(s"sum_$c")), r.getLong(tfi(s"cnt_$c")),
+              r.getDouble(tfi(s"min_$c")), r.getDouble(tfi(s"max_$c")),
+              r.getDouble(tfi(s"sumsq_$c")))
+          }.toArray
+          val n = r.getLong(tfi("rows"))
+          merged.get(slot) match {
+            case Some((n0, a0)) => merged(slot) =
+              (n0 + n, a0.zip(aggs).map { case (x, y) => x.combine(y) })
+            case None => merged(slot) = (n, aggs)
+          }
+        }
+        val partialCols = "slot_ms" +: valueCols.flatMap(c =>
+          Seq(s"sum_$c", s"cnt_$c", s"min_$c", s"max_$c", s"sumsq_$c")) :+ "rows"
+        val fiMap = partialCols.zipWithIndex.toMap
+        val rows = merged.toArray.sortBy(_._1).map { case (slot, (n, aggs)) =>
+          // Seq[Any], element by element: a mixed Seq(double, long, …)
+          // literal would numerically WIDEN the longs to doubles
+          val vals = Seq.newBuilder[Any]
+          vals += slot
+          valueCols.indices.foreach { i =>
+            vals += aggs(i).sum; vals += aggs(i).count
+            vals += aggs(i).min; vals += aggs(i).max; vals += aggs(i).sumSq
+          }
+          vals += n
+          org.apache.spark.sql.Row.fromSeq(vals.result())
+        }
+        lazy val residueSource = RollupBuilder.normalizeTs(events, tsCol)
+        val wheels = WheelIndex.fromMultiPartials(rows, fiMap, valueCols,
+          Map.empty,
+          c => Some(WheelIndex.scanFallback(residueSource, tsCol, c)))
+        (wheels, covered.size, tail)
+      }.recoverWith { case e =>
+        // a failed refresh routes to the full rebuild; surface why
+        // under the same debug flag as the rewrite's swallowed bails
+        if (sys.props.get("graft.wheel.rewrite.debug").contains("true"))
+          System.err.println(s"[graft] in-memory tail refresh for $path " +
+            s"fell back to full rebuild: $e")
+        scala.util.Failure(e)
+      }.toOption
+    }
   }
 
   /** PERSISTED registration (round 7): serve the index from a saved
@@ -187,6 +306,15 @@ object WheelAcceleration {
     * never clobber each other's reports. */
   def lastPersistedKeyedOutcome(path: String): Option[PersistedOutcome] =
     Option(persistedOutcomes.get(normalize(path) + "#keyed"))
+
+  /** The in-memory analogue (round 11): what the last
+    * [[register]]/[[registerMulti]] rebuild for `path` actually did —
+    * `TailRefresh` when a provable append aggregated only the tail
+    * files into the retained minute partials, `FullBuild` for a first
+    * build or anything unprovable. Registry cache hits (unchanged
+    * fingerprint) record nothing. */
+  def lastRegisterOutcome(path: String): Option[PersistedOutcome] =
+    Option(persistedOutcomes.get(normalize(path) + "#mem"))
 
   /** Append-only refresh of a persisted sum-family dir (late round 10):
     * when the sidecar's recorded files are a strict subset of the files

@@ -146,6 +146,81 @@ class WheelAccelerationSpec extends AnyFunSuite {
     }
   }
 
+  test("re-register after an append TAIL-REFRESHES the in-memory index (round 11)") {
+    import spark.implicits._
+    val src = new java.io.File("target/test-fixtures/accel/memtail.parquet")
+      .getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(src))
+    System.setProperty("graft.wheel.fingerprint.ttlMs", "0")
+    def write(offsets: Range, v: Double, mode: String): Unit =
+      offsets.map(i => (new java.sql.Timestamp(Q.Jan1 + i * 60000L), v + i))
+        .toDF("ts", "value").repartition(2)
+        .write.mode(mode).parquet(src)
+    def registerRaw(): Unit =
+      WheelAcceleration.register(spark, src, spark.read.parquet(src))
+    try {
+      write(0 until 60, 0.0, "overwrite")
+      registerRaw()
+      assert(WheelAcceleration.lastRegisterOutcome(src)
+        .contains(WheelAcceleration.FullBuild))
+
+      // append-only growth: the re-register must aggregate ONLY the new
+      // files (TailRefresh outcome) and the refreshed index must answer
+      // the full merged span — including the no-predicate fold
+      write(60 until 90, 1000.0, "append")
+      registerRaw()
+      val outcome = WheelAcceleration.lastRegisterOutcome(src)
+      assert(outcome.exists {
+        case WheelAcceleration.TailRefresh(covered, tailFiles) =>
+          covered > 0 && tailFiles.nonEmpty
+        case _ => false
+      }, outcome.toString)
+      spark.read.parquet(src).createOrReplaceTempView("memtail_events")
+      val total = spark.sql("SELECT ROUND(SUM(value), 2) AS s, COUNT(*) AS n, " +
+        "MIN(value) AS mn, MAX(value) AS mx FROM memtail_events")
+      assert(total.queryExecution.optimizedPlan.collect {
+        case l: LocalRelation => l
+      }.nonEmpty, total.queryExecution.optimizedPlan.treeString)
+      val r = total.collect()(0)
+      val want = (0 until 60).map(_.toDouble).sum +
+        (60 until 90).map(i => 1000.0 + i).sum
+      assert(r.getDouble(0) == want)
+      assert(r.getLong(1) == 90L)
+      assert(r.getDouble(2) == 0.0 && r.getDouble(3) == 1089.0)
+
+      // a ranged query spanning old and new minutes is served too
+      val a = Q.Jan1 + 50 * 60000L
+      val b = Q.Jan1 + 70 * 60000L
+      val ranged = spark.sql("SELECT ROUND(SUM(value), 2) AS s, COUNT(*) AS n " +
+        s"FROM memtail_events WHERE unix_millis(ts) >= $a AND unix_millis(ts) < $b")
+      assert(ranged.queryExecution.optimizedPlan.collect {
+        case l: LocalRelation => l
+      }.nonEmpty)
+      val rr = ranged.collect()(0)
+      assert(rr.getDouble(0) ==
+        (50 until 60).map(_.toDouble).sum + (60 until 70).map(i => 1000.0 + i).sum)
+      assert(rr.getLong(1) == 20L)
+
+      // a MUTATION (overwrite) is not an append: full rebuild
+      write(0 until 30, 5.0, "overwrite")
+      registerRaw()
+      assert(WheelAcceleration.lastRegisterOutcome(src)
+        .contains(WheelAcceleration.FullBuild))
+      spark.read.parquet(src).createOrReplaceTempView("memtail_events")
+      val after = spark.sql(
+        "SELECT ROUND(SUM(value), 2) AS s, COUNT(*) AS n FROM memtail_events")
+      assert(after.queryExecution.optimizedPlan.collect {
+        case l: LocalRelation => l
+      }.nonEmpty)
+      val ra = after.collect()(0)
+      assert(ra.getDouble(0) == (0 until 30).map(i => 5.0 + i).sum)
+      assert(ra.getLong(1) == 30L)
+    } finally {
+      System.clearProperty("graft.wheel.fingerprint.ttlMs")
+      WheelAcceleration.unregister(src)
+    }
+  }
+
   test("a null-ts source fails the index build loudly (never-null-ts contract, round 11)") {
     import spark.implicits._
     val src = new java.io.File("target/test-fixtures/accel/nullts.parquet")
