@@ -155,19 +155,12 @@ object WheelAcceleration {
       old: Reg, events: => DataFrame, tsCol: String, valueCols: Seq[String],
       fp: String, conf: org.apache.hadoop.conf.Configuration)
       : Option[(Map[String, WheelIndex], Int, Seq[String])] = {
-    import graft.wheel.{AllAggregate, RollupBuilder, SourceFingerprint}
+    import graft.wheel.{AllAggregate, RollupBuilder}
     val oldWheels = valueCols.flatMap(c => old.wheels.get(c).map(c -> _))
     if (old.tsCol != tsCol || oldWheels.size != valueCols.size ||
         oldWheels.exists(!_._2.minuteTierComplete)) None
-    else {
-      val current = SourceFingerprint.listTokens(path, conf)
-      val currentTokens = current.map(_._1).toSet
-      val covered = old.fingerprint.split('|').toSet
-        .filter(t => SourceFingerprint.isDataToken(SourceFingerprint.tokenRel(t)))
-      val tail = current.collect { case (tok, p) if !covered(tok) => p }
-      if (current.map(_._1).sorted.mkString("|") != fp || covered.isEmpty ||
-          tail.isEmpty || !covered.subsetOf(currentTokens)) None
-      else scala.util.Try {
+    else provableAppendTail(path, old.fingerprint, fp, conf).flatMap {
+      case (coveredCount, tail) => scala.util.Try {
         requireRawPipeline(spark, path, tsCol, events)
         val partials = RollupBuilder.minuteRollupMulti(
           RollupBuilder.normalizeTs(spark.read.parquet(tail: _*), tsCol),
@@ -219,15 +212,108 @@ object WheelAcceleration {
         val wheels = WheelIndex.fromMultiPartials(rows, fiMap, valueCols,
           Map.empty,
           c => Some(WheelIndex.scanFallback(residueSource, tsCol, c)))
-        (wheels, covered.size, tail)
-      }.recoverWith { case e =>
-        // a failed refresh routes to the full rebuild; surface why
-        // under the same debug flag as the rewrite's swallowed bails
-        if (sys.props.get("graft.wheel.rewrite.debug").contains("true"))
-          System.err.println(s"[graft] in-memory tail refresh for $path " +
-            s"fell back to full rebuild: $e")
-        scala.util.Failure(e)
-      }.toOption
+        (wheels, coveredCount, tail)
+      }.recoverWith(debugRefreshFallback(path)).toOption
+    }
+  }
+
+  /** The append-only diff both in-memory tail refreshes share: Some
+    * ((covered-file count, tail file paths)) when the old fingerprint's
+    * every data token is still listed unchanged and at least one new
+    * file appeared; None for anything else (mutation, deletion, a
+    * listing that no longer matches `fp`). */
+  private def provableAppendTail(path: String, oldFp: String, fp: String,
+      conf: org.apache.hadoop.conf.Configuration): Option[(Int, Seq[String])] = {
+    import graft.wheel.SourceFingerprint
+    val current = SourceFingerprint.listTokens(path, conf)
+    val currentTokens = current.map(_._1).toSet
+    val covered = oldFp.split('|').toSet
+      .filter(t => SourceFingerprint.isDataToken(SourceFingerprint.tokenRel(t)))
+    val tail = current.collect { case (tok, p) if !covered(tok) => p }
+    if (current.map(_._1).sorted.mkString("|") != fp || covered.isEmpty ||
+        tail.isEmpty || !covered.subsetOf(currentTokens)) None
+    else Some((covered.size, tail))
+  }
+
+  /** A failed refresh routes to the full rebuild; surface why under the
+    * same debug flag as the rewrite's swallowed bails. */
+  private def debugRefreshFallback[T](path: String)
+      : PartialFunction[Throwable, scala.util.Try[T]] = { case e =>
+    if (sys.props.get("graft.wheel.rewrite.debug").contains("true"))
+      System.err.println(s"[graft] in-memory tail refresh for $path " +
+        s"fell back to full rebuild: $e")
+    scala.util.Failure(e)
+  }
+
+  /** The KEYED mirror of [[tailRefreshInMemory]] (round 11): on a
+    * provable append, the new per-key wheels merge the old index's
+    * retained (key, minute) partials with one bounded keyed rollup of
+    * the tail files — the covered data never re-read. The keyed index
+    * retains its full minute map (no rotation), so no tier-completeness
+    * gate is needed; the driver ceiling is re-checked by the shared
+    * fill ([[graft.wheel.KeyedWheelIndex.fromMultiPartialRows]]), and a
+    * merged state past it routes to the full rebuild's identical loud
+    * failure. */
+  private def tailRefreshKeyedInMemory(spark: SparkSession, path: String,
+      old: KeyedReg, events: => DataFrame, keyCol: String, tsCol: String,
+      valueCols: Seq[String], fp: String,
+      conf: org.apache.hadoop.conf.Configuration)
+      : Option[(Map[String, graft.wheel.KeyedWheelIndex], Int, Seq[String])] = {
+    import graft.wheel.{AllAggregate, KeyedWheelIndex, RollupBuilder}
+    val oldWheels = valueCols.flatMap(c => old.wheels.get(c).map(c -> _))
+    if (old.keyCol != keyCol || old.tsCol != tsCol ||
+        oldWheels.size != valueCols.size) None
+    else provableAppendTail(path, old.fingerprint, fp, conf).flatMap {
+      case (coveredCount, tail) => scala.util.Try {
+        requireRawPipeline(spark, path, tsCol, events)
+        val partials = RollupBuilder.keyedRollupMulti(
+          RollupBuilder.normalizeTs(spark.read.parquet(tail: _*), tsCol),
+          keyCol, tsCol, valueCols, graft.wheel.Tier.Minute)
+        val tailRows = partials.collect()
+        def tfi(name: String): Int = partials.schema.fieldIndex(name)
+        val merged = scala.collection.mutable.HashMap
+          .empty[(Any, Long), (Long, Array[AllAggregate])]
+        val head = oldWheels.head._2
+        head.minuteEntries(head.baseMs, head.horizonMs).foreach {
+          case (key, slot, a0) =>
+            merged((key, slot)) = (a0.count,
+              oldWheels.map { case (_, w) => w.minuteAt(key, slot) }.toArray)
+        }
+        tailRows.foreach { r =>
+          require(!r.isNullAt(tfi("slot_ms")), "null ts in tail files")
+          val key = r.get(tfi(keyCol))
+          val slot = r.getLong(tfi("slot_ms"))
+          val aggs = valueCols.map { c =>
+            AllAggregate(r.getDouble(tfi(s"sum_$c")), r.getLong(tfi(s"cnt_$c")),
+              r.getDouble(tfi(s"min_$c")), r.getDouble(tfi(s"max_$c")),
+              r.getDouble(tfi(s"sumsq_$c")))
+          }.toArray
+          val n = r.getLong(tfi("rows"))
+          merged.get((key, slot)) match {
+            case Some((n0, a0)) => merged((key, slot)) =
+              (n0 + n, a0.zip(aggs).map { case (x, y) => x.combine(y) })
+            case None => merged((key, slot)) = (n, aggs)
+          }
+        }
+        val partialCols = Seq(keyCol, "slot_ms") ++ valueCols.flatMap(c =>
+          Seq(s"sum_$c", s"cnt_$c", s"min_$c", s"max_$c", s"sumsq_$c")) :+ "rows"
+        val fiMap = partialCols.zipWithIndex.toMap
+        val rows = merged.toArray
+          .sortBy { case ((k, slot), _) => (k.toString, slot) }
+          .map { case ((key, slot), (n, aggs)) =>
+            val vals = Seq.newBuilder[Any]
+            vals += key; vals += slot
+            valueCols.indices.foreach { i =>
+              vals += aggs(i).sum; vals += aggs(i).count
+              vals += aggs(i).min; vals += aggs(i).max; vals += aggs(i).sumSq
+            }
+            vals += n
+            org.apache.spark.sql.Row.fromSeq(vals.result())
+          }
+        val wheels = KeyedWheelIndex.fromMultiPartialRows(
+          rows, fiMap, keyCol, head.keyType, valueCols)
+        (wheels, coveredCount, tail)
+      }.recoverWith(debugRefreshFallback(path)).toOption
     }
   }
 
@@ -315,6 +401,11 @@ object WheelAcceleration {
     * fingerprint) record nothing. */
   def lastRegisterOutcome(path: String): Option[PersistedOutcome] =
     Option(persistedOutcomes.get(normalize(path) + "#mem"))
+
+  /** The keyed mirror of [[lastRegisterOutcome]] — what the last
+    * [[registerKeyed]]/[[registerKeyedMulti]] rebuild for `path` did. */
+  def lastRegisterKeyedOutcome(path: String): Option[PersistedOutcome] =
+    Option(persistedOutcomes.get(normalize(path) + "#keyedmem"))
 
   /** Append-only refresh of a persisted sum-family dir (late round 10):
     * when the sidecar's recorded files are a strict subset of the files
@@ -750,9 +841,19 @@ object WheelAcceleration {
     val reg = keyedRegistry.compute(normalize(path), (_, old) =>
       if (old != null && old.fingerprint == fp && old.keyCol == keyCol &&
           old.tsCol == tsCol && valueCols.forall(old.wheels.contains)) old
-      else KeyedReg(keyCol, tsCol,
-        graft.wheel.KeyedWheelIndex.buildMulti(events, keyCol, tsCol, valueCols),
-        fp, conf))
+      else Option(old).flatMap(o => tailRefreshKeyedInMemory(
+        spark, path, o, events, keyCol, tsCol, valueCols, fp, conf)
+      ) match {
+        case Some((wheels, coveredN, tail)) =>
+          persistedOutcomes.put(normalize(path) + "#keyedmem",
+            TailRefresh(coveredN, tail))
+          KeyedReg(keyCol, tsCol, wheels, fp, conf)
+        case None =>
+          persistedOutcomes.put(normalize(path) + "#keyedmem", FullBuild)
+          KeyedReg(keyCol, tsCol,
+            graft.wheel.KeyedWheelIndex.buildMulti(events, keyCol, tsCol, valueCols),
+            fp, conf)
+      })
     enable(spark)
     reg.wheels
   }

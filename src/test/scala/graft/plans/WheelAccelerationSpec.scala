@@ -221,6 +221,101 @@ class WheelAccelerationSpec extends AnyFunSuite {
     }
   }
 
+  test("keyed re-register after an append tail-refreshes too (round 11)") {
+    import spark.implicits._
+    val src = new java.io.File("target/test-fixtures/accel/keyedtail.parquet")
+      .getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(src))
+    System.setProperty("graft.wheel.fingerprint.ttlMs", "0")
+    def write(offsets: Range, v: Double, mode: String): Unit =
+      offsets.map(i => (new java.sql.Timestamp(Q.Jan1 + i * 60000L), v + i,
+        if (i % 2 == 0) "a" else "b"))
+        .toDF("ts", "value", "k").repartition(2)
+        .write.mode(mode).parquet(src)
+    def registerRaw(): Unit =
+      WheelAcceleration.registerKeyed(spark, src, spark.read.parquet(src), "k")
+    try {
+      write(0 until 60, 0.0, "overwrite")
+      registerRaw()
+      assert(WheelAcceleration.lastRegisterKeyedOutcome(src)
+        .contains(WheelAcceleration.FullBuild))
+
+      write(60 until 90, 1000.0, "append")
+      registerRaw()
+      val outcome = WheelAcceleration.lastRegisterKeyedOutcome(src)
+      assert(outcome.exists {
+        case WheelAcceleration.TailRefresh(covered, tailFiles) =>
+          covered > 0 && tailFiles.nonEmpty
+        case _ => false
+      }, outcome.toString)
+
+      // the refreshed keyed index answers GROUP BY (key, hour-slot)
+      // over a range spanning old and new minutes
+      spark.read.parquet(src).createOrReplaceTempView("keyedtail_events")
+      val a = Q.Jan1
+      val b = Q.Jan1 + 90 * 60000L
+      val folded = spark.sql("SELECT k, (unix_millis(ts) div 3600000) * 3600000 " +
+        "AS slot, ROUND(SUM(value), 2) AS s, COUNT(*) AS n " +
+        s"FROM keyedtail_events WHERE unix_millis(ts) >= $a " +
+        s"AND unix_millis(ts) < $b GROUP BY 1, 2 ORDER BY 1, 2")
+      assert(folded.queryExecution.optimizedPlan.collect {
+        case l: LocalRelation => l
+      }.nonEmpty, folded.queryExecution.optimizedPlan.treeString)
+      val got = folded.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+      def want(key: String) = (0 until 90).filter(i =>
+        (if (i % 2 == 0) "a" else "b") == key)
+        .groupBy(i => Q.Jan1 + (i / 60) * 3600000L)
+        .map { case (slot, is) =>
+          (key, slot, is.map(i => (if (i < 60) 0.0 else 1000.0) + i).sum,
+            is.size.toLong) }
+        .toSeq
+      val wantAll = (want("a") ++ want("b")).sortBy(t => (t._1, t._2))
+      assert(got == wantAll, s"$got vs $wantAll")
+    } finally {
+      System.clearProperty("graft.wheel.fingerprint.ttlMs")
+      WheelAcceleration.unregister(src)
+    }
+  }
+
+  test("the fold surface is FORMAT-AGNOSTIC: a CSV source registers and folds (round 11)") {
+    import spark.implicits._
+    // nothing in the registration path is parquet-specific: the
+    // fingerprint lists files, sourcePath matches any HadoopFsRelation,
+    // and the build runs over whatever DataFrame the caller reads. Pin
+    // that on CSV — the other format a 100 TB landing zone actually has.
+    val src = new java.io.File("target/test-fixtures/accel/events_csv")
+      .getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(src))
+    (0 until 90).map(i => (new java.sql.Timestamp(Q.Jan1 + i * 60000L), i.toDouble))
+      .toDF("ts", "value").write.option("header", "true").csv(src)
+    def csvEvents = spark.read.option("header", "true")
+      .schema("ts TIMESTAMP, value DOUBLE").csv(src)
+    WheelAcceleration.register(spark, src, csvEvents)
+    try {
+      csvEvents.createOrReplaceTempView("csv_events")
+      val a = Q.Jan1 + 10 * 60000L
+      val b = Q.Jan1 + 40 * 60000L
+      val ranged = spark.sql("SELECT ROUND(SUM(value), 2) AS s, COUNT(*) AS n " +
+        s"FROM csv_events WHERE unix_millis(ts) >= $a AND unix_millis(ts) < $b")
+      assert(ranged.queryExecution.optimizedPlan.collect {
+        case l: LocalRelation => l
+      }.nonEmpty, ranged.queryExecution.optimizedPlan.treeString)
+      val r = ranged.collect()(0)
+      assert(r.getDouble(0) == (10 until 40).map(_.toDouble).sum)
+      assert(r.getLong(1) == 30L)
+
+      val total = spark.sql(
+        "SELECT ROUND(SUM(value), 2) AS s, COUNT(*) AS n FROM csv_events")
+      assert(total.queryExecution.optimizedPlan.collect {
+        case l: LocalRelation => l
+      }.nonEmpty)
+      val rt = total.collect()(0)
+      assert(rt.getDouble(0) == (0 until 90).map(_.toDouble).sum)
+      assert(rt.getLong(1) == 90L)
+    } finally WheelAcceleration.unregister(src)
+  }
+
   test("a null-ts source fails the index build loudly (never-null-ts contract, round 11)") {
     import spark.implicits._
     val src = new java.io.File("target/test-fixtures/accel/nullts.parquet")
