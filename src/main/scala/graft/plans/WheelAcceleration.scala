@@ -587,18 +587,78 @@ object WheelAcceleration {
     sketchRegistry.compute(normalize(path), (_, old) => {
       val base =
         if (old != null && old.fingerprint == fp && old.tsCol == tsCol) old
-        else SketchReg(tsCol, Map.empty, Map.empty, Map.empty, fp, conf)
-      // catalog-cached per column, so re-requesting a column is free
+        else Option(old).filter(_.tsCol == tsCol).flatMap(o =>
+          tailRefreshSketches(spark, path, o, events, tsCol, fp, conf)
+        ) match {
+          case Some((refreshed, coveredN, tail)) =>
+            persistedOutcomes.put(normalize(path) + "#sketchmem",
+              TailRefresh(coveredN, tail))
+            refreshed
+          case None =>
+            persistedOutcomes.put(normalize(path) + "#sketchmem", FullBuild)
+            SketchReg(tsCol, Map.empty, Map.empty, Map.empty, fp, conf)
+        }
+      // catalog-cached per column, so re-requesting a column is free;
+      // columns a tail refresh already carried forward are kept as-is
       base.copy(
-        distinct = base.distinct ++ distinctCols.map(c =>
-          c -> graft.wheel.WheelCatalog.cachedCohort(spark, key, tsCol, c)(events)),
-        quantile = base.quantile ++ quantileCols.map(c =>
-          c -> graft.wheel.WheelCatalog.cachedQuantile(spark, key, tsCol, c)(events)),
-        freq = base.freq ++ freqCols.map(c =>
-          c -> graft.wheel.WheelCatalog.cachedFrequency(spark, key, tsCol, c)(events)))
+        distinct = base.distinct ++ distinctCols.filterNot(base.distinct.contains)
+          .map(c =>
+            c -> graft.wheel.WheelCatalog.cachedCohort(spark, key, tsCol, c)(events)),
+        quantile = base.quantile ++ quantileCols.filterNot(base.quantile.contains)
+          .map(c =>
+            c -> graft.wheel.WheelCatalog.cachedQuantile(spark, key, tsCol, c)(events)),
+        freq = base.freq ++ freqCols.filterNot(base.freq.contains)
+          .map(c =>
+            c -> graft.wheel.WheelCatalog.cachedFrequency(spark, key, tsCol, c)(events)))
     })
     enable(spark)
   }
+
+  /** The SKETCH-FAMILY mirror of [[tailRefreshInMemory]] (round 11):
+    * on a provable append, each already-registered column's new wheel
+    * is the old wheel's retained minute sketches merged with one
+    * bounded slot-sketch job over ONLY the tail files — sound because
+    * every family's merge (Theta union / KLL merge / Misra-Gries
+    * merge) is associative, so old-then-tail equals a full rebuild.
+    * The covered data is never re-read — the append economics that
+    * matter when the table is 100 TB and the append is a day. Bails
+    * (full rebuild from `events`) on anything unprovable: mutations,
+    * deletions, an evicted minute tier, a non-raw `events` pipeline. */
+  private def tailRefreshSketches(spark: SparkSession, path: String,
+      old: SketchReg, events: => DataFrame, tsCol: String, fp: String,
+      conf: org.apache.hadoop.conf.Configuration)
+      : Option[(SketchReg, Int, Seq[String])] = {
+    import graft.wheel.{CohortWheel, FrequencyWheel, QuantileWheel, RollupBuilder}
+    val empty = old.distinct.isEmpty && old.quantile.isEmpty && old.freq.isEmpty
+    val complete = old.distinct.valuesIterator.forall(_.minuteTierComplete) &&
+      old.quantile.valuesIterator.forall(_.minuteTierComplete) &&
+      old.freq.valuesIterator.forall(_.minuteTierComplete)
+    if (empty || !complete) None
+    else provableAppendTail(path, old.fingerprint, fp, conf).flatMap {
+      case (coveredCount, tail) => scala.util.Try {
+        requireRawPipeline(spark, path, tsCol, events)
+        val tailDf =
+          RollupBuilder.normalizeTs(spark.read.parquet(tail: _*), tsCol)
+        val refreshed = old.copy(
+          distinct = old.distinct.map { case (c, w) =>
+            c -> w.withTailMinutes(
+              CohortWheel.slotSketches(tailDf, tsCol, c).collect()) },
+          quantile = old.quantile.map { case (c, w) =>
+            c -> w.withTailMinutes(
+              QuantileWheel.slotSketches(tailDf, tsCol, c).collect()) },
+          freq = old.freq.map { case (c, w) =>
+            c -> w.withTailMinutes(
+              FrequencyWheel.slotSketches(tailDf, tsCol, c).collect()) },
+          fingerprint = fp)
+        (refreshed, coveredCount, tail)
+      }.recoverWith(debugRefreshFallback(path)).toOption
+    }
+  }
+
+  /** The sketch-family mirror of [[lastRegisterOutcome]] — what the
+    * last [[registerSketches]] rebuild for `path` did. */
+  def lastRegisterSketchOutcome(path: String): Option[PersistedOutcome] =
+    Option(persistedOutcomes.get(normalize(path) + "#sketchmem"))
 
   /** Register ALREADY-BUILT sketch wheels for `path` — the live-ingest
     * refresh primitive for the approximate SQL spellings (round 11):
@@ -674,21 +734,122 @@ object WheelAcceleration {
       val base =
         if (old != null && old.fingerprint == fp && old.keyCol == keyCol &&
           old.tsCol == tsCol) old
-        else KeyedSketchReg(keyCol, tsCol, Map.empty, Map.empty, Map.empty, fp, conf)
+        else Option(old).filter(o => o.keyCol == keyCol && o.tsCol == tsCol)
+          .flatMap(o => tailRefreshKeyedSketches(
+            spark, path, o, events, keyCol, tsCol, fp, conf)
+        ) match {
+          case Some((refreshed, coveredN, tail)) =>
+            persistedOutcomes.put(normalize(path) + "#keyedsketchmem",
+              TailRefresh(coveredN, tail))
+            refreshed
+          case None =>
+            persistedOutcomes.put(normalize(path) + "#keyedsketchmem", FullBuild)
+            KeyedSketchReg(keyCol, tsCol, Map.empty, Map.empty, Map.empty, fp, conf)
+        }
+      // columns a tail refresh carried forward are kept as-is
       base.copy(
-        distinct = base.distinct ++ distinctCols.map(c =>
-          c -> graft.wheel.WheelCatalog.cachedKeyedCohort(
-            spark, key, keyCol, tsCol, c)(events)),
-        quantile = base.quantile ++ quantileCols.map(c =>
-          c -> graft.wheel.WheelCatalog.cachedKeyedQuantile(
-            spark, key, keyCol, tsCol, c)(events)),
-        freq = base.freq ++ freqCols.map(c =>
-          c -> graft.wheel.WheelCatalog.cachedKeyedFrequency(
-            spark, key, keyCol, tsCol, c)(events)))
+        distinct = base.distinct ++ distinctCols.filterNot(base.distinct.contains)
+          .map(c =>
+            c -> graft.wheel.WheelCatalog.cachedKeyedCohort(
+              spark, key, keyCol, tsCol, c)(events)),
+        quantile = base.quantile ++ quantileCols.filterNot(base.quantile.contains)
+          .map(c =>
+            c -> graft.wheel.WheelCatalog.cachedKeyedQuantile(
+              spark, key, keyCol, tsCol, c)(events)),
+        freq = base.freq ++ freqCols.filterNot(base.freq.contains)
+          .map(c =>
+            c -> graft.wheel.WheelCatalog.cachedKeyedFrequency(
+              spark, key, keyCol, tsCol, c)(events)))
     })
     fpCache.keySet.removeIf(_._1 == normalize(path))
     enable(spark)
   }
+
+  /** The KEYED sketch mirror of [[tailRefreshSketches]]: on a provable
+    * append, one bounded keyed slot-sketch job per family×column over
+    * ONLY the tail files; each dimension's tail rows merge into that
+    * dimension's old wheel (associative family merges), dims first seen
+    * in the tail get fresh wheels, untouched dims keep theirs. The
+    * driver-resident ceiling is re-checked against the merged entry
+    * count — past it the refresh routes to the full rebuild's own loud
+    * failure. */
+  private def tailRefreshKeyedSketches(spark: SparkSession, path: String,
+      old: KeyedSketchReg, events: => DataFrame, keyCol: String,
+      tsCol: String, fp: String,
+      conf: org.apache.hadoop.conf.Configuration)
+      : Option[(KeyedSketchReg, Int, Seq[String])] = {
+    import graft.wheel.{CohortWheel, FrequencyWheel, KeyedSketchWheels,
+      QuantileWheel, RollupBuilder}
+    type SqlRow = org.apache.spark.sql.Row
+    val empty = old.distinct.isEmpty && old.quantile.isEmpty && old.freq.isEmpty
+    val complete =
+      old.distinct.valuesIterator.flatMap(_.valuesIterator)
+        .forall(_.minuteTierComplete) &&
+      old.quantile.valuesIterator.flatMap(_.valuesIterator)
+        .forall(_.minuteTierComplete) &&
+      old.freq.valuesIterator.flatMap(_.valuesIterator)
+        .forall(_.minuteTierComplete)
+    if (empty || !complete) None
+    else provableAppendTail(path, old.fingerprint, fp, conf).flatMap {
+      case (coveredCount, tail) => scala.util.Try {
+        requireRawPipeline(spark, path, tsCol, events)
+        val tailDf =
+          RollupBuilder.normalizeTs(spark.read.parquet(tail: _*), tsCol)
+        def refreshFamily[W](oldMap: Map[Any, W], tailRows: Array[SqlRow],
+            withTail: (W, Array[SqlRow]) => W,
+            fresh: Array[SqlRow] => W, count: W => Int): Map[Any, W] = {
+          // conservative merged-entry bound (in-slot merges counted
+          // twice); past it the full rebuild's grouped() fill enforces
+          // the exact ceiling with its own loud failure
+          require(oldMap.valuesIterator.map(count).sum + tailRows.length <=
+            KeyedSketchWheels.MaxEntries,
+            "keyed sketch tail refresh would exceed the driver-resident " +
+              s"entry ceiling (${KeyedSketchWheels.MaxEntries})")
+          val byDim = tailRows.groupBy(_.get(0)).map { case (d, rs) =>
+            d -> rs.map(r => org.apache.spark.sql.Row(
+              r.getLong(1), r.getAs[Array[Byte]](2)))
+          }
+          (oldMap.keySet ++ byDim.keySet).iterator.map { d =>
+            d -> ((oldMap.get(d), byDim.get(d)) match {
+              case (Some(w), Some(rs)) => withTail(w, rs)
+              case (Some(w), None) => w
+              case (_, Some(rs)) => fresh(rs)
+              case _ => throw new IllegalStateException("unreachable")
+            })
+          }.toMap
+        }
+        val refreshed = old.copy(
+          distinct = old.distinct.map { case (c, m) =>
+            c -> refreshFamily[CohortWheel](m,
+              KeyedSketchWheels.cohortSlotSketches(tailDf, keyCol, tsCol, c)
+                .collect(),
+              (w, rs) => w.withTailMinutes(rs),
+              rs => CohortWheel.fromMinuteSketches(rs, Map.empty),
+              _.minuteEntryCount) },
+          quantile = old.quantile.map { case (c, m) =>
+            c -> refreshFamily[QuantileWheel](m,
+              KeyedSketchWheels.quantileSlotSketches(tailDf, keyCol, tsCol, c)
+                .collect(),
+              (w, rs) => w.withTailMinutes(rs),
+              rs => QuantileWheel.fromMinuteSketches(rs, Map.empty),
+              _.minuteEntryCount) },
+          freq = old.freq.map { case (c, m) =>
+            c -> refreshFamily[FrequencyWheel](m,
+              KeyedSketchWheels.frequencySlotSketches(tailDf, keyCol, tsCol, c)
+                .collect(),
+              (w, rs) => w.withTailMinutes(rs),
+              rs => FrequencyWheel.fromMinuteSketches(rs, Map.empty),
+              _.minuteEntryCount) },
+          fingerprint = fp)
+        (refreshed, coveredCount, tail)
+      }.recoverWith(debugRefreshFallback(path)).toOption
+    }
+  }
+
+  /** The keyed-sketch mirror of [[lastRegisterOutcome]] — what the last
+    * [[registerKeyedSketches]] rebuild for `path` did. */
+  def lastRegisterKeyedSketchOutcome(path: String): Option[PersistedOutcome] =
+    Option(persistedOutcomes.get(normalize(path) + "#keyedsketchmem"))
 
   /** Swap ALREADY-BUILT keyed sketch wheels in for `path` — the
     * live-ingest refresh primitive for the KEYED approximate spellings

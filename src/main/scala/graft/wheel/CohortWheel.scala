@@ -70,6 +70,27 @@ final class CohortWheel private (
   def diffCount(a: (Long, Long), b: (Long, Long)): Double =
     CohortWheel.diffCount(rangeSketch(a._1, a._2), rangeSketch(b._1, b._2))
 
+  /** True iff no minute slot was evicted — the precondition for an
+    * append-only tail refresh (an evicted slot is indistinguishable
+    * from an empty one, so merging over it would drop history). */
+  private[graft] def minuteTierComplete: Boolean =
+    retainedStartMs(Tier.Minute) <= baseMs
+
+  /** A NEW wheel: this wheel's retained minute sketches merged with
+    * tail-built `(slot_ms, sk)` rows (Theta union is associative, so
+    * the result equals a full rebuild over old+tail rows) — the
+    * append-only tail-refresh primitive; covered data never re-read. */
+  /** Retained non-empty minute slots — the wheel's share of a keyed
+    * registration's driver-resident entry budget. */
+  private[graft] def minuteEntryCount: Int =
+    SketchBlocks.minuteEntries(tiers, baseMs).size
+
+  private[graft] def withTailMinutes(tail: Array[org.apache.spark.sql.Row]): CohortWheel =
+    CohortWheel.fromMinuteSketches(
+      SketchBlocks.mergeMinuteRows(
+        SketchBlocks.minuteEntries(tiers, baseMs), tail, CohortWheel.mergeBytes),
+      retention)
+
   def sizeBytes: Long =
     tiers.valuesIterator.flatMap(_.iterator)
       .map(b => if (b == null) 0L else b.length.toLong).sum

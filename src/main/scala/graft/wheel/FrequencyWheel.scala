@@ -88,6 +88,26 @@ final class FrequencyWheel private (
   def maximumError(startMs: Long, endMs: Long): Long =
     merged(startMs, endMs).getMaximumError
 
+  /** True iff no minute slot was evicted — the tail-refresh
+    * precondition (an evicted slot reads as empty; merging over it
+    * would drop history). */
+  private[graft] def minuteTierComplete: Boolean =
+    retainedStartMs(Tier.Minute) <= baseMs
+
+  /** A NEW wheel: retained minute sketches merged with tail-built
+    * `(slot_ms, sk)` rows (Misra-Gries merge is associative) — the
+    * append-only tail-refresh primitive; covered data never re-read. */
+  /** Retained non-empty minute slots — the wheel's share of a keyed
+    * registration's driver-resident entry budget. */
+  private[graft] def minuteEntryCount: Int =
+    SketchBlocks.minuteEntries(tiers, baseMs).size
+
+  private[graft] def withTailMinutes(tail: Array[org.apache.spark.sql.Row]): FrequencyWheel =
+    FrequencyWheel.fromMinuteSketches(
+      SketchBlocks.mergeMinuteRows(
+        SketchBlocks.minuteEntries(tiers, baseMs), tail, FrequencyWheel.mergeBytes),
+      retention)
+
   def sizeBytes: Long =
     tiers.valuesIterator.flatMap(_.iterator)
       .map(b => if (b == null) 0L else b.length.toLong).sum

@@ -98,6 +98,34 @@ private[wheel] object SketchBlocks {
     out
   }
 
+  /** Non-null minute slots of a built wheel as (slot_ms, bytes) pairs —
+    * the retained state an append-only TAIL REFRESH merges with the
+    * tail files' freshly-built minute sketches (every family's merge is
+    * associative, so old-then-tail equals one full build). */
+  def minuteEntries(tiers: Map[Tier, Array[Array[Byte]]], base: Long)
+      : Iterator[(Long, Array[Byte])] = {
+    val block = tiers(Tier.Minute)
+    Iterator.range(0, block.length).collect {
+      case i if block(i) != null =>
+        (base + i.toLong * Tier.Minute.ms, block(i))
+    }
+  }
+
+  /** Merge a wheel's retained minute entries with tail-built
+    * `(slot_ms, sk)` rows (in-slot appends union per slot; new minutes
+    * just add slots), yielding the row shape [[buildTiers]] consumes. */
+  def mergeMinuteRows(old: Iterator[(Long, Array[Byte])], tail: Array[Row],
+      mergeBytes: (Array[Byte], Array[Byte]) => Array[Byte]): Array[Row] = {
+    val merged = scala.collection.mutable.LinkedHashMap.empty[Long, Array[Byte]]
+    old.foreach { case (s, b) => merged(s) = b }
+    tail.foreach { r =>
+      val s = r.getLong(0)
+      val b = r.getAs[Array[Byte]](1)
+      merged(s) = merged.get(s).map(mergeBytes(_, b)).getOrElse(b)
+    }
+    merged.toArray.sortBy(_._1).map { case (s, b) => Row(s, b) }
+  }
+
   /** Build-time eviction: null out each tier's slots before its
     * retained start (coarser tiers were rolled up first, so aligned
     * historical ranges still answer through them). */

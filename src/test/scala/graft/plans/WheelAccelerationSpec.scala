@@ -278,6 +278,152 @@ class WheelAccelerationSpec extends AnyFunSuite {
     }
   }
 
+  test("sketch re-register after an append tail-refreshes: approx folds stay exact (round 11)") {
+    import spark.implicits._
+    val src = new java.io.File("target/test-fixtures/accel/sketchtail.parquet")
+      .getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(src))
+    System.setProperty("graft.wheel.fingerprint.ttlMs", "0")
+    // base: minutes 0..59, ids 0..6; append: minutes 30..89, ids 7..13 —
+    // so the tail merges INTO existing minute slots (30..59) AND adds
+    // new ones (60..89), and the distinct/top-k/quantile state all move
+    def write(offsets: Range, idOff: Long, vOff: Double, mode: String): Unit =
+      offsets.map(i => (new java.sql.Timestamp(Q.Jan1 + i * 60000L),
+        vOff + i, i % 7 + idOff))
+        .toDF("ts", "value", "user_id").repartition(2)
+        .write.mode(mode).parquet(src)
+    def registerAll(): Unit = {
+      WheelAcceleration.register(spark, src, spark.read.parquet(src))
+      WheelAcceleration.registerSketches(spark, src, spark.read.parquet(src),
+        distinctCols = Seq("user_id"), quantileCols = Seq("value"),
+        freqCols = Seq("user_id"))
+    }
+    def folded(df: org.apache.spark.sql.DataFrame): Boolean = {
+      val p = df.queryExecution.optimizedPlan
+      p.collect { case l: LocalRelation => l }.nonEmpty &&
+        p.collect {
+          case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+        }.isEmpty
+    }
+    try {
+      write(0 until 60, 0L, 0.0, "overwrite")
+      registerAll()
+      assert(WheelAcceleration.lastRegisterSketchOutcome(src)
+        .contains(WheelAcceleration.FullBuild))
+
+      write(30 until 90, 7L, 1000.0, "append")
+      registerAll()
+      val outcome = WheelAcceleration.lastRegisterSketchOutcome(src)
+      assert(outcome.exists {
+        case WheelAcceleration.TailRefresh(covered, tailFiles) =>
+          covered > 0 && tailFiles.nonEmpty
+        case _ => false
+      }, outcome.toString)
+
+      // a range spanning old-only, merged, and tail-only minutes
+      val a = Q.Jan1 + 20 * 60000L
+      val b = Q.Jan1 + 70 * 60000L
+      spark.read.parquet(src).createOrReplaceTempView("sketchtail_events")
+      val scan = spark.read.parquet(src)
+        .filter(unix_millis(col("ts")) >= a && unix_millis(col("ts")) < b)
+
+      val d = spark.sql("SELECT approx_count_distinct(user_id) AS u " +
+        s"FROM sketchtail_events WHERE unix_millis(ts) >= $a AND unix_millis(ts) < $b")
+      assert(folded(d), d.queryExecution.optimizedPlan.treeString)
+      assert(d.collect()(0).getLong(0) ==
+        scan.agg(countDistinct(col("user_id"))).collect()(0).getLong(0))
+
+      val q = spark.sql("SELECT percentile_approx(value, 0.5) AS p50 " +
+        s"FROM sketchtail_events WHERE unix_millis(ts) >= $a AND unix_millis(ts) < $b")
+      assert(folded(q), q.queryExecution.optimizedPlan.treeString)
+      assert(q.collect()(0).getDouble(0) == scan.select(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)"))
+        .collect()(0).getDouble(0))
+
+      val tk = spark.sql("SELECT approx_top_k(user_id, 3) AS tk " +
+        s"FROM sketchtail_events WHERE unix_millis(ts) >= $a AND unix_millis(ts) < $b")
+      assert(folded(tk), tk.queryExecution.optimizedPlan.treeString)
+      val want = scan.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("user_id"))
+        .limit(3).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(tk.collect()(0).getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getLong(0), r.getLong(1))) == want)
+
+      // an overwrite is NOT a provable append: full rebuild
+      write(0 until 60, 0L, 0.0, "overwrite")
+      registerAll()
+      assert(WheelAcceleration.lastRegisterSketchOutcome(src)
+        .contains(WheelAcceleration.FullBuild))
+    } finally {
+      System.clearProperty("graft.wheel.fingerprint.ttlMs")
+      WheelAcceleration.unregister(src)
+    }
+  }
+
+  test("keyed sketch re-register after an append tail-refreshes per dim (round 11)") {
+    import spark.implicits._
+    val src = new java.io.File("target/test-fixtures/accel/keyedsketchtail.parquet")
+      .getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(src))
+    System.setProperty("graft.wheel.fingerprint.ttlMs", "0")
+    // base: dims a/b over minutes 0..59; append: minutes 30..89 adds a
+    // THIRD dim c and new user ids — in-slot merges, new slots, and a
+    // first-seen-in-tail dimension all in one refresh
+    def write(offsets: Range, dims: Array[String], idOff: Long, mode: String): Unit =
+      offsets.map(i => (new java.sql.Timestamp(Q.Jan1 + i * 60000L),
+        i.toDouble, i % 5 + idOff, dims(i % dims.length)))
+        .toDF("ts", "value", "user_id", "k").repartition(2)
+        .write.mode(mode).parquet(src)
+    def registerAll(): Unit = {
+      WheelAcceleration.registerKeyed(spark, src, spark.read.parquet(src), "k")
+      WheelAcceleration.registerKeyedSketches(spark, src,
+        spark.read.parquet(src), "k", "ts",
+        distinctCols = Seq("user_id"), quantileCols = Seq("value"))
+    }
+    try {
+      write(0 until 60, Array("a", "b"), 0L, "overwrite")
+      registerAll()
+      assert(WheelAcceleration.lastRegisterKeyedSketchOutcome(src)
+        .contains(WheelAcceleration.FullBuild))
+
+      write(30 until 90, Array("b", "c"), 5L, "append")
+      registerAll()
+      val outcome = WheelAcceleration.lastRegisterKeyedSketchOutcome(src)
+      assert(outcome.exists {
+        case WheelAcceleration.TailRefresh(covered, tailFiles) =>
+          covered > 0 && tailFiles.nonEmpty
+        case _ => false
+      }, outcome.toString)
+
+      // per-(dim, hour) folds over a range spanning old, merged and
+      // tail-only minutes must equal the scan truth exactly
+      val a = Q.Jan1 + 20 * 60000L
+      val b = Q.Jan1 + 80 * 60000L
+      spark.read.parquet(src).createOrReplaceTempView("keyedsketchtail_events")
+      val d = spark.sql(
+        "SELECT k AS g0, (unix_millis(ts) div 3600000) * 3600000 AS g1, " +
+          "approx_count_distinct(user_id) AS u, " +
+          "percentile_approx(value, 0.5) AS p50 FROM keyedsketchtail_events " +
+          s"WHERE unix_millis(ts) >= $a AND unix_millis(ts) < $b " +
+          "GROUP BY 1, 2 ORDER BY 1, 2")
+      assert(d.queryExecution.optimizedPlan.collect {
+        case l: LocalRelation => l
+      }.nonEmpty, d.queryExecution.optimizedPlan.treeString)
+      val want = spark.read.parquet(src)
+        .filter(unix_millis(col("ts")) >= a && unix_millis(col("ts")) < b)
+        .groupBy(col("k").as("g0"),
+          ((unix_millis(col("ts")).divide(lit(3600000L))).cast("long") * 3600000L).as("g1"))
+        .agg(countDistinct(col("user_id")).as("u"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("p50"))
+        .orderBy(col("g0"), col("g1"))
+        .collect().map(_.toString).toSeq
+      assert(d.collect().map(_.toString).toSeq == want)
+    } finally {
+      System.clearProperty("graft.wheel.fingerprint.ttlMs")
+      WheelAcceleration.unregister(src)
+    }
+  }
+
   test("the fold surface is FORMAT-AGNOSTIC: a CSV source registers and folds (round 11)") {
     import spark.implicits._
     // nothing in the registration path is parquet-specific: the
