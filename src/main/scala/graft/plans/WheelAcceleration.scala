@@ -660,6 +660,197 @@ object WheelAcceleration {
   def lastRegisterSketchOutcome(path: String): Option[PersistedOutcome] =
     Option(persistedOutcomes.get(normalize(path) + "#sketchmem"))
 
+  /** PERSISTED sketch registration (round 11): the sketch-family
+    * mirror of [[registerPersisted]]. Each requested column resolves
+    * against its own subdir of `indexBaseDir` (`theta_<col>` /
+    * `kll_<col>` / `mg_<col>`, one [[graft.wheel.PersistentWheel]] kind
+    * per dir):
+    *
+    *  1. sidecar fingerprint matches the source → LOAD, no source scan
+    *     — the term that matters at 100 TB;
+    *  2. the source provably grew by appended files → TAIL REFRESH:
+    *     slot sketches built over ONLY the tail, merged into the saved
+    *     minute sketches, atomically re-saved, then loaded;
+    *  3. anything else (first save, mutation, foreign dir) → full
+    *     build + save from `events`.
+    *
+    * The loaded wheels replace any previous sketch registration for
+    * `path` (same put-semantics as [[registerPrebuiltSketches]]).
+    * [[lastPersistedSketchOutcome]] reports the registration's
+    * worst-case work: FullBuild if ANY column scanned the source, else
+    * TailRefresh if any read tail files, else FullReuse. */
+  def registerPersistedSketches(spark: SparkSession, path: String,
+      indexBaseDir: String, events: => DataFrame, tsCol: String = "ts",
+      distinctCols: Seq[String] = Nil, quantileCols: Seq[String] = Nil,
+      freqCols: Seq[String] = Nil): Unit = {
+    import graft.wheel.{CohortWheel, FrequencyWheel, PersistentWheel,
+      QuantileWheel, RollupBuilder}
+    type SqlRow = org.apache.spark.sql.Row
+    require(distinctCols.nonEmpty || quantileCols.nonEmpty || freqCols.nonEmpty,
+      "need at least one sketch column")
+    val conf = spark.sessionState.newHadoopConf()
+    val fp = fingerprint(path, conf)
+    val outcomes = Seq.newBuilder[PersistedOutcome]
+
+    def resolve[W](c: String, sub: String, kind: String,
+        load: String => W,
+        tailSlots: (DataFrame, String) => Array[SqlRow],
+        mergeBytes: (Array[Byte], Array[Byte]) => Array[Byte],
+        fullSave: String => W): W = {
+      val dir = s"$indexBaseDir/$sub"
+      val saved = PersistentWheel.peek(spark, dir).filter(m =>
+        m.kind == kind && m.tsCol == tsCol && m.valueCols == Seq(c) &&
+          m.sourceFingerprint.nonEmpty)
+      saved.filter(_.sourceFingerprint == fp)
+        .flatMap(_ => scala.util.Try(load(dir)).toOption)
+        .map { w => outcomes += FullReuse; w }
+        .orElse(saved.flatMap(m =>
+          provableAppendTail(path, m.sourceFingerprint, fp, conf).flatMap {
+            case (coveredN, tail) => scala.util.Try {
+              requireRawPipeline(spark, path, tsCol, events)
+              val tailDf =
+                RollupBuilder.normalizeTs(spark.read.parquet(tail: _*), tsCol)
+              PersistentWheel.refreshSketchDir(spark, dir, kind,
+                tailSlots(tailDf, c), mergeBytes, fp)
+              val w = load(dir)
+              outcomes += TailRefresh(coveredN, tail)
+              w
+            }.recoverWith(debugRefreshFallback(path)).toOption
+          }))
+        .getOrElse { outcomes += FullBuild; fullSave(dir) }
+    }
+
+    val distinct = distinctCols.map(c =>
+      c -> resolve[graft.wheel.CohortWheel](c, s"theta_$c",
+        PersistentWheel.ThetaKind,
+        d => PersistentWheel.loadCohort(spark, d)._2,
+        (df, cc) => CohortWheel.slotSketches(df, tsCol, cc).collect(),
+        CohortWheel.mergeBytes,
+        d => PersistentWheel.saveCohort(spark, d, events, tsCol, c, fp, path))
+    ).toMap
+    val quantile = quantileCols.map(c =>
+      c -> resolve[graft.wheel.QuantileWheel](c, s"kll_$c",
+        PersistentWheel.KllKind,
+        d => PersistentWheel.loadQuantile(spark, d)._2,
+        (df, cc) => QuantileWheel.slotSketches(df, tsCol, cc).collect(),
+        QuantileWheel.mergeBytes,
+        d => PersistentWheel.saveQuantile(spark, d, events, tsCol, c, fp, path))
+    ).toMap
+    val freq = freqCols.map(c =>
+      c -> resolve[graft.wheel.FrequencyWheel](c, s"mg_$c",
+        PersistentWheel.MgKind,
+        d => PersistentWheel.loadFrequency(spark, d)._2,
+        (df, cc) => FrequencyWheel.slotSketches(df, tsCol, cc).collect(),
+        FrequencyWheel.mergeBytes,
+        d => PersistentWheel.saveFrequency(spark, d, events, tsCol, c, fp, path))
+    ).toMap
+
+    sketchRegistry.put(normalize(path), SketchReg(tsCol, distinct, quantile,
+      freq, fp, conf))
+    fpCache.keySet.removeIf(_._1 == normalize(path))
+    val all = outcomes.result()
+    val summary =
+      if (all.contains(FullBuild)) FullBuild
+      else all.collectFirst { case t: TailRefresh => t }.getOrElse(FullReuse)
+    persistedOutcomes.put(normalize(path) + "#sketchpersist", summary)
+    enable(spark)
+  }
+
+  /** What the last [[registerPersistedSketches]] for `path` did —
+    * FullBuild if any column scanned the source, TailRefresh if any
+    * read tail files, FullReuse when every column loaded from disk. */
+  def lastPersistedSketchOutcome(path: String): Option[PersistedOutcome] =
+    Option(persistedOutcomes.get(normalize(path) + "#sketchpersist"))
+
+  /** The KEYED mirror of [[registerPersistedSketches]]: per-dimension
+    * sketch wheels resolved load / tail-refresh / rebuild against
+    * `keyedtheta_<col>` / `keyedkll_<col>` / `keyedmg_<col>` subdirs of
+    * `indexBaseDir`. Requires a [[registerKeyed]] registration on the
+    * same key and ts columns for the keyed rewrite to enumerate keys
+    * (same contract as [[registerKeyedSketches]]). */
+  def registerPersistedKeyedSketches(spark: SparkSession, path: String,
+      indexBaseDir: String, events: => DataFrame, keyCol: String,
+      tsCol: String = "ts", distinctCols: Seq[String] = Nil,
+      quantileCols: Seq[String] = Nil, freqCols: Seq[String] = Nil): Unit = {
+    import graft.wheel.{KeyedSketchWheels, PersistentWheel, RollupBuilder}
+    type SqlRow = org.apache.spark.sql.Row
+    require(distinctCols.nonEmpty || quantileCols.nonEmpty || freqCols.nonEmpty,
+      "need at least one keyed sketch column")
+    val conf = spark.sessionState.newHadoopConf()
+    val fp = fingerprint(path, conf)
+    val outcomes = Seq.newBuilder[PersistedOutcome]
+
+    def resolve[W](c: String, sub: String, kind: String,
+        load: String => Map[Any, W],
+        tailSlots: (DataFrame, String) => Array[SqlRow],
+        mergeBytes: (Array[Byte], Array[Byte]) => Array[Byte],
+        fullSave: String => Map[Any, W]): Map[Any, W] = {
+      val dir = s"$indexBaseDir/$sub"
+      val saved = PersistentWheel.peek(spark, dir).filter(m =>
+        m.kind == kind && m.tsCol == tsCol &&
+          m.valueCols == Seq(keyCol, c) && m.sourceFingerprint.nonEmpty)
+      saved.filter(_.sourceFingerprint == fp)
+        .flatMap(_ => scala.util.Try(load(dir)).toOption)
+        .map { w => outcomes += FullReuse; w }
+        .orElse(saved.flatMap(m =>
+          provableAppendTail(path, m.sourceFingerprint, fp, conf).flatMap {
+            case (coveredN, tail) => scala.util.Try {
+              requireRawPipeline(spark, path, tsCol, events)
+              val tailDf =
+                RollupBuilder.normalizeTs(spark.read.parquet(tail: _*), tsCol)
+              PersistentWheel.refreshKeyedSketchDir(spark, dir, kind,
+                tailSlots(tailDf, c), mergeBytes, fp)
+              val w = load(dir)
+              outcomes += TailRefresh(coveredN, tail)
+              w
+            }.recoverWith(debugRefreshFallback(path)).toOption
+          }))
+        .getOrElse { outcomes += FullBuild; fullSave(dir) }
+    }
+
+    val distinct = distinctCols.map(c =>
+      c -> resolve[graft.wheel.CohortWheel](c, s"keyedtheta_$c",
+        PersistentWheel.KeyedThetaKind,
+        d => PersistentWheel.loadKeyedCohort(spark, d)._2,
+        (df, cc) => KeyedSketchWheels
+          .cohortSlotSketches(df, keyCol, tsCol, cc).collect(),
+        graft.wheel.CohortWheel.mergeBytes,
+        d => PersistentWheel.saveKeyedCohort(
+          spark, d, events, keyCol, tsCol, c, fp, path))).toMap
+    val quantile = quantileCols.map(c =>
+      c -> resolve[graft.wheel.QuantileWheel](c, s"keyedkll_$c",
+        PersistentWheel.KeyedKllKind,
+        d => PersistentWheel.loadKeyedQuantile(spark, d)._2,
+        (df, cc) => KeyedSketchWheels
+          .quantileSlotSketches(df, keyCol, tsCol, cc).collect(),
+        graft.wheel.QuantileWheel.mergeBytes,
+        d => PersistentWheel.saveKeyedQuantile(
+          spark, d, events, keyCol, tsCol, c, fp, path))).toMap
+    val freq = freqCols.map(c =>
+      c -> resolve[graft.wheel.FrequencyWheel](c, s"keyedmg_$c",
+        PersistentWheel.KeyedMgKind,
+        d => PersistentWheel.loadKeyedFrequency(spark, d)._2,
+        (df, cc) => KeyedSketchWheels
+          .frequencySlotSketches(df, keyCol, tsCol, cc).collect(),
+        graft.wheel.FrequencyWheel.mergeBytes,
+        d => PersistentWheel.saveKeyedFrequency(
+          spark, d, events, keyCol, tsCol, c, fp, path))).toMap
+
+    keyedSketchRegistry.put(normalize(path),
+      KeyedSketchReg(keyCol, tsCol, distinct, quantile, freq, fp, conf))
+    fpCache.keySet.removeIf(_._1 == normalize(path))
+    val all = outcomes.result()
+    val summary =
+      if (all.contains(FullBuild)) FullBuild
+      else all.collectFirst { case t: TailRefresh => t }.getOrElse(FullReuse)
+    persistedOutcomes.put(normalize(path) + "#keyedsketchpersist", summary)
+    enable(spark)
+  }
+
+  /** What the last [[registerPersistedKeyedSketches]] for `path` did. */
+  def lastPersistedKeyedSketchOutcome(path: String): Option[PersistedOutcome] =
+    Option(persistedOutcomes.get(normalize(path) + "#keyedsketchpersist"))
+
   /** Register ALREADY-BUILT sketch wheels for `path` — the live-ingest
     * refresh primitive for the approximate SQL spellings (round 11):
     * [[graft.streaming.WheelIngest]] rebuilds the per-column wheels

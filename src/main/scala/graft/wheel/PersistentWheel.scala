@@ -293,6 +293,62 @@ object PersistentWheel {
       df.select("slot_ms", "sk").collect(), Map.empty))
   }
 
+  /** Append-only refresh of a persisted SKETCH dir (round 11): merge
+    * the saved minute sketches with tail-built ones (`tailSlots`:
+    * `(slot_ms, sk)` rows from the family's `slotSketches` over ONLY
+    * the tail files — every family's merge is associative) and
+    * atomically re-save under `newSourceFingerprint`. The next load
+    * covers old+tail; the covered source data is never re-read. */
+  private[graft] def refreshSketchDir(spark: SparkSession, indexDir: String,
+      kind: String, tailSlots: Array[org.apache.spark.sql.Row],
+      mergeBytes: (Array[Byte], Array[Byte]) => Array[Byte],
+      newSourceFingerprint: String): Unit = {
+    import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+    val (meta, df) = loadSlots(spark, indexDir, kind)
+    val merged = SketchBlocks.mergeMinuteRows(
+      df.select("slot_ms", "sk").collect().iterator
+        .map(r => (r.getLong(0), r.getAs[Array[Byte]](1))),
+      tailSlots, mergeBytes)
+    val schema = StructType(Seq(
+      StructField("slot_ms", LongType), StructField("sk", BinaryType)))
+    saveSlots(spark, indexDir, kind,
+      spark.createDataFrame(java.util.Arrays.asList(merged: _*), schema),
+      meta.tsCol, meta.valueCols, newSourceFingerprint, meta.sourcePath)
+  }
+
+  /** The KEYED mirror of [[refreshSketchDir]]: merge saved
+    * `(dim, slot_ms, sk)` rows with tail-built ones per (dim, slot) and
+    * atomically re-save — in-slot appends union, dims first seen in the
+    * tail add rows, untouched dims keep theirs. */
+  private[graft] def refreshKeyedSketchDir(spark: SparkSession,
+      indexDir: String, kind: String,
+      tailSlots: Array[org.apache.spark.sql.Row],
+      mergeBytes: (Array[Byte], Array[Byte]) => Array[Byte],
+      newSourceFingerprint: String): Unit = {
+    import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+    val (meta, df) = loadSlots(spark, indexDir, kind)
+    val dimCol = meta.valueCols.head
+    val merged =
+      scala.collection.mutable.LinkedHashMap.empty[(Any, Long), Array[Byte]]
+    keyedSketchRows(meta, indexDir, df).foreach { r =>
+      merged((r.get(0), r.getLong(1))) = r.getAs[Array[Byte]](2)
+    }
+    tailSlots.foreach { r =>
+      val k = (r.get(0), r.getLong(1))
+      val b = r.getAs[Array[Byte]](2)
+      merged(k) = merged.get(k).map(mergeBytes(_, b)).getOrElse(b)
+    }
+    val rows = merged.toArray
+      .sortBy { case ((d, slot), _) => (String.valueOf(d), slot) }
+      .map { case ((d, slot), b) => org.apache.spark.sql.Row(d, slot, b) }
+    val schema = StructType(Seq(
+      StructField(dimCol, df.schema(dimCol).dataType),
+      StructField("slot_ms", LongType), StructField("sk", BinaryType)))
+    saveSlots(spark, indexDir, kind,
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema),
+      meta.tsCol, meta.valueCols, newSourceFingerprint, meta.sourcePath)
+  }
+
   /** KEYED sketch persists (late round 11): the per-(dim, minute)
     * serialized sketches of [[KeyedSketchWheels]] under the family's
     * uniform layout — `valueCols` records (dimCol, sketched column),

@@ -424,6 +424,171 @@ class WheelAccelerationSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted sketch registration: load / tail-refresh / rebuild lifecycle (round 11)") {
+    import spark.implicits._
+    val src = new java.io.File("target/test-fixtures/accel/sketchpersist.parquet")
+      .getAbsolutePath
+    val idx = new java.io.File("target/test-fixtures/accel/sketchpersist.idx")
+      .getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(src))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idx))
+    System.setProperty("graft.wheel.fingerprint.ttlMs", "0")
+    def write(offsets: Range, idOff: Long, mode: String): Unit =
+      offsets.map(i => (new java.sql.Timestamp(Q.Jan1 + i * 60000L),
+        i.toDouble, i % 6 + idOff))
+        .toDF("ts", "value", "user_id").repartition(2)
+        .write.mode(mode).parquet(src)
+    def registerAll(): Unit = {
+      WheelAcceleration.register(spark, src, spark.read.parquet(src))
+      WheelAcceleration.registerPersistedSketches(spark, src, idx,
+        spark.read.parquet(src),
+        distinctCols = Seq("user_id"), quantileCols = Seq("value"))
+    }
+    def checkFolds(lo: Int, hi: Int): Unit = {
+      val a = Q.Jan1 + lo * 60000L
+      val b = Q.Jan1 + hi * 60000L
+      spark.read.parquet(src).createOrReplaceTempView("sketchpersist_events")
+      val d = spark.sql("SELECT approx_count_distinct(user_id) AS u, " +
+        "percentile_approx(value, 0.5) AS p50 FROM sketchpersist_events " +
+        s"WHERE unix_millis(ts) >= $a AND unix_millis(ts) < $b")
+      assert(d.queryExecution.optimizedPlan.collect {
+        case l: LocalRelation => l
+      }.nonEmpty, d.queryExecution.optimizedPlan.treeString)
+      val scan = spark.read.parquet(src)
+        .filter(unix_millis(col("ts")) >= a && unix_millis(col("ts")) < b)
+      val want = scan.agg(countDistinct(col("user_id"))).collect()(0).getLong(0)
+      val wantP = scan.select(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)"))
+        .collect()(0).getDouble(0)
+      val r = d.collect()(0)
+      assert(r.getLong(0) == want)
+      assert(r.getDouble(1) == wantP)
+    }
+    try {
+      // 1. first touch: nothing on disk -> FullBuild (saves the dirs)
+      write(0 until 60, 0L, "overwrite")
+      registerAll()
+      assert(WheelAcceleration.lastPersistedSketchOutcome(src)
+        .contains(WheelAcceleration.FullBuild))
+      checkFolds(10, 50)
+
+      // 2. fresh process start (registry dropped): pure disk LOAD
+      WheelAcceleration.clear()
+      registerAll()
+      assert(WheelAcceleration.lastPersistedSketchOutcome(src)
+        .contains(WheelAcceleration.FullReuse))
+      checkFolds(10, 50)
+
+      // 3. append: tail-only refresh, atomically re-saved, folds exact
+      // across the boundary
+      write(30 until 90, 6L, "append")
+      WheelAcceleration.clear()
+      registerAll()
+      val outcome = WheelAcceleration.lastPersistedSketchOutcome(src)
+      assert(outcome.exists {
+        case WheelAcceleration.TailRefresh(covered, tailFiles) =>
+          covered > 0 && tailFiles.nonEmpty
+        case _ => false
+      }, outcome.toString)
+      checkFolds(20, 80)
+
+      // 4. the refreshed dirs are the new truth: next start pure-loads
+      WheelAcceleration.clear()
+      registerAll()
+      assert(WheelAcceleration.lastPersistedSketchOutcome(src)
+        .contains(WheelAcceleration.FullReuse))
+      checkFolds(20, 80)
+
+      // 5. overwrite is not an append: full rebuild + re-save
+      write(0 until 60, 0L, "overwrite")
+      WheelAcceleration.clear()
+      registerAll()
+      assert(WheelAcceleration.lastPersistedSketchOutcome(src)
+        .contains(WheelAcceleration.FullBuild))
+      checkFolds(10, 50)
+    } finally {
+      System.clearProperty("graft.wheel.fingerprint.ttlMs")
+      WheelAcceleration.unregister(src)
+    }
+  }
+
+  test("persisted KEYED sketch registration: load / tail-refresh / rebuild (round 11)") {
+    import spark.implicits._
+    val src = new java.io.File("target/test-fixtures/accel/keyedsketchpersist.parquet")
+      .getAbsolutePath
+    val idx = new java.io.File("target/test-fixtures/accel/keyedsketchpersist.idx")
+      .getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(src))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idx))
+    System.setProperty("graft.wheel.fingerprint.ttlMs", "0")
+    def write(offsets: Range, dims: Array[String], idOff: Long, mode: String): Unit =
+      offsets.map(i => (new java.sql.Timestamp(Q.Jan1 + i * 60000L),
+        i.toDouble, i % 4 + idOff, dims(i % dims.length)))
+        .toDF("ts", "value", "user_id", "k").repartition(2)
+        .write.mode(mode).parquet(src)
+    def registerAll(): Unit = {
+      WheelAcceleration.registerKeyed(spark, src, spark.read.parquet(src), "k")
+      WheelAcceleration.registerPersistedKeyedSketches(spark, src, idx,
+        spark.read.parquet(src), "k",
+        distinctCols = Seq("user_id"))
+    }
+    def checkFolds(lo: Int, hi: Int): Unit = {
+      val a = Q.Jan1 + lo * 60000L
+      val b = Q.Jan1 + hi * 60000L
+      spark.read.parquet(src).createOrReplaceTempView("keyedskp_events")
+      val d = spark.sql(
+        "SELECT k AS g0, (unix_millis(ts) div 3600000) * 3600000 AS g1, " +
+          "approx_count_distinct(user_id) AS u FROM keyedskp_events " +
+          s"WHERE unix_millis(ts) >= $a AND unix_millis(ts) < $b " +
+          "GROUP BY 1, 2 ORDER BY 1, 2")
+      assert(d.queryExecution.optimizedPlan.collect {
+        case l: LocalRelation => l
+      }.nonEmpty, d.queryExecution.optimizedPlan.treeString)
+      val want = spark.read.parquet(src)
+        .filter(unix_millis(col("ts")) >= a && unix_millis(col("ts")) < b)
+        .groupBy(col("k").as("g0"),
+          ((unix_millis(col("ts")).divide(lit(3600000L))).cast("long") * 3600000L).as("g1"))
+        .agg(countDistinct(col("user_id")).as("u"))
+        .orderBy(col("g0"), col("g1"))
+        .collect().map(_.toString).toSeq
+      assert(d.collect().map(_.toString).toSeq == want)
+    }
+    try {
+      write(0 until 60, Array("a", "b"), 0L, "overwrite")
+      registerAll()
+      assert(WheelAcceleration.lastPersistedKeyedSketchOutcome(src)
+        .contains(WheelAcceleration.FullBuild))
+      checkFolds(10, 50)
+
+      WheelAcceleration.clear()
+      registerAll()
+      assert(WheelAcceleration.lastPersistedKeyedSketchOutcome(src)
+        .contains(WheelAcceleration.FullReuse))
+      checkFolds(10, 50)
+
+      // append adds dim c and new ids: per-(dim, slot) tail merge
+      write(30 until 90, Array("b", "c"), 4L, "append")
+      WheelAcceleration.clear()
+      registerAll()
+      val outcome = WheelAcceleration.lastPersistedKeyedSketchOutcome(src)
+      assert(outcome.exists {
+        case WheelAcceleration.TailRefresh(covered, tailFiles) =>
+          covered > 0 && tailFiles.nonEmpty
+        case _ => false
+      }, outcome.toString)
+      checkFolds(20, 80)
+
+      WheelAcceleration.clear()
+      registerAll()
+      assert(WheelAcceleration.lastPersistedKeyedSketchOutcome(src)
+        .contains(WheelAcceleration.FullReuse))
+      checkFolds(20, 80)
+    } finally {
+      System.clearProperty("graft.wheel.fingerprint.ttlMs")
+      WheelAcceleration.unregister(src)
+    }
+  }
+
   test("the fold surface is FORMAT-AGNOSTIC: a CSV source registers and folds (round 11)") {
     import spark.implicits._
     // nothing in the registration path is parquet-specific: the
