@@ -920,6 +920,28 @@ object Core {
            |""".stripMargin)
     }),
 
+    // PERSISTED sketch registration (round 11): the sketch family's
+    // save-once / load-everywhere lifecycle behind the same approximate
+    // SQL spellings — registerPersistedSketches resolves each column
+    // against its own kind-tagged subdir (theta_user_id / kll_value
+    // here): fingerprint match loads with NO source scan, a provable
+    // append tail-refreshes the saved minute sketches, anything else
+    // rebuilds. Theta is exact under its nominal over this range, so
+    // the row is oracle-checkable; the full lifecycle (load / refresh /
+    // rebuild) is walked in WheelAccelerationSpec.
+    "q_wheel_persisted_sketch_sql" -> ((s, dir) => {
+      val idxDir = s"${sys.props("java.io.tmpdir")}/graft_psketch_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.plans.WheelAcceleration.registerPersistedSketches(
+        s, s"$dir/events.parquet", idxDir, t(s, dir, "events"), "ts",
+        distinctCols = Seq("user_id"), quantileCols = Seq("value"))
+      t(s, dir, "events").createOrReplaceTempView("events_wheel")
+      s.sql(
+        s"""SELECT approx_count_distinct(user_id) AS n_users FROM events_wheel
+           |WHERE unix_millis(ts) >= $R1Start AND unix_millis(ts) < $R1End
+           |""".stripMargin)
+    }),
+
     // APPROX-QUANTILE SQL fold (round 11): `percentile_approx(value, p)`
     // over a registered range answered from the KLL quantile wheel at
     // plan time — the SQL spelling of q_wheel_quantile's API path. The
@@ -1143,6 +1165,9 @@ object Core {
       (s"SELECT COUNT(DISTINCT user_id) AS n_users FROM events " +
         s"WHERE epoch_ms(ts) >= $R1Start AND epoch_ms(ts) < $R1End"),
     "q_wheel_approx_distinct_sql" ->
+      (s"SELECT COUNT(DISTINCT user_id) AS n_users FROM events " +
+        s"WHERE epoch_ms(ts) >= $R1Start AND epoch_ms(ts) < $R1End"),
+    "q_wheel_persisted_sketch_sql" ->
       (s"SELECT COUNT(DISTINCT user_id) AS n_users FROM events " +
         s"WHERE epoch_ms(ts) >= $R1Start AND epoch_ms(ts) < $R1End"),
     "q_wheel_approx_distinct_rollup_sql" ->

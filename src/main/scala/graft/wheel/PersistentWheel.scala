@@ -537,13 +537,14 @@ object PersistentWheel {
       }
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq.filter(_.isDirectory).flatMap { d =>
-      entryOf(d.getPath.toString).toSeq.flatMap { top =>
-        val nested = fs.listStatus(d.getPath).toSeq
-          .filter(s => s.isDirectory && s.getPath.getName != SlotsDir &&
-            !s.getPath.getName.startsWith("slots-"))
-          .flatMap(s => entryOf(s.getPath.toString))
-        top +: nested
-      }
+      // nested dirs are scanned whether or not the top carries its own
+      // sidecar: a persisted-sketch BASE dir (registerPersistedSketches'
+      // theta_/kll_/mg_<col> children) has sidecars only one level down
+      val nested = fs.listStatus(d.getPath).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName != SlotsDir &&
+          !s.getPath.getName.startsWith("slots-"))
+        .flatMap(s => entryOf(s.getPath.toString))
+      entryOf(d.getPath.toString).toSeq ++ nested
     }.sortBy(_.dir)
   }
 

@@ -128,4 +128,36 @@ class PersistentWheelGcSpec extends AnyFunSuite {
     assert(dropped.size == 2, dropped)
     assert(!new java.io.File(persistDir).exists())
   }
+
+  test("inventory sees a persisted-sketch BASE dir whose sidecars live one level down (round 11)") {
+    val warehouse = fixture("warehouse-sketch")
+    val src = s"${fixture("sketch-src")}/events.parquet"
+    val t0 = graft.queries.Q.Jan1
+    import spark.implicits._
+    Seq((new java.sql.Timestamp(t0), 1.0, 3L),
+      (new java.sql.Timestamp(t0 + 60000L), 2.0, 4L))
+      .toDF("ts", "value", "user_id").write.parquet(src)
+
+    // registerPersistedSketches lays out theta_/kll_ subdirs under the
+    // base dir — the base itself carries NO sidecar
+    graft.plans.WheelAcceleration.registerPersistedSketches(spark, src,
+      s"$warehouse/events-sketch", spark.read.parquet(src),
+      distinctCols = Seq("user_id"), quantileCols = Seq("value"))
+    graft.plans.WheelAcceleration.unregister(src)
+
+    val inv = PersistentWheel.inventory(spark, warehouse)
+    assert(inv.map(e => new java.io.File(e.dir).getName).sorted ==
+      Seq("kll_value", "theta_user_id"), inv)
+    assert(inv.forall(_.stale.contains(false)), inv)
+
+    // source appended -> both sketch dirs provably stale, gc reclaims
+    // them even though their parent has no sidecar of its own
+    Seq((new java.sql.Timestamp(t0 + 120000L), 3.0, 5L))
+      .toDF("ts", "value", "user_id").write.mode("append").parquet(src)
+    val (kept, dropped) = PersistentWheel.gc(spark, warehouse)
+    assert(kept.isEmpty, kept)
+    assert(dropped.map(e => new java.io.File(e.dir).getName).sorted ==
+      Seq("kll_value", "theta_user_id"), dropped)
+    assert(!new java.io.File(s"$warehouse/events-sketch/theta_user_id").exists())
+  }
 }
