@@ -173,7 +173,7 @@ object WheelAcceleration {
           .empty[Long, (Long, Array[AllAggregate])]
         val head = oldWheels.head._2
         head.minuteEntries(head.baseMs, head.horizonMs).foreach { case (slot, a0) =>
-          merged(slot) = (a0.count,
+          merged(slot) = (a0.rows,
             oldWheels.map { case (_, w) => w.minuteAt(slot) }.toArray)
         }
         tailRows.foreach { r =>
@@ -182,9 +182,13 @@ object WheelAcceleration {
           require(!r.isNullAt(tfi("slot_ms")), "null ts in tail files")
           val slot = r.getLong(tfi("slot_ms"))
           val aggs = valueCols.map { c =>
-            AllAggregate(r.getDouble(tfi(s"sum_$c")), r.getLong(tfi(s"cnt_$c")),
+            // nullable measures: an all-null tail slot has null stats —
+            // contribute the combine identity (rows ride separately)
+            if (r.isNullAt(tfi(s"sum_$c")))
+              AllAggregate.identity.copy(rows = r.getLong(tfi("rows")))
+            else AllAggregate(r.getDouble(tfi(s"sum_$c")), r.getLong(tfi(s"cnt_$c")),
               r.getDouble(tfi(s"min_$c")), r.getDouble(tfi(s"max_$c")),
-              r.getDouble(tfi(s"sumsq_$c")))
+              r.getDouble(tfi(s"sumsq_$c")), r.getLong(tfi("rows")))
           }.toArray
           val n = r.getLong(tfi("rows"))
           merged.get(slot) match {
@@ -276,7 +280,7 @@ object WheelAcceleration {
         val head = oldWheels.head._2
         head.minuteEntries(head.baseMs, head.horizonMs).foreach {
           case (key, slot, a0) =>
-            merged((key, slot)) = (a0.count,
+            merged((key, slot)) = (a0.rows,
               oldWheels.map { case (_, w) => w.minuteAt(key, slot) }.toArray)
         }
         tailRows.foreach { r =>
@@ -284,9 +288,13 @@ object WheelAcceleration {
           val key = r.get(tfi(keyCol))
           val slot = r.getLong(tfi("slot_ms"))
           val aggs = valueCols.map { c =>
-            AllAggregate(r.getDouble(tfi(s"sum_$c")), r.getLong(tfi(s"cnt_$c")),
+            // nullable measures: an all-null tail slot has null stats —
+            // contribute the combine identity (rows ride separately)
+            if (r.isNullAt(tfi(s"sum_$c")))
+              AllAggregate.identity.copy(rows = r.getLong(tfi("rows")))
+            else AllAggregate(r.getDouble(tfi(s"sum_$c")), r.getLong(tfi(s"cnt_$c")),
               r.getDouble(tfi(s"min_$c")), r.getDouble(tfi(s"max_$c")),
-              r.getDouble(tfi(s"sumsq_$c")))
+              r.getDouble(tfi(s"sumsq_$c")), r.getLong(tfi("rows")))
           }.toArray
           val n = r.getLong(tfi("rows"))
           merged.get((key, slot)) match {
@@ -1561,14 +1569,23 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       minAttrs: Map[String, AttributeReference],
       maxAttrs: Map[String, AttributeReference],
       sumsqAttrs: Map[String, AttributeReference],
+      cntAttrs: Map[String, AttributeReference],
       rowsAttr: AttributeReference) {
     def partialAttrs: Seq[AttributeReference] =
       measures.flatMap(c =>
-        Seq(sumAttrs(c), minAttrs(c), maxAttrs(c), sumsqAttrs(c))) :+ rowsAttr
-    def partialsRow(alls: Map[String, AllAggregate], count: Long): Seq[Any] =
+        Seq(sumAttrs(c), minAttrs(c), maxAttrs(c), sumsqAttrs(c), cntAttrs(c))) :+
+        rowsAttr
+    /** One partials row: per-measure (sum, min, max, sumsq, cnt) + the
+      * shared COUNT(*) rows. A measure with no non-null values in the
+      * partial emits SQL NULL stats (nullable measures, round 11) so
+      * the merge-form SUM/MIN/MAX see exactly what a scan's partial
+      * aggregation would hand them. */
+    def partialsRow(alls: Map[String, AllAggregate], rows: Long): Seq[Any] =
       measures.flatMap { c =>
-        val al = alls(c); Seq[Any](al.sum, al.min, al.max, al.sumSq)
-      } :+ count
+        val al = alls(c)
+        if (al.count == 0L) Seq[Any](null, null, null, null, 0L)
+        else Seq[Any](al.sum, al.min, al.max, al.sumSq, al.count)
+      } :+ rows
   }
 
   private def partialColsFor(measureCols: Seq[String]): PartialCols = {
@@ -1576,13 +1593,15 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     PartialCols(
       measures,
       measures.map(c => c ->
-        AttributeReference(s"__graft_sum_$c", DoubleType, nullable = false)()).toMap,
+        AttributeReference(s"__graft_sum_$c", DoubleType, nullable = true)()).toMap,
       measures.map(c => c ->
-        AttributeReference(s"__graft_min_$c", DoubleType, nullable = false)()).toMap,
+        AttributeReference(s"__graft_min_$c", DoubleType, nullable = true)()).toMap,
       measures.map(c => c ->
-        AttributeReference(s"__graft_max_$c", DoubleType, nullable = false)()).toMap,
+        AttributeReference(s"__graft_max_$c", DoubleType, nullable = true)()).toMap,
       measures.map(c => c ->
-        AttributeReference(s"__graft_sumsq_$c", DoubleType, nullable = false)()).toMap,
+        AttributeReference(s"__graft_sumsq_$c", DoubleType, nullable = true)()).toMap,
+      measures.map(c => c ->
+        AttributeReference(s"__graft_cnt_$c", LongType, nullable = false)()).toMap,
       AttributeReference("__graft_rows", LongType, nullable = false)())
   }
 
@@ -1632,19 +1651,23 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
         val at = measureAttr(c)
         Seq(Alias(at, s"__graft_sum_$c")(), Alias(at, s"__graft_min_$c")(),
           Alias(at, s"__graft_max_$c")(),
-          Alias(Multiply(at, at), s"__graft_sumsq_$c")())
+          Alias(Multiply(at, at), s"__graft_sumsq_$c")(),
+          // non-null indicator: the edge leg's COUNT(col) contribution
+          Alias(If(IsNull(at), Literal(0L, LongType), Literal(1L, LongType)),
+            s"__graft_cnt_$c")())
       } :+ Alias(Literal(1L, LongType), "__graft_rows")(),
       Filter(edgeCond, below)))
   }
 
   /** The original result expressions rewritten to merge form over the
     * partial columns: SUM→SUM(sum), MIN→MIN(min), MAX→MAX(max),
-    * COUNT→coalesce(SUM(rows), 0), AVG→SUM(sum)/SUM(rows), and the
-    * second-moment family VAR_POP/VAR_SAMP/STDDEV_POP/STDDEV_SAMP from
+    * COUNT(*)→coalesce(SUM(rows), 0), COUNT(col)→coalesce(SUM(cnt_col),
+    * 0), AVG→SUM(sum)/SUM(cnt_col), and the second-moment family
+    * VAR_POP/VAR_SAMP/STDDEV_POP/STDDEV_SAMP from
     * (SUM(sumsq) − SUM(sum)²/n)/n (the algebraic variance the partials
-    * carry; clamped at 0, SAMP null below two rows) — `rows` stands in
-    * for every per-measure count because registered measures
-    * are never-null (the same contract [[foldRow]] relies on).
+    * carry; clamped at 0, SAMP null below two rows) — per-measure
+    * non-null counts ride the partials, so nullable measures fold with
+    * SQL's exact COUNT(*)/COUNT(col) split (round 11).
     * `groupSubst` replaces grouping spellings with the union's slot
     * attribute (grouped path). None on any unsupported aggregate or a
     * surviving reference outside the union's columns. */
@@ -1666,13 +1689,25 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       def ae(f: AggregateFunction) =
         AggregateExpression(f, Complete, isDistinct = false)
       val sumRows = ae(Sum(cols.rowsAttr))
+      def sumCnt(n: String) = ae(Sum(cols.cntAttrs(n)))
       val r: Option[Expression] = e.aggregateFunction match {
         case Sum(c, _) => m(c).map(n => ae(Sum(cols.sumAttrs(n))))
         case Min(c) => m(c).map(n => ae(Min(cols.minAttrs(n))))
         case Max(c) => m(c).map(n => ae(Max(cols.maxAttrs(n))))
         case Average(c, _) =>
-          m(c).map(n => Divide(ae(Sum(cols.sumAttrs(n))), Cast(sumRows, DoubleType)))
-        case Count(cs) if cs.forall(c => m(c).isDefined || c.foldable) =>
+          // the per-measure non-null count, NOT rows: AVG ignores NULLs
+          m(c).map(n => Divide(ae(Sum(cols.sumAttrs(n))), Cast(sumCnt(n), DoubleType)))
+        // COUNT(*) / COUNT(lit) count every row; COUNT(col) counts the
+        // measure's non-null values (nullable measures, round 11).
+        // Multi-arg COUNT(a, b) and COUNT(NULL) stay unsupported →
+        // bail to the scan (constant folding ran, so foldables are
+        // literals here).
+        case Count(cs) if cs.size == 1 && m(cs.head).isDefined =>
+          Some(Coalesce(Seq(sumCnt(m(cs.head).get), Literal(0L, LongType))))
+        case Count(cs) if cs.forall {
+            case Literal(v, _) => v != null
+            case _ => false
+          } =>
           Some(Coalesce(Seq(sumRows, Literal(0L, LongType))))
         // algebraic second moment: (Σx² − (Σx)²/n)/n over the summed
         // partials, clamped at 0 (the subtraction can go an ulp
@@ -1696,7 +1731,9 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
         AggregateExpression(f, Complete, isDistinct = false)
       val s = ae(Sum(cols.sumAttrs(n)))
       val q = ae(Sum(cols.sumsqAttrs(n)))
-      val rows = ae(Sum(cols.rowsAttr))
+      // the measure's NON-NULL count (n in the variance formula);
+      // rows would overcount under a nullable measure
+      val rows = ae(Sum(cols.cntAttrs(n)))
       val cnt = Cast(rows, DoubleType)
       val num = Subtract(q, Divide(Multiply(s, s), cnt))
       val den = if (samp) Subtract(cnt, Literal(1.0, DoubleType)) else cnt
@@ -1807,8 +1844,8 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       // union leg 1: the interior, folded from the index to one row
       val anyAll = alls.valuesIterator.next()
       val interiorRows =
-        if (anyAll.count == 0L) Seq.empty
-        else Seq(InternalRow.fromSeq(parts.partialsRow(alls, anyAll.count)))
+        if (anyAll.rows == 0L) Seq.empty
+        else Seq(InternalRow.fromSeq(parts.partialsRow(alls, anyAll.rows)))
       val interior = LocalRelation(parts.partialAttrs, interiorRows)
       // union leg 2: the sub-minute edges as a (prunable) scan
       val edgeLeg = Project(parts.edgePartials, parts.edgeFilter)
@@ -1862,7 +1899,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
             check(alls.values)
             val s0 = grid.floorOf(slotMs)
             rows += InternalRow.fromSeq(slotLiteral(grid, s0, grid.end(s0)).value +:
-              parts.partialsRow(alls, anyAll.count))
+              parts.partialsRow(alls, anyAll.rows))
           }
         } else {
           val it = grid.starts(aCeil, bFloor)
@@ -1872,10 +1909,10 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
             val alls = wheels.map { case (c, i) =>
               c -> i.query(math.max(aCeil, s0), math.min(bFloor, s1)) }
             val anyAll = alls.valuesIterator.next()
-            if (anyAll.count > 0L) {
+            if (anyAll.rows > 0L) {
               check(alls.values)
               rows += InternalRow.fromSeq(
-                slotLiteral(grid, s0, s1).value +: parts.partialsRow(alls, anyAll.count))
+                slotLiteral(grid, s0, s1).value +: parts.partialsRow(alls, anyAll.rows))
             }
           }
         }
@@ -1986,7 +2023,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
             val ws = it.next()
             val alls = wheels.map { case (c, i) =>
               c -> i.query(math.max(a, ws), math.min(b, ws + sizeMs)) }
-            if (alls.valuesIterator.next().count > 0L) {
+            if (alls.valuesIterator.next().rows > 0L) {
               foldRow(aggExprs, alls, Seq((Seq(winAttr),
                 Literal(InternalRow(ws * 1000L, (ws + sizeMs) * 1000L), winType))),
                 sketch, (math.max(a, ws), math.min(b, ws + sizeMs))) match {
@@ -2055,7 +2092,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
               val ws = it.next()
               val alls = reg.wheels.map { case (c, i) =>
                 c -> i.query(key, math.max(a, ws), math.min(b, ws + sizeMs)) }
-              if (alls.valuesIterator.next().count > 0L) {
+              if (alls.valuesIterator.next().rows > 0L) {
                 foldRow(aggExprs, alls, Seq(
                   (Seq(keyAttr), keyLit),
                   (Seq(winAttr),
@@ -2131,10 +2168,10 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
             val alls = measures.map(c => c -> wheels(c).query(
               math.max(aCeil, ws), math.min(bFloor, ws + sizeMs))).toMap
             val anyAll = alls.valuesIterator.next()
-            if (anyAll.count > 0L) {
+            if (anyAll.rows > 0L) {
               check(alls.values)
               rows += InternalRow.fromSeq(
-                slotVal(ws) +: parts.partialsRow(alls, anyAll.count))
+                slotVal(ws) +: parts.partialsRow(alls, anyAll.rows))
             }
           }
         case Some((_, reg)) =>
@@ -2146,10 +2183,10 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
               val alls = measures.map(c => c -> reg.wheels(c).query(key,
                 math.max(aCeil, ws), math.min(bFloor, ws + sizeMs))).toMap
               val anyAll = alls.valuesIterator.next()
-              if (anyAll.count > 0L) {
+              if (anyAll.rows > 0L) {
                 check(alls.values)
                 rows += InternalRow.fromSeq(
-                  kv +: slotVal(ws) +: parts.partialsRow(alls, anyAll.count))
+                  kv +: slotVal(ws) +: parts.partialsRow(alls, anyAll.rows))
               }
             }
           }
@@ -2246,7 +2283,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
             }
             check(alls.values)
             rows += InternalRow.fromSeq(
-              (slotMs * 1000L) +: kv +: cols.partialsRow(alls, anyAll.count))
+              (slotMs * 1000L) +: kv +: cols.partialsRow(alls, anyAll.rows))
           }
         case None =>
           val anyIdx = wheels(measures.head)
@@ -2257,7 +2294,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
             }.toMap
             check(alls.values)
             rows += InternalRow.fromSeq(
-              (slotMs * 1000L) +: cols.partialsRow(alls, anyAll.count))
+              (slotMs * 1000L) +: cols.partialsRow(alls, anyAll.rows))
           }
       }
       if (!conditioned) { foldBailNote = IllCondNote; None } // keep the scan
@@ -2453,7 +2490,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
               c -> i.query(math.max(a, s0), math.min(b, s1)) }
             // every wheel in a registration shares one build, so the
             // per-slot row counts agree — any measure decides emptiness
-            if (alls.valuesIterator.next().count > 0L) {
+            if (alls.valuesIterator.next().rows > 0L) {
               foldRow(aggExprs, alls,
                 Seq((Seq(groupKey, gExpr), slotLiteral(grid, s0, s1))),
                 sketch, (math.max(a, s0), math.min(b, s1))) match {
@@ -2528,7 +2565,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
             }
             check(alls.values)
             rows += InternalRow.fromSeq(kv +: slotVal(slotMs) +:
-              cols.partialsRow(alls, anyAll.count))
+              cols.partialsRow(alls, anyAll.rows))
           }
         case None =>
           val anyIdx = wheels(measures.head)
@@ -2539,7 +2576,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
             }.toMap
             check(alls.values)
             rows += InternalRow.fromSeq(
-              slotVal(slotMs) +: cols.partialsRow(alls, anyAll.count))
+              slotVal(slotMs) +: cols.partialsRow(alls, anyAll.rows))
           }
       }
       if (!conditioned) { foldBailNote = IllCondNote; None } // keep the scan
@@ -2604,7 +2641,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
               val s1 = grid.end(s0)
               val alls = reg.wheels.map { case (c, i) =>
                 c -> i.query(key, math.max(a, s0), math.min(b, s1)) }
-              if (alls.valuesIterator.next().count > 0L) {
+              if (alls.valuesIterator.next().rows > 0L) {
                 foldRow(aggExprs, alls, Seq(
                   (Seq(keyAttr), Literal.create(key, reg.any.keyType)),
                   (Seq(slotGroup, gExpr), slotLiteral(grid, s0, s1))),
@@ -2678,7 +2715,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
             check(alls.values)
             val s0 = grid.floorOf(slotMs)
             rows += InternalRow.fromSeq(kv +: slotLiteral(grid, s0, grid.end(s0)).value +:
-              parts.partialsRow(alls, anyAll.count))
+              parts.partialsRow(alls, anyAll.rows))
           }
         } else {
           anyIdx.keys.foreach { key =>
@@ -2690,10 +2727,10 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
               val alls = reg.wheels.map { case (c, i) =>
                 c -> i.query(key, math.max(aCeil, s0), math.min(bFloor, s1)) }
               val anyAll = alls.valuesIterator.next()
-              if (anyAll.count > 0L) {
+              if (anyAll.rows > 0L) {
                 check(alls.values)
                 rows += InternalRow.fromSeq(keyVal +: slotLiteral(grid, s0, s1).value +:
-                  parts.partialsRow(alls, anyAll.count))
+                  parts.partialsRow(alls, anyAll.rows))
               }
             }
           }
@@ -3163,8 +3200,9 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       case a: AttributeReference => alls.get(a.name)
       case _ => None
     }
-    // never-null-measure contract ⇒ every wheel counts the same rows
-    // (sketch-only registrations carry no sum wheels: COUNT cannot fold)
+    // every wheel over the same source covers the same rows, so any
+    // measure's partial serves COUNT(*) (sketch-only registrations
+    // carry no sum wheels: COUNT cannot fold)
     foldBailNote = ""
     val anyAll = alls.valuesIterator.nextOption()
     var supported = true
@@ -3187,9 +3225,16 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
         case Min(c) => folded(c)(_.min)
         case Max(c) => folded(c)(_.max)
         case Average(c, _) => folded(c)(_.avg)
-        case Count(cs) if cs.forall(c => measure(c).isDefined || c.foldable) =>
-          cs.flatMap(measure).headOption.orElse(anyAll)
-            .map(al => Literal(al.count, LongType))
+        // COUNT(col) is the measure's NON-NULL count; COUNT(*)/COUNT(lit)
+        // is the row count (nullable measures, round 11). Multi-arg
+        // COUNT and COUNT(NULL) stay unsupported.
+        case Count(cs) if cs.size == 1 && measure(cs.head).isDefined =>
+          measure(cs.head).map(al => Literal(al.count, LongType))
+        case Count(cs) if cs.forall {
+            case Literal(v, _) => v != null
+            case _ => false
+          } =>
+          anyAll.map(al => Literal(al.rows, LongType))
         // second moment from the sumsq partial (round 10); SAMP is NULL
         // below two rows, so only the default nullOnDivideByZero=true
         // spelling folds. ILL-CONDITIONED ranges (|mean| >> stddev —

@@ -64,8 +64,10 @@ final class LiveWheel(keepMinutes: Option[Int] = None) extends Serializable {
     var acc = AllAggregate.identity
     LiveWheel.foreachMinuteSlot(startMs, endMs) { slot =>
       val s = minutes.get(slot)
+      // typed streaming slots carry non-null Double values, so the
+      // measure count doubles as the row count (rows = cnt)
       if (s != null && s.cnt > 0)
-        acc = acc.combine(AllAggregate(s.sum, s.cnt, s.min, s.max, s.sumSq))
+        acc = acc.combine(AllAggregate(s.sum, s.cnt, s.min, s.max, s.sumSq, s.cnt))
     }
     acc
   }
@@ -382,8 +384,10 @@ final class KeyedLiveWheel(keepMinutes: Option[Int] = None) extends Serializable
     if (m == null) { require(startMs <= endMs); return acc }
     LiveWheel.foreachMinuteSlot(startMs, endMs) { slot =>
       val s = m.get(slot)
+      // typed streaming slots carry non-null Double values, so the
+      // measure count doubles as the row count (rows = cnt)
       if (s != null && s.cnt > 0)
-        acc = acc.combine(AllAggregate(s.sum, s.cnt, s.min, s.max, s.sumSq))
+        acc = acc.combine(AllAggregate(s.sum, s.cnt, s.min, s.max, s.sumSq, s.cnt))
     }
     acc
   }

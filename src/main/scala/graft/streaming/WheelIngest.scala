@@ -210,17 +210,17 @@ object WheelIngest {
         "ts column has NULLs in ingested batch; a time-bounded index " +
           "cannot cover null timestamps")
       val all = r.getLong(fi("rows"))
-      valueCols.zipWithIndex.foreach { case (c, i) =>
-        require(r.getLong(2 + 5 * i) == all,
-          s"measure column '$c' has NULLs in ingested batch (slot " +
-            s"${r.getLong(0)}); the wheel index requires a never-null measure")
-      }
+      // nullable measures (round 11): an all-null slot partial arrives
+      // with null sum/min/max/sumsq — encode the combine identities so
+      // the merge and snapshot stay null-free (rows carries COUNT(*))
       val slot = Slot(
-        Array.tabulate(n)(i => r.getDouble(1 + 5 * i)),
+        Array.tabulate(n)(i => if (r.isNullAt(1 + 5 * i)) 0.0 else r.getDouble(1 + 5 * i)),
         Array.tabulate(n)(i => r.getLong(2 + 5 * i)),
-        Array.tabulate(n)(i => r.getDouble(3 + 5 * i)),
-        Array.tabulate(n)(i => r.getDouble(4 + 5 * i)),
-        Array.tabulate(n)(i => r.getDouble(5 + 5 * i)),
+        Array.tabulate(n)(i =>
+          if (r.isNullAt(3 + 5 * i)) Double.PositiveInfinity else r.getDouble(3 + 5 * i)),
+        Array.tabulate(n)(i =>
+          if (r.isNullAt(4 + 5 * i)) Double.NegativeInfinity else r.getDouble(4 + 5 * i)),
+        Array.tabulate(n)(i => if (r.isNullAt(5 + 5 * i)) 0.0 else r.getDouble(5 + 5 * i)),
         all)
       acc.merge(r.getLong(0), slot, (a, b) => a.merge(b))
       if (r.getLong(0) > maxSeenSlotMs) maxSeenSlotMs = r.getLong(0)
@@ -261,17 +261,15 @@ object WheelIngest {
     val kfi: String => Int = keyedPartialCols.zipWithIndex.toMap
     def mergeKeyedRows(rows: Array[Row]): Unit = rows.foreach { r =>
       val all = r.getLong(kfi("rows"))
-      valueCols.zipWithIndex.foreach { case (c, i) =>
-        require(r.getLong(3 + 5 * i) == all,
-          s"measure column '$c' has NULLs in ingested batch (key ${r.get(0)}, " +
-            s"slot ${r.getLong(1)}); the wheel index requires a never-null measure")
-      }
+      // same nullable-measure identity encoding as the unkeyed merge
       val slot = Slot(
-        Array.tabulate(n)(i => r.getDouble(2 + 5 * i)),
+        Array.tabulate(n)(i => if (r.isNullAt(2 + 5 * i)) 0.0 else r.getDouble(2 + 5 * i)),
         Array.tabulate(n)(i => r.getLong(3 + 5 * i)),
-        Array.tabulate(n)(i => r.getDouble(4 + 5 * i)),
-        Array.tabulate(n)(i => r.getDouble(5 + 5 * i)),
-        Array.tabulate(n)(i => r.getDouble(6 + 5 * i)),
+        Array.tabulate(n)(i =>
+          if (r.isNullAt(4 + 5 * i)) Double.PositiveInfinity else r.getDouble(4 + 5 * i)),
+        Array.tabulate(n)(i =>
+          if (r.isNullAt(5 + 5 * i)) Double.NegativeInfinity else r.getDouble(5 + 5 * i)),
+        Array.tabulate(n)(i => if (r.isNullAt(6 + 5 * i)) 0.0 else r.getDouble(6 + 5 * i)),
         all)
       keyedAcc.merge((r.get(0), r.getLong(1)), slot, (a, b) => a.merge(b))
     }

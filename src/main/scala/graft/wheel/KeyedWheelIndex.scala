@@ -160,20 +160,16 @@ object KeyedWheelIndex {
     val keyIdx = fi(keyCol)
     val slotIdx = fi("slot_ms")
     val rowsIdx = fi("rows")
-    valueCols.foreach { c =>
-      val cntIdx = fi(s"cnt_$c")
-      rows.find(r => r.getLong(cntIdx) != r.getLong(rowsIdx)).foreach { r =>
-        throw new IllegalArgumentException(
-          s"measure column '$c' has NULLs (key ${r.get(keyIdx)}, slot " +
-            s"${r.getLong(slotIdx)}); COUNT(*) folding requires a never-null measure")
-      }
-    }
+    // nullable measures (round 11): a NULL measure value counts toward
+    // `rows` (COUNT(*)) only — an all-null (key, slot) partial arrives
+    // with null sum/min/max and folds in as the combine identity
     valueCols.map { c =>
       val (sI, cI, mnI, mxI, sqI) = (fi(s"sum_$c"), fi(s"cnt_$c"),
         fi(s"min_$c"), fi(s"max_$c"), fi(s"sumsq_$c"))
       c -> fromEntryRows(rows.iterator.map(r => (r.get(keyIdx), r.getLong(slotIdx),
-        AllAggregate(r.getDouble(sI), r.getLong(cI), r.getDouble(mnI),
-          r.getDouble(mxI), r.getDouble(sqI)))),
+        if (r.isNullAt(sI)) AllAggregate.identity.copy(rows = r.getLong(rowsIdx))
+        else AllAggregate(r.getDouble(sI), r.getLong(cI), r.getDouble(mnI),
+          r.getDouble(mxI), r.getDouble(sqI), r.getLong(rowsIdx)))),
         keyCol, keyType)
     }.toMap
   }
@@ -217,11 +213,6 @@ object KeyedWheelIndex {
     require(rows.length <= MaxRows,
       s"keyed rollup has ${rows.length} (key, slot) rows — too wide for a " +
         s"driver-local index (max $MaxRows); use the distributed rollup DataFrames")
-    rows.find(r => r.getLong(3) != r.getLong(6)).foreach { r =>
-      throw new IllegalArgumentException(
-        s"measure column '$valueCol' has NULLs (key ${r.get(0)}, slot " +
-          s"${r.getLong(1)}); COUNT(*) folding requires a never-null measure")
-    }
     val slots = new java.util.HashMap[Any, Map[Tier, java.util.HashMap[Long, AllAggregate]]]()
     var lo = Long.MaxValue
     var hi = Long.MinValue
@@ -235,8 +226,10 @@ object KeyedWheelIndex {
       // every tier fills from the same row in one pass — per-key tier
       // roll-up by slot-key truncation, exactly the dense wheel's build
       // walk with maps instead of arrays (keys are sparse per slot)
-      val partial = AllAggregate(r.getDouble(2), r.getLong(3), r.getDouble(4),
-        r.getDouble(5), r.getDouble(7))
+      val partial =
+        if (r.isNullAt(2)) AllAggregate.identity.copy(rows = r.getLong(6))
+        else AllAggregate(r.getDouble(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(7), r.getLong(6))
       Tier.all.foreach { t =>
         val coarse = slot / t.ms * t.ms
         tiers(t).merge(coarse, partial, (a, b) => a.combine(b))

@@ -10,13 +10,21 @@ import org.apache.spark.sql.functions._
   * capability). `sumSq` (round 10) extends the family with the remaining
   * mergeable second moment, so `var_pop`/`stddev` over any time range
   * folds from the index exactly like sum/avg — variance is algebraic
-  * ((Σx² − (Σx)²/n)/n), so the partial stays a constant-width block. */
-final case class AllAggregate(sum: Double, count: Long, min: Double, max: Double, sumSq: Double) {
+  * ((Σx² − (Σx)²/n)/n), so the partial stays a constant-width block.
+  *
+  * NULLABLE MEASURES (round 11): `rows` carries the COUNT(*) the range
+  * covers while `count` is the number of NON-NULL measure values — the
+  * distinction SQL draws between `COUNT(*)` and `COUNT(col)`. For a
+  * never-null measure the two coincide; a nullable measure keeps
+  * sum/min/max/sumSq/count over the non-null values only (exactly how
+  * Spark's and DuckDB's aggregates treat NULL) with `rows` preserving
+  * the all-rows cardinality. An all-null partial is `sum=0, count=0,
+  * min=+∞, max=−∞` — the combine identities — plus its positive
+  * `rows`. */
+final case class AllAggregate(sum: Double, count: Long, min: Double, max: Double, sumSq: Double, rows: Long) {
   def combine(o: AllAggregate): AllAggregate =
-    if (count == 0) o
-    else if (o.count == 0) this
-    else AllAggregate(sum + o.sum, count + o.count, math.min(min, o.min),
-      math.max(max, o.max), sumSq + o.sumSq)
+    AllAggregate(sum + o.sum, count + o.count, math.min(min, o.min),
+      math.max(max, o.max), sumSq + o.sumSq, rows + o.rows)
   def avg: Double = if (count == 0) Double.NaN else sum / count
   /** Population variance; clamped at 0 (the algebraic form can go an ulp
     * negative on constant slots). NaN on the empty partial.
@@ -53,8 +61,11 @@ final case class AllAggregate(sum: Double, count: Long, min: Double, max: Double
 }
 object AllAggregate {
   val identity: AllAggregate =
-    AllAggregate(0.0, 0L, Double.PositiveInfinity, Double.NegativeInfinity, 0.0)
-  def lift(v: Double): AllAggregate = AllAggregate(v, 1L, v, v, v * v)
+    AllAggregate(0.0, 0L, Double.PositiveInfinity, Double.NegativeInfinity, 0.0, 0L)
+  def lift(v: Double): AllAggregate = AllAggregate(v, 1L, v, v, v * v, 1L)
+  /** One source row whose measure is NULL: counts toward `rows` only. */
+  def liftNull: AllAggregate =
+    AllAggregate(0.0, 0L, Double.PositiveInfinity, Double.NegativeInfinity, 0.0, 1L)
 }
 
 /** Driver-local hierarchical aggregate index over one (timestamp, value)
@@ -198,8 +209,8 @@ final class WheelIndex private (
   private[graft] def minuteAt(slotMs: Long): AllAggregate = {
     val b = tiers(Tier.Minute)
     val i = ((slotMs - baseMs) / Tier.Minute.ms).toInt
-    if (slotMs < baseMs || i >= b.count.length || b.count(i) == 0L) AllAggregate.identity
-    else AllAggregate(b.sum(i), b.count(i), b.min(i), b.max(i), b.sumSq(i))
+    if (slotMs < baseMs || i >= b.rows.length || b.rows(i) == 0L) AllAggregate.identity
+    else AllAggregate(b.sum(i), b.count(i), b.min(i), b.max(i), b.sumSq(i), b.rows(i))
   }
 
   /** Non-empty minute slots of `[a, b)` with their partials — the feed
@@ -216,9 +227,9 @@ final class WheelIndex private (
     val hi = math.min(b, horizonMs)
     Iterator.iterate(lo)(_ + m).takeWhile(_ < hi).flatMap { slot =>
       val i = ((slot - baseMs) / m).toInt
-      if (i >= 0 && i < block.count.length && block.count(i) > 0L)
+      if (i >= 0 && i < block.rows.length && block.rows(i) > 0L)
         Some(slot -> AllAggregate(block.sum(i), block.count(i), block.min(i),
-          block.max(i), block.sumSq(i)))
+          block.max(i), block.sumSq(i), block.rows(i)))
       else None
     }
   }
@@ -281,14 +292,13 @@ final class WheelIndex private (
     var slot = run.startMs
     while (slot < run.endMs) {
       val i = ((slot - baseMs) / run.tier.ms).toInt
-      if (i >= 0 && i < block.count.length && block.count(i) > 0) {
-        acc =
-          if (acc.count == 0) AllAggregate(block.sum(i), block.count(i),
-            block.min(i), block.max(i), block.sumSq(i))
-          else AllAggregate(
-            acc.sum + block.sum(i), acc.count + block.count(i),
-            math.min(acc.min, block.min(i)), math.max(acc.max, block.max(i)),
-            acc.sumSq + block.sumSq(i))
+      // occupancy is ROWS, not the non-null measure count: an all-null
+      // slot still carries COUNT(*) signal (nullable measures, round 11)
+      if (i >= 0 && i < block.rows.length && block.rows(i) > 0) {
+        acc = AllAggregate(
+          acc.sum + block.sum(i), acc.count + block.count(i),
+          math.min(acc.min, block.min(i)), math.max(acc.max, block.max(i)),
+          acc.sumSq + block.sumSq(i), acc.rows + block.rows(i))
       }
       slot += run.tier.ms
     }
@@ -302,13 +312,13 @@ final class WheelIndex private (
   def explain(startMs: Long, endMs: Long): String =
     WheelExplain.render("WheelIndex(All)", baseMs, horizonMs, sizeBytes,
       Tier.all.flatMap(t => tiers.get(t).map(b => WheelExplain.TierLine(
-        t, b.count.length, b.count.count(_ > 0L), retainedStartMs(t)))),
+        t, b.rows.length, b.rows.count(_ > 0L), retainedStartMs(t)))),
       startMs, endMs, usable)
 
   /** Approximate retained-index footprint, analogous to `size_bytes()`
-    * (/root/reference/src/main.rs:144): 5 primitive arrays × 8 bytes. */
+    * (/root/reference/src/main.rs:144): 6 primitive arrays × 8 bytes. */
   def sizeBytes: Long =
-    tiers.valuesIterator.map(b => b.sum.length.toLong * 8 * 5).sum
+    tiers.valuesIterator.map(b => b.sum.length.toLong * 8 * 6).sum
 
   def slotCounts: Map[Tier, Int] = tiers.map { case (t, b) => t -> b.sum.length }
 }
@@ -317,7 +327,7 @@ object WheelIndex {
 
   private[wheel] final case class TierBlock(
       sum: Array[Double], count: Array[Long], min: Array[Double],
-      max: Array[Double], sumSq: Array[Double])
+      max: Array[Double], sumSq: Array[Double], rows: Array[Long])
 
   /** Build from a source DataFrame: one Spark aggregation to minute
     * partials (bounded by time span, always driver-collectable), then
@@ -343,16 +353,9 @@ object WheelIndex {
         s"ts column '$tsCol' has NULLs (${r.getLong(5)} rows in the null " +
           "slot); a time-bounded index cannot cover null timestamps")
     }
-    // Never-null-measure contract, asserted rather than documented:
-    // WheelSumRewrite folds COUNT(*) to the indexed count, which is
-    // COUNT(value) — a NULL in the measure column would silently diverge
-    // from scan results, so registration fails instead.
-    minuteRows.find(r => r.getLong(2) != r.getLong(5)).foreach { r =>
-      throw new IllegalArgumentException(
-        s"measure column '$valueCol' has NULLs (slot ${r.getLong(0)}: " +
-          s"${r.getLong(5)} rows, ${r.getLong(2)} non-null values); the wheel " +
-          "index requires a never-null measure for COUNT(*) folding")
-    }
+    // Nullable measures (round 11): NULL measure values contribute to
+    // `rows` (COUNT(*)) only — an all-null slot arrives with null
+    // sum/min/max/sumsq and cnt=0, filling just the rows array.
     val slots = minuteRows.map(_.getLong(0))
     val base = slots.min / Tier.Day.ms * Tier.Day.ms
     val horizon = (slots.max / Tier.Day.ms + 1) * Tier.Day.ms
@@ -361,21 +364,23 @@ object WheelIndex {
       val n = ((horizon - base) / tier.ms).toInt
       TierBlock(new Array[Double](n), new Array[Long](n),
         Array.fill(n)(Double.PositiveInfinity), Array.fill(n)(Double.NegativeInfinity),
-        new Array[Double](n))
+        new Array[Double](n), new Array[Long](n))
     }
     val blocks = Tier.all.map(t => t -> alloc(t)).toMap
     minuteRows.foreach { r =>
-      val (slot, s, c, mn, mx, sq) =
-        (r.getLong(0), r.getDouble(1), r.getLong(2), r.getDouble(3),
-          r.getDouble(4), r.getDouble(6))
+      val slot = r.getLong(0)
+      val allRows = r.getLong(5)
       Tier.all.foreach { tier =>
         val b = blocks(tier)
         val i = ((slot - base) / tier.ms).toInt
-        b.sum(i) += s
-        b.count(i) += c
-        b.min(i) = math.min(b.min(i), mn)
-        b.max(i) = math.max(b.max(i), mx)
-        b.sumSq(i) += sq
+        b.rows(i) += allRows
+        if (!r.isNullAt(1)) {
+          b.sum(i) += r.getDouble(1)
+          b.count(i) += r.getLong(2)
+          b.min(i) = math.min(b.min(i), r.getDouble(3))
+          b.max(i) = math.max(b.max(i), r.getDouble(4))
+          b.sumSq(i) += r.getDouble(6)
+        }
       }
     }
     // Evict: zero fine-tier slots older than the retained span so the
@@ -388,7 +393,7 @@ object WheelIndex {
         val keepFrom = ((keepFromMs - base) / tier.ms).toInt
         var i = 0
         while (i < keepFrom && i < b.sum.length) {
-          b.sum(i) = 0.0; b.count(i) = 0L; b.sumSq(i) = 0.0
+          b.sum(i) = 0.0; b.count(i) = 0L; b.sumSq(i) = 0.0; b.rows(i) = 0L
           b.min(i) = Double.PositiveInfinity; b.max(i) = Double.NegativeInfinity
           i += 1
         }
@@ -429,11 +434,11 @@ object WheelIndex {
     val v = col(valueCol).cast("double")
     val r = events
       .filter(unix_millis(col(tsCol)) >= a && unix_millis(col(tsCol)) < b)
-      .agg(sum(v), count(v), min(v), max(v), sum(v * v))
+      .agg(sum(v), count(v), min(v), max(v), sum(v * v), count(lit(1)))
       .collect()(0)
-    if (r.getLong(1) == 0L) AllAggregate.identity
+    if (r.getLong(1) == 0L) AllAggregate.identity.copy(rows = r.getLong(5))
     else AllAggregate(r.getDouble(0), r.getLong(1), r.getDouble(2),
-      r.getDouble(3), r.getDouble(4))
+      r.getDouble(3), r.getDouble(4), r.getLong(5))
   }
 
   /** Fill per-measure tier blocks from collected MINUTE-PARTIAL rows
@@ -456,18 +461,9 @@ object WheelIndex {
         s"ts column has NULLs (${r.getLong(rowsIdx)} rows in the null " +
           "slot); a time-bounded index cannot cover null timestamps")
     }
-    // same never-null-measure contract as the single-measure build,
-    // checked per measure before any allocation
-    valueCols.foreach { c =>
-      val cntIdx = fi(s"cnt_$c")
-      rows.find(r => r.getLong(cntIdx) != r.getLong(rowsIdx)).foreach { r =>
-        throw new IllegalArgumentException(
-          s"measure column '$c' has NULLs (slot ${r.getLong(0)}: " +
-            s"${r.getLong(rowsIdx)} rows, ${r.getLong(cntIdx)} non-null " +
-            "values); the wheel index requires a never-null measure for " +
-            "COUNT(*) folding")
-      }
-    }
+    // nullable measures (round 11): NULL measure values contribute to
+    // the shared `rows` (COUNT(*)) only; per-measure partials cover the
+    // non-null values — exactly SQL's COUNT(*) / COUNT(col) split
     val slots = rows.map(_.getLong(fi("slot_ms")))
     val base = slots.min / Tier.Day.ms * Tier.Day.ms
     val horizon = (slots.max / Tier.Day.ms + 1) * Tier.Day.ms
@@ -476,7 +472,7 @@ object WheelIndex {
       val n = ((horizon - base) / tier.ms).toInt
       TierBlock(new Array[Double](n), new Array[Long](n),
         Array.fill(n)(Double.PositiveInfinity), Array.fill(n)(Double.NegativeInfinity),
-        new Array[Double](n))
+        new Array[Double](n), new Array[Long](n))
     }
     val perMeasure = valueCols.map { c =>
       c -> (Tier.all.map(t => t -> alloc(t)).toMap,
@@ -486,19 +482,23 @@ object WheelIndex {
     // over the collected rows
     rows.foreach { r =>
       val slot = r.getLong(fi("slot_ms"))
+      val allRows = r.getLong(rowsIdx)
       perMeasure.foreach { case (_, (blocks, sI, cI, mnI, mxI, sqI)) =>
-        if (!r.isNullAt(sI)) {
-          val (s, c, mn, mx, sq) =
-            (r.getDouble(sI), r.getLong(cI), r.getDouble(mnI), r.getDouble(mxI),
-              r.getDouble(sqI))
-          Tier.all.foreach { tier =>
-            val b = blocks(tier)
-            val i = ((slot - base) / tier.ms).toInt
-            b.sum(i) += s
-            b.count(i) += c
-            b.min(i) = math.min(b.min(i), mn)
-            b.max(i) = math.max(b.max(i), mx)
-            b.sumSq(i) += sq
+        // rows fills unconditionally (COUNT(*) covers null-measure rows);
+        // the measure stats only from a non-null partial. An all-null
+        // slot's snapshot may also arrive identity-encoded (sum 0,
+        // cnt 0, min +inf, max −inf — the live ingest's shape), which
+        // folds in as a no-op below.
+        Tier.all.foreach { tier =>
+          val b = blocks(tier)
+          val i = ((slot - base) / tier.ms).toInt
+          b.rows(i) += allRows
+          if (!r.isNullAt(sI)) {
+            b.sum(i) += r.getDouble(sI)
+            b.count(i) += r.getLong(cI)
+            b.min(i) = math.min(b.min(i), r.getDouble(mnI))
+            b.max(i) = math.max(b.max(i), r.getDouble(mxI))
+            b.sumSq(i) += r.getDouble(sqI)
           }
         }
       }
@@ -511,7 +511,7 @@ object WheelIndex {
           val keepFrom = ((keepFromMs - base) / tier.ms).toInt
           var i = 0
           while (i < keepFrom && i < b.sum.length) {
-            b.sum(i) = 0.0; b.count(i) = 0L; b.sumSq(i) = 0.0
+            b.sum(i) = 0.0; b.count(i) = 0L; b.sumSq(i) = 0.0; b.rows(i) = 0L
             b.min(i) = Double.PositiveInfinity; b.max(i) = Double.NegativeInfinity
             i += 1
           }
@@ -531,16 +531,17 @@ object WheelIndex {
     val parts = runs.map { run =>
       rollups(run.tier)
         .filter(col("slot_ms") >= lit(run.startMs) && col("slot_ms") < lit(run.endMs))
-        .select(col("sum_v"), col("cnt"), col("min_v"), col("max_v"), col("sumsq_v"))
+        .select(col("sum_v"), col("cnt"), col("min_v"), col("max_v"), col("sumsq_v"),
+          col("rows"))
     }
     val all = parts.reduceOption(_.union(_)).getOrElse(
       spark.emptyDataFrame.select(
         lit(0.0).as("sum_v"), lit(0L).as("cnt"),
         lit(Double.PositiveInfinity).as("min_v"), lit(Double.NegativeInfinity).as("max_v"),
-        lit(0.0).as("sumsq_v")))
+        lit(0.0).as("sumsq_v"), lit(0L).as("rows")))
     all.agg(
       sum(col("sum_v")).as("sum_v"), sum(col("cnt")).as("cnt"),
       min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"),
-      sum(col("sumsq_v")).as("sumsq_v"))
+      sum(col("sumsq_v")).as("sumsq_v"), sum(col("rows")).as("rows"))
   }
 }

@@ -178,16 +178,18 @@ class WheelSpec extends AnyFunSuite {
     assert(bounded.retainedStartMs(Tier.Day) == bounded.baseMs)
   }
 
-  test("build fails fast on a NULL measure (COUNT(*) folding contract)") {
+  test("single-measure build indexes a nullable measure (COUNT(*)/COUNT(col) split)") {
     import spark.implicits._
     val df = Seq(
       (new java.sql.Timestamp(Jan1), Some(1.0)),
       (new java.sql.Timestamp(Jan1 + 1000L), Option.empty[Double]))
       .toDF("ts", "value")
-    val e = intercept[IllegalArgumentException] {
-      WheelIndex.build(df, "ts", "value")
-    }
-    assert(e.getMessage.contains("NULL"), e.getMessage)
+    val idx = WheelIndex.build(df, "ts", "value")
+    val all = idx.query(Jan1, Jan1 + 60000L)
+    assert(all.rows == 2L && all.count == 1L && all.sum == 1.0, all)
+    // sub-second range hits the residue scan over just the null row
+    val nullOnly = idx.query(Jan1 + 1000L, Jan1 + 2000L)
+    assert(nullOnly.rows == 1L && nullOnly.count == 0L, nullOnly)
   }
 
   test("incremental merge of disjoint partition rollups equals the full build") {
@@ -423,21 +425,35 @@ class WheelSpec extends AnyFunSuite {
     }
   }
 
-  test("multi-measure build rejects a NULL-bearing measure") {
+  test("nullable measures: rows carries COUNT(*), count the non-null values (round 11)") {
     import spark.implicits._
     val df = Seq(
       (new java.sql.Timestamp(Jan1), Some(1.0), 2.0),
-      (new java.sql.Timestamp(Jan1 + 60000L), None, 4.0))
+      (new java.sql.Timestamp(Jan1 + 60000L), None, 4.0),
+      (new java.sql.Timestamp(Jan1 + 60000L), None, 6.0),
+      (new java.sql.Timestamp(Jan1 + 120000L), Some(5.0), 8.0))
       .toDF("ts", "a", "b")
-    val e = intercept[IllegalArgumentException] {
-      WheelIndex.buildMulti(df, "ts", Seq("a", "b"))
-    }
-    assert(e.getMessage.contains("'a' has NULLs"), e.getMessage)
+    val wheels = WheelIndex.buildMulti(df, "ts", Seq("a", "b"))
+    val a = wheels("a").query(Jan1, Jan1 + 180000L)
+    // COUNT(*) sees all 4 rows; the measure stats cover the 2 non-nulls
+    assert(a.rows == 4L, a)
+    assert(a.count == 2L, a)
+    assert(a.sum == 6.0 && a.min == 1.0 && a.max == 5.0, a)
+    // the never-null sibling keeps rows == count
+    val b = wheels("b").query(Jan1, Jan1 + 180000L)
+    assert(b.rows == 4L && b.count == 4L && b.sum == 20.0, b)
+    // a range covering ONLY the all-null minute: COUNT(*) positive,
+    // measure aggregates empty (SQL NULL at the fold layer)
+    val mid = wheels("a").query(Jan1 + 60000L, Jan1 + 120000L)
+    assert(mid.rows == 2L && mid.count == 0L, mid)
+    // unaligned edges route through the residue scan with the same split
+    val edge = wheels("a").query(Jan1 + 30000L, Jan1 + 90000L)
+    assert(edge.rows == 2L && edge.count == 0L, edge)
   }
 
   test("index footprint is time-bounded, not row-bounded") {
-    // 30 days: 43 200 min + 720 h + 30 d slots × 4 arrays × 8 B ≈ 1.4 MB
-    assert(idx.sizeBytes < 2 * 1024 * 1024)
+    // 30 days: 43 200 min + 720 h + 30 d slots × 6 arrays × 8 B ≈ 2.1 MB
+    assert(idx.sizeBytes < 3 * 1024 * 1024)
     assert(idx.slotCounts(Tier.Minute) == 30 * 24 * 60)
   }
 }
