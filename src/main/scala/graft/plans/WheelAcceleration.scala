@@ -1738,10 +1738,11 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       val num = Subtract(q, Divide(Multiply(s, s), cnt))
       val den = if (samp) Subtract(cnt, Literal(1.0, DoubleType)) else cnt
       val v = Greatest(Seq(Divide(num, den), Literal(0.0, DoubleType)))
-      if (samp)
-        If(LessThanOrEqual(rows, Literal(1L, LongType)),
-          Literal(null, DoubleType), v)
-      else v
+      // Greatest SKIPS nulls, so the clamp alone would turn the
+      // empty-measure group's NULL into 0.0 — guard on the non-null
+      // count like the scan does (POP needs ≥1 value, SAMP ≥2)
+      If(LessThanOrEqual(rows, Literal(if (samp) 1L else 0L, LongType)),
+        Literal(null, DoubleType), v)
     }
     val newAggExprs = aggExprs.map { ne =>
       val substituted =

@@ -234,6 +234,37 @@ object Core {
           |MAX(value) AS max_value FROM events_wheel""".stripMargin)
     }),
 
+    // NULLABLE MEASURE fold (round 11): a measure column with SQL NULLs
+    // indexes and folds with the exact COUNT(*)/COUNT(col) split —
+    // partials carry a per-measure non-null count beside the row count,
+    // so COUNT(v) answers the non-null cardinality, COUNT(*) the row
+    // cardinality, and AVG/variance divide by the former (how Spark and
+    // DuckDB both treat NULL in aggregates). The measure is DERIVED
+    // deterministically (value nulled on the 'error' type) and written
+    // to a parquet keyed by the source fingerprint, so the oracle
+    // recomputes the identical table from `events` and staleness
+    // rebuilds instead of serving a stale derivation.
+    "q_wheel_nullable_sql" -> ((s, dir) => {
+      val srcFp = graft.wheel.SourceFingerprint.of(
+        s"$dir/events.parquet", s.sessionState.newHadoopConf())
+      val np = s"${sys.props("java.io.tmpdir")}/graft_nullable_" +
+        s"${dir.replaceAll("[^A-Za-z0-9]", "_")}_${srcFp.hashCode.toHexString}"
+      if (!new java.io.File(s"$np/_SUCCESS").exists)
+        t(s, dir, "events")
+          .withColumn("v", when(col("event_type") === lit("error"), lit(null))
+            .otherwise(col("value")))
+          .write.mode("overwrite").parquet(np)
+      graft.plans.WheelAcceleration.register(
+        s, np, s.read.parquet(np), valueCol = "v")
+      s.read.parquet(np).createOrReplaceTempView("events_nullable")
+      s.sql(
+        s"""SELECT COUNT(*) AS n_all, COUNT(v) AS n_v,
+           |ROUND(SUM(v), 2) AS sum_v, ROUND(AVG(v), 4) AS avg_v,
+           |MIN(v) AS min_v, MAX(v) AS max_v FROM events_nullable
+           |WHERE unix_millis(ts) >= $R3Start AND unix_millis(ts) < $R3End
+           |""".stripMargin)
+    }),
+
     // HYBRID residue fold (round 9, VERDICT r8 #6): the same plain-SQL
     // surface with an UNALIGNED range — sub-minute residue at both
     // edges. The rewrite folds the whole-minute interior to one
@@ -1076,6 +1107,12 @@ object Core {
       ("SELECT ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n, " +
         "ROUND(AVG(value), 4) AS avg_value, MIN(value) AS min_value, " +
         "MAX(value) AS max_value FROM events"),
+    "q_wheel_nullable_sql" ->
+      ("SELECT COUNT(*) AS n_all, COUNT(v) AS n_v, " +
+        "ROUND(SUM(v), 2) AS sum_v, ROUND(AVG(v), 4) AS avg_v, " +
+        "MIN(v) AS min_v, MAX(v) AS max_v FROM (SELECT ts, " +
+        "CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v " +
+        s"FROM events) WHERE epoch_ms(ts) >= $R3Start AND epoch_ms(ts) < $R3End"),
     "q_wheel_cohort" ->
       (s"WITH a AS (SELECT DISTINCT user_id FROM events " +
         s"WHERE epoch_ms(ts) >= $R1Start AND epoch_ms(ts) < $R1End), " +

@@ -138,6 +138,81 @@ class FoldSweepSpec extends AnyFunSuite {
     WheelAcceleration.clear()
   }
 
+  /** The NULLABLE-MEASURE sweep (round 11): the measure is `value`
+    * nulled wherever `event_type = 'error'` — so one whole key of the
+    * keyed grid is 100% NULL, plenty of minute slots are all-null, and
+    * every aggregate's NULL semantics (COUNT(*) vs COUNT(v), AVG/VAR
+    * over non-nulls only, SUM/MIN/MAX of an empty set = NULL) is
+    * exercised against the scan across the same grouping × range matrix
+    * as the base sweep. The binding contract is unchanged: registering
+    * an index never changes an answer. */
+  test("nullable-measure agg-mix × grouping × range folds match the scan") {
+    val np = s"${sys.props("java.io.tmpdir")}/graft_sweep_nullable"
+    events
+      .withColumn("v", org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.col("event_type") === "error",
+        org.apache.spark.sql.functions.lit(null))
+        .otherwise(org.apache.spark.sql.functions.col("value")))
+      .write.mode("overwrite").parquet(np)
+    def nev = spark.read.parquet(np)
+    def registerAll(): Unit = {
+      WheelAcceleration.register(spark, np, nev, valueCol = "v")
+      WheelAcceleration.registerKeyed(spark, np, nev, "event_type",
+        valueCol = "v")
+    }
+    registerAll()
+    nev.createOrReplaceTempView("ev_sweep_nullable")
+
+    val aggMixes = Seq(
+      "SUM(v) AS a1",
+      "COUNT(*) AS a1, COUNT(v) AS a2",
+      "AVG(v) AS a1, MIN(v) AS a2, MAX(v) AS a3",
+      "VAR_SAMP(v) AS a1, STDDEV_POP(v) AS a2",
+      // scalar over the COUNT split: non-null fraction per group
+      "COUNT(v) / COUNT(*) AS a1")
+    val groupings = Seq(
+      ("", ""),
+      ("(unix_millis(ts) div 60000) * 60000 AS g0, ", "GROUP BY 1"),
+      ("(unix_millis(ts) div 3600000) * 3600000 AS g0, ", "GROUP BY 1"),
+      ("date_trunc('day', ts) AS g0, ", "GROUP BY 1"),
+      ("window(ts, '2 hours') AS g0, ", "GROUP BY window(ts, '2 hours')"),
+      ("window(ts, '1 hour', '30 minutes') AS g0, ",
+        "GROUP BY window(ts, '1 hour', '30 minutes')"),
+      // the all-null 'error' key rides the keyed grid
+      ("event_type AS g0, (unix_millis(ts) div 3600000) * 3600000 AS g1, ",
+        "GROUP BY 1, 2"))
+    val ranges = Seq(
+      (Q.R1Start, Q.R1End),                   // day-aligned week
+      (Q.R1Start + 30123L, Q.R1End - 7001L),  // sub-minute hybrid edges
+      (-1L, -1L))                             // no predicate: full span
+
+    var folded = 0
+    var total = 0
+    for {
+      agg <- aggMixes
+      (gSel, gBy) <- groupings
+      (a, b) <- ranges
+    } {
+      val order =
+        if (gSel.isEmpty) ""
+        else if (gBy == "GROUP BY 1, 2") " ORDER BY 1, 2" else " ORDER BY 1"
+      val where =
+        if (a < 0) ""
+        else s"WHERE unix_millis(ts) >= $a AND unix_millis(ts) < $b "
+      val sql = s"SELECT $gSel$agg FROM ev_sweep_nullable $where$gBy$order"
+      total += 1
+      val acc = spark.sql(sql)
+      if (foldsToLocal(acc)) folded += 1
+      val got = acc.collect()
+      WheelAcceleration.clear()
+      val want = spark.sql(sql).collect()
+      registerAll()
+      assertSameRows(got, want, sql)
+    }
+    assert(folded * 2 >= total, s"only $folded/$total combinations folded")
+    WheelAcceleration.clear()
+  }
+
   /** The APPROX-SPELLING sweep (round 11): `approx_count_distinct` is
     * folded sketch-for-sketch from the Theta wheel, so fold-vs-scan
     * equality does NOT apply (the scan answers with Spark's HLL++
