@@ -188,7 +188,7 @@ object WheelAcceleration {
               AllAggregate.identity.copy(rows = r.getLong(tfi("rows")))
             else AllAggregate(r.getDouble(tfi(s"sum_$c")), r.getLong(tfi(s"cnt_$c")),
               r.getDouble(tfi(s"min_$c")), r.getDouble(tfi(s"max_$c")),
-              r.getDouble(tfi(s"sumsq_$c")), r.getLong(tfi("rows")))
+              r.getDouble(tfi(s"m2_$c")), r.getLong(tfi("rows")))
           }.toArray
           val n = r.getLong(tfi("rows"))
           merged.get(slot) match {
@@ -198,7 +198,7 @@ object WheelAcceleration {
           }
         }
         val partialCols = "slot_ms" +: valueCols.flatMap(c =>
-          Seq(s"sum_$c", s"cnt_$c", s"min_$c", s"max_$c", s"sumsq_$c")) :+ "rows"
+          Seq(s"sum_$c", s"cnt_$c", s"min_$c", s"max_$c", s"m2_$c")) :+ "rows"
         val fiMap = partialCols.zipWithIndex.toMap
         val rows = merged.toArray.sortBy(_._1).map { case (slot, (n, aggs)) =>
           // Seq[Any], element by element: a mixed Seq(double, long, …)
@@ -207,7 +207,7 @@ object WheelAcceleration {
           vals += slot
           valueCols.indices.foreach { i =>
             vals += aggs(i).sum; vals += aggs(i).count
-            vals += aggs(i).min; vals += aggs(i).max; vals += aggs(i).sumSq
+            vals += aggs(i).min; vals += aggs(i).max; vals += aggs(i).m2
           }
           vals += n
           org.apache.spark.sql.Row.fromSeq(vals.result())
@@ -294,7 +294,7 @@ object WheelAcceleration {
               AllAggregate.identity.copy(rows = r.getLong(tfi("rows")))
             else AllAggregate(r.getDouble(tfi(s"sum_$c")), r.getLong(tfi(s"cnt_$c")),
               r.getDouble(tfi(s"min_$c")), r.getDouble(tfi(s"max_$c")),
-              r.getDouble(tfi(s"sumsq_$c")), r.getLong(tfi("rows")))
+              r.getDouble(tfi(s"m2_$c")), r.getLong(tfi("rows")))
           }.toArray
           val n = r.getLong(tfi("rows"))
           merged.get((key, slot)) match {
@@ -304,7 +304,7 @@ object WheelAcceleration {
           }
         }
         val partialCols = Seq(keyCol, "slot_ms") ++ valueCols.flatMap(c =>
-          Seq(s"sum_$c", s"cnt_$c", s"min_$c", s"max_$c", s"sumsq_$c")) :+ "rows"
+          Seq(s"sum_$c", s"cnt_$c", s"min_$c", s"max_$c", s"m2_$c")) :+ "rows"
         val fiMap = partialCols.zipWithIndex.toMap
         val rows = merged.toArray
           .sortBy { case ((k, slot), _) => (k.toString, slot) }
@@ -313,7 +313,7 @@ object WheelAcceleration {
             vals += key; vals += slot
             valueCols.indices.foreach { i =>
               vals += aggs(i).sum; vals += aggs(i).count
-              vals += aggs(i).min; vals += aggs(i).max; vals += aggs(i).sumSq
+              vals += aggs(i).min; vals += aggs(i).max; vals += aggs(i).m2
             }
             vals += n
             org.apache.spark.sql.Row.fromSeq(vals.result())
@@ -467,7 +467,7 @@ object WheelAcceleration {
         else scala.util.Try {
           requireRawPipeline(spark, path, tsCol, events)
           val partialCols = "slot_ms" +: valueCols.flatMap(c =>
-            Seq(s"sum_$c", s"cnt_$c", s"min_$c", s"max_$c", s"sumsq_$c")) :+ "rows"
+            Seq(s"sum_$c", s"cnt_$c", s"min_$c", s"max_$c", s"m2_$c")) :+ "rows"
           // loadPartials validates version + slots fingerprint (torn
           // dirs throw -> full rebuild)
           val (_, persisted) = PersistentWheel.loadPartials(spark, indexDir)
@@ -1316,7 +1316,7 @@ object WheelAcceleration {
         else scala.util.Try {
           requireRawPipeline(spark, path, tsCol, events)
           val keyedCols = keyCol +: "slot_ms" +: valueCols.flatMap(c =>
-            Seq(s"sum_$c", s"cnt_$c", s"min_$c", s"max_$c", s"sumsq_$c")) :+ "rows"
+            Seq(s"sum_$c", s"cnt_$c", s"min_$c", s"max_$c", s"m2_$c")) :+ "rows"
           val (_, persisted) = PersistentWheel.loadPartialsKeyedMulti(spark, indexDir)
           val tailPartials = RollupBuilder.keyedRollupMulti(
             RollupBuilder.normalizeTs(spark.read.parquet(tail: _*), tsCol),
@@ -1415,8 +1415,10 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
   }
 
   private val IllCondNote =
-    "ill-conditioned second moment (|mean| >> stddev): the algebraic " +
-      "fold would lose the variance digits — scan kept (Welford path)"
+    "ill-conditioned second moment (|mean| >> stddev): the MERGE-FORM " +
+      "recombination (SUM of reconstructed Σx² partials) would lose the " +
+      "variance digits — scan kept (Welford path); plan-time folds are " +
+      "exempt (central m2, Chan-combined)"
 
   /** Record `reason` as the path's last bail when `opt` is empty —
     * the [[WheelAcceleration.lastBailReason]] feed. */
@@ -1575,16 +1577,20 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       measures.flatMap(c =>
         Seq(sumAttrs(c), minAttrs(c), maxAttrs(c), sumsqAttrs(c), cntAttrs(c))) :+
         rowsAttr
-    /** One partials row: per-measure (sum, min, max, sumsq, cnt) + the
-      * shared COUNT(*) rows. A measure with no non-null values in the
-      * partial emits SQL NULL stats (nullable measures, round 11) so
-      * the merge-form SUM/MIN/MAX see exactly what a scan's partial
-      * aggregation would hand them. */
+    /** One partials row: per-measure (sum, min, max, Σx², cnt) + the
+      * shared COUNT(*) rows. The Σx² is reconstructed from the central
+      * m2 ([[AllAggregate.sumSqEquiv]]) so the executor-side merge
+      * stays a plain SUM — re-entering algebraic territory, which is
+      * why merge-form second moments keep the conditioning gate. A
+      * measure with no non-null values in the partial emits SQL NULL
+      * stats (nullable measures, round 11) so the merge-form
+      * SUM/MIN/MAX see exactly what a scan's partial aggregation would
+      * hand them. */
     def partialsRow(alls: Map[String, AllAggregate], rows: Long): Seq[Any] =
       measures.flatMap { c =>
         val al = alls(c)
         if (al.count == 0L) Seq[Any](null, null, null, null, 0L)
-        else Seq[Any](al.sum, al.min, al.max, al.sumSq, al.count)
+        else Seq[Any](al.sum, al.min, al.max, al.sumSqEquiv, al.count)
       } :+ rows
   }
 
@@ -1808,14 +1814,18 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
   }
 
   /** True when any output aggregate is a second-moment call — those
-    * need the interior-partials conditioning gate before any merge-form
+    * need the interior-partials conditioning gate before any MERGE-FORM
     * fold (round 11, ADVICE r10): the merge expression re-derives the
-    * variance algebraically from the shipped sum/sumsq partials, which
-    * cancels catastrophically when |mean| >> stddev. Each fold site
+    * variance algebraically from the shipped sum/Σx² partials (Σx²
+    * reconstructed from the central m2 via [[AllAggregate.sumSqEquiv]]
+    * so executor recombination stays a plain SUM), which cancels
+    * catastrophically when |mean| >> stddev. Each merge-form fold site
     * checks the partials it is about to ship
     * ([[AllAggregate.varWellConditioned]] — the per-group interior
     * partial for the residues, each minute entry for the distributed
-    * fallbacks) and keeps the scan when any fails. */
+    * fallbacks) and keeps the scan when any fails. PLAN-TIME folds
+    * ([[foldRow]]) need no gate: their variance reads the Chan-combined
+    * central moment directly and is Welford-exact. */
   private def hasSecondMoment(aggExprs: Seq[NamedExpression]): Boolean =
     aggExprs.exists(_.exists {
       case e: AggregateExpression => e.aggregateFunction match {
@@ -1840,7 +1850,9 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       newAggExprs <- mergeAggExprs(parts.cols, wheels.keySet, aggExprs, Seq.empty)
       alls = wheels.map { case (c, i) => c -> i.query(aCeil, bFloor) }
       if !hasSecondMoment(aggExprs) ||
-        alls.valuesIterator.forall(_.varWellConditioned)
+        alls.valuesIterator.forall(_.varWellConditioned) || {
+          foldBailNote = IllCondNote; false // record WHY the fold is refused
+        }
     } yield {
       // union leg 1: the interior, folded from the index to one row
       val anyAll = alls.valuesIterator.next()
@@ -3236,21 +3248,20 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
             case _ => false
           } =>
           anyAll.map(al => Literal(al.rows, LongType))
-        // second moment from the sumsq partial (round 10); SAMP is NULL
-        // below two rows, so only the default nullOnDivideByZero=true
-        // spelling folds. ILL-CONDITIONED ranges (|mean| >> stddev —
-        // the algebraic form cancels catastrophically where the scan's
-        // Welford path doesn't) refuse the fold and keep the scan
-        // (round 11, ADVICE r10: AllAggregate.varWellConditioned).
-        case VariancePop(c, _) => varGated(c)(folded(c)(_.varPop))
-        case StddevPop(c, _) => varGated(c)(folded(c)(_.stddevPop))
+        // second moment from the CENTRAL m2 partial (round 11, ADVICE
+        // r10): Chan-combined per slot, so the plan-time fold is
+        // Welford-exact at ANY conditioning — the round-10/-early-11
+        // ill-conditioned bail is gone from this path (only merge-form
+        // recombinations, which SUM reconstructed Σx², still gate).
+        // SAMP is NULL below two rows, so only the default
+        // nullOnDivideByZero=true spelling folds.
+        case VariancePop(c, _) => folded(c)(_.varPop)
+        case StddevPop(c, _) => folded(c)(_.stddevPop)
         case VarianceSamp(c, true) => measure(c).flatMap(all =>
           if (all.count < 2) Some(Literal(null, DoubleType))
-          else if (!all.varWellConditioned) { foldBailNote = IllCondNote; None }
           else Some(Literal(all.varSamp, DoubleType)))
         case StddevSamp(c, true) => measure(c).flatMap(all =>
           if (all.count < 2) Some(Literal(null, DoubleType))
-          else if (!all.varWellConditioned) { foldBailNote = IllCondNote; None }
           else Some(Literal(all.stddevSamp, DoubleType)))
         case f => sketch.flatMap(sk => sketchLit(f, sk, range._1, range._2))
       }
@@ -3260,13 +3271,6 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
         supported = false; e
       }
     }
-    def varGated(c: Expression)(r: => Option[Expression]): Option[Expression] =
-      measure(c) match {
-        case Some(all) if !all.varWellConditioned =>
-          foldBailNote = IllCondNote; None
-        case Some(_) => r
-        case None => None
-      }
     val folded = aggExprs.map { ne =>
       val substituted =
         if (groupSubst.isEmpty) ne

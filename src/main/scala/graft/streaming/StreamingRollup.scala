@@ -15,7 +15,7 @@ import graft.wheel.Tier
   *     on the sink table, mirroring tick roll-up.
   *
   * Batch and streaming builds produce the same schema
-  * `(slot_ms, sum_v, cnt, min_v, max_v, rows, sumsq_v)`, asserted in
+  * `(slot_ms, sum_v, cnt, min_v, max_v, rows, m2_v)`, asserted in
   * StreamingRollupSpec. */
 object StreamingRollup {
 
@@ -32,10 +32,10 @@ object StreamingRollup {
         min(col(valueCol)).as("min_v"),
         max(col(valueCol)).as("max_v"),
         count(lit(1)).as("rows"),
-        sum(col(valueCol) * col(valueCol)).as("sumsq_v"))
+        (var_pop(col(valueCol)) * count(col(valueCol))).as("m2_v"))
       .select(unix_millis(col("w.start")).as("slot_ms"),
         col("sum_v"), col("cnt"), col("min_v"), col("max_v"), col("rows"),
-        col("sumsq_v"))
+        col("m2_v"))
 
   /** Slot width sanity: streaming windows are exactly the finest tier. */
   val SlotMs: Long = Tier.Minute.ms
@@ -54,10 +54,10 @@ object StreamingRollup {
         min(col(valueCol)).as("min_v"),
         max(col(valueCol)).as("max_v"),
         count(lit(1)).as("rows"),
-        sum(col(valueCol) * col(valueCol)).as("sumsq_v"))
+        (var_pop(col(valueCol)) * count(col(valueCol))).as("m2_v"))
       .select(col(keyCol).as("key"), unix_millis(col("w.start")).as("slot_ms"),
         col("sum_v"), col("cnt"), col("min_v"), col("max_v"), col("rows"),
-        col("sumsq_v"))
+        col("m2_v"))
 
   /** Minute-tier streaming HLL sketch rollup — the distinct-count
     * analogue of [[minuteRollup]] (same slotting/watermark contract);

@@ -46,7 +46,7 @@ final class LiveWheel(keepMinutes: Option[Int] = None) extends Serializable {
       minutes.put(slot, Slot(
         r.getDouble(r.fieldIndex("sum_v")), r.getLong(r.fieldIndex("cnt")),
         r.getDouble(r.fieldIndex("min_v")), r.getDouble(r.fieldIndex("max_v")),
-        r.getDouble(r.fieldIndex("sumsq_v"))))
+        r.getDouble(r.fieldIndex("m2_v"))))
       if (slot > highWatermarkMs) highWatermarkMs = slot
     }
     keepMinutes.foreach(n => LiveWheel.evictBefore(minutes, highWatermarkMs, n))
@@ -67,7 +67,7 @@ final class LiveWheel(keepMinutes: Option[Int] = None) extends Serializable {
       // typed streaming slots carry non-null Double values, so the
       // measure count doubles as the row count (rows = cnt)
       if (s != null && s.cnt > 0)
-        acc = acc.combine(AllAggregate(s.sum, s.cnt, s.min, s.max, s.sumSq, s.cnt))
+        acc = acc.combine(AllAggregate(s.sum, s.cnt, s.min, s.max, s.m2, s.cnt))
     }
     acc
   }
@@ -86,7 +86,7 @@ final class LiveWheel(keepMinutes: Option[Int] = None) extends Serializable {
 
 object LiveWheel {
   private[streaming] final case class Slot(sum: Double, cnt: Long, min: Double,
-      max: Double, sumSq: Double)
+      max: Double, m2: Double)
 
   /** The one decompose-then-walk-minute-slots skeleton every live wheel
     * queries through (the live indexes retain only the minute tier, so
@@ -331,7 +331,7 @@ final class KeyedLiveWheel(keepMinutes: Option[Int] = None) extends Serializable
       m.put(slot, Slot(
         r.getDouble(r.fieldIndex("sum_v")), r.getLong(r.fieldIndex("cnt")),
         r.getDouble(r.fieldIndex("min_v")), r.getDouble(r.fieldIndex("max_v")),
-        r.getDouble(r.fieldIndex("sumsq_v"))))
+        r.getDouble(r.fieldIndex("m2_v"))))
       if (slot > highWatermarkMs) highWatermarkMs = slot
     }
     keepMinutes.foreach { n =>
@@ -387,7 +387,7 @@ final class KeyedLiveWheel(keepMinutes: Option[Int] = None) extends Serializable
       // typed streaming slots carry non-null Double values, so the
       // measure count doubles as the row count (rows = cnt)
       if (s != null && s.cnt > 0)
-        acc = acc.combine(AllAggregate(s.sum, s.cnt, s.min, s.max, s.sumSq, s.cnt))
+        acc = acc.combine(AllAggregate(s.sum, s.cnt, s.min, s.max, s.m2, s.cnt))
     }
     acc
   }

@@ -135,17 +135,29 @@ object WheelIngest {
         keyedFreqCols.nonEmpty
   }
 
-  /** Per-slot accumulator state: one (sum, cnt, min, max, sumsq) block
-    * per measure, plus the shared all-rows count. */
+  /** Per-slot accumulator state: one (sum, cnt, min, max, central m2)
+    * block per measure, plus the shared all-rows count. The second
+    * moment combines with Chan's parallel update off the PRE-merge
+    * sums/counts (round 11, ADVICE r10) — exact at any conditioning,
+    * matching the batch build's [[graft.wheel.AllAggregate.combine]]. */
   private final case class Slot(sums: Array[Double], cnts: Array[Long],
-      mins: Array[Double], maxs: Array[Double], sumsqs: Array[Double],
+      mins: Array[Double], maxs: Array[Double], m2s: Array[Double],
       rows: Long) {
     def merge(o: Slot): Slot = Slot(
       Array.tabulate(sums.length)(i => sums(i) + o.sums(i)),
       Array.tabulate(cnts.length)(i => cnts(i) + o.cnts(i)),
       Array.tabulate(mins.length)(i => math.min(mins(i), o.mins(i))),
       Array.tabulate(maxs.length)(i => math.max(maxs(i), o.maxs(i))),
-      Array.tabulate(sumsqs.length)(i => sumsqs(i) + o.sumsqs(i)),
+      Array.tabulate(m2s.length) { i =>
+        if (cnts(i) == 0L) o.m2s(i)
+        else if (o.cnts(i) == 0L) m2s(i)
+        else {
+          val d = o.sums(i) / o.cnts(i) - sums(i) / cnts(i)
+          m2s(i) + o.m2s(i) +
+            d * d * (cnts(i).toDouble * o.cnts(i).toDouble /
+              (cnts(i) + o.cnts(i)).toDouble)
+        }
+      },
       rows + o.rows)
   }
 
@@ -196,10 +208,10 @@ object WheelIngest {
     def coveredFingerprint(): String =
       coveredTokens.toArray(new Array[String](0)).sorted.mkString("|")
 
-    // minuteRollupMulti shape: slot_ms, (sum/cnt/min/max/sumsq)×measure, rows
+    // minuteRollupMulti shape: slot_ms, (sum/cnt/min/max/m2)×measure, rows
     val partialCols =
       "slot_ms" +: valueCols.flatMap(c =>
-        Seq(s"sum_$c", s"cnt_$c", s"min_$c", s"max_$c", s"sumsq_$c")) :+ "rows"
+        Seq(s"sum_$c", s"cnt_$c", s"min_$c", s"max_$c", s"m2_$c")) :+ "rows"
     val fi: String => Int = partialCols.zipWithIndex.toMap
 
     def mergeRows(rows: Array[Row]): Unit = rows.foreach { r =>
@@ -211,7 +223,7 @@ object WheelIngest {
           "cannot cover null timestamps")
       val all = r.getLong(fi("rows"))
       // nullable measures (round 11): an all-null slot partial arrives
-      // with null sum/min/max/sumsq — encode the combine identities so
+      // with null sum/min/max/m2 — encode the combine identities so
       // the merge and snapshot stay null-free (rows carries COUNT(*))
       val slot = Slot(
         Array.tabulate(n)(i => if (r.isNullAt(1 + 5 * i)) 0.0 else r.getDouble(1 + 5 * i)),
@@ -233,7 +245,7 @@ object WheelIngest {
         val e = it.next()
         val s = e.getValue
         val vals = Seq.tabulate(n)(i =>
-          Seq[Any](s.sums(i), s.cnts(i), s.mins(i), s.maxs(i), s.sumsqs(i))).flatten
+          Seq[Any](s.sums(i), s.cnts(i), s.mins(i), s.maxs(i), s.m2s(i))).flatten
         buf += Row.fromSeq(e.getKey.longValue() +: vals :+ s.rows)
       }
       buf.result()
@@ -257,7 +269,7 @@ object WheelIngest {
     // keyedRollupMulti shape: key, slot_ms, blocks×measure, rows
     val keyedPartialCols: Seq[String] = keyCol.toSeq.flatMap(k =>
       k +: "slot_ms" +: valueCols.flatMap(c =>
-        Seq(s"sum_$c", s"cnt_$c", s"min_$c", s"max_$c", s"sumsq_$c")) :+ "rows")
+        Seq(s"sum_$c", s"cnt_$c", s"min_$c", s"max_$c", s"m2_$c")) :+ "rows")
     val kfi: String => Int = keyedPartialCols.zipWithIndex.toMap
     def mergeKeyedRows(rows: Array[Row]): Unit = rows.foreach { r =>
       val all = r.getLong(kfi("rows"))
@@ -280,7 +292,7 @@ object WheelIngest {
         val e = it.next()
         val ((key, slotMs), s) = (e.getKey, e.getValue)
         val vals = Seq.tabulate(n)(i =>
-          Seq[Any](s.sums(i), s.cnts(i), s.mins(i), s.maxs(i), s.sumsqs(i))).flatten
+          Seq[Any](s.sums(i), s.cnts(i), s.mins(i), s.maxs(i), s.m2s(i))).flatten
         buf += Row.fromSeq(key +: slotMs +: vals :+ s.rows)
       }
       buf.result()
@@ -408,7 +420,7 @@ object WheelIngest {
           StructField(s"cnt_$c", LongType, nullable = false),
           StructField(s"min_$c", DoubleType, nullable = false),
           StructField(s"max_$c", DoubleType, nullable = false),
-          StructField(s"sumsq_$c", DoubleType, nullable = false))) :+
+          StructField(s"m2_$c", DoubleType, nullable = false))) :+
         StructField("rows", LongType, nullable = false))
     def persistAccumulator(): Unit = persistDir.foreach { d =>
       val fp = coveredFingerprint()
@@ -431,7 +443,7 @@ object WheelIngest {
                 StructField(s"cnt_$c", LongType, nullable = false),
                 StructField(s"min_$c", DoubleType, nullable = false),
                 StructField(s"max_$c", DoubleType, nullable = false),
-                StructField(s"sumsq_$c", DoubleType, nullable = false))) :+
+                StructField(s"m2_$c", DoubleType, nullable = false))) :+
               StructField("rows", LongType, nullable = false))
           val df = spark.createDataFrame(
             java.util.Arrays.asList(keyedSnapshotRows(): _*), keyedSchema)

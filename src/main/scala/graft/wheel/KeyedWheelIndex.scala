@@ -165,7 +165,7 @@ object KeyedWheelIndex {
     // with null sum/min/max and folds in as the combine identity
     valueCols.map { c =>
       val (sI, cI, mnI, mxI, sqI) = (fi(s"sum_$c"), fi(s"cnt_$c"),
-        fi(s"min_$c"), fi(s"max_$c"), fi(s"sumsq_$c"))
+        fi(s"min_$c"), fi(s"max_$c"), fi(s"m2_$c"))
       c -> fromEntryRows(rows.iterator.map(r => (r.get(keyIdx), r.getLong(slotIdx),
         if (r.isNullAt(sI)) AllAggregate.identity.copy(rows = r.getLong(rowsIdx))
         else AllAggregate(r.getDouble(sI), r.getLong(cI), r.getDouble(mnI),
@@ -203,7 +203,7 @@ object KeyedWheelIndex {
   private[graft] def partials(events: DataFrame, keyCol: String,
       tsCol: String, valueCol: String): DataFrame =
     RollupBuilder.keyedRollup(events, keyCol, tsCol, valueCol, Tier.Minute)
-      .select(keyCol, "slot_ms", "sum_v", "cnt", "min_v", "max_v", "rows", "sumsq_v")
+      .select(keyCol, "slot_ms", "sum_v", "cnt", "min_v", "max_v", "rows", "m2_v")
 
   /** Driver-side fill from collected [[partials]] rows — shared by
     * [[build]] and [[PersistentWheel.loadKeyed]]. */

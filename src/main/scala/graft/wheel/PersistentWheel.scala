@@ -27,7 +27,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * {{{
   *   slots.parquet/   minuteRollupMulti partials (slot_ms, per-measure
-  *                    sum/cnt/min/max/sumsq, rows)
+  *                    sum/cnt/min/max/m2, rows)
   *   meta.graft       version / tsCol / valueCols / source fingerprint
   * }}}
   */
@@ -59,12 +59,14 @@ object PersistentWheel {
       sourcePath: String = "", slotsFingerprint: String = "",
       slotsDir: String = "slots.parquet")
 
-  // Version 2 (round 10): partials carry the `sumsq` second-moment
-  // column (variance/stddev folds). v1 dirs lack it; the version gate
-  // makes every loader reject them, and every registration path already
-  // answers a failed load by rebuilding from source and re-saving —
-  // old warehouses upgrade themselves on first touch.
-  private val Version = 2
+  // Version 3 (round 11): the second-moment column switched encoding
+  // from raw `sumsq` (Σx², cancels catastrophically for |mean| ≫
+  // stddev) to CENTRAL `m2` (Σ(x − mean)², Chan-combined — ADVICE r10).
+  // v2 dirs carry the old encoding under the old column name; the
+  // version gate makes every loader reject them, and every registration
+  // path already answers a failed load by rebuilding from source and
+  // re-saving — old warehouses upgrade themselves on first touch.
+  private val Version = 3
   private val MetaFile = "meta.graft"
   private val SlotsDir = "slots.parquet"
   val SumKind = "sum"
@@ -215,7 +217,7 @@ object PersistentWheel {
         s"found ${meta.valueCols.mkString("[", ", ", "]")}")
     val Seq(keyCol, valueCol) = meta.valueCols
     val ordered =
-      df.select(keyCol, "slot_ms", "sum_v", "cnt", "min_v", "max_v", "rows", "sumsq_v")
+      df.select(keyCol, "slot_ms", "sum_v", "cnt", "min_v", "max_v", "rows", "m2_v")
     (meta, KeyedWheelIndex.fromPartialRows(
       ordered.collect(), keyCol, ordered.schema(keyCol).dataType, valueCol))
   }

@@ -1,6 +1,7 @@
 package graft.wheel
 
-import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Builds the per-tier pre-aggregated rollup tables — the Spark-native
@@ -8,8 +9,12 @@ import org.apache.spark.sql.functions._
   * `advance`, /root/reference/src/main.rs:105–144).
   *
   * Each tier is a DataFrame `(slot_ms: Long, sum_v, cnt, min_v, max_v,
-  * sumsq_v)` — the "All" aggregate partial (sum/count/min/max/sum-of-
-  * squares; avg and variance derived at lower).
+  * m2_v)` — the "All" aggregate partial (sum/count/min/max/central second
+  * moment; avg and variance derived at lower). The second moment is
+  * CENTRAL (`m2 = Σ(x − mean)²`, round 11, ADVICE r10): per-slot it is
+  * computed by Spark's own Welford path (`var_pop · count`), and partials
+  * combine with Chan's parallel update — numerically exact where the raw
+  * Σx² encoding cancelled catastrophically for |mean| ≫ stddev.
   * The minute tier aggregates the source once; hour and day tiers are
   * derived FROM the minute tier (re-aggregation of partials, not a rescan),
   * mirroring the wheel's tick roll-up (seconds→minutes→hours→days,
@@ -47,6 +52,10 @@ object RollupBuilder {
       case _ => events
     }
 
+  /** Per-slot central second moment off Spark's Welford accumulator —
+    * `var_pop(v) · count(v)`; NULL on an all-null slot (like `sum`). */
+  private def m2Agg(v: Column): Column = var_pop(v) * count(v)
+
   /** One pass over the source → finest-tier partials. `rows` (count of
     * ALL rows, NULL measures included) rides along so COUNT(*) is
     * answerable exactly and the never-null-measure contract is checkable
@@ -61,7 +70,7 @@ object RollupBuilder {
         min(col("v")).as("min_v"),
         max(col("v")).as("max_v"),
         count(lit(1)).as("rows"),
-        sum(col("v") * col("v")).as("sumsq_v"))
+        m2Agg(col("v")).as("m2_v"))
 
   /** N-measure variant of [[minuteRollup]]: ONE pass over the source
     * computes every measure's sum/count/min/max per minute slot —
@@ -76,7 +85,7 @@ object RollupBuilder {
     val aggs = valueCols.flatMap { c =>
       Seq(sum(col(c)).as(s"sum_$c"), count(col(c)).as(s"cnt_$c"),
         min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
-        sum(col(c) * col(c)).as(s"sumsq_$c"))
+        m2Agg(col(c)).as(s"m2_$c"))
     } :+ count(lit(1)).as("rows")
     events
       .select(slotMs(col(tsCol), Tier.Minute).as("slot_ms") +: valueCols.map(col): _*)
@@ -84,17 +93,50 @@ object RollupBuilder {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Combine same-shape partial rows by `groupCols` with Chan's
+    * parallel-Welford update kept STABLE in SQL: a window pass computes
+    * each group's combined mean first, then the aggregation sums each
+    * partial's `m2 + cnt·(mean − groupMean)²` — the exact generalized
+    * Chan identity, with every addend non-negative (no catastrophic
+    * subtraction; the raw `Σ sumsq − (Σ sum)²/n` form lost
+    * ~log₁₀(mean²/var) digits). Runs only over TIME-BOUNDED partial
+    * tables (minutes of retained span), so the extra window shuffle is
+    * over thousands of rows, never source data. All-null partials
+    * (cnt = 0) contribute nothing; an all-null group yields NULL m2,
+    * matching its NULL sum. */
+  private def chanCombine(parts: DataFrame, groupCols: Seq[Column],
+      groupNames: Seq[String],
+      measures: Seq[(String, String, String, String, String)]): DataFrame = {
+    val named = groupNames.zip(groupCols).foldLeft(parts) {
+      case (df, (n, c)) => df.withColumn(n, c)
+    }
+    val w = Window.partitionBy(groupNames.map(col): _*)
+    val withG = measures.foldLeft(named) { case (df, (s, c, _, _, _)) =>
+      df.withColumn(s"__g_$s", sum(col(s)).over(w))
+        .withColumn(s"__g_$c", sum(col(c)).over(w))
+    }
+    val aggs = measures.flatMap { case (s, c, mn, mx, m2) =>
+      val mean = col(s) / col(c)
+      val gmean = col(s"__g_$s") / col(s"__g_$c")
+      val d = mean - gmean
+      Seq(sum(col(s)).as(s), sum(col(c)).as(c),
+        min(col(mn)).as(mn), max(col(mx)).as(mx),
+        sum(when(col(c) > 0, col(m2) + col(c) * d * d)).as(m2))
+    } :+ sum(col("rows")).as("rows")
+    withG.groupBy(groupNames.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  private val SingleMeasure = Seq(("sum_v", "cnt", "min_v", "max_v", "m2_v"))
+  private def multiMeasures(valueCols: Seq[String]) =
+    valueCols.map(c => (s"sum_$c", s"cnt_$c", s"min_$c", s"max_$c", s"m2_$c"))
+
   /** Derive a coarser tier from a finer one by combining partials. */
   def coarsen(finer: DataFrame, tier: Tier): DataFrame =
-    finer
-      .groupBy(((col("slot_ms").divide(lit(tier.ms))).cast("long") * lit(tier.ms)).as("slot_ms"))
-      .agg(
-        sum(col("sum_v")).as("sum_v"),
-        sum(col("cnt")).as("cnt"),
-        min(col("min_v")).as("min_v"),
-        max(col("max_v")).as("max_v"),
-        sum(col("rows")).as("rows"),
-        sum(col("sumsq_v")).as("sumsq_v"))
+    chanCombine(finer.withColumnRenamed("slot_ms", "__fine_slot_ms"),
+      Seq(((col("__fine_slot_ms").divide(lit(tier.ms))).cast("long") * lit(tier.ms))
+        .cast("long")),
+      Seq("slot_ms"), SingleMeasure)
+      .select("slot_ms", "sum_v", "cnt", "min_v", "max_v", "rows", "m2_v")
 
   /** All retained tiers, finest built from source, coarser from finer. */
   def buildAll(events: DataFrame, tsCol: String, valueCol: String): Map[Tier, DataFrame] = {
@@ -110,15 +152,9 @@ object RollupBuilder {
     * standing rollup instead of rescanning history. Exactness is
     * asserted in WheelSpec (merge of disjoint halves == full build). */
   def merge(a: DataFrame, b: DataFrame): DataFrame =
-    a.unionByName(b)
-      .groupBy("slot_ms")
-      .agg(
-        sum(col("sum_v")).as("sum_v"),
-        sum(col("cnt")).as("cnt"),
-        min(col("min_v")).as("min_v"),
-        max(col("max_v")).as("max_v"),
-        sum(col("rows")).as("rows"),
-        sum(col("sumsq_v")).as("sumsq_v"))
+    chanCombine(a.unionByName(b).withColumnRenamed("slot_ms", "__in_slot_ms"),
+      Seq(col("__in_slot_ms")), Seq("slot_ms"), SingleMeasure)
+      .select("slot_ms", "sum_v", "cnt", "min_v", "max_v", "rows", "m2_v")
 
   /** N-measure variant of [[merge]] (late round 10): combine
     * same-shape [[minuteRollupMulti]] partials by slot — the
@@ -127,12 +163,9 @@ object RollupBuilder {
     * merged partial set, no history rescan). */
   def mergeMulti(parts: DataFrame, valueCols: Seq[String]): DataFrame = {
     require(valueCols.nonEmpty, "need at least one measure column")
-    val aggs = valueCols.flatMap { c =>
-      Seq(sum(col(s"sum_$c")).as(s"sum_$c"), sum(col(s"cnt_$c")).as(s"cnt_$c"),
-        min(col(s"min_$c")).as(s"min_$c"), max(col(s"max_$c")).as(s"max_$c"),
-        sum(col(s"sumsq_$c")).as(s"sumsq_$c"))
-    } :+ sum(col("rows")).as("rows")
-    parts.groupBy("slot_ms").agg(aggs.head, aggs.tail: _*)
+    chanCombine(parts.withColumnRenamed("slot_ms", "__in_slot_ms"),
+      Seq(col("__in_slot_ms")), Seq("slot_ms"), multiMeasures(valueCols))
+      .drop("__in_slot_ms")
   }
 
   /** Per-key wheel: rollup keyed by (dimension, slot) — how the
@@ -150,7 +183,7 @@ object RollupBuilder {
         min(col("v")).as("min_v"),
         max(col("v")).as("max_v"),
         count(lit(1)).as("rows"),
-        sum(col("v") * col("v")).as("sumsq_v"))
+        m2Agg(col("v")).as("m2_v"))
 
   /** N-measure variant of [[keyedRollup]] (round 10, VERDICT r9 #5):
     * ONE pass computes every measure's block per (key, slot) — the
@@ -163,7 +196,7 @@ object RollupBuilder {
     val aggs = valueCols.flatMap { c =>
       Seq(sum(col(c)).as(s"sum_$c"), count(col(c)).as(s"cnt_$c"),
         min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
-        sum(col(c) * col(c)).as(s"sumsq_$c"))
+        m2Agg(col(c)).as(s"m2_$c"))
     } :+ count(lit(1)).as("rows")
     events
       .select(col(keyCol) +: slotMs(col(tsCol), tier).as("slot_ms") +:
@@ -179,24 +212,18 @@ object RollupBuilder {
   def mergeKeyedMulti(parts: DataFrame, keyCol: String,
       valueCols: Seq[String]): DataFrame = {
     require(valueCols.nonEmpty, "need at least one measure column")
-    val aggs = valueCols.flatMap { c =>
-      Seq(sum(col(s"sum_$c")).as(s"sum_$c"), sum(col(s"cnt_$c")).as(s"cnt_$c"),
-        min(col(s"min_$c")).as(s"min_$c"), max(col(s"max_$c")).as(s"max_$c"),
-        sum(col(s"sumsq_$c")).as(s"sumsq_$c"))
-    } :+ sum(col("rows")).as("rows")
-    parts.groupBy(col(keyCol), col("slot_ms")).agg(aggs.head, aggs.tail: _*)
+    chanCombine(parts.withColumnRenamed("slot_ms", "__in_slot_ms"),
+      Seq(col(keyCol), col("__in_slot_ms")), Seq(keyCol, "slot_ms"),
+      multiMeasures(valueCols))
+      .drop("__in_slot_ms")
   }
 
   /** Coarsen a keyed rollup, preserving the key. */
   def coarsenKeyed(finer: DataFrame, keyCol: String, tier: Tier): DataFrame =
-    finer
-      .groupBy(col(keyCol),
-        ((col("slot_ms").divide(lit(tier.ms))).cast("long") * lit(tier.ms)).as("slot_ms"))
-      .agg(
-        sum(col("sum_v")).as("sum_v"),
-        sum(col("cnt")).as("cnt"),
-        min(col("min_v")).as("min_v"),
-        max(col("max_v")).as("max_v"),
-        sum(col("rows")).as("rows"),
-        sum(col("sumsq_v")).as("sumsq_v"))
+    chanCombine(finer.withColumnRenamed("slot_ms", "__fine_slot_ms"),
+      Seq(col(keyCol),
+        ((col("__fine_slot_ms").divide(lit(tier.ms))).cast("long") * lit(tier.ms))
+          .cast("long")),
+      Seq(keyCol, "slot_ms"), SingleMeasure)
+      .select(keyCol, "slot_ms", "sum_v", "cnt", "min_v", "max_v", "rows", "m2_v")
 }

@@ -3,14 +3,19 @@ package graft.wheel
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** The "All" aggregate over a time range: sum/count/min/max/sum-of-squares
+/** The "All" aggregate over a time range: sum/count/min/max/second moment
   * (+ avg and variance at lower), mirroring µWheel's `All` aggregator
   * family (uwheel 0.1.2's shipped aggregators; only `F64SumAggregator` is
   * exercised at /root/reference/src/main.rs:15, but the family is the
-  * capability). `sumSq` (round 10) extends the family with the remaining
-  * mergeable second moment, so `var_pop`/`stddev` over any time range
-  * folds from the index exactly like sum/avg — variance is algebraic
-  * ((Σx² − (Σx)²/n)/n), so the partial stays a constant-width block.
+  * capability). The second moment is stored CENTRAL (round 11, ADVICE
+  * r10): `m2 = Σ(x − mean)²` per partial, combined with Chan's parallel
+  * update (`m2a + m2b + δ²·na·nb/n`) — numerically equivalent to the
+  * Welford path Spark's scan takes, so `var_pop`/`stddev` fold from the
+  * index EXACTLY even when |mean| ≫ stddev, where the round-10 raw-Σx²
+  * form cancelled catastrophically and had to bail to the scan. The
+  * partial stays a constant-width block; `Σx²` remains derivable
+  * ([[AllAggregate.sumSqEquiv]]) for merge-form Aggregates that combine
+  * shipped partials with plain SUMs (those keep the conditioning gate).
   *
   * NULLABLE MEASURES (round 11): `rows` carries the COUNT(*) the range
   * covers while `count` is the number of NON-NULL measure values — the
@@ -21,31 +26,39 @@ import org.apache.spark.sql.functions._
   * the all-rows cardinality. An all-null partial is `sum=0, count=0,
   * min=+∞, max=−∞` — the combine identities — plus its positive
   * `rows`. */
-final case class AllAggregate(sum: Double, count: Long, min: Double, max: Double, sumSq: Double, rows: Long) {
-  def combine(o: AllAggregate): AllAggregate =
-    AllAggregate(sum + o.sum, count + o.count, math.min(min, o.min),
-      math.max(max, o.max), sumSq + o.sumSq, rows + o.rows)
+final case class AllAggregate(sum: Double, count: Long, min: Double, max: Double, m2: Double, rows: Long) {
+  def combine(o: AllAggregate): AllAggregate = {
+    val n = count + o.count
+    // Chan's parallel central-moment update: exact where the raw-Σx²
+    // form cancels. Empty sides short-circuit so the identity partial
+    // (count 0, m2 0) combines as a no-op.
+    val m2c =
+      if (count == 0L) o.m2
+      else if (o.count == 0L) m2
+      else {
+        val d = o.sum / o.count - sum / count
+        m2 + o.m2 + d * d * (count.toDouble * o.count.toDouble / n.toDouble)
+      }
+    AllAggregate(sum + o.sum, n, math.min(min, o.min),
+      math.max(max, o.max), m2c, rows + o.rows)
+  }
   def avg: Double = if (count == 0) Double.NaN else sum / count
-  /** Population variance; clamped at 0 (the algebraic form can go an ulp
-    * negative on constant slots). NaN on the empty partial.
-    *
-    * CONDITIONING LIMIT (round 11, ADVICE r10): the algebraic form
-    * cancels catastrophically when |mean| >> stddev — the
-    * `Σx² − (Σx)²/n` subtraction loses ~log₁₀(mean²/var) significant
-    * digits, where Spark's scan path (Welford central moments) loses
-    * none. Callers substituting this for a scan answer must gate on
-    * [[varWellConditioned]]; the SQL rewrite bails to the scan beyond
-    * it. */
+  /** Population variance = m2/n — Welford-exact at any conditioning
+    * (round 11, ADVICE r10: the raw-Σx² algebraic form lost
+    * ~log₁₀(mean²/var) digits when |mean| ≫ stddev; the central moment
+    * loses none). Clamped at 0 for ulp-negative combines; NaN on the
+    * empty partial. */
   def varPop: Double =
     if (count == 0) Double.NaN
-    else math.max(0.0, (sumSq - sum * sum / count) / count)
+    else math.max(0.0, m2 / count)
 
-  /** True while the algebraic second moment retains ≥ ~half the
-    * double's digits: variance ≥ 1e-8 × mean² (coefficient of variation
-    * ≥ 1e-4). At the boundary the fold's relative error is ~1e-8 —
-    * far inside any reporting rounding; beyond it the scan's Welford
-    * path is the only trustworthy answer. Counts below 2 are exact by
-    * algebra (the subtraction cancels bit-for-bit), so they pass. */
+  /** Whether a MERGE-FORM recombination of this partial's Σx²
+    * ([[sumSqEquiv]], summed across shipped partials by a distributed
+    * Aggregate) retains ≥ ~half the double's digits: variance ≥ 1e-8 ×
+    * mean². The DRIVER-side fold no longer needs this gate (m2 is
+    * central, [[varPop]] is exact); only the rewrite's distributed
+    * fallback paths — which recombine with plain SUM expressions — gate
+    * on it. Counts below 2 are exact by algebra, so they pass. */
   def varWellConditioned: Boolean =
     count < 2 || {
       val mean = sum / count
@@ -55,14 +68,21 @@ final case class AllAggregate(sum: Double, count: Long, min: Double, max: Double
     * matching Spark's and DuckDB's `var_samp` of a single row). */
   def varSamp: Double =
     if (count < 2) Double.NaN
-    else math.max(0.0, (sumSq - sum * sum / count) / (count - 1))
+    else math.max(0.0, m2 / (count - 1))
   def stddevPop: Double = math.sqrt(varPop)
   def stddevSamp: Double = math.sqrt(varSamp)
+  /** The raw sum of squares this partial encodes (`Σx² = m2 + (Σx)²/n`)
+    * — the additive form the rewrite's merge-form Aggregates ship, so
+    * executor-side recombination stays a plain SUM. Reconstructing it
+    * re-enters algebraic territory; those paths keep the
+    * [[varWellConditioned]] gate. */
+  def sumSqEquiv: Double =
+    if (count == 0L) 0.0 else m2 + sum * sum / count
 }
 object AllAggregate {
   val identity: AllAggregate =
     AllAggregate(0.0, 0L, Double.PositiveInfinity, Double.NegativeInfinity, 0.0, 0L)
-  def lift(v: Double): AllAggregate = AllAggregate(v, 1L, v, v, v * v, 1L)
+  def lift(v: Double): AllAggregate = AllAggregate(v, 1L, v, v, 0.0, 1L)
   /** One source row whose measure is NULL: counts toward `rows` only. */
   def liftNull: AllAggregate =
     AllAggregate(0.0, 0L, Double.PositiveInfinity, Double.NegativeInfinity, 0.0, 1L)
@@ -210,7 +230,7 @@ final class WheelIndex private (
     val b = tiers(Tier.Minute)
     val i = ((slotMs - baseMs) / Tier.Minute.ms).toInt
     if (slotMs < baseMs || i >= b.rows.length || b.rows(i) == 0L) AllAggregate.identity
-    else AllAggregate(b.sum(i), b.count(i), b.min(i), b.max(i), b.sumSq(i), b.rows(i))
+    else AllAggregate(b.sum(i), b.count(i), b.min(i), b.max(i), b.m2(i), b.rows(i))
   }
 
   /** Non-empty minute slots of `[a, b)` with their partials — the feed
@@ -229,7 +249,7 @@ final class WheelIndex private (
       val i = ((slot - baseMs) / m).toInt
       if (i >= 0 && i < block.rows.length && block.rows(i) > 0L)
         Some(slot -> AllAggregate(block.sum(i), block.count(i), block.min(i),
-          block.max(i), block.sumSq(i), block.rows(i)))
+          block.max(i), block.m2(i), block.rows(i)))
       else None
     }
   }
@@ -295,10 +315,8 @@ final class WheelIndex private (
       // occupancy is ROWS, not the non-null measure count: an all-null
       // slot still carries COUNT(*) signal (nullable measures, round 11)
       if (i >= 0 && i < block.rows.length && block.rows(i) > 0) {
-        acc = AllAggregate(
-          acc.sum + block.sum(i), acc.count + block.count(i),
-          math.min(acc.min, block.min(i)), math.max(acc.max, block.max(i)),
-          acc.sumSq + block.sumSq(i), acc.rows + block.rows(i))
+        acc = acc.combine(AllAggregate(block.sum(i), block.count(i),
+          block.min(i), block.max(i), block.m2(i), block.rows(i)))
       }
       slot += run.tier.ms
     }
@@ -327,7 +345,24 @@ object WheelIndex {
 
   private[wheel] final case class TierBlock(
       sum: Array[Double], count: Array[Long], min: Array[Double],
-      max: Array[Double], sumSq: Array[Double], rows: Array[Long])
+      max: Array[Double], m2: Array[Double], rows: Array[Long])
+
+  /** Chan-combine one non-null measure partial into slot `i` of a tier
+    * block — the build/refresh walks' shared accumulation step. m2 must
+    * update BEFORE sum/count (the delta reads the pre-merge mean). */
+  private def mergeSlot(b: TierBlock, i: Int, sum: Double, cnt: Long,
+      mn: Double, mx: Double, m2: Double): Unit = {
+    val na = b.count(i)
+    if (na == 0L) b.m2(i) = m2
+    else if (cnt > 0L) {
+      val d = sum / cnt - b.sum(i) / na
+      b.m2(i) += m2 + d * d * (na.toDouble * cnt.toDouble / (na + cnt).toDouble)
+    }
+    b.sum(i) += sum
+    b.count(i) += cnt
+    b.min(i) = math.min(b.min(i), mn)
+    b.max(i) = math.max(b.max(i), mx)
+  }
 
   /** Build from a source DataFrame: one Spark aggregation to minute
     * partials (bounded by time span, always driver-collectable), then
@@ -341,7 +376,7 @@ object WheelIndex {
       retention: Map[Tier, Retention] = Map.empty): WheelIndex = {
     val events = RollupBuilder.normalizeTs(rawEvents, tsCol)
     val minuteRows = RollupBuilder.minuteRollup(events, tsCol, valueCol)
-      .select("slot_ms", "sum_v", "cnt", "min_v", "max_v", "rows", "sumsq_v")
+      .select("slot_ms", "sum_v", "cnt", "min_v", "max_v", "rows", "m2_v")
       .collect()
     require(minuteRows.nonEmpty, "cannot index an empty source")
     // Never-null-ts contract (round 11): a NULL timestamp belongs to no
@@ -355,7 +390,7 @@ object WheelIndex {
     }
     // Nullable measures (round 11): NULL measure values contribute to
     // `rows` (COUNT(*)) only — an all-null slot arrives with null
-    // sum/min/max/sumsq and cnt=0, filling just the rows array.
+    // sum/min/max/m2 and cnt=0, filling just the rows array.
     val slots = minuteRows.map(_.getLong(0))
     val base = slots.min / Tier.Day.ms * Tier.Day.ms
     val horizon = (slots.max / Tier.Day.ms + 1) * Tier.Day.ms
@@ -374,13 +409,9 @@ object WheelIndex {
         val b = blocks(tier)
         val i = ((slot - base) / tier.ms).toInt
         b.rows(i) += allRows
-        if (!r.isNullAt(1)) {
-          b.sum(i) += r.getDouble(1)
-          b.count(i) += r.getLong(2)
-          b.min(i) = math.min(b.min(i), r.getDouble(3))
-          b.max(i) = math.max(b.max(i), r.getDouble(4))
-          b.sumSq(i) += r.getDouble(6)
-        }
+        if (!r.isNullAt(1))
+          mergeSlot(b, i, r.getDouble(1), r.getLong(2), r.getDouble(3),
+            r.getDouble(4), r.getDouble(6))
       }
     }
     // Evict: zero fine-tier slots older than the retained span so the
@@ -393,7 +424,7 @@ object WheelIndex {
         val keepFrom = ((keepFromMs - base) / tier.ms).toInt
         var i = 0
         while (i < keepFrom && i < b.sum.length) {
-          b.sum(i) = 0.0; b.count(i) = 0L; b.sumSq(i) = 0.0; b.rows(i) = 0L
+          b.sum(i) = 0.0; b.count(i) = 0L; b.m2(i) = 0.0; b.rows(i) = 0L
           b.min(i) = Double.PositiveInfinity; b.max(i) = Double.NegativeInfinity
           i += 1
         }
@@ -432,9 +463,11 @@ object WheelIndex {
   private[graft] def scanFallback(events: DataFrame, tsCol: String,
       valueCol: String): (Long, Long) => AllAggregate = { (a, b) =>
     val v = col(valueCol).cast("double")
+    // m2 = var_pop·count: Spark's CentralMomentAgg (Welford) — the edge
+    // partial matches the precision of the index's own central moments
     val r = events
       .filter(unix_millis(col(tsCol)) >= a && unix_millis(col(tsCol)) < b)
-      .agg(sum(v), count(v), min(v), max(v), sum(v * v), count(lit(1)))
+      .agg(sum(v), count(v), min(v), max(v), var_pop(v) * count(v), count(lit(1)))
       .collect()(0)
     if (r.getLong(1) == 0L) AllAggregate.identity.copy(rows = r.getLong(5))
     else AllAggregate(r.getDouble(0), r.getLong(1), r.getDouble(2),
@@ -476,14 +509,14 @@ object WheelIndex {
     }
     val perMeasure = valueCols.map { c =>
       c -> (Tier.all.map(t => t -> alloc(t)).toMap,
-        fi(s"sum_$c"), fi(s"cnt_$c"), fi(s"min_$c"), fi(s"max_$c"), fi(s"sumsq_$c"))
+        fi(s"sum_$c"), fi(s"cnt_$c"), fi(s"min_$c"), fi(s"max_$c"), fi(s"m2_$c"))
     }
     // THE shared slot walk: every measure's blocks fill from one pass
     // over the collected rows
     rows.foreach { r =>
       val slot = r.getLong(fi("slot_ms"))
       val allRows = r.getLong(rowsIdx)
-      perMeasure.foreach { case (_, (blocks, sI, cI, mnI, mxI, sqI)) =>
+      perMeasure.foreach { case (_, (blocks, sI, cI, mnI, mxI, m2I)) =>
         // rows fills unconditionally (COUNT(*) covers null-measure rows);
         // the measure stats only from a non-null partial. An all-null
         // slot's snapshot may also arrive identity-encoded (sum 0,
@@ -493,13 +526,9 @@ object WheelIndex {
           val b = blocks(tier)
           val i = ((slot - base) / tier.ms).toInt
           b.rows(i) += allRows
-          if (!r.isNullAt(sI)) {
-            b.sum(i) += r.getDouble(sI)
-            b.count(i) += r.getLong(cI)
-            b.min(i) = math.min(b.min(i), r.getDouble(mnI))
-            b.max(i) = math.max(b.max(i), r.getDouble(mxI))
-            b.sumSq(i) += r.getDouble(sqI)
-          }
+          if (!r.isNullAt(sI))
+            mergeSlot(b, i, r.getDouble(sI), r.getLong(cI), r.getDouble(mnI),
+              r.getDouble(mxI), r.getDouble(m2I))
         }
       }
     }
@@ -511,7 +540,7 @@ object WheelIndex {
           val keepFrom = ((keepFromMs - base) / tier.ms).toInt
           var i = 0
           while (i < keepFrom && i < b.sum.length) {
-            b.sum(i) = 0.0; b.count(i) = 0L; b.sumSq(i) = 0.0; b.rows(i) = 0L
+            b.sum(i) = 0.0; b.count(i) = 0L; b.m2(i) = 0.0; b.rows(i) = 0L
             b.min(i) = Double.PositiveInfinity; b.max(i) = Double.NegativeInfinity
             i += 1
           }
@@ -531,17 +560,26 @@ object WheelIndex {
     val parts = runs.map { run =>
       rollups(run.tier)
         .filter(col("slot_ms") >= lit(run.startMs) && col("slot_ms") < lit(run.endMs))
-        .select(col("sum_v"), col("cnt"), col("min_v"), col("max_v"), col("sumsq_v"),
+        .select(col("sum_v"), col("cnt"), col("min_v"), col("max_v"), col("m2_v"),
           col("rows"))
     }
     val all = parts.reduceOption(_.union(_)).getOrElse(
       spark.emptyDataFrame.select(
         lit(0.0).as("sum_v"), lit(0L).as("cnt"),
         lit(Double.PositiveInfinity).as("min_v"), lit(Double.NegativeInfinity).as("max_v"),
-        lit(0.0).as("sumsq_v"), lit(0L).as("rows")))
+        lit(0.0).as("m2_v"), lit(0L).as("rows")))
+    // merged m2 via the reconstructed-Σx² identity — a MERGE-FORM
+    // recombination (one SUM per column keeps this a single small job);
+    // callers deriving variance from it inherit the algebraic
+    // conditioning limit the driver-side fold no longer has
     all.agg(
       sum(col("sum_v")).as("sum_v"), sum(col("cnt")).as("cnt"),
       min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"),
-      sum(col("sumsq_v")).as("sumsq_v"), sum(col("rows")).as("rows"))
+      (sum(when(col("cnt") > 0,
+        col("m2_v") + col("sum_v") * col("sum_v") / col("cnt"))) -
+        when(sum(col("cnt")) > 0,
+          sum(col("sum_v")) * sum(col("sum_v")) / sum(col("cnt")))
+          .otherwise(lit(0.0))).as("m2_v"),
+      sum(col("rows")).as("rows"))
   }
 }

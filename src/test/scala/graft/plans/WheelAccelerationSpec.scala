@@ -1584,7 +1584,9 @@ class WheelAccelerationSpec extends AnyFunSuite {
       assert(reason.contains("window cap"), reason)
     } finally spark.conf.unset("spark.graft.wheel.rewrite.maxFoldRows")
 
-    // ill-conditioned second moment
+    // ill-conditioned second moment: only the MERGE-FORM shapes bail
+    // since the central-m2 switch, so the reason needs a hybrid range
+    // (sub-minute edges force the merge-form union)
     val illSrc = new java.io.File("target/test-fixtures/accel/illcond2.parquet")
       .getAbsolutePath
     (0 until 100).map(i =>
@@ -1594,7 +1596,8 @@ class WheelAccelerationSpec extends AnyFunSuite {
     spark.read.parquet(illSrc).createOrReplaceTempView("illcond2")
     try {
       spark.sql("SELECT VAR_POP(value) AS v FROM illcond2 " +
-        s"WHERE unix_millis(ts) >= ${Q.Jan1} AND unix_millis(ts) < ${Q.Jan1 + 1200000}")
+        s"WHERE unix_millis(ts) >= ${Q.Jan1 + 7000} " +
+        s"AND unix_millis(ts) < ${Q.Jan1 + 1200000 - 9000}")
         .queryExecution.optimizedPlan
       assert(WheelAcceleration.lastBailReason(illSrc)
         .exists(_.contains("ill-conditioned")),
@@ -1667,15 +1670,17 @@ class WheelAccelerationSpec extends AnyFunSuite {
     } finally WheelAcceleration.unregister(src)
   }
 
-  test("ill-conditioned VAR/STDDEV ranges keep the scan (round 11, ADVICE r10)") {
+  test("ill-conditioned VAR/STDDEV: plan-time folds are Welford-exact, merge-form keeps the scan (round 11, ADVICE r10)") {
     import spark.implicits._
     val src = new java.io.File("target/test-fixtures/accel/illcond.parquet")
       .getAbsolutePath
     val t0 = Q.Jan1
-    // values ~1e8 with ~1e-2 spread: mean²/var ≈ 1e20 — the algebraic
-    // (Σx² − (Σx)²/n)/n form loses every variance digit in doubles,
-    // while Spark's scan (Welford central moments) keeps them; the fold
-    // must refuse instead of silently changing the answer
+    // values ~1e8 with ~1e-2 spread: mean²/var ≈ 1e20 — the raw-Σx²
+    // algebraic form loses every variance digit in doubles. Since the
+    // central-m2 switch the PLAN-TIME fold combines per-minute Welford
+    // moments with Chan's update and must MATCH the scan; only the
+    // merge-form recombination (which SUMs reconstructed Σx² on
+    // executors) still refuses.
     (0 until 300).map(i =>
       (new java.sql.Timestamp(t0 + (i / 5) * 60000L), 1e8 + (i % 5) * 0.01))
       .toDF("ts", "value").write.mode("overwrite").parquet(src)
@@ -1683,21 +1688,43 @@ class WheelAccelerationSpec extends AnyFunSuite {
     spark.read.parquet(src).createOrReplaceTempView("illcond")
     def folded(df: org.apache.spark.sql.DataFrame) =
       df.queryExecution.optimizedPlan.collect { case l: LocalRelation => l }.nonEmpty
+    def scanOf(sql: String): Array[org.apache.spark.sql.Row] = {
+      WheelAcceleration.clear()
+      val rows = spark.sql(sql).collect()
+      WheelAcceleration.register(spark, src, spark.read.parquet(src))
+      rows
+    }
+    // the TRUE var_pop of {0, .01, .02, .03, .04} repeated: 2e-4
+    val trueVar = (0 until 5).map(i => math.pow((i - 2) * 0.01, 2)).sum / 5
     try {
-      // ungrouped aligned: VAR bails to the scan...
-      val v = spark.sql("SELECT VAR_POP(value) AS v FROM illcond " +
-        s"WHERE unix_millis(ts) >= $t0 AND unix_millis(ts) < ${t0 + 3600000}")
-      assert(!folded(v), v.queryExecution.optimizedPlan.treeString)
-      // ...while first-moment aggregates over the same range still fold
-      val s = spark.sql("SELECT ROUND(SUM(value), 2) AS s, COUNT(*) AS n FROM illcond " +
-        s"WHERE unix_millis(ts) >= $t0 AND unix_millis(ts) < ${t0 + 3600000}")
-      assert(folded(s))
-      // grouped per-slot STDDEV bails too
-      val g = spark.sql("SELECT (unix_millis(ts) div 60000) * 60000 AS m, " +
+      // ungrouped aligned: VAR folds AND matches the scan's Welford
+      // answer to high relative precision (pre-m2 this lost every digit)
+      val vSql = "SELECT VAR_POP(value) AS v FROM illcond " +
+        s"WHERE unix_millis(ts) >= $t0 AND unix_millis(ts) < ${t0 + 3600000}"
+      val v = spark.sql(vSql)
+      assert(folded(v), v.queryExecution.optimizedPlan.treeString)
+      val got = v.collect()(0).getDouble(0)
+      val want = scanOf(vSql)(0).getDouble(0)
+      // both engines carry ~1e-6 relative Welford error at mean 1e8 —
+      // the point is the fold keeps ~all the digits where the raw-Σx²
+      // form lost 100% of them (its answer was clamped 0.0)
+      assert(math.abs(got - trueVar) <= 1e-4 * trueVar, s"fold $got vs true $trueVar")
+      assert(math.abs(got - want) <= 1e-4 * trueVar, s"fold $got vs scan $want")
+      // grouped per-slot STDDEV folds and matches per slot
+      val gSql = "SELECT (unix_millis(ts) div 60000) * 60000 AS m, " +
         "STDDEV_POP(value) AS sd FROM illcond " +
         s"WHERE unix_millis(ts) >= $t0 AND unix_millis(ts) < ${t0 + 3600000} " +
-        "GROUP BY 1 ORDER BY 1")
-      assert(!folded(g), g.queryExecution.optimizedPlan.treeString)
+        "GROUP BY 1 ORDER BY 1"
+      val g = spark.sql(gSql)
+      assert(folded(g), g.queryExecution.optimizedPlan.treeString)
+      val gGot = g.collect()
+      val gWant = scanOf(gSql)
+      assert(gGot.length == gWant.length && gGot.nonEmpty)
+      gGot.zip(gWant).foreach { case (a, b) =>
+        assert(a.getLong(0) == b.getLong(0))
+        assert(math.abs(a.getDouble(1) - b.getDouble(1)) <=
+          1e-4 * math.sqrt(trueVar), s"slot ${a.getLong(0)}: ${a.getDouble(1)} vs ${b.getDouble(1)}")
+      }
       // hybrid (sub-minute edges): the merge-form VAR is gated on the
       // interior partials' conditioning — keeps the scan
       val h = spark.sql("SELECT VAR_POP(value) AS v FROM illcond " +

@@ -606,7 +606,7 @@ class PersistentWheelSpec extends AnyFunSuite {
     WheelAcceleration.clear()
   }
 
-  test("a v1 sidecar (pre-sumsq slots) is rejected; registration rebuilds at v2 (round 10)") {
+  test("an old-version sidecar is rejected; registration rebuilds at the current version") {
     import spark.implicits._
     System.setProperty("graft.wheel.fingerprint.ttlMs", "0")
     val src = fixtureDir("v1compat/events.parquet")
@@ -617,8 +617,9 @@ class PersistentWheelSpec extends AnyFunSuite {
     val source = spark.read.parquet(src)
     PersistentWheel.save(spark, idxDir, source, "ts", Seq("value"),
       SourceFingerprint.of(src, spark.sessionState.newHadoopConf()), src)
-    // stamp the sidecar back to version=1 — the v1 slots lacked the
-    // sumsq column, so the version gate must reject the whole dir
+    // stamp the sidecar back to version=1 — old payloads lack the
+    // current second-moment column (v1 had none; v2 carried raw sumsq
+    // where v3 stores central m2), so the gate must reject the dir
     val metaPath = new java.io.File(s"$idxDir/meta.graft")
     val old = new String(
       java.nio.file.Files.readAllBytes(metaPath.toPath),
@@ -637,7 +638,7 @@ class PersistentWheelSpec extends AnyFunSuite {
     val wheels = WheelAcceleration.registerPersisted(
       spark, src, idxDir, source, "ts", Seq("value"))
     assert(wheels("value").query(Q.Jan1, Q.Jan1 + 120000L).sum == 4.0)
-    assert(PersistentWheel.peek(spark, idxDir).get.version == 2)
+    assert(PersistentWheel.peek(spark, idxDir).get.version == 3)
     WheelAcceleration.clear()
   }
 
