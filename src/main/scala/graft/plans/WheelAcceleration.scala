@@ -1415,10 +1415,12 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
   }
 
   private val IllCondNote =
-    "ill-conditioned second moment (|mean| >> stddev): the MERGE-FORM " +
-      "recombination (SUM of reconstructed Σx² partials) would lose the " +
-      "variance digits — scan kept (Welford path); plan-time folds are " +
-      "exempt (central m2, Chan-combined)"
+    "ill-conditioned second moment (per-group means far from the fold " +
+      "range's mean with |mean - c| >> stddev): even the SHIFT-CENTERED " +
+      "merge-form recombination (SUM of Σ(x-c)² partials around the " +
+      "plan-time mean c) would lose the variance digits — scan kept " +
+      "(Welford path); plan-time folds are exempt (central m2, " +
+      "Chan-combined), and homogeneous data at any magnitude now folds"
 
   /** Record `reason` as the path's last bail when `opt` is empty —
     * the [[WheelAcceleration.lastBailReason]] feed. */
@@ -1572,29 +1574,34 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       maxAttrs: Map[String, AttributeReference],
       sumsqAttrs: Map[String, AttributeReference],
       cntAttrs: Map[String, AttributeReference],
-      rowsAttr: AttributeReference) {
+      rowsAttr: AttributeReference,
+      shifts: Map[String, Double]) {
+    def shiftOf(c: String): Double = shifts.getOrElse(c, 0.0)
     def partialAttrs: Seq[AttributeReference] =
       measures.flatMap(c =>
         Seq(sumAttrs(c), minAttrs(c), maxAttrs(c), sumsqAttrs(c), cntAttrs(c))) :+
         rowsAttr
-    /** One partials row: per-measure (sum, min, max, Σx², cnt) + the
-      * shared COUNT(*) rows. The Σx² is reconstructed from the central
-      * m2 ([[AllAggregate.sumSqEquiv]]) so the executor-side merge
-      * stays a plain SUM — re-entering algebraic territory, which is
-      * why merge-form second moments keep the conditioning gate. A
-      * measure with no non-null values in the partial emits SQL NULL
-      * stats (nullable measures, round 11) so the merge-form
-      * SUM/MIN/MAX see exactly what a scan's partial aggregation would
-      * hand them. */
+    /** One partials row: per-measure (sum, min, max, shifted Σ(x−c)²,
+      * cnt) + the shared COUNT(*) rows. The shifted square is
+      * reconstructed from the central m2 ([[AllAggregate.shiftedSq]]
+      * around this fold's plan-time shift — the range's own mean when a
+      * second moment is requested, 0 otherwise) so the executor-side
+      * merge stays a plain SUM; every addend is stddev-scale instead of
+      * mean-scale, which is what makes the recombination
+      * well-conditioned for homogeneous data. A measure with no
+      * non-null values in the partial emits SQL NULL stats (nullable
+      * measures, round 11) so the merge-form SUM/MIN/MAX see exactly
+      * what a scan's partial aggregation would hand them. */
     def partialsRow(alls: Map[String, AllAggregate], rows: Long): Seq[Any] =
       measures.flatMap { c =>
         val al = alls(c)
         if (al.count == 0L) Seq[Any](null, null, null, null, 0L)
-        else Seq[Any](al.sum, al.min, al.max, al.sumSqEquiv, al.count)
+        else Seq[Any](al.sum, al.min, al.max, al.shiftedSq(shiftOf(c)), al.count)
       } :+ rows
   }
 
-  private def partialColsFor(measureCols: Seq[String]): PartialCols = {
+  private def partialColsFor(measureCols: Seq[String],
+      shifts: Map[String, Double] = Map.empty): PartialCols = {
     val measures = measureCols.sorted
     PartialCols(
       measures,
@@ -1608,7 +1615,8 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
         AttributeReference(s"__graft_sumsq_$c", DoubleType, nullable = true)()).toMap,
       measures.map(c => c ->
         AttributeReference(s"__graft_cnt_$c", LongType, nullable = false)()).toMap,
-      AttributeReference("__graft_rows", LongType, nullable = false)())
+      AttributeReference("__graft_rows", LongType, nullable = false)(),
+      shifts)
   }
 
   /** Shared scaffolding for the hybrid residue folds (ungrouped and
@@ -1628,13 +1636,14 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
 
   private def residueParts(below: LogicalPlan, tsCol: String,
       measureCols: Seq[String], a: Long, b: Long,
-      aCeil: Long, bFloor: Long): Option[ResidueParts] = {
+      aCeil: Long, bFloor: Long,
+      shifts: Map[String, Double] = Map.empty): Option[ResidueParts] = {
     val tsAttr = below.output.find(_.name == tsCol) match {
       case Some(t) if t.dataType == TimestampType ||
         t.dataType == TimestampNTZType => t
       case _ => return None
     }
-    val cols = partialColsFor(measureCols)
+    val cols = partialColsFor(measureCols, shifts)
     val measures = cols.measures
     val measureAttr = measures.flatMap(c =>
       below.output.find(o => o.name == c && o.dataType == DoubleType)
@@ -1655,9 +1664,17 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       cols,
       measures.flatMap { c =>
         val at = measureAttr(c)
+        // the shifted square (x−c)² matches the interior partials'
+        // [[AllAggregate.shiftedSq]] encoding; x−c is Sterbenz-exact in
+        // the regime that matters (x ≈ c), so the edge leg loses
+        // nothing the raw x² form kept
+        val centered: Expression = cols.shiftOf(c) match {
+          case 0.0 => at
+          case s => Subtract(at, Literal(s, DoubleType))
+        }
         Seq(Alias(at, s"__graft_sum_$c")(), Alias(at, s"__graft_min_$c")(),
           Alias(at, s"__graft_max_$c")(),
-          Alias(Multiply(at, at), s"__graft_sumsq_$c")(),
+          Alias(Multiply(centered, centered), s"__graft_sumsq_$c")(),
           // non-null indicator: the edge leg's COUNT(col) contribution
           Alias(If(IsNull(at), Literal(0L, LongType), Literal(1L, LongType)),
             s"__graft_cnt_$c")())
@@ -1741,7 +1758,15 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       // rows would overcount under a nullable measure
       val rows = ae(Sum(cols.cntAttrs(n)))
       val cnt = Cast(rows, DoubleType)
-      val num = Subtract(q, Divide(Multiply(s, s), cnt))
+      // the partials carry the SHIFTED square Σ(x−c)², so the matching
+      // first moment is Σ(x−c) = Σx − n·c — with c ≈ the range mean
+      // both sides of the subtraction are stddev-scale, which is the
+      // whole point of shift-centering (round 11)
+      val sShifted: Expression = cols.shiftOf(n) match {
+        case 0.0 => s
+        case c => Subtract(s, Multiply(cnt, Literal(c, DoubleType)))
+      }
+      val num = Subtract(q, Divide(Multiply(sShifted, sShifted), cnt))
       val den = if (samp) Subtract(cnt, Literal(1.0, DoubleType)) else cnt
       val v = Greatest(Seq(Divide(num, den), Literal(0.0, DoubleType)))
       // Greatest SKIPS nulls, so the clamp alone would turn the
@@ -1814,18 +1839,23 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
   }
 
   /** True when any output aggregate is a second-moment call — those
-    * need the interior-partials conditioning gate before any MERGE-FORM
-    * fold (round 11, ADVICE r10): the merge expression re-derives the
-    * variance algebraically from the shipped sum/Σx² partials (Σx²
-    * reconstructed from the central m2 via [[AllAggregate.sumSqEquiv]]
-    * so executor recombination stays a plain SUM), which cancels
-    * catastrophically when |mean| >> stddev. Each merge-form fold site
-    * checks the partials it is about to ship
-    * ([[AllAggregate.varWellConditioned]] — the per-group interior
-    * partial for the residues, each minute entry for the distributed
-    * fallbacks) and keeps the scan when any fails. PLAN-TIME folds
-    * ([[foldRow]]) need no gate: their variance reads the Chan-combined
-    * central moment directly and is Welford-exact. */
+    * get SHIFT-CENTERED partials and a conditioning gate before any
+    * MERGE-FORM fold (round 11, ADVICE r10): the merge expression
+    * re-derives the variance algebraically from shipped
+    * sum / Σ(x−c)² partials (the shifted square reconstructed from the
+    * central m2 via [[AllAggregate.shiftedSq]] around `c` ≈ the fold
+    * range's own mean, so executor recombination stays a plain SUM
+    * with stddev-scale addends). Homogeneous data — any magnitude,
+    * any spread — is now well-conditioned by construction; only
+    * heterogeneous group means far from the global `c` with tiny
+    * within-group spread can still cancel, and each fold site checks
+    * the partials it is about to ship
+    * ([[AllAggregate.varWellConditionedAround]] the same `c` — the
+    * combined interior for the ungrouped residue, each interior/minute
+    * entry for the grouped and distributed shapes) and keeps the scan
+    * when any fails. PLAN-TIME folds ([[foldRow]]) need no gate or
+    * shift: their variance reads the Chan-combined central moment
+    * directly and is Welford-exact. */
   private def hasSecondMoment(aggExprs: Seq[NamedExpression]): Boolean =
     aggExprs.exists(_.exists {
       case e: AggregateExpression => e.aggregateFunction match {
@@ -1834,6 +1864,27 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       }
       case _ => false
     })
+
+  /** Per-measure plan-time shift for the merge-form second moment: the
+    * fold range's own mean (round 11 shift-centering). Empty — zero
+    * shifts, the plain Σx² encoding — when no second moment is
+    * requested; the extra index queries only run when they matter. */
+  private def shiftsFor(needCond: Boolean, measures: Iterable[String],
+      rangeAll: String => AllAggregate): Map[String, Double] =
+    if (!needCond) Map.empty
+    else measures.map { c =>
+      val al = rangeAll(c)
+      c -> (if (al.count == 0L) 0.0 else al.avg)
+    }.toMap
+
+  /** The combined range partial of a KEYED registration across ALL
+    * keys — the shift source for keyed merge-form folds (one tier walk
+    * per key, bounded by the build ceiling; only taken when the query
+    * asks for a second moment). */
+  private def keyedRangeAll(reg: WheelAcceleration.KeyedReg, c: String,
+      a: Long, b: Long): AllAggregate =
+    reg.any.keys.foldLeft(AllAggregate.identity)((acc, k) =>
+      acc.combine(reg.wheels(c).query(k, a, b)))
 
   private def rewriteResidue(
       agg: Aggregate, aggExprs: Seq[NamedExpression], below: LogicalPlan,
@@ -1845,12 +1896,19 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     val aCeil = Math.floorDiv(a + MinuteMs - 1, MinuteMs) * MinuteMs
     val bFloor = Math.floorDiv(b, MinuteMs) * MinuteMs
     if (aCeil >= bFloor) return None // no whole-minute interior to fold
+    val needCond = hasSecondMoment(aggExprs)
+    val alls = wheels.map { case (c, i) => c -> i.query(aCeil, bFloor) }
+    // the interior here is ONE combined partial, so centering on its
+    // own mean makes the gate vacuous by construction — the single-
+    // partial recombination is genuinely well-conditioned at any data
+    val shifts = shiftsFor(needCond, wheels.keys, alls)
     for {
-      parts <- residueParts(below, tsCol, wheels.keys.toSeq, a, b, aCeil, bFloor)
+      parts <- residueParts(below, tsCol, wheels.keys.toSeq, a, b, aCeil, bFloor,
+        shifts)
       newAggExprs <- mergeAggExprs(parts.cols, wheels.keySet, aggExprs, Seq.empty)
-      alls = wheels.map { case (c, i) => c -> i.query(aCeil, bFloor) }
-      if !hasSecondMoment(aggExprs) ||
-        alls.valuesIterator.forall(_.varWellConditioned) || {
+      if !needCond ||
+        alls.forall { case (c, al) =>
+          al.varWellConditionedAround(parts.cols.shiftOf(c)) } || {
           foldBailNote = IllCondNote; false // record WHY the fold is refused
         }
     } yield {
@@ -1884,18 +1942,23 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     val aCeil = Math.floorDiv(a + MinuteMs - 1, MinuteMs) * MinuteMs
     val bFloor = Math.floorDiv(b, MinuteMs) * MinuteMs
     if (aCeil >= bFloor) return None
+    val needCond = hasSecondMoment(aggExprs)
+    val shifts = shiftsFor(needCond, wheels.keys,
+      c => wheels(c).query(aCeil, bFloor))
     for {
-      parts <- residueParts(below, tsCol, wheels.keys.toSeq, a, b, aCeil, bFloor)
+      parts <- residueParts(below, tsCol, wheels.keys.toSeq, a, b, aCeil, bFloor,
+        shifts)
       gEval <- rebaseOnto(child, below, gExpr)
       slotAttr = AttributeReference(
         "__graft_slot", gExpr.dataType, nullable = gExpr.nullable)()
       newAggExprs <- mergeAggExprs(parts.cols, wheels.keySet, aggExprs,
         Seq((Seq(groupKey, gExpr), slotAttr)))
       plan <- {
-        val needCond = hasSecondMoment(aggExprs)
         var conditioned = true
-        def check(alls: Iterable[AllAggregate]): Unit =
-          if (needCond && !alls.forall(_.varWellConditioned)) conditioned = false
+        def check(alls: collection.Map[String, AllAggregate]): Unit =
+          if (needCond && !alls.forall { case (c, al) =>
+            al.varWellConditionedAround(parts.cols.shiftOf(c)) })
+            conditioned = false
         val rows = Seq.newBuilder[InternalRow]
         if (cellCount(grid, aCeil, bFloor, maxFoldRows) > maxFoldRows &&
             wheels.valuesIterator.forall(_.minuteTierComplete)) {
@@ -1909,7 +1972,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
               case c if c == measures.head => c -> anyAll
               case c => c -> wheels(c).minuteAt(slotMs)
             }.toMap
-            check(alls.values)
+            check(alls)
             val s0 = grid.floorOf(slotMs)
             rows += InternalRow.fromSeq(slotLiteral(grid, s0, grid.end(s0)).value +:
               parts.partialsRow(alls, anyAll.rows))
@@ -1923,7 +1986,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
               c -> i.query(math.max(aCeil, s0), math.min(bFloor, s1)) }
             val anyAll = alls.valuesIterator.next()
             if (anyAll.rows > 0L) {
-              check(alls.values)
+              check(alls)
               rows += InternalRow.fromSeq(
                 slotLiteral(grid, s0, s1).value +: parts.partialsRow(alls, anyAll.rows))
             }
@@ -2014,19 +2077,21 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
         // tier-walk query inside the optimizer. Past it (round 11,
         // VERDICT r10 #3) the ALIGNED shape goes DISTRIBUTED — minute
         // partials re-expanded through the original Expand on executors
-        // — instead of keeping the scan; unaligned above-cap keeps the
-        // scan (sub-minute edges need the per-window hybrid the cap
-        // exists to avoid).
+        // — and the UNALIGNED shape goes hybrid-distributed (late round
+        // 11: the same minute-partials Expand as the interior leg of
+        // the edge union), so no sliding shape keeps the scan for a
+        // registered range anymore.
         if ((b - a) / slideMs + sizeMs / slideMs > maxFoldRows) {
           if (a % MinuteMs == 0 && b % MinuteMs == 0)
             bail(path, foldNote("sliding shape not foldable distributed"))(
               distributedSliding(Seq(groupKey), winAttr, expand, membership,
                 aggExprs, wheels, None, a, b))
-          else {
-            WheelAcceleration.recordBail(path, "above the plan-time window " +
-              "cap with sub-minute range edges — scan kept")
-            None
-          }
+          else
+            bail(path, foldNote("above-cap sliding with sub-minute edges " +
+              "not foldable hybrid-distributed"))(
+              slidingResidue(agg, winAttr, expand, membership, aggExprs,
+                tsCol, wheels, slideMs, offMs, sizeMs, a, b, None,
+                aboveCap = true))
         } else if (a % MinuteMs == 0 && b % MinuteMs == 0) {
           val winType = winAttr.dataType.asInstanceOf[StructType]
           val out = Seq.newBuilder[InternalRow]
@@ -2082,12 +2147,15 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       result <-
         // |keys| x windows plan-time cap; past it the aligned shape
         // ships (key, minute) partials through the original Expand on
-        // executors (round 11) instead of keeping the scan
+        // executors (round 11), and the unaligned shape goes
+        // hybrid-distributed (late round 11) — neither keeps the scan
         if (reg.any.keys.size.toLong * ((b - a) / slideMs + sizeMs / slideMs) > maxFoldRows) {
           if (a % MinuteMs == 0 && b % MinuteMs == 0)
             distributedSliding(groupings, winAttr, expand, membership,
               aggExprs, Map.empty, Some((keyAttr, reg)), a, b)
-          else None
+          else slidingResidue(agg, winAttr, expand, membership, aggExprs,
+            reg.tsCol, Map.empty, slideMs, offMs, sizeMs, a, b,
+            Some((keyAttr, reg)), aboveCap = true)
         } else if (a % MinuteMs == 0 && b % MinuteMs == 0) {
           val winType = winAttr.dataType.asInstanceOf[StructType]
           // per-key sketch views (late round 11): keyed approx
@@ -2131,7 +2199,12 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     * re-enumerates exactly the windows the scan would have given it —
     * and the final merge-form group-by combines both legs per
     * (key, window). Windows touching only the edges materialize from
-    * the edge leg alone. Measures are restricted to those the Expand
+    * the edge leg alone. `aboveCap = true` (late round 11) swaps the
+    * per-window plan-time interior for the [[distributedSliding]]
+    * machinery — minute partials re-expanded through the original
+    * Expand on executors — so above-cap statements with sub-minute
+    * edges stay scan-free too (the last sliding shape that used to
+    * keep the scan). Measures are restricted to those the Expand
     * still carries (column pruning may have dropped unused ones). */
   private def slidingResidue(
       agg: Aggregate, winAttr: AttributeReference, expand: Expand,
@@ -2139,7 +2212,8 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       aggExprs: Seq[NamedExpression], tsCol: String,
       wheels: Map[String, WheelIndex], slideMs: Long, offMs: Long,
       sizeMs: Long, a: Long, b: Long,
-      keyed: Option[(AttributeReference, WheelAcceleration.KeyedReg)]): Option[LogicalPlan] = {
+      keyed: Option[(AttributeReference, WheelAcceleration.KeyedReg)],
+      aboveCap: Boolean = false): Option[LogicalPlan] = {
     val aCeil = Math.floorDiv(a + MinuteMs - 1, MinuteMs) * MinuteMs
     val bFloor = Math.floorDiv(b, MinuteMs) * MinuteMs
     if (aCeil >= bFloor) return None
@@ -2150,12 +2224,23 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     // point (range filter, cast projections) is preserved above it
     val innerBelow = findFilter(expand.child).map(_._2).getOrElse(expand.child)
     val allMeasures = keyed.map(_._2.wheels.keys.toSeq).getOrElse(wheels.keys.toSeq)
+    if (allMeasures.isEmpty) return None
     // the edge leg projects partials over the Expand's output — only
-    // measures that survived column pruning are referencable there
+    // measures that survived column pruning are referencable there.
+    // An EMPTY list is fine (late round 11): a COUNT(*)-only statement
+    // prunes every measure out of the Expand, and the rows-only
+    // partials layout still answers it (any measure-referencing
+    // aggregate would bail in mergeAggExprs anyway)
     val measures = allMeasures.filter(c => expand.output.exists(_.name == c))
-    if (measures.isEmpty) return None
+    val needCond = hasSecondMoment(aggExprs)
+    val shifts = shiftsFor(needCond, measures,
+      c => keyed match {
+        case Some((_, reg)) => keyedRangeAll(reg, c, aCeil, bFloor)
+        case None => wheels(c).query(aCeil, bFloor)
+      })
     for {
-      parts <- residueParts(innerBelow, tsCol, measures, a, b, aCeil, bFloor)
+      parts <- residueParts(innerBelow, tsCol, measures, a, b, aCeil, bFloor,
+        shifts)
       slotAttr = AttributeReference(
         "__graft_slot", winAttr.dataType, nullable = winAttr.nullable)()
       keyOut = keyed.map { case (kA, reg) =>
@@ -2167,47 +2252,130 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
         Seq((Seq[Expression](winAttr), slotAttr.asInstanceOf[Attribute]))
       newAggExprs <- mergeAggExprs(parts.cols, measures.toSet, aggExprs, subst)
       plan <- {
-      val needCond = hasSecondMoment(aggExprs)
       var conditioned = true
-      def check(alls: Iterable[AllAggregate]): Unit =
-        if (needCond && !alls.forall(_.varWellConditioned)) conditioned = false
-      val rows = Seq.newBuilder[InternalRow]
+      def check(alls: collection.Map[String, AllAggregate]): Unit =
+        if (needCond && !alls.forall { case (c, al) =>
+          al.varWellConditionedAround(parts.cols.shiftOf(c)) })
+          conditioned = false
       def slotVal(ws: Long) = InternalRow(ws * 1000L, (ws + sizeMs) * 1000L)
-      keyed match {
-        case None =>
-          val it = slidingStarts(aCeil, bFloor, slideMs, offMs, sizeMs)
-          while (it.hasNext) {
-            val ws = it.next()
-            val alls = measures.map(c => c -> wheels(c).query(
-              math.max(aCeil, ws), math.min(bFloor, ws + sizeMs))).toMap
-            val anyAll = alls.valuesIterator.next()
-            if (anyAll.rows > 0L) {
-              check(alls.values)
-              rows += InternalRow.fromSeq(
-                slotVal(ws) +: parts.partialsRow(alls, anyAll.rows))
+      // interior leg: below the cap, one plan-time partials row per
+      // non-empty window; ABOVE the cap (round 11, closing the last
+      // sliding scan-keeper) the whole-minute interior ships as minute
+      // state re-expanded through the ORIGINAL Expand on executors —
+      // the distributedSliding machinery under the hybrid union, with
+      // the leg's output re-aliased to the union's slot/key attributes
+      val interiorOpt: Option[LogicalPlan] = if (aboveCap) {
+        if (keyed.isEmpty && !wheels.valuesIterator.forall(_.minuteTierComplete))
+          None
+        else {
+          val winIdx = expand.output.indexWhere(_.exprId == winAttr.exprId)
+          val tsAttrOpt =
+            if (winIdx < 0) None
+            else expand.projections.head(winIdx).references.toSeq match {
+              case Seq(t: AttributeReference)
+                  if t.dataType == TimestampType ||
+                    t.dataType == TimestampNTZType => Some(t)
+              case _ => None
             }
+          tsAttrOpt.map { tsAttr =>
+            val rows = Seq.newBuilder[InternalRow]
+            keyed match {
+              case None =>
+                val anyIdx = wheels(allMeasures.head)
+                anyIdx.minuteEntries(aCeil, bFloor).foreach { case (slotMs, anyAll) =>
+                  val alls = measures.map {
+                    case c if c == allMeasures.head => c -> anyAll
+                    case c => c -> wheels(c).minuteAt(slotMs)
+                  }.toMap
+                  check(alls)
+                  rows += InternalRow.fromSeq(
+                    (slotMs * 1000L) +: parts.cols.partialsRow(alls, anyAll.rows))
+                }
+              case Some((_, reg)) =>
+                val keyVals = new java.util.HashMap[Any, Any]()
+                val anyIdx = reg.any
+                val anyMeasure = reg.wheels.find(_._2 eq anyIdx).get._1
+                anyIdx.minuteEntries(aCeil, bFloor).foreach { case (key, slotMs, anyAll) =>
+                  val kv = keyVals.computeIfAbsent(key,
+                    k => Literal.create(k, anyIdx.keyType).value)
+                  // only the PRUNED measures (the shift map and the
+                  // shipped partials cover exactly those)
+                  val alls = measures.map {
+                    case c if c == anyMeasure => c -> anyAll
+                    case c => c -> reg.wheels(c).minuteAt(key, slotMs)
+                  }.toMap
+                  check(alls)
+                  rows += InternalRow.fromSeq(
+                    (slotMs * 1000L) +: kv +: parts.cols.partialsRow(alls, anyAll.rows))
+                }
+            }
+            // ts keeps the ORIGINAL exprId so the window projections
+            // (which reference it) re-root verbatim, as in
+            // distributedSliding; the key likewise re-exposes the
+            // grouping attribute the membership-free projections ignore
+            val passThrough = tsAttr +: (keyed.map(_._1).toSeq ++ parts.cols.partialAttrs)
+            val relation = LocalRelation(passThrough, rows.result())
+            val newExpand = Expand(
+              expand.projections.map(p => passThrough :+ p(winIdx)),
+              passThrough :+ winAttr, relation)
+            val top: LogicalPlan =
+              membership.map(f => Filter(f.condition, newExpand)).getOrElse(newExpand)
+            // re-alias onto the union's output ids: the final Aggregate
+            // groups by slotAttr/keyOut and reads parts.cols attributes
+            // from the FIRST union child — this leg
+            Project(
+              keyed.map { case (kA, _) =>
+                Alias(kA, "__graft_key")(exprId = keyOut.get.exprId) }.toSeq ++
+                (Alias(winAttr, "__graft_slot")(exprId = slotAttr.exprId) +:
+                  parts.cols.partialAttrs),
+              top)
           }
-        case Some((_, reg)) =>
-          reg.any.keys.foreach { key =>
-            val kv = Literal.create(key, reg.any.keyType).value
+        }
+      } else {
+        val rows = Seq.newBuilder[InternalRow]
+        keyed match {
+          case None =>
             val it = slidingStarts(aCeil, bFloor, slideMs, offMs, sizeMs)
             while (it.hasNext) {
               val ws = it.next()
-              val alls = measures.map(c => c -> reg.wheels(c).query(key,
-                math.max(aCeil, ws), math.min(bFloor, ws + sizeMs))).toMap
-              val anyAll = alls.valuesIterator.next()
+              val lo = math.max(aCeil, ws)
+              val hi = math.min(bFloor, ws + sizeMs)
+              // anyAll from the REGISTERED measure set: `measures` may
+              // be empty for a COUNT(*)-only statement (rows-only fold)
+              val anyAll = wheels(allMeasures.head).query(lo, hi)
+              val alls = measures.map(c => c ->
+                (if (c == allMeasures.head) anyAll else wheels(c).query(lo, hi))).toMap
               if (anyAll.rows > 0L) {
-                check(alls.values)
+                check(alls)
                 rows += InternalRow.fromSeq(
-                  kv +: slotVal(ws) +: parts.partialsRow(alls, anyAll.rows))
+                  slotVal(ws) +: parts.partialsRow(alls, anyAll.rows))
               }
             }
-          }
+          case Some((_, reg)) =>
+            reg.any.keys.foreach { key =>
+              val kv = Literal.create(key, reg.any.keyType).value
+              val it = slidingStarts(aCeil, bFloor, slideMs, offMs, sizeMs)
+              while (it.hasNext) {
+                val ws = it.next()
+                val lo = math.max(aCeil, ws)
+                val hi = math.min(bFloor, ws + sizeMs)
+                val anyAll = reg.wheels(allMeasures.head).query(key, lo, hi)
+                val alls = measures.map(c => c ->
+                  (if (c == allMeasures.head) anyAll
+                   else reg.wheels(c).query(key, lo, hi))).toMap
+                if (anyAll.rows > 0L) {
+                  check(alls)
+                  rows += InternalRow.fromSeq(
+                    kv +: slotVal(ws) +: parts.partialsRow(alls, anyAll.rows))
+                }
+              }
+            }
+        }
+        Some(LocalRelation(keyOut.toSeq ++ (slotAttr +: parts.partialAttrs),
+          rows.result()))
       }
       if (!conditioned) { foldBailNote = IllCondNote; None } // keep the scan
-      else {
-      val interior =
-        LocalRelation(keyOut.toSeq ++ (slotAttr +: parts.partialAttrs), rows.result())
+      else interiorOpt.flatMap { interior =>
       val edgeChild =
         if (innerBelow eq expand.child) parts.edgeFilter
         else expand.child.transformUp {
@@ -2248,8 +2416,10 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     * the machinery proven on the hybrid edge legs ([[slidingResidue]])
     * and the grouped fallback ([[distributedGrouped]]). Bails (None →
     * scan) on a retention-evicted minute tier, a non-timestamp ts, or
-    * an aggregate with no merge form. ALIGNED ranges only — callers
-    * keep the scan for sub-minute edges above the cap. */
+    * an aggregate with no merge form. ALIGNED ranges only — sub-minute
+    * edges above the cap take [[slidingResidue]]'s `aboveCap` variant
+    * (the same minute-partials Expand as the interior leg of the edge
+    * union). */
   private def distributedSliding(
       groupings: Seq[Expression], winAttr: AttributeReference,
       expand: Expand, membership: Option[Filter],
@@ -2271,16 +2441,23 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       case _ => return None
     }
     val measures = keyed.map(_._2.wheels.keys.toSeq).getOrElse(wheels.keys.toSeq)
-    val cols = partialColsFor(measures)
+    val needCond = hasSecondMoment(aggExprs)
+    val shifts = shiftsFor(needCond, measures,
+      c => keyed match {
+        case Some((_, reg)) => keyedRangeAll(reg, c, a, b)
+        case None => wheels(c).query(a, b)
+      })
+    val cols = partialColsFor(measures, shifts)
     val keyAttr = keyed.map(_._1)
     val subst = groupings.collect {
       case at: Attribute => (Seq[Expression](at), at)
     }
     mergeAggExprs(cols, measures.toSet, aggExprs, subst).flatMap { newAggExprs =>
-      val needCond = hasSecondMoment(aggExprs)
       var conditioned = true
-      def check(alls: Iterable[AllAggregate]): Unit =
-        if (needCond && !alls.forall(_.varWellConditioned)) conditioned = false
+      def check(alls: collection.Map[String, AllAggregate]): Unit =
+        if (needCond && !alls.forall { case (c, al) =>
+          al.varWellConditionedAround(cols.shiftOf(c)) })
+          conditioned = false
       val rows = Seq.newBuilder[InternalRow]
       keyed match {
         case Some((_, reg)) =>
@@ -2294,7 +2471,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
               case (c, _) if c == anyMeasure => c -> anyAll
               case (c, i) => c -> i.minuteAt(key, slotMs)
             }
-            check(alls.values)
+            check(alls)
             rows += InternalRow.fromSeq(
               (slotMs * 1000L) +: kv +: cols.partialsRow(alls, anyAll.rows))
           }
@@ -2305,7 +2482,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
               case c if c == measures.head => c -> anyAll
               case c => c -> wheels(c).minuteAt(slotMs)
             }.toMap
-            check(alls.values)
+            check(alls)
             rows += InternalRow.fromSeq(
               (slotMs * 1000L) +: cols.partialsRow(alls, anyAll.rows))
           }
@@ -2544,7 +2721,13 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     if (keyed.isEmpty && !wheels.valuesIterator.forall(_.minuteTierComplete))
       return None
     val measures = keyed.map(_._2.wheels.keys.toSeq).getOrElse(wheels.keys.toSeq)
-    val cols = partialColsFor(measures)
+    val needCond = hasSecondMoment(aggExprs)
+    val shifts = shiftsFor(needCond, measures,
+      c => keyed match {
+        case Some((_, reg)) => keyedRangeAll(reg, c, a, b)
+        case None => wheels(c).query(a, b)
+      })
+    val cols = partialColsFor(measures, shifts)
     val slotAttr = AttributeReference(
       "__graft_slot", gExpr.dataType, nullable = gExpr.nullable)()
     val keyOutAttr = keyed.map { case (keyAttr, reg) =>
@@ -2555,10 +2738,11 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       Seq((Seq[Expression](keyAttr), keyOutAttr.get.asInstanceOf[Attribute]))
     }.getOrElse(Seq.empty) ++ slotSpellings.map(sp => (sp, slotAttr.asInstanceOf[Attribute]))
     mergeAggExprs(cols, measures.toSet, aggExprs, subst).flatMap { newAggExprs =>
-      val needCond = hasSecondMoment(aggExprs)
       var conditioned = true
-      def check(alls: Iterable[AllAggregate]): Unit =
-        if (needCond && !alls.forall(_.varWellConditioned)) conditioned = false
+      def check(alls: collection.Map[String, AllAggregate]): Unit =
+        if (needCond && !alls.forall { case (c, al) =>
+          al.varWellConditionedAround(cols.shiftOf(c)) })
+          conditioned = false
       val rows = Seq.newBuilder[InternalRow]
       def slotVal(slotMs: Long): Any = {
         val s0 = grid.floorOf(slotMs)
@@ -2576,7 +2760,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
               case (c, _) if c == anyMeasure => c -> anyAll
               case (c, i) => c -> i.minuteAt(key, slotMs)
             }
-            check(alls.values)
+            check(alls)
             rows += InternalRow.fromSeq(kv +: slotVal(slotMs) +:
               cols.partialsRow(alls, anyAll.rows))
           }
@@ -2587,7 +2771,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
               case c if c == measures.head => c -> anyAll
               case c => c -> wheels(c).minuteAt(slotMs)
             }.toMap
-            check(alls.values)
+            check(alls)
             rows += InternalRow.fromSeq(
               slotVal(slotMs) +: cols.partialsRow(alls, anyAll.rows))
           }
@@ -2696,9 +2880,12 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       case Some(k) => k
       case None => return None
     }
+    val needCond = hasSecondMoment(aggExprs)
+    val shifts = shiftsFor(needCond, reg.wheels.keys,
+      c => keyedRangeAll(reg, c, aCeil, bFloor))
     for {
       parts <- residueParts(below, reg.tsCol, reg.wheels.keys.toSeq,
-        a, b, aCeil, bFloor)
+        a, b, aCeil, bFloor, shifts)
       gEval <- rebaseOnto(child, below, gExpr)
       keyOutAttr = AttributeReference(
         "__graft_key", reg.any.keyType, nullable = keyRaw.nullable)()
@@ -2707,10 +2894,11 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       newAggExprs <- mergeAggExprs(parts.cols, reg.wheels.keySet, aggExprs,
         Seq((Seq(keyAttr), keyOutAttr), (Seq(slotGroup, gExpr), slotAttr)))
       plan <- {
-        val needCond = hasSecondMoment(aggExprs)
         var conditioned = true
-        def check(alls: Iterable[AllAggregate]): Unit =
-          if (needCond && !alls.forall(_.varWellConditioned)) conditioned = false
+        def check(alls: collection.Map[String, AllAggregate]): Unit =
+          if (needCond && !alls.forall { case (c, al) =>
+            al.varWellConditionedAround(parts.cols.shiftOf(c)) })
+            conditioned = false
         val rows = Seq.newBuilder[InternalRow]
         val anyIdx = reg.any
         val anyMeasure = reg.wheels.find(_._2 eq anyIdx).get._1
@@ -2725,7 +2913,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
               case (c, _) if c == anyMeasure => c -> anyAll
               case (c, i) => c -> i.minuteAt(key, slotMs)
             }
-            check(alls.values)
+            check(alls)
             val s0 = grid.floorOf(slotMs)
             rows += InternalRow.fromSeq(kv +: slotLiteral(grid, s0, grid.end(s0)).value +:
               parts.partialsRow(alls, anyAll.rows))
@@ -2741,7 +2929,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
                 c -> i.query(key, math.max(aCeil, s0), math.min(bFloor, s1)) }
               val anyAll = alls.valuesIterator.next()
               if (anyAll.rows > 0L) {
-                check(alls.values)
+                check(alls)
                 rows += InternalRow.fromSeq(keyVal +: slotLiteral(grid, s0, s1).value +:
                   parts.partialsRow(alls, anyAll.rows))
               }

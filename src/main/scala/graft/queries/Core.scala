@@ -884,6 +884,32 @@ object Core {
       } finally s.conf.unset("spark.graft.wheel.rewrite.maxFoldRows")
     }),
 
+    // ABOVE-CAP sliding with SUB-MINUTE edges, driver-proven (late
+    // round 11): the last sliding shape that used to keep the scan.
+    // With the window cap forced to 1 the interior goes DISTRIBUTED —
+    // minute partials re-expanded through the ORIGINAL Expand on
+    // executors — while the sub-minute edge rows re-expand through
+    // their own Expand over a bounded two-edge scan; the merge-form
+    // group-by combines both union legs per window. Values must match
+    // DuckDB's raw-row window join exactly.
+    "q_wheel_sliding_hybrid_distributed" -> ((s, dir) => {
+      graft.plans.WheelAcceleration.register(
+        s, s"$dir/events.parquet", t(s, dir, "events"))
+      t(s, dir, "events").createOrReplaceTempView("events_wheel")
+      s.conf.set("spark.graft.wheel.rewrite.maxFoldRows", "1")
+      try {
+        val df = s.sql(
+          s"""SELECT unix_millis(window.start) AS ws_ms, unix_millis(window.end) AS we_ms,
+             |ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n
+             |FROM events_wheel
+             |WHERE unix_millis(ts) >= ${RsStart + 7000} AND unix_millis(ts) < ${RsEnd - 11000}
+             |GROUP BY window(ts, '1 hour', '20 minutes') ORDER BY 1
+             |""".stripMargin)
+        df.queryExecution.optimizedPlan
+        df
+      } finally s.conf.unset("spark.graft.wheel.rewrite.maxFoldRows")
+    }),
+
     // GROUPED approx fold (round 11): approx_count_distinct PER DAY
     // SLOT — the sketch fold running per grid cell inside the grouped
     // rewrite (clipped range per cell), oracle-exact in the Theta exact
@@ -1288,6 +1314,18 @@ object Core {
       // so the oracle joins RAW rows to the window grid directly
       ("WITH g AS (SELECT range AS ws FROM " +
         s"range(${RsStart - 3540000L}, ${RsEnd - 11000}, 60000)), " +
+        "j AS (SELECT g.ws, e.value FROM g JOIN events e " +
+        "ON epoch_ms(e.ts) >= g.ws AND epoch_ms(e.ts) < g.ws + 3600000 " +
+        s"AND epoch_ms(e.ts) >= ${RsStart + 7000} AND epoch_ms(e.ts) < ${RsEnd - 11000}) " +
+        "SELECT ws AS ws_ms, ws + 3600000 AS we_ms, ROUND(SUM(value), 2) AS sum_value, " +
+        "COUNT(*) AS n FROM j GROUP BY 1, 2 ORDER BY 1"),
+    "q_wheel_sliding_hybrid_distributed" ->
+      // sub-minute edges + above-cap: like the residue oracle, the
+      // minute rollup cannot express the clips, so raw rows join the
+      // 20-minute window grid directly (too-early grid points match
+      // no rows and drop out of the inner join)
+      ("WITH g AS (SELECT range AS ws FROM " +
+        s"range(${(RsStart + 7000 - 3600000L) / 1200000L * 1200000L}, ${RsEnd - 11000}, 1200000)), " +
         "j AS (SELECT g.ws, e.value FROM g JOIN events e " +
         "ON epoch_ms(e.ts) >= g.ws AND epoch_ms(e.ts) < g.ws + 3600000 " +
         s"AND epoch_ms(e.ts) >= ${RsStart + 7000} AND epoch_ms(e.ts) < ${RsEnd - 11000}) " +

@@ -52,16 +52,20 @@ final case class AllAggregate(sum: Double, count: Long, min: Double, max: Double
     if (count == 0) Double.NaN
     else math.max(0.0, m2 / count)
 
-  /** Whether a MERGE-FORM recombination of this partial's Σx²
-    * ([[sumSqEquiv]], summed across shipped partials by a distributed
-    * Aggregate) retains ≥ ~half the double's digits: variance ≥ 1e-8 ×
-    * mean². The DRIVER-side fold no longer needs this gate (m2 is
-    * central, [[varPop]] is exact); only the rewrite's distributed
-    * fallback paths — which recombine with plain SUM expressions — gate
-    * on it. Counts below 2 are exact by algebra, so they pass. */
-  def varWellConditioned: Boolean =
+  /** Whether a MERGE-FORM recombination of this partial's SHIFTED
+    * sum of squares ([[shiftedSq]] around `c`, summed across shipped
+    * partials by a distributed Aggregate) retains ≥ ~half the double's
+    * digits: variance ≥ 1e-8 × (mean − c)². The DRIVER-side fold needs
+    * no gate (m2 is central, [[varPop]] is exact); only the rewrite's
+    * merge-form paths — which recombine with plain SUM expressions —
+    * gate on it, each around ITS plan-time shift (round 11:
+    * shift-centering makes |mean − c| ≈ stddev-scale for homogeneous
+    * data, so the realistic |mean| ≫ stddev case now passes where the
+    * unshifted form had to bail). Counts below 2 are exact by algebra,
+    * so they pass. */
+  def varWellConditionedAround(c: Double): Boolean =
     count < 2 || {
-      val mean = sum / count
+      val mean = sum / count - c
       varPop * 1e8 >= mean * mean
     }
   /** Sample variance; NaN below two rows (callers surface SQL NULL,
@@ -71,13 +75,23 @@ final case class AllAggregate(sum: Double, count: Long, min: Double, max: Double
     else math.max(0.0, m2 / (count - 1))
   def stddevPop: Double = math.sqrt(varPop)
   def stddevSamp: Double = math.sqrt(varSamp)
-  /** The raw sum of squares this partial encodes (`Σx² = m2 + (Σx)²/n`)
-    * — the additive form the rewrite's merge-form Aggregates ship, so
-    * executor-side recombination stays a plain SUM. Reconstructing it
-    * re-enters algebraic territory; those paths keep the
-    * [[varWellConditioned]] gate. */
-  def sumSqEquiv: Double =
-    if (count == 0L) 0.0 else m2 + sum * sum / count
+  /** The SHIFTED sum of squares this partial encodes around `c`
+    * (`Σ(x−c)² = m2 + n·(mean−c)²` — exact identity) — the additive
+    * form the rewrite's merge-form Aggregates ship, so executor-side
+    * recombination stays a plain SUM. The rewrite picks `c` ≈ the
+    * range's own mean at plan time, making every addend stddev-scale
+    * where the raw `c = 0` form carried mean-scale terms that
+    * cancelled catastrophically; reconstruction still re-enters
+    * algebraic territory, so those paths keep the
+    * [[varWellConditionedAround]] gate (around the same `c`). */
+  def shiftedSq(c: Double): Double =
+    if (count == 0L) 0.0
+    else {
+      val d = sum / count - c
+      m2 + count * d * d
+    }
+  /** [[shiftedSq]] at the origin: the raw `Σx²`. */
+  def sumSqEquiv: Double = shiftedSq(0.0)
 }
 object AllAggregate {
   val identity: AllAggregate =

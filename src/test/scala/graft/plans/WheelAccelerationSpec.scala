@@ -1295,14 +1295,17 @@ class WheelAccelerationSpec extends AnyFunSuite {
           "FROM events_accel WHERE ts >= '2024-01-05' AND ts < '2024-01-06' " +
           "GROUP BY 1 ORDER BY 1")
       assert(b4 && r4b.nonEmpty)
-      // BAIL: above-cap with SUB-MINUTE edges keeps the scan (the
-      // hybrid's per-window interior walk is what the cap bounds)
-      val (b5, _) = run(
+      // above-cap with SUB-MINUTE edges goes HYBRID-DISTRIBUTED (late
+      // round 11): minute partials through the original Expand as the
+      // interior union leg, edge rows through their own Expand — the
+      // last sliding shape that used to keep the scan now folds, and
+      // run() value-verifies it against the scan
+      val (b5, r5b) = run(
         "SELECT window(ts, '1 hour', '30 minutes') AS w, COUNT(*) AS n " +
           "FROM events_accel WHERE unix_millis(ts) >= " +
           s"${Q.Jan1 + 30 * 1000} AND unix_millis(ts) < ${Q.Jan1 + 86400000 - 7000} " +
           "GROUP BY 1 ORDER BY 1")
-      assert(!b5)
+      assert(b5 && r5b.nonEmpty)
     } finally System.clearProperty("graft.wheel.rewrite.maxFoldRows")
 
     // KEYED sliding (round 10): per-(key, window) rows from the keyed
@@ -1573,31 +1576,35 @@ class WheelAccelerationSpec extends AnyFunSuite {
       "GROUP BY 1")
     assert(reason.contains("time-bucketing"), reason)
 
-    // above the window cap WITH sub-minute edges (the one sliding shape
-    // that still keeps the scan after round 11)
+    // above the window cap WITH sub-minute edges the shape goes
+    // hybrid-distributed since late round 11 — the remaining bail in
+    // that family is an aggregate with no merge form (DISTINCT)
     spark.conf.set("spark.graft.wheel.rewrite.maxFoldRows", "3")
     try {
-      planOnly("SELECT COUNT(*) AS n FROM events_accel " +
+      planOnly("SELECT COUNT(DISTINCT user_id) AS n FROM events_accel " +
         s"WHERE unix_millis(ts) >= ${Q.RsStart + 7000} " +
         s"AND unix_millis(ts) < ${Q.RsEnd - 9000} " +
         "GROUP BY window(ts, '1 hour', '30 minutes')")
-      assert(reason.contains("window cap"), reason)
+      assert(reason.contains("DISTINCT") || reason.contains("unsupported"), reason)
     } finally spark.conf.unset("spark.graft.wheel.rewrite.maxFoldRows")
 
-    // ill-conditioned second moment: only the MERGE-FORM shapes bail
-    // since the central-m2 switch, so the reason needs a hybrid range
-    // (sub-minute edges force the merge-form union)
+    // ill-conditioned second moment: since shift-centering (round 11)
+    // only HETEROGENEOUS group means far from the range mean with tiny
+    // within-group spread still bail, and only on merge-form shapes —
+    // a grouped hybrid (sub-minute edges) over a two-regime fixture
     val illSrc = new java.io.File("target/test-fixtures/accel/illcond2.parquet")
       .getAbsolutePath
-    (0 until 100).map(i =>
-      (new java.sql.Timestamp(Q.Jan1 + (i / 5) * 60000L), 1e8 + (i % 5) * 0.01))
-      .toDF("ts", "value").write.mode("overwrite").parquet(illSrc)
+    (0 until 100).map { i =>
+      val base = if (i / 50 == 0) 0.0 else 2e8
+      (new java.sql.Timestamp(Q.Jan1 + (i / 5) * 60000L), base + (i % 5) * 0.01)
+    }.toDF("ts", "value").write.mode("overwrite").parquet(illSrc)
     WheelAcceleration.register(spark, illSrc, spark.read.parquet(illSrc))
     spark.read.parquet(illSrc).createOrReplaceTempView("illcond2")
     try {
-      spark.sql("SELECT VAR_POP(value) AS v FROM illcond2 " +
+      spark.sql("SELECT (unix_millis(ts) div 60000) * 60000 AS m, " +
+        "VAR_POP(value) AS v FROM illcond2 " +
         s"WHERE unix_millis(ts) >= ${Q.Jan1 + 7000} " +
-        s"AND unix_millis(ts) < ${Q.Jan1 + 1200000 - 9000}")
+        s"AND unix_millis(ts) < ${Q.Jan1 + 1200000 - 9000} GROUP BY 1")
         .queryExecution.optimizedPlan
       assert(WheelAcceleration.lastBailReason(illSrc)
         .exists(_.contains("ill-conditioned")),
@@ -1678,9 +1685,10 @@ class WheelAccelerationSpec extends AnyFunSuite {
     // values ~1e8 with ~1e-2 spread: mean²/var ≈ 1e20 — the raw-Σx²
     // algebraic form loses every variance digit in doubles. Since the
     // central-m2 switch the PLAN-TIME fold combines per-minute Welford
-    // moments with Chan's update and must MATCH the scan; only the
-    // merge-form recombination (which SUMs reconstructed Σx² on
-    // executors) still refuses.
+    // moments with Chan's update and must MATCH the scan; merge-form
+    // recombinations are SHIFT-CENTERED around the range mean, so this
+    // homogeneous fixture folds there too (the heterogeneous limit has
+    // its own test below).
     (0 until 300).map(i =>
       (new java.sql.Timestamp(t0 + (i / 5) * 60000L), 1e8 + (i % 5) * 0.01))
       .toDF("ts", "value").write.mode("overwrite").parquet(src)
@@ -1725,17 +1733,93 @@ class WheelAccelerationSpec extends AnyFunSuite {
         assert(math.abs(a.getDouble(1) - b.getDouble(1)) <=
           1e-4 * math.sqrt(trueVar), s"slot ${a.getLong(0)}: ${a.getDouble(1)} vs ${b.getDouble(1)}")
       }
-      // hybrid (sub-minute edges): the merge-form VAR is gated on the
-      // interior partials' conditioning — keeps the scan
-      val h = spark.sql("SELECT VAR_POP(value) AS v FROM illcond " +
-        s"WHERE unix_millis(ts) >= ${t0 + 7000} AND unix_millis(ts) < ${t0 + 3600000 - 9000}")
-      assert(!folded(h), h.queryExecution.optimizedPlan.treeString)
+      // hybrid (sub-minute edges): SHIFT-CENTERED since round 11 — the
+      // merge-form partials carry Σ(x−c)² around the interior's own
+      // mean, so homogeneous data at any magnitude now FOLDS and
+      // matches the scan (pre-shift this had to keep the scan)
+      val hSql = "SELECT VAR_POP(value) AS v FROM illcond " +
+        s"WHERE unix_millis(ts) >= ${t0 + 7000} AND unix_millis(ts) < ${t0 + 3600000 - 9000}"
+      val h = spark.sql(hSql)
+      assert(folded(h), h.queryExecution.optimizedPlan.treeString)
+      val hGot = h.collect()(0).getDouble(0)
+      val hWant = scanOf(hSql)(0).getDouble(0)
+      assert(math.abs(hGot - hWant) <= 1e-4 * trueVar, s"hybrid fold $hGot vs scan $hWant")
       // sanity: a WELL-conditioned fixture still folds the second moment
       register()
       events.createOrReplaceTempView("events_accel")
       val ok = spark.sql("SELECT VAR_POP(value) AS v FROM events_accel " +
         s"WHERE unix_millis(ts) >= ${Q.R1Start} AND unix_millis(ts) < ${Q.R1End}")
       assert(folded(ok))
+    } finally WheelAcceleration.unregister(src)
+  }
+
+  test("shift-centering limit: heterogeneous group means far from the range mean still keep the scan (round 11)") {
+    import spark.implicits._
+    val src = new java.io.File("target/test-fixtures/accel/illcondhet.parquet")
+      .getAbsolutePath
+    val t0 = Q.Jan1
+    // two regimes: minutes 0–4 at ~0, minutes 5–9 at ~2e8, each with
+    // ~1e-2 within-minute spread. The global shift c ≈ 1e8 sits 1e8
+    // away from EVERY group mean, so recovering the tiny within-group
+    // variance from Σ(x−c)² partials would cancel catastrophically —
+    // the per-partial gate (var ≥ 1e-8·(mean−c)²) must keep the scan
+    // for the GROUPED hybrid, while the UNGROUPED hybrid (whose true
+    // variance is dominated by the 1e16 between-regime spread) folds.
+    (0 until 50).map { i =>
+      val base = if (i / 25 == 0) 0.0 else 2e8
+      (new java.sql.Timestamp(t0 + (i / 5) * 60000L), base + (i % 5) * 0.01)
+    }.toDF("ts", "value").write.mode("overwrite").parquet(src)
+    WheelAcceleration.register(spark, src, spark.read.parquet(src))
+    spark.read.parquet(src).createOrReplaceTempView("illcondhet")
+    def folded(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect { case l: LocalRelation => l }.nonEmpty
+    def scanOf(sql: String): Array[org.apache.spark.sql.Row] = {
+      WheelAcceleration.clear()
+      val rows = spark.sql(sql).collect()
+      WheelAcceleration.register(spark, src, spark.read.parquet(src))
+      rows
+    }
+    try {
+      // grouped hybrid: per-minute VAR over an unaligned range — the
+      // shift cannot serve both regimes, gate keeps the scan
+      val gSql = "SELECT (unix_millis(ts) div 60000) * 60000 AS m, " +
+        "VAR_POP(value) AS v FROM illcondhet " +
+        s"WHERE unix_millis(ts) >= ${t0 + 7000} " +
+        s"AND unix_millis(ts) < ${t0 + 600000 - 9000} GROUP BY 1 ORDER BY 1"
+      val g = spark.sql(gSql)
+      assert(!folded(g), g.queryExecution.optimizedPlan.treeString)
+      assert(WheelAcceleration.lastBailReason(src)
+        .exists(_.contains("ill-conditioned")),
+        WheelAcceleration.lastBailReason(src).toString)
+      // ungrouped hybrid over the same data: the combined interior is
+      // centered on its own mean; the true variance is the between-
+      // regime 1e16, so the fold fires and matches the scan
+      val uSql = "SELECT VAR_POP(value) AS v FROM illcondhet " +
+        s"WHERE unix_millis(ts) >= ${t0 + 7000} " +
+        s"AND unix_millis(ts) < ${t0 + 600000 - 9000}"
+      val u = spark.sql(uSql)
+      assert(folded(u), u.queryExecution.optimizedPlan.treeString)
+      val uGot = u.collect()(0).getDouble(0)
+      val uWant = scanOf(uSql)(0).getDouble(0)
+      assert(math.abs(uGot - uWant) <= 1e-6 * math.max(uGot.abs, uWant.abs),
+        s"ungrouped hybrid fold $uGot vs scan $uWant")
+      // grouped ALIGNED: plan-time fold, Welford-exact per group even
+      // on the heterogeneous fixture — matches the scan per minute
+      val aSql = "SELECT (unix_millis(ts) div 60000) * 60000 AS m, " +
+        "VAR_POP(value) AS v FROM illcondhet " +
+        s"WHERE unix_millis(ts) >= $t0 AND unix_millis(ts) < ${t0 + 600000} " +
+        "GROUP BY 1 ORDER BY 1"
+      val al = spark.sql(aSql)
+      assert(folded(al), al.queryExecution.optimizedPlan.treeString)
+      val aGot = al.collect()
+      val aWant = scanOf(aSql)
+      assert(aGot.length == aWant.length && aGot.nonEmpty)
+      aGot.zip(aWant).foreach { case (x, y) =>
+        assert(x.getLong(0) == y.getLong(0))
+        assert(math.abs(x.getDouble(1) - y.getDouble(1)) <= 1e-10 +
+          1e-4 * math.max(x.getDouble(1).abs, y.getDouble(1).abs),
+          s"slot ${x.getLong(0)}: ${x.getDouble(1)} vs ${y.getDouble(1)}")
+      }
     } finally WheelAcceleration.unregister(src)
   }
 
@@ -1790,6 +1874,47 @@ class WheelAccelerationSpec extends AnyFunSuite {
           "ROUND(SUM(value), 2) AS s, COUNT(*) AS n " +
           "FROM events_accel WHERE unix_millis(ts) >= " +
           s"${Q.RsStart} AND unix_millis(ts) < ${Q.RsEnd} " +
+          "GROUP BY event_type, window(ts, '1 hour', '20 minutes') ORDER BY 1, 2")
+      // above-cap WITH sub-minute edges: hybrid-DISTRIBUTED (late round
+      // 11) — a Union of the minute-partials Expand (interior) and the
+      // edge rows' own Expand over a bounded scan; value-verified
+      // against both the below-cap hybrid and the raw scan
+      def checkHybrid(sql: String): Unit = {
+        import org.apache.spark.sql.catalyst.plans.logical.Union
+        spark.conf.set("spark.graft.wheel.rewrite.maxFoldRows", "3")
+        val df = spark.sql(sql)
+        val p = df.queryExecution.optimizedPlan
+        assert(p.collect { case u: Union => u }.nonEmpty, s"$sql:\n${p.treeString}")
+        assert(p.collect { case l: LocalRelation => l }.nonEmpty, s"$sql:\n${p.treeString}")
+        assert(p.collect { case e: Expand => e }.size >= 2, s"$sql:\n${p.treeString}")
+        val got = df.collect().map(_.toString).toSeq
+        spark.conf.unset("spark.graft.wheel.rewrite.maxFoldRows")
+        val hybridFold = spark.sql(sql).collect().map(_.toString).toSeq
+        WheelAcceleration.clear()
+        val want = spark.sql(sql).collect().map(_.toString).toSeq
+        register()
+        WheelAcceleration.registerKeyed(spark, path, events, "event_type")
+        assert(got == want, sql)
+        assert(hybridFold == want, sql)
+        assert(got.nonEmpty, sql)
+      }
+      checkHybrid(
+        "SELECT unix_millis(window.start) AS ws, ROUND(SUM(value), 2) AS s, " +
+          "COUNT(*) AS n FROM events_accel WHERE unix_millis(ts) >= " +
+          s"${Q.RsStart + 7000} AND unix_millis(ts) < ${Q.RsEnd - 9000} " +
+          "GROUP BY window(ts, '1 hour', '20 minutes') ORDER BY 1")
+      // non-divisible slide: membership filter survives on BOTH legs
+      checkHybrid(
+        "SELECT unix_millis(window.start) AS ws, COUNT(*) AS n " +
+          "FROM events_accel WHERE unix_millis(ts) >= " +
+          s"${Q.RsStart + 7000} AND unix_millis(ts) < ${Q.RsEnd - 9000} " +
+          "GROUP BY window(ts, '3 minutes', '2 minutes') ORDER BY 1")
+      // keyed above-cap hybrid
+      checkHybrid(
+        "SELECT event_type, unix_millis(window.start) AS ws, " +
+          "ROUND(SUM(value), 2) AS s, COUNT(*) AS n " +
+          "FROM events_accel WHERE unix_millis(ts) >= " +
+          s"${Q.RsStart + 7000} AND unix_millis(ts) < ${Q.RsEnd - 9000} " +
           "GROUP BY event_type, window(ts, '1 hour', '20 minutes') ORDER BY 1, 2")
     } finally spark.conf.unset("spark.graft.wheel.rewrite.maxFoldRows")
   }
