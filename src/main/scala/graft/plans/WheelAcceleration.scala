@@ -1419,8 +1419,10 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       "range's mean with |mean - c| >> stddev): even the SHIFT-CENTERED " +
       "merge-form recombination (SUM of Σ(x-c)² partials around the " +
       "plan-time mean c) would lose the variance digits — scan kept " +
-      "(Welford path); plan-time folds are exempt (central m2, " +
-      "Chan-combined), and homogeneous data at any magnitude now folds"
+      "(Welford path). Plan-time folds are exempt (central m2, " +
+      "Chan-combined), the edge-free distributed grouped path is exempt " +
+      "(per-group shift columns), and homogeneous data at any magnitude " +
+      "folds everywhere"
 
   /** Record `reason` as the path's last bail when `opt` is empty —
     * the [[WheelAcceleration.lastBailReason]] feed. */
@@ -1575,14 +1577,22 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       sumsqAttrs: Map[String, AttributeReference],
       cntAttrs: Map[String, AttributeReference],
       rowsAttr: AttributeReference,
-      shifts: Map[String, Double]) {
+      shifts: Map[String, Double],
+      // per-ROW shift columns (late round 11): the edge-free
+      // distributed grouped path ships each GROUP's own mean as a
+      // column (constant within a group), so its variance recombination
+      // is exact for ANY data — no conditioning gate needed. Empty for
+      // every path with edge legs (a raw edge row cannot know its
+      // group's shift); those use the scalar `shifts` + gate.
+      shiftAttrs: Map[String, AttributeReference] = Map.empty) {
     def shiftOf(c: String): Double = shifts.getOrElse(c, 0.0)
     def partialAttrs: Seq[AttributeReference] =
       measures.flatMap(c =>
-        Seq(sumAttrs(c), minAttrs(c), maxAttrs(c), sumsqAttrs(c), cntAttrs(c))) :+
-        rowsAttr
+        Seq(sumAttrs(c), minAttrs(c), maxAttrs(c), sumsqAttrs(c), cntAttrs(c))) ++
+        (rowsAttr +: measures.flatMap(shiftAttrs.get))
     /** One partials row: per-measure (sum, min, max, shifted Σ(x−c)²,
-      * cnt) + the shared COUNT(*) rows. The shifted square is
+      * cnt) + the shared COUNT(*) rows (+ the per-row shift columns
+      * when this layout carries them). The shifted square is
       * reconstructed from the central m2 ([[AllAggregate.shiftedSq]]
       * around this fold's plan-time shift — the range's own mean when a
       * second moment is requested, 0 otherwise) so the executor-side
@@ -1593,15 +1603,23 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       * measures, round 11) so the merge-form SUM/MIN/MAX see exactly
       * what a scan's partial aggregation would hand them. */
     def partialsRow(alls: Map[String, AllAggregate], rows: Long): Seq[Any] =
+      partialsRowShifted(alls, rows, shiftOf)
+    /** [[partialsRow]] with an explicit per-call shift (the per-group
+      * shift-column layout): the shifted square centers on `rowShift`
+      * and the shift value rides along in its column. */
+    def partialsRowShifted(alls: Map[String, AllAggregate], rows: Long,
+        rowShift: String => Double): Seq[Any] =
       measures.flatMap { c =>
         val al = alls(c)
         if (al.count == 0L) Seq[Any](null, null, null, null, 0L)
-        else Seq[Any](al.sum, al.min, al.max, al.shiftedSq(shiftOf(c)), al.count)
-      } :+ rows
+        else Seq[Any](al.sum, al.min, al.max, al.shiftedSq(rowShift(c)), al.count)
+      } ++ (rows +: measures.flatMap(c =>
+        if (shiftAttrs.contains(c)) Seq[Any](rowShift(c)) else Seq.empty[Any]))
   }
 
   private def partialColsFor(measureCols: Seq[String],
-      shifts: Map[String, Double] = Map.empty): PartialCols = {
+      shifts: Map[String, Double] = Map.empty,
+      perRowShifts: Boolean = false): PartialCols = {
     val measures = measureCols.sorted
     PartialCols(
       measures,
@@ -1616,7 +1634,10 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       measures.map(c => c ->
         AttributeReference(s"__graft_cnt_$c", LongType, nullable = false)()).toMap,
       AttributeReference("__graft_rows", LongType, nullable = false)(),
-      shifts)
+      shifts,
+      if (!perRowShifts) Map.empty
+      else measures.map(c => c ->
+        AttributeReference(s"__graft_shift_$c", DoubleType, nullable = false)()).toMap)
   }
 
   /** Shared scaffolding for the hybrid residue folds (ungrouped and
@@ -1761,10 +1782,17 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       // the partials carry the SHIFTED square Σ(x−c)², so the matching
       // first moment is Σ(x−c) = Σx − n·c — with c ≈ the range mean
       // both sides of the subtraction are stddev-scale, which is the
-      // whole point of shift-centering (round 11)
-      val sShifted: Expression = cols.shiftOf(n) match {
-        case 0.0 => s
-        case c => Subtract(s, Multiply(cnt, Literal(c, DoubleType)))
+      // whole point of shift-centering (round 11). Per-ROW shift
+      // columns (the edge-free distributed grouped layout) carry each
+      // GROUP's own mean — constant within the group, so MAX reads it
+      // back — making the recombination exact for any data.
+      val sShifted: Expression = cols.shiftAttrs.get(n) match {
+        case Some(shiftAt) =>
+          Subtract(s, Multiply(cnt, ae(Max(shiftAt))))
+        case None => cols.shiftOf(n) match {
+          case 0.0 => s
+          case c => Subtract(s, Multiply(cnt, Literal(c, DoubleType)))
+        }
       }
       val num = Subtract(q, Divide(Multiply(sShifted, sShifted), cnt))
       val den = if (samp) Subtract(cnt, Literal(1.0, DoubleType)) else cnt
@@ -1846,16 +1874,17 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     * central m2 via [[AllAggregate.shiftedSq]] around `c` ≈ the fold
     * range's own mean, so executor recombination stays a plain SUM
     * with stddev-scale addends). Homogeneous data — any magnitude,
-    * any spread — is now well-conditioned by construction; only
-    * heterogeneous group means far from the global `c` with tiny
-    * within-group spread can still cancel, and each fold site checks
-    * the partials it is about to ship
-    * ([[AllAggregate.varWellConditionedAround]] the same `c` — the
-    * combined interior for the ungrouped residue, each interior/minute
-    * entry for the grouped and distributed shapes) and keeps the scan
-    * when any fails. PLAN-TIME folds ([[foldRow]]) need no gate or
-    * shift: their variance reads the Chan-combined central moment
-    * directly and is Welford-exact. */
+    * any spread — is now well-conditioned by construction, and the
+    * edge-free distributed grouped path ships PER-GROUP shifts (each
+    * group's own mean as a column) making it exact for ANY data with
+    * no gate at all. Only the shapes with raw edge legs (which cannot
+    * know their group's shift) can still cancel on heterogeneous group
+    * means far from the global `c` with tiny within-group spread; those
+    * sites check the partials they are about to ship
+    * ([[AllAggregate.varWellConditionedAround]] the same `c`) and keep
+    * the scan when any fails. PLAN-TIME folds ([[foldRow]]) need no
+    * gate or shift: their variance reads the Chan-combined central
+    * moment directly and is Welford-exact. */
   private def hasSecondMoment(aggExprs: Seq[NamedExpression]): Boolean =
     aggExprs.exists(_.exists {
       case e: AggregateExpression => e.aggregateFunction match {
@@ -2722,12 +2751,14 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       return None
     val measures = keyed.map(_._2.wheels.keys.toSeq).getOrElse(wheels.keys.toSeq)
     val needCond = hasSecondMoment(aggExprs)
-    val shifts = shiftsFor(needCond, measures,
-      c => keyed match {
-        case Some((_, reg)) => keyedRangeAll(reg, c, a, b)
-        case None => wheels(c).query(a, b)
-      })
-    val cols = partialColsFor(measures, shifts)
+    // PER-GROUP shifts (late round 11): this path has no edge legs, so
+    // each (key,) slot group's partials can center on the GROUP's own
+    // mean, shipped as a constant-within-group shift column — the
+    // variance recombination is then exact for ANY data (every shifted
+    // addend is a within-group deviation) and needs NO conditioning
+    // gate, unlike the hybrid shapes whose raw edge rows cannot know
+    // their group's shift
+    val cols = partialColsFor(measures, Map.empty, perRowShifts = needCond)
     val slotAttr = AttributeReference(
       "__graft_slot", gExpr.dataType, nullable = gExpr.nullable)()
     val keyOutAttr = keyed.map { case (keyAttr, reg) =>
@@ -2738,17 +2769,29 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       Seq((Seq[Expression](keyAttr), keyOutAttr.get.asInstanceOf[Attribute]))
     }.getOrElse(Seq.empty) ++ slotSpellings.map(sp => (sp, slotAttr.asInstanceOf[Attribute]))
     mergeAggExprs(cols, measures.toSet, aggExprs, subst).flatMap { newAggExprs =>
-      var conditioned = true
-      def check(alls: collection.Map[String, AllAggregate]): Unit =
-        if (needCond && !alls.forall { case (c, al) =>
-          al.varWellConditionedAround(cols.shiftOf(c)) })
-          conditioned = false
       val rows = Seq.newBuilder[InternalRow]
       def slotVal(slotMs: Long): Any = {
         val s0 = grid.floorOf(slotMs)
         slotLiteral(grid, s0, grid.end(s0)).value
       }
-      keyed match {
+      // pass 1 (only when a second moment is requested): per-group
+      // (sum, cnt) per measure → the group means the shift columns
+      // carry; same O(minute entries) walk as the emission pass
+      val groupMeans = new java.util.HashMap[(Any, Long), Map[String, (Double, Long)]]()
+      def accumulate(gk: (Any, Long), alls: collection.Map[String, AllAggregate]): Unit = {
+        val prev = groupMeans.get(gk)
+        val next = measures.map { c =>
+          val al = alls(c)
+          val (ps, pc) = if (prev == null) (0.0, 0L) else prev(c)
+          c -> (ps + al.sum, pc + al.count)
+        }.toMap
+        groupMeans.put(gk, next)
+      }
+      def shiftFor(gk: (Any, Long)): String => Double = { c =>
+        val (s, n) = groupMeans.get(gk)(c)
+        if (n == 0L) 0.0 else s / n
+      }
+      def walk(emit: Boolean): Unit = keyed match {
         case Some((_, reg)) =>
           val keyVals = new java.util.HashMap[Any, Any]()
           val anyIdx = reg.any
@@ -2760,9 +2803,11 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
               case (c, _) if c == anyMeasure => c -> anyAll
               case (c, i) => c -> i.minuteAt(key, slotMs)
             }
-            check(alls)
-            rows += InternalRow.fromSeq(kv +: slotVal(slotMs) +:
-              cols.partialsRow(alls, anyAll.rows))
+            val gk = (kv, grid.floorOf(slotMs))
+            if (!emit) accumulate(gk, alls)
+            else rows += InternalRow.fromSeq(kv +: slotVal(slotMs) +:
+              cols.partialsRowShifted(alls, anyAll.rows,
+                if (needCond) shiftFor(gk) else cols.shiftOf))
           }
         case None =>
           val anyIdx = wheels(measures.head)
@@ -2771,17 +2816,18 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
               case c if c == measures.head => c -> anyAll
               case c => c -> wheels(c).minuteAt(slotMs)
             }.toMap
-            check(alls)
-            rows += InternalRow.fromSeq(
-              slotVal(slotMs) +: cols.partialsRow(alls, anyAll.rows))
+            val gk = (null, grid.floorOf(slotMs))
+            if (!emit) accumulate(gk, alls)
+            else rows += InternalRow.fromSeq(
+              slotVal(slotMs) +: cols.partialsRowShifted(alls, anyAll.rows,
+                if (needCond) shiftFor(gk) else cols.shiftOf))
           }
       }
-      if (!conditioned) { foldBailNote = IllCondNote; None } // keep the scan
-      else {
-        val relAttrs = keyOutAttr.toSeq ++ (slotAttr +: cols.partialAttrs)
-        val groupAttrs = keyOutAttr.toSeq :+ slotAttr
-        Some(Aggregate(groupAttrs, newAggExprs, LocalRelation(relAttrs, rows.result())))
-      }
+      if (needCond) walk(emit = false)
+      walk(emit = true)
+      val relAttrs = keyOutAttr.toSeq ++ (slotAttr +: cols.partialAttrs)
+      val groupAttrs = keyOutAttr.toSeq :+ slotAttr
+      Some(Aggregate(groupAttrs, newAggExprs, LocalRelation(relAttrs, rows.result())))
     }
   }
 

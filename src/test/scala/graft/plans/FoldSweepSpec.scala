@@ -94,11 +94,11 @@ class FoldSweepSpec extends AnyFunSuite {
     // the CAP dimension (round 11): the same full matrix under a
     // forced plan-time ceiling of 3, so every above-cap fallback —
     // grouped/keyed minute-state partials, the sliding re-rooted
-    // Expand — is equivalence-checked across all agg mixes and
-    // grouping spellings, not just its pointwise specs. Above-cap
-    // shapes that still produce a LocalRelation (the distributed
-    // plans) count as folded; the one declared scan shape (above-cap
-    // sliding with sub-minute edges) just has to stay correct.
+    // Expand, and (late round 11) the hybrid-distributed sliding with
+    // sub-minute edges — is equivalence-checked across all agg mixes
+    // and grouping spellings, not just its pointwise specs. Above-cap
+    // shapes that produce a LocalRelation (all the distributed plans,
+    // including the hybrid union legs) count as folded.
     val capKnob = "spark.graft.wheel.rewrite.maxFoldRows"
     for {
       cap <- Seq(None, Some("3"))

@@ -1820,6 +1820,22 @@ class WheelAccelerationSpec extends AnyFunSuite {
           1e-4 * math.max(x.getDouble(1).abs, y.getDouble(1).abs),
           s"slot ${x.getLong(0)}: ${x.getDouble(1)} vs ${y.getDouble(1)}")
       }
+      // grouped ALIGNED above the cap: the edge-free DISTRIBUTED path
+      // ships PER-GROUP shifts (each group's own mean as a column), so
+      // even the heterogeneous fixture folds exactly — no gate needed
+      spark.conf.set("spark.graft.wheel.rewrite.maxFoldRows", "3")
+      try {
+        val dg = spark.sql(aSql)
+        assert(folded(dg), dg.queryExecution.optimizedPlan.treeString)
+        val dGot = dg.collect()
+        assert(dGot.length == aWant.length && dGot.nonEmpty)
+        dGot.zip(aWant).foreach { case (x, y) =>
+          assert(x.getLong(0) == y.getLong(0))
+          assert(math.abs(x.getDouble(1) - y.getDouble(1)) <= 1e-10 +
+            1e-4 * math.max(x.getDouble(1).abs, y.getDouble(1).abs),
+            s"above-cap slot ${x.getLong(0)}: ${x.getDouble(1)} vs ${y.getDouble(1)}")
+        }
+      } finally spark.conf.unset("spark.graft.wheel.rewrite.maxFoldRows")
     } finally WheelAcceleration.unregister(src)
   }
 
