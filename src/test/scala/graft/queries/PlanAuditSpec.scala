@@ -163,6 +163,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("q_wheel_sliding_hybrid_distributed: partials Expand unioned with a BOUNDED edge scan (late round 11)") {
+    val p = plan("q_wheel_sliding_hybrid_distributed")
+    // interior leg: minute partials through the re-rooted Expand
+    assert(p.contains("LocalTableScan"), p)
+    assert(p.contains("Expand"), p)
+    assert(p.contains("Union"), p)
+    assert(p.contains("HashAggregate"), p)
+    // edge leg: ONE bounded FileScan with directly-pushed ts bounds —
+    // the two sub-minute edges, kilobytes at any table size
+    assert(p.contains("FileScan"), p)
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("GreaterThanOrEqual(ts"), p)
+  }
+
   test("q_wheel_keyed_multi_sql folds mixed measures per key to a LocalTableScan (round 10)") {
     val p = plan("q_wheel_keyed_multi_sql")
     assert(p.contains("LocalTableScan"), p)
