@@ -102,6 +102,24 @@ class WheelIngestSpec extends AnyFunSuite {
         Seq((t0 - Min, 11.0, 2L), (t0, 13.0, 3L), (t0 + Min, 6.0, 2L),
           (t0 + 2 * Min, 4.0, 1L)))
 
+      // ABOVE-CAP sliding with SUB-MINUTE edges folds hybrid-distributed
+      // off the same live registration (late round 11): the live
+      // minute state ships through the original Expand as the interior
+      // union leg, the edge rows re-expand over a bounded scan of the
+      // CURRENT files
+      spark.conf.set("spark.graft.wheel.rewrite.maxFoldRows", "1")
+      try {
+        val hybridCap = spark.sql(
+          "SELECT unix_millis(window.start) AS ws, SUM(value) AS s, COUNT(*) AS n " +
+            s"FROM live_events WHERE unix_millis(ts) >= ${t0 + 1} " +
+            s"AND unix_millis(ts) < ${t0 + 3 * Min - 1} " +
+            "GROUP BY window(ts, '2 minutes', '1 minute') ORDER BY 1")
+        assert(folded(hybridCap), hybridCap.queryExecution.optimizedPlan.treeString)
+        assert(hybridCap.collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq ==
+          Seq((t0 - Min, 10.0, 1L), (t0, 12.0, 2L), (t0 + Min, 6.0, 2L),
+            (t0 + 2 * Min, 4.0, 1L)))
+      } finally spark.conf.unset("spark.graft.wheel.rewrite.maxFoldRows")
+
       // the NO-PREDICATE full-span fold (round 11) holds MID-INGEST:
       // the live span [base, horizon) covers exactly the committed
       // batches (covered-file tokens), so `SELECT agg FROM t` with no
