@@ -19,6 +19,7 @@ object SparkEntry {
 
   private val groups: Seq[(Map[String, Q.Fn], Map[String, String])] = Seq(
     (Core.queries, Core.oracle),
+    (Analytics.queries, Analytics.oracle),
     (Aggregates.queries, Aggregates.oracle),
     (Joins.queries, Joins.oracle),
     (Windows.queries, Windows.oracle),

@@ -1145,6 +1145,12 @@ object WheelAcceleration {
     ()
   }
 
+  /** Read-only view of an in-memory registration for external serving
+    * (round 12: the DSv2 wheel table exposes a registered index as a
+    * queryable DataFrame): (tsCol, measure → index). */
+  def registeredWheels(path: String): Option[(String, Map[String, graft.wheel.WheelIndex])] =
+    Option(registry.get(normalize(path))).map(r => (r.tsCol, r.wheels))
+
   def clear(): Unit = {
     registry.clear()
     keyedRegistry.clear()

@@ -1,0 +1,229 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.wheel.Tier
+import Q._
+
+/** Time-series analytics ON TOP of the folded wheel series (round 12).
+  *
+  * Every key here states a plain-SQL analytic whose only heavy input is
+  * a slot-grouped aggregate over a registered table: the wheel rewrite
+  * answers that inner Aggregate scan-free (O(slots) rows from the
+  * index), and the analytic itself — window functions, HAVING, Sort+
+  * Limit, a second Aggregate — runs over those ≤O(slots) rows. At
+  * 100 TB the statement's cost is the analytic over ~30–900 slot rows,
+  * not the scan: the composition the wheel exists to enable (the
+  * reference's index answers the range aggregate, main.rs:205–288;
+  * everything above is ordinary relational algebra).
+  *
+  * All keys are oracle-checked: the analytics operate on the ROUNDED
+  * folded series (both engines see bit-identical inputs), and every
+  * comparison/threshold is on rounded values or exact integer counts so
+  * cross-engine float association can never flip a row.
+  */
+object Analytics {
+
+  /** Full events span [2024-01-01, 2024-01-31) — 30 day slots. */
+  private val FStart: Long = Jan1
+  private val FEnd: Long = Jan1 + 30 * Day
+
+  /** The folded daily series both engines agree on bit-for-bit:
+    * 30 rows of (slot_ms, ROUND(SUM(value),2)). */
+  private def dailySpark: String =
+    s"""SELECT (unix_millis(ts) div ${Tier.Day.ms}) * ${Tier.Day.ms} AS slot_ms,
+       |       ROUND(SUM(value), 2) AS sum_value
+       |FROM events_wheel
+       |WHERE unix_millis(ts) >= $FStart AND unix_millis(ts) < $FEnd
+       |GROUP BY 1""".stripMargin
+
+  private def dailyDuck: String =
+    s"SELECT (epoch_ms(ts) // ${Tier.Day.ms}) * ${Tier.Day.ms} AS slot_ms, " +
+      "ROUND(SUM(value), 2) AS sum_value FROM events " +
+      s"WHERE epoch_ms(ts) >= $FStart AND epoch_ms(ts) < $FEnd GROUP BY 1"
+
+  private def registered(s: SparkSession, dir: String): Unit = {
+    graft.plans.WheelAcceleration.register(
+      s, s"$dir/events.parquet", t(s, dir, "events"))
+    t(s, dir, "events").createOrReplaceTempView("events_wheel")
+  }
+
+  val queries: Map[String, Fn] = Map(
+
+    // Z-SCORE ANOMALY SCAN over the folded daily series: which days
+    // deviate from the month? The fold supplies the 30 daily sums; the
+    // z-score is two whole-partition window aggregates over them. The
+    // classic "alert on an unusual day" query — at 100 TB the alert
+    // costs 30 rows of window math, not a scan.
+    "q_wheel_anomaly_sql" -> ((s, dir) => {
+      registered(s, dir)
+      s.sql(
+        s"""WITH d AS ($dailySpark)
+           |SELECT slot_ms, sum_value,
+           |       ROUND((sum_value - AVG(sum_value) OVER ())
+           |             / STDDEV_SAMP(sum_value) OVER (), 2) AS zscore
+           |FROM d ORDER BY slot_ms""".stripMargin)
+    }),
+
+    // DAY-OVER-DAY PERCENT CHANGE: LAG over the folded series. The
+    // growth-rate spelling of q_wheel_wow_sql's self-join — one fold,
+    // one window pass, no second range.
+    "q_wheel_pct_change_sql" -> ((s, dir) => {
+      registered(s, dir)
+      s.sql(
+        s"""WITH d AS ($dailySpark),
+           |l AS (SELECT slot_ms, sum_value,
+           |             LAG(sum_value) OVER (ORDER BY slot_ms) AS prev
+           |      FROM d)
+           |SELECT slot_ms, sum_value,
+           |       ROUND(100.0 * (sum_value - prev) / prev, 2) AS pct_change
+           |FROM l WHERE prev IS NOT NULL ORDER BY slot_ms""".stripMargin)
+    }),
+
+    // EWMA SMOOTHING (adjusted form, α=0.2): s_t = Σ w_i·x_i / Σ w_i
+    // with w_i = 0.8^(t−i) — both cumulative sums expressible as plain
+    // window SUMs via w_i ∝ 1.25^i (the 0.8^t factor cancels in the
+    // ratio; 1.25^30 ≈ 808, no overflow). The trend line a monitoring
+    // dashboard draws over the folded series.
+    "q_wheel_ewma_sql" -> ((s, dir) => {
+      registered(s, dir)
+      s.sql(
+        s"""WITH d AS ($dailySpark),
+           |r AS (SELECT slot_ms, sum_value,
+           |             ROW_NUMBER() OVER (ORDER BY slot_ms) AS rn
+           |      FROM d)
+           |SELECT slot_ms, sum_value,
+           |       ROUND(SUM(sum_value * POW(1.25, rn)) OVER (ORDER BY rn)
+           |             / SUM(POW(1.25, rn)) OVER (ORDER BY rn), 2) AS ewma
+           |FROM r ORDER BY slot_ms""".stripMargin)
+    }),
+
+    // TOP-N DAYS: Sort + Limit composed ABOVE the fold — "which 5 days
+    // had the most revenue" costs a 30-row sort. Ordered by the rounded
+    // measure (bit-identical cross-engine) with slot_ms as total-order
+    // tiebreak.
+    "q_wheel_topdays_sql" -> ((s, dir) => {
+      registered(s, dir)
+      s.sql(
+        s"""WITH d AS ($dailySpark)
+           |SELECT slot_ms, sum_value FROM d
+           |ORDER BY sum_value DESC, slot_ms LIMIT 5""".stripMargin)
+    }),
+
+    // HAVING over the fold: the filter lands on the folded aggregate
+    // row, not the scan. The threshold is an exact integer COUNT — no
+    // float boundary at any scale factor.
+    "q_wheel_having_sql" -> ((s, dir) => {
+      registered(s, dir)
+      s.sql(
+        s"""SELECT (unix_millis(ts) div ${Tier.Day.ms}) * ${Tier.Day.ms} AS slot_ms,
+           |       ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n
+           |FROM events_wheel
+           |WHERE unix_millis(ts) >= $FStart AND unix_millis(ts) < $FEnd
+           |GROUP BY 1 HAVING COUNT(*) > 330 ORDER BY 1""".stripMargin)
+    }),
+
+    // HOUR-OF-DAY PROFILE: a second Aggregate over the folded hourly
+    // series — 720 folded rows regrouped into 24 diurnal buckets.
+    // "What does a typical day look like" without touching a raw row.
+    "q_wheel_hourofday_sql" -> ((s, dir) => {
+      registered(s, dir)
+      s.sql(
+        s"""WITH h AS (
+           |  SELECT (unix_millis(ts) div ${Tier.Hour.ms}) * ${Tier.Hour.ms} AS slot_ms,
+           |         SUM(value) AS sv, COUNT(*) AS cn
+           |  FROM events_wheel
+           |  WHERE unix_millis(ts) >= $FStart AND unix_millis(ts) < $FEnd
+           |  GROUP BY 1)
+           |SELECT CAST((slot_ms div ${Tier.Hour.ms}) % 24 AS INT) AS hod,
+           |       ROUND(SUM(sv), 2) AS sum_value,
+           |       CAST(SUM(cn) AS BIGINT) AS n,
+           |       ROUND(AVG(sv), 2) AS avg_hour_sum
+           |FROM h GROUP BY 1 ORDER BY 1""".stripMargin)
+    }),
+
+    // TWO REGISTRATIONS, ONE STATEMENT: the events wheel and the
+    // lineitem wheel each fold their own Aggregate inside one UNION ALL
+    // query (the rewrite fires per-Aggregate via transformUp). A
+    // dashboard joining two indexed tables never scans either.
+    "q_wheel_two_table_sql" -> ((s, dir) => {
+      graft.plans.WheelAcceleration.register(
+        s, s"$dir/events.parquet", t(s, dir, "events"))
+      graft.plans.WheelAcceleration.registerMulti(
+        s, s"$dir/lineitem.parquet", t(s, dir, "lineitem"),
+        "l_shipdate", Seq("l_quantity", "l_discount", "l_tax"))
+      t(s, dir, "events").createOrReplaceTempView("events_wheel")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_wheel")
+      s.sql(
+        s"""WITH e AS (
+           |  SELECT 'events' AS src,
+           |         (unix_millis(ts) div ${Tier.Day.ms}) * ${Tier.Day.ms} AS slot_ms,
+           |         ROUND(SUM(value), 2) AS measure
+           |  FROM events_wheel
+           |  WHERE unix_millis(ts) >= $R1Start AND unix_millis(ts) < $R1End
+           |  GROUP BY 2),
+           |l AS (
+           |  SELECT 'lineitem' AS src,
+           |         unix_millis(CAST(date_trunc('month', l_shipdate) AS TIMESTAMP)) AS slot_ms,
+           |         ROUND(SUM(l_quantity), 2) AS measure
+           |  FROM lineitem_wheel
+           |  WHERE l_shipdate >= TIMESTAMP_NTZ '1995-06-01 00:00:00'
+           |  AND l_shipdate < TIMESTAMP_NTZ '1995-12-01 00:00:00'
+           |  GROUP BY date_trunc('month', l_shipdate))
+           |SELECT src, slot_ms, measure FROM (
+           |  SELECT * FROM e UNION ALL SELECT * FROM l)
+           |ORDER BY src, slot_ms""".stripMargin)
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q_wheel_anomaly_sql" ->
+      (s"WITH d AS ($dailyDuck) " +
+        "SELECT slot_ms, sum_value, " +
+        "ROUND((sum_value - AVG(sum_value) OVER ()) " +
+        "/ STDDEV_SAMP(sum_value) OVER (), 2) AS zscore " +
+        "FROM d ORDER BY slot_ms"),
+    "q_wheel_pct_change_sql" ->
+      (s"WITH d AS ($dailyDuck), " +
+        "l AS (SELECT slot_ms, sum_value, " +
+        "LAG(sum_value) OVER (ORDER BY slot_ms) AS prev FROM d) " +
+        "SELECT slot_ms, sum_value, " +
+        "ROUND(100.0 * (sum_value - prev) / prev, 2) AS pct_change " +
+        "FROM l WHERE prev IS NOT NULL ORDER BY slot_ms"),
+    "q_wheel_ewma_sql" ->
+      (s"WITH d AS ($dailyDuck), " +
+        "r AS (SELECT slot_ms, sum_value, " +
+        "ROW_NUMBER() OVER (ORDER BY slot_ms) AS rn FROM d) " +
+        "SELECT slot_ms, sum_value, " +
+        "ROUND(SUM(sum_value * POW(1.25, rn)) OVER (ORDER BY rn) " +
+        "/ SUM(POW(1.25, rn)) OVER (ORDER BY rn), 2) AS ewma " +
+        "FROM r ORDER BY slot_ms"),
+    "q_wheel_topdays_sql" ->
+      (s"WITH d AS ($dailyDuck) " +
+        "SELECT slot_ms, sum_value FROM d " +
+        "ORDER BY sum_value DESC, slot_ms LIMIT 5"),
+    "q_wheel_having_sql" ->
+      (s"SELECT (epoch_ms(ts) // ${Tier.Day.ms}) * ${Tier.Day.ms} AS slot_ms, " +
+        "ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n FROM events " +
+        s"WHERE epoch_ms(ts) >= $FStart AND epoch_ms(ts) < $FEnd " +
+        "GROUP BY 1 HAVING COUNT(*) > 330 ORDER BY 1"),
+    "q_wheel_hourofday_sql" ->
+      (s"WITH h AS (SELECT (epoch_ms(ts) // ${Tier.Hour.ms}) * ${Tier.Hour.ms} AS slot_ms, " +
+        "SUM(value) AS sv, COUNT(*) AS cn FROM events " +
+        s"WHERE epoch_ms(ts) >= $FStart AND epoch_ms(ts) < $FEnd GROUP BY 1) " +
+        s"SELECT CAST((slot_ms // ${Tier.Hour.ms}) % 24 AS INT) AS hod, " +
+        "ROUND(SUM(sv), 2) AS sum_value, CAST(SUM(cn) AS BIGINT) AS n, " +
+        "ROUND(AVG(sv), 2) AS avg_hour_sum FROM h GROUP BY 1 ORDER BY 1"),
+    "q_wheel_two_table_sql" ->
+      (s"WITH e AS (SELECT 'events' AS src, " +
+        s"(epoch_ms(ts) // ${Tier.Day.ms}) * ${Tier.Day.ms} AS slot_ms, " +
+        "ROUND(SUM(value), 2) AS measure FROM events " +
+        s"WHERE epoch_ms(ts) >= $R1Start AND epoch_ms(ts) < $R1End GROUP BY 2), " +
+        "l AS (SELECT 'lineitem' AS src, " +
+        "epoch_ms(date_trunc('month', l_shipdate)) AS slot_ms, " +
+        "ROUND(SUM(l_quantity), 2) AS measure FROM lineitem " +
+        "WHERE l_shipdate >= TIMESTAMP '1995-06-01 00:00:00' " +
+        "AND l_shipdate < TIMESTAMP '1995-12-01 00:00:00' " +
+        "GROUP BY date_trunc('month', l_shipdate)) " +
+        "SELECT src, slot_ms, measure FROM " +
+        "(SELECT * FROM e UNION ALL SELECT * FROM l) " +
+        "ORDER BY src, slot_ms"))
+}

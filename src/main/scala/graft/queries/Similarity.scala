@@ -111,6 +111,28 @@ object Similarity {
     }
     out.toSeq
   }
+  /** Per-bucket exact near-dup pair scan as a UDF over the bounded
+    * collected (id, vec) items — shared by the LSH near-dup path and
+    * the SemDeDup cells. Oversized buckets (> MaxBucket, truncated by
+    * BoundedCollectVec at MaxBucket+1) emit nothing rather than a
+    * partial pair set. */
+  private def inBucketPairsUdf(tau: Double) =
+    udf((items: Seq[org.apache.spark.sql.Row]) => {
+      val m = items.length
+      if (m < 2 || m > MaxBucket) Seq.empty[(Long, Long, Double)]
+      else {
+        val ids = new Array[Long](m)
+        val vecs = new Array[Array[Double]](m)
+        var i = 0
+        while (i < m) {
+          val r = items(i)
+          ids(i) = r.getLong(0); vecs(i) = r.getSeq[Double](1).toArray
+          i += 1
+        }
+        bucketNearDups(ids, vecs, tau)
+      }
+    })
+
   /** One-shuffle top-k with cross-table dedupe (see TopKPairs). */
   private val topKPairs =
     org.apache.spark.sql.functions.udaf(graft.functions.Aggregators.TopKPairs(TopK))
@@ -227,22 +249,7 @@ object Similarity {
       val planesPerTable = math.max(DupPlanesPerTable,
         math.ceil(math.log(n.toDouble / DupTargetBucket) / math.log(2)).toInt)
       val buckets = bucketsUdfFor(DupTables, planesPerTable)
-      val tau = NearDupThreshold
-      val inBucketPairs = udf((items: Seq[org.apache.spark.sql.Row]) => {
-        val m = items.length
-        if (m < 2 || m > MaxBucket) Seq.empty[(Long, Long, Double)]
-        else {
-          val ids = new Array[Long](m)
-          val vecs = new Array[Array[Double]](m)
-          var i = 0
-          while (i < m) {
-            val r = items(i)
-            ids(i) = r.getLong(0); vecs(i) = r.getSeq[Double](1).toArray
-            i += 1
-          }
-          bucketNearDups(ids, vecs, tau)
-        }
-      })
+      val inBucketPairs = inBucketPairsUdf(NearDupThreshold)
       all.select(col("vec_id"), col("v"), explode(buckets(col("v"))).as("bucket"))
         .groupBy(col("bucket"))
         .agg(boundedVecs(col("vec_id"), col("v")).as("items"))
@@ -253,6 +260,17 @@ object Similarity {
         .agg(round(max(col("p._3")), 4).as("sim"))
         .orderBy(col("vec_a"), col("vec_b"))
     }),
+
+    // SemDeDup (semantic dedup over embedding clusters, after
+    // Abbas et al. 2023): k-means cells bound the comparison scope —
+    // within each cell, greedy keep-lowest-id dedup at cosine > τ; the
+    // survivors are the semantically-diverse corpus. Differs from
+    // q_embed_neardup in both bucketing (learned cells vs sign-LSH;
+    // a vector has exactly ONE cell, so total pair work is
+    // Σ|cell|²/2, not ×L tables) and output (surviving corpus rows,
+    // not pairs). No oracle: survivors depend on our trainer; spec
+    // checks c=1 ≡ exact greedy dedup and planted-duplicate removal.
+    "q_semdedup" -> ((s, dir) => semDedup(s, dir, None, NearDupThreshold)),
 
     // Multi-table sign-LSH ANN: every vector gets L bucket keys (one per
     // table); candidates = equi-join on bucket key instead of a cross
@@ -455,6 +473,37 @@ object Similarity {
       .select(col("query_id"), col("col._1").as("neighbor_id"),
         round(col("col._2"), 4).as("sim"), (col("pos") + 1).cast("long").as("rk"))
       .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** SemDeDup core (round 12): assign every vector its single nearest
+    * k-means cell (trainer = the IVF path's driver-side k-means over a
+    * capped sample), enumerate in-cell near-dup pairs with the shared
+    * budgeted scan, and KEEP the lower id of every > τ pair — greedy
+    * keep-lowest semantic dedup. One shuffle (groupBy cell) + one
+    * broadcastable drop set; pair work is Σ|cell|²/2 bounded by
+    * MaxBucket and [[Text.PairBudget]]. `cellsOverride = Some(1)`
+    * collapses to the exact single-scope greedy dedup the spec checks
+    * against. */
+  private[queries] def semDedup(s: org.apache.spark.sql.SparkSession, dir: String,
+      cellsOverride: Option[Int], tau: Double): org.apache.spark.sql.DataFrame = {
+    val all = embeddings(s, dir)
+    val sample = all.filter(col("vec_id") < IvfSampleCap)
+      .collect().map(_.getSeq[Double](1).toArray)
+    val n = math.max(1, sample.length)
+    val c = cellsOverride.getOrElse(
+      math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt))
+    val centroids = trainCentroids(sample, c)
+    val cellUdf = udf((v: Seq[Double]) => nearestCell(centroids, toPrimitive(v)))
+    val corpus = all.withColumn("cell", cellUdf(col("v")))
+    val drops = corpus.groupBy(col("cell"))
+      .agg(boundedVecs(col("vec_id"), col("v")).as("items"))
+      .select(explode(inBucketPairsUdf(tau)(col("items"))).as("p"))
+      .select(col("p._2").as("vec_id")).distinct()
+    // plain anti-join: the drop set scales with the corpus (dup-dense
+    // data can drop most rows), so let AQE pick broadcast vs shuffle
+    corpus.join(drops, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell").cast("int").as("cell"))
+      .orderBy(col("vec_id"))
   }
 
   /** No SQL oracles: float-order-sensitive ranking (SURVEY.md §2.6). */

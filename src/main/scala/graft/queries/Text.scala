@@ -212,6 +212,36 @@ object Text {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher-style quality GATE (round 12; after Rae et al. 2021 §A1.1):
+    // keep documents passing hard rule thresholds — word count floor,
+    // mean-word-length band, type-token-ratio floor. Every rule is
+    // INTEGER arithmetic (cross-multiplied, no float thresholds), so
+    // the pass/fail boundary is bit-exact at any scale factor in any
+    // engine; the reported ratios are int/int doubles, identical both
+    // sides. Thresholds sit inside the corpus' observed spread
+    // (words 10–99, mwl 3.7–5.3, ttr 0.28–1.0) so the gate genuinely
+    // splits. All predicates push into the scan; per-row work is
+    // codegen split/length — the shape that survives 100 TB.
+    "q_gopher_quality" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val w = size(toks).cast("long")
+      val ns = length(regexp_replace(col("text"), " ", "")).cast("long")
+      val dts = size(array_distinct(toks)).cast("long")
+      docs(s, dir)
+        .where(w >= 40 &&
+          ns * 4 > w * 15 && ns * 4 < w * 21 && // 3.75 < mean_wlen < 5.25
+          dts * 5 >= w * 2)                     // type-token ratio >= 0.4
+        .select(
+          col("doc_id"),
+          w.as("n_words"),
+          // UNROUNDED int/int ratios: identical doubles in any engine,
+          // while ROUND hits half-way ties (189/40 = 4.725) that Spark
+          // (half-up) and DuckDB (half-even) break differently
+          (ns.cast("double") / w).as("mean_wlen"),
+          (dts.cast("double") / w).as("ttr"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Document fingerprint: content-defined canonical form (sorted
     // distinct word set) → md5. Near-dup docs with permuted words get
     // the same fingerprint; robust to word order, not to edits.
@@ -598,6 +628,16 @@ object Text {
         "  / len(string_split(text, ' '))) * 0.5 + " +
         "(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' '))) * 0.1 AS score " +
         "FROM documents ORDER BY doc_id"),
+    "q_gopher_quality" ->
+      ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words, " +
+        "CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS mean_wlen, " +
+        "CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) AS ttr " +
+        "FROM documents " +
+        "WHERE len(string_split(text, ' ')) >= 40 " +
+        "AND 4 * LENGTH(REPLACE(text, ' ', '')) > 15 * len(string_split(text, ' ')) " +
+        "AND 4 * LENGTH(REPLACE(text, ' ', '')) < 21 * len(string_split(text, ' ')) " +
+        "AND 5 * len(list_distinct(string_split(text, ' '))) >= 2 * len(string_split(text, ' ')) " +
+        "ORDER BY doc_id"),
     "q_fingerprint" ->
       ("SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp " +
         "FROM documents ORDER BY doc_id"),

@@ -353,6 +353,23 @@ final class WheelIndex private (
     tiers.valuesIterator.map(b => b.sum.length.toLong * 8 * 6).sum
 
   def slotCounts: Map[Tier, Int] = tiers.map { case (t, b) => t -> b.sum.length }
+
+  /** Dense minute-tier view for external serving (round 12: the DSv2
+    * wheel table). Slot `i` covers
+    * `[baseMs + i·minute, baseMs + (i+1)·minute)`; the arrays are
+    * TIME-bounded (one month ≈ 44 640 slots) so a full copy is always
+    * a few hundred KB regardless of source volume. */
+  def minuteSlotCount: Int = tiers(Tier.Minute).sum.length
+
+  /** Slot start for minute slot `i`. */
+  def minuteSlotMs(i: Int): Long = baseMs + i.toLong * Tier.Minute.ms
+
+  /** The per-slot partial for minute slot `i` (identity for untouched
+    * slots: count 0, rows 0). */
+  def minuteSlot(i: Int): AllAggregate = {
+    val b = tiers(Tier.Minute)
+    AllAggregate(b.sum(i), b.count(i), b.min(i), b.max(i), b.m2(i), b.rows(i))
+  }
 }
 
 object WheelIndex {

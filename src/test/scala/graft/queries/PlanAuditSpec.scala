@@ -72,6 +72,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_"), p)
   }
 
+  for (k <- Seq("q_wheel_anomaly_sql", "q_wheel_pct_change_sql",
+      "q_wheel_ewma_sql", "q_wheel_topdays_sql", "q_wheel_having_sql",
+      "q_wheel_hourofday_sql", "q_wheel_two_table_sql"))
+    test(s"$k: analytics compose above the fold, zero FileScan (round 12)") {
+      val p = plan(k)
+      assert(!p.contains("FileScan"), p)
+    }
+
   test("q_wheel_query runs NO scan at all (index path)") {
     val p = plan("q_wheel_query")
     assert(!p.contains("FileScan"), p)

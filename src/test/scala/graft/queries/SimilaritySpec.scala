@@ -103,6 +103,49 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("q_semdedup with one cell equals exact greedy keep-lowest dedup (round 12)") {
+    val norm: Map[Long, Array[Double]] = vecs.map { case (id, v) =>
+      val n = math.sqrt(VectorFunctions.dotLocal(v, v))
+      id -> (if (n == 0) v else v.map(_ / n))
+    }
+    val kept = scala.collection.mutable.ArrayBuffer.empty[Long]
+    vecs.keys.toSeq.sorted.foreach { id =>
+      if (!kept.exists(k => VectorFunctions.dotLocal(norm(k), norm(id)) > 0.4))
+        kept += id
+    }
+    val got = Similarity.semDedup(spark, dir, Some(1), 0.4)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == kept.toSet,
+      s"extra=${(got -- kept).toSeq.sorted.take(5)} missing=${(kept.toSet -- got).toSeq.sorted.take(5)}")
+  }
+
+  test("q_semdedup drops every planted duplicate and keeps its representative (round 12)") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.{Row, types => T}
+    val r = new scala.util.Random(321)
+    val base = Array.fill(100)(Array.fill(64)(r.nextGaussian().toFloat))
+    val planted = (0 until 5).map { i =>
+      base(i).map(x => x + (r.nextGaussian() * 1e-3).toFloat)
+    }
+    val rows = (base ++ planted).zipWithIndex.map { case (v, i) =>
+      Row(i.toLong, v.toSeq)
+    }
+    val schema = T.StructType(Seq(
+      T.StructField("vec_id", T.LongType, nullable = false),
+      T.StructField("embedding", T.ArrayType(T.FloatType), nullable = false)))
+    val tmp = "target/test-fixtures/planted-semdedup"
+    spark.createDataFrame(rows.toSeq.asJava, schema)
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    // near-identical copies land in the same nearest cell as their
+    // original, so default cells still see every planted pair
+    val got = Similarity.queries("q_semdedup")(spark, tmp).collect()
+      .map(_.getLong(0)).toSet
+    (0 until 5).foreach { i =>
+      assert(got.contains(i.toLong), s"representative $i dropped")
+      assert(!got.contains((100 + i).toLong), s"planted dup ${100 + i} survived")
+    }
+  }
+
   test("q_ann_lsh returns correctly-scored subset with sane recall") {
     val ann = SparkEntryQueries("q_ann_lsh")
     val exact = SparkEntryQueries("q_sim_topk")
