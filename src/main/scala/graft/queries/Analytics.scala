@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import graft.wheel.Tier
 import Q._
 
@@ -172,6 +173,45 @@ object Analytics {
            |SELECT src, slot_ms, measure FROM (
            |  SELECT * FROM e UNION ALL SELECT * FROM l)
            |ORDER BY src, slot_ms""".stripMargin)
+    }),
+
+    // THE WHEEL AS A TABLE (round 12): `spark.read.format("wheel")`
+    // serves the registered in-memory index as a DataFrame of minute
+    // partials — the seam for consumers the rewrite can't reach (BI
+    // tools, joins against slot series, exports). slot_ms range
+    // predicates push into the source and prune chunks at plan time;
+    // the day regroup runs over O(slots) rows, never the source.
+    "q_wheel_table_sql" -> ((s, dir) => {
+      graft.plans.WheelAcceleration.register(
+        s, s"$dir/events.parquet", t(s, dir, "events"))
+      s.read.format("wheel").option("source", s"$dir/events.parquet").load()
+        .filter(col("slot_ms") >= R1Start && col("slot_ms") < R1End)
+        .groupBy(expr(s"(slot_ms div ${Tier.Day.ms}) * ${Tier.Day.ms}").as("day_ms"))
+        .agg(round(sum("sum_value"), 2).as("sum_value"),
+          sum("cnt_value").as("n"),
+          min("min_value").as("min_value"),
+          max("max_value").as("max_value"))
+        .orderBy("day_ms")
+    }),
+
+    // Persisted-dir mode of the wheel table: load the saved O(slots)
+    // artifact straight from disk (no source scan, no registration
+    // needed on the reading side) and aggregate it. The 1000-executor
+    // deployment shape: one session builds and persists, any session
+    // serves.
+    "q_wheel_table_persisted_sql" -> ((s, dir) => {
+      val idxDir = s"${sys.props("java.io.tmpdir")}/graft_pwheel_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      // same dir contract as q_wheel_persisted: build+save if absent or
+      // stale, pure load otherwise
+      graft.plans.WheelAcceleration.registerPersisted(
+        s, s"$dir/events.parquet", idxDir, t(s, dir, "events"))
+      s.read.format("wheel").option("dir", idxDir).load()
+        .filter(col("slot_ms") >= R2Start && col("slot_ms") < R2End)
+        .groupBy(expr(s"(slot_ms div ${Tier.Hour.ms}) * ${Tier.Hour.ms}").as("hour_ms"))
+        .agg(round(sum("sum_value"), 2).as("sum_value"),
+          sum("cnt_value").as("n"))
+        .orderBy("hour_ms")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -225,5 +265,16 @@ object Analytics {
         "GROUP BY date_trunc('month', l_shipdate)) " +
         "SELECT src, slot_ms, measure FROM " +
         "(SELECT * FROM e UNION ALL SELECT * FROM l) " +
-        "ORDER BY src, slot_ms"))
+        "ORDER BY src, slot_ms"),
+    "q_wheel_table_sql" ->
+      (s"SELECT (epoch_ms(ts) // ${Tier.Day.ms}) * ${Tier.Day.ms} AS day_ms, " +
+        "ROUND(SUM(value), 2) AS sum_value, COUNT(value) AS n, " +
+        "MIN(value) AS min_value, MAX(value) AS max_value FROM events " +
+        s"WHERE epoch_ms(ts) >= $R1Start AND epoch_ms(ts) < $R1End " +
+        "GROUP BY 1 ORDER BY 1"),
+    "q_wheel_table_persisted_sql" ->
+      (s"SELECT (epoch_ms(ts) // ${Tier.Hour.ms}) * ${Tier.Hour.ms} AS hour_ms, " +
+        "ROUND(SUM(value), 2) AS sum_value, COUNT(value) AS n FROM events " +
+        s"WHERE epoch_ms(ts) >= $R2Start AND epoch_ms(ts) < $R2End " +
+        "GROUP BY 1 ORDER BY 1"))
 }
