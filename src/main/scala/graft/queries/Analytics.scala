@@ -175,6 +175,28 @@ object Analytics {
            |ORDER BY src, slot_ms""".stripMargin)
     }),
 
+    // SHARE-OF-TOTAL over the KEYED fold: per-type share of each day's
+    // total — the keyed day-grid Aggregate folds from the per-key
+    // wheel, the share is one window SUM over ≤|keys| rows per slot.
+    // The "composition of traffic" panel every dashboard draws, with
+    // zero file reads.
+    "q_wheel_share_sql" -> ((s, dir) => {
+      graft.plans.WheelAcceleration.registerKeyed(
+        s, s"$dir/events.parquet", t(s, dir, "events"), "event_type")
+      t(s, dir, "events").createOrReplaceTempView("events_wheel")
+      s.sql(
+        s"""WITH k AS (
+           |  SELECT event_type,
+           |         (unix_millis(ts) div ${Tier.Day.ms}) * ${Tier.Day.ms} AS slot_ms,
+           |         ROUND(SUM(value), 2) AS sum_value
+           |  FROM events_wheel
+           |  WHERE unix_millis(ts) >= $R1Start AND unix_millis(ts) < $R1End
+           |  GROUP BY 1, 2)
+           |SELECT event_type, slot_ms, sum_value,
+           |       ROUND(sum_value / SUM(sum_value) OVER (PARTITION BY slot_ms), 4) AS share
+           |FROM k ORDER BY event_type, slot_ms""".stripMargin)
+    }),
+
     // THE WHEEL AS A TABLE (round 12): `spark.read.format("wheel")`
     // serves the registered in-memory index as a DataFrame of minute
     // partials — the seam for consumers the rewrite can't reach (BI
@@ -266,6 +288,15 @@ object Analytics {
         "SELECT src, slot_ms, measure FROM " +
         "(SELECT * FROM e UNION ALL SELECT * FROM l) " +
         "ORDER BY src, slot_ms"),
+    "q_wheel_share_sql" ->
+      (s"WITH k AS (SELECT event_type, " +
+        s"(epoch_ms(ts) // ${Tier.Day.ms}) * ${Tier.Day.ms} AS slot_ms, " +
+        "ROUND(SUM(value), 2) AS sum_value FROM events " +
+        s"WHERE epoch_ms(ts) >= $R1Start AND epoch_ms(ts) < $R1End " +
+        "GROUP BY 1, 2) " +
+        "SELECT event_type, slot_ms, sum_value, " +
+        "ROUND(sum_value / SUM(sum_value) OVER (PARTITION BY slot_ms), 4) AS share " +
+        "FROM k ORDER BY event_type, slot_ms"),
     "q_wheel_table_sql" ->
       (s"SELECT (epoch_ms(ts) // ${Tier.Day.ms}) * ${Tier.Day.ms} AS day_ms, " +
         "ROUND(SUM(value), 2) AS sum_value, COUNT(value) AS n, " +

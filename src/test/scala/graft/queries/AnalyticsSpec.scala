@@ -130,6 +130,25 @@ class AnalyticsSpec extends AnyFunSuite {
     ev.foreach(r => assert(evExp(r.getLong(1)) == r.getDouble(2)))
   }
 
+  test("q_wheel_share_sql: shares sum to 1 per slot; sums match the keyed scan") {
+    val got = run("q_wheel_share_sql")
+    assert(got.nonEmpty)
+    got.groupBy(_.getLong(1)).foreach { case (slot, rs) =>
+      val s = rs.map(_.getDouble(3)).sum
+      assert(math.abs(s - 1.0) < 0.01, s"slot $slot shares sum to $s")
+    }
+    graft.plans.WheelAcceleration.clear()
+    val exp = Q.t(spark, dir, "events")
+      .filter(unix_millis(col("ts")) >= Q.R1Start && unix_millis(col("ts")) < Q.R1End)
+      .groupBy(col("event_type"),
+        expr(s"(unix_millis(ts) div $Day) * $Day").as("slot_ms"))
+      .agg(round(sum("value"), 2).as("sv"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.length == exp.size)
+    got.foreach(r =>
+      assert(exp((r.getString(0), r.getLong(1))) == r.getDouble(2)))
+  }
+
   test("q_gopher_quality: every survivor satisfies all integer rules; gate splits") {
     val all = Q.docs(spark, dir).count()
     val got = Text.queries("q_gopher_quality")(spark, dir).collect()

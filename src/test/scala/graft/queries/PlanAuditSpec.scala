@@ -74,7 +74,7 @@ class PlanAuditSpec extends AnyFunSuite {
 
   for (k <- Seq("q_wheel_anomaly_sql", "q_wheel_pct_change_sql",
       "q_wheel_ewma_sql", "q_wheel_topdays_sql", "q_wheel_having_sql",
-      "q_wheel_hourofday_sql", "q_wheel_two_table_sql"))
+      "q_wheel_hourofday_sql", "q_wheel_two_table_sql", "q_wheel_share_sql"))
     test(s"$k: analytics compose above the fold, zero FileScan (round 12)") {
       val p = plan(k)
       assert(!p.contains("FileScan"), p)

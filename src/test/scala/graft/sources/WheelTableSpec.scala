@@ -100,6 +100,51 @@ class WheelTableSpec extends AnyFunSuite {
     WheelAcceleration.unregister(s"$tmp/events.parquet")
   }
 
+  test("SQL DDL access: CREATE TEMPORARY VIEW ... USING wheel") {
+    registered()
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW wheel_slots " +
+      s"USING wheel OPTIONS (source '$path')")
+    val n = spark.sql(
+      s"SELECT COUNT(*) AS n, ROUND(SUM(sum_value), 2) AS s FROM wheel_slots " +
+        s"WHERE slot_ms >= ${Q.R1Start} AND slot_ms < ${Q.R1End}").collect()(0)
+    val exp = Q.t(spark, dir, "events")
+      .filter(unix_millis(col("ts")) >= Q.R1Start && unix_millis(col("ts")) < Q.R1End)
+      .agg(round(sum("value"), 2)).collect()(0).getDouble(0)
+    assert(n.getLong(0) > 0 && n.getDouble(1) == exp)
+    spark.sql("DROP VIEW wheel_slots")
+  }
+
+  test("the wheel table serves the LIVE ingest registration mid-stream") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    System.setProperty("graft.wheel.fingerprint.ttlMs", "0")
+    val tmp = Files.createTempDirectory("graft-wheel-live").toString
+    val p = s"$tmp/events.parquet"
+    val t0 = Q.Jan1
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Double)]
+    val q = graft.streaming.WheelIngest.start(
+      mem.toDF().toDF("ts", "value"), p, s"$tmp/ckpt")
+    try {
+      mem.addData((new java.sql.Timestamp(t0), 1.0),
+        (new java.sql.Timestamp(t0 + Minute), 2.0))
+      q.processAllAvailable()
+      val first = spark.read.format("wheel").option("source", p).load()
+        .orderBy("slot_ms").collect()
+      assert(first.map(_.getAs[Double]("sum_value")).toSeq == Seq(1.0, 2.0))
+      // a later batch refreshes the registration; a FRESH read serves it
+      mem.addData((new java.sql.Timestamp(t0 + 1), 10.0))
+      q.processAllAvailable()
+      val second = spark.read.format("wheel").option("source", p).load()
+        .orderBy("slot_ms").collect()
+      assert(second.map(_.getAs[Double]("sum_value")).toSeq == Seq(11.0, 2.0))
+      assert(second.head.getAs[Long]("cnt_value") == 2L)
+    } finally {
+      q.stop()
+      WheelAcceleration.unregister(p)
+    }
+  }
+
   test("option error modes: unregistered source / missing options fail loudly") {
     WheelAcceleration.clear()
     val e1 = intercept[Exception] {
