@@ -1151,6 +1151,13 @@ object WheelAcceleration {
   def registeredWheels(path: String): Option[(String, Map[String, graft.wheel.WheelIndex])] =
     Option(registry.get(normalize(path))).map(r => (r.tsCol, r.wheels))
 
+  /** The registered KEYED index family for `path` (round 12: the DSv2
+    * keyed wheel table): (keyCol, tsCol, measure → keyed index). */
+  def registeredKeyedWheels(path: String)
+      : Option[(String, String, Map[String, graft.wheel.KeyedWheelIndex])] =
+    Option(keyedRegistry.get(normalize(path)))
+      .map(r => (r.keyCol, r.tsCol, r.wheels))
+
   def clear(): Unit = {
     registry.clear()
     keyedRegistry.clear()
@@ -3114,6 +3121,16 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       slotGrid(inner, tsCol).collect {
         case g if g.slotType == TimestampType => MillisKeyGrid(g)
       }
+    // GROUP BY CAST(ts AS DATE) — the ubiquitous daily-rollup spelling
+    // (round 12). Cast-to-date truncates tz timestamps in the cast's
+    // zone and NTZ by wall clock; both equal the UTC day grid exactly
+    // under the UTC guard (same reasoning as the date_trunc tiers; the
+    // NTZ guard lives in isTsCol). DATE-typed slot keys render as
+    // days-since-epoch literals in slotLiteral.
+    case Cast(ts, DateType, tz, _)
+        if isTsCol(ts, tsCol) &&
+          (ts.dataType == TimestampNTZType || tz.forall(isUtcZone)) =>
+      Some(FixedGrid(86400000L, 0L, DateType))
     case Multiply(IntegralDivide(ts, l1, _), l2, _) if isTsMs(ts, tsCol) =>
       for {
         w1 <- wideLit(l1)
@@ -3310,6 +3327,9 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
           Literal(InternalRow(s0 * 1000L, s1 * 1000L), st)
         case dt @ (TimestampType | TimestampNTZType) =>
           Literal(s0 * 1000L, dt)
+        // DATE keys (GROUP BY CAST(ts AS DATE)): days since epoch —
+        // s0 is day-aligned by the grid, so the division is exact
+        case DateType => Literal((s0 / 86400000L).toInt, DateType)
         case _ => Literal(s0, LongType)
       }
     }
@@ -3394,6 +3414,13 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       case GreaterThanOrEqual(l, r) if isTsCol(l, tsCol) => usLit(r)
       case LessThanOrEqual(r, l) if isTs(l) => msLit(r)
       case LessThanOrEqual(r, l) if isTsCol(l, tsCol) => usLit(r)
+      // STRICT lower over the ms spelling (round 12): unix_millis
+      // floors to ms, so `unix_millis(ts) > A` ⇔ `ts >= A+1 ms` EXACTLY
+      // at any sub-ms precision. The direct-timestamp spelling
+      // (`ts > TIMESTAMP 'x'`) stays unfolded: its true bound is
+      // x+1 µs, which the ms domain cannot express.
+      case GreaterThan(l, r) if isTs(l) => msLit(r).map(_ + 1)
+      case LessThan(r, l) if isTs(l) => msLit(r).map(_ + 1)
       case _ => None
     }
     def upper(e: Expression): Option[Long] = e match {
@@ -3401,6 +3428,12 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       case LessThan(l, r) if isTsCol(l, tsCol) => usLit(r)
       case GreaterThan(r, l) if isTs(l) => msLit(r)
       case GreaterThan(r, l) if isTsCol(l, tsCol) => usLit(r)
+      // INCLUSIVE upper over the ms spelling (round 12; the BETWEEN
+      // shape): `unix_millis(ts) <= E` ⇔ `ts < E+1 ms` exactly — same
+      // floor argument as the strict lower. Direct-timestamp `<=` stays
+      // unfolded (x+1 µs is not a ms bound).
+      case LessThanOrEqual(l, r) if isTs(l) => msLit(r).map(_ + 1)
+      case GreaterThanOrEqual(r, l) if isTs(l) => msLit(r).map(_ + 1)
       case _ => None
     }
     def conjuncts(e: Expression): Seq[Expression] = e match {

@@ -175,6 +175,31 @@ object Analytics {
            |ORDER BY src, slot_ms""".stripMargin)
     }),
 
+    // BETWEEN spelling (round 12): inclusive bounds over the ms domain
+    // fold EXACTLY — unix_millis floors to ms, so `<= E` is `< E+1 ms`
+    // at any sub-ms precision. The natural way analysts write ranges.
+    "q_wheel_between_sql" -> ((s, dir) => {
+      registered(s, dir)
+      s.sql(
+        s"""SELECT ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n,
+           |MIN(value) AS min_value, MAX(value) AS max_value
+           |FROM events_wheel
+           |WHERE unix_millis(ts) BETWEEN $R1Start AND ${R1End - 1}""".stripMargin)
+    }),
+
+    // CAST(ts AS DATE) rollup (round 12): the ubiquitous daily-rollup
+    // spelling folds to the day grid; the date key is rendered as a
+    // string so both engines emit the identical 'yyyy-MM-dd' value.
+    "q_wheel_date_rollup_sql" -> ((s, dir) => {
+      registered(s, dir)
+      s.sql(
+        s"""SELECT CAST(CAST(ts AS DATE) AS STRING) AS day,
+           |ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n
+           |FROM events_wheel
+           |WHERE unix_millis(ts) >= $FStart AND unix_millis(ts) < $FEnd
+           |GROUP BY CAST(ts AS DATE) ORDER BY 1""".stripMargin)
+    }),
+
     // SHARE-OF-TOTAL over the KEYED fold: per-type share of each day's
     // total — the keyed day-grid Aggregate folds from the per-key
     // wheel, the share is one window SUM over ≤|keys| rows per slot.
@@ -214,6 +239,76 @@ object Analytics {
           min("min_value").as("min_value"),
           max("max_value").as("max_value"))
         .orderBy("day_ms")
+    }),
+
+    // COMPLETE aggregate pushdown into the wheel table (round 12):
+    // SUM/MIN/MAX/COUNT over a slot range are answered by the SOURCE
+    // itself (SupportsPushDownAggregates) — the plan carries no
+    // Aggregate and no Exchange; ONE answer row ships from the
+    // driver-resident index, the executors do zero work. The BI-tool
+    // "metric card" shape at its cheapest.
+    "q_wheel_table_agg_sql" -> ((s, dir) => {
+      graft.plans.WheelAcceleration.register(
+        s, s"$dir/events.parquet", t(s, dir, "events"))
+      s.read.format("wheel").option("source", s"$dir/events.parquet").load()
+        .filter(col("slot_ms") >= R1Start && col("slot_ms") < R1End)
+        .agg(round(sum("sum_value"), 2).as("sum_value"),
+          sum("cnt_value").as("n"),
+          min("min_value").as("min_value"),
+          max("max_value").as("max_value"))
+    }),
+
+    // KEYED mode of the wheel table (round 12): one row per populated
+    // (key, minute slot) — the per-dimension slot series BI tools and
+    // downstream joins want. Key equality and slot range push into the
+    // source; the day regroup runs over |keys| × O(slots) rows.
+    "q_wheel_table_keyed_sql" -> ((s, dir) => {
+      graft.plans.WheelAcceleration.registerKeyed(
+        s, s"$dir/events.parquet", t(s, dir, "events"), "event_type")
+      s.read.format("wheel").option("source", s"$dir/events.parquet")
+        .option("keyed", "true").load()
+        .filter(col("slot_ms") >= R1Start && col("slot_ms") < R1End)
+        .groupBy(col("event_type"),
+          expr(s"(slot_ms div ${Tier.Day.ms}) * ${Tier.Day.ms}").as("day_ms"))
+        .agg(round(sum("sum_value"), 2).as("sum_value"),
+          sum("cnt_value").as("n"))
+        .orderBy("event_type", "day_ms")
+    }),
+
+    // KEYED aggregate pushdown (round 12): GROUP BY the dimension key
+    // is answered by the SOURCE itself — |keys| result rows ship from
+    // the driver-resident per-key family; the plan carries no Aggregate
+    // and no Exchange below the final |keys|-row sort. "Total per
+    // event_type over the range" at its cheapest.
+    "q_wheel_table_keyed_agg_sql" -> ((s, dir) => {
+      graft.plans.WheelAcceleration.registerKeyed(
+        s, s"$dir/events.parquet", t(s, dir, "events"), "event_type")
+      s.read.format("wheel").option("source", s"$dir/events.parquet")
+        .option("keyed", "true").load()
+        .filter(col("slot_ms") >= R1Start && col("slot_ms") < R1End)
+        .groupBy(col("event_type"))
+        .agg(round(sum("sum_value"), 2).as("sum_value"),
+          sum("cnt_value").as("n"),
+          min("min_value").as("min_value"),
+          max("max_value").as("max_value"))
+        .orderBy("event_type")
+    }),
+
+    // TOP-N pushdown into the wheel table (round 12): ORDER BY + LIMIT
+    // are consumed by the source (SupportsPushDownTopN) — the busiest-
+    // minutes leaderboard ships exactly k pre-sorted rows; Sort, its
+    // Exchange and the Limit all vanish from the plan. Ordered by the
+    // exact integer row count with slot_ms as total-order tiebreak, so
+    // the selection is deterministic cross-engine.
+    "q_wheel_table_topn_sql" -> ((s, dir) => {
+      graft.plans.WheelAcceleration.register(
+        s, s"$dir/events.parquet", t(s, dir, "events"))
+      s.read.format("wheel").option("source", s"$dir/events.parquet").load()
+        .filter(col("slot_ms") >= R1Start && col("slot_ms") < R1End)
+        .orderBy(col("rows").desc, col("slot_ms"))
+        .limit(5)
+        .select(col("slot_ms"), col("rows").as("n"),
+          round(col("sum_value"), 2).as("sum_value"))
     }),
 
     // Persisted-dir mode of the wheel table: load the saved O(slots)
@@ -288,6 +383,15 @@ object Analytics {
         "SELECT src, slot_ms, measure FROM " +
         "(SELECT * FROM e UNION ALL SELECT * FROM l) " +
         "ORDER BY src, slot_ms"),
+    "q_wheel_between_sql" ->
+      ("SELECT ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n, " +
+        "MIN(value) AS min_value, MAX(value) AS max_value FROM events " +
+        s"WHERE epoch_ms(ts) BETWEEN $R1Start AND ${R1End - 1}"),
+    "q_wheel_date_rollup_sql" ->
+      ("SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, " +
+        "ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n FROM events " +
+        s"WHERE epoch_ms(ts) >= $FStart AND epoch_ms(ts) < $FEnd " +
+        "GROUP BY CAST(ts AS DATE) ORDER BY 1"),
     "q_wheel_share_sql" ->
       (s"WITH k AS (SELECT event_type, " +
         s"(epoch_ms(ts) // ${Tier.Day.ms}) * ${Tier.Day.ms} AS slot_ms, " +
@@ -303,6 +407,26 @@ object Analytics {
         "MIN(value) AS min_value, MAX(value) AS max_value FROM events " +
         s"WHERE epoch_ms(ts) >= $R1Start AND epoch_ms(ts) < $R1End " +
         "GROUP BY 1 ORDER BY 1"),
+    "q_wheel_table_agg_sql" ->
+      ("SELECT ROUND(SUM(value), 2) AS sum_value, COUNT(value) AS n, " +
+        "MIN(value) AS min_value, MAX(value) AS max_value FROM events " +
+        s"WHERE epoch_ms(ts) >= $R1Start AND epoch_ms(ts) < $R1End"),
+    "q_wheel_table_keyed_sql" ->
+      (s"SELECT event_type, (epoch_ms(ts) // ${Tier.Day.ms}) * ${Tier.Day.ms} AS day_ms, " +
+        "ROUND(SUM(value), 2) AS sum_value, COUNT(value) AS n FROM events " +
+        s"WHERE epoch_ms(ts) >= $R1Start AND epoch_ms(ts) < $R1End " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
+    "q_wheel_table_keyed_agg_sql" ->
+      ("SELECT event_type, ROUND(SUM(value), 2) AS sum_value, " +
+        "COUNT(value) AS n, MIN(value) AS min_value, MAX(value) AS max_value " +
+        s"FROM events WHERE epoch_ms(ts) >= $R1Start AND epoch_ms(ts) < $R1End " +
+        "GROUP BY 1 ORDER BY 1"),
+    "q_wheel_table_topn_sql" ->
+      (s"SELECT slot_ms, n, sum_value FROM (" +
+        s"SELECT (epoch_ms(ts) // ${Tier.Minute.ms}) * ${Tier.Minute.ms} AS slot_ms, " +
+        "COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value FROM events " +
+        s"WHERE epoch_ms(ts) >= $R1Start AND epoch_ms(ts) < $R1End GROUP BY 1) " +
+        "ORDER BY n DESC, slot_ms LIMIT 5"),
     "q_wheel_table_persisted_sql" ->
       (s"SELECT (epoch_ms(ts) // ${Tier.Hour.ms}) * ${Tier.Hour.ms} AS hour_ms, " +
         "ROUND(SUM(value), 2) AS sum_value, COUNT(value) AS n FROM events " +

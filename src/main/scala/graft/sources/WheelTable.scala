@@ -8,7 +8,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -63,17 +64,31 @@ final class WheelTableProvider extends TableProvider with DataSourceRegister {
 object WheelTableProvider {
 
   /** Resolve options to a concrete table: the registered in-memory
-    * index or a persisted dir. Resolution happens at PLAN time on the
-    * driver — both forms are already O(slots). */
-  private[sources] def resolve(opts: Map[String, String]): WheelTable = {
+    * index or a persisted dir, unkeyed or (`option("keyed", "true")`)
+    * the per-key family. Resolution happens at PLAN time on the
+    * driver — all forms are already O(slots). */
+  private[sources] def resolve(opts: Map[String, String]): Table = {
     val lower = opts.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+    val keyed = lower.get("keyed").exists(_.equalsIgnoreCase("true"))
     (lower.get("source"), lower.get("dir")) match {
+      case (Some(src), None) if keyed =>
+        val (keyCol, _, wheels) =
+          graft.plans.WheelAcceleration.registeredKeyedWheels(src)
+            .getOrElse(throw new IllegalArgumentException(
+              s"wheel table: no KEYED in-memory registration for source '$src' " +
+                "(WheelAcceleration.registerKeyed it first, or use option(\"dir\", …))"))
+        new KeyedWheelTable(s"wheel:$src?keyed", keyCol, wheels)
       case (Some(src), None) =>
         val (_, wheels) = graft.plans.WheelAcceleration.registeredWheels(src)
           .getOrElse(throw new IllegalArgumentException(
             s"wheel table: no in-memory registration for source '$src' " +
               "(WheelAcceleration.register it first, or use option(\"dir\", …))"))
         new WheelTable(s"wheel:$src", wheels)
+      case (None, Some(dir)) if keyed =>
+        val spark = SparkSession.active
+        val (meta, kw) = graft.wheel.PersistentWheel.loadKeyed(spark, dir)
+        new KeyedWheelTable(s"wheel:$dir?keyed", meta.valueCols.head,
+          Map(meta.valueCols(1) -> kw))
       case (None, Some(dir)) =>
         val spark = SparkSession.active
         val (_, wheels) = graft.wheel.PersistentWheel.load(spark, dir)
@@ -83,6 +98,154 @@ object WheelTableProvider {
           "or option(\"dir\", indexDir)")
     }
   }
+}
+
+/** Schema and value extraction for the per-measure partial columns —
+  * shared by the unkeyed and keyed wheel tables so both emit identical
+  * slot semantics. */
+private[sources] object SlotFields {
+  def measureSchema(measures: Seq[String]): Seq[StructField] =
+    measures.flatMap(c => Seq(
+      StructField(s"sum_$c", DoubleType, nullable = true),
+      StructField(s"cnt_$c", LongType, nullable = false),
+      StructField(s"min_$c", DoubleType, nullable = true),
+      StructField(s"max_$c", DoubleType, nullable = true),
+      StructField(s"m2_$c", DoubleType, nullable = true)))
+
+  /** Value of a per-measure column (`sum_c/cnt_c/min_c/max_c/m2_c`). */
+  def measureValue(field: String, aggs: Map[String, AllAggregate]): Any = {
+    val sep = field.indexOf('_')
+    val (kind, c) = (field.substring(0, sep), field.substring(sep + 1))
+    val a = aggs(c)
+    kind match {
+      case "cnt" => a.count
+      case _ if a.count == 0L => null // all-null measure slot: SQL agg = NULL
+      case "sum" => a.sum
+      case "min" => a.min
+      case "max" => a.max
+      case "m2" => a.m2
+    }
+  }
+
+  /** Catalyst-internal form of a slot/key value (string keys must ship
+    * as UTF8String inside InternalRow). */
+  def toInternal(v: Any): Any = v match {
+    case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    case x => x
+  }
+}
+
+/** Shared accumulation for COMPLETE-pushdown aggregate scans — used by
+  * the unkeyed and keyed wheel tables so both answer pushed
+  * SUM/MIN/MAX/COUNT identically. Runs on the driver over the O(slots)
+  * (or O(|keys|×slots)) walk at PLAN time; never touches the source. */
+private[sources] object SlotAgg {
+
+  private def lt(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: Double, y: Double) => x < y
+    case (x: Long, y: Long) => x < y
+    case _ => false
+  }
+
+  private final class Acc(n: Int) {
+    var rows = 0L // COUNT(*) of table rows in the group
+    val nonNull = new Array[Long](n)
+    val sumD = new Array[Double](n)
+    val sumL = new Array[Long](n)
+    val extreme = new Array[Any](n) // running min/max; null until a value
+  }
+
+  /** `input`: (group key values — already Catalyst-internal, empty when
+    * ungrouped; column-value accessor). Output rows are group cols ++
+    * one value per func, in first-seen group order (the deterministic
+    * slot/key walk). Ungrouped → exactly ONE row even over an empty
+    * input (SQL semantics: SUM/MIN/MAX NULL, COUNTs 0); grouped → one
+    * row per populated group, globally unique because the whole index
+    * is a single driver-resident artifact — which is what licenses
+    * COMPLETE pushdown (no merge step is planned above the scan). */
+  def aggregate(grouped: Boolean, input: Iterator[(Seq[Any], String => Any)],
+      funcs: Seq[AggCol], isLongCol: String => Boolean): Array[Array[Any]] = {
+    val fs = funcs.toArray
+    val n = fs.length
+    val groups = new java.util.LinkedHashMap[Seq[Any], Acc]()
+    input.foreach { case (g, value) =>
+      val acc = groups.computeIfAbsent(if (grouped) g else Nil, _ => new Acc(n))
+      acc.rows += 1L
+      var k = 0
+      while (k < n) {
+        val f = fs(k)
+        if (f.col != null) {
+          val v = value(f.col)
+          if (v != null) {
+            acc.nonNull(k) += 1L
+            f.kind match {
+              case "sum" => v match {
+                case d: Double => acc.sumD(k) += d
+                case l: Long => acc.sumL(k) += l
+              }
+              case "min" =>
+                if (acc.extreme(k) == null || lt(v, acc.extreme(k))) acc.extreme(k) = v
+              case "max" =>
+                if (acc.extreme(k) == null || lt(acc.extreme(k), v)) acc.extreme(k) = v
+              case _ => ()
+            }
+          }
+        }
+        k += 1
+      }
+    }
+    if (!grouped && groups.isEmpty) groups.put(Nil, new Acc(n))
+    val out = Array.newBuilder[Array[Any]]
+    groups.forEach { (g, acc) =>
+      out += (g ++ fs.zipWithIndex.map[Any] { case (f, k) =>
+        f.kind match {
+          case "count" => if (f.col == null) acc.rows else acc.nonNull(k)
+          case "sum" =>
+            if (acc.nonNull(k) == 0L) null
+            else if (isLongCol(f.col)) acc.sumL(k) else acc.sumD(k)
+          case _ => acc.extreme(k)
+        }
+      }).toArray[Any]
+    }
+    out.result()
+  }
+}
+
+/** One pushed sort key: table column, direction, absolute null
+  * placement (Spark's NullOrdering is independent of direction). */
+private[sources] final case class SortKey(col: String, descending: Boolean,
+    nullsFirst: Boolean)
+
+/** A fully-pushed ORDER BY + LIMIT ([[SupportsPushDownTopN]]). */
+private[sources] final case class TopNSpec(keys: Seq[SortKey], limit: Int)
+
+private[sources] object TopNSpec {
+  /** Total-order comparator over materialized rows; `idx` maps a sort
+    * column to its position in the row array. */
+  def comparator(keys: Seq[SortKey], idx: Map[String, Int]): java.util.Comparator[Array[Any]] =
+    new java.util.Comparator[Array[Any]] {
+      override def compare(a: Array[Any], b: Array[Any]): Int = {
+        val it = keys.iterator
+        var c = 0
+        while (c == 0 && it.hasNext) {
+          val k = it.next()
+          val (x, y) = (a(idx(k.col)), b(idx(k.col)))
+          c =
+            if (x == null && y == null) 0
+            else if (x == null) { if (k.nullsFirst) -1 else 1 }
+            else if (y == null) { if (k.nullsFirst) 1 else -1 }
+            else {
+              val base = (x, y) match {
+                case (p: Double, q: Double) => java.lang.Double.compare(p, q)
+                case (p: Long, q: Long) => java.lang.Long.compare(p, q)
+                case _ => 0
+              }
+              if (k.descending) -base else base
+            }
+        }
+        c
+      }
+    }
 }
 
 final class WheelTable(tableName: String, wheels: Map[String, WheelIndex])
@@ -102,25 +265,43 @@ final class WheelTable(tableName: String, wheels: Map[String, WheelIndex])
   override def schema(): StructType = StructType(
     Seq(StructField("slot_ms", LongType, nullable = false),
       StructField("rows", LongType, nullable = false)) ++
-      measures.flatMap(c => Seq(
-        StructField(s"sum_$c", DoubleType, nullable = true),
-        StructField(s"cnt_$c", LongType, nullable = false),
-        StructField(s"min_$c", DoubleType, nullable = true),
-        StructField(s"max_$c", DoubleType, nullable = true),
-        StructField(s"m2_$c", DoubleType, nullable = true))))
+      SlotFields.measureSchema(measures))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WheelScanBuilder(this)
 
   private[sources] def wheelFor(measure: String): WheelIndex = wheels(measure)
+
+  /** Value of table column `field` at minute slot `i` given the slot's
+    * per-measure partials — shared by the row scan and the pushed-down
+    * aggregate scan so both emit identical slot semantics. */
+  private[sources] def fieldValue(field: String, i: Int,
+      aggs: Map[String, AllAggregate]): Any = field match {
+    case "slot_ms" => any.minuteSlotMs(i)
+    case "rows" => aggs(measures.head).rows
+    case _ => SlotFields.measureValue(field, aggs)
+  }
 }
 
-/** Slot-range pushdown + column pruning. Accepted `slot_ms` filters are
-  * converted to an index range and consumed COMPLETELY (they constrain
-  * a monotone generated column, so the range is exact); everything else
-  * is left for Spark to evaluate post-scan. */
+/** Slot-range pushdown + column pruning + COMPLETE aggregate pushdown.
+  * Accepted `slot_ms` filters are converted to an index range and
+  * consumed COMPLETELY (they constrain a monotone generated column, so
+  * the range is exact); everything else is left for Spark to evaluate
+  * post-scan.
+  *
+  * Aggregate pushdown (round 12): `SUM/MIN/MAX/COUNT/COUNT(*)` over the
+  * slot columns — ungrouped or `GROUP BY slot_ms` — are answered by the
+  * source itself ([[SupportsPushDownAggregates]]). The plan then carries
+  * NO Aggregate, NO Exchange, and ships exactly the answer rows: an
+  * ungrouped `SELECT SUM(sum_value) … WHERE slot_ms ∈ range` is ONE row
+  * from the driver-resident index, the 1000-executor cluster does zero
+  * work. Pushdown only fires when every filter was consumed (Spark's
+  * rule requires it) and every aggregate translates — anything else
+  * falls back to the plain slot scan, still correct. */
 final class WheelScanBuilder(table: WheelTable)
-  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with SupportsPushDownTopN with SupportsPushDownLimit {
 
   private val minuteMs = graft.wheel.Tier.Minute.ms
   // half-open [lo, hi) bounds on slot_ms, tightened by pushed filters
@@ -153,6 +334,81 @@ final class WheelScanBuilder(table: WheelTable)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  // ---- aggregate pushdown ----
+  private var pushedAgg: Option[WheelAggSpec] = None
+
+  private def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case r: NamedReference if r.fieldNames.length == 1 &&
+          table.schema().fieldNames.contains(r.fieldNames.head) =>
+        Some(r.fieldNames.head)
+      case _ => None
+    }
+
+  /** Translate one pushed function; None = not answerable, no pushdown. */
+  private def funcOf(f: AggregateFunc): Option[AggCol] = f match {
+    case _: CountStar => Some(AggCol("count", null))
+    case c: Count if !c.isDistinct => colOf(c.column).map(AggCol("count", _))
+    case s: Sum if !s.isDistinct => colOf(s.column).map(AggCol("sum", _))
+    case m: Min => colOf(m.column).map(AggCol("min", _))
+    case m: Max => colOf(m.column).map(AggCol("max", _))
+    case _ => None
+  }
+
+  private def translate(agg: Aggregation): Option[WheelAggSpec] = {
+    val group = agg.groupByExpressions() match {
+      case Array() => Some(false)
+      case Array(g) if colOf(g).contains("slot_ms") => Some(true)
+      case _ => None
+    }
+    val funcs = agg.aggregateExpressions().map(funcOf)
+    if (group.isEmpty || funcs.exists(_.isEmpty)) None
+    else Some(WheelAggSpec(group.get, funcs.map(_.get).toSeq))
+  }
+
+  /** The index holds the FINAL per-slot values (and their total combine),
+    * so every pushdown we accept is complete — one answer row per group,
+    * globally unique groups, no merge step needed above. */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    translate(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    val t = translate(agg)
+    t.foreach(s => pushedAgg = Some(s))
+    t.isDefined
+  }
+
+  // ---- ORDER BY + LIMIT pushdown (round 12) ----
+  // "Top-k busiest slots" costs a bounded driver-side sort of the
+  // already-materialized slot rows — the Sort+Limit (and its Exchange)
+  // vanish from the plan. Fully consumed (isPartiallyPushed = false):
+  // the scan emits exactly the k rows, in order.
+  private var topN: Option[TopNSpec] = None
+  private var limitN: Option[Int] = None
+
+  private def sortKeyOf(
+      o: org.apache.spark.sql.connector.expressions.SortOrder): Option[SortKey] =
+    colOf(o.expression()).map { c =>
+      import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection}
+      SortKey(c, o.direction() == SortDirection.DESCENDING,
+        o.nullOrdering() == NullOrdering.NULLS_FIRST)
+    }
+
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = {
+    // every column is LONG or DOUBLE, so any resolved column sorts
+    if (pushedAgg.isDefined) return false
+    val keys = orders.toSeq.map(sortKeyOf)
+    if (keys.exists(_.isEmpty)) false
+    else { topN = Some(TopNSpec(keys.flatten, limit)); true }
+  }
+
+  override def pushLimit(limit: Int): Boolean =
+    pushedAgg.isEmpty && { limitN = Some(limit); true }
+
+  override def isPartiallyPushed(): Boolean = false
+
   override def build(): Scan = {
     // slot index range implied by [lo, hi): slot i covers
     // [base + i·m, base + (i+1)·m) and carries slot_ms = base + i·m
@@ -160,59 +416,132 @@ final class WheelScanBuilder(table: WheelTable)
     val n = table.any.minuteSlotCount
     val i0 = math.max(0L, math.min(n.toLong, ceilDiv(lo - base, minuteMs))).toInt
     val i1 = math.max(i0.toLong, math.min(n.toLong, ceilDiv(hi - base, minuteMs))).toInt
-    new WheelScan(table, required, i0, i1)
+    pushedAgg match {
+      case Some(spec) => new WheelAggScan(table, spec, i0, i1)
+      case None => new WheelScan(table, required, i0, i1, topN, limitN)
+    }
   }
 
   private def ceilDiv(a: Long, b: Long): Long =
     if (a <= 0) 0L else (a + b - 1) / b
 }
 
-final class WheelScan(table: WheelTable, required: StructType, i0: Int, i1: Int)
+/** One pushed aggregate call: `kind` ∈ sum/min/max/count over table
+  * column `col` (`col == null` = `COUNT(*)`). */
+private[sources] final case class AggCol(kind: String, col: String)
+
+/** A fully-translated pushed [[Aggregation]]: optional `GROUP BY
+  * slot_ms` plus the function list, in output order. */
+private[sources] final case class WheelAggSpec(groupBySlot: Boolean, funcs: Seq[AggCol])
+
+/** COMPLETE-pushdown scan: emits the final aggregate rows themselves.
+  * Ungrouped → exactly ONE row (SQL semantics even over an empty slot
+  * range: SUM/MIN/MAX NULL, COUNTs 0). Grouped by `slot_ms` → one row
+  * per populated slot, globally unique because the index is a single
+  * driver-resident artifact — which is what licenses complete pushdown
+  * (no merge aggregation is planned above this scan). */
+final class WheelAggScan(table: WheelTable, spec: WheelAggSpec, i0: Int, i1: Int)
+  extends Scan with Batch {
+
+  private val colType: Map[String, DataType] =
+    table.schema().fields.map(f => f.name -> f.dataType).toMap
+
+  private def resultType(f: AggCol): DataType =
+    if (f.kind == "count") LongType else colType(f.col)
+
+  override def readSchema(): StructType = StructType(
+    (if (spec.groupBySlot) Seq(StructField("slot_ms", LongType, nullable = false))
+     else Nil) ++
+      spec.funcs.zipWithIndex.map { case (f, i) =>
+        StructField(s"agg_$i", resultType(f), nullable = f.kind != "count")
+      })
+
+  override def toBatch: Batch = this
+  override def description(): String = {
+    val fs = spec.funcs
+      .map(f => s"${f.kind}(${Option(f.col).getOrElse("*")})").mkString(", ")
+    s"${table.name()} PushedAggregates [$fs]" +
+      (if (spec.groupBySlot) " GroupBy [slot_ms]" else "") + s" slots [$i0, $i1)"
+  }
+
+  /** Populated slots in range with their per-measure partials. */
+  private def populated: Iterator[(Int, Map[String, AllAggregate])] =
+    (i0 until i1).iterator
+      .map(i => (i, table.measures.map(c => c -> table.wheelFor(c).minuteSlot(i)).toMap))
+      .filter(_._2(table.measures.head).rows > 0L)
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val input = populated.map { case (i, aggs) =>
+      (if (spec.groupBySlot) Seq[Any](table.any.minuteSlotMs(i)) else Nil,
+        (f: String) => table.fieldValue(f, i, aggs))
+    }
+    Array(WheelInputPartition(SlotAgg.aggregate(
+      spec.groupBySlot, input, spec.funcs, c => colType(c) == LongType)))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = WheelReaderFactory
+}
+
+final class WheelScan(table: WheelTable, required: StructType, i0: Int, i1: Int,
+    topN: Option[TopNSpec] = None, limitN: Option[Int] = None)
   extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"${table.name()} slots [$i0, $i1) of ${table.any.minuteSlotCount}"
+    s"${table.name()} slots [$i0, $i1) of ${table.any.minuteSlotCount}" +
+      topN.map(t => s" PushedTopN [${t.keys.map(k =>
+        k.col + (if (k.descending) " DESC" else " ASC")).mkString(", ")}] " +
+        s"LIMIT ${t.limit}").getOrElse("") +
+      limitN.map(l => s" PushedLimit $l").getOrElse("")
 
   /** Chunked plan: each partition ships its PRE-SLICED slot rows
     * (time-bounded — never scales with source volume); chunks wholly
-    * outside the pushed range were already pruned by [i0, i1). */
+    * outside the pushed range were already pruned by [i0, i1). A pushed
+    * LIMIT stops the walk at k rows; a pushed TopN sorts the bounded
+    * range driver-side and emits exactly the k rows in order (one
+    * partition, so the order survives) — the Sort, its Exchange and the
+    * Limit all vanish from the plan. */
   override def planInputPartitions(): Array[InputPartition] = {
-    val chunk = 8192
-    val fields = required.fields.map(_.name)
-    (i0 until i1 by chunk).map { s =>
-      val e = math.min(i1, s + chunk)
+    val fields = topN match {
+      // materialize sort columns alongside, project them away after
+      case Some(t) =>
+        required.fields.map(_.name) ++
+          t.keys.map(_.col).filterNot(required.fieldNames.contains)
+      case None => required.fields.map(_.name)
+    }
+    def materialize(s: Int, e: Int, cap: Int): Array[Array[Any]] = {
       val rows = Array.newBuilder[Array[Any]]
+      var n = 0
       var i = s
-      while (i < e) {
+      while (i < e && n < cap) {
         val aggs = table.measures.map(c => table.wheelFor(c).minuteSlot(i))
         if (aggs.head.rows > 0L) {
           val byMeasure = table.measures.zip(aggs).toMap
-          rows += fields.map(f => fieldValue(f, i, byMeasure))
+          rows += fields.map(f => table.fieldValue(f, i, byMeasure))
+          n += 1
         }
         i += 1
       }
-      WheelInputPartition(rows.result()): InputPartition
-    }.toArray
-  }
-
-  private def fieldValue(field: String, i: Int,
-      aggs: Map[String, AllAggregate]): Any = field match {
-    case "slot_ms" => table.any.minuteSlotMs(i)
-    case "rows" => aggs(table.measures.head).rows
-    case _ =>
-      val sep = field.indexOf('_')
-      val (kind, c) = (field.substring(0, sep), field.substring(sep + 1))
-      val a = aggs(c)
-      kind match {
-        case "cnt" => a.count
-        case _ if a.count == 0L => null // all-null measure slot: SQL agg = NULL
-        case "sum" => a.sum
-        case "min" => a.min
-        case "max" => a.max
-        case "m2" => a.m2
-      }
+      rows.result()
+    }
+    (topN, limitN) match {
+      case (Some(t), _) =>
+        val idx = fields.zipWithIndex.toMap
+        val all = materialize(i0, i1, Int.MaxValue)
+        java.util.Arrays.sort(all, TopNSpec.comparator(t.keys, idx))
+        val keep = required.fields.map(f => idx(f.name))
+        val top = all.take(t.limit).map(r => keep.map(i => r(i)))
+        Array(WheelInputPartition(top))
+      case (None, Some(l)) =>
+        Array(WheelInputPartition(materialize(i0, i1, l)))
+      case _ =>
+        val chunk = 8192
+        (i0 until i1 by chunk).map { s =>
+          WheelInputPartition(materialize(s, math.min(i1, s + chunk), Int.MaxValue))
+            : InputPartition
+        }.toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = WheelReaderFactory

@@ -11,7 +11,7 @@ class SparkEntrySpec extends AnyFunSuite {
     val groups = Seq(
       graft.queries.Core.queries, graft.queries.Aggregates.queries,
       graft.queries.Joins.queries, graft.queries.Windows.queries,
-      graft.queries.Subqueries.queries,
+      graft.queries.Analytics.queries, graft.queries.Subqueries.queries,
       graft.queries.SetOps.queries, graft.queries.Scalars.queries,
       graft.queries.Text.queries, graft.queries.Pipeline.queries,
       graft.queries.Similarity.queries,

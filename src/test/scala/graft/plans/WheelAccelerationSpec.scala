@@ -34,6 +34,78 @@ class WheelAccelerationSpec extends AnyFunSuite {
     assert(df.queryExecution.executedPlan.toString.contains("LocalTableScan"))
   }
 
+  test("BETWEEN and strict ms bounds fold exactly (round 12)") {
+    register()
+    events.createOrReplaceTempView("events_accel")
+    // inclusive upper: unix_millis floors, so <= E ⇔ < E+1 ms exactly
+    val between = spark.sql("SELECT ROUND(SUM(value), 2) AS s, COUNT(*) AS n " +
+      s"FROM events_accel WHERE unix_millis(ts) BETWEEN ${Q.R1Start} AND ${Q.R1End - 1}")
+    assert(between.queryExecution.optimizedPlan.collect {
+      case l: LocalRelation => l
+    }.nonEmpty, between.queryExecution.optimizedPlan.treeString)
+    val scan = events
+      .filter(unix_millis(col("ts")) >= Q.R1Start && unix_millis(col("ts")) < Q.R1End)
+      .agg(round(sum("value"), 2), count(lit(1))).collect()(0)
+    val gb = between.collect()(0)
+    assert(gb.getDouble(0) == scan.getDouble(0) && gb.getLong(1) == scan.getLong(1))
+
+    // strict lower: > A-1 ⇔ >= A ms; both rewritten bounds land on the
+    // same index range as the canonical spelling
+    val strict = spark.sql("SELECT ROUND(SUM(value), 2) AS s, COUNT(*) AS n " +
+      s"FROM events_accel WHERE unix_millis(ts) > ${Q.R1Start - 1} " +
+      s"AND unix_millis(ts) <= ${Q.R1End - 1}")
+    assert(strict.queryExecution.optimizedPlan.collect {
+      case l: LocalRelation => l
+    }.nonEmpty, strict.queryExecution.optimizedPlan.treeString)
+    val gs = strict.collect()(0)
+    assert(gs.getDouble(0) == scan.getDouble(0) && gs.getLong(1) == scan.getLong(1))
+
+    // pinned refusal: the DIRECT-timestamp inclusive spelling keeps the
+    // scan — its true bound is x+1 µs, which the ms domain can't express
+    val tsIncl = spark.sql("SELECT ROUND(SUM(value), 2) AS s FROM events_accel " +
+      "WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' " +
+      "AND ts <= TIMESTAMP '2024-01-12 00:00:00'")
+    assert(tsIncl.queryExecution.optimizedPlan.collect {
+      case l: LocalRelation => l
+    }.isEmpty, tsIncl.queryExecution.optimizedPlan.treeString)
+  }
+
+  test("GROUP BY CAST(ts AS DATE) folds to the day grid (round 12)") {
+    register()
+    events.createOrReplaceTempView("events_accel")
+    val df = spark.sql(
+      "SELECT CAST(ts AS DATE) AS day, ROUND(SUM(value), 2) AS s, COUNT(*) AS n " +
+        s"FROM events_accel WHERE unix_millis(ts) >= ${Q.R1Start} " +
+        s"AND unix_millis(ts) < ${Q.R1End} GROUP BY 1 ORDER BY 1")
+    assert(df.queryExecution.optimizedPlan.collect {
+      case l: LocalRelation => l
+    }.nonEmpty, df.queryExecution.optimizedPlan.treeString)
+    WheelAcceleration.clear()
+    val exp = spark.sql(
+      "SELECT CAST(ts AS DATE) AS day, ROUND(SUM(value), 2) AS s, COUNT(*) AS n " +
+        s"FROM events_accel WHERE unix_millis(ts) >= ${Q.R1Start} " +
+        s"AND unix_millis(ts) < ${Q.R1End} GROUP BY 1 ORDER BY 1").collect()
+    val got = df.collect()
+    assert(got.length == 7 && got.length == exp.length)
+    got.zip(exp).foreach { case (g, e) =>
+      assert(g.getDate(0) == e.getDate(0) && g.getDouble(1) == e.getDouble(1) &&
+        g.getLong(2) == e.getLong(2), s"$g vs $e")
+    }
+
+    // the function spellings optimize to the same Cast and fold too
+    register()
+    for (fn <- Seq("to_date(ts)", "date(ts)")) {
+      val f = spark.sql(
+        s"SELECT $fn AS day, ROUND(SUM(value), 2) AS s FROM events_accel " +
+          s"WHERE unix_millis(ts) >= ${Q.R1Start} " +
+          s"AND unix_millis(ts) < ${Q.R1End} GROUP BY 1 ORDER BY 1")
+      assert(f.queryExecution.optimizedPlan.collect {
+        case l: LocalRelation => l
+      }.nonEmpty, s"$fn:\n" + f.queryExecution.optimizedPlan.treeString)
+      assert(f.collect().length == 7)
+    }
+  }
+
   test("a NO-PREDICATE whole-table aggregate folds as the full span (round 11)") {
     import spark.implicits._
     register()

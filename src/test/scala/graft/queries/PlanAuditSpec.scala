@@ -74,11 +74,34 @@ class PlanAuditSpec extends AnyFunSuite {
 
   for (k <- Seq("q_wheel_anomaly_sql", "q_wheel_pct_change_sql",
       "q_wheel_ewma_sql", "q_wheel_topdays_sql", "q_wheel_having_sql",
-      "q_wheel_hourofday_sql", "q_wheel_two_table_sql", "q_wheel_share_sql"))
+      "q_wheel_hourofday_sql", "q_wheel_two_table_sql", "q_wheel_share_sql",
+      "q_wheel_between_sql", "q_wheel_date_rollup_sql"))
     test(s"$k: analytics compose above the fold, zero FileScan (round 12)") {
       val p = plan(k)
       assert(!p.contains("FileScan"), p)
     }
+
+  test("q_wheel_table_agg_sql: complete pushdown — no Aggregate, no Exchange, no FileScan") {
+    val p = plan("q_wheel_table_agg_sql")
+    assert(!p.contains("HashAggregate"), p)
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("FileScan"), p)
+  }
+
+  test("q_wheel_table_keyed_agg_sql: keyed complete pushdown — no Aggregate, no FileScan") {
+    val p = plan("q_wheel_table_keyed_agg_sql")
+    assert(!p.contains("HashAggregate"), p)
+    assert(!p.contains("FileScan"), p)
+    // the only remaining work is the |keys|-row output sort
+    assert(p.contains("PushedAggregates"), p)
+  }
+
+  test("q_wheel_table_topn_sql: ORDER BY + LIMIT consumed by the source — no Sort, no FileScan") {
+    val p = plan("q_wheel_table_topn_sql")
+    assert(p.contains("PushedTopN"), p)
+    assert(!p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("FileScan"), p)
+  }
 
   test("q_wheel_query runs NO scan at all (index path)") {
     val p = plan("q_wheel_query")

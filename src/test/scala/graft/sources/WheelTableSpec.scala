@@ -100,6 +100,139 @@ class WheelTableSpec extends AnyFunSuite {
     WheelAcceleration.unregister(s"$tmp/events.parquet")
   }
 
+  test("aggregate pushdown: ungrouped SUM/MIN/MAX/COUNT come straight from the source") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    registered()
+    val df = table
+      .filter(col("slot_ms") >= Q.R1Start && col("slot_ms") < Q.R1End)
+      .agg(sum("sum_value").as("s"), sum("cnt_value").as("n"),
+        min("min_value").as("mn"), max("max_value").as("mx"),
+        count(lit(1)).as("slots"), count(col("sum_value")).as("nonnull"),
+        min("slot_ms").as("first_slot"), max("slot_ms").as("last_slot"))
+    // COMPLETE pushdown: no Aggregate left in the optimized plan, no
+    // HashAggregate (and no Exchange) in the physical plan — the source
+    // ships exactly one answer row
+    assert(df.queryExecution.optimizedPlan.collect { case a: Aggregate => a }.isEmpty,
+      df.queryExecution.optimizedPlan.treeString)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(!phys.contains("HashAggregate") && !phys.contains("Exchange"), phys)
+    val got = df.collect()(0)
+    // parity baseline: the un-pushed slot rows aggregated in Scala
+    val slots = table.filter(col("slot_ms") >= Q.R1Start && col("slot_ms") < Q.R1End)
+      .select("slot_ms", "sum_value", "cnt_value", "min_value", "max_value")
+      .collect()
+    assert(slots.nonEmpty)
+    assert(math.abs(got.getDouble(0) - slots.map(_.getDouble(1)).sum) < 1e-9)
+    assert(got.getLong(1) == slots.map(_.getLong(2)).sum)
+    assert(got.getDouble(2) == slots.map(_.getDouble(3)).min)
+    assert(got.getDouble(3) == slots.map(_.getDouble(4)).max)
+    assert(got.getLong(4) == slots.length.toLong)
+    assert(got.getLong(5) == slots.count(!_.isNullAt(1)).toLong)
+    assert(got.getLong(6) == slots.map(_.getLong(0)).min)
+    assert(got.getLong(7) == slots.map(_.getLong(0)).max)
+  }
+
+  test("aggregate pushdown: empty slot range still yields the SQL one-row answer") {
+    registered()
+    val end = table.agg(max("slot_ms")).collect()(0).getLong(0)
+    val df = table.filter(col("slot_ms") > end)
+      .agg(sum("sum_value").as("s"), count(lit(1)).as("n"))
+    val r = df.collect()(0)
+    assert(r.isNullAt(0) && r.getLong(1) == 0L, r)
+  }
+
+  test("aggregate pushdown: GROUP BY slot_ms ships final per-slot rows, no shuffle") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    registered()
+    val df = table
+      .filter(col("slot_ms") >= Q.R1Start && col("slot_ms") < Q.R1End)
+      .groupBy("slot_ms")
+      .agg(sum("sum_value").as("s"), count(lit(1)).as("n"))
+      .orderBy("slot_ms")
+    assert(df.queryExecution.optimizedPlan.collect { case a: Aggregate => a }.isEmpty,
+      df.queryExecution.optimizedPlan.treeString)
+    val got = df.collect()
+    val exp = table.filter(col("slot_ms") >= Q.R1Start && col("slot_ms") < Q.R1End)
+      .select("slot_ms", "sum_value").orderBy("slot_ms").collect()
+    assert(got.length == exp.length && got.nonEmpty)
+    got.zip(exp).foreach { case (g, e) =>
+      assert(g.getLong(0) == e.getLong(0) && g.getDouble(1) == e.getDouble(1) &&
+        g.getLong(2) == 1L, s"$g vs $e")
+    }
+  }
+
+  test("aggregate pushdown: AVG splits to pushed SUM/COUNT partials and stays exact") {
+    registered()
+    val df = table
+      .filter(col("slot_ms") >= Q.R1Start && col("slot_ms") < Q.R1End)
+      .agg(avg("sum_value").as("a"))
+    val slots = table.filter(col("slot_ms") >= Q.R1Start && col("slot_ms") < Q.R1End)
+      .select("sum_value").collect().map(_.getDouble(0))
+    assert(math.abs(df.collect()(0).getDouble(0) - slots.sum / slots.length) < 1e-9)
+  }
+
+  test("keyed mode: per-(key, slot) rows match the keyed minute aggregates") {
+    WheelAcceleration.registerKeyed(spark, path, Q.t(spark, dir, "events"), "event_type")
+    val got = spark.read.format("wheel").option("source", path)
+      .option("keyed", "true").load()
+      .select("event_type", "slot_ms", "rows", "sum_value", "cnt_value")
+      .orderBy("event_type", "slot_ms")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSeq
+    val exp = Q.t(spark, dir, "events")
+      .groupBy(col("event_type"),
+        expr(s"(unix_millis(ts) div $Minute) * $Minute").as("slot_ms"))
+      .agg(count(lit(1)).as("rows"), sum("value").as("s"), count("value").as("c"))
+      .orderBy("event_type", "slot_ms")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSeq
+    assert(got.size == exp.size && got.nonEmpty)
+    got.zip(exp).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2 && g._3 == e._3 && g._5 == e._5, s"$g vs $e")
+      assert(math.abs(g._4 - e._4) < 1e-6, s"$g vs $e")
+    }
+  }
+
+  test("keyed mode: key equality and slot range are consumed by the source") {
+    import org.apache.spark.sql.execution.FilterExec
+    WheelAcceleration.registerKeyed(spark, path, Q.t(spark, dir, "events"), "event_type")
+    val keyed = spark.read.format("wheel").option("source", path)
+      .option("keyed", "true").load()
+    val aKey = keyed.select("event_type").orderBy("event_type").first().getString(0)
+    val day = Q.Jan1 + 9 * 86400000L
+    val df = keyed.filter(col("event_type") === aKey &&
+      col("slot_ms") >= day && col("slot_ms") < day + 86400000L)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val s = r.getAs[Long]("slot_ms")
+      r.getAs[String]("event_type") == aKey && s >= day && s < day + 86400000L
+    })
+    // every pushed predicate is consumed: no post-scan Filter remains,
+    // and the scan emits exactly the filtered rows
+    val plan = df.queryExecution.executedPlan
+    assert(plan.collect { case f: FilterExec => f }.isEmpty, plan.toString)
+    assert(plan.collectLeaves().head.metrics("numOutputRows").value == rows.length.toLong)
+  }
+
+  test("keyed persisted dir mode: O(keys × slots) load, no registration needed") {
+    val tmp = Files.createTempDirectory("graft-wheel-keyed-dir").toString
+    graft.wheel.PersistentWheel.saveKeyed(spark, tmp, Q.t(spark, dir, "events"),
+      "event_type", "ts", "value",
+      graft.wheel.SourceFingerprint.of(path, spark.sessionState.newHadoopConf()))
+    val got = spark.read.format("wheel").option("dir", tmp)
+      .option("keyed", "true").load()
+      .groupBy("event_type").agg(round(sum("sum_value"), 2).as("s"))
+      .orderBy("event_type").collect()
+    val exp = Q.t(spark, dir, "events")
+      .groupBy("event_type").agg(round(sum("value"), 2).as("s"))
+      .orderBy("event_type").collect()
+    assert(got.length == exp.length && got.nonEmpty)
+    got.zip(exp).foreach { case (g, e) =>
+      assert(g.getString(0) == e.getString(0) && g.getDouble(1) == e.getDouble(1))
+    }
+  }
+
   test("SQL DDL access: CREATE TEMPORARY VIEW ... USING wheel") {
     registered()
     spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW wheel_slots " +
@@ -143,6 +276,127 @@ class WheelTableSpec extends AnyFunSuite {
       q.stop()
       WheelAcceleration.unregister(p)
     }
+  }
+
+  test("keyed aggregate pushdown: GROUP BY key ships |keys| final rows, no Aggregate") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    WheelAcceleration.registerKeyed(spark, path, Q.t(spark, dir, "events"), "event_type")
+    val keyed = spark.read.format("wheel").option("source", path)
+      .option("keyed", "true").load()
+      .filter(col("slot_ms") >= Q.R1Start && col("slot_ms") < Q.R1End)
+    val df = keyed.groupBy("event_type")
+      .agg(sum("sum_value").as("s"), sum("cnt_value").as("n"),
+        min("min_value").as("mn"), max("max_value").as("mx"),
+        count(lit(1)).as("pairs"))
+      .orderBy("event_type")
+    assert(df.queryExecution.optimizedPlan.collect { case a: Aggregate => a }.isEmpty,
+      df.queryExecution.optimizedPlan.treeString)
+    assert(!df.queryExecution.executedPlan.toString.contains("HashAggregate"))
+    val got = df.collect()
+    // parity baseline: the plain keyed slot rows aggregated in Scala
+    val slots = keyed.select("event_type", "sum_value", "cnt_value",
+      "min_value", "max_value").collect()
+      .groupBy(_.getString(0)).toSeq.sortBy(_._1)
+    assert(got.length == slots.length && got.nonEmpty)
+    got.zip(slots).foreach { case (g, (k, rs)) =>
+      assert(g.getString(0) == k)
+      assert(math.abs(g.getDouble(1) - rs.map(_.getDouble(1)).sum) < 1e-9)
+      assert(g.getLong(2) == rs.map(_.getLong(2)).sum)
+      assert(g.getDouble(3) == rs.map(_.getDouble(3)).min)
+      assert(g.getDouble(4) == rs.map(_.getDouble(4)).max)
+      assert(g.getLong(5) == rs.length.toLong)
+    }
+  }
+
+  test("keyed aggregate pushdown: GROUP BY (slot_ms, key) + IN filter, both consumed") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    WheelAcceleration.registerKeyed(spark, path, Q.t(spark, dir, "events"), "event_type")
+    val keyed = spark.read.format("wheel").option("source", path)
+      .option("keyed", "true").load()
+    val keys = keyed.select("event_type").distinct()
+      .orderBy("event_type").collect().map(_.getString(0)).take(2)
+    val df = keyed
+      .filter(col("slot_ms") >= Q.R1Start && col("slot_ms") < Q.R1End &&
+        col("event_type").isin(keys.toSeq: _*))
+      .groupBy(col("slot_ms"), col("event_type")) // reversed col order vs schema
+      .agg(sum("sum_value").as("s"))
+      .orderBy("slot_ms", "event_type")
+    assert(df.queryExecution.optimizedPlan.collect { case a: Aggregate => a }.isEmpty,
+      df.queryExecution.optimizedPlan.treeString)
+    val got = df.collect()
+    val exp = keyed
+      .filter(col("slot_ms") >= Q.R1Start && col("slot_ms") < Q.R1End &&
+        col("event_type").isin(keys.toSeq: _*))
+      .select("slot_ms", "event_type", "sum_value")
+      .orderBy("slot_ms", "event_type").collect()
+    assert(got.length == exp.length && got.nonEmpty)
+    got.zip(exp).foreach { case (g, e) =>
+      assert(g.getLong(0) == e.getLong(0) && g.getString(1) == e.getString(1) &&
+        math.abs(g.getDouble(2) - e.getDouble(2)) < 1e-9, s"$g vs $e")
+    }
+  }
+
+  test("keyed aggregate pushdown: ungrouped total; string MIN falls back correctly") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    WheelAcceleration.registerKeyed(spark, path, Q.t(spark, dir, "events"), "event_type")
+    val keyed = spark.read.format("wheel").option("source", path)
+      .option("keyed", "true").load()
+      .filter(col("slot_ms") >= Q.R1Start && col("slot_ms") < Q.R1End)
+    val total = keyed.agg(sum("sum_value").as("s"), count(lit(1)).as("pairs"))
+    assert(total.queryExecution.optimizedPlan.collect { case a: Aggregate => a }.isEmpty)
+    val r = total.collect()(0)
+    val slots = keyed.select("sum_value").collect().map(_.getDouble(0))
+    assert(math.abs(r.getDouble(0) - slots.sum) < 1e-9 &&
+      r.getLong(1) == slots.length.toLong)
+    // MIN over the STRING key column is not pushable (no numeric order
+    // in the source) — the Aggregate must survive and stay correct
+    val fb = keyed.agg(min("event_type").as("mn"))
+    assert(fb.queryExecution.optimizedPlan.collect { case a: Aggregate => a }.nonEmpty,
+      fb.queryExecution.optimizedPlan.treeString)
+    val expMin = keyed.select("event_type").collect().map(_.getString(0)).min
+    assert(fb.collect()(0).getString(0) == expMin)
+  }
+
+  test("TopN pushdown: ORDER BY + LIMIT consumed — no Sort in the plan, rows pre-sorted") {
+    registered()
+    val in = table.filter(col("slot_ms") >= Q.R1Start && col("slot_ms") < Q.R1End)
+    val df = in.orderBy(col("rows").desc, col("slot_ms"))
+      .limit(3)
+      .select(col("slot_ms"), col("rows"))
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("PushedTopN") || !phys.contains("Sort"), phys)
+    assert(!phys.contains("TakeOrderedAndProject"), phys)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val exp = in.select("slot_ms", "rows").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (s, n) => (-n, s) }.take(3).toSeq
+    assert(got == exp)
+  }
+
+  test("TopN pushdown: sorting a column the projection drops still works") {
+    registered()
+    val in = table.filter(col("slot_ms") >= Q.R1Start && col("slot_ms") < Q.R1End)
+    // sum_value is the sort key but NOT in the output
+    val df = in.orderBy(col("sum_value").asc, col("slot_ms"))
+      .limit(4).select("slot_ms")
+    val got = df.collect().map(_.getLong(0)).toSeq
+    val exp = in.select("slot_ms", "sum_value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (s, v) => (v, s) }.take(4).map(_._1).toSeq
+    assert(got == exp)
+  }
+
+  test("LIMIT pushdown: the slot walk stops at k rows") {
+    registered()
+    val df = table.filter(col("slot_ms") >= Q.R1Start && col("slot_ms") < Q.R1End)
+      .limit(4)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("PushedLimit") || phys.contains("limit=4"), phys)
+    val rows = df.collect()
+    assert(rows.length == 4)
+    assert(rows.forall { r =>
+      val s = r.getAs[Long]("slot_ms"); s >= Q.R1Start && s < Q.R1End
+    })
   }
 
   test("option error modes: unregistered source / missing options fail loudly") {
