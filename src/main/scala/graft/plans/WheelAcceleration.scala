@@ -3390,9 +3390,13 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     * AFTER constant folding, so `TIMESTAMP '…'`, `DATE '…'`, `'2022-01-05'`
     * (string promotion) and `to_timestamp('…')` all qualify: this rule
     * runs in the user-provided batch, after folding collapsed their casts.
-    * Closed upper bounds (`<=`, `BETWEEN`) are deliberately NOT accepted:
-    * data carries µs precision and the wheel is ms-granular, so `ts <= b`
-    * can't be answered exactly as `ts < b + 1ms`. */
+    * Closed upper bounds (`<=`, `BETWEEN`) ARE accepted for the
+    * ms-domain `unix_millis(ts)` spelling (round 12): unix_millis floors
+    * to ms, so `unix_millis(ts) <= E` ⇔ `ts < E+1 ms` exactly at any
+    * sub-ms precision (and symmetrically `> A` ⇔ `ts >= A+1 ms`). They
+    * remain deliberately REJECTED for direct µs timestamp comparisons
+    * (`ts <= TIMESTAMP 'x'`): that bound is x+1 µs, which the ms-granular
+    * wheel cannot express. */
   private def rangeMs(
       cond: Expression, tsCol: String): Option[(Option[Long], Option[Long])] = {
     def isTs(e: Expression): Boolean = isTsMs(e, tsCol)

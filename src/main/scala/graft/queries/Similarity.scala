@@ -475,15 +475,66 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** Greedy keep-lowest dedup walk over one cell: ids ascending, each
+    * still-kept pivot absorbs (drops) its > τ neighbors. Returns the
+    * DROPPED ids. ONE policy for every cell size (round 13, ADVICE r12):
+    * the previous pair-based rule ("drop the higher id of every > τ
+    * pair") over-dropped chains in small cells — a~b, b~c, a≁c dropped
+    * c even though its only near-dup b was itself dropped — so dedup
+    * semantics flipped with cell occupancy. */
+  private[queries] def greedyDrops(ids: Array[Long],
+      vecs: Array[Array[Double]], tau: Double): Seq[Long] = {
+    val m = ids.length
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var k = 0
+      while (k < a.length && k < b.length) { d += a(k) * b(k); k += 1 }
+      d
+    }
+    val order = Array.range(0, m).sortBy(ids(_))
+    val dropped = new Array[Boolean](m)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var oi = 0
+    while (oi < m) {
+      val p = order(oi)
+      if (!dropped(p)) {
+        var oj = oi + 1
+        while (oj < m) {
+          val q = order(oj)
+          if (!dropped(q) && dot(vecs(p), vecs(q)) > tau) {
+            dropped(q) = true
+            out += ids(q)
+          }
+          oj += 1
+        }
+      }
+      oi += 1
+    }
+    out.toSeq
+  }
+
+  /** Accumulator behind [[lastOversizedCells]] — rebound per semDedup
+    * call, incremented executor-side as the plan runs. */
+  @volatile private var oversizedAcc: Option[org.apache.spark.util.LongAccumulator] = None
+
+  /** Cells that exceeded MaxBucket in the most recent EXECUTED semDedup
+    * plan — their items arrive truncated (BoundedCollectVec), so dedup
+    * is SKIPPED there (all rows kept) and the cell is counted here
+    * instead of silently passing (round 13, ADVICE r12). Reads 0 before
+    * the returned DataFrame has run an action; may over-count under
+    * task retries (Spark accumulator semantics) — a flag, not an exact
+    * total. */
+  def lastOversizedCells: Long = oversizedAcc.map(_.value.longValue).getOrElse(0L)
+
   /** SemDeDup core (round 12): assign every vector its single nearest
     * k-means cell (trainer = the IVF path's driver-side k-means over a
-    * capped sample), enumerate in-cell near-dup pairs with the shared
-    * budgeted scan, and KEEP the lower id of every > τ pair — greedy
-    * keep-lowest semantic dedup. One shuffle (groupBy cell) + one
-    * broadcastable drop set; pair work is Σ|cell|²/2 bounded by
-    * MaxBucket and [[Text.PairBudget]]. `cellsOverride = Some(1)`
-    * collapses to the exact single-scope greedy dedup the spec checks
-    * against. */
+    * capped sample), then run ONE in-cell greedy keep-lowest walk
+    * ([[greedyDrops]]) regardless of cell size — ids ascending, each
+    * kept pivot absorbs its > τ neighbors. One shuffle (groupBy cell) +
+    * one AQE-planned anti-join; pair work is Σ|cell|²/2 bounded by
+    * MaxBucket (oversized cells skip dedup and are flagged via
+    * [[lastOversizedCells]]); dup-dense cells collapse to ~one pass per
+    * cluster. `cellsOverride = Some(1)` collapses to the exact
+    * single-scope greedy dedup the spec checks against. */
   private[queries] def semDedup(s: org.apache.spark.sql.SparkSession, dir: String,
       cellsOverride: Option[Int], tau: Double): org.apache.spark.sql.DataFrame = {
     val all = embeddings(s, dir)
@@ -495,10 +546,27 @@ object Similarity {
     val centroids = trainCentroids(sample, c)
     val cellUdf = udf((v: Seq[Double]) => nearestCell(centroids, toPrimitive(v)))
     val corpus = all.withColumn("cell", cellUdf(col("v")))
+    val oversized = s.sparkContext.longAccumulator("semdedup_oversized_cells")
+    oversizedAcc = Some(oversized)
+    val dropsUdf = udf((items: Seq[org.apache.spark.sql.Row]) => {
+      val m = items.length
+      if (m < 2) Seq.empty[Long]
+      else if (m > MaxBucket) { oversized.add(1L); Seq.empty[Long] }
+      else {
+        val ids = new Array[Long](m)
+        val vecs = new Array[Array[Double]](m)
+        var i = 0
+        while (i < m) {
+          val r = items(i)
+          ids(i) = r.getLong(0); vecs(i) = r.getSeq[Double](1).toArray
+          i += 1
+        }
+        greedyDrops(ids, vecs, tau)
+      }
+    })
     val drops = corpus.groupBy(col("cell"))
       .agg(boundedVecs(col("vec_id"), col("v")).as("items"))
-      .select(explode(inBucketPairsUdf(tau)(col("items"))).as("p"))
-      .select(col("p._2").as("vec_id")).distinct()
+      .select(explode(dropsUdf(col("items"))).as("vec_id"))
     // plain anti-join: the drop set scales with the corpus (dup-dense
     // data can drop most rows), so let AQE pick broadcast vs shuffle
     corpus.join(drops, Seq("vec_id"), "left_anti")

@@ -68,9 +68,12 @@ final class KeyedWheelScanBuilder(table: KeyedWheelTable)
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private val minuteMs = Tier.Minute.ms
-  // half-open [lo, hi) bounds on slot_ms, tightened by pushed filters
+  // half-open [lo, hi) bounds on slot_ms, tightened by pushed filters.
+  // horizonMs is already the ABSOLUTE end timestamp (KeyedWheelIndex
+  // computes slot counts as (horizonMs - baseMs)/tier.ms), so it is the
+  // correct un-tightened upper bound — NOT baseMs + horizonMs (ADVICE r12).
   private var lo: Long = table.any.baseMs
-  private var hi: Long = table.any.baseMs + table.any.horizonMs
+  private var hi: Long = table.any.horizonMs
   // None = all keys; Some(s) = only these (intersection of pushed sets)
   private var keySet: Option[Set[Any]] = None
   private var dropNullKey: Boolean = false
@@ -88,9 +91,13 @@ final class KeyedWheelScanBuilder(table: KeyedWheelTable)
 
   private def accept(f: Filter): Boolean = f match {
     case GreaterThanOrEqual("slot_ms", v) => asMs(v).exists { m => lo = math.max(lo, m); true }
-    case GreaterThan("slot_ms", v) => asMs(v).exists { m => lo = math.max(lo, m + 1); true }
+    // m == Long.MaxValue: m + 1 overflows — leave the filter unconsumed
+    // (Spark re-evaluates it post-scan) instead of wrongly passing rows
+    case GreaterThan("slot_ms", v) => asMs(v).exists { m =>
+      m != Long.MaxValue && { lo = math.max(lo, m + 1); true } }
     case LessThan("slot_ms", v) => asMs(v).exists { m => hi = math.min(hi, m); true }
-    case LessThanOrEqual("slot_ms", v) => asMs(v).exists { m => hi = math.min(hi, m + 1); true }
+    case LessThanOrEqual("slot_ms", v) => asMs(v).exists { m =>
+      m != Long.MaxValue && { hi = math.min(hi, m + 1); true } }
     case EqualTo("slot_ms", v) => asMs(v).exists { m => lo = math.max(lo, m); hi = math.min(hi, m + 1); true }
     case EqualTo(c, v) if c == table.keyCol && v != null => intersect(Set(v)); true
     case In(c, vs) if c == table.keyCol => intersect(vs.filter(_ != null).toSet); true

@@ -318,9 +318,13 @@ final class WheelScanBuilder(table: WheelTable)
 
   private def accept(f: Filter): Boolean = f match {
     case GreaterThanOrEqual("slot_ms", v) => asMs(v).exists { m => lo = math.max(lo, m); true }
-    case GreaterThan("slot_ms", v) => asMs(v).exists { m => lo = math.max(lo, m + 1); true }
+    // m == Long.MaxValue: m + 1 overflows — leave the filter unconsumed
+    // (Spark re-evaluates it post-scan) instead of wrongly passing rows
+    case GreaterThan("slot_ms", v) => asMs(v).exists { m =>
+      m != Long.MaxValue && { lo = math.max(lo, m + 1); true } }
     case LessThan("slot_ms", v) => asMs(v).exists { m => hi = math.min(hi, m); true }
-    case LessThanOrEqual("slot_ms", v) => asMs(v).exists { m => hi = math.min(hi, m + 1); true }
+    case LessThanOrEqual("slot_ms", v) => asMs(v).exists { m =>
+      m != Long.MaxValue && { hi = math.min(hi, m + 1); true } }
     case EqualTo("slot_ms", v) => asMs(v).exists { m => lo = math.max(lo, m); hi = math.min(hi, m + 1); true }
     case _ => false
   }

@@ -146,6 +146,33 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("semDedup greedy walk keeps chain tails in SMALL cells (round 13, ADVICE r12)") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.{Row, types => T}
+    // a ~ b, b ~ c, a !~ c: greedy keep-lowest keeps {a, c} — c's only
+    // near-dup b was itself dropped. The pre-r13 pair rule ("drop the
+    // higher id of every pair") over-dropped c whenever the cell was
+    // small enough to take the all-pairs branch; this 3-vector cell is
+    // exactly that regime.
+    val dim = 64
+    def unit(i: Int): Array[Float] = Array.tabulate(dim)(j => if (j == i) 1f else 0f)
+    val a = unit(0)
+    val c = unit(1)
+    val s = (1.0 / math.sqrt(2)).toFloat
+    val b = Array.tabulate(dim)(j => (a(j) + c(j)) * s) // cos(a,b)=cos(b,c)=0.707, cos(a,c)=0
+    val rows = Seq(Row(0L, a.toSeq), Row(1L, b.toSeq), Row(2L, c.toSeq))
+    val schema = T.StructType(Seq(
+      T.StructField("vec_id", T.LongType, nullable = false),
+      T.StructField("embedding", T.ArrayType(T.FloatType), nullable = false)))
+    val tmp = "target/test-fixtures/semdedup-chain"
+    spark.createDataFrame(rows.asJava, schema)
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val kept = Similarity.semDedup(spark, tmp, Some(1), 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 2L), s"expected {0, 2} kept, got $kept")
+    assert(Similarity.lastOversizedCells == 0L)
+  }
+
   test("q_ann_lsh returns correctly-scored subset with sane recall") {
     val ann = SparkEntryQueries("q_ann_lsh")
     val exact = SparkEntryQueries("q_sim_topk")
