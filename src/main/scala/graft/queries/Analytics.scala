@@ -329,6 +329,48 @@ object Analytics {
         .agg(round(sum("sum_value"), 2).as("sum_value"),
           sum("cnt_value").as("n"))
         .orderBy("hour_ms")
+    }),
+
+    // SKETCH dir as a table (round 13, VERDICT r12 #3): the persisted
+    // theta dir — "distinct users per minute" — served as a plain table
+    // by kind-dispatched dir resolution. Theta is EXACT while per-slot
+    // distincts stay under the nominal 4096 entries (every shipped SF),
+    // which is what licenses the COUNT(DISTINCT) oracle. The slot-range
+    // predicate is consumed by the source; the one-day walk ships
+    // ≤ 1 440 pre-sliced rows from the driver-resident artifact.
+    "q_wheel_table_sketch_sql" -> ((s, dir) => {
+      val base = s"${sys.props("java.io.tmpdir")}/graft_psketch_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      // build-or-load lifecycle shared with q_wheel_persisted_sketch_sql
+      graft.plans.WheelAcceleration.registerPersistedSketches(
+        s, s"$dir/events.parquet", base, t(s, dir, "events"),
+        distinctCols = Seq("user_id"))
+      s.read.format("wheel").option("dir", s"$base/theta_user_id").load()
+        .filter(col("slot_ms") >= R1Start && col("slot_ms") < R1Start + Day)
+        .select(col("slot_ms"), col("distinct_user_id"))
+        .orderBy("slot_ms")
+    }),
+
+    // KEYEDMULTI dir as a table (round 13, VERDICT r12 #3): the
+    // N-measure keyed dir — the live keyed ingest's checkpoint format —
+    // now resolves to a table serving EVERY measure's per-(key, slot)
+    // partials; previously only single-measure keyed dirs had a table
+    // spelling. The keyed COMPLETE aggregate pushdown applies unchanged:
+    // GROUP BY key over both measures ships |keys| final rows.
+    "q_wheel_table_keyedmulti_sql" -> ((s, dir) => {
+      val idxDir = s"${sys.props("java.io.tmpdir")}/graft_pkeyedmulti_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val ev = t(s, dir, "events").withColumn("v2", col("value") * 2)
+      graft.plans.WheelAcceleration.registerPersistedKeyedMulti(
+        s, s"$dir/events.parquet", idxDir, ev, "event_type", "ts",
+        Seq("value", "v2"))
+      s.read.format("wheel").option("dir", idxDir).load()
+        .filter(col("slot_ms") >= R1Start && col("slot_ms") < R1End)
+        .groupBy(col("event_type"))
+        .agg(round(sum("sum_value"), 2).as("sum_value"),
+          round(sum("sum_v2"), 2).as("sum_v2"),
+          sum("cnt_value").as("n"))
+        .orderBy("event_type")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -431,5 +473,17 @@ object Analytics {
       (s"SELECT (epoch_ms(ts) // ${Tier.Hour.ms}) * ${Tier.Hour.ms} AS hour_ms, " +
         "ROUND(SUM(value), 2) AS sum_value, COUNT(value) AS n FROM events " +
         s"WHERE epoch_ms(ts) >= $R2Start AND epoch_ms(ts) < $R2End " +
+        "GROUP BY 1 ORDER BY 1"),
+    // theta per-slot distinct is EXACT under the nominal entry count, so
+    // the DOUBLE estimate equals the integer COUNT(DISTINCT) cast
+    "q_wheel_table_sketch_sql" ->
+      (s"SELECT (epoch_ms(ts) // ${Tier.Minute.ms}) * ${Tier.Minute.ms} AS slot_ms, " +
+        "CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS distinct_user_id FROM events " +
+        s"WHERE epoch_ms(ts) >= $R1Start AND epoch_ms(ts) < ${R1Start + Day} " +
+        "GROUP BY 1 ORDER BY 1"),
+    "q_wheel_table_keyedmulti_sql" ->
+      ("SELECT event_type, ROUND(SUM(value), 2) AS sum_value, " +
+        "ROUND(SUM(value * 2), 2) AS sum_v2, COUNT(value) AS n FROM events " +
+        s"WHERE epoch_ms(ts) >= $R1Start AND epoch_ms(ts) < $R1End " +
         "GROUP BY 1 ORDER BY 1"))
 }

@@ -1,0 +1,159 @@
+package graft.sources
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.wheel.Tier
+
+/** The SKETCH wheel families served as real Spark tables (round 13,
+  * VERDICT r12 #3): a persisted `theta`/`hll`/`kll`/`mg` dir — the
+  * formats [[graft.wheel.PersistentWheel]] save{Cohort,Distinct,
+  * Quantile,Frequency} write — resolved by `spark.read.format("wheel")
+  * .option("dir", …)` into one row per retained populated minute slot
+  * with the family's per-slot ESTIMATE columns:
+  *
+  *  - `theta` (CohortWheel) / `hll` (DistinctWheel):
+  *    `slot_ms LONG, distinct_<col> DOUBLE` — per-slot distinct-key
+  *    estimate (theta is EXACT while per-slot distincts stay under the
+  *    nominal 4096 entries, which keeps it oracle-checkable against
+  *    per-minute `COUNT(DISTINCT col)`);
+  *  - `kll` (QuantileWheel): `slot_ms LONG, p50_<col>/p95_<col>/
+  *    p99_<col> DOUBLE` (quantile set overridable via
+  *    `option("quantiles", "0.5,0.9,0.99")`);
+  *  - `mg` (FrequencyWheel): `slot_ms LONG, top_key LONG,
+  *    top_est LONG` — the per-slot heaviest key and its estimate.
+  *
+  * This closes the BI seam the exact-slot table left open: a dashboard
+  * can now read "distinct users per minute" as a plain table — no
+  * rewrite, no Scala API — from the same O(slots) driver-resident
+  * artifact. Slot-range predicates on `slot_ms` are pushed and consumed
+  * exactly (the populated-slot walk is pre-filtered at PLAN time);
+  * rows ship pre-sliced in bounded chunks, never scaling with source
+  * volume. */
+final class SketchWheelTable(tableName: String,
+    fieldsAfterSlot: Seq[StructField], slotsMs: Seq[Long],
+    rowOf: Long => Array[Any]) extends Table with SupportsRead {
+
+  override def name(): String = tableName
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def schema(): StructType = StructType(
+    StructField("slot_ms", LongType, nullable = false) +: fieldsAfterSlot)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SketchWheelScanBuilder(this)
+
+  private[sources] def populatedSlots: Seq[Long] = slotsMs
+  private[sources] def valuesAt(slotMs: Long): Array[Any] = rowOf(slotMs)
+}
+
+/** Slot-range pushdown + column pruning over the sketch slot walk —
+  * the same consumed-exactly contract as [[WheelScanBuilder]]. */
+final class SketchWheelScanBuilder(table: SketchWheelTable)
+  extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  // half-open [lo, hi) bounds on slot_ms, tightened by pushed filters
+  private var lo: Long = Long.MinValue
+  private var hi: Long = Long.MaxValue
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = table.schema()
+
+  private def asMs(v: Any): Option[Long] = v match {
+    case l: Long => Some(l)
+    case i: Int => Some(i.toLong)
+    case _ => None
+  }
+
+  private def accept(f: Filter): Boolean = f match {
+    case GreaterThanOrEqual("slot_ms", v) => asMs(v).exists { m => lo = math.max(lo, m); true }
+    // m == Long.MaxValue: m + 1 overflows — leave the filter unconsumed
+    case GreaterThan("slot_ms", v) => asMs(v).exists { m =>
+      m != Long.MaxValue && { lo = math.max(lo, m + 1); true } }
+    case LessThan("slot_ms", v) => asMs(v).exists { m => hi = math.min(hi, m); true }
+    case LessThanOrEqual("slot_ms", v) => asMs(v).exists { m =>
+      m != Long.MaxValue && { hi = math.min(hi, m + 1); true } }
+    case EqualTo("slot_ms", v) => asMs(v).exists { m => lo = math.max(lo, m); hi = math.min(hi, m + 1); true }
+    case _ => false
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (acc, rest) = filters.partition(accept)
+    pushed = acc
+    rest
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new SketchWheelScan(table, required, lo, hi)
+}
+
+final class SketchWheelScan(table: SketchWheelTable, required: StructType,
+    lo: Long, hi: Long) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"${table.name()} slots [$lo, $hi)"
+
+  /** Pre-sliced rows over the range-pruned populated-slot walk —
+    * bounded by TIME (minutes retained), never by source volume. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val allFields = table.schema().fieldNames
+    val keep = required.fieldNames.map(f => allFields.indexOf(f))
+    val rows = table.populatedSlots.iterator
+      .filter(s => s >= lo && s < hi)
+      .map { s =>
+        val full = (s: Any) +: table.valuesAt(s)
+        keep.map(i => full(i))
+      }.toArray
+    val chunk = 8192
+    if (rows.isEmpty) Array(WheelInputPartition(Array.empty))
+    else rows.grouped(chunk).map(g => WheelInputPartition(g): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = WheelReaderFactory
+}
+
+private[sources] object SketchWheelTable {
+  private val minuteMs = Tier.Minute.ms
+
+  /** Column-name suffix for a quantile fraction: 0.5 → p50, 0.99 → p99,
+    * 0.999 → p99_9 (dots are illegal in column names). */
+  private def pName(q: Double): String = {
+    val s = BigDecimal(q * 100).underlying.stripTrailingZeros.toPlainString
+    "p" + s.replace(".", "_")
+  }
+
+  def theta(name: String, col: String, w: graft.wheel.CohortWheel): SketchWheelTable =
+    new SketchWheelTable(name,
+      Seq(StructField(s"distinct_$col", DoubleType, nullable = false)),
+      w.minuteSlotsMs, s => Array[Any](w.distinct(s, s + minuteMs)))
+
+  def hll(name: String, col: String, w: graft.wheel.DistinctWheel): SketchWheelTable =
+    new SketchWheelTable(name,
+      Seq(StructField(s"distinct_$col", DoubleType, nullable = false)),
+      w.minuteSlotsMs, s => Array[Any](w.queryDistinct(s, s + minuteMs)))
+
+  def kll(name: String, col: String, w: graft.wheel.QuantileWheel,
+      quantiles: Seq[Double]): SketchWheelTable =
+    new SketchWheelTable(name,
+      quantiles.map(q => StructField(s"${pName(q)}_$col", DoubleType, nullable = true)),
+      w.minuteSlotsMs,
+      s => w.queryQuantiles(s, s + minuteMs, quantiles).map(v =>
+        (if (v.isNaN) null else v): Any).toArray)
+
+  def mg(name: String, col: String, w: graft.wheel.FrequencyWheel): SketchWheelTable =
+    new SketchWheelTable(name,
+      Seq(StructField("top_key", LongType, nullable = true),
+        StructField("top_est", LongType, nullable = true)),
+      w.minuteSlotsMs,
+      s => w.topK(s, s + minuteMs, 1).headOption
+        .map(t => Array[Any](t._1, t._2))
+        .getOrElse(Array[Any](null, null)))
+}

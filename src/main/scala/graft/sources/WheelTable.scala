@@ -84,15 +84,51 @@ object WheelTableProvider {
             s"wheel table: no in-memory registration for source '$src' " +
               "(WheelAcceleration.register it first, or use option(\"dir\", …))"))
         new WheelTable(s"wheel:$src", wheels)
-      case (None, Some(dir)) if keyed =>
-        val spark = SparkSession.active
-        val (meta, kw) = graft.wheel.PersistentWheel.loadKeyed(spark, dir)
-        new KeyedWheelTable(s"wheel:$dir?keyed", meta.valueCols.head,
-          Map(meta.valueCols(1) -> kw))
       case (None, Some(dir)) =>
+        // dir mode dispatches on the persisted KIND (round 13, VERDICT
+        // r12 #3): every family PersistentWheel can save now has a table
+        // spelling — sum, keyed, keyedmulti (the live keyed ingest's
+        // checkpoint format), and the four sketch dirs. The legacy
+        // `keyed` option is validated against the kind rather than
+        // driving resolution.
         val spark = SparkSession.active
-        val (_, wheels) = graft.wheel.PersistentWheel.load(spark, dir)
-        new WheelTable(s"wheel:$dir", wheels)
+        val P = graft.wheel.PersistentWheel
+        val meta = P.peek(spark, dir).getOrElse(throw new IllegalArgumentException(
+          s"wheel table: no readable persisted wheel at '$dir'"))
+        val keyedKinds = Set(P.KeyedKind, P.KeyedMultiKind)
+        require(!keyed || keyedKinds.contains(meta.kind),
+          s"wheel table: option(\"keyed\") given but '$dir' holds a " +
+            s"'${meta.kind}' wheel")
+        meta.kind match {
+          case P.SumKind =>
+            val (_, wheels) = P.load(spark, dir)
+            new WheelTable(s"wheel:$dir", wheels)
+          case P.KeyedKind =>
+            val (m, kw) = P.loadKeyed(spark, dir)
+            new KeyedWheelTable(s"wheel:$dir?keyed", m.valueCols.head,
+              Map(m.valueCols(1) -> kw))
+          case P.KeyedMultiKind =>
+            val (m, wheels) = P.loadKeyedMulti(spark, dir)
+            new KeyedWheelTable(s"wheel:$dir?keyedmulti", m.valueCols.head, wheels)
+          case P.ThetaKind =>
+            val (m, w) = P.loadCohort(spark, dir)
+            SketchWheelTable.theta(s"wheel:$dir?theta", m.valueCols.head, w)
+          case P.HllKind =>
+            val (m, w) = P.loadDistinct(spark, dir)
+            SketchWheelTable.hll(s"wheel:$dir?hll", m.valueCols.head, w)
+          case P.KllKind =>
+            val (m, w) = P.loadQuantile(spark, dir)
+            val qs = lower.get("quantiles")
+              .map(_.split(",").map(_.trim.toDouble).toSeq)
+              .getOrElse(Seq(0.5, 0.95, 0.99))
+            SketchWheelTable.kll(s"wheel:$dir?kll", m.valueCols.head, w, qs)
+          case P.MgKind =>
+            val (m, w) = P.loadFrequency(spark, dir)
+            SketchWheelTable.mg(s"wheel:$dir?mg", m.valueCols.head, w)
+          case other => throw new IllegalArgumentException(
+            s"wheel table: persisted kind '$other' at '$dir' has no table " +
+              "spelling (supported: sum, keyed, keyedmulti, theta, hll, kll, mg)")
+        }
       case _ => throw new IllegalArgumentException(
         "wheel table requires exactly one of option(\"source\", eventsPath) " +
           "or option(\"dir\", indexDir)")

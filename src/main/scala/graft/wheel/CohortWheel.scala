@@ -85,6 +85,13 @@ final class CohortWheel private (
   private[graft] def minuteEntryCount: Int =
     SketchBlocks.minuteEntries(tiers, baseMs).size
 
+  /** Retained populated minute-slot starts (ms), ascending — the DSv2
+    * sketch table's walk ([[graft.sources.SketchWheelTable]]). Slots
+    * evicted from the minute tier are absent: they answer only through
+    * coarser tiers, so they have no per-minute table row. */
+  private[graft] def minuteSlotsMs: Seq[Long] =
+    SketchBlocks.minuteEntries(tiers, baseMs).map(_._1).toSeq
+
   private[graft] def withTailMinutes(tail: Array[org.apache.spark.sql.Row]): CohortWheel =
     CohortWheel.fromMinuteSketches(
       SketchBlocks.mergeMinuteRows(

@@ -56,6 +56,12 @@ final class DistinctWheel private (
     u.getResult(TgtHllType.HLL_8).getEstimate
   }
 
+
+  /** Retained populated minute-slot starts (ms), ascending — the DSv2
+    * sketch table's walk ([[graft.sources.SketchWheelTable]]). */
+  private[graft] def minuteSlotsMs: Seq[Long] =
+    SketchBlocks.minuteEntries(tiers, baseMs).map(_._1).toSeq
+
   def sizeBytes: Long =
     tiers.valuesIterator.flatMap(_.iterator).map(b => if (b == null) 0L else b.length.toLong).sum
 

@@ -102,6 +102,11 @@ final class FrequencyWheel private (
   private[graft] def minuteEntryCount: Int =
     SketchBlocks.minuteEntries(tiers, baseMs).size
 
+  /** Retained populated minute-slot starts (ms), ascending — the DSv2
+    * sketch table's walk ([[graft.sources.SketchWheelTable]]). */
+  private[graft] def minuteSlotsMs: Seq[Long] =
+    SketchBlocks.minuteEntries(tiers, baseMs).map(_._1).toSeq
+
   private[graft] def withTailMinutes(tail: Array[org.apache.spark.sql.Row]): FrequencyWheel =
     FrequencyWheel.fromMinuteSketches(
       SketchBlocks.mergeMinuteRows(

@@ -95,6 +95,11 @@ final class QuantileWheel private (
   private[graft] def minuteEntryCount: Int =
     SketchBlocks.minuteEntries(tiers, baseMs).size
 
+  /** Retained populated minute-slot starts (ms), ascending — the DSv2
+    * sketch table's walk ([[graft.sources.SketchWheelTable]]). */
+  private[graft] def minuteSlotsMs: Seq[Long] =
+    SketchBlocks.minuteEntries(tiers, baseMs).map(_._1).toSeq
+
   private[graft] def withTailMinutes(tail: Array[org.apache.spark.sql.Row]): QuantileWheel =
     QuantileWheel.fromMinuteSketches(
       SketchBlocks.mergeMinuteRows(

@@ -233,6 +233,82 @@ class WheelTableSpec extends AnyFunSuite {
     }
   }
 
+  test("keyedmulti dir mode: N-measure keyed dirs serve all measures (round 13)") {
+    val tmp = Files.createTempDirectory("graft-wheel-keyedmulti-dir").toString
+    val ev = Q.t(spark, dir, "events").withColumn("v2", col("value") * 2)
+    graft.wheel.PersistentWheel.saveKeyedMulti(spark, tmp, ev,
+      "event_type", "ts", Seq("value", "v2"),
+      graft.wheel.SourceFingerprint.of(path, spark.sessionState.newHadoopConf()))
+    // kind-dispatched resolution: no `keyed` option needed (but allowed)
+    val got = spark.read.format("wheel").option("dir", tmp).load()
+      .groupBy("event_type")
+      .agg(round(sum("sum_value"), 2).as("s1"), round(sum("sum_v2"), 2).as("s2"),
+        sum("cnt_value").as("n"))
+      .orderBy("event_type").collect()
+    val exp = ev.groupBy("event_type")
+      .agg(round(sum("value"), 2).as("s1"), round(sum("v2"), 2).as("s2"),
+        count("value").as("n"))
+      .orderBy("event_type").collect()
+    assert(got.length == exp.length && got.nonEmpty)
+    got.zip(exp).foreach { case (g, e) =>
+      assert(g.getString(0) == e.getString(0) && g.getDouble(1) == e.getDouble(1) &&
+        g.getDouble(2) == e.getDouble(2) && g.getLong(3) == e.getLong(3),
+        s"$g vs $e")
+    }
+  }
+
+  test("theta sketch dir mode: per-slot distinct_<col> exact under the nominal (round 13)") {
+    val tmp = Files.createTempDirectory("graft-wheel-theta-dir").toString
+    graft.wheel.PersistentWheel.saveCohort(spark, tmp, Q.t(spark, dir, "events"),
+      "ts", "user_id",
+      graft.wheel.SourceFingerprint.of(path, spark.sessionState.newHadoopConf()))
+    val t = spark.read.format("wheel").option("dir", tmp).load()
+    assert(t.schema.fieldNames.toSeq == Seq("slot_ms", "distinct_user_id"))
+    val got = t.orderBy("slot_ms").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    val exp = Q.t(spark, dir, "events")
+      .groupBy(expr(s"(unix_millis(ts) div $Minute) * $Minute").as("slot_ms"))
+      .agg(countDistinct("user_id").as("d")).orderBy("slot_ms").collect()
+      .map(r => r.getLong(0) -> r.getLong(1).toDouble).toSeq
+    assert(got == exp, s"first diff: ${got.zip(exp).find(p => p._1 != p._2)}")
+    // slot range pushdown prunes the walk
+    val day = Q.Jan1 + 9 * 86400000L
+    val pruned = t.filter(col("slot_ms") >= day && col("slot_ms") < day + 86400000L)
+    val rows = pruned.collect()
+    assert(rows.nonEmpty && rows.length < got.length)
+    assert(pruned.queryExecution.executedPlan.collectLeaves()
+      .head.metrics("numOutputRows").value == rows.length.toLong)
+  }
+
+  test("kll and mg sketch dir modes serve quantile / top-key slot series (round 13)") {
+    val fp = graft.wheel.SourceFingerprint.of(path, spark.sessionState.newHadoopConf())
+    val kllDir = Files.createTempDirectory("graft-wheel-kll-dir").toString
+    graft.wheel.PersistentWheel.saveQuantile(spark, kllDir,
+      Q.t(spark, dir, "events"), "ts", "value", fp)
+    val kll = spark.read.format("wheel").option("dir", kllDir).load()
+    assert(kll.schema.fieldNames.toSeq ==
+      Seq("slot_ms", "p50_value", "p95_value", "p99_value"))
+    val kllRows = kll.collect()
+    assert(kllRows.nonEmpty)
+    kllRows.foreach { r =>
+      assert(r.getDouble(1) <= r.getDouble(2) && r.getDouble(2) <= r.getDouble(3),
+        s"quantiles out of order: $r")
+    }
+    // custom quantile set via option
+    val q9 = spark.read.format("wheel").option("dir", kllDir)
+      .option("quantiles", "0.9").load()
+    assert(q9.schema.fieldNames.toSeq == Seq("slot_ms", "p90_value"))
+    assert(q9.count() == kllRows.length.toLong)
+
+    val mgDir = Files.createTempDirectory("graft-wheel-mg-dir").toString
+    graft.wheel.PersistentWheel.saveFrequency(spark, mgDir,
+      Q.t(spark, dir, "events"), "ts", "user_id", fp)
+    val mg = spark.read.format("wheel").option("dir", mgDir).load()
+    assert(mg.schema.fieldNames.toSeq == Seq("slot_ms", "top_key", "top_est"))
+    val mgRows = mg.collect()
+    assert(mgRows.nonEmpty && mgRows.forall(r => r.getLong(2) >= 1L))
+  }
+
   test("SQL DDL access: CREATE TEMPORARY VIEW ... USING wheel") {
     registered()
     spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW wheel_slots " +
