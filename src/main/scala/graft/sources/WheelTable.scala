@@ -53,12 +53,23 @@ import graft.wheel.{AllAggregate, WheelIndex}
 final class WheelTableProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "wheel"
 
+  // lets DataFrameWriter hand the df schema straight to getTable — the
+  // WRITE path (round 13); reads still infer via resolve()
+  override def supportsExternalMetadata(): Boolean = true
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     WheelTableProvider.resolve(options.asCaseSensitiveMap().asScala.toMap).schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: JMap[String, String]): Table =
-    WheelTableProvider.resolve(properties.asScala.toMap)
+      properties: JMap[String, String]): Table = {
+    val lower = properties.asScala.toMap
+      .map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+    // the `ts` option is the write-routing signal (reads never pass it):
+    // `df.write.format("wheel").option("dir", …).option("ts", …)` lands
+    // here with the DataFrame's schema
+    if (WheelWriteTable.isWrite(lower)) WheelWriteTable.forWrite(lower, schema)
+    else WheelTableProvider.resolve(properties.asScala.toMap)
+  }
 }
 
 object WheelTableProvider {

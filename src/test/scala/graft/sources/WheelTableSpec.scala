@@ -309,6 +309,53 @@ class WheelTableSpec extends AnyFunSuite {
     assert(mgRows.nonEmpty && mgRows.forall(r => r.getLong(2) >= 1L))
   }
 
+  test("write path: df.write.format(\"wheel\") persists a servable sum dir (round 13)") {
+    val tmp = s"${Files.createTempDirectory("graft-wheel-write").toString}/idx"
+    // an arbitrary DERIVED DataFrame — a filtered view, not a source path
+    val ev = Q.t(spark, dir, "events")
+      .filter(col("event_type") =!= "purchase")
+      .select(col("ts"), col("value"))
+    ev.write.format("wheel").option("dir", tmp).option("ts", "ts")
+      .option("fingerprint", "spec-fp").mode("overwrite").save()
+    // fingerprint sidecar records the caller's provenance token
+    val meta = graft.wheel.PersistentWheel.peek(spark, tmp).get
+    assert(meta.kind == graft.wheel.PersistentWheel.SumKind)
+    assert(meta.sourceFingerprint == "spec-fp" && meta.valueCols == Seq("value"))
+    // the written dir round-trips through the kind-dispatched table read
+    val got = spark.read.format("wheel").option("dir", tmp).load()
+      .agg(round(sum("sum_value"), 2).as("s"), sum("cnt_value").as("n")).collect()(0)
+    val exp = ev.agg(round(sum("value"), 2).as("s"), count("value").as("n")).collect()(0)
+    assert(got.getDouble(0) == exp.getDouble(0) && got.getLong(1) == exp.getLong(1))
+    // append to an existing dir refuses loudly; overwrite replaces
+    val err = intercept[Exception] {
+      ev.write.format("wheel").option("dir", tmp).option("ts", "ts")
+        .mode("append").save()
+    }
+    assert(err.getMessage.contains("overwrite"), err.getMessage)
+    ev.filter(col("event_type") === "click")
+      .write.format("wheel").option("dir", tmp).option("ts", "ts")
+      .mode("overwrite").save()
+  }
+
+  test("write path: option(\"key\") persists a keyedmulti dir served keyed (round 13)") {
+    val tmp = s"${Files.createTempDirectory("graft-wheel-write-keyed").toString}/idx"
+    val ev = Q.t(spark, dir, "events")
+      .select(col("ts"), col("event_type"), col("value"))
+    ev.write.format("wheel").option("dir", tmp).option("ts", "ts")
+      .option("key", "event_type").mode("overwrite").save()
+    val meta = graft.wheel.PersistentWheel.peek(spark, tmp).get
+    assert(meta.kind == graft.wheel.PersistentWheel.KeyedMultiKind)
+    val got = spark.read.format("wheel").option("dir", tmp).load()
+      .groupBy("event_type").agg(round(sum("sum_value"), 2).as("s"))
+      .orderBy("event_type").collect()
+    val exp = ev.groupBy("event_type").agg(round(sum("value"), 2).as("s"))
+      .orderBy("event_type").collect()
+    assert(got.length == exp.length && got.nonEmpty)
+    got.zip(exp).foreach { case (g, e) =>
+      assert(g.getString(0) == e.getString(0) && g.getDouble(1) == e.getDouble(1))
+    }
+  }
+
   test("SQL DDL access: CREATE TEMPORARY VIEW ... USING wheel") {
     registered()
     spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW wheel_slots " +
