@@ -817,6 +817,34 @@ object Core {
           |""".stripMargin)
     }),
 
+    // COMPOSITE-dimension keyed fold (round 13, VERDICT r12 #4):
+    // GROUP BY k1, k2, time-slot — the TPC-H Q1 dimension pair
+    // (returnflag × linestatus) over the month grid. The tuple key
+    // rides through the UNCHANGED KeyedWheelIndex as one struct-valued
+    // key; the rewrite matches the separate grouping attributes and
+    // re-emits each component as its own output literal. One
+    // LocalRelation row per (flag, status, non-empty month) — ≤
+    // |4 combos| × months at plan time; FileScan-free (PlanAuditSpec).
+    // Shapes past the fold ceiling bail with a PINNED reason rather
+    // than silently keeping the scan.
+    "q_wheel_keyed2_sql" -> ((s, dir) => {
+      graft.plans.WheelAcceleration.registerKeyedComposite(
+        s, s"$dir/lineitem.parquet", t(s, dir, "lineitem"),
+        Seq("l_returnflag", "l_linestatus"), "l_shipdate",
+        Seq("l_quantity", "l_tax"))
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_wheel")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |unix_millis(CAST(date_trunc('month', l_shipdate) AS TIMESTAMP)) AS month_ms,
+          |ROUND(SUM(l_quantity), 2) AS sum_qty, ROUND(MAX(l_tax), 4) AS max_tax,
+          |COUNT(*) AS n
+          |FROM lineitem_wheel
+          |WHERE l_shipdate >= TIMESTAMP_NTZ '1994-02-15 00:00:00'
+          |AND l_shipdate < TIMESTAMP_NTZ '1996-05-10 00:00:00'
+          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+          |""".stripMargin)
+    }),
+
     // QUARTER-grid fold (round 9, VERDICT r8 #5): same CalendarGrid
     // machinery with a 3-month step (CalendarGrid(3)), exercised with a
     // different aggregate mix (SUM/MAX/COUNT) over the same one
@@ -1111,6 +1139,13 @@ object Core {
         "ROUND(MAX(l_quantity), 2) AS max_qty, COUNT(*) AS n FROM lineitem " +
         s"WHERE epoch_ms(l_shipdate) >= $LiUStart AND epoch_ms(l_shipdate) < $LiUEnd " +
         "GROUP BY 1, 2 ORDER BY 1, 2"),
+    "q_wheel_keyed2_sql" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "epoch_ms(date_trunc('month', l_shipdate)) AS month_ms, " +
+        "ROUND(SUM(l_quantity), 2) AS sum_qty, ROUND(MAX(l_tax), 4) AS max_tax, " +
+        "COUNT(*) AS n FROM lineitem " +
+        s"WHERE epoch_ms(l_shipdate) >= $LiUStart AND epoch_ms(l_shipdate) < $LiUEnd " +
+        "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
     "q_wheel_quarter_sql" ->
       ("SELECT epoch_ms(date_trunc('quarter', l_shipdate)) AS quarter_ms, " +
         "ROUND(SUM(l_tax), 2) AS sum_tax, ROUND(MAX(l_quantity), 2) AS max_qty, " +

@@ -2427,4 +2427,66 @@ class WheelAccelerationSpec extends AnyFunSuite {
 
     WheelAcceleration.clear()
   }
+
+  test("composite-keyed fold: GROUP BY k1, k2, month folds and matches the scan (round 13)") {
+    WheelAcceleration.clear()
+    val liPath = s"$dir/lineitem.parquet"
+    val sql =
+      """SELECT l_returnflag, l_linestatus,
+        |unix_millis(CAST(date_trunc('month', l_shipdate) AS TIMESTAMP)) AS month_ms,
+        |ROUND(SUM(l_quantity), 2) AS sum_qty, ROUND(MAX(l_tax), 4) AS max_tax,
+        |COUNT(*) AS n FROM lineitem_ck
+        |WHERE l_shipdate >= TIMESTAMP_NTZ '1994-02-15 00:00:00'
+        |AND l_shipdate < TIMESTAMP_NTZ '1996-05-10 00:00:00'
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+    Q.t(spark, dir, "lineitem").createOrReplaceTempView("lineitem_ck")
+    // baseline BEFORE registration: the plain scan plan
+    val expected = spark.sql(sql).collect()
+    WheelAcceleration.registerKeyedComposite(spark, liPath,
+      Q.t(spark, dir, "lineitem"), Seq("l_returnflag", "l_linestatus"),
+      "l_shipdate", Seq("l_quantity", "l_tax"))
+    val accel = spark.sql(sql)
+    assert(accel.queryExecution.optimizedPlan.collect {
+      case l: LocalRelation => l
+    }.nonEmpty, accel.queryExecution.optimizedPlan.treeString)
+    assert(!accel.queryExecution.executedPlan.toString.contains("FileScan"))
+    val got = accel.collect()
+    assert(got.length == expected.length && got.nonEmpty)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g == e, s"$g vs $e")
+    }
+    // key order permuted in the GROUP BY: still folds (match is by name)
+    val permuted = spark.sql(sql.replace(
+      "GROUP BY 1, 2, 3", "GROUP BY 3, 2, 1"))
+    assert(permuted.queryExecution.optimizedPlan.collect {
+      case l: LocalRelation => l
+    }.nonEmpty, permuted.queryExecution.optimizedPlan.treeString)
+    assert(permuted.collect().toSeq == expected.toSeq)
+    WheelAcceleration.clear()
+  }
+
+  test("composite-keyed fold past the ceiling bails with a PINNED reason (round 13)") {
+    WheelAcceleration.clear()
+    val liPath = s"$dir/lineitem.parquet"
+    WheelAcceleration.registerKeyedComposite(spark, liPath,
+      Q.t(spark, dir, "lineitem"), Seq("l_returnflag", "l_linestatus"),
+      "l_shipdate", Seq("l_quantity"))
+    Q.t(spark, dir, "lineitem").createOrReplaceTempView("lineitem_ck")
+    spark.conf.set("spark.graft.wheel.rewrite.maxFoldRows", "2")
+    try {
+      val df = spark.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |unix_millis(CAST(date_trunc('month', l_shipdate) AS TIMESTAMP)) AS month_ms,
+          |ROUND(SUM(l_quantity), 2) AS s FROM lineitem_ck
+          |GROUP BY 1, 2, 3""".stripMargin)
+      assert(df.queryExecution.optimizedPlan.collect {
+        case l: LocalRelation => l
+      }.isEmpty, "should have kept the scan past the ceiling")
+      val reason = WheelAcceleration.lastBailReason(liPath).getOrElse("")
+      assert(reason.contains("composite-keyed fold above maxFoldRows"), reason)
+    } finally {
+      spark.conf.unset("spark.graft.wheel.rewrite.maxFoldRows")
+      WheelAcceleration.clear()
+    }
+  }
 }

@@ -81,6 +81,12 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(!p.contains("FileScan"), p)
     }
 
+  test("q_wheel_keyed2_sql: composite-keyed fold, zero FileScan (round 13)") {
+    val p = plan("q_wheel_keyed2_sql")
+    assert(!p.contains("FileScan"), p)
+    assert(p.contains("LocalTableScan"), p)
+  }
+
   test("q_wheel_table_agg_sql: complete pushdown — no Aggregate, no Exchange, no FileScan") {
     val p = plan("q_wheel_table_agg_sql")
     assert(!p.contains("HashAggregate"), p)
