@@ -1560,7 +1560,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
    // assertion, so a sketch-only registration keeps requiring a range.
    val filterOpt = findFilter(child)
    val below = filterOpt.map(_._2).getOrElse(child)
-   for {
+   rewriteOrRanges(agg, aggExprs, filterOpt, below).orElse(for {
     path <- sourcePath(below)
     sumReg = WheelAcceleration.lookup(path)
     // sketch wheels (round 11): serve the approximate SQL spellings; a
@@ -1603,7 +1603,89 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
           rewriteResidue(agg, aggExprs, below, tsCol, wheels, a, b))
       else None
     }
-   } yield result
+   } yield result)
+  }
+
+  /** OR-of-disjoint-ranges fold (round 13, VERDICT r12 #5): `WHERE
+    * (ts ∈ [a,b)) OR (ts ∈ [c,d)) [OR …]` — the "this week vs same
+    * week last year" analyst spelling — folds as the COMBINE of the
+    * per-range index queries: [[graft.wheel.AllAggregate.combine]] is
+    * the same associative merge the tier walk itself uses, so
+    * SUM/MIN/MAX/COUNT/AVG (and the Chan-merged second moment) over the
+    * union of ranges are exact. Overlapping or touching disjuncts are
+    * MERGED first (a row in two disjuncts must count once — SQL OR
+    * semantics, not multiset union). Every disjunct must be a fully
+    * bounded conjunctive range in a [[rangeMs]]-accepted spelling and
+    * minute-aligned; anything else keeps the scan with the generic
+    * range bail. Approximate sketch spellings are NOT served here
+    * (cross-range sketch composition is the sketch wheels' union job —
+    * only the theta family could intersect; refusal keeps honesty). */
+  private def rewriteOrRanges(
+      agg: Aggregate, aggExprs: Seq[NamedExpression],
+      filterOpt: Option[(Expression, LogicalPlan)],
+      below: LogicalPlan): Option[LogicalPlan] = {
+    for {
+      (cond, _) <- filterOpt
+      path <- sourcePath(below)
+      (tsCol, wheels) <- WheelAcceleration.lookup(path)
+      if wheels.nonEmpty
+      ranges <- orRangesMs(cond, tsCol)
+      merged = mergeRanges(ranges)
+      if merged.forall { case (x, y) =>
+        x % MinuteMs == 0 && y % MinuteMs == 0 && x < y }
+      result <- {
+        foldBailNote = ""
+        val alls = wheels.map { case (c, i) =>
+          c -> merged.map { case (x, y) => i.query(x, y) }
+            .reduce(_ combine _)
+        }
+        bail(path, foldNote("OR-ranges fold: aggregate list not foldable"))(
+          foldRow(aggExprs, alls, Seq.empty))
+          .map(r => LocalRelation(agg.output, Seq(InternalRow.fromSeq(r))))
+      }
+    } yield result
+  }
+
+  /** The condition as a disjunction of ≥ 2 fully bounded ms ranges —
+    * None when it is anything else (single ranges take the ordinary
+    * path; half-bounded disjuncts are refused). A top-level
+    * `IsNotNull(ts)` conjunct (inferred by the optimizer from the range
+    * bounds) is stripped; any OTHER conjunct alongside the disjunction
+    * refuses (its semantics are not a pure time filter). */
+  private def orRangesMs(cond: Expression,
+      tsCol: String): Option[Seq[(Long, Long)]] = {
+    def conj(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conj(l) ++ conj(r)
+      case x => Seq(x)
+    }
+    val core = conj(cond).filterNot {
+      case IsNotNull(e) => isTsCol(e, tsCol) || isTsMs(e, tsCol)
+      case _ => false
+    }
+    core match {
+      case Seq(or: Or) =>
+        def disjuncts(e: Expression): Seq[Expression] = e match {
+          case Or(l, r) => disjuncts(l) ++ disjuncts(r)
+          case x => Seq(x)
+        }
+        val ds = disjuncts(or)
+        val rs = ds.map(d => rangeMs(d, tsCol).collect {
+          case (Some(a), Some(b)) if a < b => (a, b)
+        })
+        if (rs.size >= 2 && rs.forall(_.isDefined)) Some(rs.flatten)
+        else None
+      case _ => None
+    }
+  }
+
+  /** Sort + merge overlapping/touching half-open ranges. */
+  private def mergeRanges(rs: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+    val sorted = rs.sortBy(_._1)
+    sorted.tail.foldLeft(List(sorted.head)) { case (acc, (a, b)) =>
+      val (ca, cb) = acc.head
+      if (a <= cb) (ca, math.max(cb, b)) :: acc.tail
+      else (a, b) :: acc
+    }.reverse
   }
 
   /** HYBRID fold for an UNALIGNED range (round 9, VERDICT r8 #6): the

@@ -234,6 +234,26 @@ object Core {
           |MAX(value) AS max_value FROM events_wheel""".stripMargin)
     }),
 
+    // OR-OF-DISJOINT-RANGES fold (round 13, VERDICT r12 #5): "this week
+    // vs the week two weeks back" in one statement — the disjunction
+    // decomposes into per-range index queries whose AllAggregate
+    // partials COMBINE (the same associative merge the tier walk uses),
+    // so the union-range SUM/COUNT/MIN/MAX are exact and the plan is
+    // one LocalRelation row, zero FileScan. Overlapping disjuncts merge
+    // first (a row in two disjuncts counts once — SQL OR semantics).
+    "q_wheel_or_ranges_sql" -> ((s, dir) => {
+      graft.plans.WheelAcceleration.register(
+        s, s"$dir/events.parquet", t(s, dir, "events"))
+      t(s, dir, "events").createOrReplaceTempView("events_wheel")
+      s.sql(
+        s"""SELECT ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n,
+           |MIN(value) AS min_value, MAX(value) AS max_value
+           |FROM events_wheel
+           |WHERE (unix_millis(ts) >= $R1Start AND unix_millis(ts) < $R1End)
+           |OR (unix_millis(ts) >= ${Jan1 + 18 * Day} AND unix_millis(ts) < ${Jan1 + 25 * Day})
+           |""".stripMargin)
+    }),
+
     // NULLABLE MEASURE fold (round 11): a measure column with SQL NULLs
     // indexes and folds with the exact COUNT(*)/COUNT(col) split —
     // partials carry a per-measure non-null count beside the row count,
@@ -1139,6 +1159,11 @@ object Core {
         "ROUND(MAX(l_quantity), 2) AS max_qty, COUNT(*) AS n FROM lineitem " +
         s"WHERE epoch_ms(l_shipdate) >= $LiUStart AND epoch_ms(l_shipdate) < $LiUEnd " +
         "GROUP BY 1, 2 ORDER BY 1, 2"),
+    "q_wheel_or_ranges_sql" ->
+      ("SELECT ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n, " +
+        "MIN(value) AS min_value, MAX(value) AS max_value FROM events " +
+        s"WHERE (epoch_ms(ts) >= $R1Start AND epoch_ms(ts) < $R1End) " +
+        s"OR (epoch_ms(ts) >= ${Jan1 + 18 * Day} AND epoch_ms(ts) < ${Jan1 + 25 * Day})"),
     "q_wheel_keyed2_sql" ->
       ("SELECT l_returnflag, l_linestatus, " +
         "epoch_ms(date_trunc('month', l_shipdate)) AS month_ms, " +

@@ -2428,6 +2428,48 @@ class WheelAccelerationSpec extends AnyFunSuite {
     WheelAcceleration.clear()
   }
 
+  test("OR-of-disjoint-ranges folds; overlapping disjuncts merge exactly (round 13)") {
+    WheelAcceleration.clear()
+    register()
+    events.createOrReplaceTempView("events_accel")
+    def q(where: String) = spark.sql(
+      "SELECT ROUND(SUM(value), 2) AS s, COUNT(*) AS n, " +
+        s"MIN(value) AS mn, MAX(value) AS mx FROM events_accel WHERE $where")
+    def folds(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collect { case l: LocalRelation => l }.nonEmpty
+    val w2a = Q.Jan1 + 18 * 86400000L
+    val w2b = Q.Jan1 + 25 * 86400000L
+    // DISJOINT ranges: fold == union of the two weeks
+    val disjoint = q(
+      s"(unix_millis(ts) >= ${Q.R1Start} AND unix_millis(ts) < ${Q.R1End}) " +
+        s"OR (unix_millis(ts) >= $w2a AND unix_millis(ts) < $w2b)")
+    assert(folds(disjoint), disjoint.queryExecution.optimizedPlan.treeString)
+    val expDisjoint = events.filter(
+      (unix_millis(col("ts")) >= Q.R1Start && unix_millis(col("ts")) < Q.R1End) ||
+        (unix_millis(col("ts")) >= w2a && unix_millis(col("ts")) < w2b))
+      .agg(round(sum("value"), 2), count(lit(1)), min("value"), max("value"))
+      .collect()(0)
+    assert(disjoint.collect()(0) == expDisjoint)
+    // OVERLAPPING ranges: a row in both disjuncts must count ONCE
+    val overlapping = q(
+      s"(unix_millis(ts) >= ${Q.R1Start} AND unix_millis(ts) < ${Q.R1End}) " +
+        s"OR (unix_millis(ts) >= ${Q.R1Start + 2 * 86400000L} " +
+        s"AND unix_millis(ts) < ${Q.R1End + 86400000L})")
+    assert(folds(overlapping), overlapping.queryExecution.optimizedPlan.treeString)
+    val expOverlap = events.filter(
+      unix_millis(col("ts")) >= Q.R1Start && unix_millis(col("ts")) < Q.R1End + 86400000L)
+      .agg(round(sum("value"), 2), count(lit(1)), min("value"), max("value"))
+      .collect()(0)
+    assert(overlapping.collect()(0) == expOverlap)
+    // a HALF-BOUNDED disjunct refuses (ambiguous landmark intent in a
+    // disjunction): the scan is kept, never a wrong answer
+    val halfBounded = q(
+      s"(unix_millis(ts) >= ${Q.R1Start} AND unix_millis(ts) < ${Q.R1End}) " +
+        s"OR (unix_millis(ts) >= $w2a)")
+    assert(!folds(halfBounded), halfBounded.queryExecution.optimizedPlan.treeString)
+    WheelAcceleration.clear()
+  }
+
   test("composite-keyed fold: GROUP BY k1, k2, month folds and matches the scan (round 13)") {
     WheelAcceleration.clear()
     val liPath = s"$dir/lineitem.parquet"
