@@ -1472,6 +1472,22 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     * only garble the note, never the plan. */
   private var foldBailNote: String = ""
 
+  /** Why [[slotGrid]] refused a shape that otherwise matched — today
+    * only the TIMEZONE refusal (round 13, VERDICT r12 #8): a
+    * `date_trunc`/`CAST(ts AS DATE)` in a non-UTC zone truncates on
+    * boundaries the UTC-built index cannot express (DST zones shift
+    * them mid-year; even a fixed offset shifts every boundary), so the
+    * scan is kept — and [[WheelAcceleration.lastBailReason]] now NAMES
+    * the zone instead of reporting the generic not-a-time-bucketing
+    * bail. */
+  private var gridBailNote: String = ""
+
+  private def gridNote(default: String): String = {
+    val n = gridBailNote
+    gridBailNote = ""
+    if (n.isEmpty) default else n
+  }
+
   private def foldNote(default: String): String = {
     val n = foldBailNote
     if (n.nonEmpty) n else default
@@ -2830,8 +2846,9 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       sketch = WheelAcceleration.lookupSketch(path).filter(_.tsCol == tsCol)
       gExpr <- bail(path, "grouping is not a time-bucketing expression " +
         s"over the registered ts column '$tsCol'")(resolveGrouping(child, groupKey))
-      grid <- bail(path, "grouping is not a time-bucketing expression " +
-        s"over the registered ts column '$tsCol'")(slotGrid(gExpr, tsCol))
+      grid <- bail(path, gridNote("grouping is not a time-bucketing " +
+        s"expression over the registered ts column '$tsCol'"))(
+        slotGrid(gExpr, tsCol))
       filterOpt = findFilter(child)
       (aOpt, bOpt) <- filterOpt match {
         case Some((cond, _)) => rangeMs(cond, tsCol)
@@ -3349,10 +3366,17 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     // under the UTC guard (same reasoning as the date_trunc tiers; the
     // NTZ guard lives in isTsCol). DATE-typed slot keys render as
     // days-since-epoch literals in slotLiteral.
-    case Cast(ts, DateType, tz, _)
-        if isTsCol(ts, tsCol) &&
-          (ts.dataType == TimestampNTZType || tz.forall(isUtcZone)) =>
-      Some(FixedGrid(86400000L, 0L, DateType))
+    case Cast(ts, DateType, tz, _) if isTsCol(ts, tsCol) =>
+      if (ts.dataType == TimestampNTZType || tz.forall(isUtcZone))
+        Some(FixedGrid(86400000L, 0L, DateType))
+      else {
+        // shape matched, zone refused: pin the reason (round 13)
+        if (gridBailNote.isEmpty) gridBailNote =
+          s"CAST(ts AS DATE) truncates in zone '${tz.getOrElse(sessionZone)}' " +
+            "— folds are only sound under UTC (set " +
+            "spark.sql.session.timeZone=UTC or keep the scan)"
+        None
+      }
     case Multiply(IntegralDivide(ts, l1, _), l2, _) if isTsMs(ts, tsCol) =>
       for {
         w1 <- wideLit(l1)
@@ -3367,9 +3391,27 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     // cast reads naive values in the SESSION zone — so the NTZ branch
     // is only sound when the session zone is UTC too.
     case TruncTimestamp(Literal(fmt, StringType), ts, tz)
-        if isTsCol(ts, tsCol) &&
-          (if (ts.dataType == TimestampNTZType) isUtcZone(sessionZone)
-           else tz.forall(isUtcZone)) =>
+        if isTsCol(ts, tsCol) || (ts match {
+          // non-UTC NTZ spellings: isTsCol refuses the column itself
+          // (bare, or under the analyzer's NTZ→timestamp cast) —
+          // recognize the name here only to pin the zone reason
+          case a: AttributeReference => a.name == tsCol
+          case Cast(a: AttributeReference, TimestampType, _, _) => a.name == tsCol
+          case _ => false
+        }) =>
+      val zoneOk = isTsCol(ts, tsCol) &&
+        (if (ts.dataType == TimestampNTZType) isUtcZone(sessionZone)
+         else tz.forall(isUtcZone))
+      if (!zoneOk) {
+        // shape matched, zone refused: pin the reason (round 13). DST
+        // zones shift truncation boundaries mid-year; even a fixed
+        // offset shifts every boundary of the UTC-built grid.
+        if (gridBailNote.isEmpty) gridBailNote =
+          s"date_trunc truncates in zone '${tz.getOrElse(sessionZone)}' " +
+            "— folds are only sound under UTC (set " +
+            "spark.sql.session.timeZone=UTC or keep the scan)"
+        None
+      } else
       Option(fmt).map(_.toString.toLowerCase(java.util.Locale.ROOT)).collect {
         case "minute" => FixedGrid(MinuteMs, 0L, e.dataType)
         case "hour" => FixedGrid(3600000L, 0L, e.dataType)

@@ -2428,6 +2428,34 @@ class WheelAccelerationSpec extends AnyFunSuite {
     WheelAcceleration.clear()
   }
 
+  test("non-UTC session: date_trunc fold refuses with a PINNED timezone reason (round 13)") {
+    WheelAcceleration.clear()
+    register()
+    events.createOrReplaceTempView("events_accel")
+    val sql = "SELECT date_trunc('day', ts) AS d, ROUND(SUM(value), 2) AS s " +
+      "FROM events_accel GROUP BY 1"
+    // UTC baseline: the day grid folds
+    val utc = spark.sql(sql)
+    assert(utc.queryExecution.optimizedPlan.collect {
+      case l: LocalRelation => l
+    }.nonEmpty, utc.queryExecution.optimizedPlan.treeString)
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val offUtc = spark.sql(sql)
+      assert(offUtc.queryExecution.optimizedPlan.collect {
+        case l: LocalRelation => l
+      }.isEmpty, "non-UTC date_trunc must keep the scan")
+      val reason = WheelAcceleration.lastBailReason(path).getOrElse("")
+      assert(reason.contains("America/New_York") && reason.contains("UTC"), reason)
+      // the kept scan stays CORRECT in the session zone (days shift by
+      // the offset, so the row set differs from the UTC fold's)
+      assert(offUtc.collect().nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      WheelAcceleration.clear()
+    }
+  }
+
   test("OR-of-disjoint-ranges folds; overlapping disjuncts merge exactly (round 13)") {
     WheelAcceleration.clear()
     register()

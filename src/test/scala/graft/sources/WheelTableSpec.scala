@@ -401,6 +401,44 @@ class WheelTableSpec extends AnyFunSuite {
     }
   }
 
+  test("the KEYED wheel table serves the live ingest registration mid-stream (round 13)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    System.setProperty("graft.wheel.fingerprint.ttlMs", "0")
+    val tmp = Files.createTempDirectory("graft-wheel-live-keyed").toString
+    val p = s"$tmp/events.parquet"
+    val t0 = Q.Jan1
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val q = graft.streaming.WheelIngest.start(
+      mem.toDF().toDF("ts", "event_type", "value"), p, s"$tmp/ckpt",
+      keyCol = Some("event_type"))
+    try {
+      mem.addData(
+        (new java.sql.Timestamp(t0), "click", 1.0),
+        (new java.sql.Timestamp(t0), "view", 5.0),
+        (new java.sql.Timestamp(t0 + Minute), "click", 2.0))
+      q.processAllAvailable()
+      def keyedRows() = spark.read.format("wheel").option("source", p)
+        .option("keyed", "true").load()
+        .orderBy("event_type", "slot_ms").collect()
+        .map(r => (r.getString(0), r.getLong(1) - t0,
+          r.getAs[Double]("sum_value"))).toSeq
+      assert(keyedRows() == Seq(
+        ("click", 0L, 1.0), ("click", Minute, 2.0), ("view", 0L, 5.0)))
+      // a later micro-batch refreshes the keyed registration; a FRESH
+      // table read reflects it per (key, slot)
+      mem.addData((new java.sql.Timestamp(t0 + 1), "view", 10.0))
+      q.processAllAvailable()
+      assert(keyedRows() == Seq(
+        ("click", 0L, 1.0), ("click", Minute, 2.0),
+        ("view", 0L, 15.0)))
+    } finally {
+      q.stop()
+      WheelAcceleration.unregister(p)
+    }
+  }
+
   test("keyed aggregate pushdown: GROUP BY key ships |keys| final rows, no Aggregate") {
     import org.apache.spark.sql.catalyst.plans.logical.Aggregate
     WheelAcceleration.registerKeyed(spark, path, Q.t(spark, dir, "events"), "event_type")
