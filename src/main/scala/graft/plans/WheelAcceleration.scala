@@ -3285,7 +3285,13 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     def floorOf(t: Long): Long
   }
 
-  private final case class FixedGrid(w: Long, off: Long, slotType: DataType)
+  /** `dateShiftMs` (round 13): for DATE-typed slot keys under a
+    * fixed-offset zone, the literal is the LOCAL date — days of
+    * `s0 + dateShiftMs` — while the boundaries `k·w + off` stay UTC
+    * instants (0 for the UTC grids, so the legacy rendering is
+    * unchanged). */
+  private final case class FixedGrid(w: Long, off: Long, slotType: DataType,
+      dateShiftMs: Long = 0L)
       extends SlotGrid {
     def starts(a: Long, b: Long): Iterator[Long] =
       Iterator.iterate(math.floorDiv(a - off, w) * w + off)(_ + w).takeWhile(_ < b)
@@ -3293,13 +3299,19 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     def floorOf(t: Long): Long = math.floorDiv(t - off, w) * w + off
   }
 
-  /** Calendar-boundary grid (UTC): month / quarter / year slots. */
-  private final case class CalendarGrid(months: Int, slotType: DataType)
+  /** Calendar-boundary grid: month / quarter / year slots. Boundaries
+    * walk in a FIXED offset zone (round 13) — UTC for the default 0;
+    * `+05:30` month starts are the UTC instants `local-midnight − o`,
+    * still minute-aligned because [[fixedOffsetMs]] filters offsets to
+    * whole minutes. */
+  private final case class CalendarGrid(months: Int, slotType: DataType,
+      offsetSec: Int = 0)
       extends SlotGrid {
+    private val zone = java.time.ZoneOffset.ofTotalSeconds(offsetSec)
     private def date(ms: Long): java.time.LocalDate =
-      java.time.Instant.ofEpochMilli(ms).atZone(java.time.ZoneOffset.UTC).toLocalDate
+      java.time.Instant.ofEpochMilli(ms).atZone(zone).toLocalDate
     private def ms(d: java.time.LocalDate): Long =
-      d.atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+      d.atStartOfDay(zone).toInstant.toEpochMilli
     private def floor(t: Long): Long = {
       val d = date(t)
       val m0 = (d.getMonthValue - 1) / months * months + 1
@@ -3369,13 +3381,20 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     case Cast(ts, DateType, tz, _) if isTsCol(ts, tsCol) =>
       if (ts.dataType == TimestampNTZType || tz.forall(isUtcZone))
         Some(FixedGrid(86400000L, 0L, DateType))
-      else {
-        // shape matched, zone refused: pin the reason (round 13)
-        if (gridBailNote.isEmpty) gridBailNote =
-          s"CAST(ts AS DATE) truncates in zone '${tz.getOrElse(sessionZone)}' " +
-            "— folds are only sound under UTC (set " +
-            "spark.sql.session.timeZone=UTC or keep the scan)"
-        None
+      else fixedOffsetMs(tz.getOrElse(sessionZone)) match {
+        // FIXED offset (round 13): local-day boundaries are the UTC
+        // instants k·day − o; the DATE key is the LOCAL date (s0 + o)
+        case Some(o) =>
+          Some(FixedGrid(86400000L, floorMod(-o, 86400000L), DateType,
+            dateShiftMs = o))
+        case None =>
+          // shape matched, DST zone refused: pin the reason (round 13)
+          if (gridBailNote.isEmpty) gridBailNote =
+            s"CAST(ts AS DATE) truncates in zone '${tz.getOrElse(sessionZone)}' " +
+              "whose offset transitions (DST/history) — folds are only " +
+              "sound under UTC or a fixed-offset zone (set " +
+              "spark.sql.session.timeZone=UTC or keep the scan)"
+          None
       }
     case Multiply(IntegralDivide(ts, l1, _), l2, _) if isTsMs(ts, tsCol) =>
       for {
@@ -3399,29 +3418,45 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
           case Cast(a: AttributeReference, TimestampType, _, _) => a.name == tsCol
           case _ => false
         }) =>
-      val zoneOk = isTsCol(ts, tsCol) &&
-        (if (ts.dataType == TimestampNTZType) isUtcZone(sessionZone)
-         else tz.forall(isUtcZone))
-      if (!zoneOk) {
-        // shape matched, zone refused: pin the reason (round 13). DST
-        // zones shift truncation boundaries mid-year; even a fixed
-        // offset shifts every boundary of the UTC-built grid.
-        if (gridBailNote.isEmpty) gridBailNote =
-          s"date_trunc truncates in zone '${tz.getOrElse(sessionZone)}' " +
-            "— folds are only sound under UTC (set " +
-            "spark.sql.session.timeZone=UTC or keep the scan)"
-        None
-      } else
+      // NTZ stays UTC-only (the index's epoch domain itself was read in
+      // the session zone by normalizeTs — a non-UTC shift is in the
+      // DATA, not just the grid); tz-typed inputs fold under UTC or any
+      // FIXED offset (round 13) — the offset is a constant shift of
+      // every truncation boundary, expressed in the grid's `off` term
+      // (fixed tiers) or by walking calendar boundaries in that zone.
+      val offsetOk: Option[Long] =
+        if (!isTsCol(ts, tsCol)) None // non-UTC NTZ: refuse below
+        else if (ts.dataType == TimestampNTZType)
+          (if (isUtcZone(sessionZone)) Some(0L) else None)
+        else if (tz.forall(isUtcZone)) Some(0L)
+        else fixedOffsetMs(tz.getOrElse(sessionZone))
+      offsetOk match {
+        case None =>
+          // shape matched, zone refused: pin the reason (round 13).
+          // DST/region zones shift truncation boundaries mid-year.
+          if (gridBailNote.isEmpty) gridBailNote =
+            s"date_trunc truncates in zone '${tz.getOrElse(sessionZone)}' " +
+              "whose offset transitions (DST/history), or over an NTZ " +
+              "column outside a UTC session — folds are only sound under " +
+              "UTC or a fixed-offset zone over timestamp data (set " +
+              "spark.sql.session.timeZone=UTC or keep the scan)"
+          None
+        case Some(o) =>
       Option(fmt).map(_.toString.toLowerCase(java.util.Locale.ROOT)).collect {
-        case "minute" => FixedGrid(MinuteMs, 0L, e.dataType)
-        case "hour" => FixedGrid(3600000L, 0L, e.dataType)
-        case "day" | "dd" => FixedGrid(86400000L, 0L, e.dataType)
+        case "minute" => FixedGrid(MinuteMs, floorMod(-o, MinuteMs), e.dataType)
+        case "hour" => FixedGrid(3600000L, floorMod(-o, 3600000L), e.dataType)
+        case "day" | "dd" =>
+          FixedGrid(86400000L, floorMod(-o, 86400000L), e.dataType)
         // ISO weeks start Monday; 1970-01-01 is Thursday, so Monday
-        // boundaries are epoch-ms ≡ 4 days (mod 7 days)
-        case "week" => FixedGrid(7L * 86400000L, 4L * 86400000L, e.dataType)
-        case "month" | "mon" | "mm" => CalendarGrid(1, e.dataType)
-        case "quarter" => CalendarGrid(3, e.dataType)
-        case "year" | "yyyy" | "yy" => CalendarGrid(12, e.dataType)
+        // boundaries are epoch-ms ≡ 4 days (mod 7 days) — shifted west
+        // by a fixed offset exactly like the day grid
+        case "week" =>
+          FixedGrid(7L * 86400000L, floorMod(4L * 86400000L - o, 7L * 86400000L),
+            e.dataType)
+        case "month" | "mon" | "mm" => CalendarGrid(1, e.dataType, (o / 1000L).toInt)
+        case "quarter" => CalendarGrid(3, e.dataType, (o / 1000L).toInt)
+        case "year" | "yyyy" | "yy" => CalendarGrid(12, e.dataType, (o / 1000L).toInt)
+      }
       }
     case s: CreateNamedStruct => windowSlot(s, tsCol)
     case _ => None
@@ -3527,6 +3562,26 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
   private def isUtcZone(z: String): Boolean =
     Set("UTC", "Etc/UTC", "GMT", "Z", "+00:00").contains(z)
 
+  /** FIXED-offset zones (round 13, VERDICT r12 #8): `+05:30`,
+    * `GMT+3`, `UTC` … → the constant offset in ms east of UTC — a
+    * constant shift of every truncation boundary, which the grids can
+    * express exactly. None for region zones with transition rules
+    * (`America/New_York`, and even `Asia/Kolkata`, whose HISTORY has
+    * transitions): their boundaries move mid-year, so folds must keep
+    * the refusal. Offsets not aligned to the finest tier (historic
+    * second-resolution offsets) also refuse — the index cannot answer
+    * sub-minute boundaries. */
+  private def fixedOffsetMs(zone: String): Option[Long] =
+    (try {
+      val rules = java.time.ZoneId.of(zone).getRules
+      if (rules.isFixedOffset)
+        Some(rules.getOffset(java.time.Instant.EPOCH).getTotalSeconds * 1000L)
+      else None
+    } catch { case _: Throwable => None })
+      .filter(_ % MinuteMs == 0)
+
+  private def floorMod(x: Long, m: Long): Long = ((x % m) + m) % m
+
   /** The optimizer runs with the querying session's SQLConf active. */
   private def sessionZone: String =
     org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
@@ -3591,9 +3646,15 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
           Literal(InternalRow(s0 * 1000L, s1 * 1000L), st)
         case dt @ (TimestampType | TimestampNTZType) =>
           Literal(s0 * 1000L, dt)
-        // DATE keys (GROUP BY CAST(ts AS DATE)): days since epoch —
-        // s0 is day-aligned by the grid, so the division is exact
-        case DateType => Literal((s0 / 86400000L).toInt, DateType)
+        // DATE keys (GROUP BY CAST(ts AS DATE)): days since epoch of
+        // the LOCAL date — s0 + dateShiftMs is day-aligned by the grid
+        // (shift 0 under UTC), so the division is exact
+        case DateType =>
+          val shift = grid match {
+            case f: FixedGrid => f.dateShiftMs
+            case _ => 0L
+          }
+          Literal(((s0 + shift) / 86400000L).toInt, DateType)
         case _ => Literal(s0, LongType)
       }
     }

@@ -2428,6 +2428,55 @@ class WheelAccelerationSpec extends AnyFunSuite {
     WheelAcceleration.clear()
   }
 
+  test("FIXED-offset zone (+05:30): date_trunc and CAST AS DATE fold, value-checked (round 13)") {
+    WheelAcceleration.clear()
+    // TZ-typed (instant-semantics) fixture: Spark writes TimestampType
+    // as adjusted-to-UTC parquet, so the re-read plan has NO NTZ cast —
+    // the shape a production instant table presents in any session zone.
+    // Every 30 min for 4 days; the +05:30 local-day boundary (18:30
+    // UTC) regroups rows differently from the UTC day grid.
+    val p = s"${sys.props("java.io.tmpdir")}/graft_fx_events.parquet"
+    spark.range(0, 192)
+      .selectExpr(s"timestamp_millis(${Q.Jan1}L + id * 1800000) AS ts",
+        "CAST(id + 1 AS DOUBLE) AS value")
+      .write.mode("overwrite").parquet(p)
+    val ev = spark.read.parquet(p)
+    assert(ev.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    spark.conf.set("spark.sql.session.timeZone", "+05:30")
+    try {
+      ev.createOrReplaceTempView("events_fx")
+      def check(sql: String): Unit = {
+        WheelAcceleration.clear()
+        val expected = spark.sql(sql).collect().toSeq // plain scan
+        WheelAcceleration.register(spark, p, spark.read.parquet(p))
+        val accel = spark.sql(sql)
+        assert(accel.queryExecution.optimizedPlan.collect {
+          case l: LocalRelation => l
+        }.nonEmpty, accel.queryExecution.optimizedPlan.treeString)
+        assert(accel.collect().toSeq == expected, sql)
+      }
+      check("SELECT date_trunc('day', ts) AS d, ROUND(SUM(value), 2) AS s, " +
+        "COUNT(*) AS n FROM events_fx GROUP BY 1 ORDER BY 1")
+      check("SELECT date_trunc('hour', ts) AS h, ROUND(SUM(value), 2) AS s " +
+        "FROM events_fx GROUP BY 1 ORDER BY 1")
+      check("SELECT date_trunc('month', ts) AS m, ROUND(SUM(value), 2) AS s " +
+        "FROM events_fx GROUP BY 1 ORDER BY 1")
+      check("SELECT CAST(ts AS DATE) AS d, ROUND(SUM(value), 2) AS s, " +
+        "COUNT(*) AS n FROM events_fx GROUP BY 1 ORDER BY 1")
+      // the local day grid must actually DIFFER from UTC's: 4 local
+      // days + the 18:30-UTC leading partial = 5 day rows
+      WheelAcceleration.clear()
+      WheelAcceleration.register(spark, p, spark.read.parquet(p))
+      val days = spark.sql("SELECT date_trunc('day', ts) AS d, COUNT(*) AS n " +
+        "FROM events_fx GROUP BY 1 ORDER BY 1").collect()
+      assert(days.length == 5, days.mkString(", "))
+    } finally {
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      WheelAcceleration.clear()
+    }
+  }
+
   test("non-UTC session: date_trunc fold refuses with a PINNED timezone reason (round 13)") {
     WheelAcceleration.clear()
     register()
