@@ -2850,15 +2850,21 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
         s"expression over the registered ts column '$tsCol'"))(
         slotGrid(gExpr, tsCol))
       filterOpt = findFilter(child)
-      (aOpt, bOpt) <- filterOpt match {
-        case Some((cond, _)) => rangeMs(cond, tsCol)
-        case None => Some((None, None))
-      }
       any = wheels.valuesIterator.next()
-      a = aOpt.getOrElse(any.baseMs)
-      b = bOpt.getOrElse(any.horizonMs)
-      if a < b
-      result <- bail(path, foldNote("grouped shape not foldable")) {
+      // Left = the ordinary single conjunctive range; Right = an
+      // OR-of-disjoint-ranges predicate (round 13), pre-merged so a row
+      // matched by two disjuncts counts once
+      ranged <- (filterOpt match {
+        case Some((cond, _)) =>
+          rangeMs(cond, tsCol)
+            .map { case (aO, bO) =>
+              scala.util.Left((aO.getOrElse(any.baseMs), bO.getOrElse(any.horizonMs))) }
+            .orElse(orRangesMs(cond, tsCol).map(rs => scala.util.Right(mergeRanges(rs))))
+        case None => Some(scala.util.Left((any.baseMs, any.horizonMs)))
+      }): Option[Either[(Long, Long), Seq[(Long, Long)]]]
+      result <- ranged match {
+       case scala.util.Left((a, b)) if a < b =>
+        bail(path, foldNote("grouped shape not foldable")) {
         foldBailNote = ""
         if (a % MinuteMs == 0 && b % MinuteMs == 0) {
           if (cellCount(grid, a, b, maxFoldRows) > maxFoldRows)
@@ -2890,6 +2896,58 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
           rewriteGroupedResidue(agg, groupKey, gExpr, grid, aggExprs,
             child, below, tsCol, wheels, a, b)
         }
+        }
+       // GROUPED OR-ranges fold (round 13): per-cell contributions are
+       // COMBINED across ranges (two disjoint sub-cell ranges can land
+       // in the same grid cell — e.g. two week ranges under a month
+       // grid), using the same associative AllAggregate merge as the
+       // ungrouped [[rewriteOrRanges]]. Sketch (approximate) spellings
+       // are not served — a combined multi-range cell has no single
+       // sketch view — so they bail to the scan. Unaligned or above-cap
+       // multi-range shapes keep the scan (no residue/distributed
+       // multi-range form).
+       case scala.util.Right(ranges) =>
+        bail(path, foldNote("grouped OR-ranges shape not foldable " +
+          "(unaligned, above-cap, or aggregate without a fold)")) {
+          foldBailNote = ""
+          val aligned = ranges.forall { case (x, y) =>
+            x % MinuteMs == 0 && y % MinuteMs == 0 && x < y }
+          val cellsTotal =
+            ranges.map { case (x, y) => cellCount(grid, x, y, maxFoldRows) }.sum
+          if (!aligned || cellsTotal > maxFoldRows) None
+          else {
+            val cells = scala.collection.mutable.LinkedHashMap
+              .empty[Long, Map[String, AllAggregate]]
+            ranges.foreach { case (x, y) =>
+              val it = grid.starts(x, y)
+              while (it.hasNext) {
+                val s0 = it.next()
+                val s1 = grid.end(s0)
+                val alls = wheels.map { case (c, i) =>
+                  c -> i.query(math.max(x, s0), math.min(y, s1)) }
+                if (alls.valuesIterator.next().rows > 0L)
+                  cells(s0) = cells.get(s0) match {
+                    case Some(prev) =>
+                      prev.map { case (c, al) => c -> al.combine(alls(c)) }
+                    case None => alls
+                  }
+              }
+            }
+            val slotRows = Seq.newBuilder[InternalRow]
+            var ok = true
+            cells.toSeq.sortBy(_._1).foreach { case (s0, alls) =>
+              if (ok) foldRow(aggExprs, alls,
+                Seq((Seq(groupKey, gExpr),
+                  slotLiteral(grid, s0, grid.end(s0))))) match {
+                case Some(vals) => slotRows += InternalRow.fromSeq(vals)
+                case None => ok = false
+              }
+            }
+            if (ok) Some(LocalRelation(agg.output, slotRows.result()))
+            else None
+          }
+        }
+       case _ => None
       }
     } yield result
   }
@@ -2911,11 +2969,22 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       wheels: Map[String, WheelIndex],
       grid: SlotGrid, gExpr: Expression,
       slotSpellings: Seq[Seq[Expression]],
-      keyed: Option[(AttributeReference, WheelAcceleration.KeyedReg)],
-      a: Long, b: Long): Option[LogicalPlan] = {
+      keyedIn: Option[(AttributeReference, WheelAcceleration.KeyedReg)],
+      a: Long, b: Long,
+      // COMPOSITE form (round 13): N grouping attributes over a
+      // struct-keyed wheel family — each tuple component ships as its
+      // own relation column. The single-key form routes through this
+      // too (one attribute, the key type itself).
+      composite: Option[(Seq[AttributeReference], Seq[DataType],
+        Map[String, graft.wheel.KeyedWheelIndex])] = None): Option[LogicalPlan] = {
+    val keyed: Option[(Seq[AttributeReference], Seq[DataType],
+        Map[String, graft.wheel.KeyedWheelIndex])] =
+      composite.orElse(keyedIn.map { case (kA, reg) =>
+        (Seq(kA), Seq(reg.any.keyType), reg.wheels)
+      })
     if (keyed.isEmpty && !wheels.valuesIterator.forall(_.minuteTierComplete))
       return None
-    val measures = keyed.map(_._2.wheels.keys.toSeq).getOrElse(wheels.keys.toSeq)
+    val measures = keyed.map(_._3.keys.toSeq).getOrElse(wheels.keys.toSeq)
     val needCond = hasSecondMoment(aggExprs)
     // PER-GROUP shifts (late round 11): this path has no edge legs, so
     // each (key,) slot group's partials can center on the GROUP's own
@@ -2927,13 +2996,17 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     val cols = partialColsFor(measures, Map.empty, perRowShifts = needCond)
     val slotAttr = AttributeReference(
       "__graft_slot", gExpr.dataType, nullable = gExpr.nullable)()
-    val keyOutAttr = keyed.map { case (keyAttr, reg) =>
-      AttributeReference("__graft_key", reg.any.keyType,
-        nullable = keyAttr.nullable)()
+    val keyOutAttrs: Seq[AttributeReference] = keyed.toSeq.flatMap {
+      case (kAs, kTs, _) => kAs.zip(kTs).zipWithIndex.map {
+        case ((kA, kT), i) =>
+          AttributeReference(s"__graft_key$i", kT, nullable = kA.nullable)()
+      }
     }
-    val subst = keyed.map { case (keyAttr, _) =>
-      Seq((Seq[Expression](keyAttr), keyOutAttr.get.asInstanceOf[Attribute]))
-    }.getOrElse(Seq.empty) ++ slotSpellings.map(sp => (sp, slotAttr.asInstanceOf[Attribute]))
+    val subst = keyed.toSeq.flatMap { case (kAs, _, _) =>
+      kAs.zip(keyOutAttrs).map { case (kA, out) =>
+        (Seq[Expression](kA), out.asInstanceOf[Attribute])
+      }
+    } ++ slotSpellings.map(sp => (sp, slotAttr.asInstanceOf[Attribute]))
     mergeAggExprs(cols, measures.toSet, aggExprs, subst).flatMap { newAggExprs =>
       val rows = Seq.newBuilder[InternalRow]
       def slotVal(slotMs: Long): Any = {
@@ -2958,22 +3031,30 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
         if (n == 0L) 0.0 else s / n
       }
       def walk(emit: Boolean): Unit = keyed match {
-        case Some((_, reg)) =>
-          val keyVals = new java.util.HashMap[Any, Any]()
-          val anyIdx = reg.any
-          val anyMeasure = reg.wheels.find(_._2 eq anyIdx).get._1
+        case Some((kAs, kTs, kWheels)) =>
+          val keyVals = new java.util.HashMap[Any, Seq[Any]]()
+          val anyIdx = kWheels.valuesIterator.next()
+          val anyMeasure = kWheels.find(_._2 eq anyIdx).get._1
+          // a composite key arrives as one struct-valued Row: ship each
+          // component as its own Catalyst value, in key-column order
+          def components(key: Any): Seq[Any] =
+            if (kAs.size == 1) Seq(Literal.create(key, kTs.head).value)
+            else {
+              val r = key.asInstanceOf[org.apache.spark.sql.Row]
+              kTs.zipWithIndex.map { case (t, i) =>
+                Literal.create(r.get(i), t).value }
+            }
           anyIdx.minuteEntries(a, b).foreach { case (key, slotMs, anyAll) =>
-            val kv = keyVals.computeIfAbsent(key,
-              k => Literal.create(k, anyIdx.keyType).value)
-            val alls = reg.wheels.map {
+            val kvs = keyVals.computeIfAbsent(key, components)
+            val alls = kWheels.map {
               case (c, _) if c == anyMeasure => c -> anyAll
               case (c, i) => c -> i.minuteAt(key, slotMs)
             }
-            val gk = (kv, grid.floorOf(slotMs))
+            val gk = (kvs: Any, grid.floorOf(slotMs))
             if (!emit) accumulate(gk, alls)
-            else rows += InternalRow.fromSeq(kv +: slotVal(slotMs) +:
+            else rows += InternalRow.fromSeq(kvs ++ (slotVal(slotMs) +:
               cols.partialsRowShifted(alls, anyAll.rows,
-                if (needCond) shiftFor(gk) else cols.shiftOf))
+                if (needCond) shiftFor(gk) else cols.shiftOf)))
           }
         case None =>
           val anyIdx = wheels(measures.head)
@@ -2991,8 +3072,8 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       }
       if (needCond) walk(emit = false)
       walk(emit = true)
-      val relAttrs = keyOutAttr.toSeq ++ (slotAttr +: cols.partialAttrs)
-      val groupAttrs = keyOutAttr.toSeq :+ slotAttr
+      val relAttrs = keyOutAttrs ++ (slotAttr +: cols.partialAttrs)
+      val groupAttrs = keyOutAttrs :+ slotAttr
       Some(Aggregate(groupAttrs, newAggExprs, LocalRelation(relAttrs, rows.result())))
     }
   }
@@ -3080,11 +3161,13 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     * each key COMPONENT re-emitted as its own output literal from the
     * struct-valued index key.
     *
-    * Bails PAST THE PLAN-TIME CEILING with a pinned reason (there is no
-    * composite distributed fallback yet — the registered tuple wheels
-    * could ship minute partials exactly as the single-key
-    * [[distributedGrouped]] does; until then the refusal is loud), and
-    * on sub-minute range edges (no composite residue path). */
+    * PAST THE PLAN-TIME CEILING the shape goes DISTRIBUTED through the
+    * generalized [[distributedGrouped]] — the (tuple-key, minute)
+    * partials ship with each key component as its own relation column
+    * and a merge-form Aggregate groups them on the cluster — so wide
+    * tuple dimensions stay scan-free; only aggregates without a merge
+    * form (and sub-minute range edges — no composite residue path)
+    * bail, each with a PINNED reason. */
   private def rewriteCompositeKeyed(
       agg: Aggregate,
       groupings: Seq[Expression],
@@ -3122,9 +3205,16 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
             "the scan (no composite residue path)")(None)
         else if (reg.any.keys.size.toLong *
             cellCount(grid, a, b, maxFoldRows) > maxFoldRows)
-          bail(path, "composite-keyed fold above maxFoldRows keeps the " +
-            "scan (no composite distributed fallback; raise " +
-            "spark.graft.wheel.rewrite.maxFoldRows or narrow the range)")(None)
+          // above the plan-time ceiling: ship the (tuple-key, minute)
+          // partials through the distributed merge-form Aggregate —
+          // each key COMPONENT as its own relation column (round 13)
+          bail(path, "composite-keyed fold above maxFoldRows not " +
+            "foldable distributed (aggregate without a merge form)")(
+            distributedGrouped(aggExprs, Map.empty, grid, gExpr,
+              Seq(Seq(slotGroup, gExpr)), None, a, b,
+              composite = Some((keyAttrs,
+                reg.any.keyType.asInstanceOf[StructType].fields
+                  .map(_.dataType).toSeq, reg.wheels))))
         else {
           val keyFields =
             reg.any.keyType.asInstanceOf[StructType].fields

@@ -865,6 +865,24 @@ object Core {
           |""".stripMargin)
     }),
 
+    // GROUPED OR-ranges fold (round 13): the week-vs-week COMPARISON as
+    // a day series — one statement, two disjoint ranges, per-day rows
+    // from per-cell index queries combined across ranges. Zero FileScan;
+    // the analyst's side-by-side panel without a UNION ALL.
+    "q_wheel_or_rollup_sql" -> ((s, dir) => {
+      graft.plans.WheelAcceleration.register(
+        s, s"$dir/events.parquet", t(s, dir, "events"))
+      t(s, dir, "events").createOrReplaceTempView("events_wheel")
+      s.sql(
+        s"""SELECT (unix_millis(ts) div 86400000) * 86400000 AS day_ms,
+           |ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n
+           |FROM events_wheel
+           |WHERE (unix_millis(ts) >= $R1Start AND unix_millis(ts) < $R1End)
+           |OR (unix_millis(ts) >= ${Jan1 + 18 * Day} AND unix_millis(ts) < ${Jan1 + 25 * Day})
+           |GROUP BY 1 ORDER BY 1
+           |""".stripMargin)
+    }),
+
     // QUARTER-grid fold (round 9, VERDICT r8 #5): same CalendarGrid
     // machinery with a 3-month step (CalendarGrid(3)), exercised with a
     // different aggregate mix (SUM/MAX/COUNT) over the same one
@@ -1159,6 +1177,12 @@ object Core {
         "ROUND(MAX(l_quantity), 2) AS max_qty, COUNT(*) AS n FROM lineitem " +
         s"WHERE epoch_ms(l_shipdate) >= $LiUStart AND epoch_ms(l_shipdate) < $LiUEnd " +
         "GROUP BY 1, 2 ORDER BY 1, 2"),
+    "q_wheel_or_rollup_sql" ->
+      ("SELECT (epoch_ms(ts) // 86400000) * 86400000 AS day_ms, " +
+        "ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n FROM events " +
+        s"WHERE (epoch_ms(ts) >= $R1Start AND epoch_ms(ts) < $R1End) " +
+        s"OR (epoch_ms(ts) >= ${Jan1 + 18 * Day} AND epoch_ms(ts) < ${Jan1 + 25 * Day}) " +
+        "GROUP BY 1 ORDER BY 1"),
     "q_wheel_or_ranges_sql" ->
       ("SELECT ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n, " +
         "MIN(value) AS min_value, MAX(value) AS max_value FROM events " +

@@ -106,7 +106,8 @@ object WheelTableProvider {
         val P = graft.wheel.PersistentWheel
         val meta = P.peek(spark, dir).getOrElse(throw new IllegalArgumentException(
           s"wheel table: no readable persisted wheel at '$dir'"))
-        val keyedKinds = Set(P.KeyedKind, P.KeyedMultiKind)
+        val keyedKinds = Set(P.KeyedKind, P.KeyedMultiKind,
+          P.KeyedThetaKind, P.KeyedKllKind, P.KeyedMgKind)
         require(!keyed || keyedKinds.contains(meta.kind),
           s"wheel table: option(\"keyed\") given but '$dir' holds a " +
             s"'${meta.kind}' wheel")
@@ -136,9 +137,25 @@ object WheelTableProvider {
           case P.MgKind =>
             val (m, w) = P.loadFrequency(spark, dir)
             SketchWheelTable.mg(s"wheel:$dir?mg", m.valueCols.head, w)
+          case P.KeyedThetaKind =>
+            val (m, ws) = P.loadKeyedCohort(spark, dir)
+            SketchWheelTable.keyedTheta(s"wheel:$dir?keyedtheta",
+              m.valueCols.head, m.valueCols(1), ws)
+          case P.KeyedKllKind =>
+            val (m, ws) = P.loadKeyedQuantile(spark, dir)
+            val qs = lower.get("quantiles")
+              .map(_.split(",").map(_.trim.toDouble).toSeq)
+              .getOrElse(Seq(0.5, 0.95, 0.99))
+            SketchWheelTable.keyedKll(s"wheel:$dir?keyedkll",
+              m.valueCols.head, m.valueCols(1), ws, qs)
+          case P.KeyedMgKind =>
+            val (m, ws) = P.loadKeyedFrequency(spark, dir)
+            SketchWheelTable.keyedMg(s"wheel:$dir?keyedmg",
+              m.valueCols.head, m.valueCols(1), ws)
           case other => throw new IllegalArgumentException(
             s"wheel table: persisted kind '$other' at '$dir' has no table " +
-              "spelling (supported: sum, keyed, keyedmulti, theta, hll, kll, mg)")
+              "spelling (supported: sum, keyed, keyedmulti, theta, hll, " +
+              "kll, mg, keyedtheta, keyedkll, keyedmg)")
         }
       case _ => throw new IllegalArgumentException(
         "wheel table requires exactly one of option(\"source\", eventsPath) " +

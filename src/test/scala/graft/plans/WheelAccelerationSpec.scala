@@ -2547,6 +2547,47 @@ class WheelAccelerationSpec extends AnyFunSuite {
     WheelAcceleration.clear()
   }
 
+  test("GROUPED OR-ranges: day rollup over two disjoint weeks folds and matches (round 13)") {
+    WheelAcceleration.clear()
+    register()
+    events.createOrReplaceTempView("events_accel")
+    val w2a = Q.Jan1 + 18 * 86400000L
+    val w2b = Q.Jan1 + 25 * 86400000L
+    def daySql(where: String) =
+      "SELECT (unix_millis(ts) div 86400000) * 86400000 AS day_ms, " +
+        "ROUND(SUM(value), 2) AS s, COUNT(*) AS n " +
+        s"FROM events_accel WHERE $where GROUP BY 1 ORDER BY 1"
+    val or = spark.sql(daySql(
+      s"(unix_millis(ts) >= ${Q.R1Start} AND unix_millis(ts) < ${Q.R1End}) " +
+        s"OR (unix_millis(ts) >= $w2a AND unix_millis(ts) < $w2b)"))
+    assert(or.queryExecution.optimizedPlan.collect {
+      case l: LocalRelation => l
+    }.nonEmpty, or.queryExecution.optimizedPlan.treeString)
+    WheelAcceleration.clear()
+    val expected = spark.sql(daySql(
+      s"(unix_millis(ts) >= ${Q.R1Start} AND unix_millis(ts) < ${Q.R1End}) " +
+        s"OR (unix_millis(ts) >= $w2a AND unix_millis(ts) < $w2b)")).collect().toSeq
+    assert(or.collect().toSeq == expected)
+
+    // two sub-cell ranges in ONE month cell: contributions combine
+    register()
+    val mSql = "SELECT unix_millis(CAST(date_trunc('month', ts) AS TIMESTAMP)) AS m, " +
+      "ROUND(SUM(value), 2) AS s, COUNT(*) AS n FROM events_accel " +
+      s"WHERE (unix_millis(ts) >= ${Q.R1Start} AND unix_millis(ts) < ${Q.R1End}) " +
+      s"OR (unix_millis(ts) >= $w2a AND unix_millis(ts) < $w2b) " +
+      "GROUP BY 1 ORDER BY 1"
+    val month = spark.sql(mSql)
+    assert(month.queryExecution.optimizedPlan.collect {
+      case l: LocalRelation => l
+    }.nonEmpty, month.queryExecution.optimizedPlan.treeString)
+    val got = month.collect()
+    assert(got.length == 1) // both weeks fall in January: ONE combined cell
+    WheelAcceleration.clear()
+    val mExp = spark.sql(mSql).collect()
+    assert(got.toSeq == mExp.toSeq)
+    WheelAcceleration.clear()
+  }
+
   test("composite-keyed fold: GROUP BY k1, k2, month folds and matches the scan (round 13)") {
     WheelAcceleration.clear()
     val liPath = s"$dir/lineitem.parquet"
@@ -2584,23 +2625,37 @@ class WheelAccelerationSpec extends AnyFunSuite {
     WheelAcceleration.clear()
   }
 
-  test("composite-keyed fold past the ceiling bails with a PINNED reason (round 13)") {
+  test("composite-keyed fold past the ceiling goes DISTRIBUTED; no-merge-form pins a reason (round 13)") {
     WheelAcceleration.clear()
     val liPath = s"$dir/lineitem.parquet"
+    val sql =
+      """SELECT l_returnflag, l_linestatus,
+        |unix_millis(CAST(date_trunc('month', l_shipdate) AS TIMESTAMP)) AS month_ms,
+        |ROUND(SUM(l_quantity), 2) AS s, COUNT(*) AS n FROM lineitem_ck
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+    Q.t(spark, dir, "lineitem").createOrReplaceTempView("lineitem_ck")
+    val expected = spark.sql(sql).collect().toSeq // plain scan baseline
     WheelAcceleration.registerKeyedComposite(spark, liPath,
       Q.t(spark, dir, "lineitem"), Seq("l_returnflag", "l_linestatus"),
       "l_shipdate", Seq("l_quantity"))
-    Q.t(spark, dir, "lineitem").createOrReplaceTempView("lineitem_ck")
     spark.conf.set("spark.graft.wheel.rewrite.maxFoldRows", "2")
     try {
-      val df = spark.sql(
+      // above the ceiling: the (tuple, minute) partials ship through a
+      // real merge-form Aggregate — still scan-free, values identical
+      val df = spark.sql(sql)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("FileScan"), plan)
+      assert(plan.contains("HashAggregate"), plan) // the distributed merge
+      assert(df.collect().toSeq == expected)
+      // an aggregate with NO merge form keeps the scan, reason pinned
+      val noMerge = spark.sql(
         """SELECT l_returnflag, l_linestatus,
           |unix_millis(CAST(date_trunc('month', l_shipdate) AS TIMESTAMP)) AS month_ms,
-          |ROUND(SUM(l_quantity), 2) AS s FROM lineitem_ck
+          |COUNT(DISTINCT l_quantity) AS d FROM lineitem_ck
           |GROUP BY 1, 2, 3""".stripMargin)
-      assert(df.queryExecution.optimizedPlan.collect {
+      assert(noMerge.queryExecution.optimizedPlan.collect {
         case l: LocalRelation => l
-      }.isEmpty, "should have kept the scan past the ceiling")
+      }.isEmpty, "COUNT(DISTINCT) must keep the scan")
       val reason = WheelAcceleration.lastBailReason(liPath).getOrElse("")
       assert(reason.contains("composite-keyed fold above maxFoldRows"), reason)
     } finally {

@@ -93,6 +93,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("LocalTableScan"), p)
   }
 
+  test("q_wheel_or_rollup_sql: grouped disjoint-range fold, zero FileScan (round 13)") {
+    val p = plan("q_wheel_or_rollup_sql")
+    assert(!p.contains("FileScan"), p)
+    assert(p.contains("LocalTableScan"), p)
+  }
+
   test("q_wheel_table_agg_sql: complete pushdown — no Aggregate, no Exchange, no FileScan") {
     val p = plan("q_wheel_table_agg_sql")
     assert(!p.contains("HashAggregate"), p)

@@ -309,6 +309,31 @@ class WheelTableSpec extends AnyFunSuite {
     assert(mgRows.nonEmpty && mgRows.forall(r => r.getLong(2) >= 1L))
   }
 
+  test("keyedtheta sketch dir mode: per-(key, slot) distinct series, key pushdown (round 13)") {
+    val tmp = Files.createTempDirectory("graft-wheel-keyedtheta-dir").toString
+    graft.wheel.PersistentWheel.saveKeyedCohort(spark, tmp,
+      Q.t(spark, dir, "events"), "event_type", "ts", "user_id",
+      graft.wheel.SourceFingerprint.of(path, spark.sessionState.newHadoopConf()))
+    val t = spark.read.format("wheel").option("dir", tmp).load()
+    assert(t.schema.fieldNames.toSeq ==
+      Seq("event_type", "slot_ms", "distinct_user_id"))
+    // theta exact under the nominal: per-(key, minute) distincts match
+    val got = t.filter(col("event_type") === "click")
+      .orderBy("slot_ms").collect()
+      .map(r => r.getLong(1) -> r.getDouble(2)).toSeq
+    val exp = Q.t(spark, dir, "events").filter(col("event_type") === "click")
+      .groupBy(expr(s"(unix_millis(ts) div $Minute) * $Minute").as("slot_ms"))
+      .agg(countDistinct("user_id").as("d")).orderBy("slot_ms").collect()
+      .map(r => r.getLong(0) -> r.getLong(1).toDouble).toSeq
+    assert(got == exp)
+    // the key filter was CONSUMED: the scan emits only that key's rows
+    val pruned = t.filter(col("event_type") === "click")
+    val n = pruned.collect().length
+    assert(pruned.queryExecution.executedPlan.collectLeaves()
+      .head.metrics("numOutputRows").value == n.toLong)
+    assert(n.toLong < t.count())
+  }
+
   test("write path: df.write.format(\"wheel\") persists a servable sum dir (round 13)") {
     val tmp = s"${Files.createTempDirectory("graft-wheel-write").toString}/idx"
     // an arbitrary DERIVED DataFrame — a filtered view, not a source path
