@@ -3103,15 +3103,30 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       gExpr <- resolveGrouping(child, slotGroup)
       grid <- slotGrid(gExpr, reg.tsCol)
       filterOpt = findFilter(child)
+      // KEYED OR-ranges (round 13): a disjunction of ranges folds per
+      // (key, cell) with contributions combined across ranges — same
+      // semantics as the unkeyed grouped Right branch
+      orFold = filterOpt.flatMap { case (cond, _) =>
+        if (rangeMs(cond, reg.tsCol).isDefined) None
+        else orRangesMs(cond, reg.tsCol).map(mergeRanges).flatMap { ranges =>
+          keyedOrRangesFold(agg, keyAttr, slotGroup, gExpr, grid, aggExprs,
+            reg, ranges)
+        }
+      }
       (aOpt, bOpt) <- filterOpt match {
-        case Some((cond, _)) => rangeMs(cond, reg.tsCol)
+        case Some((cond, _)) =>
+          // a successful OR fold short-circuits below; the placeholder
+          // bounds only keep the comprehension alive to reach it
+          rangeMs(cond, reg.tsCol)
+            .orElse(orFold.map(_ => (Some(0L), Some(MinuteMs))))
         case None => Some((None, None))
       }
       a = aOpt.getOrElse(reg.any.baseMs)
       b = bOpt.getOrElse(reg.any.horizonMs)
       if a < b
       result <-
-        if (a % MinuteMs == 0 && b % MinuteMs == 0) {
+        if (orFold.isDefined) orFold
+        else if (a % MinuteMs == 0 && b % MinuteMs == 0) {
           if (reg.any.keys.size.toLong * cellCount(grid, a, b, maxFoldRows) > maxFoldRows)
             distributedGrouped(aggExprs, Map.empty, grid, gExpr,
               Seq(Seq(slotGroup, gExpr)), Some((keyAttr, reg)), a, b)
@@ -3149,6 +3164,55 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
             aggExprs, child, below, reg, a, b)
         }
     } yield result
+  }
+
+  /** KEYED OR-ranges fold (round 13): `GROUP BY key, time-slot` over a
+    * disjunction of fully bounded ranges — per-(key, cell) index
+    * queries combined across ranges by the associative AllAggregate
+    * merge (pre-merged disjuncts, so SQL OR semantics hold). Sketch
+    * spellings are not served (no single sketch view spans a combined
+    * multi-range cell); unaligned or above-cap shapes keep the scan. */
+  private def keyedOrRangesFold(
+      agg: Aggregate, keyAttr: AttributeReference, slotGroup: Expression,
+      gExpr: Expression, grid: SlotGrid, aggExprs: Seq[NamedExpression],
+      reg: WheelAcceleration.KeyedReg,
+      ranges: Seq[(Long, Long)]): Option[LogicalPlan] = {
+    val aligned = ranges.forall { case (x, y) =>
+      x % MinuteMs == 0 && y % MinuteMs == 0 && x < y }
+    val cellsTotal =
+      ranges.map { case (x, y) => cellCount(grid, x, y, maxFoldRows) }.sum
+    if (!aligned || reg.any.keys.size.toLong * cellsTotal > maxFoldRows)
+      return None
+    val out = Seq.newBuilder[InternalRow]
+    var ok = true
+    reg.any.keys.foreach { key =>
+      val cells = scala.collection.mutable.LinkedHashMap
+        .empty[Long, Map[String, AllAggregate]]
+      ranges.foreach { case (x, y) =>
+        val it = grid.starts(x, y)
+        while (it.hasNext) {
+          val s0 = it.next()
+          val s1 = grid.end(s0)
+          val alls = reg.wheels.map { case (c, i) =>
+            c -> i.query(key, math.max(x, s0), math.min(y, s1)) }
+          if (alls.valuesIterator.next().rows > 0L)
+            cells(s0) = cells.get(s0) match {
+              case Some(prev) =>
+                prev.map { case (c, al) => c -> al.combine(alls(c)) }
+              case None => alls
+            }
+        }
+      }
+      cells.toSeq.sortBy(_._1).foreach { case (s0, alls) =>
+        if (ok) foldRow(aggExprs, alls, Seq(
+          (Seq(keyAttr), Literal.create(key, reg.any.keyType)),
+          (Seq(slotGroup, gExpr), slotLiteral(grid, s0, grid.end(s0))))) match {
+          case Some(vals) => out += InternalRow.fromSeq(vals)
+          case None => ok = false
+        }
+      }
+    }
+    if (ok) Some(LocalRelation(agg.output, out.result())) else None
   }
 
   /** COMPOSITE-keyed fold (round 13, VERDICT r12 #4): `GROUP BY k1, …,

@@ -2588,6 +2588,27 @@ class WheelAccelerationSpec extends AnyFunSuite {
     WheelAcceleration.clear()
   }
 
+  test("KEYED OR-ranges: per-(key, day) rollup over two disjoint weeks folds and matches (round 13)") {
+    WheelAcceleration.clear()
+    WheelAcceleration.registerKeyed(spark, path, events, "event_type")
+    events.createOrReplaceTempView("events_accel")
+    val w2a = Q.Jan1 + 18 * 86400000L
+    val w2b = Q.Jan1 + 25 * 86400000L
+    val sql = "SELECT event_type, (unix_millis(ts) div 86400000) * 86400000 AS day_ms, " +
+      "ROUND(SUM(value), 2) AS s, COUNT(*) AS n FROM events_accel " +
+      s"WHERE (unix_millis(ts) >= ${Q.R1Start} AND unix_millis(ts) < ${Q.R1End}) " +
+      s"OR (unix_millis(ts) >= $w2a AND unix_millis(ts) < $w2b) " +
+      "GROUP BY 1, 2 ORDER BY 1, 2"
+    val or = spark.sql(sql)
+    assert(or.queryExecution.optimizedPlan.collect {
+      case l: LocalRelation => l
+    }.nonEmpty, or.queryExecution.optimizedPlan.treeString)
+    val got = or.collect().toSeq
+    WheelAcceleration.clear()
+    assert(got == spark.sql(sql).collect().toSeq)
+    WheelAcceleration.clear()
+  }
+
   test("composite-keyed fold: GROUP BY k1, k2, month folds and matches the scan (round 13)") {
     WheelAcceleration.clear()
     val liPath = s"$dir/lineitem.parquet"
