@@ -351,6 +351,31 @@ object Analytics {
         .orderBy("slot_ms")
     }),
 
+    // KEYED SKETCH dir as a table (round 13): "distinct users per
+    // minute PER event_type" served as a plain table from a persisted
+    // keyedtheta dir — theta exact under the nominal licenses the
+    // per-(key, minute) COUNT(DISTINCT) oracle. Key and slot pushdown
+    // consumed; |keys| × minutes rows, volume-independent.
+    "q_wheel_table_keyed_sketch_sql" -> ((s, dir) => {
+      val idxDir = s"${sys.props("java.io.tmpdir")}/graft_pksketch_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"$dir/events.parquet"
+      val fp = graft.wheel.SourceFingerprint.of(
+        path, s.sessionState.newHadoopConf())
+      // build-or-reuse against the recorded source fingerprint
+      val fresh = graft.wheel.PersistentWheel.peek(s, idxDir).exists(m =>
+        m.kind == graft.wheel.PersistentWheel.KeyedThetaKind &&
+          m.sourceFingerprint == fp)
+      if (!fresh)
+        graft.wheel.PersistentWheel.saveKeyedCohort(
+          s, idxDir, t(s, dir, "events"), "event_type", "ts", "user_id",
+          fp, path)
+      s.read.format("wheel").option("dir", idxDir).load()
+        .filter(col("slot_ms") >= R1Start && col("slot_ms") < R1Start + Day)
+        .select(col("event_type"), col("slot_ms"), col("distinct_user_id"))
+        .orderBy("event_type", "slot_ms")
+    }),
+
     // KEYEDMULTI dir as a table (round 13, VERDICT r12 #3): the
     // N-measure keyed dir — the live keyed ingest's checkpoint format —
     // now resolves to a table serving EVERY measure's per-(key, slot)
@@ -508,6 +533,11 @@ object Analytics {
         "WHERE event_type <> 'purchase' " +
         s"AND epoch_ms(ts) >= $R1Start AND epoch_ms(ts) < $R1End " +
         "GROUP BY 1 ORDER BY 1"),
+    "q_wheel_table_keyed_sketch_sql" ->
+      (s"SELECT event_type, (epoch_ms(ts) // ${Tier.Minute.ms}) * ${Tier.Minute.ms} AS slot_ms, " +
+        "CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS distinct_user_id FROM events " +
+        s"WHERE epoch_ms(ts) >= $R1Start AND epoch_ms(ts) < ${R1Start + Day} " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
     "q_wheel_table_keyedmulti_sql" ->
       ("SELECT event_type, ROUND(SUM(value), 2) AS sum_value, " +
         "ROUND(SUM(value * 2), 2) AS sum_v2, COUNT(value) AS n FROM events " +
