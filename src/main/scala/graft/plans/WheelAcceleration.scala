@@ -1655,8 +1655,13 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
           c -> merged.map { case (x, y) => i.query(x, y) }
             .reduce(_ combine _)
         }
+        // approximate spellings fold too (round 13): every sketch
+        // family is MERGEABLE, so the union-range sketch — per-range
+        // range-sketches merged — equals one built over the
+        // concatenated data; the accuracy gates judge the merged result
+        val sketch = WheelAcceleration.lookupSketch(path).filter(_.tsCol == tsCol)
         bail(path, foldNote("OR-ranges fold: aggregate list not foldable"))(
-          foldRow(aggExprs, alls, Seq.empty))
+          foldRow(aggExprs, alls, Seq.empty, sketch, merged.head, merged.tail))
           .map(r => LocalRelation(agg.output, Seq(InternalRow.fromSeq(r))))
       }
     } yield result
@@ -3961,7 +3966,10 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       alls: Map[String, AllAggregate],
       groupSubst: Seq[(Seq[Expression], Literal)],
       sketch: Option[WheelAcceleration.SketchReg] = None,
-      range: (Long, Long) = (0L, 0L)): Option[Seq[Any]] = {
+      range: (Long, Long) = (0L, 0L),
+      // additional disjoint spans (round 13, OR-ranges): the sketch
+      // substitutions answer over the UNION of `range +: moreRanges`
+      moreRanges: Seq[(Long, Long)] = Nil): Option[Seq[Any]] = {
     // Resolve an aggregate's input column to ITS registered measure's
     // partials (multi-measure registrations fold mixed-measure
     // statements; single-measure ones carry a one-entry map).
@@ -4019,7 +4027,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
         case StddevSamp(c, true) => measure(c).flatMap(all =>
           if (all.count < 2) Some(Literal(null, DoubleType))
           else Some(Literal(all.stddevSamp, DoubleType)))
-        case f => sketch.flatMap(sk => sketchLit(f, sk, range._1, range._2))
+        case f => sketch.flatMap(sk => sketchLit(f, sk, range +: moreRanges))
       }
       r.getOrElse {
         if (foldBailNote.isEmpty) foldBailNote =
@@ -4071,16 +4079,23 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     * tighter, with the reason queryable via
     * [[WheelAcceleration.lastBailReason]]. */
   private def sketchLit(f: AggregateFunction,
-      sk: WheelAcceleration.SketchReg, a: Long, b: Long): Option[Expression] = {
+      sk: WheelAcceleration.SketchReg,
+      spans: Seq[(Long, Long)]): Option[Expression] = {
     def inputCol(e: Expression): Option[String] = e match {
       case at: AttributeReference => Some(at.name)
       case _ => None
     }
-    def clamp(span: (Long, Long)): Option[(Long, Long)] = {
-      val lo = math.max(a, span._1)
-      val hi = math.min(b, span._2)
-      if (lo < hi) Some((lo, hi)) else None
-    }
+    // every requested span clipped to the wheel's coverage — the
+    // OR-ranges fold (round 13) passes SEVERAL disjoint pre-merged
+    // spans; each sketch family merges its per-span range sketches
+    // (all three are mergeable, so the union-range answer equals one
+    // sketch built over the concatenated data)
+    def clampAll(cover: (Long, Long)): Seq[(Long, Long)] =
+      spans.flatMap { case (a, b) =>
+        val lo = math.max(a, cover._1)
+        val hi = math.min(b, cover._2)
+        if (lo < hi) Some((lo, hi)) else None
+      }
     def gateBail(msg: String): Option[Expression] = {
       foldBailNote = msg
       None
@@ -4088,10 +4103,19 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     f match {
       case hll: HyperLogLogPlusPlus =>
         inputCol(hll.child).flatMap(sk.distinct.get).flatMap { w =>
-          clamp((w.baseMs, w.horizonMs)) match {
-            case None => Some(Literal(0L, LongType))
-            case Some((lo, hi)) =>
-              val cs = w.rangeSketch(lo, hi)
+          clampAll((w.baseMs, w.horizonMs)) match {
+            case Seq() => Some(Literal(0L, LongType))
+            case clamped =>
+              val cs =
+                if (clamped.size == 1)
+                  w.rangeSketch(clamped.head._1, clamped.head._2)
+                else {
+                  val u = org.apache.datasketches.theta.SetOperation
+                    .builder().buildUnion()
+                  clamped.foreach { case (lo, hi) =>
+                    u.union(w.rangeSketch(lo, hi)) }
+                  u.getResult
+                }
               val est = cs.getEstimate
               // realized 1-σ relative bound of the merged Theta sketch
               // (0 in the exact regime)
@@ -4109,10 +4133,21 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       case ap: ApproximatePercentile =>
         inputCol(ap.child).flatMap(sk.quantile.get).flatMap { w =>
           // merged once; empty/out-of-span ranges fold to SQL NULL,
-          // matching percentile_approx over zero rows
-          val sketch = clamp((w.baseMs, w.horizonMs))
-            .map { case (lo, hi) => w.rangeSketch(lo, hi) }
-            .filter(!_.isEmpty)
+          // matching percentile_approx over zero rows. KLL merge is
+          // associative, so several disjoint spans merge exactly.
+          val sketch = {
+            val parts = clampAll((w.baseMs, w.horizonMs))
+              .map { case (lo, hi) => w.rangeSketch(lo, hi) }
+              .filter(!_.isEmpty)
+            if (parts.isEmpty) None
+            else if (parts.size == 1) Some(parts.head)
+            else {
+              val m = org.apache.datasketches.kll.KllDoublesSketch
+                .newHeapInstance(graft.wheel.QuantileWheel.K)
+              parts.foreach(m.merge)
+              Some(m)
+            }
+          }
           val requestedEps = ap.accuracyExpression.eval(InternalRow.empty) match {
             case i: java.lang.Integer => 1.0 / math.max(1, i.intValue())
             case l: java.lang.Long => 1.0 / math.max(1L, l.longValue()).toDouble
@@ -4150,11 +4185,11 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
               case _ => None
             }
             kOpt.flatMap { k =>
-              clamp((w.baseMs, w.horizonMs)) match {
-                case None => Some(Literal(
+              clampAll((w.baseMs, w.horizonMs)) match {
+                case Seq() => Some(Literal(
                   new org.apache.spark.sql.catalyst.util.GenericArrayData(
                     Array.empty[Any]), tk.dataType))
-                case Some((lo, hi)) =>
+                case clamped =>
                   val tracked = tk.maxItemsTracked.eval(InternalRow.empty) match {
                     case i: java.lang.Integer => i.intValue()
                     case l: java.lang.Long => l.intValue()
@@ -4163,7 +4198,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
                   val trackedEff =
                     if (tracked <= 0) ApproxTopK.DEFAULT_MAX_ITEMS_TRACKED
                     else tracked
-                  val exact = w.maximumError(lo, hi) == 0L
+                  val exact = w.maximumErrorSpans(clamped) == 0L
                   val budgetOk = graft.wheel.FrequencyWheel.MaxMapSize >=
                     ApproxTopK.calMaxMapSize(trackedEff)
                   if (!exact && !budgetOk)
@@ -4176,7 +4211,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
                     // deterministic order: estimate desc, key asc
                     // (FrequencyWheel.topK's contract) — ties at the
                     // boundary resolve by key
-                    val rows: Array[Any] = w.topK(lo, hi, k)
+                    val rows: Array[Any] = w.topKSpans(clamped, k)
                       .map { case (key, est, _, _) => InternalRow(key, est): Any }
                       .toArray
                     Some(Literal(

@@ -88,6 +88,28 @@ final class FrequencyWheel private (
   def maximumError(startMs: Long, endMs: Long): Long =
     merged(startMs, endMs).getMaximumError
 
+  /** [[merged]] across SEVERAL disjoint minute-aligned spans (round 13
+    * — the OR-ranges fold): LongsSketch merge is associative, so the
+    * union-range sketch equals one built over the concatenated data. */
+  private def mergedSpans(spans: Seq[(Long, Long)]): LongsSketch = {
+    val acc = new LongsSketch(FrequencyWheel.MaxMapSize)
+    spans.foreach { case (a, b) => acc.merge(merged(a, b)) }
+    acc
+  }
+
+  /** [[topK]] over a union of disjoint spans. */
+  private[graft] def topKSpans(spans: Seq[(Long, Long)], k: Int): Seq[(Long, Long, Long, Long)] =
+    mergedSpans(spans)
+      .getFrequentItems(ErrorType.NO_FALSE_NEGATIVES)
+      .toSeq
+      .map(r => (r.getItem, r.getEstimate, r.getLowerBound, r.getUpperBound))
+      .sortBy { case (key, est, _, _) => (-est, key) }
+      .take(k)
+
+  /** [[maximumError]] over a union of disjoint spans. */
+  private[graft] def maximumErrorSpans(spans: Seq[(Long, Long)]): Long =
+    mergedSpans(spans).getMaximumError
+
   /** True iff no minute slot was evicted — the tail-refresh
     * precondition (an evicted slot reads as empty; merging over it
     * would drop history). */

@@ -2547,6 +2547,46 @@ class WheelAccelerationSpec extends AnyFunSuite {
     WheelAcceleration.clear()
   }
 
+  test("OR-ranges: approximate spellings fold via MERGED sketches (round 13)") {
+    WheelAcceleration.clear()
+    register()
+    WheelAcceleration.registerSketches(spark, path, events, "ts",
+      distinctCols = Seq("user_id"), quantileCols = Seq("value"))
+    events.createOrReplaceTempView("events_accel")
+    val w2a = Q.Jan1 + 18 * 86400000L
+    val w2b = Q.Jan1 + 25 * 86400000L
+    val where =
+      s"(unix_millis(ts) >= ${Q.R1Start} AND unix_millis(ts) < ${Q.R1End}) " +
+        s"OR (unix_millis(ts) >= $w2a AND unix_millis(ts) < $w2b)"
+    def folds(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collect { case l: LocalRelation => l }.nonEmpty
+    // theta exact regime: the UNION-range distinct equals the true count
+    val d = spark.sql(
+      s"SELECT approx_count_distinct(user_id) AS u FROM events_accel WHERE $where")
+    assert(folds(d), d.queryExecution.optimizedPlan.treeString)
+    val exact = events.filter(
+      (unix_millis(col("ts")) >= Q.R1Start && unix_millis(col("ts")) < Q.R1End) ||
+        (unix_millis(col("ts")) >= w2a && unix_millis(col("ts")) < w2b))
+      .agg(countDistinct("user_id")).collect()(0).getLong(0)
+    assert(d.collect()(0).getLong(0) == exact)
+    // KLL across the union: accuracy 50 (2% rank error) folds, and the
+    // answer sits within the promised rank band of the union's median
+    val p = spark.sql(
+      s"SELECT percentile_approx(value, 0.5, 50) AS p50 FROM events_accel WHERE $where")
+    assert(folds(p), p.queryExecution.optimizedPlan.treeString)
+    val n = events.filter(
+      (unix_millis(col("ts")) >= Q.R1Start && unix_millis(col("ts")) < Q.R1End) ||
+        (unix_millis(col("ts")) >= w2a && unix_millis(col("ts")) < w2b)).count()
+    val sorted = events.filter(
+      (unix_millis(col("ts")) >= Q.R1Start && unix_millis(col("ts")) < Q.R1End) ||
+        (unix_millis(col("ts")) >= w2a && unix_millis(col("ts")) < w2b))
+      .select("value").collect().map(_.getDouble(0)).sorted
+    val got = p.collect()(0).getDouble(0)
+    val rank = sorted.count(_ <= got).toDouble / n
+    assert(math.abs(rank - 0.5) <= 0.05, s"median rank $rank (n=$n, got=$got)")
+    WheelAcceleration.clear()
+  }
+
   test("GROUPED OR-ranges: day rollup over two disjoint weeks folds and matches (round 13)") {
     WheelAcceleration.clear()
     register()
