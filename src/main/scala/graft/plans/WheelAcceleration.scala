@@ -1115,6 +1115,13 @@ object WheelAcceleration {
       lines += s"  keyed wheels: key=${r.keyCol}, measures ${r.wheels.keys.toSeq.sorted.mkString("[", ", ", "]")}" +
         s" span [${fmt(a.baseMs)}, ${fmt(a.horizonMs)}), ts=${r.tsCol}, ${freshness(r.fingerprint, r.hadoopConf)}"
     }
+    Option(keyed2Registry.get(p)).foreach { r =>
+      val a = r.any
+      lines += s"  composite keyed wheels: keys=${r.keyCols.mkString("(", ", ", ")")}, " +
+        s"measures ${r.wheels.keys.toSeq.sorted.mkString("[", ", ", "]")}" +
+        s" span [${fmt(a.baseMs)}, ${fmt(a.horizonMs)}), ts=${r.tsCol}, " +
+        freshness(r.fingerprint, r.hadoopConf)
+    }
     Option(sketchRegistry.get(p)).foreach { r =>
       lines += s"  sketch wheels: distinct ${r.distinct.keys.toSeq.sorted.mkString("[", ", ", "]")}, " +
         s"quantile ${r.quantile.keys.toSeq.sorted.mkString("[", ", ", "]")}, " +
@@ -1403,11 +1410,20 @@ object WheelAcceleration {
       .filter(r => fresh(path, r.fingerprint, r.hadoopConf))
 
   /** Idempotently add the rule to an already-built session (the
-    * config-time path is `spark.sql.extensions=graft.plans.GraftExtensions`). */
+    * config-time path is `spark.sql.extensions=graft.plans.GraftExtensions`),
+    * and register the SQL-visible introspection functions (round 13) —
+    * "why didn't acceleration fire" answerable from a SQL console:
+    * {{{ SELECT graft_bail_reason('/data/events.parquet');
+    *     SELECT graft_acceleration_status('/data/events.parquet'); }}} */
   def enable(spark: SparkSession): Unit = {
     val existing = spark.experimental.extraOptimizations
     if (!existing.exists(_.isInstanceOf[WheelSumRewrite]))
       spark.experimental.extraOptimizations = existing :+ WheelSumRewrite()
+    // idempotent (re-registration replaces with an identical function)
+    spark.udf.register("graft_bail_reason",
+      (p: String) => lastBailReason(p).getOrElse(""))
+    spark.udf.register("graft_acceleration_status",
+      (p: String) => accelerationStatus(p))
   }
 
   private def normalize(p: String): String =

@@ -2547,6 +2547,23 @@ class WheelAccelerationSpec extends AnyFunSuite {
     WheelAcceleration.clear()
   }
 
+  test("SQL introspection: graft_bail_reason / graft_acceleration_status (round 13)") {
+    WheelAcceleration.clear()
+    register()
+    events.createOrReplaceTempView("events_accel")
+    // force a recorded bail: COUNT(DISTINCT) never folds
+    spark.sql("SELECT COUNT(DISTINCT user_id) FROM events_accel " +
+      s"WHERE unix_millis(ts) >= ${Q.R1Start} AND unix_millis(ts) < ${Q.R1End}")
+      .queryExecution.optimizedPlan
+    val reason = spark.sql(s"SELECT graft_bail_reason('$path') AS r")
+      .collect()(0).getString(0)
+    assert(reason.contains("DISTINCT"), reason)
+    val status = spark.sql(s"SELECT graft_acceleration_status('$path') AS s")
+      .collect()(0).getString(0)
+    assert(status.contains("sum wheels") && status.contains("FRESH"), status)
+    WheelAcceleration.clear()
+  }
+
   test("OR-ranges: approximate spellings fold via MERGED sketches (round 13)") {
     WheelAcceleration.clear()
     register()
