@@ -3122,7 +3122,9 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
         case _ => true
       }
       gExpr <- resolveGrouping(child, slotGroup)
-      grid <- slotGrid(gExpr, reg.tsCol)
+      grid <- bail(path, gridNote("keyed grouping is not a time-bucketing " +
+        s"expression over the registered ts column '${reg.tsCol}'"))(
+        slotGrid(gExpr, reg.tsCol))
       filterOpt = findFilter(child)
       // KEYED OR-ranges (round 13): a disjunction of ranges folds per
       // (key, cell) with contributions combined across ranges — same
@@ -3276,7 +3278,9 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
         if (rest.size == 1) rest.headOption else None
       }
       gExpr <- resolveGrouping(child, slotGroup)
-      grid <- slotGrid(gExpr, reg.tsCol)
+      grid <- bail(path, gridNote("composite-keyed grouping is not a " +
+        s"time-bucketing expression over the registered ts column " +
+        s"'${reg.tsCol}'"))(slotGrid(gExpr, reg.tsCol))
       (aOpt, bOpt) <- findFilter(child) match {
         case Some((cond, _)) => rangeMs(cond, reg.tsCol)
         case None => Some((None, None))
