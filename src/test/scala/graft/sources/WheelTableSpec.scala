@@ -585,6 +585,34 @@ class WheelTableSpec extends AnyFunSuite {
     })
   }
 
+  test("write path error modes: bad ts / no measures / explicit measures (round 13)") {
+    val base = Files.createTempDirectory("graft-wheel-write-err").toString
+    val ev = Q.t(spark, dir, "events").select(col("ts"), col("value"))
+    // ts names a missing column → loud refusal naming the columns
+    val badTs = intercept[Exception] {
+      ev.write.format("wheel").option("dir", s"$base/a")
+        .option("ts", "nope").mode("overwrite").save()
+    }
+    assert(badTs.getMessage.contains("nope"), badTs.getMessage)
+    // no numeric measure columns → loud refusal
+    val noMeasure = intercept[Exception] {
+      ev.select("ts").write.format("wheel").option("dir", s"$base/b")
+        .option("ts", "ts").mode("overwrite").save()
+    }
+    assert(noMeasure.getMessage.contains("measure"), noMeasure.getMessage)
+    // explicit measures subset: only the listed column is indexed
+    val ev2 = Q.t(spark, dir, "events")
+      .select(col("ts"), col("value"), (col("value") * 3).as("v3"))
+    ev2.write.format("wheel").option("dir", s"$base/c").option("ts", "ts")
+      .option("measures", "v3").mode("overwrite").save()
+    val meta = graft.wheel.PersistentWheel.peek(spark, s"$base/c").get
+    assert(meta.valueCols == Seq("v3"))
+    val got = spark.read.format("wheel").option("dir", s"$base/c").load()
+      .agg(round(sum("sum_v3"), 2)).collect()(0).getDouble(0)
+    val exp = ev2.agg(round(sum("v3"), 2)).collect()(0).getDouble(0)
+    assert(got == exp)
+  }
+
   test("option error modes: unregistered source / missing options fail loudly") {
     WheelAcceleration.clear()
     val e1 = intercept[Exception] {
