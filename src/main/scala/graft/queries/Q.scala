@@ -130,4 +130,11 @@ object Q {
     * and last slots: [1994-02-15, 1996-05-10), day-aligned. */
   val LiUStart: Long = 761270400000L  // 1994-02-15T00:00:00Z
   val LiUEnd: Long = 831686400000L    // 1996-05-10T00:00:00Z
+
+  /** ZONE-WALKED fold fixture (round 14): events shifted +68 days land
+    * the span on [2024-03-09, 2024-04-07), straddling the US
+    * spring-forward (2024-03-10T07:00Z — the 23-hour New York day). */
+  val TzShiftMs: Long = 68 * Day
+  val TzStart: Long = Jan1 + TzShiftMs           // 2024-03-09T00:00:00Z
+  val TzEnd: Long = TzStart + 14 * Day           // 2024-03-23T00:00:00Z
 }

@@ -2477,28 +2477,98 @@ class WheelAccelerationSpec extends AnyFunSuite {
     }
   }
 
-  test("non-UTC session: date_trunc fold refuses with a PINNED timezone reason (round 13)") {
+  test("REGION-zone session folds via zone-walked grids across BOTH 2024 DST transitions (round 14)") {
     WheelAcceleration.clear()
-    register()
-    events.createOrReplaceTempView("events_accel")
-    val sql = "SELECT date_trunc('day', ts) AS d, ROUND(SUM(value), 2) AS s " +
-      "FROM events_accel GROUP BY 1"
-    // UTC baseline: the day grid folds
-    val utc = spark.sql(sql)
-    assert(utc.queryExecution.optimizedPlan.collect {
-      case l: LocalRelation => l
-    }.nonEmpty, utc.queryExecution.optimizedPlan.treeString)
+    // Instant-typed fixture straddling the US spring-forward (2024-03-10
+    // 07:00Z, the 23-hour local day) and fall-back (2024-11-03 06:00Z,
+    // the 25-hour local day + the repeated 01:xx local hour): rows every
+    // 20 minutes for 3 days around each transition.
+    val p = s"${sys.props("java.io.tmpdir")}/graft_dst_events.parquet"
+    val mar8 = 1709856000000L // 2024-03-08T00:00:00Z
+    val nov1 = 1730419200000L // 2024-11-01T00:00:00Z
+    spark.range(0, 288)
+      .selectExpr(s"timestamp_millis($mar8 + id * 1200000) AS ts",
+        "CAST(id + 1 AS DOUBLE) AS value")
+      .union(spark.range(0, 288)
+        .selectExpr(s"timestamp_millis($nov1 + id * 1200000) AS ts",
+          "CAST(id + 500 AS DOUBLE) AS value"))
+      .write.mode("overwrite").parquet(p)
+    val ev = spark.read.parquet(p)
+    assert(ev.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
     spark.conf.set("spark.sql.session.timeZone", "America/New_York")
     try {
-      val offUtc = spark.sql(sql)
-      assert(offUtc.queryExecution.optimizedPlan.collect {
+      ev.createOrReplaceTempView("events_dst")
+      def check(sql: String): Unit = {
+        WheelAcceleration.clear()
+        val expected = spark.sql(sql).collect().toSeq // plain scan
+        WheelAcceleration.register(spark, p, spark.read.parquet(p))
+        val accel = spark.sql(sql)
+        assert(accel.queryExecution.optimizedPlan.collect {
+          case l: LocalRelation => l
+        }.nonEmpty, s"$sql\n${accel.queryExecution.optimizedPlan.treeString}")
+        assert(accel.collect().toSeq == expected, sql)
+      }
+      // local days: the spring day is 23 h, the fall day 25 h — the
+      // zone-walked day grid must reproduce the scan's keys bit-for-bit
+      check("SELECT date_trunc('day', ts) AS d, ROUND(SUM(value), 2) AS s, " +
+        "COUNT(*) AS n FROM events_dst GROUP BY 1 ORDER BY 1")
+      // local hours: the gap hour (02:xx on Mar 10) emits no key; the
+      // repeated 01:xx hours on Nov 3 keep DISTINCT instant keys
+      // (Spark's ZonedDateTime.truncatedTo preferred-offset semantics)
+      check("SELECT date_trunc('hour', ts) AS h, ROUND(SUM(value), 2) AS s, " +
+        "COUNT(*) AS n FROM events_dst GROUP BY 1 ORDER BY 1")
+      check("SELECT date_trunc('week', ts) AS w, ROUND(SUM(value), 2) AS s " +
+        "FROM events_dst GROUP BY 1 ORDER BY 1")
+      check("SELECT date_trunc('month', ts) AS m, ROUND(SUM(value), 2) AS s, " +
+        "COUNT(*) AS n FROM events_dst GROUP BY 1 ORDER BY 1")
+      check("SELECT CAST(ts AS DATE) AS d, ROUND(SUM(value), 2) AS s, " +
+        "COUNT(*) AS n FROM events_dst GROUP BY 1 ORDER BY 1")
+      // 23/25-hour days REALLY happened: distinct hour-key counts on the
+      // two transition days
+      WheelAcceleration.clear()
+      WheelAcceleration.register(spark, p, spark.read.parquet(p))
+      val hrs = spark.sql("SELECT CAST(ts AS DATE) AS d, " +
+        "COUNT(DISTINCT date_trunc('hour', ts)) AS nh FROM events_dst " +
+        "WHERE CAST(ts AS DATE) IN (DATE '2024-03-10', DATE '2024-11-03') " +
+        "GROUP BY 1 ORDER BY 1").collect()
+      assert(hrs.map(r => (r.getDate(0).toString, r.getLong(1))).toSeq ==
+        Seq(("2024-03-10", 23L), ("2024-11-03", 25L)), hrs.mkString(", "))
+    } finally {
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      WheelAcceleration.clear()
+    }
+  }
+
+  test("Europe/Berlin folds; pre-sound-floor ranges refuse with a PINNED reason (round 14)") {
+    WheelAcceleration.clear()
+    val p = s"${sys.props("java.io.tmpdir")}/graft_dst_events.parquet"
+    if (!new java.io.File(p).exists) cancel("fixture written by the DST test")
+    spark.conf.set("spark.sql.session.timeZone", "Europe/Berlin")
+    try {
+      val ev = spark.read.parquet(p)
+      ev.createOrReplaceTempView("events_dst")
+      val sql = "SELECT date_trunc('day', ts) AS d, ROUND(SUM(value), 2) AS s " +
+        "FROM events_dst GROUP BY 1 ORDER BY 1"
+      WheelAcceleration.clear()
+      val expected = spark.sql(sql).collect().toSeq
+      WheelAcceleration.register(spark, p, spark.read.parquet(p))
+      val accel = spark.sql(sql)
+      assert(accel.queryExecution.optimizedPlan.collect {
         case l: LocalRelation => l
-      }.isEmpty, "non-UTC date_trunc must keep the scan")
-      val reason = WheelAcceleration.lastBailReason(path).getOrElse("")
-      assert(reason.contains("America/New_York") && reason.contains("UTC"), reason)
-      // the kept scan stays CORRECT in the session zone (days shift by
-      // the offset, so the row set differs from the UTC fold's)
-      assert(offUtc.collect().nonEmpty)
+      }.nonEmpty, accel.queryExecution.optimizedPlan.treeString)
+      assert(accel.collect().toSeq == expected)
+      // pre-floor range (Berlin's 1893 LMT cutover is second-resolution):
+      // the shape matches but the range reaches before the sound floor —
+      // scan kept, reason pinned
+      val old = spark.sql("SELECT date_trunc('day', ts) AS d, SUM(value) AS s " +
+        "FROM events_dst WHERE ts >= TIMESTAMP '1850-01-01 00:00:00' " +
+        "GROUP BY 1")
+      assert(old.queryExecution.optimizedPlan.collect {
+        case l: LocalRelation => l
+      }.isEmpty, "pre-sound-floor range must keep the scan")
+      val reason = WheelAcceleration.lastBailReason(p).getOrElse("")
+      assert(reason.contains("sound floor"), reason)
     } finally {
       spark.conf.set("spark.sql.session.timeZone", "UTC")
       WheelAcceleration.clear()

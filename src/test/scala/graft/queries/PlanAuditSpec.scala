@@ -87,6 +87,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("LocalTableScan"), p)
   }
 
+  test("q_wheel_tz_sql: zone-walked NY day fold, zero FileScan (round 14)") {
+    val p = plan("q_wheel_tz_sql")
+    assert(!p.contains("FileScan"), p)
+    assert(p.contains("LocalTableScan"), p)
+  }
+
   test("q_wheel_or_ranges_sql: disjoint-range fold, zero FileScan (round 13)") {
     val p = plan("q_wheel_or_ranges_sql")
     assert(!p.contains("FileScan"), p)
