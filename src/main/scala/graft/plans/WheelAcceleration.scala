@@ -1613,26 +1613,31 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     (aOpt, bOpt) <- filterOpt match {
       case Some((cond, _)) =>
         bail(path, "filter is not a bare half-open range on " +
-          s"the registered ts column '$tsCol'")(rangeMs(cond, tsCol))
+          s"the registered ts column '$tsCol'")(rangeUs(cond, tsCol))
       case None =>
         bail(path, "no time predicate: full-span folds need a sum-wheel " +
           "registration (its build asserts the never-null-ts contract)")(
           if (wheels.nonEmpty) Some((None, None)) else None)
     }
     // a missing bound defaults to the index span (minute-aligned by
-    // construction): lower-only = landmark window, upper-only = prefix
+    // construction): lower-only = landmark window, upper-only = prefix.
+    // Bounds are µS (round 14): direct-timestamp closed/strict bounds
+    // (`ts <= TIMESTAMP 'x'` = `< x+1 µs`) now fold — aligned interior
+    // + an exact-µs-literal edge scan via the hybrid path.
     (spanBase, spanHorizon) <- wheels.valuesIterator
       .map(w => (w.baseMs, w.horizonMs)).nextOption()
       .orElse(sketch.flatMap(_.span))
-    a = aOpt.getOrElse(spanBase)
-    b = bOpt.getOrElse(spanHorizon)
-    if a <= b
+    aUs = aOpt.getOrElse(spanBase * 1000L)
+    bUs = bOpt.getOrElse(spanHorizon * 1000L)
+    if aUs <= bUs
     result <- {
       foldBailNote = ""
-      if (a % MinuteMs == 0 && b % MinuteMs == 0) {
+      val MinuteUs = MinuteMs * 1000L
+      if (aUs % MinuteUs == 0 && bUs % MinuteUs == 0) {
         // one µs-scale index lookup per registered measure; foldRow
         // then resolves each aggregate against ITS measure's partials
         // (and each approximate aggregate against its sketch wheel)
+        val (a, b) = (aUs / 1000L, bUs / 1000L)
         val alls = wheels.map { case (c, i) => c -> i.query(a, b) }
         bail(path, foldNote("aggregate list not foldable"))(
           foldRow(aggExprs, alls, Seq.empty, sketch, (a, b)))
@@ -1640,7 +1645,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       } else if (wheels.nonEmpty)
         bail(path, foldNote("unaligned range not foldable hybrid (no " +
           "whole-minute interior, or aggregates without a merge form)"))(
-          rewriteResidue(agg, aggExprs, below, tsCol, wheels, a, b))
+          rewriteResidue(agg, aggExprs, below, tsCol, wheels, aUs, bUs))
       else None
     }
    } yield result)
@@ -1845,9 +1850,12 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       cols.partialsRow(alls, count)
   }
 
+  /** All four bounds are µS instants (round 14): the edge filters carry
+    * exact µs literals, so direct-timestamp closed bounds (`<= x` =
+    * `< x+1 µs`) scan exactly their sub-minute edges. */
   private def residueParts(below: LogicalPlan, tsCol: String,
-      measureCols: Seq[String], a: Long, b: Long,
-      aCeil: Long, bFloor: Long,
+      measureCols: Seq[String], aUs: Long, bUs: Long,
+      aCeilUs: Long, bFloorUs: Long,
       shifts: Map[String, Double] = Map.empty): Option[ResidueParts] = {
     val tsAttr = below.output.find(_.name == tsCol) match {
       case Some(t) if t.dataType == TimestampType ||
@@ -1860,12 +1868,12 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       below.output.find(o => o.name == c && o.dataType == DoubleType)
         .map(c -> _)).toMap
     if (measureAttr.size != measures.size) return None
-    def usLit(ms: Long) = Literal(ms * 1000L, tsAttr.dataType)
+    def usLit(us: Long) = Literal(us, tsAttr.dataType)
     def edge(lo: Long, hi: Long): Option[Expression] =
       if (lo >= hi) None
       else Some(And(GreaterThanOrEqual(tsAttr, usLit(lo)),
         LessThan(tsAttr, usLit(hi))))
-    val edgeCond = (edge(a, aCeil), edge(bFloor, b)) match {
+    val edgeCond = (edge(aUs, aCeilUs), edge(bFloorUs, bUs)) match {
       case (Some(l), Some(h)) => Or(l, h)
       case (Some(l), None) => l
       case (None, Some(h)) => h
@@ -2108,21 +2116,25 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
   private def rewriteResidue(
       agg: Aggregate, aggExprs: Seq[NamedExpression], below: LogicalPlan,
       tsCol: String, wheels: Map[String, WheelIndex],
-      a: Long, b: Long): Option[LogicalPlan] = {
-    // floorDiv, not truncating division: pre-1970 (negative-epoch)
-    // bounds would otherwise round toward zero and let the interior
-    // overlap the edges or swallow rows past b
-    val aCeil = Math.floorDiv(a + MinuteMs - 1, MinuteMs) * MinuteMs
-    val bFloor = Math.floorDiv(b, MinuteMs) * MinuteMs
+      aUs: Long, bUs: Long): Option[LogicalPlan] = {
+    // µS bounds (round 14): sub-ms edges (direct-timestamp closed
+    // bounds) fold through the same hybrid. floorDiv, not truncating
+    // division: pre-1970 (negative-epoch) bounds would otherwise round
+    // toward zero and let the interior overlap the edges or swallow
+    // rows past b
+    val MinuteUs = MinuteMs * 1000L
+    val aCeil = Math.floorDiv(aUs + MinuteUs - 1, MinuteUs) * MinuteUs
+    val bFloor = Math.floorDiv(bUs, MinuteUs) * MinuteUs
     if (aCeil >= bFloor) return None // no whole-minute interior to fold
     val needCond = hasSecondMoment(aggExprs)
-    val alls = wheels.map { case (c, i) => c -> i.query(aCeil, bFloor) }
+    val alls = wheels.map { case (c, i) =>
+      c -> i.query(aCeil / 1000L, bFloor / 1000L) }
     // the interior here is ONE combined partial, so centering on its
     // own mean makes the gate vacuous by construction — the single-
     // partial recombination is genuinely well-conditioned at any data
     val shifts = shiftsFor(needCond, wheels.keys, alls)
     for {
-      parts <- residueParts(below, tsCol, wheels.keys.toSeq, a, b, aCeil, bFloor,
+      parts <- residueParts(below, tsCol, wheels.keys.toSeq, aUs, bUs, aCeil, bFloor,
         shifts)
       newAggExprs <- mergeAggExprs(parts.cols, wheels.keySet, aggExprs, Seq.empty)
       if !needCond ||
@@ -2154,19 +2166,21 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       agg: Aggregate, groupKey: Expression, gExpr: Expression,
       grid: SlotGrid, aggExprs: Seq[NamedExpression], child: LogicalPlan,
       below: LogicalPlan, tsCol: String, wheels: Map[String, WheelIndex],
-      a: Long, b: Long): Option[LogicalPlan] = {
-    // floorDiv, not truncating division: pre-1970 (negative-epoch)
-    // bounds would otherwise round toward zero and let the interior
-    // overlap the edges or swallow rows past b
-    val aCeil = Math.floorDiv(a + MinuteMs - 1, MinuteMs) * MinuteMs
-    val bFloor = Math.floorDiv(b, MinuteMs) * MinuteMs
+      aUs: Long, bUs: Long): Option[LogicalPlan] = {
+    // µS bounds (round 14); floorDiv, not truncating division:
+    // pre-1970 (negative-epoch) bounds would otherwise round toward
+    // zero and let the interior overlap the edges or swallow rows
+    // past b
+    val MinuteUs = MinuteMs * 1000L
+    val aCeil = Math.floorDiv(aUs + MinuteUs - 1, MinuteUs) * MinuteUs / 1000L
+    val bFloor = Math.floorDiv(bUs, MinuteUs) * MinuteUs / 1000L
     if (aCeil >= bFloor) return None
     val needCond = hasSecondMoment(aggExprs)
     val shifts = shiftsFor(needCond, wheels.keys,
       c => wheels(c).query(aCeil, bFloor))
     for {
-      parts <- residueParts(below, tsCol, wheels.keys.toSeq, a, b, aCeil, bFloor,
-        shifts)
+      parts <- residueParts(below, tsCol, wheels.keys.toSeq, aUs, bUs,
+        aCeil * 1000L, bFloor * 1000L, shifts)
       gEval <- rebaseOnto(child, below, gExpr)
       slotAttr = AttributeReference(
         "__graft_slot", gExpr.dataType, nullable = gExpr.nullable)()
@@ -2462,8 +2476,9 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
         case None => wheels(c).query(aCeil, bFloor)
       })
     for {
-      parts <- residueParts(innerBelow, tsCol, measures, a, b, aCeil, bFloor,
-        shifts)
+      // the sliding family stays ms-domain; residueParts takes µs
+      parts <- residueParts(innerBelow, tsCol, measures, a * 1000L, b * 1000L,
+        aCeil * 1000L, bFloor * 1000L, shifts)
       slotAttr = AttributeReference(
         "__graft_slot", winAttr.dataType, nullable = winAttr.nullable)()
       keyOut = keyed.map { case (kA, reg) =>
@@ -2880,30 +2895,37 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
         slotGrid(gExpr, tsCol))
       filterOpt = findFilter(child)
       any = wheels.valuesIterator.next()
-      // Left = the ordinary single conjunctive range; Right = an
-      // OR-of-disjoint-ranges predicate (round 13), pre-merged so a row
-      // matched by two disjuncts counts once
+      // Left = the ordinary single conjunctive range, in µS (round 14 —
+      // direct-timestamp closed bounds route to the grouped hybrid);
+      // Right = an OR-of-disjoint-ranges predicate (round 13, ms
+      // domain), pre-merged so a row matched by two disjuncts counts
+      // once
       ranged <- (filterOpt match {
         case Some((cond, _)) =>
-          rangeMs(cond, tsCol)
+          rangeUs(cond, tsCol)
             .map { case (aO, bO) =>
-              scala.util.Left((aO.getOrElse(any.baseMs), bO.getOrElse(any.horizonMs))) }
+              scala.util.Left((aO.getOrElse(any.baseMs * 1000L),
+                bO.getOrElse(any.horizonMs * 1000L))) }
             .orElse(orRangesMs(cond, tsCol).map(rs => scala.util.Right(mergeRanges(rs))))
-        case None => Some(scala.util.Left((any.baseMs, any.horizonMs)))
+        case None =>
+          Some(scala.util.Left((any.baseMs * 1000L, any.horizonMs * 1000L)))
       }): Option[Either[(Long, Long), Seq[(Long, Long)]]]
       // zone-walked grids (round 14) are only provably sound from the
       // zone's sound floor on — refuse earlier ranges, keep the scan
       _ <- bail(path, ZoneUnsoundNote)(
-        if (ranged.fold(r => grid.soundFor(r._1, r._2),
+        if (ranged.fold(
+          r => grid.soundFor(Math.floorDiv(r._1, 1000L), Math.floorDiv(r._2, 1000L)),
           rs => rs.forall(r => grid.soundFor(r._1, r._2)))) Some(()) else None)
       result <- ranged match {
-       case scala.util.Left((a, b)) if a < b =>
+       case scala.util.Left((aUs, bUs)) if aUs < bUs =>
         bail(path, foldNote("grouped shape not foldable")) {
         foldBailNote = ""
-        if (a % MinuteMs == 0 && b % MinuteMs == 0) {
+        val MinuteUs = MinuteMs * 1000L
+        if (aUs % MinuteUs == 0 && bUs % MinuteUs == 0) {
+          val (a, b) = (aUs / 1000L, bUs / 1000L)
           if (cellCount(grid, a, b, maxFoldRows) > maxFoldRows)
             distributedGrouped(aggExprs, wheels, grid, gExpr,
-              Seq((Seq(groupKey, gExpr))), None, a, b)
+              Seq((Seq(groupKey, gExpr))), None, Seq((a, b)))
           else {
           val slotRows = Seq.newBuilder[InternalRow]
           var ok = true
@@ -2928,51 +2950,61 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
           }
         } else filterOpt.flatMap { case (_, below) =>
           rewriteGroupedResidue(agg, groupKey, gExpr, grid, aggExprs,
-            child, below, tsCol, wheels, a, b)
+            child, below, tsCol, wheels, aUs, bUs)
         }
         }
        // GROUPED OR-ranges fold (round 13): per-cell contributions are
        // COMBINED across ranges (two disjoint sub-cell ranges can land
        // in the same grid cell — e.g. two week ranges under a month
        // grid), using the same associative AllAggregate merge as the
-       // ungrouped [[rewriteOrRanges]]. Sketch (approximate) spellings
-       // are not served — a combined multi-range cell has no single
-       // sketch view — so they bail to the scan. Unaligned or above-cap
-       // multi-range shapes keep the scan (no residue/distributed
-       // multi-range form).
+       // ungrouped [[rewriteOrRanges]]. Round 14 (VERDICT r13 #3):
+       // SKETCH spellings fold too — each cell remembers its clipped
+       // sub-ranges and [[foldRow]]'s spans form merges the per-span
+       // range-sketches (every family is mergeable, same argument as
+       // the ungrouped OR fold) — and ABOVE-CAP aligned shapes go
+       // DISTRIBUTED through the multi-range [[distributedGrouped]]
+       // (pre-merged disjoint ranges, so the minute-state union never
+       // double-counts). Unaligned multi-range shapes keep the scan
+       // (no multi-range residue form).
        case scala.util.Right(ranges) =>
         bail(path, foldNote("grouped OR-ranges shape not foldable " +
-          "(unaligned, above-cap, or aggregate without a fold)")) {
+          "(unaligned, or aggregate without a fold)")) {
           foldBailNote = ""
           val aligned = ranges.forall { case (x, y) =>
             x % MinuteMs == 0 && y % MinuteMs == 0 && x < y }
           val cellsTotal =
             ranges.map { case (x, y) => cellCount(grid, x, y, maxFoldRows) }.sum
-          if (!aligned || cellsTotal > maxFoldRows) None
+          if (!aligned) None
+          else if (cellsTotal > maxFoldRows)
+            distributedGrouped(aggExprs, wheels, grid, gExpr,
+              Seq((Seq(groupKey, gExpr))), None, ranges)
           else {
             val cells = scala.collection.mutable.LinkedHashMap
-              .empty[Long, Map[String, AllAggregate]]
+              .empty[Long, (Map[String, AllAggregate], List[(Long, Long)])]
             ranges.foreach { case (x, y) =>
               val it = grid.starts(x, y)
               while (it.hasNext) {
                 val s0 = it.next()
                 val s1 = grid.end(s0)
+                val span = (math.max(x, s0), math.min(y, s1))
                 val alls = wheels.map { case (c, i) =>
-                  c -> i.query(math.max(x, s0), math.min(y, s1)) }
+                  c -> i.query(span._1, span._2) }
                 if (alls.valuesIterator.next().rows > 0L)
                   cells(s0) = cells.get(s0) match {
-                    case Some(prev) =>
-                      prev.map { case (c, al) => c -> al.combine(alls(c)) }
-                    case None => alls
+                    case Some((prev, spans)) =>
+                      (prev.map { case (c, al) => c -> al.combine(alls(c)) },
+                        spans :+ span)
+                    case None => (alls, List(span))
                   }
               }
             }
             val slotRows = Seq.newBuilder[InternalRow]
             var ok = true
-            cells.toSeq.sortBy(_._1).foreach { case (s0, alls) =>
+            cells.toSeq.sortBy(_._1).foreach { case (s0, (alls, spans)) =>
               if (ok) foldRow(aggExprs, alls,
                 Seq((Seq(groupKey, gExpr),
-                  slotLiteral(grid, s0, grid.end(s0))))) match {
+                  slotLiteral(grid, s0, grid.end(s0)))),
+                sketch, spans.head, spans.tail) match {
                 case Some(vals) => slotRows += InternalRow.fromSeq(vals)
                 case None => ok = false
               }
@@ -3004,7 +3036,11 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       grid: SlotGrid, gExpr: Expression,
       slotSpellings: Seq[Seq[Expression]],
       keyedIn: Option[(AttributeReference, WheelAcceleration.KeyedReg)],
-      a: Long, b: Long,
+      // one or more DISJOINT pre-merged ranges (round 14): the grouped
+      // OR fold above its cap ships the union of the per-range minute
+      // states — disjointness (mergeRanges ran) means no entry is
+      // emitted twice
+      ranges: Seq[(Long, Long)],
       // COMPOSITE form (round 13): N grouping attributes over a
       // struct-keyed wheel family — each tuple component ships as its
       // own relation column. The single-key form routes through this
@@ -3078,30 +3114,34 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
               kTs.zipWithIndex.map { case (t, i) =>
                 Literal.create(r.get(i), t).value }
             }
-          anyIdx.minuteEntries(a, b).foreach { case (key, slotMs, anyAll) =>
-            val kvs = keyVals.computeIfAbsent(key, components)
-            val alls = kWheels.map {
-              case (c, _) if c == anyMeasure => c -> anyAll
-              case (c, i) => c -> i.minuteAt(key, slotMs)
+          ranges.foreach { case (a, b) =>
+            anyIdx.minuteEntries(a, b).foreach { case (key, slotMs, anyAll) =>
+              val kvs = keyVals.computeIfAbsent(key, components)
+              val alls = kWheels.map {
+                case (c, _) if c == anyMeasure => c -> anyAll
+                case (c, i) => c -> i.minuteAt(key, slotMs)
+              }
+              val gk = (kvs: Any, grid.floorOf(slotMs))
+              if (!emit) accumulate(gk, alls)
+              else rows += InternalRow.fromSeq(kvs ++ (slotVal(slotMs) +:
+                cols.partialsRowShifted(alls, anyAll.rows,
+                  if (needCond) shiftFor(gk) else cols.shiftOf)))
             }
-            val gk = (kvs: Any, grid.floorOf(slotMs))
-            if (!emit) accumulate(gk, alls)
-            else rows += InternalRow.fromSeq(kvs ++ (slotVal(slotMs) +:
-              cols.partialsRowShifted(alls, anyAll.rows,
-                if (needCond) shiftFor(gk) else cols.shiftOf)))
           }
         case None =>
           val anyIdx = wheels(measures.head)
-          anyIdx.minuteEntries(a, b).foreach { case (slotMs, anyAll) =>
-            val alls = measures.map {
-              case c if c == measures.head => c -> anyAll
-              case c => c -> wheels(c).minuteAt(slotMs)
-            }.toMap
-            val gk = (null, grid.floorOf(slotMs))
-            if (!emit) accumulate(gk, alls)
-            else rows += InternalRow.fromSeq(
-              slotVal(slotMs) +: cols.partialsRowShifted(alls, anyAll.rows,
-                if (needCond) shiftFor(gk) else cols.shiftOf))
+          ranges.foreach { case (a, b) =>
+            anyIdx.minuteEntries(a, b).foreach { case (slotMs, anyAll) =>
+              val alls = measures.map {
+                case c if c == measures.head => c -> anyAll
+                case c => c -> wheels(c).minuteAt(slotMs)
+              }.toMap
+              val gk = (null, grid.floorOf(slotMs))
+              if (!emit) accumulate(gk, alls)
+              else rows += InternalRow.fromSeq(
+                slotVal(slotMs) +: cols.partialsRowShifted(alls, anyAll.rows,
+                  if (needCond) shiftFor(gk) else cols.shiftOf))
+            }
           }
       }
       if (needCond) walk(emit = false)
@@ -3169,7 +3209,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
         else if (a % MinuteMs == 0 && b % MinuteMs == 0) {
           if (reg.any.keys.size.toLong * cellCount(grid, a, b, maxFoldRows) > maxFoldRows)
             distributedGrouped(aggExprs, Map.empty, grid, gExpr,
-              Seq(Seq(slotGroup, gExpr)), Some((keyAttr, reg)), a, b)
+              Seq(Seq(slotGroup, gExpr)), Some((keyAttr, reg)), Seq((a, b)))
           else {
           // per-key sketch views (late round 11): keyed approx
           // spellings fold per (key, cell) through the same gate as
@@ -3201,7 +3241,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
           }
         } else filterOpt.flatMap { case (_, below) =>
           rewriteKeyedGroupedResidue(agg, keyAttr, slotGroup, gExpr, grid,
-            aggExprs, child, below, reg, a, b)
+            aggExprs, child, below, reg, a * 1000L, b * 1000L)
         }
     } yield result
   }
@@ -3220,10 +3260,15 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     val aligned = ranges.forall { case (x, y) =>
       x % MinuteMs == 0 && y % MinuteMs == 0 && x < y &&
         grid.soundFor(x, y) }
+    if (!aligned) return None
     val cellsTotal =
       ranges.map { case (x, y) => cellCount(grid, x, y, maxFoldRows) }.sum
-    if (!aligned || reg.any.keys.size.toLong * cellsTotal > maxFoldRows)
-      return None
+    // above the plan-time ceiling: the (key, minute) partials of every
+    // disjoint range ship through the multi-range distributed merge
+    // (round 14) — wide dimensions × multi-range stay scan-free
+    if (reg.any.keys.size.toLong * cellsTotal > maxFoldRows)
+      return distributedGrouped(aggExprs, Map.empty, grid, gExpr,
+        Seq(Seq(slotGroup, gExpr)), Some((keyAttr, reg)), ranges)
     val out = Seq.newBuilder[InternalRow]
     var ok = true
     reg.any.keys.foreach { key =>
@@ -3320,7 +3365,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
           bail(path, "composite-keyed fold above maxFoldRows not " +
             "foldable distributed (aggregate without a merge form)")(
             distributedGrouped(aggExprs, Map.empty, grid, gExpr,
-              Seq(Seq(slotGroup, gExpr)), None, a, b,
+              Seq(Seq(slotGroup, gExpr)), None, Seq((a, b)),
               composite = Some((keyAttrs,
                 reg.any.keyType.asInstanceOf[StructType].fields
                   .map(_.dataType).toSeq, reg.wheels))))
@@ -3365,12 +3410,14 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       agg: Aggregate, keyAttr: AttributeReference, slotGroup: Expression,
       gExpr: Expression, grid: SlotGrid, aggExprs: Seq[NamedExpression],
       child: LogicalPlan, below: LogicalPlan, reg: WheelAcceleration.KeyedReg,
-      a: Long, b: Long): Option[LogicalPlan] = {
-    // floorDiv, not truncating division: pre-1970 (negative-epoch)
-    // bounds would otherwise round toward zero and let the interior
-    // overlap the edges or swallow rows past b
-    val aCeil = Math.floorDiv(a + MinuteMs - 1, MinuteMs) * MinuteMs
-    val bFloor = Math.floorDiv(b, MinuteMs) * MinuteMs
+      aUs: Long, bUs: Long): Option[LogicalPlan] = {
+    // µS bounds (round 14); floorDiv, not truncating division:
+    // pre-1970 (negative-epoch) bounds would otherwise round toward
+    // zero and let the interior overlap the edges or swallow rows
+    // past b
+    val MinuteUs = MinuteMs * 1000L
+    val aCeil = Math.floorDiv(aUs + MinuteUs - 1, MinuteUs) * MinuteUs / 1000L
+    val bFloor = Math.floorDiv(bUs, MinuteUs) * MinuteUs / 1000L
     if (aCeil >= bFloor) return None
     val keyRaw = below.output.find(o =>
       o.name == reg.keyCol && o.dataType == reg.any.keyType) match {
@@ -3382,7 +3429,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       c => keyedRangeAll(reg, c, aCeil, bFloor))
     for {
       parts <- residueParts(below, reg.tsCol, reg.wheels.keys.toSeq,
-        a, b, aCeil, bFloor, shifts)
+        aUs, bUs, aCeil * 1000L, bFloor * 1000L, shifts)
       gEval <- rebaseOnto(child, below, gExpr)
       keyOutAttr = AttributeReference(
         "__graft_key", reg.any.keyType, nullable = keyRaw.nullable)()
@@ -4132,11 +4179,16 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     * Closed upper bounds (`<=`, `BETWEEN`) ARE accepted for the
     * ms-domain `unix_millis(ts)` spelling (round 12): unix_millis floors
     * to ms, so `unix_millis(ts) <= E` ⇔ `ts < E+1 ms` exactly at any
-    * sub-ms precision (and symmetrically `> A` ⇔ `ts >= A+1 ms`). They
-    * remain deliberately REJECTED for direct µs timestamp comparisons
-    * (`ts <= TIMESTAMP 'x'`): that bound is x+1 µs, which the ms-granular
-    * wheel cannot express. */
-  private def rangeMs(
+    * sub-ms precision (and symmetrically `> A` ⇔ `ts >= A+1 ms`).
+    *
+    * ROUND 14 (VERDICT r13 #2): the extraction now works in the µS
+    * DOMAIN ([[rangeUs]]), so direct-timestamp closed/strict bounds
+    * (`ts <= TIMESTAMP 'x'` ⇔ `ts < x+1 µs`, `ts > 'x'` ⇔ `>= x+1 µs`)
+    * and sub-ms literals are all accepted as exact half-open µs ranges.
+    * [[rangeMs]] remains the ms-expressible view for the plan-time fold
+    * paths; bounds the ms wheel cannot express route through the HYBRID
+    * residue folds, whose edge scans carry exact µs literals. */
+  private def rangeUs(
       cond: Expression, tsCol: String): Option[(Option[Long], Option[Long])] = {
     def isTs(e: Expression): Boolean = isTsMs(e, tsCol)
     def msLit(e: Expression): Option[Long] = e match {
@@ -4145,38 +4197,39 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       case _ => None
     }
     def usLit(e: Expression): Option[Long] = e match {
-      case Literal(v: Long, TimestampType) if v % 1000 == 0 => Some(v / 1000)
+      case Literal(v: Long, TimestampType) => Some(v)
       // NTZ µs literal: the naive wall value IS the UTC instant under
       // the build's normalizeTs cast (UTC sessions; same reading
       // DuckDB's epoch_ms takes on naive timestamps)
-      case Literal(v: Long, TimestampNTZType) if v % 1000 == 0 => Some(v / 1000)
+      case Literal(v: Long, TimestampNTZType) => Some(v)
       case _ => None
     }
     def lower(e: Expression): Option[Long] = e match {
-      case GreaterThanOrEqual(l, r) if isTs(l) => msLit(r)
+      case GreaterThanOrEqual(l, r) if isTs(l) => msLit(r).map(_ * 1000L)
       case GreaterThanOrEqual(l, r) if isTsCol(l, tsCol) => usLit(r)
-      case LessThanOrEqual(r, l) if isTs(l) => msLit(r)
+      case LessThanOrEqual(r, l) if isTs(l) => msLit(r).map(_ * 1000L)
       case LessThanOrEqual(r, l) if isTsCol(l, tsCol) => usLit(r)
-      // STRICT lower over the ms spelling (round 12): unix_millis
-      // floors to ms, so `unix_millis(ts) > A` ⇔ `ts >= A+1 ms` EXACTLY
-      // at any sub-ms precision. The direct-timestamp spelling
-      // (`ts > TIMESTAMP 'x'`) stays unfolded: its true bound is
-      // x+1 µs, which the ms domain cannot express.
-      case GreaterThan(l, r) if isTs(l) => msLit(r).map(_ + 1)
-      case LessThan(r, l) if isTs(l) => msLit(r).map(_ + 1)
+      // STRICT lower: unix_millis floors to ms, so `unix_millis(ts) > A`
+      // ⇔ `ts >= A+1 ms` EXACTLY at any sub-ms precision (round 12);
+      // the direct-timestamp spelling is `>= x+1 µs` (round 14)
+      case GreaterThan(l, r) if isTs(l) => msLit(r).map(v => (v + 1) * 1000L)
+      case LessThan(r, l) if isTs(l) => msLit(r).map(v => (v + 1) * 1000L)
+      case GreaterThan(l, r) if isTsCol(l, tsCol) => usLit(r).map(_ + 1)
+      case LessThan(r, l) if isTsCol(l, tsCol) => usLit(r).map(_ + 1)
       case _ => None
     }
     def upper(e: Expression): Option[Long] = e match {
-      case LessThan(l, r) if isTs(l) => msLit(r)
+      case LessThan(l, r) if isTs(l) => msLit(r).map(_ * 1000L)
       case LessThan(l, r) if isTsCol(l, tsCol) => usLit(r)
-      case GreaterThan(r, l) if isTs(l) => msLit(r)
+      case GreaterThan(r, l) if isTs(l) => msLit(r).map(_ * 1000L)
       case GreaterThan(r, l) if isTsCol(l, tsCol) => usLit(r)
-      // INCLUSIVE upper over the ms spelling (round 12; the BETWEEN
-      // shape): `unix_millis(ts) <= E` ⇔ `ts < E+1 ms` exactly — same
-      // floor argument as the strict lower. Direct-timestamp `<=` stays
-      // unfolded (x+1 µs is not a ms bound).
-      case LessThanOrEqual(l, r) if isTs(l) => msLit(r).map(_ + 1)
-      case GreaterThanOrEqual(r, l) if isTs(l) => msLit(r).map(_ + 1)
+      // INCLUSIVE upper (the BETWEEN shape): `unix_millis(ts) <= E` ⇔
+      // `ts < E+1 ms` (round 12); `ts <= TIMESTAMP 'x'` ⇔ `< x+1 µs`
+      // (round 14)
+      case LessThanOrEqual(l, r) if isTs(l) => msLit(r).map(v => (v + 1) * 1000L)
+      case GreaterThanOrEqual(r, l) if isTs(l) => msLit(r).map(v => (v + 1) * 1000L)
+      case LessThanOrEqual(l, r) if isTsCol(l, tsCol) => usLit(r).map(_ + 1)
+      case GreaterThanOrEqual(r, l) if isTsCol(l, tsCol) => usLit(r).map(_ + 1)
       case _ => None
     }
     def conjuncts(e: Expression): Seq[Expression] = e match {
@@ -4205,6 +4258,19 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       Some((lowers.headOption, uppers.headOption))
     else None
   }
+
+  /** The ms-expressible view of [[rangeUs]] — the contract every
+    * plan-time fold path (grids, OR-ranges, keyed/sliding shapes)
+    * consumes. Bounds that are not whole ms (a direct-timestamp closed
+    * bound's x+1 µs) refuse here and are served by the µs-residue
+    * hybrid instead. */
+  private def rangeMs(
+      cond: Expression, tsCol: String): Option[(Option[Long], Option[Long])] =
+    rangeUs(cond, tsCol).flatMap { case (lo, hi) =>
+      if (lo.forall(_ % 1000L == 0) && hi.forall(_ % 1000L == 0))
+        Some((lo.map(_ / 1000L), hi.map(_ / 1000L)))
+      else None
+    }
 
   /** Replace every aggregate call with its index-computed literal (and,
     * for grouped rewrites, the grouping key with the slot literal), then

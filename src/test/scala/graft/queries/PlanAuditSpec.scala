@@ -457,6 +457,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters: [Or(And(GreaterThanOrEqual(ts,"), p)
   }
 
+  test("q_wheel_ts_closed_sql folds hybrid with EXACT µs edge bounds (round 14)") {
+    val p = plan("q_wheel_ts_closed_sql")
+    // interior folded at plan time; only the sub-minute upper edge
+    // scans (the lower bound is minute-aligned — no lower edge)
+    assert(p.contains("LocalTableScan"), p)
+    assert(p.contains("FileScan"), p)
+    assert(p.contains("PushedFilters: [GreaterThanOrEqual(ts,"), p)
+    // the pushed edge bounds carry the full µs precision (b + 1 µs)
+    assert(p.contains("LessThan(ts,2024-01-27T18:42:33.123457)"), p)
+  }
+
   test("q_wheel_rollup_residue_sql folds grouped hybrid with a pushed edge filter") {
     val p = plan("q_wheel_rollup_residue_sql")
     assert(p.contains("LocalTableScan"), p)
