@@ -98,34 +98,50 @@ object Bench {
     val declared = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
 
+    /** (prepare_sec, exec_sec) — the PREPARE phase is everything the
+      * query function does before the plan executes (for the wheel rows:
+      * the registration's index BUILD, re-paid every invocation because
+      * the registry is cleared per query; for scan rows: plan
+      * construction, ~ms), the EXEC phase is the plan's execution (for
+      * the wheel rows: the FOLD + noop sink — what a deployed
+      * build-once-fold-forever system pays per query). Round 14
+      * (VERDICT r13 #4): reported separately so the sf1 soak's ratio
+      * table can cite fold-only numbers instead of attributing
+      * re-registration cost to the query. */
     def runOne(name: String, fn: (org.apache.spark.sql.SparkSession, String) =>
-        org.apache.spark.sql.DataFrame): Double = {
+        org.apache.spark.sql.DataFrame): (Double, Double) = {
       // q_wheel_sql registers transparent wheel acceleration; reset so
       // scan-path queries keep measuring the scan path on later passes.
       graft.plans.WheelAcceleration.clear()
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        val t1 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        ((t1 - t0) / 1e9, (System.nanoTime() - t1) / 1e9)
+      } catch { case e: Throwable =>
         failed += name
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        ((System.nanoTime() - t0) / 1e9, 0.0)
       }
-      (System.nanoTime() - t0) / 1e9
     }
 
     // probe cadence within a pass: often enough to localize a slow host
     // window to ~a dozen queries, rare enough (<2% of pass wall-clock)
     // not to perturb the measurement
     val ProbeEvery = 20
-    // (pass, position-in-pass, seconds); pass -1 = the pre-stabilization
-    // probes, timed-pass probes start each pass at position 0
+    // (pass, position-in-pass, seconds); pass -1 = the stabilization
+    // pass's probes (recorded too, so a verdict reader can tell a slow
+    // stabilization window from a fast one — ADVICE r13), timed-pass
+    // probes start each pass at position 0
     val probeSeries = Seq.newBuilder[(Int, Int, Double)]
 
     /** One pass over every query in a per-pass deterministic shuffled
-      * order, probes interleaved. Returns name → seconds. */
-    def runPass(pass: Int, timed: Boolean): Map[String, Double] = {
+      * order, probes interleaved. Returns name → (prepare, exec) secs. */
+    def runPass(pass: Int): Map[String, (Double, Double)] = {
       val order = new scala.util.Random(1013 + pass).shuffle(declared)
       order.zipWithIndex.map { case ((name, fn), i) =>
-        if (timed && i % ProbeEvery == 0)
+        if (i % ProbeEvery == 0)
           probeSeries += ((pass, i, calibrationProbe()))
         name -> runOne(name, fn)
       }.toMap
@@ -133,19 +149,27 @@ object Bench {
 
     // UNTIMED stabilization pass: every query once before the first
     // measurement — JIT, codegen caches and the OS page cache all warm
+    // (its probes ARE recorded, as pass -1 in probe.series)
     val st0 = System.nanoTime()
-    runPass(-1, timed = false)
+    runPass(-1)
     val stabilizationSec = (System.nanoTime() - st0) / 1e9
-    val passes = (0 until 3).map(p => runPass(p, timed = true))
-    val probes = probeSeries.result().map(_._3)
+    val passes = (0 until 3).map(p => runPass(p))
+    // probeMin over the TIMED passes only: a slow stabilization window
+    // must not deflate the normalization divisor
+    val probes = probeSeries.result().filter(_._1 >= 0).map(_._3)
     val probeMin = probes.min
     // failed queries are excluded from EVERY timing figure (their
     // recorded elapsed is time-to-throw, not query time); the process
     // still exits nonzero below
     val names = declared.map(_._1).filterNot(failed.contains)
     val perPass: Map[String, Seq[Double]] =
-      names.map(n => n -> passes.map(_(n))).toMap
+      names.map(n => n -> passes.map(p => p(n)._1 + p(n)._2)).toMap
     val results = names.map(n => n -> perPass(n).min)
+    // build-vs-fold split (round 14): per-query min prepare and min exec
+    // across the timed passes — `queries_exec` is the deployed
+    // (build-once) per-query cost for the wheel rows
+    val prepMin = names.map(n => n -> passes.map(_(n)._1).min).toMap
+    val execMin = names.map(n => n -> passes.map(_(n)._2).min).toMap
 
     val (wheelScanFull, wheelScanCompact) =
       if (only.isDefined) ("null", "null") else wheelVsScan(spark, sfDir)
@@ -158,6 +182,14 @@ object Bench {
     val qsPasses = results.map { case (k, _) =>
       perPass(k).map(v => f"$v%.3f").mkString("\"" + k + "\":[", ",", "]")
     }.mkString("{", ",", "}")
+    // prepare (registration/index build, re-paid per invocation under
+    // the per-query clear()) vs exec (the fold + sink — what a deployed
+    // system pays per query); both are min-across-passes
+    val qsPrep = results.map { case (k, _) => f""""$k":${prepMin(k)}%.3f""" }
+      .mkString("{", ",", "}")
+    val qsExec = results.map { case (k, _) => f""""$k":${execMin(k)}%.3f""" }
+      .mkString("{", ",", "}")
+    val execTotal = results.map { case (k, _) => execMin(k) }.sum
     // probe-normalized per-query times (multiples of the probe's
     // fixed work): host-speed-independent, so identical code+data
     // yields ~identical normalized values across rounds
@@ -176,6 +208,8 @@ object Bench {
     val meanSec = if (results.nonEmpty) total / results.size else 0.0
     val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""queries_passes":$qsPasses,""" +
+      s""""queries_prepare":$qsPrep,"queries_exec":$qsExec,""" +
+      f""""exec_total_sec":$execTotal%.3f,""" +
       s""""queries_probe_normalized":$qsNorm,"probe":$probeJson,""" +
       s""""n_queries":${results.size},"mean_query_sec":$meanSec,""" +
       f""""stabilization_total_sec":$stabilizationSec%.3f,"failed":$failedJson,""" +
@@ -199,7 +233,7 @@ object Bench {
       val topQs = slowestFirst.take(n)
         .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$topQs,""" +
-        f""""probe_sec":$probeMin%.3f,""" +
+        f""""probe_sec":$probeMin%.3f,"exec_total_sec":$execTotal%.3f,""" +
         f""""n_queries":${results.size},"queries_shown":${math.min(n, results.size)},""" +
         f""""mean_query_sec":$meanSec%.4f,"stabilization_total_sec":$stabilizationSec%.3f,""" +
         s""""failed":$failedJson,"wheel_vs_scan":$wheelScanCompact,""" +

@@ -230,14 +230,19 @@ private[sources] object SketchWheelTable {
   private val minuteMs = Tier.Minute.ms
 
   /** Runtime key-type inference for keyed sketch dirs (the sidecar
-    * records column NAMES; the values carry the type). */
+    * records column NAMES; the values carry the type). An unsupported
+    * key class is a LOUD error (ADVICE r13) — a silent StringType
+    * default would surface as a schema/value mismatch at scan time. */
   private def keyTypeOf(keys: Iterable[Any]): DataType =
     keys.headOption match {
       case Some(_: String) => StringType
       case Some(_: Long) => LongType
       case Some(_: Int) => IntegerType
       case Some(_: Double) => DoubleType
-      case _ => StringType
+      case Some(other) => throw new IllegalArgumentException(
+        s"keyed sketch table: unsupported key class " +
+          s"${other.getClass.getName} (supported: String, Long, Int, Double)")
+      case None => StringType // unreachable: callers require nonEmpty
     }
 
   def keyedTheta(name: String, dimCol: String, col: String,

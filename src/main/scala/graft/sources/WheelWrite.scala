@@ -98,11 +98,19 @@ private[sources] object WheelWriteTable {
       "wheel write: no measure columns (pass option(\"measures\", …) or " +
         "include numeric columns)")
     val fp = opts.getOrElse("fingerprint", "dataframe")
-    if (!overwrite && PersistentWheel.peek(spark, dir).isDefined)
-      throw new IllegalStateException(
-        s"wheel write: '$dir' already holds a persisted wheel — use " +
-          "mode(\"overwrite\") to replace it (appending to an index is the " +
-          "ingest path's job, not a batch write's)")
+    // append refuses on ANY non-empty dir, not only a readable wheel
+    // (ADVICE r13): a corrupt or half-written index must not be
+    // silently replaced under mode("append")
+    if (!overwrite) {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val occupied = PersistentWheel.peek(spark, dir).isDefined ||
+        (fs.exists(p) && fs.listStatus(p).nonEmpty)
+      if (occupied) throw new IllegalStateException(
+        s"wheel write: '$dir' is not empty (a persisted wheel, or remnants " +
+          "of one) — use mode(\"overwrite\") to replace it (appending to an " +
+          "index is the ingest path's job, not a batch write's)")
+    }
     key match {
       case Some(k) =>
         PersistentWheel.saveKeyedMulti(spark, dir, data, k, tsCol, measures, fp)

@@ -360,6 +360,23 @@ class WheelTableSpec extends AnyFunSuite {
     ev.filter(col("event_type") === "click")
       .write.format("wheel").option("dir", tmp).option("ts", "ts")
       .mode("overwrite").save()
+    // append refuses on ANY non-empty dir (ADVICE r13): a corrupt /
+    // half-written index — unreadable by peek — must not be silently
+    // replaced under mode("append")
+    val torn = s"${Files.createTempDirectory("graft-wheel-torn").toString}/idx"
+    Files.createDirectories(java.nio.file.Paths.get(torn))
+    Files.writeString(java.nio.file.Paths.get(s"$torn/meta.graft"),
+      "{not json")
+    assert(graft.wheel.PersistentWheel.peek(spark, torn).isEmpty)
+    val tornErr = intercept[Exception] {
+      ev.write.format("wheel").option("dir", torn).option("ts", "ts")
+        .mode("append").save()
+    }
+    assert(tornErr.getMessage.contains("not empty"), tornErr.getMessage)
+    // overwrite still replaces the torn dir with a good index
+    ev.write.format("wheel").option("dir", torn).option("ts", "ts")
+      .mode("overwrite").save()
+    assert(graft.wheel.PersistentWheel.peek(spark, torn).isDefined)
   }
 
   test("write path: option(\"key\") persists a keyedmulti dir served keyed (round 13)") {
