@@ -27,7 +27,8 @@ import graft.wheel.{AllAggregate, KeyedWheelIndex, Tier}
   * / `IS NOT NULL` on the key column prune whole keys. Both are
   * consumed exactly (no post-scan re-evaluation). */
 final class KeyedWheelTable(tableName: String, val keyCol: String,
-    wheels: Map[String, KeyedWheelIndex])
+    wheels: Map[String, KeyedWheelIndex],
+    private[sources] val liveSource: Option[String] = None)
   extends Table with SupportsRead {
   require(wheels.nonEmpty, "keyed wheel table: empty index map")
 
@@ -38,8 +39,13 @@ final class KeyedWheelTable(tableName: String, val keyCol: String,
     "keyed wheel table: measure indexes disagree on the slot grid")
 
   override def name(): String = tableName
+  // source-mode tables additionally stream (key, slot) DELTAS from the
+  // live registration (round 14); dir snapshots are batch only
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    if (liveSource.isDefined)
+      java.util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.MICRO_BATCH_READ)
+    else java.util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def schema(): StructType = StructType(
     Seq(StructField(keyCol, any.keyType, nullable = true),
@@ -74,6 +80,10 @@ final class KeyedWheelScanBuilder(table: KeyedWheelTable)
   // correct un-tightened upper bound — NOT baseMs + horizonMs (ADVICE r12).
   private var lo: Long = table.any.baseMs
   private var hi: Long = table.any.horizonMs
+  // the PUSHED bounds alone (None = open): a streaming scan must not be
+  // capped at the resolve-time span — the live horizon keeps extending
+  private var loPushed: Option[Long] = None
+  private var hiPushed: Option[Long] = None
   // None = all keys; Some(s) = only these (intersection of pushed sets)
   private var keySet: Option[Set[Any]] = None
   private var dropNullKey: Boolean = false
@@ -89,16 +99,25 @@ final class KeyedWheelScanBuilder(table: KeyedWheelTable)
   private def intersect(s: Set[Any]): Unit =
     keySet = Some(keySet.fold(s)(_ intersect s))
 
+  private def tightenLo(m: Long): Unit = {
+    lo = math.max(lo, m)
+    loPushed = Some(loPushed.fold(m)(math.max(_, m)))
+  }
+  private def tightenHi(m: Long): Unit = {
+    hi = math.min(hi, m)
+    hiPushed = Some(hiPushed.fold(m)(math.min(_, m)))
+  }
+
   private def accept(f: Filter): Boolean = f match {
-    case GreaterThanOrEqual("slot_ms", v) => asMs(v).exists { m => lo = math.max(lo, m); true }
+    case GreaterThanOrEqual("slot_ms", v) => asMs(v).exists { m => tightenLo(m); true }
     // m == Long.MaxValue: m + 1 overflows — leave the filter unconsumed
     // (Spark re-evaluates it post-scan) instead of wrongly passing rows
     case GreaterThan("slot_ms", v) => asMs(v).exists { m =>
-      m != Long.MaxValue && { lo = math.max(lo, m + 1); true } }
-    case LessThan("slot_ms", v) => asMs(v).exists { m => hi = math.min(hi, m); true }
+      m != Long.MaxValue && { tightenLo(m + 1); true } }
+    case LessThan("slot_ms", v) => asMs(v).exists { m => tightenHi(m); true }
     case LessThanOrEqual("slot_ms", v) => asMs(v).exists { m =>
-      m != Long.MaxValue && { hi = math.min(hi, m + 1); true } }
-    case EqualTo("slot_ms", v) => asMs(v).exists { m => lo = math.max(lo, m); hi = math.min(hi, m + 1); true }
+      m != Long.MaxValue && { tightenHi(m + 1); true } }
+    case EqualTo("slot_ms", v) => asMs(v).exists { m => tightenLo(m); tightenHi(m + 1); true }
     case EqualTo(c, v) if c == table.keyCol && v != null => intersect(Set(v)); true
     case In(c, vs) if c == table.keyCol => intersect(vs.filter(_ != null).toSet); true
     case IsNotNull(c) if c == table.keyCol => dropNullKey = true; true
@@ -163,7 +182,8 @@ final class KeyedWheelScanBuilder(table: KeyedWheelTable)
   override def build(): Scan = pushedAgg match {
     case Some(spec) =>
       new KeyedWheelAggScan(table, spec, lo, hi, keySet, dropNullKey)
-    case None => new KeyedWheelScan(table, required, lo, hi, keySet, dropNullKey)
+    case None => new KeyedWheelScan(table, required, lo, hi, keySet, dropNullKey,
+      loPushed, hiPushed)
   }
 }
 
@@ -229,11 +249,24 @@ final class KeyedWheelAggScan(table: KeyedWheelTable, spec: KeyedAggSpec,
 }
 
 final class KeyedWheelScan(table: KeyedWheelTable, required: StructType,
-    lo: Long, hi: Long, keySet: Option[Set[Any]], dropNullKey: Boolean)
+    lo: Long, hi: Long, keySet: Option[Set[Any]], dropNullKey: Boolean,
+    loPushed: Option[Long] = None, hiPushed: Option[Long] = None)
   extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Streaming read (round 14): (key, slot) DELTAS from the live keyed
+    * registration — see [[WheelStreamBase]]. Only source-mode tables
+    * stream. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    val src = table.liveSource.getOrElse(throw new UnsupportedOperationException(
+      s"${table.name()}: only option(\"source\", …) tables stream — a dir " +
+        "is an immutable snapshot"))
+    new KeyedWheelMicroBatchStream(src, table.keyCol, required.fieldNames,
+      loPushed, hiPushed, keySet, dropNullKey)
+  }
   override def description(): String =
     s"${table.name()} slots [$lo, $hi)" +
       keySet.map(s => s" keys ${s.toSeq.map(String.valueOf).sorted.mkString("{", ",", "}")}").getOrElse("")

@@ -88,13 +88,14 @@ object WheelTableProvider {
             .getOrElse(throw new IllegalArgumentException(
               s"wheel table: no KEYED in-memory registration for source '$src' " +
                 "(WheelAcceleration.registerKeyed it first, or use option(\"dir\", …))"))
-        new KeyedWheelTable(s"wheel:$src?keyed", keyCol, wheels)
+        new KeyedWheelTable(s"wheel:$src?keyed", keyCol, wheels,
+          liveSource = Some(src))
       case (Some(src), None) =>
         val (_, wheels) = graft.plans.WheelAcceleration.registeredWheels(src)
           .getOrElse(throw new IllegalArgumentException(
             s"wheel table: no in-memory registration for source '$src' " +
               "(WheelAcceleration.register it first, or use option(\"dir\", …))"))
-        new WheelTable(s"wheel:$src", wheels)
+        new WheelTable(s"wheel:$src", wheels, liveSource = Some(src))
       case (None, Some(dir)) =>
         // dir mode dispatches on the persisted KIND (round 13, VERDICT
         // r12 #3): every family PersistentWheel can save now has a table
@@ -312,7 +313,8 @@ private[sources] object TopNSpec {
     }
 }
 
-final class WheelTable(tableName: String, wheels: Map[String, WheelIndex])
+final class WheelTable(tableName: String, wheels: Map[String, WheelIndex],
+    private[sources] val liveSource: Option[String] = None)
   extends Table with SupportsRead {
   require(wheels.nonEmpty, "wheel table: empty index map")
 
@@ -323,8 +325,14 @@ final class WheelTable(tableName: String, wheels: Map[String, WheelIndex])
     "wheel table: measure indexes disagree on the slot grid")
 
   override def name(): String = tableName
+  // source-mode tables additionally stream slot DELTAS from the live
+  // registration (round 14); dir-mode tables are immutable snapshots —
+  // batch only
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    if (liveSource.isDefined)
+      java.util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.MICRO_BATCH_READ)
+    else java.util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def schema(): StructType = StructType(
     Seq(StructField("slot_ms", LongType, nullable = false),
@@ -371,6 +379,10 @@ final class WheelScanBuilder(table: WheelTable)
   // half-open [lo, hi) bounds on slot_ms, tightened by pushed filters
   private var lo: Long = table.any.baseMs
   private var hi: Long = table.any.baseMs + table.any.minuteSlotCount.toLong * minuteMs
+  // the PUSHED bounds alone (None = open): a streaming scan must not be
+  // capped at the resolve-time span — the live horizon keeps extending
+  private var loPushed: Option[Long] = None
+  private var hiPushed: Option[Long] = None
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = table.schema()
 
@@ -380,16 +392,25 @@ final class WheelScanBuilder(table: WheelTable)
     case _ => None
   }
 
+  private def tightenLo(m: Long): Unit = {
+    lo = math.max(lo, m)
+    loPushed = Some(loPushed.fold(m)(math.max(_, m)))
+  }
+  private def tightenHi(m: Long): Unit = {
+    hi = math.min(hi, m)
+    hiPushed = Some(hiPushed.fold(m)(math.min(_, m)))
+  }
+
   private def accept(f: Filter): Boolean = f match {
-    case GreaterThanOrEqual("slot_ms", v) => asMs(v).exists { m => lo = math.max(lo, m); true }
+    case GreaterThanOrEqual("slot_ms", v) => asMs(v).exists { m => tightenLo(m); true }
     // m == Long.MaxValue: m + 1 overflows — leave the filter unconsumed
     // (Spark re-evaluates it post-scan) instead of wrongly passing rows
     case GreaterThan("slot_ms", v) => asMs(v).exists { m =>
-      m != Long.MaxValue && { lo = math.max(lo, m + 1); true } }
-    case LessThan("slot_ms", v) => asMs(v).exists { m => hi = math.min(hi, m); true }
+      m != Long.MaxValue && { tightenLo(m + 1); true } }
+    case LessThan("slot_ms", v) => asMs(v).exists { m => tightenHi(m); true }
     case LessThanOrEqual("slot_ms", v) => asMs(v).exists { m =>
-      m != Long.MaxValue && { hi = math.min(hi, m + 1); true } }
-    case EqualTo("slot_ms", v) => asMs(v).exists { m => lo = math.max(lo, m); hi = math.min(hi, m + 1); true }
+      m != Long.MaxValue && { tightenHi(m + 1); true } }
+    case EqualTo("slot_ms", v) => asMs(v).exists { m => tightenLo(m); tightenHi(m + 1); true }
     case _ => false
   }
 
@@ -486,7 +507,8 @@ final class WheelScanBuilder(table: WheelTable)
     val i1 = math.max(i0.toLong, math.min(n.toLong, ceilDiv(hi - base, minuteMs))).toInt
     pushedAgg match {
       case Some(spec) => new WheelAggScan(table, spec, i0, i1)
-      case None => new WheelScan(table, required, i0, i1, topN, limitN)
+      case None =>
+        new WheelScan(table, required, i0, i1, topN, limitN, loPushed, hiPushed)
     }
   }
 
@@ -551,11 +573,22 @@ final class WheelAggScan(table: WheelTable, spec: WheelAggSpec, i0: Int, i1: Int
 }
 
 final class WheelScan(table: WheelTable, required: StructType, i0: Int, i1: Int,
-    topN: Option[TopNSpec] = None, limitN: Option[Int] = None)
+    topN: Option[TopNSpec] = None, limitN: Option[Int] = None,
+    loPushed: Option[Long] = None, hiPushed: Option[Long] = None)
   extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Streaming read (round 14): slot DELTAS from the live registration
+    * — see [[WheelStreamBase]]. Only source-mode tables stream. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    val src = table.liveSource.getOrElse(throw new UnsupportedOperationException(
+      s"${table.name()}: only option(\"source\", …) tables stream — a dir " +
+        "is an immutable snapshot"))
+    new WheelMicroBatchStream(src, required.fieldNames, loPushed, hiPushed)
+  }
   override def description(): String =
     s"${table.name()} slots [$i0, $i1) of ${table.any.minuteSlotCount}" +
       topN.map(t => s" PushedTopN [${t.keys.map(k =>

@@ -412,6 +412,34 @@ class WheelTableSpec extends AnyFunSuite {
     spark.sql("DROP VIEW wheel_slots")
   }
 
+  test("SQL DDL write: CREATE TABLE ... USING wheel AS SELECT round-trips (round 14)") {
+    // the pure-SQL spelling of the round-13 write path: CTAS routes
+    // through the same V1Write fallback as df.write.format("wheel"),
+    // builds the index off the SELECT (one rollup job), and the created
+    // dir serves through the existing kind-dispatched table read
+    val tmp = s"${Files.createTempDirectory("graft-wheel-ctas").toString}/idx"
+    Q.t(spark, dir, "events").createOrReplaceTempView("ev_ctas")
+    spark.sql("DROP TABLE IF EXISTS wheel_ctas")
+    spark.sql(
+      s"""CREATE TABLE wheel_ctas USING wheel
+         |OPTIONS (dir '$tmp', ts 'ts')
+         |AS SELECT ts, value FROM ev_ctas WHERE event_type <> 'purchase'
+         |""".stripMargin)
+    try {
+      val meta = graft.wheel.PersistentWheel.peek(spark, tmp).get
+      assert(meta.kind == graft.wheel.PersistentWheel.SumKind)
+      val got = spark.read.format("wheel").option("dir", tmp).load()
+        .agg(round(sum("sum_value"), 2).as("s"), sum("cnt_value").as("n"))
+        .collect()(0)
+      val exp = Q.t(spark, dir, "events")
+        .filter(col("event_type") =!= "purchase")
+        .agg(round(sum("value"), 2).as("s"), count("value").as("n"))
+        .collect()(0)
+      assert(got.getDouble(0) == exp.getDouble(0) &&
+        got.getLong(1) == exp.getLong(1))
+    } finally spark.sql("DROP TABLE IF EXISTS wheel_ctas")
+  }
+
   test("the wheel table serves the LIVE ingest registration mid-stream") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -868,6 +868,107 @@ class WheelIngestSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming READ of the wheel table: a dashboard sees just-ingested slot deltas (round 14)") {
+    import spark.implicits._
+    System.setProperty("graft.wheel.fingerprint.ttlMs", "0")
+    val path = fixture("stream-read/events.parquet")
+    val ckpt = fixture("stream-read/ckpt")
+    val outCkpt = fixture("stream-read/out-ckpt")
+    val t0 = Q.Jan1
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Double)]
+    val ingest = WheelIngest.start(mem.toDF().toDF("ts", "value"), path, ckpt)
+    var dash: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      mem.addData((new java.sql.Timestamp(t0), 1.0),
+        (new java.sql.Timestamp(t0 + Min), 2.0))
+      ingest.processAllAvailable()
+      // subscribe to the LIVE registration: the push counterpart of the
+      // batch re-read — each micro-batch carries the slots whose row
+      // count changed, with their CURRENT cumulative partials
+      val stream = spark.readStream.format("wheel")
+        .option("source", path).load()
+        .select("slot_ms", "rows", "sum_value")
+      dash = stream.writeStream.format("memory").queryName("wheel_dash")
+        .option("checkpointLocation", outCkpt).start()
+      dash.processAllAvailable()
+      val snap1 = spark.sql(
+        "SELECT slot_ms, rows, sum_value FROM wheel_dash ORDER BY slot_ms")
+        .collect()
+      assert(snap1.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+        Seq((t0, 1L, 1.0), (t0 + Min, 1L, 2.0)), snap1.mkString(", "))
+
+      // second ingest batch: a NEW slot plus a LATE row into slot 0 —
+      // the dashboard must see exactly the two CHANGED slots re-emitted
+      // (slot 0 with its updated cumulative partials), and slot 1 not
+      mem.addData((new java.sql.Timestamp(t0 + 2 * Min), 4.0),
+        (new java.sql.Timestamp(t0 + 1), 10.0))
+      ingest.processAllAvailable()
+      dash.processAllAvailable()
+      val emits = spark.sql(
+        "SELECT slot_ms, rows, sum_value FROM wheel_dash " +
+          "ORDER BY slot_ms, rows").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(emits == Seq(
+        (t0, 1L, 1.0), (t0, 2L, 11.0), // slot 0: initial, then the delta
+        (t0 + Min, 1L, 2.0), // unchanged — emitted once
+        (t0 + 2 * Min, 1L, 4.0)), emits.mkString(", "))
+
+      // upsert view (latest emission per slot) == the live index state
+      val latest = spark.sql(
+        """SELECT slot_ms, max_by(sum_value, rows) AS s FROM wheel_dash
+          |GROUP BY slot_ms ORDER BY slot_ms""".stripMargin).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(latest == Seq((t0, 11.0), (t0 + Min, 2.0), (t0 + 2 * Min, 4.0)))
+    } finally {
+      if (dash != null) dash.stop()
+      ingest.stop()
+      WheelAcceleration.unregister(path)
+    }
+  }
+
+  test("streaming READ of the KEYED wheel table with pushed key membership (round 14)") {
+    import spark.implicits._
+    System.setProperty("graft.wheel.fingerprint.ttlMs", "0")
+    val path = fixture("stream-read-keyed/events.parquet")
+    val ckpt = fixture("stream-read-keyed/ckpt")
+    val outCkpt = fixture("stream-read-keyed/out-ckpt")
+    val t0 = Q.Jan1
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val ingest = WheelIngest.start(mem.toDF().toDF("ts", "event_type", "value"),
+      path, ckpt, keyCol = Some("event_type"))
+    var dash: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      mem.addData((new java.sql.Timestamp(t0), "a", 1.0),
+        (new java.sql.Timestamp(t0), "b", 5.0))
+      ingest.processAllAvailable()
+      val stream = spark.readStream.format("wheel")
+        .option("source", path).option("keyed", "true").load()
+        .filter(org.apache.spark.sql.functions.col("event_type") === "a")
+        .select("event_type", "slot_ms", "sum_value")
+      dash = stream.writeStream.format("memory").queryName("wheel_dash_k")
+        .option("checkpointLocation", outCkpt).start()
+      dash.processAllAvailable()
+      mem.addData((new java.sql.Timestamp(t0 + Min), "a", 3.0),
+        (new java.sql.Timestamp(t0 + Min), "b", 7.0))
+      ingest.processAllAvailable()
+      dash.processAllAvailable()
+      val emits = spark.sql(
+        "SELECT event_type, slot_ms, sum_value FROM wheel_dash_k " +
+          "ORDER BY slot_ms").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      // only key 'a' rows flow (the key filter is honored); both its
+      // slots arrive as deltas
+      assert(emits == Seq(("a", t0, 1.0), ("a", t0 + Min, 3.0)),
+        emits.mkString(", "))
+    } finally {
+      if (dash != null) dash.stop()
+      ingest.stop()
+      WheelAcceleration.unregister(path)
+    }
+  }
+
   /** Basenames of the table's data files (committer markers excluded). */
   private def listDataFiles(path: String): Set[String] = {
     val p = new org.apache.hadoop.fs.Path(path)
