@@ -1488,14 +1488,15 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     * only garble the note, never the plan. */
   private var foldBailNote: String = ""
 
-  /** Why [[slotGrid]] refused a shape that otherwise matched — today
-    * only the TIMEZONE refusal (round 13, VERDICT r12 #8): a
-    * `date_trunc`/`CAST(ts AS DATE)` in a non-UTC zone truncates on
-    * boundaries the UTC-built index cannot express (DST zones shift
-    * them mid-year; even a fixed offset shifts every boundary), so the
-    * scan is kept — and [[WheelAcceleration.lastBailReason]] now NAMES
-    * the zone instead of reporting the generic not-a-time-bucketing
-    * bail. */
+  /** Why [[slotGrid]] refused a shape that otherwise matched — the
+    * TIMEZONE refusals: non-UTC NTZ sessions (the shift is in the
+    * DATA the index was built over), unparseable zone ids, and zones
+    * whose recurring rules are not minute-aligned/monotonic
+    * ([[ZoneWalk]], round 14 — fixed offsets and sound region zones
+    * now FOLD instead). Reset at the start of every rewrite attempt
+    * (ADVICE r13) so a stale reason never attaches to an unrelated
+    * query's bail; [[WheelAcceleration.lastBailReason]] NAMES the zone
+    * instead of reporting the generic not-a-time-bucketing bail. */
   private var gridBailNote: String = ""
 
   private def gridNote(default: String): String = {
@@ -1669,40 +1670,106 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       agg: Aggregate, aggExprs: Seq[NamedExpression],
       filterOpt: Option[(Expression, LogicalPlan)],
       below: LogicalPlan): Option[LogicalPlan] = {
+    val MinuteUs = MinuteMs * 1000L
     for {
       (cond, _) <- filterOpt
       path <- sourcePath(below)
       (tsCol, wheels) <- WheelAcceleration.lookup(path)
       if wheels.nonEmpty
-      ranges <- orRangesMs(cond, tsCol)
+      ranges <- orRangesUs(cond, tsCol)
       merged = mergeRanges(ranges)
-      if merged.forall { case (x, y) =>
-        x % MinuteMs == 0 && y % MinuteMs == 0 && x < y }
+      if merged.forall { case (x, y) => x < y }
       result <- {
         foldBailNote = ""
-        val alls = wheels.map { case (c, i) =>
-          c -> merged.map { case (x, y) => i.query(x, y) }
-            .reduce(_ combine _)
-        }
-        // approximate spellings fold too (round 13): every sketch
-        // family is MERGEABLE, so the union-range sketch — per-range
-        // range-sketches merged — equals one built over the
-        // concatenated data; the accuracy gates judge the merged result
-        val sketch = WheelAcceleration.lookupSketch(path).filter(_.tsCol == tsCol)
-        bail(path, foldNote("OR-ranges fold: aggregate list not foldable"))(
-          foldRow(aggExprs, alls, Seq.empty, sketch, merged.head, merged.tail))
-          .map(r => LocalRelation(agg.output, Seq(InternalRow.fromSeq(r))))
+        if (merged.forall { case (x, y) =>
+          x % MinuteUs == 0 && y % MinuteUs == 0 }) {
+          val ms = merged.map { case (x, y) => (x / 1000L, y / 1000L) }
+          val alls = wheels.map { case (c, i) =>
+            c -> ms.map { case (x, y) => i.query(x, y) }
+              .reduce(_ combine _)
+          }
+          // approximate spellings fold too (round 13): every sketch
+          // family is MERGEABLE, so the union-range sketch — per-range
+          // range-sketches merged — equals one built over the
+          // concatenated data; the gates judge the merged result
+          val sketch = WheelAcceleration.lookupSketch(path).filter(_.tsCol == tsCol)
+          bail(path, foldNote("OR-ranges fold: aggregate list not foldable"))(
+            foldRow(aggExprs, alls, Seq.empty, sketch, ms.head, ms.tail))
+            .map(r => LocalRelation(agg.output, Seq(InternalRow.fromSeq(r))))
+        } else
+          // UNALIGNED disjuncts (round 14): per-range whole-minute
+          // interiors fold to partials rows; every sub-minute edge
+          // window scans through ONE OR-of-windows filter — the
+          // OR-of-BETWEENs analyst spelling no longer pays a full scan
+          bail(path, foldNote("unaligned OR-ranges not foldable hybrid " +
+            "(no whole-minute interior, or aggregates without a merge " +
+            "form)"))(
+            orRangesResidue(agg, aggExprs, below, tsCol, wheels, merged))
       }
     } yield result
   }
 
-  /** The condition as a disjunction of ≥ 2 fully bounded ms ranges —
-    * None when it is anything else (single ranges take the ordinary
-    * path; half-bounded disjuncts are refused). A top-level
-    * `IsNotNull(ts)` conjunct (inferred by the optimizer from the range
-    * bounds) is stripped; any OTHER conjunct alongside the disjunction
-    * refuses (its semantics are not a pure time filter). */
-  private def orRangesMs(cond: Expression,
+  /** Hybrid fold for an OR of DISJOINT unaligned µs ranges (round 14):
+    * one interior partials row per range with a whole-minute interior,
+    * plus a single edge leg whose filter is the OR of every sub-minute
+    * window (a range too short for an interior contributes its whole
+    * span as one window). Disjointness (mergeRanges ran) guarantees no
+    * row is read twice. */
+  private def orRangesResidue(
+      agg: Aggregate, aggExprs: Seq[NamedExpression], below: LogicalPlan,
+      tsCol: String, wheels: Map[String, WheelIndex],
+      rangesUs: Seq[(Long, Long)]): Option[LogicalPlan] = {
+    val MinuteUs = MinuteMs * 1000L
+    final case class R(aUs: Long, bUs: Long) {
+      val aCeilUs: Long = Math.floorDiv(aUs + MinuteUs - 1, MinuteUs) * MinuteUs
+      val bFloorUs: Long = Math.floorDiv(bUs, MinuteUs) * MinuteUs
+      def hasInterior: Boolean = aCeilUs < bFloorUs
+      def edgeWindows: Seq[(Long, Long)] =
+        if (hasInterior) Seq((aUs, aCeilUs), (bFloorUs, bUs))
+        else Seq((aUs, bUs))
+    }
+    val rs = rangesUs.map { case (a, b) => R(a, b) }
+    val interiors = rs.filter(_.hasInterior)
+    if (interiors.isEmpty) return None // nothing foldable — keep the scan
+    val needCond = hasSecondMoment(aggExprs)
+    val interiorAlls: Seq[Map[String, AllAggregate]] = interiors.map(r =>
+      wheels.map { case (c, i) =>
+        c -> i.query(r.aCeilUs / 1000L, r.bFloorUs / 1000L) })
+    // shift on the COMBINED interior mean (the single-range path's
+    // argument, extended: the union range's own mean)
+    val combined: Map[String, AllAggregate] = wheels.keys.map { c =>
+      c -> interiorAlls.map(_(c)).reduce(_ combine _)
+    }.toMap
+    val shifts = shiftsFor(needCond, wheels.keys, combined)
+    for {
+      parts <- residueParts(below, tsCol, wheels.keys.toSeq,
+        rs.flatMap(_.edgeWindows), shifts)
+      newAggExprs <- mergeAggExprs(parts.cols, wheels.keySet, aggExprs, Seq.empty)
+      if !needCond ||
+        interiorAlls.forall(_.forall { case (c, al) =>
+          al.varWellConditionedAround(parts.cols.shiftOf(c)) }) || {
+          foldBailNote = IllCondNote; false
+        }
+    } yield {
+      val rows = interiorAlls.flatMap { alls =>
+        val anyAll = alls.valuesIterator.next()
+        if (anyAll.rows == 0L) None
+        else Some(InternalRow.fromSeq(parts.partialsRow(alls, anyAll.rows)))
+      }
+      val interior = LocalRelation(parts.partialAttrs, rows)
+      val edgeLeg = Project(parts.edgePartials, parts.edgeFilter)
+      Aggregate(Nil, newAggExprs, Union(Seq(interior, edgeLeg)))
+    }
+  }
+
+  /** The condition as a disjunction of ≥ 2 fully bounded µS ranges
+    * (round 14 — closed raw-timestamp disjuncts included) — None when
+    * it is anything else (single ranges take the ordinary path;
+    * half-bounded disjuncts are refused). A top-level `IsNotNull(ts)`
+    * conjunct (inferred by the optimizer from the range bounds) is
+    * stripped; any OTHER conjunct alongside the disjunction refuses
+    * (its semantics are not a pure time filter). */
+  private def orRangesUs(cond: Expression,
       tsCol: String): Option[Seq[(Long, Long)]] = {
     def conj(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conj(l) ++ conj(r)
@@ -1719,7 +1786,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
           case x => Seq(x)
         }
         val ds = disjuncts(or)
-        val rs = ds.map(d => rangeMs(d, tsCol).collect {
+        val rs = ds.map(d => rangeUs(d, tsCol).collect {
           case (Some(a), Some(b)) if a < b => (a, b)
         })
         if (rs.size >= 2 && rs.forall(_.isDefined)) Some(rs.flatten)
@@ -1727,6 +1794,16 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       case _ => None
     }
   }
+
+  /** The ms-expressible view of [[orRangesUs]] — what the KEYED grouped
+    * OR fold consumes (its per-(key, cell) fold is ms-domain only). */
+  private def orRangesMs(cond: Expression,
+      tsCol: String): Option[Seq[(Long, Long)]] =
+    orRangesUs(cond, tsCol).flatMap { rs =>
+      if (rs.forall(r => r._1 % 1000L == 0 && r._2 % 1000L == 0))
+        Some(rs.map(r => (r._1 / 1000L, r._2 / 1000L)))
+      else None
+    }
 
   /** Sort + merge overlapping/touching half-open ranges. */
   private def mergeRanges(rs: Seq[(Long, Long)]): Seq[(Long, Long)] = {
@@ -1850,12 +1927,14 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       cols.partialsRow(alls, count)
   }
 
-  /** All four bounds are µS instants (round 14): the edge filters carry
+  /** Edge bounds are µS instants (round 14): the edge filters carry
     * exact µs literals, so direct-timestamp closed bounds (`<= x` =
-    * `< x+1 µs`) scan exactly their sub-minute edges. */
+    * `< x+1 µs`) scan exactly their sub-minute edges. `edges` is the
+    * list of half-open sub-minute windows — two for a single range,
+    * up to 2N for an OR of N ranges (disjoint by construction, so the
+    * OR-of-windows filter never double-reads a row). */
   private def residueParts(below: LogicalPlan, tsCol: String,
-      measureCols: Seq[String], aUs: Long, bUs: Long,
-      aCeilUs: Long, bFloorUs: Long,
+      measureCols: Seq[String], edges: Seq[(Long, Long)],
       shifts: Map[String, Double] = Map.empty): Option[ResidueParts] = {
     val tsAttr = below.output.find(_.name == tsCol) match {
       case Some(t) if t.dataType == TimestampType ||
@@ -1869,15 +1948,14 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
         .map(c -> _)).toMap
     if (measureAttr.size != measures.size) return None
     def usLit(us: Long) = Literal(us, tsAttr.dataType)
-    def edge(lo: Long, hi: Long): Option[Expression] =
-      if (lo >= hi) None
-      else Some(And(GreaterThanOrEqual(tsAttr, usLit(lo)),
-        LessThan(tsAttr, usLit(hi))))
-    val edgeCond = (edge(aUs, aCeilUs), edge(bFloorUs, bUs)) match {
-      case (Some(l), Some(h)) => Or(l, h)
-      case (Some(l), None) => l
-      case (None, Some(h)) => h
-      case _ => return None // both edges empty = aligned, not a hybrid
+    val windows = edges.filter { case (lo, hi) => lo < hi }
+      .map { case (lo, hi) =>
+        And(GreaterThanOrEqual(tsAttr, usLit(lo)),
+          LessThan(tsAttr, usLit(hi))): Expression
+      }
+    val edgeCond = windows.reduceOption(Or.apply) match {
+      case Some(c) => c
+      case None => return None // no edges = aligned, not a hybrid
     }
     Some(ResidueParts(
       cols,
@@ -2134,8 +2212,8 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     // partial recombination is genuinely well-conditioned at any data
     val shifts = shiftsFor(needCond, wheels.keys, alls)
     for {
-      parts <- residueParts(below, tsCol, wheels.keys.toSeq, aUs, bUs, aCeil, bFloor,
-        shifts)
+      parts <- residueParts(below, tsCol, wheels.keys.toSeq,
+        Seq((aUs, aCeil), (bFloor, bUs)), shifts)
       newAggExprs <- mergeAggExprs(parts.cols, wheels.keySet, aggExprs, Seq.empty)
       if !needCond ||
         alls.forall { case (c, al) =>
@@ -2179,8 +2257,8 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     val shifts = shiftsFor(needCond, wheels.keys,
       c => wheels(c).query(aCeil, bFloor))
     for {
-      parts <- residueParts(below, tsCol, wheels.keys.toSeq, aUs, bUs,
-        aCeil * 1000L, bFloor * 1000L, shifts)
+      parts <- residueParts(below, tsCol, wheels.keys.toSeq,
+        Seq((aUs, aCeil * 1000L), (bFloor * 1000L, bUs)), shifts)
       gEval <- rebaseOnto(child, below, gExpr)
       slotAttr = AttributeReference(
         "__graft_slot", gExpr.dataType, nullable = gExpr.nullable)()
@@ -2226,6 +2304,83 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
           }
         }
         if (!conditioned) { foldBailNote = IllCondNote; None } // keep the scan
+        else {
+          val interior = LocalRelation(slotAttr +: parts.partialAttrs, rows.result())
+          val edgeLeg = Project(
+            Alias(gEval, "__graft_slot")() +: parts.edgePartials, parts.edgeFilter)
+          Some(Aggregate(Seq(slotAttr), newAggExprs, Union(Seq(interior, edgeLeg))))
+        }
+      }
+    } yield plan
+  }
+
+  /** Grouped hybrid for an OR of DISJOINT unaligned µs ranges (round
+    * 14): the grouped sibling of [[orRangesResidue]] — one interior
+    * partials row per (range, non-empty cell) keyed to its slot, ONE
+    * edge leg whose filter ORs every sub-minute window and whose rows
+    * re-derive their slot key from the raw rows; the final group-by
+    * merges per slot (two ranges' contributions to the same cell are
+    * simply two partial rows). Above the plan-time cell ceiling the
+    * unaligned multi-range shape keeps the scan (no minute-state form
+    * carries the per-range clipping). */
+  private def orGroupedResidue(
+      agg: Aggregate, groupKey: Expression, gExpr: Expression,
+      grid: SlotGrid, aggExprs: Seq[NamedExpression], child: LogicalPlan,
+      below: LogicalPlan, tsCol: String, wheels: Map[String, WheelIndex],
+      rangesUs: Seq[(Long, Long)]): Option[LogicalPlan] = {
+    val MinuteUs = MinuteMs * 1000L
+    final case class R(aUs: Long, bUs: Long) {
+      val aCeilMs: Long =
+        Math.floorDiv(aUs + MinuteUs - 1, MinuteUs) * MinuteUs / 1000L
+      val bFloorMs: Long = Math.floorDiv(bUs, MinuteUs) * MinuteUs / 1000L
+      def hasInterior: Boolean = aCeilMs < bFloorMs
+      def edgeWindows: Seq[(Long, Long)] =
+        if (hasInterior) Seq((aUs, aCeilMs * 1000L), (bFloorMs * 1000L, bUs))
+        else Seq((aUs, bUs))
+    }
+    val rs = rangesUs.map { case (a, b) => R(a, b) }
+    val interiors = rs.filter(_.hasInterior)
+    if (interiors.isEmpty) return None
+    if (interiors.map(r =>
+      cellCount(grid, r.aCeilMs, r.bFloorMs, maxFoldRows)).sum > maxFoldRows) {
+      foldBailNote = "unaligned multi-range grouped shape above " +
+        "maxFoldRows keeps the scan (no distributed form carries the " +
+        "per-range clipping)"
+      return None
+    }
+    val needCond = hasSecondMoment(aggExprs)
+    val shifts = shiftsFor(needCond, wheels.keys,
+      c => interiors.map(r => wheels(c).query(r.aCeilMs, r.bFloorMs))
+        .reduce(_ combine _))
+    for {
+      parts <- residueParts(below, tsCol, wheels.keys.toSeq,
+        rs.flatMap(_.edgeWindows), shifts)
+      gEval <- rebaseOnto(child, below, gExpr)
+      slotAttr = AttributeReference(
+        "__graft_slot", gExpr.dataType, nullable = gExpr.nullable)()
+      newAggExprs <- mergeAggExprs(parts.cols, wheels.keySet, aggExprs,
+        Seq((Seq(groupKey, gExpr), slotAttr)))
+      plan <- {
+        var conditioned = true
+        val rows = Seq.newBuilder[InternalRow]
+        interiors.foreach { r =>
+          val it = grid.starts(r.aCeilMs, r.bFloorMs)
+          while (it.hasNext) {
+            val s0 = it.next()
+            val s1 = grid.end(s0)
+            val alls = wheels.map { case (c, i) =>
+              c -> i.query(math.max(r.aCeilMs, s0), math.min(r.bFloorMs, s1)) }
+            val anyAll = alls.valuesIterator.next()
+            if (anyAll.rows > 0L) {
+              if (needCond && !alls.forall { case (c, al) =>
+                al.varWellConditionedAround(parts.cols.shiftOf(c)) })
+                conditioned = false
+              rows += InternalRow.fromSeq(
+                slotLiteral(grid, s0, s1).value +: parts.partialsRow(alls, anyAll.rows))
+            }
+          }
+        }
+        if (!conditioned) { foldBailNote = IllCondNote; None }
         else {
           val interior = LocalRelation(slotAttr +: parts.partialAttrs, rows.result())
           val edgeLeg = Project(
@@ -2477,8 +2632,8 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       })
     for {
       // the sliding family stays ms-domain; residueParts takes µs
-      parts <- residueParts(innerBelow, tsCol, measures, a * 1000L, b * 1000L,
-        aCeil * 1000L, bFloor * 1000L, shifts)
+      parts <- residueParts(innerBelow, tsCol, measures,
+        Seq((a * 1000L, aCeil * 1000L), (bFloor * 1000L, b * 1000L)), shifts)
       slotAttr = AttributeReference(
         "__graft_slot", winAttr.dataType, nullable = winAttr.nullable)()
       keyOut = keyed.map { case (kA, reg) =>
@@ -2895,18 +3050,17 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
         slotGrid(gExpr, tsCol))
       filterOpt = findFilter(child)
       any = wheels.valuesIterator.next()
-      // Left = the ordinary single conjunctive range, in µS (round 14 —
-      // direct-timestamp closed bounds route to the grouped hybrid);
-      // Right = an OR-of-disjoint-ranges predicate (round 13, ms
-      // domain), pre-merged so a row matched by two disjuncts counts
-      // once
+      // Left = the ordinary single conjunctive range; Right = an
+      // OR-of-disjoint-ranges predicate (round 13), pre-merged so a row
+      // matched by two disjuncts counts once. BOTH in µS (round 14 —
+      // direct-timestamp closed bounds route to the grouped hybrids)
       ranged <- (filterOpt match {
         case Some((cond, _)) =>
           rangeUs(cond, tsCol)
             .map { case (aO, bO) =>
               scala.util.Left((aO.getOrElse(any.baseMs * 1000L),
                 bO.getOrElse(any.horizonMs * 1000L))) }
-            .orElse(orRangesMs(cond, tsCol).map(rs => scala.util.Right(mergeRanges(rs))))
+            .orElse(orRangesUs(cond, tsCol).map(rs => scala.util.Right(mergeRanges(rs))))
         case None =>
           Some(scala.util.Left((any.baseMs * 1000L, any.horizonMs * 1000L)))
       }): Option[Either[(Long, Long), Seq[(Long, Long)]]]
@@ -2915,7 +3069,9 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       _ <- bail(path, ZoneUnsoundNote)(
         if (ranged.fold(
           r => grid.soundFor(Math.floorDiv(r._1, 1000L), Math.floorDiv(r._2, 1000L)),
-          rs => rs.forall(r => grid.soundFor(r._1, r._2)))) Some(()) else None)
+          rs => rs.forall(r => grid.soundFor(
+            Math.floorDiv(r._1, 1000L), Math.floorDiv(r._2, 1000L)))))
+          Some(()) else None)
       result <- ranged match {
        case scala.util.Left((aUs, bUs)) if aUs < bUs =>
         bail(path, foldNote("grouped shape not foldable")) {
@@ -2966,16 +3122,25 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
        // (pre-merged disjoint ranges, so the minute-state union never
        // double-counts). Unaligned multi-range shapes keep the scan
        // (no multi-range residue form).
-       case scala.util.Right(ranges) =>
+       case scala.util.Right(rangesUs) =>
         bail(path, foldNote("grouped OR-ranges shape not foldable " +
-          "(unaligned, or aggregate without a fold)")) {
+          "(aggregate without a fold / merge form)")) {
           foldBailNote = ""
-          val aligned = ranges.forall { case (x, y) =>
-            x % MinuteMs == 0 && y % MinuteMs == 0 && x < y }
+          val MinuteUs = MinuteMs * 1000L
+          val aligned = rangesUs.forall { case (x, y) =>
+            x % MinuteUs == 0 && y % MinuteUs == 0 && x < y }
+          if (!aligned)
+            // UNALIGNED disjuncts (round 14): per-(range, cell) interior
+            // partials + ONE OR-of-windows edge leg, merged by slot key
+            filterOpt.flatMap { case (_, below) =>
+              orGroupedResidue(agg, groupKey, gExpr, grid, aggExprs,
+                child, below, tsCol, wheels, rangesUs)
+            }
+          else {
+          val ranges = rangesUs.map { case (x, y) => (x / 1000L, y / 1000L) }
           val cellsTotal =
             ranges.map { case (x, y) => cellCount(grid, x, y, maxFoldRows) }.sum
-          if (!aligned) None
-          else if (cellsTotal > maxFoldRows)
+          if (cellsTotal > maxFoldRows)
             distributedGrouped(aggExprs, wheels, grid, gExpr,
               Seq((Seq(groupKey, gExpr))), None, ranges)
           else {
@@ -3011,6 +3176,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
             }
             if (ok) Some(LocalRelation(agg.output, slotRows.result()))
             else None
+          }
           }
         }
        case _ => None
@@ -3429,7 +3595,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       c => keyedRangeAll(reg, c, aCeil, bFloor))
     for {
       parts <- residueParts(below, reg.tsCol, reg.wheels.keys.toSeq,
-        aUs, bUs, aCeil * 1000L, bFloor * 1000L, shifts)
+        Seq((aUs, aCeil * 1000L), (bFloor * 1000L, bUs)), shifts)
       gEval <- rebaseOnto(child, below, gExpr)
       keyOutAttr = AttributeReference(
         "__graft_key", reg.any.keyType, nullable = keyRaw.nullable)()

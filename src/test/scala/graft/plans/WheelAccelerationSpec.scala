@@ -2823,6 +2823,46 @@ class WheelAccelerationSpec extends AnyFunSuite {
     WheelAcceleration.clear()
   }
 
+  test("UNALIGNED OR-ranges fold hybrid: per-range interiors + ONE OR-of-windows edge leg (round 14)") {
+    WheelAcceleration.clear()
+    register()
+    events.createOrReplaceTempView("events_accel")
+    // the natural OR-of-BETWEENs spelling: closed raw-ts bounds (µs
+    // domain), sub-minute edges on every disjunct
+    val where = "WHERE (ts BETWEEN TIMESTAMP '2024-01-05 00:00:23' " +
+      "AND TIMESTAMP '2024-01-07 10:30:41.123456') " +
+      "OR (ts BETWEEN TIMESTAMP '2024-01-19 07:11:09' " +
+      "AND TIMESTAMP '2024-01-21 18:05:59') "
+    val sql = "SELECT ROUND(SUM(value), 2) AS s, COUNT(*) AS n, " +
+      "MIN(value) AS mn, ROUND(AVG(value), 4) AS av FROM events_accel " + where
+    val df = spark.sql(sql)
+    assert(df.queryExecution.optimizedPlan.collect {
+      case l: LocalRelation => l
+    }.nonEmpty, df.queryExecution.optimizedPlan.treeString)
+    val p = df.queryExecution.executedPlan.toString
+    // the edge leg is ONE scan with the OR of sub-minute windows pushed
+    assert(p.contains("PushedFilters: [Or("), p)
+    val got = df.collect().toSeq
+    WheelAcceleration.clear()
+    assert(got == spark.sql(sql).collect().toSeq, sql)
+
+    // grouped spelling: an hourly rollup over the same unaligned
+    // disjunction — interior (range, cell) partials + the edge leg
+    // merged per slot key
+    register()
+    val gSql = "SELECT (unix_millis(ts) div 3600000) * 3600000 AS h, " +
+      "ROUND(SUM(value), 2) AS s, COUNT(*) AS n FROM events_accel " +
+      where + "GROUP BY 1 ORDER BY 1"
+    val gdf = spark.sql(gSql)
+    assert(gdf.queryExecution.optimizedPlan.collect {
+      case l: LocalRelation => l
+    }.nonEmpty, gdf.queryExecution.optimizedPlan.treeString)
+    val gotG = gdf.collect().toSeq
+    WheelAcceleration.clear()
+    assert(gotG == spark.sql(gSql).collect().toSeq, gSql)
+    WheelAcceleration.clear()
+  }
+
   test("composite-keyed fold: GROUP BY k1, k2, month folds and matches the scan (round 13)") {
     WheelAcceleration.clear()
     val liPath = s"$dir/lineitem.parquet"
