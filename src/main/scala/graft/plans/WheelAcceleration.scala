@@ -1426,8 +1426,19 @@ object WheelAcceleration {
       (p: String) => accelerationStatus(p))
   }
 
-  private def normalize(p: String): String =
-    new java.net.URI(p).getPath match { case null => p; case s => s }
+  /** Canonical registry key: URI → path, and RELATIVE paths resolved
+    * against the working directory (round 14). A registration made with
+    * a relative dir (`".bench/sf1/events.parquet"`) must match the
+    * plan's `HadoopFsRelation` root, which always reports the ABSOLUTE
+    * `file:` URI — before this fix the lookup silently missed and every
+    * query on a relatively-registered source kept the scan (the sf1
+    * soak measured exactly that, mis-read as build cost until the
+    * round-14 prepare/exec split exposed it). */
+  private def normalize(p: String): String = {
+    val path = new java.net.URI(p).getPath match { case null => p; case s => s }
+    if (new java.io.File(path).isAbsolute) path
+    else java.nio.file.Paths.get(path).toAbsolutePath.normalize.toString
+  }
 
   /** Staleness checks list the source files — a metadata op, but at a
     * 100k-file table that's too expensive per optimizer invocation, so

@@ -2823,6 +2823,28 @@ class WheelAccelerationSpec extends AnyFunSuite {
     WheelAcceleration.clear()
   }
 
+  test("a RELATIVE registration path matches the plan's absolute source root (round 14)") {
+    WheelAcceleration.clear()
+    // register via a path RELATIVE to the working directory — the plan's
+    // HadoopFsRelation always reports the ABSOLUTE file: root, so the
+    // registry key must canonicalize or every lookup silently misses
+    // and the scan runs (exactly what the sf1 soak measured until the
+    // round-14 prepare/exec split exposed it)
+    val cwd = java.nio.file.Paths.get("").toAbsolutePath
+    val rel = cwd.relativize(java.nio.file.Paths.get(path)).toString
+    assert(!new java.io.File(rel).isAbsolute, rel)
+    def ev = spark.read.parquet(rel)
+      .withColumn("ts", col("ts").cast("timestamp")) // the Q.t reading
+    WheelAcceleration.register(spark, rel, ev)
+    ev.createOrReplaceTempView("events_rel")
+    val df = spark.sql("SELECT ROUND(SUM(value), 2) AS s FROM events_rel " +
+      s"WHERE unix_millis(ts) >= ${Q.R1Start} AND unix_millis(ts) < ${Q.R1End}")
+    assert(df.queryExecution.optimizedPlan.collect {
+      case l: LocalRelation => l
+    }.nonEmpty, df.queryExecution.optimizedPlan.treeString)
+    WheelAcceleration.clear()
+  }
+
   test("UNALIGNED OR-ranges fold hybrid: per-range interiors + ONE OR-of-windows edge leg (round 14)") {
     WheelAcceleration.clear()
     register()
