@@ -3360,30 +3360,35 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       // (key, cell) with contributions combined across ranges — same
       // semantics as the unkeyed grouped Right branch
       orFold = filterOpt.flatMap { case (cond, _) =>
-        if (rangeMs(cond, reg.tsCol).isDefined) None
+        if (rangeUs(cond, reg.tsCol).isDefined) None
         else orRangesMs(cond, reg.tsCol).map(mergeRanges).flatMap { ranges =>
           keyedOrRangesFold(agg, keyAttr, slotGroup, gExpr, grid, aggExprs,
             reg, ranges)
         }
       }
+      // µS bounds (round 14): direct-timestamp closed bounds route to
+      // the keyed grouped hybrid below
       (aOpt, bOpt) <- filterOpt match {
         case Some((cond, _)) =>
           // a successful OR fold short-circuits below; the placeholder
           // bounds only keep the comprehension alive to reach it
-          rangeMs(cond, reg.tsCol)
-            .orElse(orFold.map(_ => (Some(0L), Some(MinuteMs))))
+          rangeUs(cond, reg.tsCol)
+            .orElse(orFold.map(_ => (Some(0L), Some(MinuteMs * 1000L))))
         case None => Some((None, None))
       }
-      a = aOpt.getOrElse(reg.any.baseMs)
-      b = bOpt.getOrElse(reg.any.horizonMs)
-      if a < b
+      aUs = aOpt.getOrElse(reg.any.baseMs * 1000L)
+      bUs = bOpt.getOrElse(reg.any.horizonMs * 1000L)
+      if aUs < bUs
       // zone-walked grids (round 14): only the sound era folds (the OR
       // fold checked its own ranges inside keyedOrRangesFold)
       _ <- bail(path, ZoneUnsoundNote)(
-        if (orFold.isDefined || grid.soundFor(a, b)) Some(()) else None)
+        if (orFold.isDefined || grid.soundFor(
+          Math.floorDiv(aUs, 1000L), Math.floorDiv(bUs, 1000L)))
+          Some(()) else None)
       result <-
         if (orFold.isDefined) orFold
-        else if (a % MinuteMs == 0 && b % MinuteMs == 0) {
+        else if (aUs % (MinuteMs * 1000L) == 0 && bUs % (MinuteMs * 1000L) == 0) {
+          val (a, b) = (aUs / 1000L, bUs / 1000L)
           if (reg.any.keys.size.toLong * cellCount(grid, a, b, maxFoldRows) > maxFoldRows)
             distributedGrouped(aggExprs, Map.empty, grid, gExpr,
               Seq(Seq(slotGroup, gExpr)), Some((keyAttr, reg)), Seq((a, b)))
@@ -3418,7 +3423,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
           }
         } else filterOpt.flatMap { case (_, below) =>
           rewriteKeyedGroupedResidue(agg, keyAttr, slotGroup, gExpr, grid,
-            aggExprs, child, below, reg, a * 1000L, b * 1000L)
+            aggExprs, child, below, reg, aUs, bUs)
         }
     } yield result
   }

@@ -11,6 +11,14 @@ import Q._
   * wheel-index range query. */
 object Core {
 
+  /** NY-zone child sessions for `q_wheel_tz_sql`, one per (parent
+    * session, derived table) — see the query's comment. Swept with the
+    * parent (a stopped parent stops its children's shared context). */
+  private val tzSessions = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.SparkSession]()
+  graft.wheel.SessionSweeper.addSweep(() =>
+    tzSessions.keySet.removeIf(_._1.sparkContext.isStopped))
+
   /** Epoch-ms of a timestamp column, truncated like the reference's
     * µs→ms conversion (/root/reference/src/main.rs:133–135). */
   private def tms(c: org.apache.spark.sql.Column) = unix_millis(c)
@@ -826,8 +834,15 @@ object Core {
         t(s, dir, "events")
           .withColumn("ts", col("ts") + expr(s"INTERVAL ${TzShiftMs / Day} DAYS"))
           .write.mode("overwrite").parquet(np)
-      val s2 = s.newSession()
-      s2.conf.set("spark.sql.session.timeZone", "America/New_York")
+      // ONE cached NY-zone child session per (parent, table): the
+      // WheelCatalog keys builds by session, so a fresh newSession per
+      // invocation would re-pay the index build every call — the cached
+      // session folds from the catalog on every later invocation
+      val s2 = Core.tzSessions.computeIfAbsent((s, np), _ => {
+        val n = s.newSession()
+        n.conf.set("spark.sql.session.timeZone", "America/New_York")
+        n
+      })
       graft.plans.WheelAcceleration.register(s2, np, s2.read.parquet(np))
       s2.read.parquet(np).createOrReplaceTempView("events_tz")
       s2.sql(

@@ -2885,6 +2885,25 @@ class WheelAccelerationSpec extends AnyFunSuite {
     WheelAcceleration.clear()
   }
 
+  test("KEYED grouped hybrid accepts µs closed raw-ts bounds (round 14)") {
+    WheelAcceleration.clear()
+    WheelAcceleration.registerKeyed(spark, path, events, "event_type")
+    events.createOrReplaceTempView("events_accel")
+    val sql = "SELECT event_type, (unix_millis(ts) div 3600000) * 3600000 AS h, " +
+      "ROUND(SUM(value), 2) AS s, COUNT(*) AS n FROM events_accel " +
+      "WHERE ts BETWEEN TIMESTAMP '2024-01-05 00:00:00' " +
+      "AND TIMESTAMP '2024-01-06 10:15:33.123456' " +
+      "GROUP BY 1, 2 ORDER BY 1, 2"
+    val df = spark.sql(sql)
+    assert(df.queryExecution.optimizedPlan.collect {
+      case l: LocalRelation => l
+    }.nonEmpty, df.queryExecution.optimizedPlan.treeString)
+    val got = df.collect().toSeq
+    WheelAcceleration.clear()
+    assert(got == spark.sql(sql).collect().toSeq, sql)
+    WheelAcceleration.clear()
+  }
+
   test("composite-keyed fold: GROUP BY k1, k2, month folds and matches the scan (round 13)") {
     WheelAcceleration.clear()
     val liPath = s"$dir/lineitem.parquet"

@@ -99,6 +99,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("LocalTableScan"), p)
   }
 
+  test("q_wheel_or_sketch_sql: grouped OR sketch fold, zero FileScan (round 14)") {
+    val p = plan("q_wheel_or_sketch_sql")
+    assert(!p.contains("FileScan"), p)
+    assert(p.contains("LocalTableScan"), p)
+  }
+
   test("q_wheel_or_rollup_sql: grouped disjoint-range fold, zero FileScan (round 13)") {
     val p = plan("q_wheel_or_rollup_sql")
     assert(!p.contains("FileScan"), p)
