@@ -1510,6 +1510,14 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     * instead of reporting the generic not-a-time-bucketing bail. */
   private var gridBailNote: String = ""
 
+  /** A refusal note from the conditional-aggregate leg (round 14). The
+    * main leg runs AFTER that leg and its generic foldRow note
+    * (DISTINCT/FILTER, unsupported measure shape) would overwrite the
+    * specific conditional diagnosis in the bail registry — so the
+    * conditional leg stashes its note here and [[rewrite]] re-records
+    * it once the whole orElse chain has refused. */
+  private var condBailNote: String = ""
+
   private def gridNote(default: String): String = {
     val n = gridBailNote
     gridBailNote = ""
@@ -1612,7 +1620,10 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
    // assertion, so a sketch-only registration keeps requiring a range.
    val filterOpt = findFilter(child)
    val below = filterOpt.map(_._2).getOrElse(child)
-   rewriteOrRanges(agg, aggExprs, filterOpt, below).orElse(for {
+   condBailNote = ""
+   val res = rewriteOrRanges(agg, aggExprs, filterOpt, below)
+    .orElse(rewriteConditional(agg, aggExprs, filterOpt, below))
+    .orElse(for {
     path <- sourcePath(below)
     sumReg = WheelAcceleration.lookup(path)
     // sketch wheels (round 11): serve the approximate SQL spellings; a
@@ -1661,6 +1672,11 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       else None
     }
    } yield result)
+   // the conditional leg's diagnosis outranks the main leg's generic
+   // foldRow note for queries that ARE conditional-shaped
+   if (res.isEmpty && condBailNote.nonEmpty)
+     sourcePath(below).foreach(p => WheelAcceleration.recordBail(p, condBailNote))
+   res
   }
 
   /** OR-of-disjoint-ranges fold (round 13, VERDICT r12 #5): `WHERE
@@ -1771,6 +1787,188 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       val edgeLeg = Project(parts.edgePartials, parts.edgeFilter)
       Aggregate(Nil, newAggExprs, Union(Seq(interior, edgeLeg)))
     }
+  }
+
+  /** CONDITIONAL-AGGREGATE fold (round 14): the period-comparison
+    * COLUMNS spelling —
+    *
+    * {{{ SELECT SUM(CASE WHEN ts ∈ [a,b) THEN v END) AS this_week,
+    *            SUM(v) FILTER (WHERE ts ∈ [c,d))     AS prior_week, … }}}
+    *
+    * — each aggregate carries its OWN time range (a FILTER clause, or a
+    * single-branch CASE WHEN with NULL else), so each folds to ITS OWN
+    * index query over the intersection with the outer WHERE range
+    * (absent = the full indexed span, sound under the never-null-ts
+    * build contract). NULL-else semantics make this exact: SQL
+    * aggregates ignore NULLs, so `SUM(CASE WHEN p THEN v END)` over the
+    * outer range IS `SUM(v)` over the intersection; an empty
+    * intersection yields each aggregate's empty-input value (NULL / 0).
+    * `ELSE 0` additionally folds for SUM only (zeros contribute nothing
+    * to the sum, but force a 0 — not NULL — result when the
+    * intersection is empty and the outer range is not; for AVG/COUNT an
+    * ELSE value changes the population, so they refuse). Approximate
+    * sketch spellings ride their per-aggregate range through
+    * [[sketchLit]]. Every range must be minute-aligned — unaligned
+    * conditional edges would need one residue scan PER aggregate, a
+    * deliberate pinned refusal — and any non-time condition,
+    * multi-branch CASE, or DISTINCT keeps the scan. */
+  private def rewriteConditional(
+      agg: Aggregate, aggExprs: Seq[NamedExpression],
+      filterOpt: Option[(Expression, LogicalPlan)],
+      below: LogicalPlan): Option[LogicalPlan] = {
+    val MinuteUs = MinuteMs * 1000L
+    // quick structural gate: this leg only applies when some aggregate
+    // actually carries a FILTER clause or a CASE WHEN argument
+    val hasConditional = aggExprs.exists(_.exists {
+      case ae: AggregateExpression =>
+        ae.filter.nonEmpty ||
+          ae.aggregateFunction.children.exists(_.isInstanceOf[CaseWhen])
+      case _ => false
+    })
+    if (!hasConditional) return None
+    for {
+      path <- sourcePath(below)
+      (tsCol, wheels) <- WheelAcceleration.lookup(path)
+      if wheels.nonEmpty
+      outer <- filterOpt match {
+        case Some((cond, _)) =>
+          val r = rangeUs(cond, tsCol)
+          if (r.isEmpty) {
+            condBailNote = "conditional-aggregate fold: the outer WHERE " +
+              s"is not a bare time range on '$tsCol'"
+            WheelAcceleration.recordBail(path, condBailNote)
+          }
+          r
+        case None => Some((None, None))
+      }
+      (spanBase, spanHorizon) <- wheels.valuesIterator
+        .map(w => (w.baseMs, w.horizonMs)).nextOption()
+      outerA = outer._1.getOrElse(spanBase * 1000L)
+      outerB = outer._2.getOrElse(spanHorizon * 1000L)
+      if outerA <= outerB
+      result <- {
+        foldBailNote = ""
+        val folded = foldConditionalRow(aggExprs, path, tsCol, wheels,
+          outerA, outerB, MinuteUs)
+        if (folded.isEmpty) {
+          condBailNote = foldNote("conditional-aggregate fold refused")
+          WheelAcceleration.recordBail(path, condBailNote)
+        }
+        folded.map(r => LocalRelation(agg.output, Seq(InternalRow.fromSeq(r))))
+      }
+    } yield result
+  }
+
+  /** One output row for [[rewriteConditional]] — every aggregate
+    * replaced by its own-range index literal, scalar wrappers
+    * constant-folded. None (with foldBailNote set) on any unsupported
+    * shape. */
+  private def foldConditionalRow(
+      aggExprs: Seq[NamedExpression], path: String, tsCol: String,
+      wheels: Map[String, WheelIndex], outerA: Long, outerB: Long,
+      minuteUs: Long): Option[Seq[Any]] = {
+    val sketch = WheelAcceleration.lookupSketch(path).filter(_.tsCol == tsCol)
+    // per-range index answers, cached — aggregates often share a range
+    // (SUM + COUNT over the same week)
+    val allsCache =
+      scala.collection.mutable.Map.empty[(Long, Long), Map[String, AllAggregate]]
+    def allsFor(r: (Long, Long)): Map[String, AllAggregate] =
+      allsCache.getOrElseUpdate(r,
+        wheels.map { case (c, i) => c -> i.query(r._1, r._2) })
+    // aligned-µs → ms; None = unaligned (pinned refusal)
+    def msRange(aUs: Long, bUs: Long): Option[(Long, Long)] =
+      if (aUs % minuteUs == 0 && bUs % minuteUs == 0)
+        Some((aUs / 1000L, bUs / 1000L))
+      else None
+    def isNullElse(e: Option[Expression]): Boolean = e match {
+      case None => true
+      case Some(Literal(null, _)) => true
+      case _ => false
+    }
+    def isZeroElse(e: Option[Expression]): Boolean = e match {
+      case Some(Literal(d: Double, _)) => d == 0.0
+      case Some(Literal(f: Float, _)) => f == 0.0f
+      case Some(Literal(i: Int, _)) => i == 0
+      case Some(Literal(l: Long, _)) => l == 0L
+      case Some(Literal(d: org.apache.spark.sql.types.Decimal, _)) =>
+        d.toBigDecimal.signum == 0
+      case _ => false
+    }
+    var supported = true
+    def refuse[T](msg: String, keep: T): T = {
+      if (foldBailNote.isEmpty) foldBailNote = msg
+      supported = false; keep
+    }
+    // SUM(CASE … ELSE 0) is NULL only over an EMPTY outer range
+    lazy val outerRows: Long =
+      msRange(outerA, outerB)
+        .flatMap(r => allsFor(r).valuesIterator.nextOption().map(_.rows))
+        .getOrElse(-1L) // unaligned outer: the per-agg msRange refuses anyway
+    def condLit(ae: AggregateExpression): Expression = {
+      if (!supported) return ae
+      if (ae.isDistinct)
+        return refuse("unsupported aggregate for plan-time fold: " +
+          s"${ae.aggregateFunction.prettyName} with DISTINCT (exact " +
+          "spellings never fold)", ae)
+      val fn0 = ae.aggregateFunction
+      val caseChildren = fn0.children.collect { case cw: CaseWhen => cw }
+      val extracted: Option[(AggregateFunction, Option[Expression], Boolean)] =
+        (ae.filter, caseChildren) match {
+          case (Some(f), Seq()) => Some((fn0, Some(f), false))
+          case (None, Seq(cw)) if cw.branches.size == 1 &&
+              (isNullElse(cw.elseValue) ||
+                (isZeroElse(cw.elseValue) && fn0.isInstanceOf[Sum])) =>
+            val (c, v) = cw.branches.head
+            val fn2 = fn0.withNewChildren(fn0.children.map {
+              case ch if ch eq cw => v
+              case ch => ch
+            }).asInstanceOf[AggregateFunction]
+            Some((fn2, Some(c), isZeroElse(cw.elseValue)))
+          case (None, Seq()) => Some((fn0, None, false))
+          case _ => None
+        }
+      extracted match {
+        case None =>
+          refuse("conditional-aggregate fold: only a FILTER clause or a " +
+            "single-branch CASE WHEN with NULL else (0 else for SUM) " +
+            "folds", ae)
+        case Some((fn, condOpt, elseZero)) =>
+          val rangeOpt: Option[(Long, Long)] = condOpt match {
+            case None => Some((outerA, outerB))
+            case Some(c) => rangeUs(c, tsCol).map { case (lo, hi) =>
+              val a = math.max(outerA, lo.getOrElse(outerA))
+              val b = math.min(outerB, hi.getOrElse(outerB))
+              (a, math.max(a, b)) // empty intersection = empty range
+            }
+          }
+          rangeOpt match {
+            case None =>
+              refuse("conditional-aggregate fold: a per-aggregate " +
+                s"condition is not a bare time range on '$tsCol'", ae)
+            case Some((aUs, bUs)) => msRange(aUs, bUs) match {
+              case None =>
+                refuse("conditional-aggregate fold: a per-aggregate " +
+                  "range is not minute-aligned (per-aggregate residue " +
+                  "scans are deliberately refused)", ae)
+              case Some(r) => aggFnLit(fn, allsFor(r), sketch, Seq(r)) match {
+                case Some(Literal(null, dt)) if elseZero && outerRows > 0 =>
+                  Literal(0.0, dt)
+                case Some(l) => l
+                case None =>
+                  refuse("unsupported aggregate for plan-time fold: " +
+                    fn.prettyName, ae)
+              }
+            }
+          }
+      }
+    }
+    val folded = aggExprs.map { ne =>
+      val replaced = ne.transform { case e: AggregateExpression => condLit(e) }
+      if (!supported) return None
+      if (replaced.exists(_.isInstanceOf[Attribute])) return None
+      replaced.asInstanceOf[Expression].eval(InternalRow.empty)
+    }
+    Some(folded)
   }
 
   /** The condition as a disjunction of ≥ 2 fully bounded µS ranges
@@ -4464,15 +4662,15 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     * or the clipped cell/window for grouped callers). Returns None if
     * ANY aggregate is outside the supported family — the plan is then
     * left for normal execution. */
-  private def foldRow(
-      aggExprs: Seq[NamedExpression],
+  /** The plan-time literal for ONE aggregate FUNCTION against a folded
+    * partials map — the dispatch shared by [[foldRow]] and the
+    * conditional-aggregate fold (round 14). None = outside the
+    * supported family (callers record their own bail note; the sketch
+    * cases may set foldBailNote for accuracy-gate refusals). */
+  private def aggFnLit(fn: AggregateFunction,
       alls: Map[String, AllAggregate],
-      groupSubst: Seq[(Seq[Expression], Literal)],
-      sketch: Option[WheelAcceleration.SketchReg] = None,
-      range: (Long, Long) = (0L, 0L),
-      // additional disjoint spans (round 13, OR-ranges): the sketch
-      // substitutions answer over the UNION of `range +: moreRanges`
-      moreRanges: Seq[(Long, Long)] = Nil): Option[Seq[Any]] = {
+      sketch: Option[WheelAcceleration.SketchReg],
+      spans: Seq[(Long, Long)]): Option[Expression] = {
     // Resolve an aggregate's input column to ITS registered measure's
     // partials (multi-measure registrations fold mixed-measure
     // statements; single-measure ones carry a one-entry map).
@@ -4483,60 +4681,74 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     // every wheel over the same source covers the same rows, so any
     // measure's partial serves COUNT(*) (sketch-only registrations
     // carry no sum wheels: COUNT cannot fold)
-    foldBailNote = ""
     val anyAll = alls.valuesIterator.nextOption()
+    def folded(c: Expression)(f: AllAggregate => Any): Option[Expression] =
+      measure(c).map { all =>
+        Literal(if (all.count == 0L) null else f(all), DoubleType)
+      }
+    fn match {
+      case Sum(c, _) => folded(c)(_.sum)
+      case Min(c) => folded(c)(_.min)
+      case Max(c) => folded(c)(_.max)
+      case Average(c, _) => folded(c)(_.avg)
+      // COUNT(col) is the measure's NON-NULL count; COUNT(*)/COUNT(lit)
+      // is the row count (nullable measures, round 11). Multi-arg
+      // COUNT and COUNT(NULL) stay unsupported.
+      case Count(cs) if cs.size == 1 && measure(cs.head).isDefined =>
+        measure(cs.head).map(al => Literal(al.count, LongType))
+      case Count(cs) if cs.forall {
+          case Literal(v, _) => v != null
+          case _ => false
+        } =>
+        anyAll.map(al => Literal(al.rows, LongType))
+      // second moment from the CENTRAL m2 partial (round 11, ADVICE
+      // r10): Chan-combined per slot, so the plan-time fold is
+      // Welford-exact at ANY conditioning — the round-10/-early-11
+      // ill-conditioned bail is gone from this path (only merge-form
+      // recombinations, which SUM reconstructed Σx², still gate).
+      // SAMP is NULL below two rows, so only the default
+      // nullOnDivideByZero=true spelling folds.
+      case VariancePop(c, _) => folded(c)(_.varPop)
+      case StddevPop(c, _) => folded(c)(_.stddevPop)
+      case VarianceSamp(c, true) => measure(c).flatMap(all =>
+        if (all.count < 2) Some(Literal(null, DoubleType))
+        else Some(Literal(all.varSamp, DoubleType)))
+      case StddevSamp(c, true) => measure(c).flatMap(all =>
+        if (all.count < 2) Some(Literal(null, DoubleType))
+        else Some(Literal(all.stddevSamp, DoubleType)))
+      case f => sketch.flatMap(sk => sketchLit(f, sk, spans))
+    }
+  }
+
+  private def foldRow(
+      aggExprs: Seq[NamedExpression],
+      alls: Map[String, AllAggregate],
+      groupSubst: Seq[(Seq[Expression], Literal)],
+      sketch: Option[WheelAcceleration.SketchReg] = None,
+      range: (Long, Long) = (0L, 0L),
+      // additional disjoint spans (round 13, OR-ranges): the sketch
+      // substitutions answer over the UNION of `range +: moreRanges`
+      moreRanges: Seq[(Long, Long)] = Nil): Option[Seq[Any]] = {
+    foldBailNote = ""
     var supported = true
     def lit(e: AggregateExpression): Expression = {
       if (e.isDistinct || e.filter.nonEmpty) {
-        // the EXACT spellings (COUNT(DISTINCT …), FILTER clauses) are
-        // deliberate refusals, reported as such
+        // the EXACT spellings (COUNT(DISTINCT …)) are deliberate
+        // refusals; FILTER clauses over a time range are the
+        // conditional fold's job ([[rewriteConditional]]) and refuse
+        // here so a grouped/keyed caller keeps the scan honestly
         if (foldBailNote.isEmpty) foldBailNote =
           s"unsupported aggregate for plan-time fold: " +
             s"${e.aggregateFunction.prettyName} with DISTINCT/FILTER " +
             "(exact spellings never fold)"
         supported = false; return e
       }
-      def folded(c: Expression)(f: AllAggregate => Any): Option[Expression] =
-        measure(c).map { all =>
-          Literal(if (all.count == 0L) null else f(all), DoubleType)
+      aggFnLit(e.aggregateFunction, alls, sketch, range +: moreRanges)
+        .getOrElse {
+          if (foldBailNote.isEmpty) foldBailNote =
+            s"unsupported aggregate for plan-time fold: ${e.aggregateFunction.prettyName}"
+          supported = false; e
         }
-      val r: Option[Expression] = e.aggregateFunction match {
-        case Sum(c, _) => folded(c)(_.sum)
-        case Min(c) => folded(c)(_.min)
-        case Max(c) => folded(c)(_.max)
-        case Average(c, _) => folded(c)(_.avg)
-        // COUNT(col) is the measure's NON-NULL count; COUNT(*)/COUNT(lit)
-        // is the row count (nullable measures, round 11). Multi-arg
-        // COUNT and COUNT(NULL) stay unsupported.
-        case Count(cs) if cs.size == 1 && measure(cs.head).isDefined =>
-          measure(cs.head).map(al => Literal(al.count, LongType))
-        case Count(cs) if cs.forall {
-            case Literal(v, _) => v != null
-            case _ => false
-          } =>
-          anyAll.map(al => Literal(al.rows, LongType))
-        // second moment from the CENTRAL m2 partial (round 11, ADVICE
-        // r10): Chan-combined per slot, so the plan-time fold is
-        // Welford-exact at ANY conditioning — the round-10/-early-11
-        // ill-conditioned bail is gone from this path (only merge-form
-        // recombinations, which SUM reconstructed Σx², still gate).
-        // SAMP is NULL below two rows, so only the default
-        // nullOnDivideByZero=true spelling folds.
-        case VariancePop(c, _) => folded(c)(_.varPop)
-        case StddevPop(c, _) => folded(c)(_.stddevPop)
-        case VarianceSamp(c, true) => measure(c).flatMap(all =>
-          if (all.count < 2) Some(Literal(null, DoubleType))
-          else Some(Literal(all.varSamp, DoubleType)))
-        case StddevSamp(c, true) => measure(c).flatMap(all =>
-          if (all.count < 2) Some(Literal(null, DoubleType))
-          else Some(Literal(all.stddevSamp, DoubleType)))
-        case f => sketch.flatMap(sk => sketchLit(f, sk, range +: moreRanges))
-      }
-      r.getOrElse {
-        if (foldBailNote.isEmpty) foldBailNote =
-          s"unsupported aggregate for plan-time fold: ${e.aggregateFunction.prettyName}"
-        supported = false; e
-      }
     }
     val folded = aggExprs.map { ne =>
       val substituted =

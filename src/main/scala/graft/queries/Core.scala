@@ -262,6 +262,52 @@ object Core {
            |""".stripMargin)
     }),
 
+    // CONDITIONAL-AGGREGATE fold, CASE WHEN spelling (round 14): the
+    // period-comparison COLUMNS query — week 1 and week 2 side by side,
+    // plus their share — where each aggregate carries its OWN time range
+    // inside a single-branch CASE WHEN. Each folds to its own index
+    // query intersected with the outer WHERE (NULL-else is exact: SQL
+    // aggregates ignore NULLs); derived arithmetic over the folded
+    // literals constant-folds; `ELSE 0` folds for SUM (empty
+    // intersection over a non-empty range = 0, not NULL). One
+    // LocalRelation row, zero FileScan.
+    "q_wheel_case_sql" -> ((s, dir) => {
+      graft.plans.WheelAcceleration.register(
+        s, s"$dir/events.parquet", t(s, dir, "events"))
+      t(s, dir, "events").createOrReplaceTempView("events_wheel")
+      val mid = R1Start + 7 * Day
+      s.sql(
+        s"""SELECT
+           |ROUND(SUM(CASE WHEN unix_millis(ts) < $mid THEN value END), 2) AS wk1,
+           |ROUND(SUM(CASE WHEN unix_millis(ts) >= $mid THEN value END), 2) AS wk2,
+           |ROUND(SUM(CASE WHEN unix_millis(ts) >= $mid THEN value END) / SUM(value), 4) AS wk2_share,
+           |ROUND(SUM(CASE WHEN unix_millis(ts) >= ${Jan1 + 300 * Day} THEN value ELSE 0 END), 2) AS empty_zero,
+           |COUNT(*) AS n
+           |FROM events_wheel
+           |WHERE unix_millis(ts) >= $R1Start AND unix_millis(ts) < ${R1Start + 14 * Day}
+           |""".stripMargin)
+    }),
+
+    // CONDITIONAL-AGGREGATE fold, FILTER-clause spelling (round 14):
+    // the modern SQL form of the same shape — `agg(x) FILTER (WHERE
+    // range)` — with NO outer WHERE, so unconditioned aggregates fold
+    // over the full indexed span and each FILTER folds over its own
+    // range. COUNT/SUM/AVG mix; all from one plan-time row.
+    "q_wheel_filter_sql" -> ((s, dir) => {
+      graft.plans.WheelAcceleration.register(
+        s, s"$dir/events.parquet", t(s, dir, "events"))
+      t(s, dir, "events").createOrReplaceTempView("events_wheel")
+      val (w1a, w1b) = (R1Start, R1Start + 7 * Day)
+      val (w2a, w2b) = (R1Start + 7 * Day, R1Start + 14 * Day)
+      s.sql(
+        s"""SELECT
+           |COUNT(*) FILTER (WHERE unix_millis(ts) >= $w1a AND unix_millis(ts) < $w1b) AS n1,
+           |ROUND(SUM(value) FILTER (WHERE unix_millis(ts) >= $w2a AND unix_millis(ts) < $w2b), 2) AS sum2,
+           |ROUND(AVG(value) FILTER (WHERE unix_millis(ts) >= $w1a AND unix_millis(ts) < $w1b), 4) AS avg1,
+           |ROUND(MIN(value), 4) AS min_all
+           |FROM events_wheel""".stripMargin)
+    }),
+
     // NULLABLE MEASURE fold (round 11): a measure column with SQL NULLs
     // indexes and folds with the exact COUNT(*)/COUNT(col) split —
     // partials carry a per-measure non-null count beside the row count,
@@ -1303,6 +1349,20 @@ object Core {
         "MIN(value) AS min_value, MAX(value) AS max_value FROM events " +
         s"WHERE (epoch_ms(ts) >= $R1Start AND epoch_ms(ts) < $R1End) " +
         s"OR (epoch_ms(ts) >= ${Jan1 + 18 * Day} AND epoch_ms(ts) < ${Jan1 + 25 * Day})"),
+    "q_wheel_case_sql" ->
+      ("SELECT " +
+        s"ROUND(SUM(CASE WHEN epoch_ms(ts) < ${R1Start + 7 * Day} THEN value END), 2) AS wk1, " +
+        s"ROUND(SUM(CASE WHEN epoch_ms(ts) >= ${R1Start + 7 * Day} THEN value END), 2) AS wk2, " +
+        s"ROUND(SUM(CASE WHEN epoch_ms(ts) >= ${R1Start + 7 * Day} THEN value END) / SUM(value), 4) AS wk2_share, " +
+        s"ROUND(SUM(CASE WHEN epoch_ms(ts) >= ${Jan1 + 300 * Day} THEN value ELSE 0 END), 2) AS empty_zero, " +
+        "COUNT(*) AS n FROM events " +
+        s"WHERE epoch_ms(ts) >= $R1Start AND epoch_ms(ts) < ${R1Start + 14 * Day}"),
+    "q_wheel_filter_sql" ->
+      ("SELECT " +
+        s"COUNT(*) FILTER (WHERE epoch_ms(ts) >= $R1Start AND epoch_ms(ts) < ${R1Start + 7 * Day}) AS n1, " +
+        s"ROUND(SUM(value) FILTER (WHERE epoch_ms(ts) >= ${R1Start + 7 * Day} AND epoch_ms(ts) < ${R1Start + 14 * Day}), 2) AS sum2, " +
+        s"ROUND(AVG(value) FILTER (WHERE epoch_ms(ts) >= $R1Start AND epoch_ms(ts) < ${R1Start + 7 * Day}), 4) AS avg1, " +
+        "ROUND(MIN(value), 4) AS min_all FROM events"),
     "q_wheel_keyed2_sql" ->
       ("SELECT l_returnflag, l_linestatus, " +
         "epoch_ms(date_trunc('month', l_shipdate)) AS month_ms, " +

@@ -2979,4 +2979,119 @@ class WheelAccelerationSpec extends AnyFunSuite {
       WheelAcceleration.clear()
     }
   }
+
+  test("conditional aggregates fold: FILTER clauses and CASE WHEN, each over its own range (round 14)") {
+    register()
+    events.createOrReplaceTempView("events_accel")
+    def run(sql: String): (Boolean, Seq[String]) = {
+      val df = spark.sql(sql)
+      val hit = df.queryExecution.optimizedPlan.collect {
+        case l: LocalRelation => l
+      }.nonEmpty
+      val got = df.collect().map(_.toString).toSeq
+      WheelAcceleration.clear()
+      val want = spark.sql(sql).collect().map(_.toString).toSeq
+      register()
+      assert(got == want, sql)
+      (hit, got)
+    }
+    val (w1a, w1b) = (Q.R1Start, Q.R1Start + 7 * 86400000L)
+    val (w2a, w2b) = (Q.R1Start + 7 * 86400000L, Q.R1Start + 14 * 86400000L)
+    // FILTER clause spelling, no outer WHERE (full indexed span): each
+    // aggregate answers from ITS range's index query
+    val (h1, r1) = run(
+      "SELECT ROUND(SUM(value), 2) AS s1, COUNT(*) FILTER (WHERE " +
+        s"unix_millis(ts) >= $w1a AND unix_millis(ts) < $w1b) AS n1, " +
+        "ROUND(SUM(value) FILTER (WHERE " +
+        s"unix_millis(ts) >= $w2a AND unix_millis(ts) < $w2b), 2) AS s2, " +
+        "ROUND(AVG(value) FILTER (WHERE " +
+        s"unix_millis(ts) >= $w1a AND unix_millis(ts) < $w1b), 4) AS a1 " +
+        "FROM events_accel")
+    assert(h1 && r1.nonEmpty)
+    // CASE WHEN spelling with an outer WHERE: per-aggregate ranges
+    // intersect the outer range; the derived ratio constant-folds
+    val (h2, r2) = run(
+      "SELECT ROUND(SUM(CASE WHEN unix_millis(ts) < " + w1b +
+        " THEN value END), 2) AS wk1, " +
+        "ROUND(SUM(CASE WHEN unix_millis(ts) >= " + w1b +
+        " THEN value END), 2) AS wk2, " +
+        "ROUND(SUM(CASE WHEN unix_millis(ts) >= " + w1b +
+        " THEN value END) / SUM(value), 4) AS share " +
+        s"FROM events_accel WHERE unix_millis(ts) >= $w1a " +
+        s"AND unix_millis(ts) < $w2b")
+    assert(h2 && r2.nonEmpty)
+    // ELSE 0: folds for SUM; an EMPTY intersection over a non-empty
+    // outer range is 0, not NULL (DuckDB/Spark agree on the scan)
+    val far = Q.Jan1 + 300 * 86400000L // outside the data span
+    val (h3, r3) = run(
+      "SELECT ROUND(SUM(CASE WHEN unix_millis(ts) >= " + far +
+        " THEN value ELSE 0 END), 2) AS z, COUNT(*) AS n " +
+        s"FROM events_accel WHERE unix_millis(ts) >= $w1a " +
+        s"AND unix_millis(ts) < $w1b")
+    assert(h3 && r3.head.contains("[0.0,"))
+    // refusals keep the scan with the CONDITIONAL leg's reason pinned
+    // (it outranks the main leg's generic foldRow note) — and the kept
+    // scan still matches the cleared-registry run
+    def refusal(sql: String, needle: String): Unit = {
+      val df = spark.sql(sql)
+      assert(df.queryExecution.optimizedPlan.collect {
+        case l: LocalRelation => l
+      }.isEmpty, sql)
+      val reason = WheelAcceleration.lastBailReason(path).getOrElse("")
+      assert(reason.contains(needle), s"$sql → $reason")
+      val got = df.collect().map(_.toString).toSeq
+      WheelAcceleration.clear()
+      val want = spark.sql(sql).collect().map(_.toString).toSeq
+      register()
+      assert(got == want, sql)
+    }
+    // non-time condition
+    refusal(
+      "SELECT SUM(CASE WHEN event_type = 'error' THEN value END) AS s " +
+        s"FROM events_accel WHERE unix_millis(ts) >= $w1a " +
+        s"AND unix_millis(ts) < $w1b",
+      "not a bare time range")
+    // multi-branch CASE
+    refusal(
+      "SELECT SUM(CASE WHEN unix_millis(ts) < " + w1b + " THEN value " +
+        "WHEN unix_millis(ts) < " + w2b + " THEN -value END) AS s " +
+        "FROM events_accel",
+      "single-branch CASE WHEN")
+    // unaligned per-aggregate range (sub-minute bound)
+    refusal(
+      "SELECT SUM(value) FILTER (WHERE unix_millis(ts) >= " + (w1a + 7000L) +
+        s" AND unix_millis(ts) < $w1b) AS s FROM events_accel",
+      "not minute-aligned")
+    // ELSE 0 under AVG changes the population: refuse
+    refusal(
+      "SELECT ROUND(AVG(CASE WHEN unix_millis(ts) < " + w1b +
+        " THEN value ELSE 0 END), 4) AS a FROM events_accel",
+      "single-branch CASE WHEN")
+    WheelAcceleration.clear()
+  }
+
+  test("conditional approximate spellings fold per-range from the sketch wheels (round 14)") {
+    val src = path
+    register()
+    WheelAcceleration.registerSketches(spark, src, events,
+      distinctCols = Seq("user_id"))
+    events.createOrReplaceTempView("events_accel")
+    val (w1a, w1b) = (Q.R1Start, Q.R1Start + 7 * 86400000L)
+    val sql =
+      "SELECT approx_count_distinct(user_id) FILTER (WHERE " +
+        s"unix_millis(ts) >= $w1a AND unix_millis(ts) < $w1b) AS d1, " +
+        "COUNT(*) AS n FROM events_accel " +
+        s"WHERE unix_millis(ts) >= $w1a AND unix_millis(ts) < ${w1b + 7 * 86400000L}"
+    val df = spark.sql(sql)
+    assert(df.queryExecution.optimizedPlan.collect {
+      case l: LocalRelation => l
+    }.nonEmpty, df.queryExecution.optimizedPlan.treeString)
+    val got = df.collect()(0)
+    // Theta exact regime at this SF: equals the exact distinct count
+    val want = events
+      .filter(unix_millis(col("ts")) >= w1a && unix_millis(col("ts")) < w1b)
+      .select(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    assert(got.getLong(0) == want, s"got ${got.getLong(0)} want $want")
+    WheelAcceleration.clear()
+  }
 }
