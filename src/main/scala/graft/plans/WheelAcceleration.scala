@@ -1586,9 +1586,10 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       // -Dgraft.wheel.rewrite.debug=true the swallowed exception is
       // printed, so "why didn't acceleration fire" is diagnosable.
       val attempt = scala.util.Try {
-        // a stale note from a PREVIOUS aggregate's refused grid must
-        // not attach to this one's bail (ADVICE r13)
+        // a stale note from a PREVIOUS aggregate's refused grid or
+        // conditional leg must not attach to this one's bail (ADVICE r13)
         gridBailNote = ""
+        condBailNote = ""
         if (groupings.isEmpty) rewrite(agg, aggExprs, child)
         else rewriteGrouped(agg, groupings, aggExprs, child)
       }
@@ -1604,7 +1605,15 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
         if (sys.props.get("graft.wheel.rewrite.debug").contains("true"))
           System.err.println(s"[graft] wheel rewrite bailed on exception: $e")
       }
-      attempt.toOption.flatten.getOrElse(agg)
+      attempt.toOption.flatten.getOrElse {
+        // the conditional leg's diagnosis outranks whichever generic
+        // note a LATER leg recorded for the same refused query
+        if (condBailNote.nonEmpty) scala.util.Try {
+          findFilter(child).map(_._2).orElse(Option(child)).flatMap(sourcePath)
+            .foreach(p => WheelAcceleration.recordBail(p, condBailNote))
+        }
+        agg
+      }
   }
 
   private def rewrite(
@@ -1620,8 +1629,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
    // assertion, so a sketch-only registration keeps requiring a range.
    val filterOpt = findFilter(child)
    val below = filterOpt.map(_._2).getOrElse(child)
-   condBailNote = ""
-   val res = rewriteOrRanges(agg, aggExprs, filterOpt, below)
+   rewriteOrRanges(agg, aggExprs, filterOpt, below)
     .orElse(rewriteConditional(agg, aggExprs, filterOpt, below))
     .orElse(for {
     path <- sourcePath(below)
@@ -1672,11 +1680,6 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       else None
     }
    } yield result)
-   // the conditional leg's diagnosis outranks the main leg's generic
-   // foldRow note for queries that ARE conditional-shaped
-   if (res.isEmpty && condBailNote.nonEmpty)
-     sourcePath(below).foreach(p => WheelAcceleration.recordBail(p, condBailNote))
-   res
   }
 
   /** OR-of-disjoint-ranges fold (round 13, VERDICT r12 #5): `WHERE
@@ -1859,6 +1862,59 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     } yield result
   }
 
+  private def isNullElseLit(e: Option[Expression]): Boolean = e match {
+    case None => true
+    case Some(Literal(null, _)) => true
+    case _ => false
+  }
+
+  private def isZeroElseLit(e: Option[Expression]): Boolean = e match {
+    case Some(Literal(d: Double, _)) => d == 0.0
+    case Some(Literal(f: Float, _)) => f == 0.0f
+    case Some(Literal(i: Int, _)) => i == 0
+    case Some(Literal(l: Long, _)) => l == 0L
+    case Some(Literal(d: org.apache.spark.sql.types.Decimal, _)) =>
+      d.toBigDecimal.signum == 0
+    case _ => false
+  }
+
+  /** One aggregate's conditional decomposition: (the aggregate function
+    * with any CASE WHEN argument replaced by its branch value, its own
+    * condition if any, whether an `ELSE 0` applies). None — with
+    * foldBailNote set — on DISTINCT, multi-branch CASE, an ELSE value
+    * outside NULL/0-under-SUM, or a FILTER combined with a CASE. */
+  private def condParts(ae: AggregateExpression)
+      : Option[(AggregateFunction, Option[Expression], Boolean)] = {
+    if (ae.isDistinct) {
+      if (foldBailNote.isEmpty) foldBailNote =
+        "unsupported aggregate for plan-time fold: " +
+          s"${ae.aggregateFunction.prettyName} with DISTINCT (exact " +
+          "spellings never fold)"
+      return None
+    }
+    val fn0 = ae.aggregateFunction
+    val caseChildren = fn0.children.collect { case cw: CaseWhen => cw }
+    val r: Option[(AggregateFunction, Option[Expression], Boolean)] =
+      (ae.filter, caseChildren) match {
+        case (Some(f), Seq()) => Some((fn0, Some(f), false))
+        case (None, Seq(cw)) if cw.branches.size == 1 &&
+            (isNullElseLit(cw.elseValue) ||
+              (isZeroElseLit(cw.elseValue) && fn0.isInstanceOf[Sum])) =>
+          val (c, v) = cw.branches.head
+          val fn2 = fn0.withNewChildren(fn0.children.map {
+            case ch if ch eq cw => v
+            case ch => ch
+          }).asInstanceOf[AggregateFunction]
+          Some((fn2, Some(c), isZeroElseLit(cw.elseValue)))
+        case (None, Seq()) => Some((fn0, None, false))
+        case _ => None
+      }
+    if (r.isEmpty && foldBailNote.isEmpty)
+      foldBailNote = "conditional-aggregate fold: only a FILTER clause " +
+        "or a single-branch CASE WHEN with NULL else (0 else for SUM) folds"
+    r
+  }
+
   /** One output row for [[rewriteConditional]] — every aggregate
     * replaced by its own-range index literal, scalar wrappers
     * constant-folded. None (with foldBailNote set) on any unsupported
@@ -1880,20 +1936,6 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       if (aUs % minuteUs == 0 && bUs % minuteUs == 0)
         Some((aUs / 1000L, bUs / 1000L))
       else None
-    def isNullElse(e: Option[Expression]): Boolean = e match {
-      case None => true
-      case Some(Literal(null, _)) => true
-      case _ => false
-    }
-    def isZeroElse(e: Option[Expression]): Boolean = e match {
-      case Some(Literal(d: Double, _)) => d == 0.0
-      case Some(Literal(f: Float, _)) => f == 0.0f
-      case Some(Literal(i: Int, _)) => i == 0
-      case Some(Literal(l: Long, _)) => l == 0L
-      case Some(Literal(d: org.apache.spark.sql.types.Decimal, _)) =>
-        d.toBigDecimal.signum == 0
-      case _ => false
-    }
     var supported = true
     def refuse[T](msg: String, keep: T): T = {
       if (foldBailNote.isEmpty) foldBailNote = msg
@@ -1906,32 +1948,9 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
         .getOrElse(-1L) // unaligned outer: the per-agg msRange refuses anyway
     def condLit(ae: AggregateExpression): Expression = {
       if (!supported) return ae
-      if (ae.isDistinct)
-        return refuse("unsupported aggregate for plan-time fold: " +
-          s"${ae.aggregateFunction.prettyName} with DISTINCT (exact " +
-          "spellings never fold)", ae)
-      val fn0 = ae.aggregateFunction
-      val caseChildren = fn0.children.collect { case cw: CaseWhen => cw }
-      val extracted: Option[(AggregateFunction, Option[Expression], Boolean)] =
-        (ae.filter, caseChildren) match {
-          case (Some(f), Seq()) => Some((fn0, Some(f), false))
-          case (None, Seq(cw)) if cw.branches.size == 1 &&
-              (isNullElse(cw.elseValue) ||
-                (isZeroElse(cw.elseValue) && fn0.isInstanceOf[Sum])) =>
-            val (c, v) = cw.branches.head
-            val fn2 = fn0.withNewChildren(fn0.children.map {
-              case ch if ch eq cw => v
-              case ch => ch
-            }).asInstanceOf[AggregateFunction]
-            Some((fn2, Some(c), isZeroElse(cw.elseValue)))
-          case (None, Seq()) => Some((fn0, None, false))
-          case _ => None
-        }
-      extracted match {
+      condParts(ae) match {
         case None =>
-          refuse("conditional-aggregate fold: only a FILTER clause or a " +
-            "single-branch CASE WHEN with NULL else (0 else for SUM) " +
-            "folds", ae)
+          supported = false; ae
         case Some((fn, condOpt, elseZero)) =>
           val rangeOpt: Option[(Long, Long)] = condOpt match {
             case None => Some((outerA, outerB))
@@ -1969,6 +1988,161 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       replaced.asInstanceOf[Expression].eval(InternalRow.empty)
     }
     Some(folded)
+  }
+
+  /** KEYED CONDITIONAL fold (round 14): `GROUP BY keyCol` — NO time
+    * bucketing in the grouping — over a keyed registration: the
+    * cohort-comparison PIVOT shape
+    *
+    * {{{ SELECT key, SUM(CASE WHEN ts ∈ w1 THEN v END) AS wk1,
+    *                 SUM(CASE WHEN ts ∈ w2 THEN v END) AS wk2
+    *     FROM t WHERE ts ∈ [a,b) GROUP BY key }}}
+    *
+    * One output row per key with ≥ 1 row in the outer range (SQL GROUP
+    * BY semantics — absent groups don't exist), each aggregate answered
+    * from the KEY's wheel over its own intersected range. PLAIN
+    * aggregates fold too — `GROUP BY key` over a time range previously
+    * kept the scan outright, so the unconditioned spelling is served by
+    * the same leg with every aggregate on the outer range. Keyed sketch
+    * views serve approximate spellings per key. Minute-aligned ranges
+    * only; |keys| must stay under the plan-time fold cap (no
+    * distributed form: minute partials don't carry per-AGGREGATE range
+    * clipping). */
+  private def rewriteKeyedConditional(
+      agg: Aggregate, grouping: Expression,
+      aggExprs: Seq[NamedExpression],
+      child: LogicalPlan): Option[LogicalPlan] = {
+    val MinuteUs = MinuteMs * 1000L
+    for {
+      path <- sourcePath(child)
+      reg <- WheelAcceleration.lookupKeyed(path)
+      keyAttr <- grouping match {
+        case a: AttributeReference if a.name == reg.keyCol => Some(a)
+        case _ => None
+      }
+      outer <- findFilter(child) match {
+        case Some((cond, _)) =>
+          val r = rangeUs(cond, reg.tsCol)
+          if (r.isEmpty) {
+            condBailNote = "keyed conditional fold: the outer WHERE is " +
+              s"not a bare time range on '${reg.tsCol}'"
+            WheelAcceleration.recordBail(path, condBailNote)
+          }
+          r
+        case None => Some((None, None))
+      }
+      outerA = outer._1.getOrElse(reg.any.baseMs * 1000L)
+      outerB = outer._2.getOrElse(reg.any.horizonMs * 1000L)
+      if outerA <= outerB
+      _ <- {
+        if (outerA % MinuteUs != 0 || outerB % MinuteUs != 0) {
+          condBailNote = "keyed conditional fold: the outer range is not " +
+            "minute-aligned (no keyed conditional residue path)"
+          WheelAcceleration.recordBail(path, condBailNote)
+          None
+        } else if (reg.any.keys.size.toLong > maxFoldRows) {
+          condBailNote = s"keyed conditional fold: ${reg.any.keys.size} " +
+            s"keys exceed maxFoldRows=$maxFoldRows (minute partials carry " +
+            "no per-aggregate range clipping, so no distributed form)"
+          WheelAcceleration.recordBail(path, condBailNote)
+          None
+        } else Some(())
+      }
+      result <- {
+        foldBailNote = ""
+        val folded = foldKeyedConditionalRows(agg, keyAttr, aggExprs, path,
+          reg, outerA / 1000L, outerB / 1000L)
+        if (folded.isEmpty) {
+          condBailNote = foldNote("keyed conditional fold refused")
+          WheelAcceleration.recordBail(path, condBailNote)
+        }
+        folded
+      }
+    } yield result
+  }
+
+  /** The per-key rows for [[rewriteKeyedConditional]]: for each
+    * registered key with data in the outer range, every aggregate
+    * replaced by that key's index answer over the aggregate's own
+    * ms-range, the grouping attr by the key literal. */
+  private def foldKeyedConditionalRows(
+      agg: Aggregate, keyAttr: AttributeReference,
+      aggExprs: Seq[NamedExpression], path: String,
+      reg: WheelAcceleration.KeyedReg,
+      outerAMs: Long, outerBMs: Long): Option[LogicalPlan] = {
+    val keyedSk = WheelAcceleration.lookupKeyedSketch(path)
+      .filter(r => r.tsCol == reg.tsCol && r.keyCol == reg.keyCol)
+    var supported = true
+    def refuse[T](msg: String, keep: T): T = {
+      if (foldBailNote.isEmpty) foldBailNote = msg
+      supported = false; keep
+    }
+    // per-aggregate ms-range resolution happens ONCE; the per-key index
+    // queries run inside the key loop below
+    def msRangeOf(condOpt: Option[Expression]): Option[(Long, Long)] =
+      condOpt match {
+        case None => Some((outerAMs, outerBMs))
+        case Some(c) => rangeUs(c, reg.tsCol) match {
+          case Some((lo, hi)) =>
+            val a = math.max(outerAMs * 1000L, lo.getOrElse(outerAMs * 1000L))
+            val b = math.min(outerBMs * 1000L, hi.getOrElse(outerBMs * 1000L))
+            val bb = math.max(a, b)
+            if (a % (MinuteMs * 1000L) == 0 && bb % (MinuteMs * 1000L) == 0)
+              Some((a / 1000L, bb / 1000L))
+            else None
+          case None => None
+        }
+      }
+    val out = Seq.newBuilder[InternalRow]
+    val keys = reg.any.keys.toSeq
+    keys.foreach { key =>
+      if (supported) {
+        val allsCache = scala.collection.mutable.Map
+          .empty[(Long, Long), Map[String, AllAggregate]]
+        def allsFor(r: (Long, Long)): Map[String, AllAggregate] =
+          allsCache.getOrElseUpdate(r,
+            reg.wheels.map { case (c, i) => c -> i.query(key, r._1, r._2) })
+        val outerRows = allsFor((outerAMs, outerBMs))
+          .valuesIterator.nextOption().map(_.rows).getOrElse(0L)
+        if (outerRows > 0L) { // SQL GROUP BY: absent keys emit no row
+          val skView = keyedSk.map(_.viewFor(key))
+          val keyLit = Literal.create(key, reg.any.keyType)
+          def condLit(ae: AggregateExpression): Expression = {
+            if (!supported) return ae
+            condParts(ae) match {
+              case None => supported = false; ae
+              case Some((fn, condOpt, elseZero)) => msRangeOf(condOpt) match {
+                case None =>
+                  refuse("keyed conditional fold: a per-aggregate " +
+                    "condition is not a bare minute-aligned time range " +
+                    s"on '${reg.tsCol}'", ae)
+                case Some(r) => aggFnLit(fn, allsFor(r), skView, Seq(r)) match {
+                  case Some(Literal(null, dt)) if elseZero =>
+                    Literal(0.0, dt) // outerRows > 0 here by construction
+                  case Some(l) => l
+                  case None =>
+                    refuse("unsupported aggregate for plan-time fold: " +
+                      fn.prettyName, ae)
+                }
+              }
+            }
+          }
+          val vals = aggExprs.map { ne =>
+            val substituted = ne.transform {
+              case e if e.semanticEquals(keyAttr) => keyLit
+            }
+            val replaced = substituted.transform {
+              case e: AggregateExpression => condLit(e)
+            }
+            if (!supported) return None
+            if (replaced.exists(_.isInstanceOf[Attribute])) return None
+            replaced.asInstanceOf[Expression].eval(InternalRow.empty)
+          }
+          out += InternalRow.fromSeq(vals)
+        }
+      }
+    }
+    if (supported) Some(LocalRelation(agg.output, out.result())) else None
   }
 
   /** The condition as a disjunction of ≥ 2 fully bounded µS ranges
@@ -2615,6 +2789,9 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       child: LogicalPlan): Option[LogicalPlan] = groupings.size match {
     case 1 => rewriteSlotGrouped(agg, groupings.head, aggExprs, child)
       .orElse(rewriteSlidingWindow(agg, groupings.head, aggExprs, child))
+      // GROUP BY bare KEY (no time bucketing) — the cohort-comparison
+      // pivot, per-aggregate ranges answered from the keyed wheels
+      .orElse(rewriteKeyedConditional(agg, groupings.head, aggExprs, child))
     case 2 => rewriteKeyedGrouped(agg, groupings, aggExprs, child)
       .orElse(rewriteKeyedSlidingWindow(agg, groupings, aggExprs, child))
     // N dimension keys + one time-slot grouping (round 13): the

@@ -308,6 +308,30 @@ object Core {
            |FROM events_wheel""".stripMargin)
     }),
 
+    // KEYED CONDITIONAL fold (round 14): the cohort-comparison PIVOT —
+    // `GROUP BY key` with NO time bucketing, each aggregate carrying its
+    // own week range (CASE WHEN and FILTER spellings mixed). Previously
+    // a bare-key grouping kept the scan outright; now each (key,
+    // aggregate) answers from the KEY's wheel over the aggregate's own
+    // intersected range, one LocalRelation row per key with data in the
+    // outer range (SQL GROUP BY semantics), zero FileScan.
+    "q_wheel_pivot_sql" -> ((s, dir) => {
+      graft.plans.WheelAcceleration.registerKeyed(
+        s, s"$dir/events.parquet", t(s, dir, "events"), "event_type")
+      t(s, dir, "events").createOrReplaceTempView("events_wheel")
+      val mid = R1Start + 7 * Day
+      s.sql(
+        s"""SELECT event_type,
+           |ROUND(SUM(CASE WHEN unix_millis(ts) < $mid THEN value END), 2) AS wk1,
+           |ROUND(SUM(value) FILTER (WHERE unix_millis(ts) >= $mid), 2) AS wk2,
+           |COUNT(*) FILTER (WHERE unix_millis(ts) >= $mid) AS n2,
+           |COUNT(*) AS n
+           |FROM events_wheel
+           |WHERE unix_millis(ts) >= $R1Start AND unix_millis(ts) < ${R1Start + 14 * Day}
+           |GROUP BY event_type ORDER BY event_type
+           |""".stripMargin)
+    }),
+
     // NULLABLE MEASURE fold (round 11): a measure column with SQL NULLs
     // indexes and folds with the exact COUNT(*)/COUNT(col) split —
     // partials carry a per-measure non-null count beside the row count,
@@ -1357,6 +1381,14 @@ object Core {
         s"ROUND(SUM(CASE WHEN epoch_ms(ts) >= ${Jan1 + 300 * Day} THEN value ELSE 0 END), 2) AS empty_zero, " +
         "COUNT(*) AS n FROM events " +
         s"WHERE epoch_ms(ts) >= $R1Start AND epoch_ms(ts) < ${R1Start + 14 * Day}"),
+    "q_wheel_pivot_sql" ->
+      ("SELECT event_type, " +
+        s"ROUND(SUM(CASE WHEN epoch_ms(ts) < ${R1Start + 7 * Day} THEN value END), 2) AS wk1, " +
+        s"ROUND(SUM(value) FILTER (WHERE epoch_ms(ts) >= ${R1Start + 7 * Day}), 2) AS wk2, " +
+        s"COUNT(*) FILTER (WHERE epoch_ms(ts) >= ${R1Start + 7 * Day}) AS n2, " +
+        "COUNT(*) AS n FROM events " +
+        s"WHERE epoch_ms(ts) >= $R1Start AND epoch_ms(ts) < ${R1Start + 14 * Day} " +
+        "GROUP BY event_type ORDER BY event_type"),
     "q_wheel_filter_sql" ->
       ("SELECT " +
         s"COUNT(*) FILTER (WHERE epoch_ms(ts) >= $R1Start AND epoch_ms(ts) < ${R1Start + 7 * Day}) AS n1, " +

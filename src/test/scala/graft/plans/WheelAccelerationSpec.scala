@@ -3070,6 +3070,63 @@ class WheelAccelerationSpec extends AnyFunSuite {
     WheelAcceleration.clear()
   }
 
+  test("GROUP BY bare key folds from the keyed wheels: plain and conditional aggregates (round 14)") {
+    WheelAcceleration.clear()
+    WheelAcceleration.registerKeyed(spark, path, events, "event_type")
+    events.createOrReplaceTempView("events_accel")
+    def run(sql: String): (Boolean, Seq[String]) = {
+      val df = spark.sql(sql)
+      val hit = df.queryExecution.optimizedPlan.collect {
+        case l: LocalRelation => l
+      }.nonEmpty
+      if (hit) assert(
+        !df.queryExecution.executedPlan.toString.contains("FileScan"), sql)
+      val got = df.collect().map(_.toString).toSeq
+      WheelAcceleration.clear()
+      val want = spark.sql(sql).collect().map(_.toString).toSeq
+      WheelAcceleration.registerKeyed(spark, path, events, "event_type")
+      assert(got == want, sql)
+      (hit, got)
+    }
+    val (w1a, w1b) = (Q.R1Start, Q.R1Start + 7 * 86400000L)
+    val w2b = Q.R1Start + 14 * 86400000L
+    // PLAIN aggregates over a bare-key grouping: previously an outright
+    // scan, now one row per key from the keyed wheels
+    val (h1, r1) = run(
+      "SELECT event_type, ROUND(SUM(value), 2) AS s, COUNT(*) AS n, " +
+        "ROUND(AVG(value), 4) AS av FROM events_accel " +
+        s"WHERE unix_millis(ts) >= $w1a AND unix_millis(ts) < $w1b " +
+        "GROUP BY event_type ORDER BY event_type")
+    assert(h1 && r1.nonEmpty)
+    // the cohort-comparison PIVOT: week columns side by side per key,
+    // CASE WHEN and FILTER spellings mixed
+    val (h2, r2) = run(
+      "SELECT event_type, " +
+        s"ROUND(SUM(CASE WHEN unix_millis(ts) < $w1b THEN value END), 2) AS wk1, " +
+        s"ROUND(SUM(value) FILTER (WHERE unix_millis(ts) >= $w1b), 2) AS wk2, " +
+        s"COUNT(*) FILTER (WHERE unix_millis(ts) >= $w1b) AS n2, " +
+        "COUNT(*) AS n FROM events_accel " +
+        s"WHERE unix_millis(ts) >= $w1a AND unix_millis(ts) < $w2b " +
+        "GROUP BY event_type ORDER BY event_type")
+    assert(h2 && r2.nonEmpty)
+    // full-span spelling (no outer WHERE) folds too
+    val (h3, _) = run(
+      "SELECT event_type, ROUND(SUM(value), 2) AS s FROM events_accel " +
+        "GROUP BY event_type ORDER BY event_type")
+    assert(h3)
+    // a non-time per-aggregate condition keeps the scan, reason pinned
+    val df = spark.sql(
+      "SELECT event_type, SUM(CASE WHEN value > 100 THEN value END) AS s " +
+        "FROM events_accel GROUP BY event_type")
+    assert(df.queryExecution.optimizedPlan.collect {
+      case l: LocalRelation => l
+    }.isEmpty)
+    assert(WheelAcceleration.lastBailReason(path).getOrElse("")
+      .contains("not a bare minute-aligned time range"),
+      WheelAcceleration.lastBailReason(path))
+    WheelAcceleration.clear()
+  }
+
   test("conditional approximate spellings fold per-range from the sketch wheels (round 14)") {
     val src = path
     register()
