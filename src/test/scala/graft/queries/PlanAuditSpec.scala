@@ -93,6 +93,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("LocalTableScan"), p)
   }
 
+  for (k <- Seq("q_wheel_case_sql", "q_wheel_filter_sql", "q_wheel_pivot_sql"))
+    test(s"$k: conditional-aggregate fold, zero FileScan (round 14)") {
+      val p = plan(k)
+      assert(!p.contains("FileScan"), p)
+      assert(p.contains("LocalTableScan"), p)
+    }
+
   test("q_wheel_or_ranges_sql: disjoint-range fold, zero FileScan (round 13)") {
     val p = plan("q_wheel_or_ranges_sql")
     assert(!p.contains("FileScan"), p)
