@@ -2704,8 +2704,10 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     * re-derive their slot key from the raw rows; the final group-by
     * merges per slot (two ranges' contributions to the same cell are
     * simply two partial rows). Above the plan-time cell ceiling the
-    * unaligned multi-range shape keeps the scan (no minute-state form
-    * carries the per-range clipping). */
+    * INTERIOR rows switch to the index's minute states (round 14) —
+    * the whole-minute interiors are minute-aligned, so no per-range
+    * clipping is needed — and only a retention-evicted minute tier
+    * still keeps the scan. */
   private def orGroupedResidue(
       agg: Aggregate, groupKey: Expression, gExpr: Expression,
       grid: SlotGrid, aggExprs: Seq[NamedExpression], child: LogicalPlan,
@@ -2724,11 +2726,22 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     val rs = rangesUs.map { case (a, b) => R(a, b) }
     val interiors = rs.filter(_.hasInterior)
     if (interiors.isEmpty) return None
-    if (interiors.map(r =>
-      cellCount(grid, r.aCeilMs, r.bFloorMs, maxFoldRows)).sum > maxFoldRows) {
+    // past the plan-time cell ceiling the INTERIOR goes DISTRIBUTED
+    // (round 14, closing the last pinned OR-range refusal): the
+    // per-range whole-minute interiors are themselves minute-ALIGNED,
+    // so their minute states need no per-range clipping — they ship as
+    // partials rows keyed to their grid slot (the same O(minute
+    // entries) emission distributedGrouped proves) and the ONE
+    // edge leg unions in unchanged; the final merge Aggregate groups
+    // per slot on the cluster. Only a retention-evicted minute tier
+    // still refuses.
+    val distributedInterior = interiors.map(r =>
+      cellCount(grid, r.aCeilMs, r.bFloorMs, maxFoldRows)).sum > maxFoldRows
+    if (distributedInterior &&
+        !wheels.valuesIterator.forall(_.minuteTierComplete)) {
       foldBailNote = "unaligned multi-range grouped shape above " +
-        "maxFoldRows keeps the scan (no distributed form carries the " +
-        "per-range clipping)"
+        "maxFoldRows needs a complete minute tier for the distributed " +
+        "interior (retention-evicted state keeps the scan)"
       return None
     }
     val needCond = hasSecondMoment(aggExprs)
@@ -2746,7 +2759,31 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       plan <- {
         var conditioned = true
         val rows = Seq.newBuilder[InternalRow]
-        interiors.foreach { r =>
+        def emit(s0: Long, alls: Map[String, AllAggregate], nRows: Long): Unit = {
+          if (needCond && !alls.forall { case (c, al) =>
+            al.varWellConditionedAround(parts.cols.shiftOf(c)) })
+            conditioned = false
+          rows += InternalRow.fromSeq(
+            slotLiteral(grid, s0, grid.end(s0)).value +:
+              parts.partialsRow(alls, nRows))
+        }
+        if (distributedInterior) {
+          // minute-granular partials rows, each pre-keyed to its grid
+          // slot — the merge Aggregate below combines them exactly as
+          // it combines the per-cell rows of the plan-time form
+          val headMeasure = wheels.keys.head
+          val anyIdx = wheels(headMeasure)
+          interiors.foreach { r =>
+            anyIdx.minuteEntries(r.aCeilMs, r.bFloorMs).foreach {
+              case (slotMs, anyAll) =>
+                val alls = wheels.map {
+                  case (c, _) if c == headMeasure => c -> anyAll
+                  case (c, i) => c -> i.minuteAt(slotMs)
+                }
+                emit(grid.floorOf(slotMs), alls, anyAll.rows)
+            }
+          }
+        } else interiors.foreach { r =>
           val it = grid.starts(r.aCeilMs, r.bFloorMs)
           while (it.hasNext) {
             val s0 = it.next()
@@ -2754,13 +2791,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
             val alls = wheels.map { case (c, i) =>
               c -> i.query(math.max(r.aCeilMs, s0), math.min(r.bFloorMs, s1)) }
             val anyAll = alls.valuesIterator.next()
-            if (anyAll.rows > 0L) {
-              if (needCond && !alls.forall { case (c, al) =>
-                al.varWellConditionedAround(parts.cols.shiftOf(c)) })
-                conditioned = false
-              rows += InternalRow.fromSeq(
-                slotLiteral(grid, s0, s1).value +: parts.partialsRow(alls, anyAll.rows))
-            }
+            if (anyAll.rows > 0L) emit(s0, alls, anyAll.rows)
           }
         }
         if (!conditioned) { foldBailNote = IllCondNote; None }

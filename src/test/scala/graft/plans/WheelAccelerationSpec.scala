@@ -2882,7 +2882,23 @@ class WheelAccelerationSpec extends AnyFunSuite {
     val gotG = gdf.collect().toSeq
     WheelAcceleration.clear()
     assert(gotG == spark.sql(gSql).collect().toSeq, gSql)
-    WheelAcceleration.clear()
+
+    // ABOVE THE CEILING (round 14, the last pinned OR-range refusal
+    // closed): the per-range interiors ship as the index's MINUTE
+    // states — still one LocalRelation of partials + the same edge
+    // leg, values identical
+    register()
+    spark.conf.set("spark.graft.wheel.rewrite.maxFoldRows", "2")
+    try {
+      val ddf = spark.sql(gSql)
+      assert(ddf.queryExecution.optimizedPlan.collect {
+        case l: LocalRelation => l
+      }.nonEmpty, ddf.queryExecution.optimizedPlan.treeString)
+      assert(ddf.collect().toSeq == gotG, gSql)
+    } finally {
+      spark.conf.unset("spark.graft.wheel.rewrite.maxFoldRows")
+      WheelAcceleration.clear()
+    }
   }
 
   test("KEYED grouped hybrid accepts µs closed raw-ts bounds (round 14)") {
