@@ -308,6 +308,37 @@ object Core {
            |FROM events_wheel""".stripMargin)
     }),
 
+    // DENSE (gap-filled) series over a folded rollup (round 14): BI
+    // tools need every calendar cell, but SQL GROUP BY — and the folded
+    // LocalRelation that replaces it — emits only NON-EMPTY slots. The
+    // standard fix composes above the fold unchanged: a generated day
+    // spine LEFT JOINed to the folded day series, absent days
+    // zero-filled. The spine here is deliberately WIDER than the
+    // filtered range (21 days vs 14), so the trailing week proves the
+    // zero-fill. Plan: LocalRelation (folded) ⋈ tiny spine — zero
+    // FileScan at any source volume.
+    "q_wheel_dense_sql" -> ((s, dir) => {
+      graft.plans.WheelAcceleration.register(
+        s, s"$dir/events.parquet", t(s, dir, "events"))
+      t(s, dir, "events").createOrReplaceTempView("events_wheel")
+      s.sql(
+        s"""WITH spine AS (
+           |  SELECT $R1Start + i * $Day AS day_ms
+           |  FROM (SELECT explode(sequence(0, 20)) AS i)
+           |), f AS (
+           |  SELECT (unix_millis(ts) div $Day) * $Day AS day_ms,
+           |         ROUND(SUM(value), 2) AS s, COUNT(*) AS cnt
+           |  FROM events_wheel
+           |  WHERE unix_millis(ts) >= $R1Start AND unix_millis(ts) < ${R1Start + 14 * Day}
+           |  GROUP BY 1
+           |)
+           |SELECT spine.day_ms, COALESCE(f.s, 0.0) AS sum_value,
+           |       COALESCE(f.cnt, 0) AS n
+           |FROM spine LEFT JOIN f ON spine.day_ms = f.day_ms
+           |ORDER BY spine.day_ms
+           |""".stripMargin)
+    }),
+
     // KEYED CONDITIONAL fold (round 14): the cohort-comparison PIVOT —
     // `GROUP BY key` with NO time bucketing, each aggregate carrying its
     // own week range (CASE WHEN and FILTER spellings mixed). Previously
@@ -1381,6 +1412,14 @@ object Core {
         s"ROUND(SUM(CASE WHEN epoch_ms(ts) >= ${Jan1 + 300 * Day} THEN value ELSE 0 END), 2) AS empty_zero, " +
         "COUNT(*) AS n FROM events " +
         s"WHERE epoch_ms(ts) >= $R1Start AND epoch_ms(ts) < ${R1Start + 14 * Day}"),
+    "q_wheel_dense_sql" ->
+      (s"WITH spine AS (SELECT $R1Start + i * $Day AS day_ms FROM range(0, 21) t(i)), " +
+        s"f AS (SELECT (epoch_ms(ts) // $Day) * $Day AS day_ms, " +
+        "ROUND(SUM(value), 2) AS s, COUNT(*) AS cnt FROM events " +
+        s"WHERE epoch_ms(ts) >= $R1Start AND epoch_ms(ts) < ${R1Start + 14 * Day} GROUP BY 1) " +
+        "SELECT spine.day_ms, COALESCE(f.s, 0.0) AS sum_value, " +
+        "COALESCE(f.cnt, 0) AS n FROM spine LEFT JOIN f ON spine.day_ms = f.day_ms " +
+        "ORDER BY spine.day_ms"),
     "q_wheel_pivot_sql" ->
       ("SELECT event_type, " +
         s"ROUND(SUM(CASE WHEN epoch_ms(ts) < ${R1Start + 7 * Day} THEN value END), 2) AS wk1, " +
