@@ -3764,12 +3764,24 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       filterOpt = findFilter(child)
       // KEYED OR-ranges (round 13): a disjunction of ranges folds per
       // (key, cell) with contributions combined across ranges — same
-      // semantics as the unkeyed grouped Right branch
-      orFold = filterOpt.flatMap { case (cond, _) =>
+      // semantics as the unkeyed grouped Right branch. UNALIGNED
+      // disjunctions (round-14 continuation) route through the
+      // generalized keyed hybrid: per-(key, range, cell) interiors +
+      // ONE edge leg ORing every sub-minute window.
+      orFold = filterOpt.flatMap { case (cond, below) =>
         if (rangeUs(cond, reg.tsCol).isDefined) None
-        else orRangesMs(cond, reg.tsCol).map(mergeRanges).flatMap { ranges =>
-          keyedOrRangesFold(agg, keyAttr, slotGroup, gExpr, grid, aggExprs,
-            reg, ranges)
+        else orRangesUs(cond, reg.tsCol).map(mergeRanges).flatMap { rangesUs =>
+          val MinuteUs = MinuteMs * 1000L
+          if (!rangesUs.forall { case (x, y) =>
+            grid.soundFor(Math.floorDiv(x, 1000L), Math.floorDiv(y, 1000L)) })
+            None
+          else if (rangesUs.forall { case (x, y) =>
+            x % MinuteUs == 0 && y % MinuteUs == 0 })
+            keyedOrRangesFold(agg, keyAttr, slotGroup, gExpr, grid, aggExprs,
+              reg, rangesUs.map { case (x, y) => (x / 1000L, y / 1000L) })
+          else
+            rewriteKeyedGroupedResidue(agg, keyAttr, slotGroup, gExpr, grid,
+              aggExprs, child, below, reg, rangesUs)
         }
       }
       // µS bounds (round 14): direct-timestamp closed bounds route to
@@ -3829,7 +3841,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
           }
         } else filterOpt.flatMap { case (_, below) =>
           rewriteKeyedGroupedResidue(agg, keyAttr, slotGroup, gExpr, grid,
-            aggExprs, child, below, reg, aUs, bUs)
+            aggExprs, child, below, reg, Seq((aUs, bUs)))
         }
     } yield result
   }
@@ -3839,7 +3851,9 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     * queries combined across ranges by the associative AllAggregate
     * merge (pre-merged disjuncts, so SQL OR semantics hold). Sketch
     * spellings are not served (no single sketch view spans a combined
-    * multi-range cell); unaligned or above-cap shapes keep the scan. */
+    * multi-range cell); above-cap shapes go distributed (round 14) and
+    * UNALIGNED disjunctions route through the generalized keyed hybrid
+    * (round-14 continuation) before reaching here. */
   private def keyedOrRangesFold(
       agg: Aggregate, keyAttr: AttributeReference, slotGroup: Expression,
       gExpr: Expression, grid: SlotGrid, aggExprs: Seq[NamedExpression],
@@ -3993,20 +4007,34 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     * [[rewriteGroupedResidue]]. Interior (key, slot) partials come from
     * the keyed index; edge rows carry their raw key and re-derived slot
     * key through the bounded edge scan; the rewritten group-by merges
-    * both contributions per (key, slot). */
+    * both contributions per (key, slot). Round-14 continuation:
+    * generalized to a LIST of disjoint µs ranges (the keyed unaligned
+    * OR-of-ranges spelling) — one interior walk per range with a
+    * whole-minute interior, every sub-minute window in the ONE edge
+    * leg; two ranges' contributions to the same (key, cell) are simply
+    * two partial rows for the merge Aggregate. */
   private def rewriteKeyedGroupedResidue(
       agg: Aggregate, keyAttr: AttributeReference, slotGroup: Expression,
       gExpr: Expression, grid: SlotGrid, aggExprs: Seq[NamedExpression],
       child: LogicalPlan, below: LogicalPlan, reg: WheelAcceleration.KeyedReg,
-      aUs: Long, bUs: Long): Option[LogicalPlan] = {
+      rangesUs: Seq[(Long, Long)]): Option[LogicalPlan] = {
     // µS bounds (round 14); floorDiv, not truncating division:
     // pre-1970 (negative-epoch) bounds would otherwise round toward
     // zero and let the interior overlap the edges or swallow rows
     // past b
     val MinuteUs = MinuteMs * 1000L
-    val aCeil = Math.floorDiv(aUs + MinuteUs - 1, MinuteUs) * MinuteUs / 1000L
-    val bFloor = Math.floorDiv(bUs, MinuteUs) * MinuteUs / 1000L
-    if (aCeil >= bFloor) return None
+    final case class R(aUs: Long, bUs: Long) {
+      val aCeil: Long =
+        Math.floorDiv(aUs + MinuteUs - 1, MinuteUs) * MinuteUs / 1000L
+      val bFloor: Long = Math.floorDiv(bUs, MinuteUs) * MinuteUs / 1000L
+      def hasInterior: Boolean = aCeil < bFloor
+      def edgeWindows: Seq[(Long, Long)] =
+        if (hasInterior) Seq((aUs, aCeil * 1000L), (bFloor * 1000L, bUs))
+        else Seq((aUs, bUs))
+    }
+    val rs = rangesUs.map { case (x, y) => R(x, y) }
+    val interiors = rs.filter(_.hasInterior)
+    if (interiors.isEmpty) return None
     val keyRaw = below.output.find(o =>
       o.name == reg.keyCol && o.dataType == reg.any.keyType) match {
       case Some(k) => k
@@ -4014,10 +4042,11 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     }
     val needCond = hasSecondMoment(aggExprs)
     val shifts = shiftsFor(needCond, reg.wheels.keys,
-      c => keyedRangeAll(reg, c, aCeil, bFloor))
+      c => interiors.map(r => keyedRangeAll(reg, c, r.aCeil, r.bFloor))
+        .reduce(_ combine _))
     for {
       parts <- residueParts(below, reg.tsCol, reg.wheels.keys.toSeq,
-        Seq((aUs, aCeil * 1000L), (bFloor * 1000L, bUs)), shifts)
+        rs.flatMap(_.edgeWindows), shifts)
       gEval <- rebaseOnto(child, below, gExpr)
       keyOutAttr = AttributeReference(
         "__graft_key", reg.any.keyType, nullable = keyRaw.nullable)()
@@ -4034,36 +4063,42 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
         val rows = Seq.newBuilder[InternalRow]
         val anyIdx = reg.any
         val anyMeasure = reg.wheels.find(_._2 eq anyIdx).get._1
-        if (anyIdx.keys.size.toLong * cellCount(grid, aCeil, bFloor, maxFoldRows) > maxFoldRows) {
+        val interiorCells = interiors.map(r =>
+          cellCount(grid, r.aCeil, r.bFloor, maxFoldRows)).sum
+        if (anyIdx.keys.size.toLong * interiorCells > maxFoldRows) {
           // above the fold cap: minute state instead of per-cell walks,
           // same merge Aggregate (see rewriteGroupedResidue)
           val keyVals = new java.util.HashMap[Any, Any]()
-          anyIdx.minuteEntries(aCeil, bFloor).foreach { case (key, slotMs, anyAll) =>
-            val kv = keyVals.computeIfAbsent(key,
-              k => Literal.create(k, anyIdx.keyType).value)
-            val alls = reg.wheels.map {
-              case (c, _) if c == anyMeasure => c -> anyAll
-              case (c, i) => c -> i.minuteAt(key, slotMs)
+          interiors.foreach { r =>
+            anyIdx.minuteEntries(r.aCeil, r.bFloor).foreach { case (key, slotMs, anyAll) =>
+              val kv = keyVals.computeIfAbsent(key,
+                k => Literal.create(k, anyIdx.keyType).value)
+              val alls = reg.wheels.map {
+                case (c, _) if c == anyMeasure => c -> anyAll
+                case (c, i) => c -> i.minuteAt(key, slotMs)
+              }
+              check(alls)
+              val s0 = grid.floorOf(slotMs)
+              rows += InternalRow.fromSeq(kv +: slotLiteral(grid, s0, grid.end(s0)).value +:
+                parts.partialsRow(alls, anyAll.rows))
             }
-            check(alls)
-            val s0 = grid.floorOf(slotMs)
-            rows += InternalRow.fromSeq(kv +: slotLiteral(grid, s0, grid.end(s0)).value +:
-              parts.partialsRow(alls, anyAll.rows))
           }
         } else {
           anyIdx.keys.foreach { key =>
             val keyVal = Literal.create(key, anyIdx.keyType).value
-            val it = grid.starts(aCeil, bFloor)
-            while (it.hasNext) {
-              val s0 = it.next()
-              val s1 = grid.end(s0)
-              val alls = reg.wheels.map { case (c, i) =>
-                c -> i.query(key, math.max(aCeil, s0), math.min(bFloor, s1)) }
-              val anyAll = alls.valuesIterator.next()
-              if (anyAll.rows > 0L) {
-                check(alls)
-                rows += InternalRow.fromSeq(keyVal +: slotLiteral(grid, s0, s1).value +:
-                  parts.partialsRow(alls, anyAll.rows))
+            interiors.foreach { r =>
+              val it = grid.starts(r.aCeil, r.bFloor)
+              while (it.hasNext) {
+                val s0 = it.next()
+                val s1 = grid.end(s0)
+                val alls = reg.wheels.map { case (c, i) =>
+                  c -> i.query(key, math.max(r.aCeil, s0), math.min(r.bFloor, s1)) }
+                val anyAll = alls.valuesIterator.next()
+                if (anyAll.rows > 0L) {
+                  check(alls)
+                  rows += InternalRow.fromSeq(keyVal +: slotLiteral(grid, s0, s1).value +:
+                    parts.partialsRow(alls, anyAll.rows))
+                }
               }
             }
           }

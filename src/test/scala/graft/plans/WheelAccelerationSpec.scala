@@ -2901,6 +2901,44 @@ class WheelAccelerationSpec extends AnyFunSuite {
     }
   }
 
+  test("KEYED unaligned OR-ranges fold hybrid, plan-time and above the ceiling (round 14)") {
+    WheelAcceleration.clear()
+    WheelAcceleration.registerKeyed(spark, path, events, "event_type")
+    events.createOrReplaceTempView("events_accel")
+    val where = "WHERE (ts BETWEEN TIMESTAMP '2024-01-05 00:00:23' " +
+      "AND TIMESTAMP '2024-01-07 10:30:41.123456') " +
+      "OR (ts BETWEEN TIMESTAMP '2024-01-19 07:11:09' " +
+      "AND TIMESTAMP '2024-01-21 18:05:59') "
+    val sql = "SELECT event_type, (unix_millis(ts) div 3600000) * 3600000 AS h, " +
+      "ROUND(SUM(value), 2) AS s, COUNT(*) AS n FROM events_accel " +
+      where + "GROUP BY 1, 2 ORDER BY 1, 2"
+    val df = spark.sql(sql)
+    assert(df.queryExecution.optimizedPlan.collect {
+      case l: LocalRelation => l
+    }.nonEmpty, df.queryExecution.optimizedPlan.treeString)
+    // the edge leg is ONE scan with the OR of sub-minute windows pushed
+    assert(df.queryExecution.executedPlan.toString
+      .contains("PushedFilters: [Or("), df.queryExecution.executedPlan.toString)
+    val got = df.collect().toSeq
+    WheelAcceleration.clear()
+    val want = spark.sql(sql).collect().toSeq
+    assert(got == want, sql)
+    // above the ceiling the per-(key, range) interiors ship as keyed
+    // MINUTE states; values identical
+    WheelAcceleration.registerKeyed(spark, path, events, "event_type")
+    spark.conf.set("spark.graft.wheel.rewrite.maxFoldRows", "2")
+    try {
+      val ddf = spark.sql(sql)
+      assert(ddf.queryExecution.optimizedPlan.collect {
+        case l: LocalRelation => l
+      }.nonEmpty, ddf.queryExecution.optimizedPlan.treeString)
+      assert(ddf.collect().toSeq == want, sql)
+    } finally {
+      spark.conf.unset("spark.graft.wheel.rewrite.maxFoldRows")
+      WheelAcceleration.clear()
+    }
+  }
+
   test("KEYED grouped hybrid accepts µs closed raw-ts bounds (round 14)") {
     WheelAcceleration.clear()
     WheelAcceleration.registerKeyed(spark, path, events, "event_type")
