@@ -65,7 +65,14 @@ class FoldSweepSpec extends AnyFunSuite {
       "MAX(value) AS a1, STDDEV_POP(value) AS a2",
       "VAR_SAMP(value) AS a1, COUNT(value) AS a2",
       // scalar expression over two folded aggregates
-      "SUM(value) / COUNT(*) AS a1")
+      "SUM(value) / COUNT(*) AS a1",
+      // CONDITIONAL mixes (round 14): per-aggregate ranges — fold
+      // ungrouped and under the bare-key grouping, refuse (scan,
+      // equivalence still checked) under slot groupings
+      s"SUM(CASE WHEN unix_millis(ts) < ${Q.R1Start + 3 * 86400000L} " +
+        "THEN value END) AS a1, COUNT(*) AS a2",
+      s"SUM(value) FILTER (WHERE unix_millis(ts) >= ${Q.R1Start + 3 * 86400000L}) AS a1, " +
+        s"AVG(value) FILTER (WHERE unix_millis(ts) < ${Q.R1Start + 3 * 86400000L}) AS a2")
     // (grouping select-expr or "", group-by clause or "")
     val groupings = Seq(
       ("", ""),
@@ -82,7 +89,10 @@ class FoldSweepSpec extends AnyFunSuite {
         "GROUP BY window(ts, '3 minutes', '2 minutes')"),
       ("date_trunc('quarter', ts) AS g0, ", "GROUP BY 1"),
       ("event_type AS g0, (unix_millis(ts) div 3600000) * 3600000 AS g1, ",
-        "GROUP BY 1, 2"))
+        "GROUP BY 1, 2"),
+      // bare-key pivot grouping (round 14): plain AND conditional
+      // mixes fold through the keyed conditional leg
+      ("event_type AS g0, ", "GROUP BY 1"))
     val ranges = Seq(
       (Q.R1Start, Q.R1End),                   // day-aligned week
       (Q.R1Start + 60000L, Q.R1End - 60000L), // minute-aligned interior
@@ -180,7 +190,10 @@ class FoldSweepSpec extends AnyFunSuite {
         "GROUP BY window(ts, '1 hour', '30 minutes')"),
       // the all-null 'error' key rides the keyed grid
       ("event_type AS g0, (unix_millis(ts) div 3600000) * 3600000 AS g1, ",
-        "GROUP BY 1, 2"))
+        "GROUP BY 1, 2"),
+      // bare-key pivot (round 14): the all-null key's COUNT(*) vs
+      // COUNT(v) split through the keyed conditional leg
+      ("event_type AS g0, ", "GROUP BY 1"))
     val ranges = Seq(
       (Q.R1Start, Q.R1End),                   // day-aligned week
       (Q.R1Start + 30123L, Q.R1End - 7001L),  // sub-minute hybrid edges
