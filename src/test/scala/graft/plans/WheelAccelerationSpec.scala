@@ -3168,6 +3168,13 @@ class WheelAccelerationSpec extends AnyFunSuite {
       "SELECT event_type, ROUND(SUM(value), 2) AS s FROM events_accel " +
         "GROUP BY event_type ORDER BY event_type")
     assert(h3)
+    // SELECT DISTINCT key over a range is the degenerate pivot (no
+    // aggregates at all) — one row per key with data in the range
+    val (h4, _) = run(
+      "SELECT DISTINCT event_type FROM events_accel " +
+        s"WHERE unix_millis(ts) >= $w1a AND unix_millis(ts) < $w1b " +
+        "ORDER BY event_type")
+    assert(h4)
     // a non-time per-aggregate condition keeps the scan, reason pinned
     val df = spark.sql(
       "SELECT event_type, SUM(CASE WHEN value > 100 THEN value END) AS s " +
