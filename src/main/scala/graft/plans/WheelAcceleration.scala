@@ -1833,26 +1833,34 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       path <- sourcePath(below)
       (tsCol, wheels) <- WheelAcceleration.lookup(path)
       if wheels.nonEmpty
-      outer <- filterOpt match {
+      (spanBase, spanHorizon) <- wheels.valuesIterator
+        .map(w => (w.baseMs, w.horizonMs)).nextOption()
+      // the outer WHERE may be a single range OR a disjunction of
+      // ranges (round-14 continuation) — the retention spelling
+      // `WHERE w1 OR w2` with per-window conditional aggregates;
+      // missing bounds default to the indexed span
+      outers <- filterOpt match {
         case Some((cond, _)) =>
-          val r = rangeUs(cond, tsCol)
+          val r: Option[Seq[(Long, Long)]] = rangeUs(cond, tsCol)
+            .map { case (lo, hi) =>
+              Seq((lo.getOrElse(spanBase * 1000L),
+                hi.getOrElse(spanHorizon * 1000L)))
+            }
+            .orElse(orRangesUs(cond, tsCol).map(mergeRanges))
+            .filter(_.forall { case (a, b) => a <= b })
           if (r.isEmpty) {
             condBailNote = "conditional-aggregate fold: the outer WHERE " +
-              s"is not a bare time range on '$tsCol'"
+              s"is not a time range (or OR of ranges) on '$tsCol'"
             WheelAcceleration.recordBail(path, condBailNote)
           }
           r
-        case None => Some((None, None))
+        case None =>
+          Some(Seq((spanBase * 1000L, spanHorizon * 1000L)))
       }
-      (spanBase, spanHorizon) <- wheels.valuesIterator
-        .map(w => (w.baseMs, w.horizonMs)).nextOption()
-      outerA = outer._1.getOrElse(spanBase * 1000L)
-      outerB = outer._2.getOrElse(spanHorizon * 1000L)
-      if outerA <= outerB
       result <- {
         foldBailNote = ""
         val folded = foldConditionalRow(aggExprs, path, tsCol, wheels,
-          outerA, outerB, MinuteUs)
+          outers, MinuteUs)
         if (folded.isEmpty) {
           condBailNote = foldNote("conditional-aggregate fold refused")
           WheelAcceleration.recordBail(path, condBailNote)
@@ -1917,25 +1925,44 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
 
   /** One output row for [[rewriteConditional]] — every aggregate
     * replaced by its own-range index literal, scalar wrappers
-    * constant-folded. None (with foldBailNote set) on any unsupported
-    * shape. */
+    * constant-folded. `outers` is the (merged, disjoint) outer range
+    * set in µs: a per-aggregate condition clips against EVERY outer
+    * range, plain aggregates answer over the whole set (per-span index
+    * answers combined associatively; sketch spellings merge per-span
+    * range sketches — the OR-ranges mergeability argument, which is
+    * what makes the retention spelling `COUNT approx DISTINCT over w1 /
+    * w2 / w1∪w2` fold). None (with foldBailNote set) on any
+    * unsupported shape. */
   private def foldConditionalRow(
       aggExprs: Seq[NamedExpression], path: String, tsCol: String,
-      wheels: Map[String, WheelIndex], outerA: Long, outerB: Long,
+      wheels: Map[String, WheelIndex], outers: Seq[(Long, Long)],
       minuteUs: Long): Option[Seq[Any]] = {
     val sketch = WheelAcceleration.lookupSketch(path).filter(_.tsCol == tsCol)
-    // per-range index answers, cached — aggregates often share a range
-    // (SUM + COUNT over the same week)
-    val allsCache =
-      scala.collection.mutable.Map.empty[(Long, Long), Map[String, AllAggregate]]
-    def allsFor(r: (Long, Long)): Map[String, AllAggregate] =
-      allsCache.getOrElseUpdate(r,
-        wheels.map { case (c, i) => c -> i.query(r._1, r._2) })
-    // aligned-µs → ms; None = unaligned (pinned refusal)
-    def msRange(aUs: Long, bUs: Long): Option[(Long, Long)] =
-      if (aUs % minuteUs == 0 && bUs % minuteUs == 0)
-        Some((aUs / 1000L, bUs / 1000L))
+    // per-span-set index answers, cached — aggregates often share a
+    // range (SUM + COUNT over the same week)
+    val allsCache = scala.collection.mutable
+      .Map.empty[Seq[(Long, Long)], Map[String, AllAggregate]]
+    def allsFor(spans: Seq[(Long, Long)]): Map[String, AllAggregate] =
+      allsCache.getOrElseUpdate(spans,
+        if (spans.isEmpty)
+          wheels.map { case (c, _) => c -> AllAggregate.identity }
+        else wheels.map { case (c, i) =>
+          c -> spans.map { case (a, b) => i.query(a, b) }.reduce(_ combine _)
+        })
+    // aligned-µs → ms; None = some span unaligned (pinned refusal)
+    def msSpans(spans: Seq[(Long, Long)]): Option[Seq[(Long, Long)]] =
+      if (spans.forall { case (a, b) =>
+        a % minuteUs == 0 && b % minuteUs == 0 })
+        Some(spans.map { case (a, b) => (a / 1000L, b / 1000L) })
       else None
+    // a per-aggregate condition's range clipped to every outer range
+    // (SQL semantics: the aggregate sees only rows the WHERE admits)
+    def clipToOuters(lo: Option[Long], hi: Option[Long]): Seq[(Long, Long)] =
+      outers.flatMap { case (oa, ob) =>
+        val a = math.max(oa, lo.getOrElse(oa))
+        val b = math.min(ob, hi.getOrElse(ob))
+        if (a < b) Some((a, b)) else None
+      }
     var supported = true
     def refuse[T](msg: String, keep: T): T = {
       if (foldBailNote.isEmpty) foldBailNote = msg
@@ -1943,33 +1970,31 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     }
     // SUM(CASE … ELSE 0) is NULL only over an EMPTY outer range
     lazy val outerRows: Long =
-      msRange(outerA, outerB)
-        .flatMap(r => allsFor(r).valuesIterator.nextOption().map(_.rows))
-        .getOrElse(-1L) // unaligned outer: the per-agg msRange refuses anyway
+      msSpans(outers)
+        .flatMap(s => allsFor(s).valuesIterator.nextOption().map(_.rows))
+        .getOrElse(-1L) // unaligned outer: the per-agg msSpans refuses anyway
     def condLit(ae: AggregateExpression): Expression = {
       if (!supported) return ae
       condParts(ae) match {
         case None =>
           supported = false; ae
         case Some((fn, condOpt, elseZero)) =>
-          val rangeOpt: Option[(Long, Long)] = condOpt match {
-            case None => Some((outerA, outerB))
+          val spansOpt: Option[Seq[(Long, Long)]] = condOpt match {
+            case None => Some(outers)
             case Some(c) => rangeUs(c, tsCol).map { case (lo, hi) =>
-              val a = math.max(outerA, lo.getOrElse(outerA))
-              val b = math.min(outerB, hi.getOrElse(outerB))
-              (a, math.max(a, b)) // empty intersection = empty range
+              clipToOuters(lo, hi) // empty = empty input, not a refusal
             }
           }
-          rangeOpt match {
+          spansOpt match {
             case None =>
               refuse("conditional-aggregate fold: a per-aggregate " +
                 s"condition is not a bare time range on '$tsCol'", ae)
-            case Some((aUs, bUs)) => msRange(aUs, bUs) match {
+            case Some(spans) => msSpans(spans) match {
               case None =>
                 refuse("conditional-aggregate fold: a per-aggregate " +
                   "range is not minute-aligned (per-aggregate residue " +
                   "scans are deliberately refused)", ae)
-              case Some(r) => aggFnLit(fn, allsFor(r), sketch, Seq(r)) match {
+              case Some(ms) => aggFnLit(fn, allsFor(ms), sketch, ms) match {
                 case Some(Literal(null, dt)) if elseZero && outerRows > 0 =>
                   Literal(0.0, dt)
                 case Some(l) => l

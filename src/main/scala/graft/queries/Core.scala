@@ -308,6 +308,38 @@ object Core {
            |FROM events_wheel""".stripMargin)
     }),
 
+    // RETENTION / window-overlap analytics behind plain SQL (round 14):
+    // `approx_count_distinct(u) FILTER (WHERE w1)`, `… FILTER (WHERE
+    // w2)`, and the unconditioned spelling over `WHERE w1 OR w2` fold
+    // from the Theta range sketches — the per-window sketches clip to
+    // their window, the union one MERGES the per-span range sketches
+    // (the OR-ranges mergeability argument) — so `a + b − union` is the
+    // returning-user count by inclusion-exclusion, EXACT in the Theta
+    // exact regime (hence the exact COUNT(DISTINCT) oracle). The
+    // reference's CohortWheel set algebra, reachable from a SQL console.
+    "q_wheel_retention_sql" -> ((s, dir) => {
+      graft.plans.WheelAcceleration.register(
+        s, s"$dir/events.parquet", t(s, dir, "events"))
+      graft.plans.WheelAcceleration.registerSketches(
+        s, s"$dir/events.parquet", t(s, dir, "events"), "ts",
+        distinctCols = Seq("user_id"))
+      t(s, dir, "events").createOrReplaceTempView("events_wheel")
+      val (w1a, w1b) = (R1Start, R1Start + 7 * Day)
+      val (w2a, w2b) = (Jan1 + 18 * Day, Jan1 + 25 * Day)
+      s.sql(
+        s"""SELECT
+           |approx_count_distinct(user_id) FILTER (WHERE unix_millis(ts) >= $w1a AND unix_millis(ts) < $w1b) AS wk1_users,
+           |approx_count_distinct(user_id) FILTER (WHERE unix_millis(ts) >= $w2a AND unix_millis(ts) < $w2b) AS wk2_users,
+           |approx_count_distinct(user_id) FILTER (WHERE unix_millis(ts) >= $w1a AND unix_millis(ts) < $w1b)
+           |  + approx_count_distinct(user_id) FILTER (WHERE unix_millis(ts) >= $w2a AND unix_millis(ts) < $w2b)
+           |  - approx_count_distinct(user_id) AS returning_users,
+           |COUNT(*) AS n
+           |FROM events_wheel
+           |WHERE (unix_millis(ts) >= $w1a AND unix_millis(ts) < $w1b)
+           |OR (unix_millis(ts) >= $w2a AND unix_millis(ts) < $w2b)
+           |""".stripMargin)
+    }),
+
     // DENSE (gap-filled) series over a folded rollup (round 14): BI
     // tools need every calendar cell, but SQL GROUP BY — and the folded
     // LocalRelation that replaces it — emits only NON-EMPTY slots. The
@@ -1412,6 +1444,16 @@ object Core {
         s"ROUND(SUM(CASE WHEN epoch_ms(ts) >= ${Jan1 + 300 * Day} THEN value ELSE 0 END), 2) AS empty_zero, " +
         "COUNT(*) AS n FROM events " +
         s"WHERE epoch_ms(ts) >= $R1Start AND epoch_ms(ts) < ${R1Start + 14 * Day}"),
+    "q_wheel_retention_sql" ->
+      ("SELECT " +
+        s"COUNT(DISTINCT user_id) FILTER (WHERE epoch_ms(ts) >= $R1Start AND epoch_ms(ts) < ${R1Start + 7 * Day}) AS wk1_users, " +
+        s"COUNT(DISTINCT user_id) FILTER (WHERE epoch_ms(ts) >= ${Jan1 + 18 * Day} AND epoch_ms(ts) < ${Jan1 + 25 * Day}) AS wk2_users, " +
+        s"COUNT(DISTINCT user_id) FILTER (WHERE epoch_ms(ts) >= $R1Start AND epoch_ms(ts) < ${R1Start + 7 * Day}) " +
+        s"+ COUNT(DISTINCT user_id) FILTER (WHERE epoch_ms(ts) >= ${Jan1 + 18 * Day} AND epoch_ms(ts) < ${Jan1 + 25 * Day}) " +
+        "- COUNT(DISTINCT user_id) AS returning_users, " +
+        "COUNT(*) AS n FROM events " +
+        s"WHERE (epoch_ms(ts) >= $R1Start AND epoch_ms(ts) < ${R1Start + 7 * Day}) " +
+        s"OR (epoch_ms(ts) >= ${Jan1 + 18 * Day} AND epoch_ms(ts) < ${Jan1 + 25 * Day})"),
     "q_wheel_dense_sql" ->
       (s"WITH spine AS (SELECT $R1Start + i * $Day AS day_ms FROM range(0, 21) t(i)), " +
         s"f AS (SELECT (epoch_ms(ts) // $Day) * $Day AS day_ms, " +

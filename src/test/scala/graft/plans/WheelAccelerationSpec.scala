@@ -3188,6 +3188,48 @@ class WheelAccelerationSpec extends AnyFunSuite {
     WheelAcceleration.clear()
   }
 
+  test("retention spelling folds: approx-distinct per window and over the OR-outer union (round 14)") {
+    WheelAcceleration.clear()
+    register()
+    WheelAcceleration.registerSketches(spark, path, events,
+      distinctCols = Seq("user_id"))
+    events.createOrReplaceTempView("events_accel")
+    val (w1a, w1b) = (Q.R1Start, Q.R1Start + 7 * 86400000L)
+    val (w2a, w2b) = (Q.Jan1 + 18 * 86400000L, Q.Jan1 + 25 * 86400000L)
+    // the OUTER is an OR of the two disjoint windows; the per-window
+    // conditional sketches clip to their window, the unconditioned one
+    // merges the per-span range sketches (union semantics) — so
+    // a + b − union IS the overlap, exact in the Theta exact regime
+    val sql =
+      s"SELECT approx_count_distinct(user_id) FILTER (WHERE " +
+        s"unix_millis(ts) >= $w1a AND unix_millis(ts) < $w1b) AS a, " +
+        "approx_count_distinct(user_id) FILTER (WHERE " +
+        s"unix_millis(ts) >= $w2a AND unix_millis(ts) < $w2b) AS b, " +
+        "approx_count_distinct(user_id) AS uni, COUNT(*) AS n " +
+        "FROM events_accel " +
+        s"WHERE (unix_millis(ts) >= $w1a AND unix_millis(ts) < $w1b) " +
+        s"OR (unix_millis(ts) >= $w2a AND unix_millis(ts) < $w2b)"
+    val df = spark.sql(sql)
+    assert(df.queryExecution.optimizedPlan.collect {
+      case l: LocalRelation => l
+    }.nonEmpty, df.queryExecution.optimizedPlan.treeString)
+    val got = df.collect()(0)
+    def exact(a: Long, b: Long): Long = events
+      .filter(unix_millis(col("ts")) >= a && unix_millis(col("ts")) < b)
+      .select(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    val (ea, eb) = (exact(w1a, w1b), exact(w2a, w2b))
+    val eUni = events
+      .filter((unix_millis(col("ts")) >= w1a && unix_millis(col("ts")) < w1b) ||
+        (unix_millis(col("ts")) >= w2a && unix_millis(col("ts")) < w2b))
+      .select(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    assert(got.getLong(0) == ea && got.getLong(1) == eb &&
+      got.getLong(2) == eUni,
+      s"got $got want ($ea, $eb, $eUni)")
+    // inclusion-exclusion gives the true window overlap
+    assert(got.getLong(0) + got.getLong(1) - got.getLong(2) == ea + eb - eUni)
+    WheelAcceleration.clear()
+  }
+
   test("conditional approximate spellings fold per-range from the sketch wheels (round 14)") {
     val src = path
     register()

@@ -100,6 +100,12 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(p.contains("LocalTableScan"), p)
     }
 
+  test("q_wheel_retention_sql: per-window + union sketch fold, zero FileScan (round 14)") {
+    val p = plan("q_wheel_retention_sql")
+    assert(!p.contains("FileScan"), p)
+    assert(p.contains("LocalTableScan"), p)
+  }
+
   test("q_wheel_dense_sql: spine join composes above the fold, zero FileScan (round 14)") {
     val p = plan("q_wheel_dense_sql")
     assert(!p.contains("FileScan"), p)
