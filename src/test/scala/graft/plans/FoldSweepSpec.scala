@@ -226,6 +226,102 @@ class FoldSweepSpec extends AnyFunSuite {
     WheelAcceleration.clear()
   }
 
+  /** The `SUM(CASE … ELSE 0)` NULL-vs-0 sweep (round 15, ADVICE r14):
+    * SQL keeps NULL through an ELSE 0 exactly when EVERY outer row hits
+    * the branch and contributes NULL — no ELSE input ever fires. The
+    * fold must (a) preserve that NULL when the branch covers the whole
+    * outer range over an all-NULL measure, (b) produce 0 the moment any
+    * outer row misses the branch, and (c) REFUSE — not guess — when the
+    * outer range is unaligned (outer row count unknowable from minute
+    * slots) but the mix is all-conditional so the fold would otherwise
+    * still fire. Checked ungrouped (all-NULL-measure fixture) and per
+    * key (the all-NULL 'error' key of the nullable fixture). */
+  test("SUM(CASE … ELSE 0) NULL-vs-0 semantics match the scan") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val b3 = Q.R1Start + 3 * 86400000L
+
+    // (a)+(b) ungrouped, over a measure that is NULL on EVERY row
+    val allNullP = s"${sys.props("java.io.tmpdir")}/graft_sweep_allnull"
+    events.withColumn("v", lit(null).cast("double"))
+      .write.mode("overwrite").parquet(allNullP)
+    def anev = spark.read.parquet(allNullP)
+    def regAllNull(): Unit =
+      WheelAcceleration.register(spark, allNullP, anev, valueCol = "v")
+    regAllNull()
+    anev.createOrReplaceTempView("ev_elsezero_allnull")
+    def run(sql: String, expectFold: Boolean, reg: () => Unit)
+        : Array[org.apache.spark.sql.Row] = {
+      val acc = spark.sql(sql)
+      assert(foldsToLocal(acc) == expectFold,
+        s"fold=${!expectFold} unexpected for: $sql\n" +
+          acc.queryExecution.optimizedPlan.treeString)
+      val got = acc.collect()
+      WheelAcceleration.clear()
+      assertSameRows(got, spark.sql(sql).collect(), sql)
+      reg()
+      got
+    }
+    val fullW = s"WHERE unix_millis(ts) >= ${Q.R1Start} AND " +
+      s"unix_millis(ts) < ${Q.R1End}"
+    // branch covers the whole outer range: every input is a NULL v,
+    // the ELSE never fires → SQL (and the fold) keep NULL
+    val covered = run("SELECT SUM(CASE WHEN unix_millis(ts) >= " +
+      s"${Q.R1Start} THEN v ELSE 0 END) AS a1 " +
+      s"FROM ev_elsezero_allnull $fullW", expectFold = true, regAllNull _)
+    assert(covered.head.isNullAt(0), "covered-branch ELSE 0 must stay NULL")
+    // partial branch: rows past day 3 hit the ELSE → 0, not NULL
+    val partial = run("SELECT SUM(CASE WHEN unix_millis(ts) < " +
+      s"$b3 THEN v ELSE 0 END) AS a1 " +
+      s"FROM ev_elsezero_allnull $fullW", expectFold = true, regAllNull _)
+    assert(partial.head.getDouble(0) == 0.0, "partial-branch ELSE 0 must be 0")
+    WheelAcceleration.clear()
+
+    // (c) unaligned outer + all-conditional mix: the disjoint ELSE 0
+    // branch is NULL from the index but 0 in SQL (every outer row hits
+    // the ELSE) — outer row count unknowable → the fold must refuse
+    def regPlain(): Unit = WheelAcceleration.register(spark, path, events)
+    regPlain()
+    events.createOrReplaceTempView("ev_elsezero")
+    val unalignedW = s"WHERE unix_millis(ts) >= ${Q.R1Start + 30123L} " +
+      s"AND unix_millis(ts) < ${Q.R1End - 7001L}"
+    val refused = run("SELECT SUM(CASE WHEN unix_millis(ts) < " +
+      s"${Q.R1Start} THEN value ELSE 0 END) AS a1, " +
+      s"SUM(value) FILTER (WHERE unix_millis(ts) >= ${Q.R1Start + 60000L} " +
+      s"AND unix_millis(ts) < ${Q.R1End - 60000L}) AS a2 " +
+      s"FROM ev_elsezero $unalignedW", expectFold = false, regPlain _)
+    assert(refused.head.getDouble(0) == 0.0)
+    WheelAcceleration.clear()
+
+    // keyed: the all-NULL 'error' key — covered branch keeps NULL for
+    // that key while keys with data still answer; partial branch → 0
+    val np = s"${sys.props("java.io.tmpdir")}/graft_sweep_elsezero_keyed"
+    events.withColumn("v",
+        when(col("event_type") === "error", lit(null))
+          .otherwise(col("value")))
+      .write.mode("overwrite").parquet(np)
+    def nev = spark.read.parquet(np)
+    def regKeyed(): Unit =
+      WheelAcceleration.registerKeyed(spark, np, nev, "event_type", valueCol = "v")
+    regKeyed()
+    nev.createOrReplaceTempView("ev_elsezero_keyed")
+    val keyedCovered = run("SELECT event_type AS g0, " +
+      s"SUM(CASE WHEN unix_millis(ts) >= ${Q.R1Start} THEN v ELSE 0 END) AS a1 " +
+      s"FROM ev_elsezero_keyed $fullW GROUP BY 1 ORDER BY 1",
+      expectFold = true, regKeyed _)
+    val errRow = keyedCovered.find(_.getString(0) == "error").get
+    assert(errRow.isNullAt(1), "all-NULL key with covered branch must stay NULL")
+    assert(keyedCovered.exists(r => !r.isNullAt(1)),
+      "keys with data must still answer")
+    val keyedPartial = run("SELECT event_type AS g0, " +
+      s"SUM(CASE WHEN unix_millis(ts) < $b3 THEN v ELSE 0 END) AS a1 " +
+      s"FROM ev_elsezero_keyed $fullW GROUP BY 1 ORDER BY 1",
+      expectFold = true, regKeyed _)
+    val errPartial = keyedPartial.find(_.getString(0) == "error").get
+    assert(errPartial.getDouble(1) == 0.0,
+      "all-NULL key with an ELSE population must be 0")
+    WheelAcceleration.clear()
+  }
+
   /** The APPROX-SPELLING sweep (round 11): `approx_count_distinct` is
     * folded sketch-for-sketch from the Theta wheel, so fold-vs-scan
     * equality does NOT apply (the scan answers with Spark's HLL++

@@ -3188,6 +3188,114 @@ class WheelAccelerationSpec extends AnyFunSuite {
     WheelAcceleration.clear()
   }
 
+  test("keyed conditional/pivot folds go DISTRIBUTED above the key ceiling (round 15)") {
+    // VERDICT r14 #1: past maxFoldRows keys the cohort pivot used to
+    // keep the scan — now the keyed minute states ship once and each
+    // aggregate's range clips via a FILTER over the shipped slot_ms,
+    // with a real executor-side Aggregate grouping per key.
+    WheelAcceleration.clear()
+    val capKnob = "spark.graft.wheel.rewrite.maxFoldRows"
+    def reg(): Unit =
+      WheelAcceleration.registerKeyed(spark, path, events, "event_type")
+    reg()
+    events.createOrReplaceTempView("events_accel")
+    spark.conf.set(capKnob, "1") // every keyed fold is above-cap now
+    def runDist(sql: String): Seq[String] = {
+      val df = spark.sql(sql)
+      val opt = df.queryExecution.optimizedPlan
+      assert(opt.collect { case l: LocalRelation => l }.nonEmpty, opt.treeString)
+      // the DISTRIBUTED form: a real Aggregate over the shipped states
+      assert(opt.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.nonEmpty, sql)
+      assert(!df.queryExecution.executedPlan.toString.contains("FileScan"), sql)
+      val got = df.collect().map(_.toString).toSeq
+      WheelAcceleration.clear()
+      spark.conf.unset(capKnob)
+      val want = spark.sql(sql).collect().map(_.toString).toSeq
+      spark.conf.set(capKnob, "1")
+      reg()
+      assert(got == want, sql)
+      got
+    }
+    val (w1a, w1b) = (Q.R1Start, Q.R1Start + 7 * 86400000L)
+    val w2b = Q.R1Start + 14 * 86400000L
+    // the cohort pivot: CASE + FILTER spellings, per-aggregate ranges
+    runDist("SELECT event_type, " +
+      s"ROUND(SUM(CASE WHEN unix_millis(ts) < $w1b THEN value END), 2) AS wk1, " +
+      s"ROUND(SUM(value) FILTER (WHERE unix_millis(ts) >= $w1b), 2) AS wk2, " +
+      s"COUNT(*) FILTER (WHERE unix_millis(ts) >= $w1b) AS n2, " +
+      "COUNT(*) AS n FROM events_accel " +
+      s"WHERE unix_millis(ts) >= $w1a AND unix_millis(ts) < $w2b " +
+      "GROUP BY event_type ORDER BY event_type")
+    // plain aggregates + second moments (per-key shift columns) + an
+    // EMPTY clipped range (disjoint FILTER → NULL per key, COUNT 0)
+    runDist("SELECT event_type, ROUND(SUM(value), 2) AS s, " +
+      "ROUND(AVG(value), 2) AS av, ROUND(STDDEV_POP(value), 2) AS sd, " +
+      s"ROUND(VAR_SAMP(value) FILTER (WHERE unix_millis(ts) >= $w1b), 2) AS v2, " +
+      s"SUM(value) FILTER (WHERE unix_millis(ts) >= $w2b) AS empty_sum, " +
+      s"COUNT(*) FILTER (WHERE unix_millis(ts) >= $w2b) AS empty_n " +
+      "FROM events_accel " +
+      s"WHERE unix_millis(ts) >= $w1a AND unix_millis(ts) < $w1b " +
+      "GROUP BY event_type ORDER BY event_type")
+    // full-span spelling (no outer WHERE)
+    runDist("SELECT event_type, ROUND(SUM(value), 2) AS s " +
+      "FROM events_accel GROUP BY event_type ORDER BY event_type")
+    // ELSE 0 NULL-vs-0 per key (ADVICE r14 semantics, distributed): the
+    // all-NULL 'error' key keeps NULL under a branch covering the whole
+    // outer range, 0 under a partial branch
+    val np = s"${sys.props("java.io.tmpdir")}/graft_accel_dist_elsezero"
+    events.withColumn("v", when(col("event_type") === "error",
+        lit(null)).otherwise(col("value")))
+      .write.mode("overwrite").parquet(np)
+    def nev = spark.read.parquet(np)
+    WheelAcceleration.clear()
+    def regN(): Unit =
+      WheelAcceleration.registerKeyed(spark, np, nev, "event_type", valueCol = "v")
+    regN()
+    nev.createOrReplaceTempView("ev_dist_elsezero")
+    def runDistN(sql: String): Seq[org.apache.spark.sql.Row] = {
+      val df = spark.sql(sql)
+      assert(df.queryExecution.optimizedPlan.collect {
+        case l: LocalRelation => l }.nonEmpty,
+        df.queryExecution.optimizedPlan.treeString)
+      assert(!df.queryExecution.executedPlan.toString.contains("FileScan"), sql)
+      val got = df.collect()
+      WheelAcceleration.clear()
+      spark.conf.unset(capKnob)
+      val want = spark.sql(sql).collect()
+      spark.conf.set(capKnob, "1")
+      regN()
+      assert(got.map(_.toString).toSeq == want.map(_.toString).toSeq, sql)
+      got.toSeq
+    }
+    val covered = runDistN("SELECT event_type AS g0, " +
+      s"ROUND(SUM(CASE WHEN unix_millis(ts) >= $w1a THEN v ELSE 0 END), 2) AS a1 " +
+      s"FROM ev_dist_elsezero WHERE unix_millis(ts) >= $w1a AND " +
+      s"unix_millis(ts) < $w1b GROUP BY 1 ORDER BY 1")
+    assert(covered.find(_.getString(0) == "error").get.isNullAt(1))
+    val partial = runDistN("SELECT event_type AS g0, " +
+      s"ROUND(SUM(CASE WHEN unix_millis(ts) < ${w1a + 3 * 86400000L} " +
+      "THEN v ELSE 0 END), 2) AS a1 " +
+      s"FROM ev_dist_elsezero WHERE unix_millis(ts) >= $w1a AND " +
+      s"unix_millis(ts) < $w1b GROUP BY 1 ORDER BY 1")
+    assert(partial.find(_.getString(0) == "error").get.getDouble(1) == 0.0)
+    // the refusal is NARROWED, not gone: an unaligned per-aggregate
+    // range still keeps the scan above the cap, reason pinned
+    WheelAcceleration.clear()
+    reg()
+    val df = spark.sql("SELECT event_type, " +
+      s"SUM(value) FILTER (WHERE unix_millis(ts) >= ${w1a + 7000L}) AS s " +
+      s"FROM events_accel WHERE unix_millis(ts) >= $w1a AND " +
+      s"unix_millis(ts) < $w1b GROUP BY event_type")
+    assert(df.queryExecution.optimizedPlan.collect {
+      case l: LocalRelation => l }.isEmpty)
+    assert(WheelAcceleration.lastBailReason(path).getOrElse("")
+      .contains("minute-aligned"), WheelAcceleration.lastBailReason(path))
+    spark.conf.unset(capKnob)
+    WheelAcceleration.clear()
+  }
+
   test("retention spelling folds: approx-distinct per window and over the OR-outer union (round 14)") {
     WheelAcceleration.clear()
     register()
