@@ -24,6 +24,31 @@ object Bpe {
 
   val Eow = "</w>"
 
+  /** FROZEN merge table (round 15, VERDICT r14 #5): trained ONCE by
+    * [[train]] over the sf0.001 `documents` word frequencies (top-2000
+    * cut, 60-merge budget — the same deterministic recipe as
+    * `q_bpe_tokens`) and committed as a versioned artifact, the way a
+    * production pipeline freezes its tokenizer instead of retraining
+    * per batch. `q_pack_bpe` budgets its packing on counts under these
+    * ranks, and the DuckDB oracle inlines the SAME 60 pairs to replay
+    * the encode — which is what makes subword-count arithmetic
+    * oracle-checkable at all. */
+  val FrozenMerges: Seq[(String, String)] = Seq(
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("o", "r"), ("t", "</w>"),
+    ("er", "</w>"), ("o", "w"), ("ow", "</w>"), ("l", "u"), ("i", "n"),
+    ("y", "</w>"), ("a", "r"), ("p", "ar"), ("g", "</w>"), ("a", "s"),
+    ("h", "</w>"), ("a", "</w>"), ("s", "t"), ("a", "t"), ("a", "n</w>"),
+    ("c", "an</w>"), ("s", "can</w>"), ("c", "o"), ("co", "lu"),
+    ("colu", "m"), ("colum", "n</w>"), ("d", "ow</w>"), ("in", "dow</w>"),
+    ("w", "indow</w>"), ("d", "er</w>"), ("or", "der</w>"), ("or", "t</w>"),
+    ("s", "ort</w>"), ("p", "</w>"), ("par", "t</w>"), ("u", "p</w>"),
+    ("a", "g"), ("ag", "g</w>"), ("a", "lu"), ("alu", "e</w>"),
+    ("v", "alue</w>"), ("in", "e</w>"), ("l", "ine</w>"), ("e", "y</w>"),
+    ("k", "ey</w>"), ("i", "n</w>"), ("j", "o"), ("jo", "in</w>"),
+    ("er", "g"), ("erg", "e</w>"), ("m", "erge</w>"), ("er", "y</w>"),
+    ("g", "r"), ("gr", "o"), ("gro", "up</w>"), ("q", "u"),
+    ("qu", "ery</w>"), ("c", "t"), ("ct", "or"), ("ctor", "</w>"))
+
   /** One training word: its symbol sequence and corpus count. */
   private def symbols(word: String): Vector[String] =
     word.map(_.toString).toVector :+ Eow

@@ -113,6 +113,31 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // BPE-BUDGET sequence packing (round 15, VERDICT r14 #5): the
+    // packing arithmetic of q_pack_sequences re-based on REAL subword
+    // counts. A production pipeline packs with a FROZEN tokenizer (the
+    // vocabulary is a versioned artifact, not retrained per batch), so
+    // this counts under [[graft.functions.Bpe.FrozenMerges]] — which is
+    // also what makes the row ORACLE-checkable: the DuckDB oracle
+    // inlines the same 60 merges and replays the encode with a
+    // recursive CTE (separator-guarded leftmost replace == the
+    // mergeOnce walk, convergence by rank monotonicity). Broadcast
+    // ranks + memoized per-executor counting, one window pass.
+    "q_pack_bpe" -> ((s, dir) => {
+      val ctx = 1024L
+      val ranks = graft.functions.Bpe.FrozenMerges.zipWithIndex.toMap
+      val bc = s.sparkContext.broadcast(new graft.functions.BpeCounter(ranks))
+      val nBpe = udf((text: String) => bc.value.tokens(text))
+      val w = Window.orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, dir)
+        .select(col("doc_id"), nBpe(col("text")).as("bpe_toks"))
+        .withColumn("end_off", sum(col("bpe_toks")).over(w))
+        .select(col("doc_id"), col("bpe_toks"),
+          ((col("end_off") - col("bpe_toks")) / ctx).cast("long").as("bin"))
+        .orderBy(col("doc_id"))
+    }),
+
     // URL/domain blocklist filter (round 5): the C4-style "drop every
     // doc from a blocked domain" gate, shaped for scale — the blocklist
     // is a TABLE (at production size it's millions of hosts, far past
@@ -317,6 +342,57 @@ object Pipeline {
         "SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (" +
         "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off " +
         "FROM documents) ORDER BY doc_id"),
+    // The frozen-merge BPE encode replayed in SQL: words wrap as
+    // chr(1)-separated symbol strings (the separator guard makes pair
+    // containment exact — no symbol ever contains chr(1)); each
+    // recursion step applies the LOWEST-RANK applicable merge via
+    // leftmost string replace, which converges to the same fixed point
+    // as the batch mergeOnce because a merge can only create pairs of
+    // STRICTLY HIGHER rank. The terminal state per word is the row no
+    // merge applies to; a trailing bare '</w>' is uncounted, matching
+    // Bpe.countWordTokens.
+    "q_pack_bpe" ->
+      ("WITH RECURSIVE " +
+        "merges(a, b, r) AS (SELECT * FROM (VALUES " +
+        "('e','r',0), ('e','</w>',1), ('n','</w>',2), ('o','r',3), ('t','</w>',4), " +
+        "('er','</w>',5), ('o','w',6), ('ow','</w>',7), ('l','u',8), ('i','n',9), " +
+        "('y','</w>',10), ('a','r',11), ('p','ar',12), ('g','</w>',13), ('a','s',14), " +
+        "('h','</w>',15), ('a','</w>',16), ('s','t',17), ('a','t',18), ('a','n</w>',19), " +
+        "('c','an</w>',20), ('s','can</w>',21), ('c','o',22), ('co','lu',23), " +
+        "('colu','m',24), ('colum','n</w>',25), ('d','ow</w>',26), ('in','dow</w>',27), " +
+        "('w','indow</w>',28), ('d','er</w>',29), ('or','der</w>',30), ('or','t</w>',31), " +
+        "('s','ort</w>',32), ('p','</w>',33), ('par','t</w>',34), ('u','p</w>',35), " +
+        "('a','g',36), ('ag','g</w>',37), ('a','lu',38), ('alu','e</w>',39), " +
+        "('v','alue</w>',40), ('in','e</w>',41), ('l','ine</w>',42), ('e','y</w>',43), " +
+        "('k','ey</w>',44), ('i','n</w>',45), ('j','o',46), ('jo','in</w>',47), " +
+        "('er','g',48), ('erg','e</w>',49), ('m','erge</w>',50), ('er','y</w>',51), " +
+        "('g','r',52), ('gr','o',53), ('gro','up</w>',54), ('q','u',55), " +
+        "('qu','ery</w>',56), ('c','t',57), ('ct','or',58), ('ctor','</w>',59)" +
+        ") v(a, b, r)), " +
+        "toks AS (SELECT doc_id, w FROM (SELECT doc_id, " +
+        "unnest(string_split_regex(lower(text), '\\s+')) AS w FROM documents) t " +
+        "WHERE len(w) > 0), " +
+        "words AS (SELECT DISTINCT w FROM toks), " +
+        "enc(w, s) AS (" +
+        "SELECT w, chr(1) || array_to_string(list_transform(range(1, len(w)+1), " +
+        "i -> w[i]), chr(1)) || chr(1) || '</w>' || chr(1) FROM words " +
+        "UNION ALL " +
+        "SELECT w, replace(s, chr(1)||a||chr(1)||b||chr(1), chr(1)||a||b||chr(1)) FROM (" +
+        "SELECT e.w, e.s, " +
+        "(SELECT m.a FROM merges m WHERE contains(e.s, chr(1)||m.a||chr(1)||m.b||chr(1)) ORDER BY m.r LIMIT 1) AS a, " +
+        "(SELECT m.b FROM merges m WHERE contains(e.s, chr(1)||m.a||chr(1)||m.b||chr(1)) ORDER BY m.r LIMIT 1) AS b " +
+        "FROM enc e) t WHERE a IS NOT NULL), " +
+        "fin AS (SELECT w, s FROM enc e WHERE NOT EXISTS (" +
+        "SELECT 1 FROM merges m WHERE contains(e.s, chr(1)||m.a||chr(1)||m.b||chr(1)))), " +
+        "wc AS (SELECT w, CAST(len(string_split(trim(s, chr(1)), chr(1))) - " +
+        "CASE WHEN ends_with(s, chr(1) || '</w>' || chr(1)) THEN 1 ELSE 0 END AS BIGINT) AS n FROM fin), " +
+        "dc AS (SELECT d.doc_id, CAST(COALESCE(SUM(wc.n), 0) AS BIGINT) AS bpe_toks " +
+        "FROM documents d LEFT JOIN toks t ON t.doc_id = d.doc_id " +
+        "LEFT JOIN wc ON t.w = wc.w GROUP BY d.doc_id), " +
+        "packed AS (SELECT doc_id, bpe_toks, SUM(bpe_toks) OVER (" +
+        "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off FROM dc) " +
+        "SELECT doc_id, bpe_toks, CAST(FLOOR((end_off - bpe_toks) / 1024.0) AS BIGINT) AS bin " +
+        "FROM packed ORDER BY doc_id"),
     // NOT EXISTS, not NOT IN: the Spark side is a left_anti join, which
     // KEEPS a null-host row, while NULL NOT IN (...) would drop it — the
     // anti-join formulation matches the null semantics by construction

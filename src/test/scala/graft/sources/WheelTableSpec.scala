@@ -669,4 +669,74 @@ class WheelTableSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("exactly one of"), e2.getMessage)
   }
+
+  test("wheel catalog: SHOW TABLES / SELECT / CTAS / DROP over a warehouse (round 15)") {
+    // VERDICT r14 #4 — the deployment spelling of the dir mode: a
+    // session-catalog plugin resolves catalog-qualified names inside
+    // one warehouse root, no per-query option("dir", …) plumbing.
+    val root = Files.createTempDirectory("graft_wheel_catalog").toString
+    val ev = Q.t(spark, dir, "events")
+    graft.wheel.PersistentWheel.save(spark, s"$root/events_minutes", ev,
+      "ts", Seq("value"), "spec-fp")
+    graft.wheel.PersistentWheel.saveKeyed(spark, s"$root/by_type", ev,
+      "event_type", "ts", "value", "spec-fp")
+    // a non-wheel child dir must not list
+    Files.createDirectories(java.nio.file.Paths.get(s"$root/not_a_wheel"))
+    spark.conf.set("spark.sql.catalog.wheelspec",
+      "graft.sources.WheelTableCatalog")
+    spark.conf.set("spark.sql.catalog.wheelspec.root", root)
+    try {
+      val shown = spark.sql("SHOW TABLES IN wheelspec")
+        .select("tableName").collect().map(_.getString(0)).toSet
+      assert(shown == Set("events_minutes", "by_type"), shown)
+      // catalog-qualified read = the dir-mode read, kind-dispatched
+      val got = spark.sql("SELECT ROUND(SUM(sum_value), 2) AS s, " +
+        "SUM(cnt_value) AS n FROM wheelspec.events_minutes").collect()(0)
+      val exp = ev.agg(round(sum("value"), 2), count("value")).collect()(0)
+      assert(got.getDouble(0) == exp.getDouble(0) &&
+        got.getLong(1) == exp.getLong(1))
+      val keyedRows = spark.sql(
+        "SELECT COUNT(DISTINCT event_type) AS k FROM wheelspec.by_type")
+        .collect()(0).getLong(0)
+      assert(keyedRows == ev.select("event_type").distinct().count())
+      // CTAS builds and persists an index through the DSv2 write path
+      ev.filter(col("event_type") =!= "purchase")
+        .createOrReplaceTempView("ev_catalog_src")
+      spark.sql("CREATE TABLE wheelspec.no_purchase AS " +
+        "SELECT ts, value FROM ev_catalog_src")
+      val meta = graft.wheel.PersistentWheel.peek(spark, s"$root/no_purchase").get
+      assert(meta.kind == graft.wheel.PersistentWheel.SumKind)
+      val got2 = spark.sql("SELECT ROUND(SUM(sum_value), 2) AS s " +
+        "FROM wheelspec.no_purchase").collect()(0).getDouble(0)
+      val exp2 = ev.filter(col("event_type") =!= "purchase")
+        .agg(round(sum("value"), 2)).collect()(0).getDouble(0)
+      assert(got2 == exp2)
+      // duplicate CTAS refuses; DROP removes the dir and the listing
+      val dup = intercept[Exception] {
+        spark.sql("CREATE TABLE wheelspec.no_purchase AS " +
+          "SELECT ts, value FROM ev_catalog_src")
+      }
+      assert(dup.getMessage.toLowerCase.contains("already exists"), dup.getMessage)
+      spark.sql("DROP TABLE wheelspec.no_purchase")
+      assert(graft.wheel.PersistentWheel.peek(spark, s"$root/no_purchase").isEmpty)
+      val shown2 = spark.sql("SHOW TABLES IN wheelspec")
+        .select("tableName").collect().map(_.getString(0)).toSet
+      assert(shown2 == Set("events_minutes", "by_type"), shown2)
+      // unknown names fail as missing tables, inside the root only
+      val missing = intercept[Exception] {
+        spark.sql("SELECT * FROM wheelspec.nope").collect()
+      }
+      assert(missing.getMessage.toLowerCase.contains("cannot be found") ||
+        missing.getMessage.toLowerCase.contains("not found"), missing.getMessage)
+      val traversal = intercept[Exception] {
+        spark.sql("SELECT * FROM wheelspec.`../escape`").collect()
+      }
+      assert(traversal.getMessage.contains("invalid table name") ||
+        traversal.getMessage.toLowerCase.contains("not found"),
+        traversal.getMessage)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.wheelspec")
+      spark.conf.unset("spark.sql.catalog.wheelspec.root")
+    }
+  }
 }
