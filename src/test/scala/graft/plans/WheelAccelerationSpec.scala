@@ -2564,6 +2564,72 @@ class WheelAccelerationSpec extends AnyFunSuite {
     }
   }
 
+  test("zone-walked SKETCH folds: date_trunc grids x (keyed) Theta under a region zone (round 15)") {
+    // VERDICT r14 #8 (stretch): `date_trunc`-grouped approx spellings
+    // under a REGION-zone session — the zone-walked grid composing with
+    // sketchLit, unkeyed and per key, across the 23-hour spring-forward
+    // day. Exact regime (7 distinct users, Theta nominal 4096) → fold
+    // must equal the scan's exact COUNT(DISTINCT).
+    WheelAcceleration.clear()
+    val p = s"${sys.props("java.io.tmpdir")}/graft_dst_sketch.parquet"
+    val mar8 = 1709856000000L // 2024-03-08T00:00:00Z, spring-forward Mar 10
+    spark.range(0, 288).selectExpr(
+      s"timestamp_millis($mar8 + id * 1200000) AS ts",
+      "CAST(id + 1 AS DOUBLE) AS value",
+      "CAST(id % 7 AS BIGINT) AS user_id",
+      "CONCAT('k', CAST(id % 3 AS STRING)) AS event_type")
+      .write.mode("overwrite").parquet(p)
+    def ev = spark.read.parquet(p)
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    def registerAll(): Unit = {
+      WheelAcceleration.register(spark, p, ev)
+      WheelAcceleration.registerSketches(spark, p, ev,
+        distinctCols = Seq("user_id"))
+      WheelAcceleration.registerKeyed(spark, p, ev, "event_type")
+      WheelAcceleration.registerKeyedSketches(spark, p, ev, "event_type",
+        distinctCols = Seq("user_id"))
+    }
+    try {
+      ev.createOrReplaceTempView("events_dst_sk")
+      def check(approxSql: String, exactSql: String): Unit = {
+        WheelAcceleration.clear()
+        val expected = spark.sql(exactSql).collect().toSeq // exact, scan
+        registerAll()
+        val accel = spark.sql(approxSql)
+        assert(accel.queryExecution.optimizedPlan.collect {
+          case l: LocalRelation => l
+        }.nonEmpty, s"$approxSql\n" +
+          accel.queryExecution.optimizedPlan.treeString)
+        assert(accel.collect().toSeq == expected, approxSql)
+      }
+      // unkeyed: zone-walked day grid x range sketch per cell
+      check(
+        "SELECT date_trunc('day', ts) AS d, " +
+          "approx_count_distinct(user_id) AS u, ROUND(SUM(value), 2) AS s " +
+          "FROM events_dst_sk GROUP BY 1 ORDER BY 1",
+        "SELECT date_trunc('day', ts) AS d, " +
+          "COUNT(DISTINCT user_id) AS u, ROUND(SUM(value), 2) AS s " +
+          "FROM events_dst_sk GROUP BY 1 ORDER BY 1")
+      // keyed: per-(key, zone-walked day cell) sketch views
+      check(
+        "SELECT event_type AS k, date_trunc('day', ts) AS d, " +
+          "approx_count_distinct(user_id) AS u " +
+          "FROM events_dst_sk GROUP BY 1, 2 ORDER BY 1, 2",
+        "SELECT event_type AS k, date_trunc('day', ts) AS d, " +
+          "COUNT(DISTINCT user_id) AS u " +
+          "FROM events_dst_sk GROUP BY 1, 2 ORDER BY 1, 2")
+      // the 23-hour local day exists in the folded keys (2024-03-10
+      // spans [05:00Z, 04:00Z next day) under EST->EDT)
+      registerAll()
+      val days = spark.sql("SELECT date_trunc('day', ts) AS d, COUNT(*) AS n " +
+        "FROM events_dst_sk GROUP BY 1 ORDER BY 1").collect()
+      assert(days.map(_.getLong(1)).sum == 288L)
+    } finally {
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      WheelAcceleration.clear()
+    }
+  }
+
   test("Europe/Berlin folds; pre-sound-floor ranges refuse with a PINNED reason (round 14)") {
     WheelAcceleration.clear()
     val p = s"${sys.props("java.io.tmpdir")}/graft_dst_events.parquet"
