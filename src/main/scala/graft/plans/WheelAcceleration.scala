@@ -1751,14 +1751,27 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       rangesUs: Seq[(Long, Long)]): Option[LogicalPlan] = {
     val MinuteUs = MinuteMs * 1000L
     final case class R(aUs: Long, bUs: Long) {
-      val aCeilUs: Long = Math.floorDiv(aUs + MinuteUs - 1, MinuteUs) * MinuteUs
-      val bFloorUs: Long = Math.floorDiv(bUs, MinuteUs) * MinuteUs
-      def hasInterior: Boolean = aCeilUs < bFloorUs
+      val aCeilUs0: Long = Math.floorDiv(aUs + MinuteUs - 1, MinuteUs) * MinuteUs
+      val bFloorUs0: Long = Math.floorDiv(bUs, MinuteUs) * MinuteUs
+      // retained core per range (round 15): under KeepN the interior
+      // shrinks to retained-tier boundaries; a range with NO retained
+      // core degrades to ALL-edge — its whole span scans through the
+      // pushed edge filter, still strictly less work than the full-scan
+      // fallback the old refusal paid, and the other ranges keep their
+      // folded interiors
+      val core: Option[(Long, Long)] =
+        if (aCeilUs0 >= bFloorUs0) None
+        else retainedCoreMs(wheels, aCeilUs0 / 1000L, bFloorUs0 / 1000L)
+          .map { case (a, b) => (a * 1000L, b * 1000L) }
+      def aCeilUs: Long = core.map(_._1).getOrElse(aCeilUs0)
+      def bFloorUs: Long = core.map(_._2).getOrElse(bFloorUs0)
+      def hasInterior: Boolean = core.isDefined
       def edgeWindows: Seq[(Long, Long)] =
         if (hasInterior) Seq((aUs, aCeilUs), (bFloorUs, bUs))
         else Seq((aUs, bUs))
     }
     val rs = rangesUs.map { case (a, b) => R(a, b) }
+    foldBailNote = "" // a per-range core shrink/degrade is not a refusal
     val interiors = rs.filter(_.hasInterior)
     if (interiors.isEmpty) return None // nothing foldable — keep the scan
     val needCond = hasSecondMoment(aggExprs)
@@ -2799,6 +2812,44 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     reg.any.keys.foldLeft(AllAggregate.identity)((acc, k) =>
       acc.combine(reg.wheels(c).query(k, a, b)))
 
+  /** The RETAINED core of an unaligned range's whole-minute interior
+    * (round 15): normally the minute-aligned `[aCeilMs, bFloorMs)`
+    * itself, but under KeepN eviction a minute-aligned boundary may sit
+    * where only coarser tiers are retained — no minute step fits there
+    * and the whole hybrid used to fall back to a FULL scan. Instead the
+    * interior SHRINKS to boundaries aligned for the tier retained at
+    * each end (hour, then day), and the edge scans absorb the
+    * difference — each edge window grows to at most one
+    * coarsest-retained slot, still expressed as pushed ts bounds the
+    * parquet reader prunes by, a sliver at any source volume. None when
+    * even the widened core has no retained-tier cover: evicted state
+    * must keep the scan, never read as empty. */
+  private def retainedCoreMs(wheels: Map[String, WheelIndex],
+      aCeilMs: Long, bFloorMs: Long): Option[(Long, Long)] = {
+    val idx = wheels.valuesIterator.next()
+    if (idx.coverable(aCeilMs, bFloorMs)) return Some((aCeilMs, bFloorMs))
+    import graft.wheel.Tier
+    // the tier whose step is usable AT a boundary: for the range start
+    // the step begins at the (ceiled) boundary itself; for the range
+    // end the LAST step begins one slot earlier
+    def tierAt(ms: Long, lastStep: Boolean): Tier =
+      Seq(Tier.Minute, Tier.Hour, Tier.Day).find { t =>
+        (if (lastStep) ms - t.ms else ms) >= idx.retainedStartMs(t)
+      }.getOrElse(Tier.Day)
+    val aT = tierAt(aCeilMs, lastStep = false).ms
+    val a2 = Math.floorDiv(aCeilMs + aT - 1, aT) * aT
+    val bT = tierAt(bFloorMs, lastStep = true).ms
+    val b2 = Math.floorDiv(bFloorMs, bT) * bT
+    if (a2 < b2 && idx.coverable(a2, b2)) Some((a2, b2))
+    else {
+      if (foldBailNote.isEmpty) foldBailNote =
+        "hybrid interior under minute retention: no retained-tier core " +
+          "(an evicted span not covered by an aligned coarser tier " +
+          "keeps the scan)"
+      None
+    }
+  }
+
   private def rewriteResidue(
       agg: Aggregate, aggExprs: Seq[NamedExpression], below: LogicalPlan,
       tsCol: String, wheels: Map[String, WheelIndex],
@@ -2809,9 +2860,16 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     // toward zero and let the interior overlap the edges or swallow
     // rows past b
     val MinuteUs = MinuteMs * 1000L
-    val aCeil = Math.floorDiv(aUs + MinuteUs - 1, MinuteUs) * MinuteUs
-    val bFloor = Math.floorDiv(bUs, MinuteUs) * MinuteUs
-    if (aCeil >= bFloor) return None // no whole-minute interior to fold
+    val aCeil0 = Math.floorDiv(aUs + MinuteUs - 1, MinuteUs) * MinuteUs
+    val bFloor0 = Math.floorDiv(bUs, MinuteUs) * MinuteUs
+    if (aCeil0 >= bFloor0) return None // no whole-minute interior to fold
+    // retained core (round 15): KeepN may shrink the interior and widen
+    // the edge windows instead of losing the whole fold to a scan
+    val (aCeil, bFloor) =
+      retainedCoreMs(wheels, aCeil0 / 1000L, bFloor0 / 1000L) match {
+        case Some((a, b)) => (a * 1000L, b * 1000L)
+        case None => return None
+      }
     val needCond = hasSecondMoment(aggExprs)
     val alls = wheels.map { case (c, i) =>
       c -> i.query(aCeil / 1000L, bFloor / 1000L) }
@@ -2858,9 +2916,15 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     // zero and let the interior overlap the edges or swallow rows
     // past b
     val MinuteUs = MinuteMs * 1000L
-    val aCeil = Math.floorDiv(aUs + MinuteUs - 1, MinuteUs) * MinuteUs / 1000L
-    val bFloor = Math.floorDiv(bUs, MinuteUs) * MinuteUs / 1000L
-    if (aCeil >= bFloor) return None
+    val aCeil0 = Math.floorDiv(aUs + MinuteUs - 1, MinuteUs) * MinuteUs / 1000L
+    val bFloor0 = Math.floorDiv(bUs, MinuteUs) * MinuteUs / 1000L
+    if (aCeil0 >= bFloor0) return None
+    // retained core (round 15): shrink the interior under KeepN rather
+    // than losing the grouped hybrid to a scan
+    val (aCeil, bFloor) = retainedCoreMs(wheels, aCeil0, bFloor0) match {
+      case Some(c) => c
+      case None => return None
+    }
     val needCond = hasSecondMoment(aggExprs)
     val shifts = shiftsFor(needCond, wheels.keys,
       c => wheels(c).query(aCeil, bFloor))
@@ -2943,15 +3007,23 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       rangesUs: Seq[(Long, Long)]): Option[LogicalPlan] = {
     val MinuteUs = MinuteMs * 1000L
     final case class R(aUs: Long, bUs: Long) {
-      val aCeilMs: Long =
+      val aCeilMs0: Long =
         Math.floorDiv(aUs + MinuteUs - 1, MinuteUs) * MinuteUs / 1000L
-      val bFloorMs: Long = Math.floorDiv(bUs, MinuteUs) * MinuteUs / 1000L
-      def hasInterior: Boolean = aCeilMs < bFloorMs
+      val bFloorMs0: Long = Math.floorDiv(bUs, MinuteUs) * MinuteUs / 1000L
+      // retained core per range (round 15) — see [[orRangesResidue]]:
+      // a range with no retained core degrades to all-edge
+      val core: Option[(Long, Long)] =
+        if (aCeilMs0 >= bFloorMs0) None
+        else retainedCoreMs(wheels, aCeilMs0, bFloorMs0)
+      def aCeilMs: Long = core.map(_._1).getOrElse(aCeilMs0)
+      def bFloorMs: Long = core.map(_._2).getOrElse(bFloorMs0)
+      def hasInterior: Boolean = core.isDefined
       def edgeWindows: Seq[(Long, Long)] =
         if (hasInterior) Seq((aUs, aCeilMs * 1000L), (bFloorMs * 1000L, bUs))
         else Seq((aUs, bUs))
     }
     val rs = rangesUs.map { case (a, b) => R(a, b) }
+    foldBailNote = "" // a per-range core shrink/degrade is not a refusal
     val interiors = rs.filter(_.hasInterior)
     if (interiors.isEmpty) return None
     // past the plan-time cell ceiling the INTERIOR goes DISTRIBUTED

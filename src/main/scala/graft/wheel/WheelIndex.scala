@@ -253,6 +253,15 @@ final class WheelIndex private (
     else AllAggregate(b.sum(i), b.count(i), b.min(i), b.max(i), b.m2(i), b.rows(i))
   }
 
+  /** True when the retained tiers cover minute-aligned `[a, b)` — the
+    * hybrid folds' precondition probe (round 15): a cheap Decompose
+    * dry-run, O(slots in cover), no state reads. */
+  private[graft] def coverable(a: Long, b: Long): Boolean = {
+    val lo = math.max(a, baseMs)
+    val hi = math.min(b, horizonMs)
+    lo >= hi || scala.util.Try(Decompose(lo, hi, usable = usable)).isSuccess
+  }
+
   /** Non-empty (tier, slot, state) entries of the minimal RETAINED-tier
     * cover of minute-aligned `[a, b)` — the feed for the rewrite's
     * above-cap distributed interiors when KeepN has evicted minutes

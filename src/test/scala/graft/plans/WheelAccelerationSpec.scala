@@ -3273,14 +3273,17 @@ class WheelAccelerationSpec extends AnyFunSuite {
     val d3a = Q.Jan1 + 4 * 86400000L; val d3b = Q.Jan1 + 5 * 86400000L
     assert(d3b < idx.retainedStartMs(graft.wheel.Tier.Minute),
       "both ranges must lie outside the retained minutes")
-    def run(sql: String, expectFold: Boolean): Seq[String] = {
+    def run(sql: String, expect: String): Seq[String] = {
       val df = spark.sql(sql)
-      val folded = df.queryExecution.optimizedPlan.collect {
+      val local = df.queryExecution.optimizedPlan.collect {
         case l: LocalRelation => l }.nonEmpty
-      assert(folded == expectFold,
-        s"fold=$folded for: $sql\n" + df.queryExecution.optimizedPlan.treeString)
-      if (folded)
-        assert(!df.queryExecution.executedPlan.toString.contains("FileScan"), sql)
+      val scan = df.queryExecution.executedPlan.toString.contains("FileScan")
+      val shape =
+        if (local && !scan) "fold"
+        else if (local && scan) "hybrid"
+        else "scan"
+      assert(shape == expect, s"shape=$shape (want $expect) for: $sql\n" +
+        df.queryExecution.optimizedPlan.treeString)
       val got = df.collect().map(_.toString).toSeq
       WheelAcceleration.clear()
       val want = spark.sql(sql).collect().map(_.toString).toSeq
@@ -3293,14 +3296,14 @@ class WheelAccelerationSpec extends AnyFunSuite {
       "FROM ev_keepn " +
       s"WHERE (unix_millis(ts) >= $d1a AND unix_millis(ts) < $d1b) " +
       s"OR (unix_millis(ts) >= $d3a AND unix_millis(ts) < $d3b)",
-      expectFold = true)
+      expect = "fold")
     assert(or2.nonEmpty)
     // the grouped day-series comparison over the same disjunction
     run("SELECT (unix_millis(ts) div 86400000) * 86400000 AS d, " +
       "ROUND(SUM(value), 2) AS s FROM ev_keepn " +
       s"WHERE (unix_millis(ts) >= $d1a AND unix_millis(ts) < $d1b) " +
       s"OR (unix_millis(ts) >= $d3a AND unix_millis(ts) < $d3b) " +
-      "GROUP BY 1 ORDER BY 1", expectFold = true)
+      "GROUP BY 1 ORDER BY 1", expect = "fold")
     // ABOVE the cap the interiors ship as the retained-tier cover
     // (day/hour states) — previously the pinned minute-tier refusal
     val capKnob = "spark.graft.wheel.rewrite.maxFoldRows"
@@ -3309,27 +3312,34 @@ class WheelAccelerationSpec extends AnyFunSuite {
       "ROUND(SUM(value), 2) AS s, COUNT(*) AS n FROM ev_keepn " +
       s"WHERE (unix_millis(ts) >= $d1a AND unix_millis(ts) < $d1b) " +
       s"OR (unix_millis(ts) >= $d3a AND unix_millis(ts) < $d3b) " +
-      "GROUP BY 1 ORDER BY 1", expectFold = true)
+      "GROUP BY 1 ORDER BY 1", expect = "fold")
     val h1a = d1a + 3 * 3600000L; val h1b = h1a + 2 * 3600000L
     val h3a = d3a + 7 * 3600000L; val h3b = h3a + 3 * 3600000L
     run("SELECT (unix_millis(ts) div 3600000) * 3600000 AS h, " +
       "ROUND(SUM(value), 2) AS s FROM ev_keepn " +
       s"WHERE (unix_millis(ts) >= $h1a AND unix_millis(ts) < $h1b) " +
       s"OR (unix_millis(ts) >= $h3a AND unix_millis(ts) < $h3b) " +
-      "GROUP BY 1 ORDER BY 1", expectFold = true)
-    // still-pinned refusals, values unchanged via the scan: a minute
-    // grid needs the evicted minutes themselves; unaligned sub-minute
-    // edges need evicted minutes for their interior boundary
+      "GROUP BY 1 ORDER BY 1", expect = "fold")
+    // still-pinned refusal, values unchanged via the scan: a minute
+    // grid needs the evicted minutes themselves — the data is gone
     run("SELECT (unix_millis(ts) div 60000) * 60000 AS m, " +
       "ROUND(SUM(value), 2) AS s FROM ev_keepn " +
       s"WHERE (unix_millis(ts) >= $d1a AND unix_millis(ts) < $d1b) " +
       s"OR (unix_millis(ts) >= $d3a AND unix_millis(ts) < $d3b) " +
-      "GROUP BY 1 ORDER BY 1", expectFold = false)
+      "GROUP BY 1 ORDER BY 1", expect = "scan")
+    // sub-minute-edged disjuncts over the evicted span now fold HYBRID
+    // (round-15 retained core): each interior shrinks to hour/day
+    // boundaries and the edge scans widen to absorb the difference —
+    // bounded pushed-bounds windows instead of the old full scan
     run("SELECT (unix_millis(ts) div 86400000) * 86400000 AS d, " +
       "ROUND(SUM(value), 2) AS s FROM ev_keepn " +
       s"WHERE (unix_millis(ts) >= ${d1a + 7123L} AND unix_millis(ts) < ${d1b - 911L}) " +
       s"OR (unix_millis(ts) >= ${d3a + 5555L} AND unix_millis(ts) < ${d3b - 3L}) " +
-      "GROUP BY 1 ORDER BY 1", expectFold = false)
+      "GROUP BY 1 ORDER BY 1", expect = "hybrid")
+    // the ungrouped unaligned single range over the evicted span too
+    run("SELECT ROUND(SUM(value), 2) AS s, COUNT(*) AS n FROM ev_keepn " +
+      s"WHERE unix_millis(ts) >= ${d1a + 7123L} AND " +
+      s"unix_millis(ts) < ${d3b - 911L}", expect = "hybrid")
     spark.conf.unset(capKnob)
     WheelAcceleration.clear()
   }
