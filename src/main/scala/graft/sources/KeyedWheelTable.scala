@@ -251,10 +251,19 @@ final class KeyedWheelAggScan(table: KeyedWheelTable, spec: KeyedAggSpec,
 final class KeyedWheelScan(table: KeyedWheelTable, required: StructType,
     lo: Long, hi: Long, keySet: Option[Set[Any]], dropNullKey: Boolean,
     loPushed: Option[Long] = None, hiPushed: Option[Long] = None)
-  extends Scan with Batch {
+  extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Real |keys|-x-minutes-bounded stats (round 15) so joins against
+    * the keyed table broadcast; one walk of the driver-resident
+    * entries, the same work planInputPartitions pays. */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    WheelStats.of(table.any.minuteEntries(lo, hi)
+      .count { case (k, _, a) => a.rows > 0L && keep(k) }.toLong,
+      readSchema())
 
   /** Streaming read (round 14): (key, slot) DELTAS from the live keyed
     * registration — see [[WheelStreamBase]]. Only source-mode tables

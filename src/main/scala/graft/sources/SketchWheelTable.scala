@@ -94,7 +94,12 @@ final class SketchWheelScanBuilder(table: SketchWheelTable)
 }
 
 final class SketchWheelScan(table: SketchWheelTable, required: StructType,
-    lo: Long, hi: Long) extends Scan with Batch {
+    lo: Long, hi: Long) extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    WheelStats.of(
+      table.populatedSlots.count(s => s >= lo && s < hi).toLong, readSchema())
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -198,7 +203,13 @@ final class KeyedSketchScanBuilder(table: KeyedSketchWheelTable)
 
 final class KeyedSketchScan(table: KeyedSketchWheelTable, required: StructType,
     lo: Long, hi: Long, keySet: Option[Set[Any]], dropNullKey: Boolean)
-  extends Scan with Batch {
+  extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    WheelStats.of(table.allEntries.iterator
+      .count { case (k, s) => s >= lo && s < hi && keep(k) }.toLong,
+      readSchema())
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
