@@ -112,6 +112,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("LocalTableScan"), p)
   }
 
+  test("q_wheel_catalog_sql: catalog-resolved read, zero FileScan, pushed slot range (round 15)") {
+    val p = plan("q_wheel_catalog_sql")
+    // the catalog resolves the PERSISTED index — no parquet source scan
+    // at any volume, and the slot-range predicate reaches the source
+    assert(!p.contains("FileScan"), p)
+    assert(p.contains("slots ["), p)
+  }
+
+  test("q_pack_bpe: frozen-ranks packing is one scan + one window pass (round 15)") {
+    val p = plan("q_pack_bpe")
+    // single-pipeline shape: the count UDF and the running-offset
+    // window ride one docs scan — no join of any kind creeps in
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+    assert(p.contains("FileScan"), p)
+  }
+
   test("q_wheel_or_ranges_sql: disjoint-range fold, zero FileScan (round 13)") {
     val p = plan("q_wheel_or_ranges_sql")
     assert(!p.contains("FileScan"), p)
