@@ -160,7 +160,13 @@ object KeyedSketchWheels {
       .agg(udaf(BytesMergeAgg(mergeBytes)).apply(col("sk")).as("sk"))
   }
 
-  private def boundedCollect(slots: DataFrame): Array[Row] = slots.collect()
+  /** Driver materialization of the (dim, slot, sketch) rows, capped
+    * BEFORE the transfer: `limit(MaxEntries + 1)` bounds what a
+    * runaway-cardinality dimension can ship to the driver, and
+    * [[grouped]]'s `require` then still fails loudly on the sentinel
+    * extra row — the ceiling is enforced by the plan, not by an OOM. */
+  private def boundedCollect(slots: DataFrame): Array[Row] =
+    slots.limit(MaxEntries + 1).collect()
 
   /** Group `(dim, slot_ms, sk)` rows into each family's per-dim
     * `(slot_ms, sk)` input, enforcing the driver-resident ceiling —
