@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The two-phase distributed prefix sum must be BIT-IDENTICAL to the
+  * single-window spelling (integer addition reassociates exactly) —
+  * on skewed ids, sparse ids, many input partitions, and a
+  * single-row frame. */
+class PrefixSumSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def naive(df: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
+    val w = Window.orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("run", sum(col("v")).over(w))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+  }
+
+  test("matches the global-order window exactly on sparse, shuffled ids") {
+    // ids deliberately sparse and inserted in hash-ish order across
+    // 13 input partitions; values vary so misordering would show
+    val rows = (0 until 5000).map(i => ((i * 2654435761L) % 100000L, (i % 97).toLong + 1L))
+      .distinctBy(_._1)
+    val df = spark.createDataset(rows).toDF("id", "v").repartition(13)
+    val got = PrefixSum.runningSum(df, "id", "v", "run")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("run")).toMap
+    assert(got == naive(df))
+  }
+
+  test("single row and fewer rows than shuffle partitions") {
+    val one = Seq((42L, 7L)).toDF("id", "v")
+    val g1 = PrefixSum.runningSum(one, "id", "v", "run").collect()
+    assert(g1.length == 1 && g1(0).getAs[Long]("run") == 7L)
+    val few = Seq((3L, 1L), (1L, 2L), (2L, 3L)).toDF("id", "v")
+    val gf = PrefixSum.runningSum(few, "id", "v", "run")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("run")).toMap
+    assert(gf == Map(1L -> 2L, 2L -> 5L, 3L -> 6L))
+  }
+}
