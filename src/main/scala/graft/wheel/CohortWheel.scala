@@ -98,6 +98,13 @@ final class CohortWheel private (
         SketchBlocks.minuteEntries(tiers, baseMs), tail, CohortWheel.mergeBytes),
       retention)
 
+
+  /** The retained minute-slot sketch bytes at `slotMs` (null when
+    * empty/outside the span) — O(1); callers must hold
+    * [[minuteTierComplete]] (round 16: the distributed keyed sketch
+    * emission's per-slot feed). */
+  private[graft] def minuteBytesAt(slotMs: Long): Array[Byte] =
+    SketchBlocks.minuteAt(tiers, baseMs, slotMs)
   def sizeBytes: Long =
     tiers.valuesIterator.flatMap(_.iterator)
       .map(b => if (b == null) 0L else b.length.toLong).sum

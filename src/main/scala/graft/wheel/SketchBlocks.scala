@@ -65,6 +65,18 @@ private[wheel] object SketchBlocks {
       Tier.Minute -> minute, Tier.Hour -> hour, Tier.Day -> day))
   }
 
+  /** The retained minute-slot sketch bytes at `slotMs` — null when
+    * empty or outside the span; O(1) array read (round 16: the
+    * distributed keyed sketch emission's per-slot feed). Callers must
+    * hold `minuteTierComplete` — an evicted minute is indistinguishable
+    * from an empty one here. */
+  def minuteAt(tiers: Map[Tier, Array[Array[Byte]]], baseMs: Long,
+      slotMs: Long): Array[Byte] = {
+    val block = tiers(Tier.Minute)
+    val i = ((slotMs - baseMs) / Tier.Minute.ms).toInt
+    if (slotMs < baseMs || i >= block.length) null else block(i)
+  }
+
   /** Day-aligned [base, horizon) covering the observed minute slots. */
   def span(slots: Array[Long]): (Long, Long) =
     (slots.min / Tier.Day.ms * Tier.Day.ms,

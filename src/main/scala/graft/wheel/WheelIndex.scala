@@ -245,8 +245,18 @@ final class WheelIndex private (
 
   /** The retained partial at (tier, slot) — identity when empty or
     * outside the span; O(1). The tier-generic [[minuteAt]], feeding the
-    * retention-aware distributed interiors (round 15). */
+    * retention-aware distributed interiors (round 15). EVICTED slots
+    * THROW (round 16, ADVICE r15): a KeepN-zeroed slot is
+    * indistinguishable from an empty one in the block, but reading it
+    * as empty would silently fold zeros — e.g. a sibling measure wheel
+    * with different retention probed at the head wheel's cover slots.
+    * The rewrite's driver wraps every fold in Try, so the throw keeps
+    * the scan, same as Decompose's refusal. */
   private[graft] def stateAt(tier: Tier, slotMs: Long): AllAggregate = {
+    if (slotMs >= baseMs && slotMs < retainedStartMs(tier))
+      throw new IllegalStateException(
+        s"${tier.name} slot $slotMs is retention-evicted (retained from " +
+          s"${retainedStartMs(tier)}) — evicted state must not read as empty")
     val b = tiers(tier)
     val i = ((slotMs - baseMs) / tier.ms).toInt
     if (slotMs < baseMs || i >= b.rows.length || b.rows(i) == 0L) AllAggregate.identity

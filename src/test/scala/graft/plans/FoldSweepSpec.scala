@@ -278,18 +278,21 @@ class FoldSweepSpec extends AnyFunSuite {
 
     // (c) unaligned outer + all-conditional mix: the disjoint ELSE 0
     // branch is NULL from the index but 0 in SQL (every outer row hits
-    // the ELSE) — outer row count unknowable → the fold must refuse
+    // the ELSE). Pre-round-16 this refused (outer row count unknowable
+    // from minute slots); the conditional HYBRID (VERDICT r15 missing
+    // #2) now counts outer rows exactly — interior partials + scanned
+    // sliver rows — so the shape folds AND keeps the ELSE-0 semantics
     def regPlain(): Unit = WheelAcceleration.register(spark, path, events)
     regPlain()
     events.createOrReplaceTempView("ev_elsezero")
     val unalignedW = s"WHERE unix_millis(ts) >= ${Q.R1Start + 30123L} " +
       s"AND unix_millis(ts) < ${Q.R1End - 7001L}"
-    val refused = run("SELECT SUM(CASE WHEN unix_millis(ts) < " +
+    val hybrid = run("SELECT SUM(CASE WHEN unix_millis(ts) < " +
       s"${Q.R1Start} THEN value ELSE 0 END) AS a1, " +
       s"SUM(value) FILTER (WHERE unix_millis(ts) >= ${Q.R1Start + 60000L} " +
       s"AND unix_millis(ts) < ${Q.R1End - 60000L}) AS a2 " +
-      s"FROM ev_elsezero $unalignedW", expectFold = false, regPlain _)
-    assert(refused.head.getDouble(0) == 0.0)
+      s"FROM ev_elsezero $unalignedW", expectFold = true, regPlain _)
+    assert(hybrid.head.getDouble(0) == 0.0)
     WheelAcceleration.clear()
 
     // keyed: the all-NULL 'error' key — covered branch keeps NULL for
