@@ -3137,9 +3137,22 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     * surviving reference outside the union's columns. */
   private def mergeAggExprs(cols: PartialCols,
       measureNames: Set[String], aggExprs: Seq[NamedExpression],
-      groupSubst: Seq[(Seq[Expression], Attribute)]): Option[Seq[NamedExpression]] = {
+      groupSubst: Seq[(Seq[Expression], Attribute)],
+      // round 16: a caller-supplied substitution for SKETCH spellings
+      // (the distributed grouped paths ship sketch-bytes columns and
+      // merge executor-side) — consulted first; None falls through to
+      // the numeric dispatch (and its refusal note)
+      sketchSub: AggregateExpression => Option[Expression] = _ => None,
+      // relation columns the caller added beyond the partials (the
+      // sketch-bytes attrs) — lazily read AFTER the rewrite populated it
+      extraAllowed: () => Set[ExprId] = () => Set.empty): Option[Seq[NamedExpression]] = {
     var supported = true
     def merged(e: AggregateExpression): Expression = {
+      sketchSub(e) match {
+        case Some(sub) => return sub
+        case None => ()
+      }
+      if (!supported) return e
       if (e.isDistinct || e.filter.nonEmpty) {
         if (foldBailNote.isEmpty) foldBailNote =
           s"unsupported aggregate for merge-form fold: " +
@@ -3249,7 +3262,8 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     // any surviving reference outside the union's columns (a bare
     // column in the select list, a grouping leak) disqualifies
     val allowed =
-      cols.partialAttrs.map(_.exprId).toSet ++ groupSubst.map(_._2.exprId)
+      cols.partialAttrs.map(_.exprId).toSet ++ groupSubst.map(_._2.exprId) ++
+        extraAllowed()
     if (newAggExprs.exists(_.exists {
       case at: Attribute => !allowed.contains(at.exprId)
       case _ => false
@@ -4331,7 +4345,8 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
           val (a, b) = (aUs / 1000L, bUs / 1000L)
           if (cellCount(grid, a, b, maxFoldRows) > maxFoldRows)
             distributedGrouped(aggExprs, wheels, grid, gExpr,
-              Seq((Seq(groupKey, gExpr))), None, Seq((a, b)))
+              Seq((Seq(groupKey, gExpr))), None, Seq((a, b)),
+              unkeyedSk = sketch)
           else {
           val slotRows = Seq.newBuilder[InternalRow]
           var ok = true
@@ -4392,7 +4407,8 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
             ranges.map { case (x, y) => cellCount(grid, x, y, maxFoldRows) }.sum
           if (cellsTotal > maxFoldRows)
             distributedGrouped(aggExprs, wheels, grid, gExpr,
-              Seq((Seq(groupKey, gExpr))), None, ranges)
+              Seq((Seq(groupKey, gExpr))), None, ranges,
+              unkeyedSk = sketch)
           else {
             val cells = scala.collection.mutable.LinkedHashMap
               .empty[Long, (Map[String, AllAggregate], List[(Long, Long)])]
@@ -4513,7 +4529,15 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       // own relation column. The single-key form routes through this
       // too (one attribute, the key type itself).
       composite: Option[(Seq[AttributeReference], Seq[DataType],
-        Map[String, graft.wheel.KeyedWheelIndex])] = None): Option[LogicalPlan] = {
+        Map[String, graft.wheel.KeyedWheelIndex])] = None,
+      // round 16 (grouped extension of VERDICT r15 missing #1): the
+      // path-matched sketch registrations — when a grouped statement
+      // carries approximate spellings, their per-slot sketch BYTES ride
+      // the shipped relation as extra binary columns and a
+      // SketchBytesAgg unions them per group (the grouping IS the
+      // range clipping, so no FILTER is needed)
+      unkeyedSk: Option[WheelAcceleration.SketchReg] = None,
+      keyedSk: Option[WheelAcceleration.KeyedSketchReg] = None): Option[LogicalPlan] = {
     val keyed: Option[(Seq[AttributeReference], Seq[DataType],
         Map[String, graft.wheel.KeyedWheelIndex])] =
       composite.orElse(keyedIn.map { case (kA, reg) =>
@@ -4551,7 +4575,118 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
         (Seq[Expression](kA), out.asInstanceOf[Attribute])
       }
     } ++ slotSpellings.map(sp => (sp, slotAttr.asInstanceOf[Attribute]))
-    mergeAggExprs(cols, measures.toSet, aggExprs, subst).flatMap { newAggExprs =>
+    // ---- grouped sketch spellings (round 16) ----
+    val neededSketch = scala.collection.mutable
+      .LinkedHashMap.empty[(String, String), AttributeReference]
+    // deferred exact-regime proofs for tighter-than-bound requests: a
+    // KLL column's / the MG row count per GROUP, accumulated by the
+    // pre-walk, must fit the sketch capacity
+    val kllGateCols = scala.collection.mutable.LinkedHashSet.empty[String]
+    var mgGate = false
+    def sketchSub(ae: AggregateExpression): Option[Expression] = {
+      if (ae.isDistinct || ae.filter.nonEmpty) return None
+      def inputCol(e: Expression): Option[String] = e match {
+        case at: AttributeReference => Some(at.name)
+        case _ => None
+      }
+      def attrFor(family: String, colName: String): AttributeReference =
+        neededSketch.getOrElseUpdate((family, colName),
+          AttributeReference(s"__graft_sk_${family}_$colName", BinaryType,
+            nullable = true)())
+      def bail(msg: String): Option[Expression] = {
+        if (foldBailNote.isEmpty) foldBailNote = msg
+        None
+      }
+      // a family's wheel set for a column, when a sketch registration
+      // rides this path's source and retains its full minute tier (the
+      // per-slot bytes feed); composite keys have no sketch form
+      def complete(ok: Boolean): Boolean = ok
+      def mk(f: AggregateFunction): Option[Expression] =
+        Some(AggregateExpression(f, Complete, isDistinct = false))
+      ae.aggregateFunction match {
+        case hll: HyperLogLogPlusPlus => inputCol(hll.child).flatMap { c =>
+          val serves = keyedSk.exists(r => r.distinct.get(c)
+              .exists(_.valuesIterator.forall(_.minuteTierComplete))) ||
+            (keyed.isEmpty && unkeyedSk.exists(r => r.distinct.get(c)
+              .exists(_.minuteTierComplete)))
+          if (!serves) None
+          else if (hll.relativeSD + 1e-12 <
+              graft.functions.SketchMergeAggs.ThetaWorstRse)
+            bail(f"approx_count_distinct requested rsd " +
+              f"${hll.relativeSD}%.4f tighter than the Theta wheel's " +
+              f"worst-case ${graft.functions.SketchMergeAggs.ThetaWorstRse}%.4f " +
+              "— the distributed grouped merge gates statically, scan kept")
+          else mk(graft.functions.ThetaDistinctMergeAgg(attrFor("d", c)))
+        }
+        case ap: ApproximatePercentile => inputCol(ap.child).flatMap { c =>
+          val serves = keyedSk.exists(r => r.quantile.get(c)
+              .exists(_.valuesIterator.forall(_.minuteTierComplete))) ||
+            (keyed.isEmpty && unkeyedSk.exists(r => r.quantile.get(c)
+              .exists(_.minuteTierComplete)))
+          if (!serves) return None
+          val requestedEps = ap.accuracyExpression.eval(InternalRow.empty) match {
+            case i: java.lang.Integer => 1.0 / math.max(1, i.intValue())
+            case l: java.lang.Long => 1.0 / math.max(1L, l.longValue()).toDouble
+            case _ => 0.0
+          }
+          val wheelEps = org.apache.datasketches.kll.KllSketch
+            .getNormalizedRankError(graft.wheel.QuantileWheel.K, false)
+          val gateOk =
+            if (requestedEps + 1e-12 >= wheelEps) true
+            else if (measures.contains(c)) { kllGateCols += c; true }
+            else false
+          if (!gateOk)
+            return bail(f"percentile_approx requested rank error " +
+              f"$requestedEps%.6f tighter than the KLL wheel's " +
+              f"$wheelEps%.4f and its column has no registered measure " +
+              "wheel to prove the exact regime per group — scan kept")
+          val ps = ap.percentageExpression.eval(InternalRow.empty) match {
+            case d: java.lang.Double => Some((Seq(d.doubleValue()), true))
+            case arr: org.apache.spark.sql.catalyst.util.ArrayData =>
+              Some((arr.toDoubleArray().toSeq, false))
+            case _ => None
+          }
+          ps.filter { case (_, scalar) =>
+            (scalar && ap.dataType == DoubleType) ||
+              (!scalar && (ap.dataType match {
+                case ArrayType(DoubleType, _) => true
+                case _ => false
+              }))
+          }.flatMap { case (pct, scalar) =>
+            mk(graft.functions.KllQuantileMergeAgg(
+              attrFor("q", c), pct, scalar, ap.dataType))
+          }
+        }
+        case tk: ApproxTopK if tk.expr.dataType == LongType =>
+          inputCol(tk.expr).flatMap { c =>
+            val serves = keyedSk.exists(r => r.freq.get(c)
+                .exists(_.valuesIterator.forall(_.minuteTierComplete))) ||
+              (keyed.isEmpty && unkeyedSk.exists(r => r.freq.get(c)
+                .exists(_.minuteTierComplete)))
+            if (!serves) return None
+            val k = tk.k.eval(InternalRow.empty) match {
+              case i: java.lang.Integer => Some(i.intValue())
+              case l: java.lang.Long => Some(l.intValue())
+              case _ => None
+            }
+            val trackedEff = (tk.maxItemsTracked.eval(InternalRow.empty) match {
+              case i: java.lang.Integer => i.intValue()
+              case l: java.lang.Long => l.intValue()
+              case _ => ApproxTopK.DEFAULT_MAX_ITEMS_TRACKED
+            }) match {
+              case t if t <= 0 => ApproxTopK.DEFAULT_MAX_ITEMS_TRACKED
+              case t => t
+            }
+            if (graft.wheel.FrequencyWheel.MaxMapSize <
+                ApproxTopK.calMaxMapSize(trackedEff)) mgGate = true
+            k.flatMap(kk => mk(graft.functions.MgTopKMergeAgg(
+              attrFor("f", c), kk, tk.dataType)))
+          }
+        case _ => None
+      }
+    }
+    mergeAggExprs(cols, measures.toSet, aggExprs, subst, sketchSub,
+      () => neededSketch.valuesIterator.map(_.exprId).toSet).flatMap { newAggExprs =>
       val rows = Seq.newBuilder[InternalRow]
       def slotVal(slotMs: Long): Any = {
         val s0 = grid.floorOf(slotMs)
@@ -4574,6 +4709,39 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
         val (s, n) = groupMeans.get(gk)(c)
         if (n == 0L) 0.0 else s / n
       }
+      // deferred exact-regime accounting (round 16): per-GROUP counts
+      // off the pre-walk, mirroring the keyed conditional's proofs
+      val kllCounts = new java.util.HashMap[(Any, String), java.lang.Long]()
+      val mgCounts = new java.util.HashMap[Any, java.lang.Long]()
+      def gateCounts(gk: Any, alls: collection.Map[String, AllAggregate],
+          rowsN: Long): Unit = {
+        kllGateCols.foreach { c =>
+          kllCounts.merge((gk, c), alls(c).count, (a, b) => Long.box(a + b))
+        }
+        if (mgGate) mgCounts.merge(gk, rowsN, (a, b) => Long.box(a + b))
+      }
+      // sketch-served aggregates ride raw per-slot sketch bytes — from
+      // the per-key wheels (keyed) or the unkeyed wheels' matching tier
+      // block (retained covers ship hour/day states); a slot with no
+      // sketch state ships null = contributes nothing to the union
+      def skBytesKeyed(key: Any, slotMs: Long): Seq[Any] =
+        neededSketch.keysIterator.map {
+          case ("d", c) => keyedSk.flatMap(_.distinct.get(c))
+            .flatMap(_.get(key)).map(_.minuteBytesAt(slotMs)).orNull
+          case ("q", c) => keyedSk.flatMap(_.quantile.get(c))
+            .flatMap(_.get(key)).map(_.minuteBytesAt(slotMs)).orNull
+          case (_, c) => keyedSk.flatMap(_.freq.get(c))
+            .flatMap(_.get(key)).map(_.minuteBytesAt(slotMs)).orNull
+        }.toSeq
+      def skBytesUnkeyed(tier: graft.wheel.Tier, slotMs: Long): Seq[Any] =
+        neededSketch.keysIterator.map {
+          case ("d", c) => unkeyedSk.flatMap(_.distinct.get(c))
+            .map(_.bytesAt(tier, slotMs)).orNull
+          case ("q", c) => unkeyedSk.flatMap(_.quantile.get(c))
+            .map(_.bytesAt(tier, slotMs)).orNull
+          case (_, c) => unkeyedSk.flatMap(_.freq.get(c))
+            .map(_.bytesAt(tier, slotMs)).orNull
+        }.toSeq
       def walk(emit: Boolean): Unit = keyed match {
         case Some((kAs, kTs, kWheels)) =>
           val keyVals = new java.util.HashMap[Any, Seq[Any]]()
@@ -4596,10 +4764,11 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
                 case (c, i) => c -> i.minuteAt(key, slotMs)
               }
               val gk = (kvs: Any, grid.floorOf(slotMs))
-              if (!emit) accumulate(gk, alls)
-              else rows += InternalRow.fromSeq(kvs ++ (slotVal(slotMs) +:
+              if (!emit) { accumulate(gk, alls); gateCounts(gk, alls, anyAll.rows) }
+              else rows += InternalRow.fromSeq((kvs ++ (slotVal(slotMs) +:
                 cols.partialsRowShifted(alls, anyAll.rows,
-                  if (needCond) shiftFor(gk) else cols.shiftOf)))
+                  if (needCond) shiftFor(gk) else cols.shiftOf))) ++
+                skBytesKeyed(key, slotMs))
             }
           }
         case None =>
@@ -4609,15 +4778,38 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
               case c => c -> wheels(c).stateAt(tier, slotMs)
             }.toMap
             val gk = (null, grid.floorOf(slotMs))
-            if (!emit) accumulate(gk, alls)
+            if (!emit) { accumulate(gk, alls); gateCounts(gk, alls, anyAll.rows) }
             else rows += InternalRow.fromSeq(
-              slotVal(slotMs) +: cols.partialsRowShifted(alls, anyAll.rows,
-                if (needCond) shiftFor(gk) else cols.shiftOf))
+              (slotVal(slotMs) +: cols.partialsRowShifted(alls, anyAll.rows,
+                if (needCond) shiftFor(gk) else cols.shiftOf)) ++
+                skBytesUnkeyed(tier, slotMs))
           }
       }
-      if (needCond) walk(emit = false)
+      val needPreWalk = needCond || kllGateCols.nonEmpty || mgGate
+      if (needPreWalk) {
+        walk(emit = false)
+        import scala.jdk.CollectionConverters._
+        if (kllGateCols.nonEmpty && kllCounts.values().asScala
+            .exists(_.longValue > graft.wheel.QuantileWheel.K)) {
+          if (foldBailNote.isEmpty) foldBailNote =
+            "percentile_approx requested rank error tighter than the KLL " +
+              "wheel's guarantee and a group's count exceeds the provable " +
+              s"exact regime (${graft.wheel.QuantileWheel.K} values) — scan kept"
+          return None
+        }
+        val mgCap = graft.wheel.FrequencyWheel.MaxMapSize * 3L / 4L
+        if (mgGate && mgCounts.values().asScala
+            .exists(_.longValue > mgCap)) {
+          if (foldBailNote.isEmpty) foldBailNote =
+            "approx_top_k tracks more items than the Misra-Gries wheel's " +
+              "budget and a group's row count exceeds the provable exact " +
+              s"regime ($mgCap rows) — scan kept"
+          return None
+        }
+      }
       walk(emit = true)
-      val relAttrs = keyOutAttrs ++ (slotAttr +: cols.partialAttrs)
+      val relAttrs = (keyOutAttrs ++ (slotAttr +: cols.partialAttrs)) ++
+        neededSketch.valuesIterator
       val groupAttrs = keyOutAttrs :+ slotAttr
       Some(Aggregate(groupAttrs, newAggExprs, LocalRelation(relAttrs, rows.result())))
     }
@@ -4666,7 +4858,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
           else if (rangesUs.forall { case (x, y) =>
             x % MinuteUs == 0 && y % MinuteUs == 0 })
             keyedOrRangesFold(agg, keyAttr, slotGroup, gExpr, grid, aggExprs,
-              reg, rangesUs.map { case (x, y) => (x / 1000L, y / 1000L) })
+              reg, rangesUs.map { case (x, y) => (x / 1000L, y / 1000L) }, path)
           else
             rewriteKeyedGroupedResidue(agg, keyAttr, slotGroup, gExpr, grid,
               aggExprs, child, below, reg, rangesUs)
@@ -4697,7 +4889,9 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
           val (a, b) = (aUs / 1000L, bUs / 1000L)
           if (reg.any.keys.size.toLong * cellCount(grid, a, b, maxFoldRows) > maxFoldRows)
             distributedGrouped(aggExprs, Map.empty, grid, gExpr,
-              Seq(Seq(slotGroup, gExpr)), Some((keyAttr, reg)), Seq((a, b)))
+              Seq(Seq(slotGroup, gExpr)), Some((keyAttr, reg)), Seq((a, b)),
+              keyedSk = WheelAcceleration.lookupKeyedSketch(path)
+                .filter(r => r.tsCol == reg.tsCol && r.keyCol == reg.keyCol))
           else {
           // per-key sketch views (late round 11): keyed approx
           // spellings fold per (key, cell) through the same gate as
@@ -4746,7 +4940,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       agg: Aggregate, keyAttr: AttributeReference, slotGroup: Expression,
       gExpr: Expression, grid: SlotGrid, aggExprs: Seq[NamedExpression],
       reg: WheelAcceleration.KeyedReg,
-      ranges: Seq[(Long, Long)]): Option[LogicalPlan] = {
+      ranges: Seq[(Long, Long)], path: String): Option[LogicalPlan] = {
     val aligned = ranges.forall { case (x, y) =>
       x % MinuteMs == 0 && y % MinuteMs == 0 && x < y &&
         grid.soundFor(x, y) }
@@ -4758,7 +4952,9 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     // (round 14) — wide dimensions × multi-range stay scan-free
     if (reg.any.keys.size.toLong * cellsTotal > maxFoldRows)
       return distributedGrouped(aggExprs, Map.empty, grid, gExpr,
-        Seq(Seq(slotGroup, gExpr)), Some((keyAttr, reg)), ranges)
+        Seq(Seq(slotGroup, gExpr)), Some((keyAttr, reg)), ranges,
+        keyedSk = WheelAcceleration.lookupKeyedSketch(path)
+          .filter(r => r.tsCol == reg.tsCol && r.keyCol == reg.keyCol))
     val out = Seq.newBuilder[InternalRow]
     var ok = true
     reg.any.keys.foreach { key =>

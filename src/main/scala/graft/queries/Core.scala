@@ -1286,6 +1286,61 @@ object Core {
            |""".stripMargin)
     }),
 
+    // DISTRIBUTED grouped sketch folds (round 16, grouped extension of
+    // VERDICT r15 missing #1): the SAME per-day approx-distinct rollups
+    // as q_wheel_approx_distinct_rollup_sql / the keyed grid, but PAST
+    // the plan-time cell ceiling — per-slot Theta BYTES ride the
+    // shipped (slot, partials) relation and a TypedImperativeAggregate
+    // unions them per grid cell on executors (grouping IS the range
+    // clipping — no per-aggregate FILTER needed). Theta exact under
+    // its nominal → COUNT(DISTINCT) oracle.
+    "q_wheel_sketch_rollup_distributed_sql" -> ((s, dir) => {
+      graft.plans.WheelAcceleration.register(
+        s, s"$dir/events.parquet", t(s, dir, "events"))
+      graft.plans.WheelAcceleration.registerSketches(
+        s, s"$dir/events.parquet", t(s, dir, "events"), "ts",
+        distinctCols = Seq("user_id"))
+      t(s, dir, "events").createOrReplaceTempView("events_wheel")
+      s.conf.set("spark.graft.wheel.rewrite.maxFoldRows", "1")
+      try {
+        val df = s.sql(
+          s"""SELECT (unix_millis(ts) div ${24 * Hour}) * ${24 * Hour} AS slot_ms,
+             |approx_count_distinct(user_id) AS n_users,
+             |ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n
+             |FROM events_wheel
+             |WHERE unix_millis(ts) >= $R1Start AND unix_millis(ts) < $R1End
+             |GROUP BY 1 ORDER BY 1
+             |""".stripMargin)
+        df.queryExecution.optimizedPlan
+        df
+      } finally s.conf.unset("spark.graft.wheel.rewrite.maxFoldRows")
+    }),
+
+    // ... and the KEYED grid variant: GROUP BY (dimension key, day)
+    // past |keys| × cells — per-(key, minute) Theta bytes on the keyed
+    // distributed relation, same executor-side union per (key, cell).
+    "q_wheel_keyed_sketch_rollup_distributed_sql" -> ((s, dir) => {
+      graft.plans.WheelAcceleration.registerKeyed(
+        s, s"$dir/events.parquet", t(s, dir, "events"), "event_type")
+      graft.plans.WheelAcceleration.registerKeyedSketches(
+        s, s"$dir/events.parquet", t(s, dir, "events"), "event_type", "ts",
+        distinctCols = Seq("user_id"))
+      t(s, dir, "events").createOrReplaceTempView("events_wheel")
+      s.conf.set("spark.graft.wheel.rewrite.maxFoldRows", "1")
+      try {
+        val df = s.sql(
+          s"""SELECT event_type,
+             |(unix_millis(ts) div ${24 * Hour}) * ${24 * Hour} AS slot_ms,
+             |approx_count_distinct(user_id) AS n_users, COUNT(*) AS n
+             |FROM events_wheel
+             |WHERE unix_millis(ts) >= $R1Start AND unix_millis(ts) < $R1End
+             |GROUP BY 1, 2 ORDER BY 1, 2
+             |""".stripMargin)
+        df.queryExecution.optimizedPlan
+        df
+      } finally s.conf.unset("spark.graft.wheel.rewrite.maxFoldRows")
+    }),
+
     // DISTRIBUTED keyed sketch fold (round 16, VERDICT r15 "what's
     // missing" #1): `GROUP BY key` + approx_count_distinct PAST the key
     // ceiling — the high-cardinality dashboard shape at 100 TB. The cap
@@ -1696,6 +1751,17 @@ object Core {
         s"OR (epoch_ms(ts) >= ${Jan1 + 18 * Day} AND epoch_ms(ts) < ${Jan1 + 25 * Day}) " +
         "GROUP BY 1 ORDER BY 1"),
     "q_wheel_keyed_approx_distinct_sql" ->
+      (s"SELECT event_type, (epoch_ms(ts) // ${24 * Hour}) * ${24 * Hour} AS slot_ms, " +
+        "COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n FROM events " +
+        s"WHERE epoch_ms(ts) >= $R1Start AND epoch_ms(ts) < $R1End " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
+    "q_wheel_sketch_rollup_distributed_sql" ->
+      (s"SELECT (epoch_ms(ts) // ${24 * Hour}) * ${24 * Hour} AS slot_ms, " +
+        "COUNT(DISTINCT user_id) AS n_users, ROUND(SUM(value), 2) AS sum_value, " +
+        "COUNT(*) AS n FROM events " +
+        s"WHERE epoch_ms(ts) >= $R1Start AND epoch_ms(ts) < $R1End " +
+        "GROUP BY 1 ORDER BY 1"),
+    "q_wheel_keyed_sketch_rollup_distributed_sql" ->
       (s"SELECT event_type, (epoch_ms(ts) // ${24 * Hour}) * ${24 * Hour} AS slot_ms, " +
         "COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n FROM events " +
         s"WHERE epoch_ms(ts) >= $R1Start AND epoch_ms(ts) < $R1End " +

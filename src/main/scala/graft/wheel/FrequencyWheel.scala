@@ -142,6 +142,11 @@ final class FrequencyWheel private (
     * emission's per-slot feed). */
   private[graft] def minuteBytesAt(slotMs: Long): Array[Byte] =
     SketchBlocks.minuteAt(tiers, baseMs, slotMs)
+
+  /** Tier-generic [[minuteBytesAt]] (round 16) — hour/day blocks feed
+    * the distributed grouped sketch emission under retained covers. */
+  private[graft] def bytesAt(tier: Tier, slotMs: Long): Array[Byte] =
+    SketchBlocks.at(tiers, baseMs, tier, slotMs)
   def sizeBytes: Long =
     tiers.valuesIterator.flatMap(_.iterator)
       .map(b => if (b == null) 0L else b.length.toLong).sum

@@ -71,9 +71,16 @@ private[wheel] object SketchBlocks {
     * hold `minuteTierComplete` — an evicted minute is indistinguishable
     * from an empty one here. */
   def minuteAt(tiers: Map[Tier, Array[Array[Byte]]], baseMs: Long,
-      slotMs: Long): Array[Byte] = {
-    val block = tiers(Tier.Minute)
-    val i = ((slotMs - baseMs) / Tier.Minute.ms).toInt
+      slotMs: Long): Array[Byte] = at(tiers, baseMs, Tier.Minute, slotMs)
+
+  /** The tier-generic [[minuteAt]] (round 16): the distributed grouped
+    * sketch emission reads hour/day blocks when the sum-side feed is a
+    * retained-tier cover. Same contract — null when empty or outside
+    * the span, callers must hold the completeness precondition. */
+  def at(tiers: Map[Tier, Array[Array[Byte]]], baseMs: Long,
+      tier: Tier, slotMs: Long): Array[Byte] = {
+    val block = tiers(tier)
+    val i = ((slotMs - baseMs) / tier.ms).toInt
     if (slotMs < baseMs || i >= block.length) null else block(i)
   }
 

@@ -3646,6 +3646,84 @@ class WheelAccelerationSpec extends AnyFunSuite {
     }
   }
 
+  test("GROUPED sketch spellings go DISTRIBUTED above the cell ceiling " +
+      "(round 16, grouped extension of VERDICT r15 missing #1)") {
+    // GROUP BY slot (and GROUP BY key, slot) approx spellings past
+    // maxFoldRows: per-slot sketch bytes ride the shipped relation and
+    // union per group — the grouping IS the clipping, no FILTER.
+    WheelAcceleration.clear()
+    val capKnob = "spark.graft.wheel.rewrite.maxFoldRows"
+    def reg(): Unit = {
+      register()
+      WheelAcceleration.registerSketches(spark, path, events,
+        distinctCols = Seq("user_id"), quantileCols = Seq("value"),
+        freqCols = Seq("user_id"))
+      WheelAcceleration.registerKeyed(spark, path, events, "event_type")
+      WheelAcceleration.registerKeyedSketches(spark, path, events,
+        "event_type", "ts", distinctCols = Seq("user_id"))
+    }
+    reg()
+    events.createOrReplaceTempView("events_accel")
+    val (w1a, w1b) = (Q.R1Start, Q.R1Start + 7 * 86400000L)
+    def distributed(sql: String): Seq[String] = {
+      val df = spark.sql(sql)
+      assert(df.queryExecution.optimizedPlan.collect {
+        case l: LocalRelation => l }.nonEmpty,
+        df.queryExecution.optimizedPlan.treeString)
+      assert(!df.queryExecution.executedPlan.toString.contains("FileScan"), sql)
+      df.collect().map(_.toString).toSeq
+    }
+    spark.conf.set(capKnob, "1")
+    try {
+      // unkeyed per-day rollup: theta exact → equals COUNT(DISTINCT);
+      // the percentile and top-k ride the same relation (KLL via the
+      // per-group exact proof, MG via the row-count proof)
+      val got = distributed(
+        "SELECT (unix_millis(ts) div 86400000) * 86400000 AS d, " +
+          "approx_count_distinct(user_id) AS u, " +
+          "percentile_approx(value, 0.5) AS med, " +
+          "approx_top_k(user_id, 2) AS tk, " +
+          "ROUND(SUM(value), 2) AS s, COUNT(*) AS n " +
+          s"FROM events_accel WHERE unix_millis(ts) >= $w1a AND " +
+          s"unix_millis(ts) < $w1b GROUP BY 1 ORDER BY 1")
+      // below-cap truth: same wheels, driver-merged per cell
+      spark.conf.unset(capKnob)
+      val below = spark.sql(
+        "SELECT (unix_millis(ts) div 86400000) * 86400000 AS d, " +
+          "approx_count_distinct(user_id) AS u, " +
+          "percentile_approx(value, 0.5) AS med, " +
+          "approx_top_k(user_id, 2) AS tk, " +
+          "ROUND(SUM(value), 2) AS s, COUNT(*) AS n " +
+          s"FROM events_accel WHERE unix_millis(ts) >= $w1a AND " +
+          s"unix_millis(ts) < $w1b GROUP BY 1 ORDER BY 1")
+      assert(below.queryExecution.optimizedPlan.collect {
+        case l: LocalRelation => l }.nonEmpty)
+      val want = below.collect().map(_.toString).toSeq
+      spark.conf.set(capKnob, "1")
+      assert(got == want, s"$got vs $want")
+      // keyed grid: per (key, day) theta equals exact COUNT(DISTINCT)
+      val gotK = distributed(
+        "SELECT event_type, (unix_millis(ts) div 86400000) * 86400000 AS d, " +
+          "approx_count_distinct(user_id) AS u, COUNT(*) AS n " +
+          s"FROM events_accel WHERE unix_millis(ts) >= $w1a AND " +
+          s"unix_millis(ts) < $w1b GROUP BY 1, 2 ORDER BY 1, 2")
+      WheelAcceleration.clear()
+      spark.conf.unset(capKnob)
+      val wantK = spark.sql(
+        "SELECT event_type, (unix_millis(ts) div 86400000) * 86400000 AS d, " +
+          "COUNT(DISTINCT user_id) AS u, COUNT(*) AS n " +
+          s"FROM events_accel WHERE unix_millis(ts) >= $w1a AND " +
+          s"unix_millis(ts) < $w1b GROUP BY 1, 2 ORDER BY 1, 2")
+        .collect().map(_.toString).toSeq
+      spark.conf.set(capKnob, "1")
+      reg()
+      assert(gotK == wantK, s"$gotK vs $wantK")
+    } finally {
+      spark.conf.unset(capKnob)
+      WheelAcceleration.clear()
+    }
+  }
+
   test("registerPrebuilt refuses a mixed-retention measure map " +
       "(round 16, ADVICE r15)") {
     // Sibling wheels are read at the head wheel's cover slots — sound

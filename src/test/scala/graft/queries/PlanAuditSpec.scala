@@ -104,6 +104,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters"), p)
   }
 
+  for (k <- Seq("q_wheel_sketch_rollup_distributed_sql",
+      "q_wheel_keyed_sketch_rollup_distributed_sql"))
+    test(s"$k: above-cap GROUPED sketch merge — shipped bytes + executor " +
+        "union per cell, zero FileScan (round 16)") {
+      val p = plan(k)
+      assert(!p.contains("FileScan"), p)
+      assert(p.contains("LocalTableScan"), p)
+      assert(p.contains("graft_theta_distinct_merge"), p)
+    }
+
   test("q_wheel_keyed_sketch_distributed_sql: above-cap keyed sketch " +
       "merge — shipped bytes + executor union, zero FileScan (round 16)") {
     val p = plan("q_wheel_keyed_sketch_distributed_sql")
