@@ -93,16 +93,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("LocalTableScan"), p)
   }
 
-  test("q_wheel_cond_residue_sql: per-aggregate residue hybrid — folded " +
-      "interior + ONE bounded edge scan (round 16)") {
-    val p = plan("q_wheel_cond_residue_sql")
-    assert(p.contains("LocalTableScan"), p)
-    // exactly one scan leg (AQE prints initial+final sections — count
-    // within the final plan), reading only the merged sub-minute slivers
-    val finalSection = p.split("== Initial Plan ==").head
-    assert(finalSection.linesIterator.count(_.contains("FileScan")) == 1, p)
-    assert(p.contains("PushedFilters"), p)
-  }
+  for (k <- Seq("q_wheel_cond_residue_sql", "q_wheel_keyed_cond_residue_sql"))
+    test(s"$k: per-aggregate residue hybrid — folded interior + ONE " +
+        "bounded edge scan (round 16)") {
+      val p = plan(k)
+      assert(p.contains("LocalTableScan"), p)
+      // exactly one scan leg (AQE prints initial+final sections — count
+      // within the final plan), reading only the merged sub-minute slivers
+      val finalSection = p.split("== Initial Plan ==").head
+      assert(finalSection.linesIterator.count(_.contains("FileScan")) == 1, p)
+      assert(p.contains("PushedFilters"), p)
+    }
 
   for (k <- Seq("q_wheel_sketch_rollup_distributed_sql",
       "q_wheel_keyed_sketch_rollup_distributed_sql"))
