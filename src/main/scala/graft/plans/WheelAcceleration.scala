@@ -2357,20 +2357,31 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
         case a: AttributeReference if a.name == reg.keyCol => Some(a)
         case _ => None
       }
-      outer <- findFilter(child) match {
+      // the outer WHERE: a single range, or (round 16) a DISJUNCTION of
+      // bounded ranges — the keyed retention spelling `WHERE w1 OR w2
+      // GROUP BY key` routes through the keyed conditional hybrid,
+      // whose relation takes any merged range set (aligned disjuncts
+      // produce no slivers → pure partials + Aggregate, scan-free)
+      outerRanges <- findFilter(child) match {
         case Some((cond, _)) =>
-          val r = rangeUs(cond, reg.tsCol)
+          val r: Option[Seq[(Long, Long)]] = rangeUs(cond, reg.tsCol)
+            .map { case (lo, hi) =>
+              Seq((lo.getOrElse(reg.any.baseMs * 1000L),
+                hi.getOrElse(reg.any.horizonMs * 1000L)))
+            }
+            .orElse(orRangesUs(cond, reg.tsCol).map(mergeRanges))
+            .filter(_.forall { case (a, b) => a <= b })
           if (r.isEmpty) {
             condBailNote = "keyed conditional fold: the outer WHERE is " +
-              s"not a bare time range on '${reg.tsCol}'"
+              s"not a time range (or OR of ranges) on '${reg.tsCol}'"
             WheelAcceleration.recordBail(path, condBailNote)
           }
           r
-        case None => Some((None, None))
+        case None =>
+          Some(Seq((reg.any.baseMs * 1000L, reg.any.horizonMs * 1000L)))
       }
-      outerA = outer._1.getOrElse(reg.any.baseMs * 1000L)
-      outerB = outer._2.getOrElse(reg.any.horizonMs * 1000L)
-      if outerA <= outerB
+      outerA = outerRanges.head._1
+      outerB = outerRanges.last._2
       result <- {
         foldBailNote = ""
         // sub-minute bounds — on the outer WHERE or any per-aggregate
@@ -2387,16 +2398,21 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
           }
         }
         val anyUnaligned =
-          outerA % MinuteUs != 0 || outerB % MinuteUs != 0 ||
+          outerRanges.exists(o =>
+            o._1 % MinuteUs != 0 || o._2 % MinuteUs != 0) ||
             aggExprs.exists(_.exists {
               case ae: AggregateExpression => unalignedAgg(ae)
               case _ => false
             })
         val folded =
-          if (anyUnaligned)
+          if (anyUnaligned || outerRanges.size > 1)
+            // sub-minute bounds AND/OR a multi-range outer both route
+            // through the hybrid — for aligned disjuncts the sliver set
+            // is empty, so the plan degenerates to pure per-(key,
+            // minute) partials + an executor Aggregate, still scan-free
             foldKeyedConditionalResidue(agg, keyAttr, aggExprs,
               findFilter(child).map(_._2).getOrElse(child), reg,
-              Seq((outerA, outerB)))
+              outerRanges)
           else if (reg.any.keys.size.toLong > maxFoldRows)
             // ABOVE-CAP distributed form (round 15, VERDICT r14 #1):
             // per-aggregate range clipping IS expressible against

@@ -3257,6 +3257,39 @@ class WheelAccelerationSpec extends AnyFunSuite {
         s"WHERE unix_millis(ts) >= $w1a AND unix_millis(ts) < $w1b " +
         "ORDER BY event_type")
     assert(h4)
+    // OR-of-ranges OUTER (round 16): the keyed retention spelling —
+    // per-window aggregates under `WHERE w1 OR w2 GROUP BY key` —
+    // folds scan-free through the keyed conditional hybrid (aligned
+    // disjuncts produce no sliver scan: pure per-(key, minute)
+    // partials + an executor Aggregate)
+    val w3a = Q.Jan1 + 18 * 86400000L; val w3b = Q.Jan1 + 25 * 86400000L
+    val (hOr, rOr) = run(
+      "SELECT event_type, " +
+        s"ROUND(SUM(CASE WHEN unix_millis(ts) < $w1b THEN value END), 2) AS a, " +
+        s"ROUND(SUM(value) FILTER (WHERE unix_millis(ts) >= $w3a), 2) AS b, " +
+        "COUNT(*) AS n FROM events_accel " +
+        s"WHERE (unix_millis(ts) >= $w1a AND unix_millis(ts) < $w1b) " +
+        s"OR (unix_millis(ts) >= $w3a AND unix_millis(ts) < $w3b) " +
+        "GROUP BY event_type ORDER BY event_type")
+    assert(hOr && rOr.nonEmpty)
+    // ... and with sub-minute disjunct edges the same spelling goes
+    // HYBRID (one bounded sliver scan alongside the partials)
+    val sqlOrU = "SELECT event_type, " +
+      s"ROUND(SUM(CASE WHEN unix_millis(ts) < $w1b THEN value END), 2) AS a, " +
+      "COUNT(*) AS n FROM events_accel " +
+      s"WHERE (unix_millis(ts) >= ${w1a + 7123L} AND unix_millis(ts) < $w1b) " +
+      s"OR (unix_millis(ts) >= $w3a AND unix_millis(ts) < ${w3b - 911L}) " +
+      "GROUP BY event_type ORDER BY event_type"
+    val dfOrU = spark.sql(sqlOrU)
+    assert(dfOrU.queryExecution.optimizedPlan.collect {
+      case l: LocalRelation => l }.nonEmpty,
+      dfOrU.queryExecution.optimizedPlan.treeString)
+    assert(dfOrU.queryExecution.executedPlan.toString.contains("FileScan"))
+    val gotOrU = dfOrU.collect().map(_.toString).toSeq
+    WheelAcceleration.clear()
+    val wantOrU = spark.sql(sqlOrU).collect().map(_.toString).toSeq
+    WheelAcceleration.registerKeyed(spark, path, events, "event_type")
+    assert(gotOrU == wantOrU, s"$gotOrU vs $wantOrU")
     // a non-time per-aggregate condition keeps the scan, reason pinned
     val df = spark.sql(
       "SELECT event_type, SUM(CASE WHEN value > 100 THEN value END) AS s " +
