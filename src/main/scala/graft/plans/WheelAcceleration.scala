@@ -2230,7 +2230,11 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
   private def foldConditionalRow(
       aggExprs: Seq[NamedExpression], path: String, tsCol: String,
       wheels: Map[String, WheelIndex], outers: Seq[(Long, Long)],
-      minuteUs: Long): Option[Seq[Any]] = {
+      minuteUs: Long,
+      // grouped callers (round 16): the slot-literal substitution for
+      // grouping spellings in the select list — same contract as
+      // [[foldRow]]'s groupSubst
+      groupSubst: Seq[(Seq[Expression], Literal)] = Nil): Option[Seq[Any]] = {
     val sketch = WheelAcceleration.lookupSketch(path).filter(_.tsCol == tsCol)
     // per-span-set index answers, cached — aggregates often share a
     // range (SUM + COUNT over the same week)
@@ -2316,7 +2320,14 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       }
     }
     val folded = aggExprs.map { ne =>
-      val replaced = ne.transform { case e: AggregateExpression => condLit(e) }
+      val substituted =
+        if (groupSubst.isEmpty) ne
+        else ne.transform {
+          case e if groupSubst.exists(_._1.exists(e.semanticEquals)) =>
+            groupSubst.find(_._1.exists(e.semanticEquals)).get._2
+        }
+      val replaced = substituted.transform {
+        case e: AggregateExpression => condLit(e) }
       if (!supported) return None
       if (replaced.exists(_.isInstanceOf[Attribute])) return None
       replaced.asInstanceOf[Expression].eval(InternalRow.empty)
@@ -4630,6 +4641,17 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
           else {
           val slotRows = Seq.newBuilder[InternalRow]
           var ok = true
+          // per-aggregate conditional windows under a slot grouping
+          // (round 16): `GROUP BY day` + `SUM(CASE WHEN ts ∈ w …)` —
+          // each cell folds through the conditional row with the CELL
+          // as its outer range, so per-aggregate ranges clip per cell
+          // and ELSE-0 NULL-vs-0 resolves from the cell's row count
+          val hasConditional = aggExprs.exists(_.exists {
+            case ae: AggregateExpression =>
+              ae.filter.nonEmpty ||
+                ae.aggregateFunction.children.exists(_.isInstanceOf[CaseWhen])
+            case _ => false
+          })
           val it = grid.starts(a, b)
           while (ok && it.hasNext) {
             val s0 = it.next()
@@ -4639,9 +4661,15 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
             // every wheel in a registration shares one build, so the
             // per-slot row counts agree — any measure decides emptiness
             if (alls.valuesIterator.next().rows > 0L) {
-              foldRow(aggExprs, alls,
-                Seq((Seq(groupKey, gExpr), slotLiteral(grid, s0, s1))),
-                sketch, (math.max(a, s0), math.min(b, s1))) match {
+              val subst = Seq((Seq(groupKey, gExpr), slotLiteral(grid, s0, s1)))
+              val folded =
+                if (hasConditional)
+                  foldConditionalRow(aggExprs, path, tsCol, wheels,
+                    Seq((math.max(a, s0) * 1000L, math.min(b, s1) * 1000L)),
+                    MinuteUs, groupSubst = subst)
+                else foldRow(aggExprs, alls, subst,
+                  sketch, (math.max(a, s0), math.min(b, s1)))
+              folded match {
                 case Some(vals) => slotRows += InternalRow.fromSeq(vals)
                 case None => ok = false
               }
@@ -4711,11 +4739,27 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
             }
             val slotRows = Seq.newBuilder[InternalRow]
             var ok = true
+            // round 16: conditional windows per cell under a
+            // multi-range outer — each cell's outer set is its clipped
+            // sub-ranges (same ELSE-0/clip semantics as the single-
+            // range grouped conditional)
+            val hasConditional = aggExprs.exists(_.exists {
+              case ae: AggregateExpression =>
+                ae.filter.nonEmpty ||
+                  ae.aggregateFunction.children.exists(_.isInstanceOf[CaseWhen])
+              case _ => false
+            })
             cells.toSeq.sortBy(_._1).foreach { case (s0, (alls, spans)) =>
-              if (ok) foldRow(aggExprs, alls,
-                Seq((Seq(groupKey, gExpr),
-                  slotLiteral(grid, s0, grid.end(s0)))),
-                sketch, spans.head, spans.tail) match {
+              val subst = Seq((Seq(groupKey, gExpr),
+                slotLiteral(grid, s0, grid.end(s0))))
+              val folded =
+                if (hasConditional)
+                  foldConditionalRow(aggExprs, path, tsCol, wheels,
+                    spans.map(s => (s._1 * 1000L, s._2 * 1000L)),
+                    MinuteMs * 1000L, groupSubst = subst)
+                else foldRow(aggExprs, alls, subst,
+                  sketch, spans.head, spans.tail)
+              if (ok) folded match {
                 case Some(vals) => slotRows += InternalRow.fromSeq(vals)
                 case None => ok = false
               }

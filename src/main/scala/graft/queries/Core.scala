@@ -1286,6 +1286,54 @@ object Core {
            |""".stripMargin)
     }),
 
+    // GROUPED conditional windows (round 16): `GROUP BY day` with
+    // per-aggregate time windows — "daily series, plus the same metric
+    // restricted to a sub-window" — folds per cell through the
+    // conditional row: each aggregate's range clips against the CELL,
+    // ELSE-0 NULL-vs-0 resolves from the cell's own row count. The
+    // window deliberately straddles day boundaries (36h–60h into the
+    // range) so per-cell clipping is load-bearing. Exact SQL oracle.
+    "q_wheel_rollup_cond_sql" -> ((s, dir) => {
+      graft.plans.WheelAcceleration.register(
+        s, s"$dir/events.parquet", t(s, dir, "events"))
+      t(s, dir, "events").createOrReplaceTempView("events_wheel")
+      val (wa, wb) = (R1Start + 36 * Hour, R1Start + 60 * Hour)
+      s.sql(
+        s"""SELECT (unix_millis(ts) div ${24 * Hour}) * ${24 * Hour} AS slot_ms,
+           |ROUND(SUM(CASE WHEN unix_millis(ts) >= $wa AND unix_millis(ts) < $wb
+           |  THEN value END), 2) AS w_sum,
+           |ROUND(SUM(CASE WHEN unix_millis(ts) < $wa THEN value ELSE 0 END), 2) AS pre0,
+           |COUNT(*) FILTER (WHERE unix_millis(ts) >= $wa) AS n_after,
+           |ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n
+           |FROM events_wheel
+           |WHERE unix_millis(ts) >= $R1Start AND unix_millis(ts) < $R1End
+           |GROUP BY 1 ORDER BY 1
+           |""".stripMargin)
+    }),
+
+    // KEYED OR-outer pivot (round 16): the retention cohort spelling —
+    // per-window aggregates under `WHERE w1 OR w2 GROUP BY key` —
+    // previously bailed ("not a bare time range"); it now routes
+    // through the keyed conditional hybrid, and with ALIGNED disjuncts
+    // the sliver set is empty: pure per-(key, minute) partials + one
+    // executor Aggregate, scan-free (plan-audited). Exact SQL oracle.
+    "q_wheel_pivot_or_sql" -> ((s, dir) => {
+      graft.plans.WheelAcceleration.registerKeyed(
+        s, s"$dir/events.parquet", t(s, dir, "events"), "event_type")
+      t(s, dir, "events").createOrReplaceTempView("events_wheel")
+      val (w2a, w2b) = (Jan1 + 18 * Day, Jan1 + 25 * Day)
+      s.sql(
+        s"""SELECT event_type,
+           |ROUND(SUM(CASE WHEN unix_millis(ts) < $R1End THEN value END), 2) AS w1_sum,
+           |ROUND(SUM(value) FILTER (WHERE unix_millis(ts) >= $w2a), 2) AS w2_sum,
+           |COUNT(*) AS n
+           |FROM events_wheel
+           |WHERE (unix_millis(ts) >= $R1Start AND unix_millis(ts) < $R1End)
+           |OR (unix_millis(ts) >= $w2a AND unix_millis(ts) < $w2b)
+           |GROUP BY event_type ORDER BY event_type
+           |""".stripMargin)
+    }),
+
     // KEYED per-aggregate residue hybrid (round 16 — the keyed mirror
     // of q_wheel_cond_residue_sql, closing VERDICT r15 missing #2 for
     // both fold regimes): the cohort pivot with sub-minute bounds on
@@ -1779,6 +1827,24 @@ object Core {
         "COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n FROM events " +
         s"WHERE epoch_ms(ts) >= $R1Start AND epoch_ms(ts) < $R1End " +
         "GROUP BY 1, 2 ORDER BY 1, 2"),
+    "q_wheel_rollup_cond_sql" ->
+      (s"SELECT (epoch_ms(ts) // ${24 * Hour}) * ${24 * Hour} AS slot_ms, " +
+        s"ROUND(SUM(CASE WHEN epoch_ms(ts) >= ${R1Start + 36 * Hour} " +
+        s"AND epoch_ms(ts) < ${R1Start + 60 * Hour} THEN value END), 2) AS w_sum, " +
+        s"ROUND(SUM(CASE WHEN epoch_ms(ts) < ${R1Start + 36 * Hour} " +
+        "THEN value ELSE 0 END), 2) AS pre0, " +
+        s"COUNT(*) FILTER (WHERE epoch_ms(ts) >= ${R1Start + 36 * Hour}) AS n_after, " +
+        "ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n FROM events " +
+        s"WHERE epoch_ms(ts) >= $R1Start AND epoch_ms(ts) < $R1End " +
+        "GROUP BY 1 ORDER BY 1"),
+    "q_wheel_pivot_or_sql" ->
+      ("SELECT event_type, " +
+        s"ROUND(SUM(CASE WHEN epoch_ms(ts) < $R1End THEN value END), 2) AS w1_sum, " +
+        s"ROUND(SUM(value) FILTER (WHERE epoch_ms(ts) >= ${Jan1 + 18 * Day}), 2) AS w2_sum, " +
+        "COUNT(*) AS n FROM events " +
+        s"WHERE (epoch_ms(ts) >= $R1Start AND epoch_ms(ts) < $R1End) " +
+        s"OR (epoch_ms(ts) >= ${Jan1 + 18 * Day} AND epoch_ms(ts) < ${Jan1 + 25 * Day}) " +
+        "GROUP BY event_type ORDER BY event_type"),
     "q_wheel_keyed_cond_residue_sql" ->
       ("SELECT event_type, " +
         s"ROUND(SUM(CASE WHEN epoch_ms(ts) >= ${R1Start + 7123L} " +

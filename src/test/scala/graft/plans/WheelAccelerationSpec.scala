@@ -3765,6 +3765,63 @@ class WheelAccelerationSpec extends AnyFunSuite {
     }
   }
 
+  test("GROUPED conditional windows fold per cell (round 16): clipping, " +
+      "ELSE-0 per cell, OR outers, scan parity") {
+    WheelAcceleration.clear()
+    register()
+    events.createOrReplaceTempView("events_accel")
+    val (w1a, w1b) = (Q.R1Start, Q.R1Start + 7 * 86400000L)
+    val (wa, wb) = (w1a + 36 * 3600000L, w1a + 60 * 3600000L)
+    def run(sql: String, expectFold: Boolean): Seq[String] = {
+      val df = spark.sql(sql)
+      val hit = df.queryExecution.optimizedPlan.collect {
+        case l: LocalRelation => l }.nonEmpty
+      assert(hit == expectFold,
+        s"fold=$hit (want $expectFold): $sql\n" +
+          df.queryExecution.optimizedPlan.treeString)
+      val got = df.collect().map(_.toString).toSeq
+      WheelAcceleration.clear()
+      val want = spark.sql(sql).collect().map(_.toString).toSeq
+      register()
+      assert(got == want, s"$sql\n$got vs $want")
+      got
+    }
+    // per-day series with a boundary-straddling window + ELSE 0 +
+    // FILTER count: per-cell clipping is load-bearing
+    val r1 = run("SELECT (unix_millis(ts) div 86400000) * 86400000 AS d, " +
+      s"ROUND(SUM(CASE WHEN unix_millis(ts) >= $wa AND " +
+      s"unix_millis(ts) < $wb THEN value END), 2) AS w_sum, " +
+      s"ROUND(SUM(CASE WHEN unix_millis(ts) < $wa THEN value ELSE 0 END), 2) AS pre0, " +
+      s"COUNT(*) FILTER (WHERE unix_millis(ts) >= $wa) AS n_after, " +
+      "COUNT(*) AS n FROM events_accel " +
+      s"WHERE unix_millis(ts) >= $w1a AND unix_millis(ts) < $w1b " +
+      "GROUP BY 1 ORDER BY 1", expectFold = true)
+    assert(r1.nonEmpty)
+    // OR-of-ranges outer: each cell's outer set is its clipped
+    // sub-ranges — still per-cell conditional folding
+    val w3a = Q.Jan1 + 18 * 86400000L; val w3b = Q.Jan1 + 25 * 86400000L
+    run("SELECT (unix_millis(ts) div 86400000) * 86400000 AS d, " +
+      s"ROUND(SUM(value) FILTER (WHERE unix_millis(ts) >= $wa), 2) AS s_after, " +
+      "COUNT(*) AS n FROM events_accel " +
+      s"WHERE (unix_millis(ts) >= $w1a AND unix_millis(ts) < $w1b) " +
+      s"OR (unix_millis(ts) >= $w3a AND unix_millis(ts) < $w3b) " +
+      "GROUP BY 1 ORDER BY 1", expectFold = true)
+    // sub-minute per-aggregate edge under a slot grouping: pinned scan
+    // (reason read BEFORE run()'s registry clear would wipe it)
+    val subMin = spark.sql(
+      "SELECT (unix_millis(ts) div 86400000) * 86400000 AS d, " +
+        s"ROUND(SUM(value) FILTER (WHERE unix_millis(ts) >= ${wa + 7000L}), 2) AS s " +
+        "FROM events_accel " +
+        s"WHERE unix_millis(ts) >= $w1a AND unix_millis(ts) < $w1b " +
+        "GROUP BY 1 ORDER BY 1")
+    assert(subMin.queryExecution.optimizedPlan.collect {
+      case l: LocalRelation => l }.isEmpty,
+      subMin.queryExecution.optimizedPlan.treeString)
+    assert(WheelAcceleration.lastBailReason(path).getOrElse("")
+      .contains("minute-aligned"), WheelAcceleration.lastBailReason(path))
+    WheelAcceleration.clear()
+  }
+
   test("registerPrebuilt refuses a mixed-retention measure map " +
       "(round 16, ADVICE r15)") {
     // Sibling wheels are read at the head wheel's cover slots — sound

@@ -93,6 +93,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("LocalTableScan"), p)
   }
 
+  test("q_wheel_rollup_cond_sql: grouped conditional windows fold to a " +
+      "LocalTableScan, zero FileScan (round 16)") {
+    val p = plan("q_wheel_rollup_cond_sql")
+    assert(!p.contains("FileScan"), p)
+    assert(p.contains("LocalTableScan"), p)
+  }
+
+  test("q_wheel_pivot_or_sql: keyed OR-outer pivot — pure partials + " +
+      "executor Aggregate, zero FileScan (round 16)") {
+    val p = plan("q_wheel_pivot_or_sql")
+    assert(!p.contains("FileScan"), p)
+    assert(p.contains("LocalTableScan"), p)
+  }
+
   for (k <- Seq("q_wheel_cond_residue_sql", "q_wheel_keyed_cond_residue_sql"))
     test(s"$k: per-aggregate residue hybrid — folded interior + ONE " +
         "bounded edge scan (round 16)") {
