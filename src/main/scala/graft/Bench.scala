@@ -200,6 +200,30 @@ object Bench {
     val probeJson = probes.map(p => f"$p%.3f").mkString(
       s"""{"runs":[""", ",",
       f"""],"min_sec":$probeMin%.3f,"series_pass_pos_sec":$probeSeriesJson}""")
+    // NOISE BAND (round 17, VERDICT r16 #4): the probe runs IDENTICAL
+    // work every sample, so its within-run p90/p50 ratio IS this host's
+    // noise multiplier for this run — two rounds of verdicts re-derived
+    // exactly this by hand from the raw series. A per-query
+    // round-over-round ratio inside ~band² (both rounds' windows can
+    // land on opposite extremes) is host noise, not code. `beyond_band`
+    // lists queries whose own 3-pass spread exceeds 1.5× the band —
+    // i.e. variance the probe can't explain (data-dependent plans,
+    // first-touch caches); treat their min-based deltas with care.
+    def pctOf(xs: Seq[Double], p: Double): Double = {
+      val s = xs.sorted; s(math.min(s.size - 1, (p * s.size).toInt))
+    }
+    val probeP50 = pctOf(probes, 0.50)
+    val probeP90 = pctOf(probes, 0.90)
+    val band = probeP90 / math.max(probeP50, 1e-9)
+    val beyond = names
+      .map(n => n -> (perPass(n).max / math.max(perPass(n).min, 1e-9)))
+      .filter(_._2 > band * 1.5).sortBy(-_._2)
+    val beyondJson = beyond
+      .map { case (k, r) => f""""$k":$r%.2f""" }.mkString("{", ",", "}")
+    val noiseBandJson =
+      f"""{"probe_p50_sec":$probeP50%.3f,"probe_p90_sec":$probeP90%.3f,""" +
+        f""""p90_over_p50":$band%.3f,"flag_factor":${band * 1.5}%.3f,""" +
+        s""""beyond_band_spread":$beyondJson}"""
     val total = results.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // n_queries rides along so cross-round totals can be normalized —
@@ -211,6 +235,7 @@ object Bench {
       s""""queries_prepare":$qsPrep,"queries_exec":$qsExec,""" +
       f""""exec_total_sec":$execTotal%.3f,""" +
       s""""queries_probe_normalized":$qsNorm,"probe":$probeJson,""" +
+      s""""noise_band":$noiseBandJson,""" +
       s""""n_queries":${results.size},"mean_query_sec":$meanSec,""" +
       f""""stabilization_total_sec":$stabilizationSec%.3f,"failed":$failedJson,""" +
       s""""wheel_vs_scan":$wheelScanFull,"sf":"$sfDir"}"""
@@ -233,7 +258,8 @@ object Bench {
       val topQs = slowestFirst.take(n)
         .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$topQs,""" +
-        f""""probe_sec":$probeMin%.3f,"exec_total_sec":$execTotal%.3f,""" +
+        f""""probe_sec":$probeMin%.3f,"noise_p90_over_p50":$band%.3f,""" +
+        f""""exec_total_sec":$execTotal%.3f,""" +
         f""""n_queries":${results.size},"queries_shown":${math.min(n, results.size)},""" +
         f""""mean_query_sec":$meanSec%.4f,"stabilization_total_sec":$stabilizationSec%.3f,""" +
         s""""failed":$failedJson,"wheel_vs_scan":$wheelScanCompact,""" +

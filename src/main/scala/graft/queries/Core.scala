@@ -1103,6 +1103,31 @@ object Core {
           |""".stripMargin)
     }),
 
+    // COMPOSITE-keyed RESIDUE hybrid (round 17, VERDICT r16 #2 — was
+    // the pinned "no composite residue path"): the same TPC-H Q1
+    // dimension pair × month rollup, now with SUB-MINUTE range edges.
+    // Interior (tuple-key, cell) partials with each key component as
+    // its own relation column ∪ ONE bounded edge scan carrying the raw
+    // key columns; the merge Aggregate groups per (k1, k2, cell).
+    // Bit-honest → plain-SQL oracle.
+    "q_wheel_keyed2_residue_sql" -> ((s, dir) => {
+      graft.plans.WheelAcceleration.registerKeyedComposite(
+        s, s"$dir/lineitem.parquet", t(s, dir, "lineitem"),
+        Seq("l_returnflag", "l_linestatus"), "l_shipdate",
+        Seq("l_quantity", "l_tax"))
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_wheel")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |unix_millis(CAST(date_trunc('month', l_shipdate) AS TIMESTAMP)) AS month_ms,
+          |ROUND(SUM(l_quantity), 2) AS sum_qty, ROUND(MAX(l_tax), 4) AS max_tax,
+          |COUNT(*) AS n
+          |FROM lineitem_wheel
+          |WHERE l_shipdate >= TIMESTAMP_NTZ '1994-02-15 00:00:07.123'
+          |AND l_shipdate < TIMESTAMP_NTZ '1996-05-09 23:59:02'
+          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+          |""".stripMargin)
+    }),
+
     // GROUPED OR-ranges fold (round 13): the week-vs-week COMPARISON as
     // a day series — one statement, two disjoint ranges, per-day rows
     // from per-cell index queries combined across ranges. Zero FileScan;
@@ -1309,6 +1334,38 @@ object Core {
            |WHERE unix_millis(ts) >= $R1Start AND unix_millis(ts) < $R1End
            |GROUP BY 1 ORDER BY 1
            |""".stripMargin)
+    }),
+
+    // GROUPED conditional residue hybrid (round 17, VERDICT r16 #1 —
+    // the last pinned conditional regime): the retention dashboard
+    // (`GROUP BY day` + per-window aggregates) PAST the cell ceiling
+    // (maxFoldRows=1 forces the distributed regime) AND with
+    // sub-minute per-aggregate edges. Per-minute slot-tagged partials
+    // pre-keyed to their day cells ∪ ONE bounded sliver scan whose
+    // rows re-derive their cell from the raw ts; a real executor-side
+    // Aggregate groups per cell, so the same plan serves a
+    // year-of-days at 100 TB. Bit-honest → plain-SQL oracle.
+    "q_wheel_rollup_cond_residue_sql" -> ((s, dir) => {
+      graft.plans.WheelAcceleration.register(
+        s, s"$dir/events.parquet", t(s, dir, "events"))
+      t(s, dir, "events").createOrReplaceTempView("events_wheel")
+      val (wa, wb) = (R1Start + 36 * Hour, R1Start + 60 * Hour)
+      s.conf.set("spark.graft.wheel.rewrite.maxFoldRows", "1")
+      try {
+        val df = s.sql(
+          s"""SELECT (unix_millis(ts) div ${24 * Hour}) * ${24 * Hour} AS slot_ms,
+             |ROUND(SUM(CASE WHEN unix_millis(ts) >= ${wa + 7123L}
+             |  AND unix_millis(ts) < ${wb - 911L} THEN value END), 2) AS w_sum,
+             |ROUND(SUM(CASE WHEN unix_millis(ts) < $wa THEN value ELSE 0 END), 2) AS pre0,
+             |COUNT(*) FILTER (WHERE unix_millis(ts) >= ${wa + 7123L}) AS n_after,
+             |ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n
+             |FROM events_wheel
+             |WHERE unix_millis(ts) >= $R1Start AND unix_millis(ts) < $R1End
+             |GROUP BY 1 ORDER BY 1
+             |""".stripMargin)
+        df.queryExecution.optimizedPlan
+        df
+      } finally s.conf.unset("spark.graft.wheel.rewrite.maxFoldRows")
     }),
 
     // KEYED OR-outer pivot (round 16): the retention cohort spelling —
@@ -1672,6 +1729,14 @@ object Core {
         "COUNT(*) AS n FROM lineitem " +
         s"WHERE epoch_ms(l_shipdate) >= $LiUStart AND epoch_ms(l_shipdate) < $LiUEnd " +
         "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
+    "q_wheel_keyed2_residue_sql" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "epoch_ms(date_trunc('month', l_shipdate)) AS month_ms, " +
+        "ROUND(SUM(l_quantity), 2) AS sum_qty, ROUND(MAX(l_tax), 4) AS max_tax, " +
+        "COUNT(*) AS n FROM lineitem " +
+        "WHERE l_shipdate >= TIMESTAMP '1994-02-15 00:00:07.123' " +
+        "AND l_shipdate < TIMESTAMP '1996-05-09 23:59:02' " +
+        "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
     "q_wheel_quarter_sql" ->
       ("SELECT epoch_ms(date_trunc('quarter', l_shipdate)) AS quarter_ms, " +
         "ROUND(SUM(l_tax), 2) AS sum_tax, ROUND(MAX(l_quantity), 2) AS max_qty, " +
@@ -1834,6 +1899,16 @@ object Core {
         s"ROUND(SUM(CASE WHEN epoch_ms(ts) < ${R1Start + 36 * Hour} " +
         "THEN value ELSE 0 END), 2) AS pre0, " +
         s"COUNT(*) FILTER (WHERE epoch_ms(ts) >= ${R1Start + 36 * Hour}) AS n_after, " +
+        "ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n FROM events " +
+        s"WHERE epoch_ms(ts) >= $R1Start AND epoch_ms(ts) < $R1End " +
+        "GROUP BY 1 ORDER BY 1"),
+    "q_wheel_rollup_cond_residue_sql" ->
+      (s"SELECT (epoch_ms(ts) // ${24 * Hour}) * ${24 * Hour} AS slot_ms, " +
+        s"ROUND(SUM(CASE WHEN epoch_ms(ts) >= ${R1Start + 36 * Hour + 7123L} " +
+        s"AND epoch_ms(ts) < ${R1Start + 60 * Hour - 911L} THEN value END), 2) AS w_sum, " +
+        s"ROUND(SUM(CASE WHEN epoch_ms(ts) < ${R1Start + 36 * Hour} " +
+        "THEN value ELSE 0 END), 2) AS pre0, " +
+        s"COUNT(*) FILTER (WHERE epoch_ms(ts) >= ${R1Start + 36 * Hour + 7123L}) AS n_after, " +
         "ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n FROM events " +
         s"WHERE epoch_ms(ts) >= $R1Start AND epoch_ms(ts) < $R1End " +
         "GROUP BY 1 ORDER BY 1"),

@@ -259,11 +259,28 @@ final class KeyedWheelScan(table: KeyedWheelTable, required: StructType,
 
   /** Real |keys|-x-minutes-bounded stats (round 15) so joins against
     * the keyed table broadcast; one walk of the driver-resident
-    * entries, the same work planInputPartitions pays. */
+    * entries, the same work planInputPartitions pays. Round 17
+    * (VERDICT r16 #7): COLUMN stats too — the KEY column's exact NDV
+    * is what lets CBO cost a multi-way join on the dimension key. */
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
-    WheelStats.of(table.any.minuteEntries(lo, hi)
-      .count { case (k, _, a) => a.rows > 0L && keep(k) }.toLong,
-      readSchema())
+    cachedStats
+
+  private lazy val cachedStats: org.apache.spark.sql.connector.read.Statistics =
+    WheelStats.detailed(required, () =>
+      table.any.minuteEntries(lo, hi)
+        .filter { case (k, _, a) => a.rows > 0L && keep(k) }
+        .map { case (key, slotMs, headAgg) =>
+          lazy val aggs: Map[String, AllAggregate] = table.measures.map { c =>
+            c -> (if (c == table.measures.head) headAgg
+                  else table.wheelFor(c).minuteAt(key, slotMs))
+          }.toMap
+          (f: String) => f match {
+            case f if f == table.keyCol => SlotFields.toInternal(key)
+            case "slot_ms" => slotMs
+            case "rows" => headAgg.rows
+            case f => SlotFields.measureValue(f, aggs)
+          }
+        })
 
   /** Streaming read (round 14): (key, slot) DELTAS from the live keyed
     * registration — see [[WheelStreamBase]]. Only source-mode tables

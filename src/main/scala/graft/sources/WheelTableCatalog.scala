@@ -186,11 +186,21 @@ final class WheelTableCatalog extends TableCatalog with SupportsNamespaces
     // swept on commit (replace) — never before the new build succeeds.
     val finalPath = new Path(finalDir)
     if (!exists && fs.exists(finalPath)) fs.delete(finalPath, true)
-    // stale staging dirs for this name (crashed sessions)
+    // stale staging dirs for this name (crashed sessions) — AGE-GUARDED
+    // (round 17, ADVICE r16): a CONCURRENT session's in-flight CTAS for
+    // the same name must not be swept mid-write, so only dirs whose
+    // top-level mtime is older than [[WheelTableCatalog.StaleStagingMs]]
+    // are presumed dead. Crashed-REPLACE tombstones (.old_<name>_*,
+    // see commitStagedChanges) sweep on the same clock.
     val prefix = s".stage_${ident.name()}_"
+    val oldPrefix = s".old_${ident.name()}_"
     val rootPath = new Path(root)
+    val now = System.currentTimeMillis()
     if (fs.exists(rootPath)) fs.listStatus(rootPath)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .filter(s => s.isDirectory &&
+        (s.getPath.getName.startsWith(prefix) ||
+          s.getPath.getName.startsWith(oldPrefix)) &&
+        now - s.getModificationTime > WheelTableCatalog.StaleStagingMs)
       .foreach(s => fs.delete(s.getPath, true))
     val stagingDir = s"${root.stripSuffix("/")}/$prefix" +
       java.util.UUID.randomUUID().toString.take(8)
@@ -255,6 +265,15 @@ final class WheelTableCatalog extends TableCatalog with SupportsNamespaces
       "wheel catalog: namespaces are not supported (flat warehouse)")
 }
 
+object WheelTableCatalog {
+  /** Staleness horizon for sweeping crashed sessions' staging dirs and
+    * REPLACE tombstones: top-level mtime older than this is presumed
+    * dead. Generous on purpose — sweeping a CONCURRENT session's
+    * in-flight CTAS mid-write corrupts its commit (ADVICE r16), while
+    * a stale dir costs only warehouse bytes until the next sweep. */
+  private[sources] val StaleStagingMs: Long = 60L * 60 * 1000
+}
+
 /** The staged side of the catalog's atomic CTAS (round 16, ADVICE
   * r15): delegates the write to a [[WheelWriteTable]] aimed at the
   * staging dir; commit verifies the staged dir actually holds a
@@ -281,13 +300,31 @@ private final class WheelStagedTable(inner: WheelWriteTable,
       s"wheel catalog: staged CTAS for '${ident.name()}' committed " +
         "without a persisted index (the write did not run?)")
     val to = new Path(finalDir)
-    if (replace && fs.exists(to)) fs.delete(to, true)
+    // REPLACE swap is tombstone-then-rename (round 17, ADVICE r16): the
+    // old index is RENAMED aside (atomic), never deleted before the new
+    // dir is in place — a crash between the two renames leaves the old
+    // table recoverable in its dot-tombstone (unlisted, swept age-
+    // guarded by the next stage() for this name), and a failed swap
+    // restores it so the name never goes dark.
+    var tombstone: Option[Path] = None
+    if (replace && fs.exists(to)) {
+      val tomb = new Path(to.getParent,
+        s".old_${ident.name()}_" +
+          java.util.UUID.randomUUID().toString.take(8))
+      if (!fs.rename(to, tomb))
+        throw new IllegalStateException(
+          s"wheel catalog: could not move the old index aside for " +
+            s"REPLACE of '${ident.name()}'")
+      tombstone = Some(tomb)
+    }
     if (!fs.rename(new Path(stagingDir), to)) {
+      tombstone.foreach(t => fs.rename(t, to)) // restore the old table
       fs.delete(new Path(stagingDir), true)
       throw new IllegalStateException(
         s"wheel catalog: commit rename $stagingDir -> $finalDir failed " +
           "(concurrent create?)")
     }
+    tombstone.foreach(t => fs.delete(t, true))
   }
 
   override def abortStagedChanges(): Unit = {

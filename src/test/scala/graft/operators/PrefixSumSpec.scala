@@ -32,6 +32,42 @@ class PrefixSumSpec extends AnyFunSuite {
     assert(got == naive(df))
   }
 
+  test("exact with exchange reuse DISABLED (round 17, ADVICE r16): pid " +
+      "is a deterministic id function, not a sampled range partitioning") {
+    val rows = (0 until 3000).map(i => ((i * 48271L) % 65537L, (i % 13).toLong + 1L))
+      .distinctBy(_._1)
+    val df = spark.createDataset(rows).toDF("id", "v").repartition(7)
+    val want = naive(df)
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try {
+      val got = PrefixSum.runningSum(df, "id", "v", "run")
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("run")).toMap
+      assert(got == want)
+    } finally spark.conf.set("spark.sql.exchange.reuse", "true")
+  }
+
+  test("NULL token counts count as 0; the running sum is never NULL " +
+      "(round 17, ADVICE r16)") {
+    val df = Seq((1L, Some(5L)), (2L, None), (3L, Some(2L)), (4L, None))
+      .toDF("id", "v")
+    val got = PrefixSum.runningSum(df, "id", "v", "run")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("run")).toMap
+    assert(got == Map(1L -> 5L, 2L -> 5L, 3L -> 7L, 4L -> 7L))
+    // leading NULLs too — the all-NULL prefix is 0, not NULL
+    val lead = Seq((1L, Option.empty[Long]), (2L, Some(3L)))
+      .toDF("id", "v")
+    val gl = PrefixSum.runningSum(lead, "id", "v", "run")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("run")).toMap
+    assert(gl == Map(1L -> 0L, 2L -> 3L))
+  }
+
+  test("non-numeric id refuses up front") {
+    val df = Seq(("a", 1L)).toDF("id", "v")
+    intercept[IllegalArgumentException] {
+      PrefixSum.runningSum(df, "id", "v", "run")
+    }
+  }
+
   test("single row and fewer rows than shuffle partitions") {
     val one = Seq((42L, 7L)).toDF("id", "v")
     val g1 = PrefixSum.runningSum(one, "id", "v", "run").collect()

@@ -67,8 +67,9 @@ class FoldSweepSpec extends AnyFunSuite {
       // scalar expression over two folded aggregates
       "SUM(value) / COUNT(*) AS a1",
       // CONDITIONAL mixes (round 14): per-aggregate ranges — fold
-      // ungrouped and under the bare-key grouping, refuse (scan,
-      // equivalence still checked) under slot groupings
+      // ungrouped, under the bare-key grouping, and (round 17) under
+      // slot groupings in every regime: per-cell below the cap, the
+      // grouped conditional hybrid above it and for sub-minute edges
       s"SUM(CASE WHEN unix_millis(ts) < ${Q.R1Start + 3 * 86400000L} " +
         "THEN value END) AS a1, COUNT(*) AS a2",
       s"SUM(value) FILTER (WHERE unix_millis(ts) >= ${Q.R1Start + 3 * 86400000L}) AS a1, " +

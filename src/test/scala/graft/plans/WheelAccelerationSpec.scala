@@ -3024,6 +3024,61 @@ class WheelAccelerationSpec extends AnyFunSuite {
     WheelAcceleration.clear()
   }
 
+  test("keyed conditional residue keeps sliver-only groups (round 17, ADVICE r16)") {
+    // A key whose ONLY rows inside the outer WHERE fall in the outer's
+    // sub-minute slivers, queried with EVERY aggregate carrying a
+    // narrower (minute-aligned) range condition: vanilla SQL emits
+    // (key, NULL, NULL); before the round-17 fix the fold dropped the
+    // group entirely (outer slivers were registered in the edge window
+    // set only via unconditioned aggregates or the ELSE-0 path).
+    import spark.implicits._
+    val src = new java.io.File("target/test-fixtures/accel/sliveronly.parquet")
+      .getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(src))
+    val T0 = Q.Jan1
+    val dense = (0 until 600).flatMap { i =>
+      Seq((new java.sql.Timestamp(T0 + i * 60000L + 15000L), 1.0 + i, "a"),
+        (new java.sql.Timestamp(T0 + i * 60000L + 45000L), 2.0 + i, "b"))
+    }
+    // "rare" lives only in [T0+20s, T0+50s) — inside the outer's leading
+    // sliver [T0+10s, T0+60s), in no interior minute of the outer range
+    val rare = Seq(
+      (new java.sql.Timestamp(T0 + 20000L), 500.0, "rare"),
+      (new java.sql.Timestamp(T0 + 40000L), 600.0, "rare"),
+      // and outside the outer range entirely (before its start)
+      (new java.sql.Timestamp(T0 + 5000L), 999.0, "rare"))
+    (dense ++ rare).toDF("ts", "value", "k").repartition(2)
+      .write.mode("overwrite").parquet(src)
+    def reg(): Unit =
+      WheelAcceleration.registerKeyed(spark, src, spark.read.parquet(src), "k")
+    WheelAcceleration.clear()
+    reg()
+    spark.read.parquet(src).createOrReplaceTempView("sliver_events")
+    val outerA = T0 + 10000L            // sub-minute outer start
+    val outerB = T0 + 600 * 60000L      // minute-aligned outer end
+    val narrowA = T0 + 10 * 60000L      // minute-aligned, EXCLUDES the sliver
+    val sql = "SELECT k, " +
+      s"ROUND(SUM(value) FILTER (WHERE unix_millis(ts) >= $narrowA), 2) AS s, " +
+      s"COUNT(*) FILTER (WHERE unix_millis(ts) >= $narrowA) AS n " +
+      "FROM sliver_events " +
+      s"WHERE unix_millis(ts) >= $outerA AND unix_millis(ts) < $outerB " +
+      "GROUP BY k ORDER BY k"
+    val df = spark.sql(sql)
+    assert(df.queryExecution.optimizedPlan.collect {
+      case l: LocalRelation => l
+    }.nonEmpty, df.queryExecution.optimizedPlan.treeString)
+    val got = df.collect().map(_.toString).toSeq
+    WheelAcceleration.clear()
+    val want = spark.sql(sql).collect().map(_.toString).toSeq
+    assert(want.exists(_.startsWith("[rare,")),
+      s"fixture must produce a sliver-only group: $want")
+    assert(got == want, s"$got vs $want")
+    // COUNT(*) FILTER over the excluded sliver is NULL-free: vanilla
+    // gives 0 for the rare group — the fold must agree exactly (it does:
+    // the edge rows establish the group, the FILTER zeroes the count)
+    WheelAcceleration.clear()
+  }
+
   test("composite-keyed fold: GROUP BY k1, k2, month folds and matches the scan (round 13)") {
     WheelAcceleration.clear()
     val liPath = s"$dir/lineitem.parquet"
@@ -3098,6 +3153,71 @@ class WheelAccelerationSpec extends AnyFunSuite {
       spark.conf.unset("spark.graft.wheel.rewrite.maxFoldRows")
       WheelAcceleration.clear()
     }
+  }
+
+  test("composite-keyed RESIDUE: sub-minute edges fold hybrid, below and " +
+      "above the ceiling (round 17, VERDICT r16 #2)") {
+    import spark.implicits._
+    val src = new java.io.File("target/test-fixtures/accel/ck_residue.parquet")
+      .getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(src))
+    val T0 = Q.Jan1
+    // rows at :15 and :45 of every minute over 8 hours, 2×2 tuple keys —
+    // so a sub-minute outer bound makes the sliver scan LOAD-BEARING
+    // (rows genuinely live inside the slivers)
+    (0 until 480).flatMap { i =>
+      Seq((new java.sql.Timestamp(T0 + i * 60000L + 15000L), 1.0 + i,
+        if (i % 2 == 0) "a" else "b", if (i % 3 == 0) "x" else "y"),
+        (new java.sql.Timestamp(T0 + i * 60000L + 45000L), 2.0 + i,
+          if (i % 2 == 0) "a" else "b", if (i % 3 == 0) "x" else "y"))
+    }.toDF("ts", "value", "k1", "k2").repartition(2)
+      .write.mode("overwrite").parquet(src)
+    def reg(): Unit = WheelAcceleration.registerKeyedComposite(
+      spark, src, spark.read.parquet(src), Seq("k1", "k2"))
+    WheelAcceleration.clear()
+    reg()
+    spark.read.parquet(src).createOrReplaceTempView("ck_residue")
+    // outer bounds INSIDE minutes: [T0+30s, T0+8h−30s) — the leading
+    // sliver keeps only the :45 row, the trailing only the :15 row
+    val (oA, oB) = (T0 + 30000L, T0 + 8 * 3600000L - 30000L)
+    val sql = "SELECT k1, k2, (unix_millis(ts) div 3600000) * 3600000 AS h, " +
+      "ROUND(SUM(value), 2) AS s, ROUND(AVG(value), 4) AS av, COUNT(*) AS n " +
+      "FROM ck_residue " +
+      s"WHERE unix_millis(ts) >= $oA AND unix_millis(ts) < $oB " +
+      "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
+    def check(): Seq[String] = {
+      val df = spark.sql(sql)
+      assert(df.queryExecution.optimizedPlan.collect {
+        case l: LocalRelation => l
+      }.nonEmpty, df.queryExecution.optimizedPlan.treeString)
+      // hybrid: the bounded sliver scan is present with pushed bounds
+      assert(df.queryExecution.executedPlan.toString.contains("FileScan"))
+      val got = df.collect().map(_.toString).toSeq
+      WheelAcceleration.clear()
+      val want = spark.sql(sql).collect().map(_.toString).toSeq
+      reg()
+      assert(got == want, s"got=$got\nwant=$want")
+      got
+    }
+    assert(check().nonEmpty)
+    // past the plan-time ceiling the interior ships (tuple-key, minute)
+    // states — same values
+    spark.conf.set("spark.graft.wheel.rewrite.maxFoldRows", "2")
+    try assert(check().nonEmpty)
+    finally spark.conf.unset("spark.graft.wheel.rewrite.maxFoldRows")
+    // second moments ride the residue behind the conditioning gate
+    val sdSql = "SELECT k1, k2, (unix_millis(ts) div 3600000) * 3600000 AS h, " +
+      "ROUND(STDDEV_POP(value), 2) AS sd, COUNT(*) AS n FROM ck_residue " +
+      s"WHERE unix_millis(ts) >= $oA AND unix_millis(ts) < $oB " +
+      "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
+    val sdDf = spark.sql(sdSql)
+    assert(sdDf.queryExecution.optimizedPlan.collect {
+      case l: LocalRelation => l }.nonEmpty)
+    val sdGot = sdDf.collect().map(_.toString).toSeq
+    WheelAcceleration.clear()
+    val sdWant = spark.sql(sdSql).collect().map(_.toString).toSeq
+    assert(sdGot == sdWant, s"$sdGot vs $sdWant")
+    WheelAcceleration.clear()
   }
 
   test("conditional aggregates fold: FILTER clauses and CASE WHEN, each over its own range (round 14)") {
@@ -3806,19 +3926,121 @@ class WheelAccelerationSpec extends AnyFunSuite {
       s"WHERE (unix_millis(ts) >= $w1a AND unix_millis(ts) < $w1b) " +
       s"OR (unix_millis(ts) >= $w3a AND unix_millis(ts) < $w3b) " +
       "GROUP BY 1 ORDER BY 1", expectFold = true)
-    // sub-minute per-aggregate edge under a slot grouping: pinned scan
-    // (reason read BEFORE run()'s registry clear would wipe it)
-    val subMin = spark.sql(
+    // sub-minute per-aggregate edge under a slot grouping: WAS the
+    // pinned scan — since round 17 it folds HYBRID through the grouped
+    // conditional residue (one bounded sliver scan), values unchanged
+    val subMinSql =
       "SELECT (unix_millis(ts) div 86400000) * 86400000 AS d, " +
         s"ROUND(SUM(value) FILTER (WHERE unix_millis(ts) >= ${wa + 7000L}), 2) AS s " +
         "FROM events_accel " +
         s"WHERE unix_millis(ts) >= $w1a AND unix_millis(ts) < $w1b " +
-        "GROUP BY 1 ORDER BY 1")
+        "GROUP BY 1 ORDER BY 1"
+    val subMin = spark.sql(subMinSql)
     assert(subMin.queryExecution.optimizedPlan.collect {
-      case l: LocalRelation => l }.isEmpty,
+      case l: LocalRelation => l }.nonEmpty,
       subMin.queryExecution.optimizedPlan.treeString)
-    assert(WheelAcceleration.lastBailReason(path).getOrElse("")
-      .contains("minute-aligned"), WheelAcceleration.lastBailReason(path))
+    assert(subMin.queryExecution.executedPlan.toString.contains("FileScan"))
+    val gotSub = subMin.collect().map(_.toString).toSeq
+    WheelAcceleration.clear()
+    val wantSub = spark.sql(subMinSql).collect().map(_.toString).toSeq
+    assert(gotSub == wantSub, s"$gotSub vs $wantSub")
+    WheelAcceleration.clear()
+  }
+
+  test("GROUPED conditional hybrid (round 17, VERDICT r16 #1): past the " +
+      "cell ceiling, sub-minute per-aggregate edges, sub-minute outers, " +
+      "OR outers — all fold and match the scan") {
+    WheelAcceleration.clear()
+    register()
+    events.createOrReplaceTempView("events_accel")
+    val day = 86400000L
+    val (oA, oB) = (Q.R1Start, Q.R1End)
+    val (wa, wb) = (Q.R1Start + 36 * 3600000L, Q.R1Start + 60 * 3600000L)
+    def run(sql: String, expect: String): Seq[String] = {
+      val df = spark.sql(sql)
+      val local = df.queryExecution.optimizedPlan.collect {
+        case l: LocalRelation => l }.nonEmpty
+      val scan = df.queryExecution.executedPlan.toString.contains("FileScan")
+      val shape =
+        if (local && !scan) "fold"
+        else if (local && scan) "hybrid"
+        else "scan"
+      assert(shape == expect, s"shape=$shape (want $expect) for: $sql\n" +
+        df.queryExecution.optimizedPlan.treeString)
+      val got = df.collect().map(_.toString).toSeq
+      WheelAcceleration.clear()
+      val want = spark.sql(sql).collect().map(_.toString).toSeq
+      register()
+      assert(got == want, s"$sql\n got=$got\nwant=$want")
+      got
+    }
+    // (1) the retention-dashboard shape PAST the cell ceiling: aligned
+    // per-aggregate windows + ELSE 0 + FILTER count — pure fold (no
+    // sliver scan: minute partials + an executor Aggregate)
+    val dash = s"SELECT (unix_millis(ts) div $day) * $day AS slot_ms, " +
+      s"ROUND(SUM(CASE WHEN unix_millis(ts) >= $wa AND unix_millis(ts) < $wb " +
+      "THEN value END), 2) AS w_sum, " +
+      s"ROUND(SUM(CASE WHEN unix_millis(ts) < $wa THEN value ELSE 0 END), 2) AS pre0, " +
+      s"COUNT(*) FILTER (WHERE unix_millis(ts) >= $wa) AS n_after, " +
+      "ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n FROM events_accel " +
+      s"WHERE unix_millis(ts) >= $oA AND unix_millis(ts) < $oB " +
+      "GROUP BY 1 ORDER BY 1"
+    spark.conf.set("spark.graft.wheel.rewrite.maxFoldRows", "2")
+    try { assert(run(dash, expect = "fold").nonEmpty) }
+    finally spark.conf.unset("spark.graft.wheel.rewrite.maxFoldRows")
+    // (2) sub-minute PER-AGGREGATE edges below the cap: hybrid — one
+    // bounded sliver scan, per-aggregate slot/sliver filters
+    run(s"SELECT (unix_millis(ts) div $day) * $day AS slot_ms, " +
+      s"ROUND(SUM(CASE WHEN unix_millis(ts) >= ${wa + 7123L} " +
+      s"AND unix_millis(ts) < ${wb - 911L} THEN value END), 2) AS w_sum, " +
+      s"ROUND(SUM(value) FILTER (WHERE unix_millis(ts) < ${wa + 7123L}), 2) AS pre, " +
+      "ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n FROM events_accel " +
+      s"WHERE unix_millis(ts) >= $oA AND unix_millis(ts) < $oB " +
+      "GROUP BY 1 ORDER BY 1", expect = "hybrid")
+    // (3) sub-minute OUTER edges with conditional aggregates: hybrid;
+    // ELSE-0 resolves per cell from exactly-counted outer rows
+    run(s"SELECT (unix_millis(ts) div $day) * $day AS slot_ms, " +
+      s"ROUND(SUM(CASE WHEN unix_millis(ts) >= $wa AND unix_millis(ts) < $wb " +
+      "THEN value ELSE 0 END), 2) AS w0, " +
+      s"COUNT(*) FILTER (WHERE unix_millis(ts) < $wa) AS n_pre, " +
+      "COUNT(*) AS n FROM events_accel " +
+      s"WHERE unix_millis(ts) >= ${oA + 7123L} AND unix_millis(ts) < ${oB - 911L} " +
+      "GROUP BY 1 ORDER BY 1", expect = "hybrid")
+    // (4) OR-of-ranges outer with UNALIGNED disjuncts + conditionals
+    val (w2a, w2b) = (Q.Jan1 + 18 * day, Q.Jan1 + 25 * day)
+    run(s"SELECT (unix_millis(ts) div $day) * $day AS slot_ms, " +
+      s"ROUND(SUM(CASE WHEN unix_millis(ts) < $oB THEN value END), 2) AS a, " +
+      s"ROUND(SUM(value) FILTER (WHERE unix_millis(ts) >= $w2a), 2) AS b, " +
+      "COUNT(*) AS n FROM events_accel " +
+      s"WHERE (unix_millis(ts) >= ${oA + 7123L} AND unix_millis(ts) < $oB) " +
+      s"OR (unix_millis(ts) >= $w2a AND unix_millis(ts) < ${w2b - 911L}) " +
+      "GROUP BY 1 ORDER BY 1", expect = "hybrid")
+    // (5) cell presence: a MINUTE grid whose first cell's only outer
+    // rows fall in the outer's leading sliver — the cell must emerge
+    // from the unconditional sliver scan with its aggregates NULL/0
+    run("SELECT (unix_millis(ts) div 60000) * 60000 AS m, " +
+      s"ROUND(SUM(value) FILTER (WHERE unix_millis(ts) >= $wa), 2) AS s, " +
+      "COUNT(*) AS n FROM events_accel " +
+      s"WHERE unix_millis(ts) >= ${oA + 7123L} " +
+      s"AND unix_millis(ts) < ${oA + 90 * 60000L} " +
+      "GROUP BY 1 ORDER BY 1", expect = "hybrid")
+    // (6) conditional STDDEV rides the hybrid behind the per-(cell,
+    // gate) conditioning check
+    run(s"SELECT (unix_millis(ts) div $day) * $day AS slot_ms, " +
+      s"ROUND(STDDEV_POP(CASE WHEN unix_millis(ts) >= $wa AND " +
+      s"unix_millis(ts) < $wb THEN value END), 2) AS sd, " +
+      "COUNT(*) AS n FROM events_accel " +
+      s"WHERE unix_millis(ts) >= ${oA + 7123L} AND unix_millis(ts) < $oB " +
+      "GROUP BY 1 ORDER BY 1", expect = "hybrid")
+    // sketch spellings over sub-minute ranges keep the scan, pinned
+    val dfSk = spark.sql(
+      s"SELECT (unix_millis(ts) div $day) * $day AS slot_ms, " +
+        "approx_count_distinct(user_id) FILTER (WHERE unix_millis(ts) >= " +
+        s"${wa + 7123L}) AS u FROM events_accel " +
+        s"WHERE unix_millis(ts) >= $oA AND unix_millis(ts) < $oB " +
+        "GROUP BY 1")
+    assert(dfSk.queryExecution.optimizedPlan.collect {
+      case l: LocalRelation => l }.isEmpty)
     WheelAcceleration.clear()
   }
 

@@ -107,9 +107,10 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("LocalTableScan"), p)
   }
 
-  for (k <- Seq("q_wheel_cond_residue_sql", "q_wheel_keyed_cond_residue_sql"))
+  for (k <- Seq("q_wheel_cond_residue_sql", "q_wheel_keyed_cond_residue_sql",
+      "q_wheel_rollup_cond_residue_sql", "q_wheel_keyed2_residue_sql"))
     test(s"$k: per-aggregate residue hybrid — folded interior + ONE " +
-        "bounded edge scan (round 16)") {
+        "bounded edge scan (rounds 16-17)") {
       val p = plan(k)
       assert(p.contains("LocalTableScan"), p)
       // exactly one scan leg (AQE prints initial+final sections — count
@@ -170,10 +171,11 @@ class PlanAuditSpec extends AnyFunSuite {
     test(s"$k: two-phase prefix sum — corpus window is partitioned, " +
         "offsets side broadcasts (round 16, VERDICT r15 #1)") {
       val p = plan(k)
-      // the corpus running sum rides a RANGE exchange + a PER-PARTITION
-      // window (partition spec = __graft_pid) — never a total-order
-      // single-task window over raw documents
-      assert(p.contains("rangepartitioning(doc_id"), p)
+      // the corpus running sum rides ONE pid hash exchange + a
+      // PER-BUCKET window (partition spec = __graft_pid, a
+      // DETERMINISTIC function of doc_id — round 17, ADVICE r16) —
+      // never a total-order single-task window over raw documents
+      assert(p.contains("hashpartitioning(__graft_pid"), p)
       val corpusWindow = p.linesIterator.exists(l =>
         l.contains("Window") && l.contains("__graft_pid") &&
           l.contains("doc_id"))
@@ -181,11 +183,13 @@ class PlanAuditSpec extends AnyFunSuite {
       // the ≤-#partitions offsets side joins back broadcast (no corpus
       // shuffle for the join)
       assert(p.contains("BroadcastHashJoin"), p)
+      // the final plan (AQE repeats subtrees after "== Initial Plan ==")
+      val fin = p.split("== Initial Plan ==").head
+      val lines = p.linesIterator.toVector
       // every SinglePartition exchange sits directly above the per-pid
       // HashAggregate (≤ #shuffle-partitions subtotal rows) — never
       // over corpus rows (AQE prints the reused broadcast subtree
       // twice, so count is not the invariant; the child is)
-      val lines = p.linesIterator.toVector
       lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition"))
         .foreach { case (_, i) =>
           val below = lines.drop(i + 1)
@@ -194,6 +198,21 @@ class PlanAuditSpec extends AnyFunSuite {
           assert(below.exists(_.contains("HashAggregate(keys=[__graft_pid")),
             s"SinglePartition exchange not over the pid subtotals:\n$p")
         }
+      // ONE PASS over the counted corpus (VERDICT r16 "what's wrong"
+      // #1): both join branches share the pid exchange, so the final
+      // plan materializes it ONCE — AQE prints reuse as the same
+      // ShuffleQueryStage id, so the invariant is a single pid
+      // Exchange node (a reuse break would print a second one with a
+      // new plan_id) and a single corpus FileScan.
+      val corpusScans = fin.linesIterator
+        .count(l => l.contains("FileScan") && l.contains("documents"))
+      assert(corpusScans == 1,
+        s"expected ONE corpus scan in the final plan, got $corpusScans:\n$fin")
+      val pidExchanges = fin.linesIterator
+        .count(_.contains("Exchange hashpartitioning(__graft_pid"))
+      assert(pidExchanges == 1,
+        s"pid exchange materialized $pidExchanges times (reuse broke — " +
+          s"the token counter would run per branch):\n$fin")
     }
 
   test("q_wheel_or_ranges_sql: disjoint-range fold, zero FileScan (round 13)") {

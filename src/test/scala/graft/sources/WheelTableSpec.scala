@@ -821,4 +821,139 @@ class WheelTableSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.catalog.wheelstage.root")
     }
   }
+
+  test("DSv2 COLUMN statistics feed CBO: attribute stats visible, " +
+      "multi-way join REORDERED by estimated cardinality " +
+      "(round 17, VERDICT r16 #7)") {
+    import spark.implicits._
+    // three wheel tables of very different slot counts (distinct
+    // minutes): big=2000, mid=400, small=6
+    def mk(nm: String, minutes: Int): String = {
+      val src = new java.io.File(
+        s"target/test-fixtures/wheel/cbo_$nm.parquet").getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(src))
+      (0 until minutes)
+        .map(i => (new java.sql.Timestamp(Q.Jan1 + i * Minute), 1.0 + i))
+        .toDF("ts", "value").repartition(2)
+        .write.mode("overwrite").parquet(src)
+      WheelAcceleration.register(spark, src, spark.read.parquet(src))
+      src
+    }
+    val (big, mid, small) = (mk("big", 2000), mk("mid", 400), mk("small", 6))
+    def tbl(p: String) =
+      spark.read.format("wheel").option("source", p).load()
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // column stats surface on the relation: rowCount + per-attribute
+      // min/max/NDV for slot_ms (what join-cardinality estimation eats)
+      val lone = tbl(big)
+      val stats = lone.queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.contains(BigInt(2000)), stats.rowCount)
+      val slotStat = stats.attributeStats.find(_._1.name == "slot_ms")
+      assert(slotStat.isDefined, stats.attributeStats)
+      val cs = slotStat.get._2
+      assert(cs.distinctCount.contains(BigInt(2000)), cs)
+      assert(cs.min.contains(Q.Jan1) &&
+        cs.max.contains(Q.Jan1 + 1999L * Minute), cs)
+      // a 3-way join written big ⋈ mid ⋈ small: cost-based reorder must
+      // move SMALL before MID (the big⋈small intermediate is ~6 rows vs
+      // ~400) — provable from the leaf order of the optimized join tree
+      val b = tbl(big).select(col("slot_ms").as("bs"), col("sum_value").as("bv"))
+      val m = tbl(mid).select(col("slot_ms").as("ms"), col("sum_value").as("mv"))
+      val s = tbl(small).select(col("slot_ms").as("ss"), col("sum_value").as("sv"))
+      val j = b.join(m, col("bs") === col("ms"))
+        .join(s, col("bs") === col("ss"))
+        .groupBy().agg(count(lit(1)).as("n"))
+      val leaves = j.queryExecution.optimizedPlan.collectLeaves()
+      // identify each leaf by its reported row count
+      val order = leaves.map(_.stats.rowCount.map(_.toLong).getOrElse(-1L))
+      assert(order.size == 3 && order.toSet == Set(2000L, 400L, 6L), order)
+      assert(order.indexOf(6L) < order.indexOf(400L),
+        s"join order not cost-reordered (leaf row counts in tree order: $order)")
+      // and the reordered join still answers correctly
+      assert(j.collect()(0).getLong(0) == 6L)
+    } finally {
+      spark.conf.unset("spark.sql.cbo.enabled")
+      spark.conf.unset("spark.sql.cbo.joinReorder.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      WheelAcceleration.clear()
+    }
+  }
+
+  test("wheel catalog: TWO SESSIONS share one warehouse by name " +
+      "(round 17, VERDICT r16 #3)") {
+    val root = Files.createTempDirectory("graft_wheel_share").toString
+    val a = spark.newSession()
+    val b = spark.newSession()
+    for (s <- Seq(a, b)) {
+      s.conf.set("spark.sql.catalog.wheelshare",
+        "graft.sources.WheelTableCatalog")
+      s.conf.set("spark.sql.catalog.wheelshare.root", root)
+    }
+    // session A creates by CTAS (staged, atomic)...
+    Q.t(a, dir, "events").createOrReplaceTempView("ev_share_a")
+    a.sql("CREATE TABLE wheelshare.shared AS SELECT ts, value FROM ev_share_a")
+    // ...and session B — which never registered anything, shares only
+    // the catalog conf — reads it BY NAME and lists it
+    assert(b.sql("SHOW TABLES IN wheelshare").collect()
+      .map(_.getString(1)).toSeq == Seq("shared"))
+    val nB = b.sql("SELECT SUM(cnt_value) AS n FROM wheelshare.shared")
+      .collect()(0).getLong(0)
+    val exp = Q.t(spark, dir, "events")
+      .filter(col("value").isNotNull).count()
+    assert(nB == exp, s"$nB vs $exp")
+    // B REPLACEs the table; A observes the new contents by name
+    Q.t(b, dir, "events").createOrReplaceTempView("ev_share_b")
+    b.sql("REPLACE TABLE wheelshare.shared AS " +
+      "SELECT ts, value FROM ev_share_b WHERE event_type = 'click'")
+    val nA = a.sql("SELECT SUM(cnt_value) AS n FROM wheelshare.shared")
+      .collect()(0).getLong(0)
+    val expClick = Q.t(spark, dir, "events")
+      .filter(col("event_type") === "click")
+      .filter(col("value").isNotNull).count()
+    assert(nA == expClick, s"$nA vs $expClick")
+    // the REPLACE left no tombstone/staging remnants
+    val leftovers = Option(new java.io.File(root).list())
+      .map(_.toSet).getOrElse(Set.empty)
+    assert(leftovers == Set("shared"), leftovers)
+    // B drops; A's SHOW TABLES observes the drop immediately
+    b.sql("DROP TABLE wheelshare.shared")
+    assert(a.sql("SHOW TABLES IN wheelshare").collect().isEmpty)
+    assert(!a.catalog.tableExists("wheelshare.shared"))
+  }
+
+  test("wheel catalog: staging sweep is AGE-GUARDED — a concurrent " +
+      "session's fresh staging dir survives, stale ones sweep " +
+      "(round 17, ADVICE r16)") {
+    val root = Files.createTempDirectory("graft_wheel_sweep").toString
+    Q.t(spark, dir, "events").createOrReplaceTempView("ev_sweep_src")
+    spark.conf.set("spark.sql.catalog.wheelsweep",
+      "graft.sources.WheelTableCatalog")
+    spark.conf.set("spark.sql.catalog.wheelsweep.root", root)
+    try {
+      // a FRESH foreign staging dir = another session's in-flight CTAS
+      // for the same name; a STALE one = a crashed session; likewise a
+      // stale REPLACE tombstone
+      val fresh = new java.io.File(s"$root/.stage_t_fresh111")
+      val stale = new java.io.File(s"$root/.stage_t_stale222")
+      val tombStale = new java.io.File(s"$root/.old_t_stale333")
+      Seq(fresh, stale, tombStale).foreach(f => assert(f.mkdirs()))
+      val old = System.currentTimeMillis() - 2L * 60 * 60 * 1000
+      assert(stale.setLastModified(old) && tombStale.setLastModified(old))
+      spark.sql("CREATE TABLE wheelsweep.t AS SELECT ts, value FROM ev_sweep_src")
+      val left = Option(new java.io.File(root).list())
+        .map(_.toSet).getOrElse(Set.empty)
+      // stale staging + stale tombstone swept; the CONCURRENT (fresh)
+      // staging dir untouched; the table landed
+      assert(left == Set("t", ".stage_t_fresh111"), left)
+      // dot-dirs never list as tables
+      assert(spark.sql("SHOW TABLES IN wheelsweep").collect()
+        .map(_.getString(1)).toSeq == Seq("t"))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.wheelsweep")
+      spark.conf.unset("spark.sql.catalog.wheelsweep.root")
+    }
+  }
 }

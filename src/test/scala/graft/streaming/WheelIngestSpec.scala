@@ -88,6 +88,37 @@ class WheelIngestSpec extends AnyFunSuite {
       assert(folded(unaligned), unaligned.queryExecution.optimizedPlan.treeString)
       assert(unaligned.collect()(0).getDouble(0) == 17.0)
 
+      // per-aggregate CONDITIONAL windows fold off the STREAM-BUILT
+      // wheel too (round 17, VERDICT r16 #8): the rewrite families are
+      // registry-wide, so the batch-proven conditional fold serves a
+      // live ingest registration unchanged
+      spark.read.parquet(path).createOrReplaceTempView("live_events")
+      val cond = spark.sql(
+        s"SELECT SUM(CASE WHEN unix_millis(ts) < ${t0 + Min} THEN value END) AS w1, " +
+          s"SUM(value) FILTER (WHERE unix_millis(ts) >= ${t0 + Min}) AS w2, " +
+          "COUNT(*) AS n FROM live_events " +
+          s"WHERE unix_millis(ts) >= $t0 AND unix_millis(ts) < ${t0 + 3 * Min}")
+      assert(folded(cond), cond.queryExecution.optimizedPlan.treeString)
+      val rc = cond.collect()(0)
+      assert(rc.getDouble(0) == 11.0 && rc.getDouble(1) == 6.0 &&
+        rc.getLong(2) == 4L, rc.toString)
+      // ... and the GROUPED conditional with a SUB-MINUTE per-aggregate
+      // edge rides the round-17 grouped residue hybrid over the live
+      // index: minute partials from the accumulator, the sliver from a
+      // bounded scan of the CURRENT files. Minute t0 holds {1.0@t0,
+      // 10.0@t0+1ms}: the window [t0+1ms, …) keeps only the late row.
+      val gcond = spark.sql(
+        s"SELECT (unix_millis(ts) div $Min) * $Min AS slot_ms, " +
+          s"SUM(CASE WHEN unix_millis(ts) >= ${t0 + 1} " +
+          s"AND unix_millis(ts) < ${t0 + 2 * Min - 1} THEN value END) AS w, " +
+          "COUNT(*) AS n FROM live_events " +
+          s"WHERE unix_millis(ts) >= $t0 AND unix_millis(ts) < ${t0 + 3 * Min} " +
+          "GROUP BY 1 ORDER BY 1")
+      assert(folded(gcond), gcond.queryExecution.optimizedPlan.treeString)
+      assert(gcond.collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getDouble(1), r.getLong(2))).toSeq ==
+        Seq((t0, 10.0, 2L), (t0 + Min, 2.0, 1L), (t0 + 2 * Min, null, 1L)))
+
       // the SLIDING window() spelling folds off the same live
       // registration (round 10) — the rewrite surface is registry-wide,
       // not batch-build-specific
