@@ -2462,15 +2462,169 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     * and gate per (key, aggregate range) — heterogeneous key means far
     * from the global center refuse to the scan, the raw-edge-leg
     * contract. Sketch spellings refuse (no sub-minute sketch state). */
+  /** Shared machinery of the conditional residue hybrids (round 17 —
+    * the keyed / grouped / keyed-grouped regimes differ ONLY in their
+    * GROUP columns and interior emission): per-aggregate span filters
+    * over the union's (slot, ts) columns, the merged edge-window set,
+    * ELSE-0 outer-row counting, sketch refusals, and the select-list
+    * rewrite. Callers: build the interior partials rows with their own
+    * group prefix, call [[rewriteAggExprs]] (which registers every
+    * aggregate's slivers), then [[mergedEdgeWindows]] (which adds the
+    * OUTER slivers unconditionally — group presence: a group whose
+    * only outer rows fall there must still emit, with every
+    * aggregate's own FILTER excluding the extra rows from values). */
+  private final class CondResidue(
+      noun: String, tsCol: String, measureNames: Set[String],
+      cols: PartialCols, outersUs: Seq[(Long, Long)],
+      slotAttr: AttributeReference, tsOut: AttributeReference) {
+
+    var supported = true
+    private def fail[T](msg: String, keep: T): T = {
+      if (foldBailNote.isEmpty) foldBailNote = msg
+      supported = false; keep
+    }
+
+    private val edgeWins =
+      scala.collection.mutable.LinkedHashSet.empty[(Long, Long)]
+
+    private def spanFilter(spans: Seq[(Long, Long)]): Expression = {
+      val slivers = spans.flatMap { case (a, b) => minuteSliversUs(a, b) }
+      edgeWins ++= slivers
+      val slotConds = spans.flatMap { case (a, b) => minuteInteriorMs(a, b) }
+        .map { case (ia, ib) =>
+          And(GreaterThanOrEqual(slotAttr, Literal(ia, LongType)),
+            LessThan(slotAttr, Literal(ib, LongType))): Expression
+        }
+      val tsConds = slivers.map { case (wa, wb) =>
+        And(GreaterThanOrEqual(tsOut, Literal(wa, tsOut.dataType)),
+          LessThan(tsOut, Literal(wb, tsOut.dataType))): Expression
+      }
+      (slotConds ++ tsConds).reduceOption(Or.apply)
+        .getOrElse(Literal.FalseLiteral)
+    }
+
+    private def sumRowsAe(filter: Expression): Expression =
+      AggregateExpression(Sum(cols.rowsAttr), Complete, isDistinct = false)
+        .copy(filter = Some(filter))
+
+    private def mergedCond(ae: AggregateExpression): Expression = {
+      if (!supported) return ae
+      condParts(ae) match {
+        case None => supported = false; ae
+        case Some((fn, condOpt, elseZero)) =>
+          val spans = condOpt match {
+            case None => outersUs
+            case Some(c) => rangeUs(c, tsCol) match {
+              case Some((lo, hi)) => clipSpansUs(outersUs, lo, hi)
+              case None =>
+                return fail(s"$noun: a per-aggregate " +
+                  s"condition is not a bare time range on '$tsCol'", ae)
+            }
+          }
+          fn match {
+            case _: HyperLogLogPlusPlus | _: ApproximatePercentile
+                 | _: ApproxTopK =>
+              return fail(s"$noun: sketch spellings " +
+                "over sub-minute ranges keep the scan (no sub-minute " +
+                "sketch state exists)", ae)
+            case _ => ()
+          }
+          val plain = AggregateExpression(fn, Complete, isDistinct = false)
+          mergeAggExprs(cols, measureNames,
+            Seq(Alias(plain, "__graft_m")()), Nil) match {
+            case None => supported = false; ae // note set by mergeAggExprs
+            case Some(Seq(alias)) =>
+              val cond = spanFilter(spans)
+              val filtered = alias.asInstanceOf[Alias].child.transformUp {
+                case iae: AggregateExpression => iae.copy(filter = Some(cond))
+              }
+              if (!elseZero) filtered
+              else {
+                val outerRowsE = sumRowsAe(spanFilter(outersUs))
+                val spanRowsE =
+                  Coalesce(Seq(sumRowsAe(cond), Literal(0L, LongType)))
+                If(And(IsNull(filtered), GreaterThan(outerRowsE, spanRowsE)),
+                  Literal(0.0, filtered.dataType), filtered)
+              }
+            case Some(_) => supported = false; ae
+          }
+      }
+    }
+
+    /** The select list in merge form with per-aggregate span filters;
+      * group spellings substituted per `subst` (match by semantic
+      * equality against any listed spelling). None on any refusal
+      * (note pinned) or a surviving foreign attribute. */
+    def rewriteAggExprs(aggExprs: Seq[NamedExpression],
+        subst: Seq[(Seq[Expression], Attribute)]): Option[Seq[NamedExpression]] = {
+      val out = aggExprs.map { ne =>
+        val substituted = ne.transform {
+          case e if subst.exists(_._1.exists(e.semanticEquals)) =>
+            subst.find(_._1.exists(e.semanticEquals)).get._2
+        }
+        val rewritten = substituted.transformUp {
+          case e: AggregateExpression => mergedCond(e)
+        }.asInstanceOf[NamedExpression]
+        if (rewritten.exprId == ne.exprId) rewritten
+        else Alias(rewritten, ne.name)(ne.exprId)
+      }
+      if (!supported) return None
+      val allowed = cols.partialAttrs.map(_.exprId).toSet +
+        slotAttr.exprId + tsOut.exprId ++ subst.map(_._2.exprId)
+      if (out.exists(_.exists {
+        case at: Attribute => !allowed.contains(at.exprId)
+        case _ => false
+      })) None
+      else Some(out)
+    }
+
+    /** Outer slivers registered unconditionally (group presence), then
+      * the merged edge-window set. Call AFTER [[rewriteAggExprs]]. */
+    def mergedEdgeWindows(): Seq[(Long, Long)] = {
+      edgeWins ++= outersUs.flatMap { case (a, b) => minuteSliversUs(a, b) }
+      if (edgeWins.isEmpty) Nil else mergeRanges(edgeWins.toSeq)
+    }
+  }
+
+  /** Every second moment's (measure, clipped spans) — parsed up-front
+    * so ONE pre-walk can accumulate the per-(group, gate) partials the
+    * conditioning check needs. Shared by the residue hybrids. */
+  private def condGateSpecs(aggExprs: Seq[NamedExpression], tsCol: String,
+      measureNames: Set[String],
+      outersUs: Seq[(Long, Long)]): Seq[(String, Seq[(Long, Long)])] =
+    aggExprs.flatMap(_.collect {
+      case ae: AggregateExpression => ae
+    }).flatMap { ae =>
+      val fn = ae.aggregateFunction
+      val isVar = fn match {
+        case _: VariancePop | _: StddevPop
+             | _: VarianceSamp | _: StddevSamp => true
+        case _ => false
+      }
+      if (!isVar) Nil
+      else {
+        val condOpt = ae.filter.orElse(fn.children.collectFirst {
+          case cw: CaseWhen if cw.branches.size == 1 => cw.branches.head._1
+        })
+        val spans = condOpt.flatMap(c => rangeUs(c, tsCol)) match {
+          case Some((lo, hi)) => clipSpansUs(outersUs, lo, hi)
+          case None => outersUs
+        }
+        fn.children.flatMap(_.collect {
+          case a: AttributeReference if measureNames.contains(a.name) =>
+            (a.name, spans)
+        })
+      }
+    }
+
   private def foldKeyedConditionalResidue(
       agg: Aggregate, keyAttr: AttributeReference,
       aggExprs: Seq[NamedExpression], below: LogicalPlan,
       reg: WheelAcceleration.KeyedReg,
       outersUs: Seq[(Long, Long)]): Option[LogicalPlan] = {
-    var supported = true
-    def refuse[T](msg: String, keep: T): T = {
+    def refuse(msg: String): Option[LogicalPlan] = {
       if (foldBailNote.isEmpty) foldBailNote = msg
-      supported = false; keep
+      None
     }
     val measures = reg.wheels.keys.toSeq
     val anyIdx = reg.any
@@ -2478,35 +2632,9 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     val outerInteriors =
       outersUs.flatMap { case (a, b) => minuteInteriorMs(a, b) }
     val needCond = hasSecondMoment(aggExprs)
-    // gate specs: every second moment's (measure, clipped spans) —
-    // parsed up-front so ONE pre-walk can accumulate both the global
-    // shift sums and the per-(key, gate) partials
-    val gateSpecs: Seq[(String, Seq[(Long, Long)])] =
+    val gateSpecs =
       if (!needCond) Nil
-      else aggExprs.flatMap(_.collect {
-        case ae: AggregateExpression => ae
-      }).flatMap { ae =>
-        val fn = ae.aggregateFunction
-        val isVar = fn match {
-          case _: VariancePop | _: StddevPop
-               | _: VarianceSamp | _: StddevSamp => true
-          case _ => false
-        }
-        if (!isVar) Nil
-        else {
-          val condOpt = ae.filter.orElse(fn.children.collectFirst {
-            case cw: CaseWhen if cw.branches.size == 1 => cw.branches.head._1
-          })
-          val spans = condOpt.flatMap(c => rangeUs(c, reg.tsCol)) match {
-            case Some((lo, hi)) => clipSpansUs(outersUs, lo, hi)
-            case None => outersUs
-          }
-          fn.children.flatMap(_.collect {
-            case a: AttributeReference if reg.wheels.contains(a.name) =>
-              (a.name, spans)
-          })
-        }
-      }
+      else condGateSpecs(aggExprs, reg.tsCol, reg.wheels.keySet, outersUs)
     // ONE pre-walk (only when second moments ask): global per-measure
     // interior sums (the shift centers) + per-(key, gate) partials
     val globalAcc = new java.util.HashMap[String, AllAggregate]()
@@ -2547,7 +2675,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
         val (_, gi) = e.getKey
         !e.getValue.varWellConditionedAround(cols.shiftOf(gateSpecs(gi)._1))
       }
-      if (ill) return refuse(IllCondNote, None)
+      if (ill) return refuse(IllCondNote)
     }
     val slotAttr = AttributeReference("__graft_slot", LongType,
       nullable = true)()
@@ -2564,84 +2692,13 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       nullable = true)()
     val keyOut = AttributeReference("__graft_key0", reg.any.keyType,
       nullable = keyAttr.nullable)()
-    val edgeWins = scala.collection.mutable.LinkedHashSet.empty[(Long, Long)]
-    def spanFilter(spans: Seq[(Long, Long)]): Expression = {
-      val slivers = spans.flatMap { case (a, b) => minuteSliversUs(a, b) }
-      edgeWins ++= slivers
-      val slotConds = spans.flatMap { case (a, b) => minuteInteriorMs(a, b) }
-        .map { case (ia, ib) =>
-          And(GreaterThanOrEqual(slotAttr, Literal(ia, LongType)),
-            LessThan(slotAttr, Literal(ib, LongType))): Expression
-        }
-      val tsConds = slivers.map { case (wa, wb) =>
-        And(GreaterThanOrEqual(tsOut, Literal(wa, tsOut.dataType)),
-          LessThan(tsOut, Literal(wb, tsOut.dataType))): Expression
-      }
-      (slotConds ++ tsConds).reduceOption(Or.apply)
-        .getOrElse(Literal.FalseLiteral)
+    val cr = new CondResidue("keyed conditional hybrid", reg.tsCol,
+      reg.wheels.keySet, cols, outersUs, slotAttr, tsOut)
+    val newAggExprs = cr.rewriteAggExprs(aggExprs,
+      Seq((Seq(keyAttr), keyOut))) match {
+      case Some(es) => es
+      case None => return None
     }
-    def sumRowsAe(filter: Expression): Expression =
-      AggregateExpression(Sum(cols.rowsAttr), Complete, isDistinct = false)
-        .copy(filter = Some(filter))
-    def mergedCond(ae: AggregateExpression): Expression = {
-      if (!supported) return ae
-      condParts(ae) match {
-        case None => supported = false; ae
-        case Some((fn, condOpt, elseZero)) =>
-          val spans = condOpt match {
-            case None => outersUs
-            case Some(c) => rangeUs(c, reg.tsCol) match {
-              case Some((lo, hi)) => clipSpansUs(outersUs, lo, hi)
-              case None =>
-                return refuse("keyed conditional hybrid: a per-aggregate " +
-                  s"condition is not a bare time range on '${reg.tsCol}'", ae)
-            }
-          }
-          fn match {
-            case _: HyperLogLogPlusPlus | _: ApproximatePercentile
-                 | _: ApproxTopK =>
-              return refuse("keyed conditional hybrid: sketch spellings " +
-                "over sub-minute ranges keep the scan (no sub-minute " +
-                "sketch state exists)", ae)
-            case _ => ()
-          }
-          val plain = AggregateExpression(fn, Complete, isDistinct = false)
-          mergeAggExprs(cols, reg.wheels.keySet,
-            Seq(Alias(plain, "__graft_m")()), Nil) match {
-            case None => supported = false; ae // note set by mergeAggExprs
-            case Some(Seq(alias)) =>
-              val cond = spanFilter(spans)
-              val filtered = alias.asInstanceOf[Alias].child.transformUp {
-                case iae: AggregateExpression => iae.copy(filter = Some(cond))
-              }
-              if (!elseZero) filtered
-              else {
-                val outerRowsE = sumRowsAe(spanFilter(outersUs))
-                val spanRowsE =
-                  Coalesce(Seq(sumRowsAe(cond), Literal(0L, LongType)))
-                If(And(IsNull(filtered), GreaterThan(outerRowsE, spanRowsE)),
-                  Literal(0.0, filtered.dataType), filtered)
-              }
-            case Some(_) => supported = false; ae
-          }
-      }
-    }
-    val newAggExprs = aggExprs.map { ne =>
-      val substituted = ne.transform {
-        case e if e.semanticEquals(keyAttr) => keyOut
-      }
-      val out = substituted.transformUp {
-        case e: AggregateExpression => mergedCond(e)
-      }.asInstanceOf[NamedExpression]
-      if (out.exprId == ne.exprId) out else Alias(out, ne.name)(ne.exprId)
-    }
-    if (!supported) return None
-    val allowed = cols.partialAttrs.map(_.exprId).toSet +
-      slotAttr.exprId + tsOut.exprId + keyOut.exprId
-    if (newAggExprs.exists(_.exists {
-      case at: Attribute => !allowed.contains(at.exprId)
-      case _ => false
-    })) return None
     // interior leg: one row per (key, non-empty minute)
     val keyVals = new java.util.HashMap[Any, Any]()
     def kv(key: Any): Any = keyVals.computeIfAbsent(key,
@@ -2659,22 +2716,13 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     }
     val interiorRel = LocalRelation(
       keyOut +: slotAttr +: tsOut +: cols.partialAttrs, rows.result())
-    // Group presence: a key whose ONLY outer-range rows fall in the
-    // outer's sub-minute slivers must still emit a group — vanilla SQL
-    // keeps it with NULL aggregates. Per-aggregate spanFilters register
-    // only THEIR clipped slivers, so when every aggregate carries a
-    // narrower condition the outer slivers would go unscanned and such
-    // keys would vanish from the Aggregate. Scan them unconditionally;
-    // every aggregate's own FILTER excludes the extra rows from values.
-    edgeWins ++= outersUs.flatMap { case (a, b) => minuteSliversUs(a, b) }
-    val mergedWins =
-      if (edgeWins.isEmpty) Nil else mergeRanges(edgeWins.toSeq)
+    val mergedWins = cr.mergedEdgeWindows()
     val child: LogicalPlan =
       if (mergedWins.isEmpty) interiorRel
       else residueParts(below, reg.tsCol, measures, mergedWins, shifts) match {
         case None =>
           return refuse("keyed conditional hybrid: the source is missing " +
-            "the typed ts/measure columns an edge scan needs", None)
+            "the typed ts/measure columns an edge scan needs")
         case Some(parts) =>
           val edgeLeg = Project(
             Alias(keyAttrSrc, "__graft_key0")() +:
@@ -3862,51 +3910,25 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       below: LogicalPlan, tsCol: String,
       wheels: Map[String, WheelIndex],
       outersUs: Seq[(Long, Long)]): Option[LogicalPlan] = {
-    var supported = true
-    def refuse[T](msg: String, keep: T): T = {
+    def refuse(msg: String): Option[LogicalPlan] = {
       if (foldBailNote.isEmpty) foldBailNote = msg
-      supported = false; keep
+      None
     }
     // per-minute interiors are the clipping granularity — a retention-
     // evicted minute tier keeps the scan (honest, same contract as the
     // ungrouped conditional hybrid)
     if (!wheels.valuesIterator.forall(_.minuteTierComplete))
       return refuse("grouped conditional hybrid: the minute tier is " +
-        "retention-evicted (evicted interiors keep the scan)", None)
+        "retention-evicted (evicted interiors keep the scan)")
     val measures = wheels.keys.toSeq
     val anyMeasure = measures.head
     val anyIdx = wheels(anyMeasure)
     val outerInteriors =
       outersUs.flatMap { case (a, b) => minuteInteriorMs(a, b) }
     val needCond = hasSecondMoment(aggExprs)
-    // gate specs: every second moment's (measure, clipped spans) — the
-    // per-(cell, gate) analogue of the keyed pre-walk
-    val gateSpecs: Seq[(String, Seq[(Long, Long)])] =
+    val gateSpecs =
       if (!needCond) Nil
-      else aggExprs.flatMap(_.collect {
-        case ae: AggregateExpression => ae
-      }).flatMap { ae =>
-        val fn = ae.aggregateFunction
-        val isVar = fn match {
-          case _: VariancePop | _: StddevPop
-               | _: VarianceSamp | _: StddevSamp => true
-          case _ => false
-        }
-        if (!isVar) Nil
-        else {
-          val condOpt = ae.filter.orElse(fn.children.collectFirst {
-            case cw: CaseWhen if cw.branches.size == 1 => cw.branches.head._1
-          })
-          val spans = condOpt.flatMap(c => rangeUs(c, tsCol)) match {
-            case Some((lo, hi)) => clipSpansUs(outersUs, lo, hi)
-            case None => outersUs
-          }
-          fn.children.flatMap(_.collect {
-            case a: AttributeReference if wheels.contains(a.name) =>
-              (a.name, spans)
-          })
-        }
-      }
+      else condGateSpecs(aggExprs, tsCol, wheels.keySet, outersUs)
     val shifts = shiftsFor(needCond, measures,
       c => outerInteriors.map { case (a, b) => wheels(c).query(a, b) }
         .foldLeft(AllAggregate.identity)(_ combine _))
@@ -3933,7 +3955,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
         val (_, gi) = e.getKey
         !e.getValue.varWellConditionedAround(cols.shiftOf(gateSpecs(gi)._1))
       }
-      if (ill) return refuse(IllCondNote, None)
+      if (ill) return refuse(IllCondNote)
     }
     val slotAttr = AttributeReference("__graft_slot", LongType,
       nullable = true)()
@@ -3946,85 +3968,13 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       nullable = true)()
     val cellOut = AttributeReference("__graft_cell", gExpr.dataType,
       nullable = gExpr.nullable)()
-    val edgeWins = scala.collection.mutable.LinkedHashSet.empty[(Long, Long)]
-    def spanFilter(spans: Seq[(Long, Long)]): Expression = {
-      val slivers = spans.flatMap { case (a, b) => minuteSliversUs(a, b) }
-      edgeWins ++= slivers
-      val slotConds = spans.flatMap { case (a, b) => minuteInteriorMs(a, b) }
-        .map { case (ia, ib) =>
-          And(GreaterThanOrEqual(slotAttr, Literal(ia, LongType)),
-            LessThan(slotAttr, Literal(ib, LongType))): Expression
-        }
-      val tsConds = slivers.map { case (wa, wb) =>
-        And(GreaterThanOrEqual(tsOut, Literal(wa, tsOut.dataType)),
-          LessThan(tsOut, Literal(wb, tsOut.dataType))): Expression
-      }
-      (slotConds ++ tsConds).reduceOption(Or.apply)
-        .getOrElse(Literal.FalseLiteral)
+    val cr = new CondResidue("grouped conditional hybrid", tsCol,
+      wheels.keySet, cols, outersUs, slotAttr, tsOut)
+    val newAggExprs = cr.rewriteAggExprs(aggExprs,
+      Seq((Seq(groupKey, gExpr), cellOut))) match {
+      case Some(es) => es
+      case None => return None
     }
-    def sumRowsAe(filter: Expression): Expression =
-      AggregateExpression(Sum(cols.rowsAttr), Complete, isDistinct = false)
-        .copy(filter = Some(filter))
-    def mergedCond(ae: AggregateExpression): Expression = {
-      if (!supported) return ae
-      condParts(ae) match {
-        case None => supported = false; ae
-        case Some((fn, condOpt, elseZero)) =>
-          val spans = condOpt match {
-            case None => outersUs
-            case Some(c) => rangeUs(c, tsCol) match {
-              case Some((lo, hi)) => clipSpansUs(outersUs, lo, hi)
-              case None =>
-                return refuse("grouped conditional hybrid: a per-aggregate " +
-                  s"condition is not a bare time range on '$tsCol'", ae)
-            }
-          }
-          fn match {
-            case _: HyperLogLogPlusPlus | _: ApproximatePercentile
-                 | _: ApproxTopK =>
-              return refuse("grouped conditional hybrid: sketch spellings " +
-                "over sub-minute ranges keep the scan (no sub-minute " +
-                "sketch state exists)", ae)
-            case _ => ()
-          }
-          val plain = AggregateExpression(fn, Complete, isDistinct = false)
-          mergeAggExprs(cols, wheels.keySet,
-            Seq(Alias(plain, "__graft_m")()), Nil) match {
-            case None => supported = false; ae // note set by mergeAggExprs
-            case Some(Seq(alias)) =>
-              val cond = spanFilter(spans)
-              val filtered = alias.asInstanceOf[Alias].child.transformUp {
-                case iae: AggregateExpression => iae.copy(filter = Some(cond))
-              }
-              if (!elseZero) filtered
-              else {
-                val outerRowsE = sumRowsAe(spanFilter(outersUs))
-                val spanRowsE =
-                  Coalesce(Seq(sumRowsAe(cond), Literal(0L, LongType)))
-                If(And(IsNull(filtered), GreaterThan(outerRowsE, spanRowsE)),
-                  Literal(0.0, filtered.dataType), filtered)
-              }
-            case Some(_) => supported = false; ae
-          }
-      }
-    }
-    val newAggExprs = aggExprs.map { ne =>
-      val substituted = ne.transform {
-        case e if e.semanticEquals(groupKey) || e.semanticEquals(gExpr) =>
-          cellOut
-      }
-      val out = substituted.transformUp {
-        case e: AggregateExpression => mergedCond(e)
-      }.asInstanceOf[NamedExpression]
-      if (out.exprId == ne.exprId) out else Alias(out, ne.name)(ne.exprId)
-    }
-    if (!supported) return None
-    val allowed = cols.partialAttrs.map(_.exprId).toSet +
-      slotAttr.exprId + tsOut.exprId + cellOut.exprId
-    if (newAggExprs.exists(_.exists {
-      case at: Attribute => !allowed.contains(at.exprId)
-      case _ => false
-    })) return None
     // interior leg: one row per non-empty outer minute, pre-keyed to
     // its grid cell
     val cellVals = new java.util.HashMap[Long, Any]()
@@ -4045,13 +3995,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     }
     val interiorRel = LocalRelation(
       cellOut +: slotAttr +: tsOut +: cols.partialAttrs, rows.result())
-    // cell presence — same contract as the keyed hybrid (ADVICE r16
-    // high): the outer slivers scan unconditionally so a cell whose
-    // only rows fall there still emits a group; every aggregate's own
-    // FILTER excludes the extra rows from values
-    edgeWins ++= outersUs.flatMap { case (a, b) => minuteSliversUs(a, b) }
-    val mergedWins =
-      if (edgeWins.isEmpty) Nil else mergeRanges(edgeWins.toSeq)
+    val mergedWins = cr.mergedEdgeWindows()
     val child2: LogicalPlan =
       if (mergedWins.isEmpty) interiorRel
       else (residueParts(below, tsCol, measures, mergedWins, shifts),
@@ -4066,9 +4010,149 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
           Union(Seq(interiorRel, edgeLeg))
         case _ =>
           return refuse("grouped conditional hybrid: the source is missing " +
-            "the typed ts/measure columns an edge scan needs", None)
+            "the typed ts/measure columns an edge scan needs")
       }
     Some(Aggregate(Seq(cellOut), newAggExprs, child2))
+  }
+
+  /** KEYED-GROUPED conditional hybrid (round 17 — the last conditional
+    * regime): `GROUP BY (key, time-cell)` + per-aggregate range
+    * conditions, in EVERY regime (below/above the ceiling, aligned or
+    * sub-minute edges, single and OR outers). Same engine as its two
+    * siblings with the group tuple (key, cell): per-(key, minute)
+    * slot-tagged partials each pre-keyed to its cell, ONE bounded
+    * sliver scan carrying the raw key column and re-deriving its cell
+    * from the raw ts, a real executor-side Aggregate per (key, cell).
+    * Second moments center on the outer interior's GLOBAL mean and
+    * gate per ((key, cell), aggregate range); sketch spellings refuse. */
+  private def foldKeyedGroupedConditionalResidue(
+      agg: Aggregate, keyAttr: AttributeReference, slotGroup: Expression,
+      gExpr: Expression, grid: SlotGrid, aggExprs: Seq[NamedExpression],
+      child: LogicalPlan, below: LogicalPlan,
+      reg: WheelAcceleration.KeyedReg,
+      outersUs: Seq[(Long, Long)]): Option[LogicalPlan] = {
+    def refuse(msg: String): Option[LogicalPlan] = {
+      if (foldBailNote.isEmpty) foldBailNote = msg
+      None
+    }
+    val measures = reg.wheels.keys.toSeq
+    val anyIdx = reg.any
+    val anyMeasure = reg.wheels.find(_._2 eq anyIdx).get._1
+    val outerInteriors =
+      outersUs.flatMap { case (a, b) => minuteInteriorMs(a, b) }
+    val needCond = hasSecondMoment(aggExprs)
+    val gateSpecs =
+      if (!needCond) Nil
+      else condGateSpecs(aggExprs, reg.tsCol, reg.wheels.keySet, outersUs)
+    // ONE pre-walk when second moments ask: global shift centers +
+    // per-((key, cell), gate) partials
+    val globalAcc = new java.util.HashMap[String, AllAggregate]()
+    val gateAccs = new java.util.HashMap[(Any, Long, Int), AllAggregate]()
+    if (needCond) {
+      val gateInteriors = gateSpecs.map { case (_, spans) =>
+        spans.flatMap { case (a, b) => minuteInteriorMs(a, b) } }
+      outerInteriors.foreach { case (a, b) =>
+        anyIdx.minuteEntries(a, b).foreach { case (key, slotMs, anyAll) =>
+          val alls = reg.wheels.map {
+            case (c, _) if c == anyMeasure => c -> anyAll
+            case (c, i) => c -> i.minuteAt(key, slotMs)
+          }
+          measures.foreach { c =>
+            globalAcc.merge(c, alls(c), (x, y) => x.combine(y))
+          }
+          gateSpecs.zipWithIndex.foreach { case ((c, _), gi) =>
+            if (gateInteriors(gi).exists(r =>
+                slotMs >= r._1 && slotMs < r._2))
+              gateAccs.merge((key, grid.floorOf(slotMs), gi), alls(c),
+                (x, y) => x.combine(y))
+          }
+        }
+      }
+    }
+    val shifts: Map[String, Double] =
+      if (!needCond) Map.empty
+      else measures.map { c =>
+        val al = Option(globalAcc.get(c)).getOrElse(AllAggregate.identity)
+        c -> (if (al.count == 0L) 0.0 else al.avg)
+      }.toMap
+    val cols = partialColsFor(measures, shifts)
+    if (needCond) {
+      import scala.jdk.CollectionConverters._
+      val ill = gateAccs.entrySet().asScala.exists { e =>
+        val (_, _, gi) = e.getKey
+        !e.getValue.varWellConditionedAround(cols.shiftOf(gateSpecs(gi)._1))
+      }
+      if (ill) return refuse(IllCondNote)
+    }
+    val slotAttr = AttributeReference("__graft_slot", LongType,
+      nullable = true)()
+    val tsAttrSrc = below.output.find(_.name == reg.tsCol) match {
+      case Some(t) if t.dataType == TimestampType ||
+        t.dataType == TimestampNTZType => t
+      case _ => return None
+    }
+    val keyAttrSrc = below.output.find(_.name == reg.keyCol) match {
+      case Some(k) if k.dataType == reg.any.keyType => k
+      case _ => return None
+    }
+    val tsOut = AttributeReference("__graft_ts", tsAttrSrc.dataType,
+      nullable = true)()
+    val keyOut = AttributeReference("__graft_key0", reg.any.keyType,
+      nullable = keyAttr.nullable)()
+    val cellOut = AttributeReference("__graft_cell", gExpr.dataType,
+      nullable = gExpr.nullable)()
+    val cr = new CondResidue("keyed-grouped conditional hybrid", reg.tsCol,
+      reg.wheels.keySet, cols, outersUs, slotAttr, tsOut)
+    val newAggExprs = cr.rewriteAggExprs(aggExprs,
+      Seq((Seq(keyAttr), keyOut),
+        (Seq(slotGroup, gExpr), cellOut))) match {
+      case Some(es) => es
+      case None => return None
+    }
+    // interior leg: one row per (key, non-empty minute), pre-keyed to
+    // its grid cell
+    val keyVals = new java.util.HashMap[Any, Any]()
+    def kv(key: Any): Any = keyVals.computeIfAbsent(key,
+      k => Literal.create(k, reg.any.keyType).value)
+    val cellVals = new java.util.HashMap[Long, Any]()
+    def cellOf(slotMs: Long): Any = {
+      val s0 = grid.floorOf(slotMs)
+      cellVals.computeIfAbsent(s0, k => slotLiteral(grid, k, grid.end(k)).value)
+    }
+    val rows = Seq.newBuilder[InternalRow]
+    outerInteriors.foreach { case (a, b) =>
+      anyIdx.minuteEntries(a, b).foreach { case (key, slotMs, anyAll) =>
+        val alls = reg.wheels.map {
+          case (c, _) if c == anyMeasure => c -> anyAll
+          case (c, i) => c -> i.minuteAt(key, slotMs)
+        }
+        rows += InternalRow.fromSeq(
+          kv(key) +: cellOf(slotMs) +: slotMs +:
+            (null +: cols.partialsRow(alls, anyAll.rows)))
+      }
+    }
+    val interiorRel = LocalRelation(
+      keyOut +: cellOut +: slotAttr +: tsOut +: cols.partialAttrs,
+      rows.result())
+    val mergedWins = cr.mergedEdgeWindows()
+    val child2: LogicalPlan =
+      if (mergedWins.isEmpty) interiorRel
+      else (residueParts(below, reg.tsCol, measures, mergedWins, shifts),
+          rebaseOnto(child, below, gExpr)) match {
+        case (Some(parts), Some(gEval)) =>
+          val edgeLeg = Project(
+            Alias(keyAttrSrc, "__graft_key0")() +:
+              Alias(gEval, "__graft_cell")() +:
+              Alias(Literal(null, LongType), "__graft_slot")() +:
+              Alias(tsAttrSrc, "__graft_ts")() +:
+              parts.edgePartials,
+            parts.edgeFilter)
+          Union(Seq(interiorRel, edgeLeg))
+        case _ =>
+          return refuse("keyed-grouped conditional hybrid: the source is " +
+            "missing the typed ts/measure columns an edge scan needs")
+      }
+    Some(Aggregate(Seq(keyOut, cellOut), newAggExprs, child2))
   }
 
   /** Grouped hybrid for an OR of DISJOINT unaligned µs ranges (round
@@ -5448,6 +5532,19 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
         s"expression over the registered ts column '${reg.tsCol}'"))(
         slotGrid(gExpr, reg.tsCol))
       filterOpt = findFilter(child)
+      // per-aggregate conditional windows under the (key, cell) grid
+      // (round 17 — the last conditional regime): EVERY regime routes
+      // through the keyed-grouped conditional hybrid
+      hasConditional = aggExprs.exists(_.exists {
+        case ae: AggregateExpression =>
+          ae.filter.nonEmpty ||
+            ae.aggregateFunction.children.exists(_.isInstanceOf[CaseWhen])
+        case _ => false
+      })
+      keyedGroupedCond = (outers: Seq[(Long, Long)]) =>
+        foldKeyedGroupedConditionalResidue(agg, keyAttr, slotGroup, gExpr,
+          grid, aggExprs, child,
+          findFilter(child).map(_._2).getOrElse(child), reg, outers)
       // KEYED OR-ranges (round 13): a disjunction of ranges folds per
       // (key, cell) with contributions combined across ranges — same
       // semantics as the unkeyed grouped Right branch. UNALIGNED
@@ -5461,6 +5558,8 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
           if (!rangesUs.forall { case (x, y) =>
             grid.soundFor(Math.floorDiv(x, 1000L), Math.floorDiv(y, 1000L)) })
             None
+          else if (hasConditional)
+            keyedGroupedCond(rangesUs)
           else if (rangesUs.forall { case (x, y) =>
             x % MinuteUs == 0 && y % MinuteUs == 0 })
             keyedOrRangesFold(agg, keyAttr, slotGroup, gExpr, grid, aggExprs,
@@ -5491,6 +5590,10 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
           Some(()) else None)
       result <-
         if (orFold.isDefined) orFold
+        else if (hasConditional)
+          // every single-range conditional regime — aligned or not,
+          // below or above the ceiling — is the hybrid (round 17)
+          keyedGroupedCond(Seq((aUs, bUs)))
         else if (aUs % (MinuteMs * 1000L) == 0 && bUs % (MinuteMs * 1000L) == 0) {
           val (a, b) = (aUs / 1000L, bUs / 1000L)
           if (reg.any.keys.size.toLong * cellCount(grid, a, b, maxFoldRows) > maxFoldRows)

@@ -1368,6 +1368,35 @@ object Core {
       } finally s.conf.unset("spark.graft.wheel.rewrite.maxFoldRows")
     }),
 
+    // KEYED-GROUPED conditional hybrid (round 17 — the last conditional
+    // regime): the retention dashboard PER DIMENSION KEY — `GROUP BY
+    // (event_type, day)` + per-window aggregates with sub-minute edges,
+    // forced past the |keys| × cells ceiling. Per-(key, minute)
+    // partials pre-keyed to their day cells ∪ ONE bounded sliver scan
+    // carrying the raw key; executor Aggregate per (key, cell).
+    "q_wheel_keyed_rollup_cond_sql" -> ((s, dir) => {
+      graft.plans.WheelAcceleration.registerKeyed(
+        s, s"$dir/events.parquet", t(s, dir, "events"), "event_type")
+      t(s, dir, "events").createOrReplaceTempView("events_wheel")
+      val (wa, wb) = (R1Start + 36 * Hour, R1Start + 60 * Hour)
+      s.conf.set("spark.graft.wheel.rewrite.maxFoldRows", "1")
+      try {
+        val df = s.sql(
+          s"""SELECT event_type, (unix_millis(ts) div ${24 * Hour}) * ${24 * Hour} AS slot_ms,
+             |ROUND(SUM(CASE WHEN unix_millis(ts) >= ${wa + 7123L}
+             |  AND unix_millis(ts) < ${wb - 911L} THEN value END), 2) AS w_sum,
+             |ROUND(SUM(CASE WHEN unix_millis(ts) < $wa THEN value ELSE 0 END), 2) AS pre0,
+             |COUNT(*) FILTER (WHERE unix_millis(ts) >= ${wa + 7123L}) AS n_after,
+             |ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n
+             |FROM events_wheel
+             |WHERE unix_millis(ts) >= $R1Start AND unix_millis(ts) < $R1End
+             |GROUP BY 1, 2 ORDER BY 1, 2
+             |""".stripMargin)
+        df.queryExecution.optimizedPlan
+        df
+      } finally s.conf.unset("spark.graft.wheel.rewrite.maxFoldRows")
+    }),
+
     // KEYED OR-outer pivot (round 16): the retention cohort spelling —
     // per-window aggregates under `WHERE w1 OR w2 GROUP BY key` —
     // previously bailed ("not a bare time range"); it now routes
@@ -1912,6 +1941,16 @@ object Core {
         "ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n FROM events " +
         s"WHERE epoch_ms(ts) >= $R1Start AND epoch_ms(ts) < $R1End " +
         "GROUP BY 1 ORDER BY 1"),
+    "q_wheel_keyed_rollup_cond_sql" ->
+      (s"SELECT event_type, (epoch_ms(ts) // ${24 * Hour}) * ${24 * Hour} AS slot_ms, " +
+        s"ROUND(SUM(CASE WHEN epoch_ms(ts) >= ${R1Start + 36 * Hour + 7123L} " +
+        s"AND epoch_ms(ts) < ${R1Start + 60 * Hour - 911L} THEN value END), 2) AS w_sum, " +
+        s"ROUND(SUM(CASE WHEN epoch_ms(ts) < ${R1Start + 36 * Hour} " +
+        "THEN value ELSE 0 END), 2) AS pre0, " +
+        s"COUNT(*) FILTER (WHERE epoch_ms(ts) >= ${R1Start + 36 * Hour + 7123L}) AS n_after, " +
+        "ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n FROM events " +
+        s"WHERE epoch_ms(ts) >= $R1Start AND epoch_ms(ts) < $R1End " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
     "q_wheel_pivot_or_sql" ->
       ("SELECT event_type, " +
         s"ROUND(SUM(CASE WHEN epoch_ms(ts) < $R1End THEN value END), 2) AS w1_sum, " +

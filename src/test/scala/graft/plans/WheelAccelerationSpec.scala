@@ -4044,6 +4044,79 @@ class WheelAccelerationSpec extends AnyFunSuite {
     WheelAcceleration.clear()
   }
 
+  test("KEYED-GROUPED conditional hybrid (round 17): GROUP BY key, cell " +
+      "+ per-aggregate windows fold in every regime and match the scan") {
+    WheelAcceleration.clear()
+    WheelAcceleration.registerKeyed(spark, path, events, "event_type")
+    events.createOrReplaceTempView("events_accel")
+    val day = 86400000L
+    val (oA, oB) = (Q.R1Start, Q.R1End)
+    val (wa, wb) = (Q.R1Start + 36 * 3600000L, Q.R1Start + 60 * 3600000L)
+    def run(sql: String, expect: String): Seq[String] = {
+      val df = spark.sql(sql)
+      val local = df.queryExecution.optimizedPlan.collect {
+        case l: LocalRelation => l }.nonEmpty
+      val scan = df.queryExecution.executedPlan.toString.contains("FileScan")
+      val shape =
+        if (local && !scan) "fold"
+        else if (local && scan) "hybrid"
+        else "scan"
+      assert(shape == expect, s"shape=$shape (want $expect) for: $sql\n" +
+        df.queryExecution.optimizedPlan.treeString)
+      val got = df.collect().map(_.toString).toSeq
+      WheelAcceleration.clear()
+      val want = spark.sql(sql).collect().map(_.toString).toSeq
+      WheelAcceleration.registerKeyed(spark, path, events, "event_type")
+      assert(got == want, s"$sql\n got=$got\nwant=$want")
+      got
+    }
+    // (1) keyed retention dashboard, aligned windows, below the cap:
+    // pure fold (per-(key, minute) partials + executor Aggregate)
+    val dash = s"SELECT event_type, (unix_millis(ts) div $day) * $day AS slot_ms, " +
+      s"ROUND(SUM(CASE WHEN unix_millis(ts) >= $wa AND unix_millis(ts) < $wb " +
+      "THEN value END), 2) AS w_sum, " +
+      s"ROUND(SUM(CASE WHEN unix_millis(ts) < $wa THEN value ELSE 0 END), 2) AS pre0, " +
+      s"COUNT(*) FILTER (WHERE unix_millis(ts) >= $wa) AS n_after, " +
+      "ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n FROM events_accel " +
+      s"WHERE unix_millis(ts) >= $oA AND unix_millis(ts) < $oB " +
+      "GROUP BY 1, 2 ORDER BY 1, 2"
+    assert(run(dash, expect = "fold").nonEmpty)
+    // (2) ... and PAST the (|keys| × cells) ceiling: same plan family
+    spark.conf.set("spark.graft.wheel.rewrite.maxFoldRows", "2")
+    try { assert(run(dash, expect = "fold").nonEmpty) }
+    finally spark.conf.unset("spark.graft.wheel.rewrite.maxFoldRows")
+    // (3) sub-minute per-aggregate edges: hybrid (one sliver scan)
+    run(s"SELECT event_type, (unix_millis(ts) div $day) * $day AS slot_ms, " +
+      s"ROUND(SUM(CASE WHEN unix_millis(ts) >= ${wa + 7123L} " +
+      s"AND unix_millis(ts) < ${wb - 911L} THEN value END), 2) AS w_sum, " +
+      "COUNT(*) AS n FROM events_accel " +
+      s"WHERE unix_millis(ts) >= $oA AND unix_millis(ts) < $oB " +
+      "GROUP BY 1, 2 ORDER BY 1, 2", expect = "hybrid")
+    // (4) sub-minute OUTER edges: hybrid, ELSE-0 per (key, cell)
+    run(s"SELECT event_type, (unix_millis(ts) div $day) * $day AS slot_ms, " +
+      s"ROUND(SUM(CASE WHEN unix_millis(ts) >= $wa AND unix_millis(ts) < $wb " +
+      "THEN value ELSE 0 END), 2) AS w0, COUNT(*) AS n FROM events_accel " +
+      s"WHERE unix_millis(ts) >= ${oA + 7123L} AND unix_millis(ts) < ${oB - 911L} " +
+      "GROUP BY 1, 2 ORDER BY 1, 2", expect = "hybrid")
+    // (5) OR-of-ranges outer with an unaligned disjunct + conditionals
+    val (w2a, w2b) = (Q.Jan1 + 18 * day, Q.Jan1 + 25 * day)
+    run(s"SELECT event_type, (unix_millis(ts) div $day) * $day AS slot_ms, " +
+      s"ROUND(SUM(CASE WHEN unix_millis(ts) < $oB THEN value END), 2) AS a, " +
+      s"ROUND(SUM(value) FILTER (WHERE unix_millis(ts) >= $w2a), 2) AS b, " +
+      "COUNT(*) AS n FROM events_accel " +
+      s"WHERE (unix_millis(ts) >= ${oA + 7123L} AND unix_millis(ts) < $oB) " +
+      s"OR (unix_millis(ts) >= $w2a AND unix_millis(ts) < ${w2b - 911L}) " +
+      "GROUP BY 1, 2 ORDER BY 1, 2", expect = "hybrid")
+    // (6) conditional STDDEV behind the per-((key, cell), gate) check
+    run(s"SELECT event_type, (unix_millis(ts) div $day) * $day AS slot_ms, " +
+      s"ROUND(STDDEV_POP(CASE WHEN unix_millis(ts) >= $wa AND " +
+      s"unix_millis(ts) < $wb THEN value END), 2) AS sd, " +
+      "COUNT(*) AS n FROM events_accel " +
+      s"WHERE unix_millis(ts) >= ${oA + 7123L} AND unix_millis(ts) < $oB " +
+      "GROUP BY 1, 2 ORDER BY 1, 2", expect = "hybrid")
+    WheelAcceleration.clear()
+  }
+
   test("registerPrebuilt refuses a mixed-retention measure map " +
       "(round 16, ADVICE r15)") {
     // Sibling wheels are read at the head wheel's cover slots — sound
