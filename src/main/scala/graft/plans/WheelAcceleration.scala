@@ -5739,31 +5739,63 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       grid <- bail(path, gridNote("composite-keyed grouping is not a " +
         s"time-bucketing expression over the registered ts column " +
         s"'${reg.tsCol}'"))(slotGrid(gExpr, reg.tsCol))
-      boundsUs <- (findFilter(child) match {
-        case Some((cond, _)) => rangeUs(cond, reg.tsCol)
-        case None => Some((None, None))
-      }): Option[(Option[Long], Option[Long])]
-      aUs = boundsUs._1.getOrElse(reg.any.baseMs * 1000L)
-      bUs = boundsUs._2.getOrElse(reg.any.horizonMs * 1000L)
-      // ms bounds for the aligned path (exact there: aUs/bUs are
-      // whole-minute µs on that branch)
+      // single range (Left, µs) or a disjunction of disjoint ranges
+      // (Right, round 17 — the composite OR-outer previously kept the
+      // scan outright)
+      ranged <- (findFilter(child) match {
+        case Some((cond, _)) =>
+          rangeUs(cond, reg.tsCol)
+            .map { case (lo, hi) =>
+              scala.util.Left((lo.getOrElse(reg.any.baseMs * 1000L),
+                hi.getOrElse(reg.any.horizonMs * 1000L))) }
+            .orElse(orRangesUs(cond, reg.tsCol)
+              .map(rs => scala.util.Right(mergeRanges(rs))))
+        case None =>
+          Some(scala.util.Left((reg.any.baseMs * 1000L,
+            reg.any.horizonMs * 1000L)))
+      }): Option[Either[(Long, Long), Seq[(Long, Long)]]]
+      allRangesUs = ranged.fold(r => Seq(r), identity)
+      if allRangesUs.forall { case (x, y) => x < y }
+      _ <- bail(path, ZoneUnsoundNote)(
+        if (allRangesUs.forall { case (x, y) => grid.soundFor(
+          Math.floorDiv(x, 1000L), Math.floorDiv(y + 999L, 1000L)) })
+          Some(()) else None)
+      // per-aggregate conditional windows (round 17 — completes the
+      // conditional matrix): every composite conditional regime is the
+      // conditional hybrid
+      hasConditional = aggExprs.exists(_.exists {
+        case ae: AggregateExpression =>
+          ae.filter.nonEmpty ||
+            ae.aggregateFunction.children.exists(_.isInstanceOf[CaseWhen])
+        case _ => false
+      })
+      aUs = allRangesUs.head._1
+      bUs = allRangesUs.last._2
+      // ms bounds for the aligned single-range path (exact there:
+      // aUs/bUs are whole-minute µs on that branch)
       a = aUs / 1000L
       b = bUs / 1000L
-      if aUs < bUs
-      _ <- bail(path, ZoneUnsoundNote)(
-        if (grid.soundFor(Math.floorDiv(aUs, 1000L),
-          Math.floorDiv(bUs + 999L, 1000L))) Some(()) else None)
       result <-
-        if (aUs % (MinuteMs * 1000L) != 0 || bUs % (MinuteMs * 1000L) != 0)
+        if (hasConditional)
+          bail(path, "composite-keyed conditional not foldable " +
+            "(aggregate without a merge form / non-time condition / " +
+            "missing typed key or ts columns)")(
+            foldCompositeKeyedConditionalResidue(agg, keyAttrs, slotGroup,
+              gExpr, grid, aggExprs, child,
+              findFilter(child).map(_._2).getOrElse(child), reg,
+              allRangesUs))
+        else if (ranged.isRight ||
+            aUs % (MinuteMs * 1000L) != 0 || bUs % (MinuteMs * 1000L) != 0)
           // SUB-MINUTE range edges (round 17, VERDICT r16 #2 — was the
-          // pinned "no composite residue path"): the tuple-key residue
-          // hybrid — interior (tuple-key, cell) partials + ONE bounded
-          // edge scan carrying every raw key COLUMN
+          // pinned "no composite residue path") and OR outers: the
+          // tuple-key residue hybrid — interior (tuple-key, cell)
+          // partials + ONE bounded edge scan carrying every raw key
+          // COLUMN (aligned disjuncts degenerate to a pure fold)
           bail(path, "composite-keyed residue not foldable (aggregate " +
             "without a merge form / missing typed key or ts columns)")(
             findFilter(child).map(_._2).flatMap(below =>
               rewriteCompositeKeyedResidue(agg, keyAttrs, slotGroup, gExpr,
-                grid, aggExprs, child, below, reg, Seq((aUs, bUs)))))
+                grid, aggExprs, child, below, reg, allRangesUs)))
         else if (reg.any.keys.size.toLong *
             cellCount(grid, a, b, maxFoldRows) > maxFoldRows)
           // above the plan-time ceiling: ship the (tuple-key, minute)
@@ -5854,9 +5886,20 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       }
       acc
     })
+    // ALIGNED disjuncts produce no edge windows (round 17 OR-outer
+    // support): the plan degenerates to interior-only — a pure fold
+    // with no edge leg, serving `WHERE w1 OR w2 GROUP BY k1, …, slot`
+    val edges = rs.flatMap(_.edgeWindows).filter { case (lo, hi) => lo < hi }
+    val partsOpt: Option[ResidueParts] =
+      if (edges.isEmpty) None
+      else residueParts(below, reg.tsCol, reg.wheels.keys.toSeq, edges,
+        shifts) match {
+        case None => return None
+        case some => some
+      }
+    val cols = partsOpt.map(_.cols)
+      .getOrElse(partialColsFor(reg.wheels.keys.toSeq, shifts))
     for {
-      parts <- residueParts(below, reg.tsCol, reg.wheels.keys.toSeq,
-        rs.flatMap(_.edgeWindows), shifts)
       gEval <- rebaseOnto(child, below, gExpr)
       keyOutAttrs = keyFields.toSeq.zip(keyAttrs).zipWithIndex.map {
         case ((f, kA), i) => AttributeReference(
@@ -5864,7 +5907,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       }
       slotAttr = AttributeReference(
         "__graft_slot", gExpr.dataType, nullable = gExpr.nullable)()
-      newAggExprs <- mergeAggExprs(parts.cols, reg.wheels.keySet, aggExprs,
+      newAggExprs <- mergeAggExprs(cols, reg.wheels.keySet, aggExprs,
         keyAttrs.zip(keyOutAttrs).map { case (kA, kO) =>
           (Seq[Expression](kA), kO: Attribute)
         } :+ ((Seq(slotGroup, gExpr), slotAttr: Attribute)))
@@ -5872,7 +5915,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
         var conditioned = true
         def check(alls: collection.Map[String, AllAggregate]): Unit =
           if (needCond && !alls.forall { case (c, al) =>
-            al.varWellConditionedAround(parts.cols.shiftOf(c)) })
+            al.varWellConditionedAround(cols.shiftOf(c)) })
             conditioned = false
         val rows = Seq.newBuilder[InternalRow]
         val anyIdx = reg.any
@@ -5900,7 +5943,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
                 val s0 = grid.floorOf(slotMs)
                 rows += InternalRow.fromSeq(kvs ++
                   (slotLiteral(grid, s0, grid.end(s0)).value +:
-                    parts.partialsRow(alls, anyAll.rows)))
+                    cols.partialsRow(alls, anyAll.rows)))
             }
           }
         } else {
@@ -5918,7 +5961,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
                   check(alls)
                   rows += InternalRow.fromSeq(kvs ++
                     (slotLiteral(grid, s0, s1).value +:
-                      parts.partialsRow(alls, anyAll.rows)))
+                      cols.partialsRow(alls, anyAll.rows)))
                 }
               }
             }
@@ -5927,17 +5970,164 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
         if (!conditioned) { foldBailNote = IllCondNote; None } // keep the scan
         else {
           val interior = LocalRelation(
-            keyOutAttrs ++ (slotAttr +: parts.partialAttrs), rows.result())
-          val edgeLeg = Project(
-            keyRaws.flatten.zipWithIndex.map { case (kr, i) =>
-              Alias(kr, s"__graft_key$i")(): NamedExpression
-            } ++ (Alias(gEval, "__graft_slot")() +: parts.edgePartials),
-            parts.edgeFilter)
-          Some(Aggregate(keyOutAttrs :+ slotAttr, newAggExprs,
-            Union(Seq(interior, edgeLeg))))
+            keyOutAttrs ++ (slotAttr +: cols.partialAttrs), rows.result())
+          val legs: LogicalPlan = partsOpt match {
+            case Some(parts) =>
+              val edgeLeg = Project(
+                keyRaws.flatten.zipWithIndex.map { case (kr, i) =>
+                  Alias(kr, s"__graft_key$i")(): NamedExpression
+                } ++ (Alias(gEval, "__graft_slot")() +: parts.edgePartials),
+                parts.edgeFilter)
+              Union(Seq(interior, edgeLeg))
+            case None => interior
+          }
+          Some(Aggregate(keyOutAttrs :+ slotAttr, newAggExprs, legs))
         }
       }
     } yield plan
+  }
+
+  /** COMPOSITE-keyed CONDITIONAL hybrid (round 17 — completes the
+    * conditional matrix): `GROUP BY (k1, …, kn, time-cell)` +
+    * per-aggregate range conditions in every regime. The same
+    * [[CondResidue]] engine with the group tuple (k1, …, kn, cell):
+    * per-(tuple-key, minute) partials with each key COMPONENT as its
+    * own relation column, pre-keyed to their cells; ONE bounded sliver
+    * scan carries every raw key column; executor Aggregate per
+    * (tuple, cell). */
+  private def foldCompositeKeyedConditionalResidue(
+      agg: Aggregate, keyAttrs: Seq[AttributeReference],
+      slotGroup: Expression, gExpr: Expression, grid: SlotGrid,
+      aggExprs: Seq[NamedExpression], child: LogicalPlan,
+      below: LogicalPlan, reg: WheelAcceleration.Keyed2Reg,
+      outersUs: Seq[(Long, Long)]): Option[LogicalPlan] = {
+    def refuse(msg: String): Option[LogicalPlan] = {
+      if (foldBailNote.isEmpty) foldBailNote = msg
+      None
+    }
+    val measures = reg.wheels.keys.toSeq
+    val anyIdx = reg.any
+    val anyMeasure = reg.wheels.find(_._2 eq anyIdx).get._1
+    val keyFields = reg.any.keyType.asInstanceOf[StructType].fields
+    val keyRaws = reg.keyCols.zip(keyFields).map { case (kc, f) =>
+      below.output.find(o => o.name == kc && o.dataType == f.dataType)
+    }
+    if (keyRaws.exists(_.isEmpty)) return None
+    val outerInteriors =
+      outersUs.flatMap { case (a, b) => minuteInteriorMs(a, b) }
+    val needCond = hasSecondMoment(aggExprs)
+    val gateSpecs =
+      if (!needCond) Nil
+      else condGateSpecs(aggExprs, reg.tsCol, reg.wheels.keySet, outersUs)
+    val globalAcc = new java.util.HashMap[String, AllAggregate]()
+    val gateAccs = new java.util.HashMap[(Any, Long, Int), AllAggregate]()
+    if (needCond) {
+      val gateInteriors = gateSpecs.map { case (_, spans) =>
+        spans.flatMap { case (a, b) => minuteInteriorMs(a, b) } }
+      outerInteriors.foreach { case (a, b) =>
+        anyIdx.minuteEntries(a, b).foreach { case (key, slotMs, anyAll) =>
+          val alls = reg.wheels.map {
+            case (c, _) if c == anyMeasure => c -> anyAll
+            case (c, i) => c -> i.minuteAt(key, slotMs)
+          }
+          measures.foreach { c =>
+            globalAcc.merge(c, alls(c), (x, y) => x.combine(y))
+          }
+          gateSpecs.zipWithIndex.foreach { case ((c, _), gi) =>
+            if (gateInteriors(gi).exists(r =>
+                slotMs >= r._1 && slotMs < r._2))
+              gateAccs.merge((key, grid.floorOf(slotMs), gi), alls(c),
+                (x, y) => x.combine(y))
+          }
+        }
+      }
+    }
+    val shifts: Map[String, Double] =
+      if (!needCond) Map.empty
+      else measures.map { c =>
+        val al = Option(globalAcc.get(c)).getOrElse(AllAggregate.identity)
+        c -> (if (al.count == 0L) 0.0 else al.avg)
+      }.toMap
+    val cols = partialColsFor(measures, shifts)
+    if (needCond) {
+      import scala.jdk.CollectionConverters._
+      val ill = gateAccs.entrySet().asScala.exists { e =>
+        val (_, _, gi) = e.getKey
+        !e.getValue.varWellConditionedAround(cols.shiftOf(gateSpecs(gi)._1))
+      }
+      if (ill) return refuse(IllCondNote)
+    }
+    val slotAttr = AttributeReference("__graft_slot", LongType,
+      nullable = true)()
+    val tsAttrSrc = below.output.find(_.name == reg.tsCol) match {
+      case Some(t) if t.dataType == TimestampType ||
+        t.dataType == TimestampNTZType => t
+      case _ => return None
+    }
+    val tsOut = AttributeReference("__graft_ts", tsAttrSrc.dataType,
+      nullable = true)()
+    val keyOutAttrs = keyFields.toSeq.zip(keyAttrs).zipWithIndex.map {
+      case ((f, kA), i) => AttributeReference(
+        s"__graft_key$i", f.dataType, nullable = kA.nullable)()
+    }
+    val cellOut = AttributeReference("__graft_cell", gExpr.dataType,
+      nullable = gExpr.nullable)()
+    val cr = new CondResidue("composite-keyed conditional hybrid",
+      reg.tsCol, reg.wheels.keySet, cols, outersUs, slotAttr, tsOut)
+    val newAggExprs = cr.rewriteAggExprs(aggExprs,
+      keyAttrs.zip(keyOutAttrs).map { case (kA, kO) =>
+        (Seq[Expression](kA), kO: Attribute)
+      } :+ ((Seq(slotGroup, gExpr), cellOut: Attribute))) match {
+      case Some(es) => es
+      case None => return None
+    }
+    def componentsOf(key: Any): Seq[Any] = {
+      val row = key.asInstanceOf[org.apache.spark.sql.Row]
+      keyFields.toSeq.zipWithIndex.map { case (f, i) =>
+        Literal.create(row.get(i), f.dataType).value }
+    }
+    val keyVals = new java.util.HashMap[Any, Seq[Any]]()
+    val cellVals = new java.util.HashMap[Long, Any]()
+    def cellOf(slotMs: Long): Any = {
+      val s0 = grid.floorOf(slotMs)
+      cellVals.computeIfAbsent(s0, k => slotLiteral(grid, k, grid.end(k)).value)
+    }
+    val rows = Seq.newBuilder[InternalRow]
+    outerInteriors.foreach { case (a, b) =>
+      anyIdx.minuteEntries(a, b).foreach { case (key, slotMs, anyAll) =>
+        val alls = reg.wheels.map {
+          case (c, _) if c == anyMeasure => c -> anyAll
+          case (c, i) => c -> i.minuteAt(key, slotMs)
+        }
+        rows += InternalRow.fromSeq(
+          keyVals.computeIfAbsent(key, k => componentsOf(k)) ++
+            (cellOf(slotMs) +: slotMs +:
+              (null +: cols.partialsRow(alls, anyAll.rows))))
+      }
+    }
+    val interiorRel = LocalRelation(
+      keyOutAttrs ++ (cellOut +: slotAttr +: tsOut +: cols.partialAttrs),
+      rows.result())
+    val mergedWins = cr.mergedEdgeWindows()
+    val child2: LogicalPlan =
+      if (mergedWins.isEmpty) interiorRel
+      else (residueParts(below, reg.tsCol, measures, mergedWins, shifts),
+          rebaseOnto(child, below, gExpr)) match {
+        case (Some(parts), Some(gEval)) =>
+          val edgeLeg = Project(
+            keyRaws.flatten.zipWithIndex.map { case (kr, i) =>
+              Alias(kr, s"__graft_key$i")(): NamedExpression
+            } ++ (Alias(gEval, "__graft_cell")() +:
+              Alias(Literal(null, LongType), "__graft_slot")() +:
+              Alias(tsAttrSrc, "__graft_ts")() +:
+              parts.edgePartials),
+            parts.edgeFilter)
+          Union(Seq(interiorRel, edgeLeg))
+        case _ =>
+          return refuse("composite-keyed conditional hybrid: the source " +
+            "is missing the typed ts/measure columns an edge scan needs")
+      }
+    Some(Aggregate(keyOutAttrs :+ cellOut, newAggExprs, child2))
   }
 
   /** Keyed grouped hybrid (round 9): `GROUP BY (key, time-slot)` with

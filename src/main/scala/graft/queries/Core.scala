@@ -1128,6 +1128,36 @@ object Core {
           |""".stripMargin)
     }),
 
+    // COMPOSITE-keyed CONDITIONAL hybrid (round 17 — completes the
+    // conditional matrix): per-window aggregates over the TPC-H Q1
+    // dimension pair × month grid, sub-minute outer edges. Interior
+    // (tuple-key, minute) partials pre-keyed to their month cells ∪
+    // ONE bounded sliver scan carrying both raw key columns; executor
+    // Aggregate per (flag, status, month). Bit-honest → SQL oracle.
+    "q_wheel_keyed2_cond_sql" -> ((s, dir) => {
+      graft.plans.WheelAcceleration.registerKeyedComposite(
+        s, s"$dir/lineitem.parquet", t(s, dir, "lineitem"),
+        Seq("l_returnflag", "l_linestatus"), "l_shipdate",
+        Seq("l_quantity", "l_tax"))
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_wheel")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |unix_millis(CAST(date_trunc('month', l_shipdate) AS TIMESTAMP)) AS month_ms,
+          |ROUND(SUM(CASE WHEN l_shipdate >= TIMESTAMP_NTZ '1995-01-01 00:00:00'
+          |  AND l_shipdate < TIMESTAMP_NTZ '1995-07-01 00:00:00'
+          |  THEN l_quantity END), 2) AS h1_qty,
+          |ROUND(SUM(l_quantity) FILTER (
+          |  WHERE l_shipdate >= TIMESTAMP_NTZ '1995-07-01 00:00:00'), 2) AS late_qty,
+          |ROUND(SUM(CASE WHEN l_shipdate < TIMESTAMP_NTZ '1995-01-01 00:00:00'
+          |  THEN l_tax ELSE 0 END), 4) AS pre_tax0,
+          |COUNT(*) AS n
+          |FROM lineitem_wheel
+          |WHERE l_shipdate >= TIMESTAMP_NTZ '1994-02-15 00:00:07.123'
+          |AND l_shipdate < TIMESTAMP_NTZ '1996-05-09 23:59:02'
+          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+          |""".stripMargin)
+    }),
+
     // GROUPED OR-ranges fold (round 13): the week-vs-week COMPARISON as
     // a day series — one statement, two disjoint ranges, per-day rows
     // from per-cell index queries combined across ranges. Zero FileScan;
@@ -1757,6 +1787,20 @@ object Core {
         "ROUND(SUM(l_quantity), 2) AS sum_qty, ROUND(MAX(l_tax), 4) AS max_tax, " +
         "COUNT(*) AS n FROM lineitem " +
         s"WHERE epoch_ms(l_shipdate) >= $LiUStart AND epoch_ms(l_shipdate) < $LiUEnd " +
+        "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
+    "q_wheel_keyed2_cond_sql" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "epoch_ms(date_trunc('month', l_shipdate)) AS month_ms, " +
+        "ROUND(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1995-01-01 00:00:00' " +
+        "AND l_shipdate < TIMESTAMP '1995-07-01 00:00:00' " +
+        "THEN l_quantity END), 2) AS h1_qty, " +
+        "ROUND(SUM(l_quantity) FILTER (" +
+        "WHERE l_shipdate >= TIMESTAMP '1995-07-01 00:00:00'), 2) AS late_qty, " +
+        "ROUND(SUM(CASE WHEN l_shipdate < TIMESTAMP '1995-01-01 00:00:00' " +
+        "THEN l_tax ELSE 0 END), 4) AS pre_tax0, " +
+        "COUNT(*) AS n FROM lineitem " +
+        "WHERE l_shipdate >= TIMESTAMP '1994-02-15 00:00:07.123' " +
+        "AND l_shipdate < TIMESTAMP '1996-05-09 23:59:02' " +
         "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
     "q_wheel_keyed2_residue_sql" ->
       ("SELECT l_returnflag, l_linestatus, " +

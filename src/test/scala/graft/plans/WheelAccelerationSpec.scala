@@ -3217,6 +3217,65 @@ class WheelAccelerationSpec extends AnyFunSuite {
     WheelAcceleration.clear()
     val sdWant = spark.sql(sdSql).collect().map(_.toString).toSeq
     assert(sdGot == sdWant, s"$sdGot vs $sdWant")
+    // CONDITIONAL aggregates over the tuple grid (round 17 — completes
+    // the conditional matrix): per-window aggregates with sub-minute
+    // outer AND per-aggregate edges, ELSE 0, FILTER counts — fold ==
+    // scan in both regimes
+    reg()
+    val wMid = T0 + 3 * 3600000L
+    val condSql = "SELECT k1, k2, (unix_millis(ts) div 3600000) * 3600000 AS h, " +
+      s"ROUND(SUM(CASE WHEN unix_millis(ts) >= ${wMid + 7123L} " +
+      s"AND unix_millis(ts) < ${T0 + 6 * 3600000L} THEN value END), 2) AS w_sum, " +
+      s"ROUND(SUM(CASE WHEN unix_millis(ts) < $wMid THEN value ELSE 0 END), 2) AS pre0, " +
+      s"COUNT(*) FILTER (WHERE unix_millis(ts) >= $wMid) AS n_after, " +
+      "COUNT(*) AS n FROM ck_residue " +
+      s"WHERE unix_millis(ts) >= $oA AND unix_millis(ts) < $oB " +
+      "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
+    def checkCond(): Unit = {
+      val df = spark.sql(condSql)
+      assert(df.queryExecution.optimizedPlan.collect {
+        case l: LocalRelation => l }.nonEmpty,
+        df.queryExecution.optimizedPlan.treeString)
+      val got = df.collect().map(_.toString).toSeq
+      WheelAcceleration.clear()
+      val want = spark.sql(condSql).collect().map(_.toString).toSeq
+      reg()
+      assert(got == want, s"got=$got\nwant=$want")
+    }
+    checkCond()
+    spark.conf.set("spark.graft.wheel.rewrite.maxFoldRows", "2")
+    try checkCond()
+    finally spark.conf.unset("spark.graft.wheel.rewrite.maxFoldRows")
+    // OR-of-ranges outer over the tuple grid (round 17): aligned
+    // disjuncts fold scan-free (no sliver windows at all); an
+    // unaligned disjunct adds the one bounded edge scan
+    val (r1a, r1b) = (T0, T0 + 2 * 3600000L)
+    val (r2a, r2b) = (T0 + 5 * 3600000L, T0 + 7 * 3600000L)
+    def runOr(sql: String, expect: String): Unit = {
+      val df = spark.sql(sql)
+      val local = df.queryExecution.optimizedPlan.collect {
+        case l: LocalRelation => l }.nonEmpty
+      val scan = df.queryExecution.executedPlan.toString.contains("FileScan")
+      val shape = if (local && !scan) "fold"
+        else if (local && scan) "hybrid" else "scan"
+      assert(shape == expect, s"shape=$shape (want $expect): $sql\n" +
+        df.queryExecution.optimizedPlan.treeString)
+      val got = df.collect().map(_.toString).toSeq
+      WheelAcceleration.clear()
+      val want = spark.sql(sql).collect().map(_.toString).toSeq
+      reg()
+      assert(got == want, s"got=$got\nwant=$want")
+    }
+    runOr("SELECT k1, k2, (unix_millis(ts) div 3600000) * 3600000 AS h, " +
+      "ROUND(SUM(value), 2) AS s, COUNT(*) AS n FROM ck_residue " +
+      s"WHERE (unix_millis(ts) >= $r1a AND unix_millis(ts) < $r1b) " +
+      s"OR (unix_millis(ts) >= $r2a AND unix_millis(ts) < $r2b) " +
+      "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3", expect = "fold")
+    runOr("SELECT k1, k2, (unix_millis(ts) div 3600000) * 3600000 AS h, " +
+      "ROUND(SUM(value), 2) AS s, COUNT(*) AS n FROM ck_residue " +
+      s"WHERE (unix_millis(ts) >= ${r1a + 30000L} AND unix_millis(ts) < $r1b) " +
+      s"OR (unix_millis(ts) >= $r2a AND unix_millis(ts) < ${r2b - 30000L}) " +
+      "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3", expect = "hybrid")
     WheelAcceleration.clear()
   }
 
