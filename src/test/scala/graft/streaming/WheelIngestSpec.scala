@@ -408,6 +408,25 @@ class WheelIngestSpec extends AnyFunSuite {
       assert(folded(ungrouped))
       val r = ungrouped.collect()(0)
       assert(r.getDouble(0) == 15.0 && r.getLong(1) == 4L)
+
+      // KEYED-GROUPED conditional with a sub-minute per-aggregate edge
+      // folds off the LIVE keyed registration too (round 17): the
+      // (key, minute) partials from the streaming accumulator + the
+      // sliver from a bounded scan of the CURRENT files. The window
+      // starts at t0+Min+1ms: click's late row (exactly there) is kept,
+      // view's row at exactly t0+Min falls 1 ms short — per-key NULLs.
+      spark.read.parquet(path).createOrReplaceTempView("live_events")
+      val kcond = spark.sql(
+        s"SELECT event_type, (unix_millis(ts) div $Min) * $Min AS slot_ms, " +
+          s"SUM(CASE WHEN unix_millis(ts) >= ${t0 + Min + 1} " +
+          s"THEN value END) AS w, COUNT(*) AS n FROM live_events " +
+          s"WHERE unix_millis(ts) >= $t0 AND unix_millis(ts) < ${t0 + 3 * Min} " +
+          "GROUP BY 1, 2 ORDER BY 1, 2")
+      assert(folded(kcond), kcond.queryExecution.optimizedPlan.treeString)
+      assert(kcond.collect().map(r2 => (r2.getString(0), r2.getLong(1),
+        if (r2.isNullAt(2)) null else r2.getDouble(2), r2.getLong(3))).toSeq ==
+        Seq(("click", t0, null, 1L), ("click", t0 + Min, 4.0, 1L),
+          ("purchase", t0 + 2 * Min, 8.0, 1L), ("view", t0 + Min, null, 1L)))
     } finally {
       q.stop()
       WheelAcceleration.unregister(path)
