@@ -27,9 +27,9 @@ import org.apache.spark.sql.types._
   *  2. a LOCAL running sum per id-range bucket
   *     (`Window.partitionBy(pid).orderBy(id)` — every bucket sorts
   *     independently, full cluster parallelism);
-  *  3. per-bucket totals — read off the windowed branch itself as the
-  *     running sum at each bucket's max id (`max_by`), so the totals
-  *     side shares the window branch's exchange (`ReusedExchange`: the
+  *  3. per-bucket totals — re-summed from the token column of the
+  *     WINDOWED branch (exact under duplicate ids and any sign), so
+  *     the totals side shares the window branch's exchange (the
   *     upstream runs one pass) — cumulated into exclusive bucket
   *     offsets. The offsets side is ≤ `spark.sql.shuffle.partitions`
   *     rows, so ITS global-order window is the "window over ~30 rows,
@@ -71,22 +71,24 @@ object PrefixSum {
     val pidExpr = bounds.foldLeft(lit(0)) { (acc, b) =>
       acc + when(col(idCol) > boundLit(b), 1).otherwise(0)
     }
+    val zero = lit(0).cast(df.schema(tokCol).dataType)
     val ranged = df.withColumn("__graft_pid", pidExpr)
     val wLocal = Window.partitionBy(col("__graft_pid")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = ranged.withColumn("__graft_local",
-      sum(coalesce(col(tokCol), lit(0).cast(df.schema(tokCol).dataType)))
-        .over(wLocal))
-    // offsets: each bucket's total is the windowed branch's running sum
-    // at the bucket's last id — ≤ `parts` rows, the tiny side of the
-    // layering. Deriving from `local` (not from `ranged`) makes both
-    // join branches share the same Exchange(hash(pid)) subtree, so the
-    // upstream is written to shuffle once and reused.
+      sum(coalesce(col(tokCol), zero)).over(wLocal))
+    // offsets: each bucket's total re-sums the token column — exact for
+    // duplicate ids (the running sum at an arbitrary max-id row is NOT
+    // the bucket total when ids tie) and any sign — ≤ `parts` rows, the
+    // tiny side of the layering. Deriving from `local` (not from
+    // `ranged`) makes both join branches share the same
+    // Exchange(hash(pid)) subtree, so the upstream is written to
+    // shuffle once and reused.
     val wOff = Window.orderBy(col("__graft_pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = local
       .groupBy(col("__graft_pid"))
-      .agg(max_by(col("__graft_local"), col(idCol)).as("__graft_psum"))
+      .agg(sum(coalesce(col(tokCol), zero)).as("__graft_psum"))
       .select(col("__graft_pid"),
         coalesce(sum(col("__graft_psum")).over(wOff), lit(0L)).as("__graft_off"))
     local.join(broadcast(offsets), "__graft_pid")

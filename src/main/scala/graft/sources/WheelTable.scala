@@ -414,12 +414,21 @@ private[sources] object WheelStats {
            org.apache.spark.sql.types.DateType => true
       case _ => false
     })
+    // NDV is tracked only for the types a join/group key can be
+    // (integral, string, timestamp) — hashing every per-slot DOUBLE
+    // partial would tax planning for a statistic estimation never uses
+    val trackNdv = fields.map(_.dataType match {
+      case org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.FloatType => false
+      case _ => true
+    })
     val mins = new Array[Any](n)
     val maxs = new Array[Any](n)
     val nulls = new Array[Long](n)
     val NdvCap = 1 << 16
     val ndv: Array[java.util.HashSet[Any]] =
-      Array.fill(n)(new java.util.HashSet[Any]())
+      Array.tabulate(n)(i =>
+        if (trackNdv(i)) new java.util.HashSet[Any]() else null)
     var rows = 0L
     walk().foreach { value =>
       rows += 1
@@ -441,7 +450,7 @@ private[sources] object WheelStats {
     }
     val colStats = new java.util.HashMap[NamedReference, ColumnStatistics]()
     fields.zipWithIndex.foreach { case (f, i) =>
-      val exactNdv = ndv(i).size < NdvCap
+      val exactNdv = ndv(i) != null && ndv(i).size < NdvCap
       val (mn, mx, nc, dc) = (mins(i), maxs(i), nulls(i),
         if (exactNdv) Some(ndv(i).size.toLong) else None)
       colStats.put(Expressions.column(f.name), new ColumnStatistics {

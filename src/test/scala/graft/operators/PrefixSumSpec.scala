@@ -61,6 +61,26 @@ class PrefixSumSpec extends AnyFunSuite {
     assert(gl == Map(1L -> 0L, 2L -> 3L))
   }
 
+  test("DUPLICATE ids: bucket totals stay exact (round 17) — per-row " +
+      "order within a tie is ambiguous (as in the single-window " +
+      "spelling) but the cumulative THROUGH each id group is not") {
+    // 4 rows per id; pid is a function of the id, so a tie never spans
+    // buckets — the max run within an id group is the exact cumulative
+    // through that group, and any error in a bucket's total would shift
+    // every later group
+    val rows = (0 until 2000).map(i => ((i / 4).toLong, (i % 7) + 1L))
+    val df = spark.createDataset(rows).toDF("id", "v").repartition(9)
+    val got = PrefixSum.runningSum(df, "id", "v", "run").collect()
+      .groupBy(_.getAs[Long]("id"))
+      .map { case (k, rs) => k -> rs.map(_.getAs[Long]("run")).max }
+    val totals = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    var acc = 0L
+    val want = totals.keys.toSeq.sorted.map { id =>
+      acc += totals(id); id -> acc
+    }.toMap
+    assert(got == want)
+  }
+
   test("non-numeric id refuses up front") {
     val df = Seq(("a", 1L)).toDF("id", "v")
     intercept[IllegalArgumentException] {
