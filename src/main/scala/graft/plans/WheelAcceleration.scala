@@ -4367,8 +4367,22 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
               slidingResidue(agg, winAttr, expand, membership, aggExprs,
                 tsCol, wheels, slideMs, offMs, sizeMs, a, b, None,
                 aboveCap = true))
-        } else if (a % MinuteMs == 0 && b % MinuteMs == 0) {
+        } else if (a % MinuteMs == 0 && b % MinuteMs == 0)
+          bail(path, foldNote("sliding shape not foldable")) {
+          foldBailNote = ""
           val winType = winAttr.dataType.asInstanceOf[StructType]
+          // per-aggregate conditional windows under a SLIDING grouping
+          // (round 17): each window folds through the conditional row
+          // with the window∩outer as its outer range — same contract
+          // as the round-16 per-cell grouped conditional (minute-
+          // aligned per-aggregate ranges; ELSE-0 from the window's own
+          // row count)
+          val hasConditional = aggExprs.exists(_.exists {
+            case ae: AggregateExpression =>
+              ae.filter.nonEmpty ||
+                ae.aggregateFunction.children.exists(_.isInstanceOf[CaseWhen])
+            case _ => false
+          })
           val out = Seq.newBuilder[InternalRow]
           var ok = true
           val it = slidingStarts(a, b, slideMs, offMs, sizeMs)
@@ -4377,9 +4391,17 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
             val alls = wheels.map { case (c, i) =>
               c -> i.query(math.max(a, ws), math.min(b, ws + sizeMs)) }
             if (alls.valuesIterator.next().rows > 0L) {
-              foldRow(aggExprs, alls, Seq((Seq(winAttr),
-                Literal(InternalRow(ws * 1000L, (ws + sizeMs) * 1000L), winType))),
-                sketch, (math.max(a, ws), math.min(b, ws + sizeMs))) match {
+              val subst = Seq((Seq(winAttr: Expression),
+                Literal(InternalRow(ws * 1000L, (ws + sizeMs) * 1000L), winType)))
+              val folded =
+                if (hasConditional)
+                  foldConditionalRow(aggExprs, path, tsCol, wheels,
+                    Seq((math.max(a, ws) * 1000L,
+                      math.min(b, ws + sizeMs) * 1000L)),
+                    MinuteMs * 1000L, groupSubst = subst)
+                else foldRow(aggExprs, alls, subst,
+                  sketch, (math.max(a, ws), math.min(b, ws + sizeMs)))
+              folded match {
                 case Some(vals) => out += InternalRow.fromSeq(vals)
                 case None => ok = false
               }

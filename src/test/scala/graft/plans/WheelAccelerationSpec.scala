@@ -4176,6 +4176,57 @@ class WheelAccelerationSpec extends AnyFunSuite {
     WheelAcceleration.clear()
   }
 
+  test("SLIDING conditional windows fold per window (round 17): each " +
+      "window's outer is window∩range, ELSE-0 from its own row count") {
+    WheelAcceleration.clear()
+    register()
+    events.createOrReplaceTempView("events_accel")
+    val (oA, oB) = (Q.R1Start, Q.R1Start + 2 * 86400000L)
+    val wa = Q.R1Start + 30 * 3600000L
+    def run(sql: String): Seq[String] = {
+      val df = spark.sql(sql)
+      assert(df.queryExecution.optimizedPlan.collect {
+        case l: LocalRelation => l }.nonEmpty,
+        df.queryExecution.optimizedPlan.treeString)
+      assert(!df.queryExecution.executedPlan.toString.contains("FileScan"))
+      val got = df.collect().map(_.toString).toSeq
+      WheelAcceleration.clear()
+      val want = spark.sql(sql).collect().map(_.toString).toSeq
+      register()
+      assert(got == want, s"$sql\n got=$got\nwant=$want")
+      got
+    }
+    // overlapping 2h/1h windows with per-aggregate minute-aligned
+    // windows, ELSE 0, FILTER count — each row lands in 2 windows and
+    // each window clips every condition independently
+    val r1 = run("SELECT unix_millis(window.start) AS ws, " +
+      s"ROUND(SUM(CASE WHEN unix_millis(ts) >= $wa THEN value END), 2) AS post, " +
+      s"ROUND(SUM(CASE WHEN unix_millis(ts) < $wa THEN value ELSE 0 END), 2) AS pre0, " +
+      s"COUNT(*) FILTER (WHERE unix_millis(ts) >= $wa) AS n_after, " +
+      "ROUND(SUM(value), 2) AS s, COUNT(*) AS n FROM events_accel " +
+      s"WHERE unix_millis(ts) >= $oA AND unix_millis(ts) < $oB " +
+      "GROUP BY window(ts, '2 hours', '1 hour') ORDER BY 1")
+    assert(r1.nonEmpty)
+    // the membership-filtered non-divisible slide (3m/2m) too
+    assert(run("SELECT unix_millis(window.start) AS ws, " +
+      s"ROUND(SUM(value) FILTER (WHERE unix_millis(ts) < $wa), 2) AS pre, " +
+      "COUNT(*) AS n FROM events_accel " +
+      s"WHERE unix_millis(ts) >= $oA AND unix_millis(ts) < ${oA + 3 * 3600000L} " +
+      "GROUP BY window(ts, '3 minutes', '2 minutes') ORDER BY 1").nonEmpty)
+    // a SUB-MINUTE per-aggregate condition keeps the scan (pinned —
+    // sliding windows have no sliver leg)
+    val df = spark.sql("SELECT unix_millis(window.start) AS ws, " +
+      s"ROUND(SUM(CASE WHEN unix_millis(ts) >= ${wa + 7123L} THEN value END), 2) AS w " +
+      "FROM events_accel " +
+      s"WHERE unix_millis(ts) >= $oA AND unix_millis(ts) < $oB " +
+      "GROUP BY window(ts, '2 hours', '1 hour')")
+    assert(df.queryExecution.optimizedPlan.collect {
+      case l: LocalRelation => l }.isEmpty)
+    assert(WheelAcceleration.lastBailReason(path).getOrElse("")
+      .contains("minute-aligned"), WheelAcceleration.lastBailReason(path))
+    WheelAcceleration.clear()
+  }
+
   test("registerPrebuilt refuses a mixed-retention measure map " +
       "(round 16, ADVICE r15)") {
     // Sibling wheels are read at the head wheel's cover slots — sound
