@@ -1691,7 +1691,17 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       } else if (wheels.nonEmpty)
         bail(path, foldNote("unaligned range not foldable hybrid (no " +
           "whole-minute interior, or aggregates without a merge form)"))(
-          rewriteResidue(agg, aggExprs, below, tsCol, wheels, aUs, bUs))
+          rewriteResidue(agg, aggExprs, below, tsCol, wheels, aUs, bUs)
+            .orElse {
+              // round 17: an approximate spelling refuses the numeric
+              // hybrid (no merge form) but folds through the residue
+              // sketch seam — per-minute sketch bytes ∪ raw edge rows
+              if (hasSketchAgg(aggExprs) && sketch.nonEmpty) {
+                foldBailNote = ""
+                foldConditionalResidue(agg, aggExprs, below, tsCol,
+                  wheels, Seq((aUs, bUs)), sketch)
+              } else None
+            })
       else None
     }
    } yield result)
@@ -1749,7 +1759,19 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
           bail(path, foldNote("unaligned OR-ranges not foldable hybrid " +
             "(no whole-minute interior, or aggregates without a merge " +
             "form)"))(
-            orRangesResidue(agg, aggExprs, below, tsCol, wheels, merged))
+            orRangesResidue(agg, aggExprs, below, tsCol, wheels, merged)
+              .orElse {
+                // round 17: approximate spellings over unaligned OR
+                // outers ride the residue sketch seam (the conditional
+                // hybrid accepts any merged outer set)
+                val sketch = WheelAcceleration.lookupSketch(path)
+                  .filter(_.tsCol == tsCol)
+                if (hasSketchAgg(aggExprs) && sketch.nonEmpty) {
+                  foldBailNote = ""
+                  foldConditionalResidue(agg, aggExprs, below, tsCol,
+                    wheels, merged, sketch)
+                } else None
+              })
       }
     } yield result
   }
@@ -1910,7 +1932,9 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
             })
         val folded =
           if (anyUnaligned)
-            foldConditionalResidue(agg, aggExprs, below, tsCol, wheels, outers)
+            foldConditionalResidue(agg, aggExprs, below, tsCol, wheels,
+              outers,
+              WheelAcceleration.lookupSketch(path).filter(_.tsCol == tsCol))
           else foldConditionalRow(aggExprs, path, tsCol, wheels,
             outers, MinuteUs)
             .map(r => LocalRelation(agg.output,
@@ -1994,7 +2018,11 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       agg: Aggregate, aggExprs: Seq[NamedExpression],
       below: LogicalPlan, tsCol: String,
       wheels: Map[String, WheelIndex],
-      outersUs: Seq[(Long, Long)]): Option[LogicalPlan] = {
+      outersUs: Seq[(Long, Long)],
+      // round 17: the source's sketch registration, when fresh — lets
+      // approximate spellings fold through the same two-leg union (see
+      // the RESIDUE SKETCH SEAM below) instead of refusing outright
+      sketchOpt: Option[WheelAcceleration.SketchReg] = None): Option[LogicalPlan] = {
     val MinuteUs = MinuteMs * 1000L
     var supported = true
     def refuse[T](msg: String, keep: T): T = {
@@ -2032,6 +2060,28 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     }
     val tsOut = AttributeReference("__graft_ts", tsAttrSrc.dataType,
       nullable = true)()
+    // RESIDUE SKETCH SEAM (round 17): approximate spellings fold
+    // through the same two-leg union instead of refusing — interior
+    // minutes ship the family's raw per-minute sketch BYTES (one
+    // binary column per served (family, input column)), the edge rows
+    // ship the RAW sketched value (cast exactly as the build casts),
+    // and a union-or-update aggregate
+    // ([[graft.functions.SketchUpdateAgg]]) unions bytes / updates
+    // raws behind the same per-aggregate span FILTER that keeps the
+    // numeric legs disjoint. Theta stays order-insensitive under the
+    // mixed feed, so exact-regime answers equal the scan's; KLL and
+    // Misra-Gries ride the family's any-merge-order bounds. Accuracy
+    // gates are the STATIC worst-case forms (the distributed posture):
+    // requests tighter than the wheels' worst case refuse to the scan.
+    val neededSketch = scala.collection.mutable.LinkedHashMap
+      .empty[(String, String), (AttributeReference, AttributeReference)]
+    def sketchAttrs(family: String, colName: String,
+        rawType: DataType): (AttributeReference, AttributeReference) =
+      neededSketch.getOrElseUpdate((family, colName), (
+        AttributeReference(s"__graft_skb_${family}_$colName", BinaryType,
+          nullable = true)(),
+        AttributeReference(s"__graft_skr_${family}_$colName", rawType,
+          nullable = true)()))
     // every spanFilter registers its slivers here — the edge scan's
     // merged window set
     val edgeWins = scala.collection.mutable.LinkedHashSet.empty[(Long, Long)]
@@ -2053,6 +2103,19 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     def sumRowsAe(filter: Expression): Expression =
       AggregateExpression(Sum(cols.rowsAttr), Complete, isDistinct = false)
         .copy(filter = Some(filter))
+    /** The union-or-update merge expression for one approximate
+      * spelling over its clipped spans, or None — with the refusal
+      * note set (and `supported` cleared) when a GATE failed, unset
+      * when no fresh registration serves the column. */
+    def sketchMerged(fn: AggregateFunction,
+        spans: Seq[(Long, Long)]): Option[Expression] =
+      residueSketchExpr(fn,
+        served = sketchServedOf(sketchOpt),
+        rawSrcOk = residueRawSrcOk(below),
+        sketchAttrs = sketchAttrs,
+        refuseMsg = msg => { refuse(msg, ()); () },
+        mkAgg = f => AggregateExpression(f, Complete, isDistinct = false)
+          .copy(filter = Some(spanFilter(spans))))
     def mergedCond(ae: AggregateExpression): Expression = {
       if (!supported) return ae
       condParts(ae) match {
@@ -2071,9 +2134,16 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
           fn match {
             case _: HyperLogLogPlusPlus | _: ApproximatePercentile
                  | _: ApproxTopK =>
-              return refuse("conditional hybrid: sketch spellings over " +
-                "sub-minute ranges keep the scan (no sub-minute sketch " +
-                "state exists)", ae)
+              // round 17: ride the union-or-update seam when a fresh
+              // registration serves the column; gates refuse honestly
+              return sketchMerged(fn, spans).getOrElse {
+                if (supported)
+                  refuse("conditional hybrid: no fresh sketch " +
+                    s"registration serves ${fn.prettyName} on this " +
+                    "column (or the source misses the typed raw " +
+                    "column its edge updates need) — scan kept", ae)
+                else ae
+              }
             case _ => ()
           }
           val secondMoment = fn match {
@@ -2121,12 +2191,15 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       if (out.exprId == ne.exprId) out else Alias(out, ne.name)(ne.exprId)
     }
     if (!supported) return None
+    val skCols = neededSketch.toSeq
+    val skAttrs = skCols.flatMap { case (_, (b, r)) => Seq(b, r) }
     val allowed = cols.partialAttrs.map(_.exprId).toSet +
-      slotAttr.exprId + tsOut.exprId
+      slotAttr.exprId + tsOut.exprId ++ skAttrs.map(_.exprId)
     if (newAggExprs.exists(_.exists {
       case at: Attribute => !allowed.contains(at.exprId)
       case _ => false
     })) return None
+    val skBytesAt = sketchBytesAt(sketchOpt) _
     // interior leg: one slot-tagged partials row per non-empty minute
     val headMeasure = measures.head
     val headIdx = wheels(headMeasure)
@@ -2137,14 +2210,17 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
           case (c, _) if c == headMeasure => c -> headAll
           case (c, i) => c -> i.minuteAt(slot)
         }
+        val skVals = skCols.flatMap { case ((f, c), _) =>
+          Seq(skBytesAt(f, c, slot), null) }
         rows += InternalRow.fromSeq(
-          (slot +: (null +: cols.partialsRow(alls, headAll.rows))))
+          (slot +: (null +: cols.partialsRow(alls, headAll.rows))) ++ skVals)
       }
     }
     val interiorRel = LocalRelation(
-      slotAttr +: tsOut +: cols.partialAttrs, rows.result())
+      (slotAttr +: tsOut +: cols.partialAttrs) ++ skAttrs, rows.result())
     // edge leg: ONE bounded scan of the merged slivers; each row keeps
-    // its raw ts and NULLs the slot tag
+    // its raw ts and NULLs the slot tag — sketch columns invert: the
+    // raw value rides (cast as the build casts), the bytes are NULL
     val mergedWins =
       if (edgeWins.isEmpty) Nil else mergeRanges(edgeWins.toSeq)
     val child: LogicalPlan =
@@ -2155,9 +2231,9 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
             "typed ts/measure columns an edge scan needs", None)
         case Some(parts) =>
           val edgeLeg = Project(
-            Alias(Literal(null, LongType), "__graft_slot")() +:
+            (Alias(Literal(null, LongType), "__graft_slot")() +:
               Alias(tsAttrSrc, "__graft_ts")() +:
-              parts.edgePartials,
+              parts.edgePartials) ++ sketchEdgeAliases(below, skCols),
             parts.edgeFilter)
           Union(Seq(interiorRel, edgeLeg))
       }
@@ -2423,7 +2499,9 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
             // minute) partials + an executor Aggregate, still scan-free
             foldKeyedConditionalResidue(agg, keyAttr, aggExprs,
               findFilter(child).map(_._2).getOrElse(child), reg,
-              outerRanges)
+              outerRanges,
+              WheelAcceleration.lookupKeyedSketch(path).filter(r =>
+                r.tsCol == reg.tsCol && r.keyCol == reg.keyCol))
           else if (reg.any.keys.size.toLong > maxFoldRows)
             // ABOVE-CAP distributed form (round 15, VERDICT r14 #1):
             // per-aggregate range clipping IS expressible against
@@ -2473,10 +2551,211 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     * OUTER slivers unconditionally — group presence: a group whose
     * only outer rows fall there must still emit, with every
     * aggregate's own FILTER excluding the extra rows from values). */
+  /** Shared gate + expression construction of the RESIDUE SKETCH SEAM
+    * (round 17): one approximate spelling's union-or-update merge
+    * aggregate, or None — with the refusal note recorded via
+    * `refuseMsg` when a GATE failed, silently when no fresh
+    * registration serves the column (the caller pins its own
+    * no-registration note). `served(family, col)` answers whether a
+    * fresh wheel serves the (family, column) and whether EVERY serving
+    * wheel's minute tier is complete; `rawSrcOk(col, integral)` checks
+    * the source carries the typed raw column an edge update needs
+    * (integral for the Theta/Misra-Gries long-key contract, numeric
+    * for KLL); `sketchAttrs` allocates-or-returns the (bytes, raw)
+    * relation attributes; `mkAgg` wraps the new aggregate function
+    * with the caller's Complete + span FILTER. Accuracy gates are the
+    * STATIC worst-case forms (the distributed posture): edge-row
+    * counts are unknowable at plan time, so requests tighter than the
+    * wheels' worst case refuse to the scan. */
+  private def residueSketchExpr(
+      fn: AggregateFunction,
+      served: (String, String) => Option[Boolean],
+      rawSrcOk: (String, Boolean) => Boolean,
+      sketchAttrs: (String, String, DataType) => (AttributeReference, AttributeReference),
+      refuseMsg: String => Unit,
+      mkAgg: AggregateFunction => Expression): Option[Expression] = {
+    def inputCol(e: Expression): Option[String] = e match {
+      case at: AttributeReference => Some(at.name)
+      case _ => None
+    }
+    def gate(ok: Boolean, msg: => String): Option[Unit] =
+      if (ok) Some(()) else { refuseMsg(msg); None }
+    fn match {
+      case hll: HyperLogLogPlusPlus => for {
+        colName <- inputCol(hll.child)
+        complete <- served("d", colName)
+        if rawSrcOk(colName, true)
+        _ <- gate(complete,
+          "residue sketch seam: the Theta wheel's minute tier is " +
+            "retention-evicted (no per-minute bytes to ship) — scan kept")
+        _ <- gate(hll.relativeSD + 1e-12 >=
+            graft.functions.SketchMergeAggs.ThetaWorstRse,
+          f"approx_count_distinct requested rsd ${hll.relativeSD}%.4f " +
+            f"tighter than the Theta wheel's worst-case " +
+            f"${graft.functions.SketchMergeAggs.ThetaWorstRse}%.4f — " +
+            "the residue hybrid gates statically, scan kept")
+      } yield {
+        val (bAttr, rAttr) = sketchAttrs("d", colName, LongType)
+        mkAgg(graft.functions.ThetaUpdateMergeAgg(bAttr, rAttr))
+      }
+      case ap: ApproximatePercentile => for {
+        colName <- inputCol(ap.child)
+        complete <- served("q", colName)
+        if rawSrcOk(colName, false)
+        _ <- gate(complete,
+          "residue sketch seam: the KLL wheel's minute tier is " +
+            "retention-evicted — scan kept")
+        requestedEps = ap.accuracyExpression.eval(InternalRow.empty) match {
+          case i: java.lang.Integer => 1.0 / math.max(1, i.intValue())
+          case l: java.lang.Long => 1.0 / math.max(1L, l.longValue()).toDouble
+          case _ => 0.0 // unknown accuracy spelling: strictest reading
+        }
+        wheelEps = org.apache.datasketches.kll.KllSketch
+          .getNormalizedRankError(graft.wheel.QuantileWheel.K, false)
+        _ <- gate(requestedEps + 1e-12 >= wheelEps,
+          f"percentile_approx requested rank error $requestedEps%.6f " +
+            f"tighter than the KLL wheel's $wheelEps%.4f — the residue " +
+            "hybrid gates statically (edge-row counts are unknowable " +
+            "at plan time), scan kept")
+        ps <- ap.percentageExpression.eval(InternalRow.empty) match {
+          case d: java.lang.Double => Some((Seq(d.doubleValue()), true))
+          case arr: org.apache.spark.sql.catalyst.util.ArrayData =>
+            Some((arr.toDoubleArray().toSeq, false))
+          case _ => None
+        }
+        // the KLL wheel is a doubles sketch: only the double-typed
+        // spelling keeps the output schema bit-identical
+        _ <- if ((ps._2 && ap.dataType == DoubleType) ||
+            (!ps._2 && (ap.dataType match {
+              case ArrayType(DoubleType, _) => true
+              case _ => false
+            }))) Some(()) else None
+      } yield {
+        val (bAttr, rAttr) = sketchAttrs("q", colName, DoubleType)
+        mkAgg(graft.functions.KllUpdateMergeAgg(bAttr, rAttr,
+          ps._1, ps._2, ap.dataType))
+      }
+      case tk: ApproxTopK => for {
+        _ <- if (tk.expr.dataType == LongType) Some(()) else None
+        colName <- inputCol(tk.expr)
+        complete <- served("f", colName)
+        if rawSrcOk(colName, true)
+        _ <- gate(complete,
+          "residue sketch seam: the Misra-Gries wheel's minute tier is " +
+            "retention-evicted — scan kept")
+        k <- tk.k.eval(InternalRow.empty) match {
+          case i: java.lang.Integer => Some(i.intValue())
+          case l: java.lang.Long => Some(l.intValue())
+          case _ => None
+        }
+        trackedEff = (tk.maxItemsTracked.eval(InternalRow.empty) match {
+          case i: java.lang.Integer => i.intValue()
+          case l: java.lang.Long => l.intValue()
+          case _ => ApproxTopK.DEFAULT_MAX_ITEMS_TRACKED
+        }) match {
+          case t if t <= 0 => ApproxTopK.DEFAULT_MAX_ITEMS_TRACKED
+          case t => t
+        }
+        _ <- gate(graft.wheel.FrequencyWheel.MaxMapSize >=
+            ApproxTopK.calMaxMapSize(trackedEff),
+          s"approx_top_k tracks $trackedEff items (map size " +
+            s"${ApproxTopK.calMaxMapSize(trackedEff)}) but the " +
+            s"Misra-Gries wheel's budget is " +
+            s"${graft.wheel.FrequencyWheel.MaxMapSize} — the residue " +
+            "hybrid gates statically, scan kept")
+      } yield {
+        val (bAttr, rAttr) = sketchAttrs("f", colName, LongType)
+        mkAgg(graft.functions.MgUpdateMergeAgg(bAttr, rAttr, k, tk.dataType))
+      }
+      case _ => None
+    }
+  }
+
+  /** The seam's `served` callback for an UNKEYED sketch registration:
+    * Some(minute-tier complete) when a wheel serves (family, col). */
+  private def sketchServedOf(sketchOpt: Option[WheelAcceleration.SketchReg])
+      : (String, String) => Option[Boolean] = (family, col) =>
+    sketchOpt.flatMap(sk => family match {
+      case "d" => sk.distinct.get(col).map(_.minuteTierComplete)
+      case "q" => sk.quantile.get(col).map(_.minuteTierComplete)
+      case _ => sk.freq.get(col).map(_.minuteTierComplete)
+    })
+
+  /** The seam's `served` callback for a KEYED sketch registration —
+    * EVERY key's wheel must retain its minute tier (the same forall
+    * the distributed keyed sketch form gates on). */
+  private def keyedSketchServedOf(
+      keyedSk: Option[WheelAcceleration.KeyedSketchReg])
+      : (String, String) => Option[Boolean] = (family, col) =>
+    keyedSk.flatMap(sk => family match {
+      case "d" => sk.distinct.get(col)
+        .map(_.valuesIterator.forall(_.minuteTierComplete))
+      case "q" => sk.quantile.get(col)
+        .map(_.valuesIterator.forall(_.minuteTierComplete))
+      case _ => sk.freq.get(col)
+        .map(_.valuesIterator.forall(_.minuteTierComplete))
+    })
+
+  /** Does the edge scan's source carry the typed raw column an edge
+    * update needs — integral for the Theta/Misra-Gries long-key
+    * contract, any numeric for KLL (both mirror the builds' casts). */
+  private def residueRawSrcOk(below: LogicalPlan)(
+      col: String, integral: Boolean): Boolean =
+    below.output.exists(at => at.name == col && (
+      if (integral)
+        Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+          .contains(at.dataType)
+      else at.dataType.isInstanceOf[NumericType]))
+
+  /** Per-minute sketch bytes for an UNKEYED interior row (null = empty
+    * minute for that family/column — contributes nothing). */
+  private def sketchBytesAt(sketchOpt: Option[WheelAcceleration.SketchReg])(
+      family: String, col: String, slotMs: Long): Array[Byte] =
+    sketchOpt.map { sk =>
+      family match {
+        case "d" => sk.distinct(col).minuteBytesAt(slotMs)
+        case "q" => sk.quantile(col).minuteBytesAt(slotMs)
+        case _ => sk.freq(col).minuteBytesAt(slotMs)
+      }
+    }.orNull
+
+  /** Per-(key, minute) sketch bytes for a KEYED interior row. */
+  private def keyedSketchBytesAt(
+      keyedSk: Option[WheelAcceleration.KeyedSketchReg])(
+      family: String, col: String, key: Any, slotMs: Long): Array[Byte] =
+    keyedSk.flatMap { sk =>
+      (family match {
+        case "d" => sk.distinct(col).get(key).map(_.minuteBytesAt(slotMs))
+        case "q" => sk.quantile(col).get(key).map(_.minuteBytesAt(slotMs))
+        case _ => sk.freq(col).get(key).map(_.minuteBytesAt(slotMs))
+      }).flatMap(Option(_))
+    }.orNull
+
+  /** The seam's edge-leg projection tail: NULL bytes + the cast raw
+    * column per needed sketch, positionally matching the interior
+    * relation's sketch attributes. */
+  private def sketchEdgeAliases(below: LogicalPlan,
+      skCols: Seq[((String, String), (AttributeReference, AttributeReference))])
+      : Seq[NamedExpression] =
+    skCols.flatMap { case ((f, c), (bAttr, rAttr)) =>
+      val src = below.output.find(_.name == c).get
+      val castType: DataType = if (f == "q") DoubleType else LongType
+      Seq(Alias(Literal(null, BinaryType), bAttr.name)(),
+        Alias(Cast(src, castType), rAttr.name)())
+    }
+
   private final class CondResidue(
       noun: String, tsCol: String, measureNames: Set[String],
       cols: PartialCols, outersUs: Seq[(Long, Long)],
-      slotAttr: AttributeReference, tsOut: AttributeReference) {
+      slotAttr: AttributeReference, tsOut: AttributeReference,
+      // round 17 sketch seam: (family, column) → Some(minute-tier
+      // complete across every serving wheel) when a fresh registration
+      // serves it, None when unserved; and whether the source carries
+      // the typed raw column an edge update needs. Callers that wire
+      // the seam must also emit the [[sketchCols]] attributes on both
+      // union legs (bytes on interior rows, cast raws on edge rows).
+      sketchServed: (String, String) => Option[Boolean] = (_, _) => None,
+      rawSrcOk: (String, Boolean) => Boolean = (_, _) => false) {
 
     var supported = true
     private def fail[T](msg: String, keep: T): T = {
@@ -2486,6 +2765,24 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
 
     private val edgeWins =
       scala.collection.mutable.LinkedHashSet.empty[(Long, Long)]
+
+    // the (family, column) → (bytes attr, raw attr) registry of every
+    // sketch-served aggregate — populated while rewriting the select
+    // list, consumed by the caller's interior/edge emission
+    private val neededSketch = scala.collection.mutable.LinkedHashMap
+      .empty[(String, String), (AttributeReference, AttributeReference)]
+    private def sketchAttrs(family: String, colName: String,
+        rawType: DataType): (AttributeReference, AttributeReference) =
+      neededSketch.getOrElseUpdate((family, colName), (
+        AttributeReference(s"__graft_skb_${family}_$colName", BinaryType,
+          nullable = true)(),
+        AttributeReference(s"__graft_skr_${family}_$colName", rawType,
+          nullable = true)()))
+    /** The sketch columns the rewritten select list needs — call AFTER
+      * [[rewriteAggExprs]]; each entry is ((family, column), (bytes
+      * attr, raw attr)) in first-need order. */
+    def sketchCols: Seq[((String, String), (AttributeReference, AttributeReference))] =
+      neededSketch.toSeq
 
     private def spanFilter(spans: Seq[(Long, Long)]): Expression = {
       val slivers = spans.flatMap { case (a, b) => minuteSliversUs(a, b) }
@@ -2524,9 +2821,22 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
           fn match {
             case _: HyperLogLogPlusPlus | _: ApproximatePercentile
                  | _: ApproxTopK =>
-              return fail(s"$noun: sketch spellings " +
-                "over sub-minute ranges keep the scan (no sub-minute " +
-                "sketch state exists)", ae)
+              // round 17: ride the union-or-update seam when the
+              // caller wired a serving registration
+              return residueSketchExpr(fn,
+                served = sketchServed, rawSrcOk = rawSrcOk,
+                sketchAttrs = sketchAttrs,
+                refuseMsg = msg => { fail(msg, ()); () },
+                mkAgg = f =>
+                  AggregateExpression(f, Complete, isDistinct = false)
+                    .copy(filter = Some(spanFilter(spans)))).getOrElse {
+                if (supported)
+                  fail(s"$noun: no fresh sketch registration serves " +
+                    s"${fn.prettyName} on this column (or the source " +
+                    "misses the typed raw column its edge updates " +
+                    "need) — scan kept", ae)
+                else ae
+              }
             case _ => ()
           }
           val plain = AggregateExpression(fn, Complete, isDistinct = false)
@@ -2570,7 +2880,9 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       }
       if (!supported) return None
       val allowed = cols.partialAttrs.map(_.exprId).toSet +
-        slotAttr.exprId + tsOut.exprId ++ subst.map(_._2.exprId)
+        slotAttr.exprId + tsOut.exprId ++ subst.map(_._2.exprId) ++
+        neededSketch.valuesIterator.flatMap(p =>
+          Seq(p._1.exprId, p._2.exprId))
       if (out.exists(_.exists {
         case at: Attribute => !allowed.contains(at.exprId)
         case _ => false
@@ -2621,7 +2933,11 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       agg: Aggregate, keyAttr: AttributeReference,
       aggExprs: Seq[NamedExpression], below: LogicalPlan,
       reg: WheelAcceleration.KeyedReg,
-      outersUs: Seq[(Long, Long)]): Option[LogicalPlan] = {
+      outersUs: Seq[(Long, Long)],
+      // round 17 sketch seam: the per-key sketch wheels, when fresh —
+      // approximate spellings then ship per-(key, minute) bytes on the
+      // interior and raw values on the edge instead of refusing
+      keyedSk: Option[WheelAcceleration.KeyedSketchReg] = None): Option[LogicalPlan] = {
     def refuse(msg: String): Option[LogicalPlan] = {
       if (foldBailNote.isEmpty) foldBailNote = msg
       None
@@ -2693,12 +3009,17 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     val keyOut = AttributeReference("__graft_key0", reg.any.keyType,
       nullable = keyAttr.nullable)()
     val cr = new CondResidue("keyed conditional hybrid", reg.tsCol,
-      reg.wheels.keySet, cols, outersUs, slotAttr, tsOut)
+      reg.wheels.keySet, cols, outersUs, slotAttr, tsOut,
+      sketchServed = keyedSketchServedOf(keyedSk),
+      rawSrcOk = residueRawSrcOk(below))
     val newAggExprs = cr.rewriteAggExprs(aggExprs,
       Seq((Seq(keyAttr), keyOut))) match {
       case Some(es) => es
       case None => return None
     }
+    val skCols = cr.sketchCols
+    val skAttrs = skCols.flatMap { case (_, (b, r)) => Seq(b, r) }
+    val skBytesAt = keyedSketchBytesAt(keyedSk) _
     // interior leg: one row per (key, non-empty minute)
     val keyVals = new java.util.HashMap[Any, Any]()
     def kv(key: Any): Any = keyVals.computeIfAbsent(key,
@@ -2710,12 +3031,16 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
           case (c, _) if c == anyMeasure => c -> anyAll
           case (c, i) => c -> i.minuteAt(key, slotMs)
         }
+        val skVals = skCols.flatMap { case ((f, c), _) =>
+          Seq(skBytesAt(f, c, key, slotMs), null) }
         rows += InternalRow.fromSeq(
-          kv(key) +: slotMs +: (null +: cols.partialsRow(alls, anyAll.rows)))
+          (kv(key) +: slotMs +: (null +: cols.partialsRow(alls, anyAll.rows)))
+            ++ skVals)
       }
     }
     val interiorRel = LocalRelation(
-      keyOut +: slotAttr +: tsOut +: cols.partialAttrs, rows.result())
+      (keyOut +: slotAttr +: tsOut +: cols.partialAttrs) ++ skAttrs,
+      rows.result())
     val mergedWins = cr.mergedEdgeWindows()
     val child: LogicalPlan =
       if (mergedWins.isEmpty) interiorRel
@@ -2725,10 +3050,10 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
             "the typed ts/measure columns an edge scan needs")
         case Some(parts) =>
           val edgeLeg = Project(
-            Alias(keyAttrSrc, "__graft_key0")() +:
+            (Alias(keyAttrSrc, "__graft_key0")() +:
               Alias(Literal(null, LongType), "__graft_slot")() +:
               Alias(tsAttrSrc, "__graft_ts")() +:
-              parts.edgePartials,
+              parts.edgePartials) ++ sketchEdgeAliases(below, skCols),
             parts.edgeFilter)
           Union(Seq(interiorRel, edgeLeg))
       }
@@ -3679,6 +4004,19 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       case _ => false
     })
 
+  /** True when any select-list aggregate is an approximate sketch
+    * spelling — the residue dispatch's cue to try the sketch seam
+    * after the numeric hybrid refused (round 17). */
+  private def hasSketchAgg(aggExprs: Seq[NamedExpression]): Boolean =
+    aggExprs.exists(_.exists {
+      case e: AggregateExpression => e.aggregateFunction match {
+        case _: HyperLogLogPlusPlus | _: ApproximatePercentile
+             | _: ApproxTopK => true
+        case _ => false
+      }
+      case _ => false
+    })
+
   /** Per-measure plan-time shift for the merge-form second moment: the
     * fold range's own mean (round 11 shift-centering). Empty — zero
     * shifts, the plain Σx² encoding — when no second moment is
@@ -3909,7 +4247,10 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       grid: SlotGrid, aggExprs: Seq[NamedExpression], child: LogicalPlan,
       below: LogicalPlan, tsCol: String,
       wheels: Map[String, WheelIndex],
-      outersUs: Seq[(Long, Long)]): Option[LogicalPlan] = {
+      outersUs: Seq[(Long, Long)],
+      // round 17 sketch seam: fresh unkeyed sketch wheels — per-minute
+      // bytes pre-keyed to their cell, raw values on the edge
+      sketchOpt: Option[WheelAcceleration.SketchReg] = None): Option[LogicalPlan] = {
     def refuse(msg: String): Option[LogicalPlan] = {
       if (foldBailNote.isEmpty) foldBailNote = msg
       None
@@ -3969,12 +4310,17 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     val cellOut = AttributeReference("__graft_cell", gExpr.dataType,
       nullable = gExpr.nullable)()
     val cr = new CondResidue("grouped conditional hybrid", tsCol,
-      wheels.keySet, cols, outersUs, slotAttr, tsOut)
+      wheels.keySet, cols, outersUs, slotAttr, tsOut,
+      sketchServed = sketchServedOf(sketchOpt),
+      rawSrcOk = residueRawSrcOk(below))
     val newAggExprs = cr.rewriteAggExprs(aggExprs,
       Seq((Seq(groupKey, gExpr), cellOut))) match {
       case Some(es) => es
       case None => return None
     }
+    val skCols = cr.sketchCols
+    val skAttrs = skCols.flatMap { case (_, (b, r)) => Seq(b, r) }
+    val skBytesAt = sketchBytesAt(sketchOpt) _
     // interior leg: one row per non-empty outer minute, pre-keyed to
     // its grid cell
     val cellVals = new java.util.HashMap[Long, Any]()
@@ -3989,12 +4335,16 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
           case (c, _) if c == anyMeasure => c -> anyAll
           case (c, i) => c -> i.minuteAt(slotMs)
         }
+        val skVals = skCols.flatMap { case ((f, c), _) =>
+          Seq(skBytesAt(f, c, slotMs), null) }
         rows += InternalRow.fromSeq(
-          cellOf(slotMs) +: slotMs +: (null +: cols.partialsRow(alls, anyAll.rows)))
+          (cellOf(slotMs) +: slotMs +:
+            (null +: cols.partialsRow(alls, anyAll.rows))) ++ skVals)
       }
     }
     val interiorRel = LocalRelation(
-      cellOut +: slotAttr +: tsOut +: cols.partialAttrs, rows.result())
+      (cellOut +: slotAttr +: tsOut +: cols.partialAttrs) ++ skAttrs,
+      rows.result())
     val mergedWins = cr.mergedEdgeWindows()
     val child2: LogicalPlan =
       if (mergedWins.isEmpty) interiorRel
@@ -4002,10 +4352,10 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
           rebaseOnto(child, below, gExpr)) match {
         case (Some(parts), Some(gEval)) =>
           val edgeLeg = Project(
-            Alias(gEval, "__graft_cell")() +:
+            (Alias(gEval, "__graft_cell")() +:
               Alias(Literal(null, LongType), "__graft_slot")() +:
               Alias(tsAttrSrc, "__graft_ts")() +:
-              parts.edgePartials,
+              parts.edgePartials) ++ sketchEdgeAliases(below, skCols),
             parts.edgeFilter)
           Union(Seq(interiorRel, edgeLeg))
         case _ =>
@@ -4030,7 +4380,9 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       gExpr: Expression, grid: SlotGrid, aggExprs: Seq[NamedExpression],
       child: LogicalPlan, below: LogicalPlan,
       reg: WheelAcceleration.KeyedReg,
-      outersUs: Seq[(Long, Long)]): Option[LogicalPlan] = {
+      outersUs: Seq[(Long, Long)],
+      // round 17 sketch seam: per-key sketch wheels, when fresh
+      keyedSk: Option[WheelAcceleration.KeyedSketchReg] = None): Option[LogicalPlan] = {
     def refuse(msg: String): Option[LogicalPlan] = {
       if (foldBailNote.isEmpty) foldBailNote = msg
       None
@@ -4102,13 +4454,18 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     val cellOut = AttributeReference("__graft_cell", gExpr.dataType,
       nullable = gExpr.nullable)()
     val cr = new CondResidue("keyed-grouped conditional hybrid", reg.tsCol,
-      reg.wheels.keySet, cols, outersUs, slotAttr, tsOut)
+      reg.wheels.keySet, cols, outersUs, slotAttr, tsOut,
+      sketchServed = keyedSketchServedOf(keyedSk),
+      rawSrcOk = residueRawSrcOk(below))
     val newAggExprs = cr.rewriteAggExprs(aggExprs,
       Seq((Seq(keyAttr), keyOut),
         (Seq(slotGroup, gExpr), cellOut))) match {
       case Some(es) => es
       case None => return None
     }
+    val skCols = cr.sketchCols
+    val skAttrs = skCols.flatMap { case (_, (b, r)) => Seq(b, r) }
+    val skBytesAt = keyedSketchBytesAt(keyedSk) _
     // interior leg: one row per (key, non-empty minute), pre-keyed to
     // its grid cell
     val keyVals = new java.util.HashMap[Any, Any]()
@@ -4126,13 +4483,16 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
           case (c, _) if c == anyMeasure => c -> anyAll
           case (c, i) => c -> i.minuteAt(key, slotMs)
         }
+        val skVals = skCols.flatMap { case ((f, c), _) =>
+          Seq(skBytesAt(f, c, key, slotMs), null) }
         rows += InternalRow.fromSeq(
-          kv(key) +: cellOf(slotMs) +: slotMs +:
-            (null +: cols.partialsRow(alls, anyAll.rows)))
+          (kv(key) +: cellOf(slotMs) +: slotMs +:
+            (null +: cols.partialsRow(alls, anyAll.rows))) ++ skVals)
       }
     }
     val interiorRel = LocalRelation(
-      keyOut +: cellOut +: slotAttr +: tsOut +: cols.partialAttrs,
+      (keyOut +: cellOut +: slotAttr +: tsOut +: cols.partialAttrs)
+        ++ skAttrs,
       rows.result())
     val mergedWins = cr.mergedEdgeWindows()
     val child2: LogicalPlan =
@@ -4141,11 +4501,11 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
           rebaseOnto(child, below, gExpr)) match {
         case (Some(parts), Some(gEval)) =>
           val edgeLeg = Project(
-            Alias(keyAttrSrc, "__graft_key0")() +:
+            (Alias(keyAttrSrc, "__graft_key0")() +:
               Alias(gEval, "__graft_cell")() +:
               Alias(Literal(null, LongType), "__graft_slot")() +:
               Alias(tsAttrSrc, "__graft_ts")() +:
-              parts.edgePartials,
+              parts.edgePartials) ++ sketchEdgeAliases(below, skCols),
             parts.edgeFilter)
           Union(Seq(interiorRel, edgeLeg))
         case _ =>
@@ -4983,7 +5343,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       groupedCondResidue = (outers: Seq[(Long, Long)]) =>
         foldGroupedConditionalResidue(agg, groupKey, gExpr, grid,
           aggExprs, child, findFilter(child).map(_._2).getOrElse(child),
-          tsCol, wheels, outers)
+          tsCol, wheels, outers, sketch)
       // Left = the ordinary single conjunctive range; Right = an
       // OR-of-disjoint-ranges predicate (round 13), pre-merged so a row
       // matched by two disjuncts counts once. BOTH in µS (round 14 —
@@ -5066,6 +5426,13 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
         else filterOpt.flatMap { case (_, below) =>
           rewriteGroupedResidue(agg, groupKey, gExpr, grid, aggExprs,
             child, below, tsCol, wheels, aUs, bUs)
+        }.orElse {
+          // round 17: an approximate spelling refuses the numeric
+          // grouped hybrid — ride the residue sketch seam instead
+          if (hasSketchAgg(aggExprs) && sketch.nonEmpty) {
+            foldBailNote = ""
+            groupedCondResidue(Seq((aUs, bUs)))
+          } else None
         }
         }
        // GROUPED OR-ranges fold (round 13): per-cell contributions are
@@ -5098,6 +5465,13 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
             else filterOpt.flatMap { case (_, below) =>
               orGroupedResidue(agg, groupKey, gExpr, grid, aggExprs,
                 child, below, tsCol, wheels, rangesUs)
+            }.orElse {
+              // round 17: sketch spellings over unaligned OR outers
+              // ride the residue sketch seam
+              if (hasSketchAgg(aggExprs) && sketch.nonEmpty) {
+                foldBailNote = ""
+                groupedCondResidue(rangesUs)
+              } else None
             })
           else {
           val ranges = rangesUs.map { case (x, y) => (x / 1000L, y / 1000L) }
@@ -5566,7 +5940,9 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       keyedGroupedCond = (outers: Seq[(Long, Long)]) =>
         foldKeyedGroupedConditionalResidue(agg, keyAttr, slotGroup, gExpr,
           grid, aggExprs, child,
-          findFilter(child).map(_._2).getOrElse(child), reg, outers)
+          findFilter(child).map(_._2).getOrElse(child), reg, outers,
+          WheelAcceleration.lookupKeyedSketch(path).filter(r =>
+            r.tsCol == reg.tsCol && r.keyCol == reg.keyCol))
       // KEYED OR-ranges (round 13): a disjunction of ranges folds per
       // (key, cell) with contributions combined across ranges — same
       // semantics as the unkeyed grouped Right branch. UNALIGNED
@@ -5588,7 +5964,16 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
               reg, rangesUs.map { case (x, y) => (x / 1000L, y / 1000L) }, path)
           else
             rewriteKeyedGroupedResidue(agg, keyAttr, slotGroup, gExpr, grid,
-              aggExprs, child, below, reg, rangesUs)
+              aggExprs, child, below, reg, rangesUs).orElse {
+              // round 17: sketch spellings over unaligned keyed-grouped
+              // OR outers ride the residue sketch seam
+              if (hasSketchAgg(aggExprs) &&
+                  WheelAcceleration.lookupKeyedSketch(path).exists(r =>
+                    r.tsCol == reg.tsCol && r.keyCol == reg.keyCol)) {
+                foldBailNote = ""
+                keyedGroupedCond(rangesUs)
+              } else None
+            }
         }
       }
       // µS bounds (round 14): direct-timestamp closed bounds route to
@@ -5655,6 +6040,15 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
         } else filterOpt.flatMap { case (_, below) =>
           rewriteKeyedGroupedResidue(agg, keyAttr, slotGroup, gExpr, grid,
             aggExprs, child, below, reg, Seq((aUs, bUs)))
+        }.orElse {
+          // round 17: an approximate spelling refuses the numeric
+          // keyed-grouped hybrid — ride the residue sketch seam
+          if (hasSketchAgg(aggExprs) &&
+              WheelAcceleration.lookupKeyedSketch(path).exists(r =>
+                r.tsCol == reg.tsCol && r.keyCol == reg.keyCol)) {
+            foldBailNote = ""
+            keyedGroupedCond(Seq((aUs, bUs)))
+          } else None
         }
     } yield result
   }

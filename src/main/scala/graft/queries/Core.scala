@@ -474,6 +474,60 @@ object Core {
            |""".stripMargin)
     }),
 
+    // RESIDUE SKETCH SEAM (round 17): approximate spellings over
+    // SUB-MINUTE ranges — previously a pinned refusal ("no sub-minute
+    // sketch state exists") — fold HYBRID: interior minutes ship their
+    // raw per-minute Theta bytes next to the numeric partials, ONE
+    // bounded sliver scan ships the raw sketched column, and a
+    // union-or-update TypedImperativeAggregate
+    // (functions/SketchUpdateAgg) unions bytes / updates raws behind
+    // the same per-aggregate span FILTERs that keep the numeric legs
+    // disjoint. Theta set-union is order-insensitive under the mixed
+    // feed, so the exact regime stays EXACT → COUNT(DISTINCT) oracle;
+    // the FILTER-windowed spelling proves per-aggregate clipping
+    // through the seam; the numeric columns ride the same union.
+    "q_wheel_sketch_residue_sql" -> ((s, dir) => {
+      graft.plans.WheelAcceleration.register(
+        s, s"$dir/events.parquet", t(s, dir, "events"))
+      graft.plans.WheelAcceleration.registerSketches(
+        s, s"$dir/events.parquet", t(s, dir, "events"), "ts",
+        distinctCols = Seq("user_id"))
+      t(s, dir, "events").createOrReplaceTempView("events_wheel")
+      s.sql(
+        s"""SELECT approx_count_distinct(user_id) AS users,
+           |approx_count_distinct(user_id) FILTER (WHERE unix_millis(ts)
+           |  < ${R1Start + 3 * Day}) AS users_wk1,
+           |ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n
+           |FROM events_wheel
+           |WHERE unix_millis(ts) >= ${R1Start + 7123L}
+           |AND unix_millis(ts) < ${R1End - 911L}
+           |""".stripMargin)
+    }),
+
+    // KEYED residue sketch seam (round 17): the same union-or-update
+    // hybrid through the keyed conditional residue — per-(key, minute)
+    // Theta bytes from the keyed sketch wheels ride the interior
+    // relation, the sliver scan carries the raw key AND the raw
+    // sketched column, and a real executor-side Aggregate unions per
+    // key. Exact regime → per-key COUNT(DISTINCT) oracle.
+    "q_wheel_keyed_sketch_residue_sql" -> ((s, dir) => {
+      graft.plans.WheelAcceleration.registerKeyed(
+        s, s"$dir/events.parquet", t(s, dir, "events"), "event_type")
+      graft.plans.WheelAcceleration.registerKeyedSketches(
+        s, s"$dir/events.parquet", t(s, dir, "events"), "event_type", "ts",
+        distinctCols = Seq("user_id"))
+      t(s, dir, "events").createOrReplaceTempView("events_wheel")
+      s.sql(
+        s"""SELECT event_type, approx_count_distinct(user_id) AS users,
+           |approx_count_distinct(user_id) FILTER (WHERE unix_millis(ts)
+           |  >= ${R1Start + 3 * Day}) AS users_wk2,
+           |COUNT(*) AS n FROM events_wheel
+           |WHERE unix_millis(ts) >= ${R1Start + 7123L}
+           |AND unix_millis(ts) < ${R1End - 911L}
+           |GROUP BY event_type ORDER BY event_type
+           |""".stripMargin)
+    }),
+
     // DIRECT-TIMESTAMP CLOSED bounds (round 14, VERDICT r13 #2): the
     // natural analyst spelling `ts BETWEEN TIMESTAMP 'a' AND TIMESTAMP
     // 'b'` on the RAW timestamp column — true range [a, b+1µs), which
@@ -1870,6 +1924,21 @@ object Core {
         s"COUNT(value) FILTER (WHERE epoch_ms(ts) >= ${R1Start + 7123L} " +
         s"AND epoch_ms(ts) < ${R1Start + 3 * Day}) AS n1 FROM events " +
         s"WHERE epoch_ms(ts) >= $R1Start AND epoch_ms(ts) < $R1End"),
+    "q_wheel_sketch_residue_sql" ->
+      ("SELECT COUNT(DISTINCT user_id) AS users, " +
+        s"COUNT(DISTINCT CASE WHEN epoch_ms(ts) < ${R1Start + 3 * Day} " +
+        "THEN user_id END) AS users_wk1, " +
+        "ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n FROM events " +
+        s"WHERE epoch_ms(ts) >= ${R1Start + 7123L} " +
+        s"AND epoch_ms(ts) < ${R1End - 911L}"),
+    "q_wheel_keyed_sketch_residue_sql" ->
+      ("SELECT event_type, COUNT(DISTINCT user_id) AS users, " +
+        s"COUNT(DISTINCT CASE WHEN epoch_ms(ts) >= ${R1Start + 3 * Day} " +
+        "THEN user_id END) AS users_wk2, " +
+        "COUNT(*) AS n FROM events " +
+        s"WHERE epoch_ms(ts) >= ${R1Start + 7123L} " +
+        s"AND epoch_ms(ts) < ${R1End - 911L} " +
+        "GROUP BY event_type ORDER BY event_type"),
     "q_wheel_residue_sql" ->
       (s"SELECT ROUND(SUM(value), 2) AS sum_value, ROUND(AVG(value), 4) AS avg_value, " +
         s"COUNT(*) AS n FROM events " +

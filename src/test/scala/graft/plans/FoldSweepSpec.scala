@@ -387,6 +387,35 @@ class FoldSweepSpec extends AnyFunSuite {
       assertSameRows(got, want, q(approxAgg))
     }
 
+    // round 17, the RESIDUE SKETCH SEAM: SUB-MINUTE outers fold HYBRID
+    // for every slot-grid grouping — interior per-minute sketch bytes
+    // union with raw sliver-row updates, so the Theta exact regime
+    // still matches exact truth bit-for-bit. window() groupings have
+    // no sliver leg and keep the scan (pinned in the sliding row).
+    for {
+      mixed <- Seq(false, true)
+      (gSel, gBy) <- groupings.filterNot(_._2.contains("window"))
+    } {
+      val (a, b) = (Q.R1Start + 7123L, Q.R1End - 911L)
+      val order = if (gSel.isEmpty) "" else " ORDER BY 1"
+      val approxAgg =
+        if (mixed) "approx_count_distinct(user_id) AS a1, COUNT(*) AS a2, SUM(value) AS a3"
+        else "approx_count_distinct(user_id) AS a1"
+      val exactAgg =
+        if (mixed) "COUNT(DISTINCT user_id) AS a1, COUNT(*) AS a2, SUM(value) AS a3"
+        else "COUNT(DISTINCT user_id) AS a1"
+      def q(agg: String) = s"SELECT $gSel$agg FROM ev_sweep_approx " +
+        s"WHERE unix_millis(ts) >= $a AND unix_millis(ts) < $b $gBy$order"
+      val acc = spark.sql(q(approxAgg))
+      assert(foldsToLocal(acc), s"sketch residue did not fire for: " +
+        s"${q(approxAgg)}\n" + acc.queryExecution.optimizedPlan.treeString)
+      val got = acc.collect()
+      WheelAcceleration.clear()
+      val want = spark.sql(q(exactAgg)).collect()
+      registerAll()
+      assertSameRows(got, want, q(approxAgg))
+    }
+
     // refusal 1: the EXACT spelling never folds, even fully registered
     val exactSql = "SELECT COUNT(DISTINCT user_id) AS a1 FROM ev_sweep_approx " +
       s"WHERE unix_millis(ts) >= ${Q.R1Start} AND unix_millis(ts) < ${Q.R1End}"

@@ -4317,4 +4317,199 @@ class WheelAccelerationSpec extends AnyFunSuite {
     assert(got.getLong(0) == want, s"got ${got.getLong(0)} want $want")
     WheelAcceleration.clear()
   }
+
+  test("RESIDUE sketch seam (round 17): approximate spellings fold over " +
+      "sub-minute ranges — interior bytes union with raw edge updates") {
+    import spark.implicits._
+    val src = new java.io.File("target/test-fixtures/accel/sketchresidue.parquet")
+      .getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(src))
+    val T0 = Q.Jan1
+    // interior: one row per minute over 10 hours, 50 recurring users
+    val dense = (0 until 600).map { i =>
+      (new java.sql.Timestamp(T0 + i * 60000L + 15000L),
+        (i % 50).toLong, 1.0 + i)
+    }
+    // sliver-only users 1000..1004 live ONLY inside [T0+10s, T0+60s) —
+    // the outer's leading sliver; a correct answer REQUIRES the raw
+    // edge updates to reach the sketch. One more at T0+5s sits before
+    // the outer range and must NOT count.
+    val rare = (0 until 5).map { j =>
+      (new java.sql.Timestamp(T0 + 20000L + j * 7000L), 1000L + j, 500.0 + j)
+    } :+ ((new java.sql.Timestamp(T0 + 5000L), 2000L, 999.0))
+    (dense ++ rare).toDF("ts", "user_id", "value").repartition(2)
+      .write.mode("overwrite").parquet(src)
+    def reg(): Unit = {
+      WheelAcceleration.register(spark, src, spark.read.parquet(src))
+      WheelAcceleration.registerSketches(spark, src, spark.read.parquet(src),
+        "ts", distinctCols = Seq("user_id"), quantileCols = Seq("value"),
+        freqCols = Seq("user_id"))
+    }
+    WheelAcceleration.clear()
+    reg()
+    spark.read.parquet(src).createOrReplaceTempView("skres_events")
+    val outerA = T0 + 10000L           // sub-minute outer start
+    val outerB = T0 + 600 * 60000L     // minute-aligned outer end
+    def shape(df: org.apache.spark.sql.DataFrame): String = {
+      val local = df.queryExecution.optimizedPlan.collect {
+        case l: LocalRelation => l }.nonEmpty
+      val scan = df.queryExecution.executedPlan.toString.contains("FileScan")
+      if (local && scan) "hybrid" else if (local) "fold" else "scan"
+    }
+    // (1) plain distinct over the sub-minute outer: hybrid, and the
+    // Theta exact regime equals the true distinct count — which
+    // includes the 5 sliver-only users and excludes the pre-range one
+    val d1 = spark.sql("SELECT approx_count_distinct(user_id) AS u " +
+      s"FROM skres_events WHERE unix_millis(ts) >= $outerA " +
+      s"AND unix_millis(ts) < $outerB")
+    assert(shape(d1) == "hybrid", d1.queryExecution.optimizedPlan.treeString)
+    assert(d1.collect()(0).getLong(0) == 55L,
+      s"want 55 (50 dense + 5 sliver-only): got ${d1.collect()(0).getLong(0)}")
+    // (2) MIXED numeric + sketch + a per-aggregate sub-minute window:
+    // the numeric legs match the cleared-registry scan exactly; the
+    // approximate legs match the TRUE distinct counts (Theta exact
+    // regime — the scan's own HLL++ is itself an estimate, so exact
+    // truth is the honest yardstick, same as the below-cap specs)
+    val sql2 = "SELECT approx_count_distinct(user_id) AS u, " +
+      "ROUND(SUM(value), 2) AS s, " +
+      "approx_count_distinct(user_id) FILTER (WHERE " +
+      s"unix_millis(ts) < ${T0 + 45000L}) AS uw, COUNT(*) AS n " +
+      s"FROM skres_events WHERE unix_millis(ts) >= $outerA " +
+      s"AND unix_millis(ts) < $outerB"
+    val d2 = spark.sql(sql2)
+    assert(shape(d2) == "hybrid", d2.queryExecution.optimizedPlan.treeString)
+    val got2 = d2.collect()(0)
+    WheelAcceleration.clear()
+    val exact2 = spark.sql("SELECT COUNT(DISTINCT user_id) AS u, " +
+      "ROUND(SUM(value), 2) AS s, " +
+      "COUNT(DISTINCT CASE WHEN unix_millis(ts) < " +
+      s"${T0 + 45000L} THEN user_id END) AS uw, COUNT(*) AS n " +
+      s"FROM skres_events WHERE unix_millis(ts) >= $outerA " +
+      s"AND unix_millis(ts) < $outerB").collect()(0)
+    reg()
+    assert(got2.toString == exact2.toString, s"$got2 vs $exact2")
+    // (3) sub-minute approx_top_k: Misra-Gries exact regime — the
+    // leading sliver holds dense minute 0's row, so every top count
+    // is 12 only when the raw edge updates reach the sketch
+    // tracked=100 fits the Misra-Gries budget (the DEFAULT 10000 is
+    // past it and refuses statically — same spelling contract as the
+    // distributed form)
+    val sql3 = "SELECT approx_top_k(user_id, 3, 100) AS t FROM skres_events " +
+      s"WHERE unix_millis(ts) >= $outerA AND unix_millis(ts) < $outerB"
+    val d3 = spark.sql(sql3)
+    assert(shape(d3) == "hybrid", d3.queryExecution.optimizedPlan.treeString)
+    val got3 = d3.collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    assert(got3.size == 3 && got3.forall(r => r.getLong(1) == 12L &&
+      r.getLong(0) < 50L), got3.toString)
+    // (4) sub-minute percentile_approx at a servable accuracy: the
+    // answer sits within the KLL rank band of the outer's sorted data
+    val d4 = spark.sql("SELECT percentile_approx(value, 0.5, 50) AS p " +
+      s"FROM skres_events WHERE unix_millis(ts) >= $outerA " +
+      s"AND unix_millis(ts) < $outerB")
+    assert(shape(d4) == "hybrid", d4.queryExecution.optimizedPlan.treeString)
+    val sorted = spark.read.parquet(src)
+      .filter(unix_millis(col("ts")) >= outerA && unix_millis(col("ts")) < outerB)
+      .select("value").collect().map(_.getDouble(0)).sorted
+    val p50 = d4.collect()(0).getDouble(0)
+    val rank = sorted.count(_ <= p50).toDouble / sorted.length
+    assert(math.abs(rank - 0.5) <= 0.02 + 1e-9, s"p50=$p50 rank=$rank")
+    // (5) static accuracy gates pin the refusals: a tighter-than-
+    // worst-case rsd and the DEFAULT percentile accuracy keep the scan
+    val tight = spark.sql("SELECT approx_count_distinct(user_id, 0.005) " +
+      s"AS u FROM skres_events WHERE unix_millis(ts) >= $outerA " +
+      s"AND unix_millis(ts) < $outerB")
+    assert(shape(tight) == "scan", tight.queryExecution.optimizedPlan.treeString)
+    val reason = spark.sql(s"SELECT graft_bail_reason('$src') AS r")
+      .collect()(0).getString(0)
+    assert(reason.contains("gates statically"), reason)
+    val defAcc = spark.sql("SELECT percentile_approx(value, 0.5) AS p " +
+      s"FROM skres_events WHERE unix_millis(ts) >= $outerA " +
+      s"AND unix_millis(ts) < $outerB")
+    assert(shape(defAcc) == "scan", defAcc.queryExecution.optimizedPlan.treeString)
+    WheelAcceleration.clear()
+  }
+
+  test("RESIDUE sketch seam rides the keyed / grouped / keyed-grouped " +
+      "hybrids (round 17): per-group distinct stays exact-regime exact") {
+    import spark.implicits._
+    val src = new java.io.File("target/test-fixtures/accel/sketchresidue2.parquet")
+      .getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(src))
+    val T0 = Q.Jan1
+    // two dimension keys; per (key, minute) one row over 4 hours; the
+    // leading sliver [T0+10s, T0+60s) additionally holds key-b-only
+    // users 1000..1002 (minute 0 belongs to the sliver for both keys)
+    val dense = (0 until 240).flatMap { i =>
+      Seq((new java.sql.Timestamp(T0 + i * 60000L + 15000L),
+          (i % 20).toLong, 1.0 + i, "a"),
+        (new java.sql.Timestamp(T0 + i * 60000L + 45000L),
+          (i % 30).toLong, 2.0 + i, "b"))
+    }
+    val rare = (0 until 3).map { j =>
+      (new java.sql.Timestamp(T0 + 20000L + j * 9000L), 1000L + j,
+        500.0 + j, "b")
+    }
+    (dense ++ rare).toDF("ts", "user_id", "value", "k").repartition(2)
+      .write.mode("overwrite").parquet(src)
+    val outerA = T0 + 10000L
+    val outerB = T0 + 240 * 60000L
+    def shape(df: org.apache.spark.sql.DataFrame): String = {
+      val local = df.queryExecution.optimizedPlan.collect {
+        case l: LocalRelation => l }.nonEmpty
+      val scan = df.queryExecution.executedPlan.toString.contains("FileScan")
+      if (local && scan) "hybrid" else if (local) "fold" else "scan"
+    }
+    spark.read.parquet(src).createOrReplaceTempView("skres2_events")
+    // (1) GROUPED: GROUP BY hour cell over the sub-minute outer — the
+    // per-cell distinct including hour 0's sliver-only users
+    WheelAcceleration.clear()
+    WheelAcceleration.register(spark, src, spark.read.parquet(src))
+    WheelAcceleration.registerSketches(spark, src, spark.read.parquet(src),
+      "ts", distinctCols = Seq("user_id"))
+    val g = spark.sql("SELECT (unix_millis(ts) div 3600000) * 3600000 AS h, " +
+      "approx_count_distinct(user_id) AS u FROM skres2_events " +
+      s"WHERE unix_millis(ts) >= $outerA AND unix_millis(ts) < $outerB " +
+      "GROUP BY 1 ORDER BY 1")
+    assert(shape(g) == "hybrid", g.queryExecution.optimizedPlan.treeString)
+    val gotG = g.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val wantG = spark.sql(
+      "SELECT (unix_millis(ts) div 3600000) * 3600000 AS h, " +
+        "COUNT(DISTINCT user_id) AS u FROM skres2_events " +
+        s"WHERE unix_millis(ts) >= $outerA AND unix_millis(ts) < $outerB " +
+        "GROUP BY 1 ORDER BY 1")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(gotG == wantG, s"$gotG vs $wantG")
+    assert(wantG.head._2 > 20L, "hour 0 must include sliver-only users")
+    // (2) KEYED: GROUP BY k — key b's distinct includes the
+    // sliver-only users, key a's does not
+    WheelAcceleration.clear()
+    WheelAcceleration.registerKeyed(spark, src, spark.read.parquet(src), "k")
+    WheelAcceleration.registerKeyedSketches(spark, src,
+      spark.read.parquet(src), "k", "ts", distinctCols = Seq("user_id"))
+    val kq = spark.sql("SELECT k, approx_count_distinct(user_id) AS u " +
+      "FROM skres2_events " +
+      s"WHERE unix_millis(ts) >= $outerA AND unix_millis(ts) < $outerB " +
+      "GROUP BY k ORDER BY k")
+    assert(shape(kq) == "hybrid", kq.queryExecution.optimizedPlan.treeString)
+    val gotK = kq.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(gotK == Seq(("a", 20L), ("b", 33L)), gotK.toString)
+    // (3) KEYED-GROUPED: GROUP BY (k, hour cell) with a per-aggregate
+    // sub-minute window — parity with exact distinct per (key, cell)
+    val sqlKG = "SELECT k, (unix_millis(ts) div 3600000) * 3600000 AS h, " +
+      "approx_count_distinct(user_id) FILTER (WHERE unix_millis(ts) < " +
+      s"${T0 + 50000L}) AS uw FROM skres2_events " +
+      s"WHERE unix_millis(ts) >= $outerA AND unix_millis(ts) < $outerB " +
+      "GROUP BY 1, 2 ORDER BY 1, 2"
+    val kg = spark.sql(sqlKG)
+    assert(shape(kg) == "hybrid", kg.queryExecution.optimizedPlan.treeString)
+    val gotKG = kg.collect().map(_.toString).toSeq
+    val wantKG = spark.sql(
+      "SELECT k, (unix_millis(ts) div 3600000) * 3600000 AS h, " +
+        "COUNT(DISTINCT CASE WHEN unix_millis(ts) < " +
+        s"${T0 + 50000L} THEN user_id END) AS uw FROM skres2_events " +
+        s"WHERE unix_millis(ts) >= $outerA AND unix_millis(ts) < $outerB " +
+        "GROUP BY 1, 2 ORDER BY 1, 2").collect().map(_.toString).toSeq
+    assert(gotKG == wantKG, s"$gotKG vs $wantKG")
+    WheelAcceleration.clear()
+  }
 }
