@@ -4707,6 +4707,27 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       a = aOpt.getOrElse(any.baseMs)
       b = bOpt.getOrElse(any.horizonMs)
       if a < b
+      hasConditional = aggExprs.exists(_.exists {
+        case ae: AggregateExpression =>
+          ae.filter.nonEmpty ||
+            ae.aggregateFunction.children.exists(_.isInstanceOf[CaseWhen])
+        case _ => false
+      })
+      // a per-aggregate condition with sub-minute µs bounds — the
+      // regime the per-window plan-time fold cannot clip (round 17:
+      // routes to the sliding conditional hybrid's sliver leg)
+      subMinuteAggCond = aggExprs.exists(_.exists {
+        case ae: AggregateExpression =>
+          val condOpt = ae.filter.orElse(
+            ae.aggregateFunction.children.collectFirst {
+              case cw: CaseWhen if cw.branches.size == 1 => cw.branches.head._1
+            })
+          condOpt.flatMap(c => rangeUs(c, tsCol)).exists { case (lo, hi) =>
+            lo.exists(_ % (MinuteMs * 1000L) != 0) ||
+              hi.exists(_ % (MinuteMs * 1000L) != 0)
+          }
+        case _ => false
+      })
       result <-
         // same plan-time ceiling as the grouped folds: each window is a
         // tier-walk query inside the optimizer. Past it (round 11,
@@ -4715,19 +4736,41 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
         // — and the UNALIGNED shape goes hybrid-distributed (late round
         // 11: the same minute-partials Expand as the interior leg of
         // the edge union), so no sliding shape keeps the scan for a
-        // registered range anymore.
+        // registered range anymore. CONDITIONAL aggregates above the
+        // cap, or with sub-minute edges anywhere, take the sliding
+        // conditional hybrid (round 17) — the family's sliver leg.
         if ((b - a) / slideMs + sizeMs / slideMs > maxFoldRows) {
-          if (a % MinuteMs == 0 && b % MinuteMs == 0)
+          if (hasConditional)
+            bail(path, foldNote("above-cap sliding conditional not " +
+              "foldable hybrid"))(
+              slidingCondResidue(agg, winAttr, expand, membership, aggExprs,
+                tsCol, wheels, slideMs, offMs, sizeMs, a, b, sketch))
+          else if (a % MinuteMs == 0 && b % MinuteMs == 0)
             bail(path, foldNote("sliding shape not foldable distributed"))(
               distributedSliding(Seq(groupKey), winAttr, expand, membership,
-                aggExprs, wheels, None, a, b))
+                aggExprs, wheels, None, a, b)
+                .orElse(slidingSketchFallback(agg, winAttr, expand,
+                  membership, aggExprs, tsCol, wheels, slideMs, offMs,
+                  sizeMs, a, b, sketch)))
           else
             bail(path, foldNote("above-cap sliding with sub-minute edges " +
               "not foldable hybrid-distributed"))(
               slidingResidue(agg, winAttr, expand, membership, aggExprs,
                 tsCol, wheels, slideMs, offMs, sizeMs, a, b, None,
-                aboveCap = true))
-        } else if (a % MinuteMs == 0 && b % MinuteMs == 0)
+                aboveCap = true)
+                .orElse(slidingSketchFallback(agg, winAttr, expand,
+                  membership, aggExprs, tsCol, wheels, slideMs, offMs,
+                  sizeMs, a, b, sketch)))
+        } else if (hasConditional &&
+            (subMinuteAggCond || a % MinuteMs != 0 || b % MinuteMs != 0))
+          // sub-minute edges (per-aggregate or outer) with conditional
+          // aggregates: the sliding conditional hybrid (round 17 — was
+          // the pinned "sliding windows have no sliver leg" refusal)
+          bail(path, foldNote("sliding conditional with sub-minute edges " +
+            "not foldable hybrid"))(
+            slidingCondResidue(agg, winAttr, expand, membership, aggExprs,
+              tsCol, wheels, slideMs, offMs, sizeMs, a, b, sketch))
+        else if (a % MinuteMs == 0 && b % MinuteMs == 0)
           bail(path, foldNote("sliding shape not foldable")) {
           foldBailNote = ""
           val winType = winAttr.dataType.asInstanceOf[StructType]
@@ -4737,12 +4780,6 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
           // as the round-16 per-cell grouped conditional (minute-
           // aligned per-aggregate ranges; ELSE-0 from the window's own
           // row count)
-          val hasConditional = aggExprs.exists(_.exists {
-            case ae: AggregateExpression =>
-              ae.filter.nonEmpty ||
-                ae.aggregateFunction.children.exists(_.isInstanceOf[CaseWhen])
-            case _ => false
-          })
           val out = Seq.newBuilder[InternalRow]
           var ok = true
           val it = slidingStarts(a, b, slideMs, offMs, sizeMs)
@@ -4770,8 +4807,26 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
           if (ok) Some(LocalRelation(agg.output, out.result())) else None
         } else slidingResidue(agg, winAttr, expand, membership, aggExprs,
           tsCol, wheels, slideMs, offMs, sizeMs, a, b, None)
+          .orElse(slidingSketchFallback(agg, winAttr, expand, membership,
+            aggExprs, tsCol, wheels, slideMs, offMs, sizeMs, a, b, sketch))
     } yield result
   }
+
+  /** Round 17: a PLAIN approximate spelling (no conditional) refused
+    * the numeric sliding path — ride the sliding conditional hybrid,
+    * whose [[CondResidue]] seam serves sketch functions (per-minute
+    * bytes through the Expand, raw edge updates). */
+  private def slidingSketchFallback(
+      agg: Aggregate, winAttr: AttributeReference, expand: Expand,
+      membership: Option[Filter], aggExprs: Seq[NamedExpression],
+      tsCol: String, wheels: Map[String, WheelIndex],
+      slideMs: Long, offMs: Long, sizeMs: Long, aMs: Long, bMs: Long,
+      sketchOpt: Option[WheelAcceleration.SketchReg]): Option[LogicalPlan] =
+    if (hasSketchAgg(aggExprs) && sketchOpt.nonEmpty) {
+      foldBailNote = ""
+      slidingCondResidue(agg, winAttr, expand, membership, aggExprs,
+        tsCol, wheels, slideMs, offMs, sizeMs, aMs, bMs, sketchOpt)
+    } else None
 
   /** KEYED sliding fold: `GROUP BY key, window(ts, size, slide)` over a
     * source with a registered keyed index — the keyed spelling of
@@ -5053,6 +5108,211 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       }
       }
     } yield plan
+  }
+
+  /** SLIDING conditional hybrid (round 17): per-aggregate range
+    * conditions under `GROUP BY window(ts, size, slide)` in the
+    * regimes the per-window plan-time fold cannot serve — SUB-MINUTE
+    * edges (on the outer WHERE or any per-aggregate condition) and/or
+    * ABOVE the plan-time window cap. The sliding family finally gets
+    * its sliver leg: BOTH union legs ride the ORIGINAL Expand —
+    * interior minutes ship as slot-state partials rows whose synthetic
+    * ts (= slot start, original exprId) re-enumerates their windows
+    * exactly as [[distributedSliding]] proves, edge rows scan ONE
+    * bounded merged-sliver Filter and re-expand through the same
+    * projections (membership filter preserved on both legs) — and two
+    * DISCRIMINATOR columns (`__graft_mslot` on interior rows,
+    * `__graft_ets` on edge rows, each NULL on the other leg) feed the
+    * shared [[CondResidue]] per-aggregate span filters, so each
+    * aggregate reads its own whole minutes + slivers with SQL's
+    * NULL-is-false FILTER semantics keeping the legs disjoint. The
+    * whole-minute window grid guarantees a window contains a minute
+    * iff it contains the minute's start, so minute-granular
+    * enumeration is row-exact (non-divisible slides keep their
+    * membership filter). ELSE-0 resolves per window from
+    * exactly-counted outer rows; second moments center on the outer
+    * interior's global mean and conditioning-gate per (window,
+    * aggregate range) off one pre-walk; sketch spellings ride the
+    * round-17 residue sketch seam (per-minute bytes through the
+    * Expand, raw edge updates). A real executor-side Aggregate groups
+    * per window — serves ANY window count, the distributed posture.
+    * Unkeyed only (the keyed sliding conditional keeps its pinned
+    * refusal). */
+  private def slidingCondResidue(
+      agg: Aggregate, winAttr: AttributeReference, expand: Expand,
+      membership: Option[Filter], aggExprs: Seq[NamedExpression],
+      tsCol: String, wheels: Map[String, WheelIndex],
+      slideMs: Long, offMs: Long, sizeMs: Long,
+      aMs: Long, bMs: Long,
+      sketchOpt: Option[WheelAcceleration.SketchReg]): Option[LogicalPlan] = {
+    def refuse(msg: String): Option[LogicalPlan] = {
+      if (foldBailNote.isEmpty) foldBailNote = msg
+      None
+    }
+    if (!wheels.valuesIterator.forall(_.minuteTierComplete))
+      return refuse("sliding conditional hybrid: the minute tier is " +
+        "retention-evicted (evicted interiors keep the scan)")
+    val aCeilMs = Math.floorDiv(aMs + MinuteMs - 1, MinuteMs) * MinuteMs
+    val bFloorMs = Math.floorDiv(bMs, MinuteMs) * MinuteMs
+    val outersUs = Seq((aMs * 1000L, bMs * 1000L))
+    val innerBelow = findFilter(expand.child).map(_._2).getOrElse(expand.child)
+    val allMeasures = wheels.keys.toSeq
+    if (allMeasures.isEmpty) return None
+    // only measures the Expand still carries are referencable on the
+    // edge leg (column pruning) — same restriction as slidingResidue
+    val measures = allMeasures.filter(c => expand.output.exists(_.name == c))
+    val winIdx = expand.output.indexWhere(_.exprId == winAttr.exprId)
+    if (winIdx < 0) return None
+    // the ts attribute the WINDOW PROJECTIONS reference — the reading
+    // pipeline may cast between the prunable scan depth and the
+    // Expand, so this is NOT necessarily innerBelow's ts attr; the
+    // interior relation must re-expose THIS exprId for the projections
+    // to re-root verbatim (same derivation as distributedSliding)
+    val tsAttrProj = expand.projections.head(winIdx).references.toSeq match {
+      case Seq(t: AttributeReference) if t.dataType == TimestampType ||
+        t.dataType == TimestampNTZType => t
+      case _ => return None
+    }
+    // every window containing this WHOLE minute (grid is whole-minute,
+    // so containment of the start is containment of the minute)
+    def windowsOf(slotMs: Long): Iterator[Long] = {
+      val wsMax = Math.floorDiv(slotMs - offMs, slideMs) * slideMs + offMs
+      Iterator.iterate(wsMax)(_ - slideMs)
+        .takeWhile(ws => ws + sizeMs >= slotMs + MinuteMs)
+    }
+    val needCond = hasSecondMoment(aggExprs)
+    val gateSpecs =
+      if (!needCond) Nil
+      else condGateSpecs(aggExprs, tsCol, wheels.keySet, outersUs)
+    // ONE pre-walk when second moments ask: global shift centers +
+    // per-(window, gate) interior partials
+    val globalAcc = new java.util.HashMap[String, AllAggregate]()
+    val gateAccs = new java.util.HashMap[(Long, Int), AllAggregate]()
+    val anyMeasure = allMeasures.head
+    val anyIdx = wheels(anyMeasure)
+    if (needCond && aCeilMs < bFloorMs) {
+      val gateInteriors = gateSpecs.map { case (_, spans) =>
+        spans.flatMap { case (x, y) => minuteInteriorMs(x, y) } }
+      anyIdx.minuteEntries(aCeilMs, bFloorMs).foreach { case (slotMs, anyAll) =>
+        val alls = wheels.map {
+          case (c, _) if c == anyMeasure => c -> anyAll
+          case (c, i) => c -> i.minuteAt(slotMs)
+        }
+        allMeasures.foreach { c =>
+          globalAcc.merge(c, alls(c), (x, y) => x.combine(y))
+        }
+        gateSpecs.zipWithIndex.foreach { case ((c, _), gi) =>
+          if (gateInteriors(gi).exists(r => slotMs >= r._1 && slotMs < r._2))
+            windowsOf(slotMs).foreach { ws =>
+              gateAccs.merge((ws, gi), alls(c), (x, y) => x.combine(y))
+            }
+        }
+      }
+    }
+    val shifts: Map[String, Double] =
+      if (!needCond) Map.empty
+      else measures.map { c =>
+        val al = Option(globalAcc.get(c)).getOrElse(AllAggregate.identity)
+        c -> (if (al.count == 0L) 0.0 else al.avg)
+      }.toMap
+    val cols = partialColsFor(measures, shifts)
+    if (needCond) {
+      import scala.jdk.CollectionConverters._
+      val ill = gateAccs.entrySet().asScala.exists { e =>
+        val (_, gi) = e.getKey
+        !e.getValue.varWellConditionedAround(cols.shiftOf(gateSpecs(gi)._1))
+      }
+      if (ill) return refuse(IllCondNote)
+    }
+    val mslotAttr = AttributeReference("__graft_mslot", LongType,
+      nullable = true)()
+    val etsAttr = AttributeReference("__graft_ets", tsAttrProj.dataType,
+      nullable = true)()
+    val winOut = AttributeReference("__graft_win", winAttr.dataType,
+      nullable = winAttr.nullable)()
+    val cr = new CondResidue("sliding conditional hybrid", tsCol,
+      measures.toSet, cols, outersUs, mslotAttr, etsAttr,
+      sketchServed = sketchServedOf(sketchOpt),
+      rawSrcOk = (colName, integral) =>
+        residueRawSrcOk(innerBelow)(colName, integral) &&
+          expand.output.exists(_.name == colName))
+    val newAggExprs = cr.rewriteAggExprs(aggExprs,
+      Seq((Seq[Expression](winAttr), winOut))) match {
+      case Some(es) => es
+      case None => return None
+    }
+    val skCols = cr.sketchCols
+    val skAttrs = skCols.flatMap { case (_, (bAt, rAt)) => Seq(bAt, rAt) }
+    val skBytesAt = sketchBytesAt(sketchOpt) _
+    // INTERIOR leg: one (synthetic ts = slot start, mslot, partials)
+    // row per non-empty minute, re-expanded through the ORIGINAL
+    // Expand so each minute lands in exactly its windows. ts keeps the
+    // ORIGINAL exprId so the window projections re-root verbatim.
+    val rows = Seq.newBuilder[InternalRow]
+    if (aCeilMs < bFloorMs)
+      anyIdx.minuteEntries(aCeilMs, bFloorMs).foreach { case (slotMs, anyAll) =>
+        val alls = measures.map {
+          case c if c == anyMeasure => c -> anyAll
+          case c => c -> wheels(c).minuteAt(slotMs)
+        }.toMap
+        val skVals = skCols.flatMap { case ((f, c), _) =>
+          Seq(skBytesAt(f, c, slotMs), null) }
+        rows += InternalRow.fromSeq(
+          ((slotMs * 1000L) +: slotMs +: (null +:
+            cols.partialsRow(alls, anyAll.rows))) ++ skVals)
+      }
+    val passThrough = tsAttrProj +: mslotAttr +: etsAttr +:
+      (cols.partialAttrs ++ skAttrs)
+    val interiorRel = LocalRelation(passThrough, rows.result())
+    val interiorExpand = Expand(
+      expand.projections.map(p => passThrough :+ p(winIdx)),
+      passThrough :+ winAttr, interiorRel)
+    val interiorTop: LogicalPlan = membership
+      .map(f => Filter(f.condition, interiorExpand)).getOrElse(interiorExpand)
+    val interiorLeg = Project(
+      Alias(winAttr, "__graft_win")(exprId = winOut.exprId) +:
+        (mslotAttr +: etsAttr +: (cols.partialAttrs ++ skAttrs):
+          Seq[NamedExpression]),
+      interiorTop)
+    // EDGE leg: the merged slivers of every aggregate's spans plus the
+    // outer's own, scanned once at the prunable depth and re-expanded
+    // through the ORIGINAL Expand (edge rows enumerate their true
+    // windows; membership filter preserved)
+    val mergedWins = cr.mergedEdgeWindows()
+    val legs: Seq[LogicalPlan] =
+      if (mergedWins.isEmpty) Seq(interiorLeg)
+      else residueParts(innerBelow, tsCol, measures, mergedWins, shifts) match {
+        case None =>
+          return refuse("sliding conditional hybrid: the source is " +
+            "missing the typed ts/measure columns an edge scan needs")
+        case Some(parts) =>
+          val edgeChild =
+            if (innerBelow eq expand.child) parts.edgeFilter
+            else expand.child.transformUp {
+              case pl if pl eq innerBelow => parts.edgeFilter
+            }
+          // the ts must survive above the Expand for the sliver
+          // filters — append it as a passthrough when pruned away
+          // (tsAttrProj is produced by the expand.child chain, so the
+          // appended projection element is always resolvable)
+          val tsInExpand = expand.output.exists(_.exprId == tsAttrProj.exprId)
+          val edgeExpand =
+            if (tsInExpand) expand.copy(child = edgeChild)
+            else Expand(expand.projections.map(_ :+ tsAttrProj),
+              expand.output :+ tsAttrProj, edgeChild)
+          val edgeTop: LogicalPlan = membership
+            .map(f => Filter(f.condition, edgeExpand)).getOrElse(edgeExpand)
+          val edgeLeg = Project(
+            (Alias(winAttr, "__graft_win")() +:
+              Alias(Literal(null, LongType), "__graft_mslot")() +:
+              Alias(tsAttrProj, "__graft_ets")() +:
+              parts.edgePartials) ++ sketchEdgeAliases(edgeTop, skCols),
+            edgeTop)
+          Seq(interiorLeg, edgeLeg)
+      }
+    val child2: LogicalPlan =
+      if (legs.size == 1) legs.head else Union(legs)
+    Some(Aggregate(Seq(winOut), newAggExprs, child2))
   }
 
   /** ABOVE-CAP distributed fallback for the SLIDING folds (round 11,

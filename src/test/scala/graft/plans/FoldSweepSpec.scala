@@ -388,13 +388,13 @@ class FoldSweepSpec extends AnyFunSuite {
     }
 
     // round 17, the RESIDUE SKETCH SEAM: SUB-MINUTE outers fold HYBRID
-    // for every slot-grid grouping — interior per-minute sketch bytes
-    // union with raw sliver-row updates, so the Theta exact regime
-    // still matches exact truth bit-for-bit. window() groupings have
-    // no sliver leg and keep the scan (pinned in the sliding row).
+    // for EVERY grouping — interior per-minute sketch bytes union with
+    // raw sliver-row updates, so the Theta exact regime still matches
+    // exact truth bit-for-bit; window() groupings ride the sliding
+    // conditional hybrid's sliver leg (sketch fallback).
     for {
       mixed <- Seq(false, true)
-      (gSel, gBy) <- groupings.filterNot(_._2.contains("window"))
+      (gSel, gBy) <- groupings
     } {
       val (a, b) = (Q.R1Start + 7123L, Q.R1End - 911L)
       val order = if (gSel.isEmpty) "" else " ORDER BY 1"

@@ -4213,17 +4213,76 @@ class WheelAccelerationSpec extends AnyFunSuite {
       "COUNT(*) AS n FROM events_accel " +
       s"WHERE unix_millis(ts) >= $oA AND unix_millis(ts) < ${oA + 3 * 3600000L} " +
       "GROUP BY window(ts, '3 minutes', '2 minutes') ORDER BY 1").nonEmpty)
-    // a SUB-MINUTE per-aggregate condition keeps the scan (pinned —
-    // sliding windows have no sliver leg)
-    val df = spark.sql("SELECT unix_millis(window.start) AS ws, " +
-      s"ROUND(SUM(CASE WHEN unix_millis(ts) >= ${wa + 7123L} THEN value END), 2) AS w " +
-      "FROM events_accel " +
+    // SUB-MINUTE edges now fold through the SLIDING CONDITIONAL HYBRID
+    // (round 17 — was the pinned "no sliver leg" refusal): interior
+    // minutes and sliver rows both re-expand through the original
+    // Expand, per-aggregate span filters over the (mslot, ets)
+    // discriminators. Value parity vs the cleared-registry scan.
+    def runHybrid(sql: String): Seq[String] = {
+      val df = spark.sql(sql)
+      val local = df.queryExecution.optimizedPlan.collect {
+        case l: LocalRelation => l }.nonEmpty
+      val scan = df.queryExecution.executedPlan.toString.contains("FileScan")
+      assert(local && scan, s"want hybrid for: $sql\n" +
+        df.queryExecution.optimizedPlan.treeString)
+      val got = df.collect().map(_.toString).toSeq
+      WheelAcceleration.clear()
+      val want = spark.sql(sql).collect().map(_.toString).toSeq
+      register()
+      assert(got == want, s"$sql\n got=$got\nwant=$want")
+      got
+    }
+    // (a) sub-minute PER-AGGREGATE condition, aligned outer
+    assert(runHybrid("SELECT unix_millis(window.start) AS ws, " +
+      s"ROUND(SUM(CASE WHEN unix_millis(ts) >= ${wa + 7123L} THEN value END), 2) AS w, " +
+      s"ROUND(SUM(CASE WHEN unix_millis(ts) < ${wa + 7123L} THEN value ELSE 0 END), 2) AS pre0, " +
+      "COUNT(*) AS n FROM events_accel " +
       s"WHERE unix_millis(ts) >= $oA AND unix_millis(ts) < $oB " +
-      "GROUP BY window(ts, '2 hours', '1 hour')")
-    assert(df.queryExecution.optimizedPlan.collect {
-      case l: LocalRelation => l }.isEmpty)
-    assert(WheelAcceleration.lastBailReason(path).getOrElse("")
-      .contains("minute-aligned"), WheelAcceleration.lastBailReason(path))
+      "GROUP BY window(ts, '2 hours', '1 hour') ORDER BY 1").nonEmpty)
+    // (b) sub-minute OUTER edges with conditional aggregates
+    assert(runHybrid("SELECT unix_millis(window.start) AS ws, " +
+      s"ROUND(SUM(value) FILTER (WHERE unix_millis(ts) >= $wa), 2) AS post, " +
+      "COUNT(*) AS n FROM events_accel " +
+      s"WHERE unix_millis(ts) >= ${oA + 7123L} AND unix_millis(ts) < ${oB - 911L} " +
+      "GROUP BY window(ts, '2 hours', '1 hour') ORDER BY 1").nonEmpty)
+    // (c) the membership-filtered non-divisible slide with a
+    // sub-minute condition INSIDE the outer — edge rows land only in
+    // their true windows
+    assert(runHybrid("SELECT unix_millis(window.start) AS ws, " +
+      s"ROUND(SUM(value) FILTER (WHERE unix_millis(ts) < ${oA + 90 * 60000L + 7123L}), 2) AS pre, " +
+      "COUNT(*) AS n FROM events_accel " +
+      s"WHERE unix_millis(ts) >= $oA AND unix_millis(ts) < ${oA + 3 * 3600000L} " +
+      "GROUP BY window(ts, '3 minutes', '2 minutes') ORDER BY 1").nonEmpty)
+    // (d) ABOVE the window cap: same hybrid, forced ceiling
+    spark.conf.set("spark.graft.wheel.rewrite.maxFoldRows", "1")
+    try {
+      assert(runHybrid("SELECT unix_millis(window.start) AS ws, " +
+        s"ROUND(SUM(CASE WHEN unix_millis(ts) >= ${wa + 7123L} THEN value END), 2) AS w, " +
+        "COUNT(*) AS n FROM events_accel " +
+        s"WHERE unix_millis(ts) >= $oA AND unix_millis(ts) < $oB " +
+        "GROUP BY window(ts, '2 hours', '1 hour') ORDER BY 1").nonEmpty)
+      // above-cap + conditional + fully ALIGNED: interior-only (pure
+      // fold through the Expand, no edge scan at all)
+      val dfA = spark.sql("SELECT unix_millis(window.start) AS ws, " +
+        s"ROUND(SUM(CASE WHEN unix_millis(ts) >= $wa THEN value END), 2) AS w " +
+        "FROM events_accel " +
+        s"WHERE unix_millis(ts) >= $oA AND unix_millis(ts) < $oB " +
+        "GROUP BY window(ts, '2 hours', '1 hour') ORDER BY 1")
+      assert(dfA.queryExecution.optimizedPlan.collect {
+        case l: LocalRelation => l }.nonEmpty &&
+        !dfA.queryExecution.executedPlan.toString.contains("FileScan"),
+        dfA.queryExecution.optimizedPlan.treeString)
+      val gotA = dfA.collect().map(_.toString).toSeq
+      WheelAcceleration.clear()
+      spark.conf.unset("spark.graft.wheel.rewrite.maxFoldRows")
+      val wantA = spark.sql("SELECT unix_millis(window.start) AS ws, " +
+        s"ROUND(SUM(CASE WHEN unix_millis(ts) >= $wa THEN value END), 2) AS w " +
+        "FROM events_accel " +
+        s"WHERE unix_millis(ts) >= $oA AND unix_millis(ts) < $oB " +
+        "GROUP BY window(ts, '2 hours', '1 hour') ORDER BY 1")
+        .collect().map(_.toString).toSeq
+      assert(gotA == wantA, s"got=$gotA\nwant=$wantA")
+    } finally spark.conf.unset("spark.graft.wheel.rewrite.maxFoldRows")
     WheelAcceleration.clear()
   }
 
