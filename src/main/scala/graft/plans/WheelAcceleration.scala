@@ -4856,18 +4856,44 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       a = aOpt.getOrElse(reg.any.baseMs)
       b = bOpt.getOrElse(reg.any.horizonMs)
       if a < b
+      hasConditional = aggExprs.exists(_.exists {
+        case ae: AggregateExpression =>
+          ae.filter.nonEmpty ||
+            ae.aggregateFunction.children.exists(_.isInstanceOf[CaseWhen])
+        case _ => false
+      })
+      keyedSkOpt = WheelAcceleration.lookupKeyedSketch(path)
+        .filter(r => r.tsCol == reg.tsCol && r.keyCol == reg.keyCol)
       result <-
+        // CONDITIONAL aggregates take the KEYED sliding conditional
+        // hybrid in EVERY regime (round 17 — the plan-time per-(key,
+        // window) fold refuses FILTER/CASE): interior (key, minute)
+        // state + one bounded sliver scan, per-aggregate span filters,
+        // a real executor Aggregate per (key, window) — so the cap is
+        // irrelevant and sub-minute edges are the edge leg's job
+        if (hasConditional)
+          bail(path, foldNote("keyed sliding conditional not foldable " +
+            "hybrid"))(
+            slidingCondResidue(agg, winAttr, expand, membership, aggExprs,
+              reg.tsCol, Map.empty, slideMs, offMs, sizeMs, a, b, None,
+              keyed = Some((keyAttr, reg)), keyedSk = keyedSkOpt))
         // |keys| x windows plan-time cap; past it the aligned shape
         // ships (key, minute) partials through the original Expand on
         // executors (round 11), and the unaligned shape goes
         // hybrid-distributed (late round 11) — neither keeps the scan
-        if (reg.any.keys.size.toLong * ((b - a) / slideMs + sizeMs / slideMs) > maxFoldRows) {
+        else if (reg.any.keys.size.toLong * ((b - a) / slideMs + sizeMs / slideMs) > maxFoldRows) {
           if (a % MinuteMs == 0 && b % MinuteMs == 0)
             distributedSliding(groupings, winAttr, expand, membership,
               aggExprs, Map.empty, Some((keyAttr, reg)), a, b)
+              .orElse(keyedSlidingSketchFallback(agg, winAttr, expand,
+                membership, aggExprs, reg, slideMs, offMs, sizeMs, a, b,
+                keyAttr, keyedSkOpt))
           else slidingResidue(agg, winAttr, expand, membership, aggExprs,
             reg.tsCol, Map.empty, slideMs, offMs, sizeMs, a, b,
             Some((keyAttr, reg)), aboveCap = true)
+            .orElse(keyedSlidingSketchFallback(agg, winAttr, expand,
+              membership, aggExprs, reg, slideMs, offMs, sizeMs, a, b,
+              keyAttr, keyedSkOpt))
         } else if (a % MinuteMs == 0 && b % MinuteMs == 0) {
           val winType = winAttr.dataType.asInstanceOf[StructType]
           // per-key sketch views (late round 11): keyed approx
@@ -4901,8 +4927,29 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
         } else slidingResidue(agg, winAttr, expand, membership, aggExprs,
           reg.tsCol, Map.empty, slideMs, offMs, sizeMs, a, b,
           Some((keyAttr, reg)))
+          .orElse(keyedSlidingSketchFallback(agg, winAttr, expand,
+            membership, aggExprs, reg, slideMs, offMs, sizeMs, a, b,
+            keyAttr, keyedSkOpt))
     } yield result
   }
+
+  /** Round 17, keyed twin of [[slidingSketchFallback]]: a PLAIN keyed
+    * approximate sliding spelling refused the numeric path — ride the
+    * keyed sliding conditional hybrid's sketch seam (per-(key, minute)
+    * bytes through the Expand, raw edge updates). */
+  private def keyedSlidingSketchFallback(
+      agg: Aggregate, winAttr: AttributeReference, expand: Expand,
+      membership: Option[Filter], aggExprs: Seq[NamedExpression],
+      reg: WheelAcceleration.KeyedReg,
+      slideMs: Long, offMs: Long, sizeMs: Long, aMs: Long, bMs: Long,
+      keyAttr: AttributeReference,
+      keyedSk: Option[WheelAcceleration.KeyedSketchReg]): Option[LogicalPlan] =
+    if (hasSketchAgg(aggExprs) && keyedSk.nonEmpty) {
+      foldBailNote = ""
+      slidingCondResidue(agg, winAttr, expand, membership, aggExprs,
+        reg.tsCol, Map.empty, slideMs, offMs, sizeMs, aMs, bMs, None,
+        keyed = Some((keyAttr, reg)), keyedSk = keyedSk)
+    } else None
 
   /** Sliding HYBRID residue (round 10): sub-minute range edges for the
     * sliding folds. The whole-minute interior folds per window from the
@@ -5136,27 +5183,36 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     * round-17 residue sketch seam (per-minute bytes through the
     * Expand, raw edge updates). A real executor-side Aggregate groups
     * per window — serves ANY window count, the distributed posture.
-    * Unkeyed only (the keyed sliding conditional keeps its pinned
-    * refusal). */
+    * KEYED spelling (`GROUP BY key, window(...)`, round 17): interior
+    * rows carry (key, minute) state from the keyed index, the key
+    * rides the Expand untouched on both legs, the gate pre-walk and
+    * the final Aggregate group per (key, window). */
   private def slidingCondResidue(
       agg: Aggregate, winAttr: AttributeReference, expand: Expand,
       membership: Option[Filter], aggExprs: Seq[NamedExpression],
       tsCol: String, wheels: Map[String, WheelIndex],
       slideMs: Long, offMs: Long, sizeMs: Long,
       aMs: Long, bMs: Long,
-      sketchOpt: Option[WheelAcceleration.SketchReg]): Option[LogicalPlan] = {
+      sketchOpt: Option[WheelAcceleration.SketchReg],
+      keyed: Option[(AttributeReference, WheelAcceleration.KeyedReg)] = None,
+      keyedSk: Option[WheelAcceleration.KeyedSketchReg] = None): Option[LogicalPlan] = {
+    val noun = if (keyed.isEmpty) "sliding conditional hybrid"
+      else "keyed sliding conditional hybrid"
     def refuse(msg: String): Option[LogicalPlan] = {
       if (foldBailNote.isEmpty) foldBailNote = msg
       None
     }
-    if (!wheels.valuesIterator.forall(_.minuteTierComplete))
-      return refuse("sliding conditional hybrid: the minute tier is " +
+    // the keyed index has no retention policy — its minute tier is
+    // always complete; the unkeyed one can be retention-evicted
+    if (keyed.isEmpty && !wheels.valuesIterator.forall(_.minuteTierComplete))
+      return refuse(s"$noun: the minute tier is " +
         "retention-evicted (evicted interiors keep the scan)")
     val aCeilMs = Math.floorDiv(aMs + MinuteMs - 1, MinuteMs) * MinuteMs
     val bFloorMs = Math.floorDiv(bMs, MinuteMs) * MinuteMs
     val outersUs = Seq((aMs * 1000L, bMs * 1000L))
     val innerBelow = findFilter(expand.child).map(_._2).getOrElse(expand.child)
-    val allMeasures = wheels.keys.toSeq
+    val allMeasures =
+      keyed.map(_._2.wheels.keys.toSeq).getOrElse(wheels.keys.toSeq)
     if (allMeasures.isEmpty) return None
     // only measures the Expand still carries are referencable on the
     // edge leg (column pruning) — same restriction as slidingResidue
@@ -5183,28 +5239,52 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     val needCond = hasSecondMoment(aggExprs)
     val gateSpecs =
       if (!needCond) Nil
-      else condGateSpecs(aggExprs, tsCol, wheels.keySet, outersUs)
+      else condGateSpecs(aggExprs, tsCol,
+        keyed.map(_._2.wheels.keySet).getOrElse(wheels.keySet), outersUs)
+    // unified interior walk: (key-or-null, minute slot, per-measure
+    // partials) — the unkeyed index yields one entry per minute, the
+    // keyed one per (key, minute); O(1) per entry either way
+    val anyMeasure = keyed match {
+      case Some((_, reg)) => reg.wheels.find(_._2 eq reg.any).get._1
+      case None => allMeasures.head
+    }
+    def interiorEntries(): Iterator[(Any, Long, Map[String, AllAggregate])] =
+      if (aCeilMs >= bFloorMs) Iterator.empty
+      else keyed match {
+        case None =>
+          wheels(anyMeasure).minuteEntries(aCeilMs, bFloorMs).map {
+            case (slotMs, anyAll) =>
+              (null, slotMs, wheels.map {
+                case (c, _) if c == anyMeasure => c -> anyAll
+                case (c, i) => c -> i.minuteAt(slotMs)
+              })
+          }
+        case Some((_, reg)) =>
+          reg.any.minuteEntries(aCeilMs, bFloorMs).map {
+            case (key, slotMs, anyAll) =>
+              (key, slotMs, reg.wheels.map {
+                case (c, _) if c == anyMeasure => c -> anyAll
+                case (c, i) => c -> i.minuteAt(key, slotMs)
+              })
+          }
+      }
     // ONE pre-walk when second moments ask: global shift centers +
-    // per-(window, gate) interior partials
+    // per-((key,) window, gate) interior partials — raw edge rows
+    // recombine around the GLOBAL center, so every group's gated
+    // interior must be well-conditioned there
     val globalAcc = new java.util.HashMap[String, AllAggregate]()
-    val gateAccs = new java.util.HashMap[(Long, Int), AllAggregate]()
-    val anyMeasure = allMeasures.head
-    val anyIdx = wheels(anyMeasure)
-    if (needCond && aCeilMs < bFloorMs) {
+    val gateAccs = new java.util.HashMap[(Any, Long, Int), AllAggregate]()
+    if (needCond) {
       val gateInteriors = gateSpecs.map { case (_, spans) =>
         spans.flatMap { case (x, y) => minuteInteriorMs(x, y) } }
-      anyIdx.minuteEntries(aCeilMs, bFloorMs).foreach { case (slotMs, anyAll) =>
-        val alls = wheels.map {
-          case (c, _) if c == anyMeasure => c -> anyAll
-          case (c, i) => c -> i.minuteAt(slotMs)
-        }
+      interiorEntries().foreach { case (key, slotMs, alls) =>
         allMeasures.foreach { c =>
           globalAcc.merge(c, alls(c), (x, y) => x.combine(y))
         }
         gateSpecs.zipWithIndex.foreach { case ((c, _), gi) =>
           if (gateInteriors(gi).exists(r => slotMs >= r._1 && slotMs < r._2))
             windowsOf(slotMs).foreach { ws =>
-              gateAccs.merge((ws, gi), alls(c), (x, y) => x.combine(y))
+              gateAccs.merge((key, ws, gi), alls(c), (x, y) => x.combine(y))
             }
         }
       }
@@ -5219,7 +5299,7 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     if (needCond) {
       import scala.jdk.CollectionConverters._
       val ill = gateAccs.entrySet().asScala.exists { e =>
-        val (_, gi) = e.getKey
+        val (_, _, gi) = e.getKey
         !e.getValue.varWellConditionedAround(cols.shiftOf(gateSpecs(gi)._1))
       }
       if (ill) return refuse(IllCondNote)
@@ -5230,14 +5310,21 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       nullable = true)()
     val winOut = AttributeReference("__graft_win", winAttr.dataType,
       nullable = winAttr.nullable)()
-    val cr = new CondResidue("sliding conditional hybrid", tsCol,
+    val keyOut = keyed.map { case (kA, reg) =>
+      AttributeReference("__graft_key", reg.any.keyType,
+        nullable = kA.nullable)()
+    }
+    val cr = new CondResidue(noun, tsCol,
       measures.toSet, cols, outersUs, mslotAttr, etsAttr,
-      sketchServed = sketchServedOf(sketchOpt),
+      sketchServed =
+        if (keyed.isEmpty) sketchServedOf(sketchOpt)
+        else keyedSketchServedOf(keyedSk),
       rawSrcOk = (colName, integral) =>
         residueRawSrcOk(innerBelow)(colName, integral) &&
           expand.output.exists(_.name == colName))
     val newAggExprs = cr.rewriteAggExprs(aggExprs,
-      Seq((Seq[Expression](winAttr), winOut))) match {
+      Seq((Seq[Expression](winAttr), winOut)) ++
+        keyed.map(k => (Seq[Expression](k._1), keyOut.get: Attribute))) match {
       case Some(es) => es
       case None => return None
     }
@@ -5248,21 +5335,23 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     // row per non-empty minute, re-expanded through the ORIGINAL
     // Expand so each minute lands in exactly its windows. ts keeps the
     // ORIGINAL exprId so the window projections re-root verbatim.
+    val skBytesFor: (String, String, Any, Long) => Array[Byte] =
+      if (keyed.isEmpty) (f, c, _, slotMs) => sketchBytesAt(sketchOpt)(f, c, slotMs)
+      else (f, c, key, slotMs) => keyedSketchBytesAt(keyedSk)(f, c, key, slotMs)
+    val keyLits = new java.util.HashMap[Any, Any]()
+    def keyLit(key: Any): Any = keyLits.computeIfAbsent(key,
+      k => Literal.create(k, keyed.get._2.any.keyType).value)
     val rows = Seq.newBuilder[InternalRow]
-    if (aCeilMs < bFloorMs)
-      anyIdx.minuteEntries(aCeilMs, bFloorMs).foreach { case (slotMs, anyAll) =>
-        val alls = measures.map {
-          case c if c == anyMeasure => c -> anyAll
-          case c => c -> wheels(c).minuteAt(slotMs)
-        }.toMap
-        val skVals = skCols.flatMap { case ((f, c), _) =>
-          Seq(skBytesAt(f, c, slotMs), null) }
-        rows += InternalRow.fromSeq(
-          ((slotMs * 1000L) +: slotMs +: (null +:
-            cols.partialsRow(alls, anyAll.rows))) ++ skVals)
-      }
-    val passThrough = tsAttrProj +: mslotAttr +: etsAttr +:
-      (cols.partialAttrs ++ skAttrs)
+    interiorEntries().foreach { case (key, slotMs, alls) =>
+      val skVals = skCols.flatMap { case ((f, c), _) =>
+        Seq(skBytesFor(f, c, key, slotMs), null) }
+      val keyVal = keyed.map(_ => keyLit(key)).toSeq
+      rows += InternalRow.fromSeq(
+        (((slotMs * 1000L) +: keyVal) ++ (slotMs +: (null +:
+          cols.partialsRow(alls, alls(anyMeasure).rows)))) ++ skVals)
+    }
+    val passThrough = (tsAttrProj +: keyed.map(_._1).toSeq) ++
+      (mslotAttr +: etsAttr +: (cols.partialAttrs ++ skAttrs))
     val interiorRel = LocalRelation(passThrough, rows.result())
     val interiorExpand = Expand(
       expand.projections.map(p => passThrough :+ p(winIdx)),
@@ -5270,20 +5359,22 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     val interiorTop: LogicalPlan = membership
       .map(f => Filter(f.condition, interiorExpand)).getOrElse(interiorExpand)
     val interiorLeg = Project(
-      Alias(winAttr, "__graft_win")(exprId = winOut.exprId) +:
+      (Alias(winAttr, "__graft_win")(exprId = winOut.exprId) +:
+        keyed.map { case (kA, _) =>
+          Alias(kA, "__graft_key")(exprId = keyOut.get.exprId) }.toSeq) ++
         (mslotAttr +: etsAttr +: (cols.partialAttrs ++ skAttrs):
           Seq[NamedExpression]),
       interiorTop)
     // EDGE leg: the merged slivers of every aggregate's spans plus the
     // outer's own, scanned once at the prunable depth and re-expanded
     // through the ORIGINAL Expand (edge rows enumerate their true
-    // windows; membership filter preserved)
+    // windows; membership filter preserved; the key rides the Expand)
     val mergedWins = cr.mergedEdgeWindows()
     val legs: Seq[LogicalPlan] =
       if (mergedWins.isEmpty) Seq(interiorLeg)
       else residueParts(innerBelow, tsCol, measures, mergedWins, shifts) match {
         case None =>
-          return refuse("sliding conditional hybrid: the source is " +
+          return refuse(s"$noun: the source is " +
             "missing the typed ts/measure columns an edge scan needs")
         case Some(parts) =>
           val edgeChild =
@@ -5303,16 +5394,18 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
           val edgeTop: LogicalPlan = membership
             .map(f => Filter(f.condition, edgeExpand)).getOrElse(edgeExpand)
           val edgeLeg = Project(
-            (Alias(winAttr, "__graft_win")() +:
-              Alias(Literal(null, LongType), "__graft_mslot")() +:
-              Alias(tsAttrProj, "__graft_ets")() +:
-              parts.edgePartials) ++ sketchEdgeAliases(edgeTop, skCols),
+            ((Alias(winAttr, "__graft_win")() +:
+              keyed.map { case (kA, _) =>
+                Alias(kA, "__graft_key")() }.toSeq) ++
+              (Alias(Literal(null, LongType), "__graft_mslot")() +:
+                Alias(tsAttrProj, "__graft_ets")() +:
+                parts.edgePartials)) ++ sketchEdgeAliases(edgeTop, skCols),
             edgeTop)
           Seq(interiorLeg, edgeLeg)
       }
     val child2: LogicalPlan =
       if (legs.size == 1) legs.head else Union(legs)
-    Some(Aggregate(Seq(winOut), newAggExprs, child2))
+    Some(Aggregate(winOut +: keyOut.toSeq, newAggExprs, child2))
   }
 
   /** ABOVE-CAP distributed fallback for the SLIDING folds (round 11,

@@ -986,6 +986,30 @@ object Core {
            |""".stripMargin)
     }),
 
+    // SLIDING conditional hybrid (round 17): per-aggregate range
+    // conditions under a sliding window() grouping with SUB-MINUTE
+    // edges on BOTH the outer WHERE and one condition — the regime the
+    // per-window plan-time fold cannot clip. Interior minutes ship as
+    // slot-state partials re-expanded through the ORIGINAL Expand; the
+    // sub-minute slivers of every aggregate's range union in from ONE
+    // bounded edge scan; per-aggregate FILTERs over the (mslot, ets)
+    // discriminators keep the legs disjoint (was the pinned "sliding
+    // windows have no sliver leg" refusal).
+    "q_wheel_sliding_cond_sql" -> ((s, dir) => {
+      graft.plans.WheelAcceleration.register(
+        s, s"$dir/events.parquet", t(s, dir, "events"))
+      t(s, dir, "events").createOrReplaceTempView("events_wheel")
+      s.sql(
+        s"""SELECT unix_millis(window.start) AS ws_ms,
+           |ROUND(SUM(CASE WHEN unix_millis(ts) >= $RsMid THEN value END), 2) AS post,
+           |ROUND(SUM(value) FILTER (WHERE unix_millis(ts) < $RsMid), 2) AS pre,
+           |COUNT(*) AS n
+           |FROM events_wheel
+           |WHERE unix_millis(ts) >= ${RsStart + 7000} AND unix_millis(ts) < ${RsEnd - 11000}
+           |GROUP BY window(ts, '1 hour', '1 minute') ORDER BY 1
+           |""".stripMargin)
+    }),
+
     // KEYED sliding window() fold (round 10): the same sliding spelling
     // per dimension key — GROUP BY event_type, window(ts, '1 hour',
     // '1 minute') — one LocalRelation row per (key, non-empty window)
@@ -1000,6 +1024,27 @@ object Core {
            |ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n
            |FROM events_wheel
            |WHERE unix_millis(ts) >= $RsStart AND unix_millis(ts) < $RsEnd
+           |GROUP BY event_type, window(ts, '1 hour', '1 minute') ORDER BY 1, 2
+           |""".stripMargin)
+    }),
+
+    // KEYED sliding conditional hybrid (round 17): per-aggregate range
+    // conditions under GROUP BY key, window(...) with sub-minute edges
+    // on the outer AND one condition — interior (key, minute) state
+    // from the keyed index + one bounded sliver scan, a real executor
+    // Aggregate per (key, window). Was a pinned refusal in every
+    // regime (the plan-time keyed fold refuses FILTER/CASE).
+    "q_wheel_sliding_keyed_cond_sql" -> ((s, dir) => {
+      graft.plans.WheelAcceleration.registerKeyed(
+        s, s"$dir/events.parquet", t(s, dir, "events"), "event_type")
+      t(s, dir, "events").createOrReplaceTempView("events_wheel")
+      s.sql(
+        s"""SELECT event_type, unix_millis(window.start) AS ws_ms,
+           |ROUND(SUM(CASE WHEN unix_millis(ts) >= $RsMid THEN value END), 2) AS post,
+           |ROUND(SUM(value) FILTER (WHERE unix_millis(ts) < $RsMid), 2) AS pre,
+           |COUNT(*) AS n
+           |FROM events_wheel
+           |WHERE unix_millis(ts) >= ${RsStart + 7000} AND unix_millis(ts) < ${RsEnd - 11000}
            |GROUP BY event_type, window(ts, '1 hour', '1 minute') ORDER BY 1, 2
            |""".stripMargin)
     }),
@@ -2175,6 +2220,18 @@ object Core {
         s"AND epoch_ms(e.ts) >= ${RsStart + 7000} AND epoch_ms(e.ts) < ${RsEnd - 11000}) " +
         "SELECT ws AS ws_ms, ws + 3600000 AS we_ms, ROUND(SUM(value), 2) AS sum_value, " +
         "COUNT(*) AS n FROM j GROUP BY 1, 2 ORDER BY 1"),
+    "q_wheel_sliding_cond_sql" ->
+      // sub-minute outer edges AND a sub-minute per-aggregate split:
+      // the oracle joins RAW rows to the minute window grid and applies
+      // the same conditions per aggregate
+      ("WITH g AS (SELECT range AS ws FROM " +
+        s"range(${RsStart - 3540000L}, ${RsEnd - 11000}, 60000)), " +
+        "j AS (SELECT g.ws, e.value, epoch_ms(e.ts) AS ems FROM g JOIN events e " +
+        "ON epoch_ms(e.ts) >= g.ws AND epoch_ms(e.ts) < g.ws + 3600000 " +
+        s"AND epoch_ms(e.ts) >= ${RsStart + 7000} AND epoch_ms(e.ts) < ${RsEnd - 11000}) " +
+        s"SELECT ws AS ws_ms, ROUND(SUM(CASE WHEN ems >= $RsMid THEN value END), 2) AS post, " +
+        s"ROUND(SUM(value) FILTER (WHERE ems < $RsMid), 2) AS pre, " +
+        "COUNT(*) AS n FROM j GROUP BY 1 ORDER BY 1"),
     "q_wheel_sliding_hybrid_distributed" ->
       // sub-minute edges + above-cap: like the residue oracle, the
       // minute rollup cannot express the clips, so raw rows join the
@@ -2187,6 +2244,18 @@ object Core {
         s"AND epoch_ms(e.ts) >= ${RsStart + 7000} AND epoch_ms(e.ts) < ${RsEnd - 11000}) " +
         "SELECT ws AS ws_ms, ws + 3600000 AS we_ms, ROUND(SUM(value), 2) AS sum_value, " +
         "COUNT(*) AS n FROM j GROUP BY 1, 2 ORDER BY 1"),
+    "q_wheel_sliding_keyed_cond_sql" ->
+      // keyed + sub-minute edges + a sub-minute per-aggregate split:
+      // raw rows join the minute window grid per key
+      ("WITH g AS (SELECT range AS ws FROM " +
+        s"range(${RsStart - 3540000L}, ${RsEnd - 11000}, 60000)), " +
+        "j AS (SELECT e.event_type, g.ws, e.value, epoch_ms(e.ts) AS ems FROM g JOIN events e " +
+        "ON epoch_ms(e.ts) >= g.ws AND epoch_ms(e.ts) < g.ws + 3600000 " +
+        s"AND epoch_ms(e.ts) >= ${RsStart + 7000} AND epoch_ms(e.ts) < ${RsEnd - 11000}) " +
+        "SELECT event_type, ws AS ws_ms, " +
+        s"ROUND(SUM(CASE WHEN ems >= $RsMid THEN value END), 2) AS post, " +
+        s"ROUND(SUM(value) FILTER (WHERE ems < $RsMid), 2) AS pre, " +
+        "COUNT(*) AS n FROM j GROUP BY 1, 2 ORDER BY 1, 2"),
     "q_wheel_sliding_keyed_sql" ->
       ("WITH m AS (SELECT event_type, (epoch_ms(ts) // 60000) * 60000 AS slot_ms, " +
         "SUM(value) AS sv, COUNT(*) AS cn FROM events " +

@@ -116,6 +116,11 @@ object Q {
   val RsStart: Long = Jan1 + 9 * Day
   val RsEnd: Long = RsStart + Day
 
+  /** SUB-MINUTE split instant inside the sliding day — the
+    * per-aggregate condition boundary for the sliding conditional
+    * hybrid (round 17): deliberately not minute-aligned. */
+  val RsMid: Long = RsStart + 12 * Hour + 7123L
+
   /** Landmark-window anchor (lower bound only — "everything since
     * 2024-01-20"): the wheel answers [RlStart, horizon). */
   val RlStart: Long = Jan1 + 19 * Day

@@ -91,6 +91,13 @@ class FoldSweepSpec extends AnyFunSuite {
       ("date_trunc('quarter', ts) AS g0, ", "GROUP BY 1"),
       ("event_type AS g0, (unix_millis(ts) div 3600000) * 3600000 AS g1, ",
         "GROUP BY 1, 2"),
+      // KEYED sliding groupings (round 17): plain mixes ride the keyed
+      // sliding folds, conditional mixes the keyed sliding conditional
+      // hybrid — every regime (cap dimension included) value-checked
+      ("event_type AS g0, window(ts, '1 hour', '30 minutes') AS g1, ",
+        "GROUP BY 1, window(ts, '1 hour', '30 minutes')"),
+      ("event_type AS g0, window(ts, '3 minutes', '2 minutes') AS g1, ",
+        "GROUP BY 1, window(ts, '3 minutes', '2 minutes')"),
       // bare-key pivot grouping (round 14): plain AND conditional
       // mixes fold through the keyed conditional leg
       ("event_type AS g0, ", "GROUP BY 1"))
@@ -123,7 +130,7 @@ class FoldSweepSpec extends AnyFunSuite {
       }
       val order =
         if (gSel.isEmpty) ""
-        else if (gBy == "GROUP BY 1, 2") " ORDER BY 1, 2" else " ORDER BY 1"
+        else if (gSel.contains("g1")) " ORDER BY 1, 2" else " ORDER BY 1"
       val where =
         if (a < 0) "" // the no-predicate full-span shape
         else s"WHERE unix_millis(ts) >= $a AND unix_millis(ts) < $b "
@@ -209,7 +216,7 @@ class FoldSweepSpec extends AnyFunSuite {
     } {
       val order =
         if (gSel.isEmpty) ""
-        else if (gBy == "GROUP BY 1, 2") " ORDER BY 1, 2" else " ORDER BY 1"
+        else if (gSel.contains("g1")) " ORDER BY 1, 2" else " ORDER BY 1"
       val where =
         if (a < 0) ""
         else s"WHERE unix_millis(ts) >= $a AND unix_millis(ts) < $b "

@@ -4286,6 +4286,109 @@ class WheelAccelerationSpec extends AnyFunSuite {
     WheelAcceleration.clear()
   }
 
+  test("KEYED sliding conditional hybrid (round 17): GROUP BY key, " +
+      "window(...) with FILTER/CASE folds in every regime") {
+    WheelAcceleration.clear()
+    WheelAcceleration.registerKeyed(spark, path, events, "event_type")
+    events.createOrReplaceTempView("events_accel")
+    val (oA, oB) = (Q.R1Start, Q.R1Start + 2 * 86400000L)
+    val wa = Q.R1Start + 30 * 3600000L
+    def run(sql: String, wantScan: Boolean): Seq[String] = {
+      val df = spark.sql(sql)
+      val local = df.queryExecution.optimizedPlan.collect {
+        case l: LocalRelation => l }.nonEmpty
+      val scan = df.queryExecution.executedPlan.toString.contains("FileScan")
+      assert(local && scan == wantScan,
+        s"local=$local scan=$scan (want $wantScan) for: $sql\n" +
+          df.queryExecution.optimizedPlan.treeString)
+      val got = df.collect().map(_.toString).toSeq
+      WheelAcceleration.clear()
+      val want = spark.sql(sql).collect().map(_.toString).toSeq
+      WheelAcceleration.registerKeyed(spark, path, events, "event_type")
+      assert(got == want, s"$sql\n got=$got\nwant=$want")
+      got
+    }
+    // (a) fully MINUTE-ALIGNED conditions: interior-only (no edge
+    // scan at all) — the plan-time keyed fold used to refuse FILTER
+    assert(run("SELECT event_type, unix_millis(window.start) AS ws, " +
+      s"ROUND(SUM(CASE WHEN unix_millis(ts) >= $wa THEN value END), 2) AS post, " +
+      s"ROUND(SUM(CASE WHEN unix_millis(ts) < $wa THEN value ELSE 0 END), 2) AS pre0, " +
+      s"COUNT(*) FILTER (WHERE unix_millis(ts) >= $wa) AS n_after, " +
+      "COUNT(*) AS n FROM events_accel " +
+      s"WHERE unix_millis(ts) >= $oA AND unix_millis(ts) < $oB " +
+      "GROUP BY 1, window(ts, '2 hours', '1 hour') ORDER BY 1, 2",
+      wantScan = false).nonEmpty)
+    // (b) SUB-MINUTE per-aggregate condition: hybrid with ONE bounded
+    // edge scan
+    assert(run("SELECT event_type, unix_millis(window.start) AS ws, " +
+      s"ROUND(SUM(CASE WHEN unix_millis(ts) >= ${wa + 7123L} THEN value END), 2) AS w, " +
+      "COUNT(*) AS n FROM events_accel " +
+      s"WHERE unix_millis(ts) >= $oA AND unix_millis(ts) < $oB " +
+      "GROUP BY 1, window(ts, '2 hours', '1 hour') ORDER BY 1, 2",
+      wantScan = true).nonEmpty)
+    // (c) SUB-MINUTE outer edges with a conditional aggregate
+    assert(run("SELECT event_type, unix_millis(window.start) AS ws, " +
+      s"ROUND(SUM(value) FILTER (WHERE unix_millis(ts) >= $wa), 2) AS post, " +
+      "COUNT(*) AS n FROM events_accel " +
+      s"WHERE unix_millis(ts) >= ${oA + 7123L} AND unix_millis(ts) < ${oB - 911L} " +
+      "GROUP BY 1, window(ts, '2 hours', '1 hour') ORDER BY 1, 2",
+      wantScan = true).nonEmpty)
+    // (d) membership-filtered NON-DIVISIBLE slide (3m/2m) + sub-minute
+    // condition: keyed edge rows land only in their true windows
+    assert(run("SELECT event_type, unix_millis(window.start) AS ws, " +
+      s"ROUND(SUM(value) FILTER (WHERE unix_millis(ts) < ${oA + 90 * 60000L + 7123L}), 2) AS pre, " +
+      "COUNT(*) AS n FROM events_accel " +
+      s"WHERE unix_millis(ts) >= $oA AND unix_millis(ts) < ${oA + 3 * 3600000L} " +
+      "GROUP BY 1, window(ts, '3 minutes', '2 minutes') ORDER BY 1, 2",
+      wantScan = true).nonEmpty)
+    // (e) conditional STDDEV rides the per-((key, window), gate)
+    // conditioning pre-walk. The gate guarantees ~1e-8 RELATIVE
+    // precision on the recombined second moment (varPop·1e8 ≥ shift²),
+    // not bit-equality — tiny (key, window) groups land within that of
+    // a ROUND boundary, so compare sd with a relative tolerance.
+    locally {
+      val sdSql = "SELECT event_type, unix_millis(window.start) AS ws, " +
+        s"STDDEV_POP(CASE WHEN unix_millis(ts) >= ${wa + 7123L} THEN value END) AS sd, " +
+        "COUNT(*) AS n FROM events_accel " +
+        s"WHERE unix_millis(ts) >= $oA AND unix_millis(ts) < $oB " +
+        "GROUP BY 1, window(ts, '2 hours', '1 hour') ORDER BY 1, 2"
+      val df = spark.sql(sdSql)
+      assert(df.queryExecution.optimizedPlan.collect {
+        case l: LocalRelation => l }.nonEmpty &&
+        df.queryExecution.executedPlan.toString.contains("FileScan"),
+        df.queryExecution.optimizedPlan.treeString)
+      val got = df.collect()
+      WheelAcceleration.clear()
+      val want = spark.sql(sdSql).collect()
+      WheelAcceleration.registerKeyed(spark, path, events, "event_type")
+      assert(got.length == want.length && got.nonEmpty)
+      got.zip(want).foreach { case (g, w) =>
+        assert(g.getString(0) == w.getString(0) && g.getLong(1) == w.getLong(1)
+          && g.getLong(3) == w.getLong(3), s"keys: $g vs $w")
+        (Option(g.get(2)), Option(w.get(2))) match {
+          case (None, None) => ()
+          case (Some(a), Some(b)) =>
+            val (x, y) = (a.asInstanceOf[Double], b.asInstanceOf[Double])
+            assert(math.abs(x - y) <= 1e-6 * math.max(1.0, math.abs(y)),
+              s"sd: $g vs $w")
+          case _ => fail(s"sd nullability: $g vs $w")
+        }
+      }
+    }
+    // (f) ABOVE the |keys| × windows cap: same hybrid (the cap is
+    // irrelevant — a real executor Aggregate groups per (key, window))
+    spark.conf.set("spark.graft.wheel.rewrite.maxFoldRows", "1")
+    try {
+      assert(run("SELECT event_type, unix_millis(window.start) AS ws, " +
+        s"ROUND(SUM(CASE WHEN unix_millis(ts) >= ${wa + 7123L} THEN value END), 2) AS w, " +
+        "COUNT(*) AS n FROM events_accel " +
+        s"WHERE unix_millis(ts) >= $oA AND unix_millis(ts) < $oB " +
+        "GROUP BY 1, window(ts, '2 hours', '1 hour') ORDER BY 1, 2",
+        wantScan = true).nonEmpty)
+    } finally spark.conf.unset("spark.graft.wheel.rewrite.maxFoldRows")
+    WheelAcceleration.clear()
+  }
+
   test("registerPrebuilt refuses a mixed-retention measure map " +
       "(round 16, ADVICE r15)") {
     // Sibling wheels are read at the head wheel's cover slots — sound

@@ -133,6 +133,26 @@ class WheelIngestSpec extends AnyFunSuite {
         Seq((t0 - Min, 11.0, 2L), (t0, 13.0, 3L), (t0 + Min, 6.0, 2L),
           (t0 + 2 * Min, 4.0, 1L)))
 
+      // ... and the SLIDING CONDITIONAL hybrid (round 17) serves the
+      // live registration too: a SUB-MINUTE per-aggregate condition
+      // (≥ t0+1ms) folds interior minutes from the stream-built
+      // accumulator and the [t0+1ms, t0+1min) sliver from a bounded
+      // scan of the CURRENT files — the late 10.0@t0+1ms row sits
+      // exactly ON the condition edge
+      val slidingCond = spark.sql(
+        "SELECT unix_millis(window.start) AS ws, " +
+          s"SUM(value) FILTER (WHERE unix_millis(ts) >= ${t0 + 1}) AS w, " +
+          "COUNT(*) AS n " +
+          s"FROM live_events WHERE unix_millis(ts) >= $t0 " +
+          s"AND unix_millis(ts) < ${t0 + 3 * Min} " +
+          "GROUP BY window(ts, '2 minutes', '1 minute') ORDER BY 1")
+      assert(folded(slidingCond),
+        slidingCond.queryExecution.optimizedPlan.treeString)
+      assert(slidingCond.collect().map(r =>
+        (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq ==
+        Seq((t0 - Min, 10.0, 2L), (t0, 12.0, 3L), (t0 + Min, 6.0, 2L),
+          (t0 + 2 * Min, 4.0, 1L)))
+
       // ABOVE-CAP sliding with SUB-MINUTE edges folds hybrid-distributed
       // off the same live registration (late round 11): the live
       // minute state ships through the original Expand as the interior
