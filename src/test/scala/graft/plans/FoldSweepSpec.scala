@@ -91,9 +91,12 @@ class FoldSweepSpec extends AnyFunSuite {
       ("date_trunc('quarter', ts) AS g0, ", "GROUP BY 1"),
       ("event_type AS g0, (unix_millis(ts) div 3600000) * 3600000 AS g1, ",
         "GROUP BY 1, 2"),
-      // KEYED sliding groupings (round 17): plain mixes ride the keyed
-      // sliding folds, conditional mixes the keyed sliding conditional
-      // hybrid — every regime (cap dimension included) value-checked
+      // KEYED window groupings (round 17): plain mixes ride the keyed
+      // window/sliding folds, conditional mixes the keyed conditional
+      // engines (tumbling → SlotGrid keyed-grouped, sliding → the
+      // keyed sliding conditional hybrid) — every regime value-checked
+      ("event_type AS g0, window(ts, '2 hours') AS g1, ",
+        "GROUP BY 1, window(ts, '2 hours')"),
       ("event_type AS g0, window(ts, '1 hour', '30 minutes') AS g1, ",
         "GROUP BY 1, window(ts, '1 hour', '30 minutes')"),
       ("event_type AS g0, window(ts, '3 minutes', '2 minutes') AS g1, ",
