@@ -4699,11 +4699,23 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       if membership.forall(f => isMembershipFilter(f.condition, winAttr, expand, tsCol))
       (slideMs, offMs, sizeMs) <- slidingGridOf(expand, winAttr, tsCol,
         membership.nonEmpty)
-      (aOpt, bOpt) <- findFilter(expand.child) match {
-        case Some((cond, _)) => rangeMs(cond, tsCol)
-        case None => Some((None, None))
+      // the outer WHERE: a single range (ordinary path) — or an
+      // OR-of-ranges disjunction (round 17, the sliding x OR matrix
+      // cell), which routes to the conditional hybrid whatever the
+      // aggregates are (its CondResidue span filters serve plain
+      // aggregates over multi-range outers too)
+      bounds <- findFilter(expand.child) match {
+        case Some((cond, _)) =>
+          rangeMs(cond, tsCol).map(scala.Left(_)).orElse(
+            orRangesUs(cond, tsCol).map(rs => scala.Right(mergeRanges(rs))))
+        case None => Some(scala.Left((None, None)))
       }
       any = wheels.valuesIterator.next()
+      (aOpt, bOpt) = bounds match {
+        case scala.Left(r) => r
+        case scala.Right(rs) =>
+          (Some(rs.head._1 / 1000L), Some(rs.last._2 / 1000L))
+      }
       a = aOpt.getOrElse(any.baseMs)
       b = bOpt.getOrElse(any.horizonMs)
       if a < b
@@ -4729,6 +4741,13 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
         case _ => false
       })
       result <-
+        if (bounds.isRight)
+          bail(path, foldNote("sliding OR-of-ranges outer not foldable " +
+            "hybrid"))(
+            slidingCondResidue(agg, winAttr, expand, membership, aggExprs,
+              tsCol, wheels, slideMs, offMs, sizeMs,
+              bounds.toOption.get, sketch))
+        else
         // same plan-time ceiling as the grouped folds: each window is a
         // tier-walk query inside the optimizer. Past it (round 11,
         // VERDICT r10 #3) the ALIGNED shape goes DISTRIBUTED — minute
@@ -4744,7 +4763,8 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
             bail(path, foldNote("above-cap sliding conditional not " +
               "foldable hybrid"))(
               slidingCondResidue(agg, winAttr, expand, membership, aggExprs,
-                tsCol, wheels, slideMs, offMs, sizeMs, a, b, sketch))
+                tsCol, wheels, slideMs, offMs, sizeMs,
+                Seq((a * 1000L, b * 1000L)), sketch))
           else if (a % MinuteMs == 0 && b % MinuteMs == 0)
             bail(path, foldNote("sliding shape not foldable distributed"))(
               distributedSliding(Seq(groupKey), winAttr, expand, membership,
@@ -4769,7 +4789,8 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
           bail(path, foldNote("sliding conditional with sub-minute edges " +
             "not foldable hybrid"))(
             slidingCondResidue(agg, winAttr, expand, membership, aggExprs,
-              tsCol, wheels, slideMs, offMs, sizeMs, a, b, sketch))
+              tsCol, wheels, slideMs, offMs, sizeMs,
+              Seq((a * 1000L, b * 1000L)), sketch))
         else if (a % MinuteMs == 0 && b % MinuteMs == 0)
           bail(path, foldNote("sliding shape not foldable")) {
           foldBailNote = ""
@@ -4825,7 +4846,8 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     if (hasSketchAgg(aggExprs) && sketchOpt.nonEmpty) {
       foldBailNote = ""
       slidingCondResidue(agg, winAttr, expand, membership, aggExprs,
-        tsCol, wheels, slideMs, offMs, sizeMs, aMs, bMs, sketchOpt)
+        tsCol, wheels, slideMs, offMs, sizeMs,
+        Seq((aMs * 1000L, bMs * 1000L)), sketchOpt)
     } else None
 
   /** KEYED sliding fold: `GROUP BY key, window(ts, size, slide)` over a
@@ -4849,9 +4871,18 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       if membership.forall(f => isMembershipFilter(f.condition, winAttr, expand, reg.tsCol))
       (slideMs, offMs, sizeMs) <- slidingGridOf(expand, winAttr, reg.tsCol,
         membership.nonEmpty)
-      (aOpt, bOpt) <- findFilter(expand.child) match {
-        case Some((cond, _)) => rangeMs(cond, reg.tsCol)
-        case None => Some((None, None))
+      // single range or OR-of-ranges (round 17: the keyed sliding x OR
+      // cell routes to the keyed conditional hybrid below)
+      bounds <- findFilter(expand.child) match {
+        case Some((cond, _)) =>
+          rangeMs(cond, reg.tsCol).map(scala.Left(_)).orElse(
+            orRangesUs(cond, reg.tsCol).map(rs => scala.Right(mergeRanges(rs))))
+        case None => Some(scala.Left((None, None)))
+      }
+      (aOpt, bOpt) = bounds match {
+        case scala.Left(r) => r
+        case scala.Right(rs) =>
+          (Some(rs.head._1 / 1000L), Some(rs.last._2 / 1000L))
       }
       a = aOpt.getOrElse(reg.any.baseMs)
       b = bOpt.getOrElse(reg.any.horizonMs)
@@ -4870,12 +4901,15 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
         // window) fold refuses FILTER/CASE): interior (key, minute)
         // state + one bounded sliver scan, per-aggregate span filters,
         // a real executor Aggregate per (key, window) — so the cap is
-        // irrelevant and sub-minute edges are the edge leg's job
-        if (hasConditional)
-          bail(path, foldNote("keyed sliding conditional not foldable " +
+        // irrelevant and sub-minute edges are the edge leg's job.
+        // OR-of-ranges outers ride the same hybrid whatever the
+        // aggregates are.
+        if (hasConditional || bounds.isRight)
+          bail(path, foldNote("keyed sliding conditional/OR not foldable " +
             "hybrid"))(
             slidingCondResidue(agg, winAttr, expand, membership, aggExprs,
-              reg.tsCol, Map.empty, slideMs, offMs, sizeMs, a, b, None,
+              reg.tsCol, Map.empty, slideMs, offMs, sizeMs,
+              bounds.fold(_ => Seq((a * 1000L, b * 1000L)), identity), None,
               keyed = Some((keyAttr, reg)), keyedSk = keyedSkOpt))
         // |keys| x windows plan-time cap; past it the aligned shape
         // ships (key, minute) partials through the original Expand on
@@ -4947,7 +4981,8 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     if (hasSketchAgg(aggExprs) && keyedSk.nonEmpty) {
       foldBailNote = ""
       slidingCondResidue(agg, winAttr, expand, membership, aggExprs,
-        reg.tsCol, Map.empty, slideMs, offMs, sizeMs, aMs, bMs, None,
+        reg.tsCol, Map.empty, slideMs, offMs, sizeMs,
+        Seq((aMs * 1000L, bMs * 1000L)), None,
         keyed = Some((keyAttr, reg)), keyedSk = keyedSk)
     } else None
 
@@ -5186,13 +5221,19 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     * KEYED spelling (`GROUP BY key, window(...)`, round 17): interior
     * rows carry (key, minute) state from the keyed index, the key
     * rides the Expand untouched on both legs, the gate pre-walk and
-    * the final Aggregate group per (key, window). */
+    * the final Aggregate group per (key, window). `outersUs` is the
+    * outer WHERE as MERGED disjoint µs ranges — a single range for the
+    * ordinary spelling, ≥2 for an OR-of-ranges outer (round 17, the
+    * sliding × OR matrix cell): interior minutes walk every range,
+    * the edge set unions every range's slivers, and a window straddling
+    * a gap combines contributions from both sides exactly as the
+    * scan's OR filter would. */
   private def slidingCondResidue(
       agg: Aggregate, winAttr: AttributeReference, expand: Expand,
       membership: Option[Filter], aggExprs: Seq[NamedExpression],
       tsCol: String, wheels: Map[String, WheelIndex],
       slideMs: Long, offMs: Long, sizeMs: Long,
-      aMs: Long, bMs: Long,
+      outersUs: Seq[(Long, Long)],
       sketchOpt: Option[WheelAcceleration.SketchReg],
       keyed: Option[(AttributeReference, WheelAcceleration.KeyedReg)] = None,
       keyedSk: Option[WheelAcceleration.KeyedSketchReg] = None): Option[LogicalPlan] = {
@@ -5207,9 +5248,10 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     if (keyed.isEmpty && !wheels.valuesIterator.forall(_.minuteTierComplete))
       return refuse(s"$noun: the minute tier is " +
         "retention-evicted (evicted interiors keep the scan)")
-    val aCeilMs = Math.floorDiv(aMs + MinuteMs - 1, MinuteMs) * MinuteMs
-    val bFloorMs = Math.floorDiv(bMs, MinuteMs) * MinuteMs
-    val outersUs = Seq((aMs * 1000L, bMs * 1000L))
+    // whole-minute interior of each outer range (ms; disjoint because
+    // the ranges are merged)
+    val outerInteriorsMs =
+      outersUs.flatMap { case (x, y) => minuteInteriorMs(x, y) }
     val innerBelow = findFilter(expand.child).map(_._2).getOrElse(expand.child)
     val allMeasures =
       keyed.map(_._2.wheels.keys.toSeq).getOrElse(wheels.keys.toSeq)
@@ -5249,24 +5291,25 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       case None => allMeasures.head
     }
     def interiorEntries(): Iterator[(Any, Long, Map[String, AllAggregate])] =
-      if (aCeilMs >= bFloorMs) Iterator.empty
-      else keyed match {
-        case None =>
-          wheels(anyMeasure).minuteEntries(aCeilMs, bFloorMs).map {
-            case (slotMs, anyAll) =>
-              (null, slotMs, wheels.map {
-                case (c, _) if c == anyMeasure => c -> anyAll
-                case (c, i) => c -> i.minuteAt(slotMs)
-              })
-          }
-        case Some((_, reg)) =>
-          reg.any.minuteEntries(aCeilMs, bFloorMs).map {
-            case (key, slotMs, anyAll) =>
-              (key, slotMs, reg.wheels.map {
-                case (c, _) if c == anyMeasure => c -> anyAll
-                case (c, i) => c -> i.minuteAt(key, slotMs)
-              })
-          }
+      outerInteriorsMs.iterator.flatMap { case (iaMs, ibMs) =>
+        keyed match {
+          case None =>
+            wheels(anyMeasure).minuteEntries(iaMs, ibMs).map {
+              case (slotMs, anyAll) =>
+                (null, slotMs, wheels.map {
+                  case (c, _) if c == anyMeasure => c -> anyAll
+                  case (c, i) => c -> i.minuteAt(slotMs)
+                })
+            }
+          case Some((_, reg)) =>
+            reg.any.minuteEntries(iaMs, ibMs).map {
+              case (key, slotMs, anyAll) =>
+                (key, slotMs, reg.wheels.map {
+                  case (c, _) if c == anyMeasure => c -> anyAll
+                  case (c, i) => c -> i.minuteAt(key, slotMs)
+                })
+            }
+        }
       }
     // ONE pre-walk when second moments ask: global shift centers +
     // per-((key,) window, gate) interior partials — raw edge rows

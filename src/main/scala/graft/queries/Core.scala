@@ -1028,6 +1028,30 @@ object Core {
            |""".stripMargin)
     }),
 
+    // SLIDING OR-of-ranges outer (round 17): `WHERE r1 OR r2 GROUP BY
+    // window(ts, '2 hours', '1 hour')` — the last OR matrix cell. Routes
+    // through the sliding conditional hybrid whatever the aggregates
+    // are: interior minutes walk BOTH ranges, the edge set unions both
+    // ranges' slivers (one disjunct is sub-minute-edged on both sides),
+    // and windows straddling the gap combine contributions from both
+    // sides exactly as the scan's OR filter would; the conditional
+    // aggregate's split instant falls inside the second range.
+    "q_wheel_sliding_or_sql" -> ((s, dir) => {
+      graft.plans.WheelAcceleration.register(
+        s, s"$dir/events.parquet", t(s, dir, "events"))
+      t(s, dir, "events").createOrReplaceTempView("events_wheel")
+      s.sql(
+        s"""SELECT unix_millis(window.start) AS ws_ms,
+           |ROUND(SUM(value), 2) AS s,
+           |ROUND(SUM(value) FILTER (WHERE unix_millis(ts) < $RsMid), 2) AS pre,
+           |COUNT(*) AS n
+           |FROM events_wheel
+           |WHERE (unix_millis(ts) >= ${RsStart + 7000} AND unix_millis(ts) < ${RsStart + 8 * 3600000L})
+           |OR (unix_millis(ts) >= ${RsStart + 10 * 3600000L} AND unix_millis(ts) < ${RsEnd - 11000})
+           |GROUP BY window(ts, '2 hours', '1 hour') ORDER BY 1
+           |""".stripMargin)
+    }),
+
     // KEYED sliding conditional hybrid (round 17): per-aggregate range
     // conditions under GROUP BY key, window(...) with sub-minute edges
     // on the outer AND one condition — interior (key, minute) state
@@ -2244,6 +2268,18 @@ object Core {
         s"AND epoch_ms(e.ts) >= ${RsStart + 7000} AND epoch_ms(e.ts) < ${RsEnd - 11000}) " +
         "SELECT ws AS ws_ms, ws + 3600000 AS we_ms, ROUND(SUM(value), 2) AS sum_value, " +
         "COUNT(*) AS n FROM j GROUP BY 1, 2 ORDER BY 1"),
+    "q_wheel_sliding_or_sql" ->
+      // OR outer + sub-minute edges + a conditional split: raw rows
+      // filtered by the disjunction join the hour-step window grid
+      ("WITH g AS (SELECT range AS ws FROM " +
+        s"range(${RsStart - 7200000L}, ${RsEnd - 11000}, 3600000)), " +
+        "j AS (SELECT g.ws, e.value, epoch_ms(e.ts) AS ems FROM g JOIN events e " +
+        "ON epoch_ms(e.ts) >= g.ws AND epoch_ms(e.ts) < g.ws + 7200000 " +
+        s"AND ((epoch_ms(e.ts) >= ${RsStart + 7000} AND epoch_ms(e.ts) < ${RsStart + 8 * 3600000L}) " +
+        s"OR (epoch_ms(e.ts) >= ${RsStart + 10 * 3600000L} AND epoch_ms(e.ts) < ${RsEnd - 11000}))) " +
+        "SELECT ws AS ws_ms, ROUND(SUM(value), 2) AS s, " +
+        s"ROUND(SUM(value) FILTER (WHERE ems < $RsMid), 2) AS pre, " +
+        "COUNT(*) AS n FROM j GROUP BY 1 ORDER BY 1"),
     "q_wheel_sliding_keyed_cond_sql" ->
       // keyed + sub-minute edges + a sub-minute per-aggregate split:
       // raw rows join the minute window grid per key

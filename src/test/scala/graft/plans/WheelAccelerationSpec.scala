@@ -4286,6 +4286,60 @@ class WheelAccelerationSpec extends AnyFunSuite {
     WheelAcceleration.clear()
   }
 
+  test("SLIDING OR-of-ranges outers fold through the conditional hybrid " +
+      "(round 17): plain and conditional aggs, windows straddle the gap") {
+    WheelAcceleration.clear()
+    register()
+    events.createOrReplaceTempView("events_accel")
+    val oA = Q.R1Start
+    val h = 3600000L
+    def runOr(sql: String): Seq[String] = {
+      val df = spark.sql(sql)
+      assert(df.queryExecution.optimizedPlan.collect {
+        case l: LocalRelation => l }.nonEmpty,
+        df.queryExecution.optimizedPlan.treeString)
+      val got = df.collect().map(_.toString).toSeq
+      WheelAcceleration.clear()
+      val want = spark.sql(sql).collect().map(_.toString).toSeq
+      register()
+      assert(got == want, s"$sql\n got=$got\nwant=$want")
+      got
+    }
+    // (a) PLAIN aggregates over two aligned disjuncts whose gap a 2h/1h
+    // window straddles: the window combines contributions from both
+    // ranges exactly as the scan's OR filter would
+    assert(runOr("SELECT unix_millis(window.start) AS ws, " +
+      "ROUND(SUM(value), 2) AS s, COUNT(*) AS n FROM events_accel " +
+      s"WHERE (unix_millis(ts) >= $oA AND unix_millis(ts) < ${oA + 2 * h}) " +
+      s"OR (unix_millis(ts) >= ${oA + 3 * h} AND unix_millis(ts) < ${oA + 5 * h}) " +
+      "GROUP BY window(ts, '2 hours', '1 hour') ORDER BY 1").nonEmpty)
+    // (b) an UNALIGNED disjunct + a conditional aggregate: sliver legs
+    // from both ranges' edges, per-aggregate clips across the union
+    assert(runOr("SELECT unix_millis(window.start) AS ws, " +
+      s"ROUND(SUM(value) FILTER (WHERE unix_millis(ts) < ${oA + 4 * h}), 2) AS pre, " +
+      "COUNT(*) AS n FROM events_accel " +
+      s"WHERE (unix_millis(ts) >= ${oA + 7123L} AND unix_millis(ts) < ${oA + 2 * h}) " +
+      s"OR (unix_millis(ts) >= ${oA + 3 * h} AND unix_millis(ts) < ${oA + 5 * h - 911L}) " +
+      "GROUP BY window(ts, '2 hours', '1 hour') ORDER BY 1").nonEmpty)
+    WheelAcceleration.clear()
+    // (c) the KEYED spelling over an OR outer with an unaligned disjunct
+    WheelAcceleration.registerKeyed(spark, path, events, "event_type")
+    val kSql = "SELECT event_type, unix_millis(window.start) AS ws, " +
+      "ROUND(SUM(value), 2) AS s, COUNT(*) AS n FROM events_accel " +
+      s"WHERE (unix_millis(ts) >= $oA AND unix_millis(ts) < ${oA + 2 * h}) " +
+      s"OR (unix_millis(ts) >= ${oA + 3 * h + 7123L} AND unix_millis(ts) < ${oA + 5 * h}) " +
+      "GROUP BY 1, window(ts, '2 hours', '1 hour') ORDER BY 1, 2"
+    val dfK = spark.sql(kSql)
+    assert(dfK.queryExecution.optimizedPlan.collect {
+      case l: LocalRelation => l }.nonEmpty,
+      dfK.queryExecution.optimizedPlan.treeString)
+    val gotK = dfK.collect().map(_.toString).toSeq
+    WheelAcceleration.clear()
+    val wantK = spark.sql(kSql).collect().map(_.toString).toSeq
+    assert(gotK == wantK, s"got=$gotK\nwant=$wantK")
+    WheelAcceleration.clear()
+  }
+
   test("KEYED sliding conditional hybrid (round 17): GROUP BY key, " +
       "window(...) with FILTER/CASE folds in every regime") {
     WheelAcceleration.clear()

@@ -110,7 +110,8 @@ class PlanAuditSpec extends AnyFunSuite {
   for (k <- Seq("q_wheel_cond_residue_sql", "q_wheel_keyed_cond_residue_sql",
       "q_wheel_rollup_cond_residue_sql", "q_wheel_keyed2_residue_sql",
       "q_wheel_keyed_rollup_cond_sql", "q_wheel_keyed2_cond_sql",
-      "q_wheel_sliding_cond_sql", "q_wheel_sliding_keyed_cond_sql"))
+      "q_wheel_sliding_cond_sql", "q_wheel_sliding_keyed_cond_sql",
+      "q_wheel_sliding_or_sql"))
     test(s"$k: per-aggregate residue hybrid — folded interior + ONE " +
         "bounded edge scan (rounds 16-17)") {
       val p = plan(k)
