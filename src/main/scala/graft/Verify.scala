@@ -19,7 +19,14 @@ object Verify {
   } + "\""
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val sfDir = args(0)
+    val outDir = args(1)
+    // optional 3rd arg (local iteration only; the driver passes 2):
+    // comma-separated query names to dump — check_oracle.py compares
+    // whatever result dirs exist, so a filtered run is a valid partial
+    // oracle pass over just the touched queries
+    val only = args.drop(2).headOption
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -29,7 +36,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       // q_wheel_sql registers transparent wheel acceleration; reset it so
       // every other query is verified on its own execution path.
       graft.plans.WheelAcceleration.clear()

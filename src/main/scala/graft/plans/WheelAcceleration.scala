@@ -1246,8 +1246,12 @@ object WheelAcceleration {
           KeyedReg(keyCol, tsCol, wheels, fp, conf)
         case None =>
           persistedOutcomes.put(normalize(path) + "#keyedmem", FullBuild)
+          // build-once via the catalog (round 17): the fingerprint-keyed
+          // cache serves re-registrations of unchanged data, exactly like
+          // the unkeyed register() → WheelCatalog.cached path
           KeyedReg(keyCol, tsCol,
-            graft.wheel.KeyedWheelIndex.buildMulti(events, keyCol, tsCol, valueCols),
+            graft.wheel.WheelCatalog.cachedKeyedMulti(
+              spark, s"$path@$fp", keyCol, tsCol, valueCols)(events),
             fp, conf)
       })
     enable(spark)
@@ -1411,11 +1415,15 @@ object WheelAcceleration {
           old.tsCol == tsCol && valueCols.forall(old.wheels.contains)) old
       else {
         import org.apache.spark.sql.functions.{col, struct}
-        val df = events.withColumn(
-          CompositeKeyCol, struct(keyCols.map(col): _*))
+        // build-once via the catalog (round 17), the composite twin of
+        // registerKeyedMulti's cache: the component list folds into the
+        // cache key so (k1,k2) and (k2,k1) registrations stay distinct
         Keyed2Reg(keyCols, tsCol,
-          graft.wheel.KeyedWheelIndex.buildMulti(
-            df, CompositeKeyCol, tsCol, valueCols), fp, conf)
+          graft.wheel.WheelCatalog.cachedKeyedMulti(
+            spark, s"$path@$fp#${keyCols.mkString(",")}",
+            CompositeKeyCol, tsCol, valueCols)(
+            events.withColumn(CompositeKeyCol, struct(keyCols.map(col): _*))),
+          fp, conf)
       })
     enable(spark)
   }

@@ -122,16 +122,24 @@ object Scalars {
     // (a Generate, one pass, no join) over three measure columns; the
     // oracle spells the same relation as UNION ALL, the portable form.
     "q_unpivot" -> ((s, dir) =>
+      // Range-partition the 5-column base rows FIRST, expand after: the
+      // sort's range exchange then moves N rows instead of the 3N
+      // unpivoted ones (same trick as q_scalar_math's sort-then-project).
+      // Equal (orderkey, linenumber) keys land in one partition, so the
+      // within-partition sort on the full key reproduces the global
+      // ORDER BY bit-for-bit.
       t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           col("l_extendedprice"), col("l_discount"))
+        .repartitionByRange(col("l_orderkey"), col("l_linenumber"))
         .unpivot(
           Array(col("l_orderkey"), col("l_linenumber")),
           Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
           "metric", "val")
         // val in the sort: synthetic lineitem has duplicate
         // (orderkey, linenumber) keys, so (key, metric) is not total
-        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"), col("val"))))
+        .sortWithinPartitions(
+          col("l_orderkey"), col("l_linenumber"), col("metric"), col("val"))))
 
   /** Round-5 extras appended to the scalar family. */
   private val round5: Map[String, Fn] = Map(

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
 import Q._
 
 /** Subquery surface (SURVEY.md §2.3 "Subqueries" row: DataFusion 37
@@ -60,18 +61,32 @@ object Subqueries {
           |ORDER BY c_custkey""".stripMargin)
     }),
 
-    // Correlated scalar subquery → per-key aggregate + equi-join:
-    // lineitems above their own order's average quantity. Quantities
-    // are small exact doubles: the per-order sum and single division
-    // are exact, so the comparison is engine-deterministic.
+    // Correlated scalar subquery: lineitems above their own order's
+    // average quantity. Round 17 re-plan — the decorrelated
+    // aggregate+join form scanned lineitem twice, exchanged the
+    // aggregate, broadcast a |orders|-row hash relation, and then paid
+    // the ORDER BY's range exchange; the same relation computes with ONE
+    // scan and ONE exchange as a window over the correlation key:
+    // range-partition by l_orderkey (satisfies the window's clustering
+    // AND pre-positions the final order), per-order SUM/COUNT as
+    // unbounded window aggregates, filter, and a partition-local sort.
+    // Equivalence is exact, not approximate: quantities are small exact
+    // doubles (integral 1..50), so the per-order sum is the same value
+    // under ANY summation order, and SUM/COUNT over the full partition
+    // equals the correlated subquery's aggregate row-for-row (each row's
+    // group is its own order; groups are never empty). The driver's
+    // oracle re-hash confirms bit-identity at every SF.
     "q_subquery_corr" -> ((s, dir) => {
-      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_sq")
-      s.sql(
-        """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem_sq l
-          |WHERE l_quantity > (
-          |  SELECT SUM(l2.l_quantity) / COUNT(1) FROM lineitem_sq l2
-          |  WHERE l2.l_orderkey = l.l_orderkey)
-          |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_orderkey"))
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .repartitionByRange(col("l_orderkey"))
+        .withColumn("__avg",
+          sum(col("l_quantity")).over(w) / count(lit(1)).over(w))
+        .filter(col("l_quantity") > col("__avg"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .sortWithinPartitions(
+          col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
     }))
 
   val oracle: Map[String, String] = Map(

@@ -401,7 +401,13 @@ object Text {
       val d0 = docs(s, dir)
       val n = d0.count()
       val toks = d0.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      val df = toks.groupBy(col("tok"))
+      // same bounded semi-join pre-filter as q_bm25: df is consumed only
+      // for the 20 target docs' tokens (inner join below), so the
+      // corpus-wide countDistinct aggregates ~|their tokens| groups
+      // instead of the whole vocabulary
+      val candToks = toks.filter(col("doc_id") < 20).select(col("tok")).distinct()
+      val df = toks.join(broadcast(candToks), Seq("tok"), "left_semi")
+        .groupBy(col("tok"))
         .agg(countDistinct(col("doc_id")).as("df"))
       val tf = toks.filter(col("doc_id") < 20)
         .groupBy(col("doc_id"), col("tok"))
@@ -620,7 +626,16 @@ object Text {
       val stats = lens.agg(count(lit(1)).as("n"), sum(col("len")).as("tot")).head()
       val n = stats.getLong(0)
       val avgdl = stats.getLong(1).toDouble / n
-      val df = toks.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+      // df is only ever consumed for the bounded doc set's tokens (the
+      // tf side joins inner on tok), so pre-filter the corpus-wide
+      // distinct-count aggregation with a broadcast semi-join on those
+      // tokens (guide §3.2 shape): the countDistinct's partial-agg hash
+      // and shuffle then carry ~|tokens of 20 docs| groups instead of
+      // the whole vocabulary. The broadcast side is bounded by the 20
+      // target docs' token count, independent of corpus scale.
+      val candToks = toks.filter(col("doc_id") < 20).select(col("tok")).distinct()
+      val df = toks.join(broadcast(candToks), Seq("tok"), "left_semi")
+        .groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
       val tf = toks.filter(col("doc_id") < 20)
         .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
       val idf = log(lit(1.0) +

@@ -35,7 +35,30 @@ object WheelCatalog {
     { cache.clear(); distinctCache.clear(); quantileCache.clear()
       frequencyCache.clear(); cohortCache.clear(); multiCache.clear()
       keyedCohortCache.clear(); keyedQuantileCache.clear()
-      keyedFrequencyCache.clear() }
+      keyedFrequencyCache.clear(); keyedMultiCache.clear() }
+
+  // (session, source key, dim col(s), tsCol, measure cols) → keyed wheels
+  private val keyedMultiCache =
+    new ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String, String, String, String), Map[String, KeyedWheelIndex]]()
+
+  /** Build-once cache for the PER-KEY numeric wheel set
+    * ([[KeyedWheelIndex.buildMulti]]) — round 17: the keyed numeric index
+    * was the ONE family member without a catalog cache, so every
+    * registration re-ran the keyed rollup + collect from source while its
+    * unkeyed and sketch siblings served the build-once copy. Same
+    * lifecycle, same fingerprint-embedding `key` discipline as
+    * [[cachedMulti]]; `keyCol` joins the cache key (composite
+    * registrations pass their synthetic struct column plus the component
+    * list folded into `key`). */
+  def cachedKeyedMulti(spark: org.apache.spark.sql.SparkSession, key: String,
+      keyCol: String, tsCol: String, valueCols: Seq[String])(
+      events: => DataFrame): Map[String, KeyedWheelIndex] = {
+    sweepStopped()
+    SessionSweeper.track(spark)
+    keyedMultiCache.computeIfAbsent(
+      (spark, key, keyCol, tsCol, valueCols.mkString(",")),
+      _ => KeyedWheelIndex.buildMulti(events, keyCol, tsCol, valueCols))
+  }
 
   private val multiCache =
     new ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String, String, String), Map[String, WheelIndex]]()
@@ -65,6 +88,7 @@ object WheelCatalog {
     keyedCohortCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     keyedQuantileCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     keyedFrequencyCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    keyedMultiCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
   }
 
   private val distinctCache =
