@@ -41,9 +41,40 @@ object TextHash extends Serializable {
     else words.sliding(ShingleSize).map(_.mkString(" ")).toArray
   }
 
-  /** MinHash signature: per permutation, min over shingle hashes. */
+  /** fnv1a of the space-joined words `ws(from until from+n)` without
+    * materializing the joined string — BIT-IDENTICAL to
+    * `fnv1a(ws.slice(from, from+n).mkString(" "))` (asserted in
+    * TextHashSpec): fnv1a is a left-to-right char fold, so walking the
+    * word chars with a literal ' ' between words is the same fold. */
+  private[functions] def fnv1aJoined(ws: Array[String], from: Int, n: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var wi = from
+    while (wi < from + n) {
+      if (wi > from) { h ^= ' '.toLong; h *= 0x100000001b3L }
+      val w = ws(wi)
+      var i = 0
+      while (i < w.length) {
+        h ^= w.charAt(i).toLong
+        h *= 0x100000001b3L
+        i += 1
+      }
+      wi += 1
+    }
+    h
+  }
+
+  /** MinHash signature: per permutation, min over shingle hashes.
+    * Round 17: shingle hashes are computed by [[fnv1aJoined]] straight
+    * off the word array — the old `shingles(text).map(fnv1a)` built a
+    * fresh String + iterator per shingle (the dominant allocation of the
+    * minhash UDF, run once per document in q_minhash_dedup /
+    * q_dedup_clusters); values are unchanged (TextHashSpec parity). */
   def minHashSignature(text: String): Array[Long] = {
-    val base = shingles(text).map(fnv1a)
+    val words = text.split(' ')
+    val base: Array[Long] =
+      if (words.length <= ShingleSize) Array(fnv1aJoined(words, 0, words.length))
+      else Array.tabulate(words.length - ShingleSize + 1)(
+        i => fnv1aJoined(words, i, ShingleSize))
     perms.map { case (a, b) =>
       var m = Long.MaxValue
       var i = 0
