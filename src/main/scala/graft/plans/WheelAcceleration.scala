@@ -1515,6 +1515,16 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
 
   private val MinuteMs = 60000L
 
+  /** Interior pre-expansion ceiling for the sliding conditional hybrid
+    * (round 17): below `entries × windows-per-slot` rows the interior
+    * leg ships pre-enumerated (window, partials) rows and drops the
+    * 60-projection Expand + membership Filter (a plan/codegen constant
+    * measured at ~0.3 s per execution at sf0.1); above it the original
+    * Expand stays so the ×windows work runs on executors instead of the
+    * driver's row builder. Measured crossover sits between 86k (win)
+    * and 432k (loss) rows. */
+  private val PreExpandBound = 131072L
+
   /** Fine-grained note from the innermost fold helpers (foldRow /
     * mergeAggExprs set it; top-level rewrites attach it to the path via
     * [[bail]]). Best-effort diagnostics: per-session rule instance,
@@ -5392,23 +5402,54 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
     val keyLits = new java.util.HashMap[Any, Any]()
     def keyLit(key: Any): Any = keyLits.computeIfAbsent(key,
       k => Literal.create(k, keyed.get._2.any.keyType).value)
+    // Round 17: the interior leg PRE-ENUMERATES each minute's windows on
+    // the driver instead of re-expanding through the ORIGINAL Expand —
+    // `windowsOf` is already this path's trusted interior enumeration
+    // (the conditional gate pre-walk accumulates through it), and
+    // slidingGridOf enforces whole-minute slide/size/offset, under which
+    // windowsOf(slot) ≡ Expand + membership Filter on ts = slot start
+    // (a minute-aligned window contains the start iff it contains the
+    // whole minute). Dropping the 60-projection struct-heavy Expand and
+    // the membership Filter from this leg halves the plan's dominant
+    // Catalyst/codegen constant (the edge leg still carries the original
+    // Expand — raw edge rows must enumerate windows exactly as the scan
+    // would). Values are bit-identical: the window struct is the same
+    // (start, end) µs pair the Expand projections compute.
+    //
+    // REGIME-SPLIT (measured both ways at sf0.1): pre-expansion wins
+    // while entries × windows stays driver-cheap (unkeyed day-of-minutes
+    // × 60 windows = 86k rows: 1.52 → 1.26 s) and LOSES when the keyed
+    // interior multiplies it past ~10⁵ (5 keys × 1440 × 60 = 432k rows:
+    // building + shipping the LocalRelation costs more than the Expand
+    // saved, 1.67 → 1.86 s) — above the bound the original Expand stays,
+    // distributing the ×windows work to executors.
+    val entries = interiorEntries().toBuffer
+    val windowsPerSlot = (sizeMs + slideMs - 1) / slideMs
+    val preExpand = entries.length * windowsPerSlot <= PreExpandBound
     val rows = Seq.newBuilder[InternalRow]
-    interiorEntries().foreach { case (key, slotMs, alls) =>
+    entries.foreach { case (key, slotMs, alls) =>
       val skVals = skCols.flatMap { case ((f, c), _) =>
         Seq(skBytesFor(f, c, key, slotMs), null) }
       val keyVal = keyed.map(_ => keyLit(key)).toSeq
-      rows += InternalRow.fromSeq(
-        (((slotMs * 1000L) +: keyVal) ++ (slotMs +: (null +:
-          cols.partialsRow(alls, alls(anyMeasure).rows)))) ++ skVals)
+      val entryTail = ((slotMs * 1000L) +: keyVal) ++ (slotMs +: (null +:
+        cols.partialsRow(alls, alls(anyMeasure).rows))) ++ skVals
+      if (preExpand) windowsOf(slotMs).foreach { ws =>
+        rows += InternalRow.fromSeq(
+          InternalRow(ws * 1000L, (ws + sizeMs) * 1000L) +: entryTail)
+      } else rows += InternalRow.fromSeq(entryTail)
     }
     val passThrough = (tsAttrProj +: keyed.map(_._1).toSeq) ++
       (mslotAttr +: etsAttr +: (cols.partialAttrs ++ skAttrs))
-    val interiorRel = LocalRelation(passThrough, rows.result())
-    val interiorExpand = Expand(
-      expand.projections.map(p => passThrough :+ p(winIdx)),
-      passThrough :+ winAttr, interiorRel)
-    val interiorTop: LogicalPlan = membership
-      .map(f => Filter(f.condition, interiorExpand)).getOrElse(interiorExpand)
+    val interiorTop: LogicalPlan =
+      if (preExpand) LocalRelation(winAttr +: passThrough, rows.result())
+      else {
+        val interiorRel = LocalRelation(passThrough, rows.result())
+        val interiorExpand = Expand(
+          expand.projections.map(p => passThrough :+ p(winIdx)),
+          passThrough :+ winAttr, interiorRel)
+        membership.map(f => Filter(f.condition, interiorExpand))
+          .getOrElse(interiorExpand)
+      }
     val interiorLeg = Project(
       (Alias(winAttr, "__graft_win")(exprId = winOut.exprId) +:
         keyed.map { case (kA, _) =>

