@@ -120,8 +120,15 @@ object Text {
     // the full query). The count for regime routing rides the same
     // materialized copy.
     val undirected = pairs.toDF("src", "dst").localCheckpoint(true)
-    if (undirected.count() <= budget) {
-      val es = undirected.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // ONE bounded collect decides the regime AND feeds union-find
+    // (round 17; was a count job + a collect job on the same
+    // checkpointed data): ≤ budget+1 rows ever reach the driver — at
+    // exactly budget+1 the set is truncated and the distributed loop
+    // takes over, so the union-find only ever sees a complete edge list
+    val limited = undirected
+      .limit(math.min(budget, Int.MaxValue - 1L).toInt + 1).collect()
+    if (limited.length <= budget) {
+      val es = limited.map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
