@@ -110,21 +110,44 @@ object TextHash extends Serializable {
     else sa.intersect(sb).size.toDouble / sa.union(sb).size.toDouble
   }
 
-  /** 64-bit SimHash over word hashes (bit-vote). */
+  /** 64-bit SimHash over word hashes (bit-vote).
+    *
+    * Round 17: bit-sliced vote counting — the ±1 vote loop cost
+    * 64 branchy ops per word (the dominant per-row work of
+    * q_simhash_dedup at sf1); a ripple-carry add of each whole 64-bit
+    * hash into per-position counter BITPLANES counts all 64 positions
+    * at once in amortized ~2 bitwise ops per word. Votes(i) > 0 ⟺
+    * 2·setCount(i) > n, so the emitted hash is BIT-IDENTICAL to the
+    * vote loop (parity-asserted in TextHashSpec against the old
+    * spelling, ties included). */
   def simHash(text: String): Long = {
-    val votes = new Array[Int](64)
-    text.split(' ').foreach { w =>
-      val h = fnv1a(w)
-      var i = 0
-      while (i < 64) {
-        if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
-        i += 1
+    val words = text.split(' ')
+    val n = words.length
+    // planes(j) bit i = j-th bit of the count of set bit-i across all
+    // word hashes; counts ≤ n < 2^31 so the ripple never passes j = 31
+    val planes = new Array[Long](33)
+    var wi = 0
+    while (wi < n) {
+      var carry = fnv1a(words(wi))
+      var j = 0
+      while (carry != 0L) {
+        val t = planes(j) & carry
+        planes(j) ^= carry
+        carry = t
+        j += 1
       }
+      wi += 1
     }
     var out = 0L
     var i = 0
     while (i < 64) {
-      if (votes(i) > 0) out |= 1L << i
+      var cnt = 0L
+      var j = 0
+      while (j < 33) {
+        cnt |= ((planes(j) >>> i) & 1L) << j
+        j += 1
+      }
+      if (2L * cnt > n.toLong) out |= 1L << i // votes(i) > 0 ⟺ 2·set > n
       i += 1
     }
     out

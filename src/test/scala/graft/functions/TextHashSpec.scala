@@ -50,6 +50,38 @@ class TextHashSpec extends AnyFunSuite {
     }
   }
 
+  /** The pre-round-17 vote-loop spelling, kept as the parity oracle for
+    * the bit-sliced simHash. */
+  private def simHashViaVotes(text: String): Long = {
+    val votes = new Array[Int](64)
+    text.split(' ').foreach { w =>
+      val h = TextHash.fnv1a(w)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+        i += 1
+      }
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) {
+      if (votes(i) > 0) out |= 1L << i
+      i += 1
+    }
+    out
+  }
+
+  test("bit-sliced simHash equals the vote-loop spelling (ties included)") {
+    // the fixed cases plus generated texts with EVEN word counts (vote
+    // ties land on exactly 2·set == n, the boundary the strict > must
+    // preserve) and repeated words (deep carry ripples)
+    val gen = (1 to 40).map(k => (1 to k).map(i => s"w${i % 7}").mkString(" "))
+    (cases ++ gen).foreach { text =>
+      assert(TextHash.simHash(text) == simHashViaVotes(text),
+        s"simhash diverged for: '$text'")
+    }
+  }
+
   test("signatures and band keys are deterministic and well-shaped") {
     val text = "pack my box with five dozen liquor jugs pack my box"
     val sig = TextHash.minHashSignature(text)
