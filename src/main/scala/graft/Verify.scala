@@ -49,7 +49,11 @@ object Verify {
       }
     }
     import Verify.q
+    // a filtered run writes a FILTERED oracle_sql.json too (ADVICE r17):
+    // check_oracle.py iterates every oracle entry and counts a missing
+    // result dir as FAIL, so the unfiltered entries must not be listed
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

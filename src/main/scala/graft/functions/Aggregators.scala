@@ -131,6 +131,28 @@ object Aggregators {
     override def outputEncoder: Encoder[Seq[(Long, Seq[Double])]] = bufferEncoder
   }
 
+  /** [[BoundedCollect]] generalized to (id, signature) long pairs, for
+    * LSH buckets whose members carry a per-doc signature (SimHash): the
+    * signature rides the bucket so the verify step never has to join
+    * back to (and re-scan / re-hash) the source table. Same overflow
+    * contract as [[BoundedCollect]]: a result of length `cap + 1` marks
+    * an oversized bucket for the downstream guard. */
+  final case class BoundedCollectSig(cap: Int)
+      extends Aggregator[(Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
+    private val limit = cap + 1
+    override def zero: Seq[(Long, Long)] = Vector.empty
+    override def reduce(b: Seq[(Long, Long)], v: (Long, Long)): Seq[(Long, Long)] =
+      if (b.length >= limit) b else b :+ v
+    override def merge(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Seq[(Long, Long)] =
+      if (a.length >= limit) a
+      else if (b.length >= limit) b
+      else (a ++ b).take(limit)
+    override def finish(r: Seq[(Long, Long)]): Seq[(Long, Long)] = r
+    override def bufferEncoder: Encoder[Seq[(Long, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
+    override def outputEncoder: Encoder[Seq[(Long, Long)]] = bufferEncoder
+  }
+
   /** Register both on a session as SQL-callable UDAFs. */
   def register(spark: org.apache.spark.sql.SparkSession, topN: Int = 3): Unit = {
     spark.udf.register("graft_all", udaf(allAgg))

@@ -354,9 +354,14 @@ object WheelAcceleration {
           .filter(m => m.sourceFingerprint == fp && m.tsCol == tsCol &&
             valueCols.forall(m.valueCols.contains))
         // a torn save (slots/sidecar mismatch) throws from load —
-        // rebuild and re-save rather than fail the registration
-        val loaded = saved.flatMap(_ => scala.util.Try(
-          graft.wheel.PersistentWheel.load(spark, indexDir, Some(events))._2
+        // rebuild and re-save rather than fail the registration. The
+        // load rides the build-once dir-load cache (round 18); the
+        // residue-armed variant is cached separately from the table
+        // read's minute-aligned load.
+        val loaded = saved.flatMap(m => scala.util.Try(
+          graft.wheel.WheelCatalog.cachedDirLoad(
+            spark, indexDir, m, "accel-sum-residue")(
+            graft.wheel.PersistentWheel.load(spark, indexDir, Some(events))._2)
         ).toOption)
         loaded.foreach(_ =>
           persistedOutcomes.put(normalize(path), FullReuse))
@@ -388,6 +393,10 @@ object WheelAcceleration {
   final case class TailRefresh(coveredFiles: Int, tailFiles: Seq[String])
     extends PersistedOutcome
   case object FullBuild extends PersistedOutcome
+  /** The registration was served from a build-once catalog cache — no
+    * source scan ran (ADVICE r17: a cache hit previously misreported as
+    * [[FullBuild]] in diagnostics). */
+  case object CacheServed extends PersistedOutcome
 
   private val persistedOutcomes =
     new ConcurrentHashMap[String, PersistedOutcome]()
@@ -715,7 +724,7 @@ object WheelAcceleration {
     val fp = fingerprint(path, conf)
     val outcomes = Seq.newBuilder[PersistedOutcome]
 
-    def resolve[W](c: String, sub: String, kind: String,
+    def resolve[W <: AnyRef](c: String, sub: String, kind: String,
         load: String => W,
         tailSlots: (DataFrame, String) => Array[SqlRow],
         mergeBytes: (Array[Byte], Array[Byte]) => Array[Byte],
@@ -725,7 +734,9 @@ object WheelAcceleration {
         m.kind == kind && m.tsCol == tsCol && m.valueCols == Seq(c) &&
           m.sourceFingerprint.nonEmpty)
       saved.filter(_.sourceFingerprint == fp)
-        .flatMap(_ => scala.util.Try(load(dir)).toOption)
+        // the FullReuse load rides the build-once dir-load cache (r18)
+        .flatMap(m => scala.util.Try(graft.wheel.WheelCatalog.cachedDirLoad(
+          spark, dir, m, s"accel-$kind")(load(dir))).toOption)
         .map { w => outcomes += FullReuse; w }
         .orElse(saved.flatMap(m =>
           provableAppendTail(path, m.sourceFingerprint, fp, conf).flatMap {
@@ -813,7 +824,9 @@ object WheelAcceleration {
         m.kind == kind && m.tsCol == tsCol &&
           m.valueCols == Seq(keyCol, c) && m.sourceFingerprint.nonEmpty)
       saved.filter(_.sourceFingerprint == fp)
-        .flatMap(_ => scala.util.Try(load(dir)).toOption)
+        // the FullReuse load rides the build-once dir-load cache (r18)
+        .flatMap(m => scala.util.Try(graft.wheel.WheelCatalog.cachedDirLoad(
+          spark, dir, m, s"accel-$kind")(load(dir))).toOption)
         .map { w => outcomes += FullReuse; w }
         .orElse(saved.flatMap(m =>
           provableAppendTail(path, m.sourceFingerprint, fp, conf).flatMap {
@@ -1245,14 +1258,17 @@ object WheelAcceleration {
             TailRefresh(coveredN, tail))
           KeyedReg(keyCol, tsCol, wheels, fp, conf)
         case None =>
-          persistedOutcomes.put(normalize(path) + "#keyedmem", FullBuild)
           // build-once via the catalog (round 17): the fingerprint-keyed
           // cache serves re-registrations of unchanged data, exactly like
-          // the unkeyed register() → WheelCatalog.cached path
-          KeyedReg(keyCol, tsCol,
-            graft.wheel.WheelCatalog.cachedKeyedMulti(
-              spark, s"$path@$fp", keyCol, tsCol, valueCols)(events),
-            fp, conf)
+          // the unkeyed register() → WheelCatalog.cached path. The
+          // outcome records whether a build actually ran (ADVICE r17):
+          // the events thunk is only forced on a cache miss.
+          var built = false
+          val wheels = graft.wheel.WheelCatalog.cachedKeyedMulti(
+            spark, s"$path@$fp", keyCol, tsCol, valueCols)({ built = true; events })
+          persistedOutcomes.put(normalize(path) + "#keyedmem",
+            if (built) FullBuild else CacheServed)
+          KeyedReg(keyCol, tsCol, wheels, fp, conf)
       })
     enable(spark)
     reg.wheels
@@ -1276,9 +1292,12 @@ object WheelAcceleration {
           .filter(m => m.kind == graft.wheel.PersistentWheel.KeyedKind &&
             m.sourceFingerprint == fp && m.tsCol == tsCol &&
             m.valueCols == Seq(keyCol, valueCol))
-        // torn saves rebuild, same as the unkeyed path
-        val idx = saved.flatMap(_ => scala.util.Try(
-          graft.wheel.PersistentWheel.loadKeyed(spark, indexDir)._2
+        // torn saves rebuild, same as the unkeyed path; load rides the
+        // build-once dir-load cache (round 18)
+        val idx = saved.flatMap(m => scala.util.Try(
+          graft.wheel.WheelCatalog.cachedDirLoad(
+            spark, indexDir, m, "accel-keyed")(
+            graft.wheel.PersistentWheel.loadKeyed(spark, indexDir)._2)
         ).toOption).getOrElse(
           graft.wheel.PersistentWheel.saveKeyed(
             spark, indexDir, events, keyCol, tsCol, valueCol, fp, path))
@@ -1309,9 +1328,12 @@ object WheelAcceleration {
           .filter(m => m.kind == graft.wheel.PersistentWheel.KeyedMultiKind &&
             m.sourceFingerprint == fp && m.tsCol == tsCol &&
             m.valueCols == keyCol +: valueCols)
-        // torn saves rebuild, same as every persisted path
-        val loaded = saved.flatMap(_ => scala.util.Try(
-          graft.wheel.PersistentWheel.loadKeyedMulti(spark, indexDir)._2
+        // torn saves rebuild, same as every persisted path; load rides
+        // the build-once dir-load cache (round 18)
+        val loaded = saved.flatMap(m => scala.util.Try(
+          graft.wheel.WheelCatalog.cachedDirLoad(
+            spark, indexDir, m, "accel-keyedmulti")(
+            graft.wheel.PersistentWheel.loadKeyedMulti(spark, indexDir)._2)
         ).toOption)
         loaded.foreach(_ =>
           persistedOutcomes.put(normalize(path) + "#keyed", FullReuse))

@@ -63,6 +63,29 @@ object Text {
     udaf(graft.functions.Aggregators.BoundedCollect(MaxBucket))
   private[queries] val pairsUdf = udf((ids: Seq[Long]) => bucketPairs(ids))
 
+  /** [[bucketPairs]] over (id, signature) members: the same emission
+    * policy (dedupe by id, sort by id, MaxBucket drop, PairBudget star
+    * fallback), with each side's signature carried along so downstream
+    * verification needs no join back to the source table. Signatures
+    * are functional on the id, so pair-level dedupe/ordering is
+    * IDENTICAL to the id-only emission. */
+  private[queries] def bucketPairsSig(
+      items: Seq[(Long, Long)]): Seq[(Long, Long, Long, Long)] = {
+    val sorted = items.groupBy(_._1).map(_._2.head).toSeq.sortBy(_._1)
+    if (sorted.length < 2 || sorted.length > MaxBucket)
+      Seq.empty[(Long, Long, Long, Long)]
+    else if (sorted.length.toLong * (sorted.length - 1) / 2 > PairBudget) {
+      val rep = sorted.head
+      sorted.tail.map(x => (rep._1, rep._2, x._1, x._2))
+    } else for { i <- sorted.indices; j <- (i + 1) until sorted.length }
+      yield (sorted(i)._1, sorted(i)._2, sorted(j)._1, sorted(j)._2)
+  }
+
+  private[queries] val boundedIdSigs =
+    udaf(graft.functions.Aggregators.BoundedCollectSig(MaxBucket))
+  private[queries] val pairsSigUdf =
+    udf((items: Seq[(Long, Long)]) => bucketPairsSig(items))
+
   /** Char bigrams of a string, in order (lang-id feature extraction). */
   private val bigramsUdf = udf((s: String) => {
     if (s == null || s.length < 2) Array.empty[String]
@@ -125,9 +148,12 @@ object Text {
     // checkpointed data): ≤ budget+1 rows ever reach the driver — at
     // exactly budget+1 the set is truncated and the distributed loop
     // takes over, so the union-find only ever sees a complete edge list
-    val limited = undirected
-      .limit(math.min(budget, Int.MaxValue - 1L).toInt + 1).collect()
-    if (limited.length <= budget) {
+    // compare against the ACTUAL limit used, not the budget (ADVICE r17):
+    // for budget ≥ Int.MaxValue the limit clamps, and `length <= budget`
+    // could accept a TRUNCATED edge list; `length < lim` can't
+    val lim = math.min(budget, Int.MaxValue - 1L).toInt + 1
+    val limited = undirected.limit(lim).collect()
+    if (limited.length < lim) {
       val es = limited.map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
@@ -410,8 +436,16 @@ object Text {
       val toks = d0.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       // (same round-17 finding as q_bm25: the semi-join pre-filter of
       // this agg is a large-corpus refinement, measured slower here)
-      val df = toks.groupBy(col("tok"))
-        .agg(countDistinct(col("doc_id")).as("df"))
+      // Round 18: df = COUNT(DISTINCT doc_id) per token ≡ a plain COUNT
+      // over per-doc-DEDUPED tokens — array_distinct dedupes locally
+      // inside each row, so the map-side-combined count replaces the
+      // planner's two-tier distinct aggregate (partial+final group by
+      // (tok, doc_id), THEN count): one exchange of narrow tok rows
+      // instead of an exchange of every distinct (tok, doc_id) pair.
+      val df = d0
+        .select(explode(array_distinct(split(col("text"), " "))).as("tok"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("df"))
       val tf = toks.filter(col("doc_id") < 20)
         .groupBy(col("doc_id"), col("tok"))
         .agg(count(lit(1)).as("tf"))
@@ -589,22 +623,30 @@ object Text {
 
     // SimHash near-dup: 64-bit signature, 16-bit pigeonhole chunks
     // (hamming ≤ 3 ⇒ some chunk equal), verify hamming via bit_count.
+    // Round 18: signatures ride the buckets ((id, sh) pairs instead of
+    // bare ids), so the hamming verify reads them off the candidate row
+    // itself — the old plan joined candidates back to the signature
+    // projection TWICE, re-running the simhash UDF over the whole
+    // corpus once per join leg (3 full UDF passes + 2 broadcast builds
+    // per execution; the plan's two extra InMemoryTableScans). Pair
+    // emission, dedup and output are bit-identical: sh is functional
+    // on doc_id, so distinct over (id, sh) pairs ≡ distinct over ids.
     "q_simhash_dedup" -> ((s, dir) => {
       val sh = docs(s, dir)
         .select(col("doc_id"), simhashUdf(col("text")).as("sh"))
-      val cands = sh
-        .select(col("doc_id"), explode(simhashChunksUdf(col("sh"))).as("chunk"))
+      sh.select(col("doc_id"), col("sh"),
+          explode(simhashChunksUdf(col("sh"))).as("chunk"))
         .groupBy(col("chunk"))
-        .agg(boundedIds(col("doc_id")).as("ids"))
-        .select(explode(pairsUdf(col("ids"))).as("p"))
-        .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"))
-        .distinct()
-      val a = sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a")
-      val b = sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b")
-      cands.join(a, "doc_a").join(b, "doc_b")
-        .withColumn("hd", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+        .agg(boundedIdSigs(col("doc_id"), col("sh")).as("members"))
+        .select(explode(pairsSigUdf(col("members"))).as("p"))
+        // hamming-verify BEFORE the cross-chunk dedup: filter∘distinct ≡
+        // distinct∘filter (hd is functional on the pair), and filtering
+        // first means the distinct exchange carries only true near-dup
+        // pairs instead of every bucket candidate
+        .select(col("p._1").as("doc_a"), col("p._3").as("doc_b"),
+          bit_count(col("p._2").bitwiseXOR(col("p._4"))).cast("long").as("hd"))
         .filter(col("hd") <= 3)
-        .select(col("doc_a"), col("doc_b"), col("hd"))
+        .distinct()
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -636,7 +678,13 @@ object Text {
       // agg, which is map-side-combined and linear already) — reverted;
       // it becomes the right refinement only when the vocabulary agg
       // dominates, i.e. corpora orders of magnitude past this SF.
-      val df = toks.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+      // Round 18 (same move as q_tfidf_top): df via per-row
+      // array_distinct + plain COUNT — one map-side-combined aggregate
+      // instead of the two-tier distinct aggregate over (tok, doc_id).
+      val df = d0
+        .select(explode(array_distinct(split(col("text"), " "))).as("tok"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("df"))
       val tf = toks.filter(col("doc_id") < 20)
         .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
       val idf = log(lit(1.0) +

@@ -112,47 +112,64 @@ object WheelTableProvider {
         require(!keyed || keyedKinds.contains(meta.kind),
           s"wheel table: option(\"keyed\") given but '$dir' holds a " +
             s"'${meta.kind}' wheel")
+        // loads ride the build-once dir-load cache (round 18): resolve()
+        // runs at PLAN time — inferSchema AND getTable both land here —
+        // and each load is a full collect job of the saved partials. The
+        // peek above re-reads the sidecar every resolution, and the cache
+        // key is the sidecar's payload identity, so a re-saved dir always
+        // loads fresh.
+        val C = graft.wheel.WheelCatalog
         meta.kind match {
           case P.SumKind =>
-            val (_, wheels) = P.load(spark, dir)
+            val wheels = C.cachedDirLoad(spark, dir, meta, "table-sum")(
+              P.load(spark, dir)._2)
             new WheelTable(s"wheel:$dir", wheels)
           case P.KeyedKind =>
-            val (m, kw) = P.loadKeyed(spark, dir)
-            new KeyedWheelTable(s"wheel:$dir?keyed", m.valueCols.head,
-              Map(m.valueCols(1) -> kw))
+            val kw = C.cachedDirLoad(spark, dir, meta, "table-keyed")(
+              P.loadKeyed(spark, dir)._2)
+            new KeyedWheelTable(s"wheel:$dir?keyed", meta.valueCols.head,
+              Map(meta.valueCols(1) -> kw))
           case P.KeyedMultiKind =>
-            val (m, wheels) = P.loadKeyedMulti(spark, dir)
-            new KeyedWheelTable(s"wheel:$dir?keyedmulti", m.valueCols.head, wheels)
+            val wheels = C.cachedDirLoad(spark, dir, meta, "table-keyedmulti")(
+              P.loadKeyedMulti(spark, dir)._2)
+            new KeyedWheelTable(s"wheel:$dir?keyedmulti", meta.valueCols.head, wheels)
           case P.ThetaKind =>
-            val (m, w) = P.loadCohort(spark, dir)
-            SketchWheelTable.theta(s"wheel:$dir?theta", m.valueCols.head, w)
+            val w = C.cachedDirLoad(spark, dir, meta, "table-theta")(
+              P.loadCohort(spark, dir)._2)
+            SketchWheelTable.theta(s"wheel:$dir?theta", meta.valueCols.head, w)
           case P.HllKind =>
-            val (m, w) = P.loadDistinct(spark, dir)
-            SketchWheelTable.hll(s"wheel:$dir?hll", m.valueCols.head, w)
+            val w = C.cachedDirLoad(spark, dir, meta, "table-hll")(
+              P.loadDistinct(spark, dir)._2)
+            SketchWheelTable.hll(s"wheel:$dir?hll", meta.valueCols.head, w)
           case P.KllKind =>
-            val (m, w) = P.loadQuantile(spark, dir)
+            val w = C.cachedDirLoad(spark, dir, meta, "table-kll")(
+              P.loadQuantile(spark, dir)._2)
             val qs = lower.get("quantiles")
               .map(_.split(",").map(_.trim.toDouble).toSeq)
               .getOrElse(Seq(0.5, 0.95, 0.99))
-            SketchWheelTable.kll(s"wheel:$dir?kll", m.valueCols.head, w, qs)
+            SketchWheelTable.kll(s"wheel:$dir?kll", meta.valueCols.head, w, qs)
           case P.MgKind =>
-            val (m, w) = P.loadFrequency(spark, dir)
-            SketchWheelTable.mg(s"wheel:$dir?mg", m.valueCols.head, w)
+            val w = C.cachedDirLoad(spark, dir, meta, "table-mg")(
+              P.loadFrequency(spark, dir)._2)
+            SketchWheelTable.mg(s"wheel:$dir?mg", meta.valueCols.head, w)
           case P.KeyedThetaKind =>
-            val (m, ws) = P.loadKeyedCohort(spark, dir)
+            val ws = C.cachedDirLoad(spark, dir, meta, "table-keyedtheta")(
+              P.loadKeyedCohort(spark, dir)._2)
             SketchWheelTable.keyedTheta(s"wheel:$dir?keyedtheta",
-              m.valueCols.head, m.valueCols(1), ws)
+              meta.valueCols.head, meta.valueCols(1), ws)
           case P.KeyedKllKind =>
-            val (m, ws) = P.loadKeyedQuantile(spark, dir)
+            val ws = C.cachedDirLoad(spark, dir, meta, "table-keyedkll")(
+              P.loadKeyedQuantile(spark, dir)._2)
             val qs = lower.get("quantiles")
               .map(_.split(",").map(_.trim.toDouble).toSeq)
               .getOrElse(Seq(0.5, 0.95, 0.99))
             SketchWheelTable.keyedKll(s"wheel:$dir?keyedkll",
-              m.valueCols.head, m.valueCols(1), ws, qs)
+              meta.valueCols.head, meta.valueCols(1), ws, qs)
           case P.KeyedMgKind =>
-            val (m, ws) = P.loadKeyedFrequency(spark, dir)
+            val ws = C.cachedDirLoad(spark, dir, meta, "table-keyedmg")(
+              P.loadKeyedFrequency(spark, dir)._2)
             SketchWheelTable.keyedMg(s"wheel:$dir?keyedmg",
-              m.valueCols.head, m.valueCols(1), ws)
+              meta.valueCols.head, meta.valueCols(1), ws)
           case other => throw new IllegalArgumentException(
             s"wheel table: persisted kind '$other' at '$dir' has no table " +
               "spelling (supported: sum, keyed, keyedmulti, theta, hll, " +

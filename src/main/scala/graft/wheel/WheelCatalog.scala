@@ -35,7 +35,8 @@ object WheelCatalog {
     { cache.clear(); distinctCache.clear(); quantileCache.clear()
       frequencyCache.clear(); cohortCache.clear(); multiCache.clear()
       keyedCohortCache.clear(); keyedQuantileCache.clear()
-      keyedFrequencyCache.clear(); keyedMultiCache.clear() }
+      keyedFrequencyCache.clear(); keyedMultiCache.clear()
+      dirLoadCache.clear() }
 
   // (session, source key, dim col(s), tsCol, measure cols) → keyed wheels
   private val keyedMultiCache =
@@ -59,6 +60,38 @@ object WheelCatalog {
       (spark, key, keyCol, tsCol, valueCols.mkString(",")),
       _ => KeyedWheelIndex.buildMulti(events, keyCol, tsCol, valueCols))
   }
+
+  // (session, index dir, payload file, payload fingerprint, load variant)
+  // → whatever the family's loader returned
+  private val dirLoadCache =
+    new ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String, String, String, String), AnyRef]()
+
+  /** Build-once cache for PERSISTED-DIR loads (round 18): every dir-mode
+    * resolution — the DSv2 wheel table's plan-time load and the
+    * registerPersisted* FullReuse branch — re-read and re-collected the
+    * saved partials parquet per invocation (a full Spark job each time),
+    * while the in-memory index families served their build-once copy.
+    * Same lifecycle, same staleness discipline as [[cachedKeyedMulti]]:
+    * the cache key is the PAYLOAD IDENTITY the sidecar records — the
+    * uniquely-named `slots-<uuid>.parquet` plus its content fingerprint
+    * — so ANY re-save (rebuild, tail refresh, overwrite) is a different
+    * key and loads fresh; callers re-peek the sidecar every resolution,
+    * which is what decides staleness. `variant` discriminates load
+    * flavors of one payload (e.g. the rewrite path's residue-armed load
+    * vs the table's minute-aligned load). Legacy dirs with no recorded
+    * payload fingerprint are never cached (their payload file is
+    * overwritten in place, so identity can't be proven cheap). */
+  def cachedDirLoad[T <: AnyRef](spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, meta: PersistentWheel.Meta, variant: String)(
+      load: => T): T =
+    if (meta.slotsFingerprint.isEmpty) load
+    else {
+      sweepStopped()
+      SessionSweeper.track(spark)
+      dirLoadCache.computeIfAbsent(
+        (spark, indexDir, meta.slotsDir, meta.slotsFingerprint, variant),
+        _ => load).asInstanceOf[T]
+    }
 
   private val multiCache =
     new ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String, String, String), Map[String, WheelIndex]]()
@@ -89,6 +122,7 @@ object WheelCatalog {
     keyedQuantileCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     keyedFrequencyCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     keyedMultiCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    dirLoadCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
   }
 
   private val distinctCache =
