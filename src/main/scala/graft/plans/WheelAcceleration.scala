@@ -5150,11 +5150,10 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
             // grouping attribute the membership-free projections ignore
             val passThrough = tsAttr +: (keyed.map(_._1).toSeq ++ parts.cols.partialAttrs)
             val relation = LocalRelation(passThrough, rows.result())
-            val newExpand = Expand(
+            // round 18: one Generate instead of the n-projection Expand
+            val top: LogicalPlan = enumerateWindows(
               expand.projections.map(p => passThrough :+ p(winIdx)),
-              passThrough :+ winAttr, relation)
-            val top: LogicalPlan =
-              membership.map(f => Filter(f.condition, newExpand)).getOrElse(newExpand)
+              passThrough :+ winAttr, passThrough.length, relation, membership)
             // re-alias onto the union's output ids: the final Aggregate
             // groups by slotAttr/keyOut and reads parts.cols attributes
             // from the FIRST union child — this leg
@@ -5216,11 +5215,13 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
         else expand.child.transformUp {
           case p if p eq innerBelow => parts.edgeFilter
         }
-      val edgeExpand = expand.copy(child = edgeChild)
       // non-divisible slides: the membership filter is part of the
-      // enumeration semantics — the edge rows re-expand through it too
-      val edgeTop: LogicalPlan =
-        membership.map(f => Filter(f.condition, edgeExpand)).getOrElse(edgeExpand)
+      // enumeration semantics — the edge rows re-enumerate through it
+      // too (round 18: one Generate instead of the n-projection Expand)
+      val edgeTop: LogicalPlan = enumerateWindows(expand.projections,
+        expand.output,
+        expand.output.indexWhere(_.exprId == winAttr.exprId),
+        edgeChild, membership)
       val keyProj = keyed.map { case (kA, _) => Alias(kA, "__graft_key")() }.toSeq
       val edgeLeg = Project(
         keyProj ++ (Alias(winAttr, "__graft_slot")() +: parts.edgePartials),
@@ -5466,11 +5467,11 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       if (preExpand) LocalRelation(winAttr +: passThrough, rows.result())
       else {
         val interiorRel = LocalRelation(passThrough, rows.result())
-        val interiorExpand = Expand(
+        // round 18: one Generate instead of the n-projection Expand
+        enumerateWindows(
           expand.projections.map(p => passThrough :+ p(winIdx)),
-          passThrough :+ winAttr, interiorRel)
-        membership.map(f => Filter(f.condition, interiorExpand))
-          .getOrElse(interiorExpand)
+          passThrough :+ winAttr, passThrough.length, interiorRel,
+          membership)
       }
     val interiorLeg = Project(
       (Alias(winAttr, "__graft_win")(exprId = winOut.exprId) +:
@@ -5501,12 +5502,14 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
           // (tsAttrProj is produced by the expand.child chain, so the
           // appended projection element is always resolvable)
           val tsInExpand = expand.output.exists(_.exprId == tsAttrProj.exprId)
-          val edgeExpand =
-            if (tsInExpand) expand.copy(child = edgeChild)
-            else Expand(expand.projections.map(_ :+ tsAttrProj),
-              expand.output :+ tsAttrProj, edgeChild)
-          val edgeTop: LogicalPlan = membership
-            .map(f => Filter(f.condition, edgeExpand)).getOrElse(edgeExpand)
+          // round 18: one Generate instead of the n-projection Expand
+          val (eProjs, eOut) =
+            if (tsInExpand) (expand.projections, expand.output)
+            else (expand.projections.map(_ :+ (tsAttrProj: Expression)),
+              expand.output :+ tsAttrProj)
+          val edgeTop: LogicalPlan = enumerateWindows(eProjs, eOut,
+            eOut.indexWhere(_.exprId == winAttr.exprId), edgeChild,
+            membership)
           val edgeLeg = Project(
             ((Alias(winAttr, "__graft_win")() +:
               keyed.map { case (kA, _) =>
@@ -5616,11 +5619,10 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
       else {
         val passThrough = tsAttr +: (keyAttr.toSeq ++ cols.partialAttrs)
         val relation = LocalRelation(passThrough, rows.result())
-        val newExpand = Expand(
+        // round 18: one Generate instead of the n-projection Expand
+        val topChild: LogicalPlan = enumerateWindows(
           expand.projections.map(p => passThrough :+ p(winIdx)),
-          passThrough :+ winAttr, relation)
-        val topChild: LogicalPlan =
-          membership.map(f => Filter(f.condition, newExpand)).getOrElse(newExpand)
+          passThrough :+ winAttr, passThrough.length, relation, membership)
         Some(Aggregate(groupings, newAggExprs, topChild))
       }
     }
@@ -5717,6 +5719,102 @@ case class WheelSumRewrite() extends Rule[LogicalPlan] {
         Some((slideMs, math.floorMod(startUs / 1000L, slideMs), sizeUs / 1000L))
       case _ => None
     }
+  }
+
+  /** Round 18: the sliding-window [[Expand]] — one projection per
+    * candidate offset k·slide, EACH recomputing the full lastStart
+    * window arithmetic twice (start and end) — rebuilt as ONE
+    * `Generate(Explode(<offsets literal>))` plus a Project computing
+    * the window struct from the generated offset. The window
+    * expression is planned/compiled ONCE instead of ceil(size/slide)
+    * times, cutting the Catalyst+codegen constant the 60-projection
+    * hour/minute grid pays on every edge and interior leg (the
+    * residual the round-17 notes parked). Emission is row-for-row
+    * identical to the Expand: the generator array holds the SAME
+    * offsets in the SAME projection order (same multiplicity, n rows
+    * per input row, null ts included — Explode of a non-null literal
+    * array never filters), and the parameterized window struct is
+    * PROVED equivalent projection-by-projection: substituting each
+    * original offset back into it must reproduce that projection's
+    * window expression up to `x − 0 ≡ x` (semanticEquals after
+    * stripping zero-subtractions, the same normalization
+    * [[stripWin]] applies). Any mismatch returns None and the caller
+    * keeps the original Expand. */
+  private def slidingGenerate(winExprs: Seq[Expression],
+      output: Seq[Attribute], winIdx: Int,
+      child: LogicalPlan): Option[LogicalPlan] = {
+    if (winExprs.length < 2) return None
+    val winAttr = output(winIdx)
+    val kAttr = AttributeReference("__graft_woff", LongType,
+      nullable = false)()
+    // the k·slide offset a projection subtracts from the bucket —
+    // TimeWindowing's `(bucket − k)` with bucket = ts − floorMod CASE;
+    // k = 0 when the subtraction was simplified away entirely
+    def kOf(we: Expression): Option[Long] = {
+      var found: Option[Long] = None
+      var uniform = true
+      we.foreach {
+        case Subtract(Subtract(_, _: CaseWhen, _), Literal(k: Long, LongType), _) =>
+          if (found.exists(_ != k)) uniform = false else found = Some(k)
+        case _ =>
+      }
+      if (uniform) Some(found.getOrElse(0L)) else None
+    }
+    val ks = winExprs.map(kOf)
+    if (ks.exists(_.isEmpty)) return None
+    val offs = ks.map(_.get)
+    val tmplIdx = offs.indexWhere(_ != 0L)
+    if (tmplIdx < 0) return None
+    val tmplK = offs(tmplIdx)
+    val winK = winExprs(tmplIdx).transform {
+      case Subtract(b @ Subtract(_, _: CaseWhen, _), Literal(k: Long, LongType), f)
+          if k == tmplK => Subtract(b, kAttr, f)
+    }
+    if (!winK.references.contains(kAttr)) return None
+    def stripZeros(e: Expression): Expression = e.transform {
+      case Subtract(x, Literal(0L, LongType), _) => x
+    }
+    val parity = winExprs.zip(offs).forall { case (we, k) =>
+      val back = winK.transform {
+        case a: AttributeReference if a.exprId == kAttr.exprId =>
+          Literal(k, LongType)
+      }
+      stripZeros(back).semanticEquals(stripZeros(we))
+    }
+    if (!parity) return None
+    val arr = Literal.create(offs.toArray,
+      ArrayType(LongType, containsNull = false))
+    val gen = Generate(Explode(arr), unrequiredChildIndex = Nil,
+      outer = false, qualifier = None, generatorOutput = Seq(kAttr), child)
+    val projList: Seq[NamedExpression] = output.zipWithIndex.map {
+      case (a, i) if i == winIdx => Alias(winK, a.name)(exprId = a.exprId)
+      case (a, _) => a
+    }
+    Some(Project(projList, gen))
+  }
+
+  /** Caller-facing swap for the sliding enumeration sites: the
+    * [[Expand]]→Generate form when the projections qualify (window
+    * expression at `winIdx`, every other position a verbatim
+    * pass-through of `output`'s attribute), the original Expand
+    * otherwise; the membership Filter — part of the enumeration
+    * semantics for non-divisible slides — re-applied on top either
+    * way, unchanged. */
+  private def enumerateWindows(projections: Seq[Seq[Expression]],
+      output: Seq[Attribute], winIdx: Int, child: LogicalPlan,
+      membership: Option[Filter]): LogicalPlan = {
+    val passOk = winIdx >= 0 && winIdx < output.length &&
+      projections.forall(p => p.length == output.length &&
+        p.indices.forall(i => i == winIdx || (p(i) match {
+          case a: AttributeReference => a.exprId == output(i).exprId
+          case _ => false
+        })))
+    val base =
+      if (passOk)
+        slidingGenerate(projections.map(_(winIdx)), output, winIdx, child)
+      else None
+    val node = base.getOrElse(Expand(projections, output, child))
+    membership.map(f => Filter(f.condition, node)).getOrElse(node)
   }
 
   /** Starts of every sliding window intersecting `[a, b)`: the first

@@ -609,6 +609,12 @@ object Text {
       val d0 = docs(s, dir)
       val toks = d0.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      // (round 18 note: total = SUM(vocab.cnt) — the oracle's spelling —
+      // was tried and reverted: the planner compiles it as a THIRD
+      // corpus explode + tok agg branch, and only AQE's runtime stage
+      // cache MIGHT dedupe it against the join's vocab build; the
+      // per-doc size(split) pass below is one narrow cached-table scan
+      // with no explode, strictly cheaper than that gamble.)
       val total = d0.agg(
         sum(size(split(col("text"), " "))).cast("double").as("total_n"))
       toks.join(vocab, "tok")

@@ -1939,7 +1939,7 @@ class WheelAccelerationSpec extends AnyFunSuite {
     register()
     WheelAcceleration.registerKeyed(spark, path, events, "event_type")
     events.createOrReplaceTempView("events_accel")
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Generate}
     import org.apache.spark.sql.execution.datasources.LogicalRelation
     def check(sql: String): Unit = {
       // cap of 3: every sliding shape below enumerates more windows,
@@ -1949,7 +1949,10 @@ class WheelAccelerationSpec extends AnyFunSuite {
       val df = spark.sql(sql)
       val p = df.queryExecution.optimizedPlan
       assert(p.collect { case l: LocalRelation => l }.nonEmpty, s"$sql:\n${p.treeString}")
-      assert(p.collect { case e: Expand => e }.nonEmpty, s"$sql:\n${p.treeString}")
+      // round 18: the enumeration is one Generate (Expand only as the
+      // structural fallback)
+      assert(p.collect { case e: Expand => e }.nonEmpty ||
+        p.collect { case g: Generate => g }.nonEmpty, s"$sql:\n${p.treeString}")
       assert(p.collect { case ag: Aggregate => ag }.nonEmpty, s"$sql:\n${p.treeString}")
       assert(p.collect { case r: LogicalRelation => r }.isEmpty, s"$sql:\n${p.treeString}")
       val got = df.collect().map(_.toString).toSeq
@@ -1998,7 +2001,9 @@ class WheelAccelerationSpec extends AnyFunSuite {
         val p = df.queryExecution.optimizedPlan
         assert(p.collect { case u: Union => u }.nonEmpty, s"$sql:\n${p.treeString}")
         assert(p.collect { case l: LocalRelation => l }.nonEmpty, s"$sql:\n${p.treeString}")
-        assert(p.collect { case e: Expand => e }.size >= 2, s"$sql:\n${p.treeString}")
+        // round 18: both legs enumerate via Generate now
+        assert((p.collect { case e: Expand => e } ++
+          p.collect { case g: Generate => g }).size >= 2, s"$sql:\n${p.treeString}")
         val got = df.collect().map(_.toString).toSeq
         spark.conf.unset("spark.graft.wheel.rewrite.maxFoldRows")
         val hybridFold = spark.sql(sql).collect().map(_.toString).toSeq
@@ -4337,6 +4342,58 @@ class WheelAccelerationSpec extends AnyFunSuite {
     WheelAcceleration.clear()
     val wantK = spark.sql(kSql).collect().map(_.toString).toSeq
     assert(gotK == wantK, s"got=$gotK\nwant=$wantK")
+    WheelAcceleration.clear()
+  }
+
+  test("sliding enumeration legs are ONE Generate, not the n-projection " +
+      "Expand (round 18): divisible and membership-filtered slides, " +
+      "values bit-match the scan") {
+    WheelAcceleration.clear()
+    register()
+    events.createOrReplaceTempView("events_accel")
+    import org.apache.spark.sql.catalyst.plans.logical.{Expand, Filter, Generate}
+    import org.apache.spark.sql.catalyst.expressions.{Explode, Literal}
+    val oA = Q.R1Start
+    val h = 3600000L
+    def run(sql: String, wantMembership: Boolean): Unit = {
+      val df = spark.sql(sql)
+      val p = df.queryExecution.optimizedPlan
+      // the fold fired (edge leg present), the Expand is gone, and the
+      // enumeration is a Generate over a LITERAL offsets array — the
+      // window expression is planned once
+      assert(p.collect { case e: Expand => e }.isEmpty, p.treeString)
+      val gens = p.collect { case g: Generate => g }
+      assert(gens.nonEmpty, p.treeString)
+      assert(gens.forall(_.generator match {
+        case Explode(_: Literal) => true
+        case _ => false
+      }), p.treeString)
+      // non-divisible slides keep the membership Filter above the
+      // Generate — part of the enumeration semantics
+      if (wantMembership)
+        assert(p.collect {
+          case f @ Filter(_, _: Generate) => f
+          case f @ Filter(_, org.apache.spark.sql.catalyst.plans.logical.Project(_, _: Generate)) => f
+        }.nonEmpty, p.treeString)
+      val got = df.collect().map(_.toString).toSeq
+      WheelAcceleration.clear()
+      val want = spark.sql(sql).collect().map(_.toString).toSeq
+      register()
+      assert(got == want, s"$sql\n got=$got\nwant=$want")
+      assert(got.nonEmpty, sql)
+    }
+    // sub-minute outer edge → hybrid with an edge leg (divisible slide)
+    run("SELECT unix_millis(window.start) AS ws, " +
+      "ROUND(SUM(value), 2) AS s, COUNT(*) AS n FROM events_accel " +
+      s"WHERE unix_millis(ts) >= ${oA + 7123L} AND unix_millis(ts) < ${oA + 3 * h} " +
+      "GROUP BY window(ts, '2 hours', '1 hour') ORDER BY 1",
+      wantMembership = false)
+    // NON-divisible slide + sub-minute edge: membership-filtered Generate
+    run("SELECT unix_millis(window.start) AS ws, " +
+      "ROUND(SUM(value), 2) AS s, COUNT(*) AS n FROM events_accel " +
+      s"WHERE unix_millis(ts) >= ${oA + 7123L} AND unix_millis(ts) < ${oA + h} " +
+      "GROUP BY window(ts, '3 minutes', '2 minutes') ORDER BY 1",
+      wantMembership = true)
     WheelAcceleration.clear()
   }
 

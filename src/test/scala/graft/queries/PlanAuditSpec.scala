@@ -338,22 +338,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("FileScan"), p)
   }
 
-  test("q_wheel_sliding_distributed is scan-free: partials through a REAL Expand + aggregate (round 11)") {
+  test("q_wheel_sliding_distributed is scan-free: partials through ONE Generate + aggregate (rounds 11, 18)") {
     val p = plan("q_wheel_sliding_distributed")
     assert(p.contains("LocalTableScan"), p)
     assert(!p.contains("FileScan"), p)
     // the distributed regime: the window enumeration survives as a
-    // physical Expand and the grouping as a HashAggregate, instead of
-    // folding to constants — but zero file reads at any volume
-    assert(p.contains("Expand"), p)
+    // physical node and the grouping as a HashAggregate, instead of
+    // folding to constants — but zero file reads at any volume.
+    // Round 18: the enumeration is ONE Generate over a literal offsets
+    // array, not the n-projection Expand (the window expression is
+    // planned/compiled once)
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("Expand"), p)
     assert(p.contains("HashAggregate"), p)
   }
 
-  test("q_wheel_sliding_hybrid_distributed: partials Expand unioned with a BOUNDED edge scan (late round 11)") {
+  test("q_wheel_sliding_hybrid_distributed: partials Generate unioned with a BOUNDED edge scan (rounds 11, 18)") {
     val p = plan("q_wheel_sliding_hybrid_distributed")
-    // interior leg: minute partials through the re-rooted Expand
+    // interior leg: minute partials through the Generate enumeration
     assert(p.contains("LocalTableScan"), p)
-    assert(p.contains("Expand"), p)
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("Expand"), p)
     assert(p.contains("Union"), p)
     assert(p.contains("HashAggregate"), p)
     // edge leg: ONE bounded FileScan with directly-pushed ts bounds —
@@ -613,12 +618,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters: [Or(And(GreaterThanOrEqual(ts,"), p)
   }
 
-  test("q_wheel_sliding_residue_sql folds the sliding hybrid: edge Expand over a pushed filter") {
+  test("q_wheel_sliding_residue_sql folds the sliding hybrid: edge Generate over a pushed filter (rounds 11, 18)") {
     val p = plan("q_wheel_sliding_residue_sql")
-    // interior windows as a LocalRelation, edge rows through the
-    // re-rooted Expand over a bounded scan with directly-pushed bounds
+    // interior windows as a LocalRelation, edge rows through ONE
+    // Generate enumeration (round 18; was the re-rooted n-projection
+    // Expand) over a bounded scan with directly-pushed bounds
     assert(p.contains("LocalTableScan"), p)
-    assert(p.contains("Expand"), p)
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("Expand"), p)
     assert(p.contains("FileScan"), p)
     assert(p.contains("PushedFilters: [Or(And(GreaterThanOrEqual(ts,"), p)
   }
