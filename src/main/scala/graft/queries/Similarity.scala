@@ -214,28 +214,28 @@ object Similarity {
 
   val queries: Map[String, Fn] = Map(
     // Brute-force cosine top-k: broadcast the bounded query set, stream
-    // all candidates, ONE bounded TopKPairs aggregation per query.
-    // Round 18 (guide §2.2, shuffle fewer bytes): the round-2 window
-    // rank shuffled every (candidate × query) row — n×|Q| (sim, ids)
-    // rows through a hash exchange — to keep k; TopKPairs keeps the k
-    // best per query MAP-SIDE (partial aggregation), so the exchange
-    // carries |Q| × k-pair buffers per partition. Identical output:
-    // TopKPairs orders by (score desc, id asc) — exactly the window's
-    // (sim.desc, vec_id) — no duplicate candidate ids exist in a cross
-    // join, rounding happens after ranking in both forms, and the
-    // oracle hash-checks the swap.
+    // all candidates, window-rank per query.
+    // (Round 18 note: a TopKPairs-aggregation form — the q_ann_lsh
+    // shape — was tried and REVERTED: Spark's own WindowGroupLimit
+    // already bounds this exchange to k rows per query per partition
+    // MAP-SIDE (Sort → WindowGroupLimit → Exchange in the before plan),
+    // so the swap has no asymptotic advantage, and the Aggregator-UDAF's
+    // per-row buffer encoding measured SLOWER at sf0.1: exec
+    // 0.88 → 1.02 s in the same bench window. The window form is the
+    // codegen path; keep it.)
     "q_sim_topk" -> ((s, dir) => {
       val all = embeddings(s, dir)
       val q = broadcast(all.filter(col("vec_id") < NumQueries)
         .withColumnRenamed("vec_id", "query_id").withColumnRenamed("v", "qv"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
       all.crossJoin(q)
         .filter(col("vec_id") =!= col("query_id"))
         .withColumn("sim", sim(col("qv"), col("v")))
-        .groupBy(col("query_id"))
-        .agg(topKPairs(col("vec_id"), col("sim")).as("tops"))
-        .select(col("query_id"), posexplode(col("tops")))
-        .select(col("query_id"), col("col._1").as("neighbor_id"),
-          round(col("col._2"), 4).as("sim"), (col("pos") + 1).cast("long").as("rk"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= TopK)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(col("sim"), 4).as("sim"), col("rk").cast("long").as("rk"))
         .orderBy(col("query_id"), col("rk"))
     }),
 
