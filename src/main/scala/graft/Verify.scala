@@ -27,6 +27,14 @@ object Verify {
     // oracle pass over just the touched queries
     val only = args.drop(2).headOption
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a misspelled filter name would otherwise write an EMPTY oracle and
+    // check_oracle.py would pass vacuously (round-18 review finding) —
+    // fail loudly instead
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"Verify: unknown query name(s) in filter: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -443,7 +443,7 @@ object Text {
       // (tok, doc_id), THEN count): one exchange of narrow tok rows
       // instead of an exchange of every distinct (tok, doc_id) pair.
       val df = d0
-        .select(explode(array_distinct(split(col("text"), " "))).as("tok"))
+        .select(explode(words).as("tok"))
         .groupBy(col("tok"))
         .agg(count(lit(1)).as("df"))
       val tf = toks.filter(col("doc_id") < 20)
@@ -688,7 +688,7 @@ object Text {
       // array_distinct + plain COUNT — one map-side-combined aggregate
       // instead of the two-tier distinct aggregate over (tok, doc_id).
       val df = d0
-        .select(explode(array_distinct(split(col("text"), " "))).as("tok"))
+        .select(explode(words).as("tok"))
         .groupBy(col("tok"))
         .agg(count(lit(1)).as("df"))
       val tf = toks.filter(col("doc_id") < 20)

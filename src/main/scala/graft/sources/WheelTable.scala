@@ -117,59 +117,64 @@ object WheelTableProvider {
         // and each load is a full collect job of the saved partials. The
         // peek above re-reads the sidecar every resolution, and the cache
         // key is the sidecar's payload identity, so a re-saved dir always
-        // loads fresh.
+        // loads fresh. The cache holds the loader's FULL (meta, payload)
+        // tuple and column names come from the LOADED meta — names and
+        // payload stay one consistent sidecar read even if the dir is
+        // re-saved between the peek and the load (round-18 review
+        // finding); the peeked meta only dispatches the kind and keys
+        // the cache.
         val C = graft.wheel.WheelCatalog
         meta.kind match {
           case P.SumKind =>
-            val wheels = C.cachedDirLoad(spark, dir, meta, "table-sum")(
-              P.load(spark, dir)._2)
+            val (_, wheels) = C.cachedDirLoad(spark, dir, meta, "table-sum")(
+              P.load(spark, dir))
             new WheelTable(s"wheel:$dir", wheels)
           case P.KeyedKind =>
-            val kw = C.cachedDirLoad(spark, dir, meta, "table-keyed")(
-              P.loadKeyed(spark, dir)._2)
-            new KeyedWheelTable(s"wheel:$dir?keyed", meta.valueCols.head,
-              Map(meta.valueCols(1) -> kw))
+            val (m, kw) = C.cachedDirLoad(spark, dir, meta, "table-keyed")(
+              P.loadKeyed(spark, dir))
+            new KeyedWheelTable(s"wheel:$dir?keyed", m.valueCols.head,
+              Map(m.valueCols(1) -> kw))
           case P.KeyedMultiKind =>
-            val wheels = C.cachedDirLoad(spark, dir, meta, "table-keyedmulti")(
-              P.loadKeyedMulti(spark, dir)._2)
-            new KeyedWheelTable(s"wheel:$dir?keyedmulti", meta.valueCols.head, wheels)
+            val (m, wheels) = C.cachedDirLoad(spark, dir, meta, "table-keyedmulti")(
+              P.loadKeyedMulti(spark, dir))
+            new KeyedWheelTable(s"wheel:$dir?keyedmulti", m.valueCols.head, wheels)
           case P.ThetaKind =>
-            val w = C.cachedDirLoad(spark, dir, meta, "table-theta")(
-              P.loadCohort(spark, dir)._2)
-            SketchWheelTable.theta(s"wheel:$dir?theta", meta.valueCols.head, w)
+            val (m, w) = C.cachedDirLoad(spark, dir, meta, "table-theta")(
+              P.loadCohort(spark, dir))
+            SketchWheelTable.theta(s"wheel:$dir?theta", m.valueCols.head, w)
           case P.HllKind =>
-            val w = C.cachedDirLoad(spark, dir, meta, "table-hll")(
-              P.loadDistinct(spark, dir)._2)
-            SketchWheelTable.hll(s"wheel:$dir?hll", meta.valueCols.head, w)
+            val (m, w) = C.cachedDirLoad(spark, dir, meta, "table-hll")(
+              P.loadDistinct(spark, dir))
+            SketchWheelTable.hll(s"wheel:$dir?hll", m.valueCols.head, w)
           case P.KllKind =>
-            val w = C.cachedDirLoad(spark, dir, meta, "table-kll")(
-              P.loadQuantile(spark, dir)._2)
+            val (m, w) = C.cachedDirLoad(spark, dir, meta, "table-kll")(
+              P.loadQuantile(spark, dir))
             val qs = lower.get("quantiles")
               .map(_.split(",").map(_.trim.toDouble).toSeq)
               .getOrElse(Seq(0.5, 0.95, 0.99))
-            SketchWheelTable.kll(s"wheel:$dir?kll", meta.valueCols.head, w, qs)
+            SketchWheelTable.kll(s"wheel:$dir?kll", m.valueCols.head, w, qs)
           case P.MgKind =>
-            val w = C.cachedDirLoad(spark, dir, meta, "table-mg")(
-              P.loadFrequency(spark, dir)._2)
-            SketchWheelTable.mg(s"wheel:$dir?mg", meta.valueCols.head, w)
+            val (m, w) = C.cachedDirLoad(spark, dir, meta, "table-mg")(
+              P.loadFrequency(spark, dir))
+            SketchWheelTable.mg(s"wheel:$dir?mg", m.valueCols.head, w)
           case P.KeyedThetaKind =>
-            val ws = C.cachedDirLoad(spark, dir, meta, "table-keyedtheta")(
-              P.loadKeyedCohort(spark, dir)._2)
+            val (m, ws) = C.cachedDirLoad(spark, dir, meta, "table-keyedtheta")(
+              P.loadKeyedCohort(spark, dir))
             SketchWheelTable.keyedTheta(s"wheel:$dir?keyedtheta",
-              meta.valueCols.head, meta.valueCols(1), ws)
+              m.valueCols.head, m.valueCols(1), ws)
           case P.KeyedKllKind =>
-            val ws = C.cachedDirLoad(spark, dir, meta, "table-keyedkll")(
-              P.loadKeyedQuantile(spark, dir)._2)
+            val (m, ws) = C.cachedDirLoad(spark, dir, meta, "table-keyedkll")(
+              P.loadKeyedQuantile(spark, dir))
             val qs = lower.get("quantiles")
               .map(_.split(",").map(_.trim.toDouble).toSeq)
               .getOrElse(Seq(0.5, 0.95, 0.99))
             SketchWheelTable.keyedKll(s"wheel:$dir?keyedkll",
-              meta.valueCols.head, meta.valueCols(1), ws, qs)
+              m.valueCols.head, m.valueCols(1), ws, qs)
           case P.KeyedMgKind =>
-            val ws = C.cachedDirLoad(spark, dir, meta, "table-keyedmg")(
-              P.loadKeyedFrequency(spark, dir)._2)
+            val (m, ws) = C.cachedDirLoad(spark, dir, meta, "table-keyedmg")(
+              P.loadKeyedFrequency(spark, dir))
             SketchWheelTable.keyedMg(s"wheel:$dir?keyedmg",
-              meta.valueCols.head, meta.valueCols(1), ws)
+              m.valueCols.head, m.valueCols(1), ws)
           case other => throw new IllegalArgumentException(
             s"wheel table: persisted kind '$other' at '$dir' has no table " +
               "spelling (supported: sum, keyed, keyedmulti, theta, hll, " +

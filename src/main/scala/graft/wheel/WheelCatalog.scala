@@ -80,7 +80,18 @@ object WheelCatalog {
     * flavors of one payload (e.g. the rewrite path's residue-armed load
     * vs the table's minute-aligned load). Legacy dirs with no recorded
     * payload fingerprint are never cached (their payload file is
-    * overwritten in place, so identity can't be proven cheap). */
+    * overwritten in place, so identity can't be proven cheap).
+    *
+    * Two deliberate semantics (round-18 review): (1) a cache hit still
+    * reports [[graft.plans.WheelAcceleration]]'s FullReuse at the
+    * register sites — FullReuse means "served from the saved artifact,
+    * no source scan", which holds whether the load came from disk or
+    * from the session's build-once copy of that same payload (the
+    * CacheServed distinction is recorded where it matters:
+    * BUILD vs cache); (2) residue-armed loads close over the FIRST
+    * registration's events DataFrame — safe because the cache is only
+    * consulted after the caller proves sourceFingerprint equality, so
+    * any later events argument reads the same data by contract. */
   def cachedDirLoad[T <: AnyRef](spark: org.apache.spark.sql.SparkSession,
       indexDir: String, meta: PersistentWheel.Meta, variant: String)(
       load: => T): T =
@@ -88,9 +99,16 @@ object WheelCatalog {
     else {
       sweepStopped()
       SessionSweeper.track(spark)
-      dirLoadCache.computeIfAbsent(
-        (spark, indexDir, meta.slotsDir, meta.slotsFingerprint, variant),
-        _ => load).asInstanceOf[T]
+      val key = (spark, indexDir, meta.slotsDir, meta.slotsFingerprint, variant)
+      // a re-save supersedes the previous payload generation: evict
+      // stale generations of this (session, dir, variant) so
+      // rebuild/tail-refresh churn can't grow the cache unboundedly
+      // over a long-lived session (round-18 review finding)
+      if (!dirLoadCache.containsKey(key))
+        dirLoadCache.keySet.removeIf(k =>
+          k._1 == spark && k._2 == indexDir && k._5 == variant &&
+            !(k._3 == meta.slotsDir && k._4 == meta.slotsFingerprint))
+      dirLoadCache.computeIfAbsent(key, _ => load).asInstanceOf[T]
     }
 
   private val multiCache =
